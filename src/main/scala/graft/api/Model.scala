@@ -1,0 +1,164 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Scan-definition model — the same shape as the reference's scan YAML
+  * (see reference tests/test_scan.py:22-72 SCAN_DEFINITION): table name,
+  * table-level metrics, per-column configs, tests, sql metrics, samples.
+  */
+final case class ScanDefinition(
+    tableName: String,
+    metrics: Seq[String] = Nil,
+    metricGroups: Seq[String] = Nil,
+    columns: Map[String, ColumnConfig] = Map.empty,
+    excludedColumns: Seq[String] = Nil,
+    tests: Seq[String] = Nil,
+    sqlMetrics: Seq[SqlMetric] = Nil,
+    samples: Option[Samples] = None,
+    filter: Option[String] = None
+)
+
+final case class ColumnConfig(
+    metrics: Seq[String] = Nil,
+    metricGroups: Seq[String] = Nil,
+    tests: Seq[String] = Nil,
+    missingValues: Seq[String] = Nil,
+    missingFormat: Option[String] = None,
+    missingRegex: Option[String] = None,
+    validFormat: Option[String] = None,
+    validRegex: Option[String] = None,
+    validValues: Seq[String] = Nil,
+    validMin: Option[Double] = None,
+    validMax: Option[Double] = None,
+    validMinLength: Option[Int] = None,
+    validMaxLength: Option[Int] = None
+)
+
+final case class SqlMetric(
+    sql: String,
+    tests: Seq[String] = Nil,
+    groupFields: Seq[String] = Nil,
+    metricNames: Seq[String] = Nil
+)
+
+final case class Samples(tableLimit: Option[Int] = None, failedLimit: Option[Int] = None)
+
+/** Mirror of soda-sql's Measurement (reference scan.py:292-326). */
+final case class Measurement(
+    metric: String,
+    columnName: Option[String],
+    value: Option[Any],
+    groupValues: Seq[GroupValue] = Nil
+)
+
+final case class GroupValue(group: Map[String, String], value: String)
+
+/** Mirror of soda-sql's Test/TestResult (reference scan.py:329-370). */
+final case class TestDef(
+    id: String,
+    title: String,
+    expression: String,
+    metrics: Seq[String],
+    column: Option[String],
+    source: String = "soda-sql"
+)
+
+final case class TestResult(
+    test: TestDef,
+    passed: Boolean,
+    skipped: Boolean,
+    values: Map[String, String],
+    error: Option[String] = None,
+    groupValues: Option[Map[String, String]] = None
+)
+
+final case class ScanError(message: String, exception: Option[String] = None)
+
+final case class ScanResult(
+    measurements: Seq[Measurement],
+    testResults: Seq[TestResult],
+    errors: Seq[ScanError]
+) {
+  def hasErrors: Boolean = errors.nonEmpty
+
+  def measurement(metric: String, columnName: Option[String] = None): Option[Measurement] =
+    measurements.find(m => m.metric == metric && m.columnName == columnName)
+}
+
+/** DataFrame conversions with the same schemas as the reference's
+  * `_to_data_frame` functions (scan.py:292-395).
+  */
+object ScanResultFrames {
+  private val groupValueType = StructType(Seq(
+    StructField("group", MapType(StringType, StringType), nullable = true),
+    StructField("value", StringType, nullable = true)
+  ))
+
+  val measurementSchema: StructType = StructType(Seq(
+    StructField("metric", StringType, nullable = true),
+    StructField("column_name", StringType, nullable = true),
+    StructField("value", StringType, nullable = true),
+    StructField("group_values", ArrayType(groupValueType, containsNull = true), nullable = true)
+  ))
+
+  private val testType = StructType(Seq(
+    StructField("id", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("expression", StringType, nullable = true),
+    StructField("metrics", ArrayType(StringType, containsNull = true), nullable = true),
+    StructField("column", StringType, nullable = true),
+    StructField("source", StringType, nullable = true)
+  ))
+
+  val testResultSchema: StructType = StructType(Seq(
+    StructField("test", testType, nullable = true),
+    StructField("passed", BooleanType, nullable = true),
+    StructField("skipped", BooleanType, nullable = true),
+    StructField("values", MapType(StringType, StringType), nullable = true),
+    StructField("error", StringType, nullable = true),
+    StructField("group_values", MapType(StringType, StringType), nullable = true)
+  ))
+
+  val scanErrorSchema: StructType = StructType(Seq(
+    StructField("message", StringType, nullable = true),
+    StructField("exception", StringType, nullable = true)
+  ))
+
+  private def fmt(v: Any): String = v match {
+    case null => null
+    case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case other => other.toString
+  }
+
+  def measurementsToDF(spark: SparkSession, ms: Seq[Measurement]): DataFrame = {
+    val rows = ms.map { m =>
+      Row(
+        m.metric,
+        m.columnName.orNull,
+        m.value.map(fmt).orNull,
+        if (m.groupValues.isEmpty) null else m.groupValues.map(g => Row(g.group, g.value))
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), measurementSchema)
+  }
+
+  def testResultsToDF(spark: SparkSession, ts: Seq[TestResult]): DataFrame = {
+    val rows = ts.map { t =>
+      Row(
+        Row(t.test.id, t.test.title, t.test.expression, t.test.metrics, t.test.column.orNull, t.test.source),
+        t.passed,
+        t.skipped,
+        t.values,
+        t.error.orNull,
+        t.groupValues.orNull
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), testResultSchema)
+  }
+
+  def scanErrorsToDF(spark: SparkSession, es: Seq[ScanError]): DataFrame = {
+    val rows = es.map(e => Row(e.message, e.exception.orNull))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), scanErrorSchema)
+  }
+}

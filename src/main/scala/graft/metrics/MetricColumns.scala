@@ -1,0 +1,212 @@
+package graft.metrics
+
+import graft.api.ColumnConfig
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles soda-style metrics into Catalyst `Column` aggregate expressions.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so the whole
+  * scan stays inside whole-stage codegen: one table scan → partial aggregates
+  * (map-side) → a single-row exchange. No UDFs, no driver-side loops.
+  *
+  * Semantics follow soda-sql's metric engine (the layer soda-spark exposes,
+  * reference tests/test_scan.py:22-72):
+  *   - missing      = NULL, or in `missing_values`, or matches `missing_regex`/`missing_format`
+  *   - values_count = rows - missing_count
+  *   - valid        = non-missing AND passes validity config (no config → all non-missing valid)
+  *   - percentages  = count * 100 / row_count
+  *   - numeric aggregates (min/max/avg/sum/variance/stddev) over valid values
+  *   - length aggregates over non-missing values
+  */
+object MetricColumns {
+
+  /** Named `valid_format` regexes (equivalents of soda-sql's public format list). */
+  val namedFormats: Map[String, String] = Map(
+    "uuid" -> "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "phone_number" -> "^\\+?[0-9()\\- ]{7,20}$",
+    "number_whole" -> "^-?[0-9]+$",
+    "number_decimal_point" -> "^-?[0-9]+\\.[0-9]+$",
+    "number_decimal_comma" -> "^-?[0-9]+,[0-9]+$",
+    "number_percentage" -> "^-?[0-9]+([\\.,][0-9]+)? ?%$",
+    "date_iso_8601" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}([T ][0-9]{2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?(Z|[+-][0-9]{2}:?[0-9]{2})?)?$",
+    "time_24h" -> "^([01][0-9]|2[0-3]):[0-5][0-9](:[0-5][0-9])?$",
+    "ip_address" -> "^([0-9]{1,3}\\.){3}[0-9]{1,3}$",
+    "credit_card_number" -> "^[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}$"
+  )
+
+  /** Metric-group expansion (soda's `metric_groups`). */
+  val metricGroups: Map[String, Seq[String]] = Map(
+    "missing" -> Seq("missing_count", "missing_percentage", "values_count", "values_percentage"),
+    "validity" -> Seq("valid_count", "valid_percentage", "invalid_count", "invalid_percentage"),
+    "length" -> Seq("min_length", "max_length", "avg_length"),
+    "statistics" -> Seq("min", "max", "avg", "sum", "variance", "stddev"),
+    "duplicates" -> Seq("distinct", "unique_count", "uniqueness", "duplicate_count"),
+    "profiling" -> Seq("maxs", "mins", "frequent_values", "histogram")
+  )
+
+  def expandMetrics(metrics: Seq[String], groups: Seq[String]): Seq[String] =
+    (metrics ++ groups.flatMap(g => metricGroups.getOrElse(g, Nil))).distinct
+
+  /** Metrics computed by the single-pass row-level aggregation. */
+  val rowLevelMetrics: Set[String] = Set(
+    "missing_count", "missing_percentage", "values_count", "values_percentage",
+    "valid_count", "valid_percentage", "invalid_count", "invalid_percentage",
+    "min", "max", "avg", "sum", "variance", "stddev",
+    "min_length", "max_length", "avg_length"
+  )
+
+  /** Metrics needing a per-value grouping pass. */
+  val groupMetrics: Set[String] = Set(
+    "distinct", "unique_count", "uniqueness", "duplicate_count",
+    "frequent_values", "mins", "maxs", "histogram"
+  )
+
+  def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+  def isString(dt: DataType): Boolean = dt == StringType
+
+  /** The missing-ness predicate for a column under `cfg`. */
+  def missingCond(c: Column, cfg: ColumnConfig): Column = {
+    var cond = c.isNull
+    if (cfg.missingValues.nonEmpty) cond = cond || c.cast(StringType).isin(cfg.missingValues: _*)
+    cfg.missingRegex.foreach(r => cond = cond || c.cast(StringType).rlike(r))
+    cfg.missingFormat.flatMap(namedFormats.get).foreach(r => cond = cond || c.cast(StringType).rlike(r))
+    cond
+  }
+
+  def hasValidityConfig(cfg: ColumnConfig): Boolean =
+    cfg.validFormat.isDefined || cfg.validRegex.isDefined || cfg.validValues.nonEmpty ||
+      cfg.validMin.isDefined || cfg.validMax.isDefined ||
+      cfg.validMinLength.isDefined || cfg.validMaxLength.isDefined
+
+  /** The validity predicate (evaluated on non-missing values). */
+  def validCond(c: Column, cfg: ColumnConfig): Column = {
+    var cond = lit(true)
+    cfg.validFormat.foreach { f =>
+      val r = namedFormats.getOrElse(f, throw new IllegalArgumentException(s"unknown valid_format: $f"))
+      cond = cond && c.cast(StringType).rlike(r)
+    }
+    cfg.validRegex.foreach(r => cond = cond && c.cast(StringType).rlike(r))
+    if (cfg.validValues.nonEmpty) cond = cond && c.cast(StringType).isin(cfg.validValues: _*)
+    cfg.validMin.foreach(v => cond = cond && c.cast(DoubleType) >= lit(v))
+    cfg.validMax.foreach(v => cond = cond && c.cast(DoubleType) <= lit(v))
+    cfg.validMinLength.foreach(v => cond = cond && length(c.cast(StringType)) >= lit(v))
+    cfg.validMaxLength.foreach(v => cond = cond && length(c.cast(StringType)) <= lit(v))
+    cond
+  }
+
+  def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L)).cast(LongType)
+
+  /** Decimal-exact sum of a double column: order-independent, so results are
+    * bit-identical across partitionings and across engines (the DuckDB oracle
+    * computes the same decimal sum). `scale` must cover the data's precision.
+    */
+  def exactSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(30, scale)))
+
+  /** Decimal-exact sum of squares: each value is cast to decimal FIRST (both
+    * engines recover the intended decimal from the double via shortest-repr /
+    * nearest rounding identically for <=15-sig-digit data), then squared in
+    * exact decimal arithmetic. Avoids double->decimal rounding ambiguity on
+    * products.
+    */
+  def exactSumSq(c: Column, scale: Int = 4): Column = {
+    // Asymmetric widths (20,s)×(12,s) force DuckDB onto its int128 multiply
+    // path (symmetric (12,s)² overflows its int64 DECIMAL(18) fast path)
+    // while keeping Spark's result precision under 38.
+    sum(c.cast(DecimalType(20, scale)) * c.cast(DecimalType(12, scale)))
+  }
+
+  /** Row-level aggregate columns for one column config.
+    * Output aliases: `<col>__<metric>`. Percentages and derived stats are
+    * emitted by [[derived]] in a follow-up projection over these aliases.
+    */
+  def aggColumns(field: StructField, cfg: ColumnConfig, metrics: Seq[String]): Seq[Column] = {
+    val c = col(field.name)
+    val name = field.name
+    val missing = missingCond(c, cfg)
+    val value = !missing
+    val valid = value && validCond(c, cfg)
+    val m = metrics.toSet
+    val out = Seq.newBuilder[Column]
+
+    def need(k: String): Boolean = m.contains(k)
+
+    // counts: base for percentages too
+    val needMissing = Seq("missing_count", "missing_percentage", "values_count", "values_percentage")
+      .exists(need)
+    val needValidity = Seq("valid_count", "valid_percentage", "invalid_count", "invalid_percentage")
+      .exists(need)
+    if (needMissing || needValidity)
+      out += countIf(missing).as(s"${name}__missing_count")
+    if (needValidity)
+      out += countIf(valid).as(s"${name}__valid_count")
+
+    if (isNumeric(field.dataType)) {
+      val v = when(valid, c)
+      if (need("min")) out += min(v).as(s"${name}__min")
+      if (need("max")) out += max(v).as(s"${name}__max")
+      if (need("sum") || need("avg") || need("variance") || need("stddev")) {
+        out += exactSum(v.cast(DoubleType)).as(s"${name}__sum_dec")
+        out += countIf(valid && c.isNotNull).as(s"${name}__num_count")
+      }
+      if (need("variance") || need("stddev"))
+        out += exactSumSq(v.cast(DoubleType)).as(s"${name}__sumsq_dec")
+    }
+    if (isString(field.dataType)) {
+      val l = when(value, length(c))
+      if (need("min_length")) out += min(l).as(s"${name}__min_length")
+      if (need("max_length")) out += max(l).as(s"${name}__max_length")
+      if (need("avg_length")) {
+        out += sum(l).cast(LongType).as(s"${name}__len_sum")
+        out += countIf(value).as(s"${name}__len_count")
+      }
+    }
+    out.result()
+  }
+
+  /** Derived metric expressions over the aliases emitted by [[aggColumns]]
+    * plus a `row_count` alias. Formulas are written with explicit double
+    * arithmetic so an oracle using the identical expression tree is
+    * bit-identical.
+    */
+  def derived(name: String, metrics: Seq[String], dt: DataType): Seq[Column] = {
+    val m = metrics.toSet
+    val rc = col("row_count").cast(DoubleType)
+    val missing = col(s"${name}__missing_count")
+    val valuesCnt = col("row_count") - missing
+    val validCnt = col(s"${name}__valid_count")
+    val out = Seq.newBuilder[Column]
+    if (m("missing_count")) out += missing.as(s"${name}__missing_count_out")
+    if (m("missing_percentage")) out += (missing.cast(DoubleType) * 100.0 / rc).as(s"${name}__missing_percentage")
+    if (m("values_count")) out += valuesCnt.as(s"${name}__values_count")
+    if (m("values_percentage")) out += (valuesCnt.cast(DoubleType) * 100.0 / rc).as(s"${name}__values_percentage")
+    if (m("valid_count")) out += validCnt.as(s"${name}__valid_count_out")
+    if (m("valid_percentage")) out += (validCnt.cast(DoubleType) * 100.0 / rc).as(s"${name}__valid_percentage")
+    if (m("invalid_count")) out += (valuesCnt - validCnt).as(s"${name}__invalid_count")
+    if (m("invalid_percentage")) out += ((valuesCnt - validCnt).cast(DoubleType) * 100.0 / rc).as(s"${name}__invalid_percentage")
+    if (isNumeric(dt)) {
+      val n = col(s"${name}__num_count").cast(DoubleType)
+      val s = col(s"${name}__sum_dec").cast(DoubleType)
+      val sq = col(s"${name}__sumsq_dec").cast(DoubleType)
+      if (m("min")) out += col(s"${name}__min").as(s"${name}__min_out")
+      if (m("max")) out += col(s"${name}__max").as(s"${name}__max_out")
+      if (m("sum")) out += s.as(s"${name}__sum")
+      if (m("avg")) out += (s / n).as(s"${name}__avg")
+      // sample variance: (sum(x^2) - sum(x)^2/n) / (n-1)
+      if (m("variance")) out += ((sq - s * s / n) / (n - 1.0)).as(s"${name}__variance")
+      if (m("stddev")) out += sqrt((sq - s * s / n) / (n - 1.0)).as(s"${name}__stddev")
+    }
+    if (isString(dt)) {
+      if (m("min_length")) out += col(s"${name}__min_length").as(s"${name}__min_length_out")
+      if (m("max_length")) out += col(s"${name}__max_length").as(s"${name}__max_length_out")
+      if (m("avg_length")) out += (col(s"${name}__len_sum").cast(DoubleType) / col(s"${name}__len_count").cast(DoubleType)).as(s"${name}__avg_length")
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup shuffles only (hash, id) — never the document body;
+  *  - MinHash signatures are computed row-locally with array HOFs (no
+  *    explode); only (band-bucket, id) pairs shuffle;
+  *  - Jaccard verification uses an inverted-index join with a
+  *    document-frequency cap so hot tokens can't create quadratic blow-up.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct `textCol` value, keeping the smallest
+    * `idCol`, with the number of copies. Shuffles (hash, id) only; the text
+    * body never crosses the wire (collision odds at 64-bit are ~n^2/2^65).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(xxhash64(col(textCol)).as("text_hash"), col(idCol).as("id"))
+      .groupBy("text_hash")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("copies"))
+      .select("keep_id", "copies")
+
+  /** Exact dedup keep-rows: the surviving rows themselves. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct token array (sorted for determinism). */
+  private def tokenSet(text: Column): Column = array_sort(array_distinct(TextAnalysis.tokens(text)))
+
+  /** Exact token-set Jaccard near-dup pairs via inverted-index join.
+    *
+    * Emits (id_a, id_b, inter, union_size) with id_a < id_b and
+    * jaccard >= `threshold`. `maxDf` drops tokens appearing in more than that
+    * many documents (stop-token cap — bounds the quadratic candidate blow-up;
+    * pass Int.MaxValue for exact behavior on small corpora).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, blockCols: Seq[String] = Nil,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    val docs = df.select((col(idCol).as("id") +: tokenSet(col(textCol)).as("toks") +: blockCols.map(col)): _*)
+      .withColumn("nt", size(col("toks")))
+    val inv = docs.select((col("id") +: col("nt") +: explode(col("toks")).as("tok") +: blockCols.map(col)): _*)
+    val capped =
+      if (maxDf == Int.MaxValue) inv
+      else {
+        val hot = inv.groupBy("tok").agg(count(lit(1)).as("df")).where(col("df") > maxDf).select("tok")
+        inv.join(broadcast(hot), Seq("tok"), "left_anti")
+      }
+    val joinKeys = "tok" +: blockCols
+    val a = capped.select((col("tok") +: col("id").as("id_a") +: col("nt").as("nt_a") +: blockCols.map(col)): _*)
+    val b = capped.select((col("tok") +: col("id").as("id_b") +: col("nt").as("nt_b") +: blockCols.map(col)): _*)
+    a.join(b, joinKeys)
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "nt_a", "nt_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_size", col("nt_a") + col("nt_b") - col("inter"))
+      .where(col("inter").cast(DoubleType) / col("union_size").cast(DoubleType) >= threshold)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
+  /** MinHash signature: `numHashes` permutations h_i(s) = (a_i*x + b_i) mod p
+    * over xxhash64 shingle hashes, each minimized with array HOFs — entirely
+    * row-local, no explode, no shuffle.
+    */
+  // p = 2^31-1 keeps a*x + b < 2^62 — no long overflow under ANSI mode
+  private val MinhashP = 2147483647L
+  private def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(numHashes)((math.abs(rng.nextLong()) % (MinhashP - 1) + 1, math.abs(rng.nextLong()) % MinhashP))
+  }
+
+  /** Signature from a MATERIALIZED shingle-hash array column. Keep the hash
+    * array a real column (not an inline expression) — each of the numHashes
+    * permutations references it, and Catalyst inlines (recomputes) referenced
+    * expressions per use.
+    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    array(minhashCoefs(numHashes).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(pmod(h, lit(MinhashP)) * lit(a) + lit(b), lit(MinhashP))))
+    }: _*)
+
+  /** MinHash signature of raw text (convenience; for hot paths use
+    * [[minhashSignatureFromHashes]] over a materialized hash column).
+    */
+  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
+    minhashSignatureFromHashes(Shingles.shingleHashes(TextAnalysis.tokens(text), shingleLen), numHashes)
+
+  /** MinHash + LSH banded near-dup candidate pairs, verified with exact
+    * token-set Jaccard. `numHashes` = `bands` * rows-per-band.
+    */
+  /** `broadcastVerify`: broadcast the per-doc token sets for the verification
+    * joins — right whenever they fit in executor memory (they are ~50-500×
+    * smaller than the raw corpus). For corpora where even token sets exceed
+    * broadcast size, pass false to fall back to shuffle joins on id.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                      shingleLen: Int = 3, broadcastVerify: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    // (id, sig) only — the document body never enters the LSH shuffle.
+    // The repartition is a deliberate materialization barrier: it (a) keeps
+    // the shingle-hash array from being inlined into all numHashes
+    // permutation expressions, (b) keeps the signature from being inlined
+    // into all band-key expressions, and (c) is reused (ReuseExchange) by
+    // both sides of the self-join below.
+    val sigs = df.select(col(idCol).as("id"),
+        Shingles.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleLen).as("h"))
+      .repartition(col("id"))
+      .select(col("id"), minhashSignatureFromHashes(col("h"), numHashes).as("sig"))
+
+    // band keys: hash of each signature slice; shuffle only (band, key, id)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
+        .as(Seq("band", "bkey")))
+
+    val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
+    // repartition: shuffle-materialize the (skinny) deduped pair set before
+    // fanning into the verification joins — Spark re-plans from the shuffle
+    // instead of re-deriving the whole band join per downstream stage
+    val cand = l.join(r, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .repartition(col("id_a"), col("id_b"))
+
+    // exact-Jaccard verification: attach each side's precomputed token set
+    // (narrow id-keyed joins), compare row-locally via HOFs
+    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    // token sets are tiny next to the candidate-pair set — broadcast them so
+    // the 10^6-10^7 candidate rows never get sort-merge shuffled
+    def side(a: String, t: String) = {
+      val s = toks.select(col("id").as(a), col("toks").as(t))
+      if (broadcastVerify) broadcast(s) else s
+    }
+    // barrier after the intersection so the (expensive) array_intersect is
+    // evaluated once per pair, not re-inlined into filter + projection
+    cand
+      .join(side("id_a", "toks_a"), Seq("id_a"))
+      .join(side("id_b", "toks_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash from token xxhash64s — row-local aggregate over bit
+    * positions (no explode).
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    // per bit b: sign of sum over tokens of (bit set ? 1 : -1)
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    )
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x)
+    )
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (guarantees recall for hamming distance <= 3), verified by exact hamming
+    * distance via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    // repartition: materialization barrier (see minhashLshPairs)
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .repartition(col("id"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "ckey")))
+    val l = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs within blocks (e.g. same label).
+    * Vectors are cast to double before any arithmetic; dot/norms use ordered
+    * `aggregate` so results are reproducible.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+                  threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+    val l = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale notes: the query set is broadcast, so brute force is a single
+  * shuffle-free map over the corpus followed by a per-query top-K. The LSH
+  * variant shuffles only (bucket, id, vec) and confines the quadratic part
+  * to within-bucket candidates.
+  */
+object Similarity {
+
+  /** dot(a,b) via zip_with + ordered aggregate (deterministic summation order,
+    * same as a sequential loop — matches DuckDB's list_* semantics).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-K: for each query vector, the K nearest corpus
+    * vectors (excluding itself). Output: (query_id, rank, neighbor_id).
+    * Ties break on smaller neighbor id; float scores are intentionally not
+    * emitted (rank is precision-robust, raw doubles are not).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Multi-table random-hyperplane LSH: `tables` independent hash tables of
+    * `planes` sign bits each (deterministic, seeded). Candidates = corpus
+    * rows sharing any table-bucket with the query (deduped), then exact
+    * cosine top-K within candidates. More tables → higher recall; fewer
+    * planes → bigger buckets.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              tables: Int = 4, planes: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val hyperplanes: Seq[Seq[Seq[Double]]] =
+      Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian())))
+
+    def bucket(v: Column, t: Int): Column =
+      hyperplanes(t).zipWithIndex.map { case (h, i) =>
+        val hp = array(h.map(lit): _*)
+        when(dot(v, hp) > 0.0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        posexplode(array((0 until tables).map(t => bucket(col(vec), t)): _*)).as(Seq("tbl", "bucket")))
+
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("cv")), "neighbor_id", "cv")
+    val q = withBuckets(
+      queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("qv")), "query_id", "qv")
+
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All built from codegen'd
+  * builtin functions — no UDFs, fully distributed, no shuffle (row-local).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (matches DuckDB `string_split_regex(text,'\s+')`). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segment count: alpha runs, digits, other symbols.
+    * (regexp_count is codegen'd; DuckDB oracle: len(regexp_extract_all(...)))
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+
+  /** English-ish stopwords used for quality scoring / lang ID. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Per-language marker words for the n-gram/stopword lang-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> stopwordsEn,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4")
+  )
+
+  /** Count of tokens contained in `words` — array HOF, no explode. */
+  def tokenHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Quality features per document. Ratios use explicit double arithmetic so
+    * a DuckDB oracle with the identical tree matches bit-for-bit.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ntok = tokenCount(t).cast(LongType)
+    val nchar = length(t).cast(LongType)
+    val alpha = length(regexp_replace(t, "\\s+", "")).cast(LongType)
+    val stop = tokenHits(t, stopwordsEn).cast(LongType)
+    df.withColumn("n_tokens", ntok)
+      .withColumn("n_chars_m", nchar)
+      .withColumn("alpha_chars", alpha)
+      .withColumn("avg_token_len", col("alpha_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("stopword_hits", stop)
+      .withColumn("stopword_ratio", col("stopword_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
+  /** Language-ID: pick the language whose marker words hit most tokens
+    * (ties → lexicographic language order). Row-local, codegen'd.
+    */
+  def langId(df: DataFrame, textCol: String, out: String = "predicted_lang"): DataFrame = {
+    val t = col(textCol)
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(tokenHits(t, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max over (hits, lang) structs: max hits, then max lang — to make
+    // ties deterministic-by-first-language we negate nothing and order langs
+    // descending so the FIRST lexicographic lang wins on ties via reverse.
+    val best = aggregate(
+      array(scored.reverse: _*),
+      struct(lit(-1).as("hits"), lit("").as("lang")),
+      (acc, x) => when(x.getField("hits") >= acc.getField("hits"), x).otherwise(acc)
+    )
+    df.withColumn(out, best.getField("lang"))
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 of each `n`-token shingle,
+    * winnowed to the `k` smallest hashes (sorted). Deterministic, row-local.
+    */
+  def fingerprint(df: DataFrame, textCol: String, n: Int = 3, k: Int = 8,
+                  out: String = "fingerprint"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val shingleHashes = Shingles.shingleHashes(toks, n)
+    df.withColumn(out, slice(array_sort(array_distinct(shingleHashes)), 1, k))
+  }
+}
+
+/** Shared shingle machinery (also used by MinHash dedup). */
+object Shingles {
+  import org.apache.spark.sql.functions._
+
+  /** xxhash64 of each n-token shingle of `toks` — built with sequence +
+    * transform HOFs (no explode, no shuffle).
+    */
+  def shingleHashes(toks: Column, n: Int): Column =
+    if (n == 1) transform(toks, t => xxhash64(t))
+    else {
+      val cnt = size(toks)
+      when(cnt < n, array(xxhash64(concat_ws(" ", toks))))
+        .otherwise(transform(
+          sequence(lit(1), cnt - lit(n - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+}

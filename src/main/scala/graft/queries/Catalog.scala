@@ -1,0 +1,644 @@
+package graft.queries
+
+import graft.api._
+import graft.metrics.{GroupMetrics, MetricColumns}
+import graft.ops._
+import graft.scan.Scanner
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The gate catalog: every SURVEY.md §2 operator gets a query + (where
+  * SQL-expressible) a DuckDB oracle. Float outputs are derived from
+  * decimal-exact sums with identical expression trees on both sides
+  * (SURVEY.md §3), so hash comparison is bit-exact.
+  */
+object Catalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively:
+      // read as long ns and convert to a micros timestamp.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Row-level metrics through the library path (aggColumns + derived). */
+  private def scanRow(df: DataFrame, cols: Seq[(String, ColumnConfig)], metrics: Seq[String]): DataFrame = {
+    val fields = df.schema.fields.filter(f => cols.exists(_._1 == f.name))
+    val aggCols = fields.toSeq.flatMap { f =>
+      MetricColumns.aggColumns(f, cols.find(_._1 == f.name).get._2, metrics)
+    }
+    val base = df.agg(count(lit(1)).as("row_count"), aggCols: _*)
+    val derivedCols = col("row_count") +: fields.toSeq.flatMap { f =>
+      MetricColumns.derived(f.name, metrics, f.dataType)
+    }
+    base.select(derivedCols: _*)
+  }
+
+  /** Output alias of `metric` for column `c` as produced by MetricColumns.derived. */
+  private def alias(c: String, metric: String): String = metric match {
+    case "missing_count" | "valid_count" | "min" | "max" | "min_length" | "max_length" =>
+      s"${c}__${metric}_out"
+    case other => s"${c}__$other"
+  }
+  private def out(c: String, metric: String): Column =
+    col(alias(c, metric)).as(s"${c}_$metric")
+
+  // ==================================================================
+  // Reference surface: soda metrics
+  // ==================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_row_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("row_count"))),
+
+    "q_missing" -> { (s, dir) =>
+      val cfg = ColumnConfig(missingValues = Seq("3-MEDIUM"))
+      scanRow(t(s, dir, "orders"), Seq("o_orderpriority" -> cfg),
+        Seq("missing_count", "missing_percentage", "values_count", "values_percentage"))
+        .select(
+          out("o_orderpriority", "missing_count").as("missing_count"),
+          out("o_orderpriority", "missing_percentage").as("missing_percentage"),
+          out("o_orderpriority", "values_count").as("values_count"),
+          out("o_orderpriority", "values_percentage").as("values_percentage"))
+    },
+
+    "q_missing_regex" -> { (s, dir) =>
+      val cfg = ColumnConfig(missingRegex = Some("^src0$"))
+      scanRow(t(s, dir, "documents"), Seq("source" -> cfg),
+        Seq("missing_count", "values_count"))
+        .select(
+          out("source", "missing_count").as("missing_count"),
+          out("source", "values_count").as("values_count"))
+    },
+
+    "q_stats" -> { (s, dir) =>
+      val cols = Seq("l_quantity" -> ColumnConfig(), "l_extendedprice" -> ColumnConfig())
+      val ms = Seq("min", "max", "avg", "sum")
+      scanRow(t(s, dir, "lineitem"), cols, ms)
+        .select(cols.flatMap { case (c, _) => ms.map(m => out(c, m)) }: _*)
+    },
+
+    "q_stats_var" -> { (s, dir) =>
+      val cols = Seq("l_quantity" -> ColumnConfig(), "l_extendedprice" -> ColumnConfig())
+      val ms = Seq("variance", "stddev")
+      scanRow(t(s, dir, "lineitem"), cols, ms)
+        .select(cols.flatMap { case (c, _) => ms.map(m => out(c, m)) }: _*)
+    },
+
+    "q_length" -> { (s, dir) =>
+      val cols = Seq("text" -> ColumnConfig(), "lang" -> ColumnConfig())
+      val ms = Seq("min_length", "max_length", "avg_length")
+      scanRow(t(s, dir, "documents"), cols, ms)
+        .select(cols.flatMap { case (c, _) => ms.map(m => out(c, m)) }: _*)
+    },
+
+    "q_valid_values" -> { (s, dir) =>
+      val cfg = ColumnConfig(validValues = Seq("O", "F"))
+      val ms = Seq("valid_count", "valid_percentage", "invalid_count", "invalid_percentage")
+      scanRow(t(s, dir, "orders"), Seq("o_orderstatus" -> cfg), ms)
+        .select(ms.map(m => out("o_orderstatus", m).as(m)): _*)
+    },
+
+    "q_valid_regex" -> { (s, dir) =>
+      val cfg = ColumnConfig(validRegex = Some("^(en|es)$"))
+      val ms = Seq("valid_count", "invalid_count", "invalid_percentage")
+      scanRow(t(s, dir, "documents"), Seq("lang" -> cfg), ms)
+        .select(ms.map(m => out("lang", m).as(m)): _*)
+    },
+
+    "q_valid_format" -> { (s, dir) =>
+      val cfg = ColumnConfig(validFormat = Some("number_whole"))
+      val ms = Seq("valid_count", "invalid_count")
+      scanRow(t(s, dir, "part"), Seq("p_size" -> cfg), ms)
+        .select(ms.map(m => out("p_size", m).as(m)): _*)
+    },
+
+    "q_valid_range" -> { (s, dir) =>
+      val cfg = ColumnConfig(validMin = Some(5.0), validMax = Some(45.0))
+      val ms = Seq("valid_count", "invalid_count", "invalid_percentage")
+      scanRow(t(s, dir, "lineitem"), Seq("l_quantity" -> cfg), ms)
+        .select(ms.map(m => out("l_quantity", m).as(m)): _*)
+    },
+
+    "q_valid_length" -> { (s, dir) =>
+      val cfg = ColumnConfig(validMinLength = Some(150), validMaxLength = Some(400))
+      val ms = Seq("valid_count", "invalid_count")
+      scanRow(t(s, dir, "documents"), Seq("text" -> cfg), ms)
+        .select(ms.map(m => out("text", m).as(m)): _*)
+    },
+
+    "q_distinct" -> ((s, dir) =>
+      GroupMetrics.distinctFamily(t(s, dir, "part"),
+        Seq("p_brand" -> ColumnConfig(), "p_type" -> ColumnConfig()))),
+
+    "q_frequent_values" -> ((s, dir) =>
+      GroupMetrics.frequentValues(t(s, dir, "orders"), "o_orderpriority", ColumnConfig(), 5)),
+
+    "q_mins_maxs" -> ((s, dir) =>
+      GroupMetrics.minsMaxs(t(s, dir, "part"), "p_size", 5)),
+
+    "q_histogram" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      val r = df.agg(min(col("l_quantity").cast(DoubleType)), max(col("l_quantity").cast(DoubleType))).collect()(0)
+      Scanner.histogramFrame(df, Seq(("l_quantity", (r.getDouble(0), r.getDouble(1)))), 10)
+        .select(col("bucket"), col("cnt")).orderBy("bucket")
+    },
+
+    "q_tests" -> { (s, dir) =>
+      val yaml =
+        """table_name: lineitem
+          |metrics:
+          |- row_count
+          |tests:
+          |- row_count > 0
+          |columns:
+          |  l_quantity:
+          |    valid_max: 45
+          |    tests:
+          |    - invalid_percentage < 20
+          |  l_returnflag:
+          |    valid_values:
+          |    - A
+          |    - N
+          |    - R
+          |    tests:
+          |    - invalid_count == 0
+          |""".stripMargin
+      val res = Scanner.executeYaml(s, t(s, dir, "lineitem"), yaml)
+      val rows = res.testResults.map(tr => (tr.test.expression, tr.test.column.orNull, tr.passed))
+      import s.implicits._
+      rows.toDF("expression", "column_name", "passed").orderBy("expression")
+    },
+
+    "q_sql_metric" -> { (s, dir) =>
+      val sql = "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue FROM orders WHERE o_orderstatus = 'F'"
+      val res = Scanner.execute(s, t(s, dir, "orders"),
+        ScanDefinition(tableName = "orders", sqlMetrics = Seq(SqlMetric(sql))))
+      val v = res.measurement("total_revenue").get.value.get.asInstanceOf[Double]
+      s.range(1).select(lit(v).as("total_revenue"))
+    },
+
+    "q_sql_metric_group" -> { (s, dir) =>
+      val sql = "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority"
+      val res = Scanner.execute(s, t(s, dir, "orders"),
+        ScanDefinition(tableName = "orders", sqlMetrics = Seq(SqlMetric(sql, groupFields = Seq("o_orderpriority")))))
+      val gvs = res.measurement("cnt").get.groupValues
+      import s.implicits._
+      gvs.map(gv => (gv.group("o_orderpriority"), gv.value.toLong))
+        .toDF("o_orderpriority", "cnt").orderBy("o_orderpriority")
+    },
+
+    "q_failed_rows" -> { (s, dir) =>
+      val cfg = ColumnConfig(validMax = Some(10.0))
+      Scanner.failedRows(t(s, dir, "lineitem"), "l_quantity", cfg, 20, Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    "q_filter_vars" -> { (s, dir) =>
+      val yaml =
+        """table_name: lineitem
+          |filter: l_shipdate >= '{{ start }}'
+          |metrics:
+          |- row_count
+          |""".stripMargin
+      val res = Scanner.executeYaml(s, t(s, dir, "lineitem"), yaml, Map("start" -> "1998-06-01"))
+      val v = res.measurement("row_count").get.value.get.asInstanceOf[Long]
+      s.range(1).select(lit(v).as("row_count"))
+    },
+
+    "q_profile" -> ((s, dir) =>
+      GroupMetrics.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment").map(_ -> ColumnConfig()))),
+
+    "q_schema" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem").schema.fields.zipWithIndex
+        .map { case (f, i) => (i, f.name, f.dataType.simpleString) }.toSeq
+        .toDF("position", "column_name", "data_type").orderBy("position")
+    },
+
+    // ==================================================================
+    // Analytics headliners (TPC-H shapes)
+    // ==================================================================
+
+    "q1_agg" -> { (s, dir) =>
+      val qty = col("l_quantity").cast(DecimalType(12, 2))
+      val price = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc1 = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+      val tax1 = (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2))
+      val n = count(lit(1))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(qty).cast(DoubleType).as("sum_qty"),
+          sum(price).cast(DoubleType).as("sum_base_price"),
+          sum(price * disc1).cast(DoubleType).as("sum_disc_price"),
+          sum(price * disc1 * tax1).cast(DoubleType).as("sum_charge"),
+          (sum(qty).cast(DoubleType) / n.cast(DoubleType)).as("avg_qty"),
+          (sum(price).cast(DoubleType) / n.cast(DoubleType)).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(8, 2))).cast(DoubleType) / n.cast(DoubleType)).as("avg_disc"),
+          n.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_topk" -> { (s, dir) =>
+      val price = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc1 = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").where(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(price * disc1).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    },
+
+    "q5_join" -> { (s, dir) =>
+      val price = col("l_extendedprice").cast(DecimalType(12, 2))
+      val disc1 = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(price * disc1).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
+
+    // ==================================================================
+    // Training-data pipeline operators
+    // ==================================================================
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "events"), "event_id", "props").orderBy("keep_id")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, blockCols = Seq("lang")).orderBy("id_a", "id_b")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      // shingleLen=1: these synthetic docs are bags of common words, so the
+      // MinHash set definition matches the token-set Jaccard verification.
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleLen = 1)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")),
+
+    "q_dedup_cosine" -> ((s, dir) =>
+      Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")),
+
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextAnalysis.bpeishCount(col("text")).cast(LongType).as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "alpha_chars", "stopword_hits", "avg_token_len", "stopword_ratio")
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "text")
+        .select("doc_id", "predicted_lang").orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
+        .select("doc_id", "fingerprint").orderBy("doc_id")),
+
+    "q_multimodal" -> { (s, dir) =>
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.decodeFeatures(s, media)
+        .select(col("id"), col("n_bytes"), col("first_byte")).orderBy("id")
+    },
+
+    "q_window_events" -> ((s, dir) =>
+      Windows.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
+        .orderBy("window_start", "event_type"))
+  )
+
+  // ==================================================================
+  // DuckDB oracles (identical expression trees; see SURVEY.md §3)
+  // ==================================================================
+
+  val oracleSql: Map[String, String] = Map(
+    "q_row_count" -> "SELECT count(*) AS row_count FROM lineitem",
+
+    "q_missing" ->
+      """WITH a AS (
+        |  SELECT count(*) AS rc,
+        |         count(*) FILTER (WHERE o_orderpriority IS NULL OR o_orderpriority IN ('3-MEDIUM')) AS mc
+        |  FROM orders)
+        |SELECT mc AS missing_count,
+        |       CAST(mc AS DOUBLE) * 100.0 / CAST(rc AS DOUBLE) AS missing_percentage,
+        |       rc - mc AS values_count,
+        |       CAST(rc - mc AS DOUBLE) * 100.0 / CAST(rc AS DOUBLE) AS values_percentage
+        |FROM a""".stripMargin,
+
+    "q_missing_regex" ->
+      """WITH a AS (
+        |  SELECT count(*) AS rc,
+        |         count(*) FILTER (WHERE source IS NULL OR regexp_matches(source, '^src0$')) AS mc
+        |  FROM documents)
+        |SELECT mc AS missing_count, rc - mc AS values_count FROM a""".stripMargin,
+
+    "q_stats" ->
+      """WITH a AS (
+        |  SELECT count(l_quantity) AS n1,
+        |         min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s1,
+        |         count(l_extendedprice) AS n2,
+        |         min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s2
+        |  FROM lineitem)
+        |SELECT mn1 AS l_quantity_min, mx1 AS l_quantity_max,
+        |       s1 / CAST(n1 AS DOUBLE) AS l_quantity_avg, s1 AS l_quantity_sum,
+        |       mn2 AS l_extendedprice_min, mx2 AS l_extendedprice_max,
+        |       s2 / CAST(n2 AS DOUBLE) AS l_extendedprice_avg, s2 AS l_extendedprice_sum
+        |FROM a""".stripMargin,
+
+    "q_stats_var" ->
+      """WITH a AS (
+        |  SELECT CAST(count(l_quantity) AS DOUBLE) AS n1,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS q1,
+        |         CAST(count(l_extendedprice) AS DOUBLE) AS n2,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s2,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS q2
+        |  FROM lineitem)
+        |SELECT (q1 - s1 * s1 / n1) / (n1 - 1.0) AS l_quantity_variance,
+        |       sqrt((q1 - s1 * s1 / n1) / (n1 - 1.0)) AS l_quantity_stddev,
+        |       (q2 - s2 * s2 / n2) / (n2 - 1.0) AS l_extendedprice_variance,
+        |       sqrt((q2 - s2 * s2 / n2) / (n2 - 1.0)) AS l_extendedprice_stddev
+        |FROM a""".stripMargin,
+
+    "q_length" ->
+      """WITH a AS (
+        |  SELECT min(length(text)) AS mn1, max(length(text)) AS mx1,
+        |         sum(length(text)) AS ls1, count(text) AS lc1,
+        |         min(length(lang)) AS mn2, max(length(lang)) AS mx2,
+        |         sum(length(lang)) AS ls2, count(lang) AS lc2
+        |  FROM documents)
+        |SELECT mn1 AS text_min_length, mx1 AS text_max_length,
+        |       CAST(ls1 AS DOUBLE) / CAST(lc1 AS DOUBLE) AS text_avg_length,
+        |       mn2 AS lang_min_length, mx2 AS lang_max_length,
+        |       CAST(ls2 AS DOUBLE) / CAST(lc2 AS DOUBLE) AS lang_avg_length
+        |FROM a""".stripMargin,
+
+    "q_valid_values" ->
+      """WITH a AS (
+        |  SELECT count(*) AS rc,
+        |         count(*) FILTER (WHERE o_orderstatus IS NULL) AS mc,
+        |         count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus IN ('O','F')) AS vc
+        |  FROM orders)
+        |SELECT vc AS valid_count,
+        |       CAST(vc AS DOUBLE) * 100.0 / CAST(rc AS DOUBLE) AS valid_percentage,
+        |       rc - mc - vc AS invalid_count,
+        |       CAST(rc - mc - vc AS DOUBLE) * 100.0 / CAST(rc AS DOUBLE) AS invalid_percentage
+        |FROM a""".stripMargin,
+
+    "q_valid_regex" ->
+      """WITH a AS (
+        |  SELECT count(*) AS rc,
+        |         count(*) FILTER (WHERE lang IS NULL) AS mc,
+        |         count(*) FILTER (WHERE lang IS NOT NULL AND regexp_matches(lang, '^(en|es)$')) AS vc
+        |  FROM documents)
+        |SELECT vc AS valid_count,
+        |       rc - mc - vc AS invalid_count,
+        |       CAST(rc - mc - vc AS DOUBLE) * 100.0 / CAST(rc AS DOUBLE) AS invalid_percentage
+        |FROM a""".stripMargin,
+
+    "q_valid_format" ->
+      """WITH a AS (
+        |  SELECT count(*) AS rc,
+        |         count(*) FILTER (WHERE p_size IS NULL) AS mc,
+        |         count(*) FILTER (WHERE p_size IS NOT NULL AND regexp_matches(CAST(p_size AS VARCHAR), '^-?[0-9]+$')) AS vc
+        |  FROM part)
+        |SELECT vc AS valid_count, rc - mc - vc AS invalid_count FROM a""".stripMargin,
+
+    "q_valid_range" ->
+      """WITH a AS (
+        |  SELECT count(*) AS rc,
+        |         count(*) FILTER (WHERE l_quantity IS NULL) AS mc,
+        |         count(*) FILTER (WHERE l_quantity IS NOT NULL AND CAST(l_quantity AS DOUBLE) >= 5.0 AND CAST(l_quantity AS DOUBLE) <= 45.0) AS vc
+        |  FROM lineitem)
+        |SELECT vc AS valid_count,
+        |       rc - mc - vc AS invalid_count,
+        |       CAST(rc - mc - vc AS DOUBLE) * 100.0 / CAST(rc AS DOUBLE) AS invalid_percentage
+        |FROM a""".stripMargin,
+
+    "q_valid_length" ->
+      """WITH a AS (
+        |  SELECT count(*) AS rc,
+        |         count(*) FILTER (WHERE text IS NULL) AS mc,
+        |         count(*) FILTER (WHERE text IS NOT NULL AND length(text) >= 150 AND length(text) <= 400) AS vc
+        |  FROM documents)
+        |SELECT vc AS valid_count, rc - mc - vc AS invalid_count FROM a""".stripMargin,
+
+    "q_distinct" ->
+      """WITH cb AS (SELECT p_brand AS v, count(*) AS cnt FROM part WHERE p_brand IS NOT NULL GROUP BY 1),
+        |sb AS (SELECT count(*) AS d, count(*) FILTER (WHERE cnt = 1) AS u,
+        |              count(*) FILTER (WHERE cnt > 1) AS dup, sum(cnt) AS vc FROM cb),
+        |ct AS (SELECT p_type AS v, count(*) AS cnt FROM part WHERE p_type IS NOT NULL GROUP BY 1),
+        |st AS (SELECT count(*) AS d, count(*) FILTER (WHERE cnt = 1) AS u,
+        |              count(*) FILTER (WHERE cnt > 1) AS dup, sum(cnt) AS vc FROM ct)
+        |SELECT sb.d AS p_brand_distinct, sb.u AS p_brand_unique_count, sb.dup AS p_brand_duplicate_count,
+        |       CAST(sb.d - 1 AS DOUBLE) * 100.0 / CAST(sb.vc - 1 AS DOUBLE) AS p_brand_uniqueness,
+        |       st.d AS p_type_distinct, st.u AS p_type_unique_count, st.dup AS p_type_duplicate_count,
+        |       CAST(st.d - 1 AS DOUBLE) * 100.0 / CAST(st.vc - 1 AS DOUBLE) AS p_type_uniqueness
+        |FROM sb, st""".stripMargin,
+
+    "q_frequent_values" ->
+      """WITH c AS (SELECT o_orderpriority AS value, count(*) AS occurrences
+        |           FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        |r AS (SELECT value, occurrences,
+        |             CAST(row_number() OVER (ORDER BY occurrences DESC, value ASC) AS INT) AS rank
+        |      FROM c)
+        |SELECT * FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "q_mins_maxs" ->
+      """WITH v AS (SELECT DISTINCT CAST(p_size AS DOUBLE) AS value FROM part WHERE p_size IS NOT NULL),
+        |m1 AS (SELECT 'mins' AS kind, CAST(row_number() OVER (ORDER BY value ASC) AS INT) AS rank, value FROM v),
+        |m2 AS (SELECT 'maxs' AS kind, CAST(row_number() OVER (ORDER BY value DESC) AS INT) AS rank, value FROM v)
+        |SELECT * FROM (SELECT * FROM m1 WHERE rank <= 5 UNION ALL SELECT * FROM m2 WHERE rank <= 5)
+        |ORDER BY kind, rank""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo, CAST(max(l_quantity) AS DOUBLE) AS hi FROM lineitem)
+        |SELECT CAST(least(floor((CAST(l_quantity AS DOUBLE) - lo) / ((hi - lo) / 10.0)), 9.0) AS BIGINT) AS bucket,
+        |       count(*) AS cnt
+        |FROM lineitem, b
+        |WHERE l_quantity IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tests" ->
+      """SELECT * FROM (
+        |  SELECT 'row_count > 0' AS expression, CAST(NULL AS VARCHAR) AS column_name,
+        |         (SELECT count(*) FROM lineitem) > 0 AS passed
+        |  UNION ALL
+        |  SELECT 'invalid_percentage < 20', 'l_quantity',
+        |         (SELECT CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (CAST(l_quantity AS DOUBLE) <= 45.0)) AS DOUBLE) * 100.0
+        |                 / CAST(count(*) AS DOUBLE) FROM lineitem) < 20.0
+        |  UNION ALL
+        |  SELECT 'invalid_count == 0', 'l_returnflag',
+        |         (SELECT count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')) FROM lineitem) = 0
+        |) ORDER BY expression""".stripMargin,
+
+    "q_sql_metric" ->
+      "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue FROM orders WHERE o_orderstatus = 'F'",
+
+    "q_sql_metric_group" ->
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+
+    "q_failed_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity IS NULL OR NOT (CAST(l_quantity AS DOUBLE) <= 10.0)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q_filter_vars" ->
+      "SELECT count(*) AS row_count FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'",
+
+    "q_profile" ->
+      """SELECT 'c_acctbal' AS column_name, count(c_acctbal) AS values_count, count(DISTINCT c_acctbal) AS distinct_count FROM customer
+        |UNION ALL SELECT 'c_custkey', count(c_custkey), count(DISTINCT c_custkey) FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(c_mktsegment), count(DISTINCT c_mktsegment) FROM customer
+        |UNION ALL SELECT 'c_name', count(c_name), count(DISTINCT c_name) FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(c_nationkey), count(DISTINCT c_nationkey) FROM customer
+        |ORDER BY column_name""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT min(event_id) AS keep_id, count(*) AS copies FROM events GROUP BY props ORDER BY keep_id",
+
+    "q_dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+        |t AS (SELECT doc_id, lang, len(toks) AS nt, unnest(toks) AS tok FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |       a.nt + b.nt - count(*) AS union_size
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
+        |HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(e.embedding, q.qv) AS cos
+        |      FROM embeddings e, q WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank FROM s)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS alpha_chars,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |       t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS BIGINT) AS stopword_hits
+        |FROM documents)
+        |SELECT doc_id, n_tokens, alpha_chars, stopword_hits,
+        |  CAST(alpha_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "q_window_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

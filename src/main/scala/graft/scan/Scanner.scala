@@ -1,0 +1,351 @@
+package graft.scan
+
+import graft.api._
+import graft.checks.TestEvaluator
+import graft.metrics.MetricColumns
+import graft.metrics.MetricColumns._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+/** Executes a scan (the reference's `scan.execute`, scan.py:424-474) against a
+  * DataFrame, Spark-first:
+  *
+  *  - pass 1: ONE aggregation computes every row-level metric for every
+  *    column (conditional aggregates → whole-stage codegen; single scan,
+  *    map-side partials, one-row exchange);
+  *  - pass 2 (only if a distinct-family / frequent-values metric is asked):
+  *    ONE `posexplode → groupBy(colIdx, value)` job covering all such columns
+  *    (one shuffle for C columns, map-side combine);
+  *  - pass 3 (only if histograms are asked): ONE bucket-groupBy job covering
+  *    all histogram columns;
+  *  - sql metrics via `spark.sql`; tests via [[TestEvaluator]].
+  */
+object Scanner {
+
+  val FrequentValuesN = 5
+  val MinsMaxsN = 5
+  val HistogramBuckets = 10
+
+  def executeYaml(spark: SparkSession, df: DataFrame, scanYaml: String,
+                  variables: Map[String, String] = Map.empty): ScanResult =
+    execute(spark, df, ScanYamlParser.parse(substituteVars(scanYaml, variables)))
+
+  def substituteVars(s: String, vars: Map[String, String]): String =
+    vars.foldLeft(s) { case (acc, (k, v)) =>
+      acc.replace("{{ " + k + " }}", v).replace("{{" + k + "}}", v).replace("${" + k + "}", v)
+    }
+
+  def execute(spark: SparkSession, df0: DataFrame, scan: ScanDefinition): ScanResult = {
+    val errors = mutable.ArrayBuffer.empty[ScanError]
+    val measurements = mutable.ArrayBuffer.empty[Measurement]
+    val testResults = mutable.ArrayBuffer.empty[TestResult]
+
+    val df = scan.filter.map(f => df0.where(f)).getOrElse(df0)
+
+    val excluded = scan.excludedColumns.map(_.toLowerCase).toSet
+    val fields = df.schema.fields.filterNot(f => excluded.contains(f.name.toLowerCase))
+
+    // schema measurement (like soda's first measurement, test_scan.py README `metric='schema'`)
+    measurements += Measurement("schema", None,
+      Some(fields.map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")))
+
+    val tableMetrics = expandMetrics(scan.metrics, scan.metricGroups)
+    def cfgOf(name: String): ColumnConfig = scan.columns.getOrElse(name, ColumnConfig())
+    def metricsOf(f: StructField): Seq[String] = {
+      val cfg = cfgOf(f.name)
+      val declared = tableMetrics ++ expandMetrics(cfg.metrics, cfg.metricGroups)
+      val fromTests = cfg.tests.flatMap(TestEvaluator.referencedMetrics)
+      (declared ++ fromTests).distinct
+    }
+
+    // ---- pass 1: row-level metrics -------------------------------------
+    val aggCols: Seq[Column] = fields.toSeq.flatMap { f =>
+      aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
+    }
+    val base = df.agg(count(lit(1)).as("row_count"), aggCols: _*)
+    val derivedCols: Seq[Column] = col("row_count") +: fields.toSeq.flatMap { f =>
+      derived(f.name, metricsOf(f).filter(rowLevelMetrics), f.dataType)
+    }
+    val row = base.select(derivedCols: _*).collect()(0)
+
+    val metricValues = mutable.Map.empty[(Option[String], String), Any] // (column, metric) -> value
+    val rowCount = row.getAs[Long]("row_count")
+    metricValues((None, "row_count")) = rowCount
+    measurements += Measurement("row_count", None, Some(rowCount))
+
+    def record(colName: String, metric: String, v: Any): Unit = {
+      if (v != null) {
+        metricValues((Some(colName), metric)) = v
+        measurements += Measurement(metric, Some(colName), Some(v))
+      }
+    }
+
+    fields.foreach { f =>
+      val ms = metricsOf(f).filter(rowLevelMetrics)
+      ms.foreach { m =>
+        val alias = m match {
+          case "missing_count" => s"${f.name}__missing_count_out"
+          case "valid_count"   => s"${f.name}__valid_count_out"
+          case "min" | "max"   => s"${f.name}__${m}_out"
+          case "min_length" | "max_length" => s"${f.name}__${m}_out"
+          case other => s"${f.name}__$other"
+        }
+        if (row.schema.fieldNames.contains(alias)) {
+          val v = row.getAs[Any](alias)
+          record(f.name, m, v)
+        }
+      }
+    }
+
+    // ---- pass 2: distinct family + frequent values (one shuffle) --------
+    val groupFields = fields.filter(f => metricsOf(f).exists(groupMetrics))
+    if (groupFields.nonEmpty) {
+      val valueExprs = groupFields.map { f =>
+        val cfg = cfgOf(f.name)
+        when(!missingCond(col(f.name), cfg), col(f.name).cast(StringType))
+      }
+      val exploded = df
+        .select(posexplode(array(valueExprs: _*)).as(Seq("colIdx", "value")))
+        .where(col("value").isNotNull)
+      val counted = exploded.groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))
+      counted.cache()
+      try {
+        val distinctAgg = counted.groupBy("colIdx").agg(
+          count(lit(1)).as("distinct"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("unique_count"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("duplicate_count"),
+          sum("cnt").as("values_cnt")
+        ).collect()
+
+        distinctAgg.foreach { r =>
+          val f = groupFields(r.getAs[Int]("colIdx"))
+          val ms = metricsOf(f).toSet
+          val d = r.getAs[Long]("distinct")
+          val vc = r.getAs[Long]("values_cnt")
+          if (ms("distinct")) record(f.name, "distinct", d)
+          if (ms("unique_count")) record(f.name, "unique_count", r.getAs[Long]("unique_count"))
+          if (ms("duplicate_count")) record(f.name, "duplicate_count", r.getAs[Long]("duplicate_count"))
+          if (ms("uniqueness") && vc > 1)
+            record(f.name, "uniqueness", (d - 1).toDouble * 100.0 / (vc - 1).toDouble)
+        }
+
+        val needFreq = groupFields.zipWithIndex.filter { case (f, _) => metricsOf(f).contains("frequent_values") }
+        if (needFreq.nonEmpty) {
+          val w = Window.partitionBy("colIdx").orderBy(col("cnt").desc, col("value").asc)
+          val top = counted
+            .where(col("colIdx").isin(needFreq.map(_._2.asInstanceOf[Any]): _*))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") <= FrequentValuesN)
+            .orderBy(col("colIdx"), col("rn"))
+            .collect()
+          top.groupBy(_.getAs[Int]("colIdx")).foreach { case (idx, rows) =>
+            val f = groupFields(idx)
+            val gvs = rows.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
+            measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
+          }
+        }
+
+        // mins / maxs (numeric bottom-N / top-N distinct values)
+        val needMinsMaxs = groupFields.zipWithIndex.filter { case (f, _) =>
+          isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))
+        }
+        needMinsMaxs.foreach { case (f, idx) =>
+          val vals = counted.where(col("colIdx") === idx)
+            .select(col("value").cast(DoubleType).as("v"))
+          val ms = metricsOf(f).toSet
+          if (ms("mins")) {
+            val mins = vals.orderBy(col("v").asc).limit(MinsMaxsN).collect().map(_.getDouble(0))
+            measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
+          }
+          if (ms("maxs")) {
+            val maxs = vals.orderBy(col("v").desc).limit(MinsMaxsN).collect().map(_.getDouble(0))
+            measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
+          }
+        }
+      } finally counted.unpersist()
+    }
+
+    // ---- pass 3: histograms (one job for all histogram columns) ---------
+    val histFields = fields.filter(f => isNumeric(f.dataType) && metricsOf(f).contains("histogram"))
+    if (histFields.nonEmpty) {
+      // min/max may not be requested as metrics; compute if absent
+      val bounds: Map[String, (Double, Double)] = {
+        val need = histFields.filter { f =>
+          !(metricValues.contains((Some(f.name), "min")) && metricValues.contains((Some(f.name), "max")))
+        }
+        val extra: Map[String, (Double, Double)] = if (need.nonEmpty) {
+          val aggs = need.flatMap(f => Seq(
+            min(col(f.name)).cast(DoubleType).as(s"${f.name}__hmin"),
+            max(col(f.name)).cast(DoubleType).as(s"${f.name}__hmax")))
+          val r = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+          need.map(f => f.name -> (r.getAs[Double](s"${f.name}__hmin"), r.getAs[Double](s"${f.name}__hmax"))).toMap
+        } else Map.empty
+        histFields.map { f =>
+          extra.get(f.name) match {
+            case Some(b) => f.name -> b
+            case None => f.name -> (
+              toDouble(metricValues((Some(f.name), "min"))),
+              toDouble(metricValues((Some(f.name), "max"))))
+          }
+        }.toMap
+      }
+      val histBuckets = histogramFrame(df, histFields.map(f => (f.name, bounds(f.name))).toSeq, HistogramBuckets)
+        .collect()
+      histBuckets.groupBy(_.getAs[Int]("colIdx")).foreach { case (idx, rows) =>
+        val f = histFields(idx)
+        val byBucket = rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+        val freqs = (0 until HistogramBuckets).map(b => byBucket.getOrElse(b.toLong, 0L))
+        val (lo, hi) = bounds(f.name)
+        measurements += Measurement("histogram", Some(f.name),
+          Some(Map("boundaries" -> boundaries(lo, hi, HistogramBuckets), "frequencies" -> freqs)))
+      }
+    }
+
+    // ---- sql metrics -----------------------------------------------------
+    df.createOrReplaceTempView(scan.tableName)
+    scan.sqlMetrics.zipWithIndex.foreach { case (sm, idx) =>
+      try {
+        val res = spark.sql(sm.sql)
+        if (sm.groupFields.isEmpty) {
+          val r = res.collect().headOption
+          r.foreach { row =>
+            res.schema.fieldNames.foreach { fn =>
+              val v = row.getAs[Any](fn)
+              metricValues((None, fn)) = v
+              measurements += Measurement(fn, None, Some(v))
+            }
+          }
+          runTests(sm.tests, None, Some(idx), metricValues.toMap, testResults, errors)
+        } else {
+          val rows = res.collect()
+          val metricCols = res.schema.fieldNames.filterNot(sm.groupFields.contains)
+          metricCols.foreach { mc =>
+            val gvs = rows.map { row =>
+              val g = sm.groupFields.map(gf => gf -> String.valueOf(row.getAs[Any](gf))).toMap
+              GroupValue(g, String.valueOf(row.getAs[Any](mc)))
+            }
+            measurements += Measurement(mc, None, None, gvs.toSeq)
+          }
+          // group-level tests: evaluate per group
+          sm.tests.foreach { expr =>
+            rows.foreach { row =>
+              val vals = metricCols.flatMap { mc =>
+                Option(row.getAs[Any](mc)).map(v => mc -> toDouble(v))
+              }.toMap
+              val g = sm.groupFields.map(gf => gf -> String.valueOf(row.getAs[Any](gf))).toMap
+              evalOne(expr, None, Some(idx), vals, Some(g), testResults, errors)
+            }
+          }
+        }
+      } catch {
+        case NonFatal(e) =>
+          errors += ScanError(s"sql_metric $idx failed", Some(String.valueOf(e.getMessage)))
+      }
+    }
+
+    // ---- tests -----------------------------------------------------------
+    runTests(scan.tests, None, None, metricValues.toMap, testResults, errors)
+    fields.foreach { f =>
+      val cfg = cfgOf(f.name)
+      if (cfg.tests.nonEmpty) runTests(cfg.tests, Some(f.name), None, metricValues.toMap, testResults, errors)
+    }
+
+    ScanResult(measurements.toSeq, testResults.toSeq, errors.toSeq)
+  }
+
+  /** Equi-width histogram frame for several columns in one pass:
+    * (colIdx, bucket, cnt). Bucket arithmetic uses explicit double ops so an
+    * oracle with the identical expression tree matches bit-for-bit.
+    */
+  def histogramFrame(df: DataFrame, cols: Seq[(String, (Double, Double))], buckets: Int): DataFrame = {
+    val bucketExprs = cols.map { case (name, (lo, hi)) =>
+      val c = col(name).cast(DoubleType)
+      val width = (hi - lo) / buckets.toDouble
+      when(c.isNull || lit(width) <= 0.0, lit(null).cast(LongType))
+        .otherwise(least(floor((c - lit(lo)) / lit(width)).cast(LongType), lit(buckets.toLong - 1)))
+    }
+    df.select(posexplode(array(bucketExprs: _*)).as(Seq("colIdx", "bucket")))
+      .where(col("bucket").isNotNull)
+      .groupBy("colIdx", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def boundaries(lo: Double, hi: Double, buckets: Int): Seq[Double] = {
+    val width = (hi - lo) / buckets.toDouble
+    (0 to buckets).map(i => lo + width * i)
+  }
+
+  /** Deterministic failed-rows sample: rows failing missing-ness or validity
+    * for `colName`, ordered by `orderCols` (soda samples are unordered; graft
+    * orders for reproducibility).
+    */
+  def failedRows(df: DataFrame, colName: String, cfg: ColumnConfig, limit: Int, orderCols: Seq[String]): DataFrame = {
+    val c = col(colName)
+    val bad = missingCond(c, cfg) || !validCond(c, cfg)
+    df.where(bad).orderBy(orderCols.map(col): _*).limit(limit)
+  }
+
+  private def runTests(exprs: Seq[String], column: Option[String], sqlMetricIndex: Option[Int],
+                       values: Map[(Option[String], String), Any],
+                       out: mutable.ArrayBuffer[TestResult],
+                       errors: mutable.ArrayBuffer[ScanError]): Unit =
+    exprs.foreach { expr =>
+      // column tests see that column's metrics; table tests see table metrics.
+      val scoped: Map[String, Double] = values.collect {
+        case ((c, m), v) if c == column || (column.isEmpty && c.isEmpty) => m -> toDouble(v)
+        case ((None, m), v) if column.isDefined => m -> toDouble(v) // table metrics visible to column tests
+      }
+      evalOne(expr, column, sqlMetricIndex, scoped, None, out, errors)
+    }
+
+  private def evalOne(expr: String, column: Option[String], sqlMetricIndex: Option[Int],
+                      values: Map[String, Double], groupValues: Option[Map[String, String]],
+                      out: mutable.ArrayBuffer[TestResult],
+                      errors: mutable.ArrayBuffer[ScanError]): Unit = {
+    val id = (column, sqlMetricIndex) match {
+      case (Some(c), _) => s"""{"column":"$c","expression":"$expr"}"""
+      case (None, Some(i)) => s"""{"sql_metric_index":$i,"expression":"$expr"}"""
+      case _ => s"""{"expression":"$expr"}"""
+    }
+    val title = (column, sqlMetricIndex) match {
+      case (Some(c), _) => s"column($c) test($expr)"
+      case (None, Some(i)) => s"sqlmetric($i) test($expr)"
+      case _ => s"test($expr)"
+    }
+    val metricsUsed = TestEvaluator.referencedMetrics(expr)
+    val testDef = TestDef(id, title, expr, metricsUsed, column)
+    try {
+      val r = TestEvaluator.evaluate(expr, values)
+      val vals = Map("expression_result" -> fmtNum(r.expressionResult)) ++
+        metricsUsed.flatMap(m => values.get(m).map(v => m -> fmtDouble(v)))
+      out += TestResult(testDef, passed = r.passed, skipped = false, values = vals, groupValues = groupValues)
+    } catch {
+      case NonFatal(e) =>
+        errors += ScanError(s"""Test "$expr" failed""", Some(String.valueOf(e.getMessage)))
+        out += TestResult(testDef, passed = false, skipped = false,
+          values = Map.empty, error = Some(String.valueOf(e.getMessage)), groupValues = groupValues)
+    }
+  }
+
+  private def fmtNum(v: TestEvaluator.Value): String = v match {
+    case TestEvaluator.Num(d) => fmtDouble(d)
+    case TestEvaluator.Bool(b) => b.toString
+  }
+
+  private def fmtDouble(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  private def toDouble(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case s: String => s.toDouble
+    case b: Boolean => if (b) 1.0 else 0.0
+    case ts: java.sql.Timestamp => ts.getTime.toDouble
+    case d: java.sql.Date => d.getTime.toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric metric value: $other")
+  }
+}

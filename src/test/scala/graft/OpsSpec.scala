@@ -1,0 +1,155 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different words entirely unrelated content here now"),
+    (5L, "spark catalyst tungsten codegen shuffle partition broadcast join")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val g = Dedup.exactGroups(docs, "id", "text").orderBy("keep_id").collect()
+    assert(g.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("dropExactDuplicates keeps one representative") {
+    assert(Dedup.dropExactDuplicates(docs, "id", "text").count() == 4)
+  }
+
+  test("jaccard pairs finds exact and near dups") {
+    val pairs = Dedup.jaccardPairs(docs, "id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH finds the same dups with exact verification") {
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash pairs exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine pairs within blocks") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1) // same dir as 1 but other block
+    ).toDF("id", "vec", "blk")
+    val pairs = Dedup.cosinePairs(vecs, "id", "vec", "blk", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = (0 until 50).map { i =>
+    val v = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+    (i.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  test("brute force: identical vector is rank-1 neighbor") {
+    val dup = Seq((100L, Array.tabulate(8)(j => math.sin(j).toFloat))).toDF("vec_id", "embedding")
+    val corpus = vecs.unionAll(dup)
+    val res = Similarity.bruteForceTopK(corpus, corpus.where(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .as[(Long, Int, Long)].collect()
+    assert(res.head == ((0L, 1, 100L))) // vec 100 == vec 0
+  }
+
+  test("lsh returns well-formed ranks that agree with brute force on hits") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val lsh = Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5, dim = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(lsh.nonEmpty)
+    val ranks = lsh.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    ranks.foreach { case (_, rs) => assert(rs == (1 to rs.size)) }
+    // at least half the LSH hits are true brute-force neighbors
+    val hits = lsh.count(r => bf.contains((r._1, r._3)))
+    assert(hits * 2 >= lsh.length)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counting") {
+    val df = Seq((1L, "hello world 42 foo-bar")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeishCount(col("text")).as("b")).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 7) // hello, world, 4, 2, foo, -, bar
+  }
+
+  test("quality features") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "text")
+      .select("n_tokens", "alpha_chars", "stopword_hits", "stopword_ratio").collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 17L)
+    assert(r.getLong(2) == 3L) // the, on, the
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("lang id picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de los perros en un dia")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(df, "text").select("doc_id", "predicted_lang")
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "es")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "h g f e d c b a")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, "text").select("doc_id", "fingerprint")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary plumbing with stubbed decode is deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "doc_id", "text", "text/plain")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val out = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.id)
+    assert(out(0).n_bytes == 5L)
+    assert(out(0).first_byte == 'h'.toInt)
+    assert(out(0).feature.length == 8)
+    assert(out(1).n_bytes == 0L)
+    assert(out(1).first_byte == -1)
+    // determinism
+    val again = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.id)
+    assert(out.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+}

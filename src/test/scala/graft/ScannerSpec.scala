@@ -1,0 +1,145 @@
+package graft
+
+import graft.api._
+import graft.scan.Scanner
+
+class ScannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 rows: one NULL size, one bad uuid, one bad fee, two duplicate countries
+  lazy val df = Seq(
+    ("0b0e4a40-50c0-11eb-8be8-88e9fe6293fd", "alpha", Some(10), "12,5 %", "US"),
+    ("1b0e4a40-50c0-11eb-8be8-88e9fe6293fd", "bravo", Some(20), "7,25 %", "US"),
+    ("2b0e4a40-50c0-11eb-8be8-88e9fe6293fd", "charlie", Some(30), "99 %", "NL"),
+    ("not-a-uuid", "delta", Some(40), "3,1 %", "UK"),
+    ("4b0e4a40-50c0-11eb-8be8-88e9fe6293fd", "echo", None, "bad", "UK"),
+    ("5b0e4a40-50c0-11eb-8be8-88e9fe6293fd", "foxtrot", Some(60), "1,0 %", "DE")
+  ).toDF("id", "name", "size", "fee", "country")
+
+  val yaml: String =
+    """table_name: scannertest
+      |metrics:
+      |- row_count
+      |- missing_count
+      |- missing_percentage
+      |- values_count
+      |- valid_count
+      |- invalid_count
+      |- invalid_percentage
+      |- min
+      |- max
+      |- avg
+      |- sum
+      |- min_length
+      |- max_length
+      |- avg_length
+      |metric_groups:
+      |- duplicates
+      |tests:
+      |- row_count > 0
+      |columns:
+      |  id:
+      |    valid_format: uuid
+      |    tests:
+      |    - invalid_percentage < 20
+      |  fee:
+      |    valid_format: number_percentage
+      |    tests:
+      |    - invalid_count == 1
+      |excluded_columns:
+      |- name
+      |sql_metrics:
+      |- sql: |
+      |    SELECT sum(size) as us_size
+      |    FROM scannertest
+      |    WHERE country = 'US'
+      |  tests:
+      |  - us_size > 25
+      |""".stripMargin
+
+  lazy val result: ScanResult = Scanner.executeYaml(spark, df, yaml)
+
+  def m(metric: String, col: String = null): Any =
+    result.measurement(metric, Option(col)).getOrElse(fail(s"missing $metric/$col")).value.get
+
+  test("no scan errors") { assert(!result.hasErrors) }
+
+  test("table metrics") {
+    assert(m("row_count") == 6L)
+    assert(result.measurements.head.metric == "schema")
+  }
+
+  test("missing metrics") {
+    assert(m("missing_count", "size") == 1L)
+    assert(m("values_count", "size") == 5L)
+    assert(m("missing_percentage", "size").asInstanceOf[Double] > 16.0)
+  }
+
+  test("validity metrics") {
+    assert(m("valid_count", "id") == 5L)
+    assert(m("invalid_count", "id") == 1L)
+    assert(m("invalid_count", "fee") == 1L)
+  }
+
+  test("numeric metrics on valid values") {
+    assert(m("min", "size") == 10)
+    assert(m("max", "size") == 60)
+    assert(m("sum", "size").toString.toDouble == 160.0)
+    assert(m("avg", "size").asInstanceOf[Double] == 32.0)
+  }
+
+  test("length metrics") {
+    assert(m("min_length", "country") == 2)
+    assert(m("max_length", "id") == 36)
+  }
+
+  test("distinct family") {
+    assert(m("distinct", "country") == 4L)
+    assert(m("unique_count", "country") == 2L)
+    assert(m("duplicate_count", "country") == 2L)
+  }
+
+  test("excluded columns produce no measurements") {
+    assert(!result.measurements.exists(_.columnName.contains("name")))
+  }
+
+  test("tests pass/fail as expected") {
+    val byExpr = result.testResults.map(t => t.test.expression -> t).toMap
+    assert(byExpr("row_count > 0").passed)
+    assert(byExpr("invalid_percentage < 20").passed)
+    assert(byExpr("invalid_count == 1").passed)
+    assert(byExpr("us_size > 25").passed)
+    assert(byExpr("row_count > 0").values("expression_result") == "true")
+  }
+
+  test("sql metric measurement recorded") {
+    assert(m("us_size") == 30L)
+  }
+
+  test("filter with variables") {
+    val y =
+      """table_name: t
+        |filter: country = '{{ c }}'
+        |metrics:
+        |- row_count
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, df, y, Map("c" -> "UK"))
+    assert(r.measurement("row_count").get.value.get == 2L)
+  }
+
+  test("failed rows sample is deterministic and correct") {
+    val rows = Scanner.failedRows(df, "id", ColumnConfig(validFormat = Some("uuid")), 10, Seq("id"))
+      .select("id").as[String].collect()
+    assert(rows.toSeq == Seq("not-a-uuid"))
+  }
+
+  test("scan result frames have the reference schemas") {
+    val mf = ScanResultFrames.measurementsToDF(spark, result.measurements)
+    assert(mf.columns.toSeq == Seq("metric", "column_name", "value", "group_values"))
+    assert(mf.count() == result.measurements.size)
+    val tf = ScanResultFrames.testResultsToDF(spark, result.testResults)
+    assert(tf.columns.toSeq == Seq("test", "passed", "skipped", "values", "error", "group_values"))
+    val ef = ScanResultFrames.scanErrorsToDF(spark, result.errors)
+    assert(ef.columns.toSeq == Seq("message", "exception"))
+  }
+}
