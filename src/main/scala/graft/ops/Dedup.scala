@@ -56,8 +56,13 @@ object Dedup {
     val joinKeys = "tok" +: blockCols
     val a = capped.select((col("tok") +: col("id").as("id_a") +: col("nt").as("nt_a") +: blockCols.map(col)): _*)
     val b = capped.select((col("tok") +: col("id").as("id_b") +: col("nt").as("nt_b") +: blockCols.map(col)): _*)
+    // size-ratio prefilter is LOSSLESS: jaccard >= t implies
+    // min(|A|,|B|) / max(|A|,|B|) >= t, so incompatible-size pairs can be
+    // dropped before the per-pair aggregation.
     a.join(b, joinKeys)
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        col("nt_a").cast(DoubleType) >= lit(threshold) * col("nt_b").cast(DoubleType) &&
+        col("nt_b").cast(DoubleType) >= lit(threshold) * col("nt_a").cast(DoubleType))
       .groupBy("id_a", "id_b", "nt_a", "nt_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("union_size", col("nt_a") + col("nt_b") - col("inter"))
@@ -69,22 +74,24 @@ object Dedup {
     * over xxhash64 shingle hashes, each minimized with array HOFs — entirely
     * row-local, no explode, no shuffle.
     */
-  // p = 2^31-1 keeps a*x + b < 2^62 — no long overflow under ANSI mode
-  private val MinhashP = 2147483647L
-  private def minhashCoefs(numHashes: Int): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(numHashes)((math.abs(rng.nextLong()) % (MinhashP - 1) + 1, math.abs(rng.nextLong()) % MinhashP))
-  }
-
-  /** Signature from a MATERIALIZED shingle-hash array column. Keep the hash
-    * array a real column (not an inline expression) — each of the numHashes
-    * permutations references it, and Catalyst inlines (recomputes) referenced
-    * expressions per use.
+  /** Signature from a MATERIALIZED shingle-hash array column, via the native
+    * codegen'd [[graft.functions.MinHashSignatureExpr]] (one fused n×k loop).
+    * Keep the hash array a real column (not an inline expression) — Catalyst
+    * inlines (recomputes) referenced expressions per use.
     */
   def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
-    array(minhashCoefs(numHashes).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(pmod(h, lit(MinhashP)) * lit(a) + lit(b), lit(MinhashP))))
+    graft.functions.MinHash.signature(hashes, numHashes)
+
+  /** Builtin-HOF fallback with identical semantics (k `array_min(transform)`
+    * passes) — kept for cross-checking the native expression.
+    */
+  def minhashSignatureFromHashesHof(hashes: Column, numHashes: Int): Column = {
+    val (as, bs) = graft.functions.MinHash.coefs(numHashes)
+    val p = graft.functions.MinHash.P
+    array(as.zip(bs).toSeq.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p))))
     }: _*)
+  }
 
   /** MinHash signature of raw text (convenience; for hot paths use
     * [[minhashSignatureFromHashes]] over a materialized hash column).
@@ -156,35 +163,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash from token xxhash64s — row-local aggregate over bit
-    * positions (no explode).
+  /** 64-bit SimHash from a MATERIALIZED token-hash array column: per bit b,
+    * the bit is set iff more than half the tokens have it set
+    * (sum of ±1 > 0  ⟺  2*popcount_b > n). 64 independent cheap folds over
+    * the hash array — no per-token array allocation.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    // per bit b: sign of sum over tokens of (bit set ? 1 : -1)
-    val bitSums = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    )
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x)
-    )
+  def simhashFromHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    (0 until 64).map { b =>
+      val setCnt = size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+      when(setCnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
   }
+
+  /** SimHash of raw text (convenience; hot paths should materialize the hash
+    * array first — see [[simhashPairs]]).
+    */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
     * (guarantees recall for hamming distance <= 3), verified by exact hamming
     * distance via bit_count(xor).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    // repartition: materialization barrier (see minhashLshPairs)
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // materialize token hashes before the 64 per-bit folds (see minhashLshPairs)
+    val sigs = df.select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("h"))
       .repartition(col("id"))
+      .select(col("id"), simhashFromHashes(col("h")).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "ckey")))

@@ -1,9 +1,12 @@
 package graft.ops
 
 import graft.metrics.MetricColumns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+import java.sql.Timestamp
 
 /** Event-time window aggregations — identical semantics for batch DataFrames
   * and Structured Streaming (the streaming variant adds a watermark; state is
@@ -33,4 +36,73 @@ object Windows {
         sum(col(valueCol)).as("sum_value")
       )
       .select(col("w.start").as("window_start"), col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization, batch flavor: a new session starts when the
+    * gap to the previous event of the same key exceeds `gapSeconds`.
+    * One shuffle on the key; window functions stay within partitions.
+    */
+  def sessionizeBatch(df: DataFrame, tsCol: String, keyCol: String, gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(byKey)
+    val isBreak = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("brk", isBreak)
+      .withColumn("session_id", sum(col("brk")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"), max(col(tsCol)).as("t_end"))
+  }
+
+  final case class SessionEvent(key: Long, ts: Timestamp) {
+    def tsMicros: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(key: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Streaming sessionization with explicit state: sessions close when the
+    * event-time watermark passes last-event + gap (EventTimeTimeout, append
+    * mode). State per key is O(1) — bounded by the watermark.
+    */
+  def sessionizeStream(spark: SparkSession, df: DataFrame, tsCol: String, keyCol: String,
+                       gapSeconds: Long, watermark: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+
+    def emit(state: SessionState): SessionOut =
+      SessionOut(-1L, new Timestamp(state.start / 1000L), new Timestamp(state.last / 1000L), state.n)
+
+    df.select(col(keyCol).cast(LongType).as("key"), col(tsCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => emit(s).copy(key = key)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.map(_.tsMicros).toSeq.sorted
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { ts =>
+              cur match {
+                case Some(s) if ts - s.last <= gapMicros =>
+                  cur = Some(s.copy(last = math.max(s.last, ts), n = s.n + 1))
+                case Some(s) =>
+                  closed += emit(s).copy(key = key)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapMicros) / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -349,7 +349,11 @@ object Catalog {
 
     "q_window_events" -> ((s, dir) =>
       Windows.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+
+    "q_sessionize" -> ((s, dir) =>
+      Windows.sessionizeBatch(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800)
+        .orderBy("user_id", "session_id"))
   )
 
   // ==================================================================
@@ -639,6 +643,21 @@ object Catalog {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

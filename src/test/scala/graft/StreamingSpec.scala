@@ -49,4 +49,37 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSet
     assert(b == rows)
   }
+
+  test("streaming sessionization closes sessions at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, Long)]
+    val df = stream.toDF().toDF("ts", "user_id")
+    val sessions = Windows.sessionizeStream(spark, df, "ts", "user_id",
+      gapSeconds = 600, watermark = "0 seconds")
+    val query = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two events 5min apart (one session), then a 20-min gap → new session
+    stream.addData((ts(0, 0), 1L), (ts(0, 5), 1L))
+    query.processAllAvailable()
+    stream.addData((ts(0, 25), 1L))
+    query.processAllAvailable()
+    // push watermark far past the last session's gap so it closes
+    stream.addData((ts(2, 0), 2L))
+    query.processAllAvailable()
+    stream.addData((ts(4, 0), 2L))
+    query.processAllAvailable()
+
+    val out = spark.table("sess_test")
+      .select(col("key"), col("session_start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    query.stop()
+
+    assert(out.contains((1L, "2024-01-01 00:00:00", 2L)))  // first session: 2 events
+    assert(out.contains((1L, "2024-01-01 00:25:00", 1L)))  // second session after gap
+    assert(out.contains((2L, "2024-01-01 02:00:00", 1L)))
+  }
 }
