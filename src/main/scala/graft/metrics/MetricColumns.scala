@@ -32,9 +32,14 @@ object MetricColumns {
     "number_decimal_comma" -> "^-?[0-9]+,[0-9]+$",
     "number_percentage" -> "^-?[0-9]+([\\.,][0-9]+)? ?%$",
     "date_iso_8601" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}([T ][0-9]{2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?(Z|[+-][0-9]{2}:?[0-9]{2})?)?$",
+    "date_eu" -> "^[0-9]{1,2}[-/.][0-9]{1,2}[-/.][0-9]{4}$",
+    "date_us" -> "^[0-9]{1,2}[-/.][0-9]{1,2}[-/.][0-9]{4}$",
     "time_24h" -> "^([01][0-9]|2[0-3]):[0-5][0-9](:[0-5][0-9])?$",
+    "time_12h" -> "^(0?[1-9]|1[0-2]):[0-5][0-9](:[0-5][0-9])? ?([AaPp][Mm])?$",
     "ip_address" -> "^([0-9]{1,3}\\.){3}[0-9]{1,3}$",
-    "credit_card_number" -> "^[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}$"
+    "credit_card_number" -> "^[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}$",
+    "number_money_usd" -> "^\\$ ?-?[0-9,]+(\\.[0-9]+)?$",
+    "number_money_eur" -> "^€ ?-?[0-9.]+(,[0-9]+)?$"
   )
 
   /** Metric-group expansion (soda's `metric_groups`). */

@@ -70,6 +70,28 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** Exact blocked Jaccard via all-pairs-within-block + the native
+    * sorted-merge [[graft.functions.JaccardSimExpr]]. The right strategy when
+    * blocks are small or documents share most of their vocabulary — there the
+    * inverted-index join ([[jaccardPairs]]) degenerates to ~sum(df(t)^2) rows,
+    * while this is block² pairs × an O(n+m) merge walk. Output:
+    * (id_a, id_b, jaccard). `broadcastRight`: broadcast the (id, token-set)
+    * side — fine while token sets fit in executor memory.
+    */
+  def jaccardPairsAllPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, blockCols: Seq[String],
+                           broadcastRight: Boolean = true): DataFrame = {
+    val docs = df.select((col(idCol).as("id") +: tokenSet(col(textCol)).as("toks") +: blockCols.map(col)): _*)
+    val a = docs.select((col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
+    val bRaw = docs.select((col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
+    val b = if (broadcastRight) broadcast(bRaw) else bRaw
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.JaccardSim.jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature: `numHashes` permutations h_i(s) = (a_i*x + b_i) mod p
     * over xxhash64 shingle hashes, each minimized with array HOFs — entirely
     * row-local, no explode, no shuffle.
@@ -149,18 +171,12 @@ object Dedup {
       val s = toks.select(col("id").as(a), col("toks").as(t))
       if (broadcastVerify) broadcast(s) else s
     }
-    // barrier after the intersection so the (expensive) array_intersect is
-    // evaluated once per pair, not re-inlined into filter + projection
     cand
       .join(side("id_a", "toks_a"), Seq("id_a"))
       .join(side("id_b", "toks_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+        graft.functions.JaccardSim.jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash from a MATERIALIZED token-hash array column: per bit b,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.MinHash
+import graft.functions.{CosineSim, JaccardSim, MinHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension: registers graft's native functions.
@@ -10,13 +10,17 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(MinHash.functionDescriptor)
+    ext.injectFunction(CosineSim.functionDescriptor)
+    ext.injectFunction(JaccardSim.functionDescriptor)
   }
 }
 
 object GraftExtensions {
   /** Register graft functions on an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = MinHash.functionDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(MinHash.functionDescriptor, CosineSim.functionDescriptor,
+        JaccardSim.functionDescriptor).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -16,15 +16,10 @@ import org.apache.spark.sql.types._
 object Catalog {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively:
-      // read as long ns and convert to a micros timestamp.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = s.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    } else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively
+      graft.sources.Tables.parquet(s, s"$dir/$name.parquet", nanosTimestampCols = Seq("ts"))
+    else s.read.parquet(s"$dir/$name.parquet")
 
   /** Row-level metrics through the library path (aggColumns + derived). */
   private def scanRow(df: DataFrame, cols: Seq[(String, ColumnConfig)], metrics: Seq[String]): DataFrame = {
@@ -291,8 +286,18 @@ object Catalog {
       Dedup.exactGroups(t(s, dir, "events"), "event_id", "props").orderBy("keep_id")),
 
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      // all-pairs-in-block + native sorted-merge jaccard: blocks are small
+      // and vocab overlap is huge, so the inverted-index strategy
+      // (Dedup.jaccardPairs) degenerates here
+      Dedup.jaccardPairsAllPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.8, blockCols = Seq("lang")).orderBy("id_a", "id_b")),
+
+    "q_dedup_jaccard_inv" -> ((s, dir) =>
+      // the inverted-index strategy over a stricter threshold — kept as its
+      // own gate entry so both code paths stay oracle-checked
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9, blockCols = Seq("lang", "source"))
+        .orderBy("id_a", "id_b")),
 
     "q_dedup_minhash" -> ((s, dir) =>
       // shingleLen=1: these synthetic docs are bags of common words, so the
@@ -594,12 +599,24 @@ object Catalog {
 
     "q_dedup_jaccard" ->
       """WITH d AS (SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
-        |t AS (SELECT doc_id, lang, len(toks) AS nt, unnest(toks) AS tok FROM d)
+        |t AS (SELECT doc_id, lang, len(toks) AS nt, unnest(toks) AS tok FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) AS jaccard
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nt, b.nt)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_jaccard_inv" ->
+      """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+        |t AS (SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok FROM d)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
         |       a.nt + b.nt - count(*) AS union_size
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |                 AND a.tok = b.tok AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
-        |HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.8
+        |HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_cosine" ->

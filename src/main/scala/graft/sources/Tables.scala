@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Source/sink helpers. The scan engine itself is source-agnostic (it takes a
+  * DataFrame, like the reference takes `df` — scan.py:424), these are the
+  * standard ingestion paths for the file formats a pipeline meets.
+  *
+  * Scale notes: schema is always supplied or read from footers — never
+  * inferred by a full pass; CSV/JSON readers are single-pass, splittable and
+  * predicate/column-prunable by Catalyst downstream.
+  */
+object Tables {
+
+  /** Parquet read; converts TIMESTAMP(NANOS) columns (which Spark rejects
+    * natively) to micros timestamps when `nanosTimestampCols` is set.
+    */
+  def parquet(spark: SparkSession, path: String, nanosTimestampCols: Seq[String] = Nil): DataFrame = {
+    if (nanosTimestampCols.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    nanosTimestampCols.foldLeft(df) { (acc, c) =>
+      // `div` = integral division: ns epochs exceed double's 53-bit mantissa,
+      // so a double divide here would corrupt timestamps
+      if (acc.schema(c).dataType == LongType)
+        acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      else acc
+    }
+  }
+
+  /** CSV with explicit schema (no inference pass). */
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines with explicit schema (no inference pass). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -32,6 +32,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("all-pairs jaccard (native sorted-merge expr) agrees with inverted-index strategy") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val ap = Dedup.jaccardPairsAllPairs(blocked, "id", "text", 0.7, Seq("blk"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val inv = Dedup.jaccardPairs(docs, "id", "text", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ap == inv)
+    // exact ratio: docs 1 vs 3 share 7 of 9 distinct tokens
+    val j = Dedup.jaccardPairsAllPairs(blocked, "id", "text", 0.7, Seq("blk"))
+      .where(col("id_a") === 1 && col("id_b") === 3)
+      .select("jaccard").as[Double].collect()(0)
+    assert(math.abs(j - 7.0 / 9.0) < 1e-15)
+  }
+
   test("minhash LSH finds the same dups with exact verification") {
     val pairs = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

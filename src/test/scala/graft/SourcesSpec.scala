@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "gamma", 100.0))
+    .toDF("id", "name", "score")
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType), StructField("score", DoubleType)))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("data").toString
+
+  test("csv roundtrip with explicit schema") {
+    val p = tmp("graft_csv")
+    Tables.writeCsv(df, p)
+    val back = Tables.csv(spark, p, schema)
+    assert(back.schema == schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("json-lines roundtrip with explicit schema") {
+    val p = tmp("graft_json")
+    Tables.writeJsonLines(df, p)
+    val back = Tables.jsonLines(spark, p, schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned parquet write + read prunes by partition") {
+    val p = tmp("graft_parq")
+    Tables.writeParquet(df.withColumn("part", $"id" % 2), p, partitionBy = Seq("part"))
+    val back = Tables.parquet(spark, p).where($"part" === 1)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+  }
+
+  test("nanos timestamp column converts to micros timestamp") {
+    val events = Tables.parquet(spark, "/root/testdata/sf0.001/events.parquet", Seq("ts"))
+    assert(events.schema("ts").dataType == TimestampType)
+    val first = events.orderBy("event_id").select($"ts".cast("string")).as[String].first()
+    assert(first.startsWith("2024-01-01 00:09:58.778549"))
+  }
+}
