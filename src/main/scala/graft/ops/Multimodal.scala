@@ -57,4 +57,39 @@ object Multimodal {
       }
     }
   }
+
+  final case class ResizedRow(id: Long, width: Int, height: Int, media: Array[Byte])
+
+  /** Resize STUB: a real codec would decode → scale → re-encode; the fake
+    * deterministically truncates/pads the payload to width*height bytes so
+    * the Spark-side shape (binary in, binary out, per-partition batches) is
+    * real and testable.
+    */
+  def resize(spark: SparkSession, media: DataFrame, width: Int, height: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val out = java.util.Arrays.copyOf(r.media, width * height)
+        ResizedRow(r.id, width, height, out)
+      }
+    }
+  }
+
+  final case class FrameRow(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Frame-sample STUB: treats the payload as `frameCount` fixed-size frames
+    * and emits every `stride`-th one — the flatMap/explode shape of real
+    * video sampling, with a deterministic fake splitter.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameCount: Int, stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val frameSize = math.max(1, r.media.length / math.max(1, frameCount))
+      (0 until frameCount by stride).map { i =>
+        val from = math.min(i * frameSize, r.media.length)
+        val until = math.min(from + frameSize, r.media.length)
+        FrameRow(r.id, i, java.util.Arrays.copyOfRange(r.media, from, until))
+      }
+    }
+  }
 }

@@ -49,6 +49,44 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the `ncells`
+    * smallest-id corpus vectors act as cell seeds), corpus vectors assigned
+    * to their nearest seed, queries probe their `nprobe` nearest cells.
+    * Corpus is scanned once for assignment; the candidate join touches only
+    * probed cells (~nprobe/ncells of the corpus per query).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              ncells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val seeds: Array[(Int, Seq[Double])] = base.orderBy("neighbor_id").limit(ncells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
+    def cellScores(v: Column): Column = array(seeds.map { case (i, s) =>
+      struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
+    }: _*)
+    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
+    def probedCells(v: Column): Column =
+      slice(reverse(array_sort(cellScores(v))), 1, nprobe)
+
+    val corpusCells = base.withColumn("cell", bestCell(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(probedCells(col("qv")).getField("cell")).as("cell"))
+
+    val scored = corpusCells.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Multi-table random-hyperplane LSH: `tables` independent hash tables of
     * `planes` sign bits each (deterministic, seeded). Candidates = corpus
     * rows sharing any table-bucket with the query (deduped), then exact

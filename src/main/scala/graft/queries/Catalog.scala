@@ -5,6 +5,7 @@ import graft.metrics.{GroupMetrics, MetricColumns}
 import graft.ops._
 import graft.scan.Scanner
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -326,6 +327,22 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey")
+        .orderBy("o_orderpriority", "rank")
+    },
+
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -632,6 +649,16 @@ object Catalog {
         |r AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank FROM s)
         |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank,
+        |         o_orderkey
+        |  FROM orders)
+        |SELECT o_orderpriority, rank, o_orderkey FROM r WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -150,21 +150,35 @@ object Scanner {
           }
         }
 
-        // mins / maxs (numeric bottom-N / top-N distinct values)
+        // mins / maxs (numeric bottom-N / top-N distinct values): ONE
+        // windowed job over the counted frame covers every requesting column
         val needMinsMaxs = groupFields.zipWithIndex.filter { case (f, _) =>
           isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))
         }
-        needMinsMaxs.foreach { case (f, idx) =>
-          val vals = counted.where(col("colIdx") === idx)
-            .select(col("value").cast(DoubleType).as("v"))
-          val ms = metricsOf(f).toSet
-          if (ms("mins")) {
-            val mins = vals.orderBy(col("v").asc).limit(MinsMaxsN).collect().map(_.getDouble(0))
-            measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
-          }
-          if (ms("maxs")) {
-            val maxs = vals.orderBy(col("v").desc).limit(MinsMaxsN).collect().map(_.getDouble(0))
-            measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
+        if (needMinsMaxs.nonEmpty) {
+          val idxs = needMinsMaxs.map(_._2.asInstanceOf[Any])
+          val vals = counted.where(col("colIdx").isin(idxs: _*))
+            .select(col("colIdx"), col("value").cast(DoubleType).as("v"))
+          val wAsc = Window.partitionBy("colIdx").orderBy(col("v").asc)
+          val wDesc = Window.partitionBy("colIdx").orderBy(col("v").desc)
+          val ranked = vals
+            .withColumn("ra", row_number().over(wAsc))
+            .withColumn("rd", row_number().over(wDesc))
+            .where(col("ra") <= MinsMaxsN || col("rd") <= MinsMaxsN)
+            .collect()
+          ranked.groupBy(_.getAs[Int]("colIdx")).foreach { case (idx, rows) =>
+            val f = groupFields(idx)
+            val ms = metricsOf(f).toSet
+            if (ms("mins")) {
+              val mins = rows.filter(_.getAs[Int]("ra") <= MinsMaxsN)
+                .sortBy(_.getAs[Int]("ra")).map(_.getAs[Double]("v"))
+              measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
+            }
+            if (ms("maxs")) {
+              val maxs = rows.filter(_.getAs[Int]("rd") <= MinsMaxsN)
+                .sortBy(_.getAs[Int]("rd")).map(_.getAs[Double]("v"))
+              measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
+            }
           }
         }
       } finally counted.unpersist()
@@ -289,6 +303,13 @@ object Scanner {
     val bad = missingCond(c, cfg) || !validCond(c, cfg)
     df.where(bad).orderBy(orderCols.map(col): _*).limit(limit)
   }
+
+  /** Deterministic table sample (soda `samples.table_limit`): first `limit`
+    * rows by `orderCols`. A LIMIT after ORDER BY is a TakeOrderedAndProject —
+    * no full sort, no full shuffle.
+    */
+  def tableSample(df: DataFrame, limit: Int, orderCols: Seq[String]): DataFrame =
+    df.orderBy(orderCols.map(col): _*).limit(limit)
 
   private def runTests(exprs: Seq[String], column: Option[String], sqlMetricIndex: Option[Int],
                        values: Map[(Option[String], String), Any],

@@ -89,6 +89,20 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head == ((0L, 1, 100L))) // vec 100 == vec 0
   }
 
+  test("ivf probes cells and mostly agrees with brute force") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5,
+      ncells = 8, nprobe = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size))
+    }
+    val hits = ivf.count(r => bf.contains((r._1, r._3)))
+    assert(hits * 2 >= ivf.length)
+  }
+
   test("lsh returns well-formed ranks that agree with brute force on hits") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
@@ -165,5 +179,16 @@ class MultimodalSpec extends SparkSpec {
     // determinism
     val again = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.id)
     assert(out.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("resize and frame-sample stubs keep the batch shape") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "doc_id", "text", "video/fake")
+    val rs = Multimodal.resize(spark, media, 4, 2).collect()(0)
+    assert(rs.media.length == 8 && rs.width == 4 && rs.height == 2)
+    val frames = Multimodal.sampleFrames(spark, media, frameCount = 5, stride = 2).collect()
+    assert(frames.map(_.frameIdx).sorted.toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.frame.length == 2)) // 10 bytes / 5 frames
   }
 }

@@ -127,6 +127,25 @@ class ScannerSpec extends SparkSpec {
     assert(r.measurement("row_count").get.value.get == 2L)
   }
 
+  test("mins/maxs measurements from the shared window job") {
+    val y =
+      """table_name: t
+        |columns:
+        |  size:
+        |    metrics:
+        |    - mins
+        |    - maxs
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, df, y)
+    assert(r.measurement("mins", Some("size")).get.value.get == Seq(10.0, 20.0, 30.0, 40.0, 60.0))
+    assert(r.measurement("maxs", Some("size")).get.value.get == Seq(60.0, 40.0, 30.0, 20.0, 10.0))
+  }
+
+  test("table sample is deterministic") {
+    val s = Scanner.tableSample(df, 2, Seq("id")).select("name").as[String].collect()
+    assert(s.toSeq == Seq("alpha", "bravo"))
+  }
+
   test("failed rows sample is deterministic and correct") {
     val rows = Scanner.failedRows(df, "id", ColumnConfig(validFormat = Some("uuid")), 10, Seq("id"))
       .select("id").as[String].collect()
