@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair/edge frame — turns near-dup PAIRS into
+  * dup CLUSTERS (component id = smallest member id), the step that makes
+  * pairwise dedup actionable ("keep one representative per cluster").
+  *
+  * Min-label propagation: every node repeatedly adopts the smallest label in
+  * its neighborhood. Iterations = graph diameter in the worst case, but
+  * near-dup clusters are dense (quasi-cliques), so it converges in a few
+  * rounds. Each round is one shuffle join + aggregate; lineage is truncated
+  * with localCheckpoint so plans don't grow unboundedly.
+  */
+object Components {
+
+  /** @param edges frame with two long id columns (`srcCol`, `dstCol`) —
+    *              undirected pairs
+    * @param nodes frame with `idCol` — the full node set (isolated nodes get
+    *              their own component)
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIterations: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // smallest label among each node's neighbors
+      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("id2"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin").isNotNull && col("nmin") < col("label")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.where(col("changed")).limit(1).count() == 0
+      labels = updated.select("id", "label")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+}

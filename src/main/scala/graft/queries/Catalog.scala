@@ -315,6 +315,15 @@ object Catalog {
       Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
+    "q_dedup_components" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.jaccardPairsAllPairs(docs, "doc_id", "text",
+        threshold = 0.8, blockCols = Seq("lang"))
+      Components.connectedComponents(docs, "doc_id", edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -635,6 +644,22 @@ object Catalog {
         |GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
         |HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_components" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+        |t AS (SELECT doc_id, lang, len(toks) AS nt, unnest(toks) AS tok FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
+        |  HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.8),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |cc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.a, cc.label FROM cc JOIN sym s ON cc.id = s.b)
+        |SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -73,6 +73,28 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains, isolated nodes, merges") {
+    val nodes = (1L to 8L).toDF("id")
+    // components: {1,2,3,4} (chain), {5,6} , {7}, {8}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val cc = Components.connectedComponents(nodes, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("long path converges within iteration budget") {
+    val n = 30
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Components.connectedComponents(nodes, "id", edges, "a", "b", maxIterations = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
