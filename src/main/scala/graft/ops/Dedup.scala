@@ -129,9 +129,18 @@ object Dedup {
     * smaller than the raw corpus). For corpora where even token sets exceed
     * broadcast size, pass false to fall back to shuffle joins on id.
     */
+  /** `maxBucket`: drop band buckets larger than this before pair
+    * generation. A bucket of size B contributes B²/2 candidates; pathological
+    * clusters (boilerplate, empty docs) can make one bucket dominate the
+    * whole job. Capping is the standard at-scale mitigation — docs in such
+    * buckets are near-dups of *everything* there and are better handled by
+    * cluster representatives (see [[Components.connectedComponents]]) than by
+    * enumerating O(B²) pairs. Default: uncapped (exact LSH semantics).
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                      shingleLen: Int = 3, broadcastVerify: Boolean = true): DataFrame = {
+                      shingleLen: Int = 3, broadcastVerify: Boolean = true,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // (id, sig) only — the document body never enters the LSH shuffle.
@@ -151,8 +160,15 @@ object Dedup {
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
         .as(Seq("band", "bkey")))
 
-    val l = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val capped =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val hot = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") > maxBucket).select("band", "bkey")
+        banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      }
+    val l = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bkey"), col("id").as("id_b"))
     // repartition: shuffle-materialize the (skinny) deduped pair set before
     // fanning into the verification joins — Spark re-plans from the shuffle
     // instead of re-deriving the whole band join per downstream stage

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the most recent right row with
+  * rightTs <= leftTs within the same key ("attach the last click before this
+  * error", "price as of trade time").
+  *
+  * Spark lacks the operator; per the compose-first rule it's built from a
+  * union + one keyed window: tag both sides, sort by (ts, side) within key,
+  * and carry the right side's values forward with `last(_, ignoreNulls)`.
+  * ONE shuffle on the key, no join at all — survives any scale the window
+  * sort survives (per-key data need not fit in memory; Spark spills sorts).
+  */
+object Joins {
+
+  /** @param rightValueCols right columns carried to the left rows (as-of
+    *                       values); emitted as `asof_<name>`. Ties on
+    *                       (key, ts): the right row sorts first, so an
+    *                       equal-timestamp right row IS visible to the left
+    *                       row (matches DuckDB ASOF `left.ts >= right.ts`).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTsCol: String, rightTsCol: String,
+           rightValueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      (keyCols.map(col) :+ col(leftTsCol).as("__ts") :+ lit(1).as("__side")) ++
+        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")) :+
+        struct(leftCols.map(col): _*).as("__l"): _*)
+    val r = right.select(
+      (keyCols.map(col) :+ col(rightTsCol).as("__ts") :+ lit(0).as("__side")) ++
+        rightValueCols.map(c => col(c).as(s"__rv_$c")) :+
+        lit(null).cast(l.schema("__l").dataType).as("__l"): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = l.unionByName(r).select(
+      (col("__side") +: col("__l") +:
+        rightValueCols.map(c => last(col(s"__rv_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+
+    carried.where(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightValueCols.map(c => col(s"asof_$c")): _*)
+  }
+}

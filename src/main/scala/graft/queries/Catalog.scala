@@ -283,6 +283,17 @@ object Catalog {
     // Training-data pipeline operators
     // ==================================================================
 
+    "q_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      Joins.asOf(errors, clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts"))
+        .select(col("event_id"), col("user_id"), col("asof_click_ts"))
+        .orderBy("event_id")
+    },
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "events"), "event_id", "props").orderBy("keep_id")),
 
@@ -619,6 +630,13 @@ object Catalog {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, c.click_ts AS asof_click_ts
+        |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(event_id) AS keep_id, count(*) AS copies FROM events GROUP BY props ORDER BY keep_id",

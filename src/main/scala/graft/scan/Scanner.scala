@@ -35,6 +35,17 @@ object Scanner {
                   variables: Map[String, String] = Map.empty): ScanResult =
     execute(spark, df, ScanYamlParser.parse(substituteVars(scanYaml, variables)))
 
+  /** Reference-parity `as_frames` variant (scan.py:398-421): the scan result
+    * as (measurements, testResults, errors) DataFrames.
+    */
+  def executeToFrames(spark: SparkSession, df: DataFrame, scanYaml: String,
+                      variables: Map[String, String] = Map.empty): (DataFrame, DataFrame, DataFrame) = {
+    val r = executeYaml(spark, df, scanYaml, variables)
+    (ScanResultFrames.measurementsToDF(spark, r.measurements),
+      ScanResultFrames.testResultsToDF(spark, r.testResults),
+      ScanResultFrames.scanErrorsToDF(spark, r.errors))
+  }
+
   def substituteVars(s: String, vars: Map[String, String]): String =
     vars.foldLeft(s) { case (acc, (k, v)) =>
       acc.replace("{{ " + k + " }}", v).replace("{{" + k + "}}", v).replace("${" + k + "}", v)

@@ -73,6 +73,25 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("as-of join attaches most recent right row at-or-before left ts") {
+    val trades = Seq((1L, 1L, ts(10)), (2L, 1L, ts(20)), (3L, 2L, ts(5)))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((1L, ts(9), 100.0), (1L, ts(20), 105.0), (1L, ts(25), 110.0))
+      .toDF("sym", "qt", "px")
+    val out = Joins.asOf(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(100.0))  // most recent quote before 00:10
+    assert(out(2L).contains(105.0))  // equal timestamp is visible
+    assert(out(3L).isEmpty)          // sym 2 has no quotes
+  }
+}
+
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
