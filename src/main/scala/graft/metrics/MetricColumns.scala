@@ -55,12 +55,15 @@ object MetricColumns {
   def expandMetrics(metrics: Seq[String], groups: Seq[String]): Seq[String] =
     (metrics ++ groups.flatMap(g => metricGroups.getOrElse(g, Nil))).distinct
 
-  /** Metrics computed by the single-pass row-level aggregation. */
+  /** Metrics computed by the single-pass row-level aggregation.
+    * `approx_distinct` (HyperLogLog++) rides in the same pass — the 100 TB
+    * alternative to the exact distinct family's extra shuffle.
+    */
   val rowLevelMetrics: Set[String] = Set(
     "missing_count", "missing_percentage", "values_count", "values_percentage",
     "valid_count", "valid_percentage", "invalid_count", "invalid_percentage",
     "min", "max", "avg", "sum", "variance", "stddev",
-    "min_length", "max_length", "avg_length"
+    "min_length", "max_length", "avg_length", "approx_distinct"
   )
 
   /** Metrics needing a per-value grouping pass. */
@@ -151,6 +154,8 @@ object MetricColumns {
       out += countIf(missing).as(s"${name}__missing_count")
     if (needValidity)
       out += countIf(valid).as(s"${name}__valid_count")
+    if (need("approx_distinct"))
+      out += approx_count_distinct(when(value, c)).as(s"${name}__approx_distinct")
 
     if (isNumeric(field.dataType)) {
       val v = when(valid, c)
@@ -195,6 +200,7 @@ object MetricColumns {
     if (m("valid_percentage")) out += (validCnt.cast(DoubleType) * 100.0 / rc).as(s"${name}__valid_percentage")
     if (m("invalid_count")) out += (valuesCnt - validCnt).as(s"${name}__invalid_count")
     if (m("invalid_percentage")) out += ((valuesCnt - validCnt).cast(DoubleType) * 100.0 / rc).as(s"${name}__invalid_percentage")
+    if (m("approx_distinct")) out += col(s"${name}__approx_distinct").as(s"${name}__approx_distinct_out")
     if (isNumeric(dt)) {
       val n = col(s"${name}__num_count").cast(DoubleType)
       val s = col(s"${name}__sum_dec").cast(DoubleType)

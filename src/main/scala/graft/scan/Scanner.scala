@@ -104,6 +104,7 @@ object Scanner {
           case "valid_count"   => s"${f.name}__valid_count_out"
           case "min" | "max"   => s"${f.name}__${m}_out"
           case "min_length" | "max_length" => s"${f.name}__${m}_out"
+          case "approx_distinct" => s"${f.name}__approx_distinct_out"
           case other => s"${f.name}__$other"
         }
         if (row.schema.fieldNames.contains(alias)) {
@@ -241,8 +242,10 @@ object Scanner {
           r.foreach { row =>
             res.schema.fieldNames.foreach { fn =>
               val v = row.getAs[Any](fn)
-              metricValues((None, fn)) = v
-              measurements += Measurement(fn, None, Some(v))
+              if (v != null) {
+                metricValues((None, fn)) = v
+                measurements += Measurement(fn, None, Some(v))
+              }
             }
           }
           runTests(sm.tests, None, Some(idx), metricValues.toMap, testResults, errors)
@@ -329,8 +332,8 @@ object Scanner {
     exprs.foreach { expr =>
       // column tests see that column's metrics; table tests see table metrics.
       val scoped: Map[String, Double] = values.collect {
-        case ((c, m), v) if c == column || (column.isEmpty && c.isEmpty) => m -> toDouble(v)
-        case ((None, m), v) if column.isDefined => m -> toDouble(v) // table metrics visible to column tests
+        case ((c, m), v) if v != null && (c == column || (column.isEmpty && c.isEmpty)) => m -> toDouble(v)
+        case ((None, m), v) if v != null && column.isDefined => m -> toDouble(v) // table metrics visible to column tests
       }
       evalOne(expr, column, sqlMetricIndex, scoped, None, out, errors)
     }

@@ -2,6 +2,7 @@ package graft
 
 import graft.api._
 import graft.scan.Scanner
+import org.apache.spark.sql.functions.lit
 
 class ScannerSpec extends SparkSpec {
   import spark.implicits._
@@ -139,6 +140,25 @@ class ScannerSpec extends SparkSpec {
     val r = Scanner.executeYaml(spark, df, y)
     assert(r.measurement("mins", Some("size")).get.value.get == Seq(10.0, 20.0, 30.0, 40.0, 60.0))
     assert(r.measurement("maxs", Some("size")).get.value.get == Seq(60.0, 40.0, 30.0, 20.0, 10.0))
+  }
+
+  test("approx_distinct rides the single scan pass") {
+    val y =
+      """table_name: t
+        |columns:
+        |  country:
+        |    metrics:
+        |    - approx_distinct
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, df, y)
+    val v = r.measurement("approx_distinct", Some("country")).get.value.get.asInstanceOf[Long]
+    assert(v == 4L) // HLL is exact at this cardinality
+  }
+
+  test("empty input does not crash the scan") {
+    val r = Scanner.executeYaml(spark, df.where(lit(false)), yaml)
+    assert(r.measurement("row_count").get.value.get == 0L)
+    assert(!r.hasErrors || r.errors.forall(_.message.contains("Test")))
   }
 
   test("table sample is deterministic") {
