@@ -395,7 +395,21 @@ object Catalog {
 
     "q_sessionize" -> ((s, dir) =>
       Windows.sessionizeBatch(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800)
-        .orderBy("user_id", "session_id"))
+        .orderBy("user_id", "session_id")),
+
+    "q_stream_quality" -> { (s, dir) =>
+      val cols = Seq(
+        "value" -> ColumnConfig(validMin = Some(0.0), validMax = Some(150.0)),
+        "event_type" -> ColumnConfig(validValues = Seq("click", "view", "purchase", "signup")))
+      graft.streaming.StreamingMonitor.qualityByWindow(t(s, dir, "events"), "ts", "1 hour", cols)
+        .orderBy("window_start")
+    },
+
+    "q_quality_by_dim" -> { (s, dir) =>
+      val cols = Seq("c_acctbal" -> ColumnConfig(validMin = Some(0.0)))
+      graft.streaming.StreamingMonitor.qualityByDimension(t(s, dir, "customer"), "c_mktsegment", cols)
+        .orderBy("c_mktsegment")
+    }
   )
 
   // ==================================================================
@@ -731,6 +745,25 @@ object Catalog {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_quality" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       count(*) AS row_count,
+        |       count(*) FILTER (WHERE value IS NULL) AS value_missing,
+        |       count(*) FILTER (WHERE value IS NOT NULL
+        |             AND NOT (CAST(value AS DOUBLE) >= 0.0 AND CAST(value AS DOUBLE) <= 150.0)) AS value_invalid,
+        |       count(*) FILTER (WHERE event_type IS NULL) AS event_type_missing,
+        |       count(*) FILTER (WHERE event_type IS NOT NULL
+        |             AND event_type NOT IN ('click','view','purchase','signup')) AS event_type_invalid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quality_by_dim" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS row_count,
+        |       count(*) FILTER (WHERE c_acctbal IS NULL) AS c_acctbal_missing,
+        |       count(*) FILTER (WHERE c_acctbal IS NOT NULL
+        |             AND NOT (CAST(c_acctbal AS DOUBLE) >= 0.0)) AS c_acctbal_invalid
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (

@@ -50,6 +50,42 @@ class StreamingSpec extends SparkSpec {
     assert(b == rows)
   }
 
+  test("streaming quality monitor matches the batch monitor") {
+    import spark.implicits._
+    import graft.api.ColumnConfig
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (ts(0, 5), "click", 10.0), (ts(0, 25), "bogus", 20.0),
+      (ts(0, 45), "view", 500.0), (ts(1, 10), "click", 4.0))
+    val cols = Seq(
+      "value" -> ColumnConfig(validMax = Some(100.0)),
+      "event_type" -> ColumnConfig(validValues = Seq("click", "view")))
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingMonitor.qualityStream(
+        stream.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes", "1 hour", cols)
+      .writeStream.format("memory").queryName("quality_test").outputMode("complete").start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("quality_test")
+      .select(col("window_start").cast("string"), col("row_count"),
+        col("value_invalid"), col("event_type_invalid"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    q.stop()
+
+    val batch = StreamingMonitor.qualityByWindow(
+        rows.toDF("ts", "event_type", "value"), "ts", "1 hour", cols)
+      .select(col("window_start").cast("string"), col("row_count"),
+        col("value_invalid"), col("event_type_invalid"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(batch.contains(("2024-01-01 00:00:00", 3L, 1L, 1L)))
+  }
+
   test("streaming sessionization closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
