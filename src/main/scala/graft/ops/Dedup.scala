@@ -169,14 +169,12 @@ object Dedup {
       }
     val l = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
     val r = capped.select(col("band"), col("bkey"), col("id").as("id_b"))
-    // repartition: shuffle-materialize the (skinny) deduped pair set before
-    // fanning into the verification joins — Spark re-plans from the shuffle
-    // instead of re-deriving the whole band join per downstream stage
+    // dropDuplicates shuffle-materializes the (skinny) deduped pair set
+    // before fanning into the verification joins
     val cand = l.join(r, Seq("band", "bkey"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .repartition(col("id_a"), col("id_b"))
 
     // exact-Jaccard verification: attach each side's precomputed token set
     // (narrow id-keyed joins), compare row-locally via HOFs
@@ -193,6 +191,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.JaccardSim.jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end near-dedup: MinHash-LSH pairs → connected components → keep
+    * the smallest-id representative of every near-dup cluster. This is the
+    * user-facing "dedupe my corpus" call.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                         shingleLen: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands,
+      shingleLen, maxBucket = maxBucket)
+    val cc = Components.connectedComponents(df.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+    val keep = cc.where(col("id") === col("component")).select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** 64-bit SimHash from a MATERIALIZED token-hash array column: per bit b,

@@ -54,6 +54,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dropNearDuplicates keeps one representative per near-dup cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, "id", "text", threshold = 0.7, shingleLen = 1)
+      .select("id").as[Long].collect().toSet
+    // {1,2,3} form one near-dup cluster -> keep 1; 4 and 5 are unique
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("simhash pairs exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
