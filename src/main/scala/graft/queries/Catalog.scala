@@ -145,6 +145,25 @@ object Catalog {
         .select(col("bucket"), col("cnt")).orderBy("bucket")
     },
 
+    "q_histogram_multi" -> { (s, dir) =>
+      // two columns bucketized in ONE pass (shared posexplode->groupBy job)
+      val df = t(s, dir, "lineitem")
+      val r = df.agg(
+        min(col("l_quantity").cast(DoubleType)), max(col("l_quantity").cast(DoubleType)),
+        min(col("l_extendedprice").cast(DoubleType)), max(col("l_extendedprice").cast(DoubleType))).collect()(0)
+      Scanner.histogramFrame(df, Seq(
+          ("l_quantity", (r.getDouble(0), r.getDouble(1))),
+          ("l_extendedprice", (r.getDouble(2), r.getDouble(3)))), 10)
+        .select(col("colIdx"), col("bucket"), col("cnt")).orderBy("colIdx", "bucket")
+    },
+
+    "q_column_sketch" -> { (s, dir) =>
+      // column-content MinHash sketch (mergeable Aggregator) exploded to rows
+      val sig = t(s, dir, "orders").select(
+        graft.functions.MinHashAgg.minhashAgg(xxhash64(col("o_orderpriority")), 32).as("sig"))
+      sig.select(posexplode(col("sig")).as(Seq("pos", "sig_value"))).orderBy("pos")
+    },
+
     "q_tests" -> { (s, dir) =>
       val yaml =
         """table_name: lineitem
@@ -565,6 +584,20 @@ object Catalog {
         |FROM lineitem, b
         |WHERE l_quantity IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_histogram_multi" ->
+      """WITH b AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo1, CAST(max(l_quantity) AS DOUBLE) AS hi1,
+        |                  CAST(min(l_extendedprice) AS DOUBLE) AS lo2, CAST(max(l_extendedprice) AS DOUBLE) AS hi2
+        |           FROM lineitem),
+        |h1 AS (SELECT 0 AS colIdx,
+        |              CAST(least(floor((CAST(l_quantity AS DOUBLE) - lo1) / ((hi1 - lo1) / 10.0)), 9.0) AS BIGINT) AS bucket,
+        |              count(*) AS cnt
+        |       FROM lineitem, b WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |h2 AS (SELECT 1 AS colIdx,
+        |              CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo2) / ((hi2 - lo2) / 10.0)), 9.0) AS BIGINT) AS bucket,
+        |              count(*) AS cnt
+        |       FROM lineitem, b WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2)
+        |SELECT * FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) ORDER BY colIdx, bucket""".stripMargin,
 
     "q_tests" ->
       """SELECT * FROM (
