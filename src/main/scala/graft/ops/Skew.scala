@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers. AQE's skew-join handling covers sort-merge
+  * joins; these cover the aggregation side and broadcast-averse cases.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation for algebraic aggregates over skewed
+    * keys: phase 1 aggregates on (key, salt) — hot keys split across `salt`
+    * reducers — phase 2 merges the partials on key alone. Pass the SAME
+    * algebraic aggregate both times (sum/count-as-sum/min/max).
+    */
+  def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+                      phase1: Seq[(String, Column)],
+                      phase2: String => Column): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val p1 = salted.groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(phase1.head._2.as(phase1.head._1),
+        phase1.tail.map { case (n, c) => c.as(n) }: _*)
+    p1.groupBy(keyCols.map(col): _*)
+      .agg(phase2(phase1.head._1).as(phase1.head._1),
+        phase1.tail.map { case (n, _) => phase2(n).as(n) }: _*)
+  }
+
+  /** Salted broadcast-free join for a skewed left key against a small-ish
+    * right side: right rows are replicated `saltBuckets` times, left rows get
+    * a random-but-deterministic salt, and the join key becomes (key, salt) —
+    * splitting each hot key across `saltBuckets` reducers.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 saltBuckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    saltedLeft.join(saltedRight, keyCols :+ "__salt").drop("__salt")
+  }
+}

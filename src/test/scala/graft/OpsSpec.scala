@@ -80,6 +80,36 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.metrics.MetricColumns
+
+  test("salted aggregation equals plain aggregation") {
+    // 10k rows, 95% on one hot key
+    val df = (1 to 10000).map(i => (if (i % 20 == 0) s"k${i % 7}" else "hot", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(20,2)")).cast("double").as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map { case (k, s, n) => k -> ((s, n)) }.toMap
+    val salted = Skew.saltedAggregate(df, Seq("k"), saltBuckets = 8,
+        phase1 = Seq(
+          "s" -> MetricColumns.exactSum(col("v"), 2).cast("double"),
+          "n" -> count(lit(1))),
+        phase2 = n => sum(col(n)))
+      .select(col("k"), col("s").cast("double"), col("n").cast("long"))
+      .as[(String, Double, Long)].collect().map { case (k, s, n) => k -> ((s, n)) }.toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val left = (1 to 5000).map(i => (if (i % 10 == 0) i % 5 else 0, i)).toDF("k", "lv")
+    val right = (0 to 5).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, "k").count()
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltBuckets = 8).count()
+    assert(salted == plain)
+  }
+}
+
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
   import java.sql.Timestamp

@@ -40,6 +40,22 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
   }
 
+  test("bucketed tables join without an exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.writeBucketed(df, "bt_left", Seq("id"), 4)
+      Tables.writeBucketed(df.withColumnRenamed("score", "score2"), "bt_right", Seq("id"), 4)
+      val joined = spark.table("bt_left").join(spark.table("bt_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == 3)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bt_left")
+      spark.sql("DROP TABLE IF EXISTS bt_right")
+    }
+  }
+
   test("nanos timestamp column converts to micros timestamp") {
     val events = Tables.parquet(spark, "/root/testdata/sf0.001/events.parquet", Seq("ts"))
     assert(events.schema("ts").dataType == TimestampType)
