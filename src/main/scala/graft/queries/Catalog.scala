@@ -398,6 +398,15 @@ object Catalog {
       TextAnalysis.langId(t(s, dir, "documents"), "text")
         .select("doc_id", "predicted_lang").orderBy("doc_id")),
 
+    "q_lang_scores" -> { (s, dir) =>
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenHits(txt, TextAnalysis.langMarkers("en")).cast(LongType).as("hits_en"),
+        TextAnalysis.tokenHits(txt, TextAnalysis.langMarkers("es")).cast(LongType).as("hits_es"))
+        .orderBy("doc_id")
+    },
+
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint").orderBy("doc_id")),
@@ -767,6 +776,14 @@ object Catalog {
         |  CAST(alpha_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
         |  CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_lang_scores" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |       t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS BIGINT) AS hits_en,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |       t -> list_contains(['el','la','de','que','y','en','un','por','con','los'], t))) AS BIGINT) AS hits_es
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
