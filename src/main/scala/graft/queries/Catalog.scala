@@ -145,6 +145,17 @@ object Catalog {
         .select(col("bucket"), col("cnt")).orderBy("bucket")
     },
 
+    "q_percentiles" -> { (s, dir) =>
+      // exact percentiles; p ∈ {.25,.5,.75} on integer-valued doubles is
+      // bit-exact across engines (interpolation arithmetic stays exact)
+      val p = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
+      t(s, dir, "lineitem").agg(p.as("ps"))
+        .select(
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"))
+    },
+
     "q_histogram_multi" -> { (s, dir) =>
       // two columns bucketized in ONE pass (shared posexplode->groupBy job)
       val df = t(s, dir, "lineitem")
@@ -593,6 +604,12 @@ object Catalog {
         |FROM lineitem, b
         |WHERE l_quantity IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem""".stripMargin,
 
     "q_histogram_multi" ->
       """WITH b AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo1, CAST(max(l_quantity) AS DOUBLE) AS hi1,
