@@ -75,6 +75,7 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: xxhash64 of each `n`-token shingle,
     * winnowed to the `k` smallest hashes (sorted). Deterministic, row-local.
+    * This is the fast path (codegen'd 64-bit hash).
     */
   def fingerprint(df: DataFrame, textCol: String, n: Int = 3, k: Int = 8,
                   out: String = "fingerprint"): DataFrame = {
@@ -82,22 +83,39 @@ object TextAnalysis {
     val shingleHashes = Shingles.shingleHashes(toks, n)
     df.withColumn(out, slice(array_sort(array_distinct(shingleHashes)), 1, k))
   }
+
+  /** md5-hex variant of [[fingerprint]]: identical winnowing (k smallest of
+    * the distinct shingle hashes; lexicographic min on fixed-width lowercase
+    * hex == numeric min on the 128-bit digest), but with a hash function
+    * every engine shares — so the result is oracle-checkable bit-for-bit
+    * (DuckDB `md5`). Use [[fingerprint]] when only Spark needs to agree.
+    */
+  def fingerprintHex(df: DataFrame, textCol: String, n: Int = 3, k: Int = 8,
+                     out: String = "fingerprint"): DataFrame = {
+    val sh = Shingles.shingleStrings(tokens(col(textCol)), n)
+    df.withColumn(out,
+      slice(array_sort(array_distinct(transform(sh, s => md5(s.cast(BinaryType))))), 1, k))
+  }
 }
 
 /** Shared shingle machinery (also used by MinHash dedup). */
 object Shingles {
   import org.apache.spark.sql.functions._
 
-  /** xxhash64 of each n-token shingle of `toks` — built with sequence +
-    * transform HOFs (no explode, no shuffle).
+  /** The n-token shingle strings of `toks` — sequence + transform HOFs (no
+    * explode, no shuffle). Shorter-than-n docs yield one whole-text shingle.
     */
-  def shingleHashes(toks: Column, n: Int): Column =
-    if (n == 1) transform(toks, t => xxhash64(t))
+  def shingleStrings(toks: Column, n: Int): Column =
+    if (n == 1) toks
     else {
       val cnt = size(toks)
-      when(cnt < n, array(xxhash64(concat_ws(" ", toks))))
+      when(cnt < n, array(concat_ws(" ", toks)))
         .otherwise(transform(
           sequence(lit(1), cnt - lit(n - 1)),
-          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
     }
+
+  /** xxhash64 of each n-token shingle of `toks`. */
+  def shingleHashes(toks: Column, n: Int): Column =
+    transform(shingleStrings(toks, n), s => xxhash64(s))
 }

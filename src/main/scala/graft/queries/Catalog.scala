@@ -419,8 +419,11 @@ object Catalog {
     },
 
     "q_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
-        .select("doc_id", "fingerprint").orderBy("doc_id")),
+      // md5-hex winnowing fingerprint, posexploded to scalar rows so the
+      // harness can compare; oracled bit-for-bit in DuckDB (shared md5).
+      TextAnalysis.fingerprintHex(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("pos", "fp_hash")))
+        .orderBy("doc_id", "pos")),
 
     "q_multimodal" -> { (s, dir) =>
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain")
@@ -793,6 +796,36 @@ object Catalog {
         |  CAST(alpha_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
         |  CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH f AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['der','die','und','das','von','zu','mit','den','ein','ist'], t))) AS h_de,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS h_en,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['el','la','de','que','y','en','un','por','con','los'], t))) AS h_es,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS h_fr,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'], t))) AS h_zh
+        |FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+        |  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+        |  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+        |  WHEN h_fr >= h_zh THEN 'fr'
+        |  ELSE 'zh' END AS predicted_lang
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |      FROM d),
+        |f AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh, x -> md5(x))))[1:8] AS fps FROM s)
+        |SELECT doc_id, CAST(unnest(range(0, len(fps))) AS INT) AS pos, unnest(fps) AS fp_hash
+        |FROM f ORDER BY doc_id, pos""".stripMargin,
 
     "q_lang_scores" ->
       """SELECT doc_id,
