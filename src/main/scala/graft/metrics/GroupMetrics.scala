@@ -3,7 +3,6 @@ package graft.metrics
 import graft.api.ColumnConfig
 import graft.metrics.MetricColumns._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,26 +63,45 @@ object GroupMetrics {
       .orderBy("column_name")
   }
 
-  /** Top-N frequent values of one column: (value, occurrences, rank). */
+  /** Top-N frequent values of one column: (value, occurrences, rank).
+    * Rank is 1 + count of strictly-better rows via a broadcast nested-loop
+    * self-join on the ≤ n-row result — no window function anywhere.
+    *
+    * Scale shape: `orderBy.limit(n)` compiles to TakeOrderedAndProject
+    * (per-partition top-n, merged once) — no single-partition window over the
+    * full distinct-value set. Rank is derived on the ≤ n-row result.
+    */
   def frequentValues(df: DataFrame, colName: String, cfg: ColumnConfig, n: Int): DataFrame = {
     val counted = countedFrame(df, Seq(colName -> cfg))
-    val w = Window.orderBy(col("occurrences").desc, col("value").asc)
-    counted.select(col("value"), col("cnt").as("occurrences"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= n)
+    val top = counted.select(col("value"), col("cnt").as("occurrences"))
+      .orderBy(col("occurrences").desc, col("value").asc)
+      .limit(n)
+    val o = top.select(col("occurrences").as("o2"), col("value").as("v2"))
+    top.join(broadcast(o),
+        col("o2") > col("occurrences") || (col("o2") === col("occurrences") && col("v2") < col("value")),
+        "left")
+      .groupBy("value", "occurrences")
+      .agg((count(col("v2")) + 1L).cast(IntegerType).as("rank"))
+      .select("value", "occurrences", "rank")
       .orderBy("rank")
   }
 
-  /** Bottom-N and top-N distinct numeric values: (kind, rank, value). */
+  /** Bottom-N and top-N distinct numeric values: (kind, rank, value).
+    * Same TakeOrderedAndProject shape as [[frequentValues]] — no
+    * unpartitioned window.
+    */
   def minsMaxs(df: DataFrame, colName: String, n: Int): DataFrame = {
     val vals = df.select(col(colName).cast(DoubleType).as("v"))
       .where(col("v").isNotNull).distinct()
-    val wMin = Window.orderBy(col("v").asc)
-    val wMax = Window.orderBy(col("v").desc)
-    val mins = vals.withColumn("rank", row_number().over(wMin)).where(col("rank") <= n)
-      .select(lit("mins").as("kind"), col("rank"), col("v").as("value"))
-    val maxs = vals.withColumn("rank", row_number().over(wMax)).where(col("rank") <= n)
-      .select(lit("maxs").as("kind"), col("rank"), col("v").as("value"))
-    mins.unionAll(maxs).orderBy("kind", "rank")
+    def ranked(kind: String, asc: Boolean): DataFrame = {
+      val top = (if (asc) vals.orderBy(col("v").asc) else vals.orderBy(col("v").desc)).limit(n)
+      val o = top.select(col("v").as("v2"))
+      val better = if (asc) col("v2") < col("v") else col("v2") > col("v")
+      top.join(broadcast(o), better, "left")
+        .groupBy("v")
+        .agg((count(col("v2")) + 1L).cast(IntegerType).as("rank"))
+        .select(lit(kind).as("kind"), col("rank"), col("v").as("value"))
+    }
+    ranked("mins", asc = true).unionAll(ranked("maxs", asc = false)).orderBy("kind", "rank")
   }
 }
