@@ -78,7 +78,9 @@ final case class ScanError(message: String, exception: Option[String] = None)
 final case class ScanResult(
     measurements: Seq[Measurement],
     testResults: Seq[TestResult],
-    errors: Seq[ScanError]
+    errors: Seq[ScanError],
+    /** ISO8601 UTC scan timestamp (reference scan.py:252-289 `time=`). */
+    time: Option[String] = None
 ) {
   def hasErrors: Boolean = errors.nonEmpty
 

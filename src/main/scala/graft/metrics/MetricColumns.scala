@@ -87,6 +87,9 @@ object MetricColumns {
     cond
   }
 
+  def hasMissingConfig(cfg: ColumnConfig): Boolean =
+    cfg.missingValues.nonEmpty || cfg.missingRegex.isDefined || cfg.missingFormat.isDefined
+
   def hasValidityConfig(cfg: ColumnConfig): Boolean =
     cfg.validFormat.isDefined || cfg.validRegex.isDefined || cfg.validValues.nonEmpty ||
       cfg.validMin.isDefined || cfg.validMax.isDefined ||

@@ -225,6 +225,27 @@ object Catalog {
         .select("l_orderkey", "l_linenumber", "l_quantity")
     },
 
+    "q_scan_samples" -> { (s, dir) =>
+      // samples.failed_limit wired through the full scan path: the scan
+      // collects the first-N failing rows (deterministic all-column order)
+      // into a failed_rows measurement; rebuild a typed frame from it.
+      val yaml =
+        """table_name: lineitem
+          |samples:
+          |  failed_limit: 15
+          |columns:
+          |  l_quantity:
+          |    valid_max: 5
+          |""".stripMargin
+      val res = Scanner.executeYaml(s, t(s, dir, "lineitem"), yaml)
+      val m = res.measurement("failed_rows", Some("l_quantity")).get
+      import s.implicits._
+      m.groupValues.map(g => (g.group("l_orderkey").toLong, g.group("l_linenumber").toLong,
+          g.group("l_quantity").toDouble))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     "q_filter_vars" -> { (s, dir) =>
       val yaml =
         """table_name: lineitem
@@ -654,6 +675,15 @@ object Catalog {
 
     "q_filter_vars" ->
       "SELECT count(*) AS row_count FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'",
+
+    "q_scan_samples" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT * FROM lineitem
+        |  WHERE l_quantity IS NULL OR NOT (CAST(l_quantity AS DOUBLE) <= 5.0)
+        |  ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |  LIMIT 15)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_profile" ->
       """SELECT 'c_acctbal' AS column_name, count(c_acctbal) AS values_count, count(DISTINCT c_acctbal) AS distinct_count FROM customer

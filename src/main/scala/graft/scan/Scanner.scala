@@ -32,8 +32,9 @@ object Scanner {
   val HistogramBuckets = 10
 
   def executeYaml(spark: SparkSession, df: DataFrame, scanYaml: String,
-                  variables: Map[String, String] = Map.empty): ScanResult =
-    execute(spark, df, ScanYamlParser.parse(substituteVars(scanYaml, variables)))
+                  variables: Map[String, String] = Map.empty,
+                  time: Option[String] = None): ScanResult =
+    execute(spark, df, ScanYamlParser.parse(substituteVars(scanYaml, variables)), time)
 
   /** Reference-parity `as_frames` variant (scan.py:398-421): the scan result
     * as (measurements, testResults, errors) DataFrames.
@@ -51,7 +52,14 @@ object Scanner {
       acc.replace("{{ " + k + " }}", v).replace("{{" + k + "}}", v).replace("${" + k + "}", v)
     }
 
-  def execute(spark: SparkSession, df0: DataFrame, scan: ScanDefinition): ScanResult = {
+  def execute(spark: SparkSession, df0: DataFrame, scan: ScanDefinition,
+              time: Option[String] = None): ScanResult = {
+    // reference parity (scan.py:252-289): every scan is stamped with an
+    // ISO8601-seconds UTC timestamp, caller-overridable for reproducibility
+    val scanTime = time.getOrElse(
+      java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+        .truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME))
     val errors = mutable.ArrayBuffer.empty[ScanError]
     val measurements = mutable.ArrayBuffer.empty[Measurement]
     val testResults = mutable.ArrayBuffer.empty[TestResult]
@@ -232,6 +240,35 @@ object Scanner {
       }
     }
 
+    // ---- samples (reference `samples:` config, tests/test_scan.py:24-26) --
+    // table_limit: a deterministic head-by-all-columns table sample;
+    // failed_limit: per configured column, the first N rows failing its
+    // missing/validity config. Each sample is a TakeOrderedAndProject job
+    // (per-partition top-N, one merge) — bounded driver result by design.
+    scan.samples.foreach { smp =>
+      val orderCols = fields.map(_.name).toSeq
+      def rowsToGvs(rows: Array[Row]): Seq[GroupValue] =
+        rows.map { r =>
+          GroupValue(orderCols.zipWithIndex.map { case (cn, i) =>
+            cn -> (if (r.isNullAt(i)) null else String.valueOf(r.get(i)))
+          }.toMap, "sample")
+        }.toSeq
+      smp.tableLimit.foreach { lim =>
+        val rows = tableSample(df.select(orderCols.map(col): _*), lim, orderCols).collect()
+        measurements += Measurement("table_sample", None, Some(rows.length.toLong), rowsToGvs(rows))
+      }
+      smp.failedLimit.foreach { lim =>
+        fields.foreach { f =>
+          val cfg = cfgOf(f.name)
+          if (MetricColumns.hasValidityConfig(cfg) || MetricColumns.hasMissingConfig(cfg)) {
+            val rows = failedRows(df, f.name, cfg, lim, orderCols)
+              .select(orderCols.map(col): _*).collect()
+            measurements += Measurement("failed_rows", Some(f.name), Some(rows.length.toLong), rowsToGvs(rows))
+          }
+        }
+      }
+    }
+
     // ---- sql metrics -----------------------------------------------------
     df.createOrReplaceTempView(scan.tableName)
     scan.sqlMetrics.zipWithIndex.foreach { case (sm, idx) =>
@@ -283,7 +320,7 @@ object Scanner {
       if (cfg.tests.nonEmpty) runTests(cfg.tests, Some(f.name), None, metricValues.toMap, testResults, errors)
     }
 
-    ScanResult(measurements.toSeq, testResults.toSeq, errors.toSeq)
+    ScanResult(measurements.toSeq, testResults.toSeq, errors.toSeq, Some(scanTime))
   }
 
   /** Equi-width histogram frame for several columns in one pass:
@@ -354,6 +391,15 @@ object Scanner {
     }
     val metricsUsed = TestEvaluator.referencedMetrics(expr)
     val testDef = TestDef(id, title, expr, metricsUsed, column)
+    // reference parity (scan.py:357): a test whose referenced metric was not
+    // measured is SKIPPED, not errored
+    val unavailable = metricsUsed.filterNot(values.contains)
+    if (unavailable.nonEmpty) {
+      out += TestResult(testDef, passed = false, skipped = true,
+        values = metricsUsed.flatMap(m => values.get(m).map(v => m -> fmtDouble(v))).toMap,
+        groupValues = groupValues)
+      return
+    }
     try {
       val r = TestEvaluator.evaluate(expr, values)
       val vals = Map("expression_result" -> fmtNum(r.expressionResult)) ++

@@ -172,6 +172,46 @@ class ScannerSpec extends SparkSpec {
     assert(rows.toSeq == Seq("not-a-uuid"))
   }
 
+  test("samples config drives failed-rows + table-sample collection in execute") {
+    val yamlWithSamples =
+      """table_name: scannertest
+        |samples:
+        |  table_limit: 3
+        |  failed_limit: 10
+        |columns:
+        |  id:
+        |    valid_format: uuid
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, df, yamlWithSamples)
+    val ts = r.measurement("table_sample").getOrElse(fail("no table_sample"))
+    assert(ts.value.contains(3L) && ts.groupValues.size == 3)
+    val fr = r.measurement("failed_rows", Some("id")).getOrElse(fail("no failed_rows"))
+    assert(fr.value.contains(1L))
+    assert(fr.groupValues.head.group("id") == "not-a-uuid")
+    // columns without missing/validity config collect no failed-rows sample
+    assert(r.measurement("failed_rows", Some("country")).isEmpty)
+  }
+
+  test("scan time is stamped and caller-overridable") {
+    assert(result.time.exists(_.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}.*""")))
+    val r = Scanner.executeYaml(spark, df, "table_name: t\nmetrics:\n- row_count\n",
+      time = Some("2026-01-02T03:04:05+00:00"))
+    assert(r.time.contains("2026-01-02T03:04:05+00:00"))
+  }
+
+  test("test referencing an unmeasured metric is skipped, not errored") {
+    val r = Scanner.executeYaml(spark, df,
+      """table_name: scannertest
+        |metrics:
+        |- row_count
+        |tests:
+        |- distinct > 0
+        |""".stripMargin)
+    val tr = r.testResults.find(_.test.expression == "distinct > 0").getOrElse(fail("missing test"))
+    assert(tr.skipped && !tr.passed && tr.error.isEmpty)
+    assert(!r.hasErrors)
+  }
+
   test("scan result frames have the reference schemas") {
     val mf = ScanResultFrames.measurementsToDF(spark, result.measurements)
     assert(mf.columns.toSeq == Seq("metric", "column_name", "value", "group_values"))
