@@ -137,10 +137,14 @@ object Dedup {
     * cluster representatives (see [[Components.connectedComponents]]) than by
     * enumerating O(B²) pairs. Default: uncapped (exact LSH semantics).
     */
+  /** `tokenHasher`: hash applied to each shingle string. xxhash64 (default)
+    * is the fast path; [[Shingles.md5Hash60]] is the oracle-checkable one.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3, broadcastVerify: Boolean = true,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
+                      maxBucket: Int = Int.MaxValue,
+                      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // (id, sig) only — the document body never enters the LSH shuffle.
@@ -150,7 +154,7 @@ object Dedup {
     // into all band-key expressions, and (c) is reused (ReuseExchange) by
     // both sides of the self-join below.
     val sigs = df.select(col(idCol).as("id"),
-        Shingles.shingleHashes(TextAnalysis.tokens(col(textCol)), shingleLen).as("h"))
+        transform(Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen), tokenHasher).as("h"))
       .repartition(col("id"))
       .select(col("id"), minhashSignatureFromHashes(col("h"), numHashes).as("sig"))
 
@@ -207,18 +211,21 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** 64-bit SimHash from a MATERIALIZED token-hash array column: per bit b,
-    * the bit is set iff more than half the tokens have it set
-    * (sum of ±1 > 0  ⟺  2*popcount_b > n). 64 independent cheap folds over
-    * the hash array — no per-token array allocation.
+  /** `bits`-wide SimHash from a MATERIALIZED token-hash array column: per bit
+    * b, the bit is set iff more than half the tokens have it set
+    * (sum of ±1 > 0  ⟺  2*popcount_b > n). `bits` independent cheap folds
+    * over the hash array — no per-token array allocation.
     */
-  def simhashFromHashes(hashes: Column): Column = {
+  def simhashBits(hashes: Column, bits: Int): Column = {
     val n = size(hashes)
-    (0 until 64).map { b =>
+    (0 until bits).map { b =>
       val setCnt = size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
       when(setCnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
   }
+
+  /** 64-bit SimHash (the xxhash64 fast path's width). */
+  def simhashFromHashes(hashes: Column): Column = simhashBits(hashes, 64)
 
   /** SimHash of raw text (convenience; hot paths should materialize the hash
     * array first — see [[simhashPairs]]).
@@ -226,19 +233,27 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
-    * (guarantees recall for hamming distance <= 3), verified by exact hamming
-    * distance via bit_count(xor).
+  /** SimHash near-dup pairs: candidates share one of `nChunks` bit chunks
+    * (pigeonhole: guarantees full recall for hamming distance < nChunks),
+    * verified by exact hamming distance via bit_count(xor).
+    * `tokenHasher`/`bits`: xxhash64/64 is the fast default;
+    * [[Shingles.md5Hash60]]/60 is the oracle-checkable variant.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    // materialize token hashes before the 64 per-bit folds (see minhashLshPairs)
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                   tokenHasher: Column => Column = xxhash64(_), bits: Int = 64,
+                   nChunks: Int = 4): DataFrame = {
+    require(bits % nChunks == 0, "bits must be divisible by nChunks")
+    require(maxHamming < nChunks, s"chunk recall guarantee needs maxHamming < nChunks")
+    val width = bits / nChunks
+    val mask = (1L << width) - 1L
+    // materialize token hashes before the per-bit folds (see minhashLshPairs)
     val sigs = df.select(col(idCol).as("id"),
-        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("h"))
+        transform(TextAnalysis.tokens(col(textCol)), tokenHasher).as("h"))
       .repartition(col("id"))
-      .select(col("id"), simhashFromHashes(col("h")).as("sig"))
+      .select(col("id"), simhashBits(col("h"), bits).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "ckey")))
+      posexplode(array((0 until nChunks).map(i =>
+        shiftright(col("sig"), i * width).bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
     val l = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "ckey"))

@@ -118,4 +118,14 @@ object Shingles {
   /** xxhash64 of each n-token shingle of `toks`. */
   def shingleHashes(toks: Column, n: Int): Column =
     transform(shingleStrings(toks, n), s => xxhash64(s))
+
+  /** 60-bit hash BOTH Spark and DuckDB compute identically: the first 15 hex
+    * chars of md5(utf8), parsed as an integer (non-negative, < 2^60). The
+    * oracle-checkable alternative to xxhash64 — used by the gate variants of
+    * MinHash-LSH and SimHash so their full outputs hash-match DuckDB.
+    * (xxhash64 stays the fast default: one codegen'd primitive op vs a full
+    * md5 digest + hex parse.)
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 }

@@ -365,12 +365,20 @@ object Catalog {
     "q_dedup_minhash" -> ((s, dir) =>
       // shingleLen=1: these synthetic docs are bags of common words, so the
       // MinHash set definition matches the token-set Jaccard verification.
+      // md5Hash60 token hashing makes the FULL output (LSH banding included)
+      // oracle-checkable: DuckDB recomputes the 64 permutation minima from
+      // the same md5-derived hashes and applies the same 16-band equality.
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.8, shingleLen = 1)
+        threshold = 0.8, shingleLen = 1, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      // md5Hash60/60-bit variant: DuckDB recomputes the per-bit majorities
+      // and exact hamming distances — full-output oracle. The chunked
+      // candidate stage guarantees recall for hamming <= 3 (pigeonhole),
+      // so chunking is invisible in the output.
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+        tokenHasher = Shingles.md5Hash60, bits = 60)
         .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")),
 
     "q_dedup_cosine" -> ((s, dir) =>
@@ -479,7 +487,61 @@ object Catalog {
   // DuckDB oracles (identical expression trees; see SURVEY.md §3)
   // ==================================================================
 
+  /** Shared md5-60-bit token hash (see graft.ops.Shingles.md5Hash60). */
+  private val duckTokenHash = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+
+  /** Full MinHash-LSH oracle: recompute the 64 permutation minima per doc
+    * from the md5-60 token hashes (same coefficients as MinHashSignatureExpr),
+    * apply the same 16-band slice-equality candidacy, then the same exact
+    * token-set jaccard >= threshold verification.
+    */
+  private def minhashOracleSql(numHashes: Int, bands: Int, threshold: Double): String = {
+    val (as, bs) = graft.functions.MinHash.coefs(numHashes)
+    val p = graft.functions.MinHash.P
+    val rows = numHashes / bands
+    val sigAggs = (0 until numHashes)
+      .map(i => s"min(((h % $p) * ${as(i)} + ${bs(i)}) % $p) AS s$i").mkString(", ")
+    val bandClauses = (0 until bands).map { b =>
+      (0 until rows).map(r => s"a.s${b * rows + r} = b.s${b * rows + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM tok),
+       |g AS (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
+       |d AS (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS toks FROM documents),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |         WHERE $bandClauses)
+       |SELECT c.id_a, c.id_b
+       |FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b
+       |WHERE CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
+       |      CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS DOUBLE) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Full SimHash oracle: per-bit token-hash majorities → 60-bit signature →
+    * exact hamming over ALL pairs (the Spark side's chunked candidacy is
+    * recall-lossless for hamming <= maxHamming < nChunks, so brute force
+    * produces the identical set).
+    */
+  private def simhashOracleSql(bits: Int, maxHamming: Int): String = {
+    val bitSums = (0 until bits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE 0 END) AS c$b").mkString(", ")
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN c$b * 2 > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM tok),
+       |s AS (SELECT doc_id, count(*) AS n, $bitSums FROM hh GROUP BY doc_id),
+       |g AS (SELECT doc_id, $sigExpr AS sig FROM s)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
+    "q_dedup_simhash" -> simhashOracleSql(60, 3),
     "q_row_count" -> "SELECT count(*) AS row_count FROM lineitem",
 
     "q_missing" ->

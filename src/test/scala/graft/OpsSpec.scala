@@ -61,6 +61,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("minhash LSH: xxhash64 and md5Hash60 token hashers agree on this corpus") {
+    def run(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1, tokenHasher = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(xxhash64(_)) == run(Shingles.md5Hash60))
+  }
+
+  test("minhash LSH recall: every exact pair >= 0.9 jaccard is recovered") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val exactHigh = Dedup.jaccardPairsAllPairs(blocked, "id", "text", 0.9, Seq("blk"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactHigh.subsetOf(lsh), s"missed: ${exactHigh -- lsh}")
+  }
+
   test("simhash pairs exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
