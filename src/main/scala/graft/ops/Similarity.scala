@@ -93,12 +93,18 @@ object Similarity {
     * cosine top-K within candidates. More tables → higher recall; fewer
     * planes → bigger buckets.
     */
+  /** Deterministic random hyperplanes — shared by [[lshTopK]] and its oracle
+    * SQL builder so both engines hash with identical constants.
+    */
+  def hyperplanes(tables: Int, planes: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian())))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               tables: Int = 4, planes: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val hyperplanes: Seq[Seq[Seq[Double]]] =
-      Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian())))
+    val hyperplanes = this.hyperplanes(tables, planes, dim, seed)
 
     def bucket(v: Column, t: Int): Column =
       hyperplanes(t).zipWithIndex.map { case (h, i) =>

@@ -169,9 +169,11 @@ object Catalog {
     },
 
     "q_column_sketch" -> { (s, dir) =>
-      // column-content MinHash sketch (mergeable Aggregator) exploded to rows
-      val sig = t(s, dir, "orders").select(
-        graft.functions.MinHashAgg.minhashAgg(xxhash64(col("o_orderpriority")), 32).as("sig"))
+      // column-content MinHash sketch (mergeable Aggregator) exploded to
+      // rows; md5Hash60 value hashing makes the signature oracle-checkable
+      // (DuckDB recomputes the 32 permutation minima over the value set).
+      val sig = t(s, dir, "orders").where(col("o_orderpriority").isNotNull).select(
+        graft.functions.MinHashAgg.minhashAgg(Shingles.md5Hash60(col("o_orderpriority")), 32).as("sig"))
       sig.select(posexplode(col("sig")).as(Seq("pos", "sig_value"))).orderBy("pos")
     },
 
@@ -539,9 +541,100 @@ object Catalog {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Column-sketch oracle: the same `numHashes` permutation minima over the
+    * md5-60 hashes of the column's values.
+    */
+  private def columnSketchOracleSql(numHashes: Int): String = {
+    val (as, bs) = graft.functions.MinHash.coefs(numHashes)
+    val p = graft.functions.MinHash.P
+    val mins = (0 until numHashes)
+      .map(i => s"min(((h % $p) * ${as(i)} + ${bs(i)}) % $p)").mkString(", ")
+    s"""WITH hh AS (SELECT ('0x' || substr(md5(o_orderpriority), 1, 15))::BIGINT AS h
+       |            FROM orders WHERE o_orderpriority IS NOT NULL),
+       |g AS (SELECT [$mins] AS sig FROM hh)
+       |SELECT CAST(unnest(range(0, $numHashes)) AS INT) AS pos, unnest(sig) AS sig_value
+       |FROM g ORDER BY pos""".stripMargin
+  }
+
+  /** Exact-round-trip double literal for SQL (e-notation forces DOUBLE in
+    * DuckDB; shortest-repr decimal parses back to the identical double).
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) s.replace("E", "e") else s + "e0"
+  }
+
+  /** LSH-ANN oracle: the hyperplane constants are generated by the SAME
+    * seeded code as lshTopK and inlined as literals; DuckDB recomputes the
+    * sign-bit buckets, candidate union and exact cosine top-k.
+    */
+  private def lshAnnOracleSql(k: Int, tables: Int, planes: Int, dim: Int, seed: Long): String = {
+    val hps = graft.ops.Similarity.hyperplanes(tables, planes, dim, seed)
+    def bucketExpr(t: Int): String = (0 until planes).map { i =>
+      val hp = hps(t)(i).map(dlit).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding, $hp) > 0.0e0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    def side(alias: String, filter: String): String = (0 until tables).map { t =>
+      s"SELECT vec_id AS $alias, $t AS tbl, ${bucketExpr(t)} AS bucket FROM embeddings$filter"
+    }.mkString(" UNION ALL ")
+    s"""WITH c AS (${side("nid", "")}),
+       |q AS (${side("qid", " WHERE vec_id < 10")}),
+       |cand AS (SELECT DISTINCT q.qid, c.nid
+       |         FROM c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.nid != q.qid),
+       |s AS (SELECT cand.qid, cand.nid, list_cosine_similarity(e.embedding, qe.embedding) AS cos
+       |      FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+       |                JOIN embeddings qe ON qe.vec_id = cand.qid),
+       |r AS (SELECT qid, nid,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-ANN oracle: same deterministic coarse quantizer (the ncells
+    * smallest-id vectors as seeds, argmax cosine with larger-cell tie-break),
+    * nprobe probed cells, exact cosine top-k within probed cells.
+    */
+  private def ivfAnnOracleSql(k: Int, ncells: Int, nprobe: Int): String =
+    s"""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS sv
+       |               FROM embeddings ORDER BY vec_id LIMIT $ncells),
+       |asg AS (SELECT e.vec_id AS nid, s.cell,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell DESC) AS rn
+       |        FROM embeddings e CROSS JOIN seeds s),
+       |best AS (SELECT nid, cell FROM asg WHERE rn = 1),
+       |qprobe AS (SELECT qid, cell FROM (
+       |             SELECT e.vec_id AS qid, s.cell,
+       |                    row_number() OVER (PARTITION BY e.vec_id
+       |                      ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell DESC) AS rn
+       |             FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 10)
+       |           WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT q.qid, b.nid FROM qprobe q JOIN best b ON b.cell = q.cell
+       |         WHERE b.nid != q.qid),
+       |s AS (SELECT cand.qid, cand.nid, list_cosine_similarity(e.embedding, qe.embedding) AS cos
+       |      FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+       |                JOIN embeddings qe ON qe.vec_id = cand.qid),
+       |r AS (SELECT qid, nid,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
     "q_dedup_simhash" -> simhashOracleSql(60, 3),
+    "q_column_sketch" -> columnSketchOracleSql(32),
+    "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
+    "q_ann_ivf" -> ivfAnnOracleSql(5, 16, 4),
+
+    "q_schema" ->
+      """SELECT CAST(row_number() OVER () - 1 AS INT) AS position, column_name,
+        |       CASE lower(column_type) WHEN 'varchar' THEN 'string'
+        |                               WHEN 'integer' THEN 'int'
+        |                               WHEN 'timestamp' THEN 'timestamp_ntz'
+        |                               ELSE lower(column_type) END AS data_type
+        |FROM (DESCRIBE SELECT * FROM lineitem)
+        |ORDER BY position""".stripMargin,
     "q_row_count" -> "SELECT count(*) AS row_count FROM lineitem",
 
     "q_missing" ->
