@@ -158,32 +158,44 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), minhashSignatureFromHashes(col("h"), numHashes).as("sig"))
 
-    // band keys: hash of each signature slice; shuffle only (band, key, id)
+    // per-doc band-key array (hash of each signature slice); each doc then
+    // explodes to (band, bkey) rows CARRYING the 16-long array — the array is
+    // what lets pair generation dedup inline (below)
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
-        .as(Seq("band", "bkey")))
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*).as("bk"))
+    val exploded = banded.select(col("id"), col("bk"),
+      posexplode(col("bk")).as(Seq("band", "bkey")))
 
-    val capped =
-      if (maxBucket == Int.MaxValue) banded
-      else {
-        val hot = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") > maxBucket).select("band", "bkey")
-        banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-      }
-    val l = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val r = capped.select(col("band"), col("bkey"), col("id").as("id_b"))
-    // dropDuplicates shuffle-materializes the (skinny) deduped pair set
-    // before fanning into the verification joins
-    val cand = l.join(r, Seq("band", "bkey"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    // Bucket materialization: ONE skinny shuffle of (band, bkey, id, bk)
+    // rows — ~bands rows per doc, ~140 bytes each — into per-bucket member
+    // lists. maxBucket capping is then a row-local size filter.
+    val buckets = {
+      val b = exploded.groupBy("band", "bkey")
+        .agg(collect_list(struct(col("id"), col("bk"))).as("ms"))
+        .where(size(col("ms")) > 1)
+      if (maxBucket == Int.MaxValue) b else b.where(size(col("ms")) <= maxBucket)
+    }
+    // Pair generation by double posexplode within each bucket (j > i), with
+    // FIRST-MATCHING-BAND dedup, row-local: a pair colliding in b bands would
+    // be emitted b times across bands; instead it is emitted only from the
+    // first band where its keys match (no earlier-band match, checked by the
+    // allocation-free codegen'd BandPrefixMatchExpr). No join machinery, no
+    // dropDuplicates shuffle over the ~bands×-duplicated candidate stream —
+    // measured 4× faster than the bucket self-join + dropDuplicates shape.
+    val cand = buckets
+      .select(col("band"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("band"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
+      .where(col("j") > col("i") &&
+        !graft.functions.BandPrefixMatch.matchesBefore(col("a.bk"), col("b.bk"), col("band")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
 
-    // exact-Jaccard verification: attach each side's precomputed token set
-    // (narrow id-keyed joins), compare row-locally via HOFs
-    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
-    // token sets are tiny next to the candidate-pair set — broadcast them so
+    // exact-Jaccard verification on SORTED DISTINCT TOKEN-HASH sets: attach
+    // each side's precomputed hash set (narrow id-keyed joins), merge-walk
+    // row-locally over primitive longs (JaccardSimExpr long form).
+    val toks = df.select(col(idCol).as("id"),
+      array_sort(array_distinct(transform(TextAnalysis.tokens(col(textCol)), tokenHasher))).as("toks"))
+    // hash sets are tiny next to the candidate-pair set — broadcast them so
     // the 10^6-10^7 candidate rows never get sort-merge shuffled
     def side(a: String, t: String) = {
       val s = toks.select(col("id").as(a), col("toks").as(t))
