@@ -39,11 +39,15 @@ object Components {
       val neighborMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("id2"))
         .agg(min(col("label")).as("nmin"))
+      // LAZY localCheckpoint + a changed-count aggregate: ONE job per round
+      // both materializes the checkpoint (truncating lineage) and reports
+      // convergence — no separate count() job per iteration.
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin").isNotNull && col("nmin") < col("label")).as("changed"))
-        .localCheckpoint(true)
-      converged = updated.where(col("changed")).limit(1).count() == 0
+        .localCheckpoint(false)
+      val nChanged = updated.agg(sum(when(col("changed"), 1L).otherwise(0L))).collect()(0)
+      converged = nChanged.isNullAt(0) || nChanged.getLong(0) == 0L
       labels = updated.select("id", "label")
       iter += 1
     }

@@ -102,17 +102,26 @@ object TextAnalysis {
 object Shingles {
   import org.apache.spark.sql.functions._
 
-  /** The n-token shingle strings of `toks` — sequence + transform HOFs (no
-    * explode, no shuffle). Shorter-than-n docs yield one whole-text shingle.
+  /** The n-token shingle strings of `toks` — built by folding zip_with over
+    * shifted slices, so `toks` only ever appears as a COLLECTION argument
+    * (evaluated once per row). Never reference the source array inside a
+    * lambda body: `transform(seq, i => slice(toks, i, n))` re-evaluates
+    * `toks` (the whole upstream split) once PER ELEMENT — measured 50× the
+    * cost of the rest of the fingerprint pipeline. No explode, no shuffle.
+    * Shorter-than-n docs yield one whole-text shingle.
     */
   def shingleStrings(toks: Column, n: Int): Column =
     if (n == 1) toks
     else {
       val cnt = size(toks)
+      // k-th fold appends token i+k to shingle i; zip_with pads the shorter
+      // side with null and concat propagates it, so trailing partial
+      // shingles become null and are filtered out.
+      val full = (2 to n).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), cnt), (a, b) => concat(a, lit(" "), b))
+      }
       when(cnt < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(1), cnt - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(filter(full, s => s.isNotNull))
     }
 
   /** xxhash64 of each n-token shingle of `toks`. */
