@@ -31,8 +31,13 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Distinct token array (sorted for determinism). */
-  private def tokenSet(text: Column): Column = array_sort(array_distinct(TextAnalysis.tokens(text)))
+  /** Sorted distinct token-HASH array: set-cardinality-preserving (64-bit,
+    * collisions ~n²/2^65), so jaccard over it equals jaccard over the string
+    * set — with long compares instead of string compares in the merge walk
+    * and an 8-byte element in every shuffle/broadcast instead of the token.
+    */
+  private def tokenHashSet(text: Column): Column =
+    array_sort(array_distinct(transform(TextAnalysis.tokens(text), t => xxhash64(t))))
 
   /** Exact token-set Jaccard near-dup pairs via inverted-index join.
     *
@@ -44,7 +49,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, blockCols: Seq[String] = Nil,
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    val docs = df.select((col(idCol).as("id") +: tokenSet(col(textCol)).as("toks") +: blockCols.map(col)): _*)
+    // inverted index over token HASHES: the join key and shuffle rows carry
+    // 8-byte longs, never the token text
+    val docs = df.select((col(idCol).as("id") +: tokenHashSet(col(textCol)).as("toks") +: blockCols.map(col)): _*)
       .withColumn("nt", size(col("toks")))
     val inv = docs.select((col("id") +: col("nt") +: explode(col("toks")).as("tok") +: blockCols.map(col)): _*)
     val capped =
@@ -81,7 +88,8 @@ object Dedup {
   def jaccardPairsAllPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, blockCols: Seq[String],
                            broadcastRight: Boolean = true): DataFrame = {
-    val docs = df.select((col(idCol).as("id") +: tokenSet(col(textCol)).as("toks") +: blockCols.map(col)): _*)
+    // token-HASH sets: long merge walk + 8-byte broadcast elements
+    val docs = df.select((col(idCol).as("id") +: tokenHashSet(col(textCol)).as("toks") +: blockCols.map(col)): _*)
     val a = docs.select((col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
     val bRaw = docs.select((col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
     val b = if (broadcastRight) broadcast(bRaw) else bRaw
@@ -225,10 +233,16 @@ object Dedup {
 
   /** `bits`-wide SimHash from a MATERIALIZED token-hash array column: per bit
     * b, the bit is set iff more than half the tokens have it set
-    * (sum of ±1 > 0  ⟺  2*popcount_b > n). `bits` independent cheap folds
-    * over the hash array — no per-token array allocation.
+    * (sum of ±1 > 0  ⟺  2*popcount_b > n). One fused codegen'd pass over
+    * the hash array ([[graft.functions.SimHashExpr]]).
     */
-  def simhashBits(hashes: Column, bits: Int): Column = {
+  def simhashBits(hashes: Column, bits: Int): Column =
+    graft.functions.SimHash.simhash(hashes, bits)
+
+  /** Builtin-HOF formulation with identical semantics (`bits` separate
+    * filter-count folds) — kept for cross-checking the native expression.
+    */
+  def simhashBitsHof(hashes: Column, bits: Int): Column = {
     val n = size(hashes)
     (0 until bits).map { b =>
       val setCnt = size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, JaccardSim, MinHash}
+import graft.functions.{CosineSim, JaccardSim, MinHash, SimHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension: registers graft's native functions.
@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHash.functionDescriptor)
     ext.injectFunction(CosineSim.functionDescriptor)
     ext.injectFunction(JaccardSim.functionDescriptor)
+    ext.injectFunction(SimHash.functionDescriptor)
   }
 }
 
@@ -19,7 +20,7 @@ object GraftExtensions {
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
     Seq(MinHash.functionDescriptor, CosineSim.functionDescriptor,
-        JaccardSim.functionDescriptor).foreach {
+        JaccardSim.functionDescriptor, SimHash.functionDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -61,6 +61,16 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("native SimHashExpr is bit-identical to the HOF formulation") {
+    for (bits <- Seq(60, 64)) {
+      val r = docs.select(
+        Dedup.simhashBits(transform(split(col("text"), "\\s+"), t => xxhash64(t)), bits).as("native"),
+        Dedup.simhashBitsHof(transform(split(col("text"), "\\s+"), t => xxhash64(t)), bits).as("hof"))
+        .collect()
+      assert(r.forall(row => row.getLong(0) == row.getLong(1)), s"bits=$bits")
+    }
+  }
+
   test("minhash LSH: xxhash64 and md5Hash60 token hashers agree on this corpus") {
     def run(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1, tokenHasher = h)
