@@ -31,13 +31,15 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Sorted distinct token-HASH array: set-cardinality-preserving (64-bit,
-    * collisions ~n²/2^65), so jaccard over it equals jaccard over the string
-    * set — with long compares instead of string compares in the merge walk
-    * and an 8-byte element in every shuffle/broadcast instead of the token.
+  /** Sorted distinct n-gram-shingle-HASH array: set-cardinality-preserving
+    * (64-bit, collisions ~n²/2^65), so jaccard over it equals jaccard over
+    * the shingle-string set — with long compares instead of string compares
+    * in the merge walk and an 8-byte element in every shuffle/broadcast
+    * instead of the shingle text. shingleLen=1 gives the token set.
     */
-  private def tokenHashSet(text: Column): Column =
-    array_sort(array_distinct(transform(TextAnalysis.tokens(text), t => xxhash64(t))))
+  private def tokenHashSet(text: Column, shingleLen: Int = 1): Column =
+    array_sort(array_distinct(transform(
+      Shingles.shingleStrings(TextAnalysis.tokens(text), shingleLen), t => xxhash64(t))))
 
   /** Exact token-set Jaccard near-dup pairs via inverted-index join.
     *
@@ -85,11 +87,14 @@ object Dedup {
     * (id_a, id_b, jaccard). `broadcastRight`: broadcast the (id, token-set)
     * side — fine while token sets fit in executor memory.
     */
+  /** `shingleLen` > 1 switches the set definition from tokens to n-gram
+    * shingles (word n-gram Jaccard — order-sensitive near-dup detection).
+    */
   def jaccardPairsAllPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, blockCols: Seq[String],
-                           broadcastRight: Boolean = true): DataFrame = {
-    // token-HASH sets: long merge walk + 8-byte broadcast elements
-    val docs = df.select((col(idCol).as("id") +: tokenHashSet(col(textCol)).as("toks") +: blockCols.map(col)): _*)
+                           broadcastRight: Boolean = true, shingleLen: Int = 1): DataFrame = {
+    // shingle-HASH sets: long merge walk + 8-byte broadcast elements
+    val docs = df.select((col(idCol).as("id") +: tokenHashSet(col(textCol), shingleLen).as("toks") +: blockCols.map(col)): _*)
     val a = docs.select((col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
     val bRaw = docs.select((col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
     val b = if (broadcastRight) broadcast(bRaw) else bRaw

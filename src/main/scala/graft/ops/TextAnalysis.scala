@@ -73,6 +73,22 @@ object TextAnalysis {
     df.withColumn(out, best.getField("lang"))
   }
 
+  /** Corpus vocabulary with heavy-hitter stats: per token, total occurrences
+    * (tf) and document frequency (df), the top `k` by (tf desc, token asc).
+    *
+    * Two-level aggregation: (token, doc) partial counts first — map-side
+    * combine collapses within-doc repeats before the shuffle — then per-token
+    * totals; top-k via TakeOrderedAndProject (no global sort, no window).
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val perDoc = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc").agg(count(lit(1)).as("n"))
+    perDoc.groupBy("token")
+      .agg(sum("n").cast("long").as("tf"), count(lit(1)).as("df_docs"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 of each `n`-token shingle,
     * winnowed to the `k` smallest hashes (sorted). Deterministic, row-local.
     * This is the fast path (codegen'd 64-bit hash).

@@ -424,6 +424,40 @@ object Catalog {
         .orderBy("o_orderpriority", "rank")
     },
 
+    "q_dedup_ngram" -> ((s, dir) =>
+      // word-3-gram Jaccard (order-sensitive near-dup; distinct from the
+      // token-SET jaccard of q_dedup_jaccard — shuffled copies don't match)
+      Dedup.jaccardPairsAllPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3, blockCols = Seq("lang"), shingleLen = 3)
+        .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")),
+
+    "q_sample_hash" -> ((s, dir) =>
+      // deterministic hash sample: reproducible across runs/partitionings;
+      // md5Hash60 keying makes the exact kept-set oracle-checkable
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", fraction = 0.1,
+          hasher = Shingles.md5Hash60)
+        .select("doc_id").orderBy("doc_id")),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
+          fractions = Map("en" -> 0.2, "es" -> 0.5), defaultFraction = 0.05,
+          hasher = Shingles.md5Hash60)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
+        .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
+
+    "q_percentiles_group" -> { (s, dir) =>
+      val p = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(p.as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"))
+        .orderBy("l_returnflag")
+    },
+
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -963,6 +997,43 @@ object Catalog {
         |  FROM orders)
         |SELECT o_orderpriority, rank, o_orderkey FROM r WHERE rank <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        |      FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
+        |      CASE WHEN lang = 'en' THEN 2000 WHEN lang = 'es' THEN 5000 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs FROM t GROUP BY token)
+        |SELECT token, tf, df_docs FROM g
+        |ORDER BY tf DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_percentiles_group" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -224,6 +224,39 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hash sampling is deterministic, refinable, and stratified fractions apply") {
+    val ids = spark.range(0, 1000).toDF("id")
+    val s10 = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
+    val s10b = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
+    val s20 = Sampling.hashSample(ids, "id", 0.2).select("id").as[Long].collect().toSet
+    assert(s10 == s10b)                    // reproducible
+    assert(s10.subsetOf(s20))              // refinable: smaller sample nested in larger
+    assert(s10.size > 50 && s10.size < 150) // ~10%
+    val strat = ids.withColumn("g", when(col("id") < 500, "a").otherwise("b"))
+    val ss = Sampling.stratifiedHashSample(strat, "id", "g", Map("a" -> 1.0), defaultFraction = 0.0)
+      .select("g").as[String].collect()
+    assert(ss.length == 500 && ss.forall(_ == "a"))
+  }
+
+  test("vocabulary counts tf and df") {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    val v = TextAnalysis.vocabulary(d, "id", "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(v == Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("n-gram jaccard is order-sensitive where token-set jaccard is not") {
+    val d = Seq((1L, "x a b c d e"), (2L, "x e d c b a"), (3L, "x a b c d f")).toDF("id", "text")
+      .withColumn("blk", lit(1))
+    val tokenPairs = Dedup.jaccardPairsAllPairs(d, "id", "text", 0.8, Seq("blk"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ngramPairs = Dedup.jaccardPairsAllPairs(d, "id", "text", 0.5, Seq("blk"), shingleLen = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tokenPairs.contains((1L, 2L)))   // same token set, different order
+    assert(!ngramPairs.contains((1L, 2L)))  // 3-grams don't survive reordering
+    assert(ngramPairs.contains((1L, 3L)))   // shared prefix 3-grams do
+  }
+
   test("token counting") {
     val df = Seq((1L, "hello world 42 foo-bar")).toDF("id", "text")
     val r = df.select(
