@@ -21,12 +21,24 @@ object Components {
     *              their own component)
     * @return (id, component) — component = min node id reachable
     */
+  /** @param broadcastLabels broadcast the label frame into each round's join
+    *        instead of shuffling it — faster when the node set comfortably
+    *        fits in executor memory, wrong at billions of nodes (default off:
+    *        the edge set is pre-partitioned+sorted by join key ONCE, so each
+    *        round shuffles only the label side, never the edges)
+    */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIterations: Int = 20): DataFrame = {
+                          maxIterations: Int = 20,
+                          broadcastLabels: Boolean = false): DataFrame = {
+    // Symmetrized edges, hash-partitioned and sorted by the join key (b) ONCE
+    // — localCheckpoint preserves partitioning+ordering, so per-round joins
+    // add no edge-side exchange or sort.
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
+      .repartition(col("b"))
+      .sortWithinPartitions("b")
       .localCheckpoint(true)
 
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
@@ -35,8 +47,10 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // smallest label among each node's neighbors
-      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+      // smallest label among each node's neighbors; the edge set never
+      // re-shuffles (pre-partitioned), only the label side moves
+      val lbl = if (broadcastLabels) broadcast(labels) else labels
+      val neighborMin = sym.join(lbl, sym("b") === lbl("id"))
         .groupBy(sym("a").as("id2"))
         .agg(min(col("label")).as("nmin"))
       // LAZY localCheckpoint + a changed-count aggregate: ONE job per round

@@ -98,8 +98,13 @@ object Dedup {
     val a = docs.select((col("id").as("id_a") +: col("toks").as("toks_a") +: blockCols.map(col)): _*)
     val bRaw = docs.select((col("id").as("id_b") +: col("toks").as("toks_b") +: blockCols.map(col)): _*)
     val b = if (broadcastRight) broadcast(bRaw) else bRaw
+    // LOSSLESS size-ratio prefilter (jaccard >= t ⟹ min|set| >= t·max|set|):
+    // short-circuits the merge walk for size-incompatible pairs before any
+    // element comparison happens.
     a.join(b, blockCols)
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        size(col("toks_a")).cast(DoubleType) >= lit(threshold) * size(col("toks_b")).cast(DoubleType) &&
+        size(col("toks_b")).cast(DoubleType) >= lit(threshold) * size(col("toks_a")).cast(DoubleType))
       .select(col("id_a"), col("id_b"),
         graft.functions.JaccardSim.jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
