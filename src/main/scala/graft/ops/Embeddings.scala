@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-column operators beyond similarity search: per-group centroids
+  * (class prototypes / cluster summaries for curriculum and filtering).
+  */
+object Embeddings {
+
+  /** Per-group, per-dimension centroid of an `Array[Float]` column:
+    * (grp, dim, centroid). One posexplode → one groupBy(grp, dim) shuffle
+    * with map-side partials — never collects vectors, scales to any group
+    * count. Sums are decimal-exact (order-independent) so the result is
+    * bit-reproducible across partitionings and engines; the mean is derived
+    * with an explicit double division (oracle-identical tree).
+    */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    // bround (HALF_EVEN) before the decimal cast: floats whose exact binary
+    // expansion terminates one digit past the scale are rounding TIES, and
+    // Spark's double->decimal cast rounds HALF_UP while other engines
+    // (DuckDB) round half-even. Half-even first makes the per-value decimal
+    // identical everywhere; the cast after it never sees a tie.
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("grp", "dim")
+      .agg((sum(bround(col("v").cast(DoubleType), 10).cast(DecimalType(27, 10))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("centroid"))
+
+  /** Cosine of each row's vector to its group centroid — outlier scoring
+    * against the class prototype. Centroids are broadcast (one row per
+    * (group, dim): tiny), the corpus streams.
+    */
+  def centroidCosine(df: DataFrame, idCol: String, groupCol: String, vecCol: String): DataFrame = {
+    val cent = centroids(df, groupCol, vecCol)
+      .groupBy("grp").agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
+      .select(col("grp"), transform(col("cs"), s => s.getField("centroid")).as("cvec"))
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .join(broadcast(cent), Seq("grp"))
+      .select(col("id"), col("grp"), Similarity.cosine(col("v"), col("cvec")).as("cos_to_centroid"))
+  }
+}

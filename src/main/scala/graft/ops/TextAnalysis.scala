@@ -73,6 +73,49 @@ object TextAnalysis {
     df.withColumn(out, best.getField("lang"))
   }
 
+  /** Text normalization for near-exact dedup: lowercase + collapse
+    * whitespace + trim. Row-local, codegen'd.
+    */
+  def normalizeText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Sequential regex redaction (PII scrub before training): each (pattern,
+    * replacement) rule applied in order. Row-local, codegen'd regexes.
+    */
+  def redact(c: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** Default PII rules: emails, then phone-shaped separated digit groups
+    * (at least two separators — plain digit runs are NOT phones), then long
+    * ids.
+    */
+  val defaultRedactionRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9()]+([\\- ][0-9()\\-]+){2,}" -> "<PHONE>",
+    "[0-9]{6,}" -> "<ID>"
+  )
+
+  /** C4-style document quality filter: keep/drop with the FIRST failing rule
+    * as the reason. All features are the oracle-verified qualityFeatures
+    * expressions; thresholds are explicit double comparisons so the filter is
+    * reproducible across engines. Row-local — the filter composes with scan
+    * pushdown when used as `where(col("keep"))`.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minTokens: Int = 30, maxTokens: Int = 100000,
+                    maxAvgTokenLen: Double = 12.0,
+                    minStopwordRatio: Double = 0.0): DataFrame = {
+    val t = col(textCol)
+    val nt = tokenCount(t).cast(LongType)
+    val atl = length(regexp_replace(t, "\\s+", "")).cast(DoubleType) / nt.cast(DoubleType)
+    val sr = tokenHits(t, stopwordsEn).cast(DoubleType) / nt.cast(DoubleType)
+    val reason = when(nt < minTokens, "too_short")
+      .when(nt > maxTokens, "too_long")
+      .when(atl > maxAvgTokenLen, "avg_token_len_high")
+      .when(sr < minStopwordRatio, "low_stopword_ratio")
+      .otherwise("ok")
+    df.withColumn("reason", reason).withColumn("keep", col("reason") === "ok")
+  }
+
   /** Corpus vocabulary with heavy-hitter stats: per token, total occurrences
     * (tf) and document frequency (df), the top `k` by (tf desc, token asc).
     *

@@ -458,6 +458,20 @@ object Catalog {
         .orderBy("l_returnflag")
     },
 
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents"), "text",
+          minTokens = 30, maxAvgTokenLen = 5.0, minStopwordRatio = 0.02)
+        .select("doc_id", "keep", "reason").orderBy("doc_id")),
+
+    "q_redact" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+          TextAnalysis.redact(col("c_name"), Seq("[0-9]{6,}" -> "<ID>")).as("redacted"))
+        .orderBy("c_custkey")),
+
+    "q_embed_centroids" -> ((s, dir) =>
+      Embeddings.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("grp", "dim")),
+
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1034,6 +1048,36 @@ object Catalog {
         |       quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS atl,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |       t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS DOUBLE) /
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS sr
+        |FROM documents),
+        |r AS (SELECT doc_id, CASE
+        |  WHEN nt < 30 THEN 'too_short'
+        |  WHEN nt > 100000 THEN 'too_long'
+        |  WHEN atl > 5.0 THEN 'avg_token_len_high'
+        |  WHEN sr < 0.02 THEN 'low_stopword_ratio'
+        |  ELSE 'ok' END AS reason FROM f)
+        |SELECT doc_id, reason = 'ok' AS keep, reason FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      """SELECT c_custkey, regexp_replace(c_name, '[0-9]{6,}', '<ID>', 'g') AS redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_embed_centroids" ->
+      """WITH e AS (SELECT label AS grp, CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+        |                  unnest(embedding) AS v
+        |           FROM embeddings)
+        |SELECT grp, dim,
+        |       CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS centroid
+        |FROM e GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -257,6 +257,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ngramPairs.contains((1L, 3L)))   // shared prefix 3-grams do
   }
 
+  test("quality filter: first failing rule is the reason") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on"), // ok (12 tokens)
+      (2L, "too short"),
+      (3L, "extraordinarily sesquipedalian hippopotomonstrous verbalizations overwhelming necessitating abbreviating nevertheless wordsmithing flabbergasting devastatingly")
+    ).toDF("id", "text")
+    val m = TextAnalysis.qualityFilter(d, "text", minTokens = 10, maxAvgTokenLen = 8.0)
+      .select("id", "keep", "reason").collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), x.getString(2)))).toMap
+    assert(m(1L) == ((true, "ok")))
+    assert(m(2L) == ((false, "too_short")))
+    assert(m(3L) == ((false, "avg_token_len_high")))
+  }
+
+  test("redaction applies rules in order; normalizeText collapses case+space") {
+    val d = Seq("mail bob@example.com or +1 (555) 123-4567 id 123456789").toDF("t")
+    val out = d.select(TextAnalysis.redact(col("t"), TextAnalysis.defaultRedactionRules)).as[String].collect()(0)
+    assert(out == "mail <EMAIL> or <PHONE> id <ID>")
+    val n = d.select(TextAnalysis.normalizeText(lit("  A\t b\nC "))).as[String].collect()(0)
+    assert(n == "a b c")
+  }
+
+  test("embedding centroids: exact per-dim means and centroid cosine") {
+    val d = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(0.0f, 1.0f)),
+      (3L, "b", Seq(2.0f, 2.0f))
+    ).toDF("id", "label", "embedding")
+    val c = Embeddings.centroids(d, "label", "embedding")
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(c(("a", 0)) == 0.5 && c(("a", 1)) == 0.5 && c(("b", 0)) == 2.0)
+    val cos = Embeddings.centroidCosine(d, "id", "label", "embedding")
+      .where(col("id") === 3).select("cos_to_centroid").as[Double].collect()(0)
+    assert(math.abs(cos - 1.0) < 1e-12) // parallel to its own centroid
+  }
+
   test("token counting") {
     val df = Seq((1L, "hello world 42 foo-bar")).toDF("id", "text")
     val r = df.select(
