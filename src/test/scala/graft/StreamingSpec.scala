@@ -86,6 +86,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.contains(("2024-01-01 00:00:00", 3L, 1L, 1L)))
   }
 
+  test("streaming first-seen dedup: duplicates suppressed, TTL re-admits") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val dedup = StreamingDedup.firstSeenStream(spark, df, "ts", "doc_id", "text",
+      ttlSeconds = 3600, watermark = "0 seconds")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+
+    stream.addData((ts(0, 0), 1L, "alpha doc"), (ts(0, 1), 2L, "alpha doc"), (ts(0, 2), 3L, "beta doc"))
+    q.processAllAvailable()
+    stream.addData((ts(0, 30), 4L, "alpha doc")) // dup within TTL -> suppressed
+    q.processAllAvailable()
+    stream.addData((ts(3, 0), 5L, "gamma doc")) // advances watermark past TTL
+    q.processAllAvailable()
+    stream.addData((ts(3, 10), 6L, "alpha doc")) // re-admitted after TTL
+    q.processAllAvailable()
+
+    val ids = spark.table("dedup_test").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 3L, 5L, 6L))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per text hash") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingDedup.dropDuplicatesStream(df, "ts", "text", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ddw_test").outputMode("append").start()
+    stream.addData((ts(0, 0), 1L, "a"), (ts(0, 5), 2L, "a"), (ts(0, 6), 3L, "b"))
+    q.processAllAvailable()
+    val ids = spark.table("ddw_test").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(ids.size == 2 && ids.contains(3L) && (ids.contains(1L) || ids.contains(2L)))
+  }
+
   test("streaming sessionization closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
