@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * columns with typed metadata; decode / feature-extraction runs per
   * partition in batches.
   *
-  * The actual codec is STUBBED (no image/audio libs in this container):
-  * [[FakeCodec.decode]] derives deterministic pseudo-features from the bytes.
-  * Everything Spark-side — schema, Encoders, partition-batch shape — is real.
+  * Header parsing for WAV/BMP ([[Headers]], [[extractMetadata]]) is REAL —
+  * pure byte parsing, no libraries. The pixel/sample codec is STUBBED (no
+  * image/audio libs in this container): [[FakeCodec.decode]] derives
+  * deterministic pseudo-features from the bytes. Everything Spark-side —
+  * schema, Encoders, partition-batch shape — is real.
   */
 object Multimodal {
 
@@ -31,6 +33,86 @@ object Multimodal {
         else java.lang.Byte.toUnsignedInt(bytes(i % n)).toDouble / 255.0
       }
       (w, h, feat)
+    }
+  }
+
+  /** REAL header decoders for container formats that need no external
+    * libraries — pure byte parsing. A pipeline uses these for fast metadata
+    * extraction / corruption triage before any (expensive, native) full
+    * decode.
+    */
+  object Headers {
+    final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                             dataBytes: Long, durationMs: Long)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+    /** Parse a RIFF/WAVE header: walks chunks to `fmt ` and `data`. */
+    def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+      if (bytes.length < 44) return None
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+      var off = 12
+      var channels = -1; var rate = -1; var bits = -1; var dataBytes = -1L
+      while (off + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val sz = le32(bytes, off + 4)
+        if (id == "fmt " && off + 24 <= bytes.length) {
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12).toInt
+          bits = le16(bytes, off + 22)
+        } else if (id == "data") {
+          dataBytes = sz
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
+      else {
+        val bytesPerMs = channels.toLong * rate * bits / 8 / 1000
+        Some(WavInfo(channels, rate, bits, dataBytes,
+          if (bytesPerMs == 0) 0L else dataBytes / bytesPerMs))
+      }
+    }
+
+    final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int)
+
+    /** Parse a BMP (BITMAPINFOHEADER) header. */
+    def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+      if (bytes.length < 30 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val w = le32(bytes, 18).toInt
+      val h = le32(bytes, 22).toInt
+      val bpp = le16(bytes, 28)
+      if (w <= 0 || h == 0 || bpp <= 0) None else Some(BmpInfo(w, math.abs(h), bpp))
+    }
+  }
+
+  final case class MediaMetaRow(id: Long, format: String, ok: Boolean,
+                                width: Int, height: Int, channels: Int,
+                                sample_rate: Int, duration_ms: Long)
+
+  /** Metadata extraction over a media frame: REAL parsing for wav/bmp,
+    * failure rows (ok=false) for corrupt/unknown payloads. Per-partition
+    * batches, no shuffle — the triage step before expensive full decode.
+    */
+  def extractMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMetaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        r.format match {
+          case "audio/wav" => Headers.parseWav(r.media) match {
+            case Some(w) => MediaMetaRow(r.id, r.format, ok = true, -1, -1, w.channels, w.sampleRate, w.durationMs)
+            case None => MediaMetaRow(r.id, r.format, ok = false, -1, -1, -1, -1, -1L)
+          }
+          case "image/bmp" => Headers.parseBmp(r.media) match {
+            case Some(b) => MediaMetaRow(r.id, r.format, ok = true, b.width, b.height, -1, -1, -1L)
+            case None => MediaMetaRow(r.id, r.format, ok = false, -1, -1, -1, -1, -1L)
+          }
+          case _ => MediaMetaRow(r.id, r.format, ok = false, -1, -1, -1, -1, -1L)
+        }
+      }
     }
   }
 

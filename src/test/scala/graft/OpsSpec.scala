@@ -336,6 +336,36 @@ class TextAnalysisSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wav/bmp header metadata extraction is real byte parsing") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // minimal valid WAV: RIFF/WAVE + fmt(16) + data chunk (16kHz mono 16-bit, 32000 bytes = 1s)
+    def wavBytes(rate: Int, channels: Int, bits: Int, dataLen: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1.toShort)
+      bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(rate * channels * bits / 8); bb.putShort((channels * bits / 8).toShort)
+      bb.putShort(bits.toShort); bb.put("data".getBytes); bb.putInt(dataLen)
+      bb.array()
+    }
+    def bmpBytes(w: Int, h: Int, bpp: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes); bb.putInt(54); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h); bb.putShort(1.toShort); bb.putShort(bpp.toShort)
+      bb.array()
+    }
+    val media = Seq(
+      (1L, wavBytes(16000, 1, 16, 32000), "audio/wav"),
+      (2L, bmpBytes(640, 480, 24), "image/bmp"),
+      (3L, "not media at all".getBytes, "audio/wav")
+    ).toDF("id", "media", "format")
+    val out = Multimodal.extractMetadata(spark, media).collect().map(r => r.id -> r).toMap
+    assert(out(1L).ok && out(1L).sample_rate == 16000 && out(1L).channels == 1 && out(1L).duration_ms == 1000L)
+    assert(out(2L).ok && out(2L).width == 640 && out(2L).height == 480)
+    assert(!out(3L).ok)
+  }
 
   test("binary plumbing with stubbed decode is deterministic") {
     import spark.implicits._
