@@ -2,7 +2,7 @@ package graft
 
 import graft.api._
 import graft.scan.Scanner
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 class ScannerSpec extends SparkSpec {
   import spark.implicits._
@@ -210,6 +210,27 @@ class ScannerSpec extends SparkSpec {
     val tr = r.testResults.find(_.test.expression == "distinct > 0").getOrElse(fail("missing test"))
     assert(tr.skipped && !tr.passed && tr.error.isEmpty)
     assert(!r.hasErrors)
+  }
+
+  test("drift between two scans flags changed metrics") {
+    import graft.scan.Drift
+    val yaml2 =
+      """table_name: scannertest
+        |metrics:
+        |- row_count
+        |columns:
+        |  size:
+        |    metrics:
+        |    - missing_count
+        |    - avg
+        |""".stripMargin
+    val before = Scanner.executeYaml(spark, df, yaml2)
+    val after = Scanner.executeYaml(spark, df.where(col("size").isNotNull && col("size") < 40), yaml2)
+    val rows = Drift.compare(before, after).map(r => (r.metric, r.columnName, r.status))
+    assert(rows.contains(("row_count", None, "drifted"))) // 6 -> 3
+    val avg = Drift.compare(before, after).find(r => r.metric == "avg" && r.columnName.contains("size")).get
+    assert(avg.before.contains(32.0) && avg.after.contains(20.0) && avg.status == "drifted")
+    assert(Drift.driftedOnly(before, after).forall(_.status != "stable"))
   }
 
   test("scan result frames have the reference schemas") {
