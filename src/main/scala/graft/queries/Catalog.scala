@@ -177,6 +177,15 @@ object Catalog {
       sig.select(posexplode(col("sig")).as(Seq("pos", "sig_value"))).orderBy("pos")
     },
 
+    "q_kmv_sketch" -> { (s, dir) =>
+      // KMV distinct sketch (TypedImperativeAggregate) over the order keys:
+      // the 64 smallest distinct md5-60 hashes — DuckDB recomputes them
+      // exactly (SELECT DISTINCT h ORDER BY h LIMIT k).
+      val sk = t(s, dir, "orders").select(
+        graft.functions.KmvSketch.kmv(Shingles.md5Hash60(col("o_orderkey").cast(StringType)), 64).as("sk"))
+      sk.select(posexplode(col("sk")).as(Seq("pos", "h"))).orderBy("pos")
+    },
+
     "q_tests" -> { (s, dir) =>
       val yaml =
         """table_name: lineitem
@@ -871,6 +880,14 @@ object Catalog {
         |  SELECT 'invalid_count == 0', 'l_returnflag',
         |         (SELECT count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')) FROM lineitem) = 0
         |) ORDER BY expression""".stripMargin,
+
+    "q_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM orders WHERE o_orderkey IS NOT NULL),
+        |s AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |g AS (SELECT list_sort(list(h)) AS sk FROM s)
+        |SELECT CAST(unnest(range(0, len(sk))) AS INT) AS pos, unnest(sk) AS h
+        |FROM g ORDER BY pos""".stripMargin,
 
     "q_sql_metric" ->
       "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue FROM orders WHERE o_orderstatus = 'F'",
