@@ -130,6 +130,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size == 2 && ids.contains(3L) && (ids.contains(1L) || ids.contains(2L)))
   }
 
+  test("transformWithState running quality totals accumulate across batches") {
+    import spark.implicits._
+    import graft.streaming.RunningQuality
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Option[Double])]
+      val df = stream.toDF().toDF("key", "value")
+      val q = RunningQuality.totalsStream(spark, df, "key", "value", 0.0, 100.0)
+        .writeStream.format("memory").queryName("twstest").outputMode("update").start()
+
+      stream.addData(("a", Some(5.0)), ("a", Some(500.0)), ("b", None))
+      q.processAllAvailable()
+      stream.addData(("a", Some(7.0)), ("b", Some(-3.0)))
+      q.processAllAvailable()
+
+      // update mode: take the LAST emitted totals per key
+      val rows = spark.table("twstest").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val last = rows.groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      q.stop()
+
+      assert(last("a") == (("a", 3L, 0L, 1L))) // 3 events, 1 invalid (500.0)
+      assert(last("b") == (("b", 2L, 1L, 1L))) // 1 missing, 1 invalid (-3.0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionization closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
