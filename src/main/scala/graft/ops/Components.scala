@@ -26,11 +26,18 @@ object Components {
     *        fits in executor memory, wrong at billions of nodes (default off:
     *        the edge set is pre-partitioned+sorted by join key ONCE, so each
     *        round shuffles only the label side, never the edges)
+    * @param pathHalving after each propagation round, apply label(v) ←
+    *        label(label(v)) twice (two label-frame self-joins). Long chains
+    *        then converge in O(log diameter) rounds instead of O(diameter)
+    *        — min-label propagation alone moves the minimum one hop per
+    *        round. Identity on already-converged labels; the fixpoint is
+    *        unchanged (min reachable id).
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 20,
-                          broadcastLabels: Boolean = false): DataFrame = {
+                          broadcastLabels: Boolean = false,
+                          pathHalving: Boolean = true): DataFrame = {
     // Symmetrized edges, hash-partitioned and sorted by the join key (b) ONCE
     // — localCheckpoint preserves partitioning+ordering, so per-round joins
     // add no edge-side exchange or sort.
@@ -62,7 +69,18 @@ object Components {
         .localCheckpoint(false)
       val nChanged = updated.agg(sum(when(col("changed"), 1L).otherwise(0L))).collect()(0)
       converged = nChanged.isNullAt(0) || nChanged.getLong(0) == 0L
-      labels = updated.select("id", "label")
+      var next = updated.select("id", "label")
+      if (pathHalving && !converged) {
+        // two pointer-jumps per round: label(v) <- label(label(v)); each is a
+        // self-join of the (id, label) frame — V-sized, not edge-sized
+        for (_ <- 1 to 2) {
+          val l2 = next.select(col("id").as("pid"), col("label").as("plabel"))
+          next = next.join(l2, next("label") === l2("pid"), "left")
+            .select(next("id"), coalesce(col("plabel"), next("label")).as("label"))
+        }
+        next = next.localCheckpoint(true)
+      }
+      labels = next
       iter += 1
     }
     labels.withColumnRenamed("label", "component")

@@ -175,6 +175,22 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L))
   }
+
+  test("path halving: a 200-chain converges in O(log n) rounds") {
+    val n = 200
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    // 10 rounds: each round = 1 propagation hop + 2 pointer jumps (~3x
+    // contraction per round); plain propagation would need ~200 rounds
+    val cc = Components.connectedComponents(nodes, "id", edges, "a", "b", maxIterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+    // and without halving, 10 rounds is NOT enough on this chain
+    val noHalving = Components.connectedComponents(nodes, "id", edges, "a", "b",
+      maxIterations = 10, pathHalving = false)
+      .as[(Long, Long)].collect().toMap
+    assert(noHalving.values.toSet != Set(1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
