@@ -54,15 +54,38 @@ object Similarity {
     * to their nearest seed, queries probe their `nprobe` nearest cells.
     * Corpus is scanned once for assignment; the candidate join touches only
     * probed cells (~nprobe/ncells of the corpus per query).
+    *
+    * `trainIterations` > 0 runs that many Lloyd refinement rounds first:
+    * assign → per-cell mean → renormalize as the new seed. Each round is one
+    * distributed assignment pass + a (ncells × dim)-sized driver collect —
+    * the centroid table is tiny by construction, the corpus never moves.
+    * Refined cells are balanced, so recall at fixed nprobe improves over
+    * the raw smallest-id seeds.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              ncells: Int = 16, nprobe: Int = 4): DataFrame = {
+              ncells: Int = 16, nprobe: Int = 4, trainIterations: Int = 0): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
-    val seeds: Array[(Int, Seq[Double])] = base.orderBy("neighbor_id").limit(ncells)
+    var seeds: Array[(Int, Seq[Double])] = base.orderBy("neighbor_id").limit(ncells)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    for (_ <- 1 to trainIterations) {
+      def scores(v: Column): Column = array(seeds.map { case (i, s) =>
+        struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
+      }: _*)
+      val assigned = base.withColumn("cell", array_max(scores(col("cv"))).getField("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cell"), transform(col("ms"), s => s.getField("m")).as("centroid"))
+        .collect()
+      val updated = means.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // empty cells keep their previous seed
+      seeds = seeds.map { case (i, s) => (i, updated.getOrElse(i, s)) }
+    }
 
     // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
     def cellScores(v: Column): Column = array(seeds.map { case (i, s) =>

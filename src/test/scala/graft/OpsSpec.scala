@@ -223,6 +223,22 @@ class SimilaritySpec extends SparkSpec {
     assert(hits * 2 >= ivf.length)
   }
 
+  test("trained IVF (Lloyd rounds) recall is at least the untrained recall") {
+    val queries = vecs.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    def recall(trainIters: Int): Double = {
+      val r = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5,
+        ncells = 8, nprobe = 3, trainIterations = trainIters)
+        .as[(Long, Int, Long)].collect()
+      r.count(x => bf.contains((x._1, x._3))).toDouble / bf.size
+    }
+    val untrained = recall(0)
+    val trained = recall(3)
+    assert(trained >= untrained - 1e-9, s"trained $trained < untrained $untrained")
+    assert(trained >= 0.5, s"trained recall $trained")
+  }
+
   test("lsh returns well-formed ranks that agree with brute force on hits") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
