@@ -132,6 +132,25 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-frequency commonness: mean corpus term-frequency of a document's
+    * tokens — documents made of rare tokens (gibberish, code dumps,
+    * boilerplate IDs) score low, a cheap corpus-relative quality dimension
+    * next to [[qualityFilter]]'s absolute rules. All-integer aggregation
+    * (one tf join + one per-doc sum), one final double division — so the
+    * score is exactly reproducible. The tf table is corpus-derived; pass
+    * `broadcastVocab=true` when the vocabulary fits in executor memory.
+    */
+  def docCommonness(df: DataFrame, idCol: String, textCol: String,
+                    broadcastVocab: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val tf0 = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val tf = if (broadcastVocab) broadcast(tf0) else tf0
+    toks.join(tf, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast(LongType).as("tf_sum"), count(lit(1)).as("n_tokens"))
+      .withColumn("commonness", col("tf_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 of each `n`-token shingle,
     * winnowed to the `k` smallest hashes (sorted). Deterministic, row-local.
     * This is the fast path (codegen'd 64-bit hash).

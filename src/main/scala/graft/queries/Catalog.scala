@@ -460,6 +460,10 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_commonness" -> ((s, dir) =>
+      TextAnalysis.docCommonness(t(s, dir, "documents"), "doc_id", "text", broadcastVocab = true)
+        .select("doc_id", "tf_sum", "n_tokens", "commonness").orderBy("doc_id")),
+
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
@@ -1059,6 +1063,15 @@ object Catalog {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
         |      CASE WHEN lang = 'en' THEN 2000 WHEN lang = 'es' THEN 5000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_commonness" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+        |g AS (SELECT t.doc_id, CAST(sum(tf.tf) AS BIGINT) AS tf_sum, count(*) AS n_tokens
+        |      FROM t JOIN tf ON t.token = tf.token GROUP BY t.doc_id)
+        |SELECT doc_id, tf_sum, n_tokens,
+        |       CAST(tf_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS commonness
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
