@@ -72,7 +72,7 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
 
     for (_ <- 1 to trainIterations) {
-      def scores(v: Column): Column = array(seeds.map { case (i, s) =>
+      def scores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
         struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
       }: _*)
       val assigned = base.withColumn("cell", array_max(scores(col("cv"))).getField("cell"))
@@ -88,7 +88,7 @@ object Similarity {
     }
 
     // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
-    def cellScores(v: Column): Column = array(seeds.map { case (i, s) =>
+    def cellScores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
       struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
     }: _*)
     def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")

@@ -130,7 +130,7 @@ object Scanner {
         when(!missingCond(col(f.name), cfg), col(f.name).cast(StringType))
       }
       val exploded = df
-        .select(posexplode(array(valueExprs: _*)).as(Seq("colIdx", "value")))
+        .select(posexplode(array(valueExprs.toSeq: _*)).as(Seq("colIdx", "value")))
         .where(col("value").isNotNull)
       val counted = exploded.groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))
       counted.cache()
@@ -158,7 +158,7 @@ object Scanner {
         if (needFreq.nonEmpty) {
           val w = Window.partitionBy("colIdx").orderBy(col("cnt").desc, col("value").asc)
           val top = counted
-            .where(col("colIdx").isin(needFreq.map(_._2.asInstanceOf[Any]): _*))
+            .where(col("colIdx").isin(needFreq.toSeq.map(_._2.asInstanceOf[Any]): _*))
             .withColumn("rn", row_number().over(w))
             .where(col("rn") <= FrequentValuesN)
             .orderBy(col("colIdx"), col("rn"))
@@ -177,7 +177,7 @@ object Scanner {
         }
         if (needMinsMaxs.nonEmpty) {
           val idxs = needMinsMaxs.map(_._2.asInstanceOf[Any])
-          val vals = counted.where(col("colIdx").isin(idxs: _*))
+          val vals = counted.where(col("colIdx").isin(idxs.toSeq: _*))
             .select(col("colIdx"), col("value").cast(DoubleType).as("v"))
           val wAsc = Window.partitionBy("colIdx").orderBy(col("v").asc)
           val wDesc = Window.partitionBy("colIdx").orderBy(col("v").desc)
