@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{BandPrefixMatch, JaccardSim, KmvSketch, SimHash}
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Randomized cross-checks of the native codegen'd expressions against
+  * straightforward Scala reference implementations, evaluated through real
+  * Spark plans (one small DataFrame per sample batch).
+  */
+class ExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val longArr = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.take(40))
+
+  test("JaccardSimExpr(long) equals set-based jaccard on random sorted-distinct arrays") {
+    check(Prop.forAll(longArr, longArr) { (a0, b0) =>
+      val a = a0.distinct.sorted
+      val b = b0.distinct.sorted
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(JaccardSim.jaccard(col("a"), col("b"))).as[Double].collect()(0)
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.size + b.size - inter
+      val want = if (union == 0) 1.0 else inter.toDouble / union
+      got == want
+    })
+  }
+
+  test("SimHashExpr equals per-bit majority reference on random hash arrays") {
+    check(Prop.forAll(longArr.suchThat(_.nonEmpty)) { hs =>
+      val got = Seq(Tuple1(hs)).toDF("h")
+        .select(SimHash.simhash(col("h"), 64)).as[Long].collect()(0)
+      var want = 0L
+      for (b <- 0 until 64) {
+        val set = hs.count(h => ((h >>> b) & 1L) == 1L)
+        if (set * 2 > hs.size) want |= (1L << b)
+      }
+      got == want
+    })
+  }
+
+  test("BandPrefixMatchExpr equals prefix-scan reference") {
+    val bk = Gen.listOfN(8, Gen.chooseNum(0L, 3L)) // small range forces matches
+    check(Prop.forAll(bk, bk, Gen.chooseNum(0, 8)) { (a, b, n) =>
+      val got = Seq((a, b, n)).toDF("a", "b", "n")
+        .select(BandPrefixMatch.matchesBefore(col("a"), col("b"), col("n"))).as[Boolean].collect()(0)
+      got == (0 until n).exists(i => a(i) == b(i))
+    })
+  }
+
+  test("KmvSketchAgg equals k smallest distinct non-negative hashes") {
+    val vals = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L))
+    check(Prop.forAll(vals) { vs =>
+      val got = vs.toDF("v").select(KmvSketch.kmv(col("v"), 8)).as[Seq[Long]].collect()(0)
+      got == vs.distinct.sorted.take(8)
+    }, n = 20)
+  }
+
+  test("minhash signature HOF fallback equals the native expression") {
+    check(Prop.forAll(longArr.suchThat(_.nonEmpty)) { hs =>
+      val df = Seq(Tuple1(hs)).toDF("h")
+      val native = df.select(Dedup.minhashSignatureFromHashes(col("h"), 16)).as[Seq[Long]].collect()(0)
+      val hof = df.select(Dedup.minhashSignatureFromHashesHof(col("h"), 16)).as[Seq[Long]].collect()(0)
+      native == hof
+    }, n = 15)
+  }
+}
