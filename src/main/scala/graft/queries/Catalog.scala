@@ -348,6 +348,31 @@ object Catalog {
         .orderBy(col("revenue").desc, col("n_name").asc)
     },
 
+    "q6_filter" -> { (s, dir) =>
+      // TPC-H Q6 shape: pure filter + global agg — every predicate must land
+      // in the scan's DataFilters; fixed-point revenue (see q1_agg)
+      val priceC = round(col("l_extendedprice") * 100.0).cast(LongType)
+      val discC = round(col("l_discount") * 100.0).cast(LongType)
+      val qtyC = round(col("l_quantity") * 100.0).cast(LongType)
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+               col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+               discC >= 5L && discC <= 7L && qtyC < 2400L)
+        .agg((sum(priceC * discC).cast(DoubleType) / 10000.0).as("revenue"))
+    },
+
+    "q_skew_agg" -> { (s, dir) =>
+      // salted two-phase aggregation; oracle = the PLAIN group-by (the whole
+      // point: salting must be result-invariant)
+      Skew.saltedAggregate(t(s, dir, "events"), Seq("event_type"), 16,
+          Seq("n_events" -> count(lit(1)),
+              "value_cents" -> sum(round(col("value") * 100.0).cast(LongType))),
+          n => sum(col(n)))
+        .select(col("event_type"), col("n_events").cast(LongType).as("n_events"),
+          (col("value_cents").cast(DoubleType) / 100.0).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // ==================================================================
     // Training-data pipeline operators
     // ==================================================================
@@ -967,6 +992,18 @@ object Catalog {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT) * CAST(round(l_discount * 100.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(round(l_discount * 100.0) AS BIGINT) BETWEEN 5 AND 7
+        |  AND CAST(round(l_quantity * 100.0) AS BIGINT) < 2400""".stripMargin,
+
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
