@@ -85,12 +85,14 @@ object SimHash {
   val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_simhash"),
     new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
-    (args: Seq[Expression]) => {
-      val bits = args(1) match {
-        case Literal(v: Int, IntegerType) => v
-        case other => throw new IllegalArgumentException(s"bits must be an int literal, got $other")
-      }
-      SimHashExpr(args.head, bits)
+    (args: Seq[Expression]) => args match {
+      case Seq(h) => SimHashExpr(h, 64)
+      case Seq(h, Literal(v: Int, IntegerType)) => SimHashExpr(h, v)
+      case Seq(_, other) =>
+        throw new IllegalArgumentException(s"graft_simhash: bits must be an int literal, got $other")
+      case _ =>
+        throw new IllegalArgumentException(
+          s"graft_simhash expects (hashes[, bits]), got ${args.length} arguments")
     }
   )
 }

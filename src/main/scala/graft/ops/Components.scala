@@ -31,7 +31,12 @@ object Components {
     *        then converge in O(log diameter) rounds instead of O(diameter)
     *        — min-label propagation alone moves the minimum one hop per
     *        round. Identity on already-converged labels; the fixpoint is
-    *        unchanged (min reachable id).
+    *        unchanged (min reachable id). ADAPTIVE: the two V-sized
+    *        self-joins are pure overhead on dense quasi-clique dedup graphs
+    *        (which converge in 2-3 rounds anyway), so halving engages only
+    *        from round 3 on AND only while the changed-count is not decaying
+    *        geometrically (failing to halve round-over-round = the
+    *        long-chain signature halving exists for).
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
@@ -53,6 +58,7 @@ object Components {
 
     var converged = false
     var iter = 0
+    var prevChanged = Long.MaxValue
     while (!converged && iter < maxIterations) {
       // smallest label among each node's neighbors; the edge set never
       // re-shuffles (pre-partitioned), only the label side moves
@@ -68,9 +74,15 @@ object Components {
           (col("nmin").isNotNull && col("nmin") < col("label")).as("changed"))
         .localCheckpoint(false)
       val nChanged = updated.agg(sum(when(col("changed"), 1L).otherwise(0L))).collect()(0)
-      converged = nChanged.isNullAt(0) || nChanged.getLong(0) == 0L
+      val changedCnt = if (nChanged.isNullAt(0)) 0L else nChanged.getLong(0)
+      converged = changedCnt == 0L
+      // decay stalls when the changed-count fails to halve round-over-round:
+      // dense clusters collapse geometrically (no halving needed), chains
+      // keep changedCnt ~constant — exactly the case halving accelerates
+      val stalling = iter >= 2 && changedCnt * 2 > prevChanged
+      prevChanged = changedCnt
       var next = updated.select("id", "label")
-      if (pathHalving && !converged) {
+      if (pathHalving && !converged && stalling) {
         // two pointer-jumps per round: label(v) <- label(label(v)); each is a
         // self-join of the (id, label) frame — V-sized, not edge-sized
         for (_ <- 1 to 2) {

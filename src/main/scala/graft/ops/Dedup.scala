@@ -201,18 +201,34 @@ object Dedup {
     // allocation-free codegen'd BandPrefixMatchExpr). No join machinery, no
     // dropDuplicates shuffle over the ~bands×-duplicated candidate stream —
     // measured 4× faster than the bucket self-join + dropDuplicates shape.
-    val cand = buckets
+    //
+    // First-matching-band dedup is only sound when NO bucket was dropped:
+    // under maxBucket capping, a pair whose earliest matching band fell in a
+    // capped bucket would be suppressed in every kept band (the bk arrays
+    // still match at the capped band's index) and never emitted at all.
+    // Capped runs therefore fall back to a pair-level dropDuplicates.
+    val pairsRaw = buckets
       .select(col("band"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(col("band"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
-      .where(col("j") > col("i") &&
-        !graft.functions.BandPrefixMatch.matchesBefore(col("a.bk"), col("b.bk"), col("band")))
-      .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
+      .where(col("j") > col("i"))
+    val cand =
+      if (maxBucket == Int.MaxValue)
+        pairsRaw
+          .where(!graft.functions.BandPrefixMatch.matchesBefore(col("a.bk"), col("b.bk"), col("band")))
+          .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
+      else
+        pairsRaw
+          .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
 
-    // exact-Jaccard verification on SORTED DISTINCT TOKEN-HASH sets: attach
-    // each side's precomputed hash set (narrow id-keyed joins), merge-walk
-    // row-locally over primitive longs (JaccardSimExpr long form).
+    // exact-Jaccard verification on SORTED DISTINCT SHINGLE-HASH sets (the
+    // same set definition the signatures are built from — shingleLen=1 is
+    // the token set, >1 the order-sensitive n-gram set): attach each side's
+    // precomputed hash set (narrow id-keyed joins), merge-walk row-locally
+    // over primitive longs (JaccardSimExpr long form).
     val toks = df.select(col(idCol).as("id"),
-      array_sort(array_distinct(transform(TextAnalysis.tokens(col(textCol)), tokenHasher))).as("toks"))
+      array_sort(array_distinct(transform(
+        Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen), tokenHasher))).as("toks"))
     // hash sets are tiny next to the candidate-pair set — broadcast them so
     // the 10^6-10^7 candidate rows never get sort-merge shuffled
     def side(a: String, t: String) = {
@@ -274,10 +290,18 @@ object Dedup {
     * verified by exact hamming distance via bit_count(xor).
     * `tokenHasher`/`bits`: xxhash64/64 is the fast default;
     * [[Shingles.md5Hash60]]/60 is the oracle-checkable variant.
+    *
+    * Same shape as [[minhashLshPairs]]: one skinny (chunk, ckey, id, sig, ck)
+    * shuffle into per-bucket member lists, in-bucket double-posexplode pair
+    * generation with row-local FIRST-MATCHING-CHUNK dedup — no bucket
+    * self-join, no dropDuplicates exchange. `maxBucket` drops chunk buckets
+    * larger than this (near-identical corpora make one chunk value quadratic);
+    * capped runs fall back to pair-level dropDuplicates because first-match
+    * dedup would suppress pairs whose earliest chunk was capped.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
                    tokenHasher: Column => Column = xxhash64(_), bits: Int = 64,
-                   nChunks: Int = 4): DataFrame = {
+                   nChunks: Int = 4, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bits % nChunks == 0, "bits must be divisible by nChunks")
     require(maxHamming < nChunks, s"chunk recall guarantee needs maxHamming < nChunks")
     val width = bits / nChunks
@@ -287,17 +311,30 @@ object Dedup {
         transform(TextAnalysis.tokens(col(textCol)), tokenHasher).as("h"))
       .repartition(col("id"))
       .select(col("id"), simhashBits(col("h"), bits).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until nChunks).map(i =>
-        shiftright(col("sig"), i * width).bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
-    val l = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "ckey"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val withCk = sigs.select(col("id"), col("sig"),
+      array((0 until nChunks).map(i =>
+        shiftright(col("sig"), i * width).bitwiseAND(lit(mask))): _*).as("ck"))
+    val exploded = withCk.select(col("id"), col("sig"), col("ck"),
+      posexplode(col("ck")).as(Seq("chunk", "ckey")))
+    val buckets = {
+      val b = exploded.groupBy("chunk", "ckey")
+        .agg(collect_list(struct(col("id"), col("sig"), col("ck"))).as("ms"))
+        .where(size(col("ms")) > 1)
+      if (maxBucket == Int.MaxValue) b else b.where(size(col("ms")) <= maxBucket)
+    }
+    val pairsRaw = buckets
+      .select(col("chunk"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("chunk"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
+      .where(col("j") > col("i"))
+    val firstMatch =
+      if (maxBucket == Int.MaxValue)
+        pairsRaw.where(!graft.functions.BandPrefixMatch.matchesBefore(col("a.ck"), col("b.ck"), col("chunk")))
+      else pairsRaw
+    val pairs = firstMatch
+      .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+    if (maxBucket == Int.MaxValue) pairs else pairs.dropDuplicates("id_a", "id_b", "hamming")
   }
 
   /** Embedding-cosine near-dup pairs within blocks (e.g. same label).

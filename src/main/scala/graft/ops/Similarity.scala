@@ -67,10 +67,20 @@ object Similarity {
               ncells: Int = 16, nprobe: Int = 4, trainIterations: Int = 0): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    ivfSearch(base, queries, idCol, vecCol, k, nprobe,
+      trainSeeds(base, ncells, trainIterations))
+  }
+
+  /** The trained seeds as an in-memory array — deterministic smallest-id
+    * initialization + `trainIterations` Lloyd rounds (assign → per-cell mean;
+    * empty cells keep their previous seed). Each round is one distributed
+    * assignment pass + a (ncells × dim)-sized driver collect.
+    */
+  private def trainSeeds(base: DataFrame, ncells: Int,
+                         trainIterations: Int): Array[(Int, Seq[Double])] = {
     var seeds: Array[(Int, Seq[Double])] = base.orderBy("neighbor_id").limit(ncells)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
-
     for (_ <- 1 to trainIterations) {
       def scores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
         struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
@@ -83,10 +93,51 @@ object Similarity {
         .select(col("cell"), transform(col("ms"), s => s.getField("m")).as("centroid"))
         .collect()
       val updated = means.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      // empty cells keep their previous seed
       seeds = seeds.map { case (i, s) => (i, updated.getOrElse(i, s)) }
     }
+    seeds
+  }
 
+  /** Train the coarse quantizer and return it as a tiny (cell, centroid)
+    * frame (ncells rows). The 100 TB usage pattern: train ONCE, persist with
+    * [[saveQuantizer]], and serve every later batch of queries through
+    * [[ivfTopKWithQuantizer]] — re-deriving (or re-training) centroids per
+    * call re-scans the corpus for no reason.
+    */
+  def trainIvfQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                        ncells: Int = 16, trainIterations: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    trainSeeds(base, ncells, trainIterations).toSeq.toDF("cell", "centroid")
+  }
+
+  def saveQuantizer(quantizer: DataFrame, path: String): Unit =
+    quantizer.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadQuantizer(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** IVF search against a PRE-TRAINED quantizer frame (from
+    * [[trainIvfQuantizer]] / [[loadQuantizer]]): same plan as [[ivfTopK]],
+    * zero training scans — only the bounded (ncells × dim) centroid collect.
+    */
+  def ivfTopKWithQuantizer(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int, nprobe: Int,
+                           quantizer: DataFrame): DataFrame = {
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val seeds = quantizer.select(col("cell").cast(IntegerType), col("centroid"))
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    ivfSearch(base, queries, idCol, vecCol, k, nprobe, seeds)
+  }
+
+  /** Probed-cell candidate join + exact cosine top-K over given seeds. */
+  private def ivfSearch(base: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, nprobe: Int,
+                        seeds: Array[(Int, Seq[Double])]): DataFrame = {
     // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
     def cellScores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
       struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))

@@ -56,19 +56,28 @@ object TextAnalysis {
 
   /** Language-ID: pick the language whose marker words hit most tokens
     * (ties → lexicographic language order). Row-local, codegen'd.
+    *
+    * The tokenizer runs ONCE per row: a single `aggregate` pass over the
+    * token array counts hits for every language simultaneously, with the
+    * token array only ever in collection-argument position (a per-language
+    * `tokenHits` formulation gets the `split` re-inlined once per language
+    * by CollapseProject — measured 5× the tokenize cost on 5 languages).
     */
   def langId(df: DataFrame, textCol: String, out: String = "predicted_lang"): DataFrame = {
-    val t = col(textCol)
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(tokenHits(t, words).as("hits"), lit(lang).as("lang"))
-    }
-    // array_max over (hits, lang) structs: max hits, then max lang — to make
-    // ties deterministic-by-first-language we negate nothing and order langs
-    // descending so the FIRST lexicographic lang wins on ties via reverse.
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val zero = array(langs.map(_ => lit(0)): _*)
+    val hitCounts = aggregate(tokens(col(textCol)), zero, (acc, tok) =>
+      array(langs.zipWithIndex.map { case ((_, words), i) =>
+        element_at(acc, i + 1) + when(tok.isin(words: _*), 1).otherwise(0)
+      }: _*))
+    val langNames = array(langs.map { case (lang, _) => lit(lang) }: _*)
+    // hitCounts likewise appears exactly once (zip_with collection arg); the
+    // argmax fold scans ascending language order with strict > so ties keep
+    // the lexicographically-first language.
     val best = aggregate(
-      array(scored.reverse: _*),
+      zip_with(hitCounts, langNames, (h, l) => struct(h.as("hits"), l.as("lang"))),
       struct(lit(-1).as("hits"), lit("").as("lang")),
-      (acc, x) => when(x.getField("hits") >= acc.getField("hits"), x).otherwise(acc)
+      (acc, x) => when(x.getField("hits") > acc.getField("hits"), x).otherwise(acc)
     )
     df.withColumn(out, best.getField("lang"))
   }

@@ -186,6 +186,33 @@ object Catalog {
       sk.select(posexplode(col("sk")).as(Seq("pos", "h"))).orderBy("pos")
     },
 
+    "q_theta_sketch" -> { (s, dir) =>
+      import graft.functions.{KmvSketch, ThetaSketch}
+      import s.implicits._
+      // theta sketches of orders.o_custkey vs customer.c_custkey: the
+      // distributed KMV aggregate builds each table's sketch; union /
+      // intersection / difference estimates are driver-side algebra on
+      // <= k longs. DuckDB rebuilds the identical sketches from the shared
+      // md5-60 hashes and applies the same theta rules — exact oracle.
+      val k = 128
+      def sketch(df: DataFrame, c: Column): ThetaSketch.Theta = {
+        val kmv = df.where(c.isNotNull)
+          .agg(KmvSketch.kmv(Shingles.md5Hash60(c.cast(StringType)), k))
+          .collect()(0).getSeq[Long](0)
+        ThetaSketch.fromKmv(kmv, k)
+      }
+      val a = sketch(t(s, dir, "orders"), col("o_custkey"))
+      val b = sketch(t(s, dir, "customer"), col("c_custkey"))
+      Seq(
+        ("distinct_a", a), ("distinct_b", b),
+        ("union", ThetaSketch.union(a, b, k)),
+        ("intersection", ThetaSketch.intersection(a, b)),
+        ("difference", ThetaSketch.difference(a, b)))
+        .map { case (op, sk) => (op, sk.values.length.toLong, sk.theta, sk.estimate) }
+        .toDF("set_op", "retained", "theta", "estimate")
+        .orderBy("set_op")
+    },
+
     "q_tests" -> { (s, dir) =>
       val yaml =
         """table_name: lineitem
@@ -353,11 +380,16 @@ object Catalog {
       // in the scan's DataFilters; fixed-point revenue (see q1_agg)
       val priceC = round(col("l_extendedprice") * 100.0).cast(LongType)
       val discC = round(col("l_discount") * 100.0).cast(LongType)
-      val qtyC = round(col("l_quantity") * 100.0).cast(LongType)
+      // predicates on the RAW columns so they reach the parquet scan's
+      // DataFilters (a predicate on round(col*100) cannot be pushed); the
+      // midpoint thresholds are exactly the HALF_UP rounding boundaries, so
+      // the selected rows are identical to the cents formulation. Cents
+      // arithmetic appears only in the aggregate.
       t(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
                col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
-               discC >= 5L && discC <= 7L && qtyC < 2400L)
+               col("l_discount") >= 0.045 && col("l_discount") < 0.075 &&
+               col("l_quantity") < 23.995)
         .agg((sum(priceC * discC).cast(DoubleType) / 10000.0).as("revenue"))
     },
 
@@ -415,6 +447,15 @@ object Catalog {
         threshold = 0.8, shingleLen = 1, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
+    "q_dedup_minhash_xx" -> ((s, dir) =>
+      // PRODUCTION-hash twin of q_dedup_minhash: the default xxhash64 token
+      // hash users actually run (one codegen'd primitive op vs md5+hex
+      // parse). No DuckDB oracle (xxhash64 isn't portable) → rows-only gate;
+      // exists so the bench times the fast path, not only the md5 variant.
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleLen = 1)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")),
+
     "q_dedup_simhash" -> ((s, dir) =>
       // md5Hash60/60-bit variant: DuckDB recomputes the per-bit majorities
       // and exact hamming distances — full-output oracle. The chunked
@@ -422,6 +463,12 @@ object Catalog {
       // so chunking is invisible in the output.
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
         tokenHasher = Shingles.md5Hash60, bits = 60)
+        .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash_xx" -> ((s, dir) =>
+      // PRODUCTION-hash twin of q_dedup_simhash (xxhash64/64-bit, rows-only —
+      // see q_dedup_minhash_xx)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")),
 
     "q_dedup_cosine" -> ((s, dir) =>
@@ -467,9 +514,14 @@ object Catalog {
 
     "q_dedup_ngram" -> ((s, dir) =>
       // word-3-gram Jaccard (order-sensitive near-dup; distinct from the
-      // token-SET jaccard of q_dedup_jaccard — shuffled copies don't match)
-      Dedup.jaccardPairsAllPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.3, blockCols = Seq("lang"), shingleLen = 3)
+      // token-SET jaccard of q_dedup_jaccard — shuffled copies don't match).
+      // Routed through MinHash-LSH on 3-gram shingles — the scale-safe shape
+      // (skinny band shuffle, no O(block²) join); the oracle recomputes the
+      // same banding candidacy + exact shingle-hash jaccard. The all-pairs
+      // strategy (jaccardPairsAllPairs(shingleLen=3)) remains the small-block
+      // option and is equivalence-tested against this path in DedupSpec.
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3, shingleLen = 3, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")),
 
     "q_sample_hash" -> ((s, dir) =>
@@ -549,6 +601,14 @@ object Catalog {
         .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("pos", "fp_hash")))
         .orderBy("doc_id", "pos")),
 
+    "q_fingerprint_xx" -> ((s, dir) =>
+      // PRODUCTION-hash twin of q_fingerprint: codegen'd xxhash64 winnowing
+      // (~20× cheaper than md5+hex per shingle; rows-only — see
+      // q_dedup_minhash_xx)
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("pos", "fp_hash")))
+        .orderBy("doc_id", "pos")),
+
     "q_multimodal" -> { (s, dir) =>
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain")
       Multimodal.decodeFeatures(s, media)
@@ -585,12 +645,27 @@ object Catalog {
   /** Shared md5-60-bit token hash (see graft.ops.Shingles.md5Hash60). */
   private val duckTokenHash = "('0x' || substr(md5(t), 1, 15))::BIGINT"
 
-  /** Full MinHash-LSH oracle: recompute the 64 permutation minima per doc
-    * from the md5-60 token hashes (same coefficients as MinHashSignatureExpr),
-    * apply the same 16-band slice-equality candidacy, then the same exact
-    * token-set jaccard >= threshold verification.
+  /** The n-token shingle-string list of `string_split_regex(text,'\s+')` in
+    * DuckDB — same semantics as Shingles.shingleStrings (shorter-than-n docs
+    * yield one whole-text shingle).
     */
-  private def minhashOracleSql(numHashes: Int, bands: Int, threshold: Double): String = {
+  private def duckShingles(n: Int): String =
+    if (n == 1) "string_split_regex(text, '\\s+')"
+    else s"""(CASE WHEN len(string_split_regex(text, '\\s+')) < $n
+            | THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')]
+            | ELSE list_transform(range(1, len(string_split_regex(text, '\\s+')) - ${n - 2}),
+            |        i -> array_to_string(string_split_regex(text, '\\s+')[i:i+${n - 1}], ' ')) END)"""
+      .stripMargin.replace("\n", "")
+
+  /** Full MinHash-LSH oracle: recompute the `numHashes` permutation minima
+    * per doc from the md5-60 shingle hashes (same coefficients as
+    * MinHashSignatureExpr), apply the same `bands`-band slice-equality
+    * candidacy, then the same exact shingle-HASH-set jaccard >= threshold
+    * verification (`shingleLen`=1 is the token set). `withJaccard` adds the
+    * verified jaccard to the output.
+    */
+  private def minhashOracleSql(numHashes: Int, bands: Int, threshold: Double,
+                               shingleLen: Int = 1, withJaccard: Boolean = false): String = {
     val (as, bs) = graft.functions.MinHash.coefs(numHashes)
     val p = graft.functions.MinHash.P
     val rows = numHashes / bands
@@ -599,17 +674,21 @@ object Catalog {
     val bandClauses = (0 until bands).map { b =>
       (0 until rows).map(r => s"a.s${b * rows + r} = b.s${b * rows + r}").mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
-       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM tok),
+    val jac = """CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
+                |      CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS DOUBLE)"""
+      .stripMargin
+    val outCols = if (withJaccard) s"c.id_a, c.id_b, $jac AS jaccard" else "c.id_a, c.id_b"
+    s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(shingleLen)}) AS t FROM documents),
+       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM sh),
        |g AS (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
-       |d AS (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS toks FROM documents),
+       |d AS (SELECT doc_id, list_distinct(list_transform(${duckShingles(shingleLen)},
+       |        t -> $duckTokenHash)) AS toks FROM documents),
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM g a JOIN g b ON a.doc_id < b.doc_id
        |         WHERE $bandClauses)
-       |SELECT c.id_a, c.id_b
+       |SELECT $outCols
        |FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b
-       |WHERE CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
-       |      CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS DOUBLE) >= $threshold
+       |WHERE $jac >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -648,6 +727,44 @@ object Catalog {
        |SELECT CAST(unnest(range(0, $numHashes)) AS INT) AS pos, unnest(sig) AS sig_value
        |FROM g ORDER BY pos""".stripMargin
   }
+
+  /** Theta-sketch oracle: rebuild both KMV sketches from the shared md5-60
+    * hashes, apply the identical theta rules (exclusive k-th-smallest
+    * threshold, operations under min theta, union re-trim at overflow) and
+    * the identical estimate division — see graft.functions.ThetaSketch.
+    */
+  private def thetaSketchOracleSql(k: Int): String = {
+    val space = ThetaSketch60Space // 2^60 as a BIGINT literal
+    s"""WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |            FROM orders WHERE o_custkey IS NOT NULL),
+       |hb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |       FROM customer WHERE c_custkey IS NOT NULL),
+       |ka AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |kb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |ta AS (SELECT CASE WHEN (SELECT count(*) FROM ka) >= $k THEN (SELECT max(h) FROM ka) ELSE $space END AS th),
+       |tb AS (SELECT CASE WHEN (SELECT count(*) FROM kb) >= $k THEN (SELECT max(h) FROM kb) ELSE $space END AS th),
+       |va AS (SELECT h FROM ka WHERE h < (SELECT th FROM ta)),
+       |vb AS (SELECT h FROM kb WHERE h < (SELECT th FROM tb)),
+       |tm AS (SELECT least((SELECT th FROM ta), (SELECT th FROM tb)) AS th),
+       |vam AS (SELECT h FROM va WHERE h < (SELECT th FROM tm)),
+       |vbm AS (SELECT h FROM vb WHERE h < (SELECT th FROM tm)),
+       |u0 AS (SELECT h FROM vam UNION SELECT h FROM vbm),
+       |uk AS (SELECT h FROM u0 ORDER BY h LIMIT $k),
+       |tu AS (SELECT CASE WHEN (SELECT count(*) FROM u0) >= $k THEN (SELECT max(h) FROM uk) ELSE (SELECT th FROM tm) END AS th),
+       |ur AS (SELECT h FROM uk WHERE h < (SELECT th FROM tu)),
+       |ir AS (SELECT h FROM vam INTERSECT SELECT h FROM vbm),
+       |dr AS (SELECT h FROM vam EXCEPT SELECT h FROM vbm),
+       |res AS (
+       |  SELECT 'distinct_a' AS set_op, (SELECT count(*) FROM va) AS retained, (SELECT th FROM ta) AS theta
+       |  UNION ALL SELECT 'distinct_b', (SELECT count(*) FROM vb), (SELECT th FROM tb)
+       |  UNION ALL SELECT 'union', (SELECT count(*) FROM ur), (SELECT th FROM tu)
+       |  UNION ALL SELECT 'intersection', (SELECT count(*) FROM ir), (SELECT th FROM tm)
+       |  UNION ALL SELECT 'difference', (SELECT count(*) FROM dr), (SELECT th FROM tm))
+       |SELECT set_op, CAST(retained AS BIGINT) AS retained, theta,
+       |       CAST(retained AS DOUBLE) / (CAST(theta AS DOUBLE) / $space.0) AS estimate
+       |FROM res ORDER BY set_op""".stripMargin
+  }
+  private val ThetaSketch60Space: String = (1L << 60).toString
 
   /** Exact-round-trip double literal for SQL (e-notation forces DOUBLE in
     * DuckDB; shortest-repr decimal parses back to the identical double).
@@ -918,6 +1035,8 @@ object Catalog {
         |SELECT CAST(unnest(range(0, len(sk))) AS INT) AS pos, unnest(sk) AS h
         |FROM g ORDER BY pos""".stripMargin,
 
+    "q_theta_sketch" -> thetaSketchOracleSql(128),
+
     "q_sql_metric" ->
       "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue FROM orders WHERE o_orderstatus = 'F'",
 
@@ -997,8 +1116,8 @@ object Catalog {
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT) * CAST(round(l_discount * 100.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND CAST(round(l_discount * 100.0) AS BIGINT) BETWEEN 5 AND 7
-        |  AND CAST(round(l_quantity * 100.0) AS BIGINT) < 2400""".stripMargin,
+        |  AND l_discount >= 0.045 AND l_discount < 0.075
+        |  AND l_quantity < 23.995""".stripMargin,
 
     "q_skew_agg" ->
       """SELECT event_type, count(*) AS n_events,
@@ -1077,18 +1196,7 @@ object Catalog {
         |SELECT o_orderpriority, rank, o_orderkey FROM r WHERE rank <= 3
         |ORDER BY o_orderpriority, rank""".stripMargin,
 
-    "q_dedup_ngram" ->
-      """WITH d AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks FROM documents),
-        |s AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-        |      FROM d)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_ngram" -> minhashOracleSql(64, 16, 0.3, shingleLen = 3, withJaccard = true),
 
     "q_sample_hash" ->
       """SELECT doc_id FROM documents

@@ -5,7 +5,6 @@ import graft.checks.TestEvaluator
 import graft.metrics.MetricColumns
 import graft.metrics.MetricColumns._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,6 +29,26 @@ object Scanner {
   val FrequentValuesN = 5
   val MinsMaxsN = 5
   val HistogramBuckets = 10
+
+  /** Top-n (value, cnt) of one column of the (colIdx, value, cnt) frame, by
+    * frequency. orderBy.limit compiles to TakeOrderedAndProject
+    * (per-partition top-n, merged once) — never a WindowExec funneling the
+    * column's whole distinct-value set through one partition. Plan-asserted
+    * in ScannerSpec.
+    */
+  private[graft] def topFrequent(counted: DataFrame, idx: Int, n: Int): DataFrame =
+    counted.where(col("colIdx") === idx)
+      .orderBy(col("cnt").desc, col("value").asc)
+      .limit(n)
+
+  /** Bottom-n (asc=true) or top-n (asc=false) numeric values of one column
+    * of the counted frame — same TakeOrderedAndProject shape.
+    */
+  private[graft] def edgeValues(counted: DataFrame, idx: Int, n: Int, asc: Boolean): DataFrame = {
+    val vals = counted.where(col("colIdx") === idx)
+      .select(col("value").cast(DoubleType).as("v"))
+    (if (asc) vals.orderBy(col("v").asc) else vals.orderBy(col("v").desc)).limit(n)
+  }
 
   def executeYaml(spark: SparkSession, df: DataFrame, scanYaml: String,
                   variables: Map[String, String] = Map.empty,
@@ -154,51 +173,32 @@ object Scanner {
             record(f.name, "uniqueness", (d - 1).toDouble * 100.0 / (vc - 1).toDouble)
         }
 
+        // frequent values / mins / maxs: per requesting column, an
+        // orderBy.limit(n) over the CACHED counted frame — compiles to
+        // TakeOrderedAndProject (per-partition top-n, merged once on the
+        // driver side of the job), so a high-cardinality column can never
+        // funnel its whole distinct-value set through one partition the way
+        // a Window.partitionBy("colIdx") pass does. One cheap job per
+        // column over cached (colIdx, value, cnt) rows.
         val needFreq = groupFields.zipWithIndex.filter { case (f, _) => metricsOf(f).contains("frequent_values") }
-        if (needFreq.nonEmpty) {
-          val w = Window.partitionBy("colIdx").orderBy(col("cnt").desc, col("value").asc)
-          val top = counted
-            .where(col("colIdx").isin(needFreq.toSeq.map(_._2.asInstanceOf[Any]): _*))
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") <= FrequentValuesN)
-            .orderBy(col("colIdx"), col("rn"))
-            .collect()
-          top.groupBy(_.getAs[Int]("colIdx")).foreach { case (idx, rows) =>
-            val f = groupFields(idx)
-            val gvs = rows.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
-            measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
-          }
+        needFreq.foreach { case (f, idx) =>
+          val top = topFrequent(counted, idx, FrequentValuesN).collect()
+          val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
+          measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
         }
 
-        // mins / maxs (numeric bottom-N / top-N distinct values): ONE
-        // windowed job over the counted frame covers every requesting column
         val needMinsMaxs = groupFields.zipWithIndex.filter { case (f, _) =>
           isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))
         }
-        if (needMinsMaxs.nonEmpty) {
-          val idxs = needMinsMaxs.map(_._2.asInstanceOf[Any])
-          val vals = counted.where(col("colIdx").isin(idxs.toSeq: _*))
-            .select(col("colIdx"), col("value").cast(DoubleType).as("v"))
-          val wAsc = Window.partitionBy("colIdx").orderBy(col("v").asc)
-          val wDesc = Window.partitionBy("colIdx").orderBy(col("v").desc)
-          val ranked = vals
-            .withColumn("ra", row_number().over(wAsc))
-            .withColumn("rd", row_number().over(wDesc))
-            .where(col("ra") <= MinsMaxsN || col("rd") <= MinsMaxsN)
-            .collect()
-          ranked.groupBy(_.getAs[Int]("colIdx")).foreach { case (idx, rows) =>
-            val f = groupFields(idx)
-            val ms = metricsOf(f).toSet
-            if (ms("mins")) {
-              val mins = rows.filter(_.getAs[Int]("ra") <= MinsMaxsN)
-                .sortBy(_.getAs[Int]("ra")).map(_.getAs[Double]("v"))
-              measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
-            }
-            if (ms("maxs")) {
-              val maxs = rows.filter(_.getAs[Int]("rd") <= MinsMaxsN)
-                .sortBy(_.getAs[Int]("rd")).map(_.getAs[Double]("v"))
-              measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
-            }
+        needMinsMaxs.foreach { case (f, idx) =>
+          val ms = metricsOf(f).toSet
+          if (ms("mins")) {
+            val mins = edgeValues(counted, idx, MinsMaxsN, asc = true).collect().map(_.getAs[Double]("v"))
+            measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
+          }
+          if (ms("maxs")) {
+            val maxs = edgeValues(counted, idx, MinsMaxsN, asc = false).collect().map(_.getAs[Double]("v"))
+            measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
           }
         }
       } finally counted.unpersist()

@@ -49,8 +49,12 @@ object RunningQuality {
     df.select(
         col(keyCol).cast("string").as("key"),
         col(valueCol).isNull.as("missing"),
+        // coalesce: a non-null value whose double cast is null (uncastable
+        // string) makes the range check NULL, which would break the
+        // non-nullable Boolean encoder — an uncastable value counts invalid
         (col(valueCol).isNotNull &&
-          !(col(valueCol).cast("double") >= validMin && col(valueCol).cast("double") <= validMax)).as("invalid"))
+          coalesce(col(valueCol).cast("double") >= validMin &&
+            col(valueCol).cast("double") <= validMax, lit(false)).unary_!).as("invalid"))
       .as[QualityEvent]
       .groupByKey(_.key)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())

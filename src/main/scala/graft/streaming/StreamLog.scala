@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka-shaped streaming source adapters.
+  *
+  * Every adapter yields the SAME envelope frame — the column set Spark's
+  * kafka source produces (key, value, topic, partition, offset, timestamp)
+  * — so the streaming operators (StreamingMonitor, StreamingDedup, Windows,
+  * RunningQuality) are written once against the envelope and can be pointed
+  * at a real Kafka topic (`spark.readStream.format("kafka")`) without
+  * touching operator code. In this container there is no Kafka broker, so
+  * the shipped adapters are:
+  *
+  *  - [[FileLogSource]]: a REPLAYABLE file-backed log — JSONL segment files
+  *    in a directory, read incrementally by Structured Streaming's file
+  *    source (new segments = new micro-batches; `maxFilesPerTrigger`
+  *    paces replay). Deterministic: offsets live in the files.
+  *  - [[RateLogSource]]: Spark's `rate` source wrapped in the envelope —
+  *    an infinite synthetic topic for soak tests.
+  *
+  * Envelope values are strings (a real Kafka frame carries binary;
+  * `CAST(value AS STRING)` is the standard first step there — adapters
+  * emit the post-cast shape directly). [[StreamLog.parsed]] applies a JSON
+  * payload schema, the analogue of `from_json(CAST(value AS STRING), ...)`.
+  */
+object StreamLog {
+
+  /** The kafka-source column set (post `CAST(... AS STRING)` on key/value). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType)))
+
+  /** A replayable log behind one interface: `stream` for Structured
+    * Streaming, `batch` for the batch view of the same data (backfills,
+    * batch/streaming parity tests).
+    */
+  trait Source {
+    def stream(spark: SparkSession): DataFrame
+    def batch(spark: SparkSession): DataFrame
+  }
+
+  /** File-backed log: a directory of JSONL segment files with envelope
+    * fields. Appending a segment file is the "producer"; Structured
+    * Streaming picks it up as a micro-batch. `maxFilesPerTrigger` throttles
+    * replay to one-segment-per-batch (deterministic re-runs).
+    */
+  final case class FileLogSource(dir: String, maxFilesPerTrigger: Option[Int] = None)
+      extends Source {
+    override def stream(spark: SparkSession): DataFrame = {
+      val r = spark.readStream.schema(envelopeSchema)
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.json(dir)
+    }
+    override def batch(spark: SparkSession): DataFrame =
+      spark.read.schema(envelopeSchema).json(dir)
+  }
+
+  /** Rate-source-backed synthetic topic: `rowsPerSecond` envelope rows,
+    * offset = the rate source's monotonic value, one partition.
+    */
+  final case class RateLogSource(rowsPerSecond: Int, topic: String = "rate")
+      extends Source {
+    private def toEnvelope(df: DataFrame): DataFrame =
+      df.select(
+        col("value").cast(StringType).as("key"),
+        col("value").cast(StringType).as("value"),
+        lit(topic).as("topic"),
+        lit(0).as("partition"),
+        col("value").as("offset"),
+        col("timestamp"))
+    override def stream(spark: SparkSession): DataFrame =
+      toEnvelope(spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond).load())
+    override def batch(spark: SparkSession): DataFrame =
+      toEnvelope(spark.range(rowsPerSecond)
+        .select(col("id").as("value"), current_timestamp().as("timestamp")))
+  }
+
+  /** Parse the JSON `value` payload with `schema`, keeping the envelope's
+    * event-time timestamp: the standard kafka consumer step
+    * (`from_json(CAST(value AS STRING), schema)`), envelope-agnostic.
+    */
+  def parsed(envelope: DataFrame, schema: StructType): DataFrame =
+    envelope.select(col("timestamp"), col("key"), col("offset"),
+        from_json(col("value"), schema).as("payload"))
+      .select(col("timestamp") +: col("key") +: col("offset") +:
+        schema.fieldNames.toSeq.map(f => col(s"payload.$f")): _*)
+
+  /** Write `rows` as one JSONL segment file into `dir` (the test/backfill
+    * "producer" for [[FileLogSource]]) — one atomic segment per call.
+    */
+  def appendSegment(spark: SparkSession, dir: String, rows: Seq[(String, String, String, Int, Long, java.sql.Timestamp)]): Unit = {
+    import spark.implicits._
+    rows.toDF("key", "value", "topic", "partition", "offset", "timestamp")
+      .coalesce(1).write.mode("append").json(dir)
+  }
+}

@@ -58,7 +58,12 @@ object StreamingDedup {
                 Iterator.single(SeenOut(first.id, h, first.ts))
               }
             state.getOption.foreach { s =>
-              state.setTimeoutTimestamp(s.firstMicros / 1000L + ttlSeconds * 1000L)
+              // clamp vs the current watermark: a late arrival for a key whose
+              // TTL deadline the watermark already passed (timeout not yet
+              // processed) would otherwise make setTimeoutTimestamp throw and
+              // kill the query — clamping fires the timeout on the next batch
+              val deadline = s.firstMicros / 1000L + ttlSeconds * 1000L
+              state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1L))
             }
             out
           }

@@ -233,6 +233,18 @@ class ScannerSpec extends SparkSpec {
     assert(Drift.driftedOnly(before, after).forall(_.status != "stable"))
   }
 
+  test("scan group-pass top-K compiles to TakeOrderedAndProject, never WindowExec") {
+    val df = Seq((1, "a"), (2, "b"), (3, "a"), (4, "c")).toDF("n", "s")
+    val counted = graft.metrics.GroupMetrics.countedFrame(df,
+      Seq("n" -> ColumnConfig(), "s" -> ColumnConfig()))
+    val freqPlan = Scanner.topFrequent(counted, 1, 5).queryExecution.executedPlan.toString
+    assert(freqPlan.contains("TakeOrderedAndProject"), freqPlan)
+    assert(!freqPlan.contains("Window"), freqPlan)
+    val minsPlan = Scanner.edgeValues(counted, 0, 5, asc = true).queryExecution.executedPlan.toString
+    assert(minsPlan.contains("TakeOrderedAndProject"), minsPlan)
+    assert(!minsPlan.contains("Window"), minsPlan)
+  }
+
   test("scan result frames have the reference schemas") {
     val mf = ScanResultFrames.measurementsToDF(spark, result.measurements)
     assert(mf.columns.toSeq == Seq("metric", "column_name", "value", "group_values"))

@@ -86,6 +86,66 @@ class StreamingSpec extends SparkSpec {
     assert(batch.contains(("2024-01-01 00:00:00", 3L, 1L, 1L)))
   }
 
+  test("kafka-shaped file log source: replayable segments drive the quality monitor end-to-end") {
+    import spark.implicits._
+    import graft.api.ColumnConfig
+    import graft.streaming.{StreamLog, StreamingMonitor}
+    import org.apache.spark.sql.types._
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def payload(et: String, v: Double) = s"""{"event_type":"$et","value":$v}"""
+    val dir = java.nio.file.Files.createTempDirectory("graft-log").toString
+    try {
+      // two "producer" segment appends = two replayable log segments
+      StreamLog.appendSegment(spark, dir, Seq(
+        ("u1", payload("click", 10.0), "events", 0, 0L, ts(0, 5)),
+        ("u2", payload("bogus", 20.0), "events", 0, 1L, ts(0, 25))))
+      StreamLog.appendSegment(spark, dir, Seq(
+        ("u3", payload("view", 500.0), "events", 0, 2L, ts(0, 45)),
+        ("u1", payload("click", 4.0), "events", 0, 3L, ts(1, 10))))
+
+      val source = StreamLog.FileLogSource(dir, maxFilesPerTrigger = Some(1))
+      val payloadSchema = StructType(Seq(
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val cols = Seq(
+        "value" -> ColumnConfig(validMax = Some(100.0)),
+        "event_type" -> ColumnConfig(validValues = Seq("click", "view")))
+
+      // the SAME operator code as the MemoryStream test, now fed from the
+      // kafka-shaped envelope: parse payload, monitor quality per window
+      val q = StreamingMonitor.qualityStream(
+          StreamLog.parsed(source.stream(spark), payloadSchema),
+          "timestamp", "10 minutes", "1 hour", cols)
+        .writeStream.format("memory").queryName("log_quality").outputMode("complete").start()
+      q.processAllAvailable()
+      val streamed = spark.table("log_quality")
+        .select(col("window_start").cast("string"), col("row_count"),
+          col("value_invalid"), col("event_type_invalid"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      q.stop()
+
+      assert(streamed == Set(
+        ("2024-01-01 00:00:00", 3L, 1L, 1L),
+        ("2024-01-01 01:00:00", 1L, 0L, 0L)))
+
+      // batch view of the same log gives identical results (backfill parity)
+      val batch = StreamingMonitor.qualityByWindow(
+          StreamLog.parsed(source.batch(spark), payloadSchema),
+          "timestamp", "1 hour", cols)
+        .select(col("window_start").cast("string"), col("row_count"),
+          col("value_invalid"), col("event_type_invalid"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(batch == streamed)
+
+      // rate-source adapter emits the same envelope columns
+      assert(StreamLog.RateLogSource(10).batch(spark).columns.toSeq ==
+        StreamLog.envelopeSchema.fieldNames.toSeq)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("streaming first-seen dedup: duplicates suppressed, TTL re-admits") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
