@@ -57,29 +57,43 @@ object TextAnalysis {
   /** Language-ID: pick the language whose marker words hit most tokens
     * (ties → lexicographic language order). Row-local, codegen'd.
     *
-    * The tokenizer runs ONCE per row: a single `aggregate` pass over the
-    * token array counts hits for every language simultaneously, with the
-    * token array only ever in collection-argument position (a per-language
-    * `tokenHits` formulation gets the `split` re-inlined once per language
-    * by CollapseProject — measured 5× the tokenize cost on 5 languages).
+    * The tokenizer runs ONCE per row (a per-language `tokenHits`
+    * formulation gets the `split` re-inlined once per language by
+    * CollapseProject — measured 5× the tokenize cost on 5 languages), and
+    * ALL languages' hit counts come from one codegen'd pass with a single
+    * hash lookup per token ([[graft.functions.WordSetHitsExpr]]).
     */
   def langId(df: DataFrame, textCol: String, out: String = "predicted_lang"): DataFrame = {
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val hitCounts = graft.functions.WordSetHits.hits(tokens(col(textCol)), langs.map(_._2))
+    df.withColumn(out, bestLang(hitCounts, langs.map(_._1)))
+  }
+
+  /** Builtin-HOF formulation with identical semantics (one `aggregate` fold
+    * counting every language per token) — kept for cross-checking the
+    * native expression.
+    */
+  def langIdHof(df: DataFrame, textCol: String, out: String = "predicted_lang"): DataFrame = {
     val langs = langMarkers.toSeq.sortBy(_._1)
     val zero = array(langs.map(_ => lit(0)): _*)
     val hitCounts = aggregate(tokens(col(textCol)), zero, (acc, tok) =>
       array(langs.zipWithIndex.map { case ((_, words), i) =>
         element_at(acc, i + 1) + when(tok.isin(words: _*), 1).otherwise(0)
       }: _*))
-    val langNames = array(langs.map { case (lang, _) => lit(lang) }: _*)
-    // hitCounts likewise appears exactly once (zip_with collection arg); the
-    // argmax fold scans ascending language order with strict > so ties keep
-    // the lexicographically-first language.
-    val best = aggregate(
-      zip_with(hitCounts, langNames, (h, l) => struct(h.as("hits"), l.as("lang"))),
+    df.withColumn(out, bestLang(hitCounts, langs.map(_._1)))
+  }
+
+  /** Argmax over (hits, lang): `hitCounts` appears exactly once (zip_with
+    * collection arg); the fold scans ascending language order with strict >
+    * so ties keep the lexicographically-first language.
+    */
+  private def bestLang(hitCounts: Column, langNames: Seq[String]): Column = {
+    val names = array(langNames.map(lit): _*)
+    aggregate(
+      zip_with(hitCounts, names, (h, l) => struct(h.as("hits"), l.as("lang"))),
       struct(lit(-1).as("hits"), lit("").as("lang")),
       (acc, x) => when(x.getField("hits") > acc.getField("hits"), x).otherwise(acc)
-    )
-    df.withColumn(out, best.getField("lang"))
+    ).getField("lang")
   }
 
   /** Text normalization for near-exact dedup: lowercase + collapse

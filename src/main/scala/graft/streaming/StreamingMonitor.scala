@@ -47,4 +47,31 @@ object StreamingMonitor {
                          cols: Seq[(String, ColumnConfig)]): DataFrame =
     df.groupBy(col(dimCol))
       .agg(count(lit(1)).as("row_count"), aggCols(cols): _*)
+
+  /** Per-window distinct-cardinality sketch of `keyCol`: the mergeable KMV
+    * aggregate rides the normal watermarked window aggregation (map-side
+    * partials merge like any agg — state per window is k longs, NOT the
+    * distinct set), plus a closed-form estimate column. The streaming
+    * cardinality-drift monitor: a window whose key cardinality collapses
+    * (stuck producer) or explodes (key leak) shows immediately, at O(k)
+    * state, where exact `approx_count_distinct` state would also work but
+    * the KMV sketch additionally supports cross-window set algebra via
+    * [[graft.functions.ThetaSketch]].
+    *
+    * Works identically on a batch frame (drop the watermark semantics) —
+    * same aggregate, same estimate expression.
+    */
+  def distinctSketchStream(df: DataFrame, tsCol: String, watermark: String,
+                           duration: String, keyCol: String, k: Int): DataFrame = {
+    val sketched = df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration).as("w"))
+      .agg(graft.functions.KmvSketch.kmv(
+        graft.ops.Shingles.md5Hash60(col(keyCol).cast("string")), k).as("sketch"))
+    // (k-1)/normalized k-th minimum; exact when the sketch is not full
+    val est = when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(col("sketch"), k).cast("double") / lit(math.pow(2, 60))))
+    sketched.select(col("w.start").as("window_start"), col("sketch"),
+      est.as("distinct_estimate"))
+  }
 }

@@ -70,4 +70,32 @@ class ExprPropertySpec extends SparkSpec {
       native == hof
     }, n = 15)
   }
+
+  test("WordSetHitsExpr equals per-set membership counts on random token arrays") {
+    import graft.functions.WordSetHits
+    // overlapping sets on a small vocabulary so collisions and multi-set
+    // membership both occur
+    val sets = Seq(Seq("the", "a", "la", "de"), Seq("la", "de", "el"), Seq("und", "de"))
+    val vocab = Gen.oneOf("the", "a", "la", "de", "el", "und", "zz", "", "THE")
+    check(Prop.forAll(Gen.listOf(vocab)) { toks =>
+      val got = Seq(Tuple1(toks)).toDF("t")
+        .select(WordSetHits.hits(col("t"), sets)).as[Seq[Int]].collect()(0)
+      val want = sets.map(s => toks.count(s.contains))
+      got == want
+    }, n = 20)
+  }
+
+  test("native langId equals the HOF fold formulation") {
+    import graft.ops.TextAnalysis
+    val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(5, text)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val native = TextAnalysis.langId(df, "text").select("id", "predicted_lang")
+        .as[(Long, String)].collect().toSet
+      val hof = TextAnalysis.langIdHof(df, "text").select("id", "predicted_lang")
+        .as[(Long, String)].collect().toSet
+      native == hof
+    }, n = 15)
+  }
 }

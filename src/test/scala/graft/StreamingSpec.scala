@@ -146,6 +146,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed distinct-cardinality sketch: exact under k, partitioning-invariant") {
+    import spark.implicits._
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // window 0: keys u0..u9 with repeats (10 distinct); window 1: u0..u2
+    val events = (0 until 30).map(i => (ts(0, i % 50), s"u${i % 10}")) ++
+      (0 until 6).map(i => (ts(1, i), s"u${i % 3}"))
+
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = StreamingMonitor.distinctSketchStream(
+        stream.toDF().toDF("ts", "user"), "ts", "10 minutes", "1 hour", "user", 64)
+      .writeStream.format("memory").queryName("sketch_test").outputMode("complete").start()
+    stream.addData(events: _*)
+    q.processAllAvailable()
+    val rows = spark.table("sketch_test")
+      .select(col("window_start").cast("string"), col("distinct_estimate"))
+      .as[(String, Double)].collect().toMap
+    q.stop()
+
+    // not-full sketches (k=64 > cardinality) estimate EXACTLY
+    assert(rows == Map(
+      "2024-01-01 00:00:00" -> 10.0,
+      "2024-01-01 01:00:00" -> 3.0))
+
+    // batch equivalent over the same rows gives identical sketches
+    val batch = StreamingMonitor.distinctSketchStream(
+        events.toDF("ts", "user"), "ts", "10 minutes", "1 hour", "user", 64)
+      .select(col("window_start").cast("string"), col("distinct_estimate"))
+      .as[(String, Double)].collect().toMap
+    assert(batch == rows)
+  }
+
   test("streaming first-seen dedup: duplicates suppressed, TTL re-admits") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
