@@ -87,6 +87,56 @@ object Multimodal {
       val bpp = le16(bytes, 28)
       if (w <= 0 || h == 0 || bpp <= 0) None else Some(BmpInfo(w, math.abs(h), bpp))
     }
+
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) | ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+    final case class PngInfo(width: Int, height: Int, bitDepth: Int, colorType: Int)
+
+    /** Parse a PNG signature + IHDR chunk (always first, fixed layout). */
+    def parsePng(bytes: Array[Byte]): Option[PngInfo] = {
+      if (bytes.length < 26) return None
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      if ((0 until 8).exists(i => bytes(i) != sig(i))) return None
+      if (!(bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')) return None
+      val w = be32(bytes, 16)
+      val h = be32(bytes, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some(PngInfo(w.toInt, h.toInt, bytes(24) & 0xFF, bytes(25) & 0xFF))
+    }
+
+    final case class JpegInfo(width: Int, height: Int, components: Int)
+
+    /** SOF markers carrying frame dimensions (C0-CF minus DHT/JPG/DAC). */
+    private def isSof(m: Int): Boolean =
+      m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+    /** Parse a JPEG by walking marker segments to the first SOF. */
+    def parseJpeg(bytes: Array[Byte]): Option[JpegInfo] = {
+      if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+      var off = 2
+      while (off + 4 <= bytes.length) {
+        if ((bytes(off) & 0xFF) != 0xFF) return None
+        val marker = bytes(off + 1) & 0xFF
+        if (marker == 0xFF) { off += 1 } // fill byte
+        else if ((marker >= 0xD0 && marker <= 0xD9) || marker == 0x01) { off += 2 } // standalone
+        else {
+          val segLen = be16(bytes, off + 2)
+          if (segLen < 2) return None
+          if (isSof(marker)) {
+            if (off + 10 > bytes.length) return None
+            val h = be16(bytes, off + 5)
+            val w = be16(bytes, off + 7)
+            val nc = bytes(off + 9) & 0xFF
+            return if (w > 0 && h > 0) Some(JpegInfo(w, h, nc)) else None
+          }
+          off += 2 + segLen
+        }
+      }
+      None
+    }
   }
 
   final case class MediaMetaRow(id: Long, format: String, ok: Boolean,
@@ -108,6 +158,14 @@ object Multimodal {
           }
           case "image/bmp" => Headers.parseBmp(r.media) match {
             case Some(b) => MediaMetaRow(r.id, r.format, ok = true, b.width, b.height, -1, -1, -1L)
+            case None => MediaMetaRow(r.id, r.format, ok = false, -1, -1, -1, -1, -1L)
+          }
+          case "image/png" => Headers.parsePng(r.media) match {
+            case Some(p) => MediaMetaRow(r.id, r.format, ok = true, p.width, p.height, -1, -1, -1L)
+            case None => MediaMetaRow(r.id, r.format, ok = false, -1, -1, -1, -1, -1L)
+          }
+          case "image/jpeg" => Headers.parseJpeg(r.media) match {
+            case Some(j) => MediaMetaRow(r.id, r.format, ok = true, j.width, j.height, j.components, -1, -1L)
             case None => MediaMetaRow(r.id, r.format, ok = false, -1, -1, -1, -1, -1L)
           }
           case _ => MediaMetaRow(r.id, r.format, ok = false, -1, -1, -1, -1, -1L)

@@ -33,8 +33,16 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4")
   )
 
-  /** Count of tokens contained in `words` — array HOF, no explode. */
+  /** Count of tokens contained in `words` (with multiplicity) — one
+    * codegen'd pass with a hash lookup per token
+    * ([[graft.functions.WordSetHitsExpr]]; the `size(filter(isin))` HOF form
+    * is interpreted and pays |words| string compares per token).
+    */
   def tokenHits(text: Column, words: Seq[String]): Column =
+    element_at(graft.functions.WordSetHits.hits(tokens(text), Seq(words)), 1)
+
+  /** The HOF formulation of [[tokenHits]] — kept for cross-checking. */
+  def tokenHitsHof(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words: _*)))
 
   /** Quality features per document. Ratios use explicit double arithmetic so

@@ -74,4 +74,32 @@ object StreamingMonitor {
     sketched.select(col("w.start").as("window_start"), col("sketch"),
       est.as("distinct_estimate"))
   }
+
+  final case class WindowDrift(windowStart: java.sql.Timestamp,
+                               distinctEstimate: Double,
+                               newKeysEstimate: Double,
+                               droppedKeysEstimate: Double,
+                               jaccardVsPrev: Double)
+
+  /** Cross-window key-population drift from a collected
+    * [[distinctSketchStream]] result (window counts are bounded by time, not
+    * data — collecting them is fine): for each consecutive window pair,
+    * theta-sketch estimates of the keys that appeared (`new`), vanished
+    * (`dropped`), and the overlap ratio. Exact whenever the sketches are not
+    * full. The "did my key population shift between windows" monitor — the
+    * cross-run analogue of the batch scan's [[graft.scan.Drift]] report.
+    */
+  def sketchDrift(windows: Seq[(java.sql.Timestamp, Seq[Long])], k: Int): Seq[WindowDrift] = {
+    import graft.functions.ThetaSketch
+    val sketches = windows.sortBy(_._1.getTime)
+      .map { case (ts, vals) => (ts, ThetaSketch.fromKmv(vals, k)) }
+    sketches.sliding(2).collect { case Seq((_, prev), (ts, cur)) =>
+      val union = ThetaSketch.union(prev, cur, k)
+      val inter = ThetaSketch.intersection(prev, cur)
+      WindowDrift(ts, cur.estimate,
+        ThetaSketch.difference(cur, prev).estimate,
+        ThetaSketch.difference(prev, cur).estimate,
+        if (union.values.isEmpty) 1.0 else inter.estimate / union.estimate)
+    }.toSeq
+  }
 }

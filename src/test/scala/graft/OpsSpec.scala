@@ -419,6 +419,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == "es")
   }
 
+  test("native tokenHits equals the HOF formulation") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, ""), (3L, "la de la de la")
+    ).toDF("doc_id", "text")
+    val words = TextAnalysis.stopwordsEn
+    val r = df.select(
+      TextAnalysis.tokenHits(col("text"), words).as("native"),
+      TextAnalysis.tokenHitsHof(col("text"), words).as("hof"))
+      .as[(Int, Int)].collect()
+    assert(r.forall(p => p._1 == p._2), r.mkString(","))
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq(
       (1L, "a b c d e f g h"),
@@ -453,15 +466,40 @@ class MultimodalSpec extends SparkSpec {
       bb.putInt(40); bb.putInt(w); bb.putInt(h); bb.putShort(1.toShort); bb.putShort(bpp.toShort)
       bb.array()
     }
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes)
+      bb.putInt(w); bb.putInt(h); bb.put(8.toByte); bb.put(6.toByte)
+      bb.array()
+    }
+    def jpegBytes(w: Int, h: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(64).order(ByteOrder.BIG_ENDIAN)
+      bb.put(0xFF.toByte); bb.put(0xD8.toByte)               // SOI
+      bb.put(0xFF.toByte); bb.put(0xE0.toByte)               // APP0 segment first
+      bb.putShort(16.toShort); bb.put(new Array[Byte](14))   // 16-byte APP0 body
+      bb.put(0xFF.toByte); bb.put(0xC0.toByte)               // SOF0
+      bb.putShort(17.toShort); bb.put(8.toByte)              // len, precision
+      bb.putShort(h.toShort); bb.putShort(w.toShort); bb.put(3.toByte)
+      bb.array()
+    }
     val media = Seq(
       (1L, wavBytes(16000, 1, 16, 32000), "audio/wav"),
       (2L, bmpBytes(640, 480, 24), "image/bmp"),
-      (3L, "not media at all".getBytes, "audio/wav")
+      (3L, "not media at all".getBytes, "audio/wav"),
+      (4L, pngBytes(1920, 1080), "image/png"),
+      (5L, jpegBytes(800, 600), "image/jpeg"),
+      (6L, pngBytes(10, 10).take(12), "image/png"),         // truncated -> corrupt
+      (7L, "garbage".getBytes, "image/jpeg")
     ).toDF("id", "media", "format")
     val out = Multimodal.extractMetadata(spark, media).collect().map(r => r.id -> r).toMap
     assert(out(1L).ok && out(1L).sample_rate == 16000 && out(1L).channels == 1 && out(1L).duration_ms == 1000L)
     assert(out(2L).ok && out(2L).width == 640 && out(2L).height == 480)
     assert(!out(3L).ok)
+    assert(out(4L).ok && out(4L).width == 1920 && out(4L).height == 1080)
+    assert(out(5L).ok && out(5L).width == 800 && out(5L).height == 600 && out(5L).channels == 3)
+    assert(!out(6L).ok)
+    assert(!out(7L).ok)
   }
 
   test("binary plumbing with stubbed decode is deterministic") {

@@ -69,6 +69,27 @@ class ThetaSketchSpec extends SparkSpec {
       sa.values.count(_ < math.min(sa.theta, sb.theta)))
   }
 
+  test("cross-window sketch drift: exact new/dropped keys when sketches are not full") {
+    import graft.streaming.StreamingMonitor
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def kmvOf(items: Seq[String]): Seq[Long] = {
+      val s = sketchOf(items)
+      // reconstruct the raw kmv array (not-full sketch retains everything)
+      s.values.toSeq
+    }
+    val w0 = (0 until 12).map(i => s"k$i")   // 12 keys
+    val w1 = (6 until 20).map(i => s"k$i")   // 14 keys: 6 new dropped... 8 new, 6 shared, 6 dropped
+    val drift = StreamingMonitor.sketchDrift(
+      Seq(ts(0) -> kmvOf(w0), ts(1) -> kmvOf(w1)), K)
+    assert(drift.size == 1)
+    val d = drift.head
+    assert(d.windowStart == ts(1))
+    assert(d.distinctEstimate == 14.0)
+    assert(d.newKeysEstimate == 8.0)     // k12..k19
+    assert(d.droppedKeysEstimate == 6.0) // k0..k5
+    assert(math.abs(d.jaccardVsPrev - 6.0 / 20.0) < 1e-12)
+  }
+
   test("intersection and difference retain only values below the joint theta") {
     val sa = sketchOf(a)
     val sb = sketchOf(b)
