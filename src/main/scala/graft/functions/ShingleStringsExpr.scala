@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The n-token shingle strings of a token array, space-joined, in ONE pass
+  * over ONE evaluation of the child.
+  *
+  * Semantics identical to the zip_with-fold formulation
+  * (Shingles.shingleStringsHof): cnt >= n → the cnt-n+1 windows
+  * `toks[i] + " " + ... + toks[i+n-1]` in order; cnt < n → one whole-text
+  * shingle. The fold, though safe from the per-ELEMENT re-evaluation trap,
+  * still references the token array ~n+1 times TEXTUALLY (slice per shift +
+  * size), and CollapseProject inlines the upstream `split` once per
+  * reference — this expression evaluates it exactly once per row.
+  * Whole-stage-codegen'd; cross-checked by property test.
+  */
+case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"use the token array directly for n=1, got n=$n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (cnt < n) {
+      val all = new Array[UTF8String](cnt)
+      var i = 0
+      while (i < cnt) { all(i) = arr.getUTF8String(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(sep, all: _*)))
+    } else {
+      val out = new Array[Any](cnt - n + 1)
+      val w = new Array[UTF8String](n)
+      var i = 0
+      while (i <= cnt - n) {
+        var j = 0
+        while (j < n) { w(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sep, w: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sep = ctx.addReferenceObj("shingleSep", UTF8String.fromString(" "),
+        classOf[UTF8String].getName)
+      val cnt = ctx.freshName("cnt"); val out = ctx.freshName("out")
+      val w = ctx.freshName("w"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val u = classOf[UTF8String].getName
+      s"""
+         |final int $cnt = $arr.numElements();
+         |Object[] $out;
+         |if ($cnt < $n) {
+         |  $u[] $w = new $u[$cnt];
+         |  for (int $i = 0; $i < $cnt; $i++) $w[$i] = $arr.getUTF8String($i);
+         |  $out = new Object[]{ $u.concatWs($sep, $w) };
+         |} else {
+         |  $out = new Object[$cnt - $n + 1];
+         |  $u[] $w = new $u[$n];
+         |  for (int $i = 0; $i <= $cnt - $n; $i++) {
+         |    for (int $j = 0; $j < $n; $j++) $w[$j] = $arr.getUTF8String($i + $j);
+         |    $out[$i] = $u.concatWs($sep, $w);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStringsExpr =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  /** Column API: n-token shingle strings; n=1 returns the tokens as-is. */
+  def shingles(tokens: Column, n: Int): Column =
+    if (n == 1) tokens
+    else GraftShim.toColumn(ShingleStringsExpr(GraftShim.toExpression(tokens), n))
+}

@@ -211,15 +211,25 @@ object TextAnalysis {
 object Shingles {
   import org.apache.spark.sql.functions._
 
-  /** The n-token shingle strings of `toks` — built by folding zip_with over
-    * shifted slices, so `toks` only ever appears as a COLLECTION argument
-    * (evaluated once per row). Never reference the source array inside a
-    * lambda body: `transform(seq, i => slice(toks, i, n))` re-evaluates
-    * `toks` (the whole upstream split) once PER ELEMENT — measured 50× the
-    * cost of the rest of the fingerprint pipeline. No explode, no shuffle.
-    * Shorter-than-n docs yield one whole-text shingle.
+  /** The n-token shingle strings of `toks` — native codegen'd
+    * [[graft.functions.ShingleStringsExpr]]: ONE evaluation of `toks` per
+    * row, one window pass. (The zip_with-fold formulation below is per-ROW
+    * safe but still references `toks` ~n+1 times textually, and
+    * CollapseProject inlines the upstream `split` once per reference.)
+    * Shorter-than-n docs yield one whole-text shingle. Assumes non-null
+    * tokens (what `split` produces).
     */
   def shingleStrings(toks: Column, n: Int): Column =
+    graft.functions.ShingleStrings.shingles(toks, n)
+
+  /** Builtin-HOF formulation with identical semantics — kept for
+    * cross-checking the native expression. Built by folding zip_with over
+    * shifted slices, so `toks` only ever appears as a COLLECTION argument
+    * (evaluated once per row — never reference the source array inside a
+    * lambda body: `transform(seq, i => slice(toks, i, n))` re-evaluates
+    * `toks` once PER ELEMENT, measured 50× the cost of the whole pipeline).
+    */
+  def shingleStringsHof(toks: Column, n: Int): Column =
     if (n == 1) toks
     else {
       val cnt = size(toks)

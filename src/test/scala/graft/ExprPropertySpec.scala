@@ -85,6 +85,18 @@ class ExprPropertySpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("ShingleStringsExpr equals the zip_with-fold formulation") {
+    import graft.ops.Shingles
+    val tok = Gen.oneOf("a", "bb", "ccc", "", "dd", "e")
+    val toks = Gen.listOf(tok)
+    check(Prop.forAll(toks, Gen.chooseNum(1, 5)) { (ts, n) =>
+      val df = Seq(Tuple1(ts)).toDF("t")
+      val native = df.select(Shingles.shingleStrings(col("t"), n)).as[Seq[String]].collect()(0)
+      val hof = df.select(Shingles.shingleStringsHof(col("t"), n)).as[Seq[String]].collect()(0)
+      native == hof
+    }, n = 25)
+  }
+
   test("native langId equals the HOF fold formulation") {
     import graft.ops.TextAnalysis
     val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")
