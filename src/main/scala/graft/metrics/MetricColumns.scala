@@ -120,17 +120,29 @@ object MetricColumns {
   def exactSum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(30, scale)))
 
-  /** Decimal-exact sum of squares: each value is cast to decimal FIRST (both
-    * engines recover the intended decimal from the double via shortest-repr /
-    * nearest rounding identically for <=15-sig-digit data), then squared in
-    * exact decimal arithmetic. Avoids double->decimal rounding ambiguity on
-    * products.
+  /** Exact sum of squares in fixed-point INTEGER units of 10^-2s:
+    * Σ round(x·10^s)² as decimal(38,0). Derive Σx² as
+    * `cast(double) / 10^(2s)` (see [[derived]]).
+    *
+    * Hybrid evaluation, value-identical on both branches: values whose
+    * fixed-point form fits a safe long square (|x·10^s| < 3.037e9 — i.e.
+    * |x| < ~303k at scale 4) take a PRIMITIVE long multiply inside codegen;
+    * rare larger values square in exact (19,0)×(19,0)→(38,0) decimal. The
+    * per-row decimal MULTIPLY was the whole cost of the previous
+    * all-decimal formulation (~2× the rest of the scan pass measured at
+    * sf0.1); decimal survives only as per-row compact ADDs in the sum.
+    * The oracle can recompute the identical value with the plain decimal
+    * square — the branch choice never changes the value.
     */
   def exactSumSq(c: Column, scale: Int = 4): Column = {
-    // Asymmetric widths (20,s)×(12,s) force DuckDB onto its int128 multiply
-    // path (symmetric (12,s)² overflows its int64 DECIMAL(18) fast path)
-    // while keeping Spark's result precision under 38.
-    sum(c.cast(DecimalType(20, scale)) * c.cast(DecimalType(12, scale)))
+    val f = math.pow(10, scale)
+    val vd = round(c * f)                            // integral-valued double
+    val v = vd.cast(LongType)
+    val safe = abs(vd) < 3037000000.0                // v*v fits a long
+    val fast = (v * v).cast(DecimalType(38, 0))
+    val dec = vd.cast(DecimalType(19, 0))
+    val slow = (dec * dec).cast(DecimalType(38, 0))  // (19,0)×(19,0)→(38,0), exact
+    sum(when(safe, fast).otherwise(slow))
   }
 
   /** Row-level aggregate columns for one column config.
@@ -207,7 +219,8 @@ object MetricColumns {
     if (isNumeric(dt)) {
       val n = col(s"${name}__num_count").cast(DoubleType)
       val s = col(s"${name}__sum_dec").cast(DoubleType)
-      val sq = col(s"${name}__sumsq_dec").cast(DoubleType)
+      // __sumsq_dec is in integer units of 10^-8 (exactSumSq at scale 4)
+      val sq = col(s"${name}__sumsq_dec").cast(DoubleType) / 1.0e8
       if (m("min")) out += col(s"${name}__min").as(s"${name}__min_out")
       if (m("max")) out += col(s"${name}__max").as(s"${name}__max_out")
       if (m("sum")) out += s.as(s"${name}__sum")

@@ -134,6 +134,49 @@ object Similarity {
     ivfSearch(base, queries, idCol, vecCol, k, nprobe, seeds)
   }
 
+  /** Full-corpus kNN GRAPH: for EVERY vector, its `k` nearest neighbors
+    * (IVF-blocked). Unlike [[ivfTopK]] — whose query set is small and
+    * broadcast — here the "queries" are the whole corpus, so both sides
+    * shuffle-join on the cell id: candidates per node are bounded by
+    * nprobe × cell size (~nprobe·N/ncells), the per-node top-K window
+    * partitions on the node id (bounded partitions, no funnel), and no
+    * broadcast of anything but the (ncells × dim) centroids inside the
+    * assignment expression. O(N²·nprobe/ncells) work instead of O(N²) —
+    * the standard recall/cost dial. Pass a [[trainIvfQuantizer]] frame to
+    * reuse trained (or persisted) centroids.
+    *
+    * Output: (query_id, rank, neighbor_id) for every corpus vector — the
+    * input to graph-based curation (hub detection, diversity sampling,
+    * semantic-cluster pruning via [[Components.connectedComponents]]).
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               ncells: Int = 16, nprobe: Int = 2,
+               quantizer: Option[DataFrame] = None): DataFrame = {
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val seeds = quantizer match {
+      case Some(q) => q.select(col("cell").cast(IntegerType), col("centroid"))
+        .orderBy("cell").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      case None => trainSeeds(base, ncells, 0)
+    }
+    def cellScores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
+      struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
+    }: _*)
+    val corpusCells = base.withColumn("cell",
+      array_max(cellScores(col("cv"))).getField("cell"))
+    val probed = base.select(col("neighbor_id").as("query_id"), col("cv").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(reverse(array_sort(cellScores(col("qv")))), 1, nprobe)
+          .getField("cell")).as("cell"))
+    val scored = corpusCells.join(probed, Seq("cell")) // shuffle join — NO broadcast
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Probed-cell candidate join + exact cosine top-K over given seeds. */
   private def ivfSearch(base: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, nprobe: Int,

@@ -502,6 +502,14 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_knn_graph" -> ((s, dir) =>
+      // full-corpus kNN graph: every vector is a query; both sides
+      // shuffle-join on the IVF cell (no broadcast of the corpus). Oracle
+      // replicates the quantizer, probing and per-node top-k in SQL.
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, ncells = 16, nprobe = 2)
+        .orderBy("query_id", "rank")),
+
     "q_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -804,8 +812,10 @@ object Catalog {
   /** IVF-ANN oracle: same deterministic coarse quantizer (the ncells
     * smallest-id vectors as seeds, argmax cosine with larger-cell tie-break),
     * nprobe probed cells, exact cosine top-k within probed cells.
+    * `queryFilter` = "" makes every vector a query (the kNN-graph gate).
     */
-  private def ivfAnnOracleSql(k: Int, ncells: Int, nprobe: Int): String =
+  private def ivfAnnOracleSql(k: Int, ncells: Int, nprobe: Int,
+                              queryFilter: String = " WHERE e.vec_id < 10"): String =
     s"""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS sv
        |               FROM embeddings ORDER BY vec_id LIMIT $ncells),
        |asg AS (SELECT e.vec_id AS nid, s.cell,
@@ -817,7 +827,7 @@ object Catalog {
        |             SELECT e.vec_id AS qid, s.cell,
        |                    row_number() OVER (PARTITION BY e.vec_id
        |                      ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell DESC) AS rn
-       |             FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 10)
+       |             FROM embeddings e CROSS JOIN seeds s$queryFilter)
        |           WHERE rn <= $nprobe),
        |cand AS (SELECT DISTINCT q.qid, b.nid FROM qprobe q JOIN best b ON b.cell = q.cell
        |         WHERE b.nid != q.qid),
@@ -836,6 +846,7 @@ object Catalog {
     "q_column_sketch" -> columnSketchOracleSql(32),
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
     "q_ann_ivf" -> ivfAnnOracleSql(5, 16, 4),
+    "q_knn_graph" -> ivfAnnOracleSql(3, 16, 2, queryFilter = ""),
 
     "q_schema" ->
       """SELECT CAST(row_number() OVER () - 1 AS INT) AS position, column_name,
@@ -881,14 +892,22 @@ object Catalog {
         |FROM a""".stripMargin,
 
     "q_stats_var" ->
-      """WITH a AS (
+      // sum-of-squares in fixed-point integer units of 1e-8 (exactSumSq):
+      // the oracle squares the SAME round(x*1e4) integer in exact decimal —
+      // the Spark side's fast/slow branch choice never changes the value
+      """WITH r AS (
+        |  SELECT CAST(round(l_quantity * 10000.0) AS DECIMAL(19,0)) AS vq,
+        |         CAST(round(l_extendedprice * 10000.0) AS DECIMAL(19,0)) AS vp,
+        |         l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |a AS (
         |  SELECT CAST(count(l_quantity) AS DOUBLE) AS n1,
         |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s1,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS q1,
+        |         CAST(sum(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q1,
         |         CAST(count(l_extendedprice) AS DOUBLE) AS n2,
         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s2,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS q2
-        |  FROM lineitem)
+        |         CAST(sum(CAST(vp * vp AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q2
+        |  FROM r)
         |SELECT (q1 - s1 * s1 / n1) / (n1 - 1.0) AS l_quantity_variance,
         |       sqrt((q1 - s1 * s1 / n1) / (n1 - 1.0)) AS l_quantity_stddev,
         |       (q2 - s2 * s2 / n2) / (n2 - 1.0) AS l_extendedprice_variance,

@@ -279,6 +279,27 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.5, s"trained recall $trained")
   }
 
+  test("knn graph covers every node, no corpus broadcast in the plan") {
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3, ncells = 4, nprobe = 2)
+    val rows = g.as[(Long, Int, Long)].collect()
+    // every node gets neighbors (dense corpus, nprobe=2 of 4 cells)
+    assert(rows.map(_._1).distinct.length == 50)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size), s"ranks of $q")
+      assert(rs.forall(_._3 != q), s"self-neighbor for $q")
+    }
+    // no FORCED broadcast of the corpus-as-queries side: the logical plan
+    // must carry no broadcast hint (the planner may still auto-broadcast a
+    // tiny side — at scale, statistics make this a shuffle join on cell)
+    assert(!g.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      g.queryExecution.analyzed.toString)
+    // agrees with brute force on most edges (recall sanity)
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val hits = rows.count(r => bf.contains((r._1, r._3)))
+    assert(hits * 2 >= rows.length, s"recall ${hits.toDouble / rows.length}")
+  }
+
   test("trained IVF quantizer round-trips through parquet with identical results") {
     val queries = vecs.where(col("vec_id") < 5)
     val quantizer = Similarity.trainIvfQuantizer(vecs, "vec_id", "embedding",
