@@ -243,6 +243,39 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Strategy-ROUTING Jaccard near-dup: measures the largest block first
+    * (one cheap count aggregate) and only then picks the all-pairs strategy
+    * — which is O(maxBlock²) and a silent scale-killer on low-cardinality
+    * block keys — falling back to MinHash-LSH + exact-Jaccard verification
+    * (recall-bounded but shuffle-skinny at any corpus size) otherwise.
+    * This is the guard that keeps `jaccardPairsAllPairs` from being invoked
+    * blind on a 2-value block key at 100 TB.
+    *
+    * Output on either route: (id_a, id_b, jaccard) with jaccard >= threshold
+    * over the same shingle-hash set definition. The LSH route can miss pairs
+    * whose signatures never collide in a band (tune numHashes/bands); the
+    * all-pairs route is exact.
+    */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, blockCols: Seq[String] = Nil,
+                       shingleLen: Int = 1, maxBlockForAllPairs: Long = 5000,
+                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val maxBlock =
+      if (blockCols.isEmpty) Long.MaxValue
+      else {
+        val r = df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("n"))
+          .agg(max("n")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    if (blockCols.nonEmpty && maxBlock <= maxBlockForAllPairs)
+      jaccardPairsAllPairs(df, idCol, textCol, threshold, blockCols,
+        shingleLen = shingleLen)
+        .select("id_a", "id_b", "jaccard")
+    else
+      minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands, shingleLen)
+        .select("id_a", "id_b", "jaccard")
+  }
+
   /** End-to-end near-dedup: MinHash-LSH pairs → connected components → keep
     * the smallest-id representative of every near-dup cluster. This is the
     * user-facing "dedupe my corpus" call.

@@ -177,6 +177,16 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** In-degree (hubness) over a kNN graph frame (query_id, rank,
+    * neighbor_id): nodes appearing as neighbors of many others are
+    * embedding-space hubs — boilerplate / repeated content that curation
+    * down-weights, or cluster centers worth inspecting. One bounded shuffle
+    * over graph edges (≤ k·N rows).
+    */
+  def hubScores(graph: DataFrame): DataFrame =
+    graph.groupBy(col("neighbor_id").as("id"))
+      .agg(count(lit(1)).cast(LongType).as("in_degree"))
+
   /** Probed-cell candidate join + exact cosine top-K over given seeds. */
   private def ivfSearch(base: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, nprobe: Int,

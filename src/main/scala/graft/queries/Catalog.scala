@@ -510,6 +510,13 @@ object Catalog {
         k = 3, ncells = 16, nprobe = 2)
         .orderBy("query_id", "rank")),
 
+    "q_knn_hubs" -> ((s, dir) =>
+      // hubness: in-degree over the kNN graph — one bounded shuffle
+      Similarity.hubScores(
+        Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, ncells = 16, nprobe = 2))
+        .orderBy("id")),
+
     "q_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -847,6 +854,10 @@ object Catalog {
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
     "q_ann_ivf" -> ivfAnnOracleSql(5, 16, 4),
     "q_knn_graph" -> ivfAnnOracleSql(3, 16, 2, queryFilter = ""),
+    "q_knn_hubs" ->
+      s"""WITH g AS (${ivfAnnOracleSql(3, 16, 2, queryFilter = "")})
+         |SELECT neighbor_id AS id, count(*) AS in_degree
+         |FROM g GROUP BY neighbor_id ORDER BY id""".stripMargin,
 
     "q_schema" ->
       """SELECT CAST(row_number() OVER () - 1 AS INT) AS position, column_name,

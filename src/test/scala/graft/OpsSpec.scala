@@ -121,6 +121,23 @@ class DedupSpec extends SparkSpec {
     assert(run(Int.MaxValue) == run(1000))
   }
 
+  test("jaccardPairsAuto measures blocks, routes small to all-pairs and big to LSH") {
+    val blocked = docs.withColumn("blk", lit(1))
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // 5 docs in one block -> all-pairs route
+    val auto = collect(Dedup.jaccardPairsAuto(blocked, "id", "text", 0.7, Seq("blk")))
+    val ap = collect(Dedup.jaccardPairsAllPairs(blocked, "id", "text", 0.7, Seq("blk")))
+    assert(auto == ap)
+    // maxBlockForAllPairs = 1 forces the LSH route
+    val forced = collect(Dedup.jaccardPairsAuto(blocked, "id", "text", 0.7, Seq("blk"),
+      maxBlockForAllPairs = 1))
+    val lsh = collect(Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1))
+    assert(forced == lsh)
+    // unblocked input always routes to LSH
+    assert(collect(Dedup.jaccardPairsAuto(docs, "id", "text", 0.7)) == lsh)
+  }
+
   test("n-gram LSH path agrees with the all-pairs strategy on this corpus") {
     // q_dedup_ngram routes through minhashLshPairs(shingleLen = 3); the
     // all-pairs form stays the small-block strategy — same verified output
@@ -298,6 +315,10 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
     val hits = rows.count(r => bf.contains((r._1, r._3)))
     assert(hits * 2 >= rows.length, s"recall ${hits.toDouble / rows.length}")
+    // hub scores: in-degree sums to the edge count, every id is a real node
+    val hubs = Similarity.hubScores(g).as[(Long, Long)].collect()
+    assert(hubs.map(_._2).sum == rows.length)
+    assert(hubs.forall(h => h._1 >= 0 && h._1 < 50))
   }
 
   test("trained IVF quantizer round-trips through parquet with identical results") {
