@@ -50,10 +50,21 @@ object Scanner {
     (if (asc) vals.orderBy(col("v").asc) else vals.orderBy(col("v").desc)).limit(n)
   }
 
+  /** `scanYaml` is the scan-file CONTENT or a PATH to one — same dual
+    * acceptance as the reference (scan.py:204-233 `create_scan_yml`:
+    * `Path(scan_definition).is_file()` routes to a file read).
+    */
   def executeYaml(spark: SparkSession, df: DataFrame, scanYaml: String,
                   variables: Map[String, String] = Map.empty,
-                  time: Option[String] = None): ScanResult =
-    execute(spark, df, ScanYamlParser.parse(substituteVars(scanYaml, variables)), time)
+                  time: Option[String] = None): ScanResult = {
+    val content =
+      try {
+        val p = java.nio.file.Paths.get(scanYaml)
+        if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.readString(p)
+        else scanYaml
+      } catch { case _: java.nio.file.InvalidPathException => scanYaml }
+    execute(spark, df, ScanYamlParser.parse(substituteVars(content, variables)), time)
+  }
 
   /** Reference-parity `as_frames` variant (scan.py:398-421): the scan result
     * as (measurements, testResults, errors) DataFrames.

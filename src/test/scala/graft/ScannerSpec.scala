@@ -233,6 +233,17 @@ class ScannerSpec extends SparkSpec {
     assert(Drift.driftedOnly(before, after).forall(_.status != "stable"))
   }
 
+  test("executeYaml accepts a scan-file PATH like the reference") {
+    val p = java.nio.file.Files.createTempFile("graft-scan", ".yml")
+    try {
+      java.nio.file.Files.writeString(p, yaml)
+      val fromPath = Scanner.executeYaml(spark, df, p.toString, time = Some("2024-01-01T00:00:00Z"))
+      val fromContent = Scanner.executeYaml(spark, df, yaml, time = Some("2024-01-01T00:00:00Z"))
+      assert(fromPath.measurements == fromContent.measurements)
+      assert(fromPath.testResults == fromContent.testResults)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
   test("scan group-pass top-K compiles to TakeOrderedAndProject, never WindowExec") {
     val df = Seq((1, "a"), (2, "b"), (3, "a"), (4, "c")).toDF("n", "s")
     val counted = graft.metrics.GroupMetrics.countedFrame(df,
