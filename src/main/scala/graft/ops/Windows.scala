@@ -26,6 +26,21 @@ object Windows {
       )
       .select(col("w.start").as("window_start"), col(keyCol), col("n_events"), col("sum_value"))
 
+  /** SLIDING window aggregation (batch): each event contributes to
+    * duration/slide overlapping windows — Spark's `window(ts, duration,
+    * slide)` explodes the event into its covering windows before the
+    * grouped aggregate (shuffle size × duration/slide; the standard
+    * overlap cost). Decimal-exact sums as in [[tumbling]].
+    */
+  def sliding(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+              duration: String, slide: String): DataFrame =
+    df.groupBy(window(col(tsCol), duration, slide).as("w"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        MetricColumns.exactSum(col(valueCol), scale = 2).cast(DoubleType).as("sum_value")
+      )
+      .select(col("w.start").as("window_start"), col(keyCol), col("n_events"), col("sum_value"))
+
   /** Streaming variant: watermarked tumbling window (append mode). */
   def tumblingStream(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
                      duration: String, watermark: String): DataFrame =

@@ -634,6 +634,61 @@ object Catalog {
       Windows.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
         .orderBy("window_start", "event_type")),
 
+    "q_window_sliding" -> ((s, dir) =>
+      // 1-hour windows every 15 minutes: each event lands in exactly 4
+      // windows; the oracle reproduces the epoch-aligned slide grid
+      Windows.sliding(t(s, dir, "events"), "ts", "event_type", "value",
+        "1 hour", "15 minutes")
+        .orderBy("window_start", "event_type")),
+
+    "q_scan_wide" -> { (s, dir) =>
+      // the END-TO-END scan surface (rows-only BY DESIGN: every constituent
+      // metric is separately oracled via q_stats/q_stats_var/q_missing/
+      // q_distinct/...; this entry exists so the bench times the real
+      // Scanner.execute path — one scan pass + one group shuffle — rather
+      // than only its pieces)
+      val yaml =
+        """table_name: lineitem_wide
+          |metrics:
+          |- row_count
+          |- missing_count
+          |- values_count
+          |- min
+          |- max
+          |- avg
+          |- sum
+          |- variance
+          |- stddev
+          |- min_length
+          |- max_length
+          |- avg_length
+          |metric_groups:
+          |- duplicates
+          |tests:
+          |- row_count > 0
+          |columns:
+          |  l_quantity:
+          |    valid_min: 1
+          |    valid_max: 50
+          |    metrics:
+          |    - frequent_values
+          |    - mins
+          |    - maxs
+          |    - histogram
+          |    tests:
+          |    - invalid_percentage == 0
+          |  l_returnflag:
+          |    valid_values:
+          |    - A
+          |    - N
+          |    - R
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, t(s, dir, "lineitem"), yaml,
+        time = Some("2026-01-01T00:00:00Z"))
+      graft.api.ScanResultFrames.measurementsToDF(s, r.measurements)
+        .orderBy("metric", "column_name", "value")
+    },
+
     "q_sessionize" -> ((s, dir) =>
       Windows.sessionizeBatch(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800)
         .orderBy("user_id", "session_id")),
@@ -1357,6 +1412,17 @@ object Catalog {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH g AS (
+        |  SELECT date_trunc('hour', ts) + to_minutes(15 * (EXTRACT(minute FROM ts) // 15)) AS grid,
+        |         event_type, value
+        |  FROM events),
+        |e AS (SELECT grid - to_minutes(15 * s.i) AS window_start, event_type, value
+        |      FROM g CROSS JOIN (SELECT unnest(range(4)) AS i) s)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_quality" ->
       """SELECT date_trunc('hour', ts) AS window_start,

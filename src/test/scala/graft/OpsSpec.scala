@@ -571,3 +571,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame.length == 2)) // 10 bytes / 5 frames
   }
 }
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  test("sliding windows cover each event duration/slide times and refine tumbling") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (ts(0, 5), "click", 1.0), (ts(0, 25), "click", 2.0),
+      (ts(0, 50), "view", 5.0), (ts(1, 10), "click", 4.0)
+    ).toDF("ts", "event_type", "value")
+    val slid = ops.Windows.sliding(events, "ts", "event_type", "value", "1 hour", "15 minutes")
+      .as[(Timestamp, String, Long, Double)].collect()
+    // 1h/15m: every event appears in exactly 4 windows
+    assert(slid.map(_._3).sum == 4L * 4)
+    // the epoch-aligned slide grid contains the tumbling windows: summing the
+    // on-the-hour slices reproduces the tumbling aggregate
+    val tumb = ops.Windows.tumbling(events, "ts", "event_type", "value", "1 hour")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val onHour = slid.filter(r => r._1.toLocalDateTime.getMinute == 0).toSet
+    assert(tumb.subsetOf(onHour))
+  }
+}
