@@ -187,6 +187,23 @@ object Similarity {
     graph.groupBy(col("neighbor_id").as("id"))
       .agg(count(lit(1)).cast(LongType).as("in_degree"))
 
+  /** Hub-suppressed diverse sampling: drop embedding-space hubs (in-degree
+    * over the kNN graph above `maxInDegree` — near-duplicate boilerplate
+    * regions), then take a deterministic hash sample of the survivors.
+    * A scalable approximation of diversity-maximizing selection: hubs are
+    * exactly the rows whose neighborhoods are over-represented, so removing
+    * them flattens the density before uniform sampling. Composition of
+    * [[hubScores]] + anti-join + [[graft.ops.Sampling.hashSample]] — every
+    * piece bounded/oracled on its own.
+    */
+  def diverseSample(corpus: DataFrame, graph: DataFrame, idCol: String,
+                    maxInDegree: Long, fraction: Double): DataFrame = {
+    val hubs = hubScores(graph).where(col("in_degree") > maxInDegree)
+      .select(col("id").as(idCol))
+    graft.ops.Sampling.hashSample(
+      corpus.join(hubs, Seq(idCol), "left_anti"), idCol, fraction)
+  }
+
   /** Probed-cell candidate join + exact cosine top-K over given seeds. */
   private def ivfSearch(base: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, nprobe: Int,

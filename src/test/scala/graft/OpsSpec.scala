@@ -321,6 +321,23 @@ class SimilaritySpec extends SparkSpec {
     assert(hubs.forall(h => h._1 >= 0 && h._1 < 50))
   }
 
+  test("diverse sample drops hubs then hash-samples deterministically") {
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3, ncells = 4, nprobe = 2)
+    val hubs = Similarity.hubScores(g).where(col("in_degree") > 5)
+      .select("id").as[Long].collect().toSet
+    val sampled = Similarity.diverseSample(vecs, g, "vec_id", maxInDegree = 5, fraction = 1.0)
+      .select("vec_id").as[Long].collect().toSet
+    // fraction 1.0 keeps exactly the non-hub survivors
+    assert(sampled == (0L until 50L).toSet -- hubs)
+    // deterministic: same call, same rows
+    assert(sampled == Similarity.diverseSample(vecs, g, "vec_id", 5, 1.0)
+      .select("vec_id").as[Long].collect().toSet)
+    // a fractional sample is a subset of the survivors
+    val frac = Similarity.diverseSample(vecs, g, "vec_id", 5, 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(frac.subsetOf(sampled))
+  }
+
   test("trained IVF quantizer round-trips through parquet with identical results") {
     val queries = vecs.where(col("vec_id") < 5)
     val quantizer = Similarity.trainIvfQuantizer(vecs, "vec_id", "embedding",
