@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics identical to the zip_with-fold formulation
   * (Shingles.shingleStringsHof): cnt >= n → the cnt-n+1 windows
-  * `toks[i] + " " + ... + toks[i+n-1]` in order; cnt < n → one whole-text
-  * shingle. The fold, though safe from the per-ELEMENT re-evaluation trap,
+  * `toks[i] + " " + ... + toks[i+n-1]` in order, windows containing a NULL
+  * token dropped (the fold's concat propagates the null and filters it);
+  * cnt < n → one whole-text shingle with nulls skipped (concat_ws
+  * semantics). The fold, though safe from the per-ELEMENT re-evaluation trap,
   * still references the token array ~n+1 times TEXTUALLY (slice per shift +
   * size), and CollapseProject inlines the upstream `split` once per
   * reference — this expression evaluates it exactly once per row.
@@ -37,21 +39,31 @@ case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression
     val cnt = arr.numElements()
     val sep = UTF8String.fromString(" ")
     if (cnt < n) {
+      // concatWs SKIPS nulls — same as the HOF's concat_ws whole-text case
       val all = new Array[UTF8String](cnt)
       var i = 0
       while (i < cnt) { all(i) = arr.getUTF8String(i); i += 1 }
       new GenericArrayData(Array[Any](UTF8String.concatWs(sep, all: _*)))
     } else {
+      // a window containing a null token is DROPPED — same as the HOF form,
+      // where concat propagates the null and the filter removes it
       val out = new Array[Any](cnt - n + 1)
       val w = new Array[UTF8String](n)
+      var nOut = 0
       var i = 0
       while (i <= cnt - n) {
         var j = 0
-        while (j < n) { w(j) = arr.getUTF8String(i + j); j += 1 }
-        out(i) = UTF8String.concatWs(sep, w: _*)
+        var hasNull = false
+        while (j < n) {
+          val s = arr.getUTF8String(i + j)
+          if (s == null) hasNull = true
+          w(j) = s
+          j += 1
+        }
+        if (!hasNull) { out(nOut) = UTF8String.concatWs(sep, w: _*); nOut += 1 }
         i += 1
       }
-      new GenericArrayData(out)
+      new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], nOut))
     }
   }
 
@@ -61,6 +73,7 @@ case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression
         classOf[UTF8String].getName)
       val cnt = ctx.freshName("cnt"); val out = ctx.freshName("out")
       val w = ctx.freshName("w"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nOut = ctx.freshName("nOut"); val hasNull = ctx.freshName("hasNull")
       val u = classOf[UTF8String].getName
       s"""
          |final int $cnt = $arr.numElements();
@@ -70,12 +83,18 @@ case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression
          |  for (int $i = 0; $i < $cnt; $i++) $w[$i] = $arr.getUTF8String($i);
          |  $out = new Object[]{ $u.concatWs($sep, $w) };
          |} else {
-         |  $out = new Object[$cnt - $n + 1];
-         |  $u[] $w = new $u[$n];
+         |  Object[] $w = new Object[$cnt - $n + 1];
+         |  $u[] ${w}in = new $u[$n];
+         |  int $nOut = 0;
          |  for (int $i = 0; $i <= $cnt - $n; $i++) {
-         |    for (int $j = 0; $j < $n; $j++) $w[$j] = $arr.getUTF8String($i + $j);
-         |    $out[$i] = $u.concatWs($sep, $w);
+         |    boolean $hasNull = false;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      ${w}in[$j] = $arr.getUTF8String($i + $j);
+         |      if (${w}in[$j] == null) $hasNull = true;
+         |    }
+         |    if (!$hasNull) $w[$nOut++] = $u.concatWs($sep, ${w}in);
          |  }
+         |  $out = java.util.Arrays.copyOf($w, $nOut);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -128,6 +128,12 @@ object MetricColumns {
   def exactSum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(30, scale)))
 
+  /** The fixed-point scale the scan pass uses for sums/sums-of-squares —
+    * [[aggColumns]] and [[derived]] MUST agree on it (derived divides the
+    * sum-of-squares by 10^(2·scale)).
+    */
+  val ScanSumScale = 4
+
   /** Exact sum of squares in fixed-point INTEGER units of 10^-2s:
     * Σ round(x·10^s)² as decimal(38,0). Derive Σx² as
     * `cast(double) / 10^(2s)` (see [[derived]]).
@@ -185,11 +191,11 @@ object MetricColumns {
       if (need("min")) out += min(v).as(s"${name}__min")
       if (need("max")) out += max(v).as(s"${name}__max")
       if (need("sum") || need("avg") || need("variance") || need("stddev")) {
-        out += exactSum(v.cast(DoubleType)).as(s"${name}__sum_dec")
+        out += exactSum(v.cast(DoubleType), ScanSumScale).as(s"${name}__sum_dec")
         out += countIf(valid && c.isNotNull).as(s"${name}__num_count")
       }
       if (need("variance") || need("stddev"))
-        out += exactSumSq(v.cast(DoubleType)).as(s"${name}__sumsq_dec")
+        out += exactSumSq(v.cast(DoubleType), ScanSumScale).as(s"${name}__sumsq_dec")
     }
     if (isString(field.dataType)) {
       val l = when(value, length(c))
@@ -227,8 +233,8 @@ object MetricColumns {
     if (isNumeric(dt)) {
       val n = col(s"${name}__num_count").cast(DoubleType)
       val s = col(s"${name}__sum_dec").cast(DoubleType)
-      // __sumsq_dec is in integer units of 10^-8 (exactSumSq at scale 4)
-      val sq = col(s"${name}__sumsq_dec").cast(DoubleType) / 1.0e8
+      // __sumsq_dec is in integer units of 10^(-2*ScanSumScale)
+      val sq = col(s"${name}__sumsq_dec").cast(DoubleType) / math.pow(10, 2 * ScanSumScale)
       if (m("min")) out += col(s"${name}__min").as(s"${name}__min_out")
       if (m("max")) out += col(s"${name}__max").as(s"${name}__max_out")
       if (m("sum")) out += s.as(s"${name}__sum")

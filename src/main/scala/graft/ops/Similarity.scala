@@ -128,11 +128,14 @@ object Similarity {
                            quantizer: DataFrame): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
-    val seeds = quantizer.select(col("cell").cast(IntegerType), col("centroid"))
+    ivfSearch(base, queries, idCol, vecCol, k, nprobe, decodeQuantizer(quantizer))
+  }
+
+  /** Bounded (ncells rows) collect of a (cell, centroid) quantizer frame. */
+  private def decodeQuantizer(quantizer: DataFrame): Array[(Int, Seq[Double])] =
+    quantizer.select(col("cell").cast(IntegerType), col("centroid"))
       .orderBy("cell").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    ivfSearch(base, queries, idCol, vecCol, k, nprobe, seeds)
-  }
 
   /** Full-corpus kNN GRAPH: for EVERY vector, its `k` nearest neighbors
     * (IVF-blocked). Unlike [[ivfTopK]] — whose query set is small and
@@ -154,27 +157,8 @@ object Similarity {
                quantizer: Option[DataFrame] = None): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
-    val seeds = quantizer match {
-      case Some(q) => q.select(col("cell").cast(IntegerType), col("centroid"))
-        .orderBy("cell").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-      case None => trainSeeds(base, ncells, 0)
-    }
-    def cellScores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
-      struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
-    }: _*)
-    val corpusCells = base.withColumn("cell",
-      array_max(cellScores(col("cv"))).getField("cell"))
-    val probed = base.select(col("neighbor_id").as("query_id"), col("cv").as("qv"))
-      .select(col("query_id"), col("qv"),
-        explode(slice(reverse(array_sort(cellScores(col("qv")))), 1, nprobe)
-          .getField("cell")).as("cell"))
-    val scored = corpusCells.join(probed, Seq("cell")) // shuffle join — NO broadcast
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    val seeds = quantizer.map(decodeQuantizer).getOrElse(trainSeeds(base, ncells, 0))
+    ivfSearch(base, corpus, idCol, vecCol, k, nprobe, seeds, broadcastQueries = false)
   }
 
   /** In-degree (hubness) over a kNN graph frame (query_id, rank,
@@ -204,10 +188,14 @@ object Similarity {
       corpus.join(hubs, Seq(idCol), "left_anti"), idCol, fraction)
   }
 
-  /** Probed-cell candidate join + exact cosine top-K over given seeds. */
+  /** Probed-cell candidate join + exact cosine top-K over given seeds.
+    * `broadcastQueries = false` is the full-corpus (kNN graph) shape: a
+    * plain shuffle join on the cell id with no broadcast hint.
+    */
   private def ivfSearch(base: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, nprobe: Int,
-                        seeds: Array[(Int, Seq[Double])]): DataFrame = {
+                        seeds: Array[(Int, Seq[Double])],
+                        broadcastQueries: Boolean = true): DataFrame = {
     // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
     def cellScores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
       struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
@@ -222,7 +210,8 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(probedCells(col("qv")).getField("cell")).as("cell"))
 
-    val scored = corpusCells.join(broadcast(q), Seq("cell"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val scored = corpusCells.join(qSide, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.metrics.MetricColumns
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -19,7 +19,14 @@ object Windows {
     */
   def tumbling(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
                duration: String): DataFrame =
-    df.groupBy(window(col(tsCol), duration).as("w"), col(keyCol))
+    windowed(df, tsCol, keyCol, valueCol, window(col(tsCol), duration))
+
+  /** Shared tumbling/sliding aggregate body (count + decimal-exact sum) —
+    * the DuckDB oracles mirror this exact tree, so it lives in ONE place.
+    */
+  private def windowed(df: DataFrame, tsCol: String, keyCol: String,
+                       valueCol: String, w: Column): DataFrame =
+    df.groupBy(w.as("w"), col(keyCol))
       .agg(
         count(lit(1)).as("n_events"),
         MetricColumns.exactSum(col(valueCol), scale = 2).cast(DoubleType).as("sum_value")
@@ -34,12 +41,7 @@ object Windows {
     */
   def sliding(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
               duration: String, slide: String): DataFrame =
-    df.groupBy(window(col(tsCol), duration, slide).as("w"), col(keyCol))
-      .agg(
-        count(lit(1)).as("n_events"),
-        MetricColumns.exactSum(col(valueCol), scale = 2).cast(DoubleType).as("sum_value")
-      )
-      .select(col("w.start").as("window_start"), col(keyCol), col("n_events"), col("sum_value"))
+    windowed(df, tsCol, keyCol, valueCol, window(col(tsCol), duration, slide))
 
   /** Streaming variant: watermarked tumbling window (append mode). */
   def tumblingStream(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,

@@ -191,11 +191,15 @@ object Scanner {
         // funnel its whole distinct-value set through one partition the way
         // a Window.partitionBy("colIdx") pass does. One cheap job per
         // column over cached (colIdx, value, cnt) rows.
+        // columns whose every value is missing produce NO measurement (the
+        // pre-round-3 windowed pass emitted nothing for an absent colIdx)
         val needFreq = groupFields.zipWithIndex.filter { case (f, _) => metricsOf(f).contains("frequent_values") }
         needFreq.foreach { case (f, idx) =>
           val top = topFrequent(counted, idx, FrequentValuesN).collect()
-          val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
-          measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
+          if (top.nonEmpty) {
+            val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
+            measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
+          }
         }
 
         val needMinsMaxs = groupFields.zipWithIndex.filter { case (f, _) =>
@@ -205,11 +209,11 @@ object Scanner {
           val ms = metricsOf(f).toSet
           if (ms("mins")) {
             val mins = edgeValues(counted, idx, MinsMaxsN, asc = true).collect().map(_.getAs[Double]("v"))
-            measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
+            if (mins.nonEmpty) measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
           }
           if (ms("maxs")) {
             val maxs = edgeValues(counted, idx, MinsMaxsN, asc = false).collect().map(_.getAs[Double]("v"))
-            measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
+            if (maxs.nonEmpty) measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
           }
         }
       } finally counted.unpersist()

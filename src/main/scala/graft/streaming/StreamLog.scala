@@ -86,12 +86,19 @@ object StreamLog {
   /** Parse the JSON `value` payload with `schema`, keeping the envelope's
     * event-time timestamp: the standard kafka consumer step
     * (`from_json(CAST(value AS STRING), schema)`), envelope-agnostic.
+    *
+    * Name collisions: a payload field named `timestamp`/`key`/`offset`
+    * SHADOWS the envelope column (the payload's event time is usually the
+    * one the consumer wants) — the envelope copy is dropped rather than
+    * emitting an ambiguous duplicate column.
     */
-  def parsed(envelope: DataFrame, schema: StructType): DataFrame =
+  def parsed(envelope: DataFrame, schema: StructType): DataFrame = {
+    val payloadNames = schema.fieldNames.toSet
+    val envCols = Seq("timestamp", "key", "offset").filterNot(payloadNames).map(col)
     envelope.select(col("timestamp"), col("key"), col("offset"),
         from_json(col("value"), schema).as("payload"))
-      .select(col("timestamp") +: col("key") +: col("offset") +:
-        schema.fieldNames.toSeq.map(f => col(s"payload.$f")): _*)
+      .select(envCols ++ schema.fieldNames.toSeq.map(f => col(s"payload.$f")): _*)
+  }
 
   /** Write `rows` as one JSONL segment file into `dir` (the test/backfill
     * "producer" for [[FileLogSource]]) — one atomic segment per call.

@@ -87,7 +87,8 @@ class ExprPropertySpec extends SparkSpec {
 
   test("ShingleStringsExpr equals the zip_with-fold formulation") {
     import graft.ops.Shingles
-    val tok = Gen.oneOf("a", "bb", "ccc", "", "dd", "e")
+    // includes nulls: windows containing a null are dropped on BOTH paths
+    val tok = Gen.oneOf("a", "bb", "ccc", "", "dd", "e", null)
     val toks = Gen.listOf(tok)
     check(Prop.forAll(toks, Gen.chooseNum(1, 5)) { (ts, n) =>
       val df = Seq(Tuple1(ts)).toDF("t")

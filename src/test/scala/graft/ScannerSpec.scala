@@ -244,6 +244,24 @@ class ScannerSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(p)
   }
 
+  test("all-NULL column emits NO frequent_values/mins/maxs measurements") {
+    val nulls = Seq((Option.empty[Int], "a"), (None, "b"), (None, "c"))
+      .toDF("empty_col", "tag")
+    val yaml2 =
+      """table_name: nulltest
+        |columns:
+        |  empty_col:
+        |    metrics:
+        |    - frequent_values
+        |    - mins
+        |    - maxs
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, nulls, yaml2)
+    assert(!r.measurements.exists(m =>
+      m.columnName.contains("empty_col") &&
+        Seq("frequent_values", "mins", "maxs").contains(m.metric)))
+  }
+
   test("scan group-pass top-K compiles to TakeOrderedAndProject, never WindowExec") {
     val df = Seq((1, "a"), (2, "b"), (3, "a"), (4, "c")).toDF("n", "s")
     val counted = graft.metrics.GroupMetrics.countedFrame(df,

@@ -140,6 +140,14 @@ class StreamingSpec extends SparkSpec {
       // rate-source adapter emits the same envelope columns
       assert(StreamLog.RateLogSource(10).batch(spark).columns.toSeq ==
         StreamLog.envelopeSchema.fieldNames.toSeq)
+
+      // a payload field named like an envelope column SHADOWS it (no
+      // ambiguous duplicate column)
+      val clashSchema = StructType(Seq(
+        StructField("timestamp", StringType), StructField("value", DoubleType)))
+      val clashed = StreamLog.parsed(source.batch(spark), clashSchema)
+      assert(clashed.columns.count(_ == "timestamp") == 1)
+      assert(clashed.columns.toSeq == Seq("key", "offset", "timestamp", "value"))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
