@@ -38,4 +38,32 @@ object Sampling {
     }
     df.where(pmod(hasher(col(keyCol).cast("string")), lit(buckets.toLong)) < keepExpr)
   }
+
+  /** Per-key row cap (web-corpus "max N documents per domain"): keys at or
+    * under `maxRows` pass wholesale; over-cap keys keep a deterministic
+    * hash fraction targeting `maxRows` (expected kept ≈ maxRows with
+    * binomial deviation ~sqrt(maxRows) — an APPROXIMATE cap by design: an
+    * exact per-key top-N would funnel each hot key through one partition,
+    * which is exactly what a domain cap exists to protect against).
+    *
+    * Fully distributed: one count aggregate per key, one join of the
+    * (key, count) frame back onto the rows (AQE broadcasts it while small),
+    * then a row-local keep filter — no windows, no per-key sort, stable
+    * under any partitioning. The kept set is deterministic in (idCol,
+    * maxRows, buckets, hasher) — reruns and backfills keep the SAME rows.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, maxRows: Long,
+                buckets: Int = 10000,
+                hasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxRows > 0, "maxRows must be > 0")
+    // null-safe key equality: NULL-keyed rows form their own capped group
+    // instead of being silently dropped by the join
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__key_n"))
+      .withColumnRenamed(keyCol, "__key")
+    val keep = ceil(lit(maxRows).cast("double") / col("__key_n").cast("double") * buckets)
+    df.join(counts, col(keyCol) <=> col("__key"))
+      .where(col("__key_n") <= maxRows ||
+        pmod(hasher(col(idCol).cast("string")), lit(buckets.toLong)) < keep)
+      .drop("__key", "__key_n")
+  }
 }

@@ -546,6 +546,15 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id").orderBy("doc_id")),
 
+    "q_cap_per_key" -> ((s, dir) =>
+      // web-corpus domain capping: <= ~10 docs per source (25-250 exist per
+      // source at gate SFs, so the fraction path is exercised), deterministic
+      // hash-fraction rule; md5Hash60 keying makes the exact kept set
+      // oracle-checkable
+      Sampling.capPerKey(t(s, dir, "documents"), "source", "doc_id", maxRows = 10,
+          hasher = Shingles.md5Hash60)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
           fractions = Map("en" -> 0.2, "es" -> 0.5), defaultFraction = 0.05,
@@ -1286,6 +1295,15 @@ object Catalog {
     "q_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_cap_per_key" ->
+      """WITH n AS (SELECT source AS k, count(*) AS kn FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN n ON d.source IS NOT DISTINCT FROM n.k
+        |WHERE n.kn <= 10
+        |   OR ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |      < CAST(ceil(CAST(10 AS DOUBLE) / CAST(kn AS DOUBLE) * 10000) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->

@@ -138,6 +138,25 @@ class DedupSpec extends SparkSpec {
     assert(collect(Dedup.jaccardPairsAuto(docs, "id", "text", 0.7)) == lsh)
   }
 
+  test("capPerKey: under-cap keys pass wholesale, over-cap keys shrink to ~cap, deterministic") {
+    // key "big": 400 rows; key "small": 20 rows; null key: 30 rows
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 420).map(i => (i.toLong, "small")) ++
+      (421 to 450).map(i => (i.toLong, null: String))
+    val df = rows.toDF("id", "domain")
+    val capped = Sampling.capPerKey(df, "domain", "id", maxRows = 50)
+      .select("id", "domain").as[(Long, String)].collect()
+    val byKey = capped.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byKey("small") == 20)                       // under cap: untouched
+    assert(byKey(null) == 30)                          // null key is its own group
+    val big = byKey("big")
+    assert(big <= 80 && big >= 25, s"big kept $big")   // ~50 with binomial slack
+    // deterministic: identical rerun keeps identical rows
+    val again = Sampling.capPerKey(df, "domain", "id", maxRows = 50)
+      .select("id", "domain").as[(Long, String)].collect()
+    assert(capped.toSet == again.toSet)
+  }
+
   test("n-gram LSH path agrees with the all-pairs strategy on this corpus") {
     // q_dedup_ngram routes through minhashLshPairs(shingleLen = 3); the
     // all-pairs form stays the small-block strategy — same verified output
