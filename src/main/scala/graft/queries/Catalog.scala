@@ -694,7 +694,10 @@ object Catalog {
           |""".stripMargin
       val r = Scanner.executeYaml(s, t(s, dir, "lineitem"), yaml,
         time = Some("2026-01-01T00:00:00Z"))
+      // group_values is array<struct> — serialized to JSON so the harness's
+      // rows-only pass (which sorts every column) never sees an array cell
       graft.api.ScanResultFrames.measurementsToDF(s, r.measurements)
+        .withColumn("group_values", to_json(col("group_values")))
         .orderBy("metric", "column_name", "value")
     },
 
