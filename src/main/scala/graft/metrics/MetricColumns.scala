@@ -113,20 +113,32 @@ object MetricColumns {
 
   def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L)).cast(LongType)
 
-  /** Decimal-exact sum of a double column: order-independent, so results are
-    * bit-identical across partitionings and across engines (the DuckDB oracle
-    * computes the same decimal sum). `scale` must cover the data's precision.
+  /** Sign-adjusted fixed-point scaling of a numeric column: round-half-away-
+    * from-zero of x·10^s as a primitive LONG —
+    * `x ≥ 0 ? floor(x·10^s + 0.5) : -floor(-x·10^s + 0.5)`.
     *
-    * Measured note (round 3): a three-primitive-long-partial-sums
-    * decomposition of this was TRIED and benched SLOWER (q_stats 0.79 →
-    * 1.18 s at sf0.1) — Spark's `Decimal` keeps a compact long
-    * representation while the unscaled value fits 18 digits, so the decimal
-    * sum's per-row add is already near-primitive; tripling the aggregate
-    * count and adding per-row div/mod only added work. Kept as the simple
-    * decimal sum deliberately.
+    * This replaces the former `cast(x as decimal(30,s))` sum input: that cast
+    * costs a `BigDecimal.valueOf` (a `Double.toString`!) per row — measured
+    * ~0.17 s per column per 600k rows vs ~0.05 s for this primitive form —
+    * and its value rests on Spark's and DuckDB's double→decimal conversions
+    * (shortest-string vs binary rounding) agreeing, which they do only
+    * coincidentally. The floor form is pure IEEE double ops (multiply, add,
+    * floor — each correctly rounded and engine-independent), so the DuckDB
+    * oracle's `CASE WHEN x >= 0 THEN floor(x*10^s + 0.5) ELSE
+    * -floor(-x*10^s + 0.5) END` is bit-identical BY CONSTRUCTION.
+    * The two roundings differ only for inputs with ≥16 significant digits
+    * whose x·10^s lands within 1 ulp below a .5 boundary — not representable
+    * in data that is decimal at ≤ `scale` places.
+    *
+    * Integral columns use scale 0 (a plain cast): scaling IDs by 10^4 only
+    * pushes |x| ≥ ~304k off [[exactSumSqParts]]'s safe-long square path.
     */
-  def exactSum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(30, scale)))
+  def fixedPointLong(c: Column, scale: Int): Column =
+    if (scale == 0) c.cast(LongType)
+    else {
+      val d = c.cast(DoubleType) * math.pow(10, scale)
+      when(c >= 0, floor(d + lit(0.5))).otherwise(-floor(-d + lit(0.5))).cast(LongType)
+    }
 
   /** The fixed-point scale the scan pass uses for sums/sums-of-squares —
     * [[aggColumns]] and [[derived]] MUST agree on it (derived divides the
@@ -134,29 +146,78 @@ object MetricColumns {
     */
   val ScanSumScale = 4
 
-  /** Exact sum of squares in fixed-point INTEGER units of 10^-2s:
-    * Σ round(x·10^s)² as decimal(38,0). Derive Σx² as
-    * `cast(double) / 10^(2s)` (see [[derived]]).
-    *
-    * Hybrid evaluation, value-identical on both branches: values whose
-    * fixed-point form fits a safe long square (|x·10^s| < 3.037e9 — i.e.
-    * |x| < ~303k at scale 4) take a PRIMITIVE long multiply inside codegen;
-    * rare larger values square in exact (19,0)×(19,0)→(38,0) decimal. The
-    * per-row decimal MULTIPLY was the whole cost of the previous
-    * all-decimal formulation (~2× the rest of the scan pass measured at
-    * sf0.1); decimal survives only as per-row compact ADDs in the sum.
-    * The oracle can recompute the identical value with the plain decimal
-    * square — the branch choice never changes the value.
+  /** The fixed-point scale for a column type: integral columns are already
+    * fixed-point at scale 0; everything else uses [[ScanSumScale]].
     */
-  def exactSumSq(c: Column, scale: Int = 4): Column = {
-    val f = math.pow(10, scale)
-    val vd = round(c * f)                            // integral-valued double
-    val v = vd.cast(LongType)
-    val safe = abs(vd) < 3037000000.0                // v*v fits a long
-    val fast = (v * v).cast(DecimalType(38, 0))
-    val dec = vd.cast(DecimalType(19, 0))
+  def sumsqScale(dt: DataType): Int = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => 0
+    case _ => ScanSumScale
+  }
+
+  /** Alias of the pre-projected fixed-point long the sum/sumsq aggregates read. */
+  def fxAlias(name: String): String = s"${name}__fx"
+
+  /** Pre-aggregation projection for one column: per-row values that SEVERAL
+    * aggregate functions reference. Spark does no common-subexpression
+    * elimination ACROSS aggregate functions, so an expensive expression
+    * written inline into N aggregates is evaluated N times per row —
+    * measured: the fixed-point rounding for variance/stddev re-ran ~6× per
+    * row and was ~5 s of the 5.2 s sf0.1 wide scan pass. Computing the
+    * fixed-point long ONCE in a Project beneath the aggregate removes all
+    * but one evaluation; sum, avg, variance and stddev all read the same
+    * column. (CollapseProject leaves the projection in place: each alias is
+    * referenced more than once by non-cheap consumers.)
+    */
+  def preProjection(field: StructField, cfg: ColumnConfig, metrics: Seq[String]): Seq[Column] = {
+    val m = metrics.toSet
+    val needsFx = isNumeric(field.dataType) &&
+      Seq("sum", "avg", "variance", "stddev").exists(m.contains)
+    if (needsFx) {
+      val c = col(field.name)
+      val valid = !missingCond(c, cfg) && validCond(c, cfg)
+      // null ⟺ missing/invalid/null — the sums skip those rows
+      val v = when(valid, c)
+      Seq(fixedPointLong(v, sumsqScale(field.dataType)).as(fxAlias(field.name)))
+    } else Seq.empty
+  }
+
+  /** Exact sum of squares in fixed-point INTEGER units of 10^-2s — Σ fx² for
+    * the pre-projected fixed-point long fx (see [[preProjection]]) — as
+    * THREE partial aggregates reassembled exactly by [[sumsqTotal]].
+    * Value-identical to a single decimal(38,0) sum; the oracle recomputes
+    * the same integer with a plain decimal square of the same fx.
+    *
+    * Why three: squares of scaled values reach ~1e18, so a single
+    * decimal(38,0) running sum leaves Spark Decimal's compact-long
+    * representation within a handful of rows and every subsequent add is a
+    * BigDecimal allocation. Splitting the safe-branch product into
+    * hi = prod >> 30 (≤ 8.6e9) and lo = prod & (2^30-1) (< 1.1e9) keeps both
+    * running sums compact for ≥1e9 rows per partition — per-row work is a
+    * primitive multiply/shift/mask plus two compact decimal adds, all inside
+    * whole-stage codegen. Values whose square exceeds a long (|fx| ≥
+    * 3.037e9) take the rare exact (19,0)×(19,0)→(38,0) decimal lane.
+    */
+  def exactSumSqParts(fx: Column, name: String): Seq[Column] = {
+    val safe = abs(fx) < 3037000000L                 // fx*fx fits a long
+    val prod = fx * fx                               // ≥ 0, ≤ 9.23e18 when safe
+    val dec = fx.cast(DecimalType(19, 0))
     val slow = (dec * dec).cast(DecimalType(38, 0))  // (19,0)×(19,0)→(38,0), exact
-    sum(when(safe, fast).otherwise(slow))
+    Seq(
+      sum(when(safe, shiftright(prod, 30).cast(DecimalType(38, 0)))).as(s"${name}__sumsq_hi"),
+      sum(when(safe, prod.bitwiseAND(lit((1L << 30) - 1)).cast(DecimalType(38, 0)))).as(s"${name}__sumsq_lo"),
+      sum(when(!safe, slow)).as(s"${name}__sumsq_slow"))
+  }
+
+  /** Exact reassembly of [[exactSumSqParts]]: hi·2^30 + lo + slow, null iff
+    * no non-null value was aggregated (matching the single-sum behavior).
+    */
+  def sumsqTotal(name: String): Column = {
+    val z = lit(0L).cast(DecimalType(38, 0))
+    val hi = col(s"${name}__sumsq_hi")
+    val lo = col(s"${name}__sumsq_lo")
+    val sl = col(s"${name}__sumsq_slow")
+    when(hi.isNull && sl.isNull, lit(null).cast(DecimalType(38, 0)))
+      .otherwise(coalesce(hi, z) * lit(1L << 30) + coalesce(lo, z) + coalesce(sl, z))
   }
 
   /** Row-level aggregate columns for one column config.
@@ -191,11 +252,11 @@ object MetricColumns {
       if (need("min")) out += min(v).as(s"${name}__min")
       if (need("max")) out += max(v).as(s"${name}__max")
       if (need("sum") || need("avg") || need("variance") || need("stddev")) {
-        out += exactSum(v.cast(DoubleType), ScanSumScale).as(s"${name}__sum_dec")
+        out += sum(col(fxAlias(name)).cast(DecimalType(38, 0))).as(s"${name}__sum_sc")
         out += countIf(valid && c.isNotNull).as(s"${name}__num_count")
       }
       if (need("variance") || need("stddev"))
-        out += exactSumSq(v.cast(DoubleType), ScanSumScale).as(s"${name}__sumsq_dec")
+        out ++= exactSumSqParts(col(fxAlias(name)), name)
     }
     if (isString(field.dataType)) {
       val l = when(value, length(c))
@@ -232,9 +293,10 @@ object MetricColumns {
     if (m("approx_distinct")) out += col(s"${name}__approx_distinct").as(s"${name}__approx_distinct_out")
     if (isNumeric(dt)) {
       val n = col(s"${name}__num_count").cast(DoubleType)
-      val s = col(s"${name}__sum_dec").cast(DoubleType)
-      // __sumsq_dec is in integer units of 10^(-2*ScanSumScale)
-      val sq = col(s"${name}__sumsq_dec").cast(DoubleType) / math.pow(10, 2 * ScanSumScale)
+      // the scaled sum is in integer units of 10^-scale, the reassembled
+      // sum-of-squares in units of 10^(-2*scale)
+      val s = col(s"${name}__sum_sc").cast(DoubleType) / math.pow(10, sumsqScale(dt))
+      val sq = sumsqTotal(name).cast(DoubleType) / math.pow(10, 2 * sumsqScale(dt))
       if (m("min")) out += col(s"${name}__min").as(s"${name}__min_out")
       if (m("max")) out += col(s"${name}__max").as(s"${name}__max_out")
       if (m("sum")) out += s.as(s"${name}__sum")

@@ -29,7 +29,8 @@ object Windows {
     df.groupBy(w.as("w"), col(keyCol))
       .agg(
         count(lit(1)).as("n_events"),
-        MetricColumns.exactSum(col(valueCol), scale = 2).cast(DoubleType).as("sum_value")
+        (sum(MetricColumns.fixedPointLong(col(valueCol), scale = 2)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / 100.0).as("sum_value")
       )
       .select(col("w.start").as("window_start"), col(keyCol), col("n_events"), col("sum_value"))
 

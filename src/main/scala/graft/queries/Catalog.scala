@@ -25,10 +25,14 @@ object Catalog {
   /** Row-level metrics through the library path (aggColumns + derived). */
   private def scanRow(df: DataFrame, cols: Seq[(String, ColumnConfig)], metrics: Seq[String]): DataFrame = {
     val fields = df.schema.fields.filter(f => cols.exists(_._1 == f.name))
+    val preCols = fields.toSeq.flatMap { f =>
+      MetricColumns.preProjection(f, cols.find(_._1 == f.name).get._2, metrics)
+    }
+    val aggInput = if (preCols.isEmpty) df else df.select(col("*") +: preCols: _*)
     val aggCols = fields.toSeq.flatMap { f =>
       MetricColumns.aggColumns(f, cols.find(_._1 == f.name).get._2, metrics)
     }
-    val base = df.agg(count(lit(1)).as("row_count"), aggCols: _*)
+    val base = aggInput.agg(count(lit(1)).as("row_count"), aggCols: _*)
     val derivedCols = col("row_count") +: fields.toSeq.flatMap { f =>
       MetricColumns.derived(f.name, metrics, f.dataType)
     }
@@ -955,14 +959,24 @@ object Catalog {
         |SELECT mc AS missing_count, rc - mc AS values_count FROM a""".stripMargin,
 
     "q_stats" ->
-      """WITH a AS (
+      // fixed-point longs via sign-adjusted floor(x*1e4 + 0.5) — pure IEEE
+      // double ops, bit-identical to MetricColumns.fixedPointLong BY
+      // CONSTRUCTION (see its scaladoc); sum(BIGINT) is exact (HUGEINT)
+      """WITH r AS (
+        |  SELECT CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 10000.0 + 0.5)
+        |                   ELSE -floor(-l_quantity * 10000.0 + 0.5) END AS BIGINT) AS vq,
+        |         CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 10000.0 + 0.5)
+        |                   ELSE -floor(-l_extendedprice * 10000.0 + 0.5) END AS BIGINT) AS vp,
+        |         l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |a AS (
         |  SELECT count(l_quantity) AS n1,
         |         min(l_quantity) AS mn1, max(l_quantity) AS mx1,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s1,
+        |         CAST(sum(vq) AS DOUBLE) / 10000.0 AS s1,
         |         count(l_extendedprice) AS n2,
         |         min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s2
-        |  FROM lineitem)
+        |         CAST(sum(vp) AS DOUBLE) / 10000.0 AS s2
+        |  FROM r)
         |SELECT mn1 AS l_quantity_min, mx1 AS l_quantity_max,
         |       s1 / CAST(n1 AS DOUBLE) AS l_quantity_avg, s1 AS l_quantity_sum,
         |       mn2 AS l_extendedprice_min, mx2 AS l_extendedprice_max,
@@ -970,21 +984,24 @@ object Catalog {
         |FROM a""".stripMargin,
 
     "q_stats_var" ->
-      // sum-of-squares in fixed-point integer units of 1e-8 (exactSumSq):
-      // the oracle squares the SAME round(x*1e4) integer in exact decimal —
-      // the Spark side's fast/slow branch choice never changes the value
+      // sum-of-squares in fixed-point integer units of 1e-8: the oracle
+      // squares the SAME fixed-point long (sign-adjusted floor, see q_stats)
+      // in exact decimal — the Spark side's hi/lo/slow split reassembles the
+      // identical integer
       """WITH r AS (
-        |  SELECT CAST(round(l_quantity * 10000.0) AS DECIMAL(19,0)) AS vq,
-        |         CAST(round(l_extendedprice * 10000.0) AS DECIMAL(19,0)) AS vp,
+        |  SELECT CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 10000.0 + 0.5)
+        |                   ELSE -floor(-l_quantity * 10000.0 + 0.5) END AS BIGINT) AS vq,
+        |         CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 10000.0 + 0.5)
+        |                   ELSE -floor(-l_extendedprice * 10000.0 + 0.5) END AS BIGINT) AS vp,
         |         l_quantity, l_extendedprice
         |  FROM lineitem),
         |a AS (
         |  SELECT CAST(count(l_quantity) AS DOUBLE) AS n1,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS s1,
-        |         CAST(sum(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q1,
+        |         CAST(sum(vq) AS DOUBLE) / 10000.0 AS s1,
+        |         CAST(sum(CAST(CAST(vq AS DECIMAL(19,0)) * CAST(vq AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q1,
         |         CAST(count(l_extendedprice) AS DOUBLE) AS n2,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS s2,
-        |         CAST(sum(CAST(vp * vp AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q2
+        |         CAST(sum(vp) AS DOUBLE) / 10000.0 AS s2,
+        |         CAST(sum(CAST(CAST(vp AS DECIMAL(19,0)) * CAST(vp AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q2
         |  FROM r)
         |SELECT (q1 - s1 * s1 / n1) / (n1 - 1.0) AS l_quantity_variance,
         |       sqrt((q1 - s1 * s1 / n1) / (n1 - 1.0)) AS l_quantity_stddev,
@@ -1431,7 +1448,8 @@ object Catalog {
     "q_window_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                          ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_sliding" ->
@@ -1442,7 +1460,8 @@ object Catalog {
         |e AS (SELECT grid - to_minutes(15 * s.i) AS window_start, event_type, value
         |      FROM g CROSS JOIN (SELECT unnest(range(4)) AS i) s)
         |SELECT window_start, event_type, count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                          ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_quality" ->

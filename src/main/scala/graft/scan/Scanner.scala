@@ -113,10 +113,14 @@ object Scanner {
     }
 
     // ---- pass 1: row-level metrics -------------------------------------
+    val preCols: Seq[Column] = fields.toSeq.flatMap { f =>
+      preProjection(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
+    }
+    val aggInput = if (preCols.isEmpty) df else df.select(col("*") +: preCols: _*)
     val aggCols: Seq[Column] = fields.toSeq.flatMap { f =>
       aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
     }
-    val base = df.agg(count(lit(1)).as("row_count"), aggCols: _*)
+    val base = aggInput.agg(count(lit(1)).as("row_count"), aggCols: _*)
     val derivedCols: Seq[Column] = col("row_count") +: fields.toSeq.flatMap { f =>
       derived(f.name, metricsOf(f).filter(rowLevelMetrics), f.dataType)
     }
@@ -163,7 +167,19 @@ object Scanner {
         .select(posexplode(array(valueExprs.toSeq: _*)).as(Seq("colIdx", "value")))
         .where(col("value").isNotNull)
       val counted = exploded.groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))
-      counted.cache()
+      // Only the frequent-values / mins / maxs top-K jobs re-read counted
+      // rows; cache ONLY those columns' slices (typically a handful of
+      // distinct values) instead of materializing every column's full
+      // distinct-value set. The distinct-family aggregate and the top-K jobs
+      // share the same exchange, so Spark reuses the shuffle files across
+      // jobs — an uncached full `counted` is re-aggregated, not re-scanned.
+      val topKIdxs = groupFields.zipWithIndex.collect {
+        case (f, idx) if metricsOf(f).contains("frequent_values") ||
+          (isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))) => idx
+      }
+      val topKSlice = if (topKIdxs.nonEmpty)
+        Some(counted.where(col("colIdx").isin(topKIdxs.toSeq: _*)).cache())
+      else None
       try {
         val distinctAgg = counted.groupBy("colIdx").agg(
           count(lit(1)).as("distinct"),
@@ -195,7 +211,7 @@ object Scanner {
         // pre-round-3 windowed pass emitted nothing for an absent colIdx)
         val needFreq = groupFields.zipWithIndex.filter { case (f, _) => metricsOf(f).contains("frequent_values") }
         needFreq.foreach { case (f, idx) =>
-          val top = topFrequent(counted, idx, FrequentValuesN).collect()
+          val top = topFrequent(topKSlice.get, idx, FrequentValuesN).collect()
           if (top.nonEmpty) {
             val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
             measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
@@ -208,15 +224,15 @@ object Scanner {
         needMinsMaxs.foreach { case (f, idx) =>
           val ms = metricsOf(f).toSet
           if (ms("mins")) {
-            val mins = edgeValues(counted, idx, MinsMaxsN, asc = true).collect().map(_.getAs[Double]("v"))
+            val mins = edgeValues(topKSlice.get, idx, MinsMaxsN, asc = true).collect().map(_.getAs[Double]("v"))
             if (mins.nonEmpty) measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
           }
           if (ms("maxs")) {
-            val maxs = edgeValues(counted, idx, MinsMaxsN, asc = false).collect().map(_.getAs[Double]("v"))
+            val maxs = edgeValues(topKSlice.get, idx, MinsMaxsN, asc = false).collect().map(_.getAs[Double]("v"))
             if (maxs.nonEmpty) measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
           }
         }
-      } finally counted.unpersist()
+      } finally topKSlice.foreach(_.unpersist())
     }
 
     // ---- pass 3: histograms (one job for all histogram columns) ---------

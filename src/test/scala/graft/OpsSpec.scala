@@ -195,7 +195,7 @@ class SkewSpec extends SparkSpec {
       .as[(String, Double, Long)].collect().map { case (k, s, n) => k -> ((s, n)) }.toMap
     val salted = Skew.saltedAggregate(df, Seq("k"), saltBuckets = 8,
         phase1 = Seq(
-          "s" -> MetricColumns.exactSum(col("v"), 2).cast("double"),
+          "s" -> sum(col("v").cast("decimal(20,2)")).cast("double"),
           "n" -> count(lit(1))),
         phase2 = n => sum(col(n)))
       .select(col("k"), col("s").cast("double"), col("n").cast("long"))
