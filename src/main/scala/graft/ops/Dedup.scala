@@ -370,6 +370,54 @@ object Dedup {
     if (maxBucket == Int.MaxValue) pairs else pairs.dropDuplicates("id_a", "id_b", "hamming")
   }
 
+  /** Cross-document PASSAGE-level dedup (the RefinedWeb / Lee et al. 2022
+    * "deduplicating training data" shape at passage granularity): split each
+    * document into consecutive `passageTokens`-token passages, drop every
+    * passage whose exact text occurs in more than `maxDocFreq` DISTINCT
+    * documents (boilerplate, quoted headers, license blocks), and reassemble
+    * the survivors in order. Returns (doc_id, text_clean, n_passages,
+    * n_dropped); a fully-boilerplate document comes back with empty
+    * text_clean rather than disappearing.
+    *
+    * Scale shape: the doc-frequency pass shuffles ONLY (hash, doc_id) pairs
+    * — passage bodies stay out of it, and the per-doc distinct collapses
+    * map-side. The dropped-hash frame is tiny after the `df > maxDocFreq`
+    * filter, so AQE converts the flagging join to a broadcast at runtime.
+    * The one unavoidable body shuffle is the reassembly groupBy(doc_id) —
+    * inherent to rewriting documents, linear in corpus size.
+    *
+    * `tokenHasher`: xxhash64 (production) or [[Shingles.md5Hash60]] (the
+    * oracle-checkable gate variant).
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   passageTokens: Int = 10, maxDocFreq: Int = 1,
+                   tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    val K = passageTokens
+    // split(text) yields at least [""], so nChunks >= 1 for every row
+    val withP = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0L), ceil(size(col("__toks")).cast(DoubleType) / K).cast(LongType) - 1L),
+          i => array_join(slice(col("__toks"), (i * K + 1L).cast(IntegerType), lit(K)), " ")).as("passages"))
+    val exploded = withP
+      .select(col("doc_id"), posexplode(col("passages")).as(Seq("chunk", "passage")))
+      .withColumn("ph", tokenHasher(col("passage")))
+    val dropped = exploded.select("ph", "doc_id").distinct()
+      .groupBy("ph").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select(col("ph"), lit(true).as("__drop"))
+    exploded.join(dropped, Seq("ph"), "left")
+      .groupBy("doc_id").agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__drop").isNull, struct(col("chunk"), col("passage"))))),
+            s => s.getField("passage")),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_passages"),
+        sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).cast(LongType).as("n_dropped"))
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (e.g. same label).
     * Vectors are cast to double before any arithmetic; dot/norms use ordered
     * `aggregate` so results are reproducible.

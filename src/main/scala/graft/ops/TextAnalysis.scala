@@ -104,6 +104,72 @@ object TextAnalysis {
     ).getField("lang")
   }
 
+  /** Within-document repetition signals (Gopher-style quality dimensions —
+    * Rae et al. 2021 filter on duplicate-line/n-gram fractions; this corpus
+    * has no line structure, so the unit is tokens and token n-grams):
+    * duplicate-token fraction, most-repeated-token share, duplicate n-gram
+    * fraction. Row-local — one tokenize, one sort + HOF run-length fold for
+    * the top-token count, one shingle pass; no shuffle, no UDF. Counts are
+    * integers and ratios explicit double trees, so a DuckDB oracle matches
+    * bit-for-bit.
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val withToks = df.withColumn("__toks", tokens(col(textCol)))
+    val toks = col("__toks")
+    val nt = size(toks).cast(LongType)
+    val dt = size(array_distinct(toks)).cast(LongType)
+    // longest run in the sorted token array == max token multiplicity
+    val top = aggregate(
+      array_sort(toks),
+      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"), greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+    val sh = Shingles.shingleStrings(toks, n)
+    val ng = size(sh).cast(LongType)
+    val dg = size(array_distinct(sh)).cast(LongType)
+    withToks
+      .withColumn("n_tokens", nt)
+      .withColumn("distinct_tokens", dt)
+      .withColumn("top_token_count", top)
+      .withColumn("n_ngrams", ng)
+      .withColumn("distinct_ngrams", dg)
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("distinct_tokens")).cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("top_token_frac",
+        col("top_token_count").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("dup_ngram_frac",
+        (col("n_ngrams") - col("distinct_ngrams")).cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+      .drop("__toks")
+  }
+
+  /** Benchmark-contamination detection: for each corpus document, the number
+    * of DISTINCT `n`-token-shingle hashes it shares with an evaluation set
+    * (the n-gram-overlap decontamination check run before training on any
+    * corpus that may contain benchmark text). The eval side is small by
+    * nature, so its distinct shingle hashes are BROADCAST; the corpus is
+    * never shuffled — only join HITS (doc_id, hash) reach the per-doc count
+    * aggregate, which map-side combines. Zero-overlap documents are kept
+    * with n_overlap = 0 via the final left join (hits are small → AQE
+    * broadcasts them).
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    def shingleH(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        transform(Shingles.shingleStrings(tokens(col(textCol)), n), s => tokenHasher(s)))).as("g"))
+    val evalH = broadcast(shingleH(evalSet).select("g").distinct())
+    val hits = shingleH(corpus).join(evalH, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0L)
+  }
+
   /** Text normalization for near-exact dedup: lowercase + collapse
     * whitespace + trim. Row-local, codegen'd.
     */

@@ -543,6 +543,46 @@ object Catalog {
         threshold = 0.3, shingleLen = 3, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")),
 
+    "q_para_dedup" -> ((s, dir) =>
+      // cross-document passage dedup (10-token passages, drop any passage
+      // seen in >1 document, reassemble). md5Hash60 passage hashing → the
+      // full rewritten text is oracle-checkable.
+      Dedup.passageDedup(t(s, dir, "documents"), "doc_id", "text",
+        passageTokens = 10, maxDocFreq = 1, tokenHasher = Shingles.md5Hash60)
+        .orderBy("doc_id")),
+
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "text", n = 3)
+        .select("doc_id", "n_tokens", "distinct_tokens", "top_token_count",
+          "n_ngrams", "distinct_ngrams", "dup_token_frac", "top_token_frac",
+          "dup_ngram_frac")
+        .orderBy("doc_id")),
+
+    "q_contamination" -> { (s, dir) =>
+      // decontamination check: corpus docs sharing any 3-token shingle with
+      // the "benchmark" set (stand-in: every 50th document)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(
+        docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, tokenHasher = Shingles.md5Hash60)
+        .orderBy("doc_id")
+    },
+
+    "q_bloom_join" -> { (s, dir) =>
+      // bloom semi-join: customers with a high-value order, via a bloom
+      // filter built on the order side — the probe side is filtered row-
+      // locally with no join/shuffle. m deliberately small so false
+      // positives OCCUR and the oracle proves the exact bit arithmetic.
+      val m = 8192; val k = 3
+      val orders = t(s, dir, "orders").where(col("o_totalprice") > 150000.0)
+      val sketch = Bloom.build(orders,
+        Shingles.md5Hash60(col("o_custkey").cast(StringType)), m, k)
+      t(s, dir, "customer")
+        .withColumn("__h", Shingles.md5Hash60(col("c_custkey").cast(StringType)))
+        .where(Bloom.mightContain(col("__h"), sketch, m, k))
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
     "q_sample_hash" -> ((s, dir) =>
       // deterministic hash sample: reproducible across runs/partitionings;
       // md5Hash60 keying makes the exact kept-set oracle-checkable
@@ -1311,6 +1351,80 @@ object Catalog {
         |ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q_dedup_ngram" -> minhashOracleSql(64, 16, 0.3, shingleLen = 3, withJaccard = true),
+
+    "q_para_dedup" ->
+      // identical chunking (ceil(n/10) passages of 10 tokens), identical
+      // md5-60 passage hashes, doc-frequency > 1 → drop, reassembly in
+      // chunk order; lockstep unnest pairs each passage with its index
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |p0 AS (SELECT doc_id,
+        |         [array_to_string(toks[(i*10+1):((i+1)*10)], chr(32))
+        |          for i in range(0, CAST(ceil(len(toks) / 10.0) AS INT))] AS ps
+        |       FROM t),
+        |e AS (SELECT doc_id, unnest(ps) AS passage,
+        |             CAST(unnest(range(0, len(ps))) AS INT) AS chunk FROM p0),
+        |h AS (SELECT doc_id, chunk, passage,
+        |             ('0x' || substr(md5(passage), 1, 15))::BIGINT AS ph FROM e),
+        |f AS (SELECT ph FROM (SELECT ph, count(DISTINCT doc_id) AS df FROM h GROUP BY ph)
+        |      WHERE df > 1)
+        |SELECT doc_id,
+        |       coalesce(string_agg(passage, chr(32) ORDER BY chunk)
+        |                FILTER (WHERE ph NOT IN (SELECT ph FROM f)), '') AS text_clean,
+        |       count(*) AS n_passages,
+        |       count(*) FILTER (WHERE ph IN (SELECT ph FROM f)) AS n_dropped
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |tt AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mult AS (SELECT doc_id, max(c) AS top FROM
+        |           (SELECT doc_id, tok, count(*) AS c FROM tt GROUP BY 1, 2) GROUP BY 1),
+        |g AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS dt,
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, chr(32))]
+        |             ELSE [array_to_string(toks[i:i+2], chr(32)) for i in range(1, len(toks) - 1)]
+        |        END AS sh
+        |      FROM t)
+        |SELECT g.doc_id, nt AS n_tokens, dt AS distinct_tokens, mult.top AS top_token_count,
+        |       len(sh) AS n_ngrams, len(list_distinct(sh)) AS distinct_ngrams,
+        |       CAST(nt - dt AS DOUBLE) / CAST(nt AS DOUBLE) AS dup_token_frac,
+        |       CAST(mult.top AS DOUBLE) / CAST(nt AS DOUBLE) AS top_token_frac,
+        |       CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) AS dup_ngram_frac
+        |FROM g JOIN mult ON g.doc_id = mult.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_contamination" ->
+      // same 3-token shingles (<3 tokens → one whole-text shingle), same
+      // md5-60 hashes, distinct per doc BEFORE counting overlap
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(
+        |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, chr(32))]
+        |               ELSE [array_to_string(toks[i:i+2], chr(32)) for i in range(1, len(toks) - 1)]
+        |          END,
+        |          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS gh
+        |      FROM t),
+        |ev AS (SELECT DISTINCT unnest(gh) AS g FROM s WHERE doc_id % 50 = 0),
+        |co AS (SELECT doc_id, unnest(gh) AS g FROM s WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT doc_id, count(*) AS n_overlap FROM co JOIN ev USING (g) GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(hits.n_overlap, 0) AS n_overlap,
+        |       coalesce(hits.n_overlap, 0) > 0 AS contaminated
+        |FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+        |WHERE s.doc_id % 50 <> 0 ORDER BY s.doc_id""".stripMargin,
+
+    "q_bloom_join" ->
+      // the oracle rebuilds the EXACT filter: same 60-bit key hash, same
+      // double-hashed probe positions (h + j*(1 + h mod (m-1))) mod m with
+      // m=8192, k=3 — a customer passes iff all 3 probes hit the position
+      // set, so false positives reproduce bit-for-bit
+      """WITH oh AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |            FROM orders WHERE o_totalprice > 150000.0),
+        |pos AS (SELECT DISTINCT (h + j.i * (1 + h % 8191)) % 8192 AS p
+        |        FROM oh, (SELECT unnest(range(3)) AS i) j),
+        |ch AS (SELECT c_custkey, ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |       FROM customer),
+        |cp AS (SELECT c_custkey, (h + j.i * (1 + h % 8191)) % 8192 AS p
+        |       FROM ch, (SELECT unnest(range(3)) AS i) j)
+        |SELECT c_custkey FROM cp JOIN pos USING (p)
+        |GROUP BY c_custkey HAVING count(*) = 3 ORDER BY c_custkey""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id FROM documents

@@ -180,6 +180,36 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("passage dedup drops cross-document passages and preserves order") {
+    // K=3 passages; docs 1 and 2 share their FIRST passage verbatim, doc 3
+    // is entirely the shared passage, doc 4 is untouched
+    val d = Seq(
+      (1L, "shared boiler plate alpha beta gamma"),
+      (2L, "shared boiler plate delta epsilon zeta"),
+      (3L, "shared boiler plate"),
+      (4L, "totally unique words here friend")
+    ).toDF("id", "text")
+    val out = Dedup.passageDedup(d, "id", "text", passageTokens = 3, maxDocFreq = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "alpha beta gamma", 2L, 1L)))
+    assert(out(1) == ((2L, "delta epsilon zeta", 2L, 1L)))
+    assert(out(2) == ((3L, "", 1L, 1L)))     // fully boilerplate -> empty, not dropped
+    assert(out(3) == ((4L, "totally unique words here friend", 2L, 0L)))
+  }
+
+  test("passage dedup maxDocFreq bounds the doc-frequency, not occurrences") {
+    // the passage repeats TWICE within doc 1 but only 1 distinct doc -> kept
+    val d = Seq(
+      (1L, "echo echo echo echo echo echo"),
+      (2L, "other words entirely different here now")
+    ).toDF("id", "text")
+    val out = Dedup.passageDedup(d, "id", "text", passageTokens = 3, maxDocFreq = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "echo echo echo echo echo echo")
+    assert(out(0).getLong(3) == 0L)
+  }
 }
 
 class SkewSpec extends SparkSpec {
@@ -413,6 +443,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ss.length == 500 && ss.forall(_ == "a"))
   }
 
+  test("repetition features: token and ngram duplication") {
+    val d = Seq(
+      (1L, "a a a b"),                  // 4 tokens, 2 distinct, top=3; 2 trigrams distinct
+      (2L, "x y z x y z x y z"),        // 9 tokens, 3 distinct; 7 trigrams, 3 distinct
+      (3L, "p q")                       // <3 tokens -> one whole-text "shingle"
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionFeatures(d, "text", n = 3).orderBy("id")
+      .select("n_tokens", "distinct_tokens", "top_token_count", "n_ngrams", "distinct_ngrams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == ((4L, 2L, 3L, 2L, 2L)))
+    assert(out(1) == ((9L, 3L, 3L, 7L, 3L)))
+    assert(out(2) == ((2L, 2L, 1L, 1L, 1L)))
+    val fracs = TextAnalysis.repetitionFeatures(d, "text", n = 3).orderBy("id")
+      .select("dup_token_frac", "top_token_frac", "dup_ngram_frac")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(fracs(1) == ((6.0 / 9.0, 3.0 / 9.0, 4.0 / 7.0)))
+  }
+
+  test("contamination counts distinct shared shingles against the eval set") {
+    val eval = Seq((100L, "the secret benchmark answer is forty two")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "nothing in common with anything at all"),
+      (2L, "we know the secret benchmark answer too"),        // shares 2 trigrams
+      (3L, "the secret benchmark answer is forty two exactly") // near-copy
+    ).toDF("id", "text")
+    val out = TextAnalysis.contamination(corpus, eval, "id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out(0) == ((1L, 0L, false)))
+    assert(out(1) == ((2L, 2L, true)))   // "the secret benchmark", "secret benchmark answer"
+    assert(out(2)._3 && out(2)._2 >= 5L) // all of eval's 5 trigrams present
+  }
+
   test("vocabulary counts tf and df") {
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
     val v = TextAnalysis.vocabulary(d, "id", "text", 10)
@@ -628,5 +691,45 @@ class WindowsSpec extends SparkSpec {
       .as[(Timestamp, String, Long, Double)].collect().toSet
     val onHour = slid.filter(r => r._1.toLocalDateTime.getMinute == 0).toSet
     assert(tumb.subsetOf(onHour))
+  }
+}
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.{Bloom, Shingles}
+
+  private val m = 1 << 12
+  private val k = 3
+  private def h(c: org.apache.spark.sql.Column) = Shingles.md5Hash60(c.cast("string"))
+
+  test("no false negatives: every inserted key passes mightContain") {
+    val keys = spark.range(0, 2000).toDF("id")
+    val sketch = Bloom.build(keys, h(col("id")), m, k)
+    val pass = keys.withColumn("__h", h(col("id")))
+      .where(Bloom.mightContain(col("__h"), sketch, m, k)).count()
+    assert(pass == 2000L)
+  }
+
+  test("false-positive rate is near theory and the filter is deterministic") {
+    val members = spark.range(0, 1000).toDF("id")
+    val sketch = Bloom.build(members, h(col("id")), m, k)
+    val sketch2 = Bloom.build(members, h(col("id")), m, k)
+    assert(sketch.toSeq == sketch2.toSeq)
+    val nonMembers = spark.range(100000, 120000).toDF("id")
+    val fp = nonMembers.withColumn("__h", h(col("id")))
+      .where(Bloom.mightContain(col("__h"), sketch, m, k)).count()
+    // n=1000, m=4096, k=3 -> p = (1 - e^(-kn/m))^k ~ 0.147; 20k trials
+    val p = fp.toDouble / 20000.0
+    assert(p > 0.05 && p < 0.30, s"fp rate $p out of expected band")
+  }
+
+  test("semiJoinFilter accepts a superset of the exact semi-join, bounded by fp rate") {
+    val big = spark.range(0, 5000).toDF("id")
+    val small = spark.range(0, 500).select((col("id") * 7).as("id")) // multiples of 7 < 3500
+    val filtered = Bloom.semiJoinFilter(big, h(col("id")), small, h(col("id")), m, k)
+      .select("id").as[Long].collect().toSet
+    val exact = big.join(small, Seq("id"), "left_semi").select("id").as[Long].collect().toSet
+    assert(exact.subsetOf(filtered))
+    assert(filtered.size < exact.size + 2000) // fp-bounded superset
   }
 }
