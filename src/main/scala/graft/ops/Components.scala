@@ -97,4 +97,77 @@ object Components {
     }
     labels.withColumnRenamed("label", "component")
   }
+
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * EDGE-rewriting alternative to label propagation: O(log² n) rounds on
+    * ANY topology with no per-node label frame at all.
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: every node connects its strictly-smaller neighbors and
+    *    itself to the smallest of them.
+    *
+    * Both steps are one aggregate + one join over the edge frame keyed the
+    * same way; edges stay canonical (lo < hi). At the fixpoint the edge set
+    * IS the answer: stars centered at each component's minimum id.
+    *
+    * Trade-off vs [[connectedComponents]]: label propagation with adaptive
+    * path halving wins on dense quasi-clique dedup graphs (2-3 rounds, edge
+    * frame never rewritten, partitioning reused); star contraction wins on
+    * long-chain / high-diameter graphs (no O(diameter) tail and no V-sized
+    * label joins) and shrinks its own input every round. ComponentsSpec
+    * asserts both produce identical components on chains, cliques and
+    * random graphs.
+    */
+  def connectedComponentsStars(nodes: DataFrame, idCol: String,
+                               edges: DataFrame, srcCol: String, dstCol: String,
+                               maxIterations: Int = 50): DataFrame = {
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // LARGE-STAR over both directions: m(u) = min(u, min neighbor);
+      // (v, m(u)) for every neighbor v > u. m <= u < v keeps edges canonical.
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      val minsL = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      val ls = sym.join(minsL, "u").where(col("v") > col("u"))
+        .select(least(col("u"), col("mv")).as("lo"), col("v").as("hi"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // SMALL-STAR on canonical edges: for each hub u (= hi side), connect u
+      // and all its smaller neighbors to their minimum.
+      val minsS = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = ls.join(minsS, "hi").where(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .unionAll(minsS.select(col("m").as("lo"), col("hi")))
+        .distinct()
+        .localCheckpoint(true)
+
+      // fixpoint test: (count, order-independent hash-XOR) of the edge sets
+      // — one aggregate per side, no expensive set compare; xor can't
+      // overflow and the sets are distinct so nothing self-cancels
+      def sig(d: DataFrame): (Long, Long) = {
+        val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("lo"), col("hi")))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      converged = sig(next) == sig(e)
+      e = next
+      iter += 1
+    }
+
+    // the converged edge set is a union of stars: hi -> component minimum
+    val labels = e.select(col("hi").as("id2"), col("lo").as("label"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels, col("id") === col("id2"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
+  }
 }

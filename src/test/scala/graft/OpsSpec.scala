@@ -297,6 +297,40 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(noHalving.values.toSet != Set(1L))
   }
+
+  test("large-star/small-star equals label propagation on chains, cliques, random graphs") {
+    def both(nodes: org.apache.spark.sql.DataFrame,
+             edges: org.apache.spark.sql.DataFrame): Unit = {
+      val lp = Components.connectedComponents(nodes, "id", edges, "a", "b", maxIterations = 60)
+        .as[(Long, Long)].collect().toMap
+      val st = Components.connectedComponentsStars(nodes, "id", edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(st == lp)
+    }
+    // 100-chain + isolated nodes
+    both((1L to 105L).toDF("id"), (1L until 100L).map(i => (i, i + 1)).toDF("a", "b"))
+    // two cliques bridged by one edge + a separate clique
+    val cl = (for { i <- 1L to 10L; j <- i + 1 to 10L } yield (i, j)) ++
+      (for { i <- 11L to 20L; j <- i + 1 to 20L } yield (i, j)) ++ Seq((10L, 11L)) ++
+      (for { i <- 21L to 25L; j <- i + 1 to 25L } yield (i, j))
+    both((1L to 25L).toDF("id"), cl.toDF("a", "b"))
+    // deterministic pseudo-random sparse graph
+    val rnd = (1 to 300).map { i =>
+      val a = (i * 2654435761L) % 200 + 1
+      val b = (i * 40503L + 7) % 200 + 1
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    both((1L to 200L).toDF("id"), rnd.toDF("a", "b"))
+  }
+
+  test("star contraction converges on a 500-chain (log-round budget)") {
+    val n = 500
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Components.connectedComponentsStars(nodes, "id", edges, "a", "b", maxIterations = 25)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
