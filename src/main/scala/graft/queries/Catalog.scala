@@ -568,19 +568,40 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_scan_incremental" -> { (s, dir) =>
+      // incremental scan: three disjoint slices scanned separately, their
+      // mergeable states folded — the oracle computes the same metrics over
+      // the FULL table in one pass, proving fold-then-derive == monolithic
+      // bit-for-bit (including variance from folded fixed-point integers)
+      val li = t(s, dir, "lineitem")
+      val ms = Seq("min", "max", "avg", "sum", "variance", "stddev")
+      val sd = ScanDefinition(tableName = "lineitem",
+        columns = Map(
+          "l_quantity" -> ColumnConfig(metrics = ms),
+          "l_extendedprice" -> ColumnConfig(metrics = ms)))
+      val slices = Seq(0, 1, 2).map(r => li.where(pmod(col("l_orderkey"), lit(3)) === r))
+      val merged = graft.scan.IncrementalScan.mergeStates(
+        slices.map(graft.scan.IncrementalScan.partialState(_, sd)).reduce(_ unionAll _))
+      val fields = li.schema.fields.filter(f => Set("l_quantity", "l_extendedprice")(f.name))
+      val derivedCols = fields.toSeq.flatMap(f => MetricColumns.derived(f.name, ms, f.dataType))
+      merged.select(derivedCols: _*)
+        .select(fields.toSeq.flatMap(f => ms.map(m => out(f.name, m))): _*)
+    },
+
     "q_bloom_join" -> { (s, dir) =>
-      // bloom semi-join: customers with a high-value order, via a bloom
-      // filter built on the order side — the probe side is filtered row-
-      // locally with no join/shuffle. m deliberately small so false
-      // positives OCCUR and the oracle proves the exact bit arithmetic.
-      val m = 8192; val k = 3
-      val orders = t(s, dir, "orders").where(col("o_totalprice") > 150000.0)
-      val sketch = Bloom.build(orders,
-        Shingles.md5Hash60(col("o_custkey").cast(StringType)), m, k)
-      t(s, dir, "customer")
-        .withColumn("__h", Shingles.md5Hash60(col("c_custkey").cast(StringType)))
+      // bloom semi-join in the 100 TB direction: the FACT side (orders) is
+      // filtered row-locally — no join, no shuffle — by a bloom built over
+      // a selective dimension subset (high-balance customers, ~10% of
+      // keys). m deliberately small so false positives OCCUR and the
+      // oracle proves the exact bit arithmetic.
+      val m = 4096; val k = 3
+      val richCustomers = t(s, dir, "customer").where(col("c_acctbal") > 9000.0)
+      val sketch = Bloom.build(richCustomers,
+        Shingles.md5Hash60(col("c_custkey").cast(StringType)), m, k)
+      t(s, dir, "orders")
+        .withColumn("__h", Shingles.md5Hash60(col("o_custkey").cast(StringType)))
         .where(Bloom.mightContain(col("__h"), sketch, m, k))
-        .select("c_custkey").orderBy("c_custkey")
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
     },
 
     "q_sample_hash" -> ((s, dir) =>
@@ -1410,21 +1431,51 @@ object Catalog {
         |FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
         |WHERE s.doc_id % 50 <> 0 ORDER BY s.doc_id""".stripMargin,
 
+    "q_scan_incremental" ->
+      // the FULL-table scan in one pass — if the Spark side's three-slice
+      // fold were not exact, any of these eight values would hash-mismatch
+      """WITH r AS (
+        |  SELECT CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 10000.0 + 0.5)
+        |                   ELSE -floor(-l_quantity * 10000.0 + 0.5) END AS BIGINT) AS vq,
+        |         CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 10000.0 + 0.5)
+        |                   ELSE -floor(-l_extendedprice * 10000.0 + 0.5) END AS BIGINT) AS vp,
+        |         l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT count(l_quantity) AS n1, min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+        |         CAST(sum(vq) AS DOUBLE) / 10000.0 AS s1,
+        |         CAST(sum(CAST(CAST(vq AS DECIMAL(19,0)) * CAST(vq AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q1,
+        |         count(l_extendedprice) AS n2, min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
+        |         CAST(sum(vp) AS DOUBLE) / 10000.0 AS s2,
+        |         CAST(sum(CAST(CAST(vp AS DECIMAL(19,0)) * CAST(vp AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS q2
+        |  FROM r)
+        |SELECT mn1 AS l_quantity_min, mx1 AS l_quantity_max,
+        |       s1 / CAST(n1 AS DOUBLE) AS l_quantity_avg, s1 AS l_quantity_sum,
+        |       (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS l_quantity_variance,
+        |       sqrt((q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) AS l_quantity_stddev,
+        |       mn2 AS l_extendedprice_min, mx2 AS l_extendedprice_max,
+        |       s2 / CAST(n2 AS DOUBLE) AS l_extendedprice_avg, s2 AS l_extendedprice_sum,
+        |       (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS l_extendedprice_variance,
+        |       sqrt((q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) AS l_extendedprice_stddev
+        |FROM a""".stripMargin,
+
     "q_bloom_join" ->
       // the oracle rebuilds the EXACT filter: same 60-bit key hash, same
       // double-hashed probe positions (h + j*(1 + h mod (m-1))) mod m with
       // m=8192, k=3 — a customer passes iff all 3 probes hit the position
       // set, so false positives reproduce bit-for-bit
-      """WITH oh AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |            FROM orders WHERE o_totalprice > 150000.0),
-        |pos AS (SELECT DISTINCT (h + j.i * (1 + h % 8191)) % 8192 AS p
-        |        FROM oh, (SELECT unnest(range(3)) AS i) j),
-        |ch AS (SELECT c_custkey, ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |       FROM customer),
-        |cp AS (SELECT c_custkey, (h + j.i * (1 + h % 8191)) % 8192 AS p
-        |       FROM ch, (SELECT unnest(range(3)) AS i) j)
-        |SELECT c_custkey FROM cp JOIN pos USING (p)
-        |GROUP BY c_custkey HAVING count(*) = 3 ORDER BY c_custkey""".stripMargin,
+      """WITH ch AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |            FROM customer WHERE c_acctbal > 9000.0),
+        |pos AS (SELECT DISTINCT (h + j.i * (1 + h % 4095)) % 4096 AS p
+        |        FROM ch, (SELECT unnest(range(3)) AS i) j),
+        |oh AS (SELECT o_orderkey, o_custkey,
+        |              ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |       FROM orders),
+        |op AS (SELECT o_orderkey, o_custkey, (h + j.i * (1 + h % 4095)) % 4096 AS p
+        |       FROM oh, (SELECT unnest(range(3)) AS i) j)
+        |SELECT o_orderkey, any_value(o_custkey) AS o_custkey
+        |FROM op JOIN pos USING (p)
+        |GROUP BY o_orderkey HAVING count(*) = 3 ORDER BY o_orderkey""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id FROM documents

@@ -283,4 +283,36 @@ class ScannerSpec extends SparkSpec {
     val ef = ScanResultFrames.scanErrorsToDF(spark, result.errors)
     assert(ef.columns.toSeq == Seq("message", "exception"))
   }
+
+  test("incremental scan: fold of slice states equals the monolithic scan bit-for-bit") {
+    import graft.scan.IncrementalScan
+    val ms = Seq("row_count", "missing_count", "values_count", "min", "max",
+      "avg", "sum", "variance", "stddev", "min_length", "max_length", "avg_length")
+    val sd = ScanDefinition(tableName = "inc", metrics = ms)
+    val data = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.5, "aa"), (2L, -3.25, "bbb"), (3L, null, "c"),
+      (4L, 7.75, null), (5L, 1e9, "dddd"), (6L, 0.0001, "ee"))
+      .toDF("k", "v", "s")
+    // slices: 2 rows / 4 rows / EMPTY — empty slices must fold as identity
+    val slices = Seq(
+      data.where(col("k") <= 2), data.where(col("k") > 2), data.where(lit(false)))
+    val folded = IncrementalScan.scanSlices(slices, sd)
+      .map(m => (m.metric, m.columnName) -> m.value.get).toMap
+    val full = Scanner.execute(spark, data, sd).measurements
+      .filter(m => m.metric != "schema")
+      .map(m => (m.metric, m.columnName) -> m.value.get).toMap
+    assert(folded == full)
+    // variance crossed slices over mixed magnitudes (1e9 next to 1e-4) and
+    // still reconstructed the exact fixed-point integers
+    assert(folded.contains(("variance", Some("v"))))
+  }
+
+  test("incremental scan rejects metrics that cannot fold exactly") {
+    import graft.scan.IncrementalScan
+    val sd = ScanDefinition(tableName = "inc", metrics = Seq("distinct"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalScan.partialState(Seq((1L, "a")).toDF("k", "s"), sd)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
 }
