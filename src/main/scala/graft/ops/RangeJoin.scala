@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range and interval joins without nested loops.
+  *
+  * Spark compiles a non-equi range predicate (`low <= v AND v < high`, or an
+  * interval overlap) to BroadcastNestedLoopJoin when one side fits the
+  * broadcast budget and to a full CartesianProduct otherwise — O(|L|·|R|)
+  * either way. The scale shape used here is domain bucketization: quantize
+  * the joined dimension into fixed-width buckets so the range predicate
+  * becomes an EQUI-join on the bucket id (hash-partitioned, AQE-planned,
+  * skew-splittable), with the exact predicate re-checked on the matches.
+  * Cost is |facts| + |ranges|·(span/width) exploded rows through one hash
+  * shuffle — linear in the inputs, never quadratic.
+  *
+  * Width is the one tuning knob: too small explodes long ranges into many
+  * buckets; too large piles unrelated rows into the same bucket. A width
+  * near the typical range length keeps the explosion factor ~2 and the
+  * bucket fan-in proportional to the true match density.
+  */
+object RangeJoin {
+
+  /** Point-in-range join: fact rows (point `valueCol`) against ranges
+    * `[lowCol, highCol)`. Each point lands in exactly ONE bucket, so every
+    * matching (fact, range) pair is emitted exactly once — no dedup needed.
+    * Ranges explode to `ceil(len/width)+1` buckets.
+    *
+    * Columns of both frames are carried through; the caller resolves name
+    * clashes before joining. Numeric domains only (cast timestamps to epoch
+    * seconds/days first).
+    */
+  def pointInRange(fact: DataFrame, valueCol: Column, ranges: DataFrame,
+                   lowCol: String, highCol: String,
+                   bucketWidth: Double): DataFrame = {
+    val w = lit(bucketWidth)
+    val r = ranges.withColumn("__bucket",
+      explode(sequence(floor(col(lowCol) / w).cast("long"),
+                       floor(col(highCol) / w).cast("long"))))
+    val f = fact.withColumn("__bucket", floor(valueCol / w).cast("long"))
+    f.join(r, Seq("__bucket"))
+      .where(valueCol >= col(lowCol) && valueCol < col(highCol))
+      .drop("__bucket")
+  }
+
+  /** Interval-overlap join: (left, right) row pairs whose closed intervals
+    * `[lStart,lEnd]`, `[rStart,rEnd]` overlap (`lStart <= rEnd AND
+    * rStart <= lEnd`), optionally within equi `keyCols` present on both
+    * sides. Both sides explode to their bucket span and candidates meet in
+    * common buckets; a pair is KEPT only in its first common bucket
+    * (`bucket == floor(max(lStart, rStart) / w)` — a row-local filter), so
+    * no pair-level dedup shuffle is ever paid. Same idiom as the LSH
+    * first-matching-band dedup (Dedup.scala).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   lStart: String, lEnd: String, rStart: String, rEnd: String,
+                   bucketWidth: Double): DataFrame = {
+    val w = lit(bucketWidth)
+    def buckets(lo: String, hi: String): Column =
+      explode(sequence(floor(col(lo) / w).cast("long"),
+                       floor(col(hi) / w).cast("long")))
+    val l = left.withColumn("__bucket", buckets(lStart, lEnd))
+    val r = right.withColumn("__bucket", buckets(rStart, rEnd))
+    l.join(r, keyCols :+ "__bucket")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bucket") === floor(greatest(col(lStart), col(rStart)) / w).cast("long"))
+      .drop("__bucket")
+  }
+}

@@ -424,6 +424,45 @@ object Catalog {
         .orderBy("event_id")
     },
 
+    "q_range_join" -> { (s, dir) =>
+      // point-in-range via domain bucketization (RangeJoin.pointInRange):
+      // overlapping price bands derived from nation (each covers 9000, strided
+      // 2500 — a price can fall in up to 4 bands); the range predicate runs as
+      // an EQUI-join on the 2048-wide bucket id, never a nested loop
+      val bands = t(s, dir, "nation").select(
+        col("n_nationkey").cast(LongType).as("band"),
+        (lit(900.0) + col("n_nationkey") * 2500.0).as("lo"),
+        (lit(900.0) + col("n_nationkey") * 2500.0 + 9000.0).as("hi"))
+      RangeJoin.pointInRange(
+          t(s, dir, "lineitem").select("l_extendedprice", "l_quantity"),
+          col("l_extendedprice"), bands, "lo", "hi", bucketWidth = 2048.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100.0 + 0.5).cast(LongType)).as("qty_cents"))
+        .orderBy("band")
+    },
+
+    "q_interval_join" -> { (s, dir) =>
+      // interval-overlap self-join per part: lineitems whose 7-day shipping
+      // windows overlap. Equi key (partkey) + 7-day time bucket; the pair
+      // survives only in its first common bucket (row-local filter — no
+      // dedup shuffle). Quadratic only within (part, week) cells.
+      val l = t(s, dir, "lineitem").select(
+        col("l_partkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast(LongType).as("s"))
+        .withColumn("e", col("s") + 7)
+      val a = l.select(col("l_partkey"), col("id").as("id_a"),
+        col("s").as("s_a"), col("e").as("e_a"))
+      val b = l.select(col("l_partkey"), col("id").as("id_b"),
+        col("s").as("s_b"), col("e").as("e_b"))
+      RangeJoin.intervalJoin(a, b, Seq("l_partkey"), "s_a", "e_a", "s_b", "e_b",
+          bucketWidth = 7.0)
+        .where(col("id_a") < col("id_b"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("l_partkey")
+    },
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "events"), "event_id", "props").orderBy("keep_id")),
 
@@ -1305,6 +1344,29 @@ object Catalog {
         |SELECT e.event_id, e.user_id, c.click_ts AS asof_click_ts
         |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      // naive non-equi formulation — DuckDB plans it as it likes; graft's
+      // bucketized equi-join must produce the identical match set
+      """WITH r AS (SELECT CAST(n_nationkey AS BIGINT) AS band,
+        |                  900.0 + n_nationkey * 2500.0 AS lo,
+        |                  900.0 + n_nationkey * 2500.0 + 9000.0 AS hi
+        |           FROM nation)
+        |SELECT band, count(*) AS n,
+        |       sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS qty_cents
+        |FROM r JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH l AS (SELECT l_partkey,
+        |                  l_orderkey * 10 + l_linenumber AS id,
+        |                  CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS s
+        |           FROM lineitem)
+        |SELECT a.l_partkey, count(*) AS n_overlaps
+        |FROM l a JOIN l b
+        |  ON a.l_partkey = b.l_partkey AND a.id < b.id
+        | AND a.s <= b.s + 7 AND b.s <= a.s + 7
+        |GROUP BY a.l_partkey ORDER BY a.l_partkey""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(event_id) AS keep_id, count(*) AS copies FROM events GROUP BY props ORDER BY keep_id",

@@ -261,6 +261,46 @@ class JoinsSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("pointInRange matches the naive non-equi join, once per pair") {
+    // values sit on bucket and range boundaries deliberately (w = 10)
+    val fact = (0L to 100L).map(v => (v, v.toDouble)).toDF("fid", "v")
+    val ranges = Seq((1L, 0.0, 10.0), (2L, 5.0, 50.0), (3L, 9.5, 10.5),
+      (4L, 60.0, 60.0), (5L, 99.0, 200.0)).toDF("rid", "lo", "hi")
+    val got = RangeJoin.pointInRange(fact, col("v"), ranges, "lo", "hi", 10.0)
+      .select("fid", "rid").as[(Long, Long)].collect().sorted
+    val want = fact.as("f").join(ranges.as("r"),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("fid", "rid").as[(Long, Long)].collect().sorted
+    assert(got.sameElements(want) && got.length == got.distinct.length)
+  }
+
+  test("intervalJoin matches naive overlap join; multi-bucket pairs emitted once") {
+    // long intervals share MANY common buckets (w = 5) — first-common-bucket
+    // filter must still emit each overlapping pair exactly once
+    val a = Seq((1L, 0L, 40L), (2L, 10L, 12L), (3L, 50L, 51L))
+      .toDF("ida", "sa", "ea")
+    val b = Seq((10L, 5L, 45L), (11L, 41L, 60L), (12L, 100L, 110L))
+      .toDF("idb", "sb", "eb")
+    val got = RangeJoin.intervalJoin(a, b, Seq.empty, "sa", "ea", "sb", "eb", 5.0)
+      .select("ida", "idb").as[(Long, Long)].collect().sorted
+    val want = a.join(b, col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ida", "idb").as[(Long, Long)].collect().sorted
+    assert(got.sameElements(want) && got.length == got.distinct.length)
+  }
+
+  test("bucketized plan is an equi-join — no nested loop, no cartesian") {
+    val fact = (0L to 100L).map(v => (v, v.toDouble)).toDF("fid", "v")
+    val ranges = Seq((1L, 0.0, 30.0), (2L, 20.0, 80.0)).toDF("rid", "lo", "hi")
+    val plan = RangeJoin.pointInRange(fact, col("v"), ranges, "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
+
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
