@@ -463,6 +463,18 @@ object Catalog {
         .orderBy("l_partkey")
     },
 
+    "q_zorder" -> { (s, dir) =>
+      // Morton interleave of (partkey, suppkey): per z-range bucket counts +
+      // extrema prove the full bit-spread arithmetic; the layout operator
+      // itself (range shuffle + in-partition sort) is plan/locality-asserted
+      // in ZOrderSpec
+      val z = ZOrder.interleave2(col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem").select(z.as("zv"))
+        .groupBy(shiftright(col("zv"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"), min(col("zv")).as("z_min"), max(col("zv")).as("z_max"))
+        .orderBy("zbucket")
+    },
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "events"), "event_id", "props").orderBy("keep_id")),
 
@@ -1367,6 +1379,13 @@ object Catalog {
         |  ON a.l_partkey = b.l_partkey AND a.id < b.id
         | AND a.s <= b.s + 7 AND b.s <= a.s + 7
         |GROUP BY a.l_partkey ORDER BY a.l_partkey""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH z AS (SELECT (${ZOrder.spreadSql("l_partkey")} |
+         |                  (${ZOrder.spreadSql("l_suppkey")} << 1)) AS zv
+         |           FROM lineitem)
+         |SELECT zv >> 12 AS zbucket, count(*) AS n, min(zv) AS z_min, max(zv) AS z_max
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(event_id) AS keep_id, count(*) AS copies FROM events GROUP BY props ORDER BY keep_id",

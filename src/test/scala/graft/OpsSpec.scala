@@ -301,6 +301,47 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class ZOrderSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("interleave2 is bit-identical to a reference Morton code and to interleaveBits") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y").select(
+        col("x"), col("y"),
+        ZOrder.interleave2(col("x"), col("y")).as("z2"),
+        ZOrder.interleaveBits(Seq(col("x"), col("y")), 16).as("zk"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z2, zk) =>
+      assert(z2 == mortonRef(x, y) && zk == mortonRef(x, y))
+    }
+  }
+
+  test("layoutZOrder clusters BOTH dimensions (narrow per-partition rectangles)") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = scala.util.Random.shuffle(grid).toDF("x", "y").repartition(8)
+    val laid = ZOrder.layoutZOrder(df, col("x"), col("y"), 16)
+    assert(laid.queryExecution.executedPlan.toString.toLowerCase
+      .contains("rangepartitioning"))
+    val spans = laid.withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .agg(avg("sx"), avg("sy")).as[(Double, Double)].head()
+    // random 16-way split of a 64x64 grid would leave ~full 63-wide spans in
+    // every partition; z-order layout must cut the average span sharply
+    assert(spans._1 < 32.0 && spans._2 < 32.0, s"spans too wide: $spans")
+  }
+}
+
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
