@@ -25,6 +25,69 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  final case class PassEvent(h: Long, ts: Timestamp, doc_id: Long, idx: Int,
+                             passage: String) {
+    def tsMicros: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
+  final case class PassOut(doc_id: Long, idx: Int, passage: String, ts: Timestamp)
+
+  /** Streaming passage-level dedup — the continuous form of
+    * `Dedup.passageDedup` for ingest: each incoming document is split into
+    * consecutive `passageTokens`-token passages (identical chunking to the
+    * batch operator) and a passage passes ONLY the first time its hash is
+    * seen; later documents arrive pre-shrunk of boilerplate already in the
+    * corpus. First-seen semantics (the first crawl keeps the passage)
+    * rather than the batch operator's drop-from-ALL-docs `maxDocFreq`
+    * rule — the right asymmetry when earlier data is already committed.
+    * Within a batch the earliest (ts, doc_id, idx) occurrence wins.
+    *
+    * State per passage hash is O(1) (8-byte key + first-seen micros; the
+    * passage BODY never enters state), evicted by event-time TTL like
+    * [[firstSeenStream]]. Emits surviving (doc_id, idx, passage) rows in
+    * append mode; reassembly (groupBy doc_id, sort by idx) is the
+    * consumer's batch-side concat, since a second stateful shuffle per
+    * micro-batch buys nothing at ingest time.
+    */
+  def passageFirstSeenStream(spark: SparkSession, df: DataFrame, tsCol: String,
+                             idCol: String, textCol: String, passageTokens: Int,
+                             ttlSeconds: Long, watermark: String): Dataset[PassOut] = {
+    import spark.implicits._
+    val K = passageTokens
+    val exploded = df
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        graft.ops.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(transform(
+          sequence(lit(0L), ceil(size(col("__toks")).cast("double") / K).cast("long") - 1L,
+            lit(1L)),
+          i => array_join(slice(col("__toks"), (i * K + 1L).cast("int"), lit(K)), " ")))
+          .as(Seq("idx", "passage")))
+      .select(xxhash64(col("passage")).as("h"), col("ts"), col("doc_id"),
+        col("idx").cast("int").as("idx"), col("passage"))
+      .withWatermark("ts", watermark)
+      .as[PassEvent]
+    exploded.groupByKey(_.h)
+      .flatMapGroupsWithState[SeenState, PassOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (h: Long, events: Iterator[PassEvent], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                val first = events.minBy(e => (e.tsMicros, e.doc_id, e.idx))
+                state.update(SeenState(first.tsMicros))
+                Iterator.single(PassOut(first.doc_id, first.idx, first.passage, first.ts))
+              }
+            state.getOption.foreach { s =>
+              val deadline = s.firstMicros / 1000L + ttlSeconds * 1000L
+              state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1L))
+            }
+            out
+          }
+      }
+  }
+
   final case class SeenEvent(h: Long, ts: Timestamp, id: Long) {
     def tsMicros: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
   }

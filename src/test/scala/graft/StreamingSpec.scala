@@ -215,6 +215,37 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 5L, 6L))
   }
 
+  test("streaming passage dedup: shared passages pass once, chunking matches batch operator") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // 4-token passages; doc 2 repeats doc 1's first passage as boilerplate
+    val d1 = "a b c d e f g h"            // passages: "a b c d", "e f g h"
+    val d2 = "a b c d x y z w tail"       // "a b c d" (dup), "x y z w", "tail"
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingDedup.passageFirstSeenStream(spark, df, "ts", "doc_id", "text",
+        passageTokens = 4, ttlSeconds = 86400, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("pass_test").outputMode("append").start()
+
+    stream.addData((ts(0, 0), 1L, d1))
+    q.processAllAvailable()
+    stream.addData((ts(0, 10), 2L, d2))
+    q.processAllAvailable()
+
+    val got = spark.table("pass_test").select("doc_id", "idx", "passage")
+      .as[(Long, Int, String)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 0, "a b c d"), (1L, 1, "e f g h"),
+      (2L, 1, "x y z w"), (2L, 2, "tail")))
+
+    // doc 2 reassembled from survivors loses exactly the boilerplate passage
+    val clean = got.toSeq.filter(_._1 == 2L).sortBy(_._2).map(_._3).mkString(" ")
+    assert(clean == "x y z w tail")
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per text hash") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
