@@ -475,6 +475,56 @@ object Catalog {
         .orderBy("zbucket")
     },
 
+    "q_snapshot_diff" -> { (s, dir) =>
+      // incremental-pipeline snapshot diff: old = docs not ≡0 mod 7,
+      // new = docs not ≡0 mod 5 with every ≡0-mod-11 doc revised. The oracle
+      // compares raw text; graft compares xxhash64 — identical output unless
+      // the hash collides (it must not, and the gate would catch it)
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      Delta.snapshotDiff(oldSnap, newSnap, "doc_id", "text").orderBy("id")
+    },
+
+    "q_outliers" -> { (s, dir) =>
+      // Tukey-fence outliers per returnflag on fixed-point cents (integer
+      // domain keeps quartile interpolation + fence arithmetic bit-exact)
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.iqrOutliers(li, col("cents"), "l_returnflag")
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).cast(LongType).as("n_outliers"),
+          min(when(col("is_outlier"), col("cents"))).as("min_outlier_cents"),
+          max(when(col("is_outlier"), col("cents"))).as("max_outlier_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_rollup" -> { (s, dir) =>
+      // hierarchical totals in one pass (Expand, not N aggregates)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          MetricColumns.fixedPointLong(col("l_quantity"), 2).as("qc"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("qc")).as("qty_cents"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    "q_pivot" -> { (s, dir) =>
+      // pivot = conditional aggregation; explicit value list keeps the plan
+      // a single aggregate (no distinct-collect pre-pass)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          MetricColumns.fixedPointLong(col("l_quantity"), 2).as("qc"))
+        .groupBy("l_linestatus").pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("qc")))
+        .select(col("l_linestatus"), col("A").as("qty_a_cents"),
+          col("N").as("qty_n_cents"), col("R").as("qty_r_cents"))
+        .orderBy("l_linestatus")
+    },
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "events"), "event_id", "props").orderBy("keep_id")),
 
@@ -1386,6 +1436,50 @@ object Catalog {
          |           FROM lineitem)
          |SELECT zv >> 12 AS zbucket, count(*) AS n, min(zv) AS z_min, max(zv) AS z_max
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id AS id,
+        |             CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |       CASE WHEN o.id IS NULL THEN 'added'
+        |            WHEN n.id IS NULL THEN 'removed'
+        |            WHEN o.text <> n.text THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |WHERE o.id IS NULL OR n.id IS NULL OR o.text <> n.text
+        |ORDER BY id""".stripMargin,
+
+    "q_outliers" ->
+      """WITH v AS (SELECT l_returnflag,
+        |                  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |           FROM lineitem),
+        |q AS (SELECT l_returnflag, quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+        |      FROM v GROUP BY l_returnflag)
+        |SELECT v.l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN cents < q1 - 1.5 * (q3 - q1) OR cents > q3 + 1.5 * (q3 - q1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       min(CASE WHEN cents < q1 - 1.5 * (q3 - q1) OR cents > q3 + 1.5 * (q3 - q1)
+        |                THEN cents END) AS min_outlier_cents,
+        |       max(CASE WHEN cents < q1 - 1.5 * (q3 - q1) OR cents > q3 + 1.5 * (q3 - q1)
+        |                THEN cents END) AS max_outlier_cents
+        |FROM v JOIN q USING (l_returnflag)
+        |GROUP BY v.l_returnflag ORDER BY v.l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_a_cents,
+        |       CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_n_cents,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_r_cents
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(event_id) AS keep_id, count(*) AS copies FROM events GROUP BY props ORDER BY keep_id",

@@ -342,6 +342,36 @@ class ZOrderSpec extends SparkSpec {
   }
 }
 
+class DeltaSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Delta.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+}
+
+class OutliersSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("iqrOutliers flags Tukey-fence violations per group; fence table is broadcast") {
+    // group g: values 1..11 plus 100 -> q1=3.75, q3=9.25, iqr=5.5,
+    // hi fence = 17.5 -> only 100 is an outlier; group h: all inside
+    val df = ((1L to 11L).map(v => ("g", v)) :+ (("g", 100L)) :+ (("h", 5L)) :+ (("h", 6L)))
+      .toDF("grp", "v")
+    val out = Outliers.iqrOutliers(df, col("v"), "grp")
+    val flagged = out.where(col("is_outlier")).select("grp", "v")
+      .as[(String, Long)].collect().toSet
+    assert(flagged == Set(("g", 100L)))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
+
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
