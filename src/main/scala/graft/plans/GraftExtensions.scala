@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSim.functionDescriptor)
     ext.injectFunction(JaccardSim.functionDescriptor)
     ext.injectFunction(SimHash.functionDescriptor)
+    ext.injectOptimizerRule(s => RangeJoinBucketRewrite(s))
   }
 }
 

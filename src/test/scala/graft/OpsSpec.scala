@@ -301,6 +301,58 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class RangeRewriteSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("optimizer rule turns a non-equi range join into a bucketized equi join") {
+    val rule = graft.plans.RangeJoinBucketRewrite(spark)
+    val fact = (0L to 300L).map(v => (v, v.toDouble)).toDF("fid", "v")
+    val ranges = Seq((1L, 0.0, 25.0), (2L, 20.0, 120.0), (3L, 250.0, 260.0),
+      (4L, 299.0, 500.0)).toDF("rid", "lo", "hi")
+    def query() = fact.join(ranges, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("fid", "rid")
+
+    val naive = query().as[(Long, Long)].collect().sorted
+    assert(query().queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+
+    spark.experimental.extraOptimizations ++= Seq(rule)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "32")
+    try {
+      val plan = query().queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+      val got = query().as[(Long, Long)].collect().sorted
+      assert(got.sameElements(naive) && got.length == got.distinct.length)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  test("rule leaves equi joins and non-matching conditions alone") {
+    val rule = graft.plans.RangeJoinBucketRewrite(spark)
+    val a = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "x")
+    val b = Seq((1L, 1.0), (2L, 9.0)).toDF("k", "y")
+    spark.experimental.extraOptimizations ++= Seq(rule)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "10")
+    try {
+      // equi conjunct present -> untouched (no __graft_bucket attrs)
+      val eq = a.join(b, a("k") === b("k") && a("x") >= b("y"))
+      assert(!eq.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      assert(eq.count() == 1)
+      // single-sided bound only -> untouched
+      val oneBound = a.join(b, a("x") >= b("y"))
+      assert(!oneBound.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      assert(oneBound.count() == 2)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+}
+
 class ZOrderSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
