@@ -24,6 +24,12 @@ object Outliers {
 
   def iqrOutliers(df: DataFrame, valueCol: Column, groupCol: String,
                   k: Double = 1.5, approx: Boolean = false): DataFrame = {
+    // NOTE a counts-based exact quantile (groupBy value → running count →
+    // interpolate) was benched against the builtin `percentile` aggregate on
+    // this shape and LOST (4.6 s vs 2.3 s at sf0.1): price-like domains have
+    // value cardinality ≈ row cardinality, so the counts frame is as big as
+    // the data and adds a window pass. `percentile`'s per-group value map is
+    // the right exact engine; `approx = true` is the bounded-memory escape.
     val ps = array(lit(0.25), lit(0.75))
     val qAgg = if (approx) approx_percentile(valueCol, ps, lit(10000))
                else percentile(valueCol, ps)

@@ -67,4 +67,35 @@ object RangeJoin {
         col("__bucket") === floor(greatest(col(lStart), col(rStart)) / w).cast("long"))
       .drop("__bucket")
   }
+
+  /** Self interval-overlap join: overlapping pairs WITHIN one frame (same
+    * semantics as [[intervalJoin]] with both sides = `df`, output columns
+    * suffixed). Built as an aliased self-join of ONE exploded frame so the
+    * two join inputs canonicalize identically and Spark's ReuseExchange
+    * feeds both sides from a single shuffle — one exchange instead of two
+    * (the generic two-frame form can't do this: differently-aliased
+    * projections canonicalize apart). Caller filters `id_a < id_b` (or
+    * equivalent) to de-mirror pairs.
+    */
+  def intervalSelfJoin(df: DataFrame, keyCols: Seq[String], startCol: String,
+                       endCol: String, bucketWidth: Double,
+                       suffixes: (String, String) = ("_a", "_b")): DataFrame = {
+    val w = lit(bucketWidth)
+    val ex = df.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / w).cast("long"),
+                       floor(col(endCol) / w).cast("long"))))
+    val a = ex.alias("__l")
+    val b = ex.alias("__r")
+    def ac(c: String) = col(s"__l.$c")
+    def bc(c: String) = col(s"__r.$c")
+    val keyCond = (keyCols :+ "__bucket").map(k => ac(k) === bc(k)).reduce(_ && _)
+    val cond = keyCond &&
+      ac(startCol) <= bc(endCol) && bc(startCol) <= ac(endCol) &&
+      ac("__bucket") === floor(greatest(ac(startCol), bc(startCol)) / w).cast("long")
+    val dataCols = df.columns.filterNot(keyCols.contains).toSeq
+    a.join(b, cond).select(
+      keyCols.map(k => ac(k).as(k)) ++
+        dataCols.map(c => ac(c).as(s"$c${suffixes._1}")) ++
+        dataCols.map(c => bc(c).as(s"$c${suffixes._2}")): _*)
+  }
 }

@@ -452,12 +452,7 @@ object Catalog {
         (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
         datediff(col("l_shipdate"), lit("1970-01-01")).cast(LongType).as("s"))
         .withColumn("e", col("s") + 7)
-      val a = l.select(col("l_partkey"), col("id").as("id_a"),
-        col("s").as("s_a"), col("e").as("e_a"))
-      val b = l.select(col("l_partkey"), col("id").as("id_b"),
-        col("s").as("s_b"), col("e").as("e_b"))
-      RangeJoin.intervalJoin(a, b, Seq("l_partkey"), "s_a", "e_a", "s_b", "e_b",
-          bucketWidth = 7.0)
+      RangeJoin.intervalSelfJoin(l, Seq("l_partkey"), "s", "e", bucketWidth = 7.0)
         .where(col("id_a") < col("id_b"))
         .groupBy("l_partkey").agg(count(lit(1)).as("n_overlaps"))
         .orderBy("l_partkey")

@@ -292,6 +292,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.sameElements(want) && got.length == got.distinct.length)
   }
 
+  test("intervalSelfJoin matches the two-frame form on a self join") {
+    val df = Seq((1L, "g", 0L, 10L), (2L, "g", 5L, 15L), (3L, "g", 20L, 30L),
+      (4L, "h", 0L, 100L), (5L, "h", 50L, 60L)).toDF("id", "k", "s", "e")
+    val got = RangeJoin.intervalSelfJoin(df, Seq("k"), "s", "e", 8.0)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    val a = df.select(col("k"), col("id").as("id_a"), col("s").as("sa"), col("e").as("ea"))
+    val b = df.select(col("k"), col("id").as("id_b"), col("s").as("sb"), col("e").as("eb"))
+    val want = RangeJoin.intervalJoin(a, b, Seq("k"), "sa", "ea", "sb", "eb", 8.0)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    assert(got.sameElements(want) && got.toSet == Set((1L, 2L), (4L, 5L)))
+  }
+
   test("bucketized plan is an equi-join — no nested loop, no cartesian") {
     val fact = (0L to 100L).map(v => (v, v.toDouble)).toDF("fid", "v")
     val ranges = Seq((1L, 0.0, 30.0), (2L, 20.0, 80.0)).toDF("rid", "lo", "hi")
