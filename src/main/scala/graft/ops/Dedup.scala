@@ -290,6 +290,29 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Canonical-document selection per near-duplicate cluster: keep the row
+    * with the BEST `quality` score in each connected component of `pairs`
+    * (ties broken by smallest id); docs in no pair keep themselves. The
+    * quality-aware upgrade of [[dropNearDuplicates]] (which keeps the
+    * min-id doc) — a RefinedWeb-style pipeline keeps the longest / highest-
+    * scoring representative, not an arbitrary one.
+    *
+    * Scale shape: components run over (id, id) edges only; the argmax is a
+    * component-keyed `max(struct(quality, -id))` — one skinny shuffle of
+    * (id, component, quality); bodies move only in the final semi-join.
+    */
+  def keepBestPerComponent(df: DataFrame, idCol: String, pairs: DataFrame,
+                           quality: Column): DataFrame = {
+    val cc = Components.connectedComponents(df.select(col(idCol)), idCol,
+      pairs, "id_a", "id_b")
+    val q = df.select(col(idCol).as("id"), quality.as("__q"))
+    val keep = cc.join(q, Seq("id"))
+      .groupBy("component")
+      .agg(max(struct(col("__q").as("q"), (-col("id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** `bits`-wide SimHash from a MATERIALIZED token-hash array column: per bit
     * b, the bit is set iff more than half the tokens have it set
     * (sum of ±1 > 0  ⟺  2*popcount_b > n). One fused codegen'd pass over

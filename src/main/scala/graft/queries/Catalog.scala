@@ -584,6 +584,18 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_dedup_keep_best" -> { (s, dir) =>
+      // canonical-doc selection: same clusters as q_dedup_components, but
+      // each cluster keeps its LONGEST member (ties → smallest id), not the
+      // min id — the policy a quality-aware pipeline actually wants
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.jaccardPairsAllPairs(docs, "doc_id", "text",
+        threshold = 0.8, blockCols = Seq("lang"))
+      Dedup.keepBestPerComponent(docs, "doc_id", edges,
+        size(TextAnalysis.tokens(col("text"))))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -1516,6 +1528,30 @@ object Catalog {
         |  UNION
         |  SELECT s.a, cc.label FROM cc JOIN sym s ON cc.id = s.b)
         |SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+        |t AS (SELECT doc_id, lang, len(toks) AS nt, unnest(toks) AS tok FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
+        |  HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.8),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |cc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.a, cc.label FROM cc JOIN sym s ON cc.id = s.b),
+        |comp AS (SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id),
+        |q AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS q FROM documents),
+        |ranked AS (
+        |  SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
+        |           ORDER BY q.q DESC, c.doc_id ASC) AS rn
+        |  FROM comp c JOIN q USING (doc_id))
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

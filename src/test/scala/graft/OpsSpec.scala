@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("keepBestPerComponent keeps the highest-quality member of each cluster") {
+    import org.apache.spark.sql.functions._
+    // quality = id % 10 makes doc 3 the best of cluster {1,2,3}
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
+    val kept = Dedup.keepBestPerComponent(docs, "id", pairs, col("id") % 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // tie on quality -> smallest id wins (matches dropNearDuplicates)
+    val keptTie = Dedup.keepBestPerComponent(docs, "id", pairs, lit(1))
+      .select("id").as[Long].collect().toSet
+    assert(keptTie == Set(1L, 4L, 5L))
+  }
+
   test("native SimHashExpr is bit-identical to the HOF formulation") {
     for (bits <- Seq(60, 64)) {
       val r = docs.select(
