@@ -27,6 +27,33 @@ object Embeddings {
       .agg((sum(bround(col("v").cast(DoubleType), 10).cast(DecimalType(27, 10))).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("centroid"))
 
+  /** Symmetric int8 quantization of an embedding column — the storage form
+    * for 100 TB vector tables (4× smaller than float32; dot products stay
+    * proportional within a row). Per-vector scale = max |component|;
+    * component → sign-adjusted `floor(x/scale·127 + 0.5)` (pure IEEE ops —
+    * the engine-portable rounding used everywhere in graft). Zero vectors
+    * quantize to zeros with scale 0.
+    *
+    * Plan note: `scale` is emitted as an output column AND consumed by the
+    * per-element lambda — two non-cheap references, which keeps
+    * CollapseProject from re-inlining the array_max into the lambda (the
+    * per-ELEMENT re-evaluation trap). Callers need it anyway to
+    * dequantize.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("__v"))
+      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))))
+    v.select(col("id"), col("scale"),
+      transform(col("__v"), x => {
+        val scaled = x / col("scale") * 127.0
+        when(col("scale") === 0.0, lit(0L))
+          .when(x >= 0, floor(scaled + 0.5))
+          .otherwise(-floor(-scaled + 0.5))
+          .cast(ByteType)
+      }).as("q8"))
+  }
+
   /** Cosine of each row's vector to its group centroid — outlier scoring
     * against the class prototype. Centroids are broadcast (one row per
     * (group, dim): tiny), the corpus streams.

@@ -596,6 +596,11 @@ object Catalog {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    "q_embed_quantize" -> ((s, dir) =>
+      Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("scale"), col("q8"))
+        .orderBy("vec_id")),
+
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -1443,6 +1448,19 @@ object Catalog {
          |           FROM lineitem)
          |SELECT zv >> 12 AS zbucket, count(*) AS n, min(zv) AS z_min, max(zv) AS z_max
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
+    "q_embed_quantize" ->
+      // identical IEEE tree: cast-to-double components, scale = max abs,
+      // sign-adjusted floor(x/scale*127 + 0.5), zero vectors -> zeros
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS scale FROM v)
+        |SELECT vec_id, scale,
+        |       list_transform(vv, x -> CAST(CASE
+        |         WHEN scale = 0.0 THEN 0
+        |         WHEN x >= 0 THEN floor(x / scale * 127.0 + 0.5)
+        |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT)) AS q8
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 7 <> 0),
