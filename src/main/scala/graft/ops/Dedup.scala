@@ -290,6 +290,68 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Per-doc MinHash signature frame — the PERSISTABLE dedup artifact.
+    * Write it per ingested batch (`.write.parquet(store)`): later batches
+    * dedup against the accumulated store via [[dedupAgainstStore]] WITHOUT
+    * the old bodies — at 100 TB the store is ~0.1% of the corpus (64 longs
+    * per doc) and the old text is never re-read, re-shingled, or shuffled.
+    * Same expression pipeline (and the same materialization barrier) as
+    * [[minhashLshPairs]]'s internal signatures, so estimates are consistent
+    * with in-batch LSH.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleLen: Int = 3,
+                        tokenHasher: Column => Column = xxhash64(_)): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen),
+          tokenHasher).as("h"))
+      .repartition(col("id"))
+      .select(col("id"), minhashSignatureFromHashes(col("h"), numHashes).as("sig"))
+
+  /** Cross-run incremental dedup: candidate (new, store) pairs by banded
+    * LSH between two signature frames, similarity = the SIGNATURE ESTIMATE
+    * (fraction of agreeing minhash components — the standard unbiased
+    * Jaccard estimator), so the store's document bodies are never needed.
+    * Both frames must come from [[minhashSignatures]] with the same
+    * numHashes/shingleLen/hasher.
+    *
+    * Scale shape: band keys explode to `bands` skinny rows per doc; the
+    * equi-join on (band, bkey) is the only wide operation; a pair matching
+    * in several bands is emitted once via the row-local first-matching-band
+    * filter (BandPrefixMatchExpr — no dropDuplicates shuffle); signatures
+    * are attached to the surviving candidates by narrow id-keyed joins.
+    *
+    * @return (new_id, store_id, est) with est >= threshold.
+    */
+  def dedupAgainstStore(newSigs: DataFrame, storeSigs: DataFrame,
+                        threshold: Double, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame, idOut: String) = {
+      val bk = sigs.select(col("id").as(idOut),
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*).as(s"bk_$idOut"))
+      bk.select(col(idOut), col(s"bk_$idOut"),
+        posexplode(col(s"bk_$idOut")).as(Seq("band", "bkey")))
+    }
+    val cand = banded(newSigs, "new_id")
+      .join(banded(storeSigs, "store_id").withColumnRenamed("band", "band_s")
+          .withColumnRenamed("bkey", "bkey_s"),
+        col("band") === col("band_s") && col("bkey") === col("bkey_s"))
+      .where(!graft.functions.BandPrefixMatch.matchesBefore(
+        col("bk_new_id"), col("bk_store_id"), col("band")))
+      .select("new_id", "store_id")
+    cand
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(storeSigs.select(col("id").as("store_id"), col("sig").as("sig_b")), Seq("store_id"))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast(DoubleType) / numHashes.toDouble)
+      .where(col("est") >= threshold)
+      .select("new_id", "store_id", "est")
+  }
+
   /** Canonical-document selection per near-duplicate cluster: keep the row
     * with the BEST `quality` score in each connected component of `pairs`
     * (ties broken by smallest id); docs in no pair keep themselves. The

@@ -584,6 +584,19 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_dedup_incremental" -> { (s, dir) =>
+      // cross-RUN dedup: "new crawl" (doc_id ≡ 0 mod 3) against the
+      // persisted signature store of earlier batches (the rest) — store
+      // bodies never touched; similarity is the signature estimate
+      val docs = t(s, dir, "documents")
+      val store = Dedup.minhashSignatures(docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", shingleLen = 1, tokenHasher = Shingles.md5Hash60)
+      val fresh = Dedup.minhashSignatures(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", shingleLen = 1, tokenHasher = Shingles.md5Hash60)
+      Dedup.dedupAgainstStore(fresh, store, threshold = 0.7)
+        .orderBy("new_id", "store_id")
+    },
+
     "q_dedup_keep_best" -> { (s, dir) =>
       // canonical-doc selection: same clusters as q_dedup_components, but
       // each cluster keeps its LONGEST member (ties → smallest id), not the
@@ -952,6 +965,34 @@ object Catalog {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cross-run incremental dedup oracle: recompute both sides' signatures
+    * from the shared md5-60 hashes, candidate on any-band equality, filter
+    * on the signature estimate (agreeing components / numHashes).
+    */
+  private def incrementalDedupOracleSql(numHashes: Int, bands: Int,
+                                        threshold: Double): String = {
+    val (as, bs) = graft.functions.MinHash.coefs(numHashes)
+    val p = graft.functions.MinHash.P
+    val rows = numHashes / bands
+    val sigAggs = (0 until numHashes)
+      .map(i => s"min(((h % $p) * ${as(i)} + ${bs(i)}) % $p) AS s$i").mkString(", ")
+    val bandClauses = (0 until bands).map { b =>
+      (0 until rows).map(r => s"a.s${b * rows + r} = b.s${b * rows + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val estExpr = (0 until numHashes)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(1)}) AS t FROM documents),
+       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM sh),
+       |g AS (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS store_id,
+       |                CAST($estExpr AS DOUBLE) / $numHashes.0 AS est
+       |         FROM g a JOIN g b ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+       |         WHERE $bandClauses)
+       |SELECT new_id, store_id, est FROM cand
+       |WHERE est >= $threshold
+       |ORDER BY new_id, store_id""".stripMargin
+  }
+
   /** Full SimHash oracle: per-bit token-hash majorities → 60-bit signature →
     * exact hamming over ALL pairs (the Spark side's chunked candidacy is
     * recall-lossless for hamming <= maxHamming < nChunks, so brute force
@@ -1094,6 +1135,8 @@ object Catalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
+
+    "q_dedup_incremental" -> incrementalDedupOracleSql(64, 16, 0.7),
     "q_dedup_simhash" -> simhashOracleSql(60, 3),
     "q_column_sketch" -> columnSketchOracleSql(32),
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),

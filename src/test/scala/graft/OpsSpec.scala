@@ -74,6 +74,29 @@ class DedupSpec extends SparkSpec {
     assert(keptTie == Set(1L, 4L, 5L))
   }
 
+  test("dedupAgainstStore finds cross-batch near-dups from persisted signatures") {
+    import org.apache.spark.sql.functions._
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // copy of store doc 1
+      (11L, "totally novel text with no overlap whatsoever anywhere")
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.minhashSignatures(docs, "id", "text", shingleLen = 1)
+      .write.mode("overwrite").parquet(dir) // persist the store artifact
+    val store = spark.read.parquet(dir)
+    val fresh = Dedup.minhashSignatures(newDocs, "id", "text", shingleLen = 1)
+    val hits = Dedup.dedupAgainstStore(fresh, store, threshold = 0.7)
+      .select("new_id", "store_id").as[(Long, Long)].collect().toSet
+    // doc 10 collides with the {1,2,3} near-dup cluster; doc 11 with nothing
+    assert(hits.exists(_._1 == 10L) && !hits.exists(_._1 == 11L))
+    assert(hits.contains((10L, 1L)) && hits.contains((10L, 2L)))
+    // round-trip: reloaded signatures are the artifact, not a recompute
+    val direct = Dedup.dedupAgainstStore(fresh,
+      Dedup.minhashSignatures(docs, "id", "text", shingleLen = 1), threshold = 0.7)
+      .select("new_id", "store_id").as[(Long, Long)].collect().toSet
+    assert(hits == direct)
+  }
+
   test("native SimHashExpr is bit-identical to the HOF formulation") {
     for (bits <- Seq(60, 64)) {
       val r = docs.select(
