@@ -72,7 +72,24 @@ object ZOrder {
     */
   def layoutZOrder(df: DataFrame, x: Column, y: Column,
                    numPartitions: Int): DataFrame =
-    df.withColumn("__z", interleave2(x, y))
+    layoutBy(df, interleave2(x, y), numPartitions)
+
+  /** Hilbert-curve index (native codegen'd quadrant walk — see
+    * [[graft.functions.HilbertIndexExpr]]): tighter per-file rectangles
+    * than Morton at the same file count because consecutive indices are
+    * always unit-distance neighbours.
+    */
+  def hilbertIndex(x: Column, y: Column, order: Int = 16): Column =
+    graft.functions.HilbertIndex.hilbert(x.cast("long").bitwiseAND(lit((1L << order) - 1)),
+      y.cast("long").bitwiseAND(lit((1L << order) - 1)), order)
+
+  /** [[layoutZOrder]] with the Hilbert index as the linearization. */
+  def layoutHilbert(df: DataFrame, x: Column, y: Column,
+                    numPartitions: Int, order: Int = 16): DataFrame =
+    layoutBy(df, hilbertIndex(x, y, order), numPartitions)
+
+  private def layoutBy(df: DataFrame, key: Column, numPartitions: Int): DataFrame =
+    df.withColumn("__z", key)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

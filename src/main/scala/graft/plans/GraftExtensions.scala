@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, JaccardSim, MinHash, SimHash}
+import graft.functions.{CosineSim, HilbertIndex, JaccardSim, MinHash, SimHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension: registers graft's native functions.
@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSim.functionDescriptor)
     ext.injectFunction(JaccardSim.functionDescriptor)
     ext.injectFunction(SimHash.functionDescriptor)
+    ext.injectFunction(HilbertIndex.functionDescriptor)
     ext.injectOptimizerRule(s => RangeJoinBucketRewrite(s))
   }
 }
@@ -21,7 +22,8 @@ object GraftExtensions {
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit =
     Seq(MinHash.functionDescriptor, CosineSim.functionDescriptor,
-        JaccardSim.functionDescriptor, SimHash.functionDescriptor).foreach {
+        JaccardSim.functionDescriptor, SimHash.functionDescriptor,
+        HilbertIndex.functionDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -470,6 +470,16 @@ object Catalog {
         .orderBy("zbucket")
     },
 
+    "q_hilbert" -> { (s, dir) =>
+      // native codegen'd Hilbert walk; the oracle re-runs the identical
+      // quadrant-rotation state machine as a 16-step recursive CTE
+      val h = ZOrder.hilbertIndex(col("l_partkey"), col("l_suppkey"), order = 16)
+      t(s, dir, "lineitem").select(h.as("hv"))
+        .groupBy(shiftright(col("hv"), 12).as("hbucket"))
+        .agg(count(lit(1)).as("n"), min(col("hv")).as("h_min"), max(col("hv")).as("h_max"))
+        .orderBy("hbucket")
+    },
+
     "q_snapshot_diff" -> { (s, dir) =>
       // incremental-pipeline snapshot diff: old = docs not ≡0 mod 7,
       // new = docs not ≡0 mod 5 with every ≡0-mod-11 doc revised. The oracle
@@ -1504,6 +1514,28 @@ object Catalog {
         |         WHEN x >= 0 THEN floor(x / scale * 127.0 + 0.5)
         |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT)) AS q8
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_hilbert" ->
+      // the same quadrant-rotation walk, one recursive step per order bit:
+      // rx/ry from the current s-bit, d += s²·((3rx) xor ry), rotate/flip,
+      // halve s; rows stop expanding at s = 0
+      """WITH RECURSIVE h AS (
+        |  SELECT CAST(l_partkey & 65535 AS BIGINT) AS x,
+        |         CAST(l_suppkey & 65535 AS BIGINT) AS y,
+        |         CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+        |              ELSE x END AS x,
+        |         CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+        |              ELSE y END AS y,
+        |         s // 2 AS s,
+        |         d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |                         (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)) AS d
+        |  FROM h WHERE s > 0)
+        |SELECT d >> 12 AS hbucket, count(*) AS n, min(d) AS h_min, max(d) AS h_max
+        |FROM h WHERE s = 0
+        |GROUP BY hbucket ORDER BY hbucket""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 7 <> 0),

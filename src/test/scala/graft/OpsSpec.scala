@@ -474,6 +474,50 @@ class OutliersSpec extends SparkSpec {
   }
 }
 
+class HilbertSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("hilbert index is a bijection with unit-step adjacency (order 3, exhaustive)") {
+    val n = 8 // 2^3
+    val grid = for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong)
+    val d2xy = grid.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.hilbertIndex(col("x"), col("y"), 3).as("d"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, d) => d -> (x, y) }.toMap
+    // bijection onto 0..63
+    assert(d2xy.keySet == (0L until 64L).toSet)
+    // THE Hilbert property (Morton does not have it): consecutive indices
+    // are unit-distance neighbours — no jumps across the plane
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+  }
+
+  test("hilbert layout clusters at least as tightly as morton layout") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = scala.util.Random.shuffle(grid).toDF("x", "y").repartition(8)
+    def avgSpan(laid: org.apache.spark.sql.DataFrame): Double =
+      laid.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg(((max("x") - min("x")) + (max("y") - min("y"))).as("s"))
+        .agg(avg("s")).as[Double].head()
+    val hilbert = avgSpan(ZOrder.layoutHilbert(df, col("x"), col("y"), 16, order = 6))
+    val morton = avgSpan(ZOrder.layoutZOrder(df, col("x"), col("y"), 16))
+    assert(hilbert <= morton + 1e-9, s"hilbert=$hilbert morton=$morton")
+    assert(hilbert < 40.0)
+  }
+
+  test("graft_hilbert is registered as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_hilbert(CAST(5 AS BIGINT), CAST(3 AS BIGINT)) AS h")
+      .as[Long].head()
+    val want = spark.range(1).select(
+      ZOrder.hilbertIndex(lit(5L), lit(3L), 16).as("h")).as[Long].head()
+    assert(r == want)
+  }
+}
+
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
