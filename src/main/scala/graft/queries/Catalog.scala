@@ -785,6 +785,25 @@ object Catalog {
           minTokens = 30, maxAvgTokenLen = 5.0, minStopwordRatio = 0.02)
         .select("doc_id", "keep", "reason").orderBy("doc_id")),
 
+    "q_pipeline_e2e" -> { (s, dir) =>
+      // the COMPOSED curation pipeline, end-to-end in one lazy plan:
+      // quality filter -> cross-doc passage dedup -> exact dedup on the
+      // rewritten text -> deterministic 50% sample. Every stage is oracled
+      // alone elsewhere; this gate proves they compose bit-exactly.
+      val docs = t(s, dir, "documents")
+      val kept = TextAnalysis.qualityFilter(docs, "text",
+          minTokens = 30, maxAvgTokenLen = 5.0, minStopwordRatio = 0.02)
+        .where(col("keep")).select("doc_id", "text")
+      val cleaned = Dedup.passageDedup(kept, "doc_id", "text",
+          passageTokens = 10, maxDocFreq = 1, tokenHasher = Shingles.md5Hash60)
+        .where(length(col("text_clean")) > 0)
+      val deduped = cleaned.groupBy("text_clean")
+        .agg(min(col("doc_id")).as("doc_id"))
+      Sampling.hashSample(deduped, "doc_id", fraction = 0.5,
+          hasher = Shingles.md5Hash60)
+        .select("doc_id", "text_clean").orderBy("doc_id")
+    },
+
     "q_redact" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"),
           TextAnalysis.redact(col("c_name"), Seq("[0-9]{6,}" -> "<ID>")).as("redacted"))
@@ -1834,6 +1853,42 @@ object Catalog {
         |  WHEN sr < 0.02 THEN 'low_stopword_ratio'
         |  ELSE 'ok' END AS reason FROM f)
         |SELECT doc_id, reason = 'ok' AS keep, reason FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      // composed: quality-keep ids -> passage dedup over survivors -> exact
+      // dedup by rewritten text (min doc_id) -> md5-60 50% sample
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS atl,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |       t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS DOUBLE) /
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS sr
+        |FROM documents),
+        |keepids AS (SELECT doc_id FROM f
+        |            WHERE NOT (nt < 30) AND NOT (nt > 100000)
+        |              AND NOT (atl > 5.0) AND NOT (sr < 0.02)),
+        |t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM keepids)),
+        |p0 AS (SELECT doc_id,
+        |         [array_to_string(toks[(i*10+1):((i+1)*10)], chr(32))
+        |          for i in range(0, CAST(ceil(len(toks) / 10.0) AS INT))] AS ps
+        |       FROM t),
+        |e AS (SELECT doc_id, unnest(ps) AS passage,
+        |             CAST(unnest(range(0, len(ps))) AS INT) AS chunk FROM p0),
+        |h AS (SELECT doc_id, chunk, passage,
+        |             ('0x' || substr(md5(passage), 1, 15))::BIGINT AS ph FROM e),
+        |dropped AS (SELECT ph FROM (SELECT ph, count(DISTINCT doc_id) AS df FROM h GROUP BY ph)
+        |            WHERE df > 1),
+        |cleaned AS (SELECT doc_id,
+        |              coalesce(string_agg(passage, chr(32) ORDER BY chunk)
+        |                       FILTER (WHERE ph NOT IN (SELECT ph FROM dropped)), '') AS text_clean
+        |            FROM h GROUP BY doc_id),
+        |deduped AS (SELECT text_clean, min(doc_id) AS doc_id FROM cleaned
+        |            WHERE length(text_clean) > 0 GROUP BY text_clean)
+        |SELECT doc_id, text_clean FROM deduped
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 5000
+        |ORDER BY doc_id""".stripMargin,
 
     "q_redact" ->
       """SELECT c_custkey, regexp_replace(c_name, '[0-9]{6,}', '<ID>', 'g') AS redacted
