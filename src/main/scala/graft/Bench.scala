@@ -17,7 +17,11 @@ object Bench {
     // toRdd.count() forces FULL materialization of every output column —
     // a plain count() would let Catalyst prune work the query claims to do.
     // Failures are recorded as failures, never as (fast) timings.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: only time these queries (local iteration aid; the
+    // driver passes none → full bench)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       System.gc() // isolate queries from the previous query's garbage
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }

@@ -49,6 +49,11 @@ object MetricColumns {
     "length" -> Seq("min_length", "max_length", "avg_length"),
     "statistics" -> Seq("min", "max", "avg", "sum", "variance", "stddev"),
     "duplicates" -> Seq("distinct", "unique_count", "uniqueness", "duplicate_count"),
+    // sketch-backed duplicates family: rides the single row-level pass via
+    // the bottom-k-with-counts sketch (KmvCountsAgg) — ≤ k entries per
+    // column per partial instead of pass 2's every-distinct-value shuffle
+    "duplicates_approx" -> Seq("approx_distinct", "approx_unique_count",
+      "approx_uniqueness", "approx_duplicate_count"),
     "profiling" -> Seq("maxs", "mins", "frequent_values", "histogram")
   )
 
@@ -63,8 +68,17 @@ object MetricColumns {
     "missing_count", "missing_percentage", "values_count", "values_percentage",
     "valid_count", "valid_percentage", "invalid_count", "invalid_percentage",
     "min", "max", "avg", "sum", "variance", "stddev",
-    "min_length", "max_length", "avg_length", "approx_distinct"
+    "min_length", "max_length", "avg_length", "approx_distinct",
+    "approx_unique_count", "approx_duplicate_count", "approx_uniqueness"
   )
+
+  /** Bottom-k size for the approx duplicates family: relative error of the
+    * distinct estimate ~ 1/√k ≈ 3%; the buffer is ≤ 16 KiB per column.
+    */
+  val ApproxDuplicatesK = 1024
+
+  private val approxDupMetrics =
+    Seq("approx_unique_count", "approx_duplicate_count", "approx_uniqueness")
 
   /** Metrics needing a per-value grouping pass. */
   val groupMetrics: Set[String] = Set(
@@ -240,12 +254,20 @@ object MetricColumns {
       .exists(need)
     val needValidity = Seq("valid_count", "valid_percentage", "invalid_count", "invalid_percentage")
       .exists(need)
-    if (needMissing || needValidity)
+    // approx_uniqueness scales by values_count = row_count - missing_count
+    if (needMissing || needValidity || need("approx_uniqueness"))
       out += countIf(missing).as(s"${name}__missing_count")
     if (needValidity)
       out += countIf(valid).as(s"${name}__valid_count")
     if (need("approx_distinct"))
       out += approx_count_distinct(when(value, c)).as(s"${name}__approx_distinct")
+    if (approxDupMetrics.exists(need)) {
+      // xxhash64 of a NULL child is the unchanged seed, not NULL — gate the
+      // hash itself behind the missing-ness predicate so missing rows are
+      // skipped by the sketch, matching the exact family's value domain
+      val h = when(value, graft.functions.KmvCounts.xxhash60(c.cast(StringType)))
+      out += graft.functions.KmvCounts.kmvCounts(h, ApproxDuplicatesK).as(s"${name}__kmvc")
+    }
 
     if (isNumeric(field.dataType)) {
       val v = when(valid, c)
@@ -291,6 +313,26 @@ object MetricColumns {
     if (m("invalid_count")) out += (valuesCnt - validCnt).as(s"${name}__invalid_count")
     if (m("invalid_percentage")) out += ((valuesCnt - validCnt).cast(DoubleType) * 100.0 / rc).as(s"${name}__invalid_percentage")
     if (m("approx_distinct")) out += col(s"${name}__approx_distinct").as(s"${name}__approx_distinct_out")
+    if (approxDupMetrics.exists(m)) {
+      // same arithmetic as KmvCounts.estimates (plain IEEE double ops);
+      // CaseWhen short-circuits, so element_at(arr, k) only evaluates when
+      // the sketch is full (n == k) — never out of bounds under ANSI
+      val arr = col(s"${name}__kmvc")
+      val n = size(arr)
+      val d = when(n === 0, lit(null).cast(DoubleType))
+        .when(n < ApproxDuplicatesK, n.cast(DoubleType))
+        .otherwise(lit((ApproxDuplicatesK - 1).toDouble) /
+          (element_at(arr, ApproxDuplicatesK).getField("h").cast(DoubleType) /
+            lit(graft.functions.KmvCounts.HashSpace)))
+      val uniq = size(filter(arr, x => x.getField("cnt") === 1L))
+      if (m("approx_unique_count"))
+        out += (d * (uniq.cast(DoubleType) / n.cast(DoubleType))).as(s"${name}__approx_unique_count")
+      if (m("approx_duplicate_count"))
+        out += (d * ((n - uniq).cast(DoubleType) / n.cast(DoubleType))).as(s"${name}__approx_duplicate_count")
+      if (m("approx_uniqueness"))
+        out += when(valuesCnt > 1, (d - 1.0) * 100.0 / (valuesCnt.cast(DoubleType) - 1.0))
+          .as(s"${name}__approx_uniqueness")
+    }
     if (isNumeric(dt)) {
       val n = col(s"${name}__num_count").cast(DoubleType)
       // the scaled sum is in integer units of 10^-scale, the reassembled

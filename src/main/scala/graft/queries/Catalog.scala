@@ -190,6 +190,31 @@ object Catalog {
       sk.select(posexplode(col("sk")).as(Seq("pos", "h"))).orderBy("pos")
     },
 
+    "q_approx_duplicates" -> { (s, dir) =>
+      import graft.functions.KmvCounts
+      import s.implicits._
+      // bottom-k-with-counts sketch → duplicates-family estimates, one
+      // row-level pass for all three columns (the scan's 100 TB alternative
+      // to pass 2's every-distinct-value shuffle). md5-60 hashing lets
+      // DuckDB rebuild the identical sketch (GROUP BY value ORDER BY hash
+      // LIMIT k — retained counts are exact) and replay the estimator.
+      val k = 256
+      def sk(c: Column) = KmvCounts.kmvCounts(
+        when(c.isNotNull, Shingles.md5Hash60(c.cast(StringType))), k)
+      val row = t(s, dir, "orders").agg(
+        sk(col("o_custkey")).as("ck"), sk(col("o_orderkey")).as("ok"),
+        sk(col("o_orderpriority")).as("pr")).collect()(0)
+      def pairs(i: Int): Seq[(Long, Long)] =
+        row.getSeq[org.apache.spark.sql.Row](i).map(r => (r.getLong(0), r.getLong(1)))
+      Seq("o_custkey" -> pairs(0), "o_orderkey" -> pairs(1), "o_orderpriority" -> pairs(2))
+        .map { case (name, p) =>
+          val (d, u, dup) = KmvCounts.estimates(p, k)
+          (name, p.size.toLong, d, u, dup)
+        }
+        .toDF("column_name", "retained", "approx_distinct", "approx_unique_count", "approx_duplicate_count")
+        .orderBy("column_name")
+    },
+
     "q_theta_sketch" -> { (s, dir) =>
       import graft.functions.{KmvSketch, ThetaSketch}
       import s.implicits._
@@ -921,6 +946,55 @@ object Catalog {
         .orderBy("metric", "column_name", "value")
     },
 
+    "q_scan_wide_approx" -> { (s, dir) =>
+      // q_scan_wide's 100 TB twin (rows-only BY DESIGN, like q_scan_wide;
+      // the estimator itself is oracled via q_approx_duplicates): identical
+      // scan but the duplicates family rides pass 1 as bottom-k-with-counts
+      // sketches — no every-distinct-value shuffle. Pass 2 shrinks to the
+      // one column asking for frequent_values/mins/maxs.
+      val yaml =
+        """table_name: lineitem_wide
+          |metrics:
+          |- row_count
+          |- missing_count
+          |- values_count
+          |- min
+          |- max
+          |- avg
+          |- sum
+          |- variance
+          |- stddev
+          |- min_length
+          |- max_length
+          |- avg_length
+          |metric_groups:
+          |- duplicates_approx
+          |tests:
+          |- row_count > 0
+          |columns:
+          |  l_quantity:
+          |    valid_min: 1
+          |    valid_max: 50
+          |    metrics:
+          |    - frequent_values
+          |    - mins
+          |    - maxs
+          |    - histogram
+          |    tests:
+          |    - invalid_percentage == 0
+          |  l_returnflag:
+          |    valid_values:
+          |    - A
+          |    - N
+          |    - R
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, t(s, dir, "lineitem"), yaml,
+        time = Some("2026-01-01T00:00:00Z"))
+      graft.api.ScanResultFrames.measurementsToDF(s, r.measurements)
+        .withColumn("group_values", to_json(col("group_values")))
+        .orderBy("metric", "column_name", "value")
+    },
+
     "q_sessionize" -> ((s, dir) =>
       Windows.sessionizeBatch(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800)
         .orderBy("user_id", "session_id")),
@@ -1063,6 +1137,29 @@ object Catalog {
     * threshold, operations under min theta, union re-trim at overflow) and
     * the identical estimate division — see graft.functions.ThetaSketch.
     */
+  /** DuckDB replay of the bottom-k-with-counts sketch + estimator for one
+    * column: GROUP BY value-hash keeps retained counts exact, ORDER BY h
+    * LIMIT k is the bottom-k, and the arithmetic mirrors
+    * [[graft.functions.KmvCounts.estimates]] op for op.
+    */
+  private def approxDupOracleSql(k: Int, cols: Seq[String]): String = {
+    val branches = cols.map { c =>
+      s"""SELECT '$c' AS column_name, n AS retained,
+         |       CASE WHEN n = 0 THEN 0.0
+         |            WHEN n < $k THEN CAST(n AS DOUBLE)
+         |            ELSE ${k - 1}.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END AS d,
+         |       CAST(u AS DOUBLE) / CAST(n AS DOUBLE) AS fu,
+         |       CAST(n - u AS DOUBLE) / CAST(n AS DOUBLE) AS fd
+         |FROM (SELECT count(*) AS n, max(h) AS hk, count(*) FILTER (WHERE cnt = 1) AS u
+         |      FROM (SELECT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS h, count(*) AS cnt
+         |            FROM orders WHERE $c IS NOT NULL GROUP BY 1 ORDER BY h LIMIT $k))""".stripMargin
+    }
+    s"""SELECT column_name, retained, d AS approx_distinct,
+       |       d * fu AS approx_unique_count, d * fd AS approx_duplicate_count
+       |FROM (${branches.mkString("\nUNION ALL\n")})
+       |ORDER BY column_name""".stripMargin
+  }
+
   private def thetaSketchOracleSql(k: Int): String = {
     val space = ThetaSketch60Space // 2^60 as a BIGINT literal
     s"""WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -1396,6 +1493,9 @@ object Catalog {
         |FROM g ORDER BY pos""".stripMargin,
 
     "q_theta_sketch" -> thetaSketchOracleSql(128),
+
+    "q_approx_duplicates" -> approxDupOracleSql(256,
+      Seq("o_custkey", "o_orderkey", "o_orderpriority")),
 
     "q_sql_metric" ->
       "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue FROM orders WHERE o_orderstatus = 'F'",
