@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for LLM pretraining: lay the corpus out as ONE virtual
+  * token stream (documents concatenated in a total order) and cut it into
+  * fixed-`budget` training chunks. Each document's placement — its global
+  * token offset, the chunks it spans, its offset inside the first chunk —
+  * is a pure function of the exclusive prefix sum of token counts, so the
+  * whole operator is a distributed prefix sum plus row-local arithmetic.
+  *
+  * The prefix sum is the textbook two-phase scan, NOT a global-order window
+  * (`Window.orderBy` with no partitionBy funnels the corpus through ONE
+  * partition — the classic scale-killer):
+  *
+  *   1. range-partition by the order column; per-partition totals (one tiny
+  *      aggregate, `numPartitions` rows) are cumulated on the driver into
+  *      partition offsets;
+  *   2. a within-partition running sum (Window.partitionBy(pid)) plus the
+  *      broadcast partition offset, looked up from a literal map — no join.
+  *
+  * Every stage is bounded by a range-partition's size; nothing is
+  * single-partition. The result is identical to the naive global window
+  * (prefix sums over a total order are unique), which is exactly what the
+  * DuckDB oracle computes.
+  */
+object Packing {
+
+  /** Adds `cumsumCol` = EXCLUSIVE prefix sum of `valueCol` over ascending
+    * `orderCol` (must be unique — document ids). Long-typed, overflow-checked
+    * by ANSI semantics.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
+                cumsumCol: String, numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, col(orderCol))
+      else df.repartitionByRange(col(orderCol))
+    val withPid = parts
+      .withColumn("__v", valueCol.cast(LongType))
+      .withColumn("__pid", spark_partition_id())
+    // The cache is LOAD-BEARING, not an optimization: range partitioning
+    // re-samples boundaries per job, so without materialization the totals
+    // job and the window job could see different __pid assignments —
+    // offsets computed for one layout applied to another.
+    withPid.cache()
+    try {
+      val totals = withPid.groupBy("__pid").agg(sum(col("__v")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = totals.keys.toSeq.sorted
+      val offsets: Map[Int, Long] = pids.zip(
+        pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+      val offsetExpr =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+      val w = Window.partitionBy("__pid").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withPid
+        .withColumn(cumsumCol, coalesce(sum(col("__v")).over(w), lit(0L)) + offsetExpr)
+        .drop("__v", "__pid")
+    } finally withPid.unpersist(blocking = false)
+  }
+
+  /** Concat-and-chunk packing index: for each document, its global token
+    * start, the first/last `budget`-token chunk it lands in, and its offset
+    * inside the first chunk. Empty documents (0 tokens) occupy no chunk →
+    * null chunk columns. `tokenCount` defaults to whitespace-token count of
+    * `textCol`.
+    */
+  def packIndex(df: DataFrame, idCol: String, textCol: String, budget: Int,
+                tokenCount: Option[Column] = None, numPartitions: Int = 0): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val n = tokenCount.getOrElse(TextAnalysis.tokenCount(col(textCol))).cast(LongType)
+    val base = df.select(col(idCol).as("doc_id"), n.as("n_tokens"))
+    val summed = prefixSum(base, "doc_id", col("n_tokens"), "tok_start", numPartitions)
+    // `div` is LONG integer division — `/` on longs is double division,
+    // which silently rounds past 2^53 tokens
+    summed.select(
+      col("doc_id"), col("n_tokens"), col("tok_start"),
+      when(col("n_tokens") > 0, expr(s"tok_start div ${budget}L")).as("first_chunk"),
+      when(col("n_tokens") > 0,
+        expr(s"(tok_start + n_tokens - 1) div ${budget}L")).as("last_chunk"),
+      when(col("n_tokens") > 0, pmod(col("tok_start"), lit(budget.toLong))).as("chunk_offset"))
+  }
+}

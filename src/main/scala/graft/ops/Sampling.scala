@@ -39,6 +39,30 @@ object Sampling {
     df.where(pmod(hasher(col(keyCol).cast("string")), lit(buckets.toLong)) < keepExpr)
   }
 
+  /** Deterministic multi-way split assignment (train/val/test hygiene):
+    * every row gets the split its key hashes into — stable across reruns,
+    * Spark versions, partitionings, and machines, which is the property
+    * that keeps evaluation data out of training data over the lifetime of
+    * a corpus. `splits` are (name, fraction) in order, fractions summing to
+    * ≤ 1; keys hashing past the last cumulative boundary get NULL (held
+    * out). `salt` decorrelates the split decision from any other
+    * hash-keyed decision (sampling, capping) on the same key. Row-local,
+    * no shuffle.
+    */
+  def assignSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+                  out: String = "split", salt: String = "|split", buckets: Int = 10000,
+                  hasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0), "fractions must be >= 0")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val b = pmod(hasher(concat(col(keyCol).cast("string"), lit(salt))), lit(buckets.toLong))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = splits.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), cumFrac), acc) =>
+        when(b < lit(math.round(cumFrac * buckets)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(out, assign)
+  }
+
   /** Per-key row cap (web-corpus "max N documents per domain"): keys at or
     * under `maxRows` pass wholesale; over-cap keys keep a deterministic
     * hash fraction targeting `maxRows` (expected kept ≈ maxRows with

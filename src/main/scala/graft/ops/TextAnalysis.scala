@@ -271,6 +271,56 @@ object TextAnalysis {
     df.withColumn(out,
       slice(array_sort(array_distinct(transform(sh, s => md5(s.cast(BinaryType))))), 1, k))
   }
+
+  /** Bigram language-model quality scoring (the CCNet-style "LM filter"
+    * signal): train an add-one-smoothed bigram model on the corpus itself,
+    * then score each document by its total bigram log-probability. Returns
+    * (doc_id, n_bigrams, sum_lnfx, perplexity):
+    *
+    *  - `sum_lnfx` = Σ over bigram positions of ln p(w2|w1) in FIXED POINT
+    *    (scale 6, [[graft.metrics.MetricColumns.fixedPointLong]]): integer
+    *    addition is order-independent, so the per-doc sum is exactly
+    *    reproducible across partitionings AND engines — the float tail of
+    *    each ln is quantized once, never accumulated;
+    *  - `perplexity` = exp(−avg ln p), the human-facing derivation (a
+    *    DOUBLE; gates compare the integer columns).
+    *
+    * p(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V), ctx(w1) = Σ_b c(w1,b),
+    * V = corpus distinct-token count.
+    *
+    * Scale shape: bigram extraction is row-local (zip_with of two slices);
+    * the model build shuffles (w1,w2) pairs once with map-side combine and
+    * the context re-agg rides its output; the scoring join is
+    * model-vs-bigram-stream on (w1,w2) — AQE broadcasts the model when it
+    * fits, hash-join otherwise; the per-doc reduce shuffles only
+    * (doc_id, long) pairs. Documents with < 2 tokens score 0 over 0 bigrams.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val pairs = base.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg")("w1").as("w1"), col("bg")("w2").as("w2"))
+    val vocab = base.select(explode(col("ts")).as("t"))
+      .agg(count_distinct(col("t"))).collect()(0).getLong(0)
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctxCounts = bigramCounts.groupBy("w1").agg(sum("c").as("cc"))
+    val model = bigramCounts.join(ctxCounts, "w1")
+    val lnp = log((col("c") + 1L).cast(DoubleType) / (col("cc") + lit(vocab)).cast(DoubleType))
+    val scored = pairs.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"), graft.metrics.MetricColumns.fixedPointLong(lnp, 6).as("fx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("fx").as("sum_lnfx"))
+    base.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_lnfx"), lit(0L)).as("sum_lnfx"))
+      .withColumn("perplexity",
+        when(col("n_bigrams") > 0,
+          exp(-(col("sum_lnfx").cast(DoubleType) / 1e6) / col("n_bigrams").cast(DoubleType))))
+  }
 }
 
 /** Shared shingle machinery (also used by MinHash dedup). */
@@ -322,4 +372,5 @@ object Shingles {
     */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
 }

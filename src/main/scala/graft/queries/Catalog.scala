@@ -787,6 +787,17 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_split_assign" -> ((s, dir) =>
+      // deterministic train/val/test assignment keyed on a salted hash of
+      // doc_id (row-local, rerun-stable); the gate reports per-(source,
+      // split) counts + an id checksum so every row's assignment is covered
+      Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hasher = Shingles.md5Hash60)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("cnt"), sum("doc_id").as("id_sum"))
+        .orderBy("source", "split")),
+
     "q_commonness" -> ((s, dir) =>
       TextAnalysis.docCommonness(t(s, dir, "documents"), "doc_id", "text", broadcastVocab = true)
         .select("doc_id", "tf_sum", "n_tokens", "commonness").orderBy("doc_id")),
@@ -843,6 +854,22 @@ object Catalog {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         TextAnalysis.bpeishCount(col("text")).cast(LongType).as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    "q_pack" -> ((s, dir) =>
+      // sequence packing: two-phase distributed prefix sum (range partition
+      // → per-partition totals cumulated on the driver → within-partition
+      // window + broadcast offset), never a single-partition global window.
+      // The oracle's naive global window computes the same unique prefix sums.
+      Packing.packIndex(t(s, dir, "documents"), "doc_id", "text", budget = 128)
+        .orderBy("doc_id")),
+
+    "q_lm_perplexity" -> ((s, dir) =>
+      // bigram-LM quality scoring; the gate compares the ORDER-INDEPENDENT
+      // integer columns (fixed-point ln sums) — perplexity is a trivial
+      // per-row derivation of the two
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
     "q_text_quality" -> ((s, dir) =>
@@ -1915,6 +1942,17 @@ object Catalog {
         |      CASE WHEN lang = 'en' THEN 2000 WHEN lang = 'es' THEN 5000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
 
+    "q_split_assign" ->
+      """SELECT source, split, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (
+        |  SELECT source, doc_id,
+        |    CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+        |         WHEN b < 10000 THEN 'test' END AS split
+        |  FROM (SELECT source, doc_id,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000 AS b
+        |        FROM documents))
+        |GROUP BY source, split ORDER BY source, split""".stripMargin,
+
     "q_commonness" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
         |tf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
@@ -2008,6 +2046,41 @@ object Catalog {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """SELECT doc_id, n_tokens, tok_start,
+        |  CASE WHEN n_tokens > 0 THEN tok_start // 128 END AS first_chunk,
+        |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 128 END AS last_chunk,
+        |  CASE WHEN n_tokens > 0 THEN tok_start % 128 END AS chunk_offset
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+        |big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM idx),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks)),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+        |sc AS (SELECT big.doc_id,
+        |         ln(CAST(bc.c + 1 AS DOUBLE) / CAST(ctx.cc + (SELECT v FROM v) AS DOUBLE)) AS x
+        |       FROM big JOIN bc USING (w1, w2) JOIN ctx USING (w1)),
+        |fx AS (SELECT doc_id,
+        |         CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
+        |                   ELSE -floor(-x * 1000000.0 + 0.5) END AS BIGINT) AS fx
+        |       FROM sc),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(fx) AS BIGINT) AS sum_lnfx
+        |        FROM fx GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH f AS (SELECT doc_id,

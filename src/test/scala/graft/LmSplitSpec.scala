@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class LmSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramLmScore: hand-checked Laplace bigram model") {
+    // corpus: "a b a", "a b", "x"; V = 3 (a, b, x)
+    // bigram counts: (a,b)=2, (b,a)=1; ctx: a=2, b=1
+    // p(b|a) = (2+1)/(2+3) = 0.6;  p(a|b) = (1+1)/(1+3) = 0.5
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def fx(p: Double): Long = {
+      val d = math.log(p) * 1e6
+      if (d >= 0) math.floor(d + 0.5).toLong else -math.floor(-d + 0.5).toLong
+    }
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getLong(2) == fx(0.6) + fx(0.5))
+    assert(out(1).getLong(1) == 1L)
+    assert(out(1).getLong(2) == fx(0.6))
+    // single-token doc: zero bigrams, null perplexity
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L && out(2).isNullAt(3))
+    // perplexity = exp(-avg ln p)
+    val ppl2 = out(1).getDouble(3)
+    assert(math.abs(ppl2 - 1.0 / 0.6) < 1e-4, s"ppl $ppl2")
+  }
+
+  test("bigramLmScore is partitioning-invariant (fixed-point sums)") {
+    val docs = (0 until 200).map(i => (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}"))
+    val a = TextAnalysis.bigramLmScore(docs.toDF("doc_id", "text").repartition(1), "doc_id", "text")
+      .orderBy("doc_id").select("sum_lnfx").as[Long].collect()
+    val b = TextAnalysis.bigramLmScore(docs.toDF("doc_id", "text").repartition(17), "doc_id", "text")
+      .orderBy("doc_id").select("sum_lnfx").as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("assignSplit covers every row, respects fractions, and is stable") {
+    val df = (0 until 5000).map(_.toLong).toDF("id")
+    val out = Sampling.assignSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains(null), "no row may be unassigned when fractions sum to 1")
+    assert(counts.values.sum == 5000L)
+    assert(math.abs(counts("train") - 4000.0) < 300, counts.toString)
+    assert(math.abs(counts("val") - 500.0) < 150, counts.toString)
+    // stability: same assignment under different partitioning
+    val a = out.orderBy("id").select("split").collect().map(_.getString(0)).toSeq
+    val b = Sampling.assignSplit(df.repartition(13), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("id").select("split").collect().map(_.getString(0)).toSeq
+    assert(a == b)
+    // salt decorrelates: a different salt must not reproduce the same splits
+    val c = Sampling.assignSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt = "|other").orderBy("id").select("split").collect().map(_.getString(0)).toSeq
+    assert(a != c)
+  }
+
+  test("assignSplit holds out the tail when fractions sum below 1") {
+    val df = (0 until 2000).map(_.toLong).toDF("id")
+    val out = Sampling.assignSplit(df, "id", Seq("train" -> 0.5))
+    val n = out.where(col("split").isNull).count()
+    assert(math.abs(n - 1000.0) < 150, s"held out $n")
+  }
+}
