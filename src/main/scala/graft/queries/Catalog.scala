@@ -625,9 +625,9 @@ object Catalog {
       // bodies never touched; similarity is the signature estimate
       val docs = t(s, dir, "documents")
       val store = Dedup.minhashSignatures(docs.where(col("doc_id") % 3 =!= 0),
-        "doc_id", "text", shingleLen = 1, tokenHasher = Shingles.md5Hash60)
+        "doc_id", "text", shingleLen = 3, tokenHasher = Shingles.md5Hash60)
       val fresh = Dedup.minhashSignatures(docs.where(col("doc_id") % 3 === 0),
-        "doc_id", "text", shingleLen = 1, tokenHasher = Shingles.md5Hash60)
+        "doc_id", "text", shingleLen = 3, tokenHasher = Shingles.md5Hash60)
       Dedup.dedupAgainstStore(fresh, store, threshold = 0.7)
         .orderBy("new_id", "store_id")
     },
@@ -1100,7 +1100,7 @@ object Catalog {
     * on the signature estimate (agreeing components / numHashes).
     */
   private def incrementalDedupOracleSql(numHashes: Int, bands: Int,
-                                        threshold: Double): String = {
+                                        threshold: Double, shingleLen: Int): String = {
     val (as, bs) = graft.functions.MinHash.coefs(numHashes)
     val p = graft.functions.MinHash.P
     val rows = numHashes / bands
@@ -1111,7 +1111,7 @@ object Catalog {
     }.mkString(" OR ")
     val estExpr = (0 until numHashes)
       .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(1)}) AS t FROM documents),
+    s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(shingleLen)}) AS t FROM documents),
        |hh AS (SELECT doc_id, $duckTokenHash AS h FROM sh),
        |g AS (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
        |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS store_id,
@@ -1289,7 +1289,7 @@ object Catalog {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
 
-    "q_dedup_incremental" -> incrementalDedupOracleSql(64, 16, 0.7),
+    "q_dedup_incremental" -> incrementalDedupOracleSql(64, 16, 0.7, shingleLen = 3),
     "q_dedup_simhash" -> simhashOracleSql(60, 3),
     "q_column_sketch" -> columnSketchOracleSql(32),
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
