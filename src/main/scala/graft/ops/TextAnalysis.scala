@@ -272,6 +272,48 @@ object TextAnalysis {
       slice(array_sort(array_distinct(transform(sh, s => md5(s.cast(BinaryType))))), 1, k))
   }
 
+  /** Token-level Shannon entropy per document — the "compressibility"
+    * quality signal (low entropy ⇒ repetitive/templated text; a Gopher-style
+    * filter dimension). H = ln n − (Σ c_t·ln c_t)/n over token counts c_t.
+    *
+    * Entirely ROW-LOCAL: token multiplicities come from a run-length fold
+    * over the sorted token array (the [[repetitionFeatures]] idiom), so no
+    * (doc, token) pair ever leaves its row — the DuckDB oracle's
+    * explode + GROUP BY re-derives the same counts. Each run's c·ln c is
+    * quantized to fixed point (scale 6) BEFORE summing; integer sums are
+    * order-independent, so the result is bit-reproducible across engines
+    * and partitionings. Returns (…, n_tokens, sum_clnc_fx, token_entropy);
+    * gates compare the integer columns, `token_entropy` is the
+    * human-facing double derivation.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String): DataFrame = {
+    def contrib(run: Column): Column =
+      graft.metrics.MetricColumns.fixedPointLong(
+        run.cast(DoubleType) * log(run.cast(DoubleType)), 6)
+    val toks = tokens(col(textCol))
+    val sumFx = aggregate(
+      array_sort(toks),
+      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (acc, t) => {
+        val prev = acc.getField("prev")
+        val run = acc.getField("run")
+        val closed = when(run > 0 && (prev.isNull || t =!= prev), contrib(run)).otherwise(lit(0L))
+        // tokens array elements are never null (split output), so t === prev
+        // is a plain comparison; prev is null only before the first element
+        struct(t.as("prev"),
+          when(t === prev, run + 1L).otherwise(lit(1L)).as("run"),
+          (acc.getField("acc") + closed).as("acc"))
+      },
+      acc => acc.getField("acc") +
+        when(acc.getField("run") > 0, contrib(acc.getField("run"))).otherwise(lit(0L)))
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast(LongType))
+      .withColumn("sum_clnc_fx", sumFx)
+      .withColumn("token_entropy",
+        when(col("n_tokens") > 0,
+          log(col("n_tokens").cast(DoubleType)) -
+            (col("sum_clnc_fx").cast(DoubleType) / 1e6) / col("n_tokens").cast(DoubleType)))
+  }
+
   /** Bigram language-model quality scoring (the CCNet-style "LM filter"
     * signal): train an add-one-smoothed bigram model on the corpus itself,
     * then score each document by its total bigram log-probability. Returns

@@ -872,6 +872,23 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_token_entropy" -> ((s, dir) =>
+      // row-local run-length entropy: Spark never shuffles a (doc, token)
+      // pair; the oracle re-derives the same counts via explode + GROUP BY
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "sum_clnc_fx")
+        .orderBy("doc_id")),
+
+    "q_json_props" -> ((s, dir) =>
+      // semi-structured extraction: parse the JSON props column row-locally
+      // (codegen'd get_json_object — no UDF), aggregate per event type
+      t(s, dir, "events").select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), count(col("k")).as("k_cnt"),
+          sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type")),
+
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
         .select("doc_id", "n_tokens", "alpha_chars", "stopword_hits", "avg_token_len", "stopword_ratio")
@@ -2081,6 +2098,30 @@ object Catalog {
         |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+        |fx AS (SELECT doc_id,
+        |         CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
+        |                   ELSE -floor(-x * 1000000.0 + 0.5) END AS BIGINT) AS fx
+        |       FROM (SELECT doc_id, CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS x FROM c)),
+        |agg AS (SELECT doc_id, CAST(sum(fx) AS BIGINT) AS sfx FROM fx GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split_regex(d.text, '\s+')) AS BIGINT) AS n_tokens,
+        |       coalesce(a.sfx, 0) AS sum_clnc_fx
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       count(k) AS k_cnt,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_text_quality" ->
       """WITH f AS (SELECT doc_id,

@@ -37,6 +37,21 @@ class LmSplitSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("tokenEntropy: hand-checked run-length entropy") {
+    // "a a b": counts a=2, b=1 -> sum c*ln(c) = 2*ln2; H = ln3 - 2ln2/3
+    val out = TextAnalysis.tokenEntropy(
+      Seq((1L, "a a b"), (2L, "x"), (3L, "b a b a b")).toDF("doc_id", "text"), "text")
+      .orderBy("doc_id").select("n_tokens", "sum_clnc_fx", "token_entropy").collect()
+    def fx(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    assert(out(0).getLong(0) == 3L)
+    assert(out(0).getLong(1) == fx(2 * math.log(2)))
+    assert(math.abs(out(0).getDouble(2) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-5)
+    // single token: H = 0 exactly
+    assert(out(1).getLong(1) == 0L && out(1).getDouble(2) == 0.0)
+    // "b a b a b": a=2, b=3 -> 2ln2 + 3ln3
+    assert(out(2).getLong(1) == fx(2 * math.log(2)) + fx(3 * math.log(3)))
+  }
+
   test("assignSplit covers every row, respects fractions, and is stable") {
     val df = (0 until 5000).map(_.toLong).toDF("id")
     val out = Sampling.assignSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
