@@ -337,25 +337,73 @@ object TextAnalysis {
     * fits, hash-join otherwise; the per-doc reduce shuffles only
     * (doc_id, long) pairs. Documents with < 2 tokens score 0 over 0 bigrams.
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
-    val pairs = base.select(col("doc_id"),
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWithBigramLm(df, idCol, textCol, trainBigramLm(df, textCol))
+
+  /** A trained bigram LM: the bigram-count frame (w1, w2, c) and the exact
+    * corpus vocabulary size. Context counts cc(w1) = Σ_b c(w1,b) are
+    * DERIVED (one re-agg over the small model frame), so the persisted
+    * artifact is a single parquet table plus one meta row — the same
+    * train-once / serve-many pattern as the IVF quantizer
+    * ([[Similarity.saveQuantizer]]) and the MinHash signature store.
+    */
+  case class BigramLm(bigrams: DataFrame, vocab: Long)
+
+  /** Per-row exploded (doc_id, w1, w2) bigram stream — row-local zip of two
+    * token-array slices, no shuffle.
+    */
+  private def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"),
         explode(zip_with(
           slice(col("ts"), lit(1), size(col("ts")) - 1),
           slice(col("ts"), lit(2), size(col("ts")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg")("w1").as("w1"), col("bg")("w2").as("w2"))
+
+  /** Train the add-one-smoothed bigram model: one (w1,w2) count shuffle +
+    * one exact distinct over tokens. The model frame is vocabulary-sized —
+    * orders of magnitude smaller than the corpus.
+    */
+  def trainBigramLm(df: DataFrame, textCol: String): BigramLm = {
+    val base = df.select(tokens(col(textCol)).as("ts"))
     val vocab = base.select(explode(col("ts")).as("t"))
       .agg(count_distinct(col("t"))).collect()(0).getLong(0)
-    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val ctxCounts = bigramCounts.groupBy("w1").agg(sum("c").as("cc"))
-    val model = bigramCounts.join(ctxCounts, "w1")
-    val lnp = log((col("c") + 1L).cast(DoubleType) / (col("cc") + lit(vocab)).cast(DoubleType))
-    val scored = pairs.join(model, Seq("w1", "w2"))
+    val bigramCounts = bigramPairs(df.withColumn("__one", lit(1L)), "__one", textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    BigramLm(bigramCounts, vocab)
+  }
+
+  def saveBigramLm(lm: BigramLm, path: String): Unit = {
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.bigrams.sparkSession.range(1).select(lit(lm.vocab).as("vocab"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
+    BigramLm(spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/meta").collect()(0).getAs[Long]("vocab"))
+
+  /** Score `df` against a (possibly persisted) model. UNSEEN bigrams /
+    * contexts degrade smoothly under the same Laplace estimate with c=0 /
+    * cc=0 (left joins + coalesce), so scoring a fresh crawl against last
+    * month's model is well-defined — the cross-batch usage the artifact
+    * exists for. Join shapes as in [[bigramLmScore]]'s Scaladoc.
+    */
+  def scoreWithBigramLm(df: DataFrame, idCol: String, textCol: String,
+                        lm: BigramLm): DataFrame = {
+    val pairs = bigramPairs(df, idCol, textCol)
+    val ctxCounts = lm.bigrams.groupBy("w1").agg(sum("c").as("cc"))
+    val z = lit(0L)
+    val lnp = log((coalesce(col("c"), z) + 1L).cast(DoubleType) /
+      (coalesce(col("cc"), z) + lit(lm.vocab)).cast(DoubleType))
+    val scored = pairs
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
       .select(col("doc_id"), graft.metrics.MetricColumns.fixedPointLong(lnp, 6).as("fx"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("fx").as("sum_lnfx"))
-    base.select("doc_id").join(scored, Seq("doc_id"), "left")
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_lnfx"), lit(0L)).as("sum_lnfx"))

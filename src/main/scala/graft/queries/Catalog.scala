@@ -872,6 +872,17 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_lm_cross" -> { (s, dir) =>
+      // cross-batch LM scoring: model trained on the "store" batch
+      // (doc_id % 3 != 0), a fresh batch scored against it — unseen
+      // bigrams/contexts take the same Laplace estimate with zero counts.
+      // The artifact round-trip itself is spec-tested (LmSplitSpec).
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.trainBigramLm(docs.where(col("doc_id") % 3 =!= 0), "text")
+      TextAnalysis.scoreWithBigramLm(docs.where(col("doc_id") % 3 === 0), "doc_id", "text", lm)
+        .select("doc_id", "n_bigrams", "sum_lnfx").orderBy("doc_id")
+    },
+
     "q_token_entropy" -> ((s, dir) =>
       // row-local run-length entropy: Spark never shuffles a (doc, token)
       // pair; the oracle re-derives the same counts via explode + GROUP BY
@@ -2097,6 +2108,33 @@ object Catalog {
         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
         |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_cross" ->
+      """WITH store AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |stoks AS (SELECT string_split_regex(text, '\s+') AS ts FROM store),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM stoks)),
+        |sidx AS (SELECT ts, unnest(range(1, len(ts))) AS i FROM stoks),
+        |bc AS (SELECT w1, w2, count(*) AS c
+        |       FROM (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM sidx) GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+        |ftoks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM fresh),
+        |fidx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM ftoks),
+        |fbig AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM fidx),
+        |sc AS (SELECT fbig.doc_id,
+        |         ln(CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) /
+        |            CAST(coalesce(ctx.cc, 0) + (SELECT v FROM v) AS DOUBLE)) AS x
+        |       FROM fbig LEFT JOIN bc USING (w1, w2) LEFT JOIN ctx USING (w1)),
+        |fx AS (SELECT doc_id,
+        |         CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
+        |                   ELSE -floor(-x * 1000000.0 + 0.5) END AS BIGINT) AS fx
+        |       FROM sc),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(fx) AS BIGINT) AS sum_lnfx
+        |        FROM fx GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
+        |FROM fresh d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_token_entropy" ->

@@ -37,6 +37,44 @@ class LmSplitSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("bigram LM artifact round-trips through parquet and scores unseen text") {
+    val corpus = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    TextAnalysis.saveBigramLm(lm, dir)
+    val loaded = TextAnalysis.loadBigramLm(spark, dir)
+    assert(loaded.vocab == lm.vocab)
+    // scoring the training corpus with the loaded model == in-batch scoring
+    val direct = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      .orderBy("doc_id").select("sum_lnfx").as[Long].collect().toSeq
+    val viaStore = TextAnalysis.scoreWithBigramLm(corpus, "doc_id", "text", loaded)
+      .orderBy("doc_id").select("sum_lnfx").as[Long].collect().toSeq
+    assert(direct == viaStore)
+    // unseen text: "z q" has unseen context z -> p = (0+1)/(0+V) = 1/2
+    val fresh = TextAnalysis.scoreWithBigramLm(
+      Seq((9L, "z q")).toDF("doc_id", "text"), "doc_id", "text", loaded).collect()(0)
+    def fx(p: Double): Long = {
+      val d = math.log(p) * 1e6
+      if (d >= 0) math.floor(d + 0.5).toLong else -math.floor(-d + 0.5).toLong
+    }
+    assert(fresh.getAs[Long]("sum_lnfx") == fx(1.0 / lm.vocab))
+  }
+
+  test("tokenEntropy attaches to a streaming frame (row-local, stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.tokenEntropy(in.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("ent_stream").outputMode("append").start()
+    in.addData((1L, "a a b"), (2L, "x"))
+    q.processAllAvailable()
+    val rows = spark.table("ent_stream").orderBy("doc_id")
+      .select("sum_clnc_fx").as[Long].collect().toSeq
+    q.stop()
+    def fx(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    assert(rows == Seq(fx(2 * math.log(2)), 0L))
+  }
+
   test("tokenEntropy: hand-checked run-length entropy") {
     // "a a b": counts a=2, b=1 -> sum c*ln(c) = 2*ln2; H = ln3 - 2ln2/3
     val out = TextAnalysis.tokenEntropy(
