@@ -390,17 +390,44 @@ object TextAnalysis {
     * month's model is well-defined — the cross-batch usage the artifact
     * exists for. Join shapes as in [[bigramLmScore]]'s Scaladoc.
     */
-  def scoreWithBigramLm(df: DataFrame, idCol: String, textCol: String,
-                        lm: BigramLm): DataFrame = {
+  /** Streaming variant of [[scoreWithBigramLm]]: per-doc scores over a
+    * STREAM against a static (persisted) model — the model joins are
+    * stream-static (stateless), the per-doc reduce is the one streaming
+    * aggregation. Differs from the batch path in one honest way: documents
+    * with < 2 tokens produce no bigram rows and therefore NO output row
+    * (the batch path's zero-score spine join would be a second stateful
+    * stream-stream join, which Structured Streaming disallows after an
+    * aggregation — filter short docs upstream if they need explicit rows).
+    * Use update/complete output mode (grouped scores revise as batches
+    * arrive).
+    */
+  def scoreStreamWithBigramLm(stream: DataFrame, idCol: String, textCol: String,
+                              lm: BigramLm): DataFrame =
+    scoredBigrams(stream, idCol, textCol, lm)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("fx").as("sum_lnfx"))
+      .withColumn("perplexity",
+        exp(-(col("sum_lnfx").cast(DoubleType) / 1e6) / col("n_bigrams").cast(DoubleType)))
+
+  /** (doc_id, fx) per bigram position: the shared scoring pipeline of the
+    * batch and streaming paths.
+    */
+  private def scoredBigrams(df: DataFrame, idCol: String, textCol: String,
+                            lm: BigramLm): DataFrame = {
     val pairs = bigramPairs(df, idCol, textCol)
     val ctxCounts = lm.bigrams.groupBy("w1").agg(sum("c").as("cc"))
     val z = lit(0L)
     val lnp = log((coalesce(col("c"), z) + 1L).cast(DoubleType) /
       (coalesce(col("cc"), z) + lit(lm.vocab)).cast(DoubleType))
-    val scored = pairs
+    pairs
       .join(lm.bigrams, Seq("w1", "w2"), "left")
       .join(ctxCounts, Seq("w1"), "left")
       .select(col("doc_id"), graft.metrics.MetricColumns.fixedPointLong(lnp, 6).as("fx"))
+  }
+
+  def scoreWithBigramLm(df: DataFrame, idCol: String, textCol: String,
+                        lm: BigramLm): DataFrame = {
+    val scored = scoredBigrams(df, idCol, textCol, lm)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("fx").as("sum_lnfx"))
     df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")

@@ -872,6 +872,17 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_psi" -> { (s, dir) =>
+      // distribution drift: PSI of l_extendedprice between early and late
+      // ship dates; per-bucket fixed-point contributions (integer rows)
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1996-01-01").cast(TimestampType)
+      graft.scan.Drift.psiBuckets(
+        li.where(col("l_shipdate") < cut), li.where(col("l_shipdate") >= cut),
+        "l_extendedprice", lo = 900.0, hi = 105000.0, buckets = 10)
+        .orderBy("bucket")
+    },
+
     "q_lm_cross" -> { (s, dir) =>
       // cross-batch LM scoring: model trained on the "store" batch
       // (doc_id % 3 != 0), a fresh batch scored against it — unseen
@@ -2109,6 +2120,31 @@ object Catalog {
         |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_psi" ->
+      """WITH rb AS (SELECT greatest(least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0) / 10410.0) AS BIGINT), 9), 0) AS bucket,
+        |              count(*) AS cnt
+        |       FROM lineitem
+        |       WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_extendedprice IS NOT NULL
+        |       GROUP BY 1),
+        |cb AS (SELECT greatest(least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0) / 10410.0) AS BIGINT), 9), 0) AS bucket,
+        |              count(*) AS cnt
+        |       FROM lineitem
+        |       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_extendedprice IS NOT NULL
+        |       GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bucket),
+        |j AS (SELECT spine.bucket, coalesce(rb.cnt, 0) AS ref_cnt, coalesce(cb.cnt, 0) AS cur_cnt
+        |      FROM spine LEFT JOIN rb USING (bucket) LEFT JOIN cb USING (bucket)),
+        |tt AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS nr, CAST(sum(cur_cnt) AS BIGINT) AS nc FROM j),
+        |x AS (SELECT bucket, ref_cnt, cur_cnt,
+        |        greatest(CAST(ref_cnt AS DOUBLE) / CAST(nr AS DOUBLE), 1e-6) AS p,
+        |        greatest(CAST(cur_cnt AS DOUBLE) / CAST(nc AS DOUBLE), 1e-6) AS q
+        |      FROM j, tt)
+        |SELECT bucket, ref_cnt, cur_cnt,
+        |  CAST(CASE WHEN y >= 0 THEN floor(y * 1000000.0 + 0.5)
+        |            ELSE -floor(-y * 1000000.0 + 0.5) END AS BIGINT) AS psi_fx
+        |FROM (SELECT bucket, ref_cnt, cur_cnt, (p - q) * ln(p / q) AS y FROM x)
+        |ORDER BY bucket""".stripMargin,
 
     "q_lm_cross" ->
       """WITH store AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

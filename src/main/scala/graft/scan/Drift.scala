@@ -1,6 +1,9 @@
 package graft.scan
 
 import graft.api.{Measurement, ScanResult}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Scan-to-scan drift: compares two ScanResults (e.g. yesterday's and
   * today's run over the same table — anchored by `ScanResult.time`) and
@@ -46,4 +49,57 @@ object Drift {
   def driftedOnly(before: ScanResult, after: ScanResult,
                   relThreshold: Double = 0.1): Seq[DriftRow] =
     compare(before, after, relThreshold).filterNot(_.status == "stable")
+
+  /** Population Stability Index between a reference and a current
+    * DISTRIBUTION of one numeric column (the standard "did yesterday's
+    * feature distribution shift" monitor; PSI > 0.25 is the conventional
+    * act threshold): equi-width bucket proportions p (ref) and q (cur),
+    * PSI = Σ_buckets (p−q)·ln(p/q), empty-bucket proportions floored at
+    * `eps` (the standard guard — ln(0) otherwise).
+    *
+    * Returns one row per bucket: (bucket, ref_cnt, cur_cnt, psi_fx) where
+    * psi_fx is the bucket's contribution in FIXED POINT (scale 6) — integer
+    * rows an engine-independent oracle can reproduce bit-for-bit; total PSI
+    * = sum(psi_fx)/1e6 ([[psiTotal]]). Each side is ONE scan + a
+    * buckets-sized aggregate; the bucket join is a broadcast of ≤ `buckets`
+    * rows — corpus size never shuffles.
+    *
+    * Bucket arithmetic matches [[Scanner.histogramFrame]] (explicit double
+    * ops) so oracles share the expression tree.
+    */
+  def psiBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
+                 lo: Double, hi: Double, buckets: Int,
+                 eps: Double = 1e-6): DataFrame = {
+    val spark = ref.sparkSession
+    def bucketed(df: DataFrame, cntName: String): DataFrame = {
+      val c = col(valueCol).cast(DoubleType)
+      val width = (hi - lo) / buckets.toDouble
+      val b = when(c.isNull || lit(width) <= 0.0, lit(null).cast(LongType))
+        .otherwise(least(floor((c - lit(lo)) / lit(width)).cast(LongType), lit(buckets.toLong - 1)))
+      // clamp AFTER the null filter — greatest(null, 0) is 0 in Spark
+      // (greatest skips nulls), which would silently bucket missing values
+      df.select(b.as("b_raw")).where(col("b_raw").isNotNull)
+        .select(greatest(col("b_raw"), lit(0L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cntName))
+    }
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(bucketed(ref, "ref_cnt"), Seq("bucket"), "left")
+      .join(bucketed(cur, "cur_cnt"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val nRef = sum(col("ref_cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val nCur = sum(col("cur_cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    def prop(cnt: Column, n: Column): Column =
+      greatest(cnt.cast(DoubleType) / n.cast(DoubleType), lit(eps))
+    val p = prop(col("ref_cnt"), nRef)
+    val q = prop(col("cur_cnt"), nCur)
+    joined.withColumn("psi_fx",
+      graft.metrics.MetricColumns.fixedPointLong((p - q) * log(p / q), 6))
+  }
+
+  /** Total PSI from [[psiBuckets]] output. */
+  def psiTotal(bucketsDf: DataFrame): Double =
+    bucketsDf.agg(sum("psi_fx")).collect()(0).getLong(0) / 1e6
 }

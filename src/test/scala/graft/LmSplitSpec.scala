@@ -60,6 +60,29 @@ class LmSplitSpec extends SparkSpec {
     assert(fresh.getAs[Long]("sum_lnfx") == fx(1.0 / lm.vocab))
   }
 
+  test("LM scoring runs on a stream against a static model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val corpus = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "text")
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.scoreStreamWithBigramLm(in.toDF().toDF("doc_id", "text"), "doc_id", "text", lm)
+      .writeStream.format("memory").queryName("lm_stream").outputMode("complete").start()
+    in.addData((10L, "a b"), (11L, "z"))
+    q.processAllAvailable()
+    in.addData((12L, "b a"))
+    q.processAllAvailable()
+    val got = spark.table("lm_stream").orderBy("doc_id")
+      .select("doc_id", "sum_lnfx").as[(Long, Long)].collect().toSeq
+    q.stop()
+    // batch path on the same rows gives identical integers; doc 11 (<2
+    // tokens) has no row on the streaming path by documented design
+    val batch = TextAnalysis.scoreWithBigramLm(
+      Seq((10L, "a b"), (12L, "b a")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .orderBy("doc_id").select("doc_id", "sum_lnfx").as[(Long, Long)].collect().toSeq
+    assert(got == batch)
+  }
+
   test("tokenEntropy attaches to a streaming frame (row-local, stateless)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext

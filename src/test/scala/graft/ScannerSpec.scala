@@ -315,4 +315,21 @@ class ScannerSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("psiBuckets: identical distributions score ~0, shifted ones don't; nulls excluded") {
+    import graft.scan.Drift
+    val refDf = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 1000).map(i => org.apache.spark.sql.Row((i % 100).toDouble)) :+ org.apache.spark.sql.Row(null)),
+      org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    val out = Drift.psiBuckets(refDf, refDf, "v", 0.0, 100.0, 10)
+    // same frame on both sides: p == q in every bucket -> every contribution 0
+    assert(out.collect().forall(_.getLong(3) == 0L))
+    // null row excluded: counts sum to 1000, not 1001
+    assert(out.agg(org.apache.spark.sql.functions.sum("ref_cnt")).collect()(0).getLong(0) == 1000L)
+    assert(Drift.psiTotal(out) == 0.0)
+    // shift the current distribution up by 50: mass moves between buckets
+    val curDf = refDf.select((org.apache.spark.sql.functions.col("v") + 50.0).as("v"))
+    val shifted = Drift.psiTotal(Drift.psiBuckets(refDf, curDf, "v", 0.0, 100.0, 10))
+    assert(shifted > 0.25, s"psi $shifted")
+  }
 }
