@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-row consistency audits — the data-quality checks one step past the
+  * reference's per-column metrics: functional dependencies / candidate
+  * keys, and ordering invariants. All single-shuffle aggregates; violation
+  * COUNTS come back to the driver, violating ROWS stay distributed (fetch
+  * them with the returned predicates only when needed).
+  */
+object Constraints {
+
+  /** Audit functional dependencies `lhs → rhs`: for each, how many distinct
+    * lhs groups exist, how many have >1 distinct rhs (violating groups),
+    * and how many rows sit in violating groups. A key check is the FD
+    * `key → all other columns`; `uniqueness` of the reference is the FD
+    * `col → ()` special case.
+    *
+    * One `groupBy(lhs)` shuffle per FD (map-side combined; the per-group
+    * state is a count + a distinct count). FDs over the same lhs share a
+    * single pass.
+    */
+  def fdCheck(df: DataFrame, fds: Seq[(Seq[String], Seq[String])]): DataFrame = {
+    require(fds.nonEmpty, "need at least one FD")
+    val frames = fds.groupBy(_._1).toSeq.sortBy(_._1.mkString(",")).map { case (lhs, group) =>
+      val distinctAggs = group.zipWithIndex.map { case ((_, rhs), i) =>
+        count_distinct(struct(rhs.map(col): _*)).as(s"d_$i")
+      }
+      val grouped = df.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("n"), distinctAggs: _*)
+      // ONE re-aggregate computes every FD of this lhs; inline unpivots the
+      // single stat row to one output row per FD (no repeated scans)
+      val statAggs = count(lit(1)).as("lhs_groups") +:
+        group.indices.flatMap { i => Seq(
+          sum(when(col(s"d_$i") > 1, 1L).otherwise(0L)).cast(LongType).as(s"vg_$i"),
+          coalesce(sum(when(col(s"d_$i") > 1, col("n"))), lit(0L)).cast(LongType).as(s"vr_$i"))
+        }
+      grouped.agg(statAggs.head, statAggs.tail: _*)
+        .select(inline(array(group.zipWithIndex.map { case ((_, rhs), i) =>
+          struct(
+            lit(s"${lhs.mkString(",")}->${rhs.mkString(",")}").as("fd"),
+            col("lhs_groups").as("lhs_groups"),
+            col(s"vg_$i").as("violating_groups"),
+            col(s"vr_$i").as("violating_rows"))
+        }: _*)))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
+  /** True iff `cols` form a candidate key (no lhs group has more than one
+    * row). Cheaper than [[fdCheck]] with every other column on the rhs —
+    * key-ness only needs group sizes.
+    */
+  def isKey(df: DataFrame, cols: Seq[String]): Boolean =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).count() == 0
+
+  /** Ordering-invariant audit: within each `partCols` group ordered by
+    * `orderCol`, count positions where `valueCol` moves the wrong way
+    * (strictly decreases for `ascending = true`). The event-log sanity
+    * check: "are timestamps monotone per user/session?" One window pass —
+    * shuffled by the partition columns, never a global order.
+    *
+    * @return per-group (partCols…, n_rows, regressions); groups with 0
+    *         regressions included (the healthy majority is the signal that
+    *         the check ran).
+    */
+  def monotonicityViolations(df: DataFrame, partCols: Seq[String], orderCol: String,
+                             valueCol: String, ascending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    val prev = lag(col(valueCol), 1).over(w)
+    val bad = if (ascending) col(valueCol) < prev else col(valueCol) > prev
+    df.select(partCols.map(col) :+ col(orderCol) :+ col(valueCol): _*)
+      .withColumn("__bad", when(prev.isNotNull && bad, 1L).otherwise(0L))
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__bad")).cast(LongType).as("regressions"))
+  }
+}

@@ -47,4 +47,30 @@ object Joins {
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightValueCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Blocked fuzzy self-join (entity resolution / near-duplicate records):
+    * pairs within the same `blockCols` group whose `strCol` values are
+    * within `maxDist` Levenshtein edits. Same contract as the blocked
+    * dedup family (`cosinePairs`, `jaccardPairsAllPairs`): the caller's
+    * blocking bounds the quadratic — pairs across blocks are out of scope
+    * BY DEFINITION, and cost is Σ block². The |len_a − len_b| ≤ maxDist
+    * prefilter is lossless (length difference lower-bounds edit distance)
+    * and cheap enough to cut most candidates before the per-char DP.
+    * Levenshtein is codegen'd (`levenshtein` builtin) and cross-engine
+    * (DuckDB's definition matches).
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                 blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val base = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+ col(strCol).as("s")): _*)
+    val l = base.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("s").as("s_a"): _*)
+    val r = base.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("s").as("s_b"): _*)
+    l.join(r, blockCols)
+      .where(col("id_a") < col("id_b") &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .where(col("dist") <= maxDist)
+      .select((col("id_a") +: col("id_b") +: col("dist") +: blockCols.map(col)): _*)
+  }
 }

@@ -872,6 +872,31 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_fd_check" -> ((s, dir) =>
+      // functional-dependency audit: one holds (the key FD), two violated;
+      // violation counts by group and by row, one shuffle per distinct lhs
+      Constraints.fdCheck(t(s, dir, "orders"), Seq(
+        Seq("o_orderkey") -> Seq("o_custkey"),
+        Seq("o_custkey") -> Seq("o_orderpriority"),
+        Seq("o_custkey") -> Seq("o_orderstatus", "o_orderpriority")))
+        .orderBy("fd")),
+
+    "q_monotonic" -> ((s, dir) =>
+      // ordering-invariant audit: per-user regressions of `value` in
+      // event_id order — one keyed window pass, no global sort
+      Constraints.monotonicityViolations(t(s, dir, "events"),
+        Seq("user_id"), "event_id", "value")
+        .orderBy("user_id")),
+
+    "q_fuzzy_join" -> { (s, dir) =>
+      // blocked edit-distance self-join (entity resolution): near-identical
+      // customer names within a 16-char-prefix block; lossless length
+      // prefilter before the codegen'd levenshtein
+      val c = t(s, dir, "customer").withColumn("blk", substring(col("c_name"), 1, 16))
+      Joins.fuzzyPairs(c, "c_custkey", "c_name", Seq("blk"), maxDist = 1)
+        .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+    },
+
     "q_psi" -> { (s, dir) =>
       // distribution drift: PSI of l_extendedprice between early and late
       // ship dates; per-bucket fixed-point contributions (integer rows)
@@ -2120,6 +2145,46 @@ object Catalog {
         |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_fd_check" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey->o_orderpriority' AS fd, count(*) AS lhs_groups,
+        |         count(*) FILTER (WHERE d > 1) AS violating_groups,
+        |         CAST(coalesce(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT) AS violating_rows
+        |  FROM (SELECT o_custkey, count(*) AS n, count(DISTINCT o_orderpriority) AS d
+        |        FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderstatus,o_orderpriority', count(*),
+        |         count(*) FILTER (WHERE d > 1),
+        |         CAST(coalesce(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT)
+        |  FROM (SELECT o_custkey, count(*) AS n,
+        |               count(DISTINCT row(o_orderstatus, o_orderpriority)) AS d
+        |        FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'o_orderkey->o_custkey', count(*),
+        |         count(*) FILTER (WHERE d > 1),
+        |         CAST(coalesce(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT)
+        |  FROM (SELECT o_orderkey, count(*) AS n, count(DISTINCT o_custkey) AS d
+        |        FROM orders GROUP BY 1)
+        |) ORDER BY fd""".stripMargin,
+
+    "q_monotonic" ->
+      """SELECT user_id, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS BIGINT) AS regressions
+        |FROM (SELECT user_id, value,
+        |        lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        | AND a.c_custkey < b.c_custkey
+        | AND abs(len(a.c_name) - len(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_psi" ->
       """WITH rb AS (SELECT greatest(least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0) / 10410.0) AS BIGINT), 9), 0) AS bucket,

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Constraints, Joins}
+import org.apache.spark.sql.functions._
+
+class ConstraintsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, "a", "x", 10.0),
+    (2L, "a", "x", 20.0),
+    (3L, "b", "y", 30.0),
+    (4L, "b", "z", 40.0), // violates b -> (y)
+    (5L, "c", "y", 50.0)
+  ).toDF("id", "k", "v", "amt")
+
+  test("fdCheck counts violating groups and rows; key FDs hold") {
+    val out = Constraints.fdCheck(df, Seq(
+      Seq("id") -> Seq("k"),     // key FD: holds
+      Seq("k") -> Seq("v"),      // violated by k=b (2 rows)
+      Seq("k") -> Seq("v", "amt") // violated by a (amt differs) and b
+    )).orderBy("fd").collect()
+    val byFd = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byFd("id->k") == ((5L, 0L, 0L)))
+    assert(byFd("k->v") == ((3L, 1L, 2L)))
+    assert(byFd("k->v,amt") == ((3L, 2L, 4L)))
+  }
+
+  test("isKey") {
+    assert(Constraints.isKey(df, Seq("id")))
+    assert(!Constraints.isKey(df, Seq("k")))
+    assert(Constraints.isKey(df, Seq("k", "amt")))
+  }
+
+  test("monotonicityViolations counts wrong-direction steps per group") {
+    val ev = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 1.5), // one regression
+      (2L, 1L, 5.0), (2L, 2L, 5.0),                 // equal is NOT a regression (strict)
+      (3L, 1L, 9.0)
+    ).toDF("u", "seq", "v")
+    val out = Constraints.monotonicityViolations(ev, Seq("u"), "seq", "v")
+      .orderBy("u").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 2L, 0L), (3L, 1L, 0L)))
+    // descending audit flips the direction
+    val desc = Constraints.monotonicityViolations(ev, Seq("u"), "seq", "v", ascending = false)
+      .orderBy("u").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(desc.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("fuzzyPairs: blocked levenshtein pairs, lossless length prefilter") {
+    val names = Seq(
+      (1L, "g1", "alpha"), (2L, "g1", "alphb"),   // dist 1
+      (3L, "g1", "alphaa"),                        // dist 1 to alpha (len diff 1)
+      (4L, "g1", "zzzzz"),                         // far from all
+      (5L, "g2", "alpha")                          // other block: never paired
+    ).toDF("id", "g", "s")
+    val got = Joins.fuzzyPairs(names, "id", "s", Seq("g"), maxDist = 1)
+      .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1), (1L, 3L, 1)))
+  }
+}
