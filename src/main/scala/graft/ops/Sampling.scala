@@ -63,6 +63,33 @@ object Sampling {
     df.withColumn(out, assign)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement of `k` rows
+    * (Efraimidis–Spirakis via the exponential race): each row gets priority
+    * e = −ln(u)/w where u ∈ (0,1) is its key's hash fraction and w its
+    * weight; the k smallest priorities are a weighted sample without
+    * replacement. Pick quality/length as the weight to oversample what a
+    * curation pass cares about — while staying reproducible (hash, not
+    * RNG): reruns and backfills select the SAME rows.
+    *
+    * Distributed shape: priorities are row-local; the k smallest are a
+    * TakeOrderedAndProject (per-partition top-k, one merge) — no shuffle,
+    * no global sort. Zero/negative weights are excluded (their priority
+    * would be +∞).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
+                     hasher: Column => Column = graft.functions.KmvCounts.xxhash60(_),
+                     hashSpace: Double = graft.functions.KmvCounts.HashSpace): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // u in (0,1]: (hash+1)/space over non-negative hashes; ln(u) <= 0
+    val h = hasher(col(keyCol).cast("string"))
+    val u = (h.cast("double") + 1.0) / hashSpace
+    val pri = -log(u) / weight.cast("double")
+    df.where(weight.cast("double") > 0.0)
+      .withColumn("__pri", pri)
+      .orderBy(col("__pri").asc)
+      .limit(k)
+  }
+
   /** Per-key row cap (web-corpus "max N documents per domain"): keys at or
     * under `maxRows` pass wholesale; over-cap keys keep a deterministic
     * hash fraction targeting `maxRows` (expected kept ≈ maxRows with

@@ -872,6 +872,17 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_sample_weighted" -> { (s, dir) =>
+      // Efraimidis–Spirakis weighted sample w/o replacement, k smallest
+      // exponential-race priorities — TakeOrderedAndProject, no shuffle;
+      // the fixed-point priority column makes selection auditable
+      val out = Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), k = 50, hasher = Shingles.md5Hash60)
+      out.select(col("doc_id"),
+          graft.metrics.MetricColumns.fixedPointLong(col("__pri"), 9).as("pri_fx"))
+        .orderBy("doc_id")
+    },
+
     "q_fd_check" -> ((s, dir) =>
       // functional-dependency audit: one holds (the key FD), two violated;
       // violation counts by group and by row, one shuffle per distinct lhs
@@ -2144,6 +2155,18 @@ object Catalog {
         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
         |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN pri >= 0 THEN floor(pri * 1000000000.0 + 0.5)
+        |            ELSE -floor(-pri * 1000000000.0 + 0.5) END AS BIGINT) AS pri_fx
+        |FROM (
+        |  SELECT doc_id,
+        |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+        |        / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0
+        |  ORDER BY pri LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
 
     "q_fd_check" ->

@@ -134,6 +134,24 @@ class LmSplitSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("weightedSample: deterministic, without replacement, biased to heavy weights") {
+    // two strata: ids 0..499 weight 1, ids 500..999 weight 100
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 500) 1.0 else 100.0)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", col("w"), k = 100)
+      .select("id").as[Long].collect().toSeq.sorted
+    val b = Sampling.weightedSample(df.repartition(7), "id", col("w"), k = 100)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(a == b, "partitioning must not change the sample")
+    assert(a.distinct.size == 100, "without replacement")
+    val heavy = a.count(_ >= 500)
+    assert(heavy > 85, s"heavy stratum got $heavy of 100 (100x weight)")
+    // zero/negative weights never selected
+    val withZero = df.withColumn("w", when(col("id") < 990, 0.0).otherwise(col("w")))
+    val c = Sampling.weightedSample(withZero, "id", col("w"), k = 100)
+      .select("id").as[Long].collect().toSeq
+    assert(c.size == 10 && c.forall(_ >= 990))
+  }
+
   test("assignSplit holds out the tail when fractions sum below 1") {
     val df = (0 until 2000).map(_.toLong).toDF("id")
     val out = Sampling.assignSplit(df, "id", Seq("train" -> 0.5))
