@@ -89,6 +89,53 @@ object StreamingMonitor {
     * full. The "did my key population shift between windows" monitor — the
     * cross-run analogue of the batch scan's [[graft.scan.Drift]] report.
     */
+  /** Per-window equi-width bucket counts of a numeric column — the
+    * streaming half of a PSI drift monitor: ONE streaming aggregation
+    * keyed by (window, bucket); pair each collected window with a static
+    * reference via [[psiOfWindows]] (window results are bounded by time ×
+    * buckets, so collecting them is fine — the same contract as
+    * [[sketchDrift]]). Bucket arithmetic matches
+    * [[graft.scan.Drift.psiBuckets]]. Works identically on a batch frame.
+    */
+  def bucketCountStream(df: DataFrame, tsCol: String, watermark: String,
+                        duration: String, valueCol: String,
+                        lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val c = col(valueCol).cast("double")
+    val width = (hi - lo) / buckets.toDouble
+    val bRaw = when(c.isNull || lit(width) <= 0.0, lit(null).cast("long"))
+      .otherwise(least(floor((c - lit(lo)) / lit(width)).cast("long"), lit(buckets.toLong - 1)))
+    df.withWatermark(tsCol, watermark)
+      .withColumn("__b_raw", bRaw)
+      .where(col("__b_raw").isNotNull)
+      .withColumn("__bucket", greatest(col("__b_raw"), lit(0L)))
+      .groupBy(window(col(tsCol), duration).as("w"), col("__bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("bucket"), col("cnt"))
+  }
+
+  /** PSI of each collected window's bucket counts vs a static reference
+    * distribution (e.g. last month's scan): driver-side over bounded
+    * (window × bucket) rows, same eps-floored Σ (p−q)·ln(p/q) as the batch
+    * [[graft.scan.Drift.psiBuckets]]. Returns (window_start, psi) sorted by
+    * window.
+    */
+  def psiOfWindows(windows: Seq[(java.sql.Timestamp, Long, Long)],
+                   refCounts: Seq[Long], eps: Double = 1e-6): Seq[(java.sql.Timestamp, Double)] = {
+    val buckets = refCounts.size
+    val nRef = refCounts.sum.toDouble
+    windows.groupBy(_._1).toSeq.sortBy(_._1.getTime).map { case (ts, rows) =>
+      val cur = Array.fill(buckets)(0L)
+      rows.foreach { case (_, b, c) => if (b >= 0 && b < buckets) cur(b.toInt) = c }
+      val nCur = cur.sum.toDouble
+      val psi = (0 until buckets).map { i =>
+        val p = math.max(refCounts(i) / nRef, eps)
+        val q = math.max(cur(i) / nCur, eps)
+        (p - q) * math.log(p / q)
+      }.sum
+      (ts, psi)
+    }
+  }
+
   def sketchDrift(windows: Seq[(java.sql.Timestamp, Seq[Long])], k: Int): Seq[WindowDrift] = {
     import graft.functions.ThetaSketch
     val sketches = windows.sortBy(_._1.getTime)

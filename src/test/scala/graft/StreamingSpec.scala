@@ -330,4 +330,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((1L, "2024-01-01 00:25:00", 1L)))  // second session after gap
     assert(out.contains((2L, "2024-01-01 02:00:00", 1L)))
   }
+
+  test("streaming PSI: windowed bucket counts vs a static reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingMonitor
+
+    val stream = MemoryStream[(Timestamp, Double)]
+    val df = stream.toDF().toDF("ts", "v")
+    val q = StreamingMonitor.bucketCountStream(df, "ts", "10 minutes", "1 hour",
+      "v", lo = 0.0, hi = 100.0, buckets = 4)
+      .writeStream.format("memory").queryName("psi_test").outputMode("complete").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: values spread 10,30,60,90 -> one per bucket
+    // hour 1: all mass in bucket 0 (drifted), plus an out-of-range + null-free check
+    stream.addData((ts(0, 5), 10.0), (ts(0, 10), 30.0), (ts(0, 20), 60.0), (ts(0, 30), 90.0),
+      (ts(1, 5), 5.0), (ts(1, 10), 7.0), (ts(1, 15), 12.0), (ts(1, 20), 150.0))
+    q.processAllAvailable()
+    val rows = spark.table("psi_test")
+      .select(col("window_start"), col("bucket"), col("cnt"))
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    q.stop()
+    // 150.0 clamps into the last bucket (same as the batch psiBuckets clamp)
+    assert(rows.toSet.contains((ts(1, 0), 3L, 1L)))
+
+    val ref = Seq(1L, 1L, 1L, 1L) // uniform reference
+    val psis = StreamingMonitor.psiOfWindows(rows, ref)
+    assert(psis.size == 2)
+    assert(math.abs(psis(0)._2) < 1e-12, s"uniform window should have PSI 0, got ${psis(0)._2}")
+    assert(psis(1)._2 > 0.25, s"drifted window should alarm, got ${psis(1)._2}")
+  }
 }
