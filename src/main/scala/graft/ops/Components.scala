@@ -170,4 +170,46 @@ object Components {
       .join(labels, col("id") === col("id2"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))
   }
+
+  /** PageRank in INTEGER arithmetic — node importance over a derived graph
+    * (kNN neighbours, domain links, co-occurrence), the curation signal
+    * behind "keep the influential documents". Scores are fixed-point longs
+    * (`scale` units): per-edge contributions use truncating LONG division
+    * `pr div outdeg`, damping is `(num·Σc) div den`. The truncation is part
+    * of the DEFINITION, so every engine and every partitioning reproduces
+    * bit-identical scores after any number of rounds — no float-sum
+    * nondeterminism, no tolerance compare. (Truncation loses ≤ outdeg
+    * fixed-point ulps of mass per node per round — irrelevant at scale 1e9
+    * — and dangling-node mass is dropped, the standard simplification.)
+    *
+    * Scale shape per round: ONE shuffle of (dst, contrib) longs for the
+    * in-mass aggregate (map-side combined) + the rank-frame join, keyed by
+    * node id; edges carry their out-degree from a one-time join, and node
+    * bodies never move. `iterations` is fixed (PageRank converges
+    * geometrically; 5–10 rounds rank-order-stabilizes real graphs).
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+               srcCol: String, dstCol: String, iterations: Int = 5,
+               dampingNum: Long = 85, dampingDen: Long = 100,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && dampingNum > 0 && dampingDen > dampingNum)
+    val n = nodes.count()
+    require(n > 0, "empty node set")
+    val ids = nodes.select(col(idCol).as("id"))
+    val initFx = scale / n
+    val baseFx = (scale * (dampingDen - dampingNum) / dampingDen) / n
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .localCheckpoint(true) // materialize once; every round re-reads it
+    var pr = ids.withColumn("pr", lit(initFx))
+    for (_ <- 1 to iterations) {
+      val inMass = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst").as("id"), expr("pr div d").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      pr = ids.join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(baseFx) + expr(s"($dampingNum * coalesce(c, 0L)) div $dampingDen")).as("pr"))
+    }
+    pr
+  }
 }

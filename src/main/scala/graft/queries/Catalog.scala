@@ -872,6 +872,18 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_pagerank" -> { (s, dir) =>
+      // integer-arithmetic PageRank over a graph derived from orders
+      // (customer-block → order-block links): truncating long division is
+      // part of the definition, so 5 rounds reproduce bit-identically in
+      // any engine — the oracle unrolls the same 5 steps as CTEs
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst")).distinct()
+      Components.pageRank(s.range(500).toDF("id"), "id", edges, "src", "dst",
+        iterations = 5).orderBy("id")
+    },
+
     "q_sample_weighted" -> { (s, dir) =>
       // Efraimidis–Spirakis weighted sample w/o replacement, k smallest
       // exponential-race priorities — TakeOrderedAndProject, no shuffle;
@@ -1260,6 +1272,27 @@ object Catalog {
        |       d * fu AS approx_unique_count, d * fd AS approx_duplicate_count
        |FROM (${branches.mkString("\nUNION ALL\n")})
        |ORDER BY column_name""".stripMargin
+  }
+
+  /** Unrolled integer-arithmetic PageRank (one CTE per round) — DuckDB's
+    * `//` and Spark's `div` truncate identically on non-negative longs.
+    */
+  private def pageRankOracleSql(n: Int, iters: Int): String = {
+    val initFx = 1000000000L / n
+    val baseFx = (1000000000L * 15 / 100) / n
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT n.id, $baseFx + (85 * coalesce(s.c, 0)) // 100 AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p${i - 1}.pr // od.d) AS c
+         |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.id JOIN od ON e.src = od.src
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }
+    s"""WITH e AS (SELECT DISTINCT o_custkey % $n AS src, o_orderkey % $n AS dst FROM orders),
+       |n AS (SELECT unnest(range(0, $n)) AS id),
+       |od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |p0 AS (SELECT id, $initFx AS pr FROM n),
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
   }
 
   private def thetaSketchOracleSql(k: Int): String = {
@@ -2156,6 +2189,8 @@ object Catalog {
         |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" -> pageRankOracleSql(500, 5),
 
     "q_sample_weighted" ->
       """SELECT doc_id,

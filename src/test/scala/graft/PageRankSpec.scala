@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Components
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("2-cycle is a stationary point (exact integers)") {
+    // a <-> b: each node's in-mass equals its own rank; with scale 1e9 and
+    // n=2 the damped update maps 5e8 -> 75e6 + 425e6 = 5e8 exactly
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val pr = Components.pageRank(nodes, "id", edges, "src", "dst", iterations = 7)
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    assert(pr == Seq(500000000L, 500000000L))
+  }
+
+  test("star graph concentrates rank on the hub; ranks are partitioning-invariant") {
+    // 0..9 all point at 10; 10 points at 0
+    val nodes = (0L to 10L).toDF("id")
+    val edges = ((0L to 9L).map(i => (i, 10L)) :+ ((10L, 0L))).toDF("src", "dst")
+    val a = Components.pageRank(nodes, "id", edges, "src", "dst")
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    val b = Components.pageRank(nodes.repartition(5), "id", edges.repartition(3), "src", "dst")
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    assert(a == b, "integer arithmetic must be partitioning-invariant")
+    val hub = a(10); val spoke = a(1)
+    assert(hub > 5 * spoke, s"hub $hub vs spoke $spoke")
+    // node 0 gets the hub's whole mass back: above the other spokes
+    assert(a(0) > spoke)
+  }
+
+  test("dangling nodes keep the base rank") {
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst") // 1 and 2 dangle
+    val pr = Components.pageRank(nodes, "id", edges, "src", "dst", iterations = 3)
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    val base = (1000000000L * 15 / 100) / 3
+    assert(pr(2) == base) // no in-edges, no out-edges: pure base
+    assert(pr(1) > pr(0)) // 1 receives 0's mass
+    assert(pr(0) == base) // 0 has no in-edges
+  }
+}
