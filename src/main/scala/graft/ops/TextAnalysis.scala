@@ -314,6 +314,52 @@ object TextAnalysis {
             (col("sum_clnc_fx").cast(DoubleType) / 1e6) / col("n_tokens").cast(DoubleType)))
   }
 
+  /** BM25 relevance of every document against a fixed query term set — the
+    * retrieval scorer a curation pipeline uses to mine topic-targeted
+    * subsets ("find the code-like documents") at corpus scale. Classic
+    * Robertson/Sparck-Jones BM25: idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avg)).
+    *
+    * Shape: corpus statistics (N, avg length) and per-term document
+    * frequencies are two bounded aggregates (df only over the |query|
+    * terms); per-doc term frequencies come from ONE codegen'd pass
+    * ([[graft.functions.WordSetHitsExpr]] with one singleton set per term)
+    * — the scoring itself is row-local, no join against the corpus.
+    * Per-term contributions are fixed-point-quantized then summed as longs
+    * (scale 6): `score_fx` is engine-exact; `bm25` is the double
+    * derivation. Terms absent from a doc contribute exactly 0.
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String, query: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(size(col("ts"))).cast(LongType).as("tt"))
+      .collect()(0)
+    val n = stats.getLong(0)
+    val avgLen = stats.getLong(1).toDouble / n.toDouble
+    val dfs: Map[String, Long] = base
+      .select(col("doc_id"), explode(array_distinct(col("ts"))).as("t"))
+      .where(col("t").isin(query: _*))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf: Map[String, Double] = query.map { t =>
+      val d = dfs.getOrElse(t, 0L)
+      t -> math.log(((n - d).toDouble + 0.5) / (d.toDouble + 0.5) + 1.0)
+    }.toMap
+    val hits = graft.functions.WordSetHits.hits(col("ts"), query.map(Seq(_)))
+    val len = size(col("ts")).cast(DoubleType)
+    def contrib(i: Int): Column = {
+      val tf = element_at(col("__hits"), i + 1).cast(DoubleType)
+      val raw = lit(idf(query(i))) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (len / lit(avgLen))))
+      graft.metrics.MetricColumns.fixedPointLong(raw, 6)
+    }
+    base.withColumn("__hits", hits)
+      .withColumn("score_fx", query.indices.map(contrib).reduce(_ + _))
+      .withColumn("bm25", col("score_fx").cast(DoubleType) / 1e6)
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"),
+        col("score_fx"), col("bm25"))
+  }
+
   /** Bigram language-model quality scoring (the CCNet-style "LM filter"
     * signal): train an add-one-smoothed bigram model on the corpus itself,
     * then score each document by its total bigram log-probability. Returns

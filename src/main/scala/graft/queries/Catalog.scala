@@ -872,6 +872,15 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_bm25" -> ((s, dir) =>
+      // retrieval scoring against a fixed query term set: corpus stats +
+      // per-term dfs are bounded aggregates, scoring is row-local (one
+      // WordSetHits pass); integer score column compared, bm25 derived
+      TextAnalysis.bm25Score(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "data", "join"))
+        .select("doc_id", "n_tokens", "score_fx")
+        .orderBy("doc_id")),
+
     "q_pagerank" -> { (s, dir) =>
       // integer-arithmetic PageRank over a graph derived from orders
       // (customer-block → order-block links): truncating long division is
@@ -2191,6 +2200,30 @@ object Catalog {
         |ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
+
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS BIGINT) AS tt FROM toks),
+        |tfq AS (SELECT doc_id, t, count(*) AS tf
+        |        FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+        |        WHERE t IN ('spark', 'data', 'join') GROUP BY 1, 2),
+        |dft AS (SELECT t, count(*) AS df FROM tfq GROUP BY 1),
+        |c AS (SELECT tfq.doc_id,
+        |        ln((CAST(st.n - dft.df AS DOUBLE) + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+        |        * (CAST(tfq.tf AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tfq.tf AS DOUBLE) +
+        |           1.2 * (0.25 + 0.75 * (CAST(len(toks.ts) AS DOUBLE)
+        |                                 / (CAST(st.tt AS DOUBLE) / CAST(st.n AS DOUBLE))))) AS x
+        |      FROM tfq JOIN dft USING (t) JOIN toks USING (doc_id), st),
+        |fx AS (SELECT doc_id,
+        |         CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
+        |                   ELSE -floor(-x * 1000000.0 + 0.5) END AS BIGINT) AS fx
+        |       FROM c),
+        |agg AS (SELECT doc_id, CAST(sum(fx) AS BIGINT) AS score_fx FROM fx GROUP BY 1)
+        |SELECT t2.doc_id, CAST(len(t2.ts) AS BIGINT) AS n_tokens,
+        |       coalesce(a.score_fx, 0) AS score_fx
+        |FROM toks t2 LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_weighted" ->
       """SELECT doc_id,

@@ -134,6 +134,25 @@ class LmSplitSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("bm25Score: hand-checked single-term scoring") {
+    // corpus: 3 docs, query = {q}; doc1 has q twice of 4 tokens, doc2 once
+    // of 2, doc3 none. N=3, df(q)=2, avgLen = (4+2+2)/3
+    val docs = Seq((1L, "q x q y"), (2L, "q z"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Score(docs, "doc_id", "text", Seq("q"))
+      .orderBy("doc_id").collect()
+    val n = 3L; val dfq = 2L; val avg = 8.0 / 3.0
+    val idf = math.log(((n - dfq).toDouble + 0.5) / (dfq.toDouble + 0.5) + 1.0)
+    def expected(tf: Double, len: Double): Long = {
+      val x = idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * (len / avg)))
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong else -math.floor(-x * 1e6 + 0.5).toLong
+    }
+    assert(out(0).getAs[Long]("score_fx") == expected(2.0, 4.0))
+    assert(out(1).getAs[Long]("score_fx") == expected(1.0, 2.0))
+    assert(out(2).getAs[Long]("score_fx") == 0L)
+    assert(out(0).getAs[Long]("score_fx") > out(1).getAs[Long]("score_fx"),
+      "double term frequency outweighs the length penalty at these sizes")
+  }
+
   test("weightedSample: deterministic, without replacement, biased to heavy weights") {
     // two strata: ids 0..499 weight 1, ids 500..999 weight 100
     val df = (0 until 1000).map(i => (i.toLong, if (i < 500) 1.0 else 100.0)).toDF("id", "w")
