@@ -66,11 +66,14 @@ object Joins {
       (blockCols.map(col) :+ col(idCol).as("id") :+ col(strCol).as("s")): _*)
     val l = base.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("s").as("s_a"): _*)
     val r = base.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("s").as("s_b"): _*)
+    // the THRESHOLDED levenshtein overload runs the banded DP (O(k·n), not
+    // O(n²)) and bails early, returning -1 past the bound — for small k on
+    // ~20-char strings that's most of the per-pair cost gone
     l.join(r, blockCols)
       .where(col("id_a") < col("id_b") &&
         abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .where(col("dist") >= 0)
       .select((col("id_a") +: col("id_b") +: col("dist") +: blockCols.map(col)): _*)
   }
 }
