@@ -314,6 +314,36 @@ object TextAnalysis {
             (col("sum_clnc_fx").cast(DoubleType) / 1e6) / col("n_tokens").cast(DoubleType)))
   }
 
+  /** Sliding-window document chunking (the RAG / context-window prep op):
+    * split each document into `chunkTokens`-token chunks advancing by
+    * `chunkTokens − overlapTokens`, so consecutive chunks share
+    * `overlapTokens` tokens. Entirely ROW-LOCAL — one tokenize, one
+    * sequence-of-slices, one posexplode; no shuffle, chunk bodies never
+    * leave their row until the caller writes them. Documents at or under
+    * one chunk yield exactly one (possibly short) chunk; the final chunk
+    * clamps at the document end.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .withColumn("__n", size(col("ts")).cast(LongType))
+    // chunk count: 1 for short docs; otherwise last start < n - overlap.
+    // The otherwise-branch numerator is strictly positive, so `div` and
+    // DuckDB's flooring `//` agree (they differ on negatives).
+    val k = when(col("__n") <= chunkTokens, lit(1L))
+      .otherwise(expr(s"((__n - $chunkTokens + ${stride - 1}) div $stride) + 1"))
+    base
+      .withColumn("__chunks", transform(sequence(lit(0L), k - 1L),
+        i => array_join(slice(col("ts"), (i * stride + 1L).cast(IntegerType), lit(chunkTokens)), " ")))
+      .select(col("doc_id"), posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_tokens", tokenCount(col("chunk_text")).cast(LongType))
+      .withColumn("chunk_idx", col("chunk_idx").cast(LongType))
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+  }
+
   /** BM25 relevance of every document against a fixed query term set — the
     * retrieval scorer a curation pipeline uses to mine topic-targeted
     * subsets ("find the code-like documents") at corpus scale. Classic

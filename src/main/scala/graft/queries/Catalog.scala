@@ -872,6 +872,13 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_chunk" -> ((s, dir) =>
+      // sliding-window chunking (20-token chunks, 5-token overlap):
+      // row-local sequence-of-slices, one posexplode, no shuffle
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 20, overlapTokens = 5)
+        .orderBy("doc_id", "chunk_idx")),
+
     "q_bm25" -> ((s, dir) =>
       // retrieval scoring against a fixed query term set: corpus stats +
       // per-term dfs are bounded aggregates, scoring is row-local (one
@@ -2200,6 +2207,21 @@ object Catalog {
         |ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
+
+    "q_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts,
+        |              CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |       FROM documents),
+        |nc AS (SELECT doc_id, ts,
+        |         CASE WHEN n <= 20 THEN 1 ELSE ((n - 20 + 14) // 15) + 1 END AS k
+        |       FROM toks),
+        |idx AS (SELECT doc_id, ts, unnest(range(0, k)) AS i FROM nc),
+        |ch AS (SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(ts[CAST(i * 15 + 1 AS BIGINT):CAST(i * 15 + 20 AS BIGINT)], ' ') AS chunk_text
+        |       FROM idx)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+        |       CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),

@@ -134,6 +134,21 @@ class LmSplitSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("chunkDocuments: boundaries, overlap, clamp, short docs") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"),       // 7 tokens
+      (2L, "a b"),                          // short: one chunk
+      (3L, "x0 x1 x2 x3 x4 x5 x6 x7")      // 8 tokens: final chunk clamps
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkTokens = 3, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_text").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "t0 t1 t2"), (1L, "t2 t3 t4"), (1L, "t4 t5 t6"),
+      (2L, "a b"),
+      (3L, "x0 x1 x2"), (3L, "x2 x3 x4"), (3L, "x4 x5 x6"), (3L, "x6 x7")))
+  }
+
   test("bm25Score: hand-checked single-term scoring") {
     // corpus: 3 docs, query = {q}; doc1 has q twice of 4 tokens, doc2 once
     // of 2, doc3 none. N=3, df(q)=2, avgLen = (4+2+2)/3
