@@ -872,6 +872,18 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_pipeline_pack" -> { (s, dir) =>
+      // composition gate for the session's ops: deterministic split
+      // assignment → length filter → sequence packing of the train split,
+      // all ONE lazy plan; the oracle chains the same stages as CTEs
+      val docs = t(s, dir, "documents")
+      val withSplit = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), hasher = Shingles.md5Hash60)
+      val train = withSplit.where(col("split") === "train" &&
+        TextAnalysis.tokenCount(col("text")) >= 25)
+      Packing.packIndex(train, "doc_id", "text", budget = 256).orderBy("doc_id")
+    },
+
     "q_chunk" -> ((s, dir) =>
       // sliding-window chunking (20-token chunks, 5-token overlap):
       // row-local sequence-of-slices, one posexplode, no shuffle
@@ -2207,6 +2219,22 @@ object Catalog {
         |ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
+
+    "q_pipeline_pack" ->
+      """WITH train AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000 < 8000
+        |    AND len(string_split_regex(text, '\s+')) >= 25),
+        |ps AS (SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |       FROM train)
+        |SELECT doc_id, n_tokens, tok_start,
+        |  CASE WHEN n_tokens > 0 THEN tok_start // 256 END AS first_chunk,
+        |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 256 END AS last_chunk,
+        |  CASE WHEN n_tokens > 0 THEN tok_start % 256 END AS chunk_offset
+        |FROM ps ORDER BY doc_id""".stripMargin,
 
     "q_chunk" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts,
