@@ -645,8 +645,12 @@ object Catalog {
     },
 
     "q_embed_quantize" -> ((s, dir) =>
+      // q8 is array<tinyint> — serialized to JSON text (the q_scan_wide
+      // group_values pattern) so the harness's pandas compare, which sorts
+      // every column, never sees an array cell
       Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .select(col("id").as("vec_id"), col("scale"), col("q8"))
+        .select(col("id").as("vec_id"), col("scale"),
+          to_json(col("q8")).as("q8"))
         .orderBy("vec_id")),
 
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -1762,7 +1766,7 @@ object Catalog {
         |                  900.0 + n_nationkey * 2500.0 + 9000.0 AS hi
         |           FROM nation)
         |SELECT band, count(*) AS n,
-        |       sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS qty_cents
+        |       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM r JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
@@ -1791,10 +1795,11 @@ object Catalog {
         |           FROM embeddings),
         |s AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS scale FROM v)
         |SELECT vec_id, scale,
-        |       list_transform(vv, x -> CAST(CASE
+        |       '[' || COALESCE(list_aggregate(list_transform(vv, x -> CAST(CAST(CASE
         |         WHEN scale = 0.0 THEN 0
         |         WHEN x >= 0 THEN floor(x / scale * 127.0 + 0.5)
-        |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT)) AS q8
+        |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT) AS VARCHAR)),
+        |         'string_agg', ','), '') || ']' AS q8
         |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_hilbert" ->
