@@ -21,6 +21,14 @@ object Constraints {
     * One `groupBy(lhs)` shuffle per FD (map-side combined; the per-group
     * state is a count + a distinct count). FDs over the same lhs share a
     * single pass.
+    *
+    * NULL semantics (deliberate): a NULL rhs value IS a value — the rhs
+    * tuple is counted via a struct, so a group holding {'x', NULL} has two
+    * distinct rhs values and violates the FD, and a group holding only
+    * NULLs is consistent. This is the useful audit reading ("do all rows of
+    * this key agree?"); plain `count(DISTINCT col)` would skip NULLs and
+    * silently bless mixed NULL/value groups. The oracle counts
+    * `row(...)`-wrapped tuples for the same reason.
     */
   def fdCheck(df: DataFrame, fds: Seq[(Seq[String], Seq[String])]): DataFrame = {
     require(fds.nonEmpty, "need at least one FD")

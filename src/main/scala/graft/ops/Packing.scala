@@ -38,29 +38,31 @@ object Packing {
     val parts =
       if (numPartitions > 0) df.repartitionByRange(numPartitions, col(orderCol))
       else df.repartitionByRange(col(orderCol))
+    // The eager localCheckpoint is LOAD-BEARING, not an optimization: range
+    // partitioning re-samples boundaries per job, so without freezing the
+    // materialized layout the totals job and the window job could see
+    // different __pid assignments — offsets computed for one layout applied
+    // to another. (A cache() unpersisted before the returned lazy plan runs
+    // has the same hole: the window job would recompute the partitioning
+    // from scratch. Checkpointing truncates the lineage instead, so every
+    // downstream job reads the SAME frozen blocks.)
     val withPid = parts
       .withColumn("__v", valueCol.cast(LongType))
       .withColumn("__pid", spark_partition_id())
-    // The cache is LOAD-BEARING, not an optimization: range partitioning
-    // re-samples boundaries per job, so without materialization the totals
-    // job and the window job could see different __pid assignments —
-    // offsets computed for one layout applied to another.
-    withPid.cache()
-    try {
-      val totals = withPid.groupBy("__pid").agg(sum(col("__v")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val pids = totals.keys.toSeq.sorted
-      val offsets: Map[Int, Long] = pids.zip(
-        pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
-      val offsetExpr =
-        if (offsets.isEmpty) lit(0L)
-        else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
-      val w = Window.partitionBy("__pid").orderBy(orderCol)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      withPid
-        .withColumn(cumsumCol, coalesce(sum(col("__v")).over(w), lit(0L)) + offsetExpr)
-        .drop("__v", "__pid")
-    } finally withPid.unpersist(blocking = false)
+      .localCheckpoint(true)
+    val totals = withPid.groupBy("__pid").agg(sum(col("__v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids.zip(
+      pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid
+      .withColumn(cumsumCol, coalesce(sum(col("__v")).over(w), lit(0L)) + offsetExpr)
+      .drop("__v", "__pid")
   }
 
   /** Concat-and-chunk packing index: for each document, its global token

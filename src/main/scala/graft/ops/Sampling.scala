@@ -75,6 +75,13 @@ object Sampling {
     * TakeOrderedAndProject (per-partition top-k, one merge) — no shuffle,
     * no global sort. Zero/negative weights are excluded (their priority
     * would be +∞).
+    *
+    * Determinism contract: with UNIQUE `keyCol` values the selected rows
+    * are fully reproducible. Duplicate keys share a hash fraction (hence a
+    * priority), so the sort tie-breaks on `keyCol`: the selected KEY
+    * multiset is still deterministic, but which physical row represents a
+    * duplicated key at the boundary is arbitrary — pass a unique key when
+    * rows carry distinct payloads.
     */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
                      hasher: Column => Column = graft.functions.KmvCounts.xxhash60(_),
@@ -84,9 +91,11 @@ object Sampling {
     val h = hasher(col(keyCol).cast("string"))
     val u = (h.cast("double") + 1.0) / hashSpace
     val pri = -log(u) / weight.cast("double")
+    // keyCol tiebreaker: without it, equal-priority rows at the k boundary
+    // are picked by partition arrival order (see determinism contract above)
     df.where(weight.cast("double") > 0.0)
       .withColumn("__pri", pri)
-      .orderBy(col("__pri").asc)
+      .orderBy(col("__pri").asc, col(keyCol).asc)
       .limit(k)
   }
 

@@ -2289,7 +2289,7 @@ object Catalog {
         |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
         |        / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS pri
         |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0
-        |  ORDER BY pri LIMIT 50)
+        |  ORDER BY pri, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
 
     "q_fd_check" ->
@@ -2297,7 +2297,7 @@ object Catalog {
         |  SELECT 'o_custkey->o_orderpriority' AS fd, count(*) AS lhs_groups,
         |         count(*) FILTER (WHERE d > 1) AS violating_groups,
         |         CAST(coalesce(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT) AS violating_rows
-        |  FROM (SELECT o_custkey, count(*) AS n, count(DISTINCT o_orderpriority) AS d
+        |  FROM (SELECT o_custkey, count(*) AS n, count(DISTINCT row(o_orderpriority)) AS d
         |        FROM orders GROUP BY 1)
         |  UNION ALL
         |  SELECT 'o_custkey->o_orderstatus,o_orderpriority', count(*),
@@ -2310,7 +2310,7 @@ object Catalog {
         |  SELECT 'o_orderkey->o_custkey', count(*),
         |         count(*) FILTER (WHERE d > 1),
         |         CAST(coalesce(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT)
-        |  FROM (SELECT o_orderkey, count(*) AS n, count(DISTINCT o_custkey) AS d
+        |  FROM (SELECT o_orderkey, count(*) AS n, count(DISTINCT row(o_custkey)) AS d
         |        FROM orders GROUP BY 1)
         |) ORDER BY fd""".stripMargin,
 

@@ -26,6 +26,19 @@ class ConstraintsSpec extends SparkSpec {
     assert(byFd("k->v,amt") == ((3L, 2L, 4L)))
   }
 
+  test("fdCheck NULL semantics: NULL is a value — mixed NULL/value groups violate") {
+    val n = Seq(
+      (1L, "a", Option("x")),
+      (2L, "a", None),          // {x, NULL}: violates a -> v
+      (3L, "b", None),
+      (4L, "b", None),          // all-NULL group: consistent
+      (5L, "c", Option("y"))
+    ).toDF("id", "k", "v")
+    val out = Constraints.fdCheck(n, Seq(Seq("k") -> Seq("v")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((3L, 1L, 2L))) // only k=a violates, with its 2 rows
+  }
+
   test("isKey") {
     assert(Constraints.isKey(df, Seq("id")))
     assert(!Constraints.isKey(df, Seq("k")))

@@ -186,6 +186,18 @@ class LmSplitSpec extends SparkSpec {
     assert(c.size == 10 && c.forall(_ >= 990))
   }
 
+  test("weightedSample: duplicate keys at the k boundary still select deterministically") {
+    // every key appears twice -> identical priorities; k cuts through a tie
+    // group, so without the keyCol tiebreaker the boundary pick would follow
+    // partition arrival order
+    val df = (0 until 400).map(i => ((i / 2).toLong, 1.0)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", col("w"), k = 25)
+      .select("id").as[Long].collect().toSeq.sorted
+    val b = Sampling.weightedSample(df.repartition(13), "id", col("w"), k = 25)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(a == b, "duplicate-key ties must not make the sample layout-dependent")
+  }
+
   test("assignSplit holds out the tail when fractions sum below 1") {
     val df = (0 until 2000).map(_.toLong).toDF("id")
     val out = Sampling.assignSplit(df, "id", Seq("train" -> 0.5))
