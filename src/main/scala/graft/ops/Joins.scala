@@ -56,8 +56,11 @@ object Joins {
     * BY DEFINITION, and cost is Σ block². The |len_a − len_b| ≤ maxDist
     * prefilter is lossless (length difference lower-bounds edit distance)
     * and cheap enough to cut most candidates before the per-char DP.
-    * Levenshtein is codegen'd (`levenshtein` builtin) and cross-engine
-    * (DuckDB's definition matches).
+    * The distance itself is graft's native banded-DP expression
+    * ([[graft.functions.LevenshteinKExpr]]): reused instance buffers (the
+    * builtin allocates its DP rows per pair), byte-level ASCII fast path,
+    * early bail when a band row exceeds k — same contract and values as the
+    * 3-arg builtin, which DuckDB's definition also matches.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  blockCols: Seq[String], maxDist: Int): DataFrame = {
@@ -66,13 +69,11 @@ object Joins {
       (blockCols.map(col) :+ col(idCol).as("id") :+ col(strCol).as("s")): _*)
     val l = base.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("s").as("s_a"): _*)
     val r = base.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("s").as("s_b"): _*)
-    // the THRESHOLDED levenshtein overload runs the banded DP (O(k·n), not
-    // O(n²)) and bails early, returning -1 past the bound — for small k on
-    // ~20-char strings that's most of the per-pair cost gone
     l.join(r, blockCols)
       .where(col("id_a") < col("id_b") &&
         abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .withColumn("dist",
+        graft.functions.LevenshteinK.levenshteinK(col("s_a"), col("s_b"), maxDist))
       .where(col("dist") >= 0)
       .select((col("id_a") +: col("id_b") +: col("dist") +: blockCols.map(col)): _*)
   }

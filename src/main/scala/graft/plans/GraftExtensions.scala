@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, HilbertIndex, JaccardSim, MinHash, SimHash}
+import graft.functions.{CosineSim, HilbertIndex, JaccardSim, LevenshteinK, MinHash, SimHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension: registers graft's native functions.
@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(JaccardSim.functionDescriptor)
     ext.injectFunction(SimHash.functionDescriptor)
     ext.injectFunction(HilbertIndex.functionDescriptor)
+    ext.injectFunction(LevenshteinK.functionDescriptor)
     ext.injectOptimizerRule(s => RangeJoinBucketRewrite(s))
   }
 }
@@ -23,7 +24,7 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit =
     Seq(MinHash.functionDescriptor, CosineSim.functionDescriptor,
         JaccardSim.functionDescriptor, SimHash.functionDescriptor,
-        HilbertIndex.functionDescriptor).foreach {
+        HilbertIndex.functionDescriptor, LevenshteinK.functionDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -98,6 +98,21 @@ class ExprPropertySpec extends SparkSpec {
     }, n = 25)
   }
 
+  test("LevenshteinKExpr equals the thresholded builtin on random strings") {
+    import graft.functions.LevenshteinK
+    // short alphabet forces near-matches; includes empty strings and a
+    // multibyte char to exercise the non-ASCII delegation path
+    val s = Gen.listOf(Gen.oneOf("a", "b", "c", "é")).map(_.mkString)
+    check(Prop.forAll(s, s, Gen.chooseNum(0, 4)) { (a, b, k) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(LevenshteinK.levenshteinK(col("a"), col("b"), k))
+        .as[Int].collect()(0)
+      val want = df.select(levenshtein(col("a"), col("b"), k))
+        .as[Int].collect()(0)
+      got == want
+    }, n = 60)
+  }
+
   test("native langId equals the HOF fold formulation") {
     import graft.ops.TextAnalysis
     val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")
