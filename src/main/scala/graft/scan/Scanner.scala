@@ -245,36 +245,61 @@ object Scanner {
             record(f.name, "uniqueness", (d - 1).toDouble * 100.0 / (vc - 1).toDouble)
         }
 
-        // frequent values / mins / maxs: per requesting column, an
-        // orderBy.limit(n) over the CACHED counted frame — compiles to
-        // TakeOrderedAndProject (per-partition top-n, merged once on the
-        // driver side of the job), so a high-cardinality column can never
-        // funnel its whole distinct-value set through one partition the way
-        // a Window.partitionBy("colIdx") pass does. One cheap job per
-        // column over cached (colIdx, value, cnt) rows.
-        // columns whose every value is missing produce NO measurement (the
-        // pre-round-3 windowed pass emitted nothing for an absent colIdx)
+        // frequent values / mins / maxs: every requesting column's bounded
+        // slice rides ONE fused job — a union whose branches are each a
+        // sort+limit over that column's slice of the CACHED counted frame.
+        // Each branch is per-partition-top-n + an n-row merge exchange (the
+        // TakeOrderedAndProject shape), so a high-cardinality column can
+        // never funnel its whole distinct-value set through one partition
+        // the way a Window.partitionBy("colIdx") pass does — but the ~10
+        // per-column jobs this used to launch (whose scheduling/JIT spread
+        // dominated wide-scan bench variance, and which would serialize on
+        // a busy cluster scheduler) collapse into a single collect.
+        // Branch output order is NOT relied on: rows re-sort driver-side
+        // (≤ n rows each) by the same keys the branch sorted with.
+        // Columns whose every value is missing produce NO measurement (the
+        // pre-round-3 windowed pass emitted nothing for an absent colIdx).
         val needFreq = groupFields.zipWithIndex.filter { case (f, _) => metricsOf(f).contains("frequent_values") }
-        needFreq.foreach { case (f, idx) =>
-          val top = topFrequent(topKSlice.get, idx, FrequentValuesN).collect()
-          if (top.nonEmpty) {
-            val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
-            measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
-          }
-        }
-
         val needMinsMaxs = groupFields.zipWithIndex.filter { case (f, _) =>
           isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))
         }
-        needMinsMaxs.foreach { case (f, idx) =>
-          val ms = metricsOf(f).toSet
-          if (ms("mins")) {
-            val mins = edgeValues(topKSlice.get, idx, MinsMaxsN, asc = true).collect().map(_.getAs[Double]("v"))
-            if (mins.nonEmpty) measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
+        def freqBranch(idx: Int): DataFrame =
+          topFrequent(topKSlice.get, idx, FrequentValuesN)
+            .select(lit("freq").as("kind"), lit(idx).as("idx"),
+              col("value"), col("cnt"), lit(null).cast(DoubleType).as("v"))
+        def edgeBranch(idx: Int, asc: Boolean): DataFrame =
+          edgeValues(topKSlice.get, idx, MinsMaxsN, asc)
+            .select(lit(if (asc) "mins" else "maxs").as("kind"), lit(idx).as("idx"),
+              lit(null).cast(StringType).as("value"), lit(null).cast(LongType).as("cnt"), col("v"))
+        val branches =
+          needFreq.map { case (_, idx) => freqBranch(idx) } ++
+          needMinsMaxs.flatMap { case (f, idx) =>
+            val ms = metricsOf(f).toSet
+            (if (ms("mins")) Seq(edgeBranch(idx, asc = true)) else Nil) ++
+              (if (ms("maxs")) Seq(edgeBranch(idx, asc = false)) else Nil)
           }
-          if (ms("maxs")) {
-            val maxs = edgeValues(topKSlice.get, idx, MinsMaxsN, asc = false).collect().map(_.getAs[Double]("v"))
-            if (maxs.nonEmpty) measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
+        if (branches.nonEmpty) {
+          val sliced = branches.reduce(_.unionAll(_)).collect()
+            .groupBy(r => (r.getAs[String]("kind"), r.getAs[Int]("idx")))
+          needFreq.foreach { case (f, idx) =>
+            val top = sliced.getOrElse(("freq", idx), Array.empty)
+              .sortBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("value")))
+            if (top.nonEmpty) {
+              val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
+              measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
+            }
+          }
+          needMinsMaxs.foreach { case (f, idx) =>
+            val ms = metricsOf(f).toSet
+            if (ms("mins")) {
+              val mins = sliced.getOrElse(("mins", idx), Array.empty).map(_.getAs[Double]("v")).sorted
+              if (mins.nonEmpty) measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
+            }
+            if (ms("maxs")) {
+              val maxs = sliced.getOrElse(("maxs", idx), Array.empty)
+                .map(_.getAs[Double]("v")).sorted(Ordering[Double].reverse)
+              if (maxs.nonEmpty) measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
+            }
           }
         }
       } finally topKSlice.foreach(_.unpersist())

@@ -274,6 +274,50 @@ class ScannerSpec extends SparkSpec {
     assert(!minsPlan.contains("Window"), minsPlan)
   }
 
+  test("group-pass top-K slices of ALL columns run as ONE fused Spark job") {
+    val wide = Seq((1, 10.0, "a"), (2, 20.0, "b"), (1, 10.0, "a"), (3, 30.0, "c"))
+      .toDF("n1", "n2", "s1")
+    val yaml3 =
+      """table_name: fused
+        |columns:
+        |  n1:
+        |    metrics:
+        |    - frequent_values
+        |    - mins
+        |    - maxs
+        |  n2:
+        |    metrics:
+        |    - mins
+        |    - maxs
+        |  s1:
+        |    metrics:
+        |    - frequent_values
+        |""".stripMargin
+    // count SQL EXECUTIONS (one per driver action; AQE sub-jobs share one)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          counter.incrementAndGet()
+        case _ =>
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Scanner.executeYaml(spark, wide, yaml3)
+      Thread.sleep(300) // let queued listener events drain
+      // pass 1 (row metrics) + distinct agg + ONE fused top-K collect = 3;
+      // the pre-fusion shape ran 8 actions here (2 freq + 4 edge + 2)
+      assert(counter.get() <= 4, s"expected <=4 driver actions, saw ${counter.get()}")
+      // and the fused job still produced every slice
+      assert(r.measurements.count(_.metric == "frequent_values") == 2)
+      assert(r.measurements.count(_.metric == "mins") == 2)
+      assert(r.measurements.count(_.metric == "maxs") == 2)
+      val mins = r.measurements.find(m => m.metric == "mins" && m.columnName.contains("n2")).get
+      assert(mins.value.contains(Seq(10.0, 20.0, 30.0)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("scan result frames have the reference schemas") {
     val mf = ScanResultFrames.measurementsToDF(spark, result.measurements)
     assert(mf.columns.toSeq == Seq("metric", "column_name", "value", "group_values"))
