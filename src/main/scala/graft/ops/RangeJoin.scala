@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * shuffle — linear in the inputs, never quadratic.
   *
   * Width is the one tuning knob: too small explodes long ranges into many
-  * buckets; too large piles unrelated rows into the same bucket. A width
-  * near the typical range length keeps the explosion factor ~2 and the
-  * bucket fan-in proportional to the true match density.
+  * buckets; too large piles unrelated rows into the same bucket. Which
+  * side binds depends on per-key density (measured sweep in PLANS.md):
+  * when (key, bucket) cells are SPARSE the in-cell quadratic never bites
+  * and cost is linear in exploded rows — several× the range length
+  * minimizes the explosion factor and wins; on DENSE keys the quadratic
+  * binds first and width near the typical range length is right. When in
+  * doubt, sweep on a sample: output is width-invariant by construction.
   */
 object RangeJoin {
 

@@ -477,7 +477,9 @@ object Catalog {
         (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
         datediff(col("l_shipdate"), lit("1970-01-01")).cast(LongType).as("s"))
         .withColumn("e", col("s") + 7)
-      RangeJoin.intervalSelfJoin(l, Seq("l_partkey"), "s", "e", bucketWidth = 7.0)
+      // width 56 = 8x the interval: per-part cells are sparse (~0.08
+      // items/day), so explosion factor dominates — swept in PLANS.md
+      RangeJoin.intervalSelfJoin(l, Seq("l_partkey"), "s", "e", bucketWidth = 56.0)
         .where(col("id_a") < col("id_b"))
         .groupBy("l_partkey").agg(count(lit(1)).as("n_overlaps"))
         .orderBy("l_partkey")
