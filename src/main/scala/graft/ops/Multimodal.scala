@@ -198,37 +198,167 @@ object Multimodal {
     }
   }
 
-  final case class ResizedRow(id: Long, width: Int, height: Int, media: Array[Byte])
+  /** Byte-level media TRANSFORMS — real implementations in the spirit of the
+    * header parsers: no libraries, deterministic, output payloads are valid
+    * files the parsers above round-trip. Corrupt/unsupported inputs emit
+    * ok=false rows with empty media (triage, not exceptions).
+    */
+  object Codecs {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    private def putLe32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+      b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
 
-  /** Resize STUB: a real codec would decode → scale → re-encode; the fake
-    * deterministically truncates/pads the payload to width*height bytes so
-    * the Spark-side shape (binary in, binary out, per-partition batches) is
-    * real and testable.
+    /** Nearest-neighbor scale of an uncompressed 24/32-bpp BMP to
+      * (newW, newH); returns a VALID BMP (54-byte headers, bottom-up,
+      * word-aligned rows). Source pixel for output (x, y) is
+      * (x·srcW/newW, y·srcH/newH) — integer floor mapping, deterministic.
+      * Top-down sources (negative height) are handled; palettized or
+      * compressed BMPs return None.
+      */
+    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+      if (newW <= 0 || newH <= 0) return None
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixOff = le32(bytes, 10).toInt
+      val srcW = le32(bytes, 18).toInt
+      val hRaw = le32(bytes, 22).toInt
+      val topDown = hRaw < 0
+      val srcH = math.abs(hRaw)
+      val bpp = le16(bytes, 28)
+      val compression = le32(bytes, 30)
+      if (srcW <= 0 || srcH == 0 || compression != 0L || (bpp != 24 && bpp != 32)) return None
+      val px = bpp / 8
+      val srcRow = ((srcW * bpp + 31) / 32) * 4
+      if (pixOff < 54 || pixOff.toLong + srcRow.toLong * srcH > bytes.length) return None
+      val dstRow = ((newW * bpp + 31) / 32) * 4
+      val dataSize = dstRow * newH
+      val out = new Array[Byte](54 + dataSize)
+      out(0) = 'B'; out(1) = 'M'
+      putLe32(out, 2, 54L + dataSize) // file size
+      putLe32(out, 10, 54L)           // pixel data offset
+      putLe32(out, 14, 40L)           // BITMAPINFOHEADER size
+      putLe32(out, 18, newW.toLong)
+      putLe32(out, 22, newH.toLong)   // positive = bottom-up
+      putLe16(out, 26, 1)             // planes
+      putLe16(out, 28, bpp)
+      putLe32(out, 34, dataSize.toLong)
+      putLe32(out, 38, 2835L); putLe32(out, 42, 2835L) // 72 dpi
+      var y = 0 // output STORED row; output is bottom-up, so logical row flips
+      while (y < newH) {
+        val yLog = newH - 1 - y
+        val srcYLog = (yLog.toLong * srcH / newH).toInt
+        val srcStored = if (topDown) srcYLog else srcH - 1 - srcYLog
+        val srcBase = pixOff + srcStored * srcRow
+        val dstBase = 54 + y * dstRow
+        var x = 0
+        while (x < newW) {
+          val srcX = (x.toLong * srcW / newW).toInt
+          System.arraycopy(bytes, srcBase + srcX * px, out, dstBase + x * px, px)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+
+    /** Fixed-stride PCM frame sampling: keep every `stride`-th audio frame
+      * (one sample across all channels, `blockAlign` bytes) of a PCM WAV and
+      * emit a VALID WAV whose sample rate is `rate/stride` — byte-exact
+      * decimation, no resampling filter (this is the frame-SAMPLING op, the
+      * cheap triage/preview transform; proper DSP needs a real codec).
+      * Non-PCM, corrupt, or truncated payloads return None.
+      */
+    def decimateWav(bytes: Array[Byte], stride: Int): Option[Array[Byte]] = {
+      if (stride < 1 || bytes.length < 44) return None
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+      var off = 12
+      var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
+      var dataOff = -1; var dataBytes = -1L
+      while (off + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val sz = le32(bytes, off + 4)
+        if (id == "fmt " && off + 24 <= bytes.length) {
+          fmtCode = le16(bytes, off + 8)
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12).toInt
+          bits = le16(bytes, off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataBytes = sz
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (fmtCode != 1 || channels <= 0 || rate <= 0 || bits <= 0 || dataOff < 0) return None
+      val blockAlign = channels * bits / 8
+      if (blockAlign == 0 || dataOff.toLong + dataBytes > bytes.length) return None
+      val nFrames = dataBytes / blockAlign
+      val nOut = ((nFrames + stride - 1) / stride).toInt
+      val outData = nOut * blockAlign
+      val newRate = math.max(1, rate / stride)
+      val out = new Array[Byte](44 + outData)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putLe32(out, 4, 36L + outData)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putLe32(out, 16, 16L); putLe16(out, 20, 1)
+      putLe16(out, 22, channels); putLe32(out, 24, newRate.toLong)
+      putLe32(out, 28, newRate.toLong * blockAlign); putLe16(out, 32, blockAlign)
+      putLe16(out, 34, bits)
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putLe32(out, 40, outData.toLong)
+      var f = 0
+      while (f < nOut) {
+        System.arraycopy(bytes, dataOff + f * stride * blockAlign, out, 44 + f * blockAlign, blockAlign)
+        f += 1
+      }
+      Some(out)
+    }
+  }
+
+  final case class ResizedRow(id: Long, ok: Boolean, width: Int, height: Int, media: Array[Byte])
+
+  /** Nearest-neighbor BMP resize over a media frame — REAL byte transform
+    * ([[Codecs.resizeBmp]]), per-partition batches, no shuffle. Output rows
+    * carry a valid BMP payload; corrupt/unsupported inputs get ok=false.
     */
   def resize(spark: SparkSession, media: DataFrame, width: Int, height: Int): Dataset[ResizedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        val out = java.util.Arrays.copyOf(r.media, width * height)
-        ResizedRow(r.id, width, height, out)
+        Codecs.resizeBmp(r.media, width, height) match {
+          case Some(b) => ResizedRow(r.id, ok = true, width, height, b)
+          case None => ResizedRow(r.id, ok = false, -1, -1, Array.emptyByteArray)
+        }
       }
     }
   }
 
-  final case class FrameRow(id: Long, frameIdx: Int, frame: Array[Byte])
+  final case class SampledWavRow(id: Long, ok: Boolean, sampleRate: Int,
+                                 nFrames: Long, media: Array[Byte])
 
-  /** Frame-sample STUB: treats the payload as `frameCount` fixed-size frames
-    * and emits every `stride`-th one — the flatMap/explode shape of real
-    * video sampling, with a deterministic fake splitter.
+  /** Fixed-stride WAV frame sampling over a media frame — REAL byte
+    * transform ([[Codecs.decimateWav]]): every `stride`-th PCM frame into a
+    * valid WAV at `rate/stride`. Per-partition batches, no shuffle.
     */
-  def sampleFrames(spark: SparkSession, media: DataFrame, frameCount: Int, stride: Int): Dataset[FrameRow] = {
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): Dataset[SampledWavRow] = {
     import spark.implicits._
-    media.as[MediaRow].flatMap { r =>
-      val frameSize = math.max(1, r.media.length / math.max(1, frameCount))
-      (0 until frameCount by stride).map { i =>
-        val from = math.min(i * frameSize, r.media.length)
-        val until = math.min(from + frameSize, r.media.length)
-        FrameRow(r.id, i, java.util.Arrays.copyOfRange(r.media, from, until))
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        Codecs.decimateWav(r.media, stride) match {
+          case Some(b) =>
+            val info = Headers.parseWav(b).get
+            SampledWavRow(r.id, ok = true, info.sampleRate,
+              info.dataBytes / math.max(1, info.channels * info.bitsPerSample / 8), b)
+          case None => SampledWavRow(r.id, ok = false, -1, -1L, Array.emptyByteArray)
+        }
       }
     }
   }

@@ -950,15 +950,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
-  test("resize and frame-sample stubs keep the batch shape") {
-    import spark.implicits._
-    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
-    val media = Multimodal.asMedia(df, "doc_id", "text", "video/fake")
-    val rs = Multimodal.resize(spark, media, 4, 2).collect()(0)
-    assert(rs.media.length == 8 && rs.width == 4 && rs.height == 2)
-    val frames = Multimodal.sampleFrames(spark, media, frameCount = 5, stride = 2).collect()
-    assert(frames.map(_.frameIdx).sorted.toSeq == Seq(0, 2, 4))
-    assert(frames.forall(_.frame.length == 2)) // 10 bytes / 5 frames
+  test("BMP nearest-neighbor resize emits a valid BMP with the sampled pixels") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 4x4 24-bpp BMP, quadrant colors: bottom-left R, bottom-right G,
+    // top-left B, top-right W (rows stored bottom-up, word-aligned at 12)
+    def px(r: Int, g: Int, b: Int) = Array(b.toByte, g.toByte, r.toByte) // BGR
+    val quad = Map(
+      (0, 0) -> px(255, 0, 0), (1, 0) -> px(0, 255, 0),   // stored rows 0-1 (bottom)
+      (0, 1) -> px(0, 0, 255), (1, 1) -> px(255, 255, 255)) // stored rows 2-3 (top)
+    val bb = ByteBuffer.allocate(54 + 4 * 12).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes); bb.putInt(54 + 48); bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(4); bb.putInt(4); bb.putShort(1.toShort); bb.putShort(24.toShort)
+    bb.putInt(0); bb.putInt(48); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    for (storedY <- 0 until 4; x <- 0 until 4) bb.put(quad((x / 2, storedY / 2)))
+    val bmp = bb.array()
+
+    val media = Seq((1L, bmp, "image/bmp"), (2L, "junk".getBytes, "image/bmp"))
+      .toDF("id", "media", "format")
+    val out = Multimodal.resize(spark, media, 2, 2).collect().map(r => r.id -> r).toMap
+    assert(out(1L).ok && out(1L).width == 2 && out(1L).height == 2)
+    assert(!out(2L).ok && out(2L).media.isEmpty)
+    // the output parses as a real BMP with the new dimensions
+    val info = Multimodal.Headers.parseBmp(out(1L).media).get
+    assert(info.width == 2 && info.height == 2 && info.bitsPerPixel == 24)
+    // NN sampling keeps one pixel per quadrant: output stored rows are
+    // bottom-up, row size word-aligned to 8 for 2 px
+    val d = out(1L).media
+    def opx(x: Int, storedY: Int) = Seq(d(54 + storedY * 8 + x * 3 + 2) & 0xFF,
+      d(54 + storedY * 8 + x * 3 + 1) & 0xFF, d(54 + storedY * 8 + x * 3) & 0xFF)
+    assert(opx(0, 0) == Seq(255, 0, 0))   // bottom-left R
+    assert(opx(1, 0) == Seq(0, 255, 0))   // bottom-right G
+    assert(opx(0, 1) == Seq(0, 0, 255))   // top-left B
+    assert(opx(1, 1) == Seq(255, 255, 255))
+  }
+
+  test("WAV frame sampling keeps every stride-th PCM frame in a valid WAV") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 8 frames of 16-bit mono PCM with sample values 100..107 at 16 kHz
+    val bb = ByteBuffer.allocate(44 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 16); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1.toShort)
+    bb.putShort(1.toShort); bb.putInt(16000); bb.putInt(32000); bb.putShort(2.toShort)
+    bb.putShort(16.toShort); bb.put("data".getBytes); bb.putInt(16)
+    for (v <- 100 until 108) bb.putShort(v.toShort)
+    val wav = bb.array()
+
+    val media = Seq((1L, wav, "audio/wav"), (2L, "junk".getBytes, "audio/wav"))
+      .toDF("id", "media", "format")
+    val out = Multimodal.sampleFrames(spark, media, stride = 2).collect().map(r => r.id -> r).toMap
+    assert(out(1L).ok && out(1L).nFrames == 4 && out(1L).sampleRate == 8000)
+    assert(!out(2L).ok)
+    val d = out(1L).media
+    val info = Multimodal.Headers.parseWav(d).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.dataBytes == 8)
+    val samples = (0 until 4).map(i =>
+      ((d(44 + 2 * i) & 0xFF) | ((d(44 + 2 * i + 1) & 0xFF) << 8)).toShort.toInt)
+    assert(samples == Seq(100, 102, 104, 106))
   }
 }
 
