@@ -69,23 +69,40 @@ object Drift {
     */
   def psiBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
                  lo: Double, hi: Double, buckets: Int,
-                 eps: Double = 1e-6): DataFrame = {
-    val spark = ref.sparkSession
-    def bucketed(df: DataFrame, cntName: String): DataFrame = {
-      val c = col(valueCol).cast(DoubleType)
-      val width = (hi - lo) / buckets.toDouble
-      val b = when(c.isNull || lit(width) <= 0.0, lit(null).cast(LongType))
-        .otherwise(least(floor((c - lit(lo)) / lit(width)).cast(LongType), lit(buckets.toLong - 1)))
-      // clamp AFTER the null filter — greatest(null, 0) is 0 in Spark
-      // (greatest skips nulls), which would silently bucket missing values
-      df.select(b.as("b_raw")).where(col("b_raw").isNotNull)
-        .select(greatest(col("b_raw"), lit(0L)).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(cntName))
-    }
+                 eps: Double = 1e-6): DataFrame =
+    psiOfCountFrames(ref.sparkSession,
+      bucketCounts(ref, valueCol, lo, hi, buckets, "ref_cnt"),
+      bucketCounts(cur, valueCol, lo, hi, buckets, "cur_cnt"), buckets, eps)
+
+  /** Equi-width bucket counts of one side — ONE scan + a buckets-sized
+    * aggregate. Shared by the two-frame PSI, the persisted reference, and
+    * (arithmetic-wise) the streaming monitor.
+    */
+  private def bucketCounts(df: DataFrame, valueCol: String, lo: Double,
+                           hi: Double, buckets: Int, cntName: String): DataFrame = {
+    val c = col(valueCol).cast(DoubleType)
+    val width = (hi - lo) / buckets.toDouble
+    val b = when(c.isNull || lit(width) <= 0.0, lit(null).cast(LongType))
+      .otherwise(least(floor((c - lit(lo)) / lit(width)).cast(LongType), lit(buckets.toLong - 1)))
+    // clamp AFTER the null filter — greatest(null, 0) is 0 in Spark
+    // (greatest skips nulls), which would silently bucket missing values
+    df.select(b.as("b_raw")).where(col("b_raw").isNotNull)
+      .select(greatest(col("b_raw"), lit(0L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(cntName))
+  }
+
+  /** The shared PSI tail: spine join of two (bucket, cnt) frames + the
+    * fixed-point per-bucket contribution. Both callers run the IDENTICAL
+    * expression tree, so a persisted reference reproduces the two-frame
+    * result bit-for-bit.
+    */
+  private def psiOfCountFrames(spark: org.apache.spark.sql.SparkSession,
+                               refCnt: DataFrame, curCnt: DataFrame,
+                               buckets: Int, eps: Double): DataFrame = {
     val spine = spark.range(buckets).select(col("id").as("bucket"))
     val joined = spine
-      .join(bucketed(ref, "ref_cnt"), Seq("bucket"), "left")
-      .join(bucketed(cur, "cur_cnt"), Seq("bucket"), "left")
+      .join(refCnt, Seq("bucket"), "left")
+      .join(curCnt, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
         coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
@@ -102,4 +119,63 @@ object Drift {
   /** Total PSI from [[psiBuckets]] output. */
   def psiTotal(bucketsDf: DataFrame): Double =
     bucketsDf.agg(sum("psi_fx")).collect()(0).getLong(0) / 1e6
+
+  /** A persisted PSI reference distribution: the bucket geometry plus the
+    * buckets-sized count vector of the reference scan — the train-once /
+    * serve-many artifact of the drift family (same pattern as the bigram-LM
+    * and IVF-quantizer artifacts). Persisting COUNTS (not proportions)
+    * keeps the eps floor and all divisions inside the one shared expression
+    * tree, so a reloaded reference is bit-identical to the in-memory path.
+    */
+  final case class PsiReference(lo: Double, hi: Double, buckets: Int, counts: Seq[Long]) {
+    /** The count vector [[graft.streaming.StreamingMonitor.psiOfWindows]]
+      * bootstraps from.
+      */
+    def refCounts: Seq[Long] = counts
+  }
+
+  /** Build the reference from a scan of `ref` — bounded driver result
+    * (`buckets` longs).
+    */
+  def buildPsiReference(ref: DataFrame, valueCol: String,
+                        lo: Double, hi: Double, buckets: Int): PsiReference = {
+    val byBucket = bucketCounts(ref, valueCol, lo, hi, buckets, "cnt")
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+    PsiReference(lo, hi, buckets, (0 until buckets).map(b => byBucket.getOrElse(b.toLong, 0L)))
+  }
+
+  def savePsiReference(spark: org.apache.spark.sql.SparkSession,
+                       r: PsiReference, path: String): Unit = {
+    import spark.implicits._
+    r.counts.zipWithIndex.map { case (c, b) => (b.toLong, c) }
+      .toDF("bucket", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    Seq((r.lo, r.hi, r.buckets)).toDF("lo", "hi", "n_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadPsiReference(spark: org.apache.spark.sql.SparkSession, path: String): PsiReference = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val n = meta.getAs[Int]("n_buckets")
+    val byBucket = spark.read.parquet(s"$path/buckets")
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+    PsiReference(meta.getAs[Double]("lo"), meta.getAs[Double]("hi"), n,
+      (0 until n).map(b => byBucket.getOrElse(b.toLong, 0L)))
+  }
+
+  /** PSI of `cur` against a (possibly reloaded) reference — the monitoring
+    * shape where last month's scan is the baseline and only today's data is
+    * scanned. Output schema and values identical to [[psiBuckets]] run on
+    * the original reference frame.
+    */
+  def psiBucketsVsReference(reference: PsiReference, cur: DataFrame,
+                            valueCol: String, eps: Double = 1e-6): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val refCnt = reference.counts.zipWithIndex
+      .map { case (c, b) => (b.toLong, c) }.toDF("bucket", "ref_cnt")
+    psiOfCountFrames(spark, refCnt,
+      bucketCounts(cur, valueCol, reference.lo, reference.hi, reference.buckets, "cur_cnt"),
+      reference.buckets, eps)
+  }
 }

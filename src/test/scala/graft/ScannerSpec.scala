@@ -376,4 +376,23 @@ class ScannerSpec extends SparkSpec {
     val shifted = Drift.psiTotal(Drift.psiBuckets(refDf, curDf, "v", 0.0, 100.0, 10))
     assert(shifted > 0.25, s"psi $shifted")
   }
+
+  test("persisted PSI reference reproduces the two-frame PSI bit-for-bit") {
+    import graft.scan.Drift
+    val refDf = (0 until 500).map(i => ((i % 97) * 1.03)).toDF("v")
+    val curDf = (0 until 400).map(i => ((i % 83) * 1.21 + 5.0)).toDF("v")
+    val direct = Drift.psiBuckets(refDf, curDf, "v", 0.0, 100.0, 10)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val built = Drift.buildPsiReference(refDf, "v", 0.0, 100.0, 10)
+    val dir = java.nio.file.Files.createTempDirectory("psi-ref").toString
+    Drift.savePsiReference(spark, built, dir)
+    val loaded = Drift.loadPsiReference(spark, dir)
+    assert(loaded == built, "artifact round-trip must be lossless")
+
+    val viaRef = Drift.psiBucketsVsReference(loaded, curDf, "v")
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaRef.toSeq == direct.toSeq,
+      "saved-reference PSI must equal the in-memory two-frame PSI bit-for-bit")
+  }
 }

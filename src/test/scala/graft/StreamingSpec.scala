@@ -360,5 +360,16 @@ class StreamingSpec extends SparkSpec {
     assert(psis.size == 2)
     assert(math.abs(psis(0)._2) < 1e-12, s"uniform window should have PSI 0, got ${psis(0)._2}")
     assert(psis(1)._2 > 0.25, s"drifted window should alarm, got ${psis(1)._2}")
+
+    // bootstrap the same monitor from a PERSISTED reference (last month's
+    // scan): build from a uniform batch frame, save, load, feed refCounts in
+    import graft.scan.Drift
+    val uniform = Seq(10.0, 30.0, 60.0, 90.0).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("psi-stream-ref").toString
+    Drift.savePsiReference(spark, Drift.buildPsiReference(uniform, "v", 0.0, 100.0, 4), dir)
+    val loaded = Drift.loadPsiReference(spark, dir)
+    assert(loaded.refCounts == ref, "scan of the uniform frame is the uniform reference")
+    val psisBoot = StreamingMonitor.psiOfWindows(rows, loaded.refCounts)
+    assert(psisBoot == psis, "persisted-reference bootstrap must reproduce the monitor")
   }
 }
