@@ -126,4 +126,31 @@ object Sampling {
         pmod(hasher(col(idCol).cast("string")), lit(buckets.toLong)) < keep)
       .drop("__key", "__key_n")
   }
+
+  /** EXACT deterministic per-key cap: every key keeps its `n` rows with the
+    * smallest `hash(id)` — the [[capPerKey]] guarantee upgraded from
+    * expected-n to exactly-min(n, |key|), still without a window sort:
+    * the per-key selection is a KMV bottom-n aggregate
+    * ([[graft.functions.KmvSketchAgg]]), whose map-side partials keep ≤ n
+    * hashes each — the shuffle carries at most n·partitions longs per key,
+    * never the key's full row set, and a hot key can't funnel its rows
+    * through one sort partition the way `row_number() OVER (PARTITION BY
+    * key)` does. Selected ids then semi-join the rows back (hash join,
+    * AQE-broadcast while small).
+    *
+    * Deterministic in (idCol, n, hasher) — reruns keep the SAME rows, and
+    * n' > n keeps a superset (refinable, like [[hashSample]]). `idCol`
+    * must be unique per row (duplicate ids share a hash and are kept or
+    * dropped together); NULL keys form their own capped group.
+    */
+  def topNPerKeyExact(df: DataFrame, keyCol: String, idCol: String, n: Int,
+                      hasher: Column => Column = graft.functions.KmvCounts.xxhash60(_)): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val withH = df.withColumn("__h", hasher(col(idCol).cast("string")))
+    val kept = withH.groupBy(col(keyCol).as("__key"))
+      .agg(graft.functions.KmvSketch.kmv(col("__h"), n).as("__hs"))
+      .select(col("__key"), explode(col("__hs")).as("__kh"))
+    withH.join(kept, col(keyCol) <=> col("__key") && col("__h") === col("__kh"), "left_semi")
+      .drop("__h")
+  }
 }

@@ -793,6 +793,14 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_top_per_key" -> ((s, dir) =>
+      // EXACT per-source cap: the 8 smallest md5-60(doc_id) per source —
+      // KMV bottom-n aggregate (bounded map-side partials) + semi-join
+      // reassembly; contrast with q_cap_per_key's approximate fraction rule
+      Sampling.topNPerKeyExact(t(s, dir, "documents"), "source", "doc_id", n = 8,
+          hasher = Shingles.md5Hash60)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     "q_split_assign" -> ((s, dir) =>
       // deterministic train/val/test assignment keyed on a salted hash of
       // doc_id (row-local, rerun-stable); the gate reports per-(source,
@@ -2084,6 +2092,17 @@ object Catalog {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
         |      CASE WHEN lang = 'en' THEN 2000 WHEN lang = 'es' THEN 5000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_top_per_key" ->
+      // rank by the identical md5-60 hash per source; the KMV keeps the 8
+      // smallest DISTINCT hashes, which over unique doc_ids is rank <= 8
+      """WITH h AS (SELECT doc_id, source,
+        |                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |           FROM documents),
+        |r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |      FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 8 ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->
       """SELECT source, split, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum

@@ -28,6 +28,11 @@ object Scanner {
 
   val FrequentValuesN = 5
   val MinsMaxsN = 5
+  /** Minimum per-row workload (aggregate/exploded columns) before a narrow
+    * input is widened with a full-row shuffle — below this the shuffle
+    * costs more than the whole single-task pass (see `widened`).
+    */
+  val WideningMinWorkload = 24
   val HistogramBuckets = 10
 
   /** Top-n (value, cnt) of one column of the (colIdx, value, cnt) frame, by
@@ -116,20 +121,25 @@ object Scanner {
     // partitions, pinning the whole per-row metric workload (fixed-point
     // projections, conditional aggregates, the explode of pass 2) on that
     // many tasks while the rest of the cluster idles. When the input is
-    // more than 2× narrower than the available parallelism, widening it
-    // with one round-robin shuffle before the heavy passes wins despite
-    // moving full rows (measured at sf0.1/local[32]: pass 1 3.8→2.1 s,
-    // pass 2 2.2→1.4 s INCLUDING the shuffle). On a real multi-file table
-    // partitions ≥ cores and this is a no-op. Cheap passes (samples,
-    // histograms) stay on the raw frame — a shuffle would cost more than
-    // their single pass. All pass-1/2 aggregates are order-independent
+    // more than 2× narrower than the available parallelism AND the per-row
+    // workload is heavy enough to amortize a full-row shuffle, widening
+    // wins (measured at sf0.1/local[32] on the wide scan: pass 1
+    // 3.8→2.1 s, pass 2 2.2→1.4 s INCLUDING the shuffle). `weight` is the
+    // pass's per-row workload — aggregate columns (pass 1) / exploded
+    // columns (pass 2); LIGHT scans skip the shuffle, whose ~0.5 s at this
+    // size exceeds their whole single-task pass (measured: q_tests
+    // 0.33 s unwidened in r5 → 0.9-1.3 s widened in r6 — the widening tax,
+    // reverted by this gate). On a real multi-file table partitions ≥
+    // cores and all of this is a no-op. Cheap passes (samples, histograms)
+    // stay on the raw frame. All pass-1/2 aggregates are order-independent
     // (fixed-point/integer sums, min/max, sketches), so results are
     // bit-identical either way.
-    def widened(d: DataFrame): DataFrame = {
+    def widened(d: DataFrame, weight: Int): DataFrame = {
       val target = d.sparkSession.sparkContext.defaultParallelism
       // toRdd (internal rows) rather than .rdd: same partition count, no
       // DeserializeToObject conversion layer bolted onto the analyzed plan
-      if (d.queryExecution.toRdd.getNumPartitions * 2 < target) {
+      if (weight >= WideningMinWorkload &&
+          d.queryExecution.toRdd.getNumPartitions * 2 < target) {
         // hash-partition on a row hash rather than round-robin: round-robin
         // output is position-dependent, so Spark SORTS each input
         // partition's full binary rows first (retry determinism) — a hash
@@ -160,7 +170,9 @@ object Scanner {
     val preCols: Seq[Column] = fields.toSeq.flatMap { f =>
       preProjection(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
     }
-    val wideDf = widened(df)
+    val pass1Weight = fields.toSeq
+      .map(f => aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics)).size).sum
+    val wideDf = widened(df, pass1Weight)
     val aggInput = if (preCols.isEmpty) wideDf else wideDf.select(col("*") +: preCols: _*)
     val aggCols: Seq[Column] = fields.toSeq.flatMap { f =>
       aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
@@ -208,7 +220,7 @@ object Scanner {
         val cfg = cfgOf(f.name)
         when(!missingCond(col(f.name), cfg), col(f.name).cast(StringType))
       }
-      val exploded = widened(df)
+      val exploded = widened(df, groupFields.length * 2)
         .select(posexplode(array(valueExprs.toSeq: _*)).as(Seq("colIdx", "value")))
         .where(col("value").isNotNull)
       val counted = exploded.groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))

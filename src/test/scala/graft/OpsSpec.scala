@@ -193,6 +193,28 @@ class DedupSpec extends SparkSpec {
     assert(capped.toSet == again.toSet)
   }
 
+  test("topNPerKeyExact: exactly min(n, |key|) rows per key, refinable, layout-invariant") {
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 420).map(i => (i.toLong, "small")) ++
+      (421 to 450).map(i => (i.toLong, null: String))
+    val df = rows.toDF("id", "domain")
+    val kept = Sampling.topNPerKeyExact(df, "domain", "id", n = 50)
+      .select("id", "domain").as[(Long, String)].collect()
+    val byKey = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byKey("big").size == 50)     // EXACT, not binomial-approximate
+    assert(byKey("small").size == 20)   // under cap: untouched
+    assert(byKey(null).size == 30)      // null key is its own group
+    // refinable: n=25 keeps a subset of n=50's picks
+    val smaller = Sampling.topNPerKeyExact(df, "domain", "id", n = 25)
+      .select("id", "domain").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(smaller("big").subsetOf(byKey("big")) && smaller("big").size == 25)
+    // layout-invariant: any partitioning keeps the SAME rows
+    val repart = Sampling.topNPerKeyExact(df.repartition(13), "domain", "id", n = 50)
+      .select("id", "domain").as[(Long, String)].collect()
+    assert(kept.toSet == repart.toSet)
+  }
+
   test("n-gram LSH path agrees with the all-pairs strategy on this corpus") {
     // q_dedup_ngram routes through minhashLshPairs(shingleLen = 3); the
     // all-pairs form stays the small-block strategy — same verified output
