@@ -22,6 +22,50 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
+  /** Rolling z-score anomaly flags over an ordered sequence per key (the
+    * time-series twin of [[iqrOutliers]]): each row is compared against the
+    * mean/stddev of its PRECEDING `window` rows (exclusive — a row inside
+    * its own window can never exceed z² = (n−1)²/n, which caps z below 3
+    * for n ≤ 11 and would make t = 3 unreachable), flagged when
+    * |value − mean| > t·stddev AND |value − mean| > `minDev` (the absolute
+    * floor that keeps an ε-blip over a perfectly constant history — sd = 0,
+    * z = ∞ — from alarming; 0 disables it). ONE keyed window pass —
+    * shuffled by `partCols`, per-key frames sorted within partitions, never
+    * a global sort (the [[Constraints.monotonicityViolations]] shape).
+    *
+    * ENGINE-EXACT by integer arithmetic: values are fixed-point longs
+    * (scale `fxScale`), and the flag is evaluated as
+    * `(n·v − S)² > t²·(n·Q − S²)` over integer rolling sums S = Σv,
+    * Q = Σv² — no division, no sqrt, no float accumulation, so any engine
+    * with the same frame reproduces identical flags (`tSquared` must be an
+    * integer). Overflow envelope: |v·10^fxScale| ≤ 1e6 with window ≤ 1e3
+    * keeps every term < 2^62. Rows with fewer than `minPoints` preceding
+    * rows are never flagged (warm-up). `orderCol` must be unique per key
+    * (frame ties are engine-arbitrary otherwise).
+    */
+  def rollingZScore(df: DataFrame, partCols: Seq[String], orderCol: String,
+                    valueCol: String, window: Int, tSquared: Long,
+                    minPoints: Int = 5, minDev: Double = 0.0,
+                    fxScale: Int = 3): DataFrame = {
+    require(window >= 2 && minPoints >= 2 && tSquared >= 0 && minDev >= 0, "bad parameters")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-window, -1)
+    val v = graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale)
+    val minDevFx = math.round(minDev * math.pow(10, fxScale))
+    df.withColumn("__v", v)
+      .withColumn("__n", count(col("__v")).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__q", sum(col("__v") * col("__v")).over(w))
+      .withColumn("is_anomaly",
+        col("__n") >= minPoints && {
+          val dev = col("__n") * col("__v") - col("__s")
+          dev * dev > lit(tSquared) * (col("__n") * col("__q") - col("__s") * col("__s")) &&
+            abs(dev) > col("__n") * lit(minDevFx)
+        })
+      .drop("__v", "__n", "__s", "__q")
+  }
+
   def iqrOutliers(df: DataFrame, valueCol: Column, groupCol: String,
                   k: Double = 1.5, approx: Boolean = false): DataFrame = {
     // NOTE a counts-based exact quantile (groupBy value → running count →

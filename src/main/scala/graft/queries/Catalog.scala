@@ -534,6 +534,18 @@ object Catalog {
         .orderBy("l_returnflag")
     },
 
+    "q_anomaly" -> { (s, dir) =>
+      // rolling z-score over each user's event sequence: flag events more
+      // than 3 sigma (t^2 = 9) from their PRECEDING-10 window — the flag is
+      // pure integer arithmetic on fixed-point longs ((nv-S)^2 > t^2(nQ-S^2)),
+      // so the oracle window reproduces it exactly
+      Outliers.rollingZScore(t(s, dir, "events"), Seq("user_id"), "event_id",
+          "value", window = 10, tSquared = 9, minPoints = 5)
+        .where(col("is_anomaly"))
+        .select(col("user_id"), col("event_id"))
+        .orderBy("user_id", "event_id")
+    },
+
     "q_rollup" -> { (s, dir) =>
       // hierarchical totals in one pass (Expand, not N aggregates)
       t(s, dir, "lineitem")
@@ -1863,6 +1875,22 @@ object Catalog {
         |                THEN cents END) AS max_outlier_cents
         |FROM v JOIN q USING (l_returnflag)
         |GROUP BY v.l_returnflag ORDER BY v.l_returnflag""".stripMargin,
+
+    "q_anomaly" ->
+      // identical integer flag over the identical ROWS frame; DuckDB's
+      // HUGEINT window sums are exact, and only id columns are output
+      """WITH f AS (SELECT user_id, event_id,
+        |                  CAST(CASE WHEN value >= 0 THEN floor(value * 1000.0 + 0.5)
+        |                            ELSE -floor(-value * 1000.0 + 0.5) END AS BIGINT) AS v
+        |           FROM events),
+        |r AS (SELECT user_id, event_id, v,
+        |             count(v) OVER w AS n, sum(v) OVER w AS s, sum(v * v) OVER w AS q
+        |      FROM f
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id FROM r
+        |WHERE n >= 5 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -494,6 +494,34 @@ class OutliersSpec extends SparkSpec {
     assert(flagged == Set(("g", 100L)))
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("rollingZScore flags trailing-window sigma breaks, hand-checked") {
+    // user 1: steady 10.0s then a spike; user 2: short series (< minPoints)
+    val rows = (1L to 9L).map(i => (1L, i, 10.0)) ++ Seq((1L, 10L, 10.2), (1L, 11L, 50.0)) ++
+      Seq((2L, 1L, 1.0), (2L, 2L, 99.0), (2L, 3L, 1.0))
+    val df = rows.toDF("user_id", "seq", "v")
+    val out = Outliers.rollingZScore(df, Seq("user_id"), "seq", "v",
+      window = 10, tSquared = 9, minPoints = 5, minDev = 1.0)
+    val flagged = out.where(col("is_anomaly")).select("user_id", "seq")
+      .as[(Long, Long)].collect().toSet
+    // the 50.0 spike at seq 11 vs its preceding-10 history (nine 10.0s +
+    // 10.2): z >> 3 AND |dev| ~ 40 > minDev -> flagged; the 10.2 blip at
+    // seq 10 over a CONSTANT history has sd = 0 (infinite z) but |dev| =
+    // 0.2 < minDev = 1.0 -> suppressed; user 2 never reaches minPoints
+    // preceding rows so even the wild 99.0 stays quiet (warm-up rule)
+    assert(flagged == Set((1L, 11L)))
+    // drop the absolute floor: the epsilon blip over constant history now
+    // alarms too (sd = 0, any deviation passes the z rule)
+    val noFloor = Outliers.rollingZScore(df, Seq("user_id"), "seq", "v",
+      window = 10, tSquared = 9, minPoints = 5)
+      .where(col("is_anomaly")).select("user_id", "seq").as[(Long, Long)].collect().toSet
+    assert(noFloor == Set((1L, 10L), (1L, 11L)))
+    // layout invariance: same flags under any partitioning
+    val repart = Outliers.rollingZScore(df.repartition(7), Seq("user_id"), "seq", "v",
+      window = 10, tSquared = 9, minPoints = 5, minDev = 1.0)
+      .where(col("is_anomaly")).select("user_id", "seq").as[(Long, Long)].collect().toSet
+    assert(repart == flagged)
+  }
 }
 
 class HilbertSpec extends SparkSpec {
