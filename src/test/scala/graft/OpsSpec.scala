@@ -524,6 +524,44 @@ class OutliersSpec extends SparkSpec {
   }
 }
 
+class ManifestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.Manifest
+
+  test("fileManifest matches per-file groundtruth; range layout is prunable, shuffled is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val data = (0 until 4000).map(i => (i.toLong, if (i % 100 == 0) None else Some(i.toDouble)))
+      .toDF("k", "v")
+    // range layout: files are disjoint k-slices (what layoutZOrder buys)
+    data.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(s"$dir/ranged")
+    // hash layout: every file spans the whole domain
+    data.repartition(8, col("k")).write.mode("overwrite").parquet(s"$dir/hashed")
+
+    val ranged = spark.read.parquet(s"$dir/ranged")
+    val m = Manifest.fileManifest(ranged, Seq("k", "v")).collect()
+    assert(m.map(_.getAs[Long]("n_rows")).sum == 4000)
+    assert(m.length == 8)
+    // per-file groundtruth: re-read each file alone and compare
+    m.foreach { r =>
+      val f = spark.read.parquet(s"$dir/ranged/${r.getAs[String]("file")}")
+      val g = f.agg(count(lit(1)), min("k"), max("k"),
+        sum(when(col("v").isNull, 1L).otherwise(0L))).collect()(0)
+      assert(r.getAs[Long]("n_rows") == g.getLong(0))
+      assert(r.getAs[Long]("k_min") == g.getLong(1) && r.getAs[Long]("k_max") == g.getLong(2))
+      assert(r.getAs[Long]("v_nulls") == g.getLong(3))
+    }
+    // a narrow range predicate prunes most ranged files, no hashed ones
+    val prunedRanged = Manifest.prunableFraction(
+      Manifest.fileManifest(ranged, Seq("k")), "k", lit(100L), lit(200L))
+    assert(prunedRanged >= 0.75, s"ranged layout pruned only $prunedRanged")
+    val hashed = spark.read.parquet(s"$dir/hashed")
+    val prunedHashed = Manifest.prunableFraction(
+      Manifest.fileManifest(hashed, Seq("k")), "k", lit(100L), lit(200L))
+    assert(prunedHashed == 0.0, s"hashed layout claimed pruning $prunedHashed")
+  }
+}
+
 class HilbertSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
