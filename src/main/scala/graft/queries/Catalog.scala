@@ -546,6 +546,14 @@ object Catalog {
         .orderBy("user_id", "event_id")
     },
 
+    "q_bins" -> ((s, dir) =>
+      // equi-depth discretization of extended price (cents): 8 ~75k-row
+      // buckets where the equi-width histogram would be skew-lopsided;
+      // integer bin formula reproduced exactly by the oracle
+      Binning.equiDepthBins(t(s, dir, "lineitem"),
+          MetricColumns.fixedPointLong(col("l_extendedprice"), 2), k = 8)
+        .orderBy("bin")),
+
     "q_rollup" -> { (s, dir) =>
       // hierarchical totals in one pass (Expand, not N aggregates)
       t(s, dir, "lineitem")
@@ -1891,6 +1899,18 @@ object Catalog {
         |SELECT user_id, event_id FROM r
         |WHERE n >= 5 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_bins" ->
+      // the identical integer bin formula; DuckDB // == Spark div on the
+      // non-negative (cum-1)*k
+      """WITH c AS (SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |                  count(*) AS c
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM c)
+        |SELECT CAST(((cum - 1) * 8) // n AS BIGINT) AS bin,
+        |       CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS v_min, max(v) AS v_max
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

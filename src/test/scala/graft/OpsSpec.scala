@@ -524,6 +524,33 @@ class OutliersSpec extends SparkSpec {
   }
 }
 
+class BinningSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.Binning
+
+  test("equiDepthBins: ~equal depths, ties share a bin, hand-checked") {
+    // 12 rows over 4 bins -> 3 per bin; values 1..12
+    val out = Binning.equiDepthBins((1L to 12L).toDF("x"), col("x"), 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 1L, 3L), (1L, 3L, 4L, 6L), (2L, 3L, 7L, 9L), (3L, 3L, 10L, 12L)))
+
+    // heavy ties: 10 copies of 5 + values 1..2, k=3 -> the tie block lands
+    // in ONE bin (bin decided by its last row's cumulative position)
+    val ties = (Seq.fill(10)(5L) ++ Seq(1L, 2L)).toDF("x")
+    val tout = Binning.equiDepthBins(ties, col("x"), 3).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tout.toSeq == Seq((0L, 2L, 1L, 2L), (2L, 10L, 5L, 5L)))
+
+    // skewed data: equi-depth balances where equi-width cannot
+    val skew = (0 until 1000).map(i => math.min(i, 10).toLong).toDF("x")
+    val depths = Binning.equiDepthBins(skew, col("x"), 4)
+      .select("n_rows").as[Long].collect()
+    assert(depths.max <= 991L && depths.sum == 1000L)
+  }
+}
+
 class ManifestSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
