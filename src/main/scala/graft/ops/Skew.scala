@@ -26,6 +26,23 @@ object Skew {
         phase1.tail.map { case (n, _) => phase2(n).as(n) }: _*)
   }
 
+  /** Join-key skew DIAGNOSTIC — the measurement that decides whether the
+    * mitigations above (or AQE skew splitting) are needed: the `topK`
+    * hottest keys with their row counts and integer parts-per-million share
+    * of the table. One count aggregate (map-side combined) + a
+    * TakeOrderedAndProject over the key-counts frame; ties break on the
+    * key, and share_ppm = cnt·10^6 div total is pure integer arithmetic —
+    * deterministic and engine-exact.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val total = df.count()
+    df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+      .withColumn("share_ppm", expr(s"(cnt * 1000000L) div ${total}L"))
+  }
+
   /** Salted broadcast-free join for a skewed left key against a small-ish
     * right side: right rows are replicated `saltBuckets` times, left rows get
     * a random-but-deterministic salt, and the join key becomes (key, salt) —

@@ -546,6 +546,12 @@ object Catalog {
         .orderBy("user_id", "event_id")
     },
 
+    "q_skew_report" -> ((s, dir) =>
+      // hottest 10 sources + integer ppm share — the diagnostic that
+      // decides whether salting/AQE skew handling is needed
+      Skew.skewReport(t(s, dir, "documents"), "source", topK = 10)
+        .orderBy(col("cnt").desc, col("key").asc)),
+
     "q_bins" -> ((s, dir) =>
       // equi-depth discretization of extended price (cents): 8 ~75k-row
       // buckets where the equi-width histogram would be skew-lopsided;
@@ -1899,6 +1905,12 @@ object Catalog {
         |SELECT user_id, event_id FROM r
         |WHERE n >= 5 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT source AS key, count(*) AS cnt FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT key, cnt, CAST((cnt * 1000000) // n AS BIGINT) AS share_ppm
+        |FROM c, n ORDER BY cnt DESC, key ASC LIMIT 10""".stripMargin,
 
     "q_bins" ->
       // the identical integer bin formula; DuckDB // == Spark div on the

@@ -298,6 +298,18 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.saltedJoin(left, right, Seq("k"), saltBuckets = 8).count()
     assert(salted == plain)
   }
+
+  test("skewReport surfaces the hottest keys with exact ppm shares") {
+    import org.apache.spark.sql.functions._
+    // 1000 rows: "hot" 500, "warm" 300, then 20 cold keys x 10
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(300)("warm") ++
+      (0 until 20).flatMap(k => Seq.fill(10)(s"cold$k"))
+    val out = Skew.skewReport(rows.toDF("k"), "k", topK = 3)
+      .orderBy(col("cnt").desc, col("key").asc)
+      .as[(String, Long, Long)].collect().toSeq
+    // cold0 wins the tie among cold keys lexicographically
+    assert(out == Seq(("hot", 500L, 500000L), ("warm", 300L, 300000L), ("cold0", 10L, 10000L)))
+  }
 }
 
 class JoinsSpec extends SparkSpec {
