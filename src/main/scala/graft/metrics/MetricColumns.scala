@@ -234,6 +234,33 @@ object MetricColumns {
       .otherwise(coalesce(hi, z) * lit(1L << 30) + coalesce(lo, z) + coalesce(sl, z))
   }
 
+  /** Signed-product analogue of [[exactSumSqParts]]: Σ x·y exactly, for two
+    * pre-projected fixed-point longs. The same hi/lo split holds for
+    * NEGATIVE products because the shift is arithmetic and the mask is the
+    * non-negative remainder: p = floor(p/2^30)·2^30 + (p mod 2^30) in two's
+    * complement. Safe lane requires BOTH |x| and |y| < 3.037e9 (product
+    * fits a long); the rare large lane multiplies exactly in decimal.
+    */
+  def exactSumProdParts(x: Column, y: Column, name: String): Seq[Column] = {
+    val safe = abs(x) < 3037000000L && abs(y) < 3037000000L
+    val prod = x * y
+    val slow = (x.cast(DecimalType(19, 0)) * y.cast(DecimalType(19, 0))).cast(DecimalType(38, 0))
+    Seq(
+      sum(when(safe, shiftright(prod, 30).cast(DecimalType(38, 0)))).as(s"${name}__sumprod_hi"),
+      sum(when(safe, prod.bitwiseAND(lit((1L << 30) - 1)).cast(DecimalType(38, 0)))).as(s"${name}__sumprod_lo"),
+      sum(when(!safe, slow)).as(s"${name}__sumprod_slow"))
+  }
+
+  /** Exact reassembly of [[exactSumProdParts]] — same shape as [[sumsqTotal]]. */
+  def sumprodTotal(name: String): Column = {
+    val z = lit(0L).cast(DecimalType(38, 0))
+    val hi = col(s"${name}__sumprod_hi")
+    val lo = col(s"${name}__sumprod_lo")
+    val sl = col(s"${name}__sumprod_slow")
+    when(hi.isNull && sl.isNull, lit(null).cast(DecimalType(38, 0)))
+      .otherwise(coalesce(hi, z) * lit(1L << 30) + coalesce(lo, z) + coalesce(sl, z))
+  }
+
   /** Row-level aggregate columns for one column config.
     * Output aliases: `<col>__<metric>`. Percentages and derived stats are
     * emitted by [[derived]] in a follow-up projection over these aliases.

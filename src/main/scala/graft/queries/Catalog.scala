@@ -546,6 +546,15 @@ object Catalog {
         .orderBy("user_id", "event_id")
     },
 
+    "q_corr" -> ((s, dir) =>
+      // exact Pearson r for two pairs in one pass: quantity~price
+      // (positively correlated by construction) and discount~tax (~0);
+      // moments are exact integers, r derived with a fixed double tree
+      Correlation.corrPairs(t(s, dir, "lineitem"), Seq(
+          "l_quantity" -> "l_extendedprice",
+          "l_discount" -> "l_tax"), scale = 2)
+        .orderBy("pair")),
+
     "q_skew_report" -> ((s, dir) =>
       // hottest 10 sources + integer ppm share — the diagnostic that
       // decides whether salting/AQE skew handling is needed
@@ -1905,6 +1914,47 @@ object Catalog {
         |SELECT user_id, event_id FROM r
         |WHERE n >= 5 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_corr" ->
+      // identical moments as exact HUGEINT sums, identical double tree:
+      // CAST each co-moment once, then num / (sqrt(dx) * sqrt(dy))
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x1,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y1,
+        |  CAST(CASE WHEN l_discount >= 0 THEN floor(l_discount * 100.0 + 0.5)
+        |            ELSE -floor(-l_discount * 100.0 + 0.5) END AS BIGINT) AS x2,
+        |  CAST(CASE WHEN l_tax >= 0 THEN floor(l_tax * 100.0 + 0.5)
+        |            ELSE -floor(-l_tax * 100.0 + 0.5) END AS BIGINT) AS y2
+        |FROM lineitem),
+        |m AS (SELECT
+        |  count(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL THEN 1 END) AS n1,
+        |  sum(CAST(x1 AS HUGEINT)) AS sx1, sum(CAST(y1 AS HUGEINT)) AS sy1,
+        |  sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS sxx1,
+        |  sum(CAST(y1 AS HUGEINT) * CAST(y1 AS HUGEINT)) AS syy1,
+        |  sum(CAST(x1 AS HUGEINT) * CAST(y1 AS HUGEINT)) AS sxy1,
+        |  count(CASE WHEN x2 IS NOT NULL AND y2 IS NOT NULL THEN 1 END) AS n2,
+        |  sum(CAST(x2 AS HUGEINT)) AS sx2, sum(CAST(y2 AS HUGEINT)) AS sy2,
+        |  sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS sxx2,
+        |  sum(CAST(y2 AS HUGEINT) * CAST(y2 AS HUGEINT)) AS syy2,
+        |  sum(CAST(x2 AS HUGEINT) * CAST(y2 AS HUGEINT)) AS sxy2
+        |FROM f)
+        |SELECT pair, n, CASE WHEN dx > 0.0 AND dy > 0.0
+        |                     THEN num / (sqrt(dx) * sqrt(dy)) END AS corr
+        |FROM (
+        |  SELECT 'l_quantity~l_extendedprice' AS pair, n1 AS n,
+        |         CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) AS num,
+        |         CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) AS dx,
+        |         CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) AS dy
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'l_discount~l_tax', n2,
+        |         CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE),
+        |         CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE),
+        |         CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE)
+        |  FROM m)
+        |ORDER BY pair""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT source AS key, count(*) AS cnt FROM documents GROUP BY 1),

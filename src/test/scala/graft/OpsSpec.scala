@@ -536,6 +536,36 @@ class OutliersSpec extends SparkSpec {
   }
 }
 
+class CorrelationSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.Correlation
+
+  test("corrPairs: exact moments, hand-checked r, layout-invariant bits") {
+    val df = (1 to 200).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, 200.0 - i, 7.0, if (i % 2 == 0) Some(i.toDouble) else None)
+    }.toDF("x", "lin", "neg", "const", "gappy")
+    val out = Correlation.corrPairs(df, Seq(
+      "x" -> "lin", "x" -> "neg", "x" -> "const", "x" -> "gappy"), scale = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // +1/-1 on exact affine maps up to the final sqrt's ulp (s*s != dx bit-wise)
+    assert(out("x~lin")._1 == 200L && math.abs(out("x~lin")._2.get - 1.0) < 1e-12)
+    assert(math.abs(out("x~neg")._2.get + 1.0) < 1e-12)
+    assert(out("x~const")._2.isEmpty)             // zero variance -> null
+    assert(out("x~gappy")._1 == 100L)             // nulls excluded per pair
+    assert(math.abs(out("x~gappy")._2.get - 1.0) < 1e-12)
+    // bit-identical under any partitioning (the builtin corr is not)
+    val a = Correlation.corrPairs(df, Seq("x" -> "lin"), 2).collect()(0).getDouble(2)
+    val b = Correlation.corrPairs(df.repartition(13), Seq("x" -> "lin"), 2).collect()(0).getDouble(2)
+    assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b))
+    // and agrees with the builtin to float tolerance on random-ish data
+    val noisy = (1 to 500).map(i => (i.toDouble, (i % 37).toDouble)).toDF("x", "y")
+    val mine = Correlation.corrPairs(noisy, Seq("x" -> "y"), 2).collect()(0).getDouble(2)
+    val builtin = noisy.agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(mine - builtin) < 1e-9)
+  }
+}
+
 class BinningSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
