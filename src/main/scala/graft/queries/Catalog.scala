@@ -546,6 +546,17 @@ object Catalog {
         .orderBy("user_id", "event_id")
     },
 
+    "q_heavy_hitters" -> { (s, dir) =>
+      // Misra-Gries summary over lang with k above the distinct-language
+      // count -> counts EXACT and order-independent (the oracle is a plain
+      // GROUP BY); the overflow/merge behavior is property-spec'd
+      val sk = t(s, dir, "documents")
+        .agg(graft.functions.MgSketch.mg(col("lang"), 16).as("hh"))
+      sk.select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("lang"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("lang").asc)
+    },
+
     "q_corr" -> ((s, dir) =>
       // exact Pearson r for two pairs in one pass: quantity~price
       // (positively correlated by construction) and discount~tax (~0);
@@ -1914,6 +1925,10 @@ object Catalog {
         |SELECT user_id, event_id FROM r
         |WHERE n >= 5 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang ASC""".stripMargin,
 
     "q_corr" ->
       // identical moments as exact HUGEINT sums, identical double tree:
