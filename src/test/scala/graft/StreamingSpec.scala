@@ -298,6 +298,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming rolling z-score matches the batch operator across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1: steady then a spike; user 2: too short to warm up
+      val rows = (1L to 9L).map(i => (1L, i, 10.0)) ++ Seq((1L, 10L, 10.2), (1L, 11L, 50.0)) ++
+        Seq((2L, 1L, 1.0), (2L, 2L, 99.0))
+      val batchFlags = graft.ops.Outliers.rollingZScore(
+          rows.toDF("user_id", "seq", "v"), Seq("user_id"), "seq", "v",
+          window = 10, tSquared = 9, minPoints = 5, minDev = 1.0)
+        .select(col("user_id").cast("string"), col("seq"), col("is_anomaly"))
+        .as[(String, Long, Boolean)].collect().toSet
+
+      val stream = MemoryStream[(Long, Long, Double)]
+      val df = stream.toDF().toDF("user_id", "seq", "v")
+      val q = StreamingAnomaly.anomalyStream(spark, df, "user_id", "seq", "v",
+          window = 10, tSquared = 9, minPoints = 5, minDev = 1.0)
+        .writeStream.format("memory").queryName("anom_test").outputMode("append").start()
+      // split in seq order across TWO batches: state must carry the ring over
+      val (b1, b2) = rows.partition(_._2 <= 6)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("anom_test")
+        .as[(String, Long, Boolean)].collect().toSet
+      q.stop()
+      assert(streamed == batchFlags, "in-order streamed flags must equal batch flags")
+      assert(streamed.count(_._3) == 1 && streamed.contains(("1", 11L, true)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionization closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
