@@ -29,39 +29,54 @@ object Correlation {
     *               [[MetricColumns.fixedPointLong]]); inputs must be decimal
     *               at ≤ scale places for exactness
     */
+  /** The pair's co-moment aggregates over two pre-projected fixed-point
+    * longs, aliased under `tag` — usable inside ANY aggregate (the Scanner
+    * appends these to its pass-1 aggregation so a scan's correlation
+    * matrix rides the single scan pass).
+    */
+  private[graft] def pairAggs(xFx: Column, yFx: Column, tag: String): Seq[Column] = {
+    val both = xFx.isNotNull && yFx.isNotNull
+    val x = when(both, xFx)
+    val y = when(both, yFx)
+    Seq(
+      count(when(both, lit(1))).as(s"n_$tag"),
+      sum(x.cast(DecimalType(38, 0))).as(s"sx_$tag"),
+      sum(y.cast(DecimalType(38, 0))).as(s"sy_$tag")) ++
+      MetricColumns.exactSumSqParts(x, s"xx_$tag") ++
+      MetricColumns.exactSumSqParts(y, s"yy_$tag") ++
+      MetricColumns.exactSumProdParts(x, y, s"xy_$tag")
+  }
+
+  /** r derived from [[pairAggs]]'s row — every term an exact integer; the
+    * double tree is fixed: cast each exact co-moment once, then
+    * num / (sqrt(dx) · sqrt(dy)). NULL when either variance is zero.
+    */
+  private[graft] def pairCorr(tag: String): Column = {
+    val n = col(s"n_$tag").cast(DecimalType(38, 0))
+    val sx = col(s"sx_$tag"); val sy = col(s"sy_$tag")
+    val sxx = MetricColumns.sumsqTotal(s"xx_$tag")
+    val syy = MetricColumns.sumsqTotal(s"yy_$tag")
+    val sxy = MetricColumns.sumprodTotal(s"xy_$tag")
+    val num = (n * sxy - sx * sy).cast(DoubleType)
+    val dx = (n * sxx - sx * sx).cast(DoubleType)
+    val dy = (n * syy - sy * sy).cast(DoubleType)
+    when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
+  }
+
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)], scale: Int = 2): DataFrame = {
     require(pairs.nonEmpty, "need at least one pair")
     val needed = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val base = df.select(needed.map(c =>
       MetricColumns.fixedPointLong(col(c), scale).as(s"__fx_$c")): _*)
     val aggs: Seq[Column] = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
-      val both = col(s"__fx_$a").isNotNull && col(s"__fx_$b").isNotNull
-      val x = when(both, col(s"__fx_$a"))
-      val y = when(both, col(s"__fx_$b"))
-      Seq(
-        count(when(both, lit(1))).as(s"n_$i"),
-        sum(x.cast(DecimalType(38, 0))).as(s"sx_$i"),
-        sum(y.cast(DecimalType(38, 0))).as(s"sy_$i")) ++
-        MetricColumns.exactSumSqParts(x, s"xx_$i") ++
-        MetricColumns.exactSumSqParts(y, s"yy_$i") ++
-        MetricColumns.exactSumProdParts(x, y, s"xy_$i")
+      pairAggs(col(s"__fx_$a"), col(s"__fx_$b"), i.toString)
     }
     val m = base.agg(aggs.head, aggs.tail: _*)
     val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val n = col(s"n_$i").cast(DecimalType(38, 0))
-      val sx = col(s"sx_$i"); val sy = col(s"sy_$i")
-      val sxx = MetricColumns.sumsqTotal(s"xx_$i")
-      val syy = MetricColumns.sumsqTotal(s"yy_$i")
-      val sxy = MetricColumns.sumprodTotal(s"xy_$i")
-      // every term below is an exact integer; the double tree is fixed:
-      // cast each exact co-moment once, then num / (sqrt · sqrt)
-      val num = (n * sxy - sx * sy).cast(DoubleType)
-      val dx = (n * sxx - sx * sx).cast(DoubleType)
-      val dy = (n * syy - sy * sy).cast(DoubleType)
       struct(
         lit(s"$a~$b").as("pair"),
         col(s"n_$i").as("n"),
-        when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("corr"))
+        pairCorr(i.toString).as("corr"))
     }
     m.select(inline(array(rows: _*)))
   }

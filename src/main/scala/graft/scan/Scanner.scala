@@ -33,6 +33,12 @@ object Scanner {
     * costs more than the whole single-task pass (see `widened`).
     */
   val WideningMinWorkload = 24
+
+  /** Column cap for the `correlation` metric group (pairs grow
+    * quadratically: 10 columns = 45 pairs × 12 aggregates riding pass 1);
+    * extra numeric columns are dropped in schema order.
+    */
+  val CorrelationMaxColumns = 10
   val HistogramBuckets = 10
 
   /** Top-n (value, cnt) of one column of the (colIdx, value, cnt) frame, by
@@ -167,21 +173,44 @@ object Scanner {
     }
 
     // ---- pass 1: row-level metrics -------------------------------------
+    // the `correlation` metric group (table-level): every numeric column
+    // pair's exact co-moments RIDE this same single aggregate — no second
+    // scan; pairs grow quadratically, so columns are capped (schema order)
+    val corrFields =
+      if (scan.metricGroups.contains("correlation"))
+        fields.filter(f => isNumeric(f.dataType)).take(CorrelationMaxColumns).toSeq
+      else Seq.empty
+    val corrPairs = corrFields.combinations(2).map(p => (p(0), p(1))).toSeq
+    val corrPreCols = corrFields.map(f =>
+      graft.metrics.MetricColumns.fixedPointLong(col(f.name),
+        graft.metrics.MetricColumns.sumsqScale(f.dataType)).as(s"__corrfx_${f.name}"))
     val preCols: Seq[Column] = fields.toSeq.flatMap { f =>
       preProjection(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
+    } ++ corrPreCols
+    val corrAggs: Seq[Column] = corrPairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      graft.ops.Correlation.pairAggs(
+        col(s"__corrfx_${a.name}"), col(s"__corrfx_${b.name}"), s"corr_$i")
     }
     val pass1Weight = fields.toSeq
-      .map(f => aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics)).size).sum
+      .map(f => aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics)).size).sum +
+      corrAggs.size
     val wideDf = widened(df, pass1Weight)
     val aggInput = if (preCols.isEmpty) wideDf else wideDf.select(col("*") +: preCols: _*)
     val aggCols: Seq[Column] = fields.toSeq.flatMap { f =>
       aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
-    }
+    } ++ corrAggs
     val base = aggInput.agg(count(lit(1)).as("row_count"), aggCols: _*)
-    val derivedCols: Seq[Column] = col("row_count") +: fields.toSeq.flatMap { f =>
+    val derivedCols: Seq[Column] = (col("row_count") +: fields.toSeq.flatMap { f =>
       derived(f.name, metricsOf(f).filter(rowLevelMetrics), f.dataType)
+    }) ++ corrPairs.zipWithIndex.map { case (_, i) =>
+      graft.ops.Correlation.pairCorr(s"corr_$i").as(s"__corr_$i")
     }
     val row = base.select(derivedCols: _*).collect()(0)
+    corrPairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val r = row.getAs[Any](s"__corr_$i")
+      if (r != null)
+        measurements += Measurement("correlation", Some(s"${a.name}~${b.name}"), Some(r))
+    }
 
     val metricValues = mutable.Map.empty[(Option[String], String), Any] // (column, metric) -> value
     val rowCount = row.getAs[Long]("row_count")

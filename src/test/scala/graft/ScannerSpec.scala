@@ -377,6 +377,52 @@ class ScannerSpec extends SparkSpec {
     assert(shifted > 0.25, s"psi $shifted")
   }
 
+  test("correlation metric group rides pass 1 and matches the standalone operator bit-for-bit") {
+    val data = (1 to 300).map(i =>
+      (i.toDouble, 2.5 * i + 1.0, (i % 17).toDouble, s"tag$i")).toDF("a", "b", "c", "s")
+    val yaml2 =
+      """table_name: corrscan
+        |metrics:
+        |- row_count
+        |metric_groups:
+        |- correlation
+        |""".stripMargin
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        // createOrReplaceTempView fires an execution-start event but runs
+        // no job — count only data-reading actions
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if !s.description.contains("createOrReplaceTempView") =>
+          descs.add(s.description); counter.incrementAndGet()
+        case _ =>
+      }
+    }
+    data.count() // materialize + let any straggler listener events drain
+    Thread.sleep(300)
+    spark.sparkContext.addSparkListener(listener)
+    val r = try {
+      val res = Scanner.executeYaml(spark, data, yaml2)
+      Thread.sleep(300)
+      assert(counter.get() == 1,
+        s"correlation must RIDE pass 1, saw ${counter.get()} actions: ${java.util.Arrays.toString(descs.toArray)}")
+      res
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // string column excluded; 3 numeric columns -> 3 pairs
+    val got = r.measurements.filter(_.metric == "correlation")
+      .map(m => m.columnName.get -> m.value.get.asInstanceOf[Double]).toMap
+    assert(got.keySet == Set("a~b", "a~c", "b~c"))
+    val standalone = graft.ops.Correlation.corrPairs(data,
+      Seq("a" -> "b", "a" -> "c", "b" -> "c"), scale = graft.metrics.MetricColumns.ScanSumScale)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    got.foreach { case (pair, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(standalone(pair)), s"$pair: $v vs ${standalone(pair)}")
+    }
+    assert(math.abs(got("a~b") - 1.0) < 1e-12) // exact affine pair
+  }
+
   test("persisted PSI reference reproduces the two-frame PSI bit-for-bit") {
     import graft.scan.Drift
     val refDf = (0 until 500).map(i => ((i % 97) * 1.03)).toDF("v")
