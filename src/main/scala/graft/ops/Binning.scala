@@ -19,28 +19,47 @@ import org.apache.spark.sql.types.LongType
   * `ceil(n·p)−1` index and DuckDB's `floor((n−1)·p)` disagree whenever
   * frac(n·p) < p, so boundaries would drift cross-engine.
   *
-  * Scale shape: one groupBy(value) shuffle (map-side combined), then a
-  * cumulative window over the DISTINCT-value frame. That window is a
-  * single-partition pass over value cardinality — the same deliberate
-  * trade as exact `percentile`'s per-group value map (see Outliers); for
-  * continuous domains quantize first (fixed-point longs), which also keeps
-  * the arithmetic exact. Row counts never funnel — only distinct values do.
+  * Scale shape: one groupBy(value) shuffle (map-side combined), then the
+  * cumulative count, ROUTED by measured distinct cardinality (the
+  * `jaccardPairsAuto` measure-then-route discipline): up to
+  * `maxLocalDistinct` values a single-partition running sum over the tiny
+  * (v, c) frame is cheapest; past it — price-like domains where distinct ≈
+  * rows — the cumulative goes through [[Packing.prefixSum]]'s two-phase
+  * DISTRIBUTED scan (range partition → driver-cumulated partition totals →
+  * per-partition window), so no value cardinality ever funnels through one
+  * partition. Both routes compute the same unique prefix sums (route
+  * equivalence is spec-asserted). Quantize continuous domains to
+  * fixed-point longs first — that also keeps the arithmetic exact.
   */
 object Binning {
 
   /** @param valueCol integer-valued column (cast/quantize continuous values
     *                 to fixed-point longs first); NULLs are excluded
+    * @param maxLocalDistinct route threshold: counts frames at or under it
+    *                         take the single-partition running sum (1M tiny
+    *                         rows ≈ one cheap task), larger ones the
+    *                         distributed prefix sum
     * @return (bin, n_rows, v_min, v_max) per non-empty bin, bins 0..k-1
     */
-  def equiDepthBins(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+  def equiDepthBins(df: DataFrame, valueCol: Column, k: Int,
+                    maxLocalDistinct: Long = 1L << 20): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val counts = df.select(valueCol.cast(LongType).as("v")).where(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val cum = counts
-      .withColumn("cum", sum("c").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum("c").over(Window.partitionBy()))
-    cum.withColumn("bin", expr(s"((cum - 1) * ${k}L) div n"))
+    val distinct = counts.count() // one cheap job; the shuffle files are reused
+    val cum =
+      if (distinct <= maxLocalDistinct)
+        counts.withColumn("cum",
+          sum("c").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      else
+        // INCLUSIVE cumulative = exclusive prefix sum + own count; value
+        // uniqueness (a groupBy key) satisfies prefixSum's order contract
+        Packing.prefixSum(counts, "v", col("c"), "cum_excl")
+          .withColumn("cum", col("cum_excl") + col("c")).drop("cum_excl")
+    val total = broadcast(counts.agg(sum("c").as("n")))
+    cum.crossJoin(total)
+      .withColumn("bin", expr(s"((cum - 1) * ${k}L) div n"))
       .groupBy("bin")
       .agg(sum("c").cast(LongType).as("n_rows"), min("v").as("v_min"), max("v").as("v_max"))
   }

@@ -590,6 +590,13 @@ class BinningSpec extends SparkSpec {
     val depths = Binning.equiDepthBins(skew, col("x"), 4)
       .select("n_rows").as[Long].collect()
     assert(depths.max <= 991L && depths.sum == 1000L)
+
+    // route equivalence: the distributed prefix-sum path (forced by a zero
+    // local threshold) computes the identical bins
+    val big = (0 until 5000).map(i => (i * 7 % 4096).toLong).toDF("x")
+    val local = Binning.equiDepthBins(big, col("x"), 16).orderBy("bin").collect().toSeq
+    val dist = Binning.equiDepthBins(big, col("x"), 16, maxLocalDistinct = 0).orderBy("bin").collect().toSeq
+    assert(local == dist, "window route and distributed prefix-sum route must agree")
   }
 }
 
