@@ -70,4 +70,99 @@ object StreamingAnomaly {
       .transformWithState(new Processor(window, tSquared, minPoints, minDevFx),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class TimedEvent(key: String, seq: Long, fx: Long, tsMs: Long)
+
+  /** [[Processor]] upgraded to a WATERMARK-BUFFERED total order: incoming
+    * events park in a ListState buffer; once the watermark passes an
+    * event's time it is FINAL (no earlier event can still arrive), so
+    * buffered events at or below the watermark drain through the ring in
+    * seq order — flags under any cross-batch arrival disorder equal the
+    * batch operator's, at the price of watermark-delayed emission. An
+    * event-time timer drains keys that receive no further input. Events
+    * arriving later than the watermark allows are dropped (standard
+    * late-data semantics).
+    */
+  class OrderedProcessor(window: Int, tSquared: Long, minPoints: Int, minDevFx: Long)
+      extends StatefulProcessor[String, TimedEvent, AnomalyFlag] {
+    @transient private var ring: ValueState[Ring] = _
+    @transient private var buf: ListState[TimedEvent] = _
+    @transient private var drainedTo: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ring = getHandle.getValueState[Ring]("ring", Encoders.product[Ring], TTLConfig.NONE)
+      buf = getHandle.getListState[TimedEvent]("buf", Encoders.product[TimedEvent], TTLConfig.NONE)
+      drainedTo = getHandle.getValueState[Long]("drainedTo", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def drain(watermarkMs: Long): Iterator[AnomalyFlag] = {
+      if (watermarkMs <= 0) return Iterator.empty
+      val all = buf.get().toSeq
+      val (ready, pending) = all.partition(_.tsMs <= watermarkMs)
+      if (ready.isEmpty) return Iterator.empty
+      var rbuf = if (ring.exists()) ring.get().values.toVector else Vector.empty[Long]
+      val out = ready.sortBy(e => (e.tsMs, e.seq)).map { e =>
+        val n = rbuf.size.toLong
+        val flag = n >= minPoints && {
+          var s = 0L; var q = 0L
+          rbuf.foreach { v => s += v; q += v * v }
+          val dev = n * e.fx - s
+          dev * dev > tSquared * (n * q - s * s) && math.abs(dev) > n * minDevFx
+        }
+        rbuf = (rbuf :+ e.fx).takeRight(window)
+        AnomalyFlag(e.key, e.seq, flag)
+      }
+      ring.update(Ring(rbuf))
+      drainedTo.update(watermarkMs)
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending.toArray)
+      out.iterator
+    }
+
+    private def armTimer(timerValues: TimerValues): Unit =
+      if (buf.get().hasNext)
+        getHandle.registerTimer(math.max(timerValues.getCurrentWatermarkInMs(), 0L) + 1L)
+
+    override def handleInputRows(key: String, rows: Iterator[TimedEvent],
+                                 timerValues: TimerValues): Iterator[AnomalyFlag] = {
+      val floor = if (drainedTo.exists()) drainedTo.get() else Long.MinValue
+      val fresh = rows.filter(_.tsMs > floor).toArray // older-than-drained = late, dropped
+      if (fresh.nonEmpty) buf.appendList(fresh)
+      val out = drain(timerValues.getCurrentWatermarkInMs())
+      armTimer(timerValues)
+      out
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[AnomalyFlag] = {
+      val out = drain(timerValues.getCurrentWatermarkInMs())
+      armTimer(timerValues)
+      out
+    }
+  }
+
+  /** Total-order variant of [[anomalyStream]]: `tsCol` is the event-time
+    * column the stream is watermarked on (`withWatermark(tsCol, delay)`
+    * must already be applied by the caller); flags are emitted once the
+    * watermark finalizes each event, identical to the batch operator under
+    * ANY arrival order within the watermark bound.
+    */
+  def orderedAnomalyStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                           tsCol: String, seqCol: String, valueCol: String,
+                           window: Int, tSquared: Long, minPoints: Int = 5,
+                           minDev: Double = 0.0, fxScale: Int = 3): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    require(window >= 2 && minPoints >= 2 && tSquared >= 0 && minDev >= 0, "bad parameters")
+    val minDevFx = math.round(minDev * math.pow(10, fxScale))
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale).as("fx"),
+        (col(tsCol).cast("timestamp").cast("double") * 1000.0).cast("long").as("tsMs"))
+      .where(col("fx").isNotNull)
+      .as[TimedEvent]
+      .groupByKey(_.key)
+      .transformWithState(new OrderedProcessor(window, tSquared, minPoints, minDevFx),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

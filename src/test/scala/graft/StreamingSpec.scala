@@ -338,6 +338,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("watermark-buffered rolling z-score: batch parity under out-of-order arrival") {
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      // same shape as the in-order test: steady, blip, spike
+      val rows = (1L to 9L).map(i => (1L, i, 10.0)) ++ Seq((1L, 10L, 10.2), (1L, 11L, 50.0))
+      val batchFlags = graft.ops.Outliers.rollingZScore(
+          rows.toDF("user_id", "seq", "v"), Seq("user_id"), "seq", "v",
+          window = 10, tSquared = 9, minPoints = 5, minDev = 1.0)
+        .select(col("user_id").cast("string"), col("seq"), col("is_anomaly"))
+        .as[(String, Long, Boolean)].collect().toSet
+
+      val stream = MemoryStream[(Long, Timestamp, Long, Double)]
+      val df = stream.toDF().toDF("user_id", "ts", "seq", "v")
+        .withWatermark("ts", "10 seconds")
+      val q = StreamingAnomaly.orderedAnomalyStream(spark, df, "user_id", "ts", "seq", "v",
+          window = 10, tSquared = 9, minPoints = 5, minDev = 1.0)
+        .writeStream.format("memory").queryName("anom_ord").outputMode("append").start()
+
+      // feed SHUFFLED across three batches (disorder crosses batch edges);
+      // event time = seq seconds, so order is recoverable only by buffering
+      val timed = rows.map { case (u, s, v) => (u, ts(s), s, v) }
+      val shuffled = Seq(timed(4), timed(9), timed(0), timed(7)) ++
+        Seq(timed(2), timed(10), timed(1), timed(5)) ++
+        Seq(timed(8), timed(3), timed(6))
+      stream.addData(shuffled.take(4)); q.processAllAvailable()
+      stream.addData(shuffled.slice(4, 8)); q.processAllAvailable()
+      stream.addData(shuffled.drop(8)); q.processAllAvailable()
+      // push the watermark far past every buffered event to flush
+      stream.addData((2L, ts(10000), 1L, 0.0)); q.processAllAvailable()
+      stream.addData((2L, ts(20000), 2L, 0.0)); q.processAllAvailable()
+
+      val streamed = spark.table("anom_ord")
+        .where(col("key") === "1")
+        .as[(String, Long, Boolean)].collect().toSet
+      q.stop()
+      assert(streamed == batchFlags,
+        s"out-of-order streamed flags must equal batch flags\n$streamed\nvs\n$batchFlags")
+      assert(streamed.count(_._3) == 1 && streamed.contains(("1", 11L, true)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionization closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
