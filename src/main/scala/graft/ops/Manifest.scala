@@ -38,9 +38,29 @@ object Manifest {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Partition-VALUE manifest for hive-partitioned layouts: the same stats
+    * keyed by the partition columns instead of the physical file — the
+    * grain partition pruning operates on. One row per partition tuple:
+    * (partitionCols…, n_rows, <c>_min/_max/_nulls…). Combined with
+    * [[prunableFiles]]' envelope rule (on this frame) it audits whether a
+    * predicate's partition pruning actually eliminates the directories a
+    * layout promises.
+    */
+  def partitionManifest(df: DataFrame, partitionCols: Seq[String],
+                        statCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty && statCols.nonEmpty, "need partition and stat columns")
+    val aggs: Seq[Column] = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}_nulls"))
+    }
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** Files whose [min, max] envelope for `c` cannot intersect [lo, hi] —
     * the files a scan with that range predicate skips entirely. All-null
-    * files (null min/max) are conservatively NOT prunable here.
+    * files (null min/max) are conservatively NOT prunable here. Works on
+    * [[partitionManifest]] rows too (then it counts prunable PARTITIONS).
     */
   def prunableFiles(manifest: DataFrame, c: String, lo: Column, hi: Column): DataFrame =
     manifest.where(col(s"${c}_max") < lo || col(s"${c}_min") > hi)

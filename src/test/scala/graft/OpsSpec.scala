@@ -636,6 +636,22 @@ class ManifestSpec extends SparkSpec {
       Manifest.fileManifest(hashed, Seq("k")), "k", lit(100L), lit(200L))
     assert(prunedHashed == 0.0, s"hashed layout claimed pruning $prunedHashed")
   }
+
+  test("partitionManifest audits hive-partitioned layouts at partition grain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmanifest").toString
+    (0 until 1000).map(i => (i / 250, i.toLong, if (i % 50 == 0) None else Some(i.toDouble)))
+      .toDF("p", "k", "v")
+      .write.partitionBy("p").mode("overwrite").parquet(s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t")
+    val m = Manifest.partitionManifest(back, Seq("p"), Seq("k", "v"))
+    val rows = m.collect().map(r => r.getAs[Int]("p") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("k_min"), r.getAs[Long]("k_max"), r.getAs[Long]("v_nulls"))).toMap
+    assert(rows.keySet == Set(0, 1, 2, 3))
+    assert(rows(1) == ((250L, 250L, 499L, 5L)))
+    // the k-range predicate [260, 300] keeps only partition 1's envelope
+    val prunable = Manifest.prunableFiles(m, "k", lit(260L), lit(300L)).count()
+    assert(prunable == 3L)
+  }
 }
 
 class HilbertSpec extends SparkSpec {
