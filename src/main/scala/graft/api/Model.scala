@@ -32,7 +32,24 @@ final case class ColumnConfig(
     validMin: Option[Double] = None,
     validMax: Option[Double] = None,
     validMinLength: Option[Int] = None,
-    validMaxLength: Option[Int] = None
+    validMaxLength: Option[Int] = None,
+    anomaly: Option[AnomalyConfig] = None
+)
+
+/** Beyond the reference surface: per-column rolling z-score anomaly
+  * detection in the scan (`anomaly:` YAML key) — the column's values are
+  * sequenced by `order` within each `key` group and each value compared
+  * against its preceding `window` values ([[graft.ops.Outliers]]
+  * `rollingZScore` semantics, integer-exact); the scan emits an
+  * `anomaly_count` metric the tests can gate on (`anomaly_count < 10`).
+  */
+final case class AnomalyConfig(
+    key: String,
+    order: String,
+    window: Int = 20,
+    tSquared: Long = 9,
+    minPoints: Int = 5,
+    minDev: Double = 0.0
 )
 
 final case class SqlMetric(

@@ -580,6 +580,28 @@ object Catalog {
           MetricColumns.fixedPointLong(col("l_extendedprice"), 2), k = 8)
         .orderBy("bin")),
 
+    "q_scan_anomaly" -> { (s, dir) =>
+      // the anomaly check wired through the full scan surface: the scan's
+      // anomaly_count metric + the test verdict gating on it
+      val yaml =
+        """table_name: events
+          |columns:
+          |  value:
+          |    anomaly:
+          |      key: user_id
+          |      order: event_id
+          |      window: 10
+          |      t_squared: 9
+          |      min_points: 5
+          |    tests:
+          |    - anomaly_count > 0
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, t(s, dir, "events"), yaml)
+      val n = r.measurement("anomaly_count", Some("value")).get.value.get.asInstanceOf[Long]
+      val passed = r.testResults.head.passed
+      s.range(1).select(lit(n).as("anomaly_count"), lit(passed).as("test_passed"))
+    },
+
     "q_rollup" -> { (s, dir) =>
       // hierarchical totals in one pass (Expand, not N aggregates)
       t(s, dir, "lineitem")
@@ -1988,6 +2010,23 @@ object Catalog {
         |SELECT CAST(((cum - 1) * 8) // n AS BIGINT) AS bin,
         |       CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS v_min, max(v) AS v_max
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scan_anomaly" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |                  CAST(CASE WHEN value >= 0 THEN floor(value * 1000.0 + 0.5)
+        |                            ELSE -floor(-value * 1000.0 + 0.5) END AS BIGINT) AS v
+        |           FROM events),
+        |r AS (SELECT v, count(v) OVER w AS n, sum(v) OVER w AS s, sum(v * v) OVER w AS q
+        |      FROM f
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT CAST(count(*) FILTER (WHERE n >= 5
+        |              AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)) AS BIGINT)
+        |         AS anomaly_count,
+        |       count(*) FILTER (WHERE n >= 5
+        |              AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)) > 0
+        |         AS test_passed
+        |FROM r""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -65,6 +65,15 @@ object ScanYamlParser {
       validMin = optNum(m, "valid_min"),
       validMax = optNum(m, "valid_max"),
       validMinLength = optInt(m, "valid_min_length"),
-      validMaxLength = optInt(m, "valid_max_length")
+      validMaxLength = optInt(m, "valid_max_length"),
+      anomaly = m.get("anomaly").map(_.asMap).map { am =>
+        AnomalyConfig(
+          key = am("key").asString,
+          order = am("order").asString,
+          window = optInt(am, "window").getOrElse(20),
+          tSquared = optInt(am, "t_squared").map(_.toLong).getOrElse(9L),
+          minPoints = optInt(am, "min_points").getOrElse(5),
+          minDev = optNum(am, "min_dev").getOrElse(0.0))
+      }
     )
 }

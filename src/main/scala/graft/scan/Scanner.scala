@@ -382,6 +382,19 @@ object Scanner {
       }
     }
 
+    // ---- anomaly checks (beyond the reference: `anomaly:` column key) ----
+    // per configured column, the count of rolling z-score breaks over the
+    // preceding-window frame (Outliers.rollingZScore — one keyed window
+    // pass + a 1-row count) recorded as `anomaly_count`, so tests can gate
+    // on time-series behavior ("anomaly_count < 10")
+    fields.filter(f => cfgOf(f.name).anomaly.isDefined).foreach { f =>
+      val ac = cfgOf(f.name).anomaly.get
+      val n = graft.ops.Outliers.rollingZScore(df, Seq(ac.key), ac.order, f.name,
+          ac.window, ac.tSquared, ac.minPoints, ac.minDev)
+        .where(col("is_anomaly")).count()
+      record(f.name, "anomaly_count", n)
+    }
+
     // ---- samples (reference `samples:` config, tests/test_scan.py:24-26) --
     // table_limit: a deterministic head-by-all-columns table sample;
     // failed_limit: per configured column, the first N rows failing its

@@ -423,6 +423,42 @@ class ScannerSpec extends SparkSpec {
     assert(math.abs(got("a~b") - 1.0) < 1e-12) // exact affine pair
   }
 
+  test("anomaly: column config runs the rolling z-score check and gates tests") {
+    val rows = (1L to 9L).map(i => (1L, i, 10.0)) ++ Seq((1L, 10L, 50.0)) ++
+      (1L to 8L).map(i => (2L, i, 5.0))
+    val data = rows.toDF("user_id", "seq", "v")
+    val yaml2 =
+      """table_name: anomscan
+        |columns:
+        |  v:
+        |    anomaly:
+        |      key: user_id
+        |      order: seq
+        |      window: 10
+        |      t_squared: 9
+        |      min_points: 5
+        |      min_dev: 1.0
+        |    tests:
+        |    - anomaly_count == 0
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, data, yaml2)
+    // the 50.0 spike over user 1's constant history is the one anomaly
+    assert(r.measurement("anomaly_count", Some("v")).get.value.contains(1L))
+    val tr = r.testResults.head
+    assert(!tr.passed && !tr.skipped)
+    assert(tr.values("anomaly_count") == "1")
+    // a scan WITHOUT the anomaly config leaves the metric unmeasured ->
+    // the referencing test is SKIPPED, not an error (reference semantics)
+    val r2 = Scanner.executeYaml(spark, data,
+      """table_name: anomscan
+        |columns:
+        |  v:
+        |    tests:
+        |    - anomaly_count == 0
+        |""".stripMargin)
+    assert(r2.testResults.head.skipped)
+  }
+
   test("persisted PSI reference reproduces the two-frame PSI bit-for-bit") {
     import graft.scan.Drift
     val refDf = (0 until 500).map(i => ((i % 97) * 1.03)).toDF("v")
