@@ -237,7 +237,11 @@ object Multimodal {
       val px = bpp / 8
       val srcRow = ((srcW * bpp + 31) / 32) * 4
       if (pixOff < 54 || pixOff.toLong + srcRow.toLong * srcH > bytes.length) return None
-      val dstRow = ((newW * bpp + 31) / 32) * 4
+      val dstRowL = ((newW.toLong * bpp + 31) / 32) * 4
+      // guard the OUTPUT size too: adversarial target dims would overflow
+      // the Int array size and throw instead of triaging cleanly
+      if (54L + dstRowL * newH > Int.MaxValue - 8) return None
+      val dstRow = dstRowL.toInt
       val dataSize = dstRow * newH
       val out = new Array[Byte](54 + dataSize)
       out(0) = 'B'; out(1) = 'M'
