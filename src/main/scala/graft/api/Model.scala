@@ -16,8 +16,28 @@ final case class ScanDefinition(
     tests: Seq[String] = Nil,
     sqlMetrics: Seq[SqlMetric] = Nil,
     samples: Option[Samples] = None,
-    filter: Option[String] = None
+    filter: Option[String] = None,
+    /** Beyond the reference surface: row-level CROSS-COLUMN invariants
+      * (`row_checks:` YAML list of boolean SQL expressions, e.g.
+      * `l_shipdate <= l_receiptdate`). Each check's violation count rides
+      * the single pass-1 aggregate as one conditional sum and is emitted
+      * as a `row_check_violations` measurement keyed by the expression —
+      * table tests gate on named checks via [[RowCheck.alias]].
+      */
+    rowChecks: Seq[RowCheck] = Nil
 )
+
+/** One row-level invariant: rows where `expression` is FALSE or NULL count
+  * as violations (a check that cannot evaluate is a violation, not a pass).
+  * `name` (optional) is the metric alias tests reference; it defaults to
+  * `row_check_<index>`.
+  */
+final case class RowCheck(expression: String, name: Option[String] = None)
+
+object RowCheck {
+  def alias(rc: RowCheck, idx: Int): String =
+    rc.name.getOrElse(s"row_check_$idx")
+}
 
 final case class ColumnConfig(
     metrics: Seq[String] = Nil,

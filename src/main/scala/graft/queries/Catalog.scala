@@ -580,6 +580,28 @@ object Catalog {
           MetricColumns.fixedPointLong(col("l_extendedprice"), 2), k = 8)
         .orderBy("bin")),
 
+    "q_row_checks" -> { (s, dir) =>
+      // cross-column row invariants riding the scan's pass 1: a holding
+      // dates check and a violated arithmetic check, each one conditional
+      // sum; the named alias is the metric the table test gates on
+      val yaml =
+        """table_name: lineitem
+          |row_checks:
+          |- check: l_quantity >= 1 AND l_quantity <= 50
+          |  name: quantity_in_range
+          |- l_discount < l_tax
+          |tests:
+          |- quantity_in_range == 0
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, t(s, dir, "lineitem"), yaml)
+      def v(alias: String) =
+        r.measurement("row_check_violations", Some(alias)).get.value.get.asInstanceOf[Long]
+      s.range(1).select(
+        lit(v("quantity_in_range")).as("quantity_violations"),
+        lit(v("row_check_1")).as("discount_violations"),
+        lit(r.testResults.head.passed).as("test_passed"))
+    },
+
     "q_scan_anomaly" -> { (s, dir) =>
       // the anomaly check wired through the full scan surface: the scan's
       // anomaly_count metric + the test verdict gating on it
@@ -2010,6 +2032,16 @@ object Catalog {
         |SELECT CAST(((cum - 1) * 8) // n AS BIGINT) AS bin,
         |       CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS v_min, max(v) AS v_max
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_row_checks" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS quantity_violations,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_discount < l_tax, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS discount_violations,
+        |  sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) = 0
+        |    AS test_passed
+        |FROM lineitem""".stripMargin,
 
     "q_scan_anomaly" ->
       """WITH f AS (SELECT user_id, event_id,

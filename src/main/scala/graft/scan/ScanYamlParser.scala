@@ -38,6 +38,12 @@ object ScanYamlParser {
     val samples = m.get("samples").map(_.asMap).map { sm =>
       Samples(tableLimit = optInt(sm, "table_limit"), failedLimit = optInt(sm, "failed_limit"))
     }
+    // row_checks entries are either a bare expression string or a map with
+    // `check:` (the expression) and an optional `name:`
+    val rowChecks = m.get("row_checks").map(_.asList).getOrElse(Nil).map {
+      case YMap(cm) => RowCheck(cm("check").asString, optStr(cm, "name"))
+      case v => RowCheck(v.asString)
+    }
     ScanDefinition(
       tableName = m("table_name").asString,
       metrics = m.get("metrics").map(strs).getOrElse(Nil),
@@ -47,7 +53,8 @@ object ScanYamlParser {
       tests = m.get("tests").map(strs).getOrElse(Nil),
       sqlMetrics = sqlMetrics,
       samples = samples,
-      filter = optStr(m, "filter")
+      filter = optStr(m, "filter"),
+      rowChecks = rowChecks
     )
   }
 

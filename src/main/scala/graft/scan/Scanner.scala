@@ -191,20 +191,27 @@ object Scanner {
       graft.ops.Correlation.pairAggs(
         col(s"__corrfx_${a.name}"), col(s"__corrfx_${b.name}"), s"corr_$i")
     }
+    // row-level cross-column checks (`row_checks:`): each is ONE
+    // conditional sum riding pass 1 — FALSE or NULL (can't-evaluate)
+    // counts as a violation
+    val rowCheckAggs: Seq[Column] = scan.rowChecks.zipWithIndex.map { case (rc, i) =>
+      sum(when(!coalesce(expr(rc.expression), lit(false)), 1L).otherwise(0L))
+        .cast(LongType).as(s"__rowcheck_$i")
+    }
     val pass1Weight = fields.toSeq
       .map(f => aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics)).size).sum +
-      corrAggs.size
+      corrAggs.size + rowCheckAggs.size
     val wideDf = widened(df, pass1Weight)
     val aggInput = if (preCols.isEmpty) wideDf else wideDf.select(col("*") +: preCols: _*)
     val aggCols: Seq[Column] = fields.toSeq.flatMap { f =>
       aggColumns(f, cfgOf(f.name), metricsOf(f).filter(rowLevelMetrics))
-    } ++ corrAggs
+    } ++ corrAggs ++ rowCheckAggs
     val base = aggInput.agg(count(lit(1)).as("row_count"), aggCols: _*)
     val derivedCols: Seq[Column] = (col("row_count") +: fields.toSeq.flatMap { f =>
       derived(f.name, metricsOf(f).filter(rowLevelMetrics), f.dataType)
     }) ++ corrPairs.zipWithIndex.map { case (_, i) =>
       graft.ops.Correlation.pairCorr(s"corr_$i").as(s"__corr_$i")
-    }
+    } ++ scan.rowChecks.indices.map(i => col(s"__rowcheck_$i"))
     val row = base.select(derivedCols: _*).collect()(0)
     corrPairs.zipWithIndex.foreach { case ((a, b), i) =>
       val r = row.getAs[Any](s"__corr_$i")
@@ -213,6 +220,13 @@ object Scanner {
     }
 
     val metricValues = mutable.Map.empty[(Option[String], String), Any] // (column, metric) -> value
+    scan.rowChecks.zipWithIndex.foreach { case (rc, i) =>
+      val alias = RowCheck.alias(rc, i)
+      val v = row.getAs[Long](s"__rowcheck_$i")
+      // table-level metric key: TABLE tests reference the check's alias
+      metricValues((None, alias)) = v
+      measurements += Measurement("row_check_violations", Some(alias), Some(v))
+    }
     val rowCount = row.getAs[Long]("row_count")
     metricValues((None, "row_count")) = rowCount
     measurements += Measurement("row_count", None, Some(rowCount))

@@ -459,6 +459,29 @@ class ScannerSpec extends SparkSpec {
     assert(r2.testResults.head.skipped)
   }
 
+  test("row_checks: cross-column invariants ride pass 1; NULL counts as a violation") {
+    val data = Seq[(Long, java.lang.Double, java.lang.Double)](
+      (1L, 1.0, 2.0),   // a < b holds
+      (2L, 3.0, 2.0),   // violated
+      (3L, null, 2.0),  // can't evaluate -> violation
+      (4L, 0.5, 0.6)
+    ).toDF("id", "a", "b")
+    val yaml2 =
+      """table_name: rc
+        |row_checks:
+        |- check: a < b
+        |  name: a_lt_b
+        |- id > 0
+        |tests:
+        |- a_lt_b <= 1
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, data, yaml2)
+    assert(r.measurement("row_check_violations", Some("a_lt_b")).get.value.contains(2L))
+    assert(r.measurement("row_check_violations", Some("row_check_1")).get.value.contains(0L))
+    val tr = r.testResults.head
+    assert(!tr.passed && tr.values("a_lt_b") == "2") // 2 violations > 1
+  }
+
   test("persisted PSI reference reproduces the two-frame PSI bit-for-bit") {
     import graft.scan.Drift
     val refDf = (0 until 500).map(i => ((i % 97) * 1.03)).toDF("v")
