@@ -93,9 +93,14 @@ case class LevenshteinKExpr(left: Expression, right: Expression, k: Int)
     val prevField = ctx.addMutableState("int[]", "graftLevPrev", v => s"$v = new int[64];")
     val curField = ctx.addMutableState("int[]", "graftLevCur", v => s"$v = new int[64];")
     val utf8 = classOf[UTF8String].getName
-    val fn = ctx.addNewFunction("graftLevenshteinK",
+    // CodegenContext keys functions by name: a fixed name would make two
+    // graft_levenshtein calls with different k in one codegen stage collide
+    // (last one wins, both silently run with its threshold). freshName gives
+    // each expression instance its own function.
+    val fnName = ctx.freshName("graftLevenshteinK")
+    val fn = ctx.addNewFunction(fnName,
       s"""
-         |private int graftLevenshteinK($utf8 a, $utf8 b) {
+         |private int $fnName($utf8 a, $utf8 b) {
          |  final int k = $k;
          |  if (!a.isFullAscii() || !b.isFullAscii()) return a.levenshteinDistance(b, k);
          |  final int n = a.numBytes();
@@ -153,6 +158,8 @@ object LevenshteinK {
     new ExpressionInfo(classOf[LevenshteinKExpr].getName, "graft_levenshtein"),
     (args: Seq[Expression]) => {
       require(args.length == 3, "graft_levenshtein(a, b, k) takes 3 arguments")
+      require(args(2).foldable,
+        "graft_levenshtein: k must be an integer literal (got a non-foldable expression)")
       val kv = args(2).eval() match {
         case i: Int => i
         case l: Long => l.toInt

@@ -55,19 +55,23 @@ object Multimodal {
       if (bytes.length < 44) return None
       if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
             bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
-      var off = 12
+      // offsets stay in Long: chunk sizes are unsigned 32-bit, and an
+      // adversarial size >= 2^31 truncated to Int would advance by <= 0 and
+      // hang the scan instead of falling off the end.
+      var off = 12L
       var channels = -1; var rate = -1; var bits = -1; var dataBytes = -1L
       while (off + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
-        val id = new String(bytes, off, 4, "US-ASCII")
-        val sz = le32(bytes, off + 4)
+        val o = off.toInt
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val sz = le32(bytes, o + 4)
         if (id == "fmt " && off + 24 <= bytes.length) {
-          channels = le16(bytes, off + 10)
-          rate = le32(bytes, off + 12).toInt
-          bits = le16(bytes, off + 22)
+          channels = le16(bytes, o + 10)
+          rate = le32(bytes, o + 12).toInt
+          bits = le16(bytes, o + 22)
         } else if (id == "data") {
           dataBytes = sz
         }
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        off += 8L + sz + (sz & 1L) // chunks are word-aligned
       }
       if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
       else {
@@ -235,8 +239,13 @@ object Multimodal {
       val compression = le32(bytes, 30)
       if (srcW <= 0 || srcH == 0 || compression != 0L || (bpp != 24 && bpp != 32)) return None
       val px = bpp / 8
-      val srcRow = ((srcW * bpp + 31) / 32) * 4
-      if (pixOff < 54 || pixOff.toLong + srcRow.toLong * srcH > bytes.length) return None
+      // source stride in Long: a large header width overflows Int to a
+      // small/negative stride that passes the bounds check and then blows up
+      // in arraycopy instead of triaging to None.
+      val srcRowL = ((srcW.toLong * bpp + 31) / 32) * 4
+      if (srcRowL <= 0 || srcRowL > Int.MaxValue) return None
+      val srcRow = srcRowL.toInt
+      if (pixOff < 54 || pixOff.toLong + srcRowL * srcH > bytes.length) return None
       val dstRowL = ((newW.toLong * bpp + 31) / 32) * 4
       // guard the OUTPUT size too: adversarial target dims would overflow
       // the Int array size and throw instead of triaging cleanly
@@ -283,22 +292,26 @@ object Multimodal {
       if (stride < 1 || bytes.length < 44) return None
       if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
             bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
-      var off = 12
+      // Long chunk walk for the same reason as Headers.parseWav: an unsigned
+      // 32-bit size truncated to Int can make the increment <= 0 (infinite
+      // loop) instead of walking past the end.
+      var off = 12L
       var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
       var dataOff = -1; var dataBytes = -1L
       while (off + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
-        val id = new String(bytes, off, 4, "US-ASCII")
-        val sz = le32(bytes, off + 4)
+        val o = off.toInt
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val sz = le32(bytes, o + 4)
         if (id == "fmt " && off + 24 <= bytes.length) {
-          fmtCode = le16(bytes, off + 8)
-          channels = le16(bytes, off + 10)
-          rate = le32(bytes, off + 12).toInt
-          bits = le16(bytes, off + 22)
+          fmtCode = le16(bytes, o + 8)
+          channels = le16(bytes, o + 10)
+          rate = le32(bytes, o + 12).toInt
+          bits = le16(bytes, o + 22)
         } else if (id == "data") {
-          dataOff = off + 8
+          dataOff = o + 8
           dataBytes = sz
         }
-        off += 8 + sz.toInt + (sz.toInt & 1)
+        off += 8L + sz + (sz & 1L)
       }
       if (fmtCode != 1 || channels <= 0 || rate <= 0 || bits <= 0 || dataOff < 0) return None
       val blockAlign = channels * bits / 8

@@ -88,11 +88,13 @@ object StreamingAnomaly {
     @transient private var ring: ValueState[Ring] = _
     @transient private var buf: ListState[TimedEvent] = _
     @transient private var drainedTo: ValueState[Long] = _
+    @transient private var armedAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       ring = getHandle.getValueState[Ring]("ring", Encoders.product[Ring], TTLConfig.NONE)
       buf = getHandle.getListState[TimedEvent]("buf", Encoders.product[TimedEvent], TTLConfig.NONE)
       drainedTo = getHandle.getValueState[Long]("drainedTo", Encoders.scalaLong, TTLConfig.NONE)
+      armedAt = getHandle.getValueState[Long]("armedAt", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     private def drain(watermarkMs: Long): Iterator[AnomalyFlag] = {
@@ -119,9 +121,24 @@ object StreamingAnomaly {
       out.iterator
     }
 
-    private def armTimer(timerValues: TimerValues): Unit =
-      if (buf.get().hasNext)
-        getHandle.registerTimer(math.max(timerValues.getCurrentWatermarkInMs(), 0L) + 1L)
+    // Exactly one pending timer per key: re-registering every batch without
+    // deleting the previous one would accumulate stale timers in state, each
+    // firing a redundant drain. The armed timestamp lives in state so the
+    // old timer can be deleted (or re-registration skipped) on the next arm.
+    private def armTimer(timerValues: TimerValues): Unit = {
+      val prev = if (armedAt.exists()) armedAt.get() else -1L
+      if (buf.get().hasNext) {
+        val next = math.max(timerValues.getCurrentWatermarkInMs(), 0L) + 1L
+        if (prev != next) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armedAt.update(next)
+        }
+      } else if (prev >= 0L) {
+        getHandle.deleteTimer(prev)
+        armedAt.clear()
+      }
+    }
 
     override def handleInputRows(key: String, rows: Iterator[TimedEvent],
                                  timerValues: TimerValues): Iterator[AnomalyFlag] = {
@@ -135,6 +152,9 @@ object StreamingAnomaly {
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[AnomalyFlag] = {
+      // the firing timer is consumed; forget it so armTimer doesn't try to
+      // delete an already-expired registration
+      if (armedAt.exists() && armedAt.get() == expiredTimerInfo.getExpiryTimeInMs()) armedAt.clear()
       val out = drain(timerValues.getCurrentWatermarkInMs())
       armTimer(timerValues)
       out
