@@ -15,6 +15,13 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Broadcast ceiling for [[minhashLshPairs]]'s verification token sets when
+    * the caller lets the router measure (broadcastVerify = None): 1 GiB —
+    * comfortably under Spark's 8 GB broadcast hard limit while leaving room
+    * for the two verification sides to coexist per executor.
+    */
+  val DefaultVerifyBroadcastMaxBytes: Long = 1L << 30
+
   /** Exact dedup: one row per distinct `textCol` value, keeping the smallest
     * `idCol`, with the number of copies. Shuffles (hash, id) only; the text
     * body never crosses the wire (collision odds at 64-bit are ~n^2/2^65).
@@ -143,9 +150,16 @@ object Dedup {
     * token-set Jaccard. `numHashes` = `bands` * rows-per-band.
     */
   /** `broadcastVerify`: broadcast the per-doc token sets for the verification
-    * joins — right whenever they fit in executor memory (they are ~50-500×
-    * smaller than the raw corpus). For corpora where even token sets exceed
-    * broadcast size, pass false to fall back to shuffle joins on id.
+    * joins — right whenever they fit in executor memory. `None` (default)
+    * MEASURES instead of guessing: the router reads Catalyst's size estimate
+    * of the (id, text) projection and broadcasts only when it fits under
+    * `verifyBroadcastMaxBytes` — the token-set frame is the same order of
+    * magnitude as the text it hashes (8 bytes per shingle hash vs the ~5-8
+    * byte shingle source), so the corpus-side estimate is the right proxy and
+    * costs nothing (no extra job). At 100 TB the estimate is corpus-sized,
+    * the router picks skinny id-keyed shuffle joins, and AQE still converts
+    * to broadcast at runtime if the post-filter side turns out tiny.
+    * `Some(true|false)` forces a route (tests / known-shape callers).
     */
   /** `maxBucket`: drop band buckets larger than this before pair
     * generation. A bucket of size B contributes B²/2 candidates; pathological
@@ -160,9 +174,10 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                      shingleLen: Int = 3, broadcastVerify: Boolean = true,
+                      shingleLen: Int = 3, broadcastVerify: Option[Boolean] = None,
                       maxBucket: Int = Int.MaxValue,
-                      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+                      tokenHasher: Column => Column = xxhash64(_),
+                      verifyBroadcastMaxBytes: Long = DefaultVerifyBroadcastMaxBytes): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // (id, sig) only — the document body never enters the LSH shuffle.
@@ -229,11 +244,20 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       array_sort(array_distinct(transform(
         Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen), tokenHasher))).as("toks"))
-    // hash sets are tiny next to the candidate-pair set — broadcast them so
-    // the 10^6-10^7 candidate rows never get sort-merge shuffled
+    // hash sets are small next to the candidate-pair set — broadcasting them
+    // keeps the 10^6-10^7 candidate rows from being sort-merge shuffled. But
+    // "small" must be MEASURED, not assumed: at corpus scale the token sets
+    // are data-sized and an unconditional broadcast OOMs. Route on Catalyst's
+    // free size estimate of the source projection (same measure-then-route
+    // discipline as jaccardPairsAuto).
+    val doBroadcast = broadcastVerify.getOrElse {
+      val est = df.select(col(idCol), col(textCol))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      est <= verifyBroadcastMaxBytes
+    }
     def side(a: String, t: String) = {
       val s = toks.select(col("id").as(a), col("toks").as(t))
-      if (broadcastVerify) broadcast(s) else s
+      if (doBroadcast) broadcast(s) else s
     }
     cand
       .join(side("id_a", "toks_a"), Seq("id_a"))

@@ -157,6 +157,31 @@ class DedupSpec extends SparkSpec {
     assert(run(Int.MaxValue) == run(1000))
   }
 
+  test("minhash LSH verification routes on measured size: broadcast small, shuffle large") {
+    // neutralize stats-driven broadcast selection so the plan shape proves
+    // what the ROUTER decided, not what the tiny test corpus's stats allow
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // default router on a tiny corpus -> both verification sides broadcast
+      val small = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
+        .queryExecution.executedPlan.toString
+      assert(small.contains("BroadcastHashJoin"), small)
+      // ceiling forced to 0 -> the measured estimate can't fit: no static
+      // broadcast on the token side (AQE may still convert at runtime, which
+      // is exactly the intended escape hatch)
+      val large = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1,
+          verifyBroadcastMaxBytes = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!large.contains("BroadcastHashJoin"), large)
+      // both routes emit identical pairs
+      def run(maxBytes: Long) = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7,
+          shingleLen = 1, verifyBroadcastMaxBytes = maxBytes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(run(Dedup.DefaultVerifyBroadcastMaxBytes) == run(0L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("jaccardPairsAuto measures blocks, routes small to all-pairs and big to LSH") {
     val blocked = docs.withColumn("blk", lit(1))
     def collect(d: org.apache.spark.sql.DataFrame) =
