@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N (default 3): a single-shot bench can't tell a real 2×
+    // regression from a GC/JIT/scheduling swing — it misled two rounds of
+    // regression adjudication. Per-run values are reported alongside the
+    // median so variance is visible in the artifact itself.
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,18 +32,29 @@ object Bench {
     val only = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
-      System.gc() // isolate queries from the previous query's garbage
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-               catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = Seq.newBuilder[Double]
+      var ok = true
+      var i = 0
+      while (i < nRuns && ok) {
+        System.gc() // isolate runs from the previous run's garbage
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => ok = false }
+        if (ok) times += (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      (name, times.result(), ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, ts, _) =>
+      s"\"" + k + "\":" + (if (ts.isEmpty) "null" else median(ts))
+    }.mkString("{", ",", "}")
+    val runsJson = results.map { case (k, ts, _) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, ts, true) => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
