@@ -27,6 +27,21 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim.cosine(a, b)
 
+  /** Per-seed (cos, cell) score structs with the centroid matrix bound ONCE
+    * as a nested-array literal (the Bloom.mightContain bind-once idiom): the
+    * expression tree is O(1) in ncells. The naive form — one `array(lit...)`
+    * per seed inlined into an `array(struct(...))` — is ncells × dim literal
+    * NODES, which at production IVF sizes (ncells 4k-64k × dim 768) is tens
+    * of millions of nodes: a driver/codegen bottleneck long before data size
+    * matters. `v` must be a plain column attribute (a bound read, re-used
+    * per element, never recomputed).
+    */
+  private def cellScoresBound(v: Column, seeds: Array[(Int, Seq[Double])]): Column = {
+    val matrix = typedLit(seeds.map(_._2).toSeq)
+    val cellIds = typedLit(seeds.map(_._1).toSeq)
+    zip_with(matrix, cellIds, (c, i) => struct(cosine(v, c).as("cos"), i.as("cell")))
+  }
+
   /** Builtin-HOF cosine kept for cross-checking the native expression. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -82,10 +97,8 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to trainIterations) {
-      def scores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
-        struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
-      }: _*)
-      val assigned = base.withColumn("cell", array_max(scores(col("cv"))).getField("cell"))
+      val assigned = base.withColumn("cell",
+        array_max(cellScoresBound(col("cv"), seeds)).getField("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg("x").as("m"))
@@ -197,9 +210,7 @@ object Similarity {
                         seeds: Array[(Int, Seq[Double])],
                         broadcastQueries: Boolean = true): DataFrame = {
     // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
-    def cellScores(v: Column): Column = array(seeds.toSeq.map { case (i, s) =>
-      struct(cosine(v, array(s.map(lit): _*)).as("cos"), lit(i).as("cell"))
-    }: _*)
+    def cellScores(v: Column): Column = cellScoresBound(v, seeds)
     def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
     def probedCells(v: Column): Column =
       slice(reverse(array_sort(cellScores(v))), 1, nprobe)

@@ -908,6 +908,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf assignment plan stays O(1) in ncells: node budget holds at ncells=1024") {
+    // 1100 vectors so the quantizer really gets 1024 seeds; the centroid
+    // matrix must enter the plan as ONE nested-array literal, not
+    // ncells × dim literal nodes (tens of millions at production IVF sizes)
+    val big = (0 until 1100).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = Similarity.ivfTopK(big, big.where(col("vec_id") < 2), "vec_id", "embedding", 3,
+      ncells = 1024, nprobe = 4)
+    val plan = df.queryExecution.optimizedPlan
+    val exprNodes = plan.collect { case p =>
+      p.expressions.map(e => e.collect { case x => x }.size).sum
+    }.sum
+    assert(exprNodes < 2000, s"assignment plan has $exprNodes expression nodes")
+    // and the bound form still searches correctly
+    val rows = df.as[(Long, Int, Long)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size), s"ranks of $q")
+      assert(rs.forall(_._3 != q))
+    }
+  }
+
   test("lsh returns well-formed ranks that agree with brute force on hits") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
