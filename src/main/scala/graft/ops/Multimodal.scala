@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * partition in batches.
   *
   * Header parsing for WAV/BMP ([[Headers]], [[extractMetadata]]) is REAL —
-  * pure byte parsing, no libraries. The pixel/sample codec is STUBBED (no
-  * image/audio libs in this container): [[FakeCodec.decode]] derives
-  * deterministic pseudo-features from the bytes. Everything Spark-side —
-  * schema, Encoders, partition-batch shape — is real.
+  * pure byte parsing, no libraries — and so is the pixel/sample decode for
+  * the formats whose payloads are raw in the container: uncompressed
+  * 24/32-bpp BMP pixels and 16-bit PCM WAV samples ([[PixelCodec]]).
+  * Compressed formats (PNG deflate, JPEG DCT) still triage through
+  * [[FakeCodec]] — an honest DECLARED stub; a real deployment swaps it for
+  * a native codec. Everything Spark-side — schema, Encoders,
+  * partition-batch shape — is real.
   */
 object Multimodal {
 
@@ -20,8 +23,10 @@ object Multimodal {
   final case class DecodedRow(id: Long, n_bytes: Long, first_byte: Int, format: String,
                               width: Int, height: Int, feature: Array[Double])
 
-  /** STUB codec: a real deployment would swap this for an image/audio decoder
-    * invoked per partition-batch. Deterministic on input bytes.
+  /** STUB codec for formats needing a real decompressor (PNG/JPEG) and the
+    * corrupt-payload triage path: deterministic pseudo-features derived from
+    * the bytes. A real deployment swaps this for a native image/audio
+    * decoder invoked per partition-batch.
     */
   object FakeCodec {
     def decode(bytes: Array[Byte], format: String): (Int, Int, Array[Double]) = {
@@ -33,6 +38,117 @@ object Multimodal {
         else java.lang.Byte.toUnsignedInt(bytes(i % n)).toDouble / 255.0
       }
       (w, h, feat)
+    }
+  }
+
+  /** REAL pixel/sample feature extraction — pure byte decoding, no
+    * libraries — for the formats whose payloads sit uncompressed in the
+    * container. These are actual signal statistics, not byte-derived
+    * pseudo-features:
+    *
+    *  - BMP (24/32-bpp, uncompressed): per-channel mean and population std
+    *    (R, G, B, each normalized to [0,1]) followed by an 8-bin Rec.601
+    *    luminance histogram (fractions summing to 1) — 14 doubles;
+    *  - PCM WAV (16-bit): amplitude mean, RMS, zero-crossing rate, peak
+    *    |amplitude| over [-1,1)-normalized samples, followed by an 8-bin
+    *    |amplitude| histogram — 12 doubles.
+    */
+  object PixelCodec {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) | ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+    /** (width, height, features) of an uncompressed 24/32-bpp BMP, walking
+      * every stored pixel. None on palettized/compressed/corrupt payloads.
+      */
+    def bmpFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixOff = le32(bytes, 10).toInt
+      val srcW = le32(bytes, 18).toInt
+      val srcH = math.abs(le32(bytes, 22).toInt)
+      val bpp = le16(bytes, 28)
+      val compression = le32(bytes, 30)
+      if (srcW <= 0 || srcH == 0 || compression != 0L || (bpp != 24 && bpp != 32)) return None
+      val px = bpp / 8
+      val rowL = ((srcW.toLong * bpp + 31) / 32) * 4
+      if (rowL <= 0 || rowL > Int.MaxValue) return None
+      if (pixOff < 54 || pixOff.toLong + rowL * srcH > bytes.length) return None
+      val row = rowL.toInt
+      var sR = 0.0; var sG = 0.0; var sB = 0.0
+      var qR = 0.0; var qG = 0.0; var qB = 0.0
+      val hist = new Array[Double](8)
+      var y = 0
+      while (y < srcH) { // orientation is irrelevant for whole-image stats
+        val base = pixOff + y * row
+        var x = 0
+        while (x < srcW) {
+          val o = base + x * px
+          val b = bytes(o) & 0xFF; val g = bytes(o + 1) & 0xFF; val r = bytes(o + 2) & 0xFF
+          sR += r; sG += g; sB += b
+          qR += r.toDouble * r; qG += g.toDouble * g; qB += b.toDouble * b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          hist(math.min(7, (luma / 32.0).toInt)) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = srcW.toDouble * srcH
+      def std(q: Double, s: Double) = math.sqrt(math.max(0.0, q / n - (s / n) * (s / n)))
+      val feat = Array(
+        sR / n / 255.0, sG / n / 255.0, sB / n / 255.0,
+        std(qR, sR) / 255.0, std(qG, sG) / 255.0, std(qB, sB) / 255.0) ++
+        hist.map(_ / n)
+      Some((srcW, srcH, feat))
+    }
+
+    /** Amplitude features of a 16-bit PCM WAV (interleaved channels treated
+      * as one sample stream — deterministic and channel-agnostic). None on
+      * non-PCM, non-16-bit, empty, or corrupt payloads.
+      */
+    def wavFeatures(bytes: Array[Byte]): Option[Array[Double]] = {
+      if (bytes.length < 44) return None
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+      var off = 12L // Long chunk walk — see Headers.parseWav
+      var fmtCode = -1; var bits = -1; var dataOff = -1; var dataBytes = -1L
+      while (off + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
+        val o = off.toInt
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val sz = le32(bytes, o + 4)
+        if (id == "fmt " && off + 24 <= bytes.length) {
+          fmtCode = le16(bytes, o + 8)
+          bits = le16(bytes, o + 22)
+        } else if (id == "data") {
+          dataOff = o + 8
+          dataBytes = sz
+        }
+        off += 8L + sz + (sz & 1L)
+      }
+      if (fmtCode != 1 || bits != 16 || dataOff < 0) return None
+      if (dataOff.toLong + dataBytes > bytes.length) return None
+      val nSamples = (dataBytes / 2).toInt
+      if (nSamples <= 0) return None
+      var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+      var zc = 0L; var prevNeg = false
+      val hist = new Array[Double](8)
+      var i = 0
+      while (i < nSamples) {
+        val o = dataOff + 2 * i
+        val v = ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)).toShort
+        val x = v / 32768.0
+        sum += x; sumSq += x * x
+        val ax = math.abs(x)
+        if (ax > peak) peak = ax
+        val neg = x < 0.0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        hist(math.min(7, (ax * 8.0).toInt)) += 1.0
+        i += 1
+      }
+      val n = nSamples.toDouble
+      val zcr = if (nSamples > 1) zc.toDouble / (nSamples - 1) else 0.0
+      Some(Array(sum / n, math.sqrt(sumSq / n), zcr, peak) ++ hist.map(_ / n))
     }
   }
 
@@ -187,14 +303,26 @@ object Multimodal {
       col(payloadCol).cast(BinaryType).as("media"),
       lit(format).as("format"))
 
-  /** Decode via mapPartitions — batch-per-partition, no shuffle; the decode
-    * stub is the only non-Catalyst step (unavoidable for a native codec).
+  /** Decode via mapPartitions — batch-per-partition, no shuffle (a native
+    * codec genuinely doesn't fit a Catalyst Expression). BMP and 16-bit PCM
+    * WAV payloads get REAL signal features ([[PixelCodec]]); compressed
+    * formats and corrupt payloads triage through the declared [[FakeCodec]]
+    * stub.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        val (w, h, feat) = FakeCodec.decode(r.media, r.format)
+        val (w, h, feat) = r.format match {
+          case "image/bmp" =>
+            PixelCodec.bmpFeatures(r.media).getOrElse(FakeCodec.decode(r.media, r.format))
+          case "audio/wav" =>
+            PixelCodec.wavFeatures(r.media) match {
+              case Some(f) => (-1, -1, f) // dims are an image concept
+              case None => FakeCodec.decode(r.media, r.format)
+            }
+          case _ => FakeCodec.decode(r.media, r.format)
+        }
         DecodedRow(r.id, r.media.length.toLong,
           if (r.media.isEmpty) -1 else java.lang.Byte.toUnsignedInt(r.media(0)),
           r.format, w, h, feat)

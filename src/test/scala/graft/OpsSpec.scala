@@ -1178,6 +1178,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
+  test("decodeFeatures: real BMP pixel stats and real PCM sample stats, known values") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 2x2 24-bpp BMP: R, G (bottom stored row), B, W (top stored row)
+    val bb = ByteBuffer.allocate(54 + 2 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes); bb.putInt(54 + 16); bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(2); bb.putInt(2); bb.putShort(1.toShort); bb.putShort(24.toShort)
+    bb.putInt(0); bb.putInt(16); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    def put(r: Int, g: Int, b: Int) = { bb.put(b.toByte); bb.put(g.toByte); bb.put(r.toByte) }
+    put(255, 0, 0); put(0, 255, 0); bb.put(new Array[Byte](2)) // stored row 0 + pad
+    put(0, 0, 255); put(255, 255, 255); bb.put(new Array[Byte](2))
+    val bmp = bb.array()
+    // 4 frames of 16-bit mono PCM: +0.5, -0.5, +0.5, -0.5
+    val wb = ByteBuffer.allocate(44 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    wb.put("RIFF".getBytes); wb.putInt(36 + 8); wb.put("WAVE".getBytes)
+    wb.put("fmt ".getBytes); wb.putInt(16); wb.putShort(1.toShort)
+    wb.putShort(1.toShort); wb.putInt(16000); wb.putInt(32000); wb.putShort(2.toShort)
+    wb.putShort(16.toShort); wb.put("data".getBytes); wb.putInt(8)
+    for (v <- Seq(16384, -16384, 16384, -16384)) wb.putShort(v.toShort)
+    val wav = wb.array()
+
+    val media = Seq(
+      (1L, bmp, "image/bmp"), (2L, wav, "audio/wav"),
+      (3L, "junk".getBytes, "image/bmp") // corrupt -> triage stub (8 features)
+    ).toDF("id", "media", "format")
+    val out = Multimodal.decodeFeatures(spark, media).collect().map(r => r.id -> r).toMap
+
+    // BMP: each channel has values {255,0,0,255} -> mean 0.5, std 0.5;
+    // lumas 76.245(R)->bin2, 149.685(G)->bin4, 29.07(B)->bin0, 255(W)->bin7
+    val bf = out(1L).feature
+    assert(out(1L).width == 2 && out(1L).height == 2)
+    assert(bf.length == 14)
+    for (i <- 0 until 6) assert(math.abs(bf(i) - 0.5) < 1e-12, s"bmp feat $i = ${bf(i)}")
+    assert(bf.drop(6).toSeq == Seq(0.25, 0.0, 0.25, 0.0, 0.25, 0.0, 0.0, 0.25))
+
+    // WAV: mean 0, rms 0.5, zcr 1 (3 sign changes / 3 pairs), peak 0.5,
+    // |x|=0.5 -> bin 4 gets all mass
+    val wf = out(2L).feature
+    assert(wf.length == 12)
+    assert(math.abs(wf(0)) < 1e-12 && math.abs(wf(1) - 0.5) < 1e-12)
+    assert(wf(2) == 1.0 && wf(3) == 0.5)
+    assert(wf.drop(4).toSeq == Seq(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0))
+
+    // corrupt BMP falls back to the declared triage stub
+    assert(out(3L).feature.length == 8)
+  }
+
   test("BMP nearest-neighbor resize emits a valid BMP with the sampled pixels") {
     import java.nio.{ByteBuffer, ByteOrder}
     // 4x4 24-bpp BMP, quadrant colors: bottom-left R, bottom-right G,
