@@ -557,6 +557,18 @@ object Catalog {
         .orderBy(col("cnt").desc, col("lang").asc)
     },
 
+    "q_heavy_hitters_ss" -> { (s, dir) =>
+      // SpaceSaving (overwrite-min) twin of q_heavy_hitters: k above the
+      // distinct-language count -> no overwrite ever fires, counts EXACT and
+      // err 0 (the oracle is a plain GROUP BY with a zero err column); the
+      // overwrite/merge/error-bound behavior is property-spec'd
+      val sk = t(s, dir, "documents")
+        .agg(graft.functions.SpaceSaving.ss(col("lang"), 16).as("hh"))
+      sk.select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("lang"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+        .orderBy(col("cnt").desc, col("lang").asc)
+    },
+
     "q_corr" -> ((s, dir) =>
       // exact Pearson r for two pairs in one pass: quantity~price
       // (positively correlated by construction) and discount~tax (~0);
@@ -1972,6 +1984,10 @@ object Catalog {
 
     "q_heavy_hitters" ->
       """SELECT lang, count(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang ASC""".stripMargin,
+
+    "q_heavy_hitters_ss" ->
+      """SELECT lang, count(*) AS cnt, CAST(0 AS BIGINT) AS err FROM documents
         |GROUP BY lang ORDER BY cnt DESC, lang ASC""".stripMargin,
 
     "q_corr" ->
