@@ -24,8 +24,23 @@ final case class ScanDefinition(
       * as a `row_check_violations` measurement keyed by the expression —
       * table tests gate on named checks via [[RowCheck.alias]].
       */
-    rowChecks: Seq[RowCheck] = Nil
+    rowChecks: Seq[RowCheck] = Nil,
+    /** Beyond the reference surface: streaming execution config (`stream:`
+      * YAML block). With it, the SAME scan definition also drives
+      * `Scanner.executeStream` — the windowed quality monitor, per-column
+      * streaming anomaly detection, and streaming PSI drift, continuously
+      * over a watermarked stream.
+      */
+    stream: Option[StreamConfig] = None
 )
+
+/** Streaming execution parameters of a scan: the event-time column the
+  * stream is windowed on, the watermark delay, and the window duration.
+  */
+final case class StreamConfig(
+    timeColumn: String,
+    watermark: String = "10 minutes",
+    window: String = "1 hour")
 
 /** One row-level invariant: rows where `expression` is FALSE or NULL count
   * as violations (a check that cannot evaluate is a violation, not a pass).
@@ -53,7 +68,12 @@ final case class ColumnConfig(
     validMax: Option[Double] = None,
     validMinLength: Option[Int] = None,
     validMaxLength: Option[Int] = None,
-    anomaly: Option[AnomalyConfig] = None
+    anomaly: Option[AnomalyConfig] = None,
+    /** Path to a persisted PSI reference ([[graft.scan.Drift.savePsiReference]]
+      * artifact). In a streaming scan the column's per-window bucket counts
+      * are monitored against it (`psi_reference:` YAML key).
+      */
+    psiReference: Option[String] = None
 )
 
 /** Beyond the reference surface: per-column rolling z-score anomaly

@@ -44,6 +44,12 @@ object ScanYamlParser {
       case YMap(cm) => RowCheck(cm("check").asString, optStr(cm, "name"))
       case v => RowCheck(v.asString)
     }
+    val stream = m.get("stream").map(_.asMap).map { sm =>
+      StreamConfig(
+        timeColumn = sm("time_column").asString,
+        watermark = optStr(sm, "watermark").getOrElse("10 minutes"),
+        window = optStr(sm, "window").getOrElse("1 hour"))
+    }
     ScanDefinition(
       tableName = m("table_name").asString,
       metrics = m.get("metrics").map(strs).getOrElse(Nil),
@@ -54,7 +60,8 @@ object ScanYamlParser {
       sqlMetrics = sqlMetrics,
       samples = samples,
       filter = optStr(m, "filter"),
-      rowChecks = rowChecks
+      rowChecks = rowChecks,
+      stream = stream
     )
   }
 
@@ -81,6 +88,7 @@ object ScanYamlParser {
           tSquared = optInt(am, "t_squared").map(_.toLong).getOrElse(9L),
           minPoints = optInt(am, "min_points").getOrElse(5),
           minDev = optNum(am, "min_dev").getOrElse(0.0))
-      }
+      },
+      psiReference = optStr(m, "psi_reference")
     )
 }

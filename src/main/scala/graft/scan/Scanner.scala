@@ -61,20 +61,94 @@ object Scanner {
     (if (asc) vals.orderBy(col("v").asc) else vals.orderBy(col("v").desc)).limit(n)
   }
 
-  /** `scanYaml` is the scan-file CONTENT or a PATH to one — same dual
-    * acceptance as the reference (scan.py:204-233 `create_scan_yml`:
-    * `Path(scan_definition).is_file()` routes to a file read).
+  /** Scan-file CONTENT or PATH duality — same acceptance as the reference
+    * (scan.py:204-233 `create_scan_yml`: `Path(scan_definition).is_file()`
+    * routes to a file read).
     */
+  private def yamlContent(scanYaml: String): String =
+    try {
+      val p = java.nio.file.Paths.get(scanYaml)
+      if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.readString(p)
+      else scanYaml
+    } catch { case _: java.nio.file.InvalidPathException => scanYaml }
+
+  /** `scanYaml` is the scan-file CONTENT or a PATH to one. */
   def executeYaml(spark: SparkSession, df: DataFrame, scanYaml: String,
                   variables: Map[String, String] = Map.empty,
-                  time: Option[String] = None): ScanResult = {
-    val content =
-      try {
-        val p = java.nio.file.Paths.get(scanYaml)
-        if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.readString(p)
-        else scanYaml
-      } catch { case _: java.nio.file.InvalidPathException => scanYaml }
-    execute(spark, df, ScanYamlParser.parse(substituteVars(content, variables)), time)
+                  time: Option[String] = None): ScanResult =
+    execute(spark, df,
+      ScanYamlParser.parse(substituteVars(yamlContent(scanYaml), variables)), time)
+
+  /** The continuously-running form of a scan, handed back as (streaming)
+    * frames the caller starts with `writeStream`:
+    *
+    *  - `quality`: per-window row_count + per-configured-column
+    *    missing/invalid counts (the windowed DQ monitor);
+    *  - `anomalies`: per `anomaly:`-configured column, the rolling z-score
+    *    flag stream (transformWithState ring buffer — flags identical to
+    *    the batch operator on in-order input);
+    *  - `psi`: per `psi_reference:`-configured column, the loaded reference
+    *    plus the per-window bucket-count stream; pair collected windows
+    *    with [[graft.streaming.StreamingMonitor.psiOfWindows]] for PSI
+    *    values against the reference.
+    */
+  final case class StreamingScan(
+      quality: DataFrame,
+      anomalies: Map[String, org.apache.spark.sql.Dataset[graft.streaming.StreamingAnomaly.AnomalyFlag]],
+      psi: Map[String, (Drift.PsiReference, DataFrame)])
+
+  /** One scan.yml drives BOTH modes: the same YAML the batch [[executeYaml]]
+    * reads — plus its `stream:` block (time_column/watermark/window) —
+    * builds the continuous monitors here. `scanYaml` is CONTENT or a PATH.
+    */
+  def executeStreamYaml(spark: SparkSession, df: DataFrame, scanYaml: String,
+                        variables: Map[String, String] = Map.empty): StreamingScan =
+    executeStream(spark, df,
+      ScanYamlParser.parse(substituteVars(yamlContent(scanYaml), variables)))
+
+  /** Streaming twin of [[execute]]. Accepts a BATCH frame too — the same
+    * definition then computes the identical per-window results on historical
+    * data (backfill parity, the batch=streaming contract every streaming
+    * operator in this repo keeps).
+    */
+  def executeStream(spark: SparkSession, df0: DataFrame, scan: ScanDefinition): StreamingScan = {
+    val sc = scan.stream.getOrElse(throw new IllegalArgumentException(
+      "scan definition has no stream: block (time_column / watermark / window)"))
+    val df = scan.filter.map(f => df0.where(f)).getOrElse(df0)
+    val excluded = scan.excludedColumns.map(_.toLowerCase).toSet
+    // name-sorted: YAML map order is not significant, output columns are
+    val cols = scan.columns.toSeq
+      .filterNot { case (n, _) => excluded.contains(n.toLowerCase) }
+      .sortBy(_._1)
+    import graft.streaming.{StreamingAnomaly, StreamingMonitor}
+    val quality =
+      if (df.isStreaming)
+        StreamingMonitor.qualityStream(df, sc.timeColumn, sc.watermark, sc.window, cols)
+      else
+        StreamingMonitor.qualityByWindow(df, sc.timeColumn, sc.window, cols)
+    val anomalies = cols.collect { case (name, cfg) if cfg.anomaly.isDefined =>
+      val a = cfg.anomaly.get
+      val flags =
+        if (df.isStreaming)
+          StreamingAnomaly.anomalyStream(spark, df, a.key, a.order, name,
+            a.window, a.tSquared, a.minPoints, a.minDev)
+        else {
+          // batch route: the windowed operator with the identical integer rule
+          import spark.implicits._
+          graft.ops.Outliers.rollingZScore(df, Seq(a.key), a.order, name,
+              a.window, a.tSquared, a.minPoints, a.minDev)
+            .select(col(a.key).cast("string").as("key"),
+              col(a.order).cast("long").as("seq"), col("is_anomaly"))
+            .as[StreamingAnomaly.AnomalyFlag]
+        }
+      name -> flags
+    }.toMap
+    val psi = cols.collect { case (name, cfg) if cfg.psiReference.isDefined =>
+      val ref = Drift.loadPsiReference(spark, cfg.psiReference.get)
+      name -> (ref, StreamingMonitor.bucketCountStream(df, sc.timeColumn, sc.watermark,
+        sc.window, name, ref.lo, ref.hi, ref.buckets))
+    }.toMap
+    StreamingScan(quality, anomalies, psi)
   }
 
   /** Reference-parity `as_frames` variant (scan.py:398-421): the scan result

@@ -424,6 +424,109 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((2L, "2024-01-01 02:00:00", 1L)))
   }
 
+  test("YAML-defined streaming scan: one scan.yml drives quality, anomaly and PSI monitors") {
+    import spark.implicits._
+    import graft.scan.{Drift, Scanner}
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val refDir = java.nio.file.Files.createTempDirectory("scan-psi-ref").toString
+    try {
+      // persisted PSI reference: uniform over [0, 100) in 4 buckets
+      Drift.savePsiReference(spark, Drift.buildPsiReference(
+        Seq(10.0, 30.0, 60.0, 90.0).toDF("v"), "v", 0.0, 100.0, 4), refDir)
+
+      val yaml =
+        s"""table_name: events
+           |stream:
+           |  time_column: ts
+           |  watermark: 10 seconds
+           |  window: 1 hour
+           |columns:
+           |  v:
+           |    valid_max: 40
+           |    psi_reference: $refDir
+           |    anomaly:
+           |      key: user_id
+           |      order: seq
+           |      window: 10
+           |      t_squared: 9
+           |      min_points: 5
+           |      min_dev: 1.0
+           |  event_type:
+           |    valid_values:
+           |    - click
+           |    - view
+           |""".stripMargin
+
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      // user 1: steady 10.0s then a spike at seq 11 (the anomaly); one
+      // "bogus" event type and the 50.0 spike are the invalid values
+      val rows = (1L to 9L).map(i => (ts(i), 1L, i, 10.0, "click")) ++
+        Seq((ts(10), 1L, 10L, 10.2, "view"), (ts(11), 1L, 11L, 50.0, "bogus"))
+
+      val stream = MemoryStream[(Timestamp, Long, Long, Double, String)]
+      val df = stream.toDF().toDF("ts", "user_id", "seq", "v", "event_type")
+      val scan = Scanner.executeStreamYaml(spark, df, yaml)
+      assert(scan.anomalies.keySet == Set("v") && scan.psi.keySet == Set("v"))
+      val (ref, psiStream) = scan.psi("v")
+      assert(ref.refCounts == Seq(1L, 1L, 1L, 1L))
+
+      val q1 = scan.quality.writeStream.format("memory").queryName("ys_q")
+        .outputMode("complete").start()
+      val q2 = scan.anomalies("v").writeStream.format("memory").queryName("ys_a")
+        .outputMode("append").start()
+      val q3 = psiStream.writeStream.format("memory").queryName("ys_p")
+        .outputMode("complete").start()
+      stream.addData(rows.take(6): _*)
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      stream.addData(rows.drop(6): _*) // anomaly state must carry across batches
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+
+      val streamedQuality = spark.table("ys_q")
+        .select(col("window_start").cast("string"), col("row_count"),
+          col("v_missing"), col("v_invalid"), col("event_type_invalid"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val streamedFlags = spark.table("ys_a").as[(String, Long, Boolean)].collect().toSet
+      val streamedBuckets = spark.table("ys_p")
+        .select(col("window_start"), col("bucket"), col("cnt"))
+        .as[(Timestamp, Long, Long)].collect().toSet
+      Seq(q1, q2, q3).foreach(_.stop())
+
+      // the SAME parsed definition over the same rows as a BATCH frame
+      val batchScan = Scanner.executeStreamYaml(spark,
+        rows.toDF("ts", "user_id", "seq", "v", "event_type"), yaml)
+      val batchQuality = batchScan.quality
+        .select(col("window_start").cast("string"), col("row_count"),
+          col("v_missing"), col("v_invalid"), col("event_type_invalid"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamedQuality == batchQuality, "windowed quality: batch parity")
+      assert(streamedQuality == Set(("1970-01-01 00:00:00", 11L, 0L, 1L, 1L)))
+
+      val batchFlags = batchScan.anomalies("v").collect().map(f => (f.key, f.seq, f.is_anomaly)).toSet
+      assert(streamedFlags == batchFlags, "anomaly flags: batch parity")
+      assert(streamedFlags.count(_._3) == 1 && streamedFlags.contains(("1", 11L, true)))
+
+      val batchBuckets = batchScan.psi("v")._2
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(streamedBuckets == batchBuckets, "PSI bucket counts: batch parity")
+      // 10 values in bucket 0, the 50.0 spike in bucket 2
+      assert(streamedBuckets == Set((ts(0), 0L, 10L), (ts(0), 2L, 1L)))
+      val psis = graft.streaming.StreamingMonitor.psiOfWindows(
+        streamedBuckets.toSeq, ref.refCounts)
+      assert(psis.size == 1 && psis(0)._2 > 0.25, s"drifted window should alarm: $psis")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(refDir)).deleteRecursively()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
