@@ -72,4 +72,27 @@ object Manifest {
     val total = manifest.count()
     if (total == 0) 0.0 else prunableFiles(manifest, c, lo, hi).count().toDouble / total
   }
+
+  /** Per-predicate layout audit over a manifest frame (file- OR
+    * partition-grain): one row per `(column, lo, hi)` range predicate with
+    * how many units (files / partitions) and rows that predicate's min/max
+    * skipping can eliminate on this layout. Run it on the manifest of a
+    * table BEFORE and AFTER [[ZOrder.layoutZOrder]]/[[ZOrder.layoutHilbert]]
+    * to quantify what the rewrite buys. One bounded aggregate per predicate
+    * over the units × stats manifest; all-null units are conservatively not
+    * prunable ([[prunableFiles]]' rule).
+    */
+  def layoutAudit(manifest: DataFrame, predicates: Seq[(String, Double, Double)]): DataFrame = {
+    require(predicates.nonEmpty, "need at least one predicate")
+    predicates.map { case (c, lo, hi) =>
+      val prunable = col(s"${c}_max") < lit(lo) || col(s"${c}_min") > lit(hi)
+      manifest.agg(
+        count(lit(1)).as("units_total"),
+        sum(when(prunable, 1L).otherwise(0L)).cast("long").as("units_prunable"),
+        sum(col("n_rows")).cast("long").as("rows_total"),
+        sum(when(prunable, col("n_rows")).otherwise(0L)).cast("long").as("rows_prunable"))
+        .select(lit(s"$c between $lo and $hi").as("predicate"), col("units_total"),
+          col("units_prunable"), col("rows_total"), col("rows_prunable"))
+    }.reduce(_ unionAll _)
+  }
 }

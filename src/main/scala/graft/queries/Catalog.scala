@@ -497,6 +497,19 @@ object Catalog {
         .orderBy("zbucket")
     },
 
+    "q_layout_audit" -> { (s, dir) =>
+      // partition-grain manifest (keyed by l_returnflag as the partition
+      // value) + per-predicate prunability report: one predicate entirely
+      // below the domain (every partition prunable) and one inside it (none
+      // prunable) — exact integer outputs, fully SQL-expressible
+      val m = graft.ops.Manifest.partitionManifest(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"))
+      graft.ops.Manifest.layoutAudit(m, Seq(
+          ("l_quantity", -5.0, 0.5), ("l_quantity", 1.0, 10.0),
+          ("l_extendedprice", 0.0, 2000.0)))
+        .orderBy("predicate")
+    },
+
     "q_hilbert" -> { (s, dir) =>
       // native codegen'd Hilbert walk; the oracle re-runs the identical
       // quadrant-rotation state machine as a 16-step recursive CTE
@@ -1913,6 +1926,34 @@ object Catalog {
         |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT) AS VARCHAR)),
         |         'string_agg', ','), '') || ']' AS q8
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_layout_audit" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n_rows,
+        |                  min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        |                  min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity between -5.0 and 0.5' AS predicate,
+        |         count(*) AS units_total,
+        |         CAST(sum(CASE WHEN q_max < -5.0 OR q_min > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS units_prunable,
+        |         CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |         CAST(sum(CASE WHEN q_max < -5.0 OR q_min > 0.5 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_prunable
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity between 1.0 and 10.0',
+        |         count(*),
+        |         CAST(sum(CASE WHEN q_max < 1.0 OR q_min > 10.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(n_rows) AS BIGINT),
+        |         CAST(sum(CASE WHEN q_max < 1.0 OR q_min > 10.0 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice between 0.0 and 2000.0',
+        |         count(*),
+        |         CAST(sum(CASE WHEN p_max < 0.0 OR p_min > 2000.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(n_rows) AS BIGINT),
+        |         CAST(sum(CASE WHEN p_max < 0.0 OR p_min > 2000.0 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM m)
+        |ORDER BY predicate""".stripMargin,
 
     "q_hilbert" ->
       // the same quadrant-rotation walk, one recursive step per order bit:

@@ -676,6 +676,36 @@ class ManifestSpec extends SparkSpec {
     // the k-range predicate [260, 300] keeps only partition 1's envelope
     val prunable = Manifest.prunableFiles(m, "k", lit(260L), lit(300L)).count()
     assert(prunable == 3L)
+
+    // layoutAudit on the same hive-partitioned manifest: per-predicate
+    // units/rows vs hand-checked groundtruth (4 partitions x 250 rows,
+    // k-domains [0,249][250,499][500,749][750,999])
+    val audit = Manifest.layoutAudit(m, Seq(("k", 260.0, 300.0), ("k", -10.0, -1.0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(audit("k between 260.0 and 300.0") == ((4L, 3L, 1000L, 750L)))
+    assert(audit("k between -10.0 and -1.0") == ((4L, 4L, 1000L, 1000L)))
+  }
+
+  test("layoutAudit quantifies what a range layout buys: before vs after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val data = (0 until 4000).map(i => (i.toLong, (i * 7 % 4000).toLong)).toDF("x", "y")
+    data.repartition(8, col("x")).write.mode("overwrite").parquet(s"$dir/before")
+    graft.ops.ZOrder.layoutHilbert(data, col("x"), col("y"), 8, order = 12)
+      .write.mode("overwrite").parquet(s"$dir/after")
+    def audit(path: String) = Manifest.layoutAudit(
+        Manifest.fileManifest(spark.read.parquet(path), Seq("x")),
+        Seq(("x", 100.0, 200.0)))
+      .collect()(0)
+    val before = audit(s"$dir/before")
+    val after = audit(s"$dir/after")
+    // both audits see the whole table
+    assert(before.getLong(3) == 4000L && after.getLong(3) == 4000L)
+    // hash layout: every file spans the x-domain, nothing prunable
+    assert(before.getLong(2) == 0L && before.getLong(4) == 0L)
+    // hilbert layout: narrow rectangles — most files and rows skippable
+    assert(after.getLong(2) >= 6L, s"only ${after.getLong(2)} of 8 files prunable")
+    assert(after.getLong(4) >= 2500L, s"only ${after.getLong(4)} rows prunable")
   }
 }
 
