@@ -102,4 +102,47 @@ object RangeJoin {
         dataCols.map(c => ac(c).as(s"$c${suffixes._1}")) ++
         dataCols.map(c => bc(c).as(s"$c${suffixes._2}")): _*)
   }
+
+  /** [[intervalSelfJoin]] as bucket MATERIALIZATION instead of a self-join:
+    * ONE shuffle of the exploded rows into per-(key, bucket) member lists,
+    * then in-cell ordered-pair generation by double posexplode with the
+    * overlap + first-common-bucket predicates applied row-locally — no join
+    * machinery, no broadcast build, the input scanned and exploded ONCE
+    * (the self-join form scans it once per side). The same shape that beat
+    * the bucket self-join 4× on the LSH dedup path (Dedup.minhashLshPairs).
+    * Measured (PLANS.md round-8 audit): on SPARSE cells (<~5 members) the
+    * broadcast-join form wins — collect_list allocation outweighs the probe
+    * — so this is the DENSE-cell / beyond-broadcast-scale option, not the
+    * default.
+    * Output schema matches [[intervalSelfJoin]]; rows are the same ordered
+    * pairs including mirrors EXCEPT self-pairs (row paired with itself),
+    * which the self-join form emits and this form never generates —
+    * callers' `id_a < id_b` de-mirroring drops them either way.
+    */
+  def intervalSelfJoinBuckets(df: DataFrame, keyCols: Seq[String], startCol: String,
+                              endCol: String, bucketWidth: Double,
+                              suffixes: (String, String) = ("_a", "_b")): DataFrame = {
+    val w = lit(bucketWidth)
+    val dataCols = df.columns.filterNot(keyCols.contains).toSeq
+    val ex = df.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / w).cast("long"),
+                       floor(col(endCol) / w).cast("long"))))
+    val cells = ex.groupBy((keyCols :+ "__bucket").map(col): _*)
+      .agg(collect_list(struct(dataCols.map(col): _*)).as("ms"))
+      .where(size(col("ms")) > 1)
+    val pairs = cells
+      .select(keyCols.map(col) ++ Seq(col("__bucket"), col("ms"),
+        posexplode(col("ms")).as(Seq("i", "a"))): _*)
+      .select(keyCols.map(col) ++ Seq(col("__bucket"), col("a"), col("i"),
+        posexplode(col("ms")).as(Seq("j", "b"))): _*)
+      .where(col("j") =!= col("i"))
+      .where(col("a").getField(startCol) <= col("b").getField(endCol) &&
+        col("b").getField(startCol) <= col("a").getField(endCol) &&
+        col("__bucket") ===
+          floor(greatest(col("a").getField(startCol), col("b").getField(startCol)) / w).cast("long"))
+    pairs.select(
+      keyCols.map(col) ++
+        dataCols.map(c => col("a").getField(c).as(s"$c${suffixes._1}")) ++
+        dataCols.map(c => col("b").getField(c).as(s"$c${suffixes._2}")): _*)
+  }
 }

@@ -408,6 +408,26 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("intervalSelfJoinBuckets emits the identical pair set with no join in the plan") {
+    // boundary-heavy intervals across several widths, incl. multi-bucket
+    // spans, so the first-common-bucket dedup is exercised on both forms
+    val df = Seq((1L, "g", 0L, 10L), (2L, "g", 5L, 15L), (3L, "g", 20L, 30L),
+      (4L, "h", 0L, 100L), (5L, "h", 50L, 60L), (6L, "h", 58L, 99L),
+      (7L, "h", 101L, 120L)).toDF("id", "k", "s", "e")
+    for (w <- Seq(4.0, 8.0, 64.0)) {
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.where(col("id_a") =!= col("id_b")) // self-join form emits self-pairs
+          .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+      val join = pairs(RangeJoin.intervalSelfJoin(df, Seq("k"), "s", "e", w))
+      val bucket = pairs(RangeJoin.intervalSelfJoinBuckets(df, Seq("k"), "s", "e", w))
+      assert(bucket == join, s"width $w")
+      assert(bucket.length == bucket.distinct.length, s"dup pair at width $w")
+    }
+    val plan = RangeJoin.intervalSelfJoinBuckets(df, Seq("k"), "s", "e", 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
 }
 
 class RangeRewriteSpec extends SparkSpec {
