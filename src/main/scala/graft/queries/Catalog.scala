@@ -190,6 +190,24 @@ object Catalog {
       sk.select(posexplode(col("sk")).as(Seq("pos", "h"))).orderBy("pos")
     },
 
+    "q_cms_table" -> { (s, dir) =>
+      // Count-Min counter table over documents.lang (depth 4 × width 32,
+      // md5-60 double hashing): every cell is an exact integer the oracle
+      // rebuilds from the same position formula
+      CountMin.table(t(s, dir, "documents"), Shingles.md5Hash60(col("lang")), 4, 32)
+        .orderBy("row", "pos")
+    },
+
+    "q_cms_estimate" -> { (s, dir) =>
+      // point estimates for every distinct lang: min over the 4 counters —
+      // >= the true count by construction, replayed exactly in the oracle
+      val docs = t(s, dir, "documents").where(col("lang").isNotNull)
+      val cms = CountMin.table(docs, Shingles.md5Hash60(col("lang")), 4, 32)
+      CountMin.estimates(cms, docs.select("lang").distinct(), Seq("lang"),
+          Shingles.md5Hash60(col("lang")), 4, 32)
+        .orderBy("lang")
+    },
+
     "q_approx_duplicates" -> { (s, dir) =>
       import graft.functions.KmvCounts
       import s.implicits._
@@ -1783,6 +1801,26 @@ object Catalog {
         |g AS (SELECT list_sort(list(h)) AS sk FROM s)
         |SELECT CAST(unnest(range(0, len(sk))) AS INT) AS pos, unnest(sk) AS h
         |FROM g ORDER BY pos""".stripMargin,
+
+    "q_cms_table" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(lang), 1, 15))::BIGINT AS h
+        |           FROM documents WHERE lang IS NOT NULL),
+        |p AS (SELECT CAST(j AS INT) AS "row", (h + j * (1 + h % 31)) % 32 AS pos
+        |      FROM h, generate_series(0, 3) t(j))
+        |SELECT "row", pos, count(*) AS cnt
+        |FROM p GROUP BY "row", pos ORDER BY "row", pos""".stripMargin,
+
+    "q_cms_estimate" ->
+      """WITH d AS (SELECT lang, ('0x' || substr(md5(lang), 1, 15))::BIGINT AS h
+        |           FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT j, (h + j * (1 + h % 31)) % 32 AS pos, count(*) AS cnt
+        |      FROM d, generate_series(0, 3) s(j) GROUP BY j, pos),
+        |q AS (SELECT DISTINCT lang, h FROM d),
+        |e AS (SELECT lang, j, (h + j * (1 + h % 31)) % 32 AS pos
+        |      FROM q, generate_series(0, 3) s(j))
+        |SELECT e.lang, min(t.cnt) AS estimate
+        |FROM e JOIN t ON t.j = e.j AND t.pos = e.pos
+        |GROUP BY e.lang ORDER BY e.lang""".stripMargin,
 
     "q_theta_sketch" -> thetaSketchOracleSql(128),
 

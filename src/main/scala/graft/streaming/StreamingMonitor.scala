@@ -75,6 +75,24 @@ object StreamingMonitor {
       est.as("distinct_estimate"))
   }
 
+  /** Per-window Count-Min counter table: [[graft.ops.CountMin]]'s groupBy
+    * rides the normal watermarked window aggregation — streaming state is
+    * ≤ depth×width cells per window, point estimates for ANY key from it
+    * (the frequency complement of [[distinctSketchStream]]'s cardinality
+    * sketch). Works identically on a batch frame.
+    */
+  def cmsTableStream(df: DataFrame, tsCol: String, watermark: String,
+                     duration: String, keyHash: Column,
+                     depth: Int, width: Int): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .select(col(tsCol), graft.ops.CountMin.positionsBound(keyHash, depth, width).as("__ps"))
+      .where(col("__ps").isNotNull)
+      .select(col(tsCol), posexplode(col("__ps")).as(Seq("row", "pos")))
+      .where(col("pos").isNotNull)
+      .groupBy(window(col(tsCol), duration).as("w"), col("row"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("row"), col("pos"), col("cnt"))
+
   final case class WindowDrift(windowStart: java.sql.Timestamp,
                                distinctEstimate: Double,
                                newKeysEstimate: Double,

@@ -188,6 +188,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch == rows)
   }
 
+  test("windowed Count-Min table: streaming equals batch, cells bounded by geometry") {
+    import spark.implicits._
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: skewed keys; hour 1: a different mix
+    val events = (0 until 40).map(i => (ts(0, i % 50), s"k${i % 5}")) ++
+      (0 until 12).map(i => (ts(1, i), s"k${i % 3}"))
+    def hash = graft.ops.Shingles.md5Hash60(col("k"))
+
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = StreamingMonitor.cmsTableStream(
+        stream.toDF().toDF("ts", "k"), "ts", "10 minutes", "1 hour", hash, 4, 16)
+      .writeStream.format("memory").queryName("cms_test").outputMode("complete").start()
+    stream.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cms_test")
+      .select(col("window_start").cast("string"), col("row"), col("pos"), col("cnt"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    q.stop()
+
+    val batch = StreamingMonitor.cmsTableStream(
+        events.toDF("ts", "k"), "ts", "10 minutes", "1 hour", hash, 4, 16)
+      .select(col("window_start").cast("string"), col("row"), col("pos"), col("cnt"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // each window's row-0 counters sum to that window's event count
+    val mass = streamed.toSeq.filter(r => r._2 == 0).groupBy(_._1)
+      .map { case (w, rs) => w -> rs.map(_._4).sum }
+    assert(mass == Map("2024-01-01 00:00:00" -> 40L, "2024-01-01 01:00:00" -> 12L))
+    assert(streamed.size <= 2 * 4 * 16)
+  }
+
   test("streaming first-seen dedup: duplicates suppressed, TTL re-admits") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
