@@ -39,6 +39,42 @@ object Sampling {
     df.where(pmod(hasher(col(keyCol).cast("string")), lit(buckets.toLong)) < keepExpr)
   }
 
+  /** Resample to a TARGET stratum mixture (the data-mixing step of corpus
+    * curation: "make the training set 50% en / 30% es / 20% de"): the
+    * largest total consistent with the targets is `nmax = min_s(n_s / t_s)`
+    * — the binding stratum is kept whole and every other stratum is
+    * deterministically hash-downsampled to `t_s · nmax` expected rows, so
+    * kept shares match the targets. Strata not in `targets` are dropped.
+    *
+    * Fully declarative and engine-reproducible: stratum counts are ONE
+    * bounded aggregate, the per-stratum keep thresholds
+    * `round(t_s · nmax / n_s · buckets)` are integers broadcast back onto
+    * the rows, and the keep decision is the same hash-bucket rule as
+    * [[hashSample]] (row-local; refinable; stable across partitionings,
+    * reruns, and engines). Expected share deviation is binomial,
+    * ~sqrt(n)/n per stratum — the same contract as [[capPerKey]].
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                    targets: Map[String, Double], buckets: Int = 10000,
+                    hasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be non-empty with positive shares")
+    val tExpr = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (s, t)) => when(col(stratumCol) === s, lit(t)).otherwise(acc)
+    }
+    val counts = df.select(col(stratumCol).as("__stratum"), tExpr.as("__t"))
+      .where(col("__t").isNotNull)
+      .groupBy("__stratum", "__t").agg(count(lit(1)).as("__n"))
+    val nmax = counts.agg(min(col("__n").cast("double") / col("__t")).as("__nmax"))
+    val keeps = counts.crossJoin(broadcast(nmax))
+      .select(col("__stratum"),
+        round(col("__t") * col("__nmax") / col("__n").cast("double") * buckets)
+          .cast("long").as("__keep"))
+    df.join(broadcast(keeps), col(stratumCol) === col("__stratum"))
+      .where(pmod(hasher(col(keyCol).cast("string")), lit(buckets.toLong)) < col("__keep"))
+      .drop("__stratum", "__keep")
+  }
+
   /** Deterministic multi-way split assignment (train/val/test hygiene):
     * every row gets the split its key hashes into — stable across reruns,
     * Spark versions, partitionings, and machines, which is the property

@@ -926,6 +926,15 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_mixture_sample" -> ((s, dir) =>
+      // data mixing: resample documents toward a 50/30/20 en/es/de target
+      // mixture — exact stratum counts set integer keep thresholds the
+      // oracle recomputes with the identical double tree; other langs drop
+      Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+          targets = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2),
+          hasher = Shingles.md5Hash60)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "q_top_per_key" -> ((s, dir) =>
       // EXACT per-source cap: the 8 smallest md5-60(doc_id) per source —
       // KMV bottom-n aggregate (bounded map-side partials) + semi-join
@@ -2383,6 +2392,20 @@ object Catalog {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
         |      CASE WHEN lang = 'en' THEN 2000 WHEN lang = 'es' THEN 5000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_sample" ->
+      // identical double tree as Sampling.mixtureSample: nmax =
+      // min(n/t), keep threshold = round(t * nmax / n * buckets)
+      """WITH tt AS (SELECT * FROM (VALUES ('en', 0.5), ('es', 0.3), ('de', 0.2)) t(lang, tgt)),
+        |n AS (SELECT d.lang, tgt, count(*) AS n
+        |      FROM documents d JOIN tt ON d.lang = tt.lang GROUP BY d.lang, tgt),
+        |m AS (SELECT min(CAST(n AS DOUBLE) / tgt) AS nmax FROM n),
+        |k AS (SELECT lang, CAST(round(tgt * nmax / CAST(n AS DOUBLE) * 10000) AS BIGINT) AS keep
+        |      FROM n, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN k ON d.lang = k.lang
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < keep
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_top_per_key" ->
       // rank by the identical md5-60 hash per source; the KMV keeps the 8

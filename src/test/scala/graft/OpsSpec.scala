@@ -1012,6 +1012,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ss.length == 500 && ss.forall(_ == "a"))
   }
 
+  test("mixtureSample resamples to target shares, keeps the binding stratum whole") {
+    // skewed corpus: en 600, es 200, de 100, fr 50; targets 50/30/20
+    // -> nmax = min(600/.5, 200/.3, 100/.2) = 500: de kept whole (binding),
+    // en downsampled to ~250, es to ~150, fr dropped
+    val docs = ((0 until 600).map(i => (i.toLong, "en")) ++
+      (600 until 800).map(i => (i.toLong, "es")) ++
+      (800 until 900).map(i => (i.toLong, "de")) ++
+      (900 until 950).map(i => (i.toLong, "fr"))).toDF("id", "lang")
+    val targets = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
+    val kept = Sampling.mixtureSample(docs, "id", "lang", targets)
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byLang.contains("fr"), "untargeted stratum must drop")
+    assert(byLang("de") == 100, "binding stratum is kept whole")
+    // kept shares approximate the targets (binomial tolerance)
+    val total = kept.length.toDouble
+    assert(math.abs(byLang("en") / total - 0.5) < 0.06, s"en share ${byLang("en") / total}")
+    assert(math.abs(byLang("es") / total - 0.3) < 0.06, s"es share ${byLang("es") / total}")
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(docs.repartition(13), "id", "lang", targets)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
   test("repetition features: token and ngram duplication") {
     val d = Seq(
       (1L, "a a a b"),                  // 4 tokens, 2 distinct, top=3; 2 trigrams distinct
