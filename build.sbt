@@ -28,4 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32-thread local runs push 10^8-row joins through one heap; 8g GC-thrashes
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // floor the committed heap: G1 shrinks to ~1.4g after every full GC and
+  // allocation-heavy passes then re-commit gigabytes of pages mid-query —
+  // measured as multi-second spikes on the wide scan (PLANS.md round-8
+  // variance audit); a pinned floor removes the commit churn
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "8g")}",
 )
