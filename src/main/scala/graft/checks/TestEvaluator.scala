@@ -1,5 +1,8 @@
 package graft.checks
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, when}
+
 /** Evaluates soda-style test expressions over metric values, e.g.
   * `row_count > 0`, `invalid_percentage == 0`, `sum * 2 >= 100 and missing_count == 0`.
   * (The reference delegates to Python `eval`; graft implements the arithmetic /
@@ -21,6 +24,24 @@ object TestEvaluator {
     val v = p.parseExpr()
     p.expectEnd()
     Result(v.truthy, v, referencedMetrics(expression))
+  }
+
+  /** Compiles a test expression to a Catalyst boolean Column — the SAME
+    * grammar and double-arithmetic semantics as [[evaluate]], so the
+    * streaming scan's per-window verdicts (one projected expression per
+    * test, evaluated by codegen over every window row) match what the batch
+    * driver evaluation would say on the same metric values. `resolve` maps
+    * a metric name to its (double) Column; unknown names throw
+    * `NoSuchElementException` AT COMPILE TIME, before any job runs — callers
+    * mark such tests skipped, mirroring the batch unmeasured-metric rule.
+    * A NULL metric value propagates to a NULL verdict (callers decide the
+    * fail-safe).
+    */
+  def compile(expression: String, resolve: String => Column): Column = {
+    val p = new ColumnParser(tokenize(expression), resolve)
+    val v = p.parseExpr()
+    p.expectEnd()
+    v.truthy
   }
 
   private val keywords = Set("and", "or", "not", "true", "false", "True", "False")
@@ -145,6 +166,110 @@ object TestEvaluator {
     private def asNum(v: Value): Double = v match {
       case Num(d) => d
       case Bool(b) => if (b) 1.0 else 0.0
+    }
+  }
+
+  /** Column-typed mirror of [[Value]]: tracks whether a subexpression is
+    * numeric or boolean so truthiness/coercion match the interpreter.
+    */
+  private sealed trait CVal { def truthy: Column; def num: Column }
+  private final case class CNum(c: Column) extends CVal {
+    def truthy: Column = c =!= lit(0.0)
+    def num: Column = c
+  }
+  private final case class CBool(c: Column) extends CVal {
+    def truthy: Column = c
+    def num: Column = when(c, lit(1.0)).otherwise(lit(0.0))
+  }
+
+  /** Same grammar as [[Parser]], producing Columns. Kept structurally
+    * parallel so the two evaluators can't drift.
+    */
+  private final class ColumnParser(toks: Vector[Tok], resolve: String => Column) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expectEnd(): Unit =
+      require(pos == toks.length, s"trailing tokens in test expression at $pos")
+
+    def parseExpr(): CVal = parseOr()
+
+    private def parseOr(): CVal = {
+      var v = parseAnd()
+      while (peek.contains(Ident("or"))) { next(); val r = parseAnd(); v = CBool(v.truthy || r.truthy) }
+      v
+    }
+
+    private def parseAnd(): CVal = {
+      var v = parseNot()
+      while (peek.contains(Ident("and"))) { next(); val r = parseNot(); v = CBool(v.truthy && r.truthy) }
+      v
+    }
+
+    private def parseNot(): CVal = peek match {
+      case Some(Ident("not")) => next(); CBool(!parseNot().truthy)
+      case _ => parseCmp()
+    }
+
+    private def parseCmp(): CVal = {
+      val l = parseAdd()
+      peek match {
+        case Some(Op(op)) if Set("==", "!=", "<=", ">=", "<", ">").contains(op) =>
+          next()
+          val r = parseAdd()
+          val (a, b) = (l.num, r.num)
+          CBool(op match {
+            case "==" => a === b
+            case "!=" => a =!= b
+            case "<=" => a <= b
+            case ">=" => a >= b
+            case "<"  => a < b
+            case ">"  => a > b
+          })
+        case _ => l
+      }
+    }
+
+    private def parseAdd(): CVal = {
+      var v = parseMul().num
+      var done = false
+      while (!done) peek match {
+        case Some(Op("+")) => next(); v = v + parseMul().num
+        case Some(Op("-")) => next(); v = v - parseMul().num
+        case _ => done = true
+      }
+      CNum(v)
+    }
+
+    private def parseMul(): CVal = {
+      var v = parseUnary().num
+      var done = false
+      while (!done) peek match {
+        case Some(Op("*")) => next(); v = v * parseUnary().num
+        case Some(Op("/")) => next(); v = v / parseUnary().num
+        case Some(Op("%")) => next(); v = v % parseUnary().num
+        case _ => done = true
+      }
+      CNum(v)
+    }
+
+    private def parseUnary(): CVal = peek match {
+      case Some(Op("-")) => next(); CNum(-parseUnary().num)
+      case _ => parseAtom()
+    }
+
+    private def parseAtom(): CVal = next() match {
+      case NumTok(v) => CNum(lit(v))
+      case Ident(n) if n == "true" || n == "True" => CBool(lit(true))
+      case Ident(n) if n == "false" || n == "False" => CBool(lit(false))
+      case Ident(n) => CNum(resolve(n))
+      case Op("(") =>
+        val v = parseExpr()
+        next() match {
+          case Op(")") => v
+          case other => throw new IllegalArgumentException(s"expected ')', got $other")
+        }
+      case other => throw new IllegalArgumentException(s"unexpected token $other")
     }
   }
 }

@@ -95,7 +95,11 @@ object Scanner {
   final case class StreamingScan(
       quality: DataFrame,
       anomalies: Map[String, org.apache.spark.sql.Dataset[graft.streaming.StreamingAnomaly.AnomalyFlag]],
-      psi: Map[String, (Drift.PsiReference, DataFrame)])
+      psi: Map[String, (Drift.PsiReference, DataFrame)],
+      /** Per-window pass/fail verdicts of the scan's `tests:` — see
+        * [[windowTests]]; empty-schema frame when the scan has no tests.
+        */
+      tests: DataFrame)
 
   /** One scan.yml drives BOTH modes: the same YAML the batch [[executeYaml]]
     * reads — plus its `stream:` block (time_column/watermark/window) —
@@ -148,7 +152,81 @@ object Scanner {
       name -> (ref, StreamingMonitor.bucketCountStream(df, sc.timeColumn, sc.watermark,
         sc.window, name, ref.lo, ref.hi, ref.buckets))
     }.toMap
-    StreamingScan(quality, anomalies, psi)
+    StreamingScan(quality, anomalies, psi, windowTests(quality, scan.tests, cols))
+  }
+
+  /** Per-window evaluation of the scan's `tests:` over the quality frame's
+    * measurements — the continuous monitor emits PASS/FAIL rows, not just
+    * counts, so an alert sink can key on `passed = false` directly.
+    *
+    * Each test compiles ONCE (driver-side, [[TestEvaluator.compile]]) to a
+    * boolean Column over the window's metric columns; all verdicts ride one
+    * row-local `inline` projection on top of the (already aggregated)
+    * quality stream — append-safe, no extra shuffle, bounded by
+    * windows × tests. Metrics resolvable at window grain are the quality
+    * frame's measurements and their derived forms (`row_count`; per column
+    * `missing_count / values_count / invalid_count / valid_count` and their
+    * percentages — the SAME `count·100/row_count` expression trees as the
+    * batch [[graft.metrics.MetricColumns.derived]]). A test referencing
+    * anything else (e.g. `avg`, a sql-metric name) is emitted with
+    * `skipped = true` and a NULL verdict — the batch unmeasured-metric rule
+    * at window grain. A NULL verdict on a non-skipped test counts as FAILED
+    * (fail-safe: alert rather than silently pass).
+    *
+    * Output: (window_start, column_name, test, passed, skipped); table-level
+    * tests carry a NULL column_name. Works identically on the batch
+    * [[graft.streaming.StreamingMonitor.qualityByWindow]] frame (backfill
+    * parity).
+    */
+  def windowTests(quality: DataFrame, tableTests: Seq[String],
+                  cols: Seq[(String, ColumnConfig)]): DataFrame = {
+    val rc = col("row_count").cast(DoubleType)
+    def resolver(colName: Option[String]): String => Column = {
+      val perColumn: Map[String, Column] = colName match {
+        case None => Map.empty
+        case Some(n) =>
+          val miss = col(s"${n}_missing")
+          val inv = col(s"${n}_invalid")
+          val values = col("row_count") - miss
+          val valid = values - inv
+          Map(
+            "missing_count" -> miss.cast(DoubleType),
+            "missing_percentage" -> (miss.cast(DoubleType) * 100.0 / rc),
+            "values_count" -> values.cast(DoubleType),
+            "values_percentage" -> (values.cast(DoubleType) * 100.0 / rc),
+            "invalid_count" -> inv.cast(DoubleType),
+            "invalid_percentage" -> (inv.cast(DoubleType) * 100.0 / rc),
+            "valid_count" -> valid.cast(DoubleType),
+            "valid_percentage" -> (valid.cast(DoubleType) * 100.0 / rc))
+      }
+      name =>
+        if (name == "row_count") rc
+        else perColumn.getOrElse(name, throw new NoSuchElementException(
+          s"metric '$name' is not measurable at window grain"))
+    }
+    val all: Seq[(Option[String], String)] =
+      tableTests.map((None: Option[String]) -> _) ++
+        cols.flatMap { case (n, cfg) => cfg.tests.map((Some(n): Option[String]) -> _) }
+    val verdicts = all.map { case (cn, expr) =>
+      val compiled =
+        try Some(TestEvaluator.compile(expr, resolver(cn)))
+        catch { case _: NoSuchElementException => None }
+      struct(
+        lit(cn.orNull).cast(StringType).as("column_name"),
+        lit(expr).as("test"),
+        compiled.map(c => coalesce(c, lit(false)))
+          .getOrElse(lit(null).cast(BooleanType)).as("passed"),
+        lit(compiled.isEmpty).as("skipped"))
+    }
+    if (verdicts.isEmpty)
+      quality.select(col("window_start"),
+          lit(null).cast(StringType).as("column_name"),
+          lit(null).cast(StringType).as("test"),
+          lit(null).cast(BooleanType).as("passed"),
+          lit(false).as("skipped"))
+        .where(lit(false))
+    else
+      quality.select(col("window_start"), inline(array(verdicts: _*)))
   }
 
   /** Reference-parity `as_frames` variant (scan.py:398-421): the scan result

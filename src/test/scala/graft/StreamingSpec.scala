@@ -561,6 +561,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming scan tests: per-window PASS/FAIL verdicts, streaming equals batch") {
+    import spark.implicits._
+    import graft.scan.Scanner
+    implicit val sqlCtx = spark.sqlContext
+
+    // Two 1-hour windows. Window 0 (ts 0..3599): 6 clean rows. Window 1
+    // (ts 3600..): 5 rows, one NULL v and one invalid event_type — so the
+    // per-column tests flip verdicts BETWEEN windows, which driver-side
+    // (whole-scan) evaluation cannot express.
+    val yaml =
+      """table_name: events
+        |stream:
+        |  time_column: ts
+        |  watermark: 10 seconds
+        |  window: 1 hour
+        |tests:
+        |- row_count > 5
+        |- avg > 3
+        |columns:
+        |  v:
+        |    tests:
+        |    - missing_count == 0
+        |    - missing_percentage < 25
+        |  event_type:
+        |    valid_values:
+        |    - click
+        |    - view
+        |    tests:
+        |    - invalid_count == 0
+        |""".stripMargin
+
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val rows =
+      (0L until 6L).map(i => (ts(i * 60), Some(10.0 + i), "click")) ++
+        Seq((ts(3600), Some(1.0), "view"), (ts(3660), None, "click"),
+          (ts(3720), Some(2.0), "bogus"), (ts(3780), Some(3.0), "view"),
+          (ts(3840), Some(4.0), "click"))
+
+    val stream = MemoryStream[(Timestamp, Option[Double], String)]
+    val df = stream.toDF().toDF("ts", "v", "event_type")
+    val scan = Scanner.executeStreamYaml(spark, df, yaml)
+
+    val q = scan.tests.writeStream.format("memory").queryName("wt_test")
+      .outputMode("complete").start()
+    stream.addData(rows.take(7): _*)
+    q.processAllAvailable()
+    stream.addData(rows.drop(7): _*)
+    q.processAllAvailable()
+
+    val streamed = spark.table("wt_test")
+      .select(col("window_start").cast("string"), col("column_name"), col("test"),
+        col("passed"), col("skipped"))
+      .as[(String, String, String, Option[Boolean], Boolean)].collect().toSet
+    q.stop()
+
+    // batch parity: identical YAML over the same rows as a batch frame
+    val batch = Scanner.executeStreamYaml(spark, rows.toDF("ts", "v", "event_type"), yaml)
+      .tests
+      .select(col("window_start").cast("string"), col("column_name"), col("test"),
+        col("passed"), col("skipped"))
+      .as[(String, String, String, Option[Boolean], Boolean)].collect().toSet
+    assert(streamed == batch, "per-window test verdicts: batch parity")
+
+    val w0 = "1970-01-01 00:00:00"; val w1 = "1970-01-01 01:00:00"
+    val expected: Set[(String, String, String, Option[Boolean], Boolean)] = Set(
+      // table tests: row_count 6 then 5; `avg` is not measurable at window
+      // grain → skipped with NULL verdict in EVERY window
+      (w0, null, "row_count > 5", Some(true), false),
+      (w1, null, "row_count > 5", Some(false), false),
+      (w0, null, "avg > 3", None, true),
+      (w1, null, "avg > 3", None, true),
+      // v: clean in w0; 1 NULL of 5 rows (20%) in w1
+      (w0, "v", "missing_count == 0", Some(true), false),
+      (w1, "v", "missing_count == 0", Some(false), false),
+      (w0, "v", "missing_percentage < 25", Some(true), false),
+      (w1, "v", "missing_percentage < 25", Some(true), false),
+      // event_type: 'bogus' lands in w1 only
+      (w0, "event_type", "invalid_count == 0", Some(true), false),
+      (w1, "event_type", "invalid_count == 0", Some(false), false))
+    assert(streamed == expected, s"verdicts:\n${streamed.toSeq.sortBy(v => (v._1, v._3)).mkString("\n")}")
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
