@@ -248,6 +248,63 @@ object TextAnalysis {
       .withColumn("commonness", col("tf_sum").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  /** [[docCommonness]] for corpora whose vocabulary cannot be broadcast:
+    * the exact token→tf JOIN is replaced by a Count-Min lookup, capping the
+    * frequency state at d·w longs (a few KB) however large the corpus. One
+    * bounded shuffle builds the d×w counter table ([[CountMin.table]] —
+    * map-side combined into ≤ d·w cells regardless of data size), the table
+    * is collected and re-bound as ONE flat array literal (the IVF-centroid-
+    * literal pattern), and scoring is explode → d codegen'd modular probes →
+    * `groupBy(doc_id)` — NO join anywhere, and the only scoring shuffle is
+    * doc-grain partial sums (explode keeps a document's tokens adjacent, so
+    * map-side combine collapses them before the exchange).
+    *
+    * Estimates are CMS point queries (min over d cells) — each token's
+    * estimated tf is ≥ its true tf (within εn, ε = e/w, w.p. 1−δ, δ = e^−d),
+    * so `tf_sum_est ≥ tf_sum` and `commonness_est ≥ commonness` per
+    * document, with equality when every token has a collision-free cell.
+    * All-integer aggregation + one final double division, like the exact
+    * operator — bit-reproducible for a fixed (depth, width, hasher).
+    *
+    * `hasher` must be non-negative ([[Shingles.md5Hash60]] is the
+    * oracle-checkable default; `abs(xxhash64)` the production path).
+    *
+    * Measured crossover (sf0.1, local[32], median of 3): exact+broadcast
+    * 0.37 s; this operator 0.69 s with xxhash64, 1.2 s with md5-60 (the
+    * hash is the dominant scoring cost — exact joins on the raw token
+    * string and hashes nothing). A HOF formulation (transform/aggregate,
+    * zero scoring shuffle) lost to this one in every config (+20%:
+    * higher-order lambdas evaluate interpreted, outside codegen). So: keep
+    * [[docCommonness]] while the vocabulary broadcasts; switch here when
+    * it can't — the win is O(d·w) state vs O(vocab), not local wall-clock.
+    */
+  def docCommonnessCms(df: DataFrame, idCol: String, textCol: String,
+                       depth: Int = 4, width: Int = 1024,
+                       hasher: Column => Column = Shingles.md5Hash60): DataFrame = {
+    val wL = width.toLong
+    val toks = df.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("token"))
+    val cells = Array.ofDim[Long](depth * width)
+    CountMin.table(toks, hasher(col("token")), depth, width).collect()
+      .foreach(r => cells(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    val cellsLit = lit(cells)
+    // per-token estimate: min over the d cells the token's hash probes —
+    // same position formula as CountMin.positionsBound, flattened to
+    // 1-based element_at offsets into the literal
+    def estimate(h: Column): Column =
+      least((0 until depth).map { j =>
+        val pos = (h + lit(j.toLong) * (lit(1L) + h % lit(wL - 1L))) % lit(wL)
+        element_at(cellsLit, (pos + lit(j * wL + 1L)).cast(IntegerType))
+      }: _*)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col("doc_id"), estimate(hasher(col("token"))).as("__est"))
+      .groupBy("doc_id")
+      .agg(sum("__est").as("tf_sum_est"), count(lit(1)).as("n_tokens"))
+      .withColumn("commonness_est",
+        col("tf_sum_est").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 of each `n`-token shingle,
     * winnowed to the `k` smallest hashes (sorted). Deterministic, row-local.
     * This is the fast path (codegen'd 64-bit hash).

@@ -958,6 +958,14 @@ object Catalog {
       TextAnalysis.docCommonness(t(s, dir, "documents"), "doc_id", "text", broadcastVocab = true)
         .select("doc_id", "tf_sum", "n_tokens", "commonness").orderBy("doc_id")),
 
+    "q_commonness_cms" -> ((s, dir) =>
+      // CMS-backed twin of q_commonness: the exact token→tf join replaced
+      // by a 4×1024 Count-Min literal probed map-only — every estimate an
+      // exact integer the oracle replays from the same position formula
+      TextAnalysis.docCommonnessCms(t(s, dir, "documents"), "doc_id", "text",
+          depth = 4, width = 1024)
+        .select("doc_id", "tf_sum_est", "n_tokens", "commonness_est").orderBy("doc_id")),
+
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
@@ -2436,6 +2444,23 @@ object Catalog {
         |      FROM t JOIN tf ON t.token = tf.token GROUP BY t.doc_id)
         |SELECT doc_id, tf_sum, n_tokens,
         |       CAST(tf_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS commonness
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_commonness_cms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |           FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM t),
+        |cms AS (SELECT j, (h + j * (1 + h % 1023)) % 1024 AS pos, count(*) AS cnt
+        |        FROM h, generate_series(0, 3) s(j) GROUP BY j, pos),
+        |q AS (SELECT DISTINCT h FROM h),
+        |e0 AS (SELECT h, j, (h + j * (1 + h % 1023)) % 1024 AS pos
+        |       FROM q, generate_series(0, 3) s(j)),
+        |e AS (SELECT h, min(cms.cnt) AS est
+        |      FROM e0 JOIN cms ON cms.j = e0.j AND cms.pos = e0.pos GROUP BY h),
+        |g AS (SELECT doc_id, CAST(sum(e.est) AS BIGINT) AS tf_sum_est, count(*) AS n_tokens
+        |      FROM h JOIN e USING (h) GROUP BY doc_id)
+        |SELECT doc_id, tf_sum_est, n_tokens,
+        |       CAST(tf_sum_est AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS commonness_est
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_vocab" ->

@@ -1076,6 +1076,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
   }
 
+  test("CMS commonness: overestimate bound, wide-sketch exactness, join-free scoring plan") {
+    val d = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b b b c d"),
+      (4L, "e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("id", "text")
+    val exact = TextAnalysis.docCommonness(d, "id", "text")
+      .select("doc_id", "tf_sum", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // wide sketch (4×4096, 28 distinct tokens): no collisions → exact tf
+    val wide = TextAnalysis.docCommonnessCms(d, "id", "text", depth = 4, width = 4096)
+    assert(wide.select("doc_id", "tf_sum_est", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap == exact)
+
+    // cramped sketch (2×8): collisions certain, but the CMS bound holds —
+    // every per-doc estimate is >= the truth, token counts identical
+    val tight = TextAnalysis.docCommonnessCms(d, "id", "text", depth = 2, width = 8)
+      .select("doc_id", "tf_sum_est", "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(tight.length == exact.size)
+    tight.foreach { case (id, est, n) =>
+      assert(n == exact(id)._2 && est >= exact(id)._1, s"doc $id: est=$est exact=${exact(id)}")
+    }
+
+    // the scale contract: once the (bounded) table is collected, scoring has
+    // NO join — the only exchange is the doc-grain partial-sum aggregation
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"scoring must not join:\n$plan")
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1 &&
+      plan.contains("Exchange hashpartitioning(doc_id"),
+      s"scoring must shuffle only doc-grain partials:\n$plan")
+  }
+
   test("n-gram jaccard is order-sensitive where token-set jaccard is not") {
     val d = Seq((1L, "x a b c d e"), (2L, "x e d c b a"), (3L, "x a b c d f")).toDF("id", "text")
       .withColumn("blk", lit(1))
