@@ -9,12 +9,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.Main <scan.yml> <table-path> [key=value ...]
+  *   graft.Main stream <scan.yml> <log-dir> <out-dir|console>
+  *              [--schema <ddl>] [--max-files-per-trigger N] [key=value ...]
   *
   * The table format is inferred from the path suffix (.parquet default;
   * .csv with header; .json/.jsonl). Remaining args are `variables`
   * substituted into the scan's `filter:` like the reference's CLI `-v`
   * flags. Exit code: 0 all tests pass, 1 test failures, 2 scan errors /
   * bad invocation — so a scheduler can gate a pipeline on it.
+  *
+  * `stream` runs the SAME scan.yml (with its `stream:` block) continuously:
+  * [[graft.streaming.StreamLog.FileLogSource]] segments in → per-window
+  * quality / test-verdict / anomaly / PSI frames out, see [[runStream]].
   */
 object Main {
   def main(args: Array[String]): Unit = sys.exit(run(args, None))
@@ -23,8 +29,9 @@ object Main {
     * lets tests inject their session (CLI builds a local one).
     */
   def run(args: Array[String], sparkIn: Option[SparkSession]): Int = {
+    if (args.headOption.contains("stream")) return runStream(args.drop(1), sparkIn)
     if (args.length < 2) {
-      System.err.println("usage: graft.Main <scan.yml> <table-path> [key=value ...]")
+      System.err.println("usage: graft.Main <scan.yml> <table-path> [key=value ...] | graft.Main stream ...")
       return 2
     }
     val Array(yamlPath, tablePath) = args.take(2)
@@ -76,6 +83,123 @@ object Main {
     } catch {
       case e: Exception =>
         System.err.println(s"scan failed: ${e.getMessage}")
+        2
+    } finally if (sparkIn.isEmpty) spark.stop()
+  }
+
+  /** The continuous-monitor subcommand: drive the streaming scan from a
+    * [[graft.streaming.StreamLog.FileLogSource]] (JSONL segment files — the
+    * kafka-shaped replayable log; point the same code at a real kafka
+    * source by swapping the envelope frame) and sink each monitor to
+    * parquet under `<out-dir>/{quality,tests,anomaly_<col>,psi_<col>}`,
+    * or to the console when out-dir is the literal `console`.
+    *
+    * Runs with `Trigger.AvailableNow`: each invocation processes exactly
+    * the segments appended since the last run (checkpoints under
+    * `<out-dir>/_checkpoints`) and exits — cron-able incremental
+    * monitoring, not a resident daemon. `--max-files-per-trigger`
+    * (default 1) paces replay one segment per micro-batch so the watermark
+    * advances between segments — with everything in one batch no window
+    * ever closes and append-mode sinks emit nothing.
+    *
+    * The payload schema comes from `--schema "<ddl>"` (e.g.
+    * `"event_type STRING, value DOUBLE"`) or, when omitted, is inferred
+    * from the log's existing payloads (batch JSON inference — convenient
+    * locally; pass the DDL in production so a malformed segment can't
+    * silently re-type a column).
+    *
+    * Exit code mirrors the batch CLI, evaluated over the test-verdict rows
+    * WRITTEN BY THIS RUN (not historical ones): 0 none failed, 1 some
+    * window's test failed, 2 errors/bad usage. Append-mode semantics
+    * apply: a window's verdicts emit once the watermark passes its end —
+    * the freshest (still-open) window is gated by the NEXT run.
+    */
+  def runStream(args: Array[String], sparkIn: Option[SparkSession]): Int = {
+    import graft.streaming.StreamLog
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+
+    val usage = "usage: graft.Main stream <scan.yml> <log-dir> <out-dir|console> " +
+      "[--schema <ddl>] [--max-files-per-trigger N] [key=value ...]"
+    if (args.length < 3) { System.err.println(usage); return 2 }
+    val Array(yamlPath, logDir, outDir) = args.take(3)
+    var schemaDdl = Option.empty[String]
+    var maxFiles = 1
+    val vars = scala.collection.mutable.Map.empty[String, String]
+    var i = 3
+    while (i < args.length) args(i) match {
+      case "--schema" if i + 1 < args.length => schemaDdl = Some(args(i + 1)); i += 2
+      case "--max-files-per-trigger" if i + 1 < args.length => maxFiles = args(i + 1).toInt; i += 2
+      case kv => kv.split("=", 2) match {
+        case Array(k, v) => vars(k) = v; i += 1
+        case _ => System.err.println(s"unrecognized argument '$kv'\n$usage"); return 2
+      }
+    }
+
+    val spark = sparkIn.getOrElse {
+      SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-scan-stream")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    val console = outDir == "console"
+    try {
+      val source = StreamLog.FileLogSource(logDir, Some(maxFiles))
+      val schema = schemaDdl.map(StructType.fromDDL).getOrElse {
+        import spark.implicits._
+        spark.read.json(source.batch(spark).select("value").as[String]).schema
+      }
+      val scan = Scanner.executeStreamYaml(spark,
+        StreamLog.parsed(source.stream(spark), schema), yamlPath, vars.toMap)
+
+      val monitors: Seq[(String, org.apache.spark.sql.DataFrame)] =
+        Seq("quality" -> scan.quality, "tests" -> scan.tests) ++
+          scan.anomalies.toSeq.map { case (c, ds) => s"anomaly_$c" -> ds.toDF() } ++
+          scan.psi.toSeq.map { case (c, (_, df)) => s"psi_$c" -> df }
+
+      def parquetFiles(sub: String): Set[String] = {
+        val d = new java.io.File(s"$outDir/$sub")
+        if (!d.isDirectory) Set.empty
+        else d.listFiles().iterator.map(_.getPath).filter(_.endsWith(".parquet")).toSet
+      }
+      val testsBefore = parquetFiles("tests")
+
+      val queries = monitors.map { case (name, df) =>
+        val w = df.writeStream.queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+        if (console) w.format("console").option("truncate", "false").start()
+        else w.format("parquet")
+          .option("path", s"$outDir/$name")
+          .option("checkpointLocation", s"$outDir/_checkpoints/$name")
+          .start()
+      }
+      queries.foreach(_.awaitTermination())
+
+      if (console) 0
+      else {
+        val fresh = (parquetFiles("tests") -- testsBefore).toSeq.sorted
+        val failed =
+          if (fresh.isEmpty) 0L
+          else {
+            val verdicts = spark.read.parquet(fresh: _*)
+            val bad = verdicts.where(!col("skipped") && !col("passed"))
+            val n = bad.count()
+            if (n > 0) {
+              println(s"-- failed window tests ($n) --")
+              bad.orderBy("window_start", "column_name", "test").collect().take(50)
+                .foreach(r => println(s"  FAIL  window=${r.get(0)} column=${r.get(1)} test=${r.get(2)}"))
+            }
+            n
+          }
+        println(s"stream scan complete: ${monitors.size} monitors, $failed failed window tests this run")
+        if (failed > 0) 1 else 0
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"stream scan failed: ${e.getMessage}")
         2
     } finally if (sparkIn.isEmpty) spark.stop()
   }

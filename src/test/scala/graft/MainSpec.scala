@@ -50,6 +50,77 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("stream subcommand: file-log in, parquet verdicts out, checkpointed incremental runs") {
+    import graft.streaming.StreamLog
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def payload(et: String, v: Double) = s"""{"event_type":"$et","value":$v}"""
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-stream").toString
+    try {
+      val logDir = s"$dir/log"; val outDir = s"$dir/out"; val yml = s"$dir/scan.yml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(yml),
+        """table_name: events
+          |stream:
+          |  time_column: timestamp
+          |  watermark: 10 seconds
+          |  window: 1 hour
+          |tests:
+          |- row_count > 0
+          |columns:
+          |  value:
+          |    valid_max: 100
+          |    tests:
+          |    - invalid_count == 0
+          |""".stripMargin)
+      // window 0 (hour 0): 3 events, one invalid (500 > valid_max)
+      StreamLog.appendSegment(spark, logDir, Seq(
+        ("u1", payload("click", 10.0), "events", 0, 0L, ts(0, 5)),
+        ("u2", payload("view", 500.0), "events", 0, 1L, ts(0, 25)),
+        ("u3", payload("click", 20.0), "events", 0, 2L, ts(0, 45))))
+      // hour-2 sentinel: advances the watermark past window 0's end
+      StreamLog.appendSegment(spark, logDir, Seq(
+        ("u4", payload("view", 1.0), "events", 0, 3L, ts(2, 10))))
+
+      val cliArgs = Array("stream", yml, logDir, outDir,
+        "--schema", "event_type STRING, value DOUBLE")
+      // run 1: window 0 closes -> its invalid_count test fails -> exit 1
+      assert(Main.run(cliArgs, Some(spark)) == 1)
+      val verdicts = spark.read.parquet(s"$outDir/tests")
+        .select(col("window_start").cast("string"), col("column_name"),
+          col("test"), col("passed"))
+        .as[(String, String, String, Boolean)].collect().toSet
+      assert(verdicts == Set(
+        ("2024-01-01 00:00:00", null, "row_count > 0", true),
+        ("2024-01-01 00:00:00", "value", "invalid_count == 0", false)))
+      val quality = spark.read.parquet(s"$outDir/quality")
+        .select(col("window_start").cast("string"), col("row_count"), col("value_invalid"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(quality == Set(("2024-01-01 00:00:00", 3L, 1L)))
+
+      // run 2: nothing new appended -> checkpoint skips everything -> exit 0
+      assert(Main.run(cliArgs, Some(spark)) == 0)
+      assert(spark.read.parquet(s"$outDir/tests").count() == 2)
+
+      // run 3: a later segment closes the (clean) sentinel window -> exit 0,
+      // only that window's verdicts are new
+      StreamLog.appendSegment(spark, logDir, Seq(
+        ("u5", payload("click", 2.0), "events", 0, 4L, ts(4, 5))))
+      assert(Main.run(cliArgs, Some(spark)) == 0)
+      val all = spark.read.parquet(s"$outDir/tests")
+        .select(col("window_start").cast("string"), col("passed"))
+        .as[(String, Boolean)].collect().toSeq
+      assert(all.size == 4 && all.count(_._1 == "2024-01-01 02:00:00") == 2 &&
+        all.filter(_._1 == "2024-01-01 02:00:00").forall(_._2))
+
+      // bad usage exits 2
+      assert(Main.run(Array("stream", yml), Some(spark)) == 2)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("CLI variables substitute into the filter; bad usage exits 2") {
     withTable { (table, yml) =>
       val yaml =
