@@ -160,6 +160,23 @@ object Catalog {
           element_at(col("ps"), 3).as("p75"))
     },
 
+    "q_quantile_sketch" -> { (s, dir) =>
+      import graft.functions.QuantileSketch
+      // deterministic bottom-k-by-hash sample per group → quantiles from
+      // the sample: O(k) state where exact percentiles sort everything,
+      // mergeable across slices/windows, and the oracle recomputes the
+      // IDENTICAL sample (hash-selected, not random)
+      val key = Shingles.md5Hash60(concat(col("l_orderkey").cast(StringType),
+        lit("|"), col("l_linenumber").cast(StringType)))
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(QuantileSketch.qsketch(key, col("l_extendedprice"), 64).as("sk"))
+        .select(col("l_returnflag"), size(col("sk")).as("n_sample"),
+          QuantileSketch.quantile(col("sk"), 0.25).as("p25"),
+          QuantileSketch.quantile(col("sk"), 0.5).as("p50"),
+          QuantileSketch.quantile(col("sk"), 0.75).as("p75"))
+        .orderBy("l_returnflag")
+    },
+
     "q_histogram_multi" -> { (s, dir) =>
       // two columns bucketized in ONE pass (shared posexplode->groupBy job)
       val df = t(s, dir, "lineitem")
@@ -1783,6 +1800,23 @@ object Catalog {
         |       quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """WITH h AS (SELECT l_returnflag,
+        |             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |             l_extendedprice AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |d AS (SELECT l_returnflag, h, min(v) AS v FROM h GROUP BY l_returnflag, h),
+        |r AS (SELECT l_returnflag, v,
+        |             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |      FROM d),
+        |s AS (SELECT l_returnflag, list_sort(list(v)) AS sample
+        |      FROM r WHERE rn <= 64 GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(len(sample) AS INT) AS n_sample,
+        |       sample[CAST(floor(0.25 * (len(sample) - 1)) AS INT) + 1] AS p25,
+        |       sample[CAST(floor(0.5 * (len(sample) - 1)) AS INT) + 1] AS p50,
+        |       sample[CAST(floor(0.75 * (len(sample) - 1)) AS INT) + 1] AS p75
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_histogram_multi" ->
       """WITH b AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo1, CAST(max(l_quantity) AS DOUBLE) AS hi1,

@@ -75,6 +75,28 @@ object StreamingMonitor {
       est.as("distinct_estimate"))
   }
 
+  /** Per-window quantile sketch ([[graft.functions.QuantileSketchAgg]]):
+    * the deterministic bottom-k-by-hash value sample at window grain, with
+    * lower-nearest-rank p25/p50/p75 read off it. State is O(k) per window
+    * however many rows a window sees; the sample — hence every quantile —
+    * is EXACTLY what the batch twin computes on the same rows
+    * (merge-order/partitioning invariance of bottom-k). Works identically
+    * on a batch frame.
+    */
+  def quantileSketchStream(df: DataFrame, tsCol: String, watermark: String,
+                           duration: String, keyHash: Column, valueCol: Column,
+                           k: Int): DataFrame = {
+    import graft.functions.QuantileSketch
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration).as("w"))
+      .agg(QuantileSketch.qsketch(keyHash, valueCol, k).as("sketch"))
+      .select(col("w.start").as("window_start"),
+        size(col("sketch")).as("n_sample"),
+        QuantileSketch.quantile(col("sketch"), 0.25).as("p25"),
+        QuantileSketch.quantile(col("sketch"), 0.5).as("p50"),
+        QuantileSketch.quantile(col("sketch"), 0.75).as("p75"))
+  }
+
   /** Per-window Count-Min counter table: [[graft.ops.CountMin]]'s groupBy
     * rides the normal watermarked window aggregation — streaming state is
     * ≤ depth×width cells per window, point estimates for ANY key from it

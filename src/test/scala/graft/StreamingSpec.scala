@@ -188,6 +188,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch == rows)
   }
 
+  test("windowed quantile sketch: streaming equals batch, exact when not full") {
+    import spark.implicits._
+    import graft.ops.Shingles
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // window 0: values 0..28 step 2 (15 rows); window 1: 100, 200, 300
+    val events = (0 until 15).map(i => (ts(0, i), i.toLong, (i * 2).toDouble)) ++
+      Seq((ts(1, 0), 100L, 100.0), (ts(1, 1), 101L, 200.0), (ts(1, 2), 102L, 300.0))
+
+    def monitor(df: org.apache.spark.sql.DataFrame) =
+      StreamingMonitor.quantileSketchStream(df, "ts", "10 minutes", "1 hour",
+        Shingles.md5Hash60(col("id").cast("string")), col("v"), 64)
+
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val q = monitor(stream.toDF().toDF("ts", "id", "v"))
+      .writeStream.format("memory").queryName("qsk_test").outputMode("complete").start()
+    stream.addData(events.take(9): _*)
+    q.processAllAvailable()
+    stream.addData(events.drop(9): _*) // sketch state must merge across batches
+    q.processAllAvailable()
+    val rows = spark.table("qsk_test")
+      .select(col("window_start").cast("string"), col("n_sample"),
+        col("p25"), col("p50"), col("p75"))
+      .as[(String, Int, Double, Double, Double)].collect().toSet
+    q.stop()
+
+    // k=64 > rows per window -> the sample is the full window, quantiles
+    // are exact nearest-rank values
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", 15, 6.0, 14.0, 20.0),
+      ("2024-01-01 01:00:00", 3, 100.0, 200.0, 200.0)))
+
+    // batch twin over the same rows: identical sketches
+    val batch = monitor(events.toDF("ts", "id", "v"))
+      .select(col("window_start").cast("string"), col("n_sample"),
+        col("p25"), col("p50"), col("p75"))
+      .as[(String, Int, Double, Double, Double)].collect().toSet
+    assert(batch == rows)
+  }
+
   test("windowed Count-Min table: streaming equals batch, cells bounded by geometry") {
     import spark.implicits._
     import graft.streaming.StreamingMonitor
