@@ -823,6 +823,27 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_pq_encode" -> { (s, dir) =>
+      // product quantization codes (m=8 subspaces × c=8 codewords over
+      // dim 64): deterministic smallest-id seed codebook, row-local argmin
+      // probes against the one codebook literal — the oracle replays every
+      // distance with the identical left-fold association
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, c = 8)
+      graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+        .select(col("id").as("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    },
+
+    "q_pq_topk" -> { (s, dir) =>
+      // ADC search over the codes: query-side m×c lookup tables, candidate
+      // distance = m table lookups (left-fold), ranks oracled end-to-end
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Pq.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 8, c = 8)
+        .orderBy("query_id", "rank")
+    },
+
     "q_knn_graph" -> ((s, dir) =>
       // full-corpus kNN graph: every vector is a query; both sides
       // shuffle-join on the IVF cell (no broadcast of the corpus). Oracle
@@ -1343,6 +1364,31 @@ object Catalog {
 
   /** Shared md5-60-bit token hash (see graft.ops.Shingles.md5Hash60). */
   private val duckTokenHash = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+
+  /** Squared-L2 between two subDim-element list slices, spelled as the
+    * EXACT left-fold association Pq.sqDist uses (`(((0+d1)+d2)+…)`) so the
+    * doubles match bit-for-bit.
+    */
+  private def pqDistSql(a: String, b: String, subDim: Int): String =
+    (1 to subDim).foldLeft("0") { (acc, i) =>
+      s"($acc + ($a[$i]-$b[$i])*($a[$i]-$b[$i]))" }
+
+  /** Shared CTE prefix for the PQ oracles: doubles, subvectors (m×subDim),
+    * the smallest-id seed codebook, and every vector's argmin codes.
+    */
+  private def pqCodesSqlPrefix(m: Int, c: Int, subDim: Int): String =
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |sv AS (SELECT vec_id, CAST(s AS INT) AS sub, v[(s*$subDim+1):((s+1)*$subDim)] AS sv
+       |       FROM e, generate_series(0, ${m - 1}) t(s)),
+       |cb AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code,
+       |              sv AS cw
+       |       FROM sv WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $c)),
+       |a AS (SELECT s.vec_id, s.sub, c.code, ${pqDistSql("s.sv", "c.cw", subDim)} AS d
+       |      FROM sv s JOIN cb c ON c.sub = s.sub),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM a)
+       |  WHERE rn = 1)""".stripMargin
 
   /** The n-token shingle-string list of `string_split_regex(text,'\s+')` in
     * DuckDB — same semantics as Shingles.shingleStrings (shorter-than-n docs
@@ -2298,6 +2344,27 @@ object Catalog {
         |r AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank FROM s)
         |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_encode" ->
+      s"""${pqCodesSqlPrefix(8, 8, 8)}
+         |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
+
+    "q_pq_topk" -> {
+      val foldDs = (1 to 8).foldLeft("0") { (acc, i) => s"($acc + ds[$i])" }
+      s"""${pqCodesSqlPrefix(8, 8, 8)},
+         |qs AS (SELECT vec_id AS qid, sub, sv FROM sv WHERE vec_id < 10),
+         |lut AS (SELECT q.qid, q.sub, c.code, ${pqDistSql("q.sv", "c.cw", 8)} AS d
+         |        FROM qs q JOIN cb c ON c.sub = q.sub),
+         |cand AS (SELECT l.qid, cd.vec_id AS nid, l.sub, l.d
+         |         FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |         WHERE cd.vec_id != l.qid),
+         |g AS (SELECT qid, nid, list(d ORDER BY sub) AS ds FROM cand GROUP BY qid, nid),
+         |r AS (SELECT qid, nid,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY $foldDs, nid) AS INT) AS rank
+         |      FROM g)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_topk_per_group" ->
       """WITH r AS (
