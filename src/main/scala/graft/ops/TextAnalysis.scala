@@ -401,6 +401,69 @@ object TextAnalysis {
       .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
   }
 
+  /** Doc-to-doc sparse cosine retrieval over an INVERTED INDEX — the
+    * scale-correct alternative to dense all-pairs similarity for text: a
+    * query meets a candidate only through shared tokens, so the join is
+    * (token, doc, weight) postings — O(Σ postings of the query's terms) —
+    * instead of |queries|×|corpus| dense pairs. The classic web-scale
+    * retrieval shape (postings join + per-query top-k).
+    *
+    * Weights are tf × integer-linear idf (`(N·idfScale) div df` — the
+    * integer-arithmetic-PageRank discipline): every dot product and norm
+    * is an EXACT decimal sum of integer products, so scores and rankings
+    * replay bit-for-bit in a SQL oracle. (Classic ln-idf is a one-line
+    * weight swap; it is deliberately not the gate because `ln` low bits
+    * differ across engines.)
+    *
+    * `maxDfPermille` prunes tokens appearing in more than that fraction of
+    * documents — the stopword guard: without it the hottest postings lists
+    * dominate the join (a df≈N token contributes |queries|×N pairs and no
+    * signal). Pruned tokens leave BOTH the dots and the norms, on both
+    * sides. Query tokens unseen in the corpus have no idf and drop out.
+    *
+    * Output (query_id, rank, doc_id), self-pairs excluded, ties to the
+    * smaller doc id — the ANN-gate contract, over sparse text instead of
+    * embeddings.
+    */
+  def invertedIndexTopK(docs: DataFrame, queries: DataFrame,
+                        idCol: String, textCol: String, k: Int,
+                        idfScale: Int = 100, maxDfPermille: Int = 500): DataFrame = {
+    require(k >= 1 && idfScale >= 1 && maxDfPermille >= 1 && maxDfPermille <= 1000)
+    val spark = docs.sparkSession
+    def tf(df: DataFrame, idAs: String) =
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as(idAs), explode(tokens(col(textCol))).as("token"))
+        .groupBy(idAs, "token").agg(count(lit(1)).as("tf"))
+    val n = docs.where(col(textCol).isNotNull).count()
+    val corpusTf = tf(docs, "did")
+    // per-token document frequency; stopword prune; integer-linear idf
+    val idf = corpusTf.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") * 1000 <= lit(n * maxDfPermille))
+      .withColumn("idf", expr(s"(${n}L * $idfScale) div df"))
+      .select("token", "idf")
+    def postings(tfF: DataFrame, idAs: String) =
+      tfF.join(idf, Seq("token"))
+        .select(col(idAs), col("token"),
+          (col("tf") * col("idf")).cast(DecimalType(19, 0)).as("w"))
+    def norm2(p: DataFrame, idAs: String) =
+      p.groupBy(idAs).agg(sum(col("w") * col("w")).as(s"n2_$idAs"))
+    val dp = postings(corpusTf, "did")
+    val qp = postings(tf(queries, "qid"), "qid")
+    val dots = dp.join(broadcast(qp.withColumnRenamed("w", "wq")), Seq("token"))
+      .where(col("did") =!= col("qid"))
+      .groupBy("qid", "did").agg(sum(col("w") * col("wq")).as("dot"))
+    val scored = dots
+      .join(norm2(dp, "did"), Seq("did"))
+      .join(broadcast(norm2(qp, "qid")), Seq("qid"))
+      .withColumn("cos", col("dot").cast(DoubleType) /
+        (sqrt(col("n2_did").cast(DoubleType)) * sqrt(col("n2_qid").cast(DoubleType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("did").as("doc_id"))
+  }
+
   /** BM25 relevance of every document against a fixed query term set — the
     * retrieval scorer a curation pipeline uses to mine topic-targeted
     * subsets ("find the code-like documents") at corpus scale. Classic

@@ -1102,6 +1102,19 @@ object Catalog {
         .select("doc_id", "n_tokens", "score_fx")
         .orderBy("doc_id")),
 
+    "q_inverted_topk" -> { (s, dir) =>
+      // doc-to-doc sparse cosine retrieval through the inverted index:
+      // postings join instead of dense all-pairs; integer-linear idf so
+      // every dot/norm is an exact decimal sum the oracle replays
+      val docs = t(s, dir, "documents")
+      // maxDfPermille=1000: the synthetic corpus has a ~31-token vocabulary
+      // (max df 402/500), so any df prune empties it; real corpora keep the
+      // default 500 stopword guard
+      TextAnalysis.invertedIndexTopK(docs, docs.where(col("doc_id") < 10),
+          "doc_id", "text", k = 5, maxDfPermille = 1000)
+        .orderBy("query_id", "rank")
+    },
+
     "q_pagerank" -> { (s, dir) =>
       // integer-arithmetic PageRank over a graph derived from orders
       // (customer-block → order-block links): truncating long division is
@@ -2740,6 +2753,30 @@ object Catalog {
         |       coalesce(a.score_fx, 0) AS score_fx
         |FROM toks t2 LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_topk" ->
+      """WITH tfd AS (SELECT did, token, count(*) AS tf FROM
+        |        (SELECT doc_id AS did, unnest(string_split_regex(text, '\s+')) AS token
+        |         FROM documents WHERE text IS NOT NULL) GROUP BY did, token),
+        |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |idf AS (SELECT token, (nn.n * 100) // df AS idf
+        |        FROM (SELECT token, count(*) AS df FROM tfd GROUP BY token) d, nn
+        |        WHERE d.df * 1000 <= nn.n * 1000),
+        |dp AS (SELECT did, token, CAST(tf * idf AS HUGEINT) AS w FROM tfd JOIN idf USING (token)),
+        |qp AS (SELECT did AS qid, token, w AS wq FROM dp WHERE did < 10),
+        |nd AS (SELECT did, sum(w * w) AS n2d FROM dp GROUP BY did),
+        |nq AS (SELECT qid, sum(wq * wq) AS n2q FROM qp GROUP BY qid),
+        |dots AS (SELECT qp.qid, dp.did, sum(dp.w * qp.wq) AS dot
+        |         FROM dp JOIN qp ON qp.token = dp.token AND dp.did != qp.qid
+        |         GROUP BY qp.qid, dp.did),
+        |sc AS (SELECT qid, did,
+        |              CAST(dot AS DOUBLE) / (sqrt(CAST(n2d AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) AS cos
+        |       FROM dots JOIN nd USING (did) JOIN nq USING (qid)),
+        |r AS (SELECT qid, did,
+        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS INT) AS rank
+        |      FROM sc)
+        |SELECT qid AS query_id, rank, did AS doc_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_sample_weighted" ->
       """SELECT doc_id,
