@@ -42,14 +42,14 @@ object Pq {
     * lambda — never an expensive expression, which transform would
     * re-evaluate per element).
     */
-  private def subvec(v: Column, s: Column, subDim: Int): Column =
+  private[ops] def subvec(v: Column, s: Column, subDim: Int): Column =
     slice(v, s * subDim + 1, lit(subDim))
 
   /** argmin over the `c` codewords of subspace `s`: array_min over
     * (dist, code) structs — equal distances pick the smaller code.
     * `cbLit` is the whole codebook as ONE m×c×subDim literal.
     */
-  private def nearestCode(sv: Column, s: Column, cbLit: Column, c: Int): Column =
+  private[ops] def nearestCode(sv: Column, s: Column, cbLit: Column, c: Int): Column =
     array_min(transform(sequence(lit(0), lit(c - 1)), j =>
       struct(sqDist(sv, element_at(element_at(cbLit, s + 1), j + 1)).as("d"),
         j.as("code")))).getField("code")
@@ -112,7 +112,7 @@ object Pq {
   /** Bounded (m·c rows) collect of a codebook frame into the m×c×subDim
     * literal shape.
     */
-  private def decodeCodebook(codebook: DataFrame): Array[Array[Seq[Double]]] = {
+  private[ops] def decodeCodebook(codebook: DataFrame): Array[Array[Seq[Double]]] = {
     val rows = codebook
       .select(col("sub").cast(IntegerType), col("code").cast(IntegerType), col("codeword"))
       .orderBy("sub", "code").collect()

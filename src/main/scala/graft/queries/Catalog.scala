@@ -835,6 +835,19 @@ object Catalog {
         .orderBy("vec_id", "sub")
     },
 
+    "q_ivfpq_encode" -> { (s, dir) =>
+      // IVFADC index build: coarse cell routing + residual PQ codes, one
+      // row-local pass; cells, residuals and codes all replayed exactly
+      val emb = t(s, dir, "embeddings")
+      val cells = graft.ops.IvfPq.trainCells(emb, "vec_id", "embedding", ncells = 8)
+      val cb = graft.ops.IvfPq.trainResidualCodebook(emb, "vec_id", "embedding",
+        cells, m = 8, c = 8)
+      graft.ops.IvfPq.encode(emb, "vec_id", "embedding", cells, cb)
+        .select(col("id").as("vec_id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    },
+
     "q_pq_topk" -> { (s, dir) =>
       // ADC search over the codes: query-side m×c lookup tables, candidate
       // distance = m table lookups (left-fold), ranks oracled end-to-end
@@ -2361,6 +2374,29 @@ object Catalog {
     "q_pq_encode" ->
       s"""${pqCodesSqlPrefix(8, 8, 8)}
          |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
+
+    "q_ivfpq_encode" ->
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |cc AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cw
+         |       FROM e WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |ad AS (SELECT e.vec_id, cc.cell, ${pqDistSql("e.v", "cc.cw", 64)} AS d FROM e, cc),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad)
+         |  WHERE rn = 1),
+         |res AS (SELECT a.vec_id, a.cell, [e.v[i+1] - cc.cw[i+1] for i in range(0, 64)] AS r
+         |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cc ON cc.cell = a.cell),
+         |rsv AS (SELECT vec_id, cell, CAST(s AS INT) AS sub, r[(s*8+1):((s+1)*8)] AS sv
+         |        FROM res, generate_series(0, 7) t(s)),
+         |rcb AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code,
+         |               sv AS cw
+         |        FROM rsv WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |a2 AS (SELECT r.vec_id, r.cell, r.sub, c.code, ${pqDistSql("r.sv", "c.cw", 8)} AS d
+         |       FROM rsv r JOIN rcb c ON c.sub = r.sub),
+         |codes AS (SELECT vec_id, cell, sub, code FROM (
+         |    SELECT vec_id, cell, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM a2)
+         |  WHERE rn = 1)
+         |SELECT vec_id, cell, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
 
     "q_pq_topk" -> {
       val foldDs = (1 to 8).foldLeft("0") { (acc, i) => s"($acc + ds[$i])" }
