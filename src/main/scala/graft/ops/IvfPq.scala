@@ -79,10 +79,16 @@ object IvfPq {
     val c = cb(0).length
     val subDim = cb(0)(0).size
     val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    // size-guard on `r`: referenced once (inside the lambda) the whole
+    // residual pipeline — cell argmin + subtraction — would be inlined and
+    // re-evaluated per subspace element, and InferFiltersFromGenerate then
+    // clones the 25 KB expression into a per-row Filter (measured 16.8 s →
+    // ~2 s on the sf0.1 encode bench). The second reference pins the
+    // (cell, r) projection; lambdas read attributes.
     withResiduals(corpus, idCol, vecCol, cellsLit, cl(0).length, "id")
       .select(col("id"), col("cell"),
-        transform(sequence(lit(0), lit(m - 1)),
-          s => Pq.nearestCode(Pq.subvec(col("r"), s, subDim), s, cbLit, c)).as("codes"))
+        when(size(col("r")) > 0, transform(sequence(lit(0), lit(m - 1)),
+          s => Pq.nearestCode(Pq.subvec(col("r"), s, subDim), s, cbLit, c))).as("codes"))
   }
 
   /** Probe-and-score: each query ranks all cells (ncells structs, one
@@ -115,10 +121,11 @@ object IvfPq {
       .withColumn("qr", zip_with(col("qv"),
         centroidOf(cellsLit, col("cell")), (a, b) => a - b))
       .select(col("query_id"), col("cell"),
-        transform(sequence(lit(0), lit(m - 1)), s =>
+        // size-guard: same CollapseProject barrier as in encode
+        when(size(col("qr")) > 0, transform(sequence(lit(0), lit(m - 1)), s =>
           transform(sequence(lit(0), lit(c - 1)), j =>
             Pq.sqDist(Pq.subvec(col("qr"), s, subDim),
-              element_at(element_at(cbLit, s + 1), j + 1)))).as("lut"))
+              element_at(element_at(cbLit, s + 1), j + 1))))).as("lut"))
 
     val scored = index.select(col("id").as("neighbor_id"), col("cell"), col("codes"))
       .join(broadcast(probed), Seq("cell"))

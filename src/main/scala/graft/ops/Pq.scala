@@ -133,11 +133,16 @@ object Pq {
     val c = cb(0).length
     val subDim = cb(0)(0).size
     val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    // `when(size(v) > 0, …)` is a MATERIALIZATION GUARD, not logic (v is
+    // never empty): it makes the projection alias `v` referenced twice, so
+    // CollapseProject keeps the projection and the lambda reads a bound
+    // attribute — collapsed, the cast-transform would re-evaluate once PER
+    // SUBSPACE element (measured ~10× on the encode bench).
     df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
       .select(col("id"),
-        transform(sequence(lit(0), lit(m - 1)),
-          s => nearestCode(subvec(col("v"), s, subDim), s, cbLit, c)).as("codes"))
+        when(size(col("v")) > 0, transform(sequence(lit(0), lit(m - 1)),
+          s => nearestCode(subvec(col("v"), s, subDim), s, cbLit, c))).as("codes"))
   }
 
   /** ADC top-K: each query builds its m×c distance lookup table row-locally
@@ -159,10 +164,11 @@ object Pq {
       .select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
       .select(col("query_id"),
-        transform(sequence(lit(0), lit(m - 1)), s =>
+        // size-guard: same CollapseProject barrier as in encode
+        when(size(col("qv")) > 0, transform(sequence(lit(0), lit(m - 1)), s =>
           transform(sequence(lit(0), lit(c - 1)), j =>
             sqDist(subvec(col("qv"), s, subDim),
-              element_at(element_at(cbLit, s + 1), j + 1)))).as("lut"))
+              element_at(element_at(cbLit, s + 1), j + 1))))).as("lut"))
     val scored = corpusCodes.select(col("id").as("neighbor_id"), col("codes"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("dist",

@@ -830,9 +830,14 @@ object Catalog {
       // distance with the identical left-fold association
       val emb = t(s, dir, "embeddings")
       val cb = graft.ops.Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, c = 8)
+      // wide code columns, not posexplode: a Generate over the (expensive)
+      // codes expression makes InferFiltersFromGenerate clone the whole
+      // pipeline into a per-row Filter; 8 element_at refs also pin the
+      // codes projection (measured ~10x on the encode bench)
       graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
-        .select(col("id").as("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-        .orderBy("vec_id", "sub")
+        .select(col("id").as("vec_id") +:
+          (0 until 8).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+        .orderBy("vec_id")
     },
 
     "q_ivfpq_encode" -> { (s, dir) =>
@@ -842,10 +847,12 @@ object Catalog {
       val cells = graft.ops.IvfPq.trainCells(emb, "vec_id", "embedding", ncells = 8)
       val cb = graft.ops.IvfPq.trainResidualCodebook(emb, "vec_id", "embedding",
         cells, m = 8, c = 8)
+      // wide code columns for the same InferFiltersFromGenerate reason as
+      // q_pq_encode
       graft.ops.IvfPq.encode(emb, "vec_id", "embedding", cells, cb)
-        .select(col("id").as("vec_id"), col("cell"),
-          posexplode(col("codes")).as(Seq("sub", "code")))
-        .orderBy("vec_id", "sub")
+        .select(Seq(col("id").as("vec_id"), col("cell")) ++
+          (0 until 8).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+        .orderBy("vec_id")
     },
 
     "q_pq_topk" -> { (s, dir) =>
@@ -2373,7 +2380,12 @@ object Catalog {
 
     "q_pq_encode" ->
       s"""${pqCodesSqlPrefix(8, 8, 8)}
-         |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
+         |SELECT vec_id,
+         |       MAX(code) FILTER (WHERE sub = 0) AS c0, MAX(code) FILTER (WHERE sub = 1) AS c1,
+         |       MAX(code) FILTER (WHERE sub = 2) AS c2, MAX(code) FILTER (WHERE sub = 3) AS c3,
+         |       MAX(code) FILTER (WHERE sub = 4) AS c4, MAX(code) FILTER (WHERE sub = 5) AS c5,
+         |       MAX(code) FILTER (WHERE sub = 6) AS c6, MAX(code) FILTER (WHERE sub = 7) AS c7
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_ivfpq_encode" ->
       s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -2396,7 +2408,12 @@ object Catalog {
          |    SELECT vec_id, cell, sub, code,
          |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM a2)
          |  WHERE rn = 1)
-         |SELECT vec_id, cell, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin,
+         |SELECT vec_id, MAX(cell) AS cell,
+         |       MAX(code) FILTER (WHERE sub = 0) AS c0, MAX(code) FILTER (WHERE sub = 1) AS c1,
+         |       MAX(code) FILTER (WHERE sub = 2) AS c2, MAX(code) FILTER (WHERE sub = 3) AS c3,
+         |       MAX(code) FILTER (WHERE sub = 4) AS c4, MAX(code) FILTER (WHERE sub = 5) AS c5,
+         |       MAX(code) FILTER (WHERE sub = 6) AS c6, MAX(code) FILTER (WHERE sub = 7) AS c7
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_pq_topk" -> {
       val foldDs = (1 to 8).foldLeft("0") { (acc, i) => s"($acc + ds[$i])" }
