@@ -8,11 +8,11 @@ import org.apache.spark.sql.types._
   * columns with typed metadata; decode / feature-extraction runs per
   * partition in batches.
   *
-  * Header parsing for WAV/BMP ([[Headers]], [[extractMetadata]]) is REAL —
-  * pure byte parsing, no libraries — and so is the pixel/sample decode for
-  * the formats whose payloads are raw in the container: uncompressed
-  * 24/32-bpp BMP pixels and 16-bit PCM WAV samples ([[PixelCodec]]).
-  * Compressed formats (PNG deflate, JPEG DCT) still triage through
+  * Header parsing for WAV/BMP/PNG/JPEG ([[Headers]], [[extractMetadata]])
+  * is REAL — pure byte parsing, no libraries — and so is the pixel/sample
+  * decode for BMP (uncompressed 24/32-bpp), 16-bit PCM WAV, AND PNG
+  * (zlib-inflated IDAT + scanline unfiltering via `java.util.zip` —
+  * [[PixelCodec]]). Only JPEG (a full DCT codec) still triages through
   * [[FakeCodec]] — an honest DECLARED stub; a real deployment swaps it for
   * a native codec. Everything Spark-side — schema, Encoders,
   * partition-batch shape — is real.
@@ -23,8 +23,9 @@ object Multimodal {
   final case class DecodedRow(id: Long, n_bytes: Long, first_byte: Int, format: String,
                               width: Int, height: Int, feature: Array[Double])
 
-  /** STUB codec for formats needing a real decompressor (PNG/JPEG) and the
-    * corrupt-payload triage path: deterministic pseudo-features derived from
+  /** STUB codec for the one format still needing a real decompressor
+    * (JPEG) and the corrupt-payload triage path: deterministic
+    * pseudo-features derived from
     * the bytes. A real deployment swaps this for a native image/audio
     * decoder invoked per partition-batch.
     */
@@ -41,14 +42,15 @@ object Multimodal {
     }
   }
 
-  /** REAL pixel/sample feature extraction — pure byte decoding, no
-    * libraries — for the formats whose payloads sit uncompressed in the
-    * container. These are actual signal statistics, not byte-derived
-    * pseudo-features:
+  /** REAL pixel/sample feature extraction — pure byte decoding, JVM-only
+    * (`java.util.zip` for PNG's zlib stream). These are actual signal
+    * statistics, not byte-derived pseudo-features:
     *
     *  - BMP (24/32-bpp, uncompressed): per-channel mean and population std
     *    (R, G, B, each normalized to [0,1]) followed by an 8-bin Rec.601
     *    luminance histogram (fractions summing to 1) — 14 doubles;
+    *  - PNG (8-bit grey/RGB/RGBA, non-interlaced): fully decoded
+    *    (inflate + unfilter), same 14 doubles as BMP;
     *  - PCM WAV (16-bit): amplitude mean, RMS, zero-crossing rate, peak
     *    |amplitude| over [-1,1)-normalized samples, followed by an 8-bin
     *    |amplitude| histogram — 12 doubles.
@@ -100,6 +102,141 @@ object Multimodal {
         std(qR, sR) / 255.0, std(qG, sG) / 255.0, std(qB, sB) / 255.0) ++
         hist.map(_ / n)
       Some((srcW, srcH, feat))
+    }
+
+    /** (width, height, features) of a REAL decoded PNG — pure JVM, no
+      * native libraries: big-endian chunk walk, `java.util.zip.Inflater`
+      * on the concatenated IDAT stream (zlib IS the PNG compression), then
+      * scanline unfiltering (None/Sub/Up/Average/Paeth per the spec).
+      * Supports the dominant shapes — 8-bit greyscale (color type 0),
+      * truecolor (2) and truecolor+alpha (6), non-interlaced; anything
+      * else (palette, 16-bit, Adam7) returns None for triage. Features are
+      * the SAME 14 doubles as [[bmpFeatures]] (per-channel mean/std + 8-bin
+      * Rec.601 luminance histogram; grey maps to all three channels, alpha
+      * is ignored) so image features are comparable across formats.
+      *
+      * Safety on adversarial payloads: all sizes walk in Long, the decoded
+      * size is computed from the header and capped (no zip-bomb — the
+      * Inflater writes into an exactly-sized buffer), and a short or
+      * corrupt deflate stream returns None rather than throwing.
+      */
+    def pngFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+      val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      if (bytes.length < 8 + 25 || !(0 until 8).forall(i => (bytes(i) & 0xFF) == sig(i))) return None
+      def be32(o: Int): Long =
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+          ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      var off = 8L
+      var w = -1L; var h = -1L; var bitDepth = -1; var colorType = -1
+      var interlace = -1; var compression = -1; var filterMethod = -1
+      var idatLen = 0L
+      val idatChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var done = false
+      while (!done && off + 8 <= bytes.length) {
+        val len = be32(off.toInt)
+        if (len < 0 || off + 12 + len > bytes.length) return None
+        val ctype = new String(bytes, off.toInt + 4, 4, "US-ASCII")
+        ctype match {
+          case "IHDR" =>
+            if (len != 13) return None
+            val o = off.toInt + 8
+            w = be32(o); h = be32(o + 4)
+            bitDepth = bytes(o + 8) & 0xFF; colorType = bytes(o + 9) & 0xFF
+            compression = bytes(o + 10) & 0xFF; filterMethod = bytes(o + 11) & 0xFF
+            interlace = bytes(o + 12) & 0xFF
+          case "IDAT" =>
+            idatChunks += ((off.toInt + 8, len.toInt)); idatLen += len
+          case "IEND" => done = true
+          case _ => ()
+        }
+        off += 12L + len
+      }
+      if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 || filterMethod != 0 ||
+        interlace != 0 || idatChunks.isEmpty) return None
+      val channels = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case 6 => 4
+        case _ => return None
+      }
+      val strideL = 1L + w * channels
+      val rawL = strideL * h
+      if (rawL > (1L << 28)) return None // decoded-size cap, not a codec limit
+      val raw = new Array[Byte](rawL.toInt)
+      val inf = new java.util.zip.Inflater()
+      try {
+        val comp = new Array[Byte](idatLen.toInt)
+        var p = 0
+        idatChunks.foreach { case (o, l) => System.arraycopy(bytes, o, comp, p, l); p += l }
+        inf.setInput(comp)
+        var outAt = 0
+        while (outAt < raw.length && !inf.finished()) {
+          val got = inf.inflate(raw, outAt, raw.length - outAt)
+          if (got == 0 && inf.needsInput()) return None // truncated stream
+          outAt += got
+        }
+        if (outAt != raw.length) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+
+      val stride = strideL.toInt
+      val bpp = channels
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val pv = a + b - c
+        val pa = math.abs(pv - a); val pb = math.abs(pv - b); val pc = math.abs(pv - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      var y = 0
+      while (y < h.toInt) {
+        val rowOff = y * stride
+        val filter = raw(rowOff) & 0xFF
+        if (filter > 4) return None
+        var i = 1
+        while (i < stride) {
+          val x = raw(rowOff + i) & 0xFF
+          val a = if (i > bpp) raw(rowOff + i - bpp) & 0xFF else 0
+          val b = if (y > 0) raw(rowOff - stride + i) & 0xFF else 0
+          val c = if (y > 0 && i > bpp) raw(rowOff - stride + i - bpp) & 0xFF else 0
+          val v = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) >> 1)
+            case 4 => x + paeth(a, b, c)
+          }
+          raw(rowOff + i) = (v & 0xFF).toByte
+          i += 1
+        }
+        y += 1
+      }
+
+      var sR = 0.0; var sG = 0.0; var sB = 0.0
+      var qR = 0.0; var qG = 0.0; var qB = 0.0
+      val hist = new Array[Double](8)
+      y = 0
+      while (y < h.toInt) {
+        val rowOff = y * stride + 1
+        var xI = 0
+        while (xI < w.toInt) {
+          val o = rowOff + xI * channels
+          val r = raw(o) & 0xFF
+          val g = if (channels >= 3) raw(o + 1) & 0xFF else r
+          val bb = if (channels >= 3) raw(o + 2) & 0xFF else r
+          sR += r; sG += g; sB += bb
+          qR += r.toDouble * r; qG += g.toDouble * g; qB += bb.toDouble * bb
+          val luma = 0.299 * r + 0.587 * g + 0.114 * bb
+          hist(math.min(7, (luma / 32.0).toInt)) += 1.0
+          xI += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      def std(q: Double, s: Double) = math.sqrt(math.max(0.0, q / n - (s / n) * (s / n)))
+      val feat = Array(
+        sR / n / 255.0, sG / n / 255.0, sB / n / 255.0,
+        std(qR, sR) / 255.0, std(qG, sG) / 255.0, std(qB, sB) / 255.0) ++
+        hist.map(_ / n)
+      Some((w.toInt, h.toInt, feat))
     }
 
     /** Amplitude features of a 16-bit PCM WAV (interleaved channels treated
@@ -304,9 +441,9 @@ object Multimodal {
       lit(format).as("format"))
 
   /** Decode via mapPartitions — batch-per-partition, no shuffle (a native
-    * codec genuinely doesn't fit a Catalyst Expression). BMP and 16-bit PCM
-    * WAV payloads get REAL signal features ([[PixelCodec]]); compressed
-    * formats and corrupt payloads triage through the declared [[FakeCodec]]
+    * codec genuinely doesn't fit a Catalyst Expression). BMP, PNG and
+    * 16-bit PCM WAV payloads get REAL signal features ([[PixelCodec]]);
+    * JPEG and corrupt payloads triage through the declared [[FakeCodec]]
     * stub.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
@@ -316,6 +453,8 @@ object Multimodal {
         val (w, h, feat) = r.format match {
           case "image/bmp" =>
             PixelCodec.bmpFeatures(r.media).getOrElse(FakeCodec.decode(r.media, r.format))
+          case "image/png" =>
+            PixelCodec.pngFeatures(r.media).getOrElse(FakeCodec.decode(r.media, r.format))
           case "audio/wav" =>
             PixelCodec.wavFeatures(r.media) match {
               case Some(f) => (-1, -1, f) // dims are an image concept

@@ -1362,6 +1362,105 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).feature.length == 8)
   }
 
+  test("decodeFeatures: REAL PNG decode — inflate + every filter type, exact pixel stats") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.{CRC32, Deflater}
+    // a real PNG encoder: IHDR + one deflated IDAT + IEND, with a CHOSEN
+    // filter per scanline so the decoder's unfiltering of all five types
+    // is exercised against ground truth
+    def pngEncode(w: Int, h: Int, colorType: Int,
+                  px: (Int, Int) => Array[Int], filters: Seq[Int]): Array[Byte] = {
+      val ch = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      val bpp = ch
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      val stride = w * ch
+      val rows = Array.tabulate(h, stride) { (y, i) => px(i / ch, y)(i % ch) }
+      val raw = new ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        val f = filters(y % filters.size)
+        raw.write(f)
+        for (i <- 0 until stride) {
+          val x = rows(y)(i)
+          val a = if (i >= bpp) rows(y)(i - bpp) else 0
+          val b = if (y > 0) rows(y - 1)(i) else 0
+          val c = if (y > 0 && i >= bpp) rows(y - 1)(i - bpp) else 0
+          val enc = f match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - ((a + b) >> 1)
+            case 4 => x - paeth(a, b, c)
+          }
+          raw.write(enc & 0xFF)
+        }
+      }
+      val d = new Deflater()
+      d.setInput(raw.toByteArray); d.finish()
+      val comp = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(12 + data.length)
+        out.putInt(data.length); out.put(tpe.getBytes("US-ASCII")); out.put(data)
+        val crc = new CRC32(); crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+        out.putInt(crc.getValue.toInt)
+        out.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w); ihdr.putInt(h); ihdr.put(8.toByte); ihdr.put(colorType.toByte)
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        chunk("IHDR", ihdr.array()) ++ chunk("IDAT", comp.toByteArray) ++
+        chunk("IEND", Array.empty)
+    }
+
+    // 4x4 RGB gradient, all five filter types across the rows
+    def pix(x: Int, y: Int) = Array(x * 60, y * 60, (x + y) * 30)
+    val rgb = pngEncode(4, 4, 2, pix, Seq(0, 1, 2, 3, 4))
+    // same image with a different filter choice must decode IDENTICALLY
+    val rgbAlt = pngEncode(4, 4, 2, pix, Seq(4, 3, 2, 1, 0))
+    // greyscale ramp and RGBA (alpha must be ignored)
+    val grey = pngEncode(4, 4, 0, (x, y) => Array((x * 4 + y) * 16), Seq(1, 4))
+    val rgba = pngEncode(4, 4, 6, (x, y) => pix(x, y) :+ 17, Seq(2, 3))
+
+    val media = Seq(
+      (1L, rgb, "image/png"), (2L, rgbAlt, "image/png"),
+      (3L, grey, "image/png"), (4L, rgba, "image/png"),
+      (5L, rgb.take(40), "image/png") // truncated IDAT -> triage stub
+    ).toDF("id", "media", "format")
+    val out = Multimodal.decodeFeatures(spark, media).collect().map(r => r.id -> r).toMap
+
+    // ground truth from the pixel function directly
+    val px16 = for (y <- 0 until 4; x <- 0 until 4) yield pix(x, y)
+    def mean(i: Int) = px16.map(_(i)).sum / 16.0 / 255.0
+    def std(i: Int) = {
+      val m = px16.map(_(i)).sum / 16.0
+      math.sqrt(px16.map(p => (p(i) - m) * (p(i) - m)).sum / 16.0) / 255.0
+    }
+    val f1 = out(1L).feature
+    assert(out(1L).width == 4 && out(1L).height == 4 && f1.length == 14)
+    for (i <- 0 until 3) {
+      assert(math.abs(f1(i) - mean(i)) < 1e-12, s"mean ch$i: ${f1(i)} vs ${mean(i)}")
+      assert(math.abs(f1(3 + i) - std(i)) < 1e-12, s"std ch$i: ${f1(3 + i)} vs ${std(i)}")
+    }
+    assert(math.abs(f1.drop(6).sum - 1.0) < 1e-12, "luma histogram sums to 1")
+
+    // filter choice is an encoding detail: decoded stats identical
+    assert(out(2L).feature.toSeq == f1.toSeq)
+    // grey maps the single channel to R=G=B
+    val f3 = out(3L).feature
+    assert(f3(0) == f3(1) && f3(1) == f3(2) && f3(3) == f3(4) && f3(4) == f3(5))
+    // alpha ignored: RGBA of the same pixels matches RGB exactly
+    assert(out(4L).feature.toSeq == f1.toSeq)
+    // truncated payload triages to the declared stub (8 pseudo-features)
+    assert(out(5L).feature.length == 8)
+  }
+
   test("BMP nearest-neighbor resize emits a valid BMP with the sampled pixels") {
     import java.nio.{ByteBuffer, ByteOrder}
     // 4x4 24-bpp BMP, quadrant colors: bottom-left R, bottom-right G,
