@@ -75,6 +75,21 @@ object StreamingMonitor {
       est.as("distinct_estimate"))
   }
 
+  /** Per-window heavy hitters ([[graft.functions.MgSketchAgg]] at window
+    * grain): the Misra–Gries summary rides the watermarked window
+    * aggregation — ≤ k entries of state per window however many rows or
+    * distinct keys a window sees, each retained count within n/k of truth
+    * (exact when a window has ≤ k distinct keys). Works identically on a
+    * batch frame. Output: one row per retained (window, item).
+    */
+  def heavyHittersStream(df: DataFrame, tsCol: String, watermark: String,
+                         duration: String, itemCol: String, k: Int): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration).as("w"))
+      .agg(graft.functions.MgSketch.mg(col(itemCol), k).as("hh"))
+      .select(col("w.start").as("window_start"), explode(col("hh")).as("e"))
+      .select(col("window_start"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+
   /** Per-window quantile sketch ([[graft.functions.QuantileSketchAgg]]):
     * the deterministic bottom-k-by-hash value sample at window grain, with
     * lower-nearest-rank p25/p50/p75 read off it. State is O(k) per window

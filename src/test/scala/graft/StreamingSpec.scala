@@ -230,6 +230,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch == rows)
   }
 
+  test("windowed heavy hitters: streaming equals batch, exact under k distinct") {
+    import spark.implicits._
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // window 0: a=5, b=3, c=1; window 1: a=1, d=2 (k=8 > distinct -> exact)
+    val events = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).zipWithIndex
+      .map { case (s, i) => (ts(0, i), s) } ++
+      Seq((ts(1, 0), "a"), (ts(1, 1), "d"), (ts(1, 2), "d"))
+
+    def monitor(df: org.apache.spark.sql.DataFrame) =
+      StreamingMonitor.heavyHittersStream(df, "ts", "10 minutes", "1 hour", "item", 8)
+
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = monitor(stream.toDF().toDF("ts", "item"))
+      .writeStream.format("memory").queryName("hh_test").outputMode("complete").start()
+    stream.addData(events.take(6): _*)
+    q.processAllAvailable()
+    stream.addData(events.drop(6): _*) // MG state must merge across batches
+    q.processAllAvailable()
+    val rows = spark.table("hh_test")
+      .select(col("window_start").cast("string"), col("item"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "a", 5L), ("2024-01-01 00:00:00", "b", 3L),
+      ("2024-01-01 00:00:00", "c", 1L),
+      ("2024-01-01 01:00:00", "a", 1L), ("2024-01-01 01:00:00", "d", 2L)))
+
+    val batch = monitor(events.toDF("ts", "item"))
+      .select(col("window_start").cast("string"), col("item"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(batch == rows)
+  }
+
   test("windowed Count-Min table: streaming equals batch, cells bounded by geometry") {
     import spark.implicits._
     import graft.streaming.StreamingMonitor
