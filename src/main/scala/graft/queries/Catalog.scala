@@ -855,6 +855,16 @@ object Catalog {
         .orderBy("vec_id")
     },
 
+    "q_ivfpq_topk" -> { (s, dir) =>
+      // IVFADC end-to-end: probe the 2 nearest cells per query, ADC-score
+      // only their members against the per-(query, cell) residual lookup
+      // tables — the oracle replays probes, luts and the ranked fold
+      val emb = t(s, dir, "embeddings")
+      graft.ops.IvfPq.ivfPqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, ncells = 8, m = 8, c = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     "q_pq_topk" -> { (s, dir) =>
       // ADC search over the codes: query-side m×c lookup tables, candidate
       // distance = m table lookups (left-fold), ranks oracled end-to-end
@@ -1422,6 +1432,36 @@ object Catalog {
        |    SELECT vec_id, sub, code,
        |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM a)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Shared CTE prefix for the IVFADC oracles: doubles, the smallest-id
+    * coarse-cell codebook (`cc`), each vector's assigned cell + residual,
+    * the smallest-id residual PQ codebook (`rcb`), and each vector's
+    * per-subspace argmin codes — `codes` = (vec_id, cell, sub, code).
+    * Replays IvfPq.trainCells/trainResidualCodebook/encode exactly.
+    */
+  private def ivfPqCodesSqlPrefix(ncells: Int, m: Int, c: Int, dim: Int): String = {
+    val subDim = dim / m
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |cc AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cw
+       |       FROM e WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ncells)),
+       |ad AS (SELECT e.vec_id, cc.cell, ${pqDistSql("e.v", "cc.cw", dim)} AS d FROM e, cc),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |res AS (SELECT a.vec_id, a.cell, [e.v[i+1] - cc.cw[i+1] for i in range(0, $dim)] AS r
+       |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cc ON cc.cell = a.cell),
+       |rsv AS (SELECT vec_id, cell, CAST(s AS INT) AS sub, r[(s*$subDim+1):((s+1)*$subDim)] AS sv
+       |        FROM res, generate_series(0, ${m - 1}) t(s)),
+       |rcb AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code,
+       |               sv AS cw
+       |        FROM rsv WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $c)),
+       |a2 AS (SELECT r.vec_id, r.cell, r.sub, c.code, ${pqDistSql("r.sv", "c.cw", subDim)} AS d
+       |       FROM rsv r JOIN rcb c ON c.sub = r.sub),
+       |codes AS (SELECT vec_id, cell, sub, code FROM (
+       |    SELECT vec_id, cell, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM a2)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   /** The n-token shingle-string list of `string_split_regex(text,'\s+')` in
     * DuckDB — same semantics as Shingles.shingleStrings (shorter-than-n docs
@@ -2388,26 +2428,7 @@ object Catalog {
          |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_ivfpq_encode" ->
-      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-         |cc AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cw
-         |       FROM e WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |ad AS (SELECT e.vec_id, cc.cell, ${pqDistSql("e.v", "cc.cw", 64)} AS d FROM e, cc),
-         |asg AS (SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad)
-         |  WHERE rn = 1),
-         |res AS (SELECT a.vec_id, a.cell, [e.v[i+1] - cc.cw[i+1] for i in range(0, 64)] AS r
-         |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cc ON cc.cell = a.cell),
-         |rsv AS (SELECT vec_id, cell, CAST(s AS INT) AS sub, r[(s*8+1):((s+1)*8)] AS sv
-         |        FROM res, generate_series(0, 7) t(s)),
-         |rcb AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code,
-         |               sv AS cw
-         |        FROM rsv WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |a2 AS (SELECT r.vec_id, r.cell, r.sub, c.code, ${pqDistSql("r.sv", "c.cw", 8)} AS d
-         |       FROM rsv r JOIN rcb c ON c.sub = r.sub),
-         |codes AS (SELECT vec_id, cell, sub, code FROM (
-         |    SELECT vec_id, cell, sub, code,
-         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM a2)
-         |  WHERE rn = 1)
+      s"""${ivfPqCodesSqlPrefix(8, 8, 8, 64)}
          |SELECT vec_id, MAX(cell) AS cell,
          |       MAX(code) FILTER (WHERE sub = 0) AS c0, MAX(code) FILTER (WHERE sub = 1) AS c1,
          |       MAX(code) FILTER (WHERE sub = 2) AS c2, MAX(code) FILTER (WHERE sub = 3) AS c3,
@@ -2423,6 +2444,35 @@ object Catalog {
          |        FROM qs q JOIN cb c ON c.sub = q.sub),
          |cand AS (SELECT l.qid, cd.vec_id AS nid, l.sub, l.d
          |         FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |         WHERE cd.vec_id != l.qid),
+         |g AS (SELECT qid, nid, list(d ORDER BY sub) AS ds FROM cand GROUP BY qid, nid),
+         |r AS (SELECT qid, nid,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY $foldDs, nid) AS INT) AS rank
+         |      FROM g)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_ivfpq_topk" -> {
+      // IVFADC search replayed end-to-end: coarse probes (2 nearest cells
+      // by the same left-fold distance, ties to the smaller cell), the
+      // per-(query, cell) residual lookup table, candidates restricted to
+      // probed cells' members, and the m-lookup left-fold ADC distance.
+      val foldDs = (1 to 8).foldLeft("0") { (acc, i) => s"($acc + ds[$i])" }
+      s"""${ivfPqCodesSqlPrefix(8, 8, 8, 64)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |qcd AS (SELECT q.qid, cc.cell, ${pqDistSql("q.qv", "cc.cw", 64)} AS d FROM q, cc),
+         |probe AS (SELECT qid, cell FROM (
+         |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn FROM qcd)
+         |  WHERE rn <= 2),
+         |qres AS (SELECT p.qid, p.cell, [q.qv[i+1] - cc.cw[i+1] for i in range(0, 64)] AS qr
+         |         FROM probe p JOIN q ON q.qid = p.qid JOIN cc ON cc.cell = p.cell),
+         |qsv AS (SELECT qid, cell, CAST(s AS INT) AS sub, qr[(s*8+1):((s+1)*8)] AS sv
+         |        FROM qres, generate_series(0, 7) t(s)),
+         |lut AS (SELECT s.qid, s.cell, s.sub, c.code, ${pqDistSql("s.sv", "c.cw", 8)} AS d
+         |        FROM qsv s JOIN rcb c ON c.sub = s.sub),
+         |cand AS (SELECT l.qid, cd.vec_id AS nid, l.sub, l.d
+         |         FROM codes cd JOIN lut l ON l.cell = cd.cell AND l.sub = cd.sub AND l.code = cd.code
          |         WHERE cd.vec_id != l.qid),
          |g AS (SELECT qid, nid, list(d ORDER BY sub) AS ds FROM cand GROUP BY qid, nid),
          |r AS (SELECT qid, nid,

@@ -82,4 +82,35 @@ class IvfPqSpec extends SparkSpec {
     assert(top.length == 40, s"8 queries x k=5 expected, got ${top.length}")
     assert(top.forall(_._2), "nprobe=1 must stay inside the query's own cell/cluster")
   }
+
+  test("search: full probe equals an independent exact ADC recompute") {
+    val cells = IvfPq.trainCells(clustered, "vec_id", "embedding", ncells = 4)
+    val cb = IvfPq.trainResidualCodebook(clustered, "vec_id", "embedding", cells, m = 4, c = 4)
+    val idx = IvfPq.encode(clustered, "vec_id", "embedding", cells, cb)
+    val got = IvfPq.topK(idx, clustered.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 4, cells, cb)
+      .as[(Long, Int, Long)].collect().map { case (q, r, n) => (q, r) -> n }.toMap
+
+    // scalar-loop recompute: residual luts + code lookups, no Spark exprs
+    val cellCw = cells.as[(Int, Int, Seq[Double])].collect()
+      .map { case (_, c, w) => c -> w }.toMap
+    val cwMap = cb.as[(Int, Int, Seq[Double])].collect()
+      .map { case (s, c, w) => (s, c) -> w }.toMap
+    val index = idx.as[(Long, Int, Seq[Int])].collect()
+    val vecs = clustered.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val expected = (0L until 8L).flatMap { qid =>
+      val qv = vecs(qid)
+      val ranked = index.filter(_._1 != qid).map { case (nid, cell, codes) =>
+        val qr = qv.zip(cellCw(cell)).map { case (a, b) => a - b }
+        val d = codes.zipWithIndex.map { case (code, s) =>
+          qr.slice(s * 2, s * 2 + 2).zip(cwMap((s, code)))
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+        (d, nid)
+      }.sortBy(identity).take(5)
+      ranked.zipWithIndex.map { case ((_, nid), i) => (qid, i + 1) -> nid }
+    }.toMap
+    assert(got == expected)
+  }
 }
