@@ -545,6 +545,21 @@ object Catalog {
         .orderBy("predicate")
     },
 
+    "q_balance" -> { (s, dir) =>
+      // exact balanced-file assignment (distributed prefix rank div target)
+      // over a (token-count, doc_id) composite layout key: every file gets
+      // exactly 64 rows except the last remainder, contiguous in the key.
+      // The physical writer (one file per id via aligned maxRecordsPerFile
+      // cuts) is disk-asserted in BalanceSpec.
+      val keyed = t(s, dir, "documents").select(
+        (TextAnalysis.tokenCount(col("text")).cast(LongType) * lit(1000000L)
+          + col("doc_id")).as("ord"))
+      graft.ops.Balance.assignFiles(keyed, "ord", targetRows = 64)
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"), min("ord").as("ord_min"), max("ord").as("ord_max"))
+        .orderBy("file_id")
+    },
+
     "q_hilbert" -> { (s, dir) =>
       // native codegen'd Hilbert walk; the oracle re-runs the identical
       // quadrant-rotation state machine as a 16-step recursive CTE
@@ -2120,6 +2135,15 @@ object Catalog {
          |           FROM lineitem)
          |SELECT zv >> 12 AS zbucket, count(*) AS n, min(zv) AS z_min, max(zv) AS z_max
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
+    "q_balance" ->
+      // the global prefix rank is unique (composite key embeds doc_id), so
+      // rank-div-target file ids replay exactly
+      """WITH t AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) * 1000000
+        |                  + doc_id AS ord FROM documents),
+        |r AS (SELECT ord, row_number() OVER (ORDER BY ord) - 1 AS rk FROM t)
+        |SELECT rk // 64 AS file_id, count(*) AS n_rows, min(ord) AS ord_min, max(ord) AS ord_max
+        |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin,
 
     "q_embed_quantize" ->
       // identical IEEE tree: cast-to-double components, scale = max abs,
