@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Header parsing for WAV/BMP/PNG/JPEG ([[Headers]], [[extractMetadata]])
   * is REAL — pure byte parsing, no libraries — and so is the pixel/sample
-  * decode for BMP (uncompressed 24/32-bpp), 16-bit PCM WAV, AND PNG
-  * (zlib-inflated IDAT + scanline unfiltering via `java.util.zip` —
-  * [[PixelCodec]]). Only JPEG (a full DCT codec) still triages through
-  * [[FakeCodec]] — an honest DECLARED stub; a real deployment swaps it for
-  * a native codec. Everything Spark-side — schema, Encoders,
-  * partition-batch shape — is real.
+  * decode for BMP (uncompressed 24/32-bpp), 16-bit PCM WAV, PNG
+  * (zlib-inflated IDAT + scanline unfiltering via `java.util.zip`) AND
+  * baseline JPEG (full Huffman + IDCT decode, [[JpegCodec]]) —
+  * [[PixelCodec]]. [[FakeCodec]] remains only as the corrupt/unknown-
+  * payload triage path (and for JPEG variants outside the baseline
+  * envelope: progressive, arithmetic, 12-bit). Everything Spark-side —
+  * schema, Encoders, partition-batch shape — is real.
   */
 object Multimodal {
 
@@ -23,11 +24,11 @@ object Multimodal {
   final case class DecodedRow(id: Long, n_bytes: Long, first_byte: Int, format: String,
                               width: Int, height: Int, feature: Array[Double])
 
-  /** STUB codec for the one format still needing a real decompressor
-    * (JPEG) and the corrupt-payload triage path: deterministic
-    * pseudo-features derived from
-    * the bytes. A real deployment swaps this for a native image/audio
-    * decoder invoked per partition-batch.
+  /** STUB codec for the corrupt/unknown-payload triage path (and for
+    * formats outside the real codecs' envelopes, e.g. progressive JPEG):
+    * deterministic pseudo-features derived from the bytes. A real
+    * deployment swaps this for a native image/audio decoder invoked per
+    * partition-batch.
     */
   object FakeCodec {
     def decode(bytes: Array[Byte], format: String): (Int, Int, Array[Double]) = {
@@ -287,6 +288,37 @@ object Multimodal {
       val zcr = if (nSamples > 1) zc.toDouble / (nSamples - 1) else 0.0
       Some(Array(sum / n, math.sqrt(sumSq / n), zcr, peak) ++ hist.map(_ / n))
     }
+
+    /** (width, height, features) of a REAL decoded baseline JPEG — full
+      * entropy decode + IDCT via [[JpegCodec]] (pure JVM, no libraries).
+      * Features are the SAME 14 doubles as [[bmpFeatures]]/[[pngFeatures]]
+      * (per-channel mean/std + 8-bin Rec.601 luminance histogram) so image
+      * features stay comparable across formats. None outside the baseline
+      * envelope (progressive, arithmetic, 12-bit, CMYK) or on corruption —
+      * those triage upstream.
+      */
+    def jpegFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+      JpegCodec.decode(bytes).map { case (w, h, rgb) =>
+        var sR = 0.0; var sG = 0.0; var sB = 0.0
+        var qR = 0.0; var qG = 0.0; var qB = 0.0
+        val hist = new Array[Double](8)
+        var o = 0
+        while (o < rgb.length) {
+          val r = rgb(o) & 0xFF; val g = rgb(o + 1) & 0xFF; val bb = rgb(o + 2) & 0xFF
+          sR += r; sG += g; sB += bb
+          qR += r.toDouble * r; qG += g.toDouble * g; qB += bb.toDouble * bb
+          val luma = 0.299 * r + 0.587 * g + 0.114 * bb
+          hist(math.min(7, (luma / 32.0).toInt)) += 1.0
+          o += 3
+        }
+        val n = w.toDouble * h
+        def std(q: Double, s: Double) = math.sqrt(math.max(0.0, q / n - (s / n) * (s / n)))
+        val feat = Array(
+          sR / n / 255.0, sG / n / 255.0, sB / n / 255.0,
+          std(qR, sR) / 255.0, std(qG, sG) / 255.0, std(qB, sB) / 255.0) ++
+          hist.map(_ / n)
+        (w, h, feat)
+      }
   }
 
   /** REAL header decoders for container formats that need no external
@@ -441,10 +473,10 @@ object Multimodal {
       lit(format).as("format"))
 
   /** Decode via mapPartitions — batch-per-partition, no shuffle (a native
-    * codec genuinely doesn't fit a Catalyst Expression). BMP, PNG and
-    * 16-bit PCM WAV payloads get REAL signal features ([[PixelCodec]]);
-    * JPEG and corrupt payloads triage through the declared [[FakeCodec]]
-    * stub.
+    * codec genuinely doesn't fit a Catalyst Expression). BMP, PNG,
+    * baseline JPEG and 16-bit PCM WAV payloads get REAL signal features
+    * ([[PixelCodec]]); corrupt/unsupported payloads triage through the
+    * declared [[FakeCodec]] stub.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
@@ -455,6 +487,8 @@ object Multimodal {
             PixelCodec.bmpFeatures(r.media).getOrElse(FakeCodec.decode(r.media, r.format))
           case "image/png" =>
             PixelCodec.pngFeatures(r.media).getOrElse(FakeCodec.decode(r.media, r.format))
+          case "image/jpeg" =>
+            PixelCodec.jpegFeatures(r.media).getOrElse(FakeCodec.decode(r.media, r.format))
           case "audio/wav" =>
             PixelCodec.wavFeatures(r.media) match {
               case Some(f) => (-1, -1, f) // dims are an image concept

@@ -1461,6 +1461,209 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L).feature.length == 8)
   }
 
+  /** A minimal REAL baseline-JPEG encoder — the test-side ground truth for
+    * [[JpegCodec]]: canonical Huffman tables (DC categories 0..11 at code
+    * length 4; the AC (run,size) symbols actually used, all at length 8),
+    * DPCM DC, run-length AC with ZRL/EOB, FF00 byte stuffing, optional
+    * restart intervals. `blocks` are quantized coefficients in ZIGZAG order,
+    * one Array(64) per block, in MCU scan order (per MCU: comp0's h×v
+    * blocks left-to-right top-to-bottom, then comp1, ...).
+    */
+  private def jpegEncode(w: Int, h: Int, comps: Seq[(Int, Int, Int)],
+                         qtab: Array[Int], blocks: Seq[Array[Int]], dri: Int = 0,
+                         sofMarker: Int = 0xC0): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    val out = new ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xFF); b(m) }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val bpm = if (comps.size == 1) Seq(1) else comps.map(c => c._2 * c._3)
+    val blocksPerMcu = bpm.sum
+    require(blocks.size % blocksPerMcu == 0, "blocks must fill whole MCUs")
+    val compOfBlock = blocks.indices.map { i =>
+      var inMcu = i % blocksPerMcu; var ci = 0
+      while (inMcu >= bpm(ci)) { inMcu -= bpm(ci); ci += 1 }
+      ci
+    }
+    // the AC symbol set actually used (EOB always present)
+    val acSyms = scala.collection.mutable.SortedSet[Int](0x00)
+    blocks.foreach { zz =>
+      var k = 1; var run = 0
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) { acSyms += 0xF0; run -= 16 }
+          acSyms += ((run << 4) | cat(zz(k))); run = 0
+        }
+        k += 1
+      }
+    }
+    val acVals = acSyms.toArray
+    val acCode = acVals.zipWithIndex.toMap // canonical: i-th val gets code i at len 8
+    b(0xFF); b(0xD8) // SOI
+    marker(0xDB); u16(2 + 1 + 64); b(0x00); qtab.foreach(b) // DQT tq=0, 8-bit
+    marker(sofMarker); u16(8 + 3 * comps.size); b(8); u16(h); u16(w); b(comps.size)
+    comps.foreach { case (id, hs, vs) => b(id); b((hs << 4) | vs); b(0) }
+    marker(0xC4) // one DHT segment, DC then AC table
+    u16(2 + (1 + 16 + 12) + (1 + 16 + acVals.length))
+    b(0x00); for (l <- 1 to 16) b(if (l == 4) 12 else 0); for (v <- 0 to 11) b(v)
+    b(0x10); for (l <- 1 to 16) b(if (l == 8) acVals.length else 0); acVals.foreach(b)
+    if (dri > 0) { marker(0xDD); u16(4); u16(dri) }
+    marker(0xDA); u16(6 + 2 * comps.size); b(comps.size)
+    comps.foreach { case (id, _, _) => b(id); b(0x00) }
+    b(0); b(63); b(0)
+    var acc = 0; var nb = 0
+    def putBit(v: Int): Unit = {
+      acc = (acc << 1) | v; nb += 1
+      if (nb == 8) { b(acc); if (acc == 0xFF) b(0x00); acc = 0; nb = 0 }
+    }
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1; while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    def align(): Unit = while (nb != 0) putBit(1)
+    val pred = new Array[Int](comps.size)
+    var rst = 0
+    for (mi <- 0 until blocks.size / blocksPerMcu) {
+      if (dri > 0 && mi > 0 && mi % dri == 0) {
+        align(); b(0xFF); b(0xD0 + rst); rst = (rst + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      for (bi <- 0 until blocksPerMcu) {
+        val zz = blocks(mi * blocksPerMcu + bi)
+        val ci = compOfBlock(mi * blocksPerMcu + bi)
+        val diff = zz(0) - pred(ci); pred(ci) = zz(0)
+        val t = cat(diff)
+        putBits(t, 4) // canonical DC code for category t IS t at length 4
+        if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        var lastNz = 63
+        while (lastNz > 0 && zz(lastNz) == 0) lastNz -= 1
+        var k = 1; var run = 0
+        while (k <= lastNz) {
+          if (zz(k) == 0) run += 1
+          else {
+            while (run > 15) { putBits(acCode(0xF0), 8); run -= 16 }
+            val s = cat(zz(k))
+            putBits(acCode((run << 4) | s), 8)
+            putBits(if (zz(k) < 0) zz(k) + (1 << s) - 1 else zz(k), s)
+            run = 0
+          }
+          k += 1
+        }
+        if (lastNz < 63) putBits(acCode(0x00), 8) // EOB
+      }
+    }
+    align()
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
+  private def dcOnly(dc: Int): Array[Int] = { val a = new Array[Int](64); a(0) = dc; a }
+  private val flatQ = Array.fill(64)(8) // q=8 cancels the /8 IDCT scale: pixel = dc + 128
+
+  test("JpegCodec: grayscale DC-only blocks decode to exact pixels, crop respected") {
+    // 12x10 grayscale: 2x2 MCUs of one block each, DC values give flat
+    // 8x8 tiles cropped to the frame; q=8 makes pixel = 128 + dc exactly
+    val dcs = Seq(-96, 32, 80, -16)
+    val jpg = jpegEncode(12, 10, Seq((1, 1, 1)), flatQ, dcs.map(dcOnly))
+    val (w, h, rgb) = JpegCodec.decode(jpg).get
+    assert(w == 12 && h == 10)
+    for (y <- 0 until 10; x <- 0 until 12) {
+      val tile = (if (y < 8) 0 else 2) + (if (x < 8) 0 else 1)
+      val want = 128 + dcs(tile)
+      val o = (y * 12 + x) * 3
+      for (c <- 0 until 3)
+        assert((rgb(o + c) & 0xFF) == want, s"pixel ($x,$y) ch$c")
+    }
+  }
+
+  test("JpegCodec: AC coefficients, ZRL runs and byte stuffing vs a reference IDCT") {
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    // direct (non-separable) 2D IDCT — an independent reference path
+    def refIdct(zz: Array[Int], q: Array[Int]): Array[Int] = {
+      val f = new Array[Double](64)
+      for (i <- 0 until 64) f(zigzag(i)) = (zz(i) * q(i)).toDouble
+      Array.tabulate(64) { i =>
+        val x = i % 8; val y = i / 8
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          s += 0.25 * cu * cv * f(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+        }
+        val p = math.round(s + 128.0).toInt
+        if (p < 0) 0 else if (p > 255) 255 else p
+      }
+    }
+    // a block exercising: DC, low-frequency ACs, a >15-zero run (ZRL) to a
+    // late coefficient, negative values; plus a high DC to force FF bytes
+    val blk = new Array[Int](64)
+    blk(0) = 3; blk(1) = -12; blk(2) = 7; blk(5) = -3; blk(28) = 5; blk(63) = -2
+    val q = Array.tabulate(64)(i => 1 + (i % 5))
+    val jpg = jpegEncode(8, 8, Seq((1, 1, 1)), q, Seq(blk))
+    val (w, h, rgb) = JpegCodec.decode(jpg).get
+    assert(w == 8 && h == 8)
+    val want = refIdct(blk, q)
+    for (i <- 0 until 64) {
+      val got = rgb(i * 3) & 0xFF
+      // both paths are double IDCTs summed in different orders; allow 1 lsb
+      assert(math.abs(got - want(i)) <= 1, s"pixel $i: $got vs ${want(i)}")
+      assert((rgb(i * 3 + 1) & 0xFF) == got && (rgb(i * 3 + 2) & 0xFF) == got)
+    }
+  }
+
+  test("JpegCodec: 4:2:0 color with restart markers — box upsampling and exact YCbCr->RGB") {
+    // 32x16, Y sampled 2x2: two MCUs, each 4 Y + 1 Cb + 1 Cr blocks,
+    // restart interval of 1 MCU forces an RST0 between them. DC-only with
+    // q=8: Y quadrants are flat, chroma constant per MCU.
+    val yDc = Seq(Seq(-64, -32, 0, 32), Seq(64, 48, 16, -16)) // per MCU: (0,0),(1,0),(0,1),(1,1)
+    val cbDc = Seq(40, -24); val crDc = Seq(-48, 56)
+    val blocks = (0 until 2).flatMap { m =>
+      yDc(m).map(dcOnly) ++ Seq(dcOnly(cbDc(m)), dcOnly(crDc(m)))
+    }
+    val jpg = jpegEncode(32, 16, Seq((1, 2, 2), (2, 1, 1), (3, 1, 1)), flatQ, blocks, dri = 1)
+    val (w, h, rgb) = JpegCodec.decode(jpg).get
+    assert(w == 32 && h == 16)
+    def clamp(d: Double): Int = { val r = math.round(d).toInt; if (r < 0) 0 else if (r > 255) 255 else r }
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val m = x / 16 // which MCU
+      val tile = (if (y < 8) 0 else 2) + (if (x % 16 < 8) 0 else 1)
+      val yy = 128 + yDc(m)(tile)
+      val cb = cbDc(m); val cr = crDc(m) // (plane value - 128) = stored dc
+      val o = (y * 32 + x) * 3
+      assert((rgb(o) & 0xFF) == clamp(yy + 1.402 * cr), s"R at ($x,$y)")
+      assert((rgb(o + 1) & 0xFF) == clamp(yy - 0.344136 * cb - 0.714136 * cr), s"G at ($x,$y)")
+      assert((rgb(o + 2) & 0xFF) == clamp(yy + 1.772 * cb), s"B at ($x,$y)")
+    }
+  }
+
+  test("decodeFeatures: REAL baseline JPEG — exact stats; non-baseline triages to stub") {
+    val good = jpegEncode(16, 8, Seq((1, 1, 1)), flatQ, Seq(dcOnly(-128), dcOnly(127)))
+    // same bytes but SOF2 (progressive) — outside the envelope by declared triage
+    val progressive = jpegEncode(16, 8, Seq((1, 1, 1)), flatQ,
+      Seq(dcOnly(-128), dcOnly(127)), sofMarker = 0xC2)
+    val media = Seq(
+      (1L, good, "image/jpeg"),
+      (2L, progressive, "image/jpeg"),
+      (3L, good.dropRight(12), "image/jpeg") // truncated entropy segment
+    ).toDF("id", "media", "format")
+    val out = Multimodal.decodeFeatures(spark, media).collect().map(r => r.id -> r).toMap
+    // left tile all 0, right tile all 255: mean 0.5, std 0.5 per channel,
+    // luma mass split between bins 0 and 7
+    val f = out(1L).feature
+    assert(out(1L).width == 16 && out(1L).height == 8 && f.length == 14)
+    for (i <- 0 until 6) assert(math.abs(f(i) - 0.5) < 1e-12, s"feat $i = ${f(i)}")
+    assert(f.drop(6).toSeq == Seq(0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5))
+    assert(out(2L).feature.length == 8, "progressive triages to the declared stub")
+    assert(out(3L).feature.length == 8, "truncated payload triages to the declared stub")
+  }
+
   test("BMP nearest-neighbor resize emits a valid BMP with the sampled pixels") {
     import java.nio.{ByteBuffer, ByteOrder}
     // 4x4 24-bpp BMP, quadrant colors: bottom-left R, bottom-right G,
