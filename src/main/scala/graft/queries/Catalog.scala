@@ -1053,6 +1053,23 @@ object Catalog {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
 
+    "q_bpe_merges" -> { (s, dir) =>
+      // distributed BPE training: corpus read once into a word-frequency
+      // frame, then 4 vocabulary-sized merge rounds; lexicographic
+      // tie-break makes the merge sequence engine-replayable — the oracle
+      // unrolls the identical rounds as CTEs
+      import s.implicits._
+      val (_, merges) = Bpe.train(s, t(s, dir, "documents"), "text", nMerges = 4)
+      merges.toDF().select("mrank", "mleft", "mright", "cnt").orderBy("mrank")
+    },
+
+    "q_bpe_tokens" -> { (s, dir) =>
+      // the trained tokenizer's corpus token counts (weighted expansion of
+      // the vocabulary frame — no second corpus pass)
+      val (wf, _) = Bpe.train(s, t(s, dir, "documents"), "text", nMerges = 4)
+      Bpe.tokenCounts(wf).orderBy("token")
+    },
+
     "q_percentiles_group" -> { (s, dir) =>
       val p = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(p.as("ps"))
@@ -1620,6 +1637,59 @@ object Catalog {
   /** Unrolled integer-arithmetic PageRank (one CTE per round) — DuckDB's
     * `//` and Spark's `div` truncate identically on non-negative longs.
     */
+  /** Unrolled BPE training rounds as DuckDB CTEs — the same decomposition
+    * as [[Bpe.train]]: wf0 = char-split word frequencies; per round r,
+    * pair stats (parallel-unnest zip of the two shifted slices), the
+    * lexicographic argmax, leftmost-greedy occurrence selection (islands of
+    * consecutive positions keep odd ranks — exactly the scan semantics),
+    * and the rebuilt symbol lists.
+    */
+  private def bpeOracleRounds(n: Int, pattern: String): String = {
+    val base =
+      s"""wf0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)) AS syms
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '$pattern')) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      val p = r - 1
+      s"""pr$r AS (SELECT unnest(syms[1:len(syms)-1]) AS a, unnest(syms[2:len(syms)]) AS b, freq
+         |  FROM wf$p WHERE len(syms) >= 2),
+         |best$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM pr$r GROUP BY 1,2
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |occ$r AS (
+         |  SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn
+         |  FROM (SELECT word, unnest(range(1, len(syms))) AS i,
+         |               unnest(syms[1:len(syms)-1]) AS sa, unnest(syms[2:len(syms)]) AS sb
+         |        FROM wf$p WHERE len(syms) >= 2) o, best$r
+         |  WHERE o.sa = best$r.a AND o.sb = best$r.b),
+         |kept$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) AS rr
+         |    FROM occ$r) WHERE rr % 2 = 1),
+         |wf$r AS (
+         |  SELECT e.word, any_value(e.freq) AS freq,
+         |         list(CASE WHEN kj.i IS NOT NULL THEN e.sym || (SELECT b FROM best$r) ELSE e.sym END
+         |              ORDER BY e.j) AS syms
+         |  FROM (SELECT word, freq, unnest(range(1, len(syms)+1)) AS j, unnest(syms) AS sym FROM wf$p) e
+         |  LEFT JOIN kept$r kj ON kj.word = e.word AND kj.i = e.j
+         |  LEFT JOIN kept$r kp ON kp.word = e.word AND kp.i = e.j - 1
+         |  WHERE kp.i IS NULL
+         |  GROUP BY e.word)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  private def bpeMergesOracleSql(n: Int, pattern: String): String =
+    s"WITH ${bpeOracleRounds(n, pattern)}\n" +
+      (1 to n).map(r => s"SELECT $r AS mrank, a AS mleft, b AS mright, cnt FROM best$r")
+        .mkString(" UNION ALL ") + " ORDER BY mrank"
+
+  private def bpeTokensOracleSql(n: Int, pattern: String): String =
+    s"WITH ${bpeOracleRounds(n, pattern)}\n" +
+      s"SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+      s"(SELECT unnest(syms) AS token, freq FROM wf$n) GROUP BY 1 ORDER BY token"
+
   private def pageRankOracleSql(n: Int, iters: Int): String = {
     val initFx = 1000000000L / n
     val baseFx = (1000000000L * 15 / 100) / n
@@ -2703,6 +2773,10 @@ object Catalog {
         |SELECT doc_id, tf_sum_est, n_tokens,
         |       CAST(tf_sum_est AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS commonness_est
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_merges" -> bpeMergesOracleSql(4, "[a-z]+"),
+
+    "q_bpe_tokens" -> bpeTokensOracleSql(4, "[a-z]+"),
 
     "q_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),

@@ -1243,6 +1243,66 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge is leftmost-greedy: overlapping occurrences don't cascade") {
+    assert(Bpe.applyMerge(Array("a", "a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Array("x"), "a", "b").toSeq == Seq("x"))
+    // a merged symbol doesn't re-trigger within the same pass
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+  }
+
+  test("train: hand-computed merge sequence, early stop, token counts") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa ab b")).toDF("doc_id", "text")
+    // word freqs: aa:3 ab:2 b:1; round1 best (a,a):3; round2 best (a,b):2;
+    // round3 has no pairs left -> early stop
+    val (wf, merges) = Bpe.train(spark, docs, "text", nMerges = 5)
+    assert(merges.map(m => (m.mrank, m.mleft, m.mright, m.cnt)) ==
+      Seq((1, "a", "a", 3L), (2, "a", "b", 2L)))
+    val toks = Bpe.tokenCounts(wf).as[(String, Long)].collect().toMap
+    assert(toks == Map("aa" -> 3L, "ab" -> 2L, "b" -> 1L))
+  }
+
+  test("train: lexicographic tie-break and partitioning invariance") {
+    // "ab" and "ba" pairs both appear twice -> (a,b) wins the tie
+    val docs = Seq((1L, "ab ab ba ba")).toDF("doc_id", "text")
+    val (_, m1) = Bpe.train(spark, docs, "text", nMerges = 1)
+    assert((m1.head.mleft, m1.head.mright) == ("a", "b"))
+    val (_, m32) = Bpe.train(spark, docs.repartition(32), "text", nMerges = 1)
+    assert(m1 == m32)
+  }
+
+  test("encode replays training: corpus token counts match the vocabulary expansion") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quiet brown bear sleeps under the shady tree"),
+      (3L, "quick brown foxes and quiet brown bears")).toDF("doc_id", "text")
+    val (wf, merges) = Bpe.train(spark, docs, "text", nMerges = 6)
+    assert(merges.size == 6)
+    val enc = Bpe.encode(spark, docs, "doc_id", "text", merges)
+    val fromDocs = enc.select(explode(col("tokens")).as("token"))
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    val fromWf = Bpe.tokenCounts(wf).as[(String, Long)].collect().toMap
+    assert(fromDocs == fromWf)
+    // n_tokens is the token-count column of the same expansion
+    val total = enc.agg(sum("n_tokens")).as[Long].head()
+    assert(total == fromWf.values.sum)
+  }
+
+  test("encode handles unseen words and empty text deterministically") {
+    val train = Seq((1L, "banana banana band")).toDF("doc_id", "text")
+    val (_, merges) = Bpe.train(spark, train, "text", nMerges = 3)
+    val out = Bpe.encode(spark,
+      Seq((10L, "banana"), (11L, "zzq"), (12L, ""), (13L, "BANANA!")).toDF("doc_id", "text"),
+      "doc_id", "text", merges).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(11L).forall(_.forall(c => c >= 'a' && c <= 'z')), "unseen word falls back to chars+merges")
+    assert(out(12L).isEmpty)
+    assert(out(13L) == out(10L), "case folding and punctuation stripping match training")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
