@@ -267,6 +267,30 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Split-leakage audit — the eval-contamination check a training pipeline
+    * runs AFTER splitting: near-duplicate pairs that straddle two different
+    * splits (a test doc with a train near-dup inflates eval). Composes
+    * [[minhashLshPairs]] with [[Sampling.splitExpr]]: because split
+    * assignment is a pure row-local function of the key, both endpoints are
+    * labeled directly on the skinny pair frame — NO join against the corpus
+    * and no extra shuffle beyond pair generation itself. Held-out rows
+    * (NULL split) are not leakage and are excluded.
+    *
+    * Output: (id_a, id_b, jaccard, split_a, split_b), split_a != split_b.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)], threshold: Double,
+                   numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                   salt: String = "|split", buckets: Int = 10000,
+                   tokenHasher: Column => Column = xxhash64(_),
+                   splitHasher: Column => Column = xxhash64(_)): DataFrame =
+    minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands, shingleLen,
+      tokenHasher = tokenHasher)
+      .withColumn("split_a", Sampling.splitExpr(col("id_a"), splits, salt, buckets, splitHasher))
+      .withColumn("split_b", Sampling.splitExpr(col("id_b"), splits, salt, buckets, splitHasher))
+      .where(col("split_a").isNotNull && col("split_b").isNotNull &&
+        col("split_a") =!= col("split_b"))
+
   /** Strategy-ROUTING Jaccard near-dup: measures the largest block first
     * (one cheap count aggregate) and only then picks the all-pairs strategy
     * — which is O(maxBlock²) and a silent scale-killer on low-cardinality

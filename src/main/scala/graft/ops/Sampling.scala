@@ -87,16 +87,25 @@ object Sampling {
     */
   def assignSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
                   out: String = "split", salt: String = "|split", buckets: Int = 10000,
-                  hasher: Column => Column = xxhash64(_)): DataFrame = {
+                  hasher: Column => Column = xxhash64(_)): DataFrame =
+    df.withColumn(out, splitExpr(col(keyCol), splits, salt, buckets, hasher))
+
+  /** The split-assignment COLUMN for an arbitrary key expression — the
+    * row-local core of [[assignSplit]], exposed so downstream audits (e.g.
+    * [[Dedup.splitLeakage]]) can label any id column without a join: the
+    * assignment is a pure function of the key.
+    */
+  def splitExpr(key: Column, splits: Seq[(String, Double)],
+                salt: String = "|split", buckets: Int = 10000,
+                hasher: Column => Column = xxhash64(_)): Column = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0.0), "fractions must be >= 0")
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
-    val b = pmod(hasher(concat(col(keyCol).cast("string"), lit(salt))), lit(buckets.toLong))
+    val b = pmod(hasher(concat(key.cast("string"), lit(salt))), lit(buckets.toLong))
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val assign = splits.zip(cum).foldRight(lit(null).cast("string")) {
+    splits.zip(cum).foldRight(lit(null).cast("string")) {
       case (((name, _), cumFrac), acc) =>
         when(b < lit(math.round(cumFrac * buckets)), lit(name)).otherwise(acc)
     }
-    df.withColumn(out, assign)
   }
 
   /** Deterministic weighted sample WITHOUT replacement of `k` rows

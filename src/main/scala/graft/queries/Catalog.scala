@@ -749,6 +749,18 @@ object Catalog {
         threshold = 0.8, shingleLen = 1, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
+    "q_split_leakage" -> ((s, dir) =>
+      // eval-contamination audit: near-dup pairs straddling splits. Split
+      // labels are computed row-locally on the pair frame (assignment is a
+      // pure function of the id) — no corpus join; md5-60 hashes on both
+      // the tokens and the split decision make the FULL output oracled
+      Dedup.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.8,
+        shingleLen = 1, tokenHasher = Shingles.md5Hash60,
+        splitHasher = Shingles.md5Hash60)
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+        .orderBy("id_a", "id_b")),
+
     "q_dedup_minhash_xx" -> ((s, dir) =>
       // PRODUCTION-hash twin of q_dedup_minhash: the default xxhash64 token
       // hash users actually run (one codegen'd primitive op vs md5+hex
@@ -1542,6 +1554,24 @@ object Catalog {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Split-leakage oracle: the full MinHash pair oracle (jaccard included)
+    * wrapped with the q_split_assign md5-bucket split formula applied to
+    * both endpoints, keeping only cross-split pairs.
+    */
+  private def splitLeakageOracleSql(numHashes: Int, bands: Int, threshold: Double): String = {
+    def bucket(id: String) =
+      s"('0x' || substr(md5(CAST($id AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000"
+    def splitCase(b: String) =
+      s"CASE WHEN $b < 8000 THEN 'train' WHEN $b < 9000 THEN 'val' WHEN $b < 10000 THEN 'test' END"
+    s"""WITH mh AS (${minhashOracleSql(numHashes, bands, threshold, shingleLen = 1, withJaccard = true)}),
+       |lab AS (SELECT id_a, id_b, jaccard,
+       |               ${splitCase(bucket("id_a"))} AS split_a,
+       |               ${splitCase(bucket("id_b"))} AS split_b FROM mh)
+       |SELECT id_a, id_b, jaccard, split_a, split_b FROM lab
+       |WHERE split_a IS NOT NULL AND split_b IS NOT NULL AND split_a <> split_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Cross-run incremental dedup oracle: recompute both sides' signatures
     * from the shared md5-60 hashes, candidate on any-band equality, filter
     * on the signature estimate (agreeing components / numHashes).
@@ -1809,6 +1839,8 @@ object Catalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
+
+    "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),
 
     "q_dedup_incremental" -> incrementalDedupOracleSql(64, 16, 0.7, shingleLen = 3),
     "q_dedup_simhash" -> simhashOracleSql(60, 3),

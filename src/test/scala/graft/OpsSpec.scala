@@ -54,6 +54,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("splitLeakage flags exactly the cross-split near-dup pairs") {
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    // composed reference: pairs joined against assignSplit labels
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val labels = Sampling.assignSplit(docs, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val want = pairs.filter { case (a, b) => labels(a) != labels(b) }
+    val got = Dedup.splitLeakage(docs, "id", "text", splits, threshold = 0.7, shingleLen = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // labels on the audit rows agree with assignSplit's
+    val full = Dedup.splitLeakage(docs, "id", "text", splits, threshold = 0.7, shingleLen = 1)
+      .select("id_a", "id_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect()
+    full.foreach { case (a, b, sa, sb) =>
+      assert(labels(a) == sa && labels(b) == sb && sa != sb)
+    }
+  }
+
   test("dropNearDuplicates keeps one representative per near-dup cluster") {
     val kept = Dedup.dropNearDuplicates(docs, "id", "text", threshold = 0.7, shingleLen = 1)
       .select("id").as[Long].collect().toSet
