@@ -551,6 +551,28 @@ object Dedup {
         sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).cast(LongType).as("n_dropped"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * EMBEDDING clusters — cluster the corpus with the deterministic coarse
+    * quantizer, flag within-cluster pairs whose cosine exceeds `threshold`,
+    * and keep one representative per connected component (highest
+    * `quality`, ties to the smallest id). Catches paraphrases and
+    * re-renderings that token-level MinHash misses.
+    *
+    * Scale shape: cell assignment is row-local (centroid matrix bound as
+    * one literal — [[Similarity.assignCells]]); the only corpus shuffle
+    * keys on the cell. Within-cell comparison is quadratic IN THE CELL, so
+    * `ncells` is the knob that bounds it — size it so n/ncells stays at
+    * the 10^4 level (the paper runs 50k clusters at web scale); cells play
+    * the role LSH buckets play in [[minhashLshPairs]].
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+               quality: Column, ncells: Int = 16,
+               trainIterations: Int = 0): DataFrame = {
+    val withCell = Similarity.assignCells(df, idCol, vecCol, ncells, trainIterations)
+    val pairs = cosinePairs(withCell, idCol, vecCol, "cell", threshold)
+    keepBestPerComponent(df, idCol, pairs, quality)
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (e.g. same label).
     * Vectors are cast to double before any arithmetic; dot/norms use ordered
     * `aggregate` so results are reproducible.

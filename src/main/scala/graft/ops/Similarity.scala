@@ -111,6 +111,22 @@ object Similarity {
     seeds
   }
 
+  /** Appends the coarse-quantizer cell id to `df` as a ROW-LOCAL column —
+    * the centroid matrix is bound once as a literal (the `mightContain`
+    * bind-once idiom), so labeling costs no join and no shuffle. This is
+    * the clustering step semantic dedup ([[Dedup.semDedup]]) blocks on.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  ncells: Int = 16, trainIterations: Int = 0,
+                  out: String = "cell"): DataFrame = {
+    val base = df.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val seeds = trainSeeds(base, ncells, trainIterations)
+    df.withColumn(out,
+      array_max(cellScoresBound(transform(col(vecCol), x => x.cast(DoubleType)), seeds))
+        .getField("cell"))
+  }
+
   /** Train the coarse quantizer and return it as a tiny (cell, centroid)
     * frame (ncells rows). The 100 TB usage pattern: train ONCE, persist with
     * [[saveQuantizer]], and serve every later batch of queries through

@@ -823,6 +823,17 @@ object Catalog {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    "q_semdedup" -> { (s, dir) =>
+      // SemDeDup: cluster on the deterministic coarse quantizer (row-local
+      // cell column, centroids bound once), cosine pairs within cells, keep
+      // the highest-quality member per connected component (quality = first
+      // embedding component here — any replayable column works)
+      val emb = t(s, dir, "embeddings")
+      Dedup.semDedup(emb, "vec_id", "embedding", threshold = 0.3,
+        quality = element_at(col("embedding"), 1).cast(DoubleType), ncells = 16)
+        .select("vec_id", "label").orderBy("vec_id")
+    },
+
     "q_embed_quantize" -> ((s, dir) =>
       // q8 is array<tinyint> — serialized to JSON text (the q_scan_wide
       // group_values pattern) so the harness's pandas compare, which sorts
@@ -2529,6 +2540,32 @@ object Catalog {
         |SELECT d.doc_id, d.lang FROM documents d
         |JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH RECURSIVE
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS sv
+        |          FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, e.embedding, s.cell,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell DESC) AS rn
+        |        FROM embeddings e CROSS JOIN seeds s),
+        |best AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |cc(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT s.a, cc.lbl FROM cc JOIN sym s ON cc.id = s.b),
+        |comp AS (SELECT id AS vec_id, min(lbl) AS component FROM cc GROUP BY id),
+        |q AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS q FROM embeddings),
+        |ranked AS (SELECT c.vec_id, row_number() OVER (PARTITION BY c.component
+        |             ORDER BY q.q DESC, c.vec_id ASC) AS rn
+        |           FROM comp c JOIN q USING (vec_id))
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |JOIN ranked r ON e.vec_id = r.vec_id AND r.rn = 1
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q_dedup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -884,6 +884,33 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head == ((0L, 1, 100L))) // vec 100 == vec 0
   }
 
+  test("assignCells is row-local: no join in the plan, cells match the quantizer") {
+    val assigned = Similarity.assignCells(vecs, "vec_id", "embedding", ncells = 8)
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Join"),
+      "cell labeling must bind centroids as a literal, not join them")
+    val cells = assigned.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells.size == 50 && cells.values.toSet.subsetOf((0 until 8).toSet))
+    // seeds (smallest-id vectors) land in their own cells
+    assert((0L until 8L).map(cells).toSet.size == 8)
+  }
+
+  test("semDedup keeps the best representative per semantic cluster") {
+    // two tight clusters (near-identical members) plus two isolates; ids 1
+    // and 2 anchor DIFFERENT clusters so the 2 smallest-id cell seeds
+    // separate them (seeds inside one cluster would split it across cells)
+    def v(base: Int, eps: Float) = Array.tabulate(8)(j => math.sin(base * 8 + j).toFloat + (if (j == 0) eps else 0f))
+    val emb = Seq(
+      (1L, v(1, 0f)), (3L, v(1, 0.001f)), (4L, v(1, 0.002f)), // cluster A
+      (2L, v(2, 0f)), (5L, v(2, 0.001f)),                     // cluster B
+      (6L, v(3, 0f)), (7L, v(4, 0f))                          // isolates
+    ).toDF("vec_id", "embedding")
+    // quality = vec_id: the LARGEST id in each cluster must win
+    val kept = Dedup.semDedup(emb, "vec_id", "embedding", threshold = 0.99,
+        quality = col("vec_id").cast("double"), ncells = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L, 6L, 7L))
+  }
+
   test("ivf probes cells and mostly agrees with brute force") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
