@@ -75,6 +75,33 @@ object Sampling {
       .drop("__stratum", "__keep")
   }
 
+  /** Temperature-based mixture resampling — the `p^alpha` data-mixing rule
+    * (multilingual / multi-source training standard): stratum targets are
+    * the OBSERVED counts raised to `alpha` (alpha < 1 flattens the mixture
+    * toward the tails, alpha > 1 sharpens it toward the head, alpha = 1 is
+    * a no-op, alpha = 0 equalizes). Targets feed [[mixtureSample]]
+    * UNNORMALIZED — its `nmax = min(n/t)` scaling is invariant to a global
+    * factor, so the n^alpha sum never needs to be computed (and summation
+    * order never becomes a replay hazard).
+    *
+    * The per-stratum counts collect is bounded by the number of strata.
+    * alpha = 0.5 routes through `sqrt` (correctly rounded in IEEE 754,
+    * hence bit-identical across engines — the oracle-checkable setting);
+    * general `pow` is faithful to the last ulp only per-libm.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                        alpha: Double, buckets: Int = 10000,
+                        hasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(alpha >= 0.0, s"alpha=$alpha must be >= 0")
+    val counts = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val targets = counts.filter(!_.isNullAt(0)).map { r =>
+      val n = r.getLong(1).toDouble
+      r.getString(0) -> (if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha))
+    }.toMap
+    mixtureSample(df, keyCol, stratumCol, targets, buckets, hasher)
+  }
+
   /** Deterministic multi-way split assignment (train/val/test hygiene):
     * every row gets the split its key hashes into — stable across reruns,
     * Spark versions, partitionings, and machines, which is the property

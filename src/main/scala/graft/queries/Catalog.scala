@@ -1041,6 +1041,14 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_mixture_temp" -> ((s, dir) =>
+      // p^alpha temperature mixing at alpha=0.5: targets are sqrt(observed
+      // counts), unnormalized (nmax scaling is factor-invariant), so the
+      // whole decision replays in SQL with sqrt's correctly-rounded IEEE
+      Sampling.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+          alpha = 0.5, hasher = Shingles.md5Hash60)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     "q_top_per_key" -> ((s, dir) =>
       // EXACT per-source cap: the 8 smallest md5-60(doc_id) per source —
       // KMV bottom-n aggregate (bounded map-side partials) + semi-join
@@ -2792,6 +2800,20 @@ object Catalog {
         |      FROM n, m)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN k ON d.lang = k.lang
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < keep
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_mixture_temp" ->
+      // identical double tree as temperatureSample -> mixtureSample:
+      // tgt = sqrt(n), nmax = min(n/tgt), keep = round(tgt*nmax/n*10000)
+      """WITH n AS (SELECT source, count(*) AS n FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS tgt FROM n),
+        |m AS (SELECT min(CAST(n AS DOUBLE) / tgt) AS nmax FROM t),
+        |k AS (SELECT source, CAST(round(tgt * nmax / CAST(n AS DOUBLE) * 10000) AS BIGINT) AS keep
+        |      FROM t, m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN k ON d.source = k.source
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < keep
         |ORDER BY d.doc_id""".stripMargin,
 

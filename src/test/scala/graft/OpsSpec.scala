@@ -1086,6 +1086,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("temperatureSample: alpha=1 is a no-op, alpha=0 equalizes, alpha=0.5 flattens") {
+    val docs = ((0 until 800).map(i => (i.toLong, "big")) ++
+      (800 until 1000).map(i => (i.toLong, "mid")) ++
+      (1000 until 1050).map(i => (i.toLong, "small"))).toDF("id", "src")
+    // alpha=1: targets proportional to counts -> every stratum binds, all kept
+    assert(Sampling.temperatureSample(docs, "id", "src", alpha = 1.0).count() == 1050)
+    // alpha=0: equal targets -> every stratum downsampled to ~the smallest
+    val eq = Sampling.temperatureSample(docs, "id", "src", alpha = 0.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(eq("small") == 50)
+    assert(math.abs(eq("big") - 50.0) < 20 && math.abs(eq("mid") - 50.0) < 20, eq.toString)
+    // alpha=0.5: smallest kept whole, larger strata shrink toward
+    // sqrt(n_s)*sqrt(n_min) (binomial tolerance)
+    val half = Sampling.temperatureSample(docs, "id", "src", alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(half("small") == 50)
+    def want(n: Int) = math.sqrt(n) * math.sqrt(50)
+    assert(math.abs(half("big") - want(800)) < 30, half.toString)
+    assert(math.abs(half("mid") - want(200)) < 25, half.toString)
+    // strict flattening order: raw ordering preserved but compressed
+    assert(half("big") > half("mid") && half("mid") > half("small"))
+  }
+
   test("repetition features: token and ngram duplication") {
     val d = Seq(
       (1L, "a a a b"),                  // 4 tokens, 2 distinct, top=3; 2 trigrams distinct
