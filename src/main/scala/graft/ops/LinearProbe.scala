@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A linear quality probe trained INSIDE the engine with full-batch
+  * gradient descent in fixed-point integer arithmetic — the
+  * integer-PageRank replay discipline applied to model training: every
+  * round's state (the weight vector) is a deterministic integer function
+  * of the data, so training replays bit-identically in any engine and the
+  * DuckDB oracle can verify the whole trajectory, not just a final score.
+  *
+  * Shape per round (the Lloyd/PageRank discipline): ONE distributed
+  * aggregate producing the `dim` gradient sums + the row count, then a
+  * bounded driver update of `dim` longs. The corpus is never collected;
+  * rounds² work never appears; lineage is per-round flat (the feature
+  * frame is materialized once).
+  *
+  * Numeric contract:
+  *  - features are BOUNDED integers (cap them when building the frame);
+  *  - weights are fixed-point longs at [[Scale]];
+  *  - per-row error `err_fx = x·w − y·Scale` stays in long;
+  *  - gradient sums `Σ x_j·err_fx` are accumulated in DECIMAL(38,0)
+  *    (Spark) / HUGEINT (DuckDB) — exact and order-independent;
+  *  - the update divides with TRUNCATING integer division, which Java
+  *    `/`, BigInteger.divide and DuckDB `//` all share.
+  *
+  * A linear probe over cheap count features is the classic fast quality
+  * scorer a curation pipeline trains per-domain (the learned cousin of
+  * the C4 heuristics): fit to any available integer signal, then score
+  * the full corpus row-locally.
+  */
+object LinearProbe {
+
+  /** Fixed-point weight scale: w_fx = round(w · Scale). */
+  val Scale = 1000000L
+
+  /** Bounded-integer feature frame over documents: x = [bias,
+    * min(tokens, 200), min(long-words, 200), min(stopword-hits, 200)],
+    * target y capped and scaled to y_fx. Tokenization and caps replay
+    * exactly in SQL (the q_quality_filter conventions).
+    */
+  def featureFrame(df: DataFrame, idCol: String, textCol: String, targetCol: String,
+                   stopwords: Seq[String] = TextAnalysis.stopwordsEn,
+                   featureCap: Int = 200, targetCap: Int = 2000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(targetCol).as("__y"),
+      TextAnalysis.tokens(col(textCol)).as("__toks")) // pre-projected ONCE
+    base.select(
+      col("id"),
+      array(
+        lit(1L),
+        least(size(col("__toks")), lit(featureCap)).cast(LongType),
+        least(size(filter(col("__toks"), t => length(t) > 6)), lit(featureCap)).cast(LongType),
+        least(graft.functions.WordSetHits.hits(col("__toks"), Seq(stopwords)).getItem(0),
+          lit(featureCap)).cast(LongType)).as("x"),
+      (least(col("__y"), lit(targetCap)).cast(LongType) * Scale).as("y_fx"))
+  }
+
+  /** `rounds` of full-batch GD from w = 0: w_j ← w_j − g_j / (n·etaDen)
+    * (truncating), g_j = Σ_i x_ij·(x_i·w − y_fx_i). Returns the fixed-point
+    * weight trajectory (one array per round, index 0 = after round 1) so
+    * callers can audit convergence; the final entry is the model.
+    */
+  def train(feat: DataFrame, dim: Int, rounds: Int, etaDen: Long): Seq[Array[Long]] = {
+    require(rounds >= 1 && dim >= 1 && etaDen >= 1)
+    val f = feat.select(col("x"), col("y_fx")).localCheckpoint() // one materialization, flat lineage
+    var w = Array.fill(dim)(0L)
+    val trajectory = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    for (_ <- 1 to rounds) {
+      val predFx = (0 until dim).map(j => col("x").getItem(j) * lit(w(j))).reduce(_ + _)
+      val withErr = f.select(col("x"), (predFx - col("y_fx")).as("e"))
+      val aggs = (0 until dim).map(j =>
+        sum((col("x").getItem(j) * col("e")).cast(DecimalType(38, 0))).as(s"g$j")) :+
+        count(lit(1)).as("n")
+      val row = withErr.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getLong(dim)
+      require(n > 0, "empty feature frame")
+      val den = java.math.BigInteger.valueOf(n * etaDen)
+      w = Array.tabulate(dim) { j =>
+        val g = row.getDecimal(j).toBigInteger
+        w(j) - g.divide(den).longValueExact() // truncating, like DuckDB //
+      }
+      trajectory += w.clone()
+    }
+    trajectory.toSeq
+  }
+
+  /** Row-local scoring with a trained fixed-point weight vector. */
+  def scores(feat: DataFrame, w: Array[Long]): DataFrame =
+    feat.select(col("id"),
+      w.indices.map(j => col("x").getItem(j) * lit(w(j))).reduce(_ + _).as("pred_fx"))
+
+  /** Exact fixed-point mean squared error of a weight vector (audit /
+    * convergence checks): Σ err² as DECIMAL(38,0), divided by n on the
+    * driver.
+    */
+  def lossFx(feat: DataFrame, w: Array[Long]): BigInt = {
+    val predFx = w.indices.map(j => col("x").getItem(j) * lit(w(j))).reduce(_ + _)
+    val row = feat.select((predFx - col("y_fx")).as("e"))
+      // cast BEFORE squaring: err² can exceed long range
+      .agg(sum(col("e").cast(DecimalType(38, 0)) * col("e").cast(DecimalType(38, 0))).as("ss"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    BigInt(row.getDecimal(0).toBigInteger) / BigInt(row.getLong(1))
+  }
+}

@@ -1041,6 +1041,25 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_probe_weights" -> { (s, dir) =>
+      // in-engine model training: 5 rounds of fixed-point full-batch GD
+      // (one gradient aggregate + a 4-long driver update per round); the
+      // integer dynamics replay bit-identically, so the oracle re-trains
+      // the same model in SQL and the WEIGHTS themselves are the gate
+      import s.implicits._
+      val feat = LinearProbe.featureFrame(t(s, dir, "documents"), "doc_id", "text", "n_chars")
+      val w = LinearProbe.train(feat, 4, rounds = 5, etaDen = 50000L).last
+      Seq((w(0), w(1), w(2), w(3))).toDF("w0", "w1", "w2", "w3")
+    },
+
+    "q_probe_scores" -> { (s, dir) =>
+      // row-local corpus scoring with the trained probe (weights bound as
+      // literals — the serve path after training)
+      val feat = LinearProbe.featureFrame(t(s, dir, "documents"), "doc_id", "text", "n_chars")
+      val w = LinearProbe.train(feat, 4, rounds = 5, etaDen = 50000L).last
+      LinearProbe.scores(feat, w).select(col("id").as("doc_id"), col("pred_fx")).orderBy("doc_id")
+    },
+
     "q_mixture_temp" -> ((s, dir) =>
       // p^alpha temperature mixing at alpha=0.5: targets are sqrt(observed
       // counts), unnormalized (nmax scaling is factor-invariant), so the
@@ -1738,6 +1757,41 @@ object Catalog {
     s"WITH ${bpeOracleRounds(n, pattern)}\n" +
       s"SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
       s"(SELECT unnest(syms) AS token, freq FROM wf$n) GROUP BY 1 ORDER BY token"
+
+  /** Unrolled fixed-point GD rounds for the linear probe oracle — same
+    * dynamics as [[LinearProbe.train]]: HUGEINT gradient sums, truncating
+    * `//` update (DuckDB `//` and Java `/` agree on truncation-toward-zero
+    * for negatives — verified), weights as 1-row CTEs.
+    */
+  private def probeOracleRounds(rounds: Int, etaDen: Long): String = {
+    val stopList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+    val f =
+      s"""f AS (SELECT doc_id,
+         |  CAST(1 AS BIGINT) AS x0,
+         |  least(len(string_split_regex(text, '\\s+')), 200) AS x1,
+         |  least(len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 6)), 200) AS x2,
+         |  least(len(list_filter(string_split_regex(text, '\\s+'), t -> list_contains([$stopList], t))), 200) AS x3,
+         |  least(n_chars, 2000) * ${graft.ops.LinearProbe.Scale} AS yfx
+         |  FROM documents),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""e$r AS (SELECT x0, x1, x2, x3,
+         |              x0*w.w0 + x1*w.w1 + x2*w.w2 + x3*w.w3 - yfx AS e
+         |       FROM f, w$p w),
+         |g$r AS (SELECT sum(CAST(x0*e AS HUGEINT)) AS g0, sum(CAST(x1*e AS HUGEINT)) AS g1,
+         |              sum(CAST(x2*e AS HUGEINT)) AS g2, sum(CAST(x3*e AS HUGEINT)) AS g3,
+         |              count(*) AS n
+         |       FROM e$r),
+         |w$r AS (SELECT CAST(w.w0 - g.g0 // (g.n * $etaDen) AS BIGINT) AS w0,
+         |              CAST(w.w1 - g.g1 // (g.n * $etaDen) AS BIGINT) AS w1,
+         |              CAST(w.w2 - g.g2 // (g.n * $etaDen) AS BIGINT) AS w2,
+         |              CAST(w.w3 - g.g3 // (g.n * $etaDen) AS BIGINT) AS w3
+         |       FROM w$p w, g$r g)""".stripMargin
+    }
+    (f +: steps).mkString(",\n")
+  }
 
   private def pageRankOracleSql(n: Int, iters: Int): String = {
     val initFx = 1000000000L / n
@@ -2802,6 +2856,15 @@ object Catalog {
         |FROM documents d JOIN k ON d.lang = k.lang
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < keep
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_probe_weights" ->
+      s"""WITH ${probeOracleRounds(5, 50000L)}
+         |SELECT w0, w1, w2, w3 FROM w5""".stripMargin,
+
+    "q_probe_scores" ->
+      s"""WITH ${probeOracleRounds(5, 50000L)}
+         |SELECT f.doc_id, f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 AS pred_fx
+         |FROM f, w5 w ORDER BY f.doc_id""".stripMargin,
 
     "q_mixture_temp" ->
       // identical double tree as temperatureSample -> mixtureSample:

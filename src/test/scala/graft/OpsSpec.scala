@@ -1313,6 +1313,78 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class LinearProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // scalar reference: the same integer GD dynamics, computed sequentially
+  private def refTrain(xs: Seq[Array[Long]], ys: Seq[Long], rounds: Int,
+                       etaDen: Long): Array[Long] = {
+    val dim = xs.head.length
+    var w = Array.fill(dim)(0L)
+    for (_ <- 1 to rounds) {
+      val g = Array.fill(dim)(BigInt(0))
+      xs.zip(ys).foreach { case (x, yfx) =>
+        val e = (0 until dim).map(j => x(j) * w(j)).sum - yfx
+        for (j <- 0 until dim) g(j) += BigInt(x(j)) * e
+      }
+      val den = BigInt(xs.size) * etaDen
+      w = Array.tabulate(dim)(j => w(j) - (g(j) / den).toLong) // BigInt / truncates
+    }
+    w
+  }
+
+  private def mkFeat(xs: Seq[Array[Long]], ys: Seq[Long]) =
+    xs.zip(ys).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y_fx")
+
+  test("train matches the scalar reference bit-for-bit, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val xs = (0 until 200).map(_ => Array(1L, rnd.nextInt(200).toLong,
+      rnd.nextInt(50).toLong, rnd.nextInt(30).toLong))
+    val ys = xs.map(x => (x(1) * 9 + x(2) * 3 + 40) * LinearProbe.Scale + rnd.nextInt(1000))
+    val want = refTrain(xs, ys, rounds = 4, etaDen = 50000L)
+    val got = LinearProbe.train(mkFeat(xs, ys), 4, rounds = 4, etaDen = 50000L).last
+    assert(got.toSeq == want.toSeq)
+    val got32 = LinearProbe.train(mkFeat(xs, ys).repartition(32), 4, rounds = 4, etaDen = 50000L).last
+    assert(got32.toSeq == want.toSeq)
+  }
+
+  test("loss descends along the trajectory and beats the zero model") {
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 300).map(_ => Array(1L, rnd.nextInt(200).toLong, rnd.nextInt(80).toLong))
+    val ys = xs.map(x => (x(1) * 7 + x(2) * 2 + 10) * LinearProbe.Scale + rnd.nextInt(500))
+    val feat = mkFeat(xs, ys)
+    val traj = LinearProbe.train(feat, 3, rounds = 5, etaDen = 50000L)
+    val losses = LinearProbe.lossFx(feat, Array(0L, 0L, 0L)) +: traj.map(LinearProbe.lossFx(feat, _))
+    losses.sliding(2).foreach { case Seq(a, b) => assert(b < a, s"loss must descend: $losses") }
+  }
+
+  test("featureFrame emits bounded integer features and a capped target") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the unbelievably extraordinarily lazy dog", 70L),
+      (2L, ("word " * 500).trim, 999999L),
+      (3L, "", 0L)).toDF("doc_id", "text", "n_chars")
+    val f = LinearProbe.featureFrame(docs, "doc_id", "text", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val (x1, y1) = f(1L)
+    assert(x1 == Seq(1L, 11L, 2L, 2L)) // 11 tokens, 2 long words, 'the'×2 stop hits
+    assert(y1 == 70L * LinearProbe.Scale)
+    val (x2, y2) = f(2L)
+    assert(x2 == Seq(1L, 200L, 0L, 0L) && y2 == 2000L * LinearProbe.Scale) // caps bind
+    assert(f(3L)._1.head == 1L)
+  }
+
+  test("scores are the row-local dot product with the trained weights") {
+    val xs = Seq(Array(1L, 10L), Array(1L, 20L))
+    val ys = Seq(100L * LinearProbe.Scale, 200L * LinearProbe.Scale)
+    val feat = mkFeat(xs, ys)
+    val w = LinearProbe.train(feat, 2, rounds = 3, etaDen = 1000L).last
+    val got = LinearProbe.scores(feat, w).orderBy("id").as[(Long, Long)].collect()
+    assert(got(0)._2 == w(0) + 10 * w(1))
+    assert(got(1)._2 == w(0) + 20 * w(1))
+  }
+}
+
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
