@@ -57,6 +57,41 @@ object Constraints {
     frames.reduce(_.unionAll(_))
   }
 
+  /** Referential-integrity audit `child.fk ⊆ parent.pk` — the cross-TABLE
+    * counterpart of [[fdCheck]]: one row per audit with the child row
+    * count, rows whose fk has any NULL component (excluded from orphan
+    * counting, SQL FK semantics), orphan rows (non-null fk with no parent
+    * match) and distinct orphan keys.
+    *
+    * Shape: the child projects ONLY the fk columns into the join (skinny),
+    * the parent side is its distinct pk projection — AQE broadcasts it when
+    * small, else both sides shuffle on the key; one aggregate after. The
+    * audit never moves child payload columns.
+    */
+  def foreignKeyAudit(child: DataFrame, fkCols: Seq[String],
+                      parent: DataFrame, pkCols: Seq[String],
+                      label: String = null): DataFrame = {
+    require(fkCols.nonEmpty && fkCols.size == pkCols.size,
+      "fk and pk column lists must be non-empty and same-length")
+    val p = parent.select(pkCols.map(col): _*).distinct()
+      .select(pkCols.indices.map(i => col(pkCols(i)).as(s"__pk$i")): _*)
+      .withColumn("__present", lit(1))
+    val fkNull = fkCols.map(col(_).isNull).reduce(_ || _)
+    val cond = fkCols.indices.map(i => col(fkCols(i)) === col(s"__pk$i")).reduce(_ && _)
+    child.select(fkCols.map(col): _*)
+      .join(p, cond, "left")
+      .agg(
+        count(lit(1)).as("child_rows"),
+        sum(when(fkNull, 1L).otherwise(0L)).cast(LongType).as("null_fk_rows"),
+        sum(when(!fkNull && col("__present").isNull, 1L).otherwise(0L))
+          .cast(LongType).as("orphan_rows"),
+        count_distinct(when(!fkNull && col("__present").isNull,
+          struct(fkCols.map(col): _*))).as("orphan_keys"))
+      .select(
+        lit(Option(label).getOrElse(s"${fkCols.mkString(",")}->${pkCols.mkString(",")}")).as("fk"),
+        col("child_rows"), col("null_fk_rows"), col("orphan_rows"), col("orphan_keys"))
+  }
+
   /** True iff `cols` form a candidate key (no lhs group has more than one
     * row). Cheaper than [[fdCheck]] with every other column on the rhs —
     * key-ness only needs group sizes.

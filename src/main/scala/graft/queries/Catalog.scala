@@ -1041,6 +1041,13 @@ object Catalog {
           hasher = Shingles.md5Hash60)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_dataset_card" -> ((s, dir) =>
+      // the one-row corpus documentation artifact — every stat rides ONE
+      // scan/aggregate pass; md5-60 text hashing makes the exact-dup rate
+      // oracle-checkable
+      Card.report(t(s, dir, "documents"), "text", "lang", "source",
+        textHasher = Shingles.md5Hash60)),
+
     "q_probe_weights" -> { (s, dir) =>
       // in-engine model training: 5 rounds of fixed-point full-batch GD
       // (one gradient aggregate + a 4-long driver update per round); the
@@ -1258,6 +1265,19 @@ object Catalog {
         Seq("o_custkey") -> Seq("o_orderpriority"),
         Seq("o_custkey") -> Seq("o_orderstatus", "o_orderpriority")))
         .orderBy("fd")),
+
+    "q_fk_audit" -> { (s, dir) =>
+      // referential integrity: the intact TPC-H FK (0 orphans proves the
+      // audit doesn't false-positive) plus the same FK against a damaged
+      // parent (every 3rd key removed) — orphan rows AND distinct orphan
+      // keys quantify the break
+      val orders = t(s, dir, "orders"); val cust = t(s, dir, "customer")
+      Constraints.foreignKeyAudit(orders, Seq("o_custkey"), cust, Seq("c_custkey"))
+        .unionAll(Constraints.foreignKeyAudit(orders, Seq("o_custkey"),
+          cust.where(col("c_custkey") % 3 =!= 0), Seq("c_custkey"),
+          label = "o_custkey->c_custkey_mod3"))
+        .orderBy("fk")
+    },
 
     "q_monotonic" -> ((s, dir) =>
       // ordering-invariant audit: per-user regressions of `value` in
@@ -2857,6 +2877,18 @@ object Catalog {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < keep
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_dataset_card" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT) AS distinct_texts,
+        |  CAST(sum(CASE WHEN len(string_split_regex(text, '\s+')) < 30 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        |  CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT) AS min_tokens,
+        |  CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT) AS max_tokens
+        |FROM documents""".stripMargin,
+
     "q_probe_weights" ->
       s"""WITH ${probeOracleRounds(5, 50000L)}
          |SELECT w0, w1, w2, w3 FROM w5""".stripMargin,
@@ -3144,6 +3176,21 @@ object Catalog {
         |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0
         |  ORDER BY pri, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_fk_audit" ->
+      """WITH pk AS (SELECT DISTINCT c_custkey FROM customer),
+        |pk3 AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 != 0),
+        |a1 AS (SELECT 'o_custkey->c_custkey' AS fk, count(*) AS child_rows,
+        |         CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fk_rows,
+        |         CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND pk.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+        |         count(DISTINCT CASE WHEN o.o_custkey IS NOT NULL AND pk.c_custkey IS NULL THEN o.o_custkey END) AS orphan_keys
+        |       FROM orders o LEFT JOIN pk ON o.o_custkey = pk.c_custkey),
+        |a2 AS (SELECT 'o_custkey->c_custkey_mod3' AS fk, count(*) AS child_rows,
+        |         CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fk_rows,
+        |         CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND pk3.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+        |         count(DISTINCT CASE WHEN o.o_custkey IS NOT NULL AND pk3.c_custkey IS NULL THEN o.o_custkey END) AS orphan_keys
+        |       FROM orders o LEFT JOIN pk3 ON o.o_custkey = pk3.c_custkey)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY fk""".stripMargin,
 
     "q_fd_check" ->
       """SELECT * FROM (

@@ -60,6 +60,31 @@ class ConstraintsSpec extends SparkSpec {
     assert(desc.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 0L)))
   }
 
+  test("foreignKeyAudit: orphans, NULL-fk exclusion, multi-column keys") {
+    import spark.implicits._
+    val parent = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("pk", "pt")
+    val child = Seq(
+      (10L, Some(1L)), (11L, Some(2L)), (12L, Some(2L)), // matched
+      (13L, Some(9L)), (14L, Some(9L)), (15L, Some(8L)), // orphans: keys {9, 8}
+      (16L, None), (17L, None)                           // NULL fk: excluded
+    ).toDF("id", "fk")
+    val r = Constraints.foreignKeyAudit(child, Seq("fk"), parent, Seq("pk")).collect()(0)
+    assert(r.getString(0) == "fk->pk")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((8L, 2L, 3L, 2L)))
+
+    // multi-column fk: (a, b) must appear as a (pk, pt) pair
+    val child2 = Seq((1L, 1L, "x"), (2L, 1L, "y"), (3L, 3L, "y"), (4L, 7L, "x"))
+      .toDF("id", "a", "b")
+    val r2 = Constraints.foreignKeyAudit(child2, Seq("a", "b"), parent, Seq("pk", "pt")).collect()(0)
+    // (1,x) ok; (1,y) orphan (pair not present); (3,y) ok; (7,x) orphan
+    assert((r2.getLong(1), r2.getLong(3), r2.getLong(4)) == ((4L, 2L, 2L)))
+
+    // intact FK audits clean
+    val clean = Constraints.foreignKeyAudit(
+      Seq((1L, 1L), (2L, 3L)).toDF("id", "fk"), Seq("fk"), parent, Seq("pk")).collect()(0)
+    assert(clean.getLong(3) == 0L && clean.getLong(4) == 0L)
+  }
+
   test("fuzzyPairs: blocked levenshtein pairs, lossless length prefilter") {
     val names = Seq(
       (1L, "g1", "alpha"), (2L, "g1", "alphb"),   // dist 1

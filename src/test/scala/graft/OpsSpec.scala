@@ -1313,6 +1313,27 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class CardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dataset card: exact one-row corpus summary") {
+    val docs = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "one two three", "en", "web"),   // exact dup of 1
+      (3L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc dd", "en", "wiki"),
+      (4L, "hola", "es", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Card.report(docs, "text", "lang", "source").collect()(0)
+    assert(r.getLong(0) == 4L, "n_docs")
+    assert(r.getLong(1) == (3 + 3 + 30 + 1).toLong, "n_tokens")
+    assert(r.getLong(2) == docs.select(sum(length(col("text")))).as[Long].head(), "n_chars")
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L, "langs/sources")
+    assert(r.getLong(5) == 3L, "distinct_texts (1 exact dup)")
+    assert(r.getLong(6) == 3L, "short_docs (<30 tokens)")
+    assert(r.getLong(7) == 1L && r.getLong(8) == 30L, "min/max tokens")
+  }
+}
+
 class LinearProbeSpec extends SparkSpec {
   import spark.implicits._
 
