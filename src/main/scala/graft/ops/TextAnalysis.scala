@@ -213,6 +213,70 @@ object TextAnalysis {
     df.withColumn("reason", reason).withColumn("keep", col("reason") === "ok")
   }
 
+  /** The eight "essential" English stopwords of the Gopher rule set —
+    * documents containing fewer than two of them (as whole tokens) are
+    * flagged as likely non-prose.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1): the standard pre-training repetition/format heuristics as one
+    * row-local projection — per-document measured signals, one boolean per
+    * rule, and `keep` = all rules hold. Entirely codegen'd builtins plus two
+    * bounded HOF filters (over the document's own lines/tokens and the
+    * 8-element stopword list) — no shuffle, no UDF, scales linearly.
+    *
+    * Signals use ONE explicit double tree (cast-sum-divide order fixed) so a
+    * DuckDB oracle with the identical formulas matches bit-for-bit; the
+    * `...` symbol count is `(len - len(replace)) / 3.0` in doubles on both
+    * sides to dodge engine-specific integer-division rules.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletLineFrac: Double = 0.9,
+                  maxEllipsisLineFrac: Double = 0.3,
+                  minAlphaWordFrac: Double = 0.8,
+                  minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nw = size(toks).cast(LongType)
+    val nwD = nw.cast(DoubleType)
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast(DoubleType) / nwD
+    // '#' and '...' occurrences via length deltas (replace is non-overlapping
+    // left-to-right in both engines; '...' removes 3 chars per hit)
+    val hashes = (length(t) - length(replace(t, lit("#"), lit("")))).cast(DoubleType)
+    val dots = (length(t) - length(replace(t, lit("..."), lit("")))).cast(DoubleType) / lit(3.0)
+    val symRatio = (hashes + dots) / nwD
+    val lines = split(t, "\n")
+    val nlD = size(lines).cast(DoubleType)
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast(DoubleType) / nlD
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast(DoubleType) / nlD
+    val alphaFrac = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nwD
+    val stopHits = size(filter(
+      array(gopherStopwords.map(lit): _*), w => array_contains(toks, w))).cast(LongType)
+    df.withColumn("n_words", nw)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("bullet_frac", bulletFrac)
+      .withColumn("ellipsis_frac", ellipsisFrac)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("r_words", nw >= minWords && nw <= maxWords)
+      .withColumn("r_word_len",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("r_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("r_bullet", col("bullet_frac") <= maxBulletLineFrac)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= maxEllipsisLineFrac)
+      .withColumn("r_alpha", col("alpha_frac") >= minAlphaWordFrac)
+      .withColumn("r_stopwords", col("stop_hits") >= minStopwordHits)
+      .withColumn("keep",
+        col("r_words") && col("r_word_len") && col("r_symbol") && col("r_bullet") &&
+        col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
+  }
+
   /** Corpus vocabulary with heavy-hitter stats: per token, total occurrences
     * (tf) and document frequency (df), the top `k` by (tf desc, token asc).
     *

@@ -583,6 +583,23 @@ object Catalog {
       Delta.snapshotDiff(oldSnap, newSnap, "doc_id", "text").orderBy("id")
     },
 
+    "q_merge_upsert" -> { (s, dir) =>
+      // CDC MERGE apply: every ≡0-mod-7 doc gets a delete at seq 1, every
+      // ≡0-mod-5 doc an upsert (upper-cased text, lang 'xx') at seq 2 —
+      // ≡0-mod-35 docs carry BOTH so latest-by-seq wins; all other docs
+      // pass through untouched. Full oracle on the merged snapshot.
+      val docs = t(s, dir, "documents")
+      val changes = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("D").as("op"),
+          col("text"), col("lang"))
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+            upper(col("text")).as("text"), lit("xx").as("lang")))
+      Delta.applyChanges(docs, changes, "doc_id", "seq", "op",
+          Seq("text", "lang"))
+        .orderBy("doc_id")
+    },
+
     "q_outliers" -> { (s, dir) =>
       // Tukey-fence outliers per returnflag on fixed-point cents (integer
       // domain keeps quartile interpolation + fence arithmetic bit-exact)
@@ -1141,6 +1158,18 @@ object Catalog {
       TextAnalysis.qualityFilter(t(s, dir, "documents"), "text",
           minTokens = 30, maxAvgTokenLen = 5.0, minStopwordRatio = 0.02)
         .select("doc_id", "keep", "reason").orderBy("doc_id")),
+
+    "q_gopher" -> ((s, dir) =>
+      // Gopher rule set (Rae et al. 2021 Table A1): the standard pre-training
+      // format/repetition heuristics, one row-local projection; every signal
+      // and verdict oracled bit-for-bit (identical double trees).
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text",
+          minWords = 20, maxMeanWordLen = 12.0)
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "bullet_frac", "ellipsis_frac", "alpha_frac", "stop_hits",
+          "r_words", "r_word_len", "r_symbol", "r_bullet", "r_ellipsis",
+          "r_alpha", "r_stopwords", "keep")
+        .orderBy("doc_id")),
 
     "q_pipeline_e2e" -> { (s, dir) =>
       // the COMPOSED curation pipeline, end-to-end in one lazy plan:
@@ -2417,6 +2446,24 @@ object Catalog {
         |WHERE o.id IS NULL OR n.id IS NULL OR o.text <> n.text
         |ORDER BY id""".stripMargin,
 
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, 1 AS seq, 'D' AS op, text, lang
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS seq, 'U' AS op, upper(text) AS text, 'xx' AS lang
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |latest AS (SELECT doc_id, op, text, lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY seq DESC, op DESC) AS rn
+        |  FROM changes) WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT d.doc_id, d.text, d.lang FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM latest)
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
+        |ORDER BY doc_id""".stripMargin,
+
     "q_outliers" ->
       """WITH v AS (SELECT l_returnflag,
         |                  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
@@ -2993,6 +3040,43 @@ object Catalog {
         |  WHEN sr < 0.02 THEN 'low_stopword_ratio'
         |  ELSE 'ok' END AS reason FROM f)
         |SELECT doc_id, reason = 'ok' AS keep, reason FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_gopher" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS wchars,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+        |  CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS dots,
+        |  string_split(text, chr(10)) AS lines,
+        |  string_split_regex(text, '\s+') AS words
+        |FROM documents),
+        |g AS (SELECT doc_id, n_words,
+        |  wchars / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |  (hashes + dots) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |    / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+        |    / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        |  CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE) AS alpha_frac,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |       w -> list_contains(words, w))) AS BIGINT) AS stop_hits
+        |FROM f),
+        |r AS (SELECT *,
+        |  n_words >= 20 AND n_words <= 100000 AS r_words,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 12.0 AS r_word_len,
+        |  symbol_ratio <= 0.1 AS r_symbol,
+        |  bullet_frac <= 0.9 AS r_bullet,
+        |  ellipsis_frac <= 0.3 AS r_ellipsis,
+        |  alpha_frac >= 0.8 AS r_alpha,
+        |  stop_hits >= 2 AS r_stopwords
+        |FROM g)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |       ellipsis_frac, alpha_frac, stop_hits, r_words, r_word_len,
+        |       r_symbol, r_bullet, r_ellipsis, r_alpha, r_stopwords,
+        |       r_words AND r_word_len AND r_symbol AND r_bullet AND r_ellipsis
+        |         AND r_alpha AND r_stopwords AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_e2e" ->
       // composed: quality-keep ids -> passage dedup over survivors -> exact

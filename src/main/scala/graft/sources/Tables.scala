@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Source/sink helpers. The scan engine itself is source-agnostic (it takes a
   * DataFrame, like the reference takes `df` — scan.py:424), these are the
@@ -14,19 +14,25 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object Tables {
 
-  /** Parquet read; converts TIMESTAMP(NANOS) columns (which Spark rejects
-    * natively) to micros timestamps when `nanosTimestampCols` is set.
+  /** Parquet read; normalizes timestamp columns named in
+    * `nanosTimestampCols` to micros [[TimestampType]] whatever the file
+    * encoding: TIMESTAMP(NANOS) stored as int64 (which Spark rejects
+    * natively) is integer-divided to micros, and isAdjustedToUTC=false
+    * micros (read as TIMESTAMP_NTZ) is cast to the session-zone instant —
+    * wall-clock-preserving under the UTC session this library pins.
     */
   def parquet(spark: SparkSession, path: String, nanosTimestampCols: Seq[String] = Nil): DataFrame = {
     if (nanosTimestampCols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
     nanosTimestampCols.foldLeft(df) { (acc, c) =>
-      // `div` = integral division: ns epochs exceed double's 53-bit mantissa,
-      // so a double divide here would corrupt timestamps
-      if (acc.schema(c).dataType == LongType)
-        acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      else acc
+      acc.schema(c).dataType match {
+        // `div` = integral division: ns epochs exceed double's 53-bit
+        // mantissa, so a double divide here would corrupt timestamps
+        case LongType => acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case TimestampNTZType => acc.withColumn(c, col(c).cast(TimestampType))
+        case _ => acc
+      }
     }
   }
 

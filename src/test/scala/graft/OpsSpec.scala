@@ -554,6 +554,21 @@ class DeltaSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
+
+  test("applyChanges: latest change per key wins, deletes drop, pass-through keeps") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("id", "text", "v")
+    val changes = Seq(
+      (2L, 1L, "U", "b1", 21), (2L, 3L, "D", "", 0), (2L, 2L, "U", "b2", 22), // D latest
+      (3L, 1L, "D", "", 0), (3L, 2L, "U", "c2", 32),                          // U latest
+      (5L, 1L, "U", "e", 50),                                                 // insert
+      (6L, 1L, "D", "", 0),                                                   // delete absent key
+      (4L, 5L, "D", "", 0), (4L, 5L, "U", "d2", 42)                           // seq tie: U beats D
+    ).toDF("id", "seq", "op", "text", "v")
+    val got = Delta.applyChanges(base, changes, "id", "seq", "op", Seq("text", "v"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (3L, "c2", 32), (4L, "d2", 42), (5L, "e", 50)))
+  }
 }
 
 class OutliersSpec extends SparkSpec {
@@ -1234,6 +1249,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L) == ((true, "ok")))
     assert(m(2L) == ((false, "too_short")))
     assert(m(3L) == ((false, "avg_token_len_high")))
+  }
+
+  test("gopher rules: per-rule verdicts on hand-built documents") {
+    val d = Seq(
+      (1L, "the cat and the dog have fun with all of that stuff"),
+      (2L, "- one\n- two\n- three\n- four\n- five"),            // all-bullet lines
+      (3L, "### the cat of ..."),                               // symbol-heavy
+      (4L, "the cat...\nthe dog...\nof runs fast"),             // ellipsis lines
+      (5L, "cat dog bird fish horse cow sheep goat")            // no stopwords
+    ).toDF("doc_id", "text")
+    val g = TextAnalysis.gopherRules(d, "text", minWords = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 12 words, 40 chars -> mean 10/3, six essential stopwords, clean
+    assert(g(1L).getAs[Long]("n_words") == 12L)
+    assert(math.abs(g(1L).getAs[Double]("mean_word_len") - 40.0 / 12.0) < 1e-12)
+    assert(g(1L).getAs[Long]("stop_hits") == 6L)
+    assert(g(1L).getAs[Double]("alpha_frac") == 1.0)
+    assert(g(1L).getAs[Double]("symbol_ratio") == 0.0)
+    assert(g(1L).getAs[Boolean]("keep"))
+    assert(!g(2L).getAs[Boolean]("r_bullet") && g(2L).getAs[Double]("bullet_frac") == 1.0)
+    assert(!g(2L).getAs[Boolean]("r_alpha")) // '-' tokens are non-alphabetic
+    // doc 3: 3 '#' + 1 '...' over 5 words = 0.8 ratio
+    assert(math.abs(g(3L).getAs[Double]("symbol_ratio") - 0.8) < 1e-12)
+    assert(!g(3L).getAs[Boolean]("r_symbol"))
+    assert(math.abs(g(4L).getAs[Double]("ellipsis_frac") - 2.0 / 3.0) < 1e-12)
+    assert(!g(4L).getAs[Boolean]("r_ellipsis"))
+    assert(g(5L).getAs[Long]("stop_hits") == 0L && !g(5L).getAs[Boolean]("r_stopwords"))
+    assert(!g(2L).getAs[Boolean]("keep") && !g(3L).getAs[Boolean]("keep") &&
+      !g(4L).getAs[Boolean]("keep") && !g(5L).getAs[Boolean]("keep"))
   }
 
   test("redaction applies rules in order; normalizeText collapses case+space") {
