@@ -183,11 +183,78 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                ncells: Int = 16, nprobe: Int = 2,
-               quantizer: Option[DataFrame] = None): DataFrame = {
+               quantizer: Option[DataFrame] = None,
+               keepCos: Boolean = false): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
     val seeds = quantizer.map(decodeQuantizer).getOrElse(trainSeeds(base, ncells, 0))
-    ivfSearch(base, corpus, idCol, vecCol, k, nprobe, seeds, broadcastQueries = false)
+    ivfSearch(base, corpus, idCol, vecCol, k, nprobe, seeds,
+      broadcastQueries = false, keepCos = keepCos)
+  }
+
+  /** Ratio-margin re-scoring of the kNN graph (Artetxe & Schwenk ACL'19, the
+    * CCMatrix/LASER bitext-mining criterion): margin(x, y) =
+    * cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2) — a pair is interesting only
+    * if it is close RELATIVE to how close each endpoint's neighborhood is,
+    * which suppresses embedding-space hubs that plain cosine thresholds
+    * over-select. Emits the graph edges re-ranked per query by margin
+    * (`margin_rank`), the input to mined-pair selection.
+    *
+    * Shape: one kNN graph (IVF-blocked, no corpus broadcast), a per-node
+    * k-bounded aggregate for the neighborhood means (fixed association order:
+    * rank-slot terms summed 1..k, so the double tree replays in SQL), then
+    * two skinny id-keyed joins to attach each endpoint's mean — both sides
+    * (id, double) only, AQE-broadcastable. Payload vectors never re-enter
+    * the plan after the graph is built.
+    */
+  def knnMargin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                ncells: Int = 16, nprobe: Int = 2,
+                quantizer: Option[DataFrame] = None): DataFrame = {
+    val g = knnGraph(corpus, idCol, vecCol, k, ncells, nprobe, quantizer,
+      keepCos = true)
+    // mean of the available neighbors (< k at candidate shortage), summed in
+    // rank order so the result is order-deterministic
+    val slots = (1 to k).map(r =>
+      coalesce(max(when(col("rank") === r, col("cos"))), lit(0.0)))
+    val avg = g.groupBy(col("query_id").as("node_id"))
+      .agg((slots.reduce(_ + _) / count(lit(1)).cast(DoubleType)).as("avg_cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("margin").desc, col("neighbor_id").asc)
+    g.join(avg.withColumnRenamed("node_id", "query_id")
+        .withColumnRenamed("avg_cos", "avg_q"), Seq("query_id"))
+      .join(avg.withColumnRenamed("node_id", "neighbor_id")
+        .withColumnRenamed("avg_cos", "avg_n"), Seq("neighbor_id"))
+      .withColumn("margin", col("cos") / ((col("avg_q") + col("avg_n")) / lit(2.0)))
+      .withColumn("margin_rank", row_number().over(w))
+      .select("query_id", "margin_rank", "neighbor_id")
+  }
+
+  /** Hard-negative mining for contrastive training: per corpus vector, its
+    * `k` most similar neighbors that are NOT known positives — the
+    * highest-loss negatives a contrastive objective can be fed. Over-fetches
+    * `fetchK` graph neighbors (IVF-blocked, no corpus broadcast), removes the
+    * `positives` pairs with a two-column `left_anti` join (positives frame is
+    * skinny id pairs — AQE-broadcastable), then re-ranks the survivors by
+    * cosine. A query whose top-`fetchK` neighborhood is all positives yields
+    * fewer than `k` negatives — raise `fetchK`, the recall/cost dial.
+    *
+    * @param positives 2-column frame (query id, positive id), directed.
+    */
+  def hardNegatives(corpus: DataFrame, positives: DataFrame, idCol: String,
+                    vecCol: String, k: Int, fetchK: Int,
+                    ncells: Int = 16, nprobe: Int = 2,
+                    quantizer: Option[DataFrame] = None): DataFrame = {
+    require(positives.columns.length == 2,
+      s"positives must have exactly (query id, positive id) columns, got ${positives.columns.toSeq}")
+    val g = knnGraph(corpus, idCol, vecCol, fetchK, ncells, nprobe, quantizer,
+      keepCos = true)
+    val pos = positives.toDF("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    g.join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .select("query_id", "neg_rank", "neighbor_id")
   }
 
   /** In-degree (hubness) over a kNN graph frame (query_id, rank,
@@ -224,7 +291,8 @@ object Similarity {
   private def ivfSearch(base: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, nprobe: Int,
                         seeds: Array[(Int, Seq[Double])],
-                        broadcastQueries: Boolean = true): DataFrame = {
+                        broadcastQueries: Boolean = true,
+                        keepCos: Boolean = false): DataFrame = {
     // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
     def cellScores(v: Column): Column = cellScoresBound(v, seeds)
     def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
@@ -242,9 +310,10 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val ranked = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    if (keepCos) ranked.select("query_id", "rank", "neighbor_id", "cos")
+    else ranked.select("query_id", "rank", "neighbor_id")
   }
 
   /** Multi-table random-hyperplane LSH: `tables` independent hash tables of

@@ -944,6 +944,29 @@ object Catalog {
           k = 3, ncells = 16, nprobe = 2))
         .orderBy("id")),
 
+    "q_knn_margin" -> ((s, dir) =>
+      // ratio-margin re-ranking of the kNN graph (the bitext-mining
+      // criterion): per-node neighborhood means attached via two skinny
+      // id-keyed joins; oracle replays the full graph + margin algebra.
+      // Rank-only output — the house rule for cosine-derived orderings.
+      Similarity.knnMargin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, ncells = 16, nprobe = 2)
+        .orderBy("query_id", "margin_rank")),
+
+    "q_hard_negatives" -> { (s, dir) =>
+      // contrastive hard negatives: nearest non-positive neighbors, with
+      // positives = same-label pairs (the embeddings table's cluster id) —
+      // over-fetch 6, anti-join positives, keep top-3 negatives.
+      val emb = t(s, dir, "embeddings")
+      val pos = emb.select(col("vec_id").as("qid"), col("label"))
+        .join(emb.select(col("vec_id").as("nid"), col("label")), "label")
+        .where(col("qid") =!= col("nid"))
+        .select("qid", "nid")
+      Similarity.hardNegatives(emb, pos, "vec_id", "embedding",
+          k = 3, fetchK = 6, ncells = 16, nprobe = 2)
+        .orderBy("query_id", "neg_rank")
+    },
+
     "q_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1933,9 +1956,12 @@ object Catalog {
     * nprobe probed cells, exact cosine top-k within probed cells.
     * `queryFilter` = "" makes every vector a query (the kNN-graph gate).
     */
-  private def ivfAnnOracleSql(k: Int, ncells: Int, nprobe: Int,
-                              queryFilter: String = " WHERE e.vec_id < 10"): String =
-    s"""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS sv
+  /** The IVF probe/score CTE chain up to ranked candidate edges
+    * (`r` = qid, nid, cos, rank) — shared by the ANN rank oracles and the
+    * margin-scoring oracle.
+    */
+  private def ivfAnnEdgesSql(ncells: Int, nprobe: Int, queryFilter: String): String =
+    s"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS sv
        |               FROM embeddings ORDER BY vec_id LIMIT $ncells),
        |asg AS (SELECT e.vec_id AS nid, s.cell,
        |               row_number() OVER (PARTITION BY e.vec_id
@@ -1953,11 +1979,39 @@ object Catalog {
        |s AS (SELECT cand.qid, cand.nid, list_cosine_similarity(e.embedding, qe.embedding) AS cos
        |      FROM cand JOIN embeddings e ON e.vec_id = cand.nid
        |                JOIN embeddings qe ON qe.vec_id = cand.qid),
-       |r AS (SELECT qid, nid,
+       |r AS (SELECT qid, nid, cos,
        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
-       |      FROM s)
+       |      FROM s)""".stripMargin
+
+  private def ivfAnnOracleSql(k: Int, ncells: Int, nprobe: Int,
+                              queryFilter: String = " WHERE e.vec_id < 10"): String =
+    s"""WITH ${ivfAnnEdgesSql(ncells, nprobe, queryFilter)}
        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Ratio-margin oracle: the same IVF edges, per-node neighborhood means
+    * summed in rank-slot order (the gate's fixed association), margin =
+    * cos / (mean of endpoint means), re-ranked per query.
+    */
+  private def knnMarginOracleSql(k: Int, ncells: Int, nprobe: Int): String = {
+    val slots = (1 to k)
+      .map(r => s"coalesce(max(cos) FILTER (WHERE rank = $r), 0.0)")
+      .mkString(" + ")
+    s"""WITH ${ivfAnnEdgesSql(ncells, nprobe, "")},
+       |g AS (SELECT qid, nid, cos, rank FROM r WHERE rank <= $k),
+       |a AS (SELECT qid AS node_id,
+       |             ($slots) / CAST(count(*) AS DOUBLE) AS avg_cos
+       |      FROM g GROUP BY qid),
+       |m AS (SELECT g.qid, g.nid,
+       |             g.cos / ((qa.avg_cos + na.avg_cos) / 2.0) AS margin
+       |      FROM g JOIN a qa ON qa.node_id = g.qid
+       |             JOIN a na ON na.node_id = g.nid)
+       |SELECT qid AS query_id,
+       |       CAST(row_number() OVER (PARTITION BY qid
+       |                               ORDER BY margin DESC, nid ASC) AS INT) AS margin_rank,
+       |       nid AS neighbor_id
+       |FROM m ORDER BY query_id, margin_rank""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
@@ -1970,6 +2024,20 @@ object Catalog {
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
     "q_ann_ivf" -> ivfAnnOracleSql(5, 16, 4),
     "q_knn_graph" -> ivfAnnOracleSql(3, 16, 2, queryFilter = ""),
+    "q_knn_margin" -> knnMarginOracleSql(3, 16, 2),
+    "q_hard_negatives" ->
+      s"""WITH ${ivfAnnEdgesSql(16, 2, "")},
+         |g AS (SELECT qid, nid, cos FROM r WHERE rank <= 6),
+         |f AS (SELECT g.qid, g.nid, g.cos FROM g
+         |      JOIN embeddings qe ON qe.vec_id = g.qid
+         |      JOIN embeddings ne ON ne.vec_id = g.nid
+         |      WHERE qe.label != ne.label),
+         |n AS (SELECT qid, nid,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |                 ORDER BY cos DESC, nid ASC) AS INT) AS neg_rank
+         |      FROM f)
+         |SELECT qid AS query_id, neg_rank, nid AS neighbor_id
+         |FROM n WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin,
     "q_knn_hubs" ->
       s"""WITH g AS (${ivfAnnOracleSql(3, 16, 2, queryFilter = "")})
          |SELECT neighbor_id AS id, count(*) AS in_degree

@@ -981,6 +981,51 @@ class SimilaritySpec extends SparkSpec {
     assert(hubs.forall(h => h._1 >= 0 && h._1 < 50))
   }
 
+  test("knn margin re-ranks edges by the ratio-margin criterion") {
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+      ncells = 4, nprobe = 2, keepCos = true)
+      .as[(Long, Int, Long, Double)].collect()
+    // scalar reference: margin = cos / mean of endpoint neighborhood means
+    val avg = g.groupBy(_._1).map { case (q, es) =>
+      q -> es.map(_._4).sum / es.size }.toMap
+    val expect = g.groupBy(_._1).toList.flatMap { case (q, es) =>
+      es.toList.map(e => (q, e._3, e._4 / ((avg(q) + avg(e._3)) / 2.0)))
+        .sortBy(x => (-x._3, x._2))
+        .zipWithIndex.map { case ((_, n, _), i) => (q, i + 1, n) }
+    }.toSet
+    val got = Similarity.knnMargin(vecs, "vec_id", "embedding", k = 3,
+        ncells = 4, nprobe = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expect)
+    // margin demotes hub-adjacent edges relative to raw cos ordering for at
+    // least one query (otherwise the operator is a no-op on this corpus)
+    val rawOrder = g.groupBy(_._1).map { case (q, es) =>
+      q -> es.sortBy(_._2).map(_._3).toSeq }
+    val marginOrder = got.groupBy(_._1).map { case (q, es) =>
+      q -> es.toSeq.sortBy(_._2).map(_._3) }
+    assert(rawOrder.keySet == marginOrder.keySet)
+    assert(rawOrder.exists { case (q, o) => marginOrder(q) != o })
+  }
+
+  test("hard negatives exclude positive pairs and re-rank survivors") {
+    val pos = Seq.tabulate(50)(i => (i.toLong, ((i + 1) % 50).toLong))
+      .toDF("qid", "nid")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 6,
+      ncells = 4, nprobe = 2, keepCos = true)
+      .as[(Long, Int, Long, Double)].collect()
+    val posSet = pos.as[(Long, Long)].collect().toSet
+    val expect = g.groupBy(_._1).toList.flatMap { case (q, es) =>
+      es.toList.filterNot(e => posSet((q, e._3)))
+        .sortBy(e => (-e._4, e._3)).take(3)
+        .zipWithIndex.map { case (e, i) => (q, i + 1, e._3) }
+    }.toSet
+    val got = Similarity.hardNegatives(vecs, pos, "vec_id", "embedding",
+        k = 3, fetchK = 6, ncells = 4, nprobe = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.forall { case (q, _, n) => !posSet((q, n)) })
+  }
+
   test("diverse sample drops hubs then hash-samples deterministically") {
     val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3, ncells = 4, nprobe = 2)
     val hubs = Similarity.hubScores(g).where(col("in_degree") > 5)
