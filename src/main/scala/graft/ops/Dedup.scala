@@ -86,6 +86,51 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** Exact token-set CONTAINMENT pairs via the same inverted-index join:
+    * C(sub → sup) = |sub ∩ sup| / |sub| — the asymmetric complement of
+    * [[jaccardPairs]]. A short document wholly embedded in a much longer one
+    * scores containment ≈ 1 where Jaccard ≈ |sub|/|sup| ≈ 0, so this is the
+    * detector for quote-reuse / boilerplate-envelope / sub-document
+    * duplication. Emits DIRECTED rows (id_sub, id_sup) for every direction
+    * meeting `threshold` (mutual containment emits both).
+    *
+    * No size-ratio prefilter exists here ON PURPOSE: containment's whole
+    * point is size-incompatible pairs, and for the smaller side inter ≥
+    * t·|sub| is not size-boundable. The quadratic guard is therefore `maxDf`
+    * (stop-token cap) + blocking, same discipline as [[jaccardPairs]]; the
+    * per-pair shuffle rows are (8-byte hash, id, count) only. The
+    * containment double is one division of two exact counts — oracle-exact.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, blockCols: Seq[String] = Nil,
+                       maxDf: Int = Int.MaxValue, shingleLen: Int = 1): DataFrame = {
+    val docs = df.select((col(idCol).as("id") +: tokenHashSet(col(textCol), shingleLen).as("toks") +: blockCols.map(col)): _*)
+      .withColumn("nt", size(col("toks")))
+    val inv = docs.select((col("id") +: col("nt") +: explode(col("toks")).as("tok") +: blockCols.map(col)): _*)
+    val capped =
+      if (maxDf == Int.MaxValue) inv
+      else {
+        val hot = inv.groupBy("tok").agg(count(lit(1)).as("df")).where(col("df") > maxDf).select("tok")
+        inv.join(broadcast(hot), Seq("tok"), "left_anti")
+      }
+    val joinKeys = "tok" +: blockCols
+    val a = capped.select((col("tok") +: col("id").as("id_a") +: col("nt").as("nt_a") +: blockCols.map(col)): _*)
+    val b = capped.select((col("tok") +: col("id").as("id_b") +: col("nt").as("nt_b") +: blockCols.map(col)): _*)
+    val pairs = a.join(b, joinKeys)
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "nt_a", "nt_b")
+      .agg(count(lit(1)).as("inter"))
+    val ab = pairs.select(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
+      col("inter"), col("nt_a").as("nt_sub"), col("nt_b").as("nt_sup"))
+    val ba = pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
+      col("inter"), col("nt_b").as("nt_sub"), col("nt_a").as("nt_sup"))
+    ab.unionByName(ba)
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / col("nt_sub").cast(DoubleType))
+      .where(col("containment") >= threshold)
+      .select("id_sub", "id_sup", "inter", "nt_sub", "nt_sup", "containment")
+  }
+
   /** Exact blocked Jaccard via all-pairs-within-block + the native
     * sorted-merge [[graft.functions.JaccardSimExpr]]. The right strategy when
     * blocks are small or documents share most of their vocabulary — there the

@@ -600,6 +600,24 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_stream_join" -> { (s, dir) =>
+      // click→view attribution through StreamingJoin.intervalJoin in BATCH
+      // mode — the identical code path the stream-stream watermarked join
+      // runs (streaming parity is spec'd in StreamingSpec); view within the
+      // 24 hours before each same-user click.
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+      graft.streaming.StreamingJoin.intervalJoin(clicks, views, "user_id",
+          "click_ts", "view_ts", lowerSec = -86400, upperSec = 0)
+        .select("click_id", "view_id", "user_id")
+        .orderBy("click_id", "view_id")
+    },
+
     "q_outliers" -> { (s, dir) =>
       // Tukey-fence outliers per returnflag on fixed-point cents (integer
       // domain keeps quartile interpolation + fence arithmetic bit-exact)
@@ -755,6 +773,14 @@ object Catalog {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.9, blockCols = Seq("lang", "source"))
         .orderBy("id_a", "id_b")),
+
+    "q_containment" -> ((s, dir) =>
+      // asymmetric sub-document detection: directed containment ≥ 0.9 within
+      // (lang, source) blocks — catches short-inside-long reuse that the
+      // size-symmetric jaccard gates cannot. Full oracle incl. the double.
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9, blockCols = Seq("lang", "source"))
+        .orderBy("id_sub", "id_sup")),
 
     "q_dedup_minhash" -> ((s, dir) =>
       // shingleLen=1: these synthetic docs are bags of common words, so the
@@ -2532,6 +2558,17 @@ object Catalog {
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
 
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, ts AS view_ts, user_id
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, v.view_id, c.user_id
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |    AND v.view_ts >= c.click_ts - INTERVAL 86400 SECOND
+        |    AND v.view_ts <= c.click_ts
+        |ORDER BY click_id, view_id""".stripMargin,
+
     "q_outliers" ->
       """WITH v AS (SELECT l_returnflag,
         |                  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
@@ -2697,6 +2734,23 @@ object Catalog {
         |GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
         |HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_containment" ->
+      """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+        |t AS (SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nt AS nt_a, b.nt AS nt_b,
+        |             count(*) AS inter
+        |      FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |                       AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id, a.nt, b.nt),
+        |u AS (SELECT id_a AS id_sub, id_b AS id_sup, inter, nt_a AS nt_sub, nt_b AS nt_sup FROM p
+        |      UNION ALL
+        |      SELECT id_b, id_a, inter, nt_b, nt_a FROM p)
+        |SELECT id_sub, id_sup, inter, nt_sub, nt_sup,
+        |       CAST(inter AS DOUBLE) / CAST(nt_sub AS DOUBLE) AS containment
+        |FROM u
+        |WHERE CAST(inter AS DOUBLE) / CAST(nt_sub AS DOUBLE) >= 0.9
+        |ORDER BY id_sub, id_sup""".stripMargin,
 
     "q_dedup_components" ->
       """WITH RECURSIVE

@@ -1270,6 +1270,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"scoring must shuffle only doc-grain partials:\n$plan")
   }
 
+  test("containment pairs: directed, asymmetric, catches short-inside-long") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),                                  // ⊂ doc 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta rho"),                                    // 2/3 in doc 2
+      (4L, "mu nu xi")                                           // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.9)
+      .select("id_sub", "id_sup", "inter", "nt_sub", "nt_sup", "containment")
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSet
+    // only 1→2 meets 0.9: containment(1→2)=3/3, reverse is 3/10,
+    // containment(3→2)=2/3, doc 4 shares nothing
+    assert(got == Set((1L, 2L, 3L, 3, 10, 1.0)))
+    // jaccard is blind to the contained pair: jaccard(1,2) = 3/10
+    val j = Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!j.contains((1L, 2L)))
+    // mutual containment emits both directions
+    val dup = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(dup, "doc_id", "text", threshold = 0.9)
+      .select("id_sub", "id_sup").as[(Long, Long)].collect().toSet
+    assert(both == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("n-gram jaccard is order-sensitive where token-set jaccard is not") {
     val d = Seq((1L, "x a b c d e"), (2L, "x e d c b a"), (3L, "x a b c d f")).toDF("id", "text")
       .withColumn("blk", lit(1))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Windows
+import graft.streaming.StreamingJoin
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -48,6 +49,51 @@ class StreamingSpec extends SparkSpec {
       .select(col("window_start").cast("string"), col("event_type"), col("n_events"), col("sum_value"))
       .as[(String, String, Long, Double)].collect().toSet
     assert(b == rows)
+  }
+
+  test("stream-stream interval join matches the batch join under cross-batch arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    // clicks attribute to views at most 60s BEFORE them, same user
+    val clicks = Seq((101L, ts(5, 0), 1L), (102L, ts(10, 0), 1L), (103L, ts(5, 30), 2L))
+    val views = Seq((201L, ts(4, 30), 1L), (202L, ts(9, 30), 1L),
+      (203L, ts(4, 0), 2L), (204L, ts(5, 30), 2L), (205L, ts(3, 0), 9L))
+
+    val ls = MemoryStream[(Long, Timestamp, Long)]
+    val rs = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingJoin.intervalJoin(
+      ls.toDF().toDF("click_id", "click_ts", "user_id"),
+      rs.toDF().toDF("view_id", "view_ts", "user_id"),
+      "user_id", "click_ts", "view_ts", lowerSec = -60, upperSec = 0,
+      watermark = Some("10 minutes"))
+    val query = joined.writeStream.format("memory")
+      .queryName("sj_test").outputMode("append").start()
+    // matching rows arrive in DIFFERENT batches, views first
+    ls.addData(clicks.take(1)); rs.addData(views.take(2))
+    query.processAllAvailable()
+    ls.addData(clicks.drop(1)); rs.addData(views.drop(2))
+    query.processAllAvailable()
+    val got = spark.table("sj_test")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    query.stop()
+
+    val expect = (for {
+      (cid, cts, cu) <- clicks
+      (vid, vts, vu) <- views
+      if cu == vu && !vts.before(new Timestamp(cts.getTime - 60000)) && !vts.after(cts)
+    } yield (cid, vid)).toSet
+    assert(expect == Set((101L, 201L), (102L, 202L), (103L, 204L)))
+    assert(got == expect)
+
+    // the SAME operator over batch frames returns the identical pairs
+    val b = StreamingJoin.intervalJoin(
+      clicks.toDF("click_id", "click_ts", "user_id"),
+      views.toDF("view_id", "view_ts", "user_id"),
+      "user_id", "click_ts", "view_ts", -60, 0)
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(b == expect)
   }
 
   test("streaming quality monitor matches the batch monitor") {
