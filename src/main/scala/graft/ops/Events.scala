@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-sequence analytics: funnel conversion, cohort retention, transition
+  * matrices. The per-user sequential semantics these need are expressed as
+  * per-key aggregates and bounded windows — never a global sort.
+  */
+object Events {
+
+  /** Ordered funnel analysis: for each user, stage i counts as reached only
+    * if an event of stage i's type occurs AT OR AFTER the user's time of
+    * reaching stage i-1 (strict happened-after sequencing, min-timestamp
+    * greedy — the standard funnel definition, and greedy-min is optimal
+    * here: taking the earliest qualifying event can only admit more
+    * downstream matches). `windowSec` bounds the whole journey: stage i
+    * must also fall within windowSec of the user's stage-1 time.
+    *
+    * Returns one row per stage: (stage_index, stage, users) with users =
+    * count reaching that stage. Shape: one skinny (user, min-ts) aggregate
+    * PER STAGE — k stages = k map-side-combined aggregates chained by
+    * id-keyed joins on (user, ts) pairs only; event payload never moves,
+    * no per-user sequence materialization, no window funnel. The per-stage
+    * frames shrink monotonically (each is a subset of the previous).
+    */
+  def funnel(df: DataFrame, tsCol: String, userCol: String, typeCol: String,
+             stages: Seq[String], windowSec: Long = Long.MaxValue): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // stage 1: first event of the first type per user
+    val first = df.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("t1"))
+      .withColumn("t_prev", col("t1"))
+    val reached = stages.drop(1).scanLeft(first) { (prev, stage) =>
+      df.where(col(typeCol) === stage)
+        .select(col(userCol).as("u"), col(tsCol).as("t"))
+        .join(prev.select("u", "t1", "t_prev"), Seq("u"))
+        .where(col("t") >= col("t_prev") &&
+          unix_timestamp(col("t")) - unix_timestamp(col("t1")) <= windowSec)
+        .groupBy("u")
+        .agg(min(col("t1")).as("t1"), min(col("t")).as("t_prev"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((frame, stage), i) =>
+      frame.agg(count(lit(1)).cast(LongType).as("users"))
+        .select(lit(i + 1).as("stage_index"), lit(stage).as("stage"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users grouped by the week of their FIRST event
+    * (cohort), counted as retained in week offsets 0..`maxWeeks` when they
+    * have any event that many weeks later. All time arithmetic is integer
+    * day/week indices off the epoch (`floor(epoch/86400) div 7`) — no
+    * calendar functions, so every engine reproduces the exact buckets.
+    *
+    * Shape: one (user, min-day) aggregate, one skinny join back (events
+    * project (user, day) only), one distinct-user count per (cohort, offset)
+    * cell — two shuffles total, both on user/cohort keys.
+    */
+  def cohortRetention(df: DataFrame, tsCol: String, userCol: String,
+                      maxWeeks: Int = 8): DataFrame = {
+    // Spark unix_timestamp truncates to whole seconds; the DuckDB mirror is
+    // floor(epoch(ts)) — then day/week indices are explicit floors (bare
+    // double→int casts ROUND in DuckDB, so no implicit cast ever divides)
+    val day = floor(unix_timestamp(col(tsCol)).cast(DoubleType) / 86400.0)
+      .cast(LongType)
+    val ev = df.select(col(userCol).as("u"), day.as("d"))
+    val first = ev.groupBy("u").agg(min(col("d")).as("d0"))
+    ev.join(first, Seq("u"))
+      .withColumn("cohort_week",
+        floor(col("d0").cast(DoubleType) / 7.0).cast(LongType))
+      .withColumn("week_offset",
+        floor((col("d") - col("d0")).cast(DoubleType) / 7.0).cast(LongType))
+      .where(col("week_offset") <= maxWeeks)
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("u")).cast(LongType).as("users"))
+  }
+
+  /** Event-type transition matrix: counts of consecutive (from → to) event
+    * pairs per user, ordered by (ts, tie-break id) so the sequence — and
+    * therefore the matrix — is deterministic under any partitioning. The
+    * per-user `lead` window is key-partitioned (bounded partitions, no
+    * global sort); output is at most |types|² rows.
+    */
+  def transitions(df: DataFrame, tsCol: String, userCol: String,
+                  typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+  }
+}

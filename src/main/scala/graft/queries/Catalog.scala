@@ -600,6 +600,27 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_funnel" -> ((s, dir) =>
+      // ordered signup→click→purchase funnel, 7-day conversion window:
+      // greedy-min sequencing, one skinny aggregate per stage
+      Events.funnel(t(s, dir, "events"), "ts", "user_id", "event_type",
+          Seq("signup", "click", "purchase"), windowSec = 7L * 86400L)
+        .orderBy("stage_index")),
+
+    "q_cohort" -> ((s, dir) =>
+      // weekly cohort retention triangle over integer epoch-day/week indices
+      // (calendar-function-free, so both engines bucket identically)
+      Events.cohortRetention(t(s, dir, "events"), "ts", "user_id",
+          maxWeeks = 8)
+        .orderBy("cohort_week", "week_offset")),
+
+    "q_transitions" -> ((s, dir) =>
+      // per-user consecutive event-type transition counts, (ts, event_id)
+      // ordered so the matrix is deterministic under any partitioning
+      Events.transitions(t(s, dir, "events"), "ts", "user_id", "event_type",
+          "event_id")
+        .orderBy("from_type", "to_type")),
+
     "q_stream_join" -> { (s, dir) =>
       // click→view attribution through StreamingJoin.intervalJoin in BATCH
       // mode — the identical code path the stream-stream watermarked join
@@ -2557,6 +2578,48 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1
+        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id AS u, min(s1.t1) AS t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.u = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id AS u, min(s2.t1) AS t1, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON s2.u = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s2.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_index, 'signup' AS stage, count(*) AS users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY stage_index""".stripMargin,
+
+    "q_cohort" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |                   CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS d
+        |            FROM events),
+        |f AS (SELECT u, min(d) AS d0 FROM ev GROUP BY u)
+        |SELECT CAST(floor(d0 / 7.0) AS BIGINT) AS cohort_week,
+        |       CAST(floor((d - d0) / 7.0) AS BIGINT) AS week_offset,
+        |       count(DISTINCT ev.u) AS users
+        |FROM ev JOIN f ON f.u = ev.u
+        |WHERE CAST(floor((d - d0) / 7.0) AS BIGINT) <= 8
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id
+        |                      ORDER BY ts ASC, event_id ASC) AS next_type
+        |           FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "q_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, ts AS click_ts, user_id

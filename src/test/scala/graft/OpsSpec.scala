@@ -2121,3 +2121,56 @@ class BloomSpec extends SparkSpec {
     assert(filtered.size < exact.size + 2000) // fp-bounded superset
   }
 }
+
+class EventsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(day: Int, min: Int) =
+    new Timestamp((day.toLong * 86400L + min * 60L) * 1000L)
+
+  test("funnel: ordered greedy-min sequencing with a conversion window") {
+    val ev = Seq(
+      (1L, 1L, "signup", ts(0, 0)), (2L, 1L, "click", ts(0, 10)), (3L, 1L, "purchase", ts(0, 20)),
+      (4L, 2L, "click", ts(0, 0)), (5L, 2L, "signup", ts(0, 10)),   // click precedes signup
+      (6L, 3L, "signup", ts(0, 0)), (7L, 3L, "click", ts(0, 5)), (8L, 3L, "purchase", ts(9, 0)), // purchase late
+      (9L, 4L, "click", ts(0, 0)), (10L, 4L, "purchase", ts(0, 5)), // never signed up
+      (11L, 5L, "signup", ts(0, 0)), (12L, 5L, "click", ts(8, 0))   // click outside 7d window
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.funnel(ev, "ts", "user_id", "event_type",
+        Seq("signup", "click", "purchase"), windowSec = 7L * 86400L)
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((1, "signup", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+    // without the window bound, u5's click and u3's purchase qualify
+    val unbounded = Events.funnel(ev, "ts", "user_id", "event_type",
+        Seq("signup", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(unbounded == Set((1, "signup", 4L), (2, "click", 3L), (3, "purchase", 2L)))
+  }
+
+  test("cohort retention: epoch-week buckets off each user's first event") {
+    val ev = Seq(
+      (1L, ts(0, 0)), (1L, ts(8, 0)),              // cohort week 0, offsets 0 and 1
+      (2L, ts(3, 0)), (2L, ts(4, 0)),              // same week twice -> one offset-0 cell
+      (3L, ts(14, 0)), (3L, ts(70, 0))             // cohort week 2, offset 8
+    ).toDF("user_id", "ts")
+    val got = Events.cohortRetention(ev, "ts", "user_id", maxWeeks = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (2L, 0L, 1L), (2L, 8L, 1L)))
+    // maxWeeks cuts the tail
+    val cut = Events.cohortRetention(ev, "ts", "user_id", maxWeeks = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cut == Set((0L, 0L, 2L), (0L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("transitions: consecutive pairs per user, deterministic tie-break") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(0, 0)), (2L, 1L, "b", ts(0, 1)), (3L, 1L, "a", ts(0, 2)),
+      (4L, 2L, "a", ts(0, 0)), (5L, 2L, "a", ts(0, 0))  // equal ts: id order
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.transitions(ev, "ts", "user_id", "event_type", "event_id")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "a", 1L), ("a", "a", 1L)))
+  }
+}
