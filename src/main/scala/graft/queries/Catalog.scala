@@ -600,6 +600,16 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_ks" -> { (s, dir) =>
+      // exact two-sample KS between returnflag populations, over fixed-point
+      // cents (decimal→double conversion differs in the low bit between
+      // engines; long→double is exact) — bucket-free drift, bit-for-bit
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.ksStatistic(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
     "q_funnel" -> ((s, dir) =>
       // ordered signup→click→purchase funnel, 7-day conversion window:
       // greedy-min sequencing, one skinny aggregate per stage
@@ -2578,6 +2588,25 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_ks" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT CAST(cents AS DOUBLE) AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY cents),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT sum(c1) OVER (ORDER BY v) AS k1,
+        |             sum(c2) OVER (ORDER BY v) AS k2 FROM c)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       (SELECT max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |                     - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |        FROM k, n) AS ks_stat
+        |FROM n""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1

@@ -67,6 +67,45 @@ object Drift {
     * Bucket arithmetic matches [[Scanner.histogramFrame]] (explicit double
     * ops) so oracles share the expression tree.
     */
+  /** EXACT two-sample Kolmogorov–Smirnov statistic: max over all observed
+    * values of |F_ref(v) − F_cur(v)| — the bucket-free complement of
+    * [[psiBuckets]] (PSI needs a bucket design and misses within-bucket
+    * shifts; KS is distribution-free and exact). One row:
+    * (n_ref, n_cur, ks_stat).
+    *
+    * Distributed shape: per-side counts per distinct value (one value-keyed
+    * shuffle with map-side combine), then INCLUSIVE cumulative counts via
+    * the [[graft.ops.Packing.prefixSum]] two-phase scan — a global-order
+    * `Window.orderBy` with no partition key would funnel every distinct
+    * value through one partition, the classic scale-killer this repo bans.
+    * The CDF gap is one fixed double tree (exact long counts, two
+    * divisions, abs, max) so DuckDB reproduces the statistic bit-for-bit.
+    */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, mine: String, other: String) =
+      df.select(col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as(mine))
+        .withColumn(other, lit(0L))
+    val counts = side(ref, "c1", "c2").unionByName(side(cur, "c2", "c1"))
+      .groupBy("v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val Array(n1, n2) = counts
+      .agg(sum(col("c1")), sum(col("c2"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    // exclusive prefix sums + own count = inclusive CDF counts at v
+    val cum = graft.ops.Packing.prefixSum(
+      graft.ops.Packing.prefixSum(counts, "v", col("c1"), "k1x"),
+      "v", col("c2"), "k2x")
+      .withColumn("k1", col("k1x") + col("c1"))
+      .withColumn("k2", col("k2x") + col("c2"))
+    cum.agg(max(abs(
+        col("k1").cast(DoubleType) / lit(n1.toDouble) -
+        col("k2").cast(DoubleType) / lit(n2.toDouble))).as("ks_stat"))
+      .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("ks_stat"))
+  }
+
   def psiBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
                  lo: Double, hi: Double, buckets: Int,
                  eps: Double = 1e-6): DataFrame =

@@ -360,6 +360,27 @@ class ScannerSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct"))
   }
 
+  test("ksStatistic: exact max CDF gap, zero on identical, one on disjoint") {
+    import graft.scan.Drift
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    // distinct values 1..4: F_a = 1/3,2/3,1,1; F_b = 0,1/3,2/3,1 -> max 1/3,
+    // realized in doubles as 1.0 - 2/3 at v=3 (the largest of the three
+    // not-quite-equal IEEE renderings of 1/3)
+    val r = Drift.ksStatistic(a, b, "v").as[(Long, Long, Double)].collect()(0)
+    assert(r == ((3L, 3L, 1.0 - 2.0 / 3.0)))
+    val same = Drift.ksStatistic(a, a, "v").as[(Long, Long, Double)].collect()(0)
+    assert(same._3 == 0.0)
+    val disj = Drift.ksStatistic(a, Seq(9.0, 10.0).toDF("v"), "v")
+      .as[(Long, Long, Double)].collect()(0)
+    assert(disj == ((3L, 2L, 1.0)))
+    // duplicated values collapse into one CDF step
+    val dup = Drift.ksStatistic(Seq(1.0, 1.0, 2.0).toDF("v"),
+      Seq(1.0, 2.0, 2.0).toDF("v"), "v").as[(Long, Long, Double)].collect()(0)
+    assert(dup == ((3L, 3L, 2.0 / 3.0 - 1.0 / 3.0)))
+  }
+
   test("psiBuckets: identical distributions score ~0, shifted ones don't; nulls excluded") {
     import graft.scan.Drift
     val refDf = spark.createDataFrame(
