@@ -82,25 +82,42 @@ object Drift {
     * divisions, abs, max) so DuckDB reproduces the statistic bit-for-bit.
     */
   def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
-    def side(df: DataFrame, mine: String, other: String) =
+    def side(df: DataFrame, flag: Int) =
       df.select(col(valueCol).cast(DoubleType).as("v"))
-        .where(col("v").isNotNull)
-        .groupBy("v").agg(count(lit(1)).as(mine))
-        .withColumn(other, lit(0L))
-    val counts = side(ref, "c1", "c2").unionByName(side(cur, "c2", "c1"))
-      .groupBy("v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
-    val Array(n1, n2) = counts
-      .agg(sum(col("c1")), sum(col("c2"))).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    // ONE value-keyed shuffle for both sides' counts (side flag + conditional
+    // sums; separate per-side groupBys would shuffle three times)
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    // fused two-column prefix scan (the Packing.prefixSum two-phase shape,
+    // inlined so ONE range partition + checkpoint serves both cumulative
+    // columns, and the per-partition totals give n_ref/n_cur for free —
+    // three driver jobs fewer than composing prefixSum twice + an agg)
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // freeze pid assignment across the jobs below
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n1 = totals.valuesIterator.map(_._1).sum
+    val n2 = totals.valuesIterator.map(_._2).sum
     require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
-    // exclusive prefix sums + own count = inclusive CDF counts at v
-    val cum = graft.ops.Packing.prefixSum(
-      graft.ops.Packing.prefixSum(counts, "v", col("c1"), "k1x"),
-      "v", col("c2"), "k2x")
-      .withColumn("k1", col("k1x") + col("c1"))
-      .withColumn("k2", col("k2x") + col("c2"))
-    cum.agg(max(abs(
+    val pids = totals.keys.toSeq.sorted
+    def offsets(part: ((Long, Long)) => Long): Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + part(totals(p))).init).toMap
+    def offsetExpr(m: Map[Int, Long]) =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    // inclusive in-partition running sums (v is distinct, so the default
+    // ties-inclusive frame is exact) + broadcast partition offsets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    parts
+      .withColumn("k1", sum(col("c1")).over(w) + offsetExpr(offsets(_._1)))
+      .withColumn("k2", sum(col("c2")).over(w) + offsetExpr(offsets(_._2)))
+      .agg(max(abs(
         col("k1").cast(DoubleType) / lit(n1.toDouble) -
         col("k2").cast(DoubleType) / lit(n2.toDouble))).as("ks_stat"))
       .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("ks_stat"))
