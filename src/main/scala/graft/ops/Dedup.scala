@@ -578,9 +578,37 @@ object Dedup {
         transform(
           sequence(lit(0L), ceil(size(col("__toks")).cast(DoubleType) / K).cast(LongType) - 1L),
           i => array_join(slice(col("__toks"), (i * K + 1L).cast(IntegerType), lit(K)), " ")).as("passages"))
-    val exploded = withP
-      .select(col("doc_id"), posexplode(col("passages")).as(Seq("chunk", "passage")))
-      .withColumn("ph", tokenHasher(col("passage")))
+    unitDedup(withP.withColumnRenamed("passages", "units"), " ", maxDocFreq,
+      tokenHasher, "n_passages")
+  }
+
+  /** Line-level corpus dedup (the C4 boilerplate-line rule, Raffel et al.
+    * 2020 §2.2): drop every LINE whose document frequency exceeds
+    * `maxDocFreq` — navigation chrome, cookie banners, license footers and
+    * other boilerplate repeat across pages at line granularity where
+    * passage chunking straddles the boundaries. Same shape as
+    * [[passageDedup]]: the doc-frequency pass shuffles (line-hash, doc)
+    * pairs only, reassembly is per-document. Blank lines shared across
+    * documents are boilerplate by this definition and drop with the rest.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Int = 1,
+                tokenHasher: Column => Column = xxhash64(_)): DataFrame =
+    unitDedup(
+      df.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("units")),
+      "\n", maxDocFreq, tokenHasher, "n_lines")
+
+  /** Shared drop-units-by-document-frequency body of [[passageDedup]] /
+    * [[lineDedup]]: input (doc_id, units: array<string>); emits
+    * (doc_id, text_clean, `nUnitsName`, n_dropped) with surviving units
+    * rejoined by `sep` in original order.
+    */
+  private def unitDedup(withUnits: DataFrame, sep: String, maxDocFreq: Int,
+                        tokenHasher: Column => Column,
+                        nUnitsName: String): DataFrame = {
+    val exploded = withUnits
+      .select(col("doc_id"), posexplode(col("units")).as(Seq("chunk", "unit")))
+      .withColumn("ph", tokenHasher(col("unit")))
     val dropped = exploded.select("ph", "doc_id").distinct()
       .groupBy("ph").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq)
@@ -589,10 +617,10 @@ object Dedup {
       .groupBy("doc_id").agg(
         array_join(
           transform(
-            array_sort(collect_list(when(col("__drop").isNull, struct(col("chunk"), col("passage"))))),
-            s => s.getField("passage")),
-          " ").as("text_clean"),
-        count(lit(1)).as("n_passages"),
+            array_sort(collect_list(when(col("__drop").isNull, struct(col("chunk"), col("unit"))))),
+            s => s.getField("unit")),
+          sep).as("text_clean"),
+        count(lit(1)).as(nUnitsName),
         sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).cast(LongType).as("n_dropped"))
   }
 

@@ -1046,6 +1046,21 @@ object Catalog {
         threshold = 0.3, shingleLen = 3, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")),
 
+    "q_line_dedup" -> { (s, dir) =>
+      // C4 boilerplate-line rule: drop lines whose doc frequency > 1. The
+      // synthetic docs are single-line, so the gate frames them with
+      // per-doc header lines ("source: …", "lang: …") — cross-document
+      // boilerplate by construction, which the rule must strip while the
+      // unique bodies survive. md5-60 line hashes → fully oracled.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("source: "), col("source")),
+          concat(lit("lang: "), col("lang")), col("text")).as("text"))
+      Dedup.lineDedup(docs, "doc_id", "text", maxDocFreq = 1,
+          tokenHasher = Shingles.md5Hash60)
+        .orderBy("doc_id")
+    },
+
     "q_para_dedup" -> ((s, dir) =>
       // cross-document passage dedup (10-token passages, drop any passage
       // seen in >1 document, reassemble). md5Hash60 passage hashing → the
@@ -2999,6 +3014,24 @@ object Catalog {
         |ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q_dedup_ngram" -> minhashOracleSql(64, 16, 0.3, shingleLen = 3, withJaccard = true),
+
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |             'source: ' || source || chr(10) || 'lang: ' || lang || chr(10) || text AS text
+        |           FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+        |e AS (SELECT doc_id, unnest(lines) AS line,
+        |             CAST(unnest(range(0, len(lines))) AS INT) AS chunk FROM t),
+        |h AS (SELECT doc_id, chunk, line,
+        |             ('0x' || substr(md5(line), 1, 15))::BIGINT AS ph FROM e),
+        |f AS (SELECT ph FROM (SELECT ph, count(DISTINCT doc_id) AS df FROM h GROUP BY ph)
+        |      WHERE df > 1)
+        |SELECT doc_id,
+        |       coalesce(string_agg(line, chr(10) ORDER BY chunk)
+        |                FILTER (WHERE ph NOT IN (SELECT ph FROM f)), '') AS text_clean,
+        |       count(*) AS n_lines,
+        |       count(*) FILTER (WHERE ph IN (SELECT ph FROM f)) AS n_dropped
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_para_dedup" ->
       // identical chunking (ceil(n/10) passages of 10 tokens), identical

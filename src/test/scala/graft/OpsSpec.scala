@@ -1270,6 +1270,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"scoring must shuffle only doc-grain partials:\n$plan")
   }
 
+  test("line dedup drops cross-document boilerplate lines, keeps unique bodies") {
+    val d = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter"),
+      (3L, "standalone page")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(d, "doc_id", "text")
+      .select("doc_id", "text_clean", "n_lines", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("real content one", 3L, 2L)))
+    assert(got(2L) == (("real content two", 3L, 2L)))
+    assert(got(3L) == (("standalone page", 1L, 0L)))
+    // maxDocFreq=2 tolerates pair-wise repeats
+    val loose = Dedup.lineDedup(d, "doc_id", "text", maxDocFreq = 2)
+      .where(col("doc_id") === 1).select("text_clean").as[String].collect()(0)
+    assert(loose == "COOKIE BANNER\nreal content one\nfooter")
+  }
+
   test("containment pairs: directed, asymmetric, catches short-inside-long") {
     val d = Seq(
       (1L, "alpha beta gamma"),                                  // ⊂ doc 2
