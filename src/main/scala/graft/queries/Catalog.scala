@@ -1046,6 +1046,27 @@ object Catalog {
         threshold = 0.3, shingleLen = 3, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")),
 
+    "q_chunk_rescue" -> { (s, dir) =>
+      // paragraph-level quality RESCUE: instead of dropping a whole document
+      // that fails quality rules, chunk it (20 tokens, no overlap so
+      // reassembly is lossless), judge each chunk with the Gopher rules, and
+      // rebuild documents from only the passing chunks — the salvage stage
+      // of a curation pipeline. Both operators are oracled alone
+      // (q_chunk, q_gopher); this gate proves the composition.
+      val chunks = TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 20, overlapTokens = 0)
+      val judged = TextAnalysis.gopherRules(
+        chunks.withColumnRenamed("chunk_text", "text"), "text",
+        minWords = 10, maxMeanWordLen = 12.0, minStopwordHits = 1)
+      judged.where(col("keep"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("chunk_idx"), col("text")))),
+              s => s.getField("text")), " ").as("text_rescued"))
+        .orderBy("doc_id")
+    },
+
     "q_line_dedup" -> { (s, dir) =>
       // C4 boilerplate-line rule: drop lines whose doc frequency > 1. The
       // synthetic docs are single-line, so the gate frames them with
@@ -3014,6 +3035,46 @@ object Catalog {
         |ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q_dedup_ngram" -> minhashOracleSql(64, 16, 0.3, shingleLen = 3, withJaccard = true),
+
+    "q_chunk_rescue" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts,
+        |              CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |       FROM documents),
+        |nc AS (SELECT doc_id, ts,
+        |         CASE WHEN n <= 20 THEN 1 ELSE ((n - 20 + 19) // 20) + 1 END AS k
+        |       FROM toks),
+        |idx AS (SELECT doc_id, ts, unnest(range(0, k)) AS i FROM nc),
+        |ch AS (SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(ts[CAST(i * 20 + 1 AS BIGINT):CAST(i * 20 + 20 AS BIGINT)], ' ') AS t
+        |       FROM idx),
+        |f AS (SELECT doc_id, chunk_idx, t,
+        |  CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) AS wchars,
+        |  CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) AS hashes,
+        |  CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3.0 AS dots,
+        |  string_split(t, chr(10)) AS lines,
+        |  string_split_regex(t, '\s+') AS words
+        |FROM ch),
+        |g AS (SELECT doc_id, chunk_idx, t, n_words,
+        |  wchars / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |  (hashes + dots) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |    / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+        |    / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        |  CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE) AS alpha_frac,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |       w -> list_contains(words, w))) AS BIGINT) AS stop_hits
+        |FROM f),
+        |kept AS (SELECT doc_id, chunk_idx, t FROM g
+        |  WHERE n_words >= 10 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 12.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 1)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       string_agg(t, ' ' ORDER BY chunk_idx) AS text_rescued
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id,

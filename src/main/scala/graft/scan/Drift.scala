@@ -123,6 +123,29 @@ object Drift {
       .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("ks_stat"))
   }
 
+  /** Exact two-sample KS of two BOUNDED in-memory samples (merge walk over
+    * the sorted values) — the driver-side companion of [[ksStatistic]] for
+    * sketch-sized inputs (e.g. per-window bottom-k samples from
+    * [[graft.streaming.StreamingMonitor.ksSketchStream]]). Same double tree
+    * (count/size divisions, abs, max), so when a sample IS the full data
+    * (k ≥ distinct keys) the result equals the distributed statistic
+    * bit-for-bit.
+    */
+  def ksOfSamples(a: Seq[Double], b: Seq[Double]): Double = {
+    require(a.nonEmpty && b.nonEmpty, "both samples need values")
+    val sa = a.sorted.toArray
+    val sb = b.sorted.toArray
+    var i = 0; var j = 0; var ks = 0.0
+    while (i < sa.length || j < sb.length) {
+      val v = if (j >= sb.length || (i < sa.length && sa(i) <= sb(j))) sa(i) else sb(j)
+      while (i < sa.length && sa(i) == v) i += 1
+      while (j < sb.length && sb(j) == v) j += 1
+      val gap = math.abs(i.toDouble / sa.length - j.toDouble / sb.length)
+      if (gap > ks) ks = gap
+    }
+    ks
+  }
+
   def psiBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
                  lo: Double, hi: Double, buckets: Int,
                  eps: Double = 1e-6): DataFrame =

@@ -112,6 +112,25 @@ object StreamingMonitor {
         QuantileSketch.quantile(col("sketch"), 0.75).as("p75"))
   }
 
+  /** Per-window VALUE sample for KS drift monitoring: the bottom-k-by-hash
+    * sketch of [[quantileSketchStream]] emitted as the raw sorted sample, so
+    * each closed window carries a deterministic, mergeable ≤k-value summary
+    * of its distribution. Feed the collected windows + a static reference
+    * sample to [[graft.scan.Drift.ksOfSamples]] for per-window KS — exact
+    * when k covers the window's distinct keys, a hash-uniform subsample
+    * otherwise. State per window is ≤ k (hash, value) pairs.
+    */
+  def ksSketchStream(df: DataFrame, tsCol: String, watermark: String,
+                     duration: String, keyHash: Column, valueCol: Column,
+                     k: Int): DataFrame = {
+    import graft.functions.QuantileSketch
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration).as("w"))
+      .agg(QuantileSketch.qsketch(keyHash, valueCol, k).as("sample"))
+      .select(col("w.start").as("window_start"),
+        size(col("sample")).as("n_sample"), col("sample"))
+  }
+
   /** Per-window Count-Min counter table: [[graft.ops.CountMin]]'s groupBy
     * rides the normal watermarked window aggregation — streaming state is
     * ≤ depth×width cells per window, point estimates for ANY key from it

@@ -768,6 +768,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected, s"verdicts:\n${streamed.toSeq.sortBy(v => (v._1, v._3)).mkString("\n")}")
   }
 
+  test("windowed KS sample stream: exact vs batch KS when k covers the window") {
+    import spark.implicits._
+    import graft.scan.Drift
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // window 0: same distribution as the reference; window 1: shifted
+    val w0 = (1 to 20).map(i => (ts(0, i), i.toLong, i.toDouble))
+    val w1 = (1 to 20).map(i => (ts(1, i), 100L + i, i.toDouble + 50.0))
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingMonitor.ksSketchStream(
+      stream.toDF().toDF("ts", "id", "v"), "ts", "10 minutes", "1 hour",
+      xxhash64(col("id")), col("v"), k = 64)
+    val query = out.writeStream.format("memory")
+      .queryName("ks_test").outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    query.processAllAvailable()
+    val windows = spark.table("ks_test")
+      .select(col("window_start"), col("sample"))
+      .as[(Timestamp, Seq[Double])].collect().sortBy(_._1.getTime)
+    query.stop()
+
+    val ref = (1 to 20).map(_.toDouble)
+    assert(windows.length == 2 && windows.forall(_._2.size == 20)) // k=64 ≥ 20: exact
+    val ks0 = Drift.ksOfSamples(windows(0)._2, ref)
+    val ks1 = Drift.ksOfSamples(windows(1)._2, ref)
+    assert(ks0 == 0.0)
+    assert(ks1 == 1.0) // disjoint supports
+    // parity with the distributed statistic on the same frames
+    val batch = Drift.ksStatistic(
+      w1.map(_._3).toDF("v"), ref.toDF("v"), "v")
+      .select("ks_stat").as[Double].collect()(0)
+    assert(batch == ks1)
+    // subsample mode: k below the window size still yields a bounded sample
+    val sub = StreamingMonitor.ksSketchStream(
+      w0.toDF("ts", "id", "v"), "ts", "10 minutes", "1 hour",
+      xxhash64(col("id")), col("v"), k = 8)
+      .select("n_sample").as[Int].collect()
+    assert(sub.toSeq == Seq(8))
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
