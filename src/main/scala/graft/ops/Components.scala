@@ -212,4 +212,47 @@ object Components {
     }
     pr
   }
+
+  /** PERSONALIZED PageRank: teleport mass lands only on the `seeds` node
+    * set, so rank measures proximity TO THE SEEDS through the link
+    * structure — the recommendation/expansion primitive ("documents like
+    * this trusted set", seed-anchored spam scoring à la TrustRank). Same
+    * fixed-point integer arithmetic as [[pageRank]] (truncating division is
+    * part of the definition — rounds replay bit-identically in any engine);
+    * with seeds = ALL nodes it degenerates to exactly [[pageRank]]
+    * (spec-asserted bit-for-bit). Same per-round shape: one skinny
+    * (id, rank) shuffle + a rank join against the once-materialized edge
+    * frame.
+    *
+    * @param seeds 1-column frame of seed node ids (deduped here).
+    */
+  def personalizedPageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+                           srcCol: String, dstCol: String, seeds: DataFrame,
+                           iterations: Int = 5,
+                           dampingNum: Long = 85, dampingDen: Long = 100,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && dampingNum > 0 && dampingDen > dampingNum)
+    val s = seeds.select(col(seeds.columns.head).as("id")).distinct()
+    val nSeeds = s.count()
+    require(nSeeds > 0, "empty seed set")
+    val initFx = scale / nSeeds
+    val baseFx = (scale * (dampingDen - dampingNum) / dampingDen) / nSeeds
+    val ids = nodes.select(col(idCol).as("id"))
+      .join(s.withColumn("__seed", lit(true)), Seq("id"), "left")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .localCheckpoint(true)
+    val teleport = when(col("__seed"), lit(initFx)).otherwise(lit(0L))
+    val base = when(col("__seed"), lit(baseFx)).otherwise(lit(0L))
+    var pr = ids.select(col("id"), col("__seed"), teleport.as("pr"))
+    for (_ <- 1 to iterations) {
+      val inMass = ed.join(pr.select("id", "pr"), ed("src") === pr("id"))
+        .select(col("dst").as("id"), expr("pr div d").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      pr = ids.join(inMass, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          (base + expr(s"($dampingNum * coalesce(c, 0L)) div $dampingDen")).as("pr"))
+    }
+    pr.select("id", "pr")
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Skew mitigation helpers. AQE's skew-join handling covers sort-merge
   * joins; these cover the aggregation side and broadcast-averse cases.
@@ -48,6 +49,28 @@ object Skew {
     * a random-but-deterministic salt, and the join key becomes (key, salt) —
     * splitting each hot key across `saltBuckets` reducers.
     */
+  /** Pre-flight EXACT inner-equi-join output cardinality: Σ over shared
+    * keys of cnt_left(k)·cnt_right(k), plus the planner's skew signals —
+    * shared key count and the hottest single key's contribution. Run this
+    * BEFORE a join that might explode: it costs two skinny per-key count
+    * aggregates (map-side combined; payloads never move) and a count-frame
+    * join, and its output decides broadcast vs salt ([[saltedJoin]]) vs
+    * re-blocking. All products/sums in DECIMAL(38,0) — a hot key squared
+    * overflows BIGINT long before it overflows the join.
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String]): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as(as))
+    val prod = col("cl").cast(DecimalType(19, 0)) *
+      col("cr").cast(DecimalType(19, 0))
+    counts(left, "cl").join(counts(right, "cr"), keyCols)
+      .agg(
+        sum(prod).cast(DecimalType(38, 0)).as("join_rows"),
+        count(lit(1)).cast(LongType).as("shared_keys"),
+        max(prod).cast(DecimalType(38, 0)).as("max_key_rows"))
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                  saltBuckets: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",

@@ -713,6 +713,16 @@ object Catalog {
       Skew.skewReport(t(s, dir, "documents"), "source", topK = 10)
         .orderBy(col("cnt").desc, col("key").asc)),
 
+    "q_join_cardinality" -> { (s, dir) =>
+      // pre-flight exact join sizing: clicks ⋈ views on user_id — total
+      // output rows, shared keys, hottest key's contribution, from the
+      // skinny count frames only (payload never moves)
+      val ev = t(s, dir, "events")
+      Skew.joinCardinality(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"), Seq("user_id"))
+    },
+
     "q_bins" -> ((s, dir) =>
       // equi-depth discretization of extended price (cents): 8 ~75k-row
       // buckets where the equi-width histogram would be skew-lopsided;
@@ -1391,6 +1401,18 @@ object Catalog {
         iterations = 5).orderBy("id")
     },
 
+    "q_ppr" -> { (s, dir) =>
+      // PERSONALIZED PageRank: teleport only to the ≡0-mod-10 seed nodes —
+      // rank = link-proximity to the seed set; same unrolled integer rounds
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst")).distinct()
+      val nodes = s.range(500).toDF("id")
+      Components.personalizedPageRank(nodes, "id", edges, "src", "dst",
+        seeds = nodes.where(col("id") % 10 === 0), iterations = 5)
+        .orderBy("id")
+    },
+
     "q_sample_weighted" -> { (s, dir) =>
       // Efraimidis–Spirakis weighted sample w/o replacement, k smallest
       // exponential-race priorities — TakeOrderedAndProject, no shuffle;
@@ -1972,6 +1994,30 @@ object Catalog {
        |n AS (SELECT unnest(range(0, $n)) AS id),
        |od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
        |p0 AS (SELECT id, $initFx AS pr FROM n),
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
+  }
+
+  /** [[pageRankOracleSql]] with teleport mass restricted to the seed
+    * predicate (id % seedMod = 0) — the same truncating-integer rounds.
+    */
+  private def pprOracleSql(n: Int, iters: Int, seedMod: Int): String = {
+    val nSeeds = n / seedMod
+    val initFx = 1000000000L / nSeeds
+    val baseFx = (1000000000L * 15 / 100) / nSeeds
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT n.id,
+         |    (CASE WHEN n.id % $seedMod = 0 THEN $baseFx ELSE 0 END)
+         |      + (85 * coalesce(s.c, 0)) // 100 AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p${i - 1}.pr // od.d) AS c
+         |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.id JOIN od ON e.src = od.src
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }
+    s"""WITH e AS (SELECT DISTINCT o_custkey % $n AS src, o_orderkey % $n AS dst FROM orders),
+       |n AS (SELECT unnest(range(0, $n)) AS id),
+       |od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |p0 AS (SELECT id, CASE WHEN id % $seedMod = 0 THEN $initFx ELSE 0 END AS pr FROM n),
        |${steps.mkString(",\n")}
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
   }
@@ -2785,6 +2831,16 @@ object Catalog {
         |SELECT key, cnt, CAST((cnt * 1000000) // n AS BIGINT) AS share_ppm
         |FROM c, n ORDER BY cnt DESC, key ASC LIMIT 10""".stripMargin,
 
+    "q_join_cardinality" ->
+      """WITH l AS (SELECT user_id, count(*) AS cl FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |r AS (SELECT user_id, count(*) AS cr FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT CAST(sum(CAST(cl AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS join_rows,
+        |       count(*) AS shared_keys,
+        |       CAST(max(CAST(cl AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS max_key_rows
+        |FROM l JOIN r USING (user_id)""".stripMargin,
+
     "q_bins" ->
       // the identical integer bin formula; DuckDB // == Spark div on the
       // non-negative (cum-1)*k
@@ -3477,6 +3533,7 @@ object Catalog {
         |ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
+    "q_ppr" -> pprOracleSql(500, 5, 10),
 
     "q_pipeline_pack" ->
       """WITH train AS (

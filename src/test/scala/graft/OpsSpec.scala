@@ -357,6 +357,23 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class JoinCardinalitySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("joinCardinality: exact output rows, shared keys, hottest key") {
+    val l = Seq(1 -> "x", 1 -> "y", 2 -> "z", 3 -> "w").toDF("k", "lv")
+    val r = Seq(1 -> "a", 1 -> "b", 1 -> "c", 2 -> "d", 9 -> "e").toDF("k", "rv")
+    val got = Skew.joinCardinality(l, r, Seq("k")).collect()(0)
+    // key 1: 2×3=6, key 2: 1×1=1; key 3 and 9 unshared
+    assert(got.getDecimal(0).longValueExact() == 7L)
+    assert(got.getLong(1) == 2L)
+    assert(got.getDecimal(2).longValueExact() == 6L)
+    // matches the actual join
+    assert(l.join(r, Seq("k")).count() == 7L)
+  }
+}
+
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
   import java.sql.Timestamp

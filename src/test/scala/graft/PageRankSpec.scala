@@ -41,4 +41,30 @@ class PageRankSpec extends SparkSpec {
     assert(pr(1) > pr(0)) // 1 receives 0's mass
     assert(pr(0) == base) // 0 has no in-edges
   }
+
+  test("personalized pagerank: all-node seeds degenerate to pageRank bit-for-bit") {
+    val nodes = (0L to 10L).toDF("id")
+    val edges = ((0L to 9L).map(i => (i, 10L)) :+ ((10L, 0L))).toDF("src", "dst")
+    val pr = Components.pageRank(nodes, "id", edges, "src", "dst")
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    val ppr = Components.personalizedPageRank(nodes, "id", edges, "src", "dst",
+        seeds = nodes)
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    assert(pr == ppr)
+  }
+
+  test("personalized pagerank: rank flows from the seed, unreached nodes score 0") {
+    // chain 0 -> 1 -> 2 and an isolated 3; seed = {0}
+    val nodes = (0L to 3L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Components.personalizedPageRank(nodes, "id", edges, "src", "dst",
+        seeds = Seq(0L).toDF("id"), iterations = 5)
+      .orderBy("id").select("id", "pr").as[(Long, Long)].collect().toMap
+    // seed keeps the teleport base; downstream gets damped mass; the
+    // isolated node and anything not reachable from the seed get zero
+    assert(got(0L) == 150000000L)        // baseFx = 1e9 * 15/100 over 1 seed
+    assert(got(1L) > got(2L) && got(2L) > 0L)
+    assert(got(3L) == 0L)
+  }
 }
+
