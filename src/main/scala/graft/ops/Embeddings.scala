@@ -54,6 +54,49 @@ object Embeddings {
       }).as("q8"))
   }
 
+  /** EXACT per-point cluster silhouette over int8-QUANTIZED vectors: medoids
+    * = the first `nMedoids` quantized vectors by id (deterministic), each
+    * point's a² = squared-euclidean distance to its nearest medoid (its
+    * cluster), b² = to the second-nearest, s = (b²−a²)/max(a²,b²). Working
+    * on the quantized integers is what makes this ORACLE-EXACT: every
+    * distance is an integer sum (float euclidean/cosine silhouettes diverge
+    * in the low bits across engines), and s is one division of two exact
+    * longs. A cluster-quality / boundary-point signal for the SemDeDup-style
+    * pipelines (#159): s ≈ 0 marks points the cell assignment could flip.
+    *
+    * Shape: medoid matrix bound as ONE literal (bind-once discipline — the
+    * IVF centroid lesson), per-point work is nMedoids × dim codegen'd
+    * integer ops, no join, no shuffle. Ties (equal d²) assign the lower
+    * cell via struct sort order.
+    */
+  def silhouetteQuantized(df: DataFrame, idCol: String, vecCol: String,
+                          nMedoids: Int): DataFrame = {
+    require(nMedoids >= 2, "need at least 2 medoids for a silhouette")
+    val q = quantizeInt8(df, idCol, vecCol)
+      .select(col("id"), transform(col("q8"), x => x.cast(LongType)).as("qv"))
+    val medoids: Array[(Int, Seq[Long])] = q.orderBy("id").limit(nMedoids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }
+    val scores = array(medoids.map { case (c, m) =>
+      val mLit = array(m.map(lit): _*)
+      struct(
+        aggregate(
+          zip_with(col("qv"), mLit, (x, mm) => (x - mm) * (x - mm)),
+          lit(0L), (acc, d) => acc + d).as("d2"),
+        lit(c).as("cell"))
+    }: _*)
+    val sorted = array_sort(scores)
+    q.withColumn("__s", sorted)
+      .select(col("id"),
+        element_at(col("__s"), 1).getField("cell").as("cell"),
+        element_at(col("__s"), 1).getField("d2").as("a2"),
+        element_at(col("__s"), 2).getField("d2").as("b2"))
+      .withColumn("s",
+        when(greatest(col("a2"), col("b2")) === 0L, lit(0.0))
+          .otherwise((col("b2") - col("a2")).cast(DoubleType) /
+            greatest(col("a2"), col("b2")).cast(DoubleType)))
+  }
+
   /** Cosine of each row's vector to its group centroid — outlier scoring
     * against the class prototype. Centroids are broadcast (one row per
     * (group, dim): tiny), the corpus streams.

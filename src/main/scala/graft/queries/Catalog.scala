@@ -933,6 +933,14 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_silhouette" -> ((s, dir) =>
+      // exact per-point silhouette on int8-quantized vectors: integer
+      // distances -> every value incl. the ratio is bit-oracled
+      Embeddings.silhouetteQuantized(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nMedoids = 8)
+        .withColumnRenamed("id", "id")
+        .orderBy("id")),
+
     "q_ann_lsh" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -2575,6 +2583,32 @@ object Catalog {
         |r AS (SELECT ord, row_number() OVER (ORDER BY ord) - 1 AS rk FROM t)
         |SELECT rk // 64 AS file_id, count(*) AS n_rows, min(ord) AS ord_min, max(ord) AS ord_max
         |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    "q_silhouette" ->
+      // identical quantization tree, then integer squared distances to the
+      // first-8 medoids; (d2, cell) ranking replicates the struct sort
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |           FROM embeddings),
+        |sc AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, list_transform(vv, x -> CAST(CAST(CASE
+        |         WHEN scale = 0.0 THEN 0
+        |         WHEN x >= 0 THEN floor(x / scale * 127.0 + 0.5)
+        |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT) AS BIGINT)) AS qv
+        |      FROM sc),
+        |m AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qv AS mv
+        |      FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+        |d AS (SELECT q.vec_id, m.cell,
+        |             CAST(list_sum(list_transform(range(1, 65),
+        |               i -> (q.qv[i] - m.mv[i]) * (q.qv[i] - m.mv[i]))) AS BIGINT) AS d2
+        |      FROM q CROSS JOIN m),
+        |r AS (SELECT vec_id, cell, d2,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d),
+        |ab AS (SELECT a.vec_id, a.cell, a.d2 AS a2, b.d2 AS b2
+        |       FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+        |SELECT vec_id AS id, cell, a2, b2,
+        |       CASE WHEN greatest(a2, b2) = 0 THEN 0.0
+        |            ELSE CAST(b2 - a2 AS DOUBLE) / CAST(greatest(a2, b2) AS DOUBLE) END AS s
+        |FROM ab ORDER BY id""".stripMargin,
 
     "q_embed_quantize" ->
       // identical IEEE tree: cast-to-double components, scale = max abs,

@@ -1393,6 +1393,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n == "a b c")
   }
 
+  test("quantized silhouette: exact integer distances, ratio and tie cell") {
+    val d = Seq(
+      (0L, Seq(127.0f, 0.0f)),   // medoid 0
+      (1L, Seq(0.0f, 127.0f)),   // medoid 1
+      (2L, Seq(127.0f, 0.0f)),   // on medoid 0: a2=0, s=1
+      (3L, Seq(90.0f, 90.0f))    // quantizes to (127,127): equidistant tie
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.silhouetteQuantized(d, "vec_id", "embedding", nMedoids = 2)
+      .select("id", "cell", "a2", "b2", "s")
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val d2 = 127L * 127L
+    assert(got(0L) == ((0, 0L, 2 * d2, 1.0)))         // medoid on itself
+    assert(got(2L) == ((0, 0L, 2 * d2, 1.0)))
+    // (90,90) -> q8 (127,127): d² = 127² to both medoids; tie -> cell 0, s = 0
+    assert(got(3L) == ((0, d2, d2, 0.0)))
+  }
+
   test("embedding centroids: exact per-dim means and centroid cosine") {
     val d = Seq(
       (1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(0.0f, 1.0f)),
