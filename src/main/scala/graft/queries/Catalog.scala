@@ -610,6 +610,16 @@ object Catalog {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_ks_group" -> { (s, dir) =>
+      // per-language KS of document length between two sources — drift
+      // localized to the segment that moved; n_chars is already integer
+      val docs = t(s, dir, "documents")
+      graft.scan.Drift.ksStatisticByGroup(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") === "src1"), "n_chars", "lang")
+        .orderBy("lang")
+    },
+
     "q_funnel" -> ((s, dir) =>
       // ordered signup→click→purchase funnel, 7-day conversion window:
       // greedy-min sequencing, one skinny aggregate per stage
@@ -2723,6 +2733,30 @@ object Catalog {
         |                     - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
         |        FROM k, n) AS ks_stat
         |FROM n""".stripMargin,
+
+    "q_ks_group" ->
+      """WITH u AS (
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1 AS side
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang, CAST(n_chars AS DOUBLE), 2
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT g, v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY g, v),
+        |k AS (SELECT g, v, c1, c2,
+        |             sum(c1) OVER (PARTITION BY g ORDER BY v) AS k1,
+        |             sum(c2) OVER (PARTITION BY g ORDER BY v) AS k2,
+        |             sum(c1) OVER (PARTITION BY g) AS n1,
+        |             sum(c2) OVER (PARTITION BY g) AS n2
+        |      FROM c)
+        |SELECT g AS lang, CAST(max(n1) AS BIGINT) AS n_ref,
+        |       CAST(max(n2) AS BIGINT) AS n_cur,
+        |       max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_stat
+        |FROM k WHERE n1 > 0 AND n2 > 0
+        |GROUP BY g ORDER BY lang""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1

@@ -123,6 +123,41 @@ object Drift {
       .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("ks_stat"))
   }
 
+  /** Per-GROUP exact two-sample KS: [[ksStatistic]] computed independently
+    * for every value of `groupCol` (drift per language / source / shard).
+    * Unlike the global statistic — whose cumulative needs the two-phase
+    * prefix scan — the per-group CDFs ride ordinary `Window.partitionBy
+    * (group)` running sums: partitions are group-bounded, so there is no
+    * global-order funnel to avoid. Groups present on only one side are
+    * excluded (no CDF to compare against). One value-keyed shuffle + one
+    * group-keyed window + one group aggregate.
+    */
+  def ksStatisticByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+                         groupCol: String): DataFrame = {
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(groupCol).as("g"), col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull && col("g").isNotNull)
+        .withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("g", "v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    counts
+      .withColumn("k1", sum(col("c1")).over(wRun))
+      .withColumn("k2", sum(col("c2")).over(wRun))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .where(col("n1") > 0L && col("n2") > 0L)
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+        max(abs(
+          col("k1").cast(DoubleType) / col("n1").cast(DoubleType) -
+          col("k2").cast(DoubleType) / col("n2").cast(DoubleType))).as("ks_stat"))
+  }
+
   /** Exact two-sample KS of two BOUNDED in-memory samples (merge walk over
     * the sorted values) — the driver-side companion of [[ksStatistic]] for
     * sketch-sized inputs (e.g. per-window bottom-k samples from

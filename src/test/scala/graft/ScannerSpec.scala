@@ -381,6 +381,28 @@ class ScannerSpec extends SparkSpec {
     assert(dup == ((3L, 3L, 2.0 / 3.0 - 1.0 / 3.0)))
   }
 
+  test("ksStatisticByGroup: per-group stats match per-group ksStatistic") {
+    import graft.scan.Drift
+    import spark.implicits._
+    val ref = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("c", 9.0))
+      .toDF("g", "v")
+    val cur = Seq(("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 5.0), ("d", 1.0))
+      .toDF("g", "v")
+    val got = Drift.ksStatisticByGroup(ref, cur, "v", "g")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // one-sided groups c and d are excluded
+    assert(got.keySet == Set("a", "b"))
+    // each group equals the global statistic computed on that group alone
+    for (g <- Seq("a", "b")) {
+      val e = Drift.ksStatistic(ref.where(col("g") === g),
+        cur.where(col("g") === g), "v")
+        .as[(Long, Long, Double)].collect()(0)
+      assert(got(g) == ((e._1, e._2, e._3)), s"group $g")
+    }
+    assert(got("b")._3 == 0.0) // identical single-point distributions
+  }
+
   test("psiBuckets: identical distributions score ~0, shifted ones don't; nulls excluded") {
     import graft.scan.Drift
     val refDf = spark.createDataFrame(
