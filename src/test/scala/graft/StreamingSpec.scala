@@ -550,6 +550,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel: batch stage counts under shuffled cross-batch arrival") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      val stages = Seq("signup", "click", "purchase")
+      // u1 full journey; u2 click-before-signup; u3 purchase outside window;
+      // u4 same-second signup+click (stage-priority tie)
+      val rows = Seq(
+        (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+        (2L, 10L, "click"), (2L, 20L, "signup"),
+        (3L, 10L, "signup"), (3L, 15L, "click"), (3L, 500L, "purchase"),
+        (4L, 40L, "signup"), (4L, 40L, "click"))
+      val windowSec = 100L
+      val batch = graft.ops.Events.funnel(
+          rows.map { case (u, s, t) => (u, ts(s), t) }.toDF("user_id", "ts", "event_type"),
+          "ts", "user_id", "event_type", stages, windowSec)
+        .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(batch == Map(1 -> 4L, 2 -> 3L, 3 -> 1L)) // sanity: 4 signups, 3 clicks, 1 purchase
+
+      val stream = MemoryStream[(Long, Timestamp, String)]
+      // the injected disorder spans whole batches, so the allowed lateness
+      // must cover it — with a tight watermark the straggling click IS late
+      // data and both engines would legitimately disagree
+      val df = stream.toDF().toDF("user_id", "ts", "event_type")
+        .withWatermark("ts", "600 seconds")
+      val q = StreamingFunnel.funnelStream(spark, df, "ts", "user_id",
+          "event_type", stages, windowSec)
+        .writeStream.format("memory").queryName("funnel_stream")
+        .outputMode("append").start()
+
+      val timed = rows.map { case (u, s, t) => (u, ts(s), t) }
+      // shuffled so sequencing spans batch boundaries
+      val shuffled = Seq(timed(2), timed(5), timed(8)) ++
+        Seq(timed(0), timed(7), timed(3), timed(9)) ++
+        Seq(timed(1), timed(4), timed(6))
+      stream.addData(shuffled.take(3)); q.processAllAvailable()
+      stream.addData(shuffled.slice(3, 7)); q.processAllAvailable()
+      stream.addData(shuffled.drop(7)); q.processAllAvailable()
+      stream.addData((9L, ts(100000), "signup")); q.processAllAvailable()
+      stream.addData((9L, ts(200000), "click")); q.processAllAvailable()
+
+      val streamed = spark.table("funnel_stream")
+        .where(col("user") =!= "9")
+        .select("stage_index", "user").as[(Int, String)].collect()
+      q.stop()
+      val counts = streamed.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+      assert(counts == batch,
+        s"streamed stage counts $counts must equal batch $batch")
+      // the tie user reached click in the same second as signup
+      assert(streamed.contains((2, "4")))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionization closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
