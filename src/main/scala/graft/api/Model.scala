@@ -73,7 +73,12 @@ final case class ColumnConfig(
       * artifact). In a streaming scan the column's per-window bucket counts
       * are monitored against it (`psi_reference:` YAML key).
       */
-    psiReference: Option[String] = None
+    psiReference: Option[String] = None,
+    /** Path to a parquet of reference VALUES for this column (same column
+      * name). The batch scan records the exact two-sample KS statistic
+      * against it as a `ks_stat` measurement (`ks_reference:` YAML key).
+      */
+    ksReference: Option[String] = None
 )
 
 /** Beyond the reference surface: per-column rolling z-score anomaly

@@ -785,6 +785,39 @@ object Catalog {
       s.range(1).select(lit(n).as("anomaly_count"), lit(passed).as("test_passed"))
     },
 
+    "q_scan_drift" -> { (s, dir) =>
+      // the `drift:` check family through the full scan surface: persisted
+      // PSI bucket reference + persisted KS value reference built from
+      // src0, scan filtered to src1, tests gating on `psi` / `ks_stat`
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("source") === "src0")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-driftref").toString
+      graft.scan.Drift.savePsiReference(s,
+        graft.scan.Drift.buildPsiReference(ref, "n_chars", 0.0, 2000.0, 10),
+        s"$tmp/psi")
+      ref.select("n_chars").write.mode("overwrite").parquet(s"$tmp/ks")
+      val yaml =
+        s"""table_name: docs
+           |filter: source = 'src1'
+           |columns:
+           |  n_chars:
+           |    psi_reference: $tmp/psi
+           |    ks_reference: $tmp/ks
+           |    tests:
+           |    - psi < 0.25
+           |    - ks_stat < 0.2
+           |""".stripMargin
+      val r = Scanner.executeYaml(s, docs, yaml)
+      def m(name: String) =
+        r.measurement(name, Some("n_chars")).get.value.get.asInstanceOf[Double]
+      def passed(expr: String) =
+        r.testResults.find(_.test.expression == expr).get.passed
+      s.range(1).select(
+        lit(m("psi")).as("psi"), lit(m("ks_stat")).as("ks_stat"),
+        lit(passed("psi < 0.25")).as("psi_passed"),
+        lit(passed("ks_stat < 0.2")).as("ks_passed"))
+    },
+
     "q_rollup" -> { (s, dir) =>
       // hierarchical totals in one pass (Expand, not N aggregates)
       t(s, dir, "lineitem")
@@ -3773,6 +3806,36 @@ object Catalog {
         |            ELSE -floor(-y * 1000000.0 + 0.5) END AS BIGINT) AS psi_fx
         |FROM (SELECT bucket, ref_cnt, cur_cnt, (p - q) * ln(p / q) AS y FROM x)
         |ORDER BY bucket""".stripMargin,
+
+    "q_scan_drift" ->
+      """WITH rb AS (SELECT greatest(least(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 200.0) AS BIGINT), 9), 0) AS bucket, count(*) AS cnt
+        |       FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT greatest(least(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 200.0) AS BIGINT), 9), 0) AS bucket, count(*) AS cnt
+        |       FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bucket),
+        |j AS (SELECT spine.bucket, coalesce(rb.cnt, 0) AS ref_cnt, coalesce(cb.cnt, 0) AS cur_cnt
+        |      FROM spine LEFT JOIN rb USING (bucket) LEFT JOIN cb USING (bucket)),
+        |tt AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS nr, CAST(sum(cur_cnt) AS BIGINT) AS nc FROM j),
+        |x AS (SELECT (greatest(CAST(ref_cnt AS DOUBLE) / CAST(nr AS DOUBLE), 1e-6)
+        |              - greatest(CAST(cur_cnt AS DOUBLE) / CAST(nc AS DOUBLE), 1e-6))
+        |           * ln(greatest(CAST(ref_cnt AS DOUBLE) / CAST(nr AS DOUBLE), 1e-6)
+        |              / greatest(CAST(cur_cnt AS DOUBLE) / CAST(nc AS DOUBLE), 1e-6)) AS y
+        |      FROM j, tt),
+        |psi AS (SELECT CAST(sum(CAST(CASE WHEN y >= 0 THEN floor(y * 1000000.0 + 0.5)
+        |                                  ELSE -floor(-y * 1000000.0 + 0.5) END AS BIGINT)) AS BIGINT) / 1e6 AS psi
+        |        FROM x),
+        |u AS (SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS side FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL
+        |      UNION ALL
+        |      SELECT CAST(n_chars AS DOUBLE), 2 FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL),
+        |c AS (SELECT v, sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2 FROM u GROUP BY v),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT sum(c1) OVER (ORDER BY v) AS k1, sum(c2) OVER (ORDER BY v) AS k2 FROM c),
+        |ks AS (SELECT (SELECT max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |                            - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) FROM k, n) AS ks)
+        |SELECT psi.psi AS psi, ks.ks AS ks_stat,
+        |       psi.psi < 0.25 AS psi_passed, ks.ks < 0.2 AS ks_passed
+        |FROM psi, ks""".stripMargin,
 
     "q_lm_cross" ->
       """WITH store AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

@@ -89,6 +89,7 @@ object ScanYamlParser {
           minPoints = optInt(am, "min_points").getOrElse(5),
           minDev = optNum(am, "min_dev").getOrElse(0.0))
       },
-      psiReference = optStr(m, "psi_reference")
+      psiReference = optStr(m, "psi_reference"),
+      ksReference = optStr(m, "ks_reference")
     )
 }

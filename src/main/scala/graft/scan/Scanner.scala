@@ -561,6 +561,25 @@ object Scanner {
       record(f.name, "anomaly_count", n)
     }
 
+    // ---- drift checks (beyond the reference: `psi_reference:` /
+    // `ks_reference:` column keys) ---- the batch halves of the continuous
+    // monitors: PSI of this scan's data against a persisted bucket
+    // reference (Drift.psiBucketsVsReference — fixed-point bucket terms,
+    // oracle-exact total) and the exact two-sample KS against a persisted
+    // reference value frame (Drift.ksStatistic). Both land as measurements
+    // (`psi`, `ks_stat`) so scan tests gate on distribution drift the same
+    // way they gate on counts ("psi < 0.25", "ks_stat < 0.2").
+    fields.filter(f => cfgOf(f.name).psiReference.isDefined).foreach { f =>
+      val ref = Drift.loadPsiReference(spark, cfgOf(f.name).psiReference.get)
+      record(f.name, "psi", Drift.psiTotal(Drift.psiBucketsVsReference(ref, df, f.name)))
+    }
+    fields.filter(f => cfgOf(f.name).ksReference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).ksReference.get)
+      val ks = Drift.ksStatistic(refDf, df, f.name)
+        .select("ks_stat").collect()(0).getDouble(0)
+      record(f.name, "ks_stat", ks)
+    }
+
     // ---- samples (reference `samples:` config, tests/test_scan.py:24-26) --
     // table_limit: a deterministic head-by-all-columns table sample;
     // failed_limit: per configured column, the first N rows failing its
