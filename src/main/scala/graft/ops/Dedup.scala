@@ -602,6 +602,51 @@ object Dedup {
       tokenHasher, "n_passages")
   }
 
+  /** EXACT-SUBSTRING dedup (Lee et al. 2021, arXiv:2107.06499 §4.1,
+    * token-window formulation): remove every token covered by a
+    * `windowTokens`-token window whose exact text occurs MORE THAN ONCE in
+    * the corpus (anywhere — other documents or elsewhere in the same one).
+    * Unlike [[passageDedup]]'s fixed chunk grid, the windows SLIDE, so a
+    * duplicated span is caught at any alignment — the fixed grid misses
+    * duplicates that straddle chunk boundaries.
+    *
+    * Shape: sliding windows come from the native [[Shingles.shingleStrings]]
+    * (no per-element HOF re-evaluation), the duplicate pass shuffles
+    * (window-hash, doc, pos) triples with map-side combine, duplicated
+    * starts come back per doc as a bounded list, and coverage/rewrite is
+    * row-local (token j drops iff some duplicated window starts in
+    * (j-K, j]). Document bodies cross the wire once, in the final
+    * reassembly only.
+    *
+    * Output: (doc_id, text_clean, n_tokens, n_removed).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 50,
+                     tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    val K = windowTokens
+    require(K >= 2, "windowTokens must be >= 2")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val wins = base.select(col("doc_id"),
+      transform(Shingles.shingleStrings(col("toks"), K), tokenHasher).as("whs"))
+      .where(size(col("whs")) > 0)
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("wh")
+    val dupStarts = wins.join(dup, Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(array_sort(collect_list(col("pos"))).as("starts"))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      // keep token j unless a duplicated window starts in (j-K, j]
+      .withColumn("kept", filter(sequence(lit(0), size(col("toks")) - 1),
+        j => !exists(col("starts"), s => s <= j && j < s + K)))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), j => element_at(col("toks"), j + 1)), " ").as("text_clean"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"))
+  }
+
   /** Line-level corpus dedup (the C4 boilerplate-line rule, Raffel et al.
     * 2020 §2.2): drop every LINE whose document frequency exceeds
     * `maxDocFreq` — navigation chrome, cookie banners, license footers and

@@ -1128,6 +1128,14 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_substr_dedup" -> ((s, dir) =>
+      // exact-substring dedup, sliding 20-token windows: any span whose
+      // exact text occurs twice anywhere in the corpus is removed from
+      // every occurrence; md5-60 window hashes -> fully oracled rewrite
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 20, tokenHasher = Shingles.md5Hash60)
+        .orderBy("doc_id")),
+
     "q_line_dedup" -> { (s, dir) =>
       // C4 boilerplate-line rule: drop lines whose doc frequency > 1. The
       // synthetic docs are single-line, so the gate frames them with
@@ -3232,6 +3240,36 @@ object Catalog {
         |SELECT doc_id, count(*) AS n_kept,
         |       string_agg(t, ' ' ORDER BY chunk_idx) AS text_rescued
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_substr_dedup" ->
+      // sliding 20-token windows (short docs -> one whole-text window, the
+      // shingleStrings rule), duplicate anywhere -> every covered token of
+      // every occurrence drops; kept tokens rejoin in order
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |w0 AS (SELECT doc_id, ts,
+        |         CASE WHEN len(ts) < 20 THEN [array_to_string(ts, ' ')]
+        |              ELSE [array_to_string(ts[i:i+19], ' ') for i in range(1, len(ts) - 18)]
+        |         END AS wins
+        |       FROM t),
+        |e AS (SELECT doc_id,
+        |             ('0x' || substr(md5(unnest(wins)), 1, 15))::BIGINT AS wh,
+        |             CAST(unnest(range(0, len(wins))) AS INT) AS pos
+        |      FROM w0),
+        |d AS (SELECT wh FROM (SELECT wh, count(*) AS c FROM e GROUP BY wh) WHERE c > 1),
+        |ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |       FROM e JOIN d USING (wh) GROUP BY doc_id),
+        |r AS (SELECT t.doc_id, t.ts,
+        |             coalesce(ds.starts, CAST([] AS INTEGER[])) AS starts
+        |      FROM t LEFT JOIN ds USING (doc_id)),
+        |k AS (SELECT doc_id, ts,
+        |             list_filter(range(0, len(ts)),
+        |               j -> len(list_filter(starts, s -> s <= j AND j < s + 20)) = 0) AS kept
+        |      FROM r)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list_transform(kept, j -> ts[j + 1]), ' '), '') AS text_clean,
+        |       CAST(len(ts) AS BIGINT) AS n_tokens,
+        |       CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id,

@@ -1287,6 +1287,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"scoring must shuffle only doc-grain partials:\n$plan")
   }
 
+  test("substring dedup: sliding windows catch any alignment, within-doc repeats, short dups") {
+    val d = Seq(
+      (1L, "u1 u2 A B C v1 v2"),     // span at offset 2
+      (2L, "w1 A B C w2 w3"),        // same span at offset 1 (grid-straddling)
+      (3L, "x1 x2 x3 x4"),           // unique, untouched
+      (4L, "s1 s2"), (5L, "s1 s2"),  // short exact dups -> whole-window removal
+      (6L, "A B C p q A B C")        // the span twice WITHIN one doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(d, "doc_id", "text", windowTokens = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("u1 u2 v1 v2", 7L, 3L)))
+    assert(got(2L) == (("w1 w2 w3", 6L, 3L)))
+    assert(got(3L) == (("x1 x2 x3 x4", 4L, 0L)))
+    assert(got(4L) == (("", 2L, 2L)) && got(5L) == (("", 2L, 2L)))
+    assert(got(6L) == (("p q", 8L, 6L)))
+    // the fixed-grid passage operator misses the straddling duplicate at
+    // this chunk size — that's the whole point of sliding windows
+    val grid = Dedup.passageDedup(d.where(col("doc_id").isin(1L, 2L)),
+        "doc_id", "text", passageTokens = 3, maxDocFreq = 1)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+    assert(grid(1L) == 0L && grid(2L) == 0L)
+  }
+
   test("line dedup drops cross-document boilerplate lines, keeps unique bodies") {
     val d = Seq(
       (1L, "COOKIE BANNER\nreal content one\nfooter"),
