@@ -614,6 +614,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming transitions and cohort: batch parity under shuffled arrival") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(day: Int, m: Int) = new Timestamp((day.toLong * 86400L + m * 60L) * 1000L)
+      // (event_id, user, type, ts): u1 a->b->a across days 0 and 8; u2 has
+      // an equal-ts pair (id order breaks the tie)
+      val rows = Seq(
+        (1L, 1L, "a", ts(0, 0)), (2L, 1L, "b", ts(0, 1)), (3L, 1L, "a", ts(8, 0)),
+        (4L, 2L, "a", ts(0, 0)), (5L, 2L, "b", ts(0, 0)), (6L, 2L, "c", ts(1, 0)))
+      val batchDf = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val batchTrans = graft.ops.Events.transitions(batchDf, "ts", "user_id",
+          "event_type", "event_id")
+        .as[(String, String, Long)].collect().toSet
+      val batchCohort = graft.ops.Events.cohortRetention(batchDf, "ts", "user_id",
+          maxWeeks = 8)
+        .as[(Long, Long, Long)].collect().toSet
+
+      val stream = MemoryStream[(Long, Long, String, Timestamp)]
+      val df = stream.toDF().toDF("event_id", "user_id", "event_type", "ts")
+        .withWatermark("ts", "30 days")
+      val qt = StreamingEvents.transitionsStream(spark, df, "ts", "user_id",
+          "event_type", "event_id")
+        .writeStream.format("memory").queryName("trans_stream")
+        .outputMode("append").start()
+      val qc = StreamingEvents.cohortStream(spark, df, "ts", "user_id",
+          "event_id", maxWeeks = 8)
+        .writeStream.format("memory").queryName("cohort_stream")
+        .outputMode("append").start()
+
+      val shuffled = Seq(rows(2), rows(5), rows(0)) ++ Seq(rows(4), rows(1)) ++ Seq(rows(3))
+      def feed(batch: Seq[(Long, Long, String, Timestamp)]): Unit = {
+        stream.addData(batch: _*); qt.processAllAvailable(); qc.processAllAvailable()
+      }
+      feed(shuffled.take(3)); feed(shuffled.slice(3, 5)); feed(shuffled.drop(5))
+      feed(Seq((90L, 9L, "a", ts(365, 0)))); feed(Seq((91L, 9L, "a", ts(800, 0))))
+
+      val streamTrans = spark.table("trans_stream").where(col("user") =!= "9")
+        .groupBy("from_type", "to_type").count()
+        .as[(String, String, Long)].collect().toSet
+      val streamCohort = spark.table("cohort_stream").where(col("user") =!= "9")
+        .groupBy("cohort_week", "week_offset").count()
+        .as[(Long, Long, Long)].collect().toSet
+      qt.stop(); qc.stop()
+
+      assert(batchTrans == Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L)))
+      assert(streamTrans == batchTrans)
+      assert(streamCohort == batchCohort)
+      assert(batchCohort.contains((0L, 1L, 1L))) // u1's day-8 return
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionization closes sessions at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
