@@ -627,13 +627,7 @@ object Dedup {
     require(K >= 2, "windowTokens must be >= 2")
     val base = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
-    val wins = base.select(col("doc_id"),
-      transform(Shingles.shingleStrings(col("toks"), K), tokenHasher).as("whs"))
-      .where(size(col("whs")) > 0)
-      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
-    val dup = wins.groupBy("wh").agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select("wh")
-    val dupStarts = wins.join(dup, Seq("wh"), "left_semi")
+    val dupStarts = substringDupPositions(df, idCol, textCol, K, tokenHasher)
       .groupBy("doc_id").agg(array_sort(collect_list(col("pos"))).as("starts"))
     base.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
@@ -645,6 +639,50 @@ object Dedup {
         array_join(transform(col("kept"), j => element_at(col("toks"), j + 1)), " ").as("text_clean"),
         size(col("toks")).cast(LongType).as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"))
+  }
+
+  /** The (doc_id, pos) frame of window starts whose K-token window text is
+    * duplicated anywhere in the corpus — the shared core of
+    * [[substringDedup]] (coverage rewrite) and [[substringSpans]] (audit).
+    */
+  def substringDupPositions(df: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int,
+                            tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    val wins = df.select(col(idCol).as("doc_id"),
+        transform(Shingles.shingleStrings(
+          TextAnalysis.tokens(col(textCol)), windowTokens), tokenHasher).as("whs"))
+      .where(size(col("whs")) > 0)
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("wh")
+    wins.join(dup, Seq("wh"), "left_semi").select("doc_id", "pos")
+  }
+
+  /** AUDIT view of [[substringDedup]]: duplicated window starts merged into
+    * MAXIMAL token spans per document (gaps-and-islands: consecutive
+    * K-length windows chain while each starts within K of the previous, so
+    * an island break is `pos − lag(pos) > K`). One row per span:
+    * (doc_id, span_start, span_end exclusive, n_windows) — what a human
+    * reviews before committing to the rewrite, and the provenance grain
+    * for "how much of this document is copied".
+    *
+    * Per-doc windows are key-partitioned (bounded, no global sort).
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 50,
+                     tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    val K = windowTokens
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    substringDupPositions(df, idCol, textCol, K, tokenHasher)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > K, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + K).cast(LongType).as("span_end"),
+        count(lit(1)).cast(LongType).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
   /** Line-level corpus dedup (the C4 boilerplate-line rule, Raffel et al.

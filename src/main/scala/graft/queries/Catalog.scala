@@ -1128,6 +1128,13 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_substr_spans" -> ((s, dir) =>
+      // the audit grain of substring dedup: maximal duplicated spans per
+      // doc via gaps-and-islands over the duplicated window starts
+      Dedup.substringSpans(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 20, tokenHasher = Shingles.md5Hash60)
+        .orderBy("doc_id", "span_start")),
+
     "q_substr_dedup" -> ((s, dir) =>
       // exact-substring dedup, sliding 20-token windows: any span whose
       // exact text occurs twice anywhere in the corpus is removed from
@@ -3240,6 +3247,31 @@ object Catalog {
         |SELECT doc_id, count(*) AS n_kept,
         |       string_agg(t, ' ' ORDER BY chunk_idx) AS text_rescued
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_substr_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |w0 AS (SELECT doc_id, ts,
+        |         CASE WHEN len(ts) < 20 THEN [array_to_string(ts, ' ')]
+        |              ELSE [array_to_string(ts[i:i+19], ' ') for i in range(1, len(ts) - 18)]
+        |         END AS wins
+        |       FROM t),
+        |e AS (SELECT doc_id,
+        |             ('0x' || substr(md5(unnest(wins)), 1, 15))::BIGINT AS wh,
+        |             CAST(unnest(range(0, len(wins))) AS INT) AS pos
+        |      FROM w0),
+        |d AS (SELECT wh FROM (SELECT wh, count(*) AS c FROM e GROUP BY wh) WHERE c > 1),
+        |p AS (SELECT doc_id, pos FROM e JOIN d USING (wh)),
+        |b AS (SELECT doc_id, pos,
+        |             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM p),
+        |i AS (SELECT doc_id, pos,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM b)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + 20 AS BIGINT) AS span_end,
+        |       count(*) AS n_windows
+        |FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "q_substr_dedup" ->
       // sliding 20-token windows (short docs -> one whole-text window, the

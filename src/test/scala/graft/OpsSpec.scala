@@ -1311,6 +1311,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(grid(1L) == 0L && grid(2L) == 0L)
   }
 
+  test("substring spans: overlapping windows merge into maximal spans") {
+    val d = Seq(
+      (1L, "u1 u2 A B C D v1 v2"),   // 4-token dup span -> windows 2,3 merge
+      (2L, "w1 A B C D w2"),
+      (3L, "A B C D p q r s t A B C D") // two disjoint spans in one doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(d, "doc_id", "text", windowTokens = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq }
+    // doc 1: dup windows start at 2 ("A B C") and 3 ("B C D") -> span [2, 6)
+    assert(got(1L) == Seq((2L, 6L, 2L)))
+    assert(got(2L) == Seq((1L, 5L, 2L)))
+    // doc 3: [0, 4) and [9, 13) stay separate (gap > K)
+    assert(got(3L) == Seq((0L, 4L, 2L), (9L, 13L, 2L)))
+    // spans cover exactly what substringDedup removes
+    val removed = Dedup.substringDedup(d, "doc_id", "text", windowTokens = 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    got.foreach { case (doc, spans) =>
+      assert(removed(doc) == spans.map(s => s._2 - s._1).sum, s"doc $doc")
+    }
+  }
+
   test("line dedup drops cross-document boilerplate lines, keeps unique bodies") {
     val d = Seq(
       (1L, "COOKIE BANNER\nreal content one\nfooter"),
