@@ -623,16 +623,59 @@ object Dedup {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      windowTokens: Int = 50,
                      tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    rewriteFromDupPositions(df, idCol, textCol,
+      substringDupPositions(df, idCol, textCol, windowTokens, tokenHasher),
+      windowTokens)
+  }
+
+  /** INCREMENTAL [[substringDedup]]: rewrite only the NEW batch, treating a
+    * window as duplicated when its hash is in the persisted `store`
+    * (history — all window hashes of prior corpora, bodies never re-read)
+    * OR it occurs more than once within the new batch itself. The
+    * [[dedupAgainstStore]] pattern at substring granularity; grow the
+    * store with [[substringStore]] of the new batch (union distinct).
+    *
+    * @param store 1-column frame of historical window hashes.
+    */
+  def substringDedupIncremental(newDocs: DataFrame, idCol: String,
+                                textCol: String, store: DataFrame,
+                                windowTokens: Int = 50,
+                                tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val wins = windowHashes(newDocs, idCol, textCol, windowTokens, tokenHasher)
+    val dupInNew = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("wh")
+    val storeHashes = store.toDF("wh").select("wh")
+    val dupPositions = wins
+      .join(dupInNew.unionByName(storeHashes).distinct(), Seq("wh"), "left_semi")
+      .select("doc_id", "pos")
+    rewriteFromDupPositions(newDocs, idCol, textCol, dupPositions, windowTokens)
+  }
+
+  /** The distinct window-hash frame of a corpus slice — the unit the
+    * incremental store persists and unions across runs.
+    */
+  def substringStore(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int,
+                     tokenHasher: Column => Column = xxhash64(_)): DataFrame =
+    windowHashes(df, idCol, textCol, windowTokens, tokenHasher)
+      .select("wh").distinct()
+
+  /** Coverage rewrite shared by the full and incremental substring dedup:
+    * token j of a doc drops iff some duplicated window starts in (j-K, j].
+    */
+  private def rewriteFromDupPositions(df: DataFrame, idCol: String,
+                                      textCol: String, dupPositions: DataFrame,
+                                      windowTokens: Int): DataFrame = {
     val K = windowTokens
-    require(K >= 2, "windowTokens must be >= 2")
     val base = df.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
-    val dupStarts = substringDupPositions(df, idCol, textCol, K, tokenHasher)
+    val dupStarts = dupPositions
       .groupBy("doc_id").agg(array_sort(collect_list(col("pos"))).as("starts"))
     base.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      // keep token j unless a duplicated window starts in (j-K, j]
       .withColumn("kept", filter(sequence(lit(0), size(col("toks")) - 1),
         j => !exists(col("starts"), s => s <= j && j < s + K)))
       .select(col("doc_id"),
@@ -641,6 +684,18 @@ object Dedup {
         (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"))
   }
 
+  /** (doc_id, pos, wh) sliding-window hash frame shared by the substring
+    * family.
+    */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int,
+                           tokenHasher: Column => Column): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        transform(Shingles.shingleStrings(
+          TextAnalysis.tokens(col(textCol)), windowTokens), tokenHasher).as("whs"))
+      .where(size(col("whs")) > 0)
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+
   /** The (doc_id, pos) frame of window starts whose K-token window text is
     * duplicated anywhere in the corpus — the shared core of
     * [[substringDedup]] (coverage rewrite) and [[substringSpans]] (audit).
@@ -648,11 +703,7 @@ object Dedup {
   def substringDupPositions(df: DataFrame, idCol: String, textCol: String,
                             windowTokens: Int,
                             tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
-    val wins = df.select(col(idCol).as("doc_id"),
-        transform(Shingles.shingleStrings(
-          TextAnalysis.tokens(col(textCol)), windowTokens), tokenHasher).as("whs"))
-      .where(size(col("whs")) > 0)
-      .select(col("doc_id"), posexplode(col("whs")).as(Seq("pos", "wh")))
+    val wins = windowHashes(df, idCol, textCol, windowTokens, tokenHasher)
     val dup = wins.groupBy("wh").agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("wh")
     wins.join(dup, Seq("wh"), "left_semi").select("doc_id", "pos")

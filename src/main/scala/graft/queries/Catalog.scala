@@ -1128,6 +1128,19 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_substr_incremental" -> { (s, dir) =>
+      // cross-run substring dedup: the store holds window hashes of the
+      // ≡1,2-mod-3 history (bodies never re-read); the ≡0-mod-3 batch
+      // rewrites against store hits plus its own internal duplicates
+      val docs = t(s, dir, "documents")
+      val store = Dedup.substringStore(docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", windowTokens = 20, tokenHasher = Shingles.md5Hash60)
+      Dedup.substringDedupIncremental(docs.where(col("doc_id") % 3 === 0),
+          "doc_id", "text", store, windowTokens = 20,
+          tokenHasher = Shingles.md5Hash60)
+        .orderBy("doc_id")
+    },
+
     "q_substr_spans" -> ((s, dir) =>
       // the audit grain of substring dedup: maximal duplicated spans per
       // doc via gaps-and-islands over the duplicated window starts
@@ -3247,6 +3260,42 @@ object Catalog {
         |SELECT doc_id, count(*) AS n_kept,
         |       string_agg(t, ' ' ORDER BY chunk_idx) AS text_rescued
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_substr_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |hist AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts
+        |         FROM documents WHERE doc_id % 3 <> 0),
+        |hw AS (SELECT DISTINCT ('0x' || substr(md5(unnest(
+        |           CASE WHEN len(ts) < 20 THEN [array_to_string(ts, ' ')]
+        |                ELSE [array_to_string(ts[i:i+19], ' ') for i in range(1, len(ts) - 18)]
+        |           END)), 1, 15))::BIGINT AS wh
+        |       FROM hist),
+        |w0 AS (SELECT doc_id, ts,
+        |         CASE WHEN len(ts) < 20 THEN [array_to_string(ts, ' ')]
+        |              ELSE [array_to_string(ts[i:i+19], ' ') for i in range(1, len(ts) - 18)]
+        |         END AS wins
+        |       FROM t),
+        |e AS (SELECT doc_id,
+        |             ('0x' || substr(md5(unnest(wins)), 1, 15))::BIGINT AS wh,
+        |             CAST(unnest(range(0, len(wins))) AS INT) AS pos
+        |      FROM w0),
+        |dn AS (SELECT wh FROM (SELECT wh, count(*) AS c FROM e GROUP BY wh) WHERE c > 1),
+        |d AS (SELECT wh FROM dn UNION SELECT wh FROM hw),
+        |ds AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |       FROM (SELECT DISTINCT doc_id, pos FROM e JOIN d USING (wh)) GROUP BY doc_id),
+        |r AS (SELECT t.doc_id, t.ts,
+        |             coalesce(ds.starts, CAST([] AS INTEGER[])) AS starts
+        |      FROM t LEFT JOIN ds USING (doc_id)),
+        |k AS (SELECT doc_id, ts,
+        |             list_filter(range(0, len(ts)),
+        |               j -> len(list_filter(starts, s -> s <= j AND j < s + 20)) = 0) AS kept
+        |      FROM r)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list_transform(kept, j -> ts[j + 1]), ' '), '') AS text_clean,
+        |       CAST(len(ts) AS BIGINT) AS n_tokens,
+        |       CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_substr_spans" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),

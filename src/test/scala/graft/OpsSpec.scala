@@ -1333,6 +1333,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("incremental substring dedup: store hits and in-batch dups both rewrite") {
+    val history = Seq((1L, "A B C D x y z")).toDF("doc_id", "text")
+    val store = Dedup.substringStore(history, "doc_id", "text", windowTokens = 3)
+    val fresh = Seq(
+      (10L, "p q A B C D r"),        // hits the store span
+      (11L, "m1 E F G m2"), (12L, "n1 E F G n2"), // in-batch duplicate span
+      (13L, "clean unique words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupIncremental(fresh, "doc_id", "text", store,
+        windowTokens = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got(10L) == (("p q r", 4L)))
+    assert(got(11L) == (("m1 m2", 3L)) && got(12L) == (("n1 n2", 3L)))
+    assert(got(13L) == (("clean unique words here", 0L)))
+    // growing the store with the fresh batch makes a rerun of doc 13's
+    // text against it a no-op (idempotence of unique content)
+    val grown = store.unionByName(
+      Dedup.substringStore(fresh, "doc_id", "text", 3)).distinct()
+    val rerun = Dedup.substringDedupIncremental(
+        Seq((20L, "totally new phrasing entirely")).toDF("doc_id", "text"),
+        "doc_id", "text", grown, 3)
+      .select("n_removed").as[Long].collect()(0)
+    assert(rerun == 0L)
+  }
+
   test("line dedup drops cross-document boilerplate lines, keeps unique bodies") {
     val d = Seq(
       (1L, "COOKIE BANNER\nreal content one\nfooter"),
