@@ -158,7 +158,10 @@ object Main {
       val monitors: Seq[(String, org.apache.spark.sql.DataFrame)] =
         Seq("quality" -> scan.quality, "tests" -> scan.tests) ++
           scan.anomalies.toSeq.map { case (c, ds) => s"anomaly_$c" -> ds.toDF() } ++
-          scan.psi.toSeq.map { case (c, (_, df)) => s"psi_$c" -> df }
+          scan.psi.toSeq.map { case (c, (_, df)) => s"psi_$c" -> df } ++
+          scan.ks.toSeq.map { case (c, (_, df)) =>
+            s"ks_$c" -> df.select(col("window_start"), col("n_sample"), col("ks_stat"))
+          }
 
       def parquetFiles(sub: String): Set[String] = {
         val d = new java.io.File(s"$outDir/$sub")

@@ -41,6 +41,13 @@ object Scanner {
   val CorrelationMaxColumns = 10
   val HistogramBuckets = 10
 
+  /** Sample size for the streaming `ks_reference:` monitor — both the
+    * reference and each window keep the bottom-k values by VALUE hash
+    * (coordinated sampling), so the per-window KS is exact whenever the
+    * distinct-value count fits.
+    */
+  val KsSampleK = 256
+
   /** Top-n (value, cnt) of one column of the (colIdx, value, cnt) frame, by
     * frequency. orderBy.limit compiles to TakeOrderedAndProject
     * (per-partition top-n, merged once) — never a WindowExec funneling the
@@ -96,6 +103,15 @@ object Scanner {
       quality: DataFrame,
       anomalies: Map[String, org.apache.spark.sql.Dataset[graft.streaming.StreamingAnomaly.AnomalyFlag]],
       psi: Map[String, (Drift.PsiReference, DataFrame)],
+      /** Per `ks_reference:`-configured column: the reference's coordinated
+        * bottom-k value sample plus the per-window sample stream
+        * ([[graft.streaming.StreamingMonitor.ksSketchStream]]); pair
+        * collected windows with [[Drift.ksOfSamples]] for per-window KS.
+        * Both sides sample by VALUE hash with the same k, so they keep the
+        * same value subset where they overlap (coordinated sampling) —
+        * exact when k covers the distinct values.
+        */
+      ks: Map[String, (Seq[Double], DataFrame)],
       /** Per-window pass/fail verdicts of the scan's `tests:` — see
         * [[windowTests]]; empty-schema frame when the scan has no tests.
         */
@@ -152,7 +168,32 @@ object Scanner {
       name -> (ref, StreamingMonitor.bucketCountStream(df, sc.timeColumn, sc.watermark,
         sc.window, name, ref.lo, ref.hi, ref.buckets))
     }.toMap
-    StreamingScan(quality, anomalies, psi, windowTests(quality, scan.tests, cols))
+    val ks = cols.collect { case (name, cfg) if cfg.ksReference.isDefined =>
+      import graft.functions.QuantileSketch
+      val refDf = spark.read.parquet(cfg.ksReference.get)
+      val refSample = refDf
+        .agg(QuantileSketch.qsketch(
+          xxhash64(col(name).cast(DoubleType)), col(name), KsSampleK).as("s"))
+        .collect()(0).getSeq[Double](0)
+      require(refSample.nonEmpty, s"ks_reference for '$name' has no values")
+      // per-window KS against the reference sample, computed row-locally in
+      // the stream (reference bound as ONE literal; the merge walk is the
+      // same count<=v / size double tree as Drift.ksOfSamples, so the
+      // streamed ks_stat equals the driver-side helper bit-for-bit)
+      val refLit = array(refSample.map(lit): _*)
+      val refN = lit(refSample.size.toDouble)
+      val allV = array_distinct(array_sort(concat(refLit, col("sample"))))
+      val ksCol = array_max(transform(allV, v =>
+        abs(size(filter(refLit, x => x <= v)).cast(DoubleType) / refN -
+            size(filter(col("sample"), x => x <= v)).cast(DoubleType) /
+              size(col("sample")).cast(DoubleType))))
+      val stream = StreamingMonitor.ksSketchStream(df, sc.timeColumn,
+          sc.watermark, sc.window, xxhash64(col(name).cast(DoubleType)),
+          col(name), KsSampleK)
+        .withColumn("ks_stat", ksCol)
+      name -> (refSample, stream)
+    }.toMap
+    StreamingScan(quality, anomalies, psi, ks, windowTests(quality, scan.tests, cols))
   }
 
   /** Per-window evaluation of the scan's `tests:` over the quality frame's

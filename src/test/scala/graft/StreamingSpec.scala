@@ -722,6 +722,8 @@ class StreamingSpec extends SparkSpec {
       // persisted PSI reference: uniform over [0, 100) in 4 buckets
       Drift.savePsiReference(spark, Drift.buildPsiReference(
         Seq(10.0, 30.0, 60.0, 90.0).toDF("v"), "v", 0.0, 100.0, 4), refDir)
+      // persisted KS value reference: the steady 10.0 regime
+      Seq(10.0, 10.1, 10.2, 10.3).toDF("v").write.parquet(s"$refDir/ksvals")
 
       val yaml =
         s"""table_name: events
@@ -733,6 +735,7 @@ class StreamingSpec extends SparkSpec {
            |  v:
            |    valid_max: 40
            |    psi_reference: $refDir
+           |    ks_reference: $refDir/ksvals
            |    anomaly:
            |      key: user_id
            |      order: seq
@@ -756,8 +759,11 @@ class StreamingSpec extends SparkSpec {
       val df = stream.toDF().toDF("ts", "user_id", "seq", "v", "event_type")
       val scan = Scanner.executeStreamYaml(spark, df, yaml)
       assert(scan.anomalies.keySet == Set("v") && scan.psi.keySet == Set("v"))
+      assert(scan.ks.keySet == Set("v"))
       val (ref, psiStream) = scan.psi("v")
       assert(ref.refCounts == Seq(1L, 1L, 1L, 1L))
+      val (ksRefSample, ksStream) = scan.ks("v")
+      assert(ksRefSample.sorted == Seq(10.0, 10.1, 10.2, 10.3))
 
       val q1 = scan.quality.writeStream.format("memory").queryName("ys_q")
         .outputMode("complete").start()
@@ -765,10 +771,12 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append").start()
       val q3 = psiStream.writeStream.format("memory").queryName("ys_p")
         .outputMode("complete").start()
+      val q4 = ksStream.writeStream.format("memory").queryName("ys_k")
+        .outputMode("complete").start()
       stream.addData(rows.take(6): _*)
-      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
       stream.addData(rows.drop(6): _*) // anomaly state must carry across batches
-      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
 
       val streamedQuality = spark.table("ys_q")
         .select(col("window_start").cast("string"), col("row_count"),
@@ -778,7 +786,10 @@ class StreamingSpec extends SparkSpec {
       val streamedBuckets = spark.table("ys_p")
         .select(col("window_start"), col("bucket"), col("cnt"))
         .as[(Timestamp, Long, Long)].collect().toSet
-      Seq(q1, q2, q3).foreach(_.stop())
+      val streamedKs = spark.table("ys_k")
+        .select(col("window_start"), col("n_sample"), col("ks_stat"), col("sample"))
+        .as[(Timestamp, Int, Double, Seq[Double])].collect()
+      Seq(q1, q2, q3, q4).foreach(_.stop())
 
       // the SAME parsed definition over the same rows as a BATCH frame
       val batchScan = Scanner.executeStreamYaml(spark,
@@ -802,6 +813,17 @@ class StreamingSpec extends SparkSpec {
       val psis = graft.streaming.StreamingMonitor.psiOfWindows(
         streamedBuckets.toSeq, ref.refCounts)
       assert(psis.size == 1 && psis(0)._2 > 0.25, s"drifted window should alarm: $psis")
+
+      // streamed per-window ks_stat equals the driver-side helper on the
+      // same samples, and the batch route computes the identical value
+      assert(streamedKs.length == 1)
+      val (_, nS, ksStat, sample) = streamedKs(0)
+      assert(nS == sample.size)
+      assert(ksStat == Drift.ksOfSamples(sample, ksRefSample))
+      assert(ksStat > 0.2, s"spiked window should drift: $ksStat") // 50.0 outside ref support
+      val batchKs = batchScan.ks("v")._2.select(col("ks_stat"))
+        .as[Double].collect()
+      assert(batchKs.toSeq == Seq(ksStat), "ks: batch parity")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(refDir)).deleteRecursively()
