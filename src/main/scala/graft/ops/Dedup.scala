@@ -736,6 +736,40 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** [[substringSpans]] plus PROVENANCE: for each duplicated span, one
+    * example OTHER occurrence of its first window — (example_doc,
+    * example_pos) answers "copied from where?" without materializing the
+    * full quadratic match list. Per window hash the two lexicographically
+    * smallest (doc, pos) occurrences are found with two chained bounded
+    * aggregates (min, then min-of-the-rest — never a collect_list of a hot
+    * window's full occurrence set); each occurrence's example is the first
+    * occurrence, or the second when it IS the first.
+    */
+  def substringSpansWithProvenance(df: DataFrame, idCol: String, textCol: String,
+                                   windowTokens: Int = 50,
+                                   tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    val wins = windowHashes(df, idCol, textCol, windowTokens, tokenHasher)
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("wh")
+    val occ = wins.join(dup, Seq("wh"), "left_semi")
+    val self = struct(col("doc_id"), col("pos"))
+    val first = occ.groupBy("wh").agg(min(self).as("m1"))
+    val occ1 = occ.join(first, Seq("wh"))
+    val second = occ1.where(self =!= col("m1"))
+      .groupBy("wh").agg(min(self).as("m2"))
+    val examples = occ1.join(second, Seq("wh")) // every dup wh has >= 2 occurrences
+      .withColumn("ex", when(self === col("m1"), col("m2")).otherwise(col("m1")))
+      .select(col("doc_id"), col("pos"),
+        col("ex.doc_id").as("example_doc"),
+        col("ex.pos").cast(LongType).as("example_pos"))
+    val spans = substringSpans(df, idCol, textCol, windowTokens, tokenHasher)
+    spans.join(examples,
+        spans("doc_id") === examples("doc_id") &&
+        spans("span_start") === examples("pos"))
+      .select(spans("doc_id"), spans("span_start"), spans("span_end"),
+        spans("n_windows"), examples("example_doc"), examples("example_pos"))
+  }
+
   /** Line-level corpus dedup (the C4 boilerplate-line rule, Raffel et al.
     * 2020 §2.2): drop every LINE whose document frequency exceeds
     * `maxDocFreq` — navigation chrome, cookie banners, license footers and

@@ -1141,6 +1141,13 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_substr_provenance" -> ((s, dir) =>
+      // spans + "copied from where": one example other occurrence of each
+      // span's first window, via two bounded min aggregates per hash
+      Dedup.substringSpansWithProvenance(t(s, dir, "documents"), "doc_id",
+          "text", windowTokens = 20, tokenHasher = Shingles.md5Hash60)
+        .orderBy("doc_id", "span_start")),
+
     "q_substr_spans" -> ((s, dir) =>
       // the audit grain of substring dedup: maximal duplicated spans per
       // doc via gaps-and-islands over the duplicated window starts
@@ -3296,6 +3303,43 @@ object Catalog {
         |       CAST(len(ts) AS BIGINT) AS n_tokens,
         |       CAST(len(ts) - len(kept) AS BIGINT) AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_substr_provenance" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |w0 AS (SELECT doc_id, ts,
+        |         CASE WHEN len(ts) < 20 THEN [array_to_string(ts, ' ')]
+        |              ELSE [array_to_string(ts[i:i+19], ' ') for i in range(1, len(ts) - 18)]
+        |         END AS wins
+        |       FROM t),
+        |e AS (SELECT doc_id,
+        |             ('0x' || substr(md5(unnest(wins)), 1, 15))::BIGINT AS wh,
+        |             CAST(unnest(range(0, len(wins))) AS INT) AS pos
+        |      FROM w0),
+        |d AS (SELECT wh FROM (SELECT wh, count(*) AS c FROM e GROUP BY wh) WHERE c > 1),
+        |p AS (SELECT doc_id, pos, wh FROM e JOIN d USING (wh)),
+        |o AS (SELECT doc_id, pos, wh,
+        |             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn FROM p),
+        |f1 AS (SELECT wh, doc_id AS ed, pos AS ep FROM o WHERE rn = 1),
+        |f2 AS (SELECT wh, doc_id AS ed, pos AS ep FROM o WHERE rn = 2),
+        |ex AS (SELECT o.doc_id, o.pos,
+        |              CASE WHEN o.rn = 1 THEN f2.ed ELSE f1.ed END AS example_doc,
+        |              CAST(CASE WHEN o.rn = 1 THEN f2.ep ELSE f1.ep END AS BIGINT) AS example_pos
+        |       FROM o JOIN f1 USING (wh) JOIN f2 USING (wh)),
+        |b AS (SELECT doc_id, pos,
+        |             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM (SELECT DISTINCT doc_id, pos FROM p)),
+        |i AS (SELECT doc_id, pos,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM b),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |              CAST(max(pos) + 20 AS BIGINT) AS span_end,
+        |              count(*) AS n_windows
+        |       FROM i GROUP BY doc_id, island)
+        |SELECT sp.doc_id, sp.span_start, sp.span_end, sp.n_windows,
+        |       ex.example_doc, ex.example_pos
+        |FROM sp JOIN ex ON ex.doc_id = sp.doc_id AND ex.pos = sp.span_start
+        |ORDER BY sp.doc_id, sp.span_start""".stripMargin,
 
     "q_substr_spans" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),

@@ -1359,6 +1359,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rerun == 0L)
   }
 
+  test("span provenance: example occurrence points at the real copy source") {
+    val d = Seq(
+      (1L, "u1 u2 A B C D v1 v2"),
+      (2L, "w1 A B C D w2"),
+      (3L, "A B C D p q r s t A B C D") // also self-duplicating
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpansWithProvenance(d, "doc_id", "text", windowTokens = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._5, r._6))).toMap
+    // all span first-windows share the "A B C" hash, whose occurrences sort
+    // (1,2) < (2,1) < (3,0) < (3,9): the first occurrence points at the
+    // second, everyone else points at the first
+    assert(got((1L, 2L)) == ((2L, 1L)))
+    assert(got((2L, 1L)) == ((1L, 2L)))
+    assert(got((3L, 0L)) == ((1L, 2L)))
+    assert(got((3L, 9L)) == ((1L, 2L)))
+  }
+
   test("line dedup drops cross-document boilerplate lines, keeps unique bodies") {
     val d = Seq(
       (1L, "COOKIE BANNER\nreal content one\nfooter"),
