@@ -100,6 +100,73 @@ object Constraints {
     df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
       .where(col("n") > 1).limit(1).count() == 0
 
+  /** Benford first-significant-digit probabilities log10(1 + 1/d), d=1..9,
+    * as FIXED double literals (not computed via log10 at runtime): the
+    * oracle SQL embeds the identical literals, so expected counts and the
+    * chi-square tree are bit-identical across engines regardless of either
+    * engine's log10 rounding.
+    */
+  val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829992,
+    4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
+
+  /** Benford's-law first-digit audit — the fraud/synthetic-data smell test
+    * for naturally-occurring amounts (prices, balances, populations): the
+    * distribution of first significant digits should follow
+    * P(d) = log10(1+1/d). Emits 9 rows per audited column — (col_name,
+    * digit, observed, n, share, benford_p, chi2_term, chi2) — where `chi2`
+    * is Pearson's statistic over the 9 digit cells (compare to the
+    * chi-square(8) critical value of choice; 20.09 at p=0.01).
+    *
+    * Cross-engine exactness: values go through the portable fixed-point
+    * long ([[graft.metrics.MetricColumns.fixedPointLong]] at the given
+    * per-column scale); the first digit is then `substr(cast(abs(v) as
+    * string), 1, 1)` — integer-to-string is exact on every engine, dodging
+    * the log10/power float path entirely. Zeros and NULLs are excluded.
+    * chi2 folds the 9 per-digit terms LEFT-ASSOCIATIVELY (d=1..9) with the
+    * literal [[BenfordP]] constants, so the doubles replay bit-for-bit.
+    *
+    * Shape: ONE aggregate pass computes all columns' 9+1 conditional
+    * counts (no groupBy shuffle — a 1-row exchange), then a row-local
+    * inline unpivots to the per-digit frame. Scales to any row count; the
+    * state is 10 longs per audited column.
+    */
+  def benfordAudit(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one (column, scale)")
+    import graft.metrics.MetricColumns.fixedPointLong
+    val digitExprs = cols.map { case (c, s) =>
+      val v = fixedPointLong(col(c).cast(DoubleType), s)
+      c -> when(v.isNotNull && v =!= 0L,
+        substring(abs(v).cast(StringType), 1, 1).cast(IntegerType))
+    }
+    val aggs = digitExprs.zipWithIndex.flatMap { case ((_, dg), i) =>
+      sum(when(dg.isNotNull, 1L).otherwise(0L)).cast(LongType).as(s"n_$i") +:
+        (1 to 9).map(d => sum(when(dg === d, 1L).otherwise(0L)).cast(LongType).as(s"c_${i}_$d"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.flatMap { case ((c, _), i) =>
+      val n = col(s"n_$i")
+      val nd = n.cast(DoubleType)
+      // left-fold of the 9 chi2 terms, d = 1..9 — same association in SQL
+      val chi2 = BenfordP.map { case (d, p) =>
+        val o = col(s"c_${i}_$d").cast(DoubleType)
+        val e = nd * lit(p)
+        (o - e) * (o - e) / e
+      }.reduce(_ + _)
+      BenfordP.map { case (d, p) =>
+        val o = col(s"c_${i}_$d")
+        struct(
+          lit(c).as("col_name"), lit(d).as("digit"), o.as("observed"), n.as("n"),
+          when(n > 0L, o.cast(DoubleType) / nd).as("share"),
+          lit(p).as("benford_p"),
+          when(n > 0L, (o.cast(DoubleType) - nd * lit(p)) * (o.cast(DoubleType) - nd * lit(p)) / (nd * lit(p))).as("chi2_term"),
+          when(n > 0L, chi2).as("chi2"))
+      }
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
   /** Ordering-invariant audit: within each `partCols` group ordered by
     * `orderCol`, count positions where `valueCol` moves the wrong way
     * (strictly decreases for `ascending = true`). The event-log sanity

@@ -1539,6 +1539,14 @@ object Catalog {
         Seq("user_id"), "event_id", "value")
         .orderBy("user_id")),
 
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit audit: one fused aggregate computes both
+      // columns' digit histograms + chi-square; digits via exact
+      // long-to-string, chi2 a left-folded literal-constant double tree
+      Constraints.benfordAudit(t(s, dir, "lineitem"),
+        Seq("l_extendedprice" -> 2, "l_quantity" -> 2))
+        .orderBy("col_name", "digit")),
+
     "q_fuzzy_join" -> { (s, dir) =>
       // blocked edit-distance self-join (entity resolution): near-identical
       // customer names within a 16-char-prefix block; lossless length
@@ -2238,7 +2246,43 @@ object Catalog {
        |FROM m ORDER BY query_id, margin_rank""".stripMargin
   }
 
+  /** q_benford oracle, generated from the same [[Constraints.BenfordP]]
+    * literals the Spark side binds: Scala's Double.toString round-trips
+    * (shortest repr), so the SQL literal parses back to the identical
+    * double and the chi2 left-fold replays bit-for-bit.
+    */
+  private def benfordOracle: String = {
+    val cols = Seq("l_extendedprice", "l_quantity")
+    val p = Constraints.BenfordP.toMap
+    val fx = cols.zipWithIndex.map { case (c, i) =>
+      s"  CAST(CASE WHEN $c >= 0 THEN floor($c * 100.0 + 0.5) ELSE -floor(-$c * 100.0 + 0.5) END AS BIGINT) AS v$i"
+    }.mkString(",\n")
+    val dg = cols.indices.map { i =>
+      s"  CASE WHEN v$i IS NOT NULL AND v$i != 0 THEN CAST(substr(CAST(abs(v$i) AS VARCHAR), 1, 1) AS INTEGER) END AS d$i"
+    }.mkString(",\n")
+    val counts = cols.indices.flatMap { i =>
+      s"  count(CASE WHEN d$i IS NOT NULL THEN 1 END) AS n$i" +:
+        (1 to 9).map(d => s"  count(CASE WHEN d$i = $d THEN 1 END) AS c${i}_$d")
+    }.mkString(",\n")
+    def term(i: Int, d: Int) =
+      s"(CAST(c${i}_$d AS DOUBLE) - CAST(n$i AS DOUBLE) * ${p(d)}) * " +
+        s"(CAST(c${i}_$d AS DOUBLE) - CAST(n$i AS DOUBLE) * ${p(d)}) / (CAST(n$i AS DOUBLE) * ${p(d)})"
+    val branches = cols.zipWithIndex.flatMap { case (c, i) =>
+      val chi2 = (1 to 9).map(d => term(i, d)).mkString(" + ")
+      (1 to 9).map { d =>
+        s"""SELECT '$c' AS col_name, $d AS digit, c${i}_$d AS observed, n$i AS n,
+           |  CASE WHEN n$i > 0 THEN CAST(c${i}_$d AS DOUBLE) / CAST(n$i AS DOUBLE) END AS share,
+           |  CAST(${p(d)} AS DOUBLE) AS benford_p,
+           |  CASE WHEN n$i > 0 THEN ${term(i, d)} END AS chi2_term,
+           |  CASE WHEN n$i > 0 THEN $chi2 END AS chi2
+           |FROM m""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"WITH f AS (SELECT\n$fx\nFROM lineitem),\ng AS (SELECT\n$dg\nFROM f),\nm AS (SELECT\n$counts\nFROM g)\nSELECT * FROM (\n$branches\n) ORDER BY col_name, digit"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_benford" -> benfordOracle,
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),

@@ -85,6 +85,34 @@ class ConstraintsSpec extends SparkSpec {
     assert(clean.getLong(3) == 0L && clean.getLong(4) == 0L)
   }
 
+  test("benfordAudit: digit counts, exclusions, chi2 = left-fold of terms") {
+    // digits (scale 0): 1,1,1,2,9 — zeros and NULLs excluded, negative uses |v|
+    val b = Seq(Option(12L), Option(145L), Option(-199L), Option(23L), Option(9L),
+      Option(0L), None).toDF("amt").select(col("amt").cast("double").as("amt"))
+    val rows = Constraints.benfordAudit(b, Seq("amt" -> 0))
+      .orderBy("digit").collect()
+    assert(rows.length == 9)
+    val obs = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(obs(1) == 3L && obs(2) == 1L && obs(9) == 1L && obs(3) == 0L)
+    assert(rows.forall(_.getLong(3) == 5L)) // n excludes the 0 and the NULL
+    // share is observed/n; chi2 equals the left-fold of the 9 terms
+    val d1 = rows.find(_.getInt(1) == 1).get
+    assert(d1.getDouble(4) == 3.0 / 5.0)
+    val terms = rows.map(_.getDouble(6))
+    assert(rows.head.getDouble(7) == terms.reduceLeft(_ + _))
+    // every row of a column carries the same chi2
+    assert(rows.map(_.getDouble(7)).distinct.length == 1)
+  }
+
+  test("benfordAudit: fixed-point scale routes fractional values; multi-column one pass") {
+    // 0.12 at scale 2 -> 12 -> digit 1; at the same pass a second column
+    val b = Seq((0.12, 912.0), (0.034, 8.5)).toDF("x", "y")
+    val rows = Constraints.benfordAudit(b, Seq("x" -> 2, "y" -> 2))
+      .where(col("observed") > 0).orderBy("col_name", "digit").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("x", 1, 1L), ("x", 3, 1L), ("y", 8, 1L), ("y", 9, 1L)))
+  }
+
   test("fuzzyPairs: blocked levenshtein pairs, lossless length prefilter") {
     val names = Seq(
       (1L, "g1", "alpha"), (2L, "g1", "alphb"),   // dist 1
