@@ -167,6 +167,44 @@ object Constraints {
     one.select(inline(array(rows: _*)))
   }
 
+  /** Co-missingness matrix — do columns go NULL *together*? Per unordered
+    * column pair: row count, each side's null count, both-null count, the
+    * jaccard of the two null sets (1.0 = always missing together) and the
+    * lift P(both null) / (P(a null)·P(b null)) (≈1 independent, ≫1
+    * correlated — the "one upstream join failed and wiped both fields"
+    * smell). The pair grain is what per-column missing_count (#3) can't
+    * see.
+    *
+    * ONE aggregate pass computes all |cols| null counts + all pairs'
+    * both-null counts (1-row exchange, no shuffle); a row-local inline
+    * unpivots to the pair frame. State is O(|cols|²) longs — audit column
+    * sets, not thousand-column frames.
+    */
+  def coMissingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType).as(s"na_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+          .cast(LongType).as(s"nb_${a}__$b")
+      }
+    val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      val na = col(s"na_$a"); val nb = col(s"na_$b"); val both = col(s"nb_${a}__$b")
+      val union = na + nb - both
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        na.as("null_a"), nb.as("null_b"), both.as("both_null"),
+        when(union > 0L, both.cast(DoubleType) / union.cast(DoubleType)).as("null_jaccard"),
+        when(na > 0L && nb > 0L,
+          (both.cast(DoubleType) * col("n").cast(DoubleType)) /
+            (na.cast(DoubleType) * nb.cast(DoubleType))).as("lift"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
   /** Ordering-invariant audit: within each `partCols` group ordered by
     * `orderCol`, count positions where `valueCol` moves the wrong way
     * (strictly decreases for `ascending = true`). The event-log sanity

@@ -1539,6 +1539,19 @@ object Catalog {
         Seq("user_id"), "event_id", "value")
         .orderBy("user_id")),
 
+    "q_conull" -> { (s, dir) =>
+      // co-missingness: the testdata has no native NULLs, so the gate
+      // derives correlated missingness (priority-missing implies
+      // status-missing ∪ more) via nullif / threshold — same exprs in the
+      // oracle; one fused aggregate, three pairs
+      val f = t(s, dir, "orders").select(
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("pri"),
+        expr("CASE WHEN o_orderpriority = '3-MEDIUM' OR o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END").as("st"),
+        expr("CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END").as("px"))
+      Constraints.coMissingness(f, Seq("pri", "st", "px"))
+        .orderBy("col_a", "col_b")
+    },
+
     "q_benford" -> ((s, dir) =>
       // Benford first-digit audit: one fused aggregate computes both
       // columns' digit histograms + chi-square; digits via exact
@@ -2283,6 +2296,37 @@ object Catalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_benford" -> benfordOracle,
+
+    "q_conull" ->
+      """WITH f AS (SELECT
+        |  nullif(o_orderpriority, '3-MEDIUM') AS pri,
+        |  CASE WHEN o_orderpriority = '3-MEDIUM' OR o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS st,
+        |  CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS px
+        |FROM orders),
+        |m AS (SELECT count(*) AS n,
+        |  CAST(count(CASE WHEN pri IS NULL THEN 1 END) AS BIGINT) AS na_pri,
+        |  CAST(count(CASE WHEN st IS NULL THEN 1 END) AS BIGINT) AS na_st,
+        |  CAST(count(CASE WHEN px IS NULL THEN 1 END) AS BIGINT) AS na_px,
+        |  CAST(count(CASE WHEN pri IS NULL AND st IS NULL THEN 1 END) AS BIGINT) AS b_pri_st,
+        |  CAST(count(CASE WHEN pri IS NULL AND px IS NULL THEN 1 END) AS BIGINT) AS b_pri_px,
+        |  CAST(count(CASE WHEN st IS NULL AND px IS NULL THEN 1 END) AS BIGINT) AS b_st_px
+        |FROM f)
+        |SELECT * FROM (
+        |  SELECT 'pri' AS col_a, 'st' AS col_b, n, na_pri AS null_a, na_st AS null_b, b_pri_st AS both_null,
+        |    CASE WHEN na_pri + na_st - b_pri_st > 0 THEN CAST(b_pri_st AS DOUBLE) / CAST(na_pri + na_st - b_pri_st AS DOUBLE) END AS null_jaccard,
+        |    CASE WHEN na_pri > 0 AND na_st > 0 THEN (CAST(b_pri_st AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(na_pri AS DOUBLE) * CAST(na_st AS DOUBLE)) END AS lift
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'pri', 'px', n, na_pri, na_px, b_pri_px,
+        |    CASE WHEN na_pri + na_px - b_pri_px > 0 THEN CAST(b_pri_px AS DOUBLE) / CAST(na_pri + na_px - b_pri_px AS DOUBLE) END,
+        |    CASE WHEN na_pri > 0 AND na_px > 0 THEN (CAST(b_pri_px AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(na_pri AS DOUBLE) * CAST(na_px AS DOUBLE)) END
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'st', 'px', n, na_st, na_px, b_st_px,
+        |    CASE WHEN na_st + na_px - b_st_px > 0 THEN CAST(b_st_px AS DOUBLE) / CAST(na_st + na_px - b_st_px AS DOUBLE) END,
+        |    CASE WHEN na_st > 0 AND na_px > 0 THEN (CAST(b_st_px AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(na_st AS DOUBLE) * CAST(na_px AS DOUBLE)) END
+        |  FROM m
+        |) ORDER BY col_a, col_b""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),

@@ -113,6 +113,31 @@ class ConstraintsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("x", 1, 1L), ("x", 3, 1L), ("y", 8, 1L), ("y", 9, 1L)))
   }
 
+  test("coMissingness: pair null counts, jaccard and lift") {
+    val m = Seq(
+      (Option("a"), Option("x"), Option(1.0)),
+      (None, None, Option(2.0)),        // a,b co-missing
+      (None, None, None),               // all three missing
+      (Option("d"), None, Option(4.0)), // b alone
+      (Option("e"), Option("y"), Option(5.0))
+    ).toDF("a", "b", "c")
+    val rows = Constraints.coMissingness(m, Seq("a", "b", "c"))
+      .orderBy("col_a", "col_b").collect()
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(byPair(("a", "b")) == ((2L, 3L, 2L)))
+    assert(byPair(("a", "c")) == ((2L, 1L, 1L)))
+    assert(byPair(("b", "c")) == ((3L, 1L, 1L)))
+    val ab = rows.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getLong(2) == 5L)
+    assert(ab.getDouble(6) == 2.0 / 3.0)           // jaccard: 2 both / 3 union
+    assert(ab.getDouble(7) == (2.0 * 5.0) / (2.0 * 3.0)) // lift > 1: correlated
+    // no-null column pair: jaccard/lift are NULL (0-denominator guards)
+    val none = Constraints.coMissingness(
+      Seq((1, 2)).toDF("x", "y"), Seq("x", "y")).collect()(0)
+    assert(none.isNullAt(6) && none.isNullAt(7))
+  }
+
   test("fuzzyPairs: blocked levenshtein pairs, lossless length prefilter") {
     val names = Seq(
       (1L, "g1", "alpha"), (2L, "g1", "alphb"),   // dist 1
