@@ -205,6 +205,55 @@ object Constraints {
     one.select(inline(array(rows: _*)))
   }
 
+  /** Candidate-type patterns for [[inferTypes]], tightest first — anchored,
+    * RE2-and-Java-compatible (no lookaround, explicit classes), shared
+    * verbatim with the oracle SQL so both engines classify identically.
+    */
+  val TypePatterns: Seq[(String, String)] = Seq(
+    "boolean" -> "^([Tt][Rr][Uu][Ee]|[Ff][Aa][Ll][Ss][Ee])$",
+    "bigint" -> "^[+-]?[0-9]{1,18}$",
+    "double" -> "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$",
+    "date" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "timestamp" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$",
+    "uuid" -> "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+
+  /** Schema-mining audit for stringly-typed ingests (CSV landings, JSON
+    * props): per string column, how many non-null values parse as each
+    * candidate type, and the TIGHTEST type covering ≥ `threshold` of them
+    * (precedence = [[TypePatterns]] order; `string` when none qualifies).
+    * The "this varchar column is actually a date" report that drives
+    * schema tightening before the 100-TB rewrite.
+    *
+    * Row-local anchored-regex classification + ONE fused aggregate for all
+    * columns (1-row exchange), inline unpivot after. The threshold compare
+    * is `cast(count as double) >= threshold · cast(n_values as double)` —
+    * one multiply, engine-exact.
+    */
+  def inferTypes(df: DataFrame, cols: Seq[String], threshold: Double = 0.99): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).cast(LongType).as(s"nv_$i") +:
+        TypePatterns.map { case (tn, re) =>
+          sum(when(col(c).rlike(re), 1L).otherwise(0L)).cast(LongType).as(s"c_${i}_$tn")
+        }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val nv = col(s"nv_$i")
+      val suggested = TypePatterns.reverse.foldLeft(lit("string")) { case (acc, (tn, _)) =>
+        when(nv > 0L &&
+          col(s"c_${i}_$tn").cast(DoubleType) >= lit(threshold) * nv.cast(DoubleType),
+          lit(tn)).otherwise(acc)
+      }
+      struct(
+        (lit(c).as("col_name") +: nv.as("n_values") +:
+          TypePatterns.map { case (tn, _) => col(s"c_${i}_$tn").as(s"n_$tn") }) :+
+          suggested.as("suggested"): _*)
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
   /** Ordering-invariant audit: within each `partCols` group ordered by
     * `orderCol`, count positions where `valueCol` moves the wrong way
     * (strictly decreases for `ascending = true`). The event-log sanity

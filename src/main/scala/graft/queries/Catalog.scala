@@ -1539,6 +1539,25 @@ object Catalog {
         Seq("user_id"), "event_id", "value")
         .orderBy("user_id")),
 
+    "q_type_infer" -> { (s, dir) =>
+      // schema mining on stringly-typed columns: derived string renderings
+      // of orders fields (identical exprs in the oracle); threshold 0.8 so
+      // the 90%-bigint mixed column still tightens
+      val base = t(s, dir, "orders").select(
+        expr("cast(o_orderkey as string)").as("s_key"),
+        expr("concat(cast(o_orderkey as string), '.', cast(o_custkey % 100 as string))").as("s_dec"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("s_date"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("s_ts"),
+        expr("CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'FALSE' END").as("s_bool"),
+        expr("CASE WHEN o_orderkey % 10 = 0 THEN 'N/A' ELSE cast(o_custkey as string) END").as("s_mixed"),
+        expr("concat('u', cast(o_custkey as string), '@example.com')").as("s_email"),
+        expr("concat(substr(md5(cast(o_orderkey as string)), 1, 8), '-', substr(md5(cast(o_orderkey as string)), 9, 4), '-', substr(md5(cast(o_orderkey as string)), 13, 4), '-', substr(md5(cast(o_orderkey as string)), 17, 4), '-', substr(md5(cast(o_orderkey as string)), 21, 12))").as("s_uuid"))
+      Constraints.inferTypes(base,
+        Seq("s_key", "s_dec", "s_date", "s_ts", "s_bool", "s_mixed", "s_email", "s_uuid"),
+        threshold = 0.8)
+        .orderBy("col_name")
+    },
+
     "q_conull" -> { (s, dir) =>
       // co-missingness: the testdata has no native NULLs, so the gate
       // derives correlated missingness (priority-missing implies
@@ -2294,8 +2313,47 @@ object Catalog {
     s"WITH f AS (SELECT\n$fx\nFROM lineitem),\ng AS (SELECT\n$dg\nFROM f),\nm AS (SELECT\n$counts\nFROM g)\nSELECT * FROM (\n$branches\n) ORDER BY col_name, digit"
   }
 
+  /** q_type_infer oracle, generated from the same [[Constraints.TypePatterns]]
+    * regexes and precedence chain the Spark side binds. */
+  private def typeInferOracle: String = {
+    val cols = Seq("s_key", "s_dec", "s_date", "s_ts", "s_bool", "s_mixed", "s_email", "s_uuid")
+    val counts = cols.zipWithIndex.flatMap { case (c, i) =>
+      s"  CAST(count(CASE WHEN $c IS NOT NULL THEN 1 END) AS BIGINT) AS nv_$i" +:
+        Constraints.TypePatterns.map { case (tn, re) =>
+          s"  CAST(count(CASE WHEN regexp_matches($c, '$re') THEN 1 END) AS BIGINT) AS c_${i}_$tn"
+        }
+    }.mkString(",\n")
+    val branches = cols.zipWithIndex.map { case (c, i) =>
+      val sugg = Constraints.TypePatterns.map { case (tn, _) =>
+        s"WHEN nv_$i > 0 AND CAST(c_${i}_$tn AS DOUBLE) >= CAST(0.8 AS DOUBLE) * CAST(nv_$i AS DOUBLE) THEN '$tn'"
+      }.mkString("\n    ")
+      val typeCols = Constraints.TypePatterns
+        .map { case (tn, _) => s"c_${i}_$tn AS n_$tn" }.mkString(", ")
+      s"""SELECT '$c' AS col_name, nv_$i AS n_values, $typeCols,
+         |  CASE $sugg ELSE 'string' END AS suggested
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (SELECT
+       |  CAST(o_orderkey AS VARCHAR) AS s_key,
+       |  concat(CAST(o_orderkey AS VARCHAR), '.', CAST(o_custkey % 100 AS VARCHAR)) AS s_dec,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS s_date,
+       |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s_ts,
+       |  CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'FALSE' END AS s_bool,
+       |  CASE WHEN o_orderkey % 10 = 0 THEN 'N/A' ELSE CAST(o_custkey AS VARCHAR) END AS s_mixed,
+       |  concat('u', CAST(o_custkey AS VARCHAR), '@example.com') AS s_email,
+       |  concat(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8), '-', substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4), '-', substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 4), '-', substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 4), '-', substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 12)) AS s_uuid
+       |FROM orders),
+       |m AS (SELECT
+       |$counts
+       |FROM f)
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY col_name""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_benford" -> benfordOracle,
+    "q_type_infer" -> typeInferOracle,
 
     "q_conull" ->
       """WITH f AS (SELECT

@@ -138,6 +138,36 @@ class ConstraintsSpec extends SparkSpec {
     assert(none.isNullAt(6) && none.isNullAt(7))
   }
 
+  test("inferTypes: classification counts and tightest-type suggestion") {
+    val df = Seq(
+      ("1", "1.5", "2024-01-02", "true", "abc", "a@b.co"),
+      ("22", "2", "2024-02-03", "FALSE", "7", "x@y.org"),
+      ("-3", ".5", "2024-03-04", "True", "8", "not an email")
+    ).toDF("ints", "dbls", "dates", "bools", "mixed", "mails")
+    val rows = Constraints.inferTypes(df,
+      Seq("ints", "dbls", "dates", "bools", "mixed", "mails"), threshold = 0.9)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("ints").getAs[String]("suggested") == "bigint")
+    assert(rows("ints").getAs[Long]("n_bigint") == 3L)
+    assert(rows("ints").getAs[Long]("n_double") == 3L) // ints parse as doubles too
+    assert(rows("dbls").getAs[String]("suggested") == "double")
+    assert(rows("dbls").getAs[Long]("n_bigint") == 1L) // "2" alone
+    assert(rows("dates").getAs[String]("suggested") == "date")
+    assert(rows("bools").getAs[String]("suggested") == "boolean")
+    assert(rows("mixed").getAs[String]("suggested") == "string") // 2/3 < 0.9
+    assert(rows("mails").getAs[String]("suggested") == "string")
+    assert(rows("mails").getAs[Long]("n_email") == 2L)
+    // lower threshold tightens mixed to bigint, mails to email
+    val loose = Constraints.inferTypes(df, Seq("mixed", "mails"), threshold = 0.6)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("suggested")).toMap
+    assert(loose == Map("mixed" -> "bigint", "mails" -> "email"))
+    // NULLs don't count as values; all-null column stays string
+    val n = Seq((Option.empty[String], Option("5"))).toDF("a", "b")
+    val nr = Constraints.inferTypes(n, Seq("a", "b"), threshold = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[String]("suggested")))
+    assert(nr.toSet == Set(("a", 0L, "string"), ("b", 1L, "bigint")))
+  }
+
   test("fuzzyPairs: blocked levenshtein pairs, lossless length prefilter") {
     val names = Seq(
       (1L, "g1", "alpha"), (2L, "g1", "alphb"),   // dist 1
