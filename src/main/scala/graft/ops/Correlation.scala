@@ -63,6 +63,57 @@ object Correlation {
     when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
   }
 
+  /** Cramér's V association between CATEGORICAL column pairs — the
+    * discrete counterpart of [[corrPairs]] ("does return flag depend on
+    * line status?"). V = √(χ² / (n·min(r−1, c−1))) ∈ [0, 1].
+    *
+    * Shape per pair: one groupBy(a, b) shuffle to the contingency cells
+    * (map-side combined; ≤ r·c rows survive), marginals via
+    * category-bounded window sums over the CELL frame (partitions ≤ the
+    * other side's cardinality — never a global window), then one 1-row
+    * aggregate. Payload never moves; scales in n for bounded-cardinality
+    * categoricals, which is what the statistic is for.
+    *
+    * Cross-engine exactness: χ² = n·(Σᵢⱼ oᵢⱼ²/(rᵢ·cⱼ) − 1) — each cell
+    * term is one double division of exact longs (engine-exact), but the
+    * SUM over cells is order-dependent in doubles, so each term goes
+    * through the portable fixed-point long at scale 12 (terms ≤ 1, cell
+    * counts < 9·10⁶ stay in range) and the longs sum order-free. The
+    * derived χ²/V doubles then follow one fixed tree; quantization error
+    * ≤ 5·10⁻¹³/cell is documented behavior, and `greatest(χ², 0)` guards
+    * the independent-exact corner where it would dip epsilon-negative.
+    */
+  def cramersV(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one pair")
+    import org.apache.spark.sql.expressions.Window
+    val frames = pairs.map { case (a, b) =>
+      val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__o"))
+      val withTotals = cells
+        .withColumn("__ra", sum(col("__o")).over(Window.partitionBy("__a")))
+        .withColumn("__cb", sum(col("__o")).over(Window.partitionBy("__b")))
+      val term = (col("__o") * col("__o")).cast(DoubleType) /
+        (col("__ra") * col("__cb")).cast(DoubleType)
+      val m = withTotals
+        .select(col("__o"), col("__a"), col("__b"),
+          MetricColumns.fixedPointLong(term, 12).as("__tfx"))
+        .agg(
+          sum(col("__o")).cast(LongType).as("n"),
+          count_distinct(col("__a")).as("r_levels"),
+          count_distinct(col("__b")).as("c_levels"),
+          sum(col("__tfx")).cast(LongType).as("sfx"))
+      val nd = col("n").cast(DoubleType)
+      val chi2 = greatest(nd * (col("sfx").cast(DoubleType) / lit(1000000000000.0) - lit(1.0)), lit(0.0))
+      val md = least(col("r_levels") - 1L, col("c_levels") - 1L).cast(DoubleType)
+      m.select(
+        lit(s"$a~$b").as("pair"), col("n"), col("r_levels"), col("c_levels"),
+        chi2.as("chi2"),
+        when(col("n") > 0L && md > 0.0, sqrt(chi2 / (nd * md))).as("cramers_v"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)], scale: Int = 2): DataFrame = {
     require(pairs.nonEmpty, "need at least one pair")
     val needed = pairs.flatMap(p => Seq(p._1, p._2)).distinct

@@ -1539,6 +1539,17 @@ object Catalog {
         Seq("user_id"), "event_id", "value")
         .orderBy("user_id")),
 
+    "q_cramers_v" -> { (s, dir) =>
+      // categorical association: order status~priority (near-independent)
+      // and returnflag~linestatus (strongly dependent — both track
+      // shipdate); χ² via order-free fixed-point cell terms
+      Correlation.cramersV(t(s, dir, "orders"),
+        Seq("o_orderstatus" -> "o_orderpriority"))
+        .unionAll(Correlation.cramersV(t(s, dir, "lineitem"),
+          Seq("l_returnflag" -> "l_linestatus")))
+        .orderBy("pair")
+    },
+
     "q_type_infer" -> { (s, dir) =>
       // schema mining on stringly-typed columns: derived string renderings
       // of orders fields (identical exprs in the oracle); threshold 0.8 so
@@ -2354,6 +2365,37 @@ object Catalog {
   val oracleSql: Map[String, String] = Map(
     "q_benford" -> benfordOracle,
     "q_type_infer" -> typeInferOracle,
+
+    "q_cramers_v" ->
+      """WITH c1 AS (SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |w1 AS (SELECT o, a, b, sum(o) OVER (PARTITION BY a) AS ra, sum(o) OVER (PARTITION BY b) AS cb FROM c1),
+        |t1 AS (SELECT o, a, b,
+        |  CAST(floor(CAST(o * o AS DOUBLE) / CAST(ra * cb AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS tfx FROM w1),
+        |m1 AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r_levels,
+        |  count(DISTINCT b) AS c_levels, CAST(sum(tfx) AS BIGINT) AS sfx FROM t1),
+        |c2 AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+        |w2 AS (SELECT o, a, b, sum(o) OVER (PARTITION BY a) AS ra, sum(o) OVER (PARTITION BY b) AS cb FROM c2),
+        |t2 AS (SELECT o, a, b,
+        |  CAST(floor(CAST(o * o AS DOUBLE) / CAST(ra * cb AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS tfx FROM w2),
+        |m2 AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r_levels,
+        |  count(DISTINCT b) AS c_levels, CAST(sum(tfx) AS BIGINT) AS sfx FROM t2)
+        |SELECT * FROM (
+        |  SELECT 'o_orderstatus~o_orderpriority' AS pair, n, r_levels, c_levels,
+        |    greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0) AS chi2,
+        |    CASE WHEN n > 0 AND CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE) > 0.0
+        |         THEN sqrt(greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0)
+        |                   / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END AS cramers_v
+        |  FROM m1
+        |  UNION ALL
+        |  SELECT 'l_returnflag~l_linestatus', n, r_levels, c_levels,
+        |    greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0),
+        |    CASE WHEN n > 0 AND CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE) > 0.0
+        |         THEN sqrt(greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0)
+        |                   / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END
+        |  FROM m2
+        |) ORDER BY pair""".stripMargin,
 
     "q_conull" ->
       """WITH f AS (SELECT

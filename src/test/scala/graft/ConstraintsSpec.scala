@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Constraints, Joins}
+import graft.ops.{Constraints, Correlation, Joins}
 import org.apache.spark.sql.functions._
 
 class ConstraintsSpec extends SparkSpec {
@@ -166,6 +166,27 @@ class ConstraintsSpec extends SparkSpec {
     val nr = Constraints.inferTypes(n, Seq("a", "b"), threshold = 1.0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[String]("suggested")))
     assert(nr.toSet == Set(("a", 0L, "string"), ("b", 1L, "bigint")))
+  }
+
+  test("cramersV: perfect association 1, independence ~0, null exclusion") {
+    // perfect: b determined by a (2x2, diagonal only)
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val p = Correlation.cramersV(perfect, Seq("a" -> "b")).collect()(0)
+    assert(p.getLong(1) == 4L && p.getLong(2) == 2L && p.getLong(3) == 2L)
+    assert(math.abs(p.getDouble(5) - 1.0) < 1e-9)
+    // independent uniform 2x2: chi2 quantizes to exactly 0 via the guard
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val i = Correlation.cramersV(ind, Seq("a" -> "b")).collect()(0)
+    assert(i.getDouble(4) >= 0.0 && i.getDouble(4) < 1e-6)
+    assert(i.getDouble(5) < 1e-3)
+    // single-level side: min(r-1,c-1)=0 -> V null, chi2 still defined
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val o = Correlation.cramersV(one, Seq("a" -> "b")).collect()(0)
+    assert(o.isNullAt(5))
+    // nulls excluded from n
+    val n = Seq((Option("x"), Option("p")), (None, Option("q")), (Option("y"), None),
+      (Option("y"), Option("q"))).toDF("a", "b")
+    assert(Correlation.cramersV(n, Seq("a" -> "b")).collect()(0).getLong(1) == 2L)
   }
 
   test("fuzzyPairs: blocked levenshtein pairs, lossless length prefilter") {
