@@ -293,6 +293,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `k` tokens of each
+    * document by tf·idf — the cheap "what is this document about" signal
+    * for corpus exploration, topic routing and dataset cards.
+    * idf = ln((N+1)/(df+1)) (add-one smoothed, ≥ 0).
+    *
+    * Shape: one (doc, token) shuffle for per-doc tf (explode keeps a doc's
+    * tokens adjacent, so map-side combine collapses repeats pre-exchange);
+    * token df rides a re-aggregate of that output; the df join is skinny
+    * (token, df) — AQE broadcasts when the vocabulary fits. Top-k per doc
+    * is a doc-partitioned window (bounded partitions, never global).
+    *
+    * Exactness: `score_fx` quantizes tf·idf once through the portable
+    * fixed-point long (scale 6) — ranking and the derived `tfidf` double
+    * replay cross-engine; ties break on token asc.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String, k: Int,
+                    minDf: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val perDoc = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = perDoc.groupBy("token").agg(count(lit(1)).as("df_docs"))
+      .where(col("df_docs") >= minDf)
+    val idf = log((lit(nDocs).cast(DoubleType) + lit(1.0)) /
+      (col("df_docs").cast(DoubleType) + lit(1.0)))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_fx").desc, col("token").asc)
+    perDoc.join(dfs, Seq("token"))
+      .withColumn("score_fx",
+        graft.metrics.MetricColumns.fixedPointLong(col("tf").cast(DoubleType) * idf, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df_docs"),
+        col("score_fx"), (col("score_fx").cast(DoubleType) / lit(1000000.0)).as("tfidf"))
+  }
+
   /** Corpus-frequency commonness: mean corpus term-frequency of a document's
     * tokens — documents made of rare tokens (gibberish, code dumps,
     * boilerplate IDs) score low, a cheap corpus-relative quality dimension

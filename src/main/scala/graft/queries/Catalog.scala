@@ -1339,6 +1339,12 @@ object Catalog {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
 
+    "q_tfidf" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF keywords: one (doc, token) shuffle + skinny
+      // df join + doc-bounded window; score quantized once at scale 6
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     "q_bpe_merges" -> { (s, dir) =>
       // distributed BPE training: corpus read once into a word-frequency
       // frame, then 4 vocabulary-sized merge rounds; lexicographic
@@ -3826,6 +3832,18 @@ object Catalog {
     "q_bpe_merges" -> bpeMergesOracleSql(4, "[a-z]+"),
 
     "q_bpe_tokens" -> bpeTokensOracleSql(4, "[a-z]+"),
+
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |pd AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfs AS (SELECT token, count(*) AS df_docs FROM pd GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |s AS (SELECT pd.doc_id, pd.token, pd.tf, dfs.df_docs,
+        |  CAST(floor(CAST(pd.tf AS DOUBLE) * ln((CAST(nd AS DOUBLE) + 1.0) / (CAST(df_docs AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS score_fx
+        |FROM pd JOIN dfs USING (token) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, token ASC) AS INTEGER) AS rank FROM s)
+        |SELECT doc_id, rank, token, tf, df_docs, score_fx, CAST(score_fx AS DOUBLE) / 1000000.0 AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),

@@ -1226,6 +1226,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
   }
 
+  test("tfidfKeywords: idf ranks distinctive tokens above common ones") {
+    // "the" appears in all docs (idf lowest); each doc's distinctive token wins
+    val d = Seq(
+      (1L, "the the cat cat cat"),
+      (2L, "the dog"),
+      (3L, "the bird bird")).toDF("id", "text")
+    val out = TextAnalysis.tfidfKeywords(d, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out.filter(_._2 == 1).map(t => t._1 -> t._3).toMap ==
+      Map(1L -> "cat", 2L -> "dog", 3L -> "bird"))
+    // rank 2 everywhere is "the" (only other token)
+    assert(out.filter(_._2 == 2).forall(_._3 == "the"))
+    // k caps output; tf and df are exact
+    val full = TextAnalysis.tfidfKeywords(d, "id", "text", k = 10)
+    val catRow = full.where(col("token") === "cat").collect()(0)
+    assert(catRow.getAs[Long]("tf") == 3L && catRow.getAs[Long]("df_docs") == 1L)
+    // score_fx = floor(tf * ln((N+1)/(df+1)) * 1e6 + 0.5)
+    assert(catRow.getAs[Long]("score_fx") ==
+      math.floor(3.0 * math.log(4.0 / 2.0) * 1e6 + 0.5).toLong)
+    // minDf prunes singletons
+    val pruned = TextAnalysis.tfidfKeywords(d, "id", "text", k = 10, minDf = 3L)
+      .select("token").distinct().collect().map(_.getString(0)).toSeq
+    assert(pruned == Seq("the"))
+  }
+
   test("inverted-index retrieval: shared-token cosine ranks, stopword prune, no cartesian") {
     val d = Seq(
       (1L, "apple banana cherry date"),
