@@ -255,4 +255,51 @@ object Components {
     }
     pr.select("id", "pr")
   }
+
+  /** Per-node triangle counts — the local-clustering / community-density
+    * signal (spam farms and bot rings are triangle-dense; bipartite link
+    * spam is triangle-free). Degree-ordered edge-iterator (Suri &
+    * Vassilvitskii, WWW'11 MR-NodeIterator++): orient every canonical edge
+    * from its lower-(degree, id) endpoint to the higher, generate wedges
+    * only at each edge's SMALLER endpoint, and close them against the
+    * canonical edge set.
+    *
+    * Why this scales: wedge count is Σᵥ outdeg(v)² ≤ O(m^{3/2}) under
+    * degree orientation (a hub's edges all point INTO it, so the hub
+    * generates no wedges) — vs Σᵥ deg(v)² unoriented, which explodes on any
+    * skewed graph. Shuffles: canonical dedup, degree agg, two skinny joins
+    * (degrees onto edges), the wedge self-join on the center node, and the
+    * closing-edge join — all on (long, long) pairs; no payload anywhere.
+    *
+    * @return (node, triangles) for EVERY node of the graph (0 for
+    *         triangle-free nodes); self-loops and duplicate/reverse edges
+    *         are collapsed first.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("w"))
+    val wedges = oriented.select(col("u"), col("w").as("v1"))
+      .join(oriented.select(col("u"), col("w").as("v2")), Seq("u"))
+      .where(col("v1") < col("v2"))
+    val tri = wedges.join(e, col("v1") === col("a") && col("v2") === col("b"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.select(col("v").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0L)).as("triangles"))
+  }
 }

@@ -1493,6 +1493,16 @@ object Catalog {
         iterations = 5).orderBy("id")
     },
 
+    "q_triangles" -> { (s, dir) =>
+      // per-node triangle counts over the mod-200 orders graph —
+      // degree-ordered wedge generation, closed against canonical edges;
+      // the oracle counts the same triangles via a 3-way self-join
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+      Components.triangleCounts(edges, "src", "dst").orderBy("node")
+    },
+
     "q_ppr" -> { (s, dir) =>
       // PERSONALIZED PageRank: teleport only to the ≡0-mod-10 seed nodes —
       // rank = link-proximity to the seed set; same unrolled integer rounds
@@ -4003,6 +4013,18 @@ object Catalog {
         |ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
+
+    "q_triangles" ->
+      """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s != d),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
+        |cnt AS (SELECT v, count(*) AS t FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        |) GROUP BY 1)
+        |SELECT n.v AS node, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles
+        |FROM nodes n LEFT JOIN cnt ON cnt.v = n.v ORDER BY node""".stripMargin,
     "q_ppr" -> pprOracleSql(500, 5, 10),
 
     "q_pipeline_pack" ->

@@ -66,5 +66,35 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) > 0L)
     assert(got(3L) == 0L)
   }
+
+  test("triangleCounts: cliques, squares, dirty edges") {
+    // K4 on 0-3 (4 triangles, each node in 3), a square 10-13 (0 triangles),
+    // a pendant 20-0; dirty input: dup edges, reversed edges, a self-loop
+    val edges = (Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 0L),
+      (1L, 0L), (0L, 1L), (5L, 5L)
+    )).toDF("s", "d")
+    val got = Components.triangleCounts(edges, "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 3L && got(1L) == 3L && got(2L) == 3L && got(3L) == 3L)
+    assert(got(10L) == 0L && got(11L) == 0L && got(12L) == 0L && got(13L) == 0L)
+    assert(got(20L) == 0L)
+    assert(!got.contains(5L)) // self-loop-only node is not in the graph
+    // total triangles = sum / 3
+    assert(got.values.sum / 3 == 4L)
+  }
+
+  test("triangleCounts: partitioning-invariant on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("s", "d")
+    val a = Components.triangleCounts(es, "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val b = Components.triangleCounts(es.repartition(13), "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a == b && a.map(_._2).sum > 0)
+  }
 }
 
