@@ -256,6 +256,55 @@ object Components {
     pr.select("id", "pr")
   }
 
+  /** K-core of an undirected graph: repeatedly remove nodes with degree
+    * < k until fixpoint; what survives is the maximal subgraph where every
+    * node keeps ≥ k neighbors — the dense-community extractor (spam/bot
+    * rings, quote cliques) and the principled "prune the long tail before
+    * expensive graph work" step. Returns (node, degree) of the surviving
+    * core subgraph.
+    *
+    * Peeling is confluent (the k-core is unique regardless of removal
+    * order), so the result is deterministic. `maxRounds` caps the rounds;
+    * once converged, further rounds are identity — so a run that converges
+    * in r ≤ maxRounds rounds equals an unrolled maxRounds-round replay
+    * EXACTLY, which is what the oracle does (and how the result stays
+    * engine-replayable at any scale even if the cap bites).
+    *
+    * Shape per round: one degree aggregate + two left_semi joins against
+    * the skinny good-node set (AQE-broadcastable), all on (long, long)
+    * edges; localCheckpoint truncates lineage, and the convergence check
+    * rides the materialization count (no extra job). Rounds needed =
+    * peeling depth, typically O(log n) on heavy-tailed graphs.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint()
+    var prev = e.count()
+    var round = 0
+    var converged = prev == 0L
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val good = deg.where(col("d") >= k).select("v")
+      val e2 = e
+        .join(good.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(good.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val after = e2.count()
+      converged = after == prev
+      prev = after
+      e = e2
+      round += 1
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle counts — the local-clustering / community-density
     * signal (spam farms and bot rings are triangle-dense; bipartite link
     * spam is triangle-free). Degree-ordered edge-iterator (Suri &

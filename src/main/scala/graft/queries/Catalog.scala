@@ -1493,6 +1493,18 @@ object Catalog {
         iterations = 5).orderBy("id")
     },
 
+    "q_kcore" -> { (s, dir) =>
+      // 6-core of the (sparsified) part co-purchase graph: peeling runs 4
+      // rounds at sf0.01; the 8-round cap makes Spark ≡ the unrolled
+      // 8-round oracle at ANY scale (converged rounds are identity)
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = l.as("x").join(l.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .where(((col("x.pk") + col("y.pk")) % 11) === 0)
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Components.kCore(e, "src", "dst", k = 6, maxRounds = 8).orderBy("node")
+    },
+
     "q_triangles" -> { (s, dir) =>
       // per-node triangle counts over the mod-200 orders graph —
       // degree-ordered wedge generation, closed against canonical edges;
@@ -2378,7 +2390,30 @@ object Catalog {
        |) ORDER BY col_name""".stripMargin
   }
 
+  /** q_kcore oracle: `rounds` unrolled peel rounds (each = degree filter on
+    * both endpoints); converged rounds are identity, so this equals the
+    * capped Spark iteration exactly. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // MATERIALIZED: inlined CTEs would re-expand e0 ~5× per round
+    val base = """e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                 |  FROM lineitem a JOIN lineitem b
+                 |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                 |  WHERE (a.l_partkey + b.l_partkey) % 11 = 0)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM e$i UNION ALL SELECT b AS v FROM e$i) GROUP BY 1),
+         |e${i + 1} AS MATERIALIZED (SELECT e$i.a, e$i.b FROM e$i
+         |  JOIN d$i x ON x.v = e$i.a JOIN d$i y ON y.v = e$i.b
+         |  WHERE x.dg >= $k AND y.dg >= $k)""".stripMargin
+    }
+    s"""WITH $base,
+       |${steps.mkString(",\n")}
+       |SELECT v AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_kcore" -> kCoreOracle(6, 8),
     "q_benford" -> benfordOracle,
     "q_type_infer" -> typeInferOracle,
 

@@ -86,6 +86,34 @@ class PageRankSpec extends SparkSpec {
     assert(got.values.sum / 3 == 4L)
   }
 
+  test("kCore: peels cascades, keeps the dense core, handles dirty edges") {
+    // K4 core on 0-3; a chain 4-5-6 hanging off node 0; a triangle 7-8-9
+    // attached to 0 via 7 — for k=3 the K4 survives, the triangle peels
+    // (each node has degree 2 inside it), the chain cascades away
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (0L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (0L, 7L),
+      (1L, 0L), (2L, 2L) // reverse dup + self-loop
+    ).toDF("s", "d")
+    val core3 = Components.kCore(edges, "s", "d", k = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core3 == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+    // k=2: the triangle also survives (degree 2 each); chain still peels
+    val core2 = Components.kCore(edges, "s", "d", k = 2)
+      .orderBy("node").as[(Long, Long)].collect().map(_._1).toSeq
+    assert(core2 == Seq(0L, 1L, 2L, 3L, 7L, 8L, 9L))
+    // k above max degree: empty core
+    assert(Components.kCore(edges, "s", "d", k = 10).count() == 0L)
+    // capped rounds equal the unrolled replay: cap 1 peels only one layer
+    val cap1 = Components.kCore(edges, "s", "d", k = 3, maxRounds = 1)
+      .orderBy("node").as[(Long, Long)].collect().map(_._1).toSeq
+    // round 1 removes deg<3 nodes (5,6 have deg<3? 4:2, 5:2, 6:1, 8:2, 9:2)
+    // survivors after exactly one filter round
+    assert(cap1.contains(0L) && !cap1.contains(6L))
+    assert(cap1 != core3.map(_._1)) // not yet converged at 1 round
+  }
+
   test("triangleCounts: partitioning-invariant on a random graph") {
     val rnd = new scala.util.Random(7)
     val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
