@@ -66,6 +66,44 @@ object Outliers {
       .drop("__v", "__n", "__s", "__q")
   }
 
+  /** Two-sided CUSUM changepoint detection per key — the sustained-shift
+    * detector that point rules ([[rollingZScore]]) can't see: a process
+    * drifting 1σ for 50 samples never trips a z-test but accumulates
+    * linearly in CUSUM. Classic Page recurrence
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack)), alarm when S⁺ > h, and
+    * the mirrored S⁻ for downward shifts.
+    *
+    * The max(0,·) recurrence LOOKS sequential but is exactly
+    * S⁺ₜ = Pₜ − min(0, min_{i≤t} Pᵢ) over prefix sums Pₜ of the
+    * deviations — so both sides ride ordinary per-key ordered windows
+    * (prefix sum + running min; group-bounded partitions, one shuffle,
+    * never a global sort). ENGINE-EXACT: values/target/slack/threshold all
+    * go through the portable fixed-point long (scale `fxScale`) and every
+    * statistic is integer arithmetic; `s_up`/`s_dn` are the raw longs.
+    * `orderCol` must be unique per key.
+    */
+  def cusum(df: DataFrame, partCols: Seq[String], orderCol: String,
+            valueCol: String, target: Double, slack: Double, threshold: Double,
+            fxScale: Int = 2): DataFrame = {
+    require(slack >= 0 && threshold > 0, "bad parameters")
+    import org.apache.spark.sql.expressions.Window
+    def fx(x: Double): Long =
+      (if (x >= 0) math.floor(x * math.pow(10, fxScale) + 0.5)
+       else -math.floor(-x * math.pow(10, fxScale) + 0.5)).toLong
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale)
+    val hFx = fx(threshold)
+    df.withColumn("__v", v)
+      .withColumn("__pu", sum(col("__v") - lit(fx(target) + fx(slack))).over(w))
+      .withColumn("__pd", sum(lit(fx(target) - fx(slack)) - col("__v")).over(w))
+      .withColumn("s_up", col("__pu") - least(lit(0L), min(col("__pu")).over(w)))
+      .withColumn("s_dn", col("__pd") - least(lit(0L), min(col("__pd")).over(w)))
+      .withColumn("alarm_up", col("s_up") > hFx)
+      .withColumn("alarm_dn", col("s_dn") > hFx)
+      .drop("__v", "__pu", "__pd")
+  }
+
   def iqrOutliers(df: DataFrame, valueCol: Column, groupCol: String,
                   k: Double = 1.5, approx: Boolean = false): DataFrame = {
     // NOTE a counts-based exact quantile (groupBy value → running count →

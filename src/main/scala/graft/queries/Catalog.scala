@@ -1493,6 +1493,14 @@ object Catalog {
         iterations = 5).orderBy("id")
     },
 
+    "q_cusum" -> ((s, dir) =>
+      // two-sided CUSUM per user over the event stream: prefix-sum +
+      // running-min windows (group-bounded), all-integer statistics
+      Outliers.cusum(t(s, dir, "events"), Seq("user_id"), "event_id", "value",
+        target = 60.0, slack = 10.0, threshold = 500.0)
+        .select("user_id", "event_id", "s_up", "s_dn", "alarm_up", "alarm_dn")
+        .orderBy("user_id", "event_id")),
+
     "q_kcore" -> { (s, dir) =>
       // 6-core of the (sparsified) part co-purchase graph: peeling runs 4
       // rounds at sf0.01; the 8-round cap makes Spark ≡ the unrolled
@@ -2414,6 +2422,23 @@ object Catalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_kcore" -> kCoreOracle(6, 8),
+
+    "q_cusum" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |            ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+        |FROM events),
+        |p AS (SELECT user_id, event_id,
+        |  sum(v - 7000) OVER w AS pu,
+        |  sum(5000 - v) OVER w AS pd
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id, event_id,
+        |  pu - least(0, min(pu) OVER w) AS s_up,
+        |  pd - least(0, min(pd) OVER w) AS s_dn
+        |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(s_up AS BIGINT) AS s_up, CAST(s_dn AS BIGINT) AS s_dn,
+        |       s_up > 50000 AS alarm_up, s_dn > 50000 AS alarm_dn
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
     "q_benford" -> benfordOracle,
     "q_type_infer" -> typeInferOracle,
 

@@ -631,6 +631,41 @@ class OutliersSpec extends SparkSpec {
       .where(col("is_anomaly")).select("user_id", "seq").as[(Long, Long)].collect().toSet
     assert(repart == flagged)
   }
+
+  test("cusum equals the scalar Page recurrence; sustained drift alarms, spikes reset") {
+    // user 1: 10 on-target samples, then a sustained +3 shift of 10 samples
+    // (slack 1 -> each shifted sample adds 2.0 to S+): alarm once S+ > 15
+    val series1 = (1 to 10).map(i => (1L, i.toLong, 10.0)) ++
+      (11 to 20).map(i => (1L, i.toLong, 13.0))
+    // user 2: one big spike then back on target: S+ jumps once, then decays
+    val series2 = Seq((2L, 1L, 10.0), (2L, 2L, 30.0), (2L, 3L, 10.0), (2L, 4L, 10.0))
+    val df = (series1 ++ series2).toDF("u", "seq", "v")
+    val out = Outliers.cusum(df, Seq("u"), "seq", "v",
+      target = 10.0, slack = 1.0, threshold = 15.0)
+      .orderBy("u", "seq")
+      .select("u", "seq", "s_up", "s_dn", "alarm_up", "alarm_dn")
+      .collect()
+    // scalar reference: S+ = max(0, S+ + (v - 11)), S- = max(0, S- + (9 - v)), fx scale 2
+    var expUp = Map.empty[(Long, Long), Long]
+    for (u <- Seq(1L, 2L)) {
+      var s = 0L
+      ((series1 ++ series2).filter(_._1 == u)).sortBy(_._2).foreach { case (_, i, v) =>
+        s = math.max(0L, s + (math.floor(v * 100 + 0.5).toLong - 1100L))
+        expUp += (u, i) -> s
+      }
+    }
+    out.foreach { r =>
+      assert(r.getLong(2) == expUp((r.getLong(0), r.getLong(1))),
+        s"S+ mismatch at ${r.getLong(0)}/${r.getLong(1)}")
+    }
+    // alarms: user 1 fires from the 8th shifted sample (8 * 2.0 = 16 > 15);
+    // user 2's single spike pushes S+ to 19.0 > 15 and decays at -1.0 per
+    // on-target sample, so it alarms at seq 2 and stays alarmed through 4
+    val alarms = out.filter(_.getBoolean(4)).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(alarms == (18L to 20L).map((1L, _)) ++ (2L to 4L).map((2L, _)))
+    // downward side symmetric: no down-alarms anywhere here
+    assert(out.forall(!_.getBoolean(5)))
+  }
 }
 
 class CorrelationSpec extends SparkSpec {
