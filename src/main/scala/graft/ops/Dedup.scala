@@ -389,6 +389,85 @@ object Dedup {
         .select("id_a", "id_b", "jaccard")
   }
 
+  /** Analytic LSH S-curve: P(candidate | jaccard = s) = 1 − (1 − s^r)^b
+    * for b bands of r rows. The design curve behind [[minhashLshPairs]]'s
+    * (bands, rowsPerBand) choice.
+    */
+  def lshCollisionProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** LSH parameter planner: every (bands, rows) split of the `numHashes`
+    * budget with its S-curve midpoint s50 (the jaccard where collision
+    * probability crosses 0.5) and the collision probability at `threshold`,
+    * ordered by |s50 − threshold| — the first entry is the split whose
+    * steep region straddles the target threshold. Driver-side pure math;
+    * pair with [[lshTuningAudit]] to check the chosen split EMPIRICALLY.
+    */
+  def lshPlan(numHashes: Int, threshold: Double): Seq[(Int, Int, Double, Double)] = {
+    require(numHashes >= 1 && threshold > 0 && threshold < 1, "bad parameters")
+    (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      val s50 = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      (b, r, s50, lshCollisionProb(threshold, b, r))
+    }.sortBy { case (_, _, s50, _) => math.abs(s50 - threshold) }
+  }
+
+  /** Measure, don't guess — for the approximate operator itself: empirical
+    * recall/precision of the MinHash-LSH CANDIDATE set against exact
+    * jaccard ground truth on a deterministic bounded sample. `sampleSize`
+    * docs are chosen by lowest (hash-bucket, id) — stable across runs,
+    * engines and layouts, and it CAPS the all-pairs ground-truth cost at
+    * sampleSize² regardless of corpus size (the knob IS the audit budget).
+    * Within the sample: every pair gets its exact shingle-hash-set jaccard
+    * (truth: j ≥ threshold) and its any-band signature collision flag
+    * (candidate); one row comes back —
+    * (sample_docs, true_pairs, cand_pairs, hit_pairs, recall, precision,
+    * p_at_threshold) where p_at_threshold is the analytic
+    * [[lshCollisionProb]] the empirical recall should track. Recall here is
+    * per-PAIR candidate recall — the quantity the S-curve predicts.
+    */
+  def lshTuningAudit(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                     shingleLen: Int = 1, sampleSize: Int = 500,
+                     tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val bucket = pmod(tokenHasher(concat(col(idCol).cast("string"), lit("|lshaudit"))), lit(10000L))
+    val sample = df
+      .select(col(idCol).as("id"), col(textCol).as("text"), bucket.as("bk"))
+      .orderBy(col("bk"), col("id")).limit(sampleSize)
+      .select(col("id"),
+        transform(Shingles.shingleStrings(TextAnalysis.tokens(col("text")), shingleLen),
+          tokenHasher).as("h"))
+      .repartition(col("id")) // materialization barrier (sig inlining)
+    val docs = sample.select(col("id"),
+      array_sort(array_distinct(col("h"))).as("toks"),
+      minhashSignatureFromHashes(col("h"), numHashes).as("sig"))
+    val nDocs = docs.count()
+    val a = docs.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sig").as("sig_a"))
+    val b = docs.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sig").as("sig_b"))
+    val bandMatch = (0 until bands).map { bi =>
+      slice(col("sig_a"), bi * rowsPerBand + 1, rowsPerBand) ===
+        slice(col("sig_b"), bi * rowsPerBand + 1, rowsPerBand)
+    }.reduce(_ || _)
+    val jac = graft.functions.JaccardSim.jaccard(col("toks_a"), col("toks_b"))
+    val m = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(jac.as("j"), bandMatch.as("cand"))
+      .agg(
+        sum(when(col("j") >= threshold, 1L).otherwise(0L)).cast(LongType).as("true_pairs"),
+        sum(when(col("cand"), 1L).otherwise(0L)).cast(LongType).as("cand_pairs"),
+        sum(when(col("cand") && col("j") >= threshold, 1L).otherwise(0L))
+          .cast(LongType).as("hit_pairs"))
+    m.select(
+      lit(nDocs).as("sample_docs"),
+      col("true_pairs"), col("cand_pairs"), col("hit_pairs"),
+      when(col("true_pairs") > 0L,
+        col("hit_pairs").cast(DoubleType) / col("true_pairs").cast(DoubleType)).as("recall"),
+      when(col("cand_pairs") > 0L,
+        col("hit_pairs").cast(DoubleType) / col("cand_pairs").cast(DoubleType)).as("precision"),
+      lit(lshCollisionProb(threshold, bands, rowsPerBand)).as("p_at_threshold"))
+  }
+
   /** End-to-end near-dedup: MinHash-LSH pairs → connected components → keep
     * the smallest-id representative of every near-dup cluster. This is the
     * user-facing "dedupe my corpus" call.

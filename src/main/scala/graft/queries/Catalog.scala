@@ -876,6 +876,14 @@ object Catalog {
         threshold = 0.8, shingleLen = 1, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
+    "q_lsh_tuning" -> ((s, dir) =>
+      // measure-don't-guess for LSH itself: empirical candidate
+      // recall/precision vs exact jaccard on a 400-doc deterministic
+      // sample, next to the analytic S-curve value
+      Dedup.lshTuningAudit(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, numHashes = 64, bands = 16, shingleLen = 1,
+        sampleSize = 400, tokenHasher = Shingles.md5Hash60)),
+
     "q_split_leakage" -> ((s, dir) =>
       // eval-contamination audit: near-dup pairs straddling splits. Split
       // labels are computed row-locally on the pair frame (assignment is a
@@ -1952,6 +1960,50 @@ object Catalog {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** LSH tuning-audit oracle: deterministic bounded sample, exact jaccard
+    * all-pairs ground truth, any-band signature collision flag, and the
+    * same analytic S-curve literal computed by the same Scala function.
+    */
+  private def lshAuditOracleSql(numHashes: Int, bands: Int, threshold: Double,
+                                sampleSize: Int): String = {
+    val (as, bs) = graft.functions.MinHash.coefs(numHashes)
+    val p = graft.functions.MinHash.P
+    val rows = numHashes / bands
+    val pLit = Dedup.lshCollisionProb(threshold, bands, rows)
+    val sigAggs = (0 until numHashes)
+      .map(i => s"min(((h % $p) * ${as(i)} + ${bs(i)}) % $p) AS s$i").mkString(", ")
+    val bandClauses = (0 until bands).map { b =>
+      (0 until rows).map(r => s"a.s${b * rows + r} = b.s${b * rows + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH samp AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|lshaudit'), 1, 15))::BIGINT % 10000, doc_id
+       |  LIMIT $sampleSize),
+       |sh AS (SELECT doc_id, unnest(${duckShingles(1)}) AS t FROM samp),
+       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM sh),
+       |g AS MATERIALIZED (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
+       |d AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(${duckShingles(1)},
+       |        t -> $duckTokenHash)) AS toks FROM samp),
+       |pr AS (SELECT
+       |         CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
+       |         CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS DOUBLE) AS j,
+       |         ($bandClauses) AS cand
+       |       FROM d da JOIN d db ON da.doc_id < db.doc_id
+       |         JOIN g a ON a.doc_id = da.doc_id JOIN g b ON b.doc_id = db.doc_id),
+       |m AS (SELECT
+       |  CAST(count(CASE WHEN j >= $threshold THEN 1 END) AS BIGINT) AS true_pairs,
+       |  CAST(count(CASE WHEN cand THEN 1 END) AS BIGINT) AS cand_pairs,
+       |  CAST(count(CASE WHEN cand AND j >= $threshold THEN 1 END) AS BIGINT) AS hit_pairs
+       |FROM pr)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS sample_docs,
+       |  true_pairs, cand_pairs, hit_pairs,
+       |  CASE WHEN true_pairs > 0 THEN CAST(hit_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE) END AS recall,
+       |  CASE WHEN cand_pairs > 0 THEN CAST(hit_pairs AS DOUBLE) / CAST(cand_pairs AS DOUBLE) END AS "precision",
+       |  CAST('$pLit' AS DOUBLE) AS p_at_threshold
+       |FROM m""".stripMargin
+    // note the STRING cast: a bare decimal literal goes DECIMAL→DOUBLE in
+    // DuckDB (two roundings, off by 1 ulp here); the varchar cast is strtod
+  }
+
   /** Split-leakage oracle: the full MinHash pair oracle (jaccard included)
     * wrapped with the q_split_assign md5-bucket split formula applied to
     * both endpoints, keeping only cross-split pairs.
@@ -2506,6 +2558,7 @@ object Catalog {
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),
+    "q_lsh_tuning" -> lshAuditOracleSql(64, 16, 0.8, 400),
 
     "q_dedup_incremental" -> incrementalDedupOracleSql(64, 16, 0.7, shingleLen = 3),
     "q_dedup_simhash" -> simhashOracleSql(60, 3),

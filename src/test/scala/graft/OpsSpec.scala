@@ -143,6 +143,50 @@ class DedupSpec extends SparkSpec {
     assert(exactHigh.subsetOf(lsh), s"missed: ${exactHigh -- lsh}")
   }
 
+  test("lshCollisionProb / lshPlan: S-curve math and budget splits") {
+    assert(Dedup.lshCollisionProb(1.0, 16, 4) == 1.0)
+    assert(Dedup.lshCollisionProb(0.0, 16, 4) == 0.0)
+    // hand value: b=16, r=4, s=0.8 -> 1-(1-0.8^4)^16
+    assert(Dedup.lshCollisionProb(0.8, 16, 4) ==
+      1.0 - math.pow(1.0 - math.pow(0.8, 4), 16))
+    // monotone in s
+    assert(Dedup.lshCollisionProb(0.9, 16, 4) > Dedup.lshCollisionProb(0.5, 16, 4))
+    val plan = Dedup.lshPlan(64, 0.8)
+    assert(plan.forall { case (b, r, _, _) => b * r == 64 })
+    assert(plan.map(_._1).toSet == Set(1, 2, 4, 8, 16, 32, 64))
+    // ordered by |s50 - threshold|: first split's midpoint is nearest 0.8
+    val mids = plan.map(p => math.abs(p._3 - 0.8))
+    assert(mids == mids.sorted)
+    // the b=16/r=4 default sits near an 0.75-0.8 target (sanity anchor)
+    val (bBest, _, s50, _) = plan.head
+    assert(math.abs(s50 - 0.8) < 0.12, s"best split b=$bBest s50=$s50")
+  }
+
+  test("lshTuningAudit: exact truth vs candidate flags on a constructed corpus") {
+    // 2 identical docs (j=1, always candidates), 2 sharing half their
+    // tokens (j=1/3, below 0.8 truth), singletons of disjoint vocab
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "p q r s t u"),
+      (4L, "p q r x y z"),
+      (5L, "m n o"),
+      (6L, "g h i")).toDF("id", "text")
+    val r = Dedup.lshTuningAudit(corpus, "id", "text", threshold = 0.8,
+      numHashes = 64, bands = 16, sampleSize = 100).collect()(0)
+    assert(r.getAs[Long]("sample_docs") == 6L)
+    assert(r.getAs[Long]("true_pairs") == 1L)    // only (1,2)
+    assert(r.getAs[Long]("hit_pairs") == 1L)     // identical sigs always collide
+    assert(r.getAs[Long]("cand_pairs") >= 1L)    // (3,4) may or may not collide
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("p_at_threshold") ==
+      Dedup.lshCollisionProb(0.8, 16, 4))
+    // sampleSize caps the audit: 3 docs -> 3 sample rows, deterministic
+    val capped = Dedup.lshTuningAudit(corpus, "id", "text", threshold = 0.8,
+      sampleSize = 3).collect()(0)
+    assert(capped.getAs[Long]("sample_docs") == 3L)
+  }
+
   test("simhash pairs exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
