@@ -876,6 +876,17 @@ object Catalog {
         threshold = 0.8, shingleLen = 1, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
+    "q_dict_hits" -> { (s, dir) =>
+      // Aho-Corasick gazetteer: ALL (overlapping) occurrences of 5
+      // patterns (multi-word phrases included) in one automaton pass;
+      // oracle re-counts via position enumeration
+      val h = graft.functions.DictMatch.hits(col("text"), DictPatterns)
+      t(s, dir, "documents").select(col("doc_id"), h.as("h"))
+        .select(col("doc_id") +:
+          DictPatterns.indices.map(i => element_at(col("h"), i + 1).as(s"n$i")): _*)
+        .orderBy("doc_id")
+    },
+
     "q_lsh_tuning" -> ((s, dir) =>
       // measure-don't-guess for LSH itself: empirical candidate
       // recall/precision vs exact jaccard on a 400-doc deterministic
@@ -1960,6 +1971,20 @@ object Catalog {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q_dict_hits dictionary (shared by gate and oracle); multi-word phrases
+    * and the self-overlapping "a a" exercise what replace-based counting
+    * would miss. */
+  private val DictPatterns =
+    Seq("table", "fast sort", "a a", "scan", "value table part")
+
+  private def dictHitsOracle: String = {
+    val exprs = DictPatterns.zipWithIndex.map { case (p, i) =>
+      val lp = p.length
+      s"CAST(len(list_filter(range(1, len(text) - $lp + 2), i -> text[i:i + ${lp - 1}] = '$p')) AS INTEGER) AS n$i"
+    }
+    s"SELECT doc_id, ${exprs.mkString(", ")} FROM documents ORDER BY doc_id"
+  }
+
   /** LSH tuning-audit oracle: deterministic bounded sample, exact jaccard
     * all-pairs ground truth, any-band signature collision flag, and the
     * same analytic S-curve literal computed by the same Scala function.
@@ -2559,6 +2584,7 @@ object Catalog {
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),
     "q_lsh_tuning" -> lshAuditOracleSql(64, 16, 0.8, 400),
+    "q_dict_hits" -> dictHitsOracle,
 
     "q_dedup_incremental" -> incrementalDedupOracleSql(64, 16, 0.7, shingleLen = 3),
     "q_dedup_simhash" -> simhashOracleSql(60, 3),

@@ -2422,3 +2422,60 @@ class EventsSpec extends SparkSpec {
     assert(got == Set(("a", "b", 1L), ("b", "a", 1L), ("a", "a", 1L)))
   }
 }
+
+class DictMatchSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.DictMatch
+
+  /** Naive all-occurrence reference: sliding char-window equality. */
+  private def naive(text: String, p: String): Int =
+    (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length))
+
+  test("dict hits: overlapping counts, phrases, hand cases") {
+    val pats = Seq("aa", "ab", "fast sort", "z")
+    val rows = Seq(
+      (1L, "aaa"),            // "aa" overlaps: 2
+      (2L, "abab"),           // "ab" twice, "aa" zero
+      (3L, "a fast sorter"),  // phrase inside a longer word run
+      (4L, ""),               // empty text: all zero
+      (5L, "zzzz")            // 4 singles
+    ).toDF("id", "text")
+    val got = rows.select(col("id"), DictMatch.hits(col("text"), pats).as("h"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got(1L) == Seq(2, 0, 0, 0))
+    assert(got(2L) == Seq(0, 2, 0, 0))
+    assert(got(3L) == Seq(0, 0, 1, 0))
+    assert(got(4L) == Seq(0, 0, 0, 0))
+    assert(got(5L) == Seq(0, 0, 0, 4))
+  }
+
+  test("dict hits: multi-byte UTF-8 patterns stay byte-aligned") {
+    val pats = Seq("é", "café", "ét")
+    val got = Seq((1L, "café étude café")).toDF("id", "text")
+      .select(DictMatch.hits(col("text"), pats)).collect()(0).getSeq[Int](0).toSeq
+    assert(got == Seq(3, 2, 1))
+  }
+
+  test("dict hits: property vs naive sliding-window reference") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abc "
+    val pats = Seq("a", "ab", "b c", "ca", "aa", "c")
+    val texts = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(60))(alpha(rnd.nextInt(alpha.length))).mkString))
+    val got = texts.toDF("id", "text")
+      .select(col("id"), DictMatch.hits(col("text"), pats).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    texts.foreach { case (id, tx) =>
+      assert(got(id) == pats.map(naive(tx, _)), s"text='$tx'")
+    }
+  }
+
+  test("dict hits: null text yields null; non-string input rejected") {
+    val withNull = Seq((1L, Option("ab")), (2L, None)).toDF("id", "text")
+      .select(col("id"), DictMatch.hits(col("text"), Seq("a")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(withNull == Map(1L -> false, 2L -> true))
+  }
+}
