@@ -135,16 +135,21 @@ object Constraints {
   def benfordAudit(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
     require(cols.nonEmpty, "need at least one (column, scale)")
     import graft.metrics.MetricColumns.fixedPointLong
-    val digitExprs = cols.map { case (c, s) =>
+    // digits are pre-projected ONCE beneath the aggregate: Spark does no
+    // CSE across aggregate functions, so inlining the fixed-point +
+    // to-string digit expression into all 10 conditional counts would
+    // evaluate it 10× per row (measured 3× query cost at sf0.1)
+    val pre = df.select(cols.zipWithIndex.map { case ((c, s), i) =>
       val v = fixedPointLong(col(c).cast(DoubleType), s)
-      c -> when(v.isNotNull && v =!= 0L,
-        substring(abs(v).cast(StringType), 1, 1).cast(IntegerType))
-    }
-    val aggs = digitExprs.zipWithIndex.flatMap { case ((_, dg), i) =>
+      when(v.isNotNull && v =!= 0L,
+        substring(abs(v).cast(StringType), 1, 1).cast(IntegerType)).as(s"__dg_$i")
+    }: _*)
+    val aggs = cols.indices.flatMap { i =>
+      val dg = col(s"__dg_$i")
       sum(when(dg.isNotNull, 1L).otherwise(0L)).cast(LongType).as(s"n_$i") +:
         (1 to 9).map(d => sum(when(dg === d, 1L).otherwise(0L)).cast(LongType).as(s"c_${i}_$d"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = pre.agg(aggs.head, aggs.tail: _*)
     val rows = cols.zipWithIndex.flatMap { case ((c, _), i) =>
       val n = col(s"n_$i")
       val nd = n.cast(DoubleType)
