@@ -63,6 +63,38 @@ object Correlation {
     when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy)))
   }
 
+  /** Per-group least-squares trend y = intercept + slope·x from the same
+    * EXACT integer co-moments as [[corrPairs]] — the drift-direction signal
+    * ("is latency/price/quality trending up, per segment?") with
+    * cross-engine bit-exact outputs. One groupBy aggregate; slope =
+    * (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and the intercept derive from decimal-exact
+    * sums via one fixed double tree. Both columns share `scale`, so the
+    * slope is already in original y-per-x units; the intercept is
+    * de-scaled by 10^scale. NULL slope/intercept when x has zero variance.
+    */
+  def trendByGroup(df: DataFrame, groupCols: Seq[String], xCol: String,
+                   yCol: String, scale: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val base = df.select(groupCols.map(col) ++ Seq(
+      MetricColumns.fixedPointLong(col(xCol), scale).as("__fx_x"),
+      MetricColumns.fixedPointLong(col(yCol), scale).as("__fx_y")): _*)
+    val aggs = pairAggs(col("__fx_x"), col("__fx_y"), "t")
+    val g = base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("n_t").cast(DecimalType(38, 0))
+    val sx = col("sx_t"); val sy = col("sy_t")
+    val sxx = MetricColumns.sumsqTotal("xx_t")
+    val sxy = MetricColumns.sumprodTotal("xy_t")
+    val num = (n * sxy - sx * sy).cast(DoubleType)
+    val den = (n * sxx - sx * sx).cast(DoubleType)
+    val deScale = lit(math.pow(10, scale))
+    g.select(groupCols.map(col) ++ Seq(
+      col("n_t").as("n"),
+      when(den > 0.0, num / den).as("slope"),
+      when(den > 0.0,
+        (sy.cast(DoubleType) - num / den * sx.cast(DoubleType)) /
+          col("n_t").cast(DoubleType) / deScale).as("intercept")): _*)
+  }
+
   /** Cramér's V association between CATEGORICAL column pairs — the
     * discrete counterpart of [[corrPairs]] ("does return flag depend on
     * line status?"). V = √(χ² / (n·min(r−1, c−1))) ∈ [0, 1].

@@ -1594,6 +1594,13 @@ object Catalog {
         Seq("user_id"), "event_id", "value")
         .orderBy("user_id")),
 
+    "q_trend" -> ((s, dir) =>
+      // per-group OLS: price-vs-quantity slope/intercept per return flag
+      // from decimal-exact co-moments, one grouped aggregate
+      Correlation.trendByGroup(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     "q_cramers_v" -> { (s, dir) =>
       // categorical association: order status~priority (near-independent)
       // and returnflag~linestatus (strongly dependent — both track
@@ -2518,6 +2525,29 @@ object Catalog {
         |FROM s ORDER BY user_id, event_id""".stripMargin,
     "q_benford" -> benfordOracle,
     "q_type_infer" -> typeInferOracle,
+
+    "q_trend" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y
+        |FROM lineitem),
+        |m AS (SELECT g,
+        |  count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |FROM f GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN den > 0.0 THEN num / den END AS slope,
+        |  CASE WHEN den > 0.0 THEN (syd - num / den * sxd) / CAST(n AS DOUBLE) / 100.0 END AS intercept
+        |FROM (SELECT g, n,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |      FROM m)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_cramers_v" ->
       """WITH c1 AS (SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o

@@ -740,6 +740,34 @@ class CorrelationSpec extends SparkSpec {
     val builtin = noisy.agg(corr(col("x"), col("y"))).collect()(0).getDouble(0)
     assert(math.abs(mine - builtin) < 1e-9)
   }
+
+  test("trendByGroup: exact OLS per group, zero-variance guard, layout-invariant") {
+    // group a: y = 2x + 3 exactly; group b: y = -0.5x + 10; group c: constant x
+    val rows = (1 to 50).map(i => ("a", i.toDouble, 2.0 * i + 3.0)) ++
+      (1 to 40).map(i => ("b", i.toDouble, -0.5 * i + 10.0)) ++
+      Seq(("c", 5.0, 1.0), ("c", 5.0, 9.0))
+    val df = rows.toDF("g", "x", "y")
+    val out = Correlation.trendByGroup(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("a")._1 == 50L)
+    assert(math.abs(out("a")._2.get - 2.0) < 1e-12)
+    assert(math.abs(out("a")._3.get - 3.0) < 1e-9)
+    assert(math.abs(out("b")._2.get + 0.5) < 1e-12)
+    assert(math.abs(out("b")._3.get - 10.0) < 1e-9)
+    assert(out("c")._2.isEmpty && out("c")._3.isEmpty) // zero x variance
+    // bit-identical under repartitioning (integer moments)
+    val s1 = Correlation.trendByGroup(df, Seq("g"), "x", "y")
+      .orderBy("g").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double])).toSeq
+    val s2 = Correlation.trendByGroup(df.repartition(17), Seq("g"), "x", "y")
+      .orderBy("g").collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Double])).toSeq
+    assert(s1.zip(s2).forall {
+      case (Some(p), Some(q)) =>
+        java.lang.Double.doubleToLongBits(p) == java.lang.Double.doubleToLongBits(q)
+      case (p, q) => p == q
+    })
+  }
 }
 
 class BinningSpec extends SparkSpec {
