@@ -146,6 +146,59 @@ object Correlation {
     frames.reduce(_.unionAll(_))
   }
 
+  /** Marginal entropies and mutual information for categorical pairs — the
+    * information-theoretic sibling of [[cramersV]] ("how many bits does
+    * knowing the source tell you about the language?"). Per pair:
+    * H(A), H(B), I(A;B) = Σᵢⱼ (oᵢⱼ/n)·ln(oᵢⱼ·n/(rᵢ·cⱼ)), and
+    * NMI = 2I/(H(A)+H(B)) ∈ [0, 1].
+    *
+    * Shape: ONE groupBy(a, b) cell shuffle per pair; marginals, totals and
+    * all three term sums ride the bounded cell frame (window sums +
+    * re-aggregates — the data is scanned once). Every ln term is quantized
+    * through the portable fixed-point long (scale 9) and summed order-free;
+    * the derived doubles follow one fixed tree, so H/I/NMI replay
+    * cross-engine (sub-1e-9 quantization is documented behavior).
+    */
+  def mutualInfo(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one pair")
+    import org.apache.spark.sql.expressions.Window
+    val frames = pairs.map { case (a, b) =>
+      val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__o"))
+      val nF = cells.agg(sum(col("__o")).cast(LongType).as("__n"))
+      val nd = col("__n").cast(DoubleType)
+      def hAgg(keyCol: String, alias: String) = {
+        val rd = col("__r").cast(DoubleType)
+        cells.groupBy(keyCol).agg(sum(col("__o")).as("__r"))
+          .crossJoin(broadcast(nF))
+          .select(MetricColumns.fixedPointLong(-(rd / nd) * log(rd / nd), 9).as("__t"))
+          .agg(sum(col("__t")).cast(LongType).as(alias))
+      }
+      val withTot = cells
+        .withColumn("__ra", sum(col("__o")).over(Window.partitionBy("__a")))
+        .withColumn("__cb", sum(col("__o")).over(Window.partitionBy("__b")))
+        .crossJoin(broadcast(nF))
+      val od = col("__o").cast(DoubleType)
+      val rad = col("__ra").cast(DoubleType); val cbd = col("__cb").cast(DoubleType)
+      val miAgg = withTot
+        .select(MetricColumns.fixedPointLong(
+          (od / nd) * log((od * nd) / (rad * cbd)), 9).as("__t"))
+        .agg(sum(col("__t")).cast(LongType).as("mi_fx"))
+      val one = miAgg.crossJoin(hAgg("__a", "ha_fx")).crossJoin(hAgg("__b", "hb_fx"))
+        .crossJoin(nF)
+      val sc = lit(1000000000.0)
+      val ha = col("ha_fx").cast(DoubleType) / sc
+      val hb = col("hb_fx").cast(DoubleType) / sc
+      val mi = col("mi_fx").cast(DoubleType) / sc
+      one.select(
+        lit(s"$a~$b").as("pair"), col("__n").as("n"),
+        ha.as("h_a"), hb.as("h_b"), mi.as("mi"),
+        when(ha + hb > 0.0, lit(2.0) * mi / (ha + hb)).as("nmi"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)], scale: Int = 2): DataFrame = {
     require(pairs.nonEmpty, "need at least one pair")
     val needed = pairs.flatMap(p => Seq(p._1, p._2)).distinct

@@ -1601,6 +1601,16 @@ object Catalog {
         "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag")),
 
+    "q_mutual_info" -> { (s, dir) =>
+      // entropy/MI on the same two categorical pairs as q_cramers_v — the
+      // information-theoretic reading of the same contingency cells
+      Correlation.mutualInfo(t(s, dir, "orders"),
+        Seq("o_orderstatus" -> "o_orderpriority"))
+        .unionAll(Correlation.mutualInfo(t(s, dir, "lineitem"),
+          Seq("l_returnflag" -> "l_linestatus")))
+        .orderBy("pair")
+    },
+
     "q_cramers_v" -> { (s, dir) =>
       // categorical association: order status~priority (near-independent)
       // and returnflag~linestatus (strongly dependent — both track
@@ -2504,7 +2514,44 @@ object Catalog {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** q_mutual_info oracle: one CTE block per pair replicating the cell
+    * shuffle, window marginals, scale-9 sign-adjusted term quantization and
+    * the derived double tree. */
+  private def mutualInfoOracle: String = {
+    val S = "1000000000.0"
+    def fx(t: String) =
+      s"CASE WHEN $t >= 0 THEN CAST(floor(($t) * $S + 0.5) AS BIGINT) ELSE -CAST(floor(-($t) * $S + 0.5) AS BIGINT) END"
+    def block(i: Int, tbl: String, a: String, b: String): String = {
+      val miT = s"(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))"
+      val hT = s"-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""c$i AS (SELECT $a AS a, $b AS b, count(*) AS o FROM $tbl
+         |  WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2),
+         |n$i AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c$i),
+         |w$i AS (SELECT o, sum(o) OVER (PARTITION BY a) AS ra, sum(o) OVER (PARTITION BY b) AS cb FROM c$i),
+         |mi$i AS (SELECT CAST(sum(${fx(miT)}) AS BIGINT) AS mi_fx FROM w$i CROSS JOIN n$i),
+         |ha$i AS (SELECT CAST(sum(${fx(hT)}) AS BIGINT) AS ha_fx
+         |  FROM (SELECT sum(o) AS r FROM c$i GROUP BY a) CROSS JOIN n$i),
+         |hb$i AS (SELECT CAST(sum(${fx(hT)}) AS BIGINT) AS hb_fx
+         |  FROM (SELECT sum(o) AS r FROM c$i GROUP BY b) CROSS JOIN n$i)""".stripMargin
+    }
+    def sel(i: Int, pair: String): String =
+      s"""SELECT '$pair' AS pair, n,
+         |  CAST(ha_fx AS DOUBLE) / $S AS h_a, CAST(hb_fx AS DOUBLE) / $S AS h_b,
+         |  CAST(mi_fx AS DOUBLE) / $S AS mi,
+         |  CASE WHEN CAST(ha_fx AS DOUBLE) / $S + CAST(hb_fx AS DOUBLE) / $S > 0.0
+         |       THEN 2.0 * (CAST(mi_fx AS DOUBLE) / $S) / (CAST(ha_fx AS DOUBLE) / $S + CAST(hb_fx AS DOUBLE) / $S) END AS nmi
+         |FROM mi$i CROSS JOIN ha$i CROSS JOIN hb$i CROSS JOIN n$i""".stripMargin
+    s"""WITH ${block(1, "orders", "o_orderstatus", "o_orderpriority")},
+       |${block(2, "lineitem", "l_returnflag", "l_linestatus")}
+       |SELECT * FROM (
+       |${sel(1, "o_orderstatus~o_orderpriority")}
+       |UNION ALL
+       |${sel(2, "l_returnflag~l_linestatus")}
+       |) ORDER BY pair""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_mutual_info" -> mutualInfoOracle,
     "q_kcore" -> kCoreOracle(6, 8),
 
     "q_cusum" ->

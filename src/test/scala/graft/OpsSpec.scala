@@ -741,6 +741,34 @@ class CorrelationSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-9)
   }
 
+  test("mutualInfo: perfect dependence, independence, scalar reference") {
+    // perfect: b = f(a) bijectively over 2 symbols, uniform -> H=ln2, I=ln2, NMI=1
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val p = Correlation.mutualInfo(perfect, Seq("a" -> "b")).collect()(0)
+    val ln2 = math.log(2.0)
+    assert(p.getLong(1) == 4L)
+    assert(math.abs(p.getDouble(2) - ln2) < 1e-8)
+    assert(math.abs(p.getDouble(3) - ln2) < 1e-8)
+    assert(math.abs(p.getDouble(4) - ln2) < 1e-8)
+    assert(math.abs(p.getDouble(5) - 1.0) < 1e-8)
+    // independent uniform 2x2: every MI term is exactly 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val i = Correlation.mutualInfo(ind, Seq("a" -> "b")).collect()(0)
+    assert(i.getDouble(4) == 0.0)
+    // skewed 2x2 vs a scalar reference within quantization tolerance
+    val skew = (Seq.fill(6)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq.fill(1)(("y", "p")) ++ Seq.fill(3)(("y", "q"))).toDF("a", "b")
+    val s = Correlation.mutualInfo(skew, Seq("a" -> "b")).collect()(0)
+    def ent(ps: Seq[Double]) = -ps.filter(_ > 0).map(x => x * math.log(x)).sum
+    val n = 12.0
+    val refHa = ent(Seq(8 / n, 4 / n)); val refHb = ent(Seq(7 / n, 5 / n))
+    val cells = Seq((6.0, 8.0, 7.0), (2.0, 8.0, 5.0), (1.0, 4.0, 7.0), (3.0, 4.0, 5.0))
+    val refMi = cells.map { case (o, r, c) => (o / n) * math.log(o * n / (r * c)) }.sum
+    assert(math.abs(s.getDouble(2) - refHa) < 1e-7)
+    assert(math.abs(s.getDouble(3) - refHb) < 1e-7)
+    assert(math.abs(s.getDouble(4) - refMi) < 1e-7)
+  }
+
   test("trendByGroup: exact OLS per group, zero-variance guard, layout-invariant") {
     // group a: y = 2x + 3 exactly; group b: y = -0.5x + 10; group c: constant x
     val rows = (1 to 50).map(i => ("a", i.toDouble, 2.0 * i + 3.0)) ++
