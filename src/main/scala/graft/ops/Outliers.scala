@@ -104,6 +104,41 @@ object Outliers {
       .drop("__v", "__pu", "__pd")
   }
 
+  /** Per-key EWMA (exponentially-weighted moving average) with a FULLY
+    * REPLAYABLE integer recurrence: values go through the portable
+    * fixed-point long, alpha is the rational `alphaNum/alphaDen`, and each
+    * step is `s += (v − s)·alphaNum div alphaDen` with truncation-toward-
+    * zero integer division (Java `div` ≡ DuckDB `//`, both verified on
+    * negatives) — the smoothed level is bit-identical on any engine or
+    * layout, unlike float EWMA which accumulates rounding in arrival
+    * order. Seeded with the key's first value.
+    *
+    * EWMA is inherently sequential per key, so the series is folded
+    * ROW-LOCALLY: one groupBy collects each key's (order, value) pairs,
+    * `sort_array` orders them, and a codegen'd `aggregate` HOF runs the
+    * fold — the right distributed shape while per-key series fit in task
+    * memory (per-user/entity telemetry; for unbounded keys window the
+    * input first). Returns (key…, n, ewma_fx, ewma).
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String,
+           alphaNum: Int, alphaDen: Int, fxScale: Int = 2): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen, "alpha must be in (0, 1]")
+    val v = graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale)
+    df.filter(col(valueCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(orderCol).as("__o"), v.as("__v")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__o"), col("__v")))).as("__arr"),
+        count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n"))
+      .withColumn("__vs", expr("transform(__arr, x -> x.__v)"))
+      .withColumn("ewma_fx", expr(
+        s"aggregate(slice(__vs, 2, greatest(size(__vs) - 1, 0)), element_at(__vs, 1), " +
+          s"(acc, x) -> acc + ((x - acc) * ${alphaNum}L) div ${alphaDen}L)"))
+      .withColumn("ewma",
+        col("ewma_fx").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(math.pow(10, fxScale)))
+      .drop("__arr", "__vs")
+  }
+
   def iqrOutliers(df: DataFrame, valueCol: Column, groupCol: String,
                   k: Double = 1.5, approx: Boolean = false): DataFrame = {
     // NOTE a counts-based exact quantile (groupBy value → running count →

@@ -1512,6 +1512,13 @@ object Catalog {
         iterations = 5).orderBy("id")
     },
 
+    "q_ewma" -> ((s, dir) =>
+      // replayable integer EWMA (alpha = 3/10) per user over event values;
+      // the oracle refolds the identical recurrence via list_reduce
+      Outliers.ewma(t(s, dir, "events"), Seq("user_id"), "event_id", "value",
+        alphaNum = 3, alphaDen = 10)
+        .orderBy("user_id")),
+
     "q_cusum" -> ((s, dir) =>
       // two-sided CUSUM per user over the event stream: prefix-sum +
       // running-min windows (group-bounded), all-integer statistics
@@ -2553,6 +2560,19 @@ object Catalog {
   val oracleSql: Map[String, String] = Map(
     "q_mutual_info" -> mutualInfoOracle,
     "q_kcore" -> kCoreOracle(6, 8),
+
+    "q_ewma" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |            ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |             list(v ORDER BY event_id) AS vs
+        |      FROM f GROUP BY 1)
+        |SELECT user_id, n,
+        |  CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) * 3) // 10) AS BIGINT) AS ewma_fx,
+        |  CAST(CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) * 3) // 10) AS BIGINT) AS DOUBLE) / 100.0 AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q_cusum" ->
       """WITH f AS (SELECT user_id, event_id,

@@ -676,6 +676,31 @@ class OutliersSpec extends SparkSpec {
     assert(repart == flagged)
   }
 
+  test("ewma: scalar recurrence equality, truncating div on negatives, layout invariance") {
+    // alpha = 3/10 over fx cents; scalar reference fold with Java / (truncate)
+    val rows = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 0.5), (1L, 4L, 10.0),
+      (2L, 1L, 5.0), (3L, 2L, -4.0), (3L, 1L, -1.0))
+    def ref(vs: Seq[Long]): Long = vs.tail.foldLeft(vs.head)((s, x) => s + ((x - s) * 3) / 10)
+    val exp = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> ref(rs.sortBy(_._2).map(r => math.round(r._3 * 100)))
+    }
+    val got = Outliers.ewma(rows.toDF("u", "seq", "v"), Seq("u"), "seq", "v", 3, 10)
+      .select("u", "ewma_fx").as[(Long, Long)].collect().toMap
+    assert(got == exp)
+    // negative path exercises truncation-toward-zero: user 3 sees -1.00 then
+    // -4.00 -> s = -100 + (-300*3)/10 = -190 (floor would give -190 too;
+    // assert a case where they differ: -1.00 then -1.05 -> delta -5*3 = -15,
+    // /10 truncates to -1, floor would be -2)
+    val tr = Outliers.ewma(Seq((9L, 1L, -1.0), (9L, 2L, -1.05)).toDF("u", "seq", "v"),
+      Seq("u"), "seq", "v", 3, 10).select("ewma_fx").as[Long].collect()(0)
+    assert(tr == -101L) // -100 + ((-105 + 100) * 3) div 10 = -100 + (-1) = -101
+    // single-element series returns the seed; repartitioning changes nothing
+    assert(got(2L) == 500L)
+    val rep = Outliers.ewma(rows.toDF("u", "seq", "v").repartition(5),
+      Seq("u"), "seq", "v", 3, 10).select("u", "ewma_fx").as[(Long, Long)].collect().toMap
+    assert(rep == exp)
+  }
+
   test("cusum equals the scalar Page recurrence; sustained drift alarms, spikes reset") {
     // user 1: 10 on-target samples, then a sustained +3 shift of 10 samples
     // (slack 1 -> each shifted sample adds 2.0 to S+): alarm once S+ > 15
