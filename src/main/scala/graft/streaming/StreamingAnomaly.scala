@@ -161,6 +161,109 @@ object StreamingAnomaly {
     }
   }
 
+  final case class CusumFlag(key: String, seq: Long, s_up: Long, s_dn: Long,
+                             alarm_up: Boolean, alarm_dn: Boolean)
+  final case class CusumLevels(sUp: Long, sDn: Long)
+
+  /** Streaming twin of [[graft.ops.Outliers.cusum]] on the same
+    * watermark-buffered total-order base as [[OrderedProcessor]]: per key
+    * the two Page recursions are TWO LONGS of state (+ the pending buffer);
+    * events drain in (ts, seq) order once the watermark finalizes them, so
+    * levels and alarms equal the batch operator under any cross-batch
+    * arrival disorder inside the allowed lateness.
+    */
+  class CusumProcessor(upRef: Long, dnRef: Long, hFx: Long)
+      extends StatefulProcessor[String, TimedEvent, CusumFlag] {
+    @transient private var lvl: ValueState[CusumLevels] = _
+    @transient private var buf: ListState[TimedEvent] = _
+    @transient private var drainedTo: ValueState[Long] = _
+    @transient private var armedAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lvl = getHandle.getValueState[CusumLevels]("lvl", Encoders.product[CusumLevels], TTLConfig.NONE)
+      buf = getHandle.getListState[TimedEvent]("buf", Encoders.product[TimedEvent], TTLConfig.NONE)
+      drainedTo = getHandle.getValueState[Long]("drainedTo", Encoders.scalaLong, TTLConfig.NONE)
+      armedAt = getHandle.getValueState[Long]("armedAt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def drain(watermarkMs: Long): Iterator[CusumFlag] = {
+      if (watermarkMs <= 0) return Iterator.empty
+      val all = buf.get().toSeq
+      val (ready, pending) = all.partition(_.tsMs <= watermarkMs)
+      if (ready.isEmpty) return Iterator.empty
+      var st = if (lvl.exists()) lvl.get() else CusumLevels(0L, 0L)
+      val out = ready.sortBy(e => (e.tsMs, e.seq)).map { e =>
+        st = CusumLevels(
+          math.max(0L, st.sUp + (e.fx - upRef)),
+          math.max(0L, st.sDn + (dnRef - e.fx)))
+        CusumFlag(e.key, e.seq, st.sUp, st.sDn, st.sUp > hFx, st.sDn > hFx)
+      }
+      lvl.update(st)
+      drainedTo.update(watermarkMs)
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending.toArray)
+      out.iterator
+    }
+
+    private def armTimer(timerValues: TimerValues): Unit = {
+      val prev = if (armedAt.exists()) armedAt.get() else -1L
+      if (buf.get().hasNext) {
+        val next = math.max(timerValues.getCurrentWatermarkInMs(), 0L) + 1L
+        if (prev != next) {
+          if (prev >= 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armedAt.update(next)
+        }
+      } else if (prev >= 0L) {
+        getHandle.deleteTimer(prev)
+        armedAt.clear()
+      }
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[TimedEvent],
+                                 timerValues: TimerValues): Iterator[CusumFlag] = {
+      val floor = if (drainedTo.exists()) drainedTo.get() else Long.MinValue
+      val fresh = rows.filter(_.tsMs > floor).toArray
+      if (fresh.nonEmpty) buf.appendList(fresh)
+      val out = drain(timerValues.getCurrentWatermarkInMs())
+      armTimer(timerValues)
+      out
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[CusumFlag] = {
+      if (armedAt.exists() && armedAt.get() == expiredTimerInfo.getExpiryTimeInMs()) armedAt.clear()
+      val out = drain(timerValues.getCurrentWatermarkInMs())
+      armTimer(timerValues)
+      out
+    }
+  }
+
+  /** Watermark-buffered streaming CUSUM; caller must already have applied
+    * `withWatermark(tsCol, …)`. Parameters mirror the batch operator.
+    */
+  def cusumStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                  tsCol: String, seqCol: String, valueCol: String,
+                  target: Double, slack: Double, threshold: Double,
+                  fxScale: Int = 2): Dataset[CusumFlag] = {
+    import spark.implicits._
+    require(slack >= 0 && threshold > 0, "bad parameters")
+    def fx(x: Double): Long =
+      (if (x >= 0) math.floor(x * math.pow(10, fxScale) + 0.5)
+       else -math.floor(-x * math.pow(10, fxScale) + 0.5)).toLong
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale).as("fx"),
+        (col(tsCol).cast("timestamp").cast("double") * 1000.0).cast("long").as("tsMs"))
+      .where(col("fx").isNotNull)
+      .as[TimedEvent]
+      .groupByKey(_.key)
+      .transformWithState(
+        new CusumProcessor(fx(target) + fx(slack), fx(target) - fx(slack), fx(threshold)),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Total-order variant of [[anomalyStream]]: `tsCol` is the event-time
     * column the stream is watermarked on (`withWatermark(tsCol, delay)`
     * must already be applied by the caller); flags are emitted once the

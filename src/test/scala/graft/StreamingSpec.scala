@@ -550,6 +550,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM: batch level/alarm parity under shuffled cross-batch arrival") {
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      // the batch spec's scenario: on-target then sustained +3 shift
+      val rows = (1 to 10).map(i => (1L, i.toLong, 10.0)) ++
+        (11 to 20).map(i => (1L, i.toLong, 13.0))
+      val batch = graft.ops.Outliers.cusum(
+          rows.toDF("user_id", "seq", "v"), Seq("user_id"), "seq", "v",
+          target = 10.0, slack = 1.0, threshold = 15.0)
+        .select(col("user_id").cast("string"), col("seq"),
+          col("s_up"), col("s_dn"), col("alarm_up"), col("alarm_dn"))
+        .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSet
+
+      val stream = MemoryStream[(Long, Timestamp, Long, Double)]
+      // 60s lateness covers ANY disorder of the 20s scenario — the random
+      // shuffle below may move an early event into the last batch
+      val df = stream.toDF().toDF("user_id", "ts", "seq", "v")
+        .withWatermark("ts", "60 seconds")
+      val q = StreamingAnomaly.cusumStream(spark, df, "user_id", "ts", "seq", "v",
+          target = 10.0, slack = 1.0, threshold = 15.0)
+        .writeStream.format("memory").queryName("cusum_ord").outputMode("append").start()
+
+      val timed = rows.map { case (u, s, v) => (u, ts(s), s, v) }
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(5)).shuffle(timed)
+      stream.addData(shuffled.take(7)); q.processAllAvailable()
+      stream.addData(shuffled.slice(7, 14)); q.processAllAvailable()
+      stream.addData(shuffled.drop(14)); q.processAllAvailable()
+      // flush: two far-future events push the watermark past everything
+      stream.addData((2L, ts(10000), 1L, 10.0)); q.processAllAvailable()
+      stream.addData((2L, ts(20000), 2L, 10.0)); q.processAllAvailable()
+
+      val streamed = spark.table("cusum_ord")
+        .where(col("key") === "1")
+        .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSet
+      q.stop()
+      assert(streamed == batch,
+        s"shuffled streamed CUSUM must equal batch\n$streamed\nvs\n$batch")
+      // alarm onset at seq 18 (8th shifted sample) as in the batch spec
+      assert(streamed.exists(t => t._2 == 18L && t._5))
+      assert(streamed.forall(t => t._2 < 18L || t._5))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel: batch stage counts under shuffled cross-batch arrival") {
     import spark.implicits._
     import graft.streaming.StreamingFunnel
