@@ -361,4 +361,67 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** Multi-probe LSH top-K (Lv et al. VLDB'07): instead of adding hash
+    * TABLES to buy recall (each table = another full corpus index), the
+    * QUERY also probes the buckets reached by flipping its lowest-|margin|
+    * sign bits — the planes where the query sits closest to the boundary,
+    * exactly where a true neighbor most likely landed on the other side.
+    * `probes` buckets are examined per table: the home bucket plus
+    * single-bit flips of the (probes−1) smallest-|dot| planes (ties to the
+    * lower plane index — deterministic, oracle-replayable).
+    *
+    * The corpus side is UNCHANGED (one bucket per table — same index,
+    * same storage); only the small broadcast query side fans out ×probes.
+    * Candidates are a strict superset of the single-probe set, so recall
+    * can only increase, at probes× the candidate-join cost.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        tables: Int = 4, planes: Int = 4, dim: Int = 64,
+                        seed: Long = 42L, probes: Int = 2): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1, "probes must be in [1, planes+1]")
+    val hp = hyperplanes(tables, planes, dim, seed)
+
+    def baseBucket(ds: Seq[Column]): Column =
+      ds.zipWithIndex.map { case (d, i) =>
+        when(d > 0.0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+
+    def probedBuckets(v: Column, t: Int): Column = {
+      val ds = hp(t).map(h => dot(v, array(h.map(lit): _*)))
+      val base = baseBucket(ds)
+      val margins = array(ds.zipWithIndex.map { case (d, i) =>
+        struct(abs(d).as("m"), lit(i).as("i"))
+      }: _*)
+      val flips = slice(array_sort(margins), 1, probes - 1)
+      val bits = array((0 until planes).map(i => lit(1L << i)): _*)
+      concat(array(base),
+        transform(flips, f => base.bitwiseXOR(element_at(bits, f.getField("i") + 1))))
+    }
+
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        posexplode(array((0 until tables).map { t =>
+          baseBucket(hp(t).map(h => dot(col("cv"), array(h.map(lit): _*))))
+        }: _*)).as(Seq("tbl", "bucket")))
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(array((0 until tables).map(t => probedBuckets(col("qv"), t)): _*))
+          .as(Seq("tbl", "bks")))
+      .select(col("query_id"), col("qv"), col("tbl"), explode(col("bks")).as("bucket"))
+
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("cos", cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
 }

@@ -1009,6 +1009,15 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_ann_lsh_mp" -> { (s, dir) =>
+      // multi-probe: query also probes the flip of its lowest-margin
+      // plane per table — recall of more tables at the index cost of few
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, probes = 2)
+        .orderBy("query_id", "rank")
+    },
+
     "q_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -2364,6 +2373,47 @@ object Catalog {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH oracle (probes = 2, planes = 4): corpus side identical
+    * to [[lshAnnOracleSql]]; the query side emits its home bucket AND the
+    * single-bit flip of its smallest-|dot| plane (sequential argmin CASE,
+    * ties to the lower plane index — the gate's array_sort tie-break).
+    */
+  private def lshMultiProbeOracleSql(k: Int, tables: Int, dim: Int, seed: Long): String = {
+    val planes = 4
+    val hps = graft.ops.Similarity.hyperplanes(tables, planes, dim, seed)
+    def dotE(t: Int, i: Int) =
+      s"list_dot_product(embedding, ${hps(t)(i).map(dlit).mkString("[", ", ", "]")})"
+    def bucketExpr(t: Int): String = (0 until planes).map { i =>
+      s"(CASE WHEN ${dotE(t, i)} > 0.0e0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    def flipExpr(t: Int): String = {
+      def a(i: Int) = s"abs(${dotE(t, i)})"
+      s"CASE WHEN ${a(0)} <= ${a(1)} AND ${a(0)} <= ${a(2)} AND ${a(0)} <= ${a(3)} THEN 1 " +
+        s"WHEN ${a(1)} <= ${a(2)} AND ${a(1)} <= ${a(3)} THEN 2 " +
+        s"WHEN ${a(2)} <= ${a(3)} THEN 4 ELSE 8 END"
+    }
+    val cSide = (0 until tables).map { t =>
+      s"SELECT vec_id AS nid, $t AS tbl, ${bucketExpr(t)} AS bucket FROM embeddings"
+    }.mkString(" UNION ALL ")
+    val qSide = (0 until tables).map { t =>
+      s"""SELECT vec_id AS qid, $t AS tbl, ${bucketExpr(t)} AS bucket FROM embeddings WHERE vec_id < 10
+         |UNION ALL
+         |SELECT vec_id AS qid, $t AS tbl, xor(${bucketExpr(t)}, ${flipExpr(t)}) AS bucket FROM embeddings WHERE vec_id < 10""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH c AS ($cSide),
+       |q AS ($qSide),
+       |cand AS (SELECT DISTINCT q.qid, c.nid
+       |         FROM c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.nid != q.qid),
+       |s AS (SELECT cand.qid, cand.nid, list_cosine_similarity(e.embedding, qe.embedding) AS cos
+       |      FROM cand JOIN embeddings e ON e.vec_id = cand.nid
+       |                JOIN embeddings qe ON qe.vec_id = cand.qid),
+       |r AS (SELECT qid, nid,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank
+       |      FROM s)
+       |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF-ANN oracle: same deterministic coarse quantizer (the ncells
     * smallest-id vectors as seeds, argmax cosine with larger-cell tie-break),
     * nprobe probed cells, exact cosine top-k within probed cells.
@@ -2687,6 +2737,7 @@ object Catalog {
     "q_dedup_simhash" -> simhashOracleSql(60, 3),
     "q_column_sketch" -> columnSketchOracleSql(32),
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
+    "q_ann_lsh_mp" -> lshMultiProbeOracleSql(5, 4, 64, 42L),
     "q_ann_ivf" -> ivfAnnOracleSql(5, 16, 4),
     "q_knn_graph" -> ivfAnnOracleSql(3, 16, 2, queryFilter = ""),
     "q_knn_margin" -> knnMarginOracleSql(3, 16, 2),

@@ -1280,6 +1280,28 @@ class SimilaritySpec extends SparkSpec {
     val hits = lsh.count(r => bf.contains((r._1, r._3)))
     assert(hits * 2 >= lsh.length)
   }
+
+  test("multi-probe lsh: superset of single-probe results; probes=1 is identical") {
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Int, Long)].collect().map(r => (r._1, r._3)).toSet
+    val qs = vecs.where(col("vec_id") < 3)
+    val single = run(Similarity.lshTopK(vecs, qs, "vec_id", "embedding", 50, dim = 8))
+    val mp1 = run(Similarity.lshTopKMultiProbe(vecs, qs, "vec_id", "embedding", 50,
+      dim = 8, probes = 1))
+    assert(mp1 == single) // probes=1 degenerates to plain LSH exactly
+    val mp3 = run(Similarity.lshTopKMultiProbe(vecs, qs, "vec_id", "embedding", 50,
+      dim = 8, probes = 3))
+    // k=50 >> corpus: outputs ARE the candidate sets -> provable superset
+    assert(single.subsetOf(mp3))
+    assert(mp3.size > single.size, "probing must add candidates on this corpus")
+    // recall vs brute force can only improve
+    val bf = run(Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", 5))
+    val r1 = run(Similarity.lshTopK(vecs, qs, "vec_id", "embedding", 5, dim = 8))
+      .count(bf.contains)
+    val r3 = run(Similarity.lshTopKMultiProbe(vecs, qs, "vec_id", "embedding", 5,
+      dim = 8, probes = 3)).count(bf.contains)
+    assert(r3 >= r1)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
