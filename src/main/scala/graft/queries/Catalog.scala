@@ -1678,6 +1678,18 @@ object Catalog {
         Seq("l_extendedprice" -> 2, "l_quantity" -> 2))
         .orderBy("col_name", "digit")),
 
+    "q_record_linkage" -> { (s, dir) =>
+      // Fellegi-Sunter-shape entity resolution on customers: fuzzy name +
+      // exact segment/nation agreements, integer log-odds weights; blocked
+      // on the 16-char name prefix like q_fuzzy_join
+      val c = t(s, dir, "customer").withColumn("blk", expr("substr(c_name, 1, 16)"))
+      Joins.linkagePairs(c, "c_custkey", Seq("blk"), Seq(
+        Joins.LinkField("c_name", 4000L, -1000L, maxDist = 1),
+        Joins.LinkField("c_mktsegment", 1000L, -500L),
+        Joins.LinkField("c_nationkey", 800L, -400L)), minScoreFx = 4000L)
+        .orderBy("id_a", "id_b")
+    },
+
     "q_fuzzy_join" -> { (s, dir) =>
       // blocked edit-distance self-join (entity resolution): near-identical
       // customer names within a 16-char-prefix block; lossless length
@@ -4449,6 +4461,26 @@ object Catalog {
         |        lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH b AS (SELECT c_custkey AS id, substr(c_name, 1, 16) AS blk,
+        |                  c_name, c_mktsegment, c_nationkey FROM customer),
+        |p AS (SELECT a.id AS id_a, b2.id AS id_b,
+        |  CASE WHEN a.c_name IS NULL OR b2.c_name IS NULL THEN NULL
+        |       ELSE (abs(len(a.c_name) - len(b2.c_name)) <= 1 AND levenshtein(a.c_name, b2.c_name) <= 1) END AS agree_c_name,
+        |  CASE WHEN a.c_mktsegment IS NULL OR b2.c_mktsegment IS NULL THEN NULL
+        |       ELSE a.c_mktsegment = b2.c_mktsegment END AS agree_c_mktsegment,
+        |  CASE WHEN a.c_nationkey IS NULL OR b2.c_nationkey IS NULL THEN NULL
+        |       ELSE a.c_nationkey = b2.c_nationkey END AS agree_c_nationkey
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id)
+        |SELECT id_a, id_b, agree_c_name, agree_c_mktsegment, agree_c_nationkey,
+        |  CAST((CASE WHEN agree_c_name IS NULL THEN 0 WHEN agree_c_name THEN 4000 ELSE -1000 END)
+        |     + (CASE WHEN agree_c_mktsegment IS NULL THEN 0 WHEN agree_c_mktsegment THEN 1000 ELSE -500 END)
+        |     + (CASE WHEN agree_c_nationkey IS NULL THEN 0 WHEN agree_c_nationkey THEN 800 ELSE -400 END) AS BIGINT) AS score_fx,
+        |  (CASE WHEN agree_c_name IS NULL THEN 0 WHEN agree_c_name THEN 4000 ELSE -1000 END)
+        |     + (CASE WHEN agree_c_mktsegment IS NULL THEN 0 WHEN agree_c_mktsegment THEN 1000 ELSE -500 END)
+        |     + (CASE WHEN agree_c_nationkey IS NULL THEN 0 WHEN agree_c_nationkey THEN 800 ELSE -400 END) >= 4000 AS is_match
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
 
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

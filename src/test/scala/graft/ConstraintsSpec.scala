@@ -189,6 +189,28 @@ class ConstraintsSpec extends SparkSpec {
     assert(Correlation.cramersV(n, Seq("a" -> "b")).collect()(0).getLong(1) == 2L)
   }
 
+  test("linkagePairs: weighted field agreements, null = 0, match threshold") {
+    import graft.ops.Joins.LinkField
+    val people = Seq(
+      (1L, "b", "john smith", Option("NY"), Option(10)),
+      (2L, "b", "jon smith", Option("NY"), Option(10)),   // name within 1, both exact
+      (3L, "b", "john smith", Option("LA"), None),        // name exact, seg off, nation null
+      (4L, "b", "zzzz aaaa", Option("NY"), Option(10)),   // name far, others agree
+      (5L, "c", "john smith", Option("NY"), Option(10))   // other block: never paired
+    ).toDF("id", "blk", "name", "seg", "nat")
+    val out = Joins.linkagePairs(people, "id", Seq("blk"), Seq(
+      LinkField("name", 4000L, -1000L, maxDist = 1),
+      LinkField("seg", 1000L, -500L),
+      LinkField("nat", 800L, -400L)), minScoreFx = 4000L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(5), r.getBoolean(6))).toMap
+    assert(out((1L, 2L)) == ((5800L, true)))   // 4000 + 1000 + 800
+    assert(out((1L, 3L)) == ((3500L, false)))  // 4000 - 500 + 0 (null nation)
+    assert(out((1L, 4L)) == ((800L, false)))   // -1000 + 1000 + 800
+    assert(out((2L, 3L)) == ((3500L, false)))  // "jon"~"john" dist 1 agrees
+    assert(!out.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("fuzzyPairs: blocked levenshtein pairs, lossless length prefilter") {
     val names = Seq(
       (1L, "g1", "alpha"), (2L, "g1", "alphb"),   // dist 1
