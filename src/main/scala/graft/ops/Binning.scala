@@ -41,26 +41,68 @@ object Binning {
     *                         distributed prefix sum
     * @return (bin, n_rows, v_min, v_max) per non-empty bin, bins 0..k-1
     */
-  def equiDepthBins(df: DataFrame, valueCol: Column, k: Int,
-                    maxLocalDistinct: Long = 1L << 20): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+  /** Per-distinct-value counts with INCLUSIVE cumulative count, routed by
+    * measured distinct cardinality (local running sum vs the two-phase
+    * distributed prefix scan) — shared by [[equiDepthBins]] and
+    * [[valueRanks]].
+    */
+  private def cumulativeCounts(df: DataFrame, valueCol: Column,
+                               maxLocalDistinct: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.select(valueCol.cast(LongType).as("v")).where(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("c"))
     val distinct = counts.count() // one cheap job; the shuffle files are reused
-    val cum =
-      if (distinct <= maxLocalDistinct)
-        counts.withColumn("cum",
-          sum("c").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-      else
-        // INCLUSIVE cumulative = exclusive prefix sum + own count; value
-        // uniqueness (a groupBy key) satisfies prefixSum's order contract
-        Packing.prefixSum(counts, "v", col("c"), "cum_excl")
-          .withColumn("cum", col("cum_excl") + col("c")).drop("cum_excl")
-    val total = broadcast(counts.agg(sum("c").as("n")))
+    if (distinct <= maxLocalDistinct)
+      counts.withColumn("cum",
+        sum("c").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+    else
+      // INCLUSIVE cumulative = exclusive prefix sum + own count; value
+      // uniqueness (a groupBy key) satisfies prefixSum's order contract
+      Packing.prefixSum(counts, "v", col("c"), "cum_excl")
+        .withColumn("cum", col("cum_excl") + col("c")).drop("cum_excl")
+  }
+
+  def equiDepthBins(df: DataFrame, valueCol: Column, k: Int,
+                    maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cum = cumulativeCounts(df, valueCol, maxLocalDistinct)
+    val total = broadcast(cum.agg(sum("c").as("n")))
     cum.crossJoin(total)
       .withColumn("bin", expr(s"((cum - 1) * ${k}L) div n"))
       .groupBy("bin")
       .agg(sum("c").cast(LongType).as("n_rows"), min("v").as("v_min"), max("v").as("v_max"))
+  }
+
+  /** Exact empirical-CDF table per distinct value: (v, c, cum_lt, cum_le,
+    * pct_below, cdf) — the corpus-relative score normalizer ("this quality
+    * score is in the 93rd percentile"), the calibration step before mixing
+    * heterogeneous quality signals. `pct_below` = strict fraction below,
+    * `cdf` = inclusive fraction ≤ v; both one division of exact longs.
+    *
+    * Same scale shape as [[equiDepthBins]]: one value shuffle + the
+    * cardinality-routed cumulative — no global row window ever; attach to
+    * rows with [[withPercentileRank]] (skinny value join,
+    * AQE-broadcastable).
+    */
+  def valueRanks(df: DataFrame, valueCol: Column,
+                 maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    val cum = cumulativeCounts(df, valueCol, maxLocalDistinct)
+    val total = broadcast(cum.agg(sum("c").as("n")))
+    cum.crossJoin(total)
+      .select(col("v"), col("c").cast(LongType).as("c"),
+        (col("cum") - col("c")).cast(LongType).as("cum_lt"),
+        col("cum").cast(LongType).as("cum_le"),
+        ((col("cum") - col("c")).cast("double") / col("n").cast("double")).as("pct_below"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cdf"))
+  }
+
+  /** Attach [[valueRanks]]'s normalization to the rows themselves: the
+    * original frame plus (pct_below, cdf) for `valueCol`. */
+  def withPercentileRank(df: DataFrame, valueCol: Column,
+                         maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    val ranks = valueRanks(df, valueCol, maxLocalDistinct)
+      .select(col("v").as("__rank_v"), col("pct_below"), col("cdf"))
+    df.join(ranks, valueCol.cast(LongType) === col("__rank_v"), "left")
+      .drop("__rank_v")
   }
 }

@@ -741,6 +741,14 @@ object Catalog {
           MetricColumns.fixedPointLong(col("l_extendedprice"), 2), k = 8)
         .orderBy("bin")),
 
+    "q_pct_rank" -> ((s, dir) =>
+      // exact empirical CDF of quantity cents: the corpus-relative score
+      // normalizer; same routed-cumulative shape as q_bins, no global row
+      // window anywhere
+      Binning.valueRanks(t(s, dir, "lineitem"),
+        MetricColumns.fixedPointLong(col("l_quantity"), 2))
+        .orderBy("v")),
+
     "q_row_checks" -> { (s, dir) =>
       // cross-column row invariants riding the scan's pass 1: a holding
       // dates check and a violated arithmetic check, each one conditional
@@ -3479,6 +3487,20 @@ object Catalog {
         |       count(*) AS shared_keys,
         |       CAST(max(CAST(cl AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS max_key_rows
         |FROM l JOIN r USING (user_id)""".stripMargin,
+
+    "q_pct_rank" ->
+      """WITH c AS (SELECT CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |                            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS v,
+        |                  count(*) AS c
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(c) OVER () AS n
+        |      FROM c)
+        |SELECT v, CAST(c AS BIGINT) AS c,
+        |       CAST(cum - c AS BIGINT) AS cum_lt, CAST(cum AS BIGINT) AS cum_le,
+        |       CAST(cum - c AS DOUBLE) / CAST(n AS DOUBLE) AS pct_below,
+        |       CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS cdf
+        |FROM t ORDER BY v""".stripMargin,
 
     "q_bins" ->
       // the identical integer bin formula; DuckDB // == Spark div on the

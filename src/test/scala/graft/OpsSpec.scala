@@ -855,6 +855,29 @@ class BinningSpec extends SparkSpec {
     val dist = Binning.equiDepthBins(big, col("x"), 16, maxLocalDistinct = 0).orderBy("bin").collect().toSeq
     assert(local == dist, "window route and distributed prefix-sum route must agree")
   }
+
+  test("valueRanks / withPercentileRank: exact CDF, ties, route equivalence") {
+    // values 1,2,2,3 -> cdf 0.25 / 0.75 / 1.0; pct_below 0 / 0.25 / 0.75
+    val df = Seq(1L, 2L, 2L, 3L).toDF("x")
+    val r = Binning.valueRanks(df, col("x")).orderBy("v").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 0L, 1L, 0.0, 0.25),
+      (2L, 2L, 1L, 3L, 0.25, 0.75),
+      (3L, 1L, 3L, 4L, 0.75, 1.0)))
+    // attach to rows: every 2-row gets the same cdf; NULLs pass through
+    val rows = Binning.withPercentileRank(
+      Seq(Option(2L), Option(3L), None).toDF("x"), col("x"))
+      .orderBy("x").collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(2)) // null value -> null cdf
+    assert(rows(1).getDouble(2) == 0.5 && rows(2).getDouble(2) == 1.0) // over the 2 non-nulls
+    // route equivalence on a bigger frame
+    val big = (0 until 3000).map(i => (i * 13 % 512).toLong).toDF("x")
+    val a = Binning.valueRanks(big, col("x")).orderBy("v").collect().toSeq
+    val b = Binning.valueRanks(big, col("x"), maxLocalDistinct = 0).orderBy("v").collect().toSeq
+    assert(a == b)
+  }
 }
 
 class ManifestSpec extends SparkSpec {
