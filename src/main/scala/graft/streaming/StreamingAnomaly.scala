@@ -165,38 +165,40 @@ object StreamingAnomaly {
                              alarm_up: Boolean, alarm_dn: Boolean)
   final case class CusumLevels(sUp: Long, sDn: Long)
 
-  /** Streaming twin of [[graft.ops.Outliers.cusum]] on the same
-    * watermark-buffered total-order base as [[OrderedProcessor]]: per key
-    * the two Page recursions are TWO LONGS of state (+ the pending buffer);
-    * events drain in (ts, seq) order once the watermark finalizes them, so
-    * levels and alarms equal the batch operator under any cross-batch
-    * arrival disorder inside the allowed lateness.
+  /** Watermark-buffered total-order FOLD base: incoming events park in a
+    * ListState buffer; once the watermark finalizes them they drain through
+    * `step` in (ts, seq) order — so any per-event recurrence (CUSUM, EWMA)
+    * gets batch-identical results under cross-batch disorder by
+    * implementing ONE method. State = pending buffer + the fold state S +
+    * two bookkeeping longs; exactly one pending timer per key.
     */
-  class CusumProcessor(upRef: Long, dnRef: Long, hFx: Long)
-      extends StatefulProcessor[String, TimedEvent, CusumFlag] {
-    @transient private var lvl: ValueState[CusumLevels] = _
+  abstract class OrderedFoldProcessor[S, O](stateEnc: org.apache.spark.sql.Encoder[S])
+      extends StatefulProcessor[String, TimedEvent, O] {
+    protected def zero: S
+    protected def step(st: S, e: TimedEvent): (S, O)
+
+    @transient private var lvl: ValueState[S] = _
     @transient private var buf: ListState[TimedEvent] = _
     @transient private var drainedTo: ValueState[Long] = _
     @transient private var armedAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      lvl = getHandle.getValueState[CusumLevels]("lvl", Encoders.product[CusumLevels], TTLConfig.NONE)
+      lvl = getHandle.getValueState[S]("lvl", stateEnc, TTLConfig.NONE)
       buf = getHandle.getListState[TimedEvent]("buf", Encoders.product[TimedEvent], TTLConfig.NONE)
       drainedTo = getHandle.getValueState[Long]("drainedTo", Encoders.scalaLong, TTLConfig.NONE)
       armedAt = getHandle.getValueState[Long]("armedAt", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def drain(watermarkMs: Long): Iterator[CusumFlag] = {
+    private def drain(watermarkMs: Long): Iterator[O] = {
       if (watermarkMs <= 0) return Iterator.empty
       val all = buf.get().toSeq
       val (ready, pending) = all.partition(_.tsMs <= watermarkMs)
       if (ready.isEmpty) return Iterator.empty
-      var st = if (lvl.exists()) lvl.get() else CusumLevels(0L, 0L)
+      var st = if (lvl.exists()) lvl.get() else zero
       val out = ready.sortBy(e => (e.tsMs, e.seq)).map { e =>
-        st = CusumLevels(
-          math.max(0L, st.sUp + (e.fx - upRef)),
-          math.max(0L, st.sDn + (dnRef - e.fx)))
-        CusumFlag(e.key, e.seq, st.sUp, st.sDn, st.sUp > hFx, st.sDn > hFx)
+        val (st2, o) = step(st, e)
+        st = st2
+        o
       }
       lvl.update(st)
       drainedTo.update(watermarkMs)
@@ -221,7 +223,7 @@ object StreamingAnomaly {
     }
 
     override def handleInputRows(key: String, rows: Iterator[TimedEvent],
-                                 timerValues: TimerValues): Iterator[CusumFlag] = {
+                                 timerValues: TimerValues): Iterator[O] = {
       val floor = if (drainedTo.exists()) drainedTo.get() else Long.MinValue
       val fresh = rows.filter(_.tsMs > floor).toArray
       if (fresh.nonEmpty) buf.appendList(fresh)
@@ -231,12 +233,67 @@ object StreamingAnomaly {
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
-                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[CusumFlag] = {
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[O] = {
       if (armedAt.exists() && armedAt.get() == expiredTimerInfo.getExpiryTimeInMs()) armedAt.clear()
       val out = drain(timerValues.getCurrentWatermarkInMs())
       armTimer(timerValues)
       out
     }
+  }
+
+  /** Streaming twin of [[graft.ops.Outliers.cusum]] on the ordered-fold
+    * base: per key the two Page recursions are TWO LONGS of state beyond
+    * the pending buffer; levels and alarms equal the batch operator under
+    * any cross-batch arrival disorder inside the allowed lateness.
+    */
+  class CusumProcessor(upRef: Long, dnRef: Long, hFx: Long)
+      extends OrderedFoldProcessor[CusumLevels, CusumFlag](Encoders.product[CusumLevels]) {
+    override protected def zero: CusumLevels = CusumLevels(0L, 0L)
+    override protected def step(st: CusumLevels, e: TimedEvent): (CusumLevels, CusumFlag) = {
+      val next = CusumLevels(
+        math.max(0L, st.sUp + (e.fx - upRef)),
+        math.max(0L, st.sDn + (dnRef - e.fx)))
+      (next, CusumFlag(e.key, e.seq, next.sUp, next.sDn, next.sUp > hFx, next.sDn > hFx))
+    }
+  }
+
+  final case class EwmaPoint(key: String, seq: Long, ewma_fx: Long)
+  final case class EwmaLevel(level: Long, seeded: Boolean)
+
+  /** Streaming twin of [[graft.ops.Outliers.ewma]] on the ordered-fold
+    * base: one long of fold state; the emitted level after each event
+    * equals the batch fold over that event's prefix, so the key's LAST
+    * point equals the batch operator's final `ewma_fx` exactly.
+    */
+  class EwmaProcessor(alphaNum: Long, alphaDen: Long)
+      extends OrderedFoldProcessor[EwmaLevel, EwmaPoint](Encoders.product[EwmaLevel]) {
+    override protected def zero: EwmaLevel = EwmaLevel(0L, seeded = false)
+    override protected def step(st: EwmaLevel, e: TimedEvent): (EwmaLevel, EwmaPoint) = {
+      val next =
+        if (!st.seeded) EwmaLevel(e.fx, seeded = true)
+        else EwmaLevel(st.level + ((e.fx - st.level) * alphaNum) / alphaDen, seeded = true)
+      (next, EwmaPoint(e.key, e.seq, next.level))
+    }
+  }
+
+  /** Watermark-buffered streaming EWMA; caller must already have applied
+    * `withWatermark(tsCol, …)`. Parameters mirror the batch operator.
+    */
+  def ewmaStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                 tsCol: String, seqCol: String, valueCol: String,
+                 alphaNum: Int, alphaDen: Int, fxScale: Int = 2): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    require(alphaNum > 0 && alphaNum <= alphaDen, "alpha must be in (0, 1]")
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale).as("fx"),
+        (col(tsCol).cast("timestamp").cast("double") * 1000.0).cast("long").as("tsMs"))
+      .where(col("fx").isNotNull)
+      .as[TimedEvent]
+      .groupByKey(_.key)
+      .transformWithState(new EwmaProcessor(alphaNum, alphaDen),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Watermark-buffered streaming CUSUM; caller must already have applied
