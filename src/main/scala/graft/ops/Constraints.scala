@@ -92,6 +92,36 @@ object Constraints {
         col("child_rows"), col("null_fk_rows"), col("orphan_rows"), col("orphan_keys"))
   }
 
+  /** APPROXIMATE-FD strength (Kivinen–Mannila g3): the minimum fraction of
+    * rows to DELETE for `lhs → rhs` to hold exactly —
+    * g3 = (n − Σ_groups max-agreeing-rhs-count) / n. Where [[fdCheck]]
+    * counts violating groups, g3 says how CLOSE the dependency is ("custkey
+    * determines priority for 97% of rows") — the right metric for noisy
+    * real data where exact FDs never hold.
+    *
+    * Shape: one groupBy(lhs, rhs) count (map-side combined), a max_by
+    * re-aggregate per lhs, one 1-row aggregate — all skinny. The ratio is
+    * one division of exact longs.
+    */
+  def fdStrength(df: DataFrame, fds: Seq[(Seq[String], Seq[String])]): DataFrame = {
+    require(fds.nonEmpty, "need at least one FD")
+    val frames = fds.map { case (lhs, rhs) =>
+      val cells = df.groupBy((lhs ++ rhs).map(col): _*).agg(count(lit(1)).as("__c"))
+      val maxPer = cells.groupBy(lhs.map(col): _*).agg(max(col("__c")).as("__m"))
+      maxPer.agg(
+        sum(col("__m")).cast(LongType).as("kept"),
+        count(lit(1)).as("lhs_groups"))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+        .select(
+          lit(s"${lhs.mkString(",")}->${rhs.mkString(",")}").as("fd"),
+          col("n"), col("lhs_groups"), col("kept"),
+          (col("n") - col("kept")).cast(LongType).as("violating_rows"),
+          when(col("n") > 0L,
+            (col("n") - col("kept")).cast(DoubleType) / col("n").cast(DoubleType)).as("g3"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
   /** True iff `cols` form a candidate key (no lhs group has more than one
     * row). Cheaper than [[fdCheck]] with every other column on the rhs —
     * key-ness only needs group sizes.

@@ -1598,6 +1598,15 @@ object Catalog {
         Seq("o_custkey") -> Seq("o_orderstatus", "o_orderpriority")))
         .orderBy("fd")),
 
+    "q_fd_strength" -> ((s, dir) =>
+      // g3 approximate-FD strength: the exact key FD scores 0; the noisy
+      // ones score their minimum delete fraction
+      Constraints.fdStrength(t(s, dir, "orders"), Seq(
+        Seq("o_orderkey") -> Seq("o_custkey"),
+        Seq("o_custkey") -> Seq("o_orderpriority"),
+        Seq("o_orderstatus") -> Seq("o_orderpriority")))
+        .orderBy("fd")),
+
     "q_fk_audit" -> { (s, dir) =>
       // referential integrity: the intact TPC-H FK (0 orphans proves the
       // audit doesn't false-positive) plus the same FK against a damaged
@@ -4474,6 +4483,34 @@ object Catalog {
         |         CAST(coalesce(sum(n) FILTER (WHERE d > 1), 0) AS BIGINT)
         |  FROM (SELECT o_orderkey, count(*) AS n, count(DISTINCT row(o_custkey)) AS d
         |        FROM orders GROUP BY 1)
+        |) ORDER BY fd""".stripMargin,
+
+    "q_fd_strength" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders),
+        |c1 AS (SELECT o_orderkey, o_custkey, count(*) AS c FROM orders GROUP BY 1, 2),
+        |m1 AS (SELECT o_orderkey, max(c) AS m FROM c1 GROUP BY 1),
+        |a1 AS (SELECT CAST(sum(m) AS BIGINT) AS kept, count(*) AS lhs_groups FROM m1),
+        |c2 AS (SELECT o_custkey, o_orderpriority, count(*) AS c FROM orders GROUP BY 1, 2),
+        |m2 AS (SELECT o_custkey, max(c) AS m FROM c2 GROUP BY 1),
+        |a2 AS (SELECT CAST(sum(m) AS BIGINT) AS kept, count(*) AS lhs_groups FROM m2),
+        |c3 AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c FROM orders GROUP BY 1, 2),
+        |m3 AS (SELECT o_orderstatus, max(c) AS m FROM c3 GROUP BY 1),
+        |a3 AS (SELECT CAST(sum(m) AS BIGINT) AS kept, count(*) AS lhs_groups FROM m3)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey->o_custkey' AS fd, n, lhs_groups, kept,
+        |    CAST(n - kept AS BIGINT) AS violating_rows,
+        |    CASE WHEN n > 0 THEN CAST(n - kept AS DOUBLE) / CAST(n AS DOUBLE) END AS g3
+        |  FROM a1 CROSS JOIN n
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderpriority', n, lhs_groups, kept,
+        |    CAST(n - kept AS BIGINT),
+        |    CASE WHEN n > 0 THEN CAST(n - kept AS DOUBLE) / CAST(n AS DOUBLE) END
+        |  FROM a2 CROSS JOIN n
+        |  UNION ALL
+        |  SELECT 'o_orderstatus->o_orderpriority', n, lhs_groups, kept,
+        |    CAST(n - kept AS BIGINT),
+        |    CASE WHEN n > 0 THEN CAST(n - kept AS DOUBLE) / CAST(n AS DOUBLE) END
+        |  FROM a3 CROSS JOIN n
         |) ORDER BY fd""".stripMargin,
 
     "q_monotonic" ->

@@ -39,6 +39,21 @@ class ConstraintsSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 1L, 2L))) // only k=a violates, with its 2 rows
   }
 
+  test("fdStrength: g3 = min delete fraction; exact FD scores 0; NULL is a value") {
+    // k=a: 2 rows agree on x (max 2); k=b: y and z split 1/1 (max 1); k=c: 1
+    val g = Constraints.fdStrength(df, Seq(
+      Seq("id") -> Seq("k"),   // key FD: kept = n -> g3 = 0
+      Seq("k") -> Seq("v")))   // kept = 2 + 1 + 1 = 4 of 5 -> g3 = 0.2
+      .orderBy("fd").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getDouble(5))).toMap
+    assert(g("id->k") == ((5L, 0.0)))
+    assert(g("k->v") == ((4L, 0.2)))
+    // NULL rhs values count as a value (the fdCheck convention)
+    val n = Seq((1L, "a", Option("x")), (2L, "a", None), (3L, "a", None)).toDF("id", "k", "v")
+    val gn = Constraints.fdStrength(n, Seq(Seq("k") -> Seq("v"))).collect()(0)
+    assert(gn.getLong(3) == 2L && gn.getDouble(5) == 1.0 / 3.0)
+  }
+
   test("isKey") {
     assert(Constraints.isKey(df, Seq("id")))
     assert(!Constraints.isKey(df, Seq("k")))
