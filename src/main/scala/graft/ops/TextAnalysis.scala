@@ -656,6 +656,44 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg")("w1").as("w1"), col("bg")("w2").as("w2"))
 
+  /** Collocation mining: the corpus's top-k adjacent token pairs by PMI —
+    * "new york"-style multiword units that behave as one token (feeds
+    * tokenizer vocabularies and phrase-aware dedup). PMI = ln(p(ab) /
+    * (p(a)·p(b))) with p(ab) over bigram positions and unigram p over
+    * token positions = ln(c_ab·U² / (T·c_a·c_b)) — exact longs in, one
+    * fixed double tree, quantized at scale 9 so the RANKING replays
+    * cross-engine; ties on (w1, w2). `minCount` floors c_ab (PMI's classic
+    * hapax bias: a pair seen once between two rare words maxes the score).
+    *
+    * Shape: one unigram count shuffle + one bigram count shuffle (both
+    * map-side combined), two skinny AQE-broadcastable unigram joins onto
+    * the bigram-count frame (vocabulary-sized, not corpus-sized), global
+    * top-k via TakeOrderedAndProject.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   minCount: Long = 5L): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+    val uni = toks.groupBy("t").agg(count(lit(1)).as("cu"))
+    val uTotal = toks.count()
+    val big = bigramPairs(df, idCol, textCol)
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val tTotal = big.count()
+    val joined = bc
+      .join(uni.select(col("t").as("w1"), col("cu").as("c_a")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("cu").as("c_b")), Seq("w2"))
+    val ud = lit(uTotal).cast(DoubleType)
+    val pmi = log((col("c_ab").cast(DoubleType) * (ud * ud)) /
+      (lit(tTotal).cast(DoubleType) * (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType))))
+    joined
+      .withColumn("pmi_fx", graft.metrics.MetricColumns.fixedPointLong(pmi, 9))
+      .orderBy(col("pmi_fx").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_fx"),
+        (col("pmi_fx").cast(DoubleType) / lit(1000000000.0)).as("pmi"))
+  }
+
   /** Train the add-one-smoothed bigram model: one (w1,w2) count shuffle +
     * one exact distinct over tokens. The model frame is vocabulary-sized —
     * orders of magnitude smaller than the corpus.

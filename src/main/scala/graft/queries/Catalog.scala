@@ -1375,6 +1375,12 @@ object Catalog {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
 
+    "q_collocations" -> ((s, dir) =>
+      // top-30 adjacent-pair collocations by quantized PMI (minCount 20):
+      // two count shuffles + skinny unigram joins, TakeOrdered top-k
+      TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
+        k = 30, minCount = 20L)),
+
     "q_tfidf" -> ((s, dir) =>
       // per-doc top-3 TF-IDF keywords: one (doc, token) shuffle + skinny
       // df join + doc-bounded window; score quantized once at scale 6
@@ -4172,6 +4178,27 @@ object Catalog {
     "q_bpe_merges" -> bpeMergesOracleSql(4, "[a-z]+"),
 
     "q_bpe_tokens" -> bpeTokensOracleSql(4, "[a-z]+"),
+
+    "q_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |u AS (SELECT t, count(*) AS cu FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+        |ut AS (SELECT CAST(sum(cu) AS BIGINT) AS u FROM u),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+        |big AS (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM idx),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM big),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2 HAVING count(*) >= 20),
+        |j AS (SELECT bc.w1, bc.w2, bc.c_ab, a.cu AS c_a, b.cu AS c_b
+        |      FROM bc JOIN u a ON a.t = bc.w1 JOIN u b ON b.t = bc.w2),
+        |sc AS (SELECT w1, w2, c_ab, c_a, c_b,
+        |  ln((CAST(c_ab AS DOUBLE) * (CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+        |     / (CAST(t AS DOUBLE) * (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))) AS x
+        |FROM j CROSS JOIN ut CROSS JOIN tt),
+        |fx AS (SELECT w1, w2, c_ab, c_a, c_b,
+        |  CAST(CASE WHEN x >= 0 THEN floor(x * 1000000000.0 + 0.5)
+        |            ELSE -floor(-x * 1000000000.0 + 0.5) END AS BIGINT) AS pmi_fx
+        |FROM sc)
+        |SELECT w1, w2, c_ab, c_a, c_b, pmi_fx, CAST(pmi_fx AS DOUBLE) / 1000000000.0 AS pmi
+        |FROM fx ORDER BY pmi_fx DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
 
     "q_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),

@@ -1431,6 +1431,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
   }
 
+  test("collocations: PMI ranks glued pairs over chance pairs; minCount floors hapaxes") {
+    // "new york" always adjacent and rare; "the cat" glued in half the
+    // docs but both words also occur apart -> lower PMI
+    val docs = ((1 to 10).map(i => (i.toLong, "new york the cat runs")) ++
+      (11 to 20).map(i => (i.toLong, "the dog runs cat alone"))).toDF("id", "text")
+    val out = TextAnalysis.collocations(docs, "id", "text", k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(6))).toMap
+    // scalar reference: U = 100 tokens, T = 80 bigrams
+    val refNy = math.log((10.0 * 100.0 * 100.0) / (80.0 * 10.0 * 10.0))
+    assert(math.abs(out(("new", "york"))._2 - refNy) < 1e-8)
+    // "new york" (always glued, rare parts) outranks "the cat" (mixed)
+    assert(out(("new", "york"))._2 > out(("the", "cat"))._2)
+    // minCount drops pairs under the floor ("the cat": 10 < 15... both are
+    // 10 here, so floor at 11 drops everything except nothing -> use 10/11
+    val floored = TextAnalysis.collocations(docs, "id", "text", k = 20, minCount = 11L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!floored.contains(("new", "york")) && !floored.contains(("the", "cat")))
+    val kept = TextAnalysis.collocations(docs, "id", "text", k = 20, minCount = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept.contains(("new", "york")) && kept.contains(("the", "cat")))
+  }
+
   test("tfidfKeywords: idf ranks distinctive tokens above common ones") {
     // "the" appears in all docs (idf lowest); each doc's distinctive token wins
     val d = Seq(
