@@ -627,6 +627,13 @@ object Catalog {
           Seq("signup", "click", "purchase"), windowSec = 7L * 86400L)
         .orderBy("stage_index")),
 
+    "q_funnel_gaps" -> ((s, dir) =>
+      // time-to-convert between the same funnel's stages: exact quartiles
+      // + mean of integer-second reach-time gaps per transition
+      Events.stageGaps(t(s, dir, "events"), "ts", "user_id", "event_type",
+          Seq("signup", "click", "purchase"), windowSec = 7L * 86400L)
+        .orderBy("stage_index")),
+
     "q_cohort" -> ((s, dir) =>
       // weekly cohort retention triangle over integer epoch-day/week indices
       // (calendar-function-free, so both engines bucket identically)
@@ -3371,6 +3378,35 @@ object Catalog {
         |  SELECT 2, 'click', count(*) FROM s2
         |  UNION ALL
         |  SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY stage_index""".stripMargin,
+
+    "q_funnel_gaps" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1
+        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id AS u, min(s1.t1) AS t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.u = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id AS u, min(s2.t1) AS t1, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON s2.u = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s2.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id),
+        |g1 AS (SELECT CAST(floor(epoch(s2.t2)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) AS gap
+        |       FROM s2 JOIN s1 ON s1.u = s2.u),
+        |g2 AS (SELECT CAST(floor(epoch(s3.t3)) AS BIGINT) - CAST(floor(epoch(s2.t2)) AS BIGINT) AS gap
+        |       FROM s3 JOIN s2 ON s2.u = s3.u)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_index, 'signup->click' AS transition, CAST(count(*) AS BIGINT) AS users,
+        |         quantile_cont(gap, 0.25) AS p25, quantile_cont(gap, 0.5) AS p50, quantile_cont(gap, 0.75) AS p75,
+        |         CASE WHEN count(*) > 0 THEN CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS avg_sec
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT 2, 'click->purchase', CAST(count(*) AS BIGINT),
+        |         quantile_cont(gap, 0.25), quantile_cont(gap, 0.5), quantile_cont(gap, 0.75),
+        |         CASE WHEN count(*) > 0 THEN CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) END
+        |  FROM g2)
         |ORDER BY stage_index""".stripMargin,
 
     "q_cohort" ->

@@ -2546,6 +2546,27 @@ class EventsSpec extends SparkSpec {
     assert(unbounded == Set((1, "signup", 4L), (2, "click", 3L), (3, "purchase", 2L)))
   }
 
+  test("stageGaps: exact quartiles and mean of reach-time deltas per transition") {
+    // users 1-4 convert signup->click with gaps 600, 1200, 1800, 2400 s;
+    // users 1-2 convert click->purchase with gaps 300, 900 s
+    val ev = (
+      (1L to 4L).map(u => (u, "signup", ts(0, 0))) ++
+        Seq((1L, "click", ts(0, 10)), (2L, "click", ts(0, 20)),
+          (3L, "click", ts(0, 30)), (4L, "click", ts(0, 40))) ++
+        Seq((1L, "purchase", ts(0, 15)), (2L, "purchase", ts(0, 35))) :+
+        ((5L, "click", ts(0, 1))) // never signed up: excluded
+      ).toDF("user_id", "event_type", "ts")
+    val out = Events.stageGaps(ev, "ts", "user_id", "event_type",
+      Seq("signup", "click", "purchase")).orderBy("stage_index").collect()
+    val r1 = out(0)
+    assert(r1.getString(1) == "signup->click" && r1.getLong(2) == 4L)
+    assert(r1.getDouble(3) == 1050.0 && r1.getDouble(4) == 1500.0 && r1.getDouble(5) == 1950.0)
+    assert(r1.getDouble(6) == 1500.0)
+    val r2 = out(1)
+    assert(r2.getString(1) == "click->purchase" && r2.getLong(2) == 2L)
+    assert(r2.getDouble(4) == 600.0 && r2.getDouble(6) == 600.0)
+  }
+
   test("cohort retention: epoch-week buckets off each user's first event") {
     val ev = Seq(
       (1L, ts(0, 0)), (1L, ts(8, 0)),              // cohort week 0, offsets 0 and 1
