@@ -78,7 +78,14 @@ final case class ColumnConfig(
       * name). The batch scan records the exact two-sample KS statistic
       * against it as a `ks_stat` measurement (`ks_reference:` YAML key).
       */
-    ksReference: Option[String] = None
+    ksReference: Option[String] = None,
+    /** Fixed-point scale for a Benford first-digit audit of this column
+      * (`benford:` YAML key; 2 for currency). The scan records the
+      * chi-square vs Benford's law as a `benford_chi2` measurement —
+      * compare to the chi-square(8) critical value (20.09 at p = 0.01) in
+      * a test like `benford_chi2 < 20.09`.
+      */
+    benford: Option[Int] = None
 )
 
 /** Beyond the reference surface: per-column rolling z-score anomaly

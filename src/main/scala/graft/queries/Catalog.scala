@@ -833,6 +833,34 @@ object Catalog {
         lit(passed("ks_stat < 0.2")).as("ks_passed"))
     },
 
+    "q_scan_benford" -> { (s, dir) =>
+      // the `benford:` check family through the full scan surface: chi2
+      // measurements for two columns + one loose (passes) and one strict
+      // (fails: synthetic prices are nothing like Benford) test
+      val li = t(s, dir, "lineitem")
+      val yaml =
+        """table_name: li
+          |columns:
+          |  l_extendedprice:
+          |    benford: 2
+          |    tests:
+          |    - benford_chi2 < 100000
+          |    - benford_chi2 < 20.09
+          |  l_quantity:
+          |    benford: 2
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, li, yaml)
+      def m(c: String) =
+        r.measurement("benford_chi2", Some(c)).get.value.get.asInstanceOf[Double]
+      def passed(expr: String) =
+        r.testResults.find(_.test.expression == expr).get.passed
+      s.range(1).select(
+        lit(m("l_extendedprice")).as("chi2_price"),
+        lit(m("l_quantity")).as("chi2_qty"),
+        lit(passed("benford_chi2 < 100000")).as("loose_passed"),
+        lit(passed("benford_chi2 < 20.09")).as("strict_passed"))
+    },
+
     "q_rollup" -> { (s, dir) =>
       // hierarchical totals in one pass (Expand, not N aggregates)
       t(s, dir, "lineitem")
@@ -2738,6 +2766,16 @@ object Catalog {
         |                   / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END
         |  FROM m2
         |) ORDER BY pair""".stripMargin,
+
+    "q_scan_benford" -> {
+      val noOrder = benfordOracle.replace("ORDER BY col_name, digit", "")
+      s"""WITH b AS ($noOrder)
+         |SELECT
+         |  (SELECT DISTINCT chi2 FROM b WHERE col_name = 'l_extendedprice') AS chi2_price,
+         |  (SELECT DISTINCT chi2 FROM b WHERE col_name = 'l_quantity') AS chi2_qty,
+         |  (SELECT DISTINCT chi2 FROM b WHERE col_name = 'l_extendedprice') < 100000.0 AS loose_passed,
+         |  (SELECT DISTINCT chi2 FROM b WHERE col_name = 'l_extendedprice') < 20.09 AS strict_passed""".stripMargin
+    },
 
     "q_conull" ->
       """WITH f AS (SELECT

@@ -90,6 +90,7 @@ object ScanYamlParser {
           minDev = optNum(am, "min_dev").getOrElse(0.0))
       },
       psiReference = optStr(m, "psi_reference"),
-      ksReference = optStr(m, "ks_reference")
+      ksReference = optStr(m, "ks_reference"),
+      benford = optInt(m, "benford")
     )
 }

@@ -621,6 +621,22 @@ object Scanner {
       record(f.name, "ks_stat", ks)
     }
 
+    // ---- Benford audit (beyond the reference: `benford:` column key,
+    // value = fixed-point scale) ---- chi-square of the column's first
+    // significant digits vs Benford's law (Constraints.benfordAudit — one
+    // fused aggregate, literal-constant chi2 tree) as `benford_chi2`, so
+    // tests gate on it like any count ("benford_chi2 < 20.09")
+    {
+      val benfordCols = fields.filter(f => cfgOf(f.name).benford.isDefined)
+        .map(f => f.name -> cfgOf(f.name).benford.get)
+      if (benfordCols.nonEmpty) {
+        graft.ops.Constraints.benfordAudit(df, benfordCols)
+          .select("col_name", "chi2").distinct().collect()
+          .foreach(r => record(r.getString(0), "benford_chi2",
+            if (r.isNullAt(1)) null else r.getDouble(1)))
+      }
+    }
+
     // ---- samples (reference `samples:` config, tests/test_scan.py:24-26) --
     // table_limit: a deterministic head-by-all-columns table sample;
     // failed_limit: per configured column, the first N rows failing its

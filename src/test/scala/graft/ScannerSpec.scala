@@ -543,4 +543,26 @@ class ScannerSpec extends SparkSpec {
     assert(viaRef.toSeq == direct.toSeq,
       "saved-reference PSI must equal the in-memory two-frame PSI bit-for-bit")
   }
+
+  test("scan `benford:` family: chi2 measurement equals the standalone audit; tests gate") {
+    import spark.implicits._
+    // first digits heavily skewed to 9 -> large chi2, strict test fails
+    val amounts = ((1 to 50).map(_ => 9000.0) ++ Seq(100.0, 200.0)).toDF("amt")
+    val y =
+      """table_name: t
+        |columns:
+        |  amt:
+        |    benford: 2
+        |    tests:
+        |    - benford_chi2 < 20.09
+        |    - benford_chi2 > 1
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, amounts, y)
+    val chi2 = r.measurement("benford_chi2", Some("amt")).get.value.get.asInstanceOf[Double]
+    val direct = graft.ops.Constraints.benfordAudit(amounts, Seq("amt" -> 2))
+      .select("chi2").distinct().collect()(0).getDouble(0)
+    assert(chi2 == direct, "scan path must equal the standalone audit bit-for-bit")
+    assert(!r.testResults.find(_.test.expression == "benford_chi2 < 20.09").get.passed)
+    assert(r.testResults.find(_.test.expression == "benford_chi2 > 1").get.passed)
+  }
 }
