@@ -86,6 +86,49 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** Exact token-set Jaccard pairs via PREFIX FILTERING (Chaudhuri et al.
+    * ICDE'06 / Xiao et al. PPJoin): index only each document's first
+    * `n − ⌈t·n⌉ + 1` tokens in the global (hash) order. Completeness: two
+    * sets with jaccard ≥ t share ≥ ⌈t·max(n_a,n_b)⌉ tokens, and sets
+    * sharing that many tokens must collide within both prefixes — so
+    * candidate generation loses nothing while the inverted index carries
+    * only ~(1−t) of each document's tokens: at t = 0.9, a 10× smaller
+    * index and ~100× fewer token-join rows than [[jaccardPairs]], the
+    * difference between feasible and not at corpus scale.
+    *
+    * Candidates are verified with one exact set intersection against the
+    * full token arrays (two skinny id-keyed joins). Output is identical to
+    * [[jaccardPairs]] — (id_a, id_b, inter, union_size) — and the two
+    * strategies are equivalence-spec'd.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val docs = df.select((col(idCol).as("id") +: tokenHashSet(col(textCol)).as("toks") +:
+        blockCols.map(col)): _*)
+      .withColumn("nt", size(col("toks")))
+    val prefLen = col("nt") -
+      ceil(lit(threshold) * col("nt").cast(DoubleType)).cast(IntegerType) + 1
+    val inv = docs
+      .select((col("id") +: col("nt") +:
+        explode(slice(col("toks"), lit(1), prefLen)).as("tok") +: blockCols.map(col)): _*)
+    val joinKeys = "tok" +: blockCols
+    val a = inv.select((col("tok") +: col("id").as("id_a") +: col("nt").as("nt_a") +: blockCols.map(col)): _*)
+    val b = inv.select((col("tok") +: col("id").as("id_b") +: col("nt").as("nt_b") +: blockCols.map(col)): _*)
+    val cand = a.join(b, joinKeys)
+      .where(col("id_a") < col("id_b") &&
+        col("nt_a").cast(DoubleType) >= lit(threshold) * col("nt_b").cast(DoubleType) &&
+        col("nt_b").cast(DoubleType) >= lit(threshold) * col("nt_a").cast(DoubleType))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("toks").as("toks_a"), col("nt").as("nt_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("toks").as("toks_b"), col("nt").as("nt_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("union_size", col("nt_a") + col("nt_b") - col("inter"))
+      .where(col("inter").cast(DoubleType) / col("union_size").cast(DoubleType) >= threshold)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
   /** Exact token-set CONTAINMENT pairs via the same inverted-index join:
     * C(sub → sup) = |sub ∩ sup| / |sub| — the asymmetric complement of
     * [[jaccardPairs]]. A short document wholly embedded in a much longer one

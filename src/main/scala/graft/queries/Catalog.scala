@@ -901,6 +901,13 @@ object Catalog {
         threshold = 0.9, blockCols = Seq("lang", "source"))
         .orderBy("id_a", "id_b")),
 
+    "q_dedup_jaccard_prefix" -> ((s, dir) =>
+      // prefix-filtered strategy: identical output contract to the
+      // inverted-index gate (same oracle), ~(1-t) of tokens indexed
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9, blockCols = Seq("lang", "source"))
+        .orderBy("id_a", "id_b")),
+
     "q_containment" -> ((s, dir) =>
       // asymmetric sub-document detection: directed containment ≥ 0.9 within
       // (lang, source) blocks — catches short-inside-long reuse that the
@@ -2546,6 +2553,20 @@ object Catalog {
        |FROM m ORDER BY query_id, margin_rank""".stripMargin
   }
 
+  /** Shared by q_dedup_jaccard_inv and q_dedup_jaccard_prefix: both
+    * strategies contract to the identical (id_a, id_b, inter, union_size)
+    * output at threshold 0.9 within (lang, source) blocks. */
+  private val jaccardInvOracle: String =
+    """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+      |t AS (SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok FROM d)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |       a.nt + b.nt - count(*) AS union_size
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+      |                 AND a.tok = b.tok AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
+      |HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** q_benford oracle, generated from the same [[Constraints.BenfordP]]
     * literals the Spark side binds: Scala's Double.toString round-trips
     * (shortest repr), so the SQL literal parses back to the identical
@@ -3658,16 +3679,9 @@ object Catalog {
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_jaccard_inv" ->
-      """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
-        |t AS (SELECT doc_id, lang, source, len(toks) AS nt, unnest(toks) AS tok FROM d)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
-        |       a.nt + b.nt - count(*) AS union_size
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
-        |                 AND a.tok = b.tok AND a.doc_id < b.doc_id
-        |GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
-        |HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_jaccard_inv" -> jaccardInvOracle,
+    // identical output contract, different Spark plan (prefix filtering)
+    "q_dedup_jaccard_prefix" -> jaccardInvOracle,
 
     "q_containment" ->
       """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),

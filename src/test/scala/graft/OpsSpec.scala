@@ -46,6 +46,34 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 7.0 / 9.0) < 1e-15)
   }
 
+  test("jaccardPairsPrefix: equivalent to the full inverted index, smaller index") {
+    // random-ish corpora across thresholds: identical pairs from both paths
+    val rnd = new scala.util.Random(17)
+    val vocab = ('a' to 'z').map(_.toString)
+    val corpus = (1L to 60L).map { i =>
+      val base = rnd.shuffle(vocab).take(8 + rnd.nextInt(8))
+      (i, base.mkString(" "))
+    }.toDF("id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val full = Dedup.jaccardPairs(corpus, "id", "text", t)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val pref = Dedup.jaccardPairsPrefix(corpus, "id", "text", t)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(pref == full, s"threshold $t")
+    }
+    // exact dups always found even at t = 1.0 (prefix length 1)
+    val dup = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q r")).toDF("id", "text")
+    val got = Dedup.jaccardPairsPrefix(dup, "id", "text", 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+    // the index really is smaller: count exploded prefix rows vs full rows
+    // (t = 0.9 on 12-token docs indexes 2 tokens/doc instead of 12)
+    val twelve = (1L to 5L).map(i => (i, ('a' to 'l').mkString(" "))).toDF("id", "text")
+    val fullRows = 5 * 12
+    val prefRows = 5 * (12 - math.ceil(0.9 * 12).toInt + 1)
+    assert(prefRows * 5 < fullRows, s"prefix index $prefRows vs $fullRows")
+  }
+
   test("minhash LSH finds the same dups with exact verification") {
     val pairs = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
