@@ -139,6 +139,28 @@ object Outliers {
       .drop("__arr", "__vs")
   }
 
+  /** Winsorization: clamp `valueCol` into its own [pLow, pHigh] exact
+    * percentile fences — the standard heavy-tail tamer before averaging /
+    * training on a signal with spikes (clip, don't drop: row count and
+    * joins stay intact). Two passes: ONE exact-percentile aggregate (a
+    * 1-row frame broadcast back) + a row-local clamp; adds
+    * `<col>_winsorized` and a `was_clipped` flag. Percentiles interpolate
+    * over the raw values — run on fixed-point-quantized inputs when
+    * cross-engine bit-parity of the fences matters.
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLow: Double = 0.01,
+                pHigh: Double = 0.99): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "bad percentile bounds")
+    val fences = df.agg(
+      percentile(col(valueCol), lit(pLow)).as("__lo"),
+      percentile(col(valueCol), lit(pHigh)).as("__hi"))
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
+    df.crossJoin(broadcast(fences))
+      .withColumn(s"${valueCol}_winsorized", least(greatest(v, col("__lo")), col("__hi")))
+      .withColumn("was_clipped", v < col("__lo") || v > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   def iqrOutliers(df: DataFrame, valueCol: Column, groupCol: String,
                   k: Double = 1.5, approx: Boolean = false): DataFrame = {
     // NOTE a counts-based exact quantile (groupBy value → running count →

@@ -833,6 +833,20 @@ object Catalog {
         lit(passed("ks_stat < 0.2")).as("ks_passed"))
     },
 
+    "q_winsorize" -> { (s, dir) =>
+      // heavy-tail clipping into exact 5/95 percentile fences; summary per
+      // flag with an order-free quantized sum of the clamped values
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.winsorize(base, "cents", 0.05, 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_clipped"), 1L).otherwise(0L)).cast(LongType).as("clipped"),
+          sum(MetricColumns.fixedPointLong(col("cents_winsorized"), 2))
+            .cast(LongType).as("wsum_fx"))
+        .orderBy("l_returnflag")
+    },
+
     "q_scan_benford" -> { (s, dir) =>
       // the `benford:` check family through the full scan surface: chi2
       // measurements for two columns + one loose (passes) and one strict
@@ -2787,6 +2801,22 @@ object Catalog {
         |                   / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END
         |  FROM m2
         |) ORDER BY pair""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |FROM lineitem),
+        |q AS (SELECT quantile_cont(cents, 0.05) AS lo, quantile_cont(cents, 0.95) AS hi FROM f),
+        |w AS (SELECT l_returnflag,
+        |        least(greatest(CAST(cents AS DOUBLE), lo), hi) AS wv,
+        |        (CAST(cents AS DOUBLE) < lo OR CAST(cents AS DOUBLE) > hi) AS clip
+        |      FROM f CROSS JOIN q)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(count(CASE WHEN clip THEN 1 END) AS BIGINT) AS clipped,
+        |  CAST(sum(CAST(CASE WHEN wv >= 0 THEN floor(wv * 100.0 + 0.5)
+        |                     ELSE -floor(-wv * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS wsum_fx
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scan_benford" -> {
       val noOrder = benfordOracle.replace("ORDER BY col_name, digit", "")

@@ -704,6 +704,21 @@ class OutliersSpec extends SparkSpec {
     assert(repart == flagged)
   }
 
+  test("winsorize: clamps into exact percentile fences, keeps row count") {
+    // 1..100: p10 = 10.9, p90 = 90.1 (interpolated); values outside clamp
+    val df = (1L to 100L).toDF("v")
+    val out = Outliers.winsorize(df, "v", 0.1, 0.9).collect()
+    assert(out.length == 100)
+    val clipped = out.filter(_.getBoolean(2))
+    assert(clipped.length == 20) // 1..10 and 91..100
+    val w = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val posLo = 0.1 * 99.0; val fenceLo = 10.0 + (posLo - math.floor(posLo)) * 1.0
+    assert(w(1L) == fenceLo && w(5L) == w(1L))  // low tail -> lo fence
+    val posHi = 0.9 * 99.0; val fenceHi = 90.0 + (posHi - math.floor(posHi)) * 1.0
+    assert(w(95L) == fenceHi && w(100L) == w(95L))
+    assert(w(50L) == 50.0 && !out.find(_.getLong(0) == 50L).get.getBoolean(2))
+  }
+
   test("ewma: scalar recurrence equality, truncating div on negatives, layout invariance") {
     // alpha = 3/10 over fx cents; scalar reference fold with Java / (truncate)
     val rows = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 0.5), (1L, 4L, 10.0),
