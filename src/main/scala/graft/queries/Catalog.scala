@@ -207,6 +207,27 @@ object Catalog {
       sk.select(posexplode(col("sk")).as(Seq("pos", "h"))).orderBy("pos")
     },
 
+    "q_kmv_by_group" -> { (s, dir) =>
+      // mergeable distinct sketch PER GROUP (one grouped aggregate of
+      // bounded state) with the exact-path estimate: k = 64 covers each
+      // priority's distinct custkey count? No — estimator path exercised,
+      // and DuckDB replays both the sketch tail and the estimate formula
+      val k = 64
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.KmvSketch.kmv(
+          Shingles.md5Hash60(col("o_custkey").cast(StringType)), k).as("sk"))
+        .select(col("o_orderpriority"),
+          size(col("sk")).as("sk_size"),
+          element_at(col("sk"), k).as("kth"),
+          // the estimateDistinct tree: (k-1) / (kth / 2^60)
+          when(size(col("sk")) < k, size(col("sk")).cast(DoubleType))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("sk"), k).cast(DoubleType) / lit(1152921504606846976.0)))
+            .as("distinct_est"))
+        .orderBy("o_orderpriority")
+    },
+
     "q_cms_table" -> { (s, dir) =>
       // Count-Min counter table over documents.lang (depth 4 × width 32,
       // md5-60 double hashing): every cell is an exact integer the oracle
@@ -3125,6 +3146,18 @@ object Catalog {
         |g AS (SELECT list_sort(list(h)) AS sk FROM s)
         |SELECT CAST(unnest(range(0, len(sk))) AS INT) AS pos, unnest(sk) AS h
         |FROM g ORDER BY pos""".stripMargin,
+
+    "q_kmv_by_group" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS g,
+        |       ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |       FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        |s AS (SELECT g, CAST(count(*) AS INT) AS sk_size, max(CASE WHEN rn = 64 THEN h END) AS kth
+        |      FROM r WHERE rn <= 64 GROUP BY g)
+        |SELECT g AS o_orderpriority, sk_size, kth,
+        |  CASE WHEN sk_size < 64 THEN CAST(sk_size AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END AS distinct_est
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
 
     "q_cms_table" ->
       """WITH h AS (SELECT ('0x' || substr(md5(lang), 1, 15))::BIGINT AS h
