@@ -71,6 +71,37 @@ object Windows {
         min(col(tsCol)).as("t_start"), max(col(tsCol)).as("t_end"))
   }
 
+  /** Interval coverage per key: merge overlapping/touching [start, end]
+    * intervals (gaps-and-islands) and report per key the merged-island
+    * count, total covered length and raw-interval sum — utilization /
+    * "total active time from overlapping sessions" where naive SUM
+    * double-counts overlap. Integer units throughout (pass epoch
+    * seconds/micros) — engine-exact.
+    *
+    * Shape: one key shuffle; a new island starts where `start` exceeds the
+    * running max of previous `end`s (key-bounded ordered windows, no
+    * global sort); per-island spans then one per-key aggregate.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val isBreak = when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L)
+    df.where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .withColumn("__brk", isBreak)
+      .withColumn("__island",
+        sum(col("__brk")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col(startCol)).as("__s"), max(col(endCol)).as("__e"),
+        sum(col(endCol) - col(startCol)).as("__raw"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(LongType).as("islands"),
+        sum(col("__e") - col("__s")).cast(LongType).as("covered"),
+        sum(col("__raw")).cast(LongType).as("raw_sum"))
+  }
+
   final case class SessionEvent(key: Long, ts: Timestamp) {
     def tsMicros: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
   }

@@ -854,6 +854,16 @@ object Catalog {
         lit(passed("ks_stat < 0.2")).as("ks_passed"))
     },
 
+    "q_interval_coverage" -> { (s, dir) =>
+      // merged-interval utilization per user: event intervals of
+      // floor(value) seconds; naive SUM double-counts overlap, coverage
+      // doesn't — explicit floor dodges the double→long cast divergence
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast(LongType)).as("e"))
+      Windows.intervalCoverage(ev, "user_id", "s", "e").orderBy("user_id")
+    },
+
     "q_winsorize" -> { (s, dir) =>
       // heavy-tail clipping into exact 5/95 percentile fences; summary per
       // flag with an order-free quantized sum of the clamped values
@@ -1777,6 +1787,20 @@ object Catalog {
       Constraints.benfordAudit(t(s, dir, "lineitem"),
         Seq("l_extendedprice" -> 2, "l_quantity" -> 2))
         .orderBy("col_name", "digit")),
+
+    "q_text_fold" -> { (s, dir) =>
+      // canonical folding on derived accent/case variants of customer
+      // names: the oracle folds with lower+strip_accents+nfc_normalize
+      val v = expr("""CASE CAST(c_custkey % 4 AS INT)
+        WHEN 0 THEN concat('Café ', c_name)
+        WHEN 1 THEN concat('ÜBER ', c_name)
+        WHEN 2 THEN concat('naïve—', c_name)
+        ELSE upper(c_name) END""")
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          graft.functions.TextFold.fold(v).as("folded"))
+        .orderBy("id")
+    },
 
     "q_record_linkage" -> { (s, dir) =>
       // Fellegi-Sunter-shape entity resolution on customers: fuzzy name +
@@ -2822,6 +2846,24 @@ object Catalog {
         |                   / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END
         |  FROM m2
         |) ORDER BY pair""".stripMargin,
+
+    "q_interval_coverage" ->
+      """WITH f AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS e
+        |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND floor(value) >= 0),
+        |w AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |FROM f),
+        |b AS (SELECT user_id, s, e, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM w),
+        |i AS (SELECT user_id, s, e,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |FROM b),
+        |g AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e, sum(e - s) AS raw
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS islands,
+        |       CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+        |       CAST(sum(raw) AS BIGINT) AS raw_sum
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q_winsorize" ->
       """WITH f AS (SELECT l_returnflag,
@@ -4698,6 +4740,16 @@ object Catalog {
         |        lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_text_fold" ->
+      """SELECT c_custkey AS id,
+        |  nfc_normalize(strip_accents(lower(
+        |    CASE CAST(c_custkey % 4 AS INT)
+        |      WHEN 0 THEN concat('Café ', c_name)
+        |      WHEN 1 THEN concat('ÜBER ', c_name)
+        |      WHEN 2 THEN concat('naïve—', c_name)
+        |      ELSE upper(c_name) END))) AS folded
+        |FROM customer ORDER BY id""".stripMargin,
 
     "q_record_linkage" ->
       """WITH b AS (SELECT c_custkey AS id, substr(c_name, 1, 16) AS blk,

@@ -2520,6 +2520,28 @@ class WindowsSpec extends SparkSpec {
     val onHour = slid.filter(r => r._1.toLocalDateTime.getMinute == 0).toSet
     assert(tumb.subsetOf(onHour))
   }
+
+  test("intervalCoverage: merges overlap/touch, counts islands, keeps raw sum") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // overlap -> one island [0,15]
+      (1L, 15L, 20L),                  // touching: still the same island
+      (1L, 30L, 35L),                  // separate island
+      (2L, 0L, 100L), (2L, 10L, 20L),  // nested -> one island [0,100]
+      (3L, 7L, 7L),                    // zero-length interval
+      (4L, 5L, 3L)                     // inverted: dropped
+    ).toDF("k", "s", "e")
+    val got = ops.Windows.intervalCoverage(iv, "k", "s", "e")
+      .orderBy("k").as[(Long, Long, Long, Long)].collect().toSeq
+    // key 1: islands [0,20] (overlap+touch) and [30,35] -> covered 25,
+    //        raw (10-0)+(15-5)+(20-15)+(35-30) = 30
+    // key 2: nested -> one island, covered 100, raw 110
+    // key 3: zero-length interval is one empty island; key 4 dropped
+    assert(got == Seq((1L, 2L, 25L, 30L), (2L, 1L, 100L, 110L), (3L, 1L, 0L, 0L)))
+    // layout invariance
+    val rep = ops.Windows.intervalCoverage(iv.repartition(7), "k", "s", "e")
+      .orderBy("k").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep == got)
+  }
 }
 
 class BloomSpec extends SparkSpec {
@@ -2683,6 +2705,25 @@ class DictMatchSpec extends SparkSpec {
     texts.foreach { case (id, tx) =>
       assert(got(id) == pats.map(naive(tx, _)), s"text='$tx'")
     }
+  }
+
+  test("text folding: case + accents + composed/decomposed forms converge") {
+    import graft.functions.TextFold
+    val rows = Seq(
+      (1L, "Café"),        // precomposed é
+      (2L, "Caf" + "e\u0301"),  // decomposed e + combining acute
+      (3L, "CAFÉ"),        // uppercase É
+      (4L, "cafe"),             // already folded
+      (5L, "naïve ÜBER straße") // ï, Ü, ß
+    ).toDF("id", "s")
+    val got = rows.select(col("id"), TextFold.fold(col("s")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "cafe" && got(2L) == "cafe" && got(3L) == "cafe" && got(4L) == "cafe")
+    assert(got(5L) == "naive uber stra\u00dfe") // \u00df survives (not a mark)
+    // null passes through
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(TextFold.fold(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
   }
 
   test("dict hits: null text yields null; non-string input rejected") {
