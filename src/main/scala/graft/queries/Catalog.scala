@@ -1671,6 +1671,19 @@ object Catalog {
         .orderBy("id")
     },
 
+    "q_wpagerank" -> { (s, dir) =>
+      // WEIGHTED PageRank over the supplier→part shipment graph: edge
+      // weight = shipment multiplicity (the multigraph collapsed to
+      // integer weights); contributions (pr·w) div Σw — truncating
+      // division is the definition, oracle unrolls the same 5 rounds
+      val l = t(s, dir, "lineitem")
+      val edges = l.groupBy((col("l_suppkey") % 300).as("src"),
+          (col("l_partkey") % 300).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Components.weightedPageRank(s.range(300).toDF("id"), "id", edges,
+        "src", "dst", "w", iterations = 5).orderBy("id")
+    },
+
     "q_sample_weighted" -> { (s, dir) =>
       // Efraimidis–Spirakis weighted sample w/o replacement, k smallest
       // exponential-race priorities — TakeOrderedAndProject, no shuffle;
@@ -2413,6 +2426,28 @@ object Catalog {
        |n AS (SELECT unnest(range(0, $n)) AS id),
        |od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
        |p0 AS (SELECT id, $initFx AS pr FROM n),
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
+  }
+
+  /** [[pageRankOracleSql]] with integer edge WEIGHTS: contributions are
+    * `(pr · w) // Σw(src)` — the same truncating-integer rounds.
+    */
+  private def weightedPageRankOracleSql(n: Int, iters: Int): String = {
+    val initFx = 1000000000L / n
+    val baseFx = (1000000000L * 15 / 100) / n
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT nn.id, $baseFx + (85 * coalesce(s.c, 0)) // 100 AS pr
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS id, sum((p${i - 1}.pr * e.w) // sw.sw) AS c
+         |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.id JOIN sw ON e.src = sw.src
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }
+    s"""WITH e AS (SELECT l_suppkey % $n AS src, l_partkey % $n AS dst, count(*) AS w
+       |           FROM lineitem GROUP BY 1, 2),
+       |nn AS (SELECT unnest(range(0, $n)) AS id),
+       |sw AS (SELECT src, sum(w) AS sw FROM e GROUP BY 1),
+       |p0 AS (SELECT id, $initFx AS pr FROM nn),
        |${steps.mkString(",\n")}
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
   }
@@ -4563,6 +4598,7 @@ object Catalog {
         |ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
+    "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
 
     "q_triangles" ->
       """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),

@@ -114,6 +114,35 @@ class PageRankSpec extends SparkSpec {
     assert(cap1 != core3.map(_._1)) // not yet converged at 1 round
   }
 
+  test("weighted pagerank: uniform weights degenerate to pageRank bit-for-bit") {
+    val nodes = (0L to 10L).toDF("id")
+    val edges = ((0L to 9L).map(i => (i, 10L)) :+ ((10L, 0L))).toDF("src", "dst")
+    val pr = Components.pageRank(nodes, "id", edges, "src", "dst")
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    // (pr·w) div (d·w) = pr div d for any uniform w
+    for (w <- Seq(1L, 7L)) {
+      val wpr = Components.weightedPageRank(nodes, "id",
+          edges.withColumn("w", lit(w)), "src", "dst", "w")
+        .orderBy("id").select("pr").as[Long].collect().toSeq
+      assert(pr == wpr, s"uniform w=$w must equal unweighted")
+    }
+  }
+
+  test("weighted pagerank: mass follows the heavy edge; partitioning-invariant") {
+    // 0 points at 1 (weight 9) and 2 (weight 1): 1 gets 9x the contribution
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val a = Components.weightedPageRank(nodes, "id", edges, "src", "dst", "w")
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    val b = Components.weightedPageRank(nodes.repartition(5), "id",
+        edges.repartition(3), "src", "dst", "w")
+      .orderBy("id").select("pr").as[Long].collect().toSeq
+    assert(a == b, "integer arithmetic must be partitioning-invariant")
+    // 9:1 edge split, muted by the base term and recirculation: ~4.3x here
+    assert(a(1) > 4 * a(2), s"heavy-edge target ${a(1)} vs light ${a(2)}")
+  }
+
   test("triangleCounts: partitioning-invariant on a random graph") {
     val rnd = new scala.util.Random(7)
     val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
