@@ -101,25 +101,64 @@ object Dedup {
     * [[jaccardPairs]] — (id_a, id_b, inter, union_size) — and the two
     * strategies are equivalence-spec'd.
     */
+  /** @param positional PPJoin's POSITIONAL filter (Xiao et al. WWW'08) on
+    *        top of the prefix filter: candidates collide at known sorted
+    *        positions (i, j), and at the pair's FIRST collision in global
+    *        token order every shared token lies in the suffixes from i and
+    *        j, so overlap ≤ 1 + min(n_a−i−1, n_b−j−1). Pairs whose bound
+    *        can't reach α = t·(n_a+n_b)/(1+t) are pruned BEFORE the
+    *        verification joins. Lossless: for a qualifying pair the first
+    *        prefix collision IS the globally first shared token (the
+    *        prefix-filter theorem), so the bound holds; the prune only
+    *        tightens candidate generation — verification is exact either
+    *        way (equivalence spec'd). Same shuffle count (the min-struct
+    *        aggregate replaces the pair dropDuplicates).
+    */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+                         threshold: Double, blockCols: Seq[String] = Nil,
+                         positional: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val docs = df.select((col(idCol).as("id") +: tokenHashSet(col(textCol)).as("toks") +:
         blockCols.map(col)): _*)
       .withColumn("nt", size(col("toks")))
     val prefLen = col("nt") -
       ceil(lit(threshold) * col("nt").cast(DoubleType)).cast(IntegerType) + 1
-    val inv = docs
-      .select((col("id") +: col("nt") +:
-        explode(slice(col("toks"), lit(1), prefLen)).as("tok") +: blockCols.map(col)): _*)
     val joinKeys = "tok" +: blockCols
-    val a = inv.select((col("tok") +: col("id").as("id_a") +: col("nt").as("nt_a") +: blockCols.map(col)): _*)
-    val b = inv.select((col("tok") +: col("id").as("id_b") +: col("nt").as("nt_b") +: blockCols.map(col)): _*)
-    val cand = a.join(b, joinKeys)
-      .where(col("id_a") < col("id_b") &&
-        col("nt_a").cast(DoubleType) >= lit(threshold) * col("nt_b").cast(DoubleType) &&
-        col("nt_b").cast(DoubleType) >= lit(threshold) * col("nt_a").cast(DoubleType))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val sizeCompatible = col("id_a") < col("id_b") &&
+      col("nt_a").cast(DoubleType) >= lit(threshold) * col("nt_b").cast(DoubleType) &&
+      col("nt_b").cast(DoubleType) >= lit(threshold) * col("nt_a").cast(DoubleType)
+    val cand = if (!positional) {
+      val inv = docs
+        .select((col("id") +: col("nt") +:
+          explode(slice(col("toks"), lit(1), prefLen)).as("tok") +: blockCols.map(col)): _*)
+      val a = inv.select((col("tok") +: col("id").as("id_a") +: col("nt").as("nt_a") +: blockCols.map(col)): _*)
+      val b = inv.select((col("tok") +: col("id").as("id_b") +: col("nt").as("nt_b") +: blockCols.map(col)): _*)
+      a.join(b, joinKeys).where(sizeCompatible)
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    } else {
+      // carry each prefix token's 0-based position in the doc's sorted
+      // token array through the join
+      val inv = docs
+        .select((col("id") +: col("nt") +: blockCols.map(col)) :+
+          posexplode(slice(col("toks"), lit(1), prefLen)): _*)
+        .withColumnRenamed("col", "tok")
+      val a = inv.select((col("tok") +: col("id").as("id_a") +: col("nt").as("nt_a") +:
+        col("pos").as("pa") +: blockCols.map(col)): _*)
+      val b = inv.select((col("tok") +: col("id").as("id_b") +: col("nt").as("nt_b") +:
+        col("pos").as("pb") +: blockCols.map(col)): _*)
+      // first collision = smallest shared token (struct min leads on tok);
+      // bound: 1 + min(remaining-a, remaining-b) must reach the required
+      // overlap α ⇔ (1+m)(1+t) ≥ t(n_a+n_b) (tiny slack so a 1-ulp float
+      // error can only under-prune, never over-prune)
+      a.join(b, joinKeys).where(sizeCompatible)
+        .groupBy("id_a", "id_b")
+        .agg(min(struct(col("tok"), col("pa"), col("pb"),
+          col("nt_a"), col("nt_b"))).as("f"))
+        .where((lit(1.0) + least(col("f.nt_a") - col("f.pa") - 1,
+            col("f.nt_b") - col("f.pb") - 1).cast(DoubleType)) * lit(1.0 + threshold) >=
+          lit(threshold) * (col("f.nt_a") + col("f.nt_b")).cast(DoubleType) - lit(1e-9))
+        .select("id_a", "id_b")
+    }
     cand
       .join(docs.select(col("id").as("id_a"), col("toks").as("toks_a"), col("nt").as("nt_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("toks").as("toks_b"), col("nt").as("nt_b")), Seq("id_b"))

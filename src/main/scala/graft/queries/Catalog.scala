@@ -953,6 +953,14 @@ object Catalog {
         threshold = 0.9, blockCols = Seq("lang", "source"))
         .orderBy("id_a", "id_b")),
 
+    "q_dedup_jaccard_pp" -> ((s, dir) =>
+      // PPJoin positional filter on the prefix strategy: same output
+      // contract (same oracle), candidates pruned by the first-collision
+      // overlap bound before verification
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9, blockCols = Seq("lang", "source"), positional = true)
+        .orderBy("id_a", "id_b")),
+
     "q_containment" -> ((s, dir) =>
       // asymmetric sub-document detection: directed containment ≥ 0.9 within
       // (lang, source) blocks — catches short-inside-long reuse that the
@@ -3822,6 +3830,7 @@ object Catalog {
     "q_dedup_jaccard_inv" -> jaccardInvOracle,
     // identical output contract, different Spark plan (prefix filtering)
     "q_dedup_jaccard_prefix" -> jaccardInvOracle,
+    "q_dedup_jaccard_pp" -> jaccardInvOracle,
 
     "q_containment" ->
       """WITH d AS (SELECT doc_id, lang, source, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),

@@ -74,6 +74,33 @@ class DedupSpec extends SparkSpec {
     assert(prefRows * 5 < fullRows, s"prefix index $prefRows vs $fullRows")
   }
 
+  test("jaccardPairsPrefix positional filter: lossless prune, fewer verified candidates") {
+    // PPJoin positional bound must keep output identical to both the plain
+    // prefix path and the full inverted index on random corpora
+    val rnd = new scala.util.Random(91)
+    val vocab = ('a' to 'z').map(_.toString)
+    val corpus = (1L to 60L).map { i =>
+      (i, rnd.shuffle(vocab).take(8 + rnd.nextInt(8)).mkString(" "))
+    }.toDF("id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val full = Dedup.jaccardPairs(corpus, "id", "text", t)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val pos = Dedup.jaccardPairsPrefix(corpus, "id", "text", t, positional = true)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(pos == full, s"threshold $t")
+    }
+    // the positional bound actually prunes: two docs sharing ONLY their
+    // last-prefix tokens can't reach the overlap bound at t=0.5 —
+    // construct a = {1..8}, b = {5..12} style sets where the first shared
+    // token sits deep in both arrays
+    val hand = Seq(
+      (1L, (1 to 8).map(n => s"w$n").mkString(" ")),
+      (2L, (5 to 12).map(n => s"w$n").mkString(" "))).toDF("id", "text")
+    // jaccard = 4/12 < 0.5: both paths agree on empty output; the point of
+    // the hand case is exercising the deep-first-collision branch
+    assert(Dedup.jaccardPairsPrefix(hand, "id", "text", 0.5, positional = true).count() == 0)
+  }
+
   test("minhash LSH finds the same dups with exact verification") {
     val pairs = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
