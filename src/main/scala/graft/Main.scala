@@ -161,7 +161,9 @@ object Main {
           scan.psi.toSeq.map { case (c, (_, df)) => s"psi_$c" -> df } ++
           scan.ks.toSeq.map { case (c, (_, df)) =>
             s"ks_$c" -> df.select(col("window_start"), col("n_sample"), col("ks_stat"))
-          }
+          } ++
+          scan.benford.toSeq.map { case (c, df) => s"benford_$c" -> df } ++
+          scan.coMissing.toSeq.map(df => "co_missingness" -> df)
 
       def parquetFiles(sub: String): Set[String] = {
         val d = new java.io.File(s"$outDir/$sub")

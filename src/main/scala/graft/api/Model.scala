@@ -31,7 +31,14 @@ final case class ScanDefinition(
       * streaming anomaly detection, and streaming PSI drift, continuously
       * over a watermarked stream.
       */
-    stream: Option[StreamConfig] = None
+    stream: Option[StreamConfig] = None,
+    /** Beyond the reference surface: table-level co-missingness audit
+      * (`co_missingness:` YAML column list). The batch scan records each
+      * pair's both-null count and null-set jaccard as measurements
+      * (`co_null_both` / `co_null_jaccard`, column = "a~b"); a streaming
+      * scan emits the same statistics per window.
+      */
+    coMissingness: Seq[String] = Nil
 )
 
 /** Streaming execution parameters of a scan: the event-time column the

@@ -162,17 +162,38 @@ object Constraints {
     * inline unpivots to the per-digit frame. Scales to any row count; the
     * state is 10 longs per audited column.
     */
+  /** First significant digit of the scale-`s` fixed-point form of `c`, or
+    * NULL for NULL/zero values — the shared classifier of the batch
+    * [[benfordAudit]] and the streaming per-window audit.
+    */
+  private[graft] def benfordDigit(c: Column, s: Int): Column = {
+    import graft.metrics.MetricColumns.fixedPointLong
+    val v = fixedPointLong(c.cast(DoubleType), s)
+    when(v.isNotNull && v =!= 0L,
+      substring(abs(v).cast(StringType), 1, 1).cast(IntegerType))
+  }
+
+  /** Pearson chi2 vs the [[BenfordP]] literals — left-fold of the 9 digit
+    * terms in d = 1..9 order, the SAME association as the oracle SQL, so
+    * the double replays bit-for-bit wherever the counts are exact.
+    */
+  private[graft] def benfordChi2(n: Column, obs: Int => Column): Column = {
+    val nd = n.cast(DoubleType)
+    BenfordP.map { case (d, p) =>
+      val o = obs(d).cast(DoubleType)
+      val e = nd * lit(p)
+      (o - e) * (o - e) / e
+    }.reduce(_ + _)
+  }
+
   def benfordAudit(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
     require(cols.nonEmpty, "need at least one (column, scale)")
-    import graft.metrics.MetricColumns.fixedPointLong
     // digits are pre-projected ONCE beneath the aggregate: Spark does no
     // CSE across aggregate functions, so inlining the fixed-point +
     // to-string digit expression into all 10 conditional counts would
     // evaluate it 10× per row (measured 3× query cost at sf0.1)
     val pre = df.select(cols.zipWithIndex.map { case ((c, s), i) =>
-      val v = fixedPointLong(col(c).cast(DoubleType), s)
-      when(v.isNotNull && v =!= 0L,
-        substring(abs(v).cast(StringType), 1, 1).cast(IntegerType)).as(s"__dg_$i")
+      benfordDigit(col(c), s).as(s"__dg_$i")
     }: _*)
     val aggs = cols.indices.flatMap { i =>
       val dg = col(s"__dg_$i")
@@ -184,11 +205,7 @@ object Constraints {
       val n = col(s"n_$i")
       val nd = n.cast(DoubleType)
       // left-fold of the 9 chi2 terms, d = 1..9 — same association in SQL
-      val chi2 = BenfordP.map { case (d, p) =>
-        val o = col(s"c_${i}_$d").cast(DoubleType)
-        val e = nd * lit(p)
-        (o - e) * (o - e) / e
-      }.reduce(_ + _)
+      val chi2 = benfordChi2(n, d => col(s"c_${i}_$d"))
       BenfordP.map { case (d, p) =>
         val o = col(s"c_${i}_$d")
         struct(
@@ -238,6 +255,43 @@ object Constraints {
             (na.cast(DoubleType) * nb.cast(DoubleType))).as("lift"))
     }
     one.select(inline(array(rows: _*)))
+  }
+
+  /** Per-event-time-window [[coMissingness]] — the continuous form of the
+    * audit ("did an upstream deploy start wiping these fields together this
+    * hour"). Same pair statistics and the same jaccard/lift trees, computed
+    * per tumbling window; `watermark` = Some(delay) makes it a streaming
+    * aggregation (append-safe), None runs the identical plan on a batch
+    * frame (backfill parity — spec-asserted against the batch audit on
+    * each window's slice).
+    */
+  def coMissingnessWindowed(df: DataFrame, tsCol: String, duration: String,
+                            watermark: Option[String],
+                            cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType).as(s"na_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+          .cast(LongType).as(s"nb_${a}__$b")
+      }
+    val src = watermark.map(w => df.withWatermark(tsCol, w)).getOrElse(df)
+    val one = src.groupBy(window(col(tsCol), duration).as("w"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      val na = col(s"na_$a"); val nb = col(s"na_$b"); val both = col(s"nb_${a}__$b")
+      val union = na + nb - both
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        na.as("null_a"), nb.as("null_b"), both.as("both_null"),
+        when(union > 0L, both.cast(DoubleType) / union.cast(DoubleType)).as("null_jaccard"),
+        when(na > 0L && nb > 0L,
+          (both.cast(DoubleType) * col("n").cast(DoubleType)) /
+            (na.cast(DoubleType) * nb.cast(DoubleType))).as("lift"))
+    }
+    one.select(col("w.start").as("window_start"), inline(array(rows: _*)))
   }
 
   /** Candidate-type patterns for [[inferTypes]], tightest first — anchored,

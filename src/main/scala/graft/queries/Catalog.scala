@@ -906,6 +906,27 @@ object Catalog {
         lit(passed("benford_chi2 < 20.09")).as("strict_passed"))
     },
 
+    "q_scan_conull" -> { (s, dir) =>
+      // the table-level `co_missingness:` list through the full scan
+      // surface: both-null count + null-set jaccard land as pair
+      // measurements (column = "pri~st"), same derived-null frame as
+      // q_conull
+      val f = t(s, dir, "orders").select(
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("pri"),
+        expr("CASE WHEN o_orderpriority = '3-MEDIUM' OR o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END").as("st"))
+      val yaml =
+        """table_name: f
+          |co_missingness:
+          |- pri
+          |- st
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, f, yaml)
+      def m(metric: String) = r.measurement(metric, Some("pri~st")).get.value.get
+      s.range(1).select(
+        lit(m("co_null_both").asInstanceOf[Long]).as("both_null"),
+        lit(m("co_null_jaccard").asInstanceOf[Double]).as("null_jaccard"))
+    },
+
     "q_rollup" -> { (s, dir) =>
       // hierarchical totals in one pass (Expand, not N aggregates)
       t(s, dir, "lineitem")
@@ -2964,6 +2985,19 @@ object Catalog {
         |    CASE WHEN na_st > 0 AND na_px > 0 THEN (CAST(b_st_px AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(na_st AS DOUBLE) * CAST(na_px AS DOUBLE)) END
         |  FROM m
         |) ORDER BY col_a, col_b""".stripMargin,
+    "q_scan_conull" ->
+      """WITH f AS (SELECT
+        |  nullif(o_orderpriority, '3-MEDIUM') AS pri,
+        |  CASE WHEN o_orderpriority = '3-MEDIUM' OR o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS st
+        |FROM orders),
+        |m AS (SELECT
+        |  CAST(count(CASE WHEN pri IS NULL THEN 1 END) AS BIGINT) AS na,
+        |  CAST(count(CASE WHEN st IS NULL THEN 1 END) AS BIGINT) AS nb,
+        |  CAST(count(CASE WHEN pri IS NULL AND st IS NULL THEN 1 END) AS BIGINT) AS both_null
+        |FROM f)
+        |SELECT both_null,
+        |  CAST(both_null AS DOUBLE) / CAST(na + nb - both_null AS DOUBLE) AS null_jaccard
+        |FROM m""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),

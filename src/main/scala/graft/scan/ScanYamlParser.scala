@@ -61,7 +61,8 @@ object ScanYamlParser {
       samples = samples,
       filter = optStr(m, "filter"),
       rowChecks = rowChecks,
-      stream = stream
+      stream = stream,
+      coMissingness = m.get("co_missingness").map(strs).getOrElse(Nil)
     )
   }
 

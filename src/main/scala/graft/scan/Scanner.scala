@@ -112,6 +112,18 @@ object Scanner {
         * exact when k covers the distinct values.
         */
       ks: Map[String, (Seq[Double], DataFrame)],
+      /** Per `benford:`-configured column: (window_start, n, benford_chi2)
+        * — the first-digit chi2 per event-time window, through the SAME
+        * digit classifier and literal chi2 tree as the batch audit
+        * ([[graft.ops.Constraints.benfordAudit]]; per-window values equal
+        * the batch audit on the window's slice, spec-asserted).
+        */
+      benford: Map[String, DataFrame],
+      /** Per-window co-missingness pair statistics when the scan carries a
+        * `co_missingness:` list ([[graft.ops.Constraints.coMissingnessWindowed]]);
+        * None otherwise.
+        */
+      coMissing: Option[DataFrame],
       /** Per-window pass/fail verdicts of the scan's `tests:` — see
         * [[windowTests]]; empty-schema frame when the scan has no tests.
         */
@@ -193,7 +205,30 @@ object Scanner {
         .withColumn("ks_stat", ksCol)
       name -> (refSample, stream)
     }.toMap
-    StreamingScan(quality, anomalies, psi, ks, windowTests(quality, scan.tests, cols))
+    // per-window Benford chi2: the batch audit's digit classifier +
+    // literal chi2 tree riding an ordinary (watermarked) window aggregate
+    val benford = cols.collect { case (name, cfg) if cfg.benford.isDefined =>
+      import graft.ops.Constraints
+      val base = df.withColumn("__dg", Constraints.benfordDigit(col(name), cfg.benford.get))
+      val src = if (df.isStreaming) base.withWatermark(sc.timeColumn, sc.watermark) else base
+      val aggs =
+        sum(when(col("__dg").isNotNull, 1L).otherwise(0L)).cast("long").as("n") +:
+        (1 to 9).map(d =>
+          sum(when(col("__dg") === d, 1L).otherwise(0L)).cast("long").as(s"c_$d"))
+      val counts = src.groupBy(window(col(sc.timeColumn), sc.window).as("w"))
+        .agg(aggs.head, aggs.tail: _*)
+      name -> counts.select(col("w.start").as("window_start"), col("n"),
+        when(col("n") > 0L,
+          Constraints.benfordChi2(col("n"), d => col(s"c_$d"))).as("benford_chi2"))
+    }.toMap
+    val coMissing =
+      if (scan.coMissingness.size >= 2)
+        Some(graft.ops.Constraints.coMissingnessWindowed(df, sc.timeColumn,
+          sc.window, if (df.isStreaming) Some(sc.watermark) else None,
+          scan.coMissingness))
+      else None
+    StreamingScan(quality, anomalies, psi, ks, benford, coMissing,
+      windowTests(quality, scan.tests, cols))
   }
 
   /** Per-window evaluation of the scan's `tests:` over the quality frame's
@@ -635,6 +670,19 @@ object Scanner {
           .foreach(r => record(r.getString(0), "benford_chi2",
             if (r.isNullAt(1)) null else r.getDouble(1)))
       }
+    }
+
+    // ---- co-missingness audit (beyond the reference: table-level
+    // `co_missingness:` column list) ---- per pair the both-null count and
+    // the null-set jaccard (Constraints.coMissingness — one fused
+    // aggregate), recorded with column = "a~b" like the correlation matrix
+    if (scan.coMissingness.size >= 2) {
+      graft.ops.Constraints.coMissingness(df, scan.coMissingness).collect()
+        .foreach { r =>
+          val pair = r.getString(0) + "~" + r.getString(1)
+          record(pair, "co_null_both", r.getLong(5))
+          record(pair, "co_null_jaccard", if (r.isNullAt(6)) null else r.getDouble(6))
+        }
     }
 
     // ---- samples (reference `samples:` config, tests/test_scan.py:24-26) --

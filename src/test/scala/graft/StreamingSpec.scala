@@ -937,6 +937,95 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming scan benford/co_missingness: per-window audits equal the batch operators") {
+    import spark.implicits._
+    import graft.scan.Scanner
+    import graft.ops.Constraints
+    implicit val sqlCtx = spark.sqlContext
+
+    val yaml =
+      """table_name: events
+        |stream:
+        |  time_column: ts
+        |  watermark: 10 seconds
+        |  window: 1 hour
+        |co_missingness:
+        |- a
+        |- b
+        |columns:
+        |  amount:
+        |    benford: 2
+        |""".stripMargin
+
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // window 0: Benford-ish magnitudes, correlated a/b nulls; window 1:
+    // flat digits (high chi2), uncorrelated nulls — the audits must flip
+    // BETWEEN windows, which a whole-scan batch audit cannot express
+    val w0 = Seq[(Long, Option[Double], Option[Double], Double)](
+      (0L, None, None, 1.23), (60L, None, None, 1.7), (120L, Some(1.0), Some(2.0), 19.99),
+      (180L, Some(3.0), Some(4.0), 2.5), (240L, None, None, 35.0), (300L, Some(5.0), None, 1.1))
+    val w1 = (0 until 9).map(d =>
+      (3600L + 60L * d, if (d % 2 == 0) None else Some(1.0),
+        if (d % 2 == 1) None else Some(1.0), (d + 1) * 100.0))
+    val rows = (w0 ++ w1).map { case (t0, a, b, v) => (ts(t0), a, b, v) }
+
+    val stream = MemoryStream[(Timestamp, Option[Double], Option[Double], Double)]
+    val df = stream.toDF().toDF("ts", "a", "b", "amount")
+    val scan = Scanner.executeStreamYaml(spark, df, yaml)
+    assert(scan.benford.keySet == Set("amount") && scan.coMissing.isDefined)
+
+    val q1 = scan.benford("amount").writeStream.format("memory").queryName("bf_s")
+      .outputMode("complete").start()
+    val q2 = scan.coMissing.get.writeStream.format("memory").queryName("cm_s")
+      .outputMode("complete").start()
+    stream.addData(rows.take(8): _*)
+    Seq(q1, q2).foreach(_.processAllAvailable())
+    stream.addData(rows.drop(8): _*)
+    Seq(q1, q2).foreach(_.processAllAvailable())
+
+    val streamedBf = spark.table("bf_s")
+      .select(col("window_start").cast("string"), col("n"), col("benford_chi2"))
+      .as[(String, Long, Double)].collect().toSet
+    val streamedCm = spark.table("cm_s")
+      .select(col("window_start").cast("string"), col("col_a"), col("col_b"),
+        col("n"), col("both_null"), col("null_jaccard"))
+      .as[(String, String, String, Long, Long, Double)].collect().toSet
+    Seq(q1, q2).foreach(_.stop())
+
+    // batch parity: same YAML over the same rows as a batch frame
+    val batchDf = rows.toDF("ts", "a", "b", "amount")
+    val batchScan = Scanner.executeStreamYaml(spark, batchDf, yaml)
+    val batchBf = batchScan.benford("amount")
+      .select(col("window_start").cast("string"), col("n"), col("benford_chi2"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamedBf == batchBf, "per-window benford: batch parity")
+    val batchCm = batchScan.coMissing.get
+      .select(col("window_start").cast("string"), col("col_a"), col("col_b"),
+        col("n"), col("both_null"), col("null_jaccard"))
+      .as[(String, String, String, Long, Long, Double)].collect().toSet
+    assert(streamedCm == batchCm, "per-window co-missingness: batch parity")
+
+    // bit-exactness vs the BATCH audits on each window's slice
+    val h0 = "1970-01-01 00:00:00"; val h1 = "1970-01-01 01:00:00"
+    for ((label, lo, hi) <- Seq((h0, 0L, 3600L), (h1, 3600L, 7200L))) {
+      val slice = batchDf.where(col("ts") >= ts(lo) && col("ts") < ts(hi))
+      val chi2 = Constraints.benfordAudit(slice, Seq("amount" -> 2))
+        .select("chi2").distinct().as[Double].collect()
+      assert(chi2.length == 1)
+      assert(streamedBf.exists { case (w, _, c) => w == label && c == chi2(0) },
+        s"window $label chi2 must equal the batch audit (${chi2(0)} vs $streamedBf)")
+      val cm = Constraints.coMissingness(slice, Seq("a", "b"))
+        .select(col("n"), col("both_null"), col("null_jaccard"))
+        .as[(Long, Long, Double)].collect()(0)
+      assert(streamedCm.exists { case (w, _, _, n, b, j) =>
+        w == label && (n, b, j) == cm }, s"window $label conull must equal the batch audit")
+    }
+    // the audits really flip between the windows: correlated nulls (jaccard
+    // 3/4) then disjoint nulls (jaccard 0)
+    assert(streamedCm.exists { case (w, _, _, _, b, j) => w == h0 && b == 3L && j == 0.75 })
+    assert(streamedCm.exists { case (w, _, _, _, b, j) => w == h1 && b == 0L && j == 0.0 })
+  }
+
   test("streaming scan tests: per-window PASS/FAIL verdicts, streaming equals batch") {
     import spark.implicits._
     import graft.scan.Scanner
