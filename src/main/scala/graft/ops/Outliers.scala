@@ -161,6 +161,40 @@ object Outliers {
       .drop("__lo", "__hi")
   }
 
+  /** Robust per-group outlier flags via the MEDIAN / MAD rule (the Hampel
+    * identifier): a row is an outlier when |x − median| > k·MAD, with
+    * MAD = median(|x − median|). Unlike the mean/stddev z-score, a few
+    * extreme values cannot drag the fences (breakdown point 50% vs 0%);
+    * unlike the IQR fences ([[iqrOutliers]]) the cutoff scales with the
+    * bulk's own dispersion on BOTH sides of the median symmetrically.
+    * `k = 3·1.4826 ≈ 4.45` matches a 3-sigma rule under normality (the
+    * 1.4826 consistency constant); the default leaves k raw.
+    *
+    * Inherently two passes (MAD needs the median first): two group-bounded
+    * exact-`percentile` aggregates, each broadcast back onto the rows —
+    * rows never shuffle, the per-group value maps are the only state (use
+    * `approx = true` at extreme value cardinality). Feed fixed-point longs
+    * for cross-engine bit-exactness: medians interpolate to halves and
+    * deviations to quarters — all exactly representable, so the flag's
+    * double compare replays in the oracle.
+    *
+    * Output: input + (__med, __mad, is_outlier).
+    */
+  def madOutliers(df: DataFrame, valueCol: Column, groupCol: String,
+                  k: Double = 3.0, approx: Boolean = false): DataFrame = {
+    def med(c: Column) =
+      if (approx) approx_percentile(c, lit(0.5), lit(10000)).cast(org.apache.spark.sql.types.DoubleType)
+      else percentile(c, lit(0.5))
+    val med1 = df.groupBy(groupCol).agg(med(valueCol).as("__med"))
+    val dev = df.join(broadcast(med1), Seq(groupCol))
+      .withColumn("__dev",
+        abs(valueCol.cast(org.apache.spark.sql.types.DoubleType) - col("__med")))
+    val mad = dev.groupBy(groupCol).agg(med(col("__dev")).as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("__mad"))
+      .drop("__dev")
+  }
+
   def iqrOutliers(df: DataFrame, valueCol: Column, groupCol: String,
                   k: Double = 1.5, approx: Boolean = false): DataFrame = {
     // NOTE a counts-based exact quantile (groupBy value → running count →

@@ -864,6 +864,20 @@ object Catalog {
       Windows.intervalCoverage(ev, "user_id", "s", "e").orderBy("user_id")
     },
 
+    "q_mad" -> { (s, dir) =>
+      // median/MAD robust outlier flags (Hampel rule) per return flag on
+      // fixed-point cents: medians interpolate to exactly-representable
+      // halves, so med/mad/flag all replay bit-for-bit in the oracle
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.madOutliers(base, col("cents"), "l_returnflag", k = 3.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).cast(LongType).as("n_outliers"),
+          min(col("__med")).as("med"), min(col("__mad")).as("mad"))
+        .orderBy("l_returnflag")
+    },
+
     "q_winsorize" -> { (s, dir) =>
       // heavy-tail clipping into exact 5/95 percentile fences; summary per
       // flag with an order-free quantized sum of the clamped values
@@ -2928,6 +2942,21 @@ object Catalog {
         |       CAST(sum(i_e - i_s) AS BIGINT) AS covered,
         |       CAST(sum(raw) AS BIGINT) AS raw_sum
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_mad" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |FROM lineitem),
+        |m AS (SELECT g, quantile_cont(cents, 0.5) AS med FROM f GROUP BY 1),
+        |d AS (SELECT f.g, m.med, abs(CAST(f.cents AS DOUBLE) - m.med) AS dev
+        |      FROM f JOIN m USING (g)),
+        |md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.g AS l_returnflag, count(*) AS n,
+        |  CAST(count(CASE WHEN d.dev > 3.0 * md.mad THEN 1 END) AS BIGINT) AS n_outliers,
+        |  min(d.med) AS med, min(md.mad) AS mad
+        |FROM d JOIN md USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_winsorize" ->
       """WITH f AS (SELECT l_returnflag,

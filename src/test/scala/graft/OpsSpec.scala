@@ -703,6 +703,31 @@ class OutliersSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("madOutliers: Hampel rule hand-checked; fences immune to the outlier's magnitude") {
+    // group g: 1..11 plus 100 — med of {1..11, 100} = 6.5,
+    // devs = {5.5, 4.5, ..., 0.5, 0.5, ..., 4.5, 93.5} → MAD = 3.0;
+    // k=3 ⇒ fence 9.0: only the 100 (dev 93.5) breaks it
+    val df = ((1L to 11L).map(v => ("g", v)) :+ (("g", 100L)) :+ (("h", 5L)) :+ (("h", 6L)))
+      .toDF("grp", "v")
+    val out = Outliers.madOutliers(df, col("v"), "grp")
+    val flagged = out.where(col("is_outlier")).select("grp", "v")
+      .as[(String, Long)].collect().toSet
+    assert(flagged == Set(("g", 100L)))
+    val stats = out.where(col("grp") === "g")
+      .select("__med", "__mad").distinct().as[(Double, Double)].collect().toSeq
+    assert(stats == Seq((6.5, 3.0)))
+    // ROBUSTNESS: making the outlier 100× wilder moves neither fence — the
+    // same rows flag (a mean/stddev z-score would absorb the spike and
+    // unflag it)
+    val wild = ((1L to 11L).map(v => ("g", v)) :+ (("g", 10000L))).toDF("grp", "v")
+    val wildOut = Outliers.madOutliers(wild, col("v"), "grp")
+    assert(wildOut.where(col("is_outlier")).select("v").as[Long].collect().toSeq == Seq(10000L))
+    assert(wildOut.select("__med", "__mad").distinct().as[(Double, Double)].collect().toSeq
+      == Seq((6.5, 3.0)))
+    // fence tables are broadcast back; rows never shuffle
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("rollingZScore flags trailing-window sigma breaks, hand-checked") {
     // user 1: steady 10.0s then a spike; user 2: short series (< minPoints)
     val rows = (1L to 9L).map(i => (1L, i, 10.0)) ++ Seq((1L, 10L, 10.2), (1L, 11L, 50.0)) ++
