@@ -301,6 +301,65 @@ object Components {
     pr.select("id", "pr")
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) in INTEGER arithmetic —
+    * the directed-graph complement of PageRank for curation link analysis:
+    * authorities are heavily-cited targets, hubs are pages that cite the
+    * good authorities (directories/aggregators/boilerplate link farms show
+    * up as extreme hubs, canonical sources as extreme authorities).
+    *
+    * Per round: a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v), each
+    * rescaled by the L∞ norm with TRUNCATING integer division
+    * `(x·scale) div max(x)` — the max node sits at exactly `scale` and the
+    * truncation is part of the definition, so rounds replay bit-identically
+    * on any engine/partitioning (the L2 norm of the float formulation would
+    * need a sqrt and float sums). The intermediate product goes through
+    * DECIMAL(38,0) (x can be indegree·scale, and ·scale again overflows a
+    * long); `div` on decimals yields an exact long.
+    *
+    * Per-round shape: two skinny (id, long) aggregates (dst- then
+    * src-keyed, map-side combined) + two 1-row max aggregates broadcast
+    * back; the deduped edge frame is materialized once. Node payloads
+    * never move.
+    */
+  def hits(nodes: DataFrame, idCol: String, edges: DataFrame,
+           srcCol: String, dstCol: String, iterations: Int = 5,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && scale > 0)
+    val ids = nodes.select(col(idCol).as("id"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    var h = ids.withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      // each raw frame is referenced TWICE (its max aggregate + the
+      // rescale) — without lineage truncation the plan would double per
+      // reference and grow 4^iterations; localCheckpoint keeps every round
+      // shallow (the connectedComponents discipline)
+      val aRaw = ids.join(
+          e.join(h, e("src") === h("id"))
+            .groupBy(col("dst").as("id2")).agg(sum(col("h")).as("ar")),
+          col("id") === col("id2"), "left")
+        .select(col("id"), coalesce(col("ar"), lit(0L)).as("ar"))
+        .localCheckpoint(true)
+      a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("ma"))))
+        .select(col("id"),
+          expr(s"(CAST(ar AS DECIMAL(38,0)) * $scale) div greatest(ma, 1L)").as("a"))
+        .localCheckpoint(true)
+      val hRaw = ids.join(
+          e.join(a, e("dst") === a("id"))
+            .groupBy(col("src").as("id2")).agg(sum(col("a")).as("hr")),
+          col("id") === col("id2"), "left")
+        .select(col("id"), coalesce(col("hr"), lit(0L)).as("hr"))
+        .localCheckpoint(true)
+      h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("mh"))))
+        .select(col("id"),
+          expr(s"(CAST(hr AS DECIMAL(38,0)) * $scale) div greatest(mh, 1L)").as("h"))
+        .localCheckpoint(true)
+    }
+    h.join(a, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** K-core of an undirected graph: repeatedly remove nodes with degree
     * < k until fixpoint; what survives is the maximal subgraph where every
     * node keeps ≥ k neighbors — the dense-community extractor (spam/bot

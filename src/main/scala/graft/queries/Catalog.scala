@@ -1727,6 +1727,17 @@ object Catalog {
         "src", "dst", "w", iterations = 5).orderBy("id")
     },
 
+    "q_hits" -> { (s, dir) =>
+      // HITS hubs/authorities over the customer→order graph: L∞-normalized
+      // integer rounds (truncating division is the definition); the oracle
+      // unrolls the same 5 rounds with HUGEINT intermediates
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 400).as("src"),
+        (col("o_orderkey") % 400).as("dst")).distinct()
+      Components.hits(s.range(400).toDF("id"), "id", edges, "src", "dst",
+        iterations = 5).orderBy("id")
+    },
+
     "q_sample_weighted" -> { (s, dir) =>
       // Efraimidis–Spirakis weighted sample w/o replacement, k smallest
       // exponential-race priorities — TakeOrderedAndProject, no shuffle;
@@ -2471,6 +2482,33 @@ object Catalog {
        |p0 AS (SELECT id, $initFx AS pr FROM n),
        |${steps.mkString(",\n")}
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
+  }
+
+  /** HITS oracle: the same L∞-normalized truncating-integer rounds as
+    * [[graft.ops.Components.hits]], unrolled as CTEs — products through
+    * HUGEINT (Spark: DECIMAL(38,0)), `//` ≡ `div` on non-negative values.
+    */
+  private def hitsOracleSql(n: Int, iters: Int): String = {
+    val S = 1000000000L
+    // AS MATERIALIZED is load-bearing: every frame is referenced twice
+    // (value + its max), so inlined CTEs would re-expand 4^iters times
+    // (the q_kcore file-handle explosion)
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT nn.id, coalesce(s.ar, 0) AS ar FROM nn LEFT JOIN (
+         |    SELECT e.dst AS id, sum(h${i - 1}.h) AS ar
+         |    FROM e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY 1) s USING (id)),
+         |a$i AS MATERIALIZED (SELECT id, CAST((CAST(ar AS HUGEINT) * $S) // greatest((SELECT max(ar) FROM ar$i), 1) AS BIGINT) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT nn.id, coalesce(s.hr, 0) AS hr FROM nn LEFT JOIN (
+         |    SELECT e.src AS id, sum(a$i.a) AS hr
+         |    FROM e JOIN a$i ON e.dst = a$i.id GROUP BY 1) s USING (id)),
+         |h$i AS MATERIALIZED (SELECT id, CAST((CAST(hr AS HUGEINT) * $S) // greatest((SELECT max(hr) FROM hr$i), 1) AS BIGINT) AS h FROM hr$i)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey % $n AS src, o_orderkey % $n AS dst FROM orders),
+       |nn AS MATERIALIZED (SELECT unnest(range(0, $n)) AS id),
+       |h0 AS (SELECT id, $S AS h FROM nn),
+       |${steps.mkString(",\n")}
+       |SELECT h$iters.id, h$iters.h AS hub, a$iters.a AS authority
+       |FROM h$iters JOIN a$iters USING (id) ORDER BY id""".stripMargin
   }
 
   /** [[pageRankOracleSql]] with integer edge WEIGHTS: contributions are
@@ -4671,6 +4709,7 @@ object Catalog {
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
+    "q_hits" -> hitsOracleSql(400, 5),
 
     "q_triangles" ->
       """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),

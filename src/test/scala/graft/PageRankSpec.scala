@@ -143,6 +143,29 @@ class PageRankSpec extends SparkSpec {
     assert(a(1) > 4 * a(2), s"heavy-edge target ${a(1)} vs light ${a(2)}")
   }
 
+  test("hits: hubs cite authorities; max nodes pin to scale; partitioning-invariant") {
+    // 0,1 each point at {3,4}; 2 points only at 4; 4 is the stronger
+    // authority (3 citers incl. both strong hubs), 0,1 the strongest hubs
+    val nodes = (0L to 4L).toDF("id")
+    val edges = Seq((0L, 3L), (0L, 4L), (1L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val out = Components.hits(nodes, "id", edges, "src", "dst")
+      .orderBy("id").select("id", "hub", "authority")
+      .as[(Long, Long, Long)].collect().toSeq
+    val hub = out.map(_._2); val auth = out.map(_._3)
+    // L-infinity normalization pins the best hub/authority at exactly scale
+    assert(hub.max == 1000000000L && auth.max == 1000000000L)
+    assert(auth(4) == 1000000000L && auth(4) > auth(3), s"auth: $auth")
+    assert(hub(0) == 1000000000L && hub(1) == 1000000000L && hub(0) > hub(2), s"hub: $hub")
+    // pure authorities have hub 0; pure hubs have authority 0
+    assert(hub(3) == 0L && hub(4) == 0L && auth(0) == 0L && auth(1) == 0L && auth(2) == 0L)
+    val repart = Components.hits(nodes.repartition(5), "id",
+        edges.repartition(3), "src", "dst")
+      .orderBy("id").select("id", "hub", "authority")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == repart, "integer arithmetic must be partitioning-invariant")
+  }
+
   test("triangleCounts: partitioning-invariant on a random graph") {
     val rnd = new scala.util.Random(7)
     val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
