@@ -771,6 +771,74 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
           exp(-(col("sum_lnfx").cast(DoubleType) / 1e6) / col("n_bigrams").cast(DoubleType))))
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by ln p_target(x) − ln p_raw(x) under HASHED-n-gram bag-of-words
+    * models — the principled "select web data that looks like my target
+    * domain" criterion. Features are unigrams + word bigrams hashed into
+    * `buckets` cells (the paper's hashed generative model: training state
+    * is two `buckets`-long count vectors regardless of vocabulary).
+    *
+    * Replay discipline: each bucket's Laplace-smoothed log-ratio
+    * ln((c_t+1)/(T_t+B)) − ln((c_r+1)/(T_r+B)) is quantized ONCE to a
+    * scale-9 fixed-point long, and a document's weight is the SUM of its
+    * features' quantized ratios — order-free integer arithmetic, so
+    * weights (and any top-k / threshold selection on them) replay
+    * bit-for-bit cross-engine. Short docs (< 2 tokens) take their
+    * whole-text shingle as the bigram, the [[Shingles.shingleStrings]]
+    * rule.
+    *
+    * Scale shape: training = two bounded bucket-count aggregates (≤ B rows
+    * each collected — B·16 bytes of driver state); scoring = row-local
+    * probes of the ratio table bound as ONE B-long array literal (the
+    * bind-once discipline — no join, no shuffle; corpus bodies never
+    * move). Selection composes downstream: `orderBy(desc("weight_fx"))
+    * .limit(k)` for top-k, or [[Sampling.weightedSample]] on the
+    * exponentiated weight for the paper's Gumbel-resampling analogue.
+    *
+    * @return (id, n_feats, weight_fx) for every corpus document.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 2048, scale: Int = 9,
+                  hasher: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(buckets >= 2 && scale >= 1)
+    val B = buckets.toLong
+    // unigrams + bigrams from ONE evaluation of the token array: the token
+    // array enters only in collection-argument position (a 1-element array
+    // whose lambda variable both references read) — referencing tokens()
+    // twice textually would re-run split per reference (CollapseProject)
+    def featsCol(text: Column): Column =
+      flatten(transform(array(tokens(text)), ts =>
+        concat(ts, Shingles.shingleStrings(ts, 2))))
+    def bucketCounts(d: DataFrame): Array[Long] = {
+      val rows = d.select(explode(featsCol(col(textCol))).as("f"))
+        .select(pmod(hasher(col("f")), lit(B)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect()
+      val arr = Array.fill(buckets)(0L)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(corpus)
+    val tt = ct.sum; val tr = cr.sum
+    val pow = math.pow(10, scale)
+    val ratioFx: Array[Long] = Array.tabulate(buckets) { b =>
+      val x = math.log((ct(b) + 1.0) / (tt + buckets.toDouble)) -
+        math.log((cr(b) + 1.0) / (tr + buckets.toDouble))
+      val d = x * pow
+      if (x >= 0) math.floor(d + 0.5).toLong else -math.floor(-d + 0.5).toLong
+    }
+    val ratioLit = array(ratioFx.map(lit(_)): _*) // folds to ONE literal
+    corpus.select(col(idCol), featsCol(col(textCol)).as("__feats"))
+      .select(col(idCol),
+        size(col("__feats")).cast(org.apache.spark.sql.types.LongType).as("n_feats"),
+        aggregate(
+          transform(col("__feats"), f =>
+            element_at(ratioLit, (pmod(hasher(f), lit(B)) + 1L).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("weight_fx"))
+  }
 }
 
 /** Shared shingle machinery (also used by MinHash dedup). */

@@ -1612,6 +1612,16 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_dsir" -> { (s, dir) =>
+      // DSIR importance weights vs the ≡0-mod-7 target subset: hashed
+      // unigram+bigram models, quantized log-ratio table probed row-locally
+      // — all-integer output, oracle rebuilds the models and every weight
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(docs, docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", buckets = 512, hasher = Shingles.md5Hash60)
+        .orderBy("doc_id")
+    },
+
     "q_pipeline_pack" -> { (s, dir) =>
       // composition gate for the session's ops: deterministic split
       // assignment → length filter → sequence packing of the train split,
@@ -4706,6 +4716,33 @@ object Catalog {
         |       coalesce(a.sum_lnfx, 0) AS sum_lnfx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dsir" -> {
+      val B = 512
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_concat(string_split_regex(text, '\\s+'), ${duckShingles(2)})) AS t
+         |  FROM documents),
+         |fb AS MATERIALIZED (SELECT doc_id, $duckTokenHash % $B AS b FROM feats),
+         |tc AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS c FROM fb GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tc),
+         |tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM rc),
+         |ratio AS (SELECT bs.b,
+         |    ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST((SELECT t FROM tt) + $B AS DOUBLE)) -
+         |    ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / CAST((SELECT t FROM tr) + $B AS DOUBLE)) AS x
+         |  FROM (SELECT unnest(range(0, $B)) AS b) bs
+         |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)),
+         |rfx AS (SELECT b, CAST(CASE WHEN x >= 0 THEN floor(x * 1000000000.0 + 0.5)
+         |                            ELSE -floor(-x * 1000000000.0 + 0.5) END AS BIGINT) AS fx
+         |        FROM ratio),
+         |sc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |         CAST(sum(rfx.fx) AS BIGINT) AS weight_fx
+         |       FROM fb JOIN rfx USING (b) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+         |       coalesce(sc.weight_fx, 0) AS weight_fx
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),

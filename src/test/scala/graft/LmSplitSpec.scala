@@ -198,6 +198,46 @@ class LmSplitSpec extends SparkSpec {
     assert(a == b, "duplicate-key ties must not make the sample layout-dependent")
   }
 
+  test("dsirWeights: target-like docs outscore off-target docs; integer weights are layout-invariant") {
+    import graft.ops.TextAnalysis
+    // target domain talks about cats; the raw corpus mixes cat docs with
+    // dog docs — DSIR must rank the cat-like raw docs above the dog ones
+    val catDocs = Seq("the cat sat on the mat", "a cat chased the red dot",
+      "my cat naps all day", "cat fur everywhere again")
+    val dogDocs = Seq("the dog barked at the mailman", "a dog fetched the stick",
+      "my dog digs big holes", "dog walks need leashes")
+    val corpus = (catDocs ++ dogDocs).zipWithIndex
+      .map { case (t0, i) => (i.toLong, t0) }.toDF("id", "text")
+    val target = catDocs.zipWithIndex.map { case (t0, i) => (100L + i, t0) }
+      .toDF("id", "text")
+    val out = TextAnalysis.dsirWeights(corpus, target, "id", "text", buckets = 4096)
+      .orderBy("id").select("id", "n_feats", "weight_fx")
+      .as[(Long, Long, Long)].collect().toSeq
+    // unigrams + bigrams: 6 tokens -> 6 + 5 = 11 features
+    assert(out.forall { case (_, nf, _) => nf >= 7 && nf <= 11 })
+    val catW = out.take(4).map(_._3); val dogW = out.drop(4).map(_._3)
+    assert(catW.min > dogW.max,
+      s"every cat doc must outweigh every dog doc: $catW vs $dogW")
+    // magnitudes: cat-specific features score ≈ 0 (same count in target
+    // and raw), dog features score ≈ −ln(c_r+1) — so dog docs sit far
+    // below every cat doc, not marginally (note absolute sign is NOT
+    // meaningful when the raw corpus contains the target: shared function
+    // words carry c_r ≈ 2·c_t ⇒ ≈ −ln 2 each)
+    assert(dogW.max < catW.min - 1000000000L,
+      s"dog docs must trail by ≫ 1 ln-unit: $catW vs $dogW")
+    // quantized-integer weights are partitioning-invariant
+    val repart = TextAnalysis.dsirWeights(corpus.repartition(7), target.repartition(3),
+        "id", "text", buckets = 4096)
+      .orderBy("id").select("id", "n_feats", "weight_fx")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == repart)
+    // a 1-token doc takes its whole-text shingle as the bigram (2 features)
+    val one = TextAnalysis.dsirWeights(Seq((1L, "cat")).toDF("id", "text"),
+      target, "id", "text", buckets = 4096)
+      .select("n_feats").as[Long].collect()(0)
+    assert(one == 2L)
+  }
+
   test("assignSplit holds out the tail when fractions sum below 1") {
     val df = (0 until 2000).map(_.toLong).toDF("id")
     val out = Sampling.assignSplit(df, "id", Seq("train" -> 0.5))
