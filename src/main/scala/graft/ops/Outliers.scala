@@ -139,6 +139,59 @@ object Outliers {
       .drop("__arr", "__vs")
   }
 
+  /** Holt double-exponential smoothing per key — level + TREND, the
+    * forecast/trend reading EWMA can't give (EWMA lags a ramp forever; Holt
+    * learns the slope). Fully integer recurrence on scale-`fxScale`
+    * fixed-point longs, initialized (l = x₁, b = 0):
+    *
+    *   d  = ((x − l − b)·αn) div αd      (the innovation, one truncation)
+    *   l' = l + b + d
+    *   b' = b + (d·βn) div βd
+    *
+    * Truncating division is part of the definition (Spark `div` ≡ DuckDB
+    * `//` toward zero, negative-operand spec'd at −57/10 → −5), so levels
+    * and trends replay bit-for-bit on any engine/partitioning. Like
+    * [[ewma]], the inherently-sequential fold runs ROW-LOCALLY over the
+    * key's collected series (one groupBy collect + codegen'd aggregate
+    * HOF) — the right distributed shape while per-key series fit task
+    * memory. The fold state is an ARRAY accumulator on BOTH engines:
+    * DuckDB v1.0 `list_reduce` mutates a STRUCT accumulator field-by-field
+    * (the second field's expression sees the first's already-updated
+    * value — measured, PLANS.md), while list elements evaluate against the
+    * immutable accumulator.
+    *
+    * @return per key: n, level_fx, trend_fx (+ level / forecast doubles,
+    *         forecast = one-step-ahead level + trend).
+    */
+  def holt(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String,
+           alphaNum: Int, alphaDen: Int, betaNum: Int, betaDen: Int,
+           fxScale: Int = 2): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen, "alpha must be in (0, 1]")
+    require(betaNum > 0 && betaNum <= betaDen, "beta must be in (0, 1]")
+    val v = graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale)
+    val d = s"((x - element_at(acc, 1) - element_at(acc, 2)) * ${alphaNum}L) div ${alphaDen}L"
+    df.filter(col(valueCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(orderCol).as("__o"), v.as("__v")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__o"), col("__v")))).as("__arr"),
+        count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n"))
+      .withColumn("__vs", expr("transform(__arr, x -> x.__v)"))
+      .withColumn("__st", expr(
+        s"aggregate(slice(__vs, 2, greatest(size(__vs) - 1, 0)), " +
+          "array(element_at(__vs, 1), 0L), " +
+          s"(acc, x) -> array(element_at(acc, 1) + element_at(acc, 2) + $d, " +
+          s"element_at(acc, 2) + (($d) * ${betaNum}L) div ${betaDen}L))"))
+      .withColumn("level_fx", expr("element_at(__st, 1)"))
+      .withColumn("trend_fx", expr("element_at(__st, 2)"))
+      .withColumn("level",
+        col("level_fx").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(math.pow(10, fxScale)))
+      .withColumn("forecast",
+        (col("level_fx") + col("trend_fx")).cast(org.apache.spark.sql.types.DoubleType) /
+          lit(math.pow(10, fxScale)))
+      .drop("__arr", "__vs", "__st")
+  }
+
   /** Winsorization: clamp `valueCol` into its own [pLow, pHigh] exact
     * percentile fences — the standard heavy-tail tamer before averaging /
     * training on a signal with spikes (clip, don't drop: row count and

@@ -1682,6 +1682,15 @@ object Catalog {
         alphaNum = 3, alphaDen = 10)
         .orderBy("user_id")),
 
+    "q_holt" -> ((s, dir) =>
+      // Holt level+trend (alpha 3/10, beta 2/10) per user over the event
+      // stream; the oracle refolds the identical array-state recurrence
+      // via list_reduce over list accumulators
+      Outliers.holt(t(s, dir, "events"), Seq("user_id"), "event_id", "value",
+        alphaNum = 3, alphaDen = 10, betaNum = 2, betaDen = 10)
+        .select("user_id", "n", "level_fx", "trend_fx", "level", "forecast")
+        .orderBy("user_id")),
+
     "q_cusum" -> ((s, dir) =>
       // two-sided CUSUM per user over the event stream: prefix-sum +
       // running-min windows (group-bounded), all-integer statistics
@@ -2899,6 +2908,24 @@ object Catalog {
         |  CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) * 3) // 10) AS BIGINT) AS ewma_fx,
         |  CAST(CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) * 3) // 10) AS BIGINT) AS DOUBLE) / 100.0 AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_holt" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |            ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |             list(v ORDER BY event_id) AS vs
+        |      FROM f GROUP BY 1),
+        |st AS (SELECT user_id, n, list_reduce(
+        |         list_transform(vs, v -> [v, 0::BIGINT]),
+        |         (acc, x) -> [acc[1] + acc[2] + ((x[1] - acc[1] - acc[2]) * 3) // 10,
+        |                      acc[2] + ((((x[1] - acc[1] - acc[2]) * 3) // 10) * 2) // 10]) AS s
+        |       FROM g)
+        |SELECT user_id, n, CAST(s[1] AS BIGINT) AS level_fx, CAST(s[2] AS BIGINT) AS trend_fx,
+        |  CAST(CAST(s[1] AS BIGINT) AS DOUBLE) / 100.0 AS level,
+        |  CAST(CAST(s[1] AS BIGINT) + CAST(s[2] AS BIGINT) AS DOUBLE) / 100.0 AS forecast
+        |FROM st ORDER BY user_id""".stripMargin,
 
     "q_cusum" ->
       """WITH f AS (SELECT user_id, event_id,

@@ -703,6 +703,40 @@ class OutliersSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("holt: scalar-fold equality, trend learns a ramp, layout-invariant") {
+    // scalar reference of the identical truncating recurrence
+    def ref(vals: Seq[Long]): (Long, Long) =
+      vals.tail.foldLeft((vals.head, 0L)) { case ((l, b), x) =>
+        val d = ((x - l - b) * 3L) / 10L
+        (l + b + d, b + (d * 2L) / 10L)
+      }
+    val rnd = new scala.util.Random(5)
+    val series = Seq.tabulate(40)(i => (1L, i.toLong, rnd.nextInt(2000) - 700 match {
+      case v => v / 100.0
+    })) ++ Seq.tabulate(30)(i => (2L, i.toLong, 10.0 + i)) // user 2: exact ramp
+    val df = series.toDF("user_id", "seq", "v")
+    val out = Outliers.holt(df, Seq("user_id"), "seq", "v", 3, 10, 2, 10)
+      .orderBy("user_id").select("user_id", "level_fx", "trend_fx")
+      .as[(Long, Long, Long)].collect().toSeq
+    val fx1 = series.filter(_._1 == 1L).sortBy(_._2)
+      .map(t => if (t._3 >= 0) math.floor(t._3 * 100 + 0.5).toLong else -math.floor(-t._3 * 100 + 0.5).toLong)
+    assert((out(0)._2, out(0)._3) == ref(fx1), "scalar fold parity incl. negatives")
+    // the ramp's trend converges toward the step (100 fx units); EWMA has
+    // no trend state at all — this is Holt's point
+    val (_, l2, b2) = out(1)
+    assert(b2 > 60 && b2 < 140, s"ramp trend $b2") // converges (with overshoot) to 100
+    assert(math.abs(l2 - 3900L) < 300, s"ramp level $l2") // last value 39.0
+    val repart = Outliers.holt(df.repartition(7), Seq("user_id"), "seq", "v", 3, 10, 2, 10)
+      .orderBy("user_id").select("user_id", "level_fx", "trend_fx")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == repart)
+    // constant series: level pins to the constant, trend exactly 0
+    val const = Seq.tabulate(10)(i => (9L, i.toLong, 5.25)).toDF("user_id", "seq", "v")
+    val c = Outliers.holt(const, Seq("user_id"), "seq", "v", 3, 10, 2, 10)
+      .select("level_fx", "trend_fx").as[(Long, Long)].collect()(0)
+    assert(c == ((525L, 0L)))
+  }
+
   test("madOutliers: Hampel rule hand-checked; fences immune to the outlier's magnitude") {
     // group g: 1..11 plus 100 — med of {1..11, 100} = 6.5,
     // devs = {5.5, 4.5, ..., 0.5, 0.5, ..., 4.5, 93.5} → MAD = 3.0;
