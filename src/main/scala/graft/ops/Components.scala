@@ -301,6 +301,51 @@ object Components {
     pr.select("id", "pr")
   }
 
+  /** Community detection by DETERMINISTIC synchronous label propagation
+    * (Raghavan et al. 2007, made replayable): every node simultaneously
+    * adopts the most frequent label among its neighbors, ties broken to the
+    * SMALLEST label — no randomized order, no coin flips, so any engine and
+    * any partitioning reproduce identical communities. Communities are the
+    * modularity-style grouping connected components can't give: components
+    * merge everything reachable, LPA splits a connected graph at its
+    * sparse cuts (dup-cluster neighborhoods, domain families, spam rings).
+    *
+    * `iterations` is FIXED (capped-round ≡ unrolled-replay, the kCore
+    * discipline): synchronous LPA can two-cycle on bipartite-ish structure,
+    * and a fixed round count makes the result well-defined replayable
+    * output rather than a convergence race. Dense communities settle in
+    * 3-5 rounds.
+    *
+    * Per round: ONE (node, label) vote shuffle (map-side combined; the
+    * per-node argmax rides the same aggregate as a max(struct)) + the
+    * label-frame join; edges pre-symmetrized once. Isolated nodes keep
+    * their own label.
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
+                       srcCol: String, dstCol: String,
+                       iterations: Int = 4): DataFrame = {
+    require(iterations >= 1)
+    val ids = nodes.select(col(idCol).as("id"))
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = ids.withColumn("label", col("id"))
+    for (_ <- 1 to iterations) {
+      val votes = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax(count), ties to the SMALLEST label: max(struct(c, -label))
+      val best = votes.groupBy(col("a").as("id2"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id2"), (-col("m.nl")).as("blabel"))
+      labels = labels.join(best, labels("id") === col("id2"), "left")
+        .select(col("id"), coalesce(col("blabel"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.withColumnRenamed("label", "community")
+  }
+
   /** HITS hubs & authorities (Kleinberg JACM'99) in INTEGER arithmetic —
     * the directed-graph complement of PageRank for curation link analysis:
     * authorities are heavily-cited targets, hubs are pages that cite the

@@ -1746,6 +1746,17 @@ object Catalog {
         "src", "dst", "w", iterations = 5).orderBy("id")
     },
 
+    "q_communities" -> { (s, dir) =>
+      // deterministic synchronous label propagation (4 fixed rounds,
+      // smallest-label ties) over the mod-300 order graph; the oracle
+      // replays the identical rounds with window-ranked argmax
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 300).as("src"),
+        (col("o_orderkey") % 300).as("dst")).distinct()
+      Components.labelPropagation(s.range(300).toDF("id"), "id", edges,
+        "src", "dst", iterations = 4).orderBy("id")
+    },
+
     "q_hits" -> { (s, dir) =>
       // HITS hubs/authorities over the customer→order graph: L∞-normalized
       // integer rounds (truncating division is the definition); the oracle
@@ -2501,6 +2512,32 @@ object Catalog {
        |p0 AS (SELECT id, $initFx AS pr FROM n),
        |${steps.mkString(",\n")}
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
+  }
+
+  /** Label-propagation oracle: the same deterministic synchronous rounds —
+    * per node the most frequent neighbor label, ties to the smallest —
+    * replayed with window-ranked argmax. MATERIALIZED per round (each
+    * label frame is read twice: votes + the carry-forward left join).
+    */
+  private def labelPropOracleSql(n: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT s.a, l.label, count(*) AS c
+         |  FROM sym s JOIN l${i - 1} l ON s.b = l.id GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a AS id, label FROM (
+         |  SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY c DESC, label ASC) AS rn
+         |  FROM v$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT p.id, coalesce(b.label, p.label) AS label
+         |  FROM l${i - 1} p LEFT JOIN b$i b USING (id))""".stripMargin
+    }
+    s"""WITH e AS (SELECT DISTINCT o_custkey % $n AS src, o_orderkey % $n AS dst FROM orders),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)
+       |  WHERE a != b),
+       |nn AS (SELECT unnest(range(0, $n)) AS id),
+       |l0 AS MATERIALIZED (SELECT id, id AS label FROM nn),
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(label AS BIGINT) AS community FROM l$iters ORDER BY id""".stripMargin
   }
 
   /** HITS oracle: the same L∞-normalized truncating-integer rounds as
@@ -4774,6 +4811,7 @@ object Catalog {
     "q_pagerank" -> pageRankOracleSql(500, 5),
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
     "q_hits" -> hitsOracleSql(400, 5),
+    "q_communities" -> labelPropOracleSql(300, 4),
 
     "q_triangles" ->
       """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),

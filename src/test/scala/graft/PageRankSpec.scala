@@ -166,6 +166,26 @@ class PageRankSpec extends SparkSpec {
     assert(out == repart, "integer arithmetic must be partitioning-invariant")
   }
 
+  test("labelPropagation: splits bridged cliques into communities; deterministic") {
+    // two 4-cliques joined by ONE bridge edge (3-10): connected components
+    // would merge everything; LPA cuts at the bridge
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L)))
+      .toDF("src", "dst")
+    val nodes = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L) :+ 99L).toDF("id") // 99 isolated
+    val out = Components.labelPropagation(nodes, "id", edges, "src", "dst")
+      .orderBy("id").select("id", "community").as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(out).toSet.size == 1, s"left clique: $out")
+    assert(Seq(10L, 11L, 12L, 13L).map(out).toSet.size == 1, s"right clique: $out")
+    assert(out(0L) != out(10L), "the bridge must NOT merge the cliques")
+    assert(out(99L) == 99L, "isolated nodes keep their own label")
+    // deterministic under any layout
+    val repart = Components.labelPropagation(nodes.repartition(5), "id",
+        edges.repartition(3), "src", "dst")
+      .orderBy("id").select("id", "community").as[(Long, Long)].collect().toMap
+    assert(out == repart)
+  }
+
   test("triangleCounts: partitioning-invariant on a random graph") {
     val rnd = new scala.util.Random(7)
     val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
