@@ -276,6 +276,53 @@ object StreamingAnomaly {
     }
   }
 
+  final case class HoltPoint(key: String, seq: Long, level_fx: Long, trend_fx: Long)
+  final case class HoltState(level: Long, trend: Long, seeded: Boolean)
+
+  /** Streaming twin of [[graft.ops.Outliers.holt]] on the ordered-fold
+    * base: TWO longs of fold state (level + trend, init l = first value,
+    * b = 0); the emitted point after each event equals the batch fold over
+    * that event's prefix, so the key's LAST point equals the batch
+    * operator's final (level_fx, trend_fx) exactly — under any cross-batch
+    * arrival disorder inside the allowed lateness.
+    */
+  class HoltProcessor(aNum: Long, aDen: Long, bNum: Long, bDen: Long)
+      extends OrderedFoldProcessor[HoltState, HoltPoint](Encoders.product[HoltState]) {
+    override protected def zero: HoltState = HoltState(0L, 0L, seeded = false)
+    override protected def step(st: HoltState, e: TimedEvent): (HoltState, HoltPoint) = {
+      val next =
+        if (!st.seeded) HoltState(e.fx, 0L, seeded = true)
+        else {
+          val d = ((e.fx - st.level - st.trend) * aNum) / aDen
+          HoltState(st.level + st.trend + d, st.trend + (d * bNum) / bDen, seeded = true)
+        }
+      (next, HoltPoint(e.key, e.seq, next.level, next.trend))
+    }
+  }
+
+  /** Watermark-buffered streaming Holt smoothing; caller must already have
+    * applied `withWatermark(tsCol, …)`. Parameters mirror the batch
+    * operator.
+    */
+  def holtStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                 tsCol: String, seqCol: String, valueCol: String,
+                 alphaNum: Int, alphaDen: Int, betaNum: Int, betaDen: Int,
+                 fxScale: Int = 2): Dataset[HoltPoint] = {
+    import spark.implicits._
+    require(alphaNum > 0 && alphaNum <= alphaDen, "alpha must be in (0, 1]")
+    require(betaNum > 0 && betaNum <= betaDen, "beta must be in (0, 1]")
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale).as("fx"),
+        (col(tsCol).cast("timestamp").cast("double") * 1000.0).cast("long").as("tsMs"))
+      .where(col("fx").isNotNull)
+      .as[TimedEvent]
+      .groupByKey(_.key)
+      .transformWithState(new HoltProcessor(alphaNum, alphaDen, betaNum, betaDen),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Watermark-buffered streaming EWMA; caller must already have applied
     * `withWatermark(tsCol, …)`. Parameters mirror the batch operator.
     */
