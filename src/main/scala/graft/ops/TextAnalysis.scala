@@ -772,6 +772,43 @@ object TextAnalysis {
           exp(-(col("sum_lnfx").cast(DoubleType) / 1e6) / col("n_bigrams").cast(DoubleType))))
   }
 
+  /** Reciprocal rank fusion (Cormack et al. SIGIR'09): combine N ranked
+    * retrieval lists per query — RRF(d) = Σᵢ 1/(k + rankᵢ(d)) — the
+    * standard score-free hybrid-retrieval combiner (BM25 + dense cosine +
+    * recency, …): it needs only RANKS, so incomparable score scales fuse
+    * safely, and k (default 60 per the paper) damps the head so one list
+    * can't dominate.
+    *
+    * Integer-exact: each contribution is `scale div (k + rank)` — one
+    * truncating division of exact longs (Spark `div` ≡ DuckDB `//`), so
+    * fused scores, ties (doc asc) and the fused ranking replay bit-for-bit
+    * cross-engine. Shape: one union of skinny (query, doc, rank) rows +
+    * one map-side-combined sum + a QUERY-bounded ranking window
+    * (partitions bounded by Σ list sizes per query — never a global sort).
+    *
+    * @param rankings frames with (query_id, doc_id, rank) — rank 1-based
+    *                 within each (list, query).
+    * @return (query_id, doc_id, rrf_fx, n_lists, fused_rank) rows with
+    *         fused_rank ≤ topK.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60, topK: Int = 10,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty && kConst >= 0 && topK >= 1 && scale > 0)
+    import org.apache.spark.sql.expressions.Window
+    val u = rankings.map(_.select(col("query_id"), col("doc_id"),
+      col("rank").cast(org.apache.spark.sql.types.LongType).as("rank")))
+      .reduce(_ unionAll _)
+    val scored = u
+      .withColumn("__c", expr(s"${scale}L div (rank + ${kConst}L)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).as("rrf_fx"),
+        count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n_lists"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_fx").desc, col("doc_id").asc)
+    scored
+      .withColumn("fused_rank", row_number().over(w).cast(org.apache.spark.sql.types.IntegerType))
+      .where(col("fused_rank") <= topK)
+  }
+
   /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection for
     * Language Models via Importance Resampling"): score every raw document
     * by ln p_target(x) − ln p_raw(x) under HASHED-n-gram bag-of-words

@@ -1663,6 +1663,26 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_rrf" -> { (s, dir) =>
+      // reciprocal rank fusion of two genuinely different rankings per
+      // query: sparse-cosine retrieval (inverted index) + a length-
+      // similarity ranking; integer contributions scale div (rank+60)
+      val docs = t(s, dir, "documents")
+      val a = TextAnalysis.invertedIndexTopK(docs, docs.where(col("doc_id") < 10),
+          "doc_id", "text", k = 5, maxDfPermille = 1000)
+        .select("query_id", "doc_id", "rank")
+      val q = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("n_chars").as("qn"))
+      val cand = q.crossJoin(docs.select(col("doc_id"), col("n_chars")))
+        .where(col("doc_id") =!= col("query_id"))
+        .withColumn("dd", abs(col("n_chars") - col("qn")))
+      val w = Window.partitionBy("query_id").orderBy(col("dd").asc, col("doc_id").asc)
+      val b = cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5).select("query_id", "doc_id", "rank")
+      TextAnalysis.rrfFuse(Seq(a, b), kConst = 60, topK = 8)
+        .orderBy("query_id", "fused_rank")
+    },
+
     "q_pagerank" -> { (s, dir) =>
       // integer-arithmetic PageRank over a graph derived from orders
       // (customer-block → order-block links): truncating long division is
@@ -2513,6 +2533,31 @@ object Catalog {
        |${steps.mkString(",\n")}
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
   }
+
+  /** The q_inverted_topk CTE chain (postings, integer-linear idf, HUGEINT
+    * dots/norms, ranked `r`) — shared verbatim by q_rrf's first ranking.
+    */
+  private val invertedTopkCtes: String =
+    """tfd AS (SELECT did, token, count(*) AS tf FROM
+      |        (SELECT doc_id AS did, unnest(string_split_regex(text, '\s+')) AS token
+      |         FROM documents WHERE text IS NOT NULL) GROUP BY did, token),
+      |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+      |idf AS (SELECT token, (nn.n * 100) // df AS idf
+      |        FROM (SELECT token, count(*) AS df FROM tfd GROUP BY token) d, nn
+      |        WHERE d.df * 1000 <= nn.n * 1000),
+      |dp AS (SELECT did, token, CAST(tf * idf AS HUGEINT) AS w FROM tfd JOIN idf USING (token)),
+      |qp AS (SELECT did AS qid, token, w AS wq FROM dp WHERE did < 10),
+      |nd AS (SELECT did, sum(w * w) AS n2d FROM dp GROUP BY did),
+      |nq AS (SELECT qid, sum(wq * wq) AS n2q FROM qp GROUP BY qid),
+      |dots AS (SELECT qp.qid, dp.did, sum(dp.w * qp.wq) AS dot
+      |         FROM dp JOIN qp ON qp.token = dp.token AND dp.did != qp.qid
+      |         GROUP BY qp.qid, dp.did),
+      |sc AS (SELECT qid, did,
+      |              CAST(dot AS DOUBLE) / (sqrt(CAST(n2d AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) AS cos
+      |       FROM dots JOIN nd USING (did) JOIN nq USING (qid)),
+      |r AS (SELECT qid, did,
+      |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS INT) AS rank
+      |      FROM sc)""".stripMargin
 
   /** Label-propagation oracle: the same deterministic synchronous rounds —
     * per node the most frequent neighbor label, ties to the smallest —
@@ -4882,28 +4927,32 @@ object Catalog {
         |ORDER BY doc_id""".stripMargin,
 
     "q_inverted_topk" ->
-      """WITH tfd AS (SELECT did, token, count(*) AS tf FROM
-        |        (SELECT doc_id AS did, unnest(string_split_regex(text, '\s+')) AS token
-        |         FROM documents WHERE text IS NOT NULL) GROUP BY did, token),
-        |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-        |idf AS (SELECT token, (nn.n * 100) // df AS idf
-        |        FROM (SELECT token, count(*) AS df FROM tfd GROUP BY token) d, nn
-        |        WHERE d.df * 1000 <= nn.n * 1000),
-        |dp AS (SELECT did, token, CAST(tf * idf AS HUGEINT) AS w FROM tfd JOIN idf USING (token)),
-        |qp AS (SELECT did AS qid, token, w AS wq FROM dp WHERE did < 10),
-        |nd AS (SELECT did, sum(w * w) AS n2d FROM dp GROUP BY did),
-        |nq AS (SELECT qid, sum(wq * wq) AS n2q FROM qp GROUP BY qid),
-        |dots AS (SELECT qp.qid, dp.did, sum(dp.w * qp.wq) AS dot
-        |         FROM dp JOIN qp ON qp.token = dp.token AND dp.did != qp.qid
-        |         GROUP BY qp.qid, dp.did),
-        |sc AS (SELECT qid, did,
-        |              CAST(dot AS DOUBLE) / (sqrt(CAST(n2d AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) AS cos
-        |       FROM dots JOIN nd USING (did) JOIN nq USING (qid)),
-        |r AS (SELECT qid, did,
-        |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS INT) AS rank
-        |      FROM sc)
-        |SELECT qid AS query_id, rank, did AS doc_id FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $invertedTopkCtes
+         |SELECT qid AS query_id, rank, did AS doc_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_rrf" ->
+      s"""WITH $invertedTopkCtes,
+         |r5 AS (SELECT qid AS query_id, did AS doc_id, CAST(rank AS BIGINT) AS rank
+         |       FROM r WHERE rank <= 5),
+         |lq AS (SELECT doc_id AS query_id, n_chars AS qn FROM documents WHERE doc_id < 10),
+         |lc AS (SELECT lq.query_id, d.doc_id, abs(d.n_chars - lq.qn) AS dd
+         |       FROM lq, documents d WHERE d.doc_id != lq.query_id),
+         |lr AS (SELECT query_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dd ASC, doc_id ASC) AS BIGINT) AS rank
+         |       FROM lc),
+         |lr5 AS (SELECT query_id, doc_id, rank FROM lr WHERE rank <= 5),
+         |uni AS (SELECT * FROM r5 UNION ALL SELECT * FROM lr5),
+         |sc2 AS (SELECT query_id, doc_id,
+         |          CAST(sum(1000000000000 // (rank + 60)) AS BIGINT) AS rrf_fx,
+         |          CAST(count(*) AS BIGINT) AS n_lists
+         |        FROM uni GROUP BY 1, 2),
+         |fz AS (SELECT query_id, doc_id, rrf_fx, n_lists,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_fx DESC, doc_id ASC) AS INT) AS fused_rank
+         |       FROM sc2)
+         |SELECT query_id, doc_id, rrf_fx, n_lists, fused_rank
+         |FROM fz WHERE fused_rank <= 8
+         |ORDER BY query_id, fused_rank""".stripMargin,
 
     "q_sample_weighted" ->
       """SELECT doc_id,

@@ -198,6 +198,27 @@ class LmSplitSpec extends SparkSpec {
     assert(a == b, "duplicate-key ties must not make the sample layout-dependent")
   }
 
+  test("rrfFuse: hand-checked fusion, consensus beats single-list heads") {
+    import graft.ops.TextAnalysis
+    // query 1: list A ranks (10, 11, 12); list B ranks (12, 11, 13).
+    // doc 11 (rank 2+2) and 12 (3+1) appear in BOTH lists; 10 and 13 in one
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 13L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), kConst = 60, topK = 10)
+      .orderBy("fused_rank").select("doc_id", "rrf_fx", "n_lists")
+      .as[(Long, Long, Long)].collect().toSeq
+    val S = 1000000000000L
+    def c(r: Long) = S / (60L + r)
+    // exact integer scores: 12 -> 1/61+1/63; 11 -> 2/62; 10 -> 1/61; 13 -> 1/63
+    assert(out == Seq(
+      (12L, c(1) + c(3), 2L),
+      (11L, c(2) + c(2), 2L),
+      (10L, c(1), 1L),
+      (13L, c(3), 1L)))
+    // both two-list docs beat both single-list docs — the consensus property
+    assert(out.take(2).map(_._3).forall(_ == 2L))
+  }
+
   test("dsirWeights: target-like docs outscore off-target docs; integer weights are layout-invariant") {
     import graft.ops.TextAnalysis
     // target domain talks about cats; the raw corpus mixes cat docs with
