@@ -54,6 +54,55 @@ object Embeddings {
       }).as("q8"))
   }
 
+  /** Driver-side twin of [[Shingles.md5Hash60]] (first 15 hex chars of the
+    * utf8 md5 as a long) — for deterministic constants both engines can
+    * recompute from the same rule.
+    */
+  private[graft] def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Johnson–Lindenstrauss random projection with a DETERMINISTIC ±1 sign
+    * matrix (Achlioptas 2003 database-friendly projections): input vectors
+    * drop from `inDim` to `k` dimensions as p_b = Σ_d sign(b,d)·v_d — the
+    * cheap dimensionality-reduction step before ANN/clustering at 100 TB
+    * (pairwise distances preserved within 1±ε for k = O(ln n / ε²); the
+    * common 1/√k scaling is a constant factor and deliberately omitted so
+    * outputs stay exact integers).
+    *
+    * Replay discipline: sign(b,d) = ±1 by the parity of md5-60("seed|b|d")
+    * — a RULE, not a stored matrix, so any engine rebuilds the projection
+    * from the seed alone; components quantize to scale-`fxScale` longs
+    * first, making every projection an exact ±sum of longs. Row-local, no
+    * shuffle; the quantized array is pre-projected once (multi-referenced
+    * non-cheap alias — CollapseProject leaves it alone). At k·inDim in the
+    * thousands, move the sign matrix into a native expression (the
+    * HilbertIndexExpr pattern) — plan size here is k·inDim add nodes.
+    *
+    * @return (id, dim_out, p_fx) — one row per projected dimension.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, inDim: Int, fxScale: Int = 6,
+                    seed: String = "rp"): DataFrame = {
+    require(k >= 1 && inDim >= 1)
+    val signs: Array[Array[Long]] = Array.tabulate(k, inDim) { (b, d) =>
+      if (md5Hash60(s"$seed|$b|$d") % 2 == 0L) 1L else -1L
+    }
+    val fx: Column => Column =
+      x => graft.metrics.MetricColumns.fixedPointLong(x.cast(DoubleType), fxScale)
+    val base = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => fx(x)).as("__q"))
+    val projections = (0 until k).map { b =>
+      (0 until inDim).map { d =>
+        val e = element_at(col("__q"), d + 1)
+        if (signs(b)(d) > 0) e else (-e)
+      }.reduce(_ + _)
+    }
+    base.select(col("id"), posexplode(array(projections: _*)).as(Seq("dim_out", "p_fx")))
+  }
+
   /** EXACT per-point cluster silhouette over int8-QUANTIZED vectors: medoids
     * = the first `nMedoids` quantized vectors by id (deterministic), each
     * point's a² = squared-euclidean distance to its nearest medoid (its

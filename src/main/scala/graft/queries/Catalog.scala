@@ -1663,6 +1663,14 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_rproject" -> { (s, dir) =>
+      // JL random projection 64 → 8 dims: deterministic md5-parity sign
+      // matrix, exact ±sums of scale-6 fixed-point longs — the oracle
+      // rebuilds signs and projections from the same rule
+      Embeddings.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, inDim = 64).orderBy("id", "dim_out")
+    },
+
     "q_rrf" -> { (s, dir) =>
       // reciprocal rank fusion of two genuinely different rankings per
       // query: sparse-cosine retrieval (inverted index) + a length-
@@ -4852,6 +4860,20 @@ object Catalog {
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_rproject" ->
+      """WITH q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |    CAST(CASE WHEN CAST(x AS DOUBLE) >= 0 THEN floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |              ELSE -floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) END AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sg AS (SELECT b.b, d.d,
+        |    CASE WHEN ('0x' || substr(md5('rp|' || CAST(b.b AS VARCHAR) || '|' || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 8)) AS b) b, (SELECT unnest(range(0, 64)) AS d) d),
+        |p AS (SELECT q.id, sg.b AS dim_out, CAST(sum(sg.s * q.qv[sg.d + 1]) AS BIGINT) AS p_fx
+        |  FROM q, sg GROUP BY 1, 2)
+        |SELECT id, CAST(dim_out AS INT) AS dim_out, p_fx
+        |FROM p ORDER BY id, dim_out""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),

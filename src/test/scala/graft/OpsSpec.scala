@@ -1883,6 +1883,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0, d2, d2, 0.0)))
   }
 
+  test("randomProject: sign-rule twin, exact projections, JL distance band") {
+    // the driver-side md5-60 twin must equal the Column rule exactly
+    val probes = Seq("rp|0|0", "rp|7|63", "x", "", "Café")
+    val fromCol = probes.toDF("s")
+      .select(graft.ops.Shingles.md5Hash60(col("s"))).as[Long].collect().toSeq
+    assert(probes.map(Embeddings.md5Hash60) == fromCol)
+    // exact projection: 2-dim vectors, k=1; sign(0,0)/sign(0,1) from the rule
+    val s0 = if (Embeddings.md5Hash60("rp|0|0") % 2 == 0) 1L else -1L
+    val s1 = if (Embeddings.md5Hash60("rp|0|1") % 2 == 0) 1L else -1L
+    val d = Seq((1L, Seq(2.0f, 3.0f)), (2L, Seq(-1.0f, 0.5f))).toDF("id", "v")
+    val got = Embeddings.randomProject(d, "id", "v", k = 1, inDim = 2, fxScale = 2)
+      .orderBy("id").select("p_fx").as[Long].collect().toSeq
+    assert(got == Seq(s0 * 200 + s1 * 300, s0 * -100 + s1 * 50))
+    // JL property: on random 64-dim vectors, k=16 projections preserve
+    // relative squared distances within a loose band (same-scale compare)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val proj = Embeddings.randomProject(vecs.toDF("id", "v"), "id", "v",
+        k = 16, inDim = 64, fxScale = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3 / 1e6) }
+    def d2(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = vecs.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    val ratios = for { i <- 0L until 20L; j <- (i + 1) until 20L } yield
+      (d2(proj(i), proj(j)) / 16.0) / d2(orig(i), orig(j))
+    // E[ratio] = 1 under ±1 projections scaled by 1/√k; loose band (k=16)
+    assert(ratios.forall(r => r > 0.2 && r < 3.0), s"JL band: ${ratios.min} .. ${ratios.max}")
+    assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.3)
+  }
+
   test("embedding centroids: exact per-dim means and centroid cosine") {
     val d = Seq(
       (1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(0.0f, 1.0f)),
