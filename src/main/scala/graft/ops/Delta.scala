@@ -32,6 +32,34 @@ object Delta {
       .select("id", "status")
   }
 
+  /** Derive a CDC change FEED from two snapshots — the inverse of
+    * [[applyChanges]]: upserts (op "U") for added/changed ids carrying the
+    * NEW snapshot's payload, deletes (op "D") for removed ids, all at
+    * `seq` = 1 (one batch). Replaying the feed onto the OLD snapshot
+    * reproduces the new one EXACTLY (`applyChanges(old, changeFeed(old,
+    * new)) ≡ new` — the round-trip is oracle-gated and spec'd), which is
+    * the correctness contract that lets a 100 TB pipeline ship diffs
+    * instead of snapshots.
+    *
+    * Scale shape: [[snapshotDiff]]'s hash-projected join (bodies never
+    * shuffle) + ONE id-keyed join to attach the new payload to the
+    * (diff-sized, usually tiny) upsert set.
+    */
+  def changeFeed(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                 textCol: String, payloadCols: Seq[String],
+                 hasher: Column => Column = xxhash64(_)): DataFrame = {
+    val d = snapshotDiff(oldSnap, newSnap, idCol, textCol, hasher)
+    val newPayload = newSnap.select(col(idCol).as("id") +: payloadCols.map(col): _*)
+    val ups = d.where(col("status").isin("added", "changed"))
+      .join(newPayload, Seq("id"))
+      .select(col("id").as(idCol) +: lit(1L).as("seq") +: lit("U").as("op") +:
+        payloadCols.map(col): _*)
+    val dels = d.where(col("status") === "removed")
+      .select(col("id").as(idCol) +: lit(1L).as("seq") +: lit("D").as("op") +:
+        payloadCols.map(c => lit(null).cast(newSnap.schema(c).dataType).as(c)): _*)
+    ups.unionByName(dels)
+  }
+
   /** Apply a CDC change feed onto a snapshot (MERGE semantics): per key the
     * LATEST change by `seqCol` wins — `upsertOp` inserts-or-overwrites the
     * payload, `deleteOp` removes the key; keys without changes pass through.

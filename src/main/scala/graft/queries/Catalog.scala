@@ -1663,6 +1663,23 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_cdc_roundtrip" -> { (s, dir) =>
+      // composition gate: snapshotDiff → changeFeed → applyChanges must
+      // reproduce the new snapshot EXACTLY; the oracle builds the new
+      // snapshot directly — equality proves the round-trip identity
+      val old = t(s, dir, "documents").select("doc_id", "text")
+      val newSnap = old.where(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 5)
+        .unionByName(old.where(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(old.where(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      val feed = Delta.changeFeed(old, newSnap, "doc_id", "text", Seq("text"))
+      Delta.applyChanges(old, feed, "doc_id", "seq", "op", Seq("text"))
+        .select(col("doc_id"), Shingles.md5Hash60(col("text")).as("text_h"))
+        .orderBy("doc_id")
+    },
+
     "q_rproject" -> { (s, dir) =>
       // JL random projection 64 → 8 dims: deterministic md5-parity sign
       // matrix, exact ±sums of scale-6 fixed-point longs — the oracle
@@ -4860,6 +4877,16 @@ object Catalog {
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_cdc_roundtrip" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3 AND doc_id % 10 != 5
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2' FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'new doc ' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 10 = 7)
+        |SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_h
+        |FROM newsnap ORDER BY doc_id""".stripMargin,
 
     "q_rproject" ->
       """WITH q AS (SELECT vec_id AS id, list_transform(embedding, x ->

@@ -685,6 +685,20 @@ class DeltaSpec extends SparkSpec {
       .as[(Long, String, Int)].collect().toSet
     assert(got == Set((1L, "a", 10), (3L, "c2", 32), (4L, "d2", 42), (5L, "e", 50)))
   }
+
+  test("changeFeed round-trip: applyChanges(old, changeFeed(old, new)) == new") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (5L, "e")).toDF("doc_id", "text")
+    val feed = Delta.changeFeed(oldSnap, newSnap, "doc_id", "text", Seq("text"))
+    val ops = feed.select("doc_id", "op", "text")
+      .as[(Long, String, String)].collect().toSet
+    // 1,4 removed; 3 changed; 5 added; 2 unchanged -> absent from the feed
+    assert(ops == Set((1L, "D", null), (4L, "D", null), (3L, "U", "c2"), (5L, "U", "e")))
+    val replayed = Delta.applyChanges(oldSnap, feed, "doc_id", "seq", "op", Seq("text"))
+      .as[(Long, String)].collect().toSet
+    assert(replayed == newSnap.as[(Long, String)].collect().toSet,
+      "the replayed snapshot must equal the new one exactly")
+  }
 }
 
 class OutliersSpec extends SparkSpec {
