@@ -301,6 +301,44 @@ object Components {
     pr.select("id", "pr")
   }
 
+  /** Multi-source BFS hop distances: dist(v) = min #edges from any seed
+    * node along edge direction — link-proximity features (distance from
+    * trusted seeds / spam seeds à la TrustRank's expansion set, crawl-depth
+    * audits) and the reachability reading PPR's damped mass doesn't give.
+    *
+    * `maxHops` is FIXED (capped ≡ unrolled replay): each round relaxes
+    * dist(v) = min(dist(v), min over in-neighbors u of dist(u)+1) — one
+    * skinny (dst, long) shuffle with map-side combine + the dist join
+    * against the once-materialized edges; nodes beyond maxHops stay NULL.
+    * Null handling is an explicit CASE (not `least`) so the identical tree
+    * replays in SQL regardless of engine least()-vs-NULL semantics.
+    */
+  def bfsDistances(nodes: DataFrame, idCol: String, edges: DataFrame,
+                   srcCol: String, dstCol: String, seeds: DataFrame,
+                   maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1)
+    val ids = nodes.select(col(idCol).as("id"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val s = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("__s", lit(true))
+    var dist = ids.join(s, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s"), 0L).otherwise(lit(null).cast("long")).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val relax = e.join(dist, e("src") === dist("id"))
+        .where(col("dist").isNotNull)
+        .groupBy(col("dst").as("id2")).agg(min(col("dist") + 1L).as("nd"))
+      dist = dist.join(relax, dist("id") === col("id2"), "left")
+        .select(col("id"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("nd"))).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Community detection by DETERMINISTIC synchronous label propagation
     * (Raghavan et al. 2007, made replayable): every node simultaneously
     * adopts the most frequent label among its neighbors, ties broken to the

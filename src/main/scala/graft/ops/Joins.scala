@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,5 +127,49 @@ object Joins {
       .withColumn("is_match", col("score_fx") >= minScoreFx)
       .select(col("id_a") +: col("id_b") +:
         fields.map(f => col(s"agree_${f.col}")) :+ col("score_fx") :+ col("is_match"): _*)
+  }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo SIGMOD'95):
+    * sort the corpus by a fuzzy key (name, normalized address, folded
+    * title), slide a `window`-record window, emit every in-window pair —
+    * the classic entity-resolution blocking COMPLEMENT to hash blocking:
+    * near-boundary records ("Smith, J" / "Smith, John") land adjacent in
+    * sort order even when no exact blocking key agrees. Candidate count is
+    * exactly (n − w/2·…) ≈ n·(w−1) — linear, never quadratic.
+    *
+    * Scale shape: the GLOBAL rank comes from the two-phase prefix
+    * discipline (range partition by (key, id) → per-partition row_number +
+    * broadcast partition offsets — never a single-partition window; the
+    * eager localCheckpoint freezes the range layout, the
+    * [[graft.ops.Packing.prefixSum]] lesson); each record then claims its
+    * `window−1` successor rank SLOTS (one posexplode) and ONE equi-join on
+    * the slot attaches the successor — each pair emitted exactly once
+    * (rank_a < rank_b by construction). Deterministic: ties in the sort
+    * key break on id.
+    *
+    * @return (id_a, id_b, rank_a, rank_b) with 0 < rank_b − rank_a < window.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKey: Column,
+                              window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val base = df.select(col(idCol).as("id"), sortKey.as("__k"))
+      .repartitionByRange(col("__k"), col("id"))
+      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id())
+    val counts = base.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetLit = array(offsets.take(maxPid + 1).map(lit(_)): _*)
+    val w = Window.partitionBy("__pid").orderBy(col("__k").asc, col("id").asc)
+    val ranked = base
+      .withColumn("rank",
+        row_number().over(w).cast("long") + element_at(offsetLit, col("__pid") + 1) - 1L)
+      .localCheckpoint(true) // referenced twice below (slots + the join side)
+    val slots = ranked.select(col("id").as("id_a"), col("rank").as("rank_a"),
+      explode(sequence(col("rank") + 1L, col("rank") + (window - 1).toLong)).as("slot"))
+    slots.join(ranked.select(col("rank").as("slot"), col("id").as("id_b"),
+        col("rank").as("rank_b")), Seq("slot"))
+      .select("id_a", "id_b", "rank_a", "rank_b")
   }
 }

@@ -1663,6 +1663,15 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_snm_pairs" -> { (s, dir) =>
+      // sorted-neighborhood ER blocking over customer names: global rank
+      // via the two-phase prefix discipline, window-5 successor pairs —
+      // the oracle replays ranks with a plain global row_number
+      Joins.sortedNeighborhoodPairs(t(s, dir, "customer"), "c_custkey",
+        col("c_name"), window = 5)
+        .orderBy("rank_a", "rank_b")
+    },
+
     "q_cdc_roundtrip" -> { (s, dir) =>
       // composition gate: snapshotDiff → changeFeed → applyChanges must
       // reproduce the new snapshot EXACTLY; the oracle builds the new
@@ -1789,6 +1798,19 @@ object Catalog {
         .agg(count(lit(1)).as("w"))
       Components.weightedPageRank(s.range(300).toDF("id"), "id", edges,
         "src", "dst", "w", iterations = 5).orderBy("id")
+    },
+
+    "q_bfs" -> { (s, dir) =>
+      // multi-source BFS: hop distance from the ≡0-mod-25 seed set along
+      // the directed mod-400 order graph, 4 relaxation rounds; unreached
+      // nodes stay NULL
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 400).as("src"),
+        (col("o_orderkey") % 400).as("dst")).distinct()
+      val nodes = s.range(400).toDF("id")
+      Components.bfsDistances(nodes, "id", edges, "src", "dst",
+        seeds = nodes.where(col("id") % 25 === 0), maxHops = 4)
+        .orderBy("id")
     },
 
     "q_communities" -> { (s, dir) =>
@@ -2583,6 +2605,26 @@ object Catalog {
       |r AS (SELECT qid, did,
       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did ASC) AS INT) AS rank
       |      FROM sc)""".stripMargin
+
+  /** BFS-distance oracle: the same fixed relaxation rounds with the
+    * explicit NULL-CASE min tree. */
+  private def bfsOracleSql(n: Int, seedMod: Int, hops: Int): String = {
+    val steps = (1 to hops).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT p.id,
+         |    CASE WHEN p.dist IS NULL THEN r.nd
+         |         WHEN r.nd IS NULL THEN p.dist
+         |         ELSE least(p.dist, r.nd) END AS dist
+         |  FROM d${i - 1} p LEFT JOIN (
+         |    SELECT e.dst AS id, min(d${i - 1}.dist + 1) AS nd
+         |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.id
+         |    WHERE d${i - 1}.dist IS NOT NULL GROUP BY 1) r USING (id))""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey % $n AS src, o_orderkey % $n AS dst FROM orders),
+       |nn AS (SELECT unnest(range(0, $n)) AS id),
+       |d0 AS MATERIALIZED (SELECT id, CASE WHEN id % $seedMod = 0 THEN 0 END AS dist FROM nn),
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM d$hops ORDER BY id""".stripMargin
+  }
 
   /** Label-propagation oracle: the same deterministic synchronous rounds —
     * per node the most frequent neighbor label, ties to the smallest —
@@ -4878,6 +4920,14 @@ object Catalog {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q_snm_pairs" ->
+      """WITH r AS (SELECT c_custkey AS id,
+        |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) - 1 AS rank
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b, a.rank AS rank_a, b.rank AS rank_b
+        |FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5
+        |ORDER BY rank_a, rank_b""".stripMargin,
+
     "q_cdc_roundtrip" ->
       """WITH newsnap AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3 AND doc_id % 10 != 5
@@ -4906,6 +4956,7 @@ object Catalog {
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
     "q_hits" -> hitsOracleSql(400, 5),
     "q_communities" -> labelPropOracleSql(300, 4),
+    "q_bfs" -> bfsOracleSql(400, 25, 4),
 
     "q_triangles" ->
       """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),

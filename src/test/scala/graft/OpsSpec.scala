@@ -490,6 +490,30 @@ class JoinsSpec extends SparkSpec {
     assert(out(2L).contains(105.0))  // equal timestamp is visible
     assert(out(3L).isEmpty)          // sym 2 has no quotes
   }
+
+  test("sortedNeighborhoodPairs: brute-force window pairs, no global funnel, layout-invariant") {
+    import org.apache.spark.sql.functions._
+    // names sort as: ann(4), bob(2), cara(1), dan(5), ed(3), fay(6)
+    val people = Seq((1L, "cara"), (2L, "bob"), (3L, "ed"), (4L, "ann"),
+      (5L, "dan"), (6L, "fay")).toDF("id", "name")
+    val got = Joins.sortedNeighborhoodPairs(people, "id", col("name"), window = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // sorted ids: 4,2,1,5,3,6; window 3 pairs = each with its next 2
+    val order = Seq(4L, 2L, 1L, 5L, 3L, 6L)
+    val expect = (for { i <- order.indices; j <- (i + 1) until math.min(i + 3, order.size) }
+      yield (order(i), order(j))).toSet
+    assert(got == expect, s"$got vs $expect")
+    // deterministic under any input layout (the two-phase rank discipline)
+    val repart = Joins.sortedNeighborhoodPairs(people.repartition(5), "id",
+        col("name"), window = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(repart == expect)
+    // sort-key ties break on id: duplicate names still rank deterministically
+    val dup = Seq((10L, "x"), (7L, "x"), (8L, "x")).toDF("id", "name")
+    val dupPairs = Joins.sortedNeighborhoodPairs(dup, "id", col("name"), window = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dupPairs == Set((7L, 8L), (8L, 10L)))
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {

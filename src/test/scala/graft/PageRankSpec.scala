@@ -166,6 +166,25 @@ class PageRankSpec extends SparkSpec {
     assert(out == repart, "integer arithmetic must be partitioning-invariant")
   }
 
+  test("bfsDistances: hop counts on a chain, direction respected, cap leaves NULLs") {
+    // directed chain 0→1→2→3→4 plus a back-edge 4→0; seed {0}
+    val nodes = (0L to 5L).toDF("id") // 5 is isolated
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = Components.bfsDistances(nodes, "id", edges, "src", "dst", seeds, maxHops = 6)
+      .orderBy("id").select("dist").as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(0L), Some(1L), Some(2L), Some(3L), Some(4L), None))
+    // a 2-hop cap leaves the far nodes NULL (capped ≡ unrolled replay)
+    val capped = Components.bfsDistances(nodes, "id", edges, "src", "dst", seeds, maxHops = 2)
+      .orderBy("id").select("dist").as[Option[Long]].collect().toSeq
+    assert(capped == Seq(Some(0L), Some(1L), Some(2L), None, None, None))
+    // multi-source: nearest seed wins
+    val two = Components.bfsDistances(nodes, "id", edges, "src", "dst",
+        Seq(0L, 3L).toDF("id"), maxHops = 6)
+      .orderBy("id").select("dist").as[Option[Long]].collect().toSeq
+    assert(two == Seq(Some(0L), Some(1L), Some(2L), Some(0L), Some(1L), None))
+  }
+
   test("labelPropagation: splits bridged cliques into communities; deterministic") {
     // two 4-cliques joined by ONE bridge edge (3-10): connected components
     // would merge everything; LPA cuts at the bridge
