@@ -1672,6 +1672,26 @@ object Catalog {
         .orderBy("rank_a", "rank_b")
     },
 
+    "q_er_pipeline" -> { (s, dir) =>
+      // entity-resolution composition: sorted-neighborhood candidates →
+      // levenshtein≤1 verification → connected components → canonical
+      // record per cluster, ONE lazy plan over composed oracled operators
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val cand = Joins.sortedNeighborhoodPairs(c, "id", col("name"), window = 5)
+      val edges = cand
+        .join(c.select(col("id").as("id_a"), col("name").as("n_a")), Seq("id_a"))
+        .join(c.select(col("id").as("id_b"), col("name").as("n_b")), Seq("id_b"))
+        .where(expr("levenshtein(n_a, n_b) <= 1"))
+        .select("id_a", "id_b")
+      Components.connectedComponents(c.select("id"), "id", edges, "id_a", "id_b")
+        .groupBy("component")
+        .agg(count(lit(1)).cast(LongType).as("n_members"),
+          min(col("id")).as("canonical"), max(col("id")).as("max_id"))
+        .where(col("n_members") > 1)
+        .orderBy("component")
+    },
+
     "q_cdc_roundtrip" -> { (s, dir) =>
       // composition gate: snapshotDiff → changeFeed → applyChanges must
       // reproduce the new snapshot EXACTLY; the oracle builds the new
@@ -4927,6 +4947,24 @@ object Catalog {
         |SELECT a.id AS id_a, b.id AS id_b, a.rank AS rank_a, b.rank AS rank_b
         |FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5
         |ORDER BY rank_a, rank_b""".stripMargin,
+
+    "q_er_pipeline" ->
+      """WITH RECURSIVE
+        |r AS (SELECT c_custkey AS id, c_name AS name,
+        |        CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) - 1 AS rank
+        |      FROM customer),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.name AS n_a, b.name AS n_b
+        |      FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5),
+        |e AS (SELECT id_a, id_b FROM p WHERE levenshtein(n_a, n_b) <= 1),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+        |cc(id, label) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT s.a, cc.label FROM cc JOIN sym s ON cc.id = s.b),
+        |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |       min(id) AS canonical, max(id) AS max_id
+        |FROM comp GROUP BY 1 HAVING count(*) > 1 ORDER BY component""".stripMargin,
 
     "q_cdc_roundtrip" ->
       """WITH newsnap AS (

@@ -491,6 +491,25 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L).isEmpty)          // sym 2 has no quotes
   }
 
+  test("ER composition: SNM candidates -> fuzzy verify -> components -> canonical") {
+    import org.apache.spark.sql.functions._
+    // two fuzzy name clusters + one loner; typos within 1 edit
+    val people = Seq((1L, "jon smith"), (2L, "john smith"), (3L, "jon smyth"),
+      (10L, "mary jones"), (11L, "mary janes"), (20L, "bob")).toDF("id", "name")
+    val cand = Joins.sortedNeighborhoodPairs(people, "id", col("name"), window = 4)
+    val edges = cand
+      .join(people.select(col("id").as("id_a"), col("name").as("n_a")), Seq("id_a"))
+      .join(people.select(col("id").as("id_b"), col("name").as("n_b")), Seq("id_b"))
+      .where(expr("levenshtein(n_a, n_b) <= 1")).select("id_a", "id_b")
+    val comp = graft.ops.Components.connectedComponents(
+        people.select("id"), "id", edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == comp(2L) && comp(2L) == comp(3L), s"smiths cluster: $comp")
+    assert(comp(10L) == comp(11L) && comp(10L) != comp(1L))
+    assert(comp(20L) == 20L, "the loner is its own cluster")
+    assert(comp(1L) == 1L, "canonical = min id of the cluster")
+  }
+
   test("sortedNeighborhoodPairs: brute-force window pairs, no global funnel, layout-invariant") {
     import org.apache.spark.sql.functions._
     // names sort as: ann(4), bob(2), cara(1), dan(5), ed(3), fay(6)
