@@ -38,7 +38,13 @@ final case class ScanDefinition(
       * (`co_null_both` / `co_null_jaccard`, column = "a~b"); a streaming
       * scan emits the same statistics per window.
       */
-    coMissingness: Seq[String] = Nil
+    coMissingness: Seq[String] = Nil,
+    /** Beyond the reference surface: type-inference audit of string columns
+      * (`infer_types:` YAML column list). The scan records each column's
+      * tightest parse type covering ≥99% of non-null values as an
+      * `inferred_type` measurement (value = the type name).
+      */
+    inferTypes: Seq[String] = Nil
 )
 
 /** Streaming execution parameters of a scan: the event-time column the

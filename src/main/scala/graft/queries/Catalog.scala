@@ -1443,6 +1443,13 @@ object Catalog {
       Card.report(t(s, dir, "documents"), "text", "lang", "source",
         textHasher = Shingles.md5Hash60)),
 
+    "q_card_by_lang" -> ((s, dir) =>
+      // the per-segment card: same fused pass grouped by language —
+      // the mixture documentation rows
+      Card.reportBy(t(s, dir, "documents"), "lang", "text", "lang", "source",
+        textHasher = Shingles.md5Hash60)
+        .orderBy("grp")),
+
     "q_probe_weights" -> { (s, dir) =>
       // in-engine model training: 5 rounds of fixed-point full-batch GD
       // (one gradient aggregate + a 4-long driver update per round); the
@@ -1949,6 +1956,27 @@ object Catalog {
         Seq("s_key", "s_dec", "s_date", "s_ts", "s_bool", "s_mixed", "s_email", "s_uuid"),
         threshold = 0.8)
         .orderBy("col_name")
+    },
+
+    "q_scan_types" -> { (s, dir) =>
+      // the table-level `infer_types:` list through the full scan surface:
+      // tightest-type measurements for three derived string columns
+      val base = t(s, dir, "orders").select(
+        expr("cast(o_orderkey as string)").as("s_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("s_date"),
+        expr("concat('u', cast(o_custkey as string), '@example.com')").as("s_email"))
+      val yaml =
+        """table_name: base
+          |infer_types:
+          |- s_key
+          |- s_date
+          |- s_email
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, base, yaml)
+      def ty(c: String) =
+        r.measurement("inferred_type", Some(c)).get.value.get.asInstanceOf[String]
+      s.range(1).select(lit(ty("s_key")).as("t_key"),
+        lit(ty("s_date")).as("t_date"), lit(ty("s_email")).as("t_email"))
     },
 
     "q_conull" -> { (s, dir) =>
@@ -2646,6 +2674,37 @@ object Catalog {
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d$hops ORDER BY id""".stripMargin
   }
 
+  /** q_scan_types oracle: recomputes the tightest type per column through
+    * the same [[Constraints.TypePatterns]] regex counts at the scan's 0.99
+    * default threshold (no hardcoded answers).
+    */
+  private def scanTypesOracle: String = {
+    val cols = Seq("s_key" -> "t_key", "s_date" -> "t_date", "s_email" -> "t_email")
+    val counts = cols.map(_._1).zipWithIndex.flatMap { case (c, i) =>
+      s"  CAST(count(CASE WHEN $c IS NOT NULL THEN 1 END) AS BIGINT) AS nv_$i" +:
+        Constraints.TypePatterns.map { case (tn, re) =>
+          s"  CAST(count(CASE WHEN regexp_matches($c, '$re') THEN 1 END) AS BIGINT) AS c_${i}_$tn"
+        }
+    }.mkString(",\n")
+    val picks = cols.zipWithIndex.map { case ((_, out), i) =>
+      val sugg = Constraints.TypePatterns.map { case (tn, _) =>
+        s"WHEN nv_$i > 0 AND CAST(c_${i}_$tn AS DOUBLE) >= CAST(0.99 AS DOUBLE) * CAST(nv_$i AS DOUBLE) THEN '$tn'"
+      }.mkString("\n    ")
+      s"CASE $sugg ELSE 'string' END AS $out"
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT
+       |  CAST(o_orderkey AS VARCHAR) AS s_key,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS s_date,
+       |  concat('u', CAST(o_custkey AS VARCHAR), '@example.com') AS s_email
+       |FROM orders),
+       |m AS (SELECT
+       |$counts
+       |FROM f)
+       |SELECT
+       |$picks
+       |FROM m""".stripMargin
+  }
+
   /** Label-propagation oracle: the same deterministic synchronous rounds —
     * per node the most frequent neighbor label, ties to the smallest —
     * replayed with window-ranked argmax. MATERIALIZED per round (each
@@ -3258,6 +3317,8 @@ object Catalog {
         |    CASE WHEN na_st > 0 AND na_px > 0 THEN (CAST(b_st_px AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(na_st AS DOUBLE) * CAST(na_px AS DOUBLE)) END
         |  FROM m
         |) ORDER BY col_a, col_b""".stripMargin,
+    "q_scan_types" -> scanTypesOracle,
+
     "q_scan_conull" ->
       """WITH f AS (SELECT
         |  nullif(o_orderpriority, '3-MEDIUM') AS pri,
@@ -4647,6 +4708,18 @@ object Catalog {
         |  CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT) AS min_tokens,
         |  CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT) AS max_tokens
         |FROM documents""".stripMargin,
+
+    "q_card_by_lang" ->
+      """SELECT lang AS grp, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT) AS distinct_texts,
+        |  CAST(sum(CASE WHEN len(string_split_regex(text, '\s+')) < 30 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        |  CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT) AS min_tokens,
+        |  CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY grp""".stripMargin,
 
     "q_probe_weights" ->
       s"""WITH ${probeOracleRounds(5, 50000L)}

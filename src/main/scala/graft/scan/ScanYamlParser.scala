@@ -62,7 +62,8 @@ object ScanYamlParser {
       filter = optStr(m, "filter"),
       rowChecks = rowChecks,
       stream = stream,
-      coMissingness = m.get("co_missingness").map(strs).getOrElse(Nil)
+      coMissingness = m.get("co_missingness").map(strs).getOrElse(Nil),
+      inferTypes = m.get("infer_types").map(strs).getOrElse(Nil)
     )
   }
 

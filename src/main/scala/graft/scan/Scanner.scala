@@ -685,6 +685,16 @@ object Scanner {
         }
     }
 
+    // ---- type-inference audit (beyond the reference: table-level
+    // `infer_types:` column list) ---- each column's tightest parse type
+    // covering >=99% of non-null values (Constraints.inferTypes — one
+    // fused aggregate), recorded as an `inferred_type` measurement
+    if (scan.inferTypes.nonEmpty) {
+      graft.ops.Constraints.inferTypes(df, scan.inferTypes)
+        .select("col_name", "suggested").collect()
+        .foreach(r => record(r.getString(0), "inferred_type", r.getString(1)))
+    }
+
     // ---- samples (reference `samples:` config, tests/test_scan.py:24-26) --
     // table_limit: a deterministic head-by-all-columns table sample;
     // failed_limit: per configured column, the first N rows failing its

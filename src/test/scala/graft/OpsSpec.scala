@@ -2058,6 +2058,25 @@ class CardSpec extends SparkSpec {
     assert(r.getLong(6) == 3L, "short_docs (<30 tokens)")
     assert(r.getLong(7) == 1L && r.getLong(8) == 30L, "min/max tokens")
   }
+
+  test("per-segment card: grouped rows equal the whole-table card on each slice") {
+    val docs = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "one two three", "en", "web"),
+      (3L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc dd", "en", "wiki"),
+      (4L, "hola", "es", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val by = Card.reportBy(docs, "lang", "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (lang <- Seq("en", "es")) {
+      val whole = Card.report(docs.where(col("lang") === lang), "text", "lang", "source")
+        .collect()(0)
+      val seg = by(lang)
+      assert((1 to 9).forall(i => seg.get(i) == whole.get(i - 1)),
+        s"segment $lang must equal the sliced whole-table card")
+    }
+    assert(by("en").getLong(1) == 3L && by("es").getLong(1) == 1L)
+  }
 }
 
 class LinearProbeSpec extends SparkSpec {
