@@ -416,8 +416,10 @@ object Components {
     for (_ <- 1 to iterations) {
       // each raw frame is referenced TWICE (its max aggregate + the
       // rescale) — without lineage truncation the plan would double per
-      // reference and grow 4^iterations; localCheckpoint keeps every round
-      // shallow (the connectedComponents discipline)
+      // reference and grow 4^iterations; EAGER localCheckpoint keeps every
+      // round shallow (lazy variant BENCHED AND REJECTED: 6.8 s vs 5.2 s
+      // at sf0.1 — the deferred materializations land inside the broadcast
+      // build threads and serialize the rounds)
       val aRaw = ids.join(
           e.join(h, e("src") === h("id"))
             .groupBy(col("dst").as("id2")).agg(sum(col("h")).as("ar")),
