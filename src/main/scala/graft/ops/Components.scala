@@ -301,6 +301,36 @@ object Components {
     pr.select("id", "pr")
   }
 
+  /** Co-occurrence graph construction — the bipartite projection that
+    * DERIVES the graphs every operator in this family consumes: items
+    * (tokens, domains, products, entities) sharing a key (document, order,
+    * session) become weighted edges (item_a, item_b, cnt = #shared keys).
+    * Feed the result to [[pageRank]]/[[labelPropagation]]/[[kCore]]/
+    * [[triangleCounts]].
+    *
+    * Quadratic guard: a key with f distinct items yields f·(f−1)/2 pairs,
+    * so keys ABOVE `maxKeyItems` are dropped whole (measured by one count
+    * aggregate, the stop-token discipline — a session that touched a
+    * million items is noise, not signal). Shuffles carry (key, item) and
+    * (item, item) pairs only; `minCount` prunes the long tail of
+    * one-off co-occurrences before the edge frame leaves.
+    */
+  def coOccurrence(df: DataFrame, keyCol: String, itemCol: String,
+                   maxKeyItems: Int = 1000, minCount: Long = 1L): DataFrame = {
+    val ki = df.select(col(keyCol).as("k"), col(itemCol).as("i"))
+      .where(col("k").isNotNull && col("i").isNotNull)
+      .distinct()
+    val hot = ki.groupBy("k").agg(count(lit(1)).as("f"))
+      .where(col("f") > maxKeyItems).select("k")
+    val capped = ki.join(broadcast(hot), Seq("k"), "left_anti")
+    val a = capped.select(col("k"), col("i").as("item_a"))
+    val b = capped.select(col("k"), col("i").as("item_b"))
+    a.join(b, Seq("k"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** Multi-source BFS hop distances: dist(v) = min #edges from any seed
     * node along edge direction — link-proximity features (distance from
     * trusted seeds / spam seeds à la TrustRank's expansion set, crawl-depth

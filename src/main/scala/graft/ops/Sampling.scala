@@ -135,6 +135,41 @@ object Sampling {
     }
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: every key goes to
+    * the shard with the LARGEST hash(key, shard) — the sharding rule whose
+    * assignments survive topology change: adding/removing one shard moves
+    * only ~1/n of keys (only those whose winner was the removed shard or is
+    * the new one), where modulo sharding reshuffles nearly everything. The
+    * output-partitioning primitive for incremental 100 TB layouts: shard by
+    * rendezvous, re-shard only the moved fraction.
+    *
+    * Row-local (one hash per shard per row — the shard LIST rides the
+    * expression, use for shard counts in the tens/hundreds); ties
+    * (astronomically rare with 60-bit hashes) break to the smallest shard
+    * name via the max(struct(hash, shard)) on negated-name ordering — here
+    * simply first-wins in fold order, deterministic either way.
+    *
+    * @param shards shard names, non-empty, distinct.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: String, shards: Seq[String],
+                      out: String = "shard",
+                      hasher: Column => Column = xxhash64(_)): DataFrame =
+    df.withColumn(out, rendezvousExpr(col(keyCol), shards, hasher))
+
+  /** The rendezvous COLUMN for an arbitrary key expression — the pure
+    * function of (key, shard list), exposed like [[splitExpr]].
+    */
+  def rendezvousExpr(key: Column, shards: Seq[String],
+                     hasher: Column => Column = xxhash64(_)): Column = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      "shards must be non-empty and distinct")
+    val best = shards.map { s =>
+      struct(hasher(concat(key.cast("string"), lit("|shard|" + s))).as("h"),
+        lit(s).as("s"))
+    }.reduce((a, b) => when(a("h") >= b("h"), a).otherwise(b))
+    best("s")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement of `k` rows
     * (Efraimidis–Spirakis via the exponential race): each row gets priority
     * e = −ln(u)/w where u ∈ (0,1) is its key's hash fraction and w its

@@ -1670,6 +1670,15 @@ object Catalog {
         .orderBy("query_id", "rank")
     },
 
+    "q_shard" -> { (s, dir) =>
+      // rendezvous sharding of customers over 5 shards: argmax of
+      // hash(key, shard) — the oracle replays the same md5-60 race
+      Sampling.rendezvousShard(t(s, dir, "customer"), "c_custkey",
+        (0 until 5).map(i => s"s$i"), hasher = Shingles.md5Hash60)
+        .select(col("c_custkey").as("id"), col("shard"))
+        .orderBy("id")
+    },
+
     "q_snm_pairs" -> { (s, dir) =>
       // sorted-neighborhood ER blocking over customer names: global rank
       // via the two-phase prefix discipline, window-5 successor pairs —
@@ -1825,6 +1834,15 @@ object Catalog {
         .agg(count(lit(1)).as("w"))
       Components.weightedPageRank(s.range(300).toDF("id"), "id", edges,
         "src", "dst", "w", iterations = 5).orderBy("id")
+    },
+
+    "q_cooc" -> { (s, dir) =>
+      // co-purchase graph: parts (mod 150) co-occurring in an order become
+      // weighted edges; count >= 2 prunes one-off pairs
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), (col("l_partkey") % 150).as("i"))
+      Components.coOccurrence(l, "k", "i", maxKeyItems = 50, minCount = 2)
+        .orderBy("item_a", "item_b")
     },
 
     "q_bfs" -> { (s, dir) =>
@@ -5013,6 +5031,14 @@ object Catalog {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q_shard" ->
+      """WITH s(s, pos) AS (VALUES ('s0', 0), ('s1', 1), ('s2', 2), ('s3', 3), ('s4', 4)),
+        |h AS (SELECT c_custkey AS id, s.s, s.pos,
+        |        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|shard|' || s.s), 1, 15))::BIGINT AS h
+        |      FROM customer, s),
+        |r AS (SELECT id, s, row_number() OVER (PARTITION BY id ORDER BY h DESC, pos ASC) AS rn FROM h)
+        |SELECT id, s AS shard FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
+
     "q_snm_pairs" ->
       """WITH r AS (SELECT c_custkey AS id,
         |    CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS BIGINT) - 1 AS rank
@@ -5067,6 +5093,14 @@ object Catalog {
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
     "q_hits" -> hitsOracleSql(400, 5),
     "q_communities" -> labelPropOracleSql(300, 4),
+    "q_cooc" ->
+      """WITH ki AS (SELECT DISTINCT l_orderkey AS k, l_partkey % 150 AS i FROM lineitem),
+        |ok AS (SELECT k FROM ki GROUP BY k HAVING count(*) <= 50),
+        |c AS (SELECT ki.k, ki.i FROM ki JOIN ok USING (k))
+        |SELECT a.i AS item_a, b.i AS item_b, count(*) AS cnt
+        |FROM c a JOIN c b ON a.k = b.k AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     "q_bfs" -> bfsOracleSql(400, 25, 4),
 
     "q_triangles" ->

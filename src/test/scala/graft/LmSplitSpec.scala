@@ -198,6 +198,27 @@ class LmSplitSpec extends SparkSpec {
     assert(a == b, "duplicate-key ties must not make the sample layout-dependent")
   }
 
+  test("rendezvousShard: balanced, deterministic, minimal movement on shard add") {
+    import graft.ops.Sampling
+    val keys = (0L until 2000L).toDF("id")
+    val three = Sampling.rendezvousShard(keys, "id", Seq("a", "b", "c"))
+      .select("id", "shard").as[(Long, String)].collect().toMap
+    // roughly balanced (binomial tolerance)
+    val sizes = three.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(n => n > 500 && n < 840), s"balance: ${sizes.toMap}")
+    // ADDING shard d moves ONLY keys whose new winner is d — everyone else
+    // keeps their shard (the property modulo sharding lacks)
+    val four = Sampling.rendezvousShard(keys, "id", Seq("a", "b", "c", "d"))
+      .select("id", "shard").as[(Long, String)].collect().toMap
+    val moved = three.keys.filter(k => three(k) != four(k))
+    assert(moved.forall(k => four(k) == "d"), "movement only INTO the new shard")
+    assert(moved.size > 350 && moved.size < 650, s"~1/4 move: ${moved.size}")
+    // deterministic under relisting/layout
+    val again = Sampling.rendezvousShard(keys.repartition(7), "id", Seq("a", "b", "c"))
+      .select("id", "shard").as[(Long, String)].collect().toMap
+    assert(again == three)
+  }
+
   test("rrfFuse: hand-checked fusion, consensus beats single-list heads") {
     import graft.ops.TextAnalysis
     // query 1: list A ranks (10, 11, 12); list B ranks (12, 11, 13).

@@ -166,6 +166,22 @@ class PageRankSpec extends SparkSpec {
     assert(out == repart, "integer arithmetic must be partitioning-invariant")
   }
 
+  test("coOccurrence: pair counts, hot-key cap, duplicate pairs collapse") {
+    // session 1: {a,b,c}; session 2: {a,b}; session 3 (hot): {a..e};
+    // duplicate (k,i) rows collapse before pairing
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"),
+      (2L, "a"), (2L, "b")) ++ Seq("a", "b", "c", "d", "e").map((3L, _))
+    val df = rows.toDF("k", "i")
+    val got = Components.coOccurrence(df, "k", "i", maxKeyItems = 4)
+      .as[(String, String, Long)].collect().toSet
+    // session 3 (5 items > cap) contributes nothing
+    assert(got == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // minCount prunes the tail
+    val pruned = Components.coOccurrence(df, "k", "i", maxKeyItems = 4, minCount = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(pruned == Set(("a", "b", 2L)))
+  }
+
   test("bfsDistances: hop counts on a chain, direction respected, cap leaves NULLs") {
     // directed chain 0→1→2→3→4 plus a back-edge 4→0; seed {0}
     val nodes = (0L to 5L).toDF("id") // 5 is isolated
