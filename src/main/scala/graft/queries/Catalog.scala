@@ -438,6 +438,35 @@ object Catalog {
         .select("l_orderkey", "revenue", "o_orderdate")
     },
 
+    "q4_semijoin" -> { (s, dir) =>
+      // TPC-H Q4 shape: order-priority counts over orders with at least one
+      // late lineitem — the EXISTS form compiles to a left_semi join (no
+      // payload duplication, AQE-broadcastable filter side)
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+      val late = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-06-01").cast(TimestampType))
+        .select(col("l_orderkey"))
+      o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q13_distribution" -> { (s, dir) =>
+      // TPC-H Q13 shape: customer order-count distribution via LEFT OUTER
+      // join + two-level aggregation (the classic histogram-of-groups)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     "q5_join" -> { (s, dir) =>
       // fixed-point revenue (see q1_agg)
       val priceC = round(col("l_extendedprice") * 100.0).cast(LongType)
@@ -3714,6 +3743,26 @@ object Catalog {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= TIMESTAMP '1996-06-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q5_join" ->
       """SELECT n_name,
