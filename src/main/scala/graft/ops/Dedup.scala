@@ -694,15 +694,30 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
                    tokenHasher: Column => Column = xxhash64(_), bits: Int = 64,
                    nChunks: Int = 4, maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(bits % nChunks == 0, "bits must be divisible by nChunks")
-    require(maxHamming < nChunks, s"chunk recall guarantee needs maxHamming < nChunks")
-    val width = bits / nChunks
-    val mask = (1L << width) - 1L
     // materialize token hashes before the per-bit folds (see minhashLshPairs)
     val sigs = df.select(col(idCol).as("id"),
         transform(TextAnalysis.tokens(col(textCol)), tokenHasher).as("h"))
       .repartition(col("id"))
       .select(col("id"), simhashBits(col("h"), bits).as("sig"))
+    hammingPairs(sigs, "id", "sig", maxHamming, bits, nChunks, maxBucket)
+  }
+
+  /** Hamming near-dup pairs over PRE-COMPUTED `bits`-bit signatures — the
+    * bucket-generate machinery of [[simhashPairs]] factored out so ANY
+    * signature source plugs in (image dHashes, audio fingerprints, custom
+    * sketches). Pigeonhole completeness: hamming ≤ maxHamming < nChunks ⇒
+    * at least one chunk is untouched ⇒ the pair collides in that chunk's
+    * bucket. Shuffle rows carry (chunk key, id, sig) only; first-matching-
+    * chunk dedup is row-local ([[graft.functions.BandPrefixMatchExpr]]).
+    */
+  def hammingPairs(sigFrame: DataFrame, idCol: String, sigCol: String,
+                   maxHamming: Int = 3, bits: Int = 64, nChunks: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(bits % nChunks == 0, "bits must be divisible by nChunks")
+    require(maxHamming < nChunks, s"chunk recall guarantee needs maxHamming < nChunks")
+    val width = bits / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val sigs = sigFrame.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val withCk = sigs.select(col("id"), col("sig"),
       array((0 until nChunks).map(i =>
         shiftright(col("sig"), i * width).bitwiseAND(lit(mask))): _*).as("ck"))

@@ -121,7 +121,43 @@ object Multimodal {
       * Inflater writes into an exactly-sized buffer), and a short or
       * corrupt deflate stream returns None rather than throwing.
       */
-    def pngFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    def pngFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+      pngDecode(bytes).map { case (wi, hi, channels, raw, stride) =>
+        var sR = 0.0; var sG = 0.0; var sB = 0.0
+        var qR = 0.0; var qG = 0.0; var qB = 0.0
+        val hist = new Array[Double](8)
+        var y = 0
+        while (y < hi) {
+          val rowOff = y * stride + 1
+          var xI = 0
+          while (xI < wi) {
+            val o = rowOff + xI * channels
+            val r = raw(o) & 0xFF
+            val g = if (channels >= 3) raw(o + 1) & 0xFF else r
+            val bb = if (channels >= 3) raw(o + 2) & 0xFF else r
+            sR += r; sG += g; sB += bb
+            qR += r.toDouble * r; qG += g.toDouble * g; qB += bb.toDouble * bb
+            val luma = 0.299 * r + 0.587 * g + 0.114 * bb
+            hist(math.min(7, (luma / 32.0).toInt)) += 1.0
+            xI += 1
+          }
+          y += 1
+        }
+        val n = wi.toDouble * hi
+        def std(q: Double, s: Double) = math.sqrt(math.max(0.0, q / n - (s / n) * (s / n)))
+        val feat = Array(
+          sR / n / 255.0, sG / n / 255.0, sB / n / 255.0,
+          std(qR, sR) / 255.0, std(qG, sG) / 255.0, std(qB, sB) / 255.0) ++
+          hist.map(_ / n)
+        (wi, hi, feat)
+      }
+
+    /** Full PNG pixel decode (chunk walk → inflate → unfilter) shared by
+      * [[pngFeatures]] and the perceptual hash: (w, h, channels, raw,
+      * stride) where `raw` holds unfiltered scanlines, each `stride` bytes
+      * starting with the (now meaningless) filter byte.
+      */
+    private[ops] def pngDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte], Int)] = {
       val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
       if (bytes.length < 8 + 25 || !(0 until 8).forall(i => (bytes(i) & 0xFF) == sig(i))) return None
       def be32(o: Int): Long =
@@ -211,33 +247,7 @@ object Multimodal {
         y += 1
       }
 
-      var sR = 0.0; var sG = 0.0; var sB = 0.0
-      var qR = 0.0; var qG = 0.0; var qB = 0.0
-      val hist = new Array[Double](8)
-      y = 0
-      while (y < h.toInt) {
-        val rowOff = y * stride + 1
-        var xI = 0
-        while (xI < w.toInt) {
-          val o = rowOff + xI * channels
-          val r = raw(o) & 0xFF
-          val g = if (channels >= 3) raw(o + 1) & 0xFF else r
-          val bb = if (channels >= 3) raw(o + 2) & 0xFF else r
-          sR += r; sG += g; sB += bb
-          qR += r.toDouble * r; qG += g.toDouble * g; qB += bb.toDouble * bb
-          val luma = 0.299 * r + 0.587 * g + 0.114 * bb
-          hist(math.min(7, (luma / 32.0).toInt)) += 1.0
-          xI += 1
-        }
-        y += 1
-      }
-      val n = w.toDouble * h
-      def std(q: Double, s: Double) = math.sqrt(math.max(0.0, q / n - (s / n) * (s / n)))
-      val feat = Array(
-        sR / n / 255.0, sG / n / 255.0, sB / n / 255.0,
-        std(qR, sR) / 255.0, std(qG, sG) / 255.0, std(qB, sB) / 255.0) ++
-        hist.map(_ / n)
-      Some((w.toInt, h.toInt, feat))
+      Some((w.toInt, h.toInt, channels, raw, stride))
     }
 
     /** Amplitude features of a 16-bit PCM WAV (interleaved channels treated
@@ -478,6 +488,127 @@ object Multimodal {
     * ([[PixelCodec]]); corrupt/unsupported payloads triage through the
     * declared [[FakeCodec]] stub.
     */
+  /** 64-bit perceptual DIFFERENCE hash (dHash) of an image payload: the
+    * image's luminance is nearest-neighbor-sampled onto a 9×8 grid from
+    * the REAL decoders (BMP direct pixel reads — 72 samples, no full walk;
+    * PNG via [[PixelCodec.pngDecode]]; JPEG via [[JpegCodec.decode]]), and
+    * bit (row·8+col) is set iff luminance strictly increases left→right —
+    * robust to rescaling/recompression, so near-identical images land
+    * within a few bits. Luminance compares on INTEGER Rec.601 thousandths
+    * (299r+587g+114b): deterministic, and the SAME image encoded as BMP,
+    * PNG or lossless-path JPEG hashes IDENTICALLY (spec'd). None outside
+    * the decoders' envelope — triage, never a throw.
+    */
+  def dhash64(bytes: Array[Byte], format: String): Option[Long] = {
+    // (w, h, luma lookup in integer thousandths) per decoded format
+    val decoded: Option[(Int, Int, (Int, Int) => Int)] = format match {
+      case "image/bmp" =>
+        // direct sampled reads of the stored pixel array (no full decode)
+        if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') None
+        else {
+          def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+          def le32(o: Int): Long =
+            (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+              ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+          val pixOff = le32(10).toInt
+          val srcW = le32(18).toInt
+          val rawH = le32(22).toInt
+          val srcH = math.abs(rawH)
+          val topDown = rawH < 0
+          val bpp = le16(28)
+          val compression = le32(30)
+          if (srcW <= 0 || srcH == 0 || compression != 0L || (bpp != 24 && bpp != 32)) None
+          else {
+            val px = bpp / 8
+            val rowL = ((srcW.toLong * bpp + 31) / 32) * 4
+            if (rowL <= 0 || rowL > Int.MaxValue ||
+              pixOff < 54 || pixOff.toLong + rowL * srcH > bytes.length) None
+            else {
+              val row = rowL.toInt
+              val luma = (x: Int, y: Int) => {
+                val sy = if (topDown) y else srcH - 1 - y
+                val o = pixOff + sy * row + x * px
+                val b = bytes(o) & 0xFF; val g = bytes(o + 1) & 0xFF; val r = bytes(o + 2) & 0xFF
+                299 * r + 587 * g + 114 * b
+              }
+              Some((srcW, srcH, luma))
+            }
+          }
+        }
+      case "image/png" =>
+        PixelCodec.pngDecode(bytes).map { case (w, h, ch, raw, stride) =>
+          val luma = (x: Int, y: Int) => {
+            val o = y * stride + 1 + x * ch
+            val r = raw(o) & 0xFF
+            val g = if (ch >= 3) raw(o + 1) & 0xFF else r
+            val b = if (ch >= 3) raw(o + 2) & 0xFF else r
+            299 * r + 587 * g + 114 * b
+          }
+          (w, h, luma)
+        }
+      case "image/jpeg" =>
+        JpegCodec.decode(bytes).map { case (w, h, rgb) =>
+          val luma = (x: Int, y: Int) => {
+            val o = (y * w + x) * 3
+            299 * (rgb(o) & 0xFF) + 587 * (rgb(o + 1) & 0xFF) + 114 * (rgb(o + 2) & 0xFF)
+          }
+          (w, h, luma)
+        }
+      case _ => None
+    }
+    decoded.map { case (w, h, luma) =>
+      val grid = Array.tabulate(8, 9) { (y, x) =>
+        luma((x * w) / 9, (y * h) / 8) // floor NN sampling
+      }
+      var hash = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (grid(y)(x + 1) > grid(y)(x)) hash |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+  }
+
+  final case class DhashRow(id: Long, format: String, ok: Boolean, dhash: Long)
+
+  /** Per-image dHash frame: (id, format, ok, dhash); out-of-envelope
+    * payloads come back ok=false with dhash 0 (triage rows, never dropped
+    * silently). Byte-level decode runs in `mapPartitions` — the one tier
+    * where a Catalyst expression genuinely doesn't fit.
+    */
+  def imageDhash(spark: SparkSession, media: DataFrame): Dataset[DhashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        dhash64(r.media, r.format) match {
+          case Some(hv) => DhashRow(r.id, r.format, ok = true, hv)
+          case None => DhashRow(r.id, r.format, ok = false, 0L)
+        }
+      }
+    }
+  }
+
+  /** IMAGE near-duplicate pairs: dHash signatures → the shared Hamming
+    * bucket machinery ([[Dedup.hammingPairs]] — pigeonhole chunks, skinny
+    * (chunk, id, sig) shuffle, row-local first-matching-chunk dedup).
+    * Emits (id_a, id_b, hamming ≤ maxHamming) over decodable images —
+    * resized/re-encoded copies of a picture land within a few bits while
+    * unrelated pictures sit near the 32-bit random baseline.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6, nChunks: Int = 8): DataFrame = {
+    val sigs = imageDhash(spark, media).filter(_.ok).toDF()
+    graft.ops.Dedup.hammingPairs(sigs, "id", "dhash",
+      maxHamming = maxHamming, nChunks = nChunks)
+  }
+
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>

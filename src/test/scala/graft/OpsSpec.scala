@@ -2214,6 +2214,75 @@ class BpeSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("image dHash: cross-format identity, perturbation locality, near-dup pairs") {
+    import java.io.ByteArrayOutputStream
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.util.zip.{CRC32, Deflater}
+    val W = 16; val H = 16
+    def lumA(x: Int, y: Int) = (x * 13 + y * 5) % 256
+    def lumB(x: Int, y: Int) = if (x == 3 && y == 4) 255 else lumA(x, y) // one-pixel edit
+    def lumC(x: Int, y: Int) = ((W - 1 - x) * 29 + y * 3) % 256          // reversed gradient
+    // bottom-up 24-bpp BMP of a TOP-DOWN pixel function
+    def bmp(f: (Int, Int) => Int): Array[Byte] = {
+      val row = (W * 3 + 3) / 4 * 4
+      val bb = ByteBuffer.allocate(54 + row * H).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes); bb.putInt(54 + row * H); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(W); bb.putInt(H); bb.putShort(1); bb.putShort(24)
+      bb.putInt(0); bb.putInt(row * H); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      for (sy <- 0 until H) {
+        val y = H - 1 - sy // stored bottom-up
+        for (x <- 0 until W) { val v = f(x, y).toByte; bb.put(v); bb.put(v); bb.put(v) }
+        bb.put(new Array[Byte](row - W * 3))
+      }
+      bb.array()
+    }
+    // grayscale (color type 0) PNG, filter 0 rows, one IDAT
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val raw = new Array[Byte](H * (1 + W))
+      for (y <- 0 until H; x <- 0 until W) raw(y * (1 + W) + 1 + x) = f(x, y).toByte
+      val defl = new Deflater()
+      defl.setInput(raw); defl.finish()
+      val comp = new ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(12 + body.length)
+        bb.putInt(body.length); bb.put(tag.getBytes); bb.put(body)
+        val crc = new CRC32(); crc.update(tag.getBytes); crc.update(body)
+        bb.putInt(crc.getValue.toInt); bb.array()
+      }
+      val ihdr = ByteBuffer.allocate(13)
+      ihdr.putInt(W); ihdr.putInt(H); ihdr.put(8.toByte); ihdr.put(0.toByte)
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", ihdr.array()) ++ chunk("IDAT", comp.toByteArray) ++
+        chunk("IEND", Array.empty)
+    }
+    val hAb = Multimodal.dhash64(bmp(lumA), "image/bmp").get
+    val hAp = Multimodal.dhash64(png(lumA), "image/png").get
+    assert(hAb == hAp, "the SAME image must hash identically as BMP and PNG")
+    val hB = Multimodal.dhash64(bmp(lumB), "image/bmp").get
+    val dAB = java.lang.Long.bitCount(hAb ^ hB)
+    assert(dAB >= 0 && dAB <= 4, s"one-pixel edit moves few bits: $dAB")
+    val hC = Multimodal.dhash64(bmp(lumC), "image/bmp").get
+    val dAC = java.lang.Long.bitCount(hAb ^ hC)
+    assert(dAC > 10, s"reversed gradient must sit far away: $dAC")
+    assert(Multimodal.dhash64("junk".getBytes, "image/bmp").isEmpty)
+
+    // end-to-end: the Hamming bucket machinery finds exactly the near pairs
+    val media = Seq(
+      (1L, bmp(lumA), "image/bmp"), (2L, bmp(lumB), "image/bmp"),
+      (3L, bmp(lumC), "image/bmp"), (4L, png(lumA), "image/png"),
+      (5L, "junk".getBytes, "image/bmp")).toDF("id", "media", "format")
+    val pairs = Multimodal.imageNearDupPairs(spark, media, maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 0L, s"cross-format exact: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == dAB)
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), "far image pairs with nothing")
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L), "corrupt rows are triaged out")
+  }
+
   test("wav/bmp header metadata extraction is real byte parsing") {
     import java.nio.{ByteBuffer, ByteOrder}
     // minimal valid WAV: RIFF/WAVE + fmt(16) + data chunk (16kHz mono 16-bit, 32000 bytes = 1s)
