@@ -254,7 +254,11 @@ object Multimodal {
       * as one sample stream — deterministic and channel-agnostic). None on
       * non-PCM, non-16-bit, empty, or corrupt payloads.
       */
-    def wavFeatures(bytes: Array[Byte]): Option[Array[Double]] = {
+    /** Locate the 16-bit PCM sample stream of a WAV payload:
+      * (dataOff, nSamples). Shared by [[wavFeatures]] and the audio
+      * fingerprint. None on non-PCM/non-16-bit/corrupt payloads.
+      */
+    private[ops] def pcm16(bytes: Array[Byte]): Option[(Int, Int)] = {
       if (bytes.length < 44) return None
       if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
             bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
@@ -277,6 +281,13 @@ object Multimodal {
       if (dataOff.toLong + dataBytes > bytes.length) return None
       val nSamples = (dataBytes / 2).toInt
       if (nSamples <= 0) return None
+      Some((dataOff, nSamples))
+    }
+
+    def wavFeatures(bytes: Array[Byte]): Option[Array[Double]] = {
+      val located = pcm16(bytes)
+      if (located.isEmpty) return None
+      val (dataOff, nSamples) = located.get
       var sum = 0.0; var sumSq = 0.0; var peak = 0.0
       var zc = 0L; var prevNeg = false
       val hist = new Array[Double](8)
@@ -576,6 +587,41 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint — the PCM analogue of [[dhash64]]: the sample
+    * stream splits into 65 equal windows, each window's ENERGY Σv² is an
+    * exact long, and bit i is set iff energy strictly rises window i→i+1.
+    * Energy comparisons are invariant under uniform gain, so volume-
+    * normalized copies of a clip hash identically (spec'd); time-shifted
+    * clips don't — this is a whole-clip near-dup key, not an alignment
+    * search. None outside the 16-bit PCM envelope.
+    */
+  def ahash64(bytes: Array[Byte]): Option[Long] =
+    PixelCodec.pcm16(bytes).map { case (dataOff, nSamples) =>
+      val energies = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val lo = (w.toLong * nSamples / 65).toInt
+        val hi = ((w + 1).toLong * nSamples / 65).toInt
+        var e = 0L
+        var i = lo
+        while (i < hi) {
+          val o = dataOff + 2 * i
+          val v = ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)).toShort.toLong
+          e += v * v
+          i += 1
+        }
+        energies(w) = e
+        w += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (energies(b + 1) > energies(b)) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+
   final case class DhashRow(id: Long, format: String, ok: Boolean, dhash: Long)
 
   /** Per-image dHash frame: (id, format, ok, dhash); out-of-envelope
@@ -605,6 +651,19 @@ object Multimodal {
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6, nChunks: Int = 8): DataFrame = {
     val sigs = imageDhash(spark, media).filter(_.ok).toDF()
+    graft.ops.Dedup.hammingPairs(sigs, "id", "dhash",
+      maxHamming = maxHamming, nChunks = nChunks)
+  }
+
+  /** Audio near-duplicate pairs over [[ahash64]] fingerprints — same shared
+    * Hamming bucket machinery as the image path.
+    */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6, nChunks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val sigs = media.as[MediaRow].mapPartitions { it =>
+      it.flatMap(r => ahash64(r.media).map(h => DhashRow(r.id, r.format, ok = true, h)))
+    }.toDF()
     graft.ops.Dedup.hammingPairs(sigs, "id", "dhash",
       maxHamming = maxHamming, nChunks = nChunks)
   }

@@ -2283,6 +2283,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L), "corrupt rows are triaged out")
   }
 
+  test("audio fingerprint: gain-invariant energy contour, near-dup pairs") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(44 + 2 * samples.size).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 2 * samples.size); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(16000); bb.putInt(32000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(2 * samples.size)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // a rising-falling envelope, 650 samples (10 per window)
+    val clip = (0 until 650).map(i => (math.sin(i / 7.0) * (300 + i % 400)).toInt)
+    val hA = Multimodal.ahash64(wav(clip)).get
+    // HALF the volume: every window energy scales by 1/4 — contour unchanged
+    val hHalf = Multimodal.ahash64(wav(clip.map(_ / 2))).get
+    assert(hA == hHalf, "uniform gain must not move the fingerprint")
+    // a small local glitch moves few bits; white noise sits far away
+    val glitch = clip.updated(100, 30000).updated(101, 30000)
+    val dG = java.lang.Long.bitCount(hA ^ Multimodal.ahash64(wav(glitch)).get)
+    assert(dG <= 4, s"local glitch: $dG bits")
+    val rnd = new scala.util.Random(3)
+    val noise = (0 until 650).map(_ => rnd.nextInt(20000) - 10000)
+    val dN = java.lang.Long.bitCount(hA ^ Multimodal.ahash64(wav(noise)).get)
+    assert(dN > 10, s"noise distance: $dN")
+    assert(Multimodal.ahash64("junk".getBytes).isEmpty)
+
+    val media = Seq((1L, wav(clip), "audio/wav"), (2L, wav(clip.map(_ / 2)), "audio/wav"),
+      (3L, wav(noise), "audio/wav")).toDF("id", "media", "format")
+    val pairs = Multimodal.audioNearDupPairs(spark, media, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"only the gain pair matches: $pairs")
+  }
+
   test("wav/bmp header metadata extraction is real byte parsing") {
     import java.nio.{ByteBuffer, ByteOrder}
     // minimal valid WAV: RIFF/WAVE + fmt(16) + data chunk (16kHz mono 16-bit, 32000 bytes = 1s)
