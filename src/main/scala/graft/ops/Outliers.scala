@@ -248,6 +248,25 @@ object Outliers {
       .drop("__dev")
   }
 
+  /** Per-group [[winsorize]]: clamp each row into ITS OWN group's
+    * [pLow, pHigh] exact percentile fences — heterogeneous segments (per
+    * language, per source) each get their own tail treatment instead of
+    * the global fences flattening the small segments. One grouped
+    * exact-percentile aggregate broadcast back + a row-local clamp.
+    */
+  def winsorizeByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                       pLow: Double = 0.01, pHigh: Double = 0.99): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "bad percentile bounds")
+    val fences = df.groupBy(groupCol).agg(
+      percentile(col(valueCol), lit(pLow)).as("__lo"),
+      percentile(col(valueCol), lit(pHigh)).as("__hi"))
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
+    df.join(broadcast(fences), Seq(groupCol))
+      .withColumn(s"${valueCol}_winsorized", least(greatest(v, col("__lo")), col("__hi")))
+      .withColumn("was_clipped", v < col("__lo") || v > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   def iqrOutliers(df: DataFrame, valueCol: Column, groupCol: String,
                   k: Double = 1.5, approx: Boolean = false): DataFrame = {
     // NOTE a counts-based exact quantile (groupBy value → running count →

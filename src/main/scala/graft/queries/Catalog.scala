@@ -753,6 +753,32 @@ object Catalog {
         .orderBy(col("cnt").desc, col("lang").asc)
     },
 
+    "q_heavy_hitters_group" -> { (s, dir) =>
+      // the mergeable MG summary as a GROUPED aggregate: per source the
+      // top languages — bounded k-entry state per group; k above the
+      // distinct count keeps the exact-path oracle
+      val sk = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.MgSketch.mg(col("lang"), 16).as("hh"))
+      sk.select(col("source"), explode(col("hh")).as("e"))
+        .select(col("source"), col("e.item").as("lang"), col("e.cnt").as("cnt"))
+        .orderBy(col("source"), col("cnt").desc, col("lang").asc)
+    },
+
+    "q_winsorize_group" -> { (s, dir) =>
+      // per-group winsorization: clamp into each return flag's OWN 5/95
+      // fences (iqrOutliers' grouped-percentile shape + winsorize's clamp)
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.winsorizeByGroup(base, "cents", "l_returnflag", 0.05, 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_clipped"), 1L).otherwise(0L)).cast(LongType).as("clipped"),
+          sum(MetricColumns.fixedPointLong(col("cents_winsorized"), 2))
+            .cast(LongType).as("wsum_fx"))
+        .orderBy("l_returnflag")
+    },
+
     "q_heavy_hitters_ss" -> { (s, dir) =>
       // SpaceSaving (overwrite-min) twin of q_heavy_hitters: k above the
       // distinct-language count -> no overwrite ever fires, counts EXACT and
@@ -3307,6 +3333,28 @@ object Catalog {
         |  min(d.med) AS med, min(md.mad) AS mad
         |FROM d JOIN md USING (g)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_heavy_hitters_group" ->
+      """SELECT source, lang, count(*) AS cnt
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, cnt DESC, lang""".stripMargin,
+
+    "q_winsorize_group" ->
+      """WITH f AS (SELECT l_returnflag,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |FROM lineitem),
+        |q AS (SELECT l_returnflag, quantile_cont(cents, 0.05) AS lo, quantile_cont(cents, 0.95) AS hi
+        |      FROM f GROUP BY 1),
+        |w AS (SELECT f.l_returnflag,
+        |        least(greatest(CAST(cents AS DOUBLE), lo), hi) AS wv,
+        |        (CAST(cents AS DOUBLE) < lo OR CAST(cents AS DOUBLE) > hi) AS clip
+        |      FROM f JOIN q USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(count(CASE WHEN clip THEN 1 END) AS BIGINT) AS clipped,
+        |  CAST(sum(CAST(CASE WHEN wv >= 0 THEN floor(wv * 100.0 + 0.5)
+        |                     ELSE -floor(-wv * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS wsum_fx
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_winsorize" ->
       """WITH f AS (SELECT l_returnflag,
