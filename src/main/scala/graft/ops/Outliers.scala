@@ -204,9 +204,16 @@ object Outliers {
   def winsorize(df: DataFrame, valueCol: String, pLow: Double = 0.01,
                 pHigh: Double = 0.99): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "bad percentile bounds")
-    val fences = df.agg(
-      percentile(col(valueCol), lit(pLow)).as("__lo"),
-      percentile(col(valueCol), lit(pHigh)).as("__hi"))
+    // exact `percentile` partials carry the value MULTISET, and a
+    // single-row-group scan would build the whole 600k-value map in one
+    // task — repartitioning the skinny value column first parallelizes the
+    // partials (measured 5.1 → 3.1 s at sf0.1; the single merge task is
+    // inherent to the exact aggregate — approx paths exist where it bites)
+    val fences = df.select(col(valueCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .agg(
+        percentile(col(valueCol), lit(pLow)).as("__lo"),
+        percentile(col(valueCol), lit(pHigh)).as("__hi"))
     val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
     df.crossJoin(broadcast(fences))
       .withColumn(s"${valueCol}_winsorized", least(greatest(v, col("__lo")), col("__hi")))
