@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -499,6 +499,26 @@ object Multimodal {
     * ([[PixelCodec]]); corrupt/unsupported payloads triage through the
     * declared [[FakeCodec]] stub.
     */
+  /** Magic-byte format sniffer — classify a binary media column WITHOUT
+    * trusting an upstream format label (crawled corpora routinely carry
+    * wrong/missing content types): BMP ("BM"), PNG (8-byte signature),
+    * JPEG (FF D8 FF), 16-bit-agnostic WAV (RIFF….WAVE); anything else →
+    * `application/octet-stream`. Pure built-in Column (tier (a): binary
+    * substring compares, whole-stage codegen) — compose as
+    * `media.withColumn("format", sniffFormat(col("media")))` before
+    * [[imageDhash]]/[[decodeFeatures]] so decoding routes on CONTENT.
+    */
+  def sniffFormat(media: Column): Column = {
+    def bytesLit(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+    when(substring(media, 1, 2) === bytesLit('B', 'M'), "image/bmp")
+      .when(substring(media, 1, 8) ===
+        bytesLit(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A), "image/png")
+      .when(substring(media, 1, 3) === bytesLit(0xFF, 0xD8, 0xFF), "image/jpeg")
+      .when(substring(media, 1, 4) === bytesLit('R', 'I', 'F', 'F') &&
+        substring(media, 9, 4) === bytesLit('W', 'A', 'V', 'E'), "audio/wav")
+      .otherwise("application/octet-stream")
+  }
+
   /** 64-bit perceptual DIFFERENCE hash (dHash) of an image payload: the
     * image's luminance is nearest-neighbor-sampled onto a 9×8 grid from
     * the REAL decoders (BMP direct pixel reads — 72 samples, no full walk;

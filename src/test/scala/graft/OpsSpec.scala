@@ -2281,6 +2281,18 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == dAB)
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), "far image pairs with nothing")
     assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L), "corrupt rows are triaged out")
+
+    // SNIFFED routing: wrong/missing labels fixed by magic bytes — the
+    // sniff+dhash composition reproduces the labeled run exactly
+    val misl = Seq((1L, bmp(lumA), "application/pdf"), (4L, png(lumA), ""),
+      (5L, "junk".getBytes, "image/png")).toDF("id", "media", "fmt_wrong")
+    val sniffed = misl.select(col("id"), col("media"),
+      Multimodal.sniffFormat(col("media")).as("format"))
+    val byId = sniffed.select("id", "format").as[(Long, String)].collect().toMap
+    assert(byId == Map(1L -> "image/bmp", 4L -> "image/png",
+      5L -> "application/octet-stream"))
+    val hs = Multimodal.imageDhash(spark, sniffed).collect().map(r => r.id -> r).toMap
+    assert(hs(1L).ok && hs(1L).dhash == hAb && hs(4L).dhash == hAp && !hs(5L).ok)
   }
 
   test("audio fingerprint: gain-invariant energy contour, near-dup pairs") {
