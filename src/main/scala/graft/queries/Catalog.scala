@@ -1092,10 +1092,15 @@ object Catalog {
       // eval-contamination audit: near-dup pairs straddling splits. Split
       // labels are computed row-locally on the pair frame (assignment is a
       // pure function of the id) — no corpus join; md5-60 hashes on both
-      // the tokens and the split decision make the FULL output oracled
+      // the tokens and the split decision make the FULL output oracled.
+      // 3-token shingles = the operator default and the realistic
+      // selectivity (the q_dedup_incremental lesson: token sets on this
+      // ~50-word-vocabulary corpus make ~42% of cross pairs "similar" and
+      // the output itself goes quadratic — 1.03M rows / 31-50 s at sf0.1
+      // for zero extra coverage)
       Dedup.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.8,
-        shingleLen = 1, tokenHasher = Shingles.md5Hash60,
+        shingleLen = 3, tokenHasher = Shingles.md5Hash60,
         splitHasher = Shingles.md5Hash60)
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
         .orderBy("id_a", "id_b")),
@@ -2492,7 +2497,7 @@ object Catalog {
       s"('0x' || substr(md5(CAST($id AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000"
     def splitCase(b: String) =
       s"CASE WHEN $b < 8000 THEN 'train' WHEN $b < 9000 THEN 'val' WHEN $b < 10000 THEN 'test' END"
-    s"""WITH mh AS (${minhashOracleSql(numHashes, bands, threshold, shingleLen = 1, withJaccard = true)}),
+    s"""WITH mh AS (${minhashOracleSql(numHashes, bands, threshold, shingleLen = 3, withJaccard = true)}),
        |lab AS (SELECT id_a, id_b, jaccard,
        |               ${splitCase(bucket("id_a"))} AS split_a,
        |               ${splitCase(bucket("id_b"))} AS split_b FROM mh)
