@@ -198,6 +198,24 @@ class LmSplitSpec extends SparkSpec {
     assert(a == b, "duplicate-key ties must not make the sample layout-dependent")
   }
 
+  test("plan shapes: dsir scoring, rendezvous and random projection are shuffle-free") {
+    import graft.ops.{Embeddings, Sampling, TextAnalysis}
+    val docs = (1L to 50L).map(i => (i, s"w$i x y z")).toDF("id", "text")
+    // DSIR SCORING must be a pure projection over the corpus scan: the
+    // ratio table is a bound literal, no join/exchange anywhere
+    val scored = TextAnalysis.dsirWeights(docs, docs.where(col("id") % 5 === 0),
+      "id", "text", buckets = 64)
+    val scoredPlan = scored.queryExecution.executedPlan.toString
+    assert(!scoredPlan.contains("Exchange"), s"dsir scoring must not shuffle:\n$scoredPlan")
+    val shard = Sampling.rendezvousShard(docs, "id", Seq("a", "b", "c"))
+    assert(!shard.queryExecution.executedPlan.toString.contains("Exchange"),
+      "rendezvous assignment is row-local")
+    val vecs = (1L to 20L).map(i => (i, Seq.fill(8)(i.toFloat))).toDF("id", "v")
+    val proj = Embeddings.randomProject(vecs, "id", "v", k = 2, inDim = 8)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "random projection is row-local")
+  }
+
   test("rendezvousShard: balanced, deterministic, minimal movement on shard add") {
     import graft.ops.Sampling
     val keys = (0L until 2000L).toDF("id")
