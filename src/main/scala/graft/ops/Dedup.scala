@@ -744,6 +744,39 @@ object Dedup {
     if (maxBucket == Int.MaxValue) pairs else pairs.dropDuplicates("id_a", "id_b", "hamming")
   }
 
+  /** BIPARTITE Hamming join: for every (left, right) pair within
+    * `maxHamming` over `bits`-bit signatures — the two-frame companion of
+    * [[hammingPairs]] (query-vs-corpus retrieval, probe-augmented audio
+    * alignment). Same pigeonhole chunk completeness; pair dedup via
+    * dropDuplicates on the id pair (a probe side may collide in several
+    * chunks). Shuffle rows carry (chunk, ckey, id, sig) only.
+    */
+  def hammingJoin(left: DataFrame, leftId: String, leftSig: String,
+                  right: DataFrame, rightId: String, rightSig: String,
+                  maxHamming: Int = 3, bits: Int = 64,
+                  nChunks: Int = 4): DataFrame = {
+    require(bits % nChunks == 0, "bits must be divisible by nChunks")
+    require(maxHamming < nChunks, s"chunk recall guarantee needs maxHamming < nChunks")
+    val width = bits / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def chunked(d: DataFrame, idC: String, sigC: String, idAs: String, sigAs: String) =
+      d.select(col(idC).as(idAs), col(sigC).as(sigAs),
+          array((0 until nChunks).map(i =>
+            shiftright(col(sigC), i * width).bitwiseAND(lit(mask))): _*).as("__ck"))
+        .select(col(idAs), col(sigAs), posexplode(col("__ck")).as(Seq("chunk", "ckey")))
+    // dedup on the SIGNATURE pair, not the id pair: an id may carry several
+    // signatures (probe variants), and each variant's distance must survive
+    // to the caller's min-aggregate — only same-pair multi-chunk collisions
+    // are redundant
+    chunked(left, leftId, leftSig, "id_l", "sig_l")
+      .join(chunked(right, rightId, rightSig, "id_r", "sig_r"), Seq("chunk", "ckey"))
+      .select(col("id_l"), col("id_r"), col("sig_l"), col("sig_r"),
+        bit_count(col("sig_l").bitwiseXOR(col("sig_r"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_l", "id_r", "sig_l", "sig_r")
+      .select("id_l", "id_r", "hamming")
+  }
+
   /** Cross-document PASSAGE-level dedup (the RefinedWeb / Lee et al. 2022
     * "deduplicating training data" shape at passage granularity): split each
     * document into consecutive `passageTokens`-token passages, drop every

@@ -615,31 +615,44 @@ object Multimodal {
     * clips don't — this is a whole-clip near-dup key, not an alignment
     * search. None outside the 16-bit PCM envelope.
     */
-  def ahash64(bytes: Array[Byte]): Option[Long] =
-    PixelCodec.pcm16(bytes).map { case (dataOff, nSamples) =>
-      val energies = new Array[Long](65)
-      var w = 0
-      while (w < 65) {
-        val lo = (w.toLong * nSamples / 65).toInt
-        val hi = ((w + 1).toLong * nSamples / 65).toInt
-        var e = 0L
-        var i = lo
-        while (i < hi) {
-          val o = dataOff + 2 * i
-          val v = ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)).toShort.toLong
-          e += v * v
-          i += 1
+  def ahash64(bytes: Array[Byte]): Option[Long] = ahash64Trimmed(bytes, 0.0)
+
+  /** [[ahash64]] over the stream with the leading `trimFraction` of samples
+    * dropped — the probe primitive for ALIGNMENT-tolerant matching: a clip
+    * whose copy carries leading silence/padding re-aligns when one side is
+    * hashed at several trims ([[audioProbePairs]]).
+    */
+  def ahash64Trimmed(bytes: Array[Byte], trimFraction: Double): Option[Long] =
+    PixelCodec.pcm16(bytes).flatMap { case (dataOff0, nSamples0) =>
+      val skip = math.max(0, math.min(nSamples0 - 65, (trimFraction * nSamples0).toInt))
+      val dataOff = dataOff0 + 2 * skip
+      val nSamples = nSamples0 - skip
+      if (nSamples < 65) None
+      else Some {
+        val energies = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          val lo = (w.toLong * nSamples / 65).toInt
+          val hi = ((w + 1).toLong * nSamples / 65).toInt
+          var e = 0L
+          var i = lo
+          while (i < hi) {
+            val o = dataOff + 2 * i
+            val v = ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)).toShort.toLong
+            e += v * v
+            i += 1
+          }
+          energies(w) = e
+          w += 1
         }
-        energies(w) = e
-        w += 1
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (energies(b + 1) > energies(b)) hash |= (1L << b)
+          b += 1
+        }
+        hash
       }
-      var hash = 0L
-      var b = 0
-      while (b < 64) {
-        if (energies(b + 1) > energies(b)) hash |= (1L << b)
-        b += 1
-      }
-      hash
     }
 
   final case class DhashRow(id: Long, format: String, ok: Boolean, dhash: Long)
@@ -686,6 +699,40 @@ object Multimodal {
     }.toDF()
     graft.ops.Dedup.hammingPairs(sigs, "id", "dhash",
       maxHamming = maxHamming, nChunks = nChunks)
+  }
+
+  /** ALIGNMENT-tolerant audio retrieval (the multi-probe idiom pointed at
+    * audio): each QUERY clip is fingerprinted at `probes` leading-trim
+    * offsets (0, 1/(65·…), … of its length — the window grid re-aligns at
+    * one of them when a corpus copy carries leading padding/silence),
+    * while the CORPUS side stays ONE base hash per clip — probe cost lands
+    * on the small query side only, index storage unchanged (the Lv et al.
+    * multi-probe trade). Candidates via the bipartite chunk join
+    * ([[graft.ops.Dedup.hammingJoin]]); per (query, corpus) pair the BEST
+    * probe's distance is kept.
+    *
+    * @return (query_id, corpus_id, hamming = min over probes ≤ maxHamming).
+    */
+  def audioProbePairs(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                      probes: Int = 4, maxHamming: Int = 10,
+                      nChunks: Int = 16): DataFrame = {
+    require(probes >= 1)
+    import spark.implicits._
+    val qsigs = queries.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        (0 until probes).flatMap { p =>
+          ahash64Trimmed(r.media, p.toDouble / (65.0 * probes) * 4.0)
+            .map(h => DhashRow(r.id, r.format, ok = true, h))
+        }
+      }
+    }.toDF()
+    val csigs = corpus.as[MediaRow].mapPartitions { it =>
+      it.flatMap(r => ahash64(r.media).map(h => DhashRow(r.id, r.format, ok = true, h)))
+    }.toDF()
+    graft.ops.Dedup.hammingJoin(qsigs, "id", "dhash", csigs, "id", "dhash",
+        maxHamming = maxHamming, nChunks = nChunks)
+      .groupBy(col("id_l").as("query_id"), col("id_r").as("corpus_id"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {

@@ -2329,6 +2329,36 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"only the gain pair matches: $pairs")
   }
 
+  test("audio probe matching: leading padding re-aligns only with probes > 1") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(44 + 2 * samples.size).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 2 * samples.size); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(16000); bb.putInt(32000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(2 * samples.size)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val clip = (0 until 1300).map(i => (math.sin(i / 9.0) * (500 + (i * 37) % 900)).toInt)
+    val padded = Seq.fill(40)(0) ++ clip // leading silence ≈ 2 windows
+    val corpus = Seq((100L, wav(clip), "audio/wav")).toDF("id", "media", "format")
+    val queries = Seq((1L, wav(padded), "audio/wav"),
+      (2L, wav(clip), "audio/wav")).toDF("id", "media", "format")
+    // probe 0 alone: the padded query's window grid is misaligned — no match
+    val single = Multimodal.audioProbePairs(spark, queries, corpus,
+        probes = 1, maxHamming = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(single == Set((2L, 100L)), s"misaligned copy must NOT match unprobed: $single")
+    // 4 probes: one trim lands on the padding boundary and re-aligns
+    val probed = Multimodal.audioProbePairs(spark, queries, corpus,
+        probes = 4, maxHamming = 8)
+      .select("query_id", "corpus_id", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(probed.contains((1L, 100L)), s"probing must recover the padded copy: $probed")
+    assert(probed((2L, 100L)) == 0L, "the exact copy matches at probe 0 with distance 0")
+  }
+
   test("wav/bmp header metadata extraction is real byte parsing") {
     import java.nio.{ByteBuffer, ByteOrder}
     // minimal valid WAV: RIFF/WAVE + fmt(16) + data chunk (16kHz mono 16-bit, 32000 bytes = 1s)
