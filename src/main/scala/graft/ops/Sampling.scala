@@ -135,6 +135,30 @@ object Sampling {
     }
   }
 
+  /** CHRONOLOGICAL split assignment with embargo — the time-series
+    * evaluation hygiene rule ([[assignSplit]]'s hash split is correct for
+    * exchangeable corpora but LEAKS for temporal data: a random test set
+    * interleaves with training history, and autocorrelation carries
+    * information across the boundary). Rows at-or-after `boundary` are
+    * `after`; rows in the embargo gap [boundary − embargo, boundary) get
+    * NULL (held out entirely — the de Prado purge: samples whose
+    * label/feature windows straddle the boundary belong to neither side);
+    * earlier rows are `before`. Row-local, no shuffle; compose twice for
+    * train/val/test.
+    */
+  def assignSplitByTime(df: DataFrame, tsCol: String,
+                        boundary: java.sql.Timestamp,
+                        embargo: String = "0 seconds",
+                        beforeName: String = "train", afterName: String = "test",
+                        out: String = "split"): DataFrame = {
+    val ts = col(tsCol).cast("timestamp")
+    val b = lit(boundary)
+    df.withColumn(out,
+      when(ts >= b, lit(afterName))
+        .when(ts >= b - expr(s"INTERVAL $embargo"), lit(null).cast("string"))
+        .otherwise(lit(beforeName)))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: every key goes to
     * the shard with the LARGEST hash(key, shard) — the sharding rule whose
     * assignments survive topology change: adding/removing one shard moves

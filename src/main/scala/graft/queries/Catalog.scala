@@ -1940,6 +1940,16 @@ object Catalog {
         iterations = 5).orderBy("id")
     },
 
+    "q_split_time" -> { (s, dir) =>
+      // chronological split with a 3-day embargo purge at Jan 20: integer
+      // counts + exact id-sum checksums per side; embargo rows NULL
+      Sampling.assignSplitByTime(t(s, dir, "events"), "ts",
+          java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), embargo = "3 days")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).cast(LongType).as("ck"))
+        .orderBy(col("split").asc_nulls_first)
+    },
+
     "q_sample_weighted" -> { (s, dir) =>
       // Efraimidis–Spirakis weighted sample w/o replacement, k smallest
       // exponential-race priorities — TakeOrderedAndProject, no shuffle;
@@ -5300,6 +5310,13 @@ object Catalog {
          |SELECT query_id, doc_id, rrf_fx, n_lists, fused_rank
          |FROM fz WHERE fused_rank <= 8
          |ORDER BY query_id, fused_rank""".stripMargin,
+
+    "q_split_time" ->
+      """SELECT CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+        |            WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 3 DAY THEN NULL
+        |            ELSE 'train' END AS split,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS ck
+        |FROM events GROUP BY 1 ORDER BY split NULLS FIRST""".stripMargin,
 
     "q_sample_weighted" ->
       """SELECT doc_id,

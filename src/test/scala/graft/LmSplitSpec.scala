@@ -298,6 +298,27 @@ class LmSplitSpec extends SparkSpec {
     assert(one == 2L)
   }
 
+  test("assignSplitByTime: boundary, embargo purge, zero-embargo adjacency") {
+    import graft.ops.Sampling
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-09 23:59:59")),
+      (3L, ts("2024-01-10 00:00:00")), // exactly at boundary-embargo start
+      (4L, ts("2024-01-11 12:00:00")), // inside embargo
+      (5L, ts("2024-01-12 00:00:00")), // exactly at boundary -> after
+      (6L, ts("2024-02-01 00:00:00"))).toDF("id", "t")
+    val got = Sampling.assignSplitByTime(rows, "t", ts("2024-01-12 00:00:00"),
+        embargo = "2 days")
+      .select("id", "split").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("train"), 2L -> Some("train"),
+      3L -> None, 4L -> None, 5L -> Some("test"), 6L -> Some("test")), s"$got")
+    // zero embargo: every row lands on a side, boundary inclusive to after
+    val zero = Sampling.assignSplitByTime(rows, "t", ts("2024-01-12 00:00:00"))
+      .where(col("split").isNull).count()
+    assert(zero == 0L)
+  }
+
   test("assignSplit holds out the tail when fractions sum below 1") {
     val df = (0 until 2000).map(_.toLong).toDF("id")
     val out = Sampling.assignSplit(df, "id", Seq("train" -> 0.5))
