@@ -77,6 +77,45 @@ object TextAnalysis {
     df.withColumn(out, bestLang(hitCounts, langs.map(_._1)))
   }
 
+  /** [[langId]] with CONFIDENCE: top and runner-up marker hit counts and
+    * their margin, plus an `is_mixed` flag when the margin is below
+    * `minMargin` — the code-switching / boilerplate-interleave detector a
+    * bare argmax hides (a doc scoring en=9, fr=8 is not "English"; it's a
+    * candidate for segment-level handling). Same ONE codegen'd
+    * WordSetHits pass; top/second/margin are integer folds over the same
+    * hit array (collection-arg position), ties to the
+    * lexicographically-first language like [[langId]].
+    */
+  def langIdWithMargin(df: DataFrame, textCol: String,
+                       minMargin: Int = 2): DataFrame = {
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val names = array(langs.map(l => lit(l._1)): _*)
+    val hitCounts = graft.functions.WordSetHits.hits(tokens(col(textCol)), langs.map(_._2))
+    val zipped = zip_with(hitCounts, names, (h, l) => struct(h.as("hits"), l.as("lang")))
+    // one fold carries (best, second) together: ascending scan, strict >
+    // keeps first-lexicographic ties exactly like bestLang
+    val folded = aggregate(
+      zipped,
+      struct(
+        struct(lit(-1).as("hits"), lit("").as("lang")).as("b"),
+        struct(lit(-1).as("hits"), lit("").as("lang")).as("s")),
+      (acc, x) =>
+        when(x.getField("hits") > acc.getField("b").getField("hits"),
+          struct(x.as("b"), acc.getField("b").as("s")))
+          .when(x.getField("hits") > acc.getField("s").getField("hits"),
+            struct(acc.getField("b").as("b"), x.as("s")))
+          .otherwise(acc))
+    df.withColumn("__f", folded)
+      .withColumn("predicted_lang", col("__f.b.lang"))
+      .withColumn("top_hits", col("__f.b.hits").cast(org.apache.spark.sql.types.LongType))
+      .withColumn("second_lang", col("__f.s.lang"))
+      .withColumn("second_hits", col("__f.s.hits").cast(org.apache.spark.sql.types.LongType))
+      .withColumn("margin", (col("__f.b.hits") - col("__f.s.hits"))
+        .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("is_mixed", col("margin") < minMargin)
+      .drop("__f")
+  }
+
   /** Builtin-HOF formulation with identical semantics (one `aggregate` fold
     * counting every language per token) — kept for cross-checking the
     * native expression.

@@ -1679,6 +1679,15 @@ object Catalog {
         .select("doc_id", "n_bigrams", "sum_lnfx")
         .orderBy("doc_id")),
 
+    "q_lang_margin" -> ((s, dir) =>
+      // language-ID confidence: top/runner-up marker hits + margin +
+      // mixed flag, one WordSetHits pass; the oracle ranks the same hit
+      // counts by (hits DESC, lang ASC) — provably the fold's tie order
+      TextAnalysis.langIdWithMargin(t(s, dir, "documents"), "text")
+        .select("doc_id", "predicted_lang", "top_hits", "second_lang",
+          "second_hits", "margin", "is_mixed")
+        .orderBy("doc_id")),
+
     "q_dsir" -> { (s, dir) =>
       // DSIR importance weights vs the ≡0-mod-7 target subset: hashed
       // unigram+bigram models, quantized log-ratio table probed row-locally
@@ -5581,6 +5590,34 @@ object Catalog {
         |  WHEN h_fr >= h_zh THEN 'fr'
         |  ELSE 'zh' END AS predicted_lang
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_lang_margin" ->
+      """WITH f AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['der','die','und','das','von','zu','mit','den','ein','ist'], t))) AS h_de,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS h_en,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['el','la','de','que','y','en','un','por','con','los'], t))) AS h_es,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS h_fr,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'], t))) AS h_zh
+        |FROM documents),
+        |u AS (
+        |  SELECT doc_id, 'de' AS lang, h_de AS h FROM f
+        |  UNION ALL SELECT doc_id, 'en', h_en FROM f
+        |  UNION ALL SELECT doc_id, 'es', h_es FROM f
+        |  UNION ALL SELECT doc_id, 'fr', h_fr FROM f
+        |  UNION ALL SELECT doc_id, 'zh', h_zh FROM f),
+        |r AS (SELECT doc_id, lang, h,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
+        |      FROM u)
+        |SELECT t.doc_id, t.lang AS predicted_lang, CAST(t.h AS BIGINT) AS top_hits,
+        |  s.lang AS second_lang, CAST(s.h AS BIGINT) AS second_hits,
+        |  CAST(t.h - s.h AS BIGINT) AS margin, (t.h - s.h) < 2 AS is_mixed
+        |FROM r t JOIN r s ON t.doc_id = s.doc_id AND t.rn = 1 AND s.rn = 2
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

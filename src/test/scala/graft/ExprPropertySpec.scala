@@ -113,6 +113,27 @@ class ExprPropertySpec extends SparkSpec {
     }, n = 60)
   }
 
+  test("langIdWithMargin: best equals langId on random corpora; tie order hand-checked") {
+    import graft.ops.TextAnalysis
+    val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(5, text)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val base = TextAnalysis.langId(df, "text").select("id", "predicted_lang")
+        .as[(Long, String)].collect().toSet
+      val m = TextAnalysis.langIdWithMargin(df, "text").select("id", "predicted_lang")
+        .as[(Long, String)].collect().toSet
+      base == m
+    }, n = 15)
+    // hand tie case: "la de" hits es=2, fr=2 (both contain la+de), de=0…
+    // ties go to the lexicographically-first language at BOTH ranks
+    val hand = Seq((1L, "la de")).toDF("id", "text")
+    val r = TextAnalysis.langIdWithMargin(hand, "text")
+      .select("predicted_lang", "second_lang", "margin", "is_mixed")
+      .as[(String, String, Long, Boolean)].collect()(0)
+    assert(r == (("es", "fr", 0L, true)), s"$r")
+  }
+
   test("native langId equals the HOF fold formulation") {
     import graft.ops.TextAnalysis
     val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")
