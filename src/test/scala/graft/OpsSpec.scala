@@ -2329,6 +2329,41 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"only the gain pair matches: $pairs")
   }
 
+  test("multimodal curation composition: sniff -> dhash -> pairs -> components -> keep-one") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // three content groups of mislabeled BMPs: {1,2} near-identical,
+    // {3} distinct, {4} exact copy of 1
+    def bmp(f: (Int, Int) => Int): Array[Byte] = {
+      val W = 16; val H = 16
+      val row = (W * 3 + 3) / 4 * 4
+      val bb = ByteBuffer.allocate(54 + row * H).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes); bb.putInt(54 + row * H); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(W); bb.putInt(H); bb.putShort(1); bb.putShort(24)
+      bb.putInt(0); bb.putInt(row * H); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      for (sy <- 0 until H) {
+        val y = H - 1 - sy
+        for (x <- 0 until W) { val v = f(x, y).toByte; bb.put(v); bb.put(v); bb.put(v) }
+        bb.put(new Array[Byte](row - W * 3))
+      }
+      bb.array()
+    }
+    def a(x: Int, y: Int) = (x * 11 + y * 7) % 256
+    def a2(x: Int, y: Int) = if (x == 5 && y == 5) 250 else a(x, y)
+    def c(x: Int, y: Int) = ((15 - x) * 31 + y) % 256
+    val media = Seq((1L, bmp(a), "?"), (2L, bmp(a2), ""), (3L, bmp(c), "wrong/type"),
+      (4L, bmp(a), "?")).toDF("id", "media", "fmt")
+    // ONE composed plan: content-sniffed formats -> perceptual hashes ->
+    // near-dup pairs -> clusters -> canonical representative per cluster
+    val sniffed = media.select(col("id"), col("media"),
+      Multimodal.sniffFormat(col("media")).as("format"))
+    val pairs = Multimodal.imageNearDupPairs(spark, sniffed, maxHamming = 6)
+    val comp = graft.ops.Components.connectedComponents(
+      media.select("id"), "id", pairs, "id_a", "id_b")
+    val keep = comp.groupBy("component").agg(min(col("id")).as("keep"))
+      .select("keep").as[Long].collect().toSet
+    assert(keep == Set(1L, 3L), s"one representative per visual cluster: $keep")
+  }
+
   test("audio probe matching: leading padding re-aligns only with probes > 1") {
     import java.nio.{ByteBuffer, ByteOrder}
     def wav(samples: Seq[Int]): Array[Byte] = {
