@@ -102,7 +102,49 @@ object StreamingDedup {
   def firstSeenStream(spark: SparkSession, df: DataFrame, tsCol: String, idCol: String,
                       textCol: String, ttlSeconds: Long, watermark: String): Dataset[SeenOut] = {
     import spark.implicits._
-    df.select(xxhash64(col(textCol)).as("h"), col(tsCol).as("ts"), col(idCol).cast("long").as("id"))
+    hashedFirstSeenStream(spark,
+      df.select(xxhash64(col(textCol)).as("h"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id")),
+      ttlSeconds, watermark)
+  }
+
+  /** Continuous EXACT dedup of IMAGE payloads by perceptual dHash: per
+    * 64-bit [[graft.ops.Multimodal.dhash64]] (formats sniffed from magic
+    * bytes — no trusted label needed) the first-seen event passes, every
+    * later visually-identical re-crawl is suppressed until the event-time
+    * TTL expires. Exact HASH equality only — within-a-few-bits near-dups
+    * remain the batch operator's job ([[graft.ops.Multimodal.imageNearDupPairs]]);
+    * undecodable payloads pass through unsuppressed (triage, not loss).
+    * State per distinct hash is one long.
+    */
+  def imageFirstSeenStream(spark: SparkSession, df: DataFrame, tsCol: String,
+                           idCol: String, mediaCol: String,
+                           ttlSeconds: Long, watermark: String): Dataset[SeenOut] = {
+    import spark.implicits._
+    val hashed = df
+      .select(col(mediaCol).as("media"),
+        graft.ops.Multimodal.sniffFormat(col(mediaCol)).as("format"),
+        col(tsCol).as("ts"), col(idCol).cast("long").as("id"))
+      .as[(Array[Byte], String, Timestamp, Long)]
+      .mapPartitions { it =>
+        it.map { case (media, format, ts, id) =>
+          // undecodable -> a unique per-id sentinel hash (never collides
+          // with a real dHash space neighbor's suppression window)
+          val h = graft.ops.Multimodal.dhash64(media, format)
+            .getOrElse(Long.MinValue | id)
+          (h, ts, id)
+        }
+      }.toDF("h", "ts", "id")
+    hashedFirstSeenStream(spark, hashed, ttlSeconds, watermark)
+  }
+
+  /** The shared first-seen state machine over a PRE-HASHED (h, ts, id)
+    * frame — text hashes, perceptual hashes, any 64-bit key.
+    */
+  def hashedFirstSeenStream(spark: SparkSession, hashed: DataFrame,
+                            ttlSeconds: Long, watermark: String): Dataset[SeenOut] = {
+    import spark.implicits._
+    hashed
       .withWatermark("ts", watermark)
       .as[SeenEvent]
       .groupByKey(_.h)

@@ -374,6 +374,46 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 5L, 6L))
   }
 
+  test("streaming image dedup: visually-identical re-crawls suppressed, junk passes") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def bmp(seed: Int): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val W = 16; val H = 16; val row = (W * 3 + 3) / 4 * 4
+      val bb = ByteBuffer.allocate(54 + row * H).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes); bb.putInt(54 + row * H); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(W); bb.putInt(H); bb.putShort(1); bb.putShort(24)
+      bb.putInt(0); bb.putInt(row * H); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      for (y <- 0 until H) {
+        for (x <- 0 until W) {
+          val v = ((x * seed + y * 7) % 256).toByte; bb.put(v); bb.put(v); bb.put(v)
+        }
+        bb.put(new Array[Byte](row - W * 3))
+      }
+      bb.array()
+    }
+    val stream = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = stream.toDF().toDF("ts", "id", "media")
+    val q = StreamingDedup.imageFirstSeenStream(spark, df, "ts", "id", "media",
+        ttlSeconds = 86400, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("img_dedup").outputMode("append").start()
+
+    stream.addData((ts(0), 1L, bmp(11)), (ts(1), 2L, bmp(29)))
+    q.processAllAvailable()
+    // re-crawl of image 11 (same pixels, new id) -> suppressed; junk
+    // payloads are NOT suppressed against each other (unique sentinels)
+    stream.addData((ts(2), 3L, bmp(11)), (ts(3), 4L, "junk".getBytes),
+      (ts(4), 5L, "junk".getBytes))
+    q.processAllAvailable()
+
+    val ids = spark.table("img_dedup").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 2L, 4L, 5L), s"$ids")
+  }
+
   test("streaming passage dedup: shared passages pass once, chunking matches batch operator") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
