@@ -54,7 +54,10 @@ object MetricColumns {
     // column per partial instead of pass 2's every-distinct-value shuffle
     "duplicates_approx" -> Seq("approx_distinct", "approx_unique_count",
       "approx_uniqueness", "approx_duplicate_count"),
-    "profiling" -> Seq("maxs", "mins", "frequent_values", "histogram")
+    "profiling" -> Seq("maxs", "mins", "frequent_values", "histogram"),
+    // whitespace-token statistics for text columns, riding pass 1 off ONE
+    // pre-projected token count per row (the fxAlias discipline)
+    "text" -> Seq("token_count", "avg_tokens", "min_tokens", "max_tokens")
   )
 
   def expandMetrics(metrics: Seq[String], groups: Seq[String]): Seq[String] =
@@ -69,8 +72,13 @@ object MetricColumns {
     "valid_count", "valid_percentage", "invalid_count", "invalid_percentage",
     "min", "max", "avg", "sum", "variance", "stddev",
     "min_length", "max_length", "avg_length", "approx_distinct",
-    "approx_unique_count", "approx_duplicate_count", "approx_uniqueness"
+    "approx_unique_count", "approx_duplicate_count", "approx_uniqueness",
+    "token_count", "avg_tokens", "min_tokens", "max_tokens"
   )
+
+  private val textMetrics = Seq("token_count", "avg_tokens", "min_tokens", "max_tokens")
+
+  def tkAlias(name: String): String = s"${name}__tk"
 
   /** Bottom-k size for the approx duplicates family: relative error of the
     * distinct estimate ~ 1/√k ≈ 3%; the buffer is ≤ 16 KiB per column.
@@ -192,6 +200,14 @@ object MetricColumns {
       // null ⟺ missing/invalid/null — the sums skip those rows
       val v = when(valid, c)
       Seq(fixedPointLong(v, sumsqScale(field.dataType)).as(fxAlias(field.name)))
+    } else if (isString(field.dataType) && textMetrics.exists(m.contains)) {
+      // tokenize ONCE per row beneath the aggregate: Spark does no CSE
+      // across aggregate functions, and split() in 3-4 aggregates would
+      // re-run the regex per aggregate
+      val c = col(field.name)
+      val value = !missingCond(c, cfg)
+      Seq(when(value, size(split(c, "\\s+")).cast(LongType))
+        .as(tkAlias(field.name)))
     } else Seq.empty
   }
 
@@ -315,6 +331,15 @@ object MetricColumns {
         out += sum(l).cast(LongType).as(s"${name}__len_sum")
         out += countIf(value).as(s"${name}__len_count")
       }
+      if (textMetrics.exists(need)) {
+        val tk = col(tkAlias(name))
+        if (need("min_tokens")) out += min(tk).as(s"${name}__min_tokens")
+        if (need("max_tokens")) out += max(tk).as(s"${name}__max_tokens")
+        if (need("token_count") || need("avg_tokens")) {
+          out += sum(tk).cast(LongType).as(s"${name}__tok_sum")
+          out += countIf(tk.isNotNull).as(s"${name}__tok_count")
+        }
+      }
     }
     out.result()
   }
@@ -378,6 +403,11 @@ object MetricColumns {
       if (m("min_length")) out += col(s"${name}__min_length").as(s"${name}__min_length_out")
       if (m("max_length")) out += col(s"${name}__max_length").as(s"${name}__max_length_out")
       if (m("avg_length")) out += (col(s"${name}__len_sum").cast(DoubleType) / col(s"${name}__len_count").cast(DoubleType)).as(s"${name}__avg_length")
+      if (m("min_tokens")) out += col(s"${name}__min_tokens").as(s"${name}__min_tokens_out")
+      if (m("max_tokens")) out += col(s"${name}__max_tokens").as(s"${name}__max_tokens_out")
+      if (m("token_count")) out += col(s"${name}__tok_sum").as(s"${name}__token_count")
+      if (m("avg_tokens")) out += (col(s"${name}__tok_sum").cast(DoubleType) /
+        col(s"${name}__tok_count").cast(DoubleType)).as(s"${name}__avg_tokens")
     }
     out.result()
   }

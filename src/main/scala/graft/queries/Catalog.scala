@@ -2055,6 +2055,25 @@ object Catalog {
         .orderBy("col_name")
     },
 
+    "q_scan_text" -> { (s, dir) =>
+      // the `text` metric group riding scan pass 1: whitespace-token stats
+      // from ONE pre-projected token count per row
+      val yaml =
+        """table_name: documents
+          |columns:
+          |  text:
+          |    metric_groups:
+          |    - text
+          |""".stripMargin
+      val r = Scanner.executeYaml(s, t(s, dir, "documents"), yaml)
+      def m(metric: String) = r.measurement(metric, Some("text")).get.value.get
+      s.range(1).select(
+        lit(m("token_count").asInstanceOf[Long]).as("token_count"),
+        lit(m("avg_tokens").asInstanceOf[Double]).as("avg_tokens"),
+        lit(m("min_tokens").asInstanceOf[Long]).as("min_tokens"),
+        lit(m("max_tokens").asInstanceOf[Long]).as("max_tokens"))
+    },
+
     "q_scan_types" -> { (s, dir) =>
       // the table-level `infer_types:` list through the full scan surface:
       // tightest-type measurements for three derived string columns
@@ -3437,6 +3456,15 @@ object Catalog {
         |  FROM m
         |) ORDER BY col_a, col_b""".stripMargin,
     "q_scan_types" -> scanTypesOracle,
+
+    "q_scan_text" ->
+      """SELECT
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS token_count,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) /
+        |    CAST(count(CASE WHEN text IS NOT NULL THEN 1 END) AS DOUBLE) AS avg_tokens,
+        |  CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT) AS min_tokens,
+        |  CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT) AS max_tokens
+        |FROM documents""".stripMargin,
 
     "q_scan_conull" ->
       """WITH f AS (SELECT

@@ -474,6 +474,7 @@ object Scanner {
           case "valid_count"   => s"${f.name}__valid_count_out"
           case "min" | "max"   => s"${f.name}__${m}_out"
           case "min_length" | "max_length" => s"${f.name}__${m}_out"
+          case "min_tokens" | "max_tokens" => s"${f.name}__${m}_out"
           case "approx_distinct" => s"${f.name}__approx_distinct_out"
           case other => s"${f.name}__$other"
         }
