@@ -138,6 +138,29 @@ object StreamingDedup {
     hashedFirstSeenStream(spark, hashed, ttlSeconds, watermark)
   }
 
+  /** Continuous exact dedup of AUDIO payloads by the energy-contour
+    * fingerprint ([[graft.ops.Multimodal.ahash64]]) — the audio twin of
+    * [[imageFirstSeenStream]] on the same factored state machine:
+    * volume-normalized re-ingests of a clip suppress (gain-invariant
+    * contour), undecodable payloads pass via unique sentinels.
+    */
+  def audioFirstSeenStream(spark: SparkSession, df: DataFrame, tsCol: String,
+                           idCol: String, mediaCol: String,
+                           ttlSeconds: Long, watermark: String): Dataset[SeenOut] = {
+    import spark.implicits._
+    val hashed = df
+      .select(col(mediaCol).as("media"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"))
+      .as[(Array[Byte], Timestamp, Long)]
+      .mapPartitions { it =>
+        it.map { case (media, ts, id) =>
+          val h = graft.ops.Multimodal.ahash64(media).getOrElse(Long.MinValue | id)
+          (h, ts, id)
+        }
+      }.toDF("h", "ts", "id")
+    hashedFirstSeenStream(spark, hashed, ttlSeconds, watermark)
+  }
+
   /** The shared first-seen state machine over a PRE-HASHED (h, ts, id)
     * frame — text hashes, perceptual hashes, any 64-bit key.
     */

@@ -414,6 +414,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 4L, 5L), s"$ids")
   }
 
+  test("streaming audio dedup: volume-normalized re-ingest suppressed") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val bb = ByteBuffer.allocate(44 + 2 * samples.size).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 2 * samples.size); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+      bb.putInt(16000); bb.putInt(32000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(2 * samples.size)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val clip = (0 until 650).map(i => (math.sin(i / 7.0) * (300 + i % 400)).toInt)
+    val other = (0 until 650).map(i => (math.cos(i / 3.0) * (900 - i % 500)).toInt)
+
+    val stream = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = stream.toDF().toDF("ts", "id", "media")
+    val q = StreamingDedup.audioFirstSeenStream(spark, df, "ts", "id", "media",
+        ttlSeconds = 86400, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("aud_dedup").outputMode("append").start()
+
+    stream.addData((ts(0), 1L, wav(clip)), (ts(1), 2L, wav(other)))
+    q.processAllAvailable()
+    // half-volume re-ingest of the clip: SAME gain-invariant contour ->
+    // suppressed; junk passes via a unique sentinel
+    stream.addData((ts(2), 3L, wav(clip.map(_ / 2))), (ts(3), 4L, "junk".getBytes))
+    q.processAllAvailable()
+
+    val ids = spark.table("aud_dedup").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 2L, 4L), s"$ids")
+  }
+
   test("streaming passage dedup: shared passages pass once, chunking matches batch operator") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
