@@ -294,6 +294,35 @@ object Constraints {
     one.select(col("w.start").as("window_start"), inline(array(rows: _*)))
   }
 
+  /** Persist an [[inferTypes]] audit as a parquet artifact — the reference
+    * side of [[typeDrift]] (the save-once/compare-many pattern of the PSI
+    * reference and the LM/quantizer artifacts).
+    */
+  def saveTypeAudit(df: DataFrame, cols: Seq[String], path: String,
+                    threshold: Double = 0.99): Unit =
+    inferTypes(df, cols, threshold).write.mode("overwrite").parquet(path)
+
+  /** Inferred-type DRIFT vs a persisted audit: re-infer each column's
+    * tightest parse type and compare against the reference run — the
+    * "upstream started sending floats into an int column" alarm schema
+    * checks can't raise on stringly-typed feeds (the declared type never
+    * changed; the CONTENT did). Columns added since the reference carry a
+    * NULL ref_type and flag as drifted.
+    *
+    * @return (col_name, ref_type, cur_type, drifted).
+    */
+  def typeDrift(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                cols: Seq[String], refPath: String,
+                threshold: Double = 0.99): DataFrame = {
+    val ref = spark.read.parquet(refPath)
+      .select(col("col_name"), col("suggested").as("ref_type"))
+    inferTypes(df, cols, threshold)
+      .select(col("col_name"), col("suggested").as("cur_type"))
+      .join(ref, Seq("col_name"), "left")
+      .select(col("col_name"), col("ref_type"), col("cur_type"),
+        (col("ref_type").isNull || col("ref_type") =!= col("cur_type")).as("drifted"))
+  }
+
   /** Candidate-type patterns for [[inferTypes]], tightest first — anchored,
     * RE2-and-Java-compatible (no lookaround, explicit classes), shared
     * verbatim with the oracle SQL so both engines classify identically.

@@ -153,6 +153,28 @@ class ConstraintsSpec extends SparkSpec {
     assert(none.isNullAt(6) && none.isNullAt(7))
   }
 
+  test("typeDrift: persisted audit flags content-type changes and new columns") {
+    val dir = java.nio.file.Files.createTempDirectory("typedrift").toString
+    try {
+      val ref = Seq(("1", "2024-01-02"), ("22", "2024-02-03"))
+        .toDF("amount", "day")
+      Constraints.saveTypeAudit(ref, Seq("amount", "day"), s"$dir/types")
+      // upstream starts sending floats into the int column; day unchanged;
+      // a new column appears
+      val cur = Seq(("1.5", "2024-03-04", "x"), ("2.25", "2024-04-05", "y"))
+        .toDF("amount", "day", "note")
+      val got = Constraints.typeDrift(spark, cur, Seq("amount", "day", "note"), s"$dir/types")
+        .collect().map(r => r.getString(0) ->
+          ((Option(r.getString(1)), r.getString(2), r.getBoolean(3)))).toMap
+      assert(got("amount") == ((Some("bigint"), "double", true)), s"$got")
+      assert(got("day") == ((Some("date"), "date", false)))
+      assert(got("note") == ((None, "string", true)), "new columns flag as drifted")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("inferTypes: classification counts and tightest-type suggestion") {
     val df = Seq(
       ("1", "1.5", "2024-01-02", "true", "abc", "a@b.co"),
