@@ -44,7 +44,15 @@ final case class ScanDefinition(
       * tightest parse type covering ≥99% of non-null values as an
       * `inferred_type` measurement (value = the type name).
       */
-    inferTypes: Seq[String] = Nil
+    inferTypes: Seq[String] = Nil,
+    /** Path to a persisted type audit ([[graft.ops.Constraints.saveTypeAudit]]
+      * artifact; `types_reference:` YAML key). The scan re-infers the
+      * audited columns and records per column a `type_drift` measurement
+      * (1 when the tightest parse type changed or the column is new, else
+      * 0) plus the current `inferred_type` — so tests gate on content-type
+      * drift ("type_drift == 0") like any count.
+      */
+    typesReference: Option[String] = None
 )
 
 /** Streaming execution parameters of a scan: the event-time column the

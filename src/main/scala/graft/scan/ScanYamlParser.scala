@@ -63,7 +63,8 @@ object ScanYamlParser {
       rowChecks = rowChecks,
       stream = stream,
       coMissingness = m.get("co_missingness").map(strs).getOrElse(Nil),
-      inferTypes = m.get("infer_types").map(strs).getOrElse(Nil)
+      inferTypes = m.get("infer_types").map(strs).getOrElse(Nil),
+      typesReference = optStr(m, "types_reference")
     )
   }
 

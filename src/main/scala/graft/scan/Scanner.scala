@@ -691,9 +691,20 @@ object Scanner {
     // covering >=99% of non-null values (Constraints.inferTypes — one
     // fused aggregate), recorded as an `inferred_type` measurement
     if (scan.inferTypes.nonEmpty) {
-      graft.ops.Constraints.inferTypes(df, scan.inferTypes)
-        .select("col_name", "suggested").collect()
-        .foreach(r => record(r.getString(0), "inferred_type", r.getString(1)))
+      scan.typesReference match {
+        case Some(ref) =>
+          // drift mode: compare against the persisted audit; tests gate on
+          // `type_drift` per column ("type_drift == 0")
+          graft.ops.Constraints.typeDrift(spark, df, scan.inferTypes, ref)
+            .collect().foreach { r =>
+              record(r.getString(0), "inferred_type", r.getString(2))
+              record(r.getString(0), "type_drift", if (r.getBoolean(3)) 1L else 0L)
+            }
+        case None =>
+          graft.ops.Constraints.inferTypes(df, scan.inferTypes)
+            .select("col_name", "suggested").collect()
+            .foreach(r => record(r.getString(0), "inferred_type", r.getString(1)))
+      }
     }
 
     // ---- samples (reference `samples:` config, tests/test_scan.py:24-26) --
@@ -823,13 +834,29 @@ object Scanner {
                        out: mutable.ArrayBuffer[TestResult],
                        errors: mutable.ArrayBuffer[ScanError]): Unit =
     exprs.foreach { expr =>
-      // column tests see that column's metrics; table tests see table metrics.
-      val scoped: Map[String, Double] = values.collect {
-        case ((c, m), v) if v != null && (c == column || (column.isEmpty && c.isEmpty)) => m -> toDouble(v)
-        case ((None, m), v) if v != null && column.isDefined => m -> toDouble(v) // table metrics visible to column tests
+      // column tests see that column's metrics; table tests see table
+      // metrics. NON-NUMERIC measurements (e.g. `inferred_type` strings)
+      // are simply not test-visible — a test referencing one reports
+      // SKIPPED (unmeasured-metric rule) rather than erroring the scan.
+      val scoped: Map[String, Double] = values.flatMap {
+        case ((c, m), v) if v != null && (c == column || (c.isEmpty && column.isDefined)) =>
+          numericValue(v).map(m -> _)
+        case _ => None
       }
       evalOne(expr, column, sqlMetricIndex, scoped, None, out, errors)
     }
+
+  /** Numeric view of a measurement value, None for strings that aren't
+    * numbers (those metrics are not test-addressable).
+    */
+  private def numericValue(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case b: Boolean => Some(if (b) 1.0 else 0.0)
+    case ts: java.sql.Timestamp => Some(ts.getTime.toDouble)
+    case d: java.sql.Date => Some(d.getTime.toDouble)
+    case s: String => scala.util.Try(s.toDouble).toOption
+    case _ => None
+  }
 
   private def evalOne(expr: String, column: Option[String], sqlMetricIndex: Option[Int],
                       values: Map[String, Double], groupValues: Option[Map[String, String]],

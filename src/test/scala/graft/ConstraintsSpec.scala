@@ -175,6 +175,40 @@ class ConstraintsSpec extends SparkSpec {
     }
   }
 
+  test("scan types_reference: type drift lands as gated measurements") {
+    import graft.scan.Scanner
+    val dir = java.nio.file.Files.createTempDirectory("typedrift2").toString
+    try {
+      Constraints.saveTypeAudit(
+        Seq(("1", "2024-01-02"), ("22", "2024-02-03")).toDF("amount", "day"),
+        Seq("amount", "day"), s"$dir/types")
+      val yaml =
+        s"""table_name: t
+           |infer_types:
+           |- amount
+           |- day
+           |types_reference: $dir/types
+           |columns:
+           |  amount:
+           |    tests:
+           |    - type_drift == 0
+           |  day:
+           |    tests:
+           |    - type_drift == 0
+           |""".stripMargin
+      val cur = Seq(("1.5", "2024-03-04"), ("2.25", "2024-04-05")).toDF("amount", "day")
+      val r = Scanner.executeYaml(spark, cur, yaml)
+      def m(metric: String, c: String) = r.measurement(metric, Some(c)).get.value.get
+      assert(m("inferred_type", "amount") == "double" && m("type_drift", "amount") == 1L)
+      assert(m("type_drift", "day") == 0L)
+      val verdicts = r.testResults.map(t => t.test.column -> t.passed).toMap
+      assert(verdicts == Map(Some("amount") -> false, Some("day") -> true), s"$verdicts")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("inferTypes: classification counts and tightest-type suggestion") {
     val df = Seq(
       ("1", "1.5", "2024-01-02", "true", "abc", "a@b.co"),
