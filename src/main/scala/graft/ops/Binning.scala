@@ -46,12 +46,17 @@ object Binning {
     * distributed prefix scan) — shared by [[equiDepthBins]] and
     * [[valueRanks]].
     */
-  private def cumulativeCounts(df: DataFrame, valueCol: Column,
-                               maxLocalDistinct: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.select(valueCol.cast(LongType).as("v")).where(col("v").isNotNull)
+  private[ops] def distinctValueCounts(df: DataFrame, valueCol: Column): DataFrame =
+    df.select(valueCol.cast(LongType).as("v")).where(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val distinct = counts.count() // one cheap job; the shuffle files are reused
+
+  /** The route itself, over a pre-built (v, c) counts frame whose distinct
+    * cardinality the caller already measured — lets callers that need extra
+    * scalar aggregates over the counts (e.g. [[Outliers
+    * .exactPercentilesRouted]]) persist the frame and fuse their actions. */
+  private[ops] def cumulativeFromCounts(counts: DataFrame, distinct: Long,
+                                        maxLocalDistinct: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     if (distinct <= maxLocalDistinct)
       counts.withColumn("cum",
         sum("c").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
@@ -60,6 +65,13 @@ object Binning {
       // uniqueness (a groupBy key) satisfies prefixSum's order contract
       Packing.prefixSum(counts, "v", col("c"), "cum_excl")
         .withColumn("cum", col("cum_excl") + col("c")).drop("cum_excl")
+  }
+
+  private[ops] def cumulativeCounts(df: DataFrame, valueCol: Column,
+                                    maxLocalDistinct: Long): DataFrame = {
+    val counts = distinctValueCounts(df, valueCol)
+    val distinct = counts.count() // one cheap job; the shuffle files are reused
+    cumulativeFromCounts(counts, distinct, maxLocalDistinct)
   }
 
   def equiDepthBins(df: DataFrame, valueCol: Column, k: Int,

@@ -192,33 +192,108 @@ object Outliers {
       .drop("__arr", "__vs", "__st")
   }
 
-  /** Winsorization: clamp `valueCol` into its own [pLow, pHigh] exact
-    * percentile fences — the standard heavy-tail tamer before averaging /
-    * training on a signal with spikes (clip, don't drop: row count and
-    * joins stay intact). Two passes: ONE exact-percentile aggregate (a
-    * 1-row frame broadcast back) + a row-local clamp; adds
-    * `<col>_winsorized` and a `was_clipped` flag. Percentiles interpolate
-    * over the raw values — run on fixed-point-quantized inputs when
-    * cross-engine bit-parity of the fences matters.
+  /** Exact interpolated percentiles with `quantile_cont` semantics (rank
+    * (n−1)·p, linear interpolation — bit-matching Spark's built-in
+    * `percentile` aggregate) computed WITHOUT the value multiset: the
+    * (distinct value, count) frame + [[Binning]]'s cardinality-ROUTED
+    * cumulative (local running sum ≤ `maxLocalDistinct` distinct values,
+    * [[Packing.prefixSum]]'s two-phase distributed scan past it). The
+    * built-in exact aggregate funnels the whole column's values into ONE
+    * merge task — fine at sf0.1, an OOM at 100 TB; this path's largest
+    * single-task state is a counts partition. Driver-side cost: the
+    * covering rows for ≤ 2·|ps| rank positions (scalars).
+    *
+    * `valueCol` must be integer-valued (cast/quantize continuous domains
+    * to fixed-point longs first — which also keeps the interpolation
+    * arithmetic exact cross-engine). NULLs are excluded, matching the
+    * built-in aggregate.
+    */
+  def exactPercentilesRouted(df: DataFrame, valueCol: Column, ps: Seq[Double],
+                             maxLocalDistinct: Long = 1L << 20): Seq[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "bad percentiles")
+    // the skinny (v, c) frame is consumed by three driver actions — persist
+    // it so the base table is scanned and shuffled exactly ONCE (measured
+    // 2.6 → ~1.4 s at sf0.1 on a distinct≈rows column)
+    val counts = Binning.distinctValueCounts(df, valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = counts
+        .agg(count(lit(1)).as("d"), sum("c").cast(org.apache.spark.sql.types.LongType).as("n"))
+        .collect()(0)
+      val distinct = head.getLong(0)
+      require(distinct > 0, "no non-null values")
+      val n = head.getLong(1)
+      val cum = Binning.cumulativeFromCounts(counts, distinct, maxLocalDistinct)
+      val ranks = ps.map { p =>
+        val rk = (n - 1) * p
+        (rk, math.floor(rk).toLong, math.ceil(rk).toLong)
+      }
+      val needed = ranks.flatMap { case (_, lo, hi) => Seq(lo, hi) }.distinct
+      // one skinny filter over the counts frame collects the ≤ 2|ps| rows
+      // whose [cum_lt, cum_le) span covers a needed 0-based rank position
+      val covering = needed.map(i =>
+        col("cum") > lit(i) && col("cum") - col("c") <= lit(i)).reduce(_ || _)
+      val rows = cum.where(covering)
+        .select(col("v"), (col("cum") - col("c")).as("lt"), col("cum")).collect()
+      def valueAt(i: Long): Double =
+        rows.find(r => r.getLong(1) <= i && i < r.getLong(2))
+          .getOrElse(sys.error(s"rank $i uncovered")).getLong(0).toDouble
+      ranks.map { case (rk, lo, hi) =>
+        val vl = valueAt(lo)
+        if (hi == lo) vl else vl + (rk - lo) * (valueAt(hi) - vl)
+      }
+    } finally counts.unpersist(blocking = false)
+  }
+
+  /** Winsorization: clamp `valueCol` into its own [pLow, pHigh] percentile
+    * fences — the standard heavy-tail tamer before averaging / training on
+    * a signal with spikes (clip, don't drop: row count and joins stay
+    * intact). Adds `<col>_winsorized` and a `was_clipped` flag.
+    *
+    * Fence engine, routed by column shape:
+    *  - integral-typed column (the recommended fixed-point-quantized form,
+    *    which also makes the fences bit-exact cross-engine): the scale-safe
+    *    [[exactPercentilesRouted]] counts path — no value multiset ever
+    *    sits in one task, and the fences come back as plain literals so
+    *    the clamp is a pure row-local projection (no crossJoin, no extra
+    *    shuffle);
+    *  - `approx = true`: `approx_percentile` (bounded-memory sketch) — the
+    *    escape for continuous high-cardinality domains;
+    *  - otherwise: the legacy exact `percentile` aggregate (value-multiset
+    *    single merge task — fine locally, quantize or set `approx` at
+    *    scale).
     */
   def winsorize(df: DataFrame, valueCol: String, pLow: Double = 0.01,
-                pHigh: Double = 0.99): DataFrame = {
+                pHigh: Double = 0.99, approx: Boolean = false,
+                maxLocalDistinct: Long = 1L << 20): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "bad percentile bounds")
-    // exact `percentile` partials carry the value MULTISET, and a
-    // single-row-group scan would build the whole 600k-value map in one
-    // task — repartitioning the skinny value column first parallelizes the
-    // partials (measured 5.1 → 3.1 s at sf0.1; the single merge task is
-    // inherent to the exact aggregate — approx paths exist where it bites)
-    val fences = df.select(col(valueCol))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .agg(
-        percentile(col(valueCol), lit(pLow)).as("__lo"),
-        percentile(col(valueCol), lit(pHigh)).as("__hi"))
     val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
-    df.crossJoin(broadcast(fences))
-      .withColumn(s"${valueCol}_winsorized", least(greatest(v, col("__lo")), col("__hi")))
-      .withColumn("was_clipped", v < col("__lo") || v > col("__hi"))
-      .drop("__lo", "__hi")
+    val integral = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (!approx && integral) {
+      val Seq(lo, hi) =
+        exactPercentilesRouted(df, col(valueCol), Seq(pLow, pHigh), maxLocalDistinct)
+      df.withColumn(s"${valueCol}_winsorized", least(greatest(v, lit(lo)), lit(hi)))
+        .withColumn("was_clipped", v < lit(lo) || v > lit(hi))
+    } else {
+      // exact `percentile` partials carry the value MULTISET; repartitioning
+      // the skinny value column first parallelizes the partials (measured
+      // 5.1 → 3.1 s at sf0.1; the single merge task is inherent)
+      val pAgg = (p: Double) =>
+        if (approx) approx_percentile(col(valueCol), lit(p), lit(10000))
+          .cast(org.apache.spark.sql.types.DoubleType)
+        else percentile(col(valueCol), lit(p))
+      val fences = df.select(col(valueCol))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .agg(pAgg(pLow).as("__lo"), pAgg(pHigh).as("__hi"))
+      df.crossJoin(broadcast(fences))
+        .withColumn(s"${valueCol}_winsorized", least(greatest(v, col("__lo")), col("__hi")))
+        .withColumn("was_clipped", v < col("__lo") || v > col("__hi"))
+        .drop("__lo", "__hi")
+    }
   }
 
   /** Robust per-group outlier flags via the MEDIAN / MAD rule (the Hampel
@@ -262,11 +337,17 @@ object Outliers {
     * exact-percentile aggregate broadcast back + a row-local clamp.
     */
   def winsorizeByGroup(df: DataFrame, valueCol: String, groupCol: String,
-                       pLow: Double = 0.01, pHigh: Double = 0.99): DataFrame = {
+                       pLow: Double = 0.01, pHigh: Double = 0.99,
+                       approx: Boolean = false): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "bad percentile bounds")
+    // group-bounded value maps (not the whole column in one task); the
+    // `approx` sketch is the escape for extreme per-group cardinality
+    val pAgg = (p: Double) =>
+      if (approx) approx_percentile(col(valueCol), lit(p), lit(10000))
+        .cast(org.apache.spark.sql.types.DoubleType)
+      else percentile(col(valueCol), lit(p))
     val fences = df.groupBy(groupCol).agg(
-      percentile(col(valueCol), lit(pLow)).as("__lo"),
-      percentile(col(valueCol), lit(pHigh)).as("__hi"))
+      pAgg(pLow).as("__lo"), pAgg(pHigh).as("__hi"))
     val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
     df.join(broadcast(fences), Seq(groupCol))
       .withColumn(s"${valueCol}_winsorized", least(greatest(v, col("__lo")), col("__hi")))

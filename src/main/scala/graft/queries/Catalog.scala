@@ -151,13 +151,12 @@ object Catalog {
 
     "q_percentiles" -> { (s, dir) =>
       // exact percentiles; p ∈ {.25,.5,.75} on integer-valued doubles is
-      // bit-exact across engines (interpolation arithmetic stays exact)
-      val p = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
-      t(s, dir, "lineitem").agg(p.as("ps"))
-        .select(
-          element_at(col("ps"), 1).as("p25"),
-          element_at(col("ps"), 2).as("p50"),
-          element_at(col("ps"), 3).as("p75"))
+      // bit-exact across engines (interpolation arithmetic stays exact).
+      // Routed counts-path engine — never the exact aggregate's
+      // single-merge-task value multiset (scale path; same values)
+      val Seq(p25, p50, p75) = Outliers.exactPercentilesRouted(
+        t(s, dir, "lineitem"), col("l_quantity"), Seq(0.25, 0.5, 0.75))
+      s.range(1).select(lit(p25).as("p25"), lit(p50).as("p50"), lit(p75).as("p75"))
     },
 
     "q_quantile_sketch" -> { (s, dir) =>
@@ -811,9 +810,17 @@ object Catalog {
       // output rows, shared keys, hottest key's contribution, from the
       // skinny count frames only (payload never moves)
       val ev = t(s, dir, "events")
+      // Operator keeps DECIMAL(38,0) internally (hot-key squares overflow
+      // BIGINT long before the join); the GATE casts to BIGINT because the
+      // driver's hasher canonicalizes wide decimals differently from the
+      // oracle engine (third DECIMAL-gate incident — see selfcheck lint).
+      // Values fit comfortably in BIGINT at every gate SF.
       Skew.joinCardinality(
         ev.where(col("event_type") === "click"),
         ev.where(col("event_type") === "view"), Seq("user_id"))
+        .select(col("join_rows").cast("bigint").as("join_rows"),
+          col("shared_keys"),
+          col("max_key_rows").cast("bigint").as("max_key_rows"))
     },
 
     "q_bins" -> ((s, dir) =>
@@ -4276,9 +4283,9 @@ object Catalog {
         |           WHERE event_type = 'click' GROUP BY user_id),
         |r AS (SELECT user_id, count(*) AS cr FROM events
         |      WHERE event_type = 'view' GROUP BY user_id)
-        |SELECT CAST(sum(CAST(cl AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS join_rows,
+        |SELECT CAST(sum(CAST(cl AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS BIGINT) AS join_rows,
         |       count(*) AS shared_keys,
-        |       CAST(max(CAST(cl AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS max_key_rows
+        |       CAST(max(CAST(cl AS DECIMAL(19,0)) * CAST(cr AS DECIMAL(19,0))) AS BIGINT) AS max_key_rows
         |FROM l JOIN r USING (user_id)""".stripMargin,
 
     "q_pct_rank" ->

@@ -862,6 +862,39 @@ class OutliersSpec extends SparkSpec {
     assert(w(50L) == 50.0 && !out.find(_.getLong(0) == 50L).get.getBoolean(2))
   }
 
+  test("winsorize: routed counts path == exact percentile aggregate, no multiset in plan") {
+    // duplicates + skew: the counts path must interpolate across ties
+    // exactly like the built-in exact `percentile` aggregate
+    val vs = Seq.tabulate(500)(i => (i % 37).toLong) ++ Seq(999L, -50L, 999L)
+    val df = vs.toDF("v")
+    val routed = Outliers.exactPercentilesRouted(df, col("v"), Seq(0.01, 0.25, 0.5, 0.9, 0.99))
+    val builtin = df.agg(percentile(col("v"),
+        array(lit(0.01), lit(0.25), lit(0.5), lit(0.9), lit(0.99))))
+      .collect()(0).getSeq[Double](0)
+    assert(routed == builtin.toSeq)
+    // distributed prefix-sum route (threshold forces it) gives identical fences
+    val distRoute = Outliers.exactPercentilesRouted(df, col("v"),
+      Seq(0.01, 0.25, 0.5, 0.9, 0.99), maxLocalDistinct = 2)
+    assert(distRoute == routed)
+    // integral input: the winsorize plan must contain NO percentile
+    // aggregate — the value multiset never sits in a single merge task
+    val plan = Outliers.winsorize(df, "v", 0.1, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), s"multiset aggregate leaked: $plan")
+    // non-integral input falls back to the legacy exact aggregate with the
+    // same fences (sanity on the route split)
+    val dbl = vs.map(_.toDouble).toDF("v")
+    val lr = Outliers.winsorize(df, "v", 0.1, 0.9)
+      .select(col("v_winsorized")).as[Double].collect().sorted
+    val lg = Outliers.winsorize(dbl, "v", 0.1, 0.9)
+      .select(col("v_winsorized")).as[Double].collect().sorted
+    assert(lr.sameElements(lg))
+    // approx escape produces bounded-memory fences and keeps row count
+    assert(Outliers.winsorize(df, "v", 0.1, 0.9, approx = true).count() == vs.length)
+    assert(Outliers.winsorizeByGroup(dbl.withColumn("g", lit(1)), "v", "g",
+      0.1, 0.9, approx = true).count() == vs.length)
+  }
+
   test("ewma: scalar recurrence equality, truncating div on negatives, layout invariance") {
     // alpha = 3/10 over fx cents; scalar reference fold with Java / (truncate)
     val rows = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 0.5), (1L, 4L, 10.0),

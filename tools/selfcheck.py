@@ -32,6 +32,33 @@ def table_rows(names, rows):
     return sorted(names), sorted(out, key=repr)
 
 
+def lint_portable(name, schema):
+    """Gate-output portability lint: the driver hashes Spark parquet output
+    against DuckDB's fetch, and wide decimals / nested composites have
+    engine-specific canonical forms. Three incidents to date (q_range_join,
+    q_embed_quantize, q_join_cardinality) were all DECIMAL(p>18) outputs that
+    were value-identical but hash-red. Gates must cast to BIGINT/DOUBLE or
+    string-serialize before returning."""
+    import pyarrow as pa
+    bad = []
+
+    def walk(field, path):
+        t = field.type
+        if pa.types.is_decimal(t) and t.precision > 18:
+            bad.append(f"{path}: DECIMAL({t.precision},{t.scale}) — cast to BIGINT/DOUBLE or string-serialize")
+        elif pa.types.is_struct(t):
+            bad.append(f"{path}: STRUCT — flatten or JSON-serialize")
+        elif pa.types.is_map(t):
+            bad.append(f"{path}: MAP — flatten or JSON-serialize")
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            inner = t.value_field
+            if pa.types.is_struct(inner.type) or pa.types.is_list(inner.type) or pa.types.is_decimal(inner.type):
+                bad.append(f"{path}: ARRAY<{inner.type}> — nested composite, JSON-serialize")
+    for f in schema:
+        walk(f, f.name)
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -45,6 +72,8 @@ def main(sf_dir, out_dir):
             failures.append((name, "spark output missing"))
             continue
         tbl = pq.read_table(pdir)
+        for msg in lint_portable(name, tbl.schema):
+            failures.append((name, f"LINT non-portable gate output type — {msg}"))
         s_names, s_rows = table_rows(tbl.column_names, list(zip(*[c.to_pylist() for c in tbl.columns])) if tbl.num_columns else [])
         try:
             cur = con.execute(sql)
