@@ -839,6 +839,41 @@ object Multimodal {
       Some(out)
     }
 
+    /** Synthesize a VALID bottom-up 24-bpp grayscale BMP from a TOP-DOWN
+      * luminance function `f(x, y) ∈ [0, 256)` — the deterministic frame
+      * builder behind the video gate/specs (and a general test-image
+      * factory). Round-trips through [[Headers.parseBmp]], [[PixelCodec
+      * .bmpFeatures]] and [[dhash64]].
+      */
+    def grayBmp(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, "bad dims")
+      val row = (w * 3 + 3) / 4 * 4
+      val out = new Array[Byte](54 + row * h)
+      out(0) = 'B'; out(1) = 'M'
+      putLe32(out, 2, 54L + row * h)
+      putLe32(out, 10, 54L)
+      putLe32(out, 14, 40L)
+      putLe32(out, 18, w.toLong)
+      putLe32(out, 22, h.toLong) // positive = bottom-up
+      putLe16(out, 26, 1)
+      putLe16(out, 28, 24)
+      putLe32(out, 34, (row * h).toLong)
+      putLe32(out, 38, 2835L); putLe32(out, 42, 2835L)
+      var sy = 0
+      while (sy < h) {
+        val y = h - 1 - sy // stored bottom-up
+        val base = 54 + sy * row
+        var x = 0
+        while (x < w) {
+          val v = (f(x, y) & 0xFF).toByte
+          out(base + x * 3) = v; out(base + x * 3 + 1) = v; out(base + x * 3 + 2) = v
+          x += 1
+        }
+        sy += 1
+      }
+      out
+    }
+
     /** Fixed-stride PCM frame sampling: keep every `stride`-th audio frame
       * (one sample across all channels, `blockAlign` bytes) of a PCM WAV and
       * emit a VALID WAV whose sample rate is `rate/stride` — byte-exact
@@ -936,5 +971,147 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** VIDEO plumbing: a video travels as ONE opaque binary column holding a
+    * simple length-prefixed frame container ("GVID"), each frame an
+    * embedded still image (BMP/PNG/JPEG — the real codecs above). This is
+    * the keyframe/shot layer a curation pipeline needs: per-frame
+    * perceptual hashes, shot boundaries from consecutive-frame Hamming
+    * distance, one keyframe per shot. Container format (all little-endian):
+    * magic "GVID", u8 version (1), u32 frame count, then per frame
+    * u32 payload length + payload bytes.
+    */
+  object Video {
+    private def putLe32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+      b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+    def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 9L + frames.map(f => 4L + f.length).sum
+      require(total <= Int.MaxValue - 8, "container too large")
+      val out = new Array[Byte](total.toInt)
+      out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'; out(4) = 1
+      putLe32(out, 5, frames.size.toLong)
+      var o = 9
+      frames.foreach { f =>
+        putLe32(out, o, f.length.toLong)
+        System.arraycopy(f, 0, out, o + 4, f.length)
+        o += 4 + f.length
+      }
+      out
+    }
+
+    /** Frame payloads, or None for corrupt/foreign containers (triage, not
+      * exceptions): bad magic/version, counts or lengths that walk past the
+      * end. Long offsets so adversarial u32 lengths can't wrap Int.
+      */
+    def frames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+      if (bytes.length < 9 || bytes(0) != 'G' || bytes(1) != 'V' ||
+        bytes(2) != 'I' || bytes(3) != 'D' || bytes(4) != 1) return None
+      val n = le32(bytes, 5)
+      if (n < 0 || n > Int.MaxValue) return None
+      val out = new Array[Array[Byte]](n.toInt)
+      var o = 9L
+      var i = 0
+      while (i < n) {
+        if (o + 4 > bytes.length) return None
+        val len = le32(bytes, o.toInt)
+        if (len < 0 || o + 4 + len > bytes.length) return None
+        out(i) = java.util.Arrays.copyOfRange(bytes, (o + 4).toInt, (o + 4 + len).toInt)
+        o += 4 + len
+        i += 1
+      }
+      if (o != bytes.length) return None // trailing garbage = corrupt
+      Some(out)
+    }
+
+    /** Scala-side magic-byte sniffer (the byte-level twin of the Column
+      * [[sniffFormat]]) — frames inside a container carry no format column.
+      */
+    def sniffBytes(b: Array[Byte]): String = {
+      def at(o: Int, v: Int) = b.length > o && (b(o) & 0xFF) == v
+      if (at(0, 'B') && at(1, 'M')) "image/bmp"
+      else if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "image/png"
+      else if (at(0, 0xFF) && at(1, 0xD8)) "image/jpeg"
+      else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+        at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
+      else "application/octet-stream"
+    }
+  }
+
+  final case class FrameHashRow(id: Long, frame_idx: Int, format: String,
+                                ok: Boolean, dhash: Long)
+
+  /** Per-frame dHash over GVID containers: (video id, frame_idx, sniffed
+    * format, ok, dhash). Corrupt containers and out-of-envelope frames come
+    * back ok=false (triage rows, never dropped silently). Byte decode runs
+    * in `mapPartitions` — row-local, no shuffle; frame count per video is
+    * bounded, so no row explosion risk.
+    */
+  def videoFrameDhash(spark: SparkSession, media: DataFrame): Dataset[FrameHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        Video.frames(r.media) match {
+          case None => Iterator.single(FrameHashRow(r.id, -1, "video/gvid-corrupt", ok = false, 0L))
+          case Some(fs) => fs.iterator.zipWithIndex.map { case (f, i) =>
+            val fmt = Video.sniffBytes(f)
+            dhash64(f, fmt) match {
+              case Some(hv) => FrameHashRow(r.id, i, fmt, ok = true, hv)
+              case None => FrameHashRow(r.id, i, fmt, ok = false, 0L)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Shot-boundary detection: a frame starts a new shot when the Hamming
+    * distance between its dHash and the previous decodable frame's exceeds
+    * `maxHamming` (re-encoded/lightly-edited continuations land within a
+    * few bits; a cut lands near the 32-bit random baseline). Output per
+    * decodable frame: (id, frame_idx, dhash, hamming_prev — −1 for the
+    * first frame, is_boundary, shot_id — 0-based running shot counter).
+    *
+    * Scale shape: the lag/running-sum windows partition BY VIDEO — state is
+    * one video's frame list, never a global sort; the only shuffle is the
+    * hash partition on id.
+    */
+  def shotBoundaries(spark: SparkSession, media: DataFrame,
+                     maxHamming: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    videoFrameDhash(spark, media).toDF().where(col("ok"))
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .withColumn("hamming_prev",
+        when(col("__prev").isNull, lit(-1))
+          .otherwise(bit_count(expr("dhash ^ __prev"))).cast(IntegerType))
+      .withColumn("is_boundary", col("hamming_prev") > lit(maxHamming))
+      .withColumn("shot_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("id"), col("frame_idx"), col("dhash"),
+        col("hamming_prev"), col("is_boundary"), col("shot_id"))
+  }
+
+  /** One keyframe per shot — the shot's FIRST frame (deterministic, no
+    * decode-quality heuristic): (id, shot_id, frame_idx, dhash, n_frames =
+    * frames in the shot). The downstream contract: image-tier ops
+    * ([[imageNearDupPairs]], embeddings, captioning) run on keyframes only
+    * — a 100-TB video corpus shrinks to its shot count before any
+    * expensive per-frame work.
+    */
+  def keyframes(spark: SparkSession, media: DataFrame,
+                maxHamming: Int = 12): DataFrame = {
+    shotBoundaries(spark, media, maxHamming)
+      .groupBy(col("id"), col("shot_id"))
+      .agg(min(col("frame_idx")).as("frame_idx"),
+        min_by(col("dhash"), col("frame_idx")).as("dhash"),
+        count(lit(1)).cast(LongType).as("n_frames"))
   }
 }

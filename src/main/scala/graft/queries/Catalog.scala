@@ -2236,6 +2236,34 @@ object Catalog {
         .select(col("id"), col("n_bytes"), col("first_byte")).orderBy("id")
     },
 
+    "q_video_shots" -> { (s, dir) =>
+      import s.implicits._
+      // video keyframe plumbing end-to-end from the BYTES up: one GVID
+      // container per 20th order, one 9x8 grayscale BMP frame per lineitem
+      // (Weyl-style multiplicative pixel field seeded by the price cents;
+      // 9x8 makes the dHash grid sample pixels 1:1) -> parse + per-frame
+      // dHash + consecutive-frame Hamming -> shot ids. The oracle
+      // re-derives every dHash comparison from the same integer pixel
+      // formula, so boundaries verify cross-engine bit-exactly.
+      val seeds = t(s, dir, "lineitem").where(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("vid"),
+          struct(col("l_linenumber"),
+            (MetricColumns.fixedPointLong(col("l_extendedprice"), 2) % 256)
+              .cast(IntegerType).as("s")).as("fs"))
+        .groupBy("vid").agg(sort_array(collect_list(col("fs"))).as("fs"))
+      val media = seeds.as[(Long, Seq[(Int, Int)])].map { case (vid, fs) =>
+        val frames = fs.map { case (_, seed) =>
+          Multimodal.Codecs.grayBmp(9, 8, (x, y) =>
+            (((seed.toLong * 72 + y * 9 + x + 1) * 2654435761L) % 256).toInt)
+        }
+        Multimodal.MediaRow(vid, Multimodal.Video.pack(frames), "video/gvid")
+      }.toDF()
+      Multimodal.shotBoundaries(s, media, maxHamming = 20)
+        .select(col("id").as("video_id"), col("frame_idx"), col("hamming_prev"),
+          col("is_boundary"), col("shot_id"))
+        .orderBy("video_id", "frame_idx")
+    },
+
     "q_window_events" -> ((s, dir) =>
       Windows.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
         .orderBy("window_start", "event_type")),
@@ -5675,6 +5703,38 @@ object Catalog {
       """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
         |FROM documents ORDER BY id""".stripMargin,
+
+    // dHash bit (y, x) of a frame with pixel p(x,y) = ((s*72+y*9+x+1)*K)%256
+    // is p(x+1,y) > p(x,y) (the 9x8 frame makes the grid sample 1:1); the
+    // Hamming distance between consecutive frames is the count of the 64
+    // grid cells whose comparison flips between seeds
+    "q_video_shots" ->
+      """WITH f AS (
+        |  SELECT l_orderkey AS vid, l_linenumber AS fi,
+        |         CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                   ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) % 256 AS s
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |o AS (SELECT vid, s,
+        |             row_number() OVER (PARTITION BY vid ORDER BY fi, s) - 1 AS idx,
+        |             lag(s) OVER (PARTITION BY vid ORDER BY fi, s) AS sp
+        |      FROM f),
+        |g AS (SELECT y.y AS y, x.x AS x
+        |      FROM (SELECT unnest(range(8)) AS y) y, (SELECT unnest(range(8)) AS x) x),
+        |h AS (SELECT o.vid, o.idx, max(o.sp IS NULL) AS frst,
+        |        CAST(sum(CASE WHEN o.sp IS NOT NULL AND
+        |          ((((o.s  * 72 + g.y * 9 + g.x + 2) * 2654435761) % 256) >
+        |           (((o.s  * 72 + g.y * 9 + g.x + 1) * 2654435761) % 256)) !=
+        |          ((((o.sp * 72 + g.y * 9 + g.x + 2) * 2654435761) % 256) >
+        |           (((o.sp * 72 + g.y * 9 + g.x + 1) * 2654435761) % 256))
+        |          THEN 1 ELSE 0 END) AS INT) AS ham
+        |      FROM o CROSS JOIN g GROUP BY o.vid, o.idx)
+        |SELECT vid AS video_id, CAST(idx AS INT) AS frame_idx,
+        |  CASE WHEN frst THEN -1 ELSE ham END AS hamming_prev,
+        |  (NOT frst AND ham > 20) AS is_boundary,
+        |  CAST(sum(CASE WHEN NOT frst AND ham > 20 THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY vid ORDER BY idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
+        |FROM h ORDER BY video_id, frame_idx""".stripMargin,
 
     "q_window_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -2328,6 +2328,53 @@ class MultimodalSpec extends SparkSpec {
     assert(hs(1L).ok && hs(1L).dhash == hAb && hs(4L).dhash == hAp && !hs(5L).ok)
   }
 
+  test("video: GVID round-trip, shot boundaries on consecutive-frame hamming, keyframes, triage") {
+    import Multimodal.{Codecs, Video}
+    // three scenes: A with per-frame one-pixel jitter (same shot), then a
+    // reversed-gradient cut, then a third pattern; 16x16 grayscale BMPs
+    def sceneA(j: Int)(x: Int, y: Int) = if (x == j && y == j) 255 else (x * 13 + y * 5) % 256
+    def sceneB(x: Int, y: Int) = ((15 - x) * 29 + y * 3) % 256
+    def sceneC(x: Int, y: Int) = (x * 7 * y + 91) % 256
+    val frames = Seq(
+      Codecs.grayBmp(16, 16, sceneA(1)), Codecs.grayBmp(16, 16, sceneA(2)),
+      Codecs.grayBmp(16, 16, sceneA(3)),
+      Codecs.grayBmp(16, 16, sceneB), Codecs.grayBmp(16, 16, sceneB),
+      Codecs.grayBmp(16, 16, sceneC), Codecs.grayBmp(16, 16, sceneC))
+    val vid = Video.pack(frames)
+    // container round-trip is byte-exact
+    assert(Video.frames(vid).get.map(_.toSeq).toSeq == frames.map(_.toSeq))
+    // corrupt containers triage to None (bad magic, truncation, trailing junk)
+    assert(Video.frames("junk".getBytes).isEmpty)
+    assert(Video.frames(vid.take(vid.length - 3)).isEmpty)
+    assert(Video.frames(vid ++ Array[Byte](0)).isEmpty)
+
+    val media = Seq((1L, vid, "video/gvid"),
+      (2L, "nonsense".getBytes, "video/gvid")).toDF("id", "media", "format")
+    val fh = Multimodal.videoFrameDhash(spark, media).collect()
+    assert(fh.count(r => r.id == 1L && r.ok) == 7)
+    assert(fh.exists(r => r.id == 2L && !r.ok), "corrupt container emits a triage row")
+
+    val shots = Multimodal.shotBoundaries(spark, media, maxHamming = 10)
+      .orderBy("id", "frame_idx").collect()
+    assert(shots.forall(_.getLong(0) == 1L), "corrupt video contributes no shot rows")
+    val shotIds = shots.map(r => r.getInt(1) -> r.getLong(5)).toMap
+    assert(shotIds == Map(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 1L, 5 -> 2L, 6 -> 2L),
+      s"jitter stays in-shot, cuts open new shots: $shotIds")
+    assert(shots.head.getInt(3) == -1 && !shots.head.getBoolean(4),
+      "first frame: hamming -1, not a boundary")
+    // identical consecutive frames hash identically -> hamming 0
+    assert(shots.find(_.getInt(1) == 4).get.getInt(3) == 0)
+
+    val kf = Multimodal.keyframes(spark, media, maxHamming = 10)
+      .orderBy("shot_id").collect()
+    assert(kf.map(r => (r.getLong(1), r.getInt(2), r.getLong(4))).toSeq ==
+      Seq((0L, 0, 3L), (1L, 3, 2L), (2L, 5, 2L)),
+      "one keyframe per shot: first frame + shot sizes")
+    // keyframe dhash equals that frame's dhash (min_by pairing holds)
+    val byIdx = fh.filter(r => r.id == 1L).map(r => r.frame_idx -> r.dhash).toMap
+    assert(kf.forall(r => r.getLong(3) == byIdx(r.getInt(2))))
+  }
+
   test("audio fingerprint: gain-invariant energy contour, near-dup pairs") {
     import java.nio.{ByteBuffer, ByteOrder}
     def wav(samples: Seq[Int]): Array[Byte] = {
