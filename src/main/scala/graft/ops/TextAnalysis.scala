@@ -539,6 +539,47 @@ object TextAnalysis {
       .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
   }
 
+  /** Sentence-boundary-aware chunking: split at terminal punctuation
+    * ([.!?] followed by whitespace), then GREEDILY pack whole consecutive
+    * sentences into chunks of at most `maxTokens` whitespace tokens — the
+    * chunker for retrieval/embedding windows that shouldn't cut
+    * mid-sentence. A single sentence over the budget becomes its own
+    * oversized chunk (sentences are never split — compose with
+    * [[chunkDocuments]] downstream when hard caps matter). Chunk text
+    * rejoins its sentences with single spaces. Entirely ROW-LOCAL: one
+    * marker split + one `aggregate` fold building the chunk texts + one
+    * posexplode; no shuffle, bodies never leave their row.
+    */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+                       maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    // mark boundaries with U+0001 (consuming the whitespace run), split on
+    // the marker, drop empties (e.g. a trailing "x. ")
+    val sents = filter(
+      split(regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001"), "\u0001"),
+      s => length(s) > 0)
+    val base = df.select(col(idCol).as("doc_id"), sents.as("__sents"))
+    // greedy fold: state (finished chunks, current chunk text, its tokens);
+    // a sentence opens a new chunk iff the current one is non-empty and
+    // would overflow — so the first sentence of a chunk may exceed the
+    // budget alone (documented oversized-chunk rule)
+    val folded = base.withColumn("__chunks", expr(
+      s"""aggregate(
+         |  transform(__sents, s -> named_struct('s', s, 't', size(split(s, '\\\\s+')))),
+         |  named_struct('chunks', cast(array() as array<string>), 'cur', '', 'n', 0),
+         |  (acc, x) -> CASE WHEN acc.n > 0 AND acc.n + x.t > $maxTokens
+         |    THEN named_struct('chunks', array_append(acc.chunks, acc.cur), 'cur', x.s, 'n', x.t)
+         |    ELSE named_struct('chunks', acc.chunks,
+         |           'cur', CASE WHEN acc.n = 0 THEN x.s ELSE concat(acc.cur, ' ', x.s) END,
+         |           'n', acc.n + x.t) END,
+         |  acc -> CASE WHEN acc.n > 0 THEN array_append(acc.chunks, acc.cur) ELSE acc.chunks END)"""
+        .stripMargin))
+    folded.select(col("doc_id"), posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_tokens", tokenCount(col("chunk_text")).cast(LongType))
+      .withColumn("chunk_idx", col("chunk_idx").cast(LongType))
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+  }
+
   /** Doc-to-doc sparse cosine retrieval over an INVERTED INDEX — the
     * scale-correct alternative to dense all-pairs similarity for text: a
     * query meets a candidate only through shared tokens, so the join is

@@ -1724,6 +1724,21 @@ object Catalog {
         chunkTokens = 20, overlapTokens = 5)
         .orderBy("doc_id", "chunk_idx")),
 
+    "q_chunk_sentences" -> { (s, dir) =>
+      // sentence-boundary-aware chunking; the synthetic corpus carries no
+      // punctuation, so the gate synthesizes it deterministically first
+      // (every 'spark ' token ends a sentence, every 5-consecutive-word
+      // run gets a period -> variable sentence lengths), then packs whole
+      // sentences greedily into <=12-token chunks. The oracle replays the
+      // same two regex rewrites and the greedy fold as a recursive CTE.
+      val punct = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "spark ", "spark? "),
+          "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text"))
+      TextAnalysis.chunkBySentences(punct, "doc_id", "text", maxTokens = 12)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     "q_bm25" -> ((s, dir) =>
       // retrieval scoring against a fixed query term set: corpus stats +
       // per-term dfs are bounded aggregates, scoring is row-local (one
@@ -5327,6 +5342,32 @@ object Catalog {
         |ch AS (SELECT doc_id, i AS chunk_idx,
         |         array_to_string(ts[CAST(i * 15 + 1 AS BIGINT):CAST(i * 15 + 20 AS BIGINT)], ' ') AS chunk_text
         |       FROM idx)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+        |       CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_chunk_sentences" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, 'spark ', 'spark? ', 'g'),
+        |                   '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+        |                x -> len(x) > 0) AS ss
+        |  FROM p),
+        |sen AS (SELECT doc_id, CAST(i AS INT) AS i, ss[i] AS s,
+        |               CAST(len(string_split_regex(ss[i], '\s+')) AS INT) AS t
+        |        FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM sp)),
+        |rec AS (
+        |  SELECT doc_id, i, s, t, 0 AS ci, t AS cur FROM sen WHERE i = 1
+        |  UNION ALL
+        |  SELECT n.doc_id, n.i, n.s, n.t,
+        |         CASE WHEN r.cur + n.t > 12 THEN r.ci + 1 ELSE r.ci END,
+        |         CASE WHEN r.cur + n.t > 12 THEN n.t ELSE r.cur + n.t END
+        |  FROM rec r JOIN sen n ON n.doc_id = r.doc_id AND n.i = r.i + 1),
+        |ch AS (SELECT doc_id, ci AS chunk_idx, string_agg(s, ' ' ORDER BY i) AS chunk_text
+        |       FROM rec GROUP BY 1, 2)
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
         |       CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS chunk_tokens
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,

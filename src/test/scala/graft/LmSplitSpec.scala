@@ -149,6 +149,33 @@ class LmSplitSpec extends SparkSpec {
       (3L, "x0 x1 x2"), (3L, "x2 x3 x4"), (3L, "x4 x5 x6"), (3L, "x6 x7")))
   }
 
+  test("chunkBySentences: greedy whole-sentence packing, oversized sentences, boundary variants") {
+    val df = Seq(
+      // sentences of 2/3/2/4 tokens; budget 5: [s1 s2=5], [s3=2... +s4 would
+      // be 6 > 5 -> s3 alone? no: s3(2)+s4(4)=6>5 -> chunks [5],[2],[4]
+      (1L, "a b. c d e! f g? h i j k"),
+      // one oversized sentence (6 > 5) stays whole as its own chunk
+      (2L, "w1 w2 w3 w4 w5 w6. tail x."),
+      // no terminal punctuation at all: one sentence, one chunk
+      (3L, "p q r"),
+      // multi-space after boundary is consumed; trailing '. ' leaves no
+      // empty sentence
+      (4L, "m n.   o p. "),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkBySentences(df, "doc_id", "text", maxTokens = 5)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "a b. c d e!", 5L), (1L, 1L, "f g?", 2L), (1L, 2L, "h i j k", 4L),
+      (2L, 0L, "w1 w2 w3 w4 w5 w6.", 6L), (2L, 1L, "tail x.", 2L),
+      (3L, 0L, "p q r", 3L),
+      (4L, 0L, "m n. o p.", 4L)), s"got $out")
+    // sentences are never split: every chunk ends at a boundary or doc end
+    assert(out.forall { case (_, _, txt, _) => !txt.stripSuffix(".").contains("  ") })
+  }
+
   test("bm25Score: hand-checked single-term scoring") {
     // corpus: 3 docs, query = {q}; doc1 has q twice of 4 tokens, doc2 once
     // of 2, doc3 none. N=3, df(q)=2, avgLen = (4+2+2)/3
