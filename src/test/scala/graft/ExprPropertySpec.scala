@@ -134,6 +134,53 @@ class ExprPropertySpec extends SparkSpec {
     assert(r == (("es", "fr", 0L, true)), s"$r")
   }
 
+  test("TypeMaskExpr equals the seven anchored regexes on adversarial + random strings") {
+    import graft.functions.TypeMask
+    import graft.ops.Constraints
+    val compiled = Constraints.TypePatterns.map { case (tn, re) => tn -> re.r.pattern }
+    def regexMask(s: String): Int =
+      compiled.zipWithIndex.foldLeft(0) { case (m, ((_, p), i)) =>
+        if (p.matcher(s).matches()) m | (1 << i) else m
+      }
+    val adversarial = Seq(
+      "true", "FALSE", "TrUe", "faLSe", "truth", "false ", "",
+      "5", "+5", "-5", "+", "-", "007", "1234567890123456789", "123456789012345678",
+      "5.", "-.5", ".", "5.5", "5e3", "5E+3", "5e", "5e+", ".e3", "1.2.3", "+-5",
+      "2024-01-01", "2024-1-1", "20240101", "9999-99-99", "2024-01-011",
+      "2024-01-01 12:34:56", "2024-01-01T12:34:56", "2024-01-01T12:34:56.123",
+      "2024-01-01T12:34:56.", "2024-01-01x12:34:56", "2024-01-01 12:34:5",
+      "d41d8cd9-8f00-b204-e980-0998ecf8427e", "D41D8CD9-8F00-B204-E980-0998ECF8427E",
+      "d41d8cd9-8f00-b204-e980-0998ecf8427", "d41d8cd98f00b204e9800998ecf8427e",
+      "g41d8cd9-8f00-b204-e980-0998ecf8427e",
+      "a@b.co", "a@b.c", "a.b+c%d@x-y.org", "@b.co", "a@", "a@@b.co", "a@b",
+      "a@b.", "a@b.c9", "a@.co", "a@x.co.uk", "a@-.co", "u7@example.com",
+      "N/A", "  5", "5  ")
+    adversarial.foreach { s =>
+      assert(TypeMask.mask(org.apache.spark.unsafe.types.UTF8String.fromString(s)) == regexMask(s),
+        s"mismatch on '$s': mask=${TypeMask.mask(org.apache.spark.unsafe.types.UTF8String.fromString(s))} regex=${regexMask(s)}")
+    }
+    // random strings over a type-shaped alphabet (no newlines: the native
+    // classifier is strict-full-match; Java's $ would allow one trailing \n)
+    val alphabet = Gen.oneOf(('0' to '9') ++ Seq('+', '-', '.', 'e', 'E', 'T', ' ',
+      ':', '@', '_', '%', 'a', 'b', 'f', 'r', 'u', 's', 'l', 'A', 'F', 'c', 'd', '/'))
+    val str = Gen.listOf(alphabet).map(_.mkString)
+    check(Prop.forAll(str) { s =>
+      TypeMask.mask(org.apache.spark.unsafe.types.UTF8String.fromString(s)) == regexMask(s)
+    }, n = 2000)
+    // strict on trailing newlines, like Pattern.matches (rlike's find()
+    // would accept "5\n" via the $-before-terminator allowance; the
+    // classifier and the DuckDB oracle both reject it)
+    assert(regexMask("5\n") == 0 && TypeMask.mask(
+      org.apache.spark.unsafe.types.UTF8String.fromString("5\n")) == 0)
+    // end-to-end: mask-based inferTypes == regex-based on a mixed frame,
+    // through real plans (nulls included)
+    val df = Seq("5", "5.5", "true", "2024-01-01", null, "a@b.co", "N/A", "x")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "v")
+    val a = Constraints.inferTypes(df, Seq("v"), 0.5).collect().toSeq.map(_.toString)
+    val b = Constraints.inferTypesRegex(df, Seq("v"), 0.5).collect().toSeq.map(_.toString)
+    assert(a == b, s"$a vs $b")
+  }
+
   test("native langId equals the HOF fold formulation") {
     import graft.ops.TextAnalysis
     val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")
