@@ -146,6 +146,144 @@ object Embeddings {
             greatest(col("a2"), col("b2")).cast(DoubleType)))
   }
 
+  /** EXACT PCA sufficient statistics in ONE corpus pass: per dimension
+    * pair d ≤ e, the quantized product sum Σ q_d·q_e plus the marginal
+    * sums and row count — everything the covariance matrix needs, as
+    * exact integers. Components quantize to scale-`fxScale` longs first
+    * (the fixed-point discipline), so every sum is engine-exact and the
+    * frame oracles bit-for-bit; covariance/eigen derivation happens OFF
+    * this frame.
+    *
+    * Scale shape: the only data pass emits dim·(dim+1)/2 skinny
+    * (pair_idx, prod, q_d, q_e) rows per vector — map-side partial
+    * aggregation collapses them to dim² groups per partition, so the
+    * shuffle is O(partitions · dim²) regardless of corpus size; the
+    * output frame is dim²-bounded (2 080 rows at dim 64). This O(d²)
+    * per-row work IS the PCA lower bound — there's no cheaper exact
+    * covariance. Products sum in DECIMAL internally (a 100-TB corpus
+    * overflows BIGINT) and emit as BIGINT (portable-gate rule; fits
+    * through every gate SF).
+    *
+    * Rows whose vector length ≠ `dim` are excluded (triage, like the
+    * ANN family).
+    */
+  def covarianceStats(df: DataFrame, vecCol: String, dim: Int,
+                      fxScale: Int = 6): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val fx = (x: Column) =>
+      graft.metrics.MetricColumns.fixedPointLong(x.cast(DoubleType), fxScale)
+    val base = df
+      .select(transform(col(vecCol), x => fx(x)).as("q"))
+      .where(size(col("q")) === dim)
+    // ONE native aggregate call per row does all d² multiply-adds into the
+    // mergeable (hi, lo) long-vector state (CovVectorAgg) — nothing
+    // row-proportional shuffles; the d²-cell explode formulation was
+    // measured 2.3 s (HOF per-element interpretation + 4M-row partial agg)
+    // and a materialized array-of-2080-structs expression tree 130 s (the
+    // giant codegen unit falls out of JIT). This runs the same job in
+    // ~0.5 s at sf0.1, and its partial state is exactly what a 1000-node
+    // covariance pass merges.
+    val st = base.agg(graft.functions.CovVector.cov(col("q"), dim).as("st"))
+      .select(col("st.n").as("n"), col("st.hi").as("hi"), col("st.lo").as("lo"))
+    val pairs = for { d <- 0 until dim; e <- d until dim } yield (d, e)
+    val pairLit = typedLit(pairs)
+    // reassemble each slot's exact value hi·2³¹ + lo in DECIMAL, then the
+    // portable BIGINT (one output row per upper-triangle pair — constant
+    // dim²-bounded work on the single aggregate row)
+    def slotVal(idx: Column): Column =
+      (element_at(col("hi"), idx + 1).cast(DecimalType(38, 0)) * lit(2147483648L) +
+        element_at(col("lo"), idx + 1)).cast(LongType)
+    st.select(col("n"), col("hi"), col("lo"),
+        posexplode(transform(pairLit, p => struct(
+          p.getField("_1").as("d"), p.getField("_2").as("e")))).as(Seq("i", "de")))
+      .select(
+        col("de.d").as("d"), col("de.e").as("e"),
+        slotVal(lit(dim) + col("i")).as("spp"),
+        slotVal(col("de.d")).as("s_d"),
+        slotVal(col("de.e")).as("s_e"),
+        col("n"))
+  }
+
+  final case class PcaModel(dim: Int, n: Long, fxScale: Int,
+                            mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double])
+
+  /** Top-`k` PCA via [[covarianceStats]] + driver-side power iteration
+    * with Gram–Schmidt deflation: the data contributes exactly ONE pass
+    * (the dim²-bounded stats frame collects to the driver — scalars, not
+    * vectors); the d×d eigen problem is driver arithmetic, deterministic
+    * (md5-seeded start vector, fixed iteration count — no RNG, replays
+    * identically). Eigenvalues come back in the quantized units / n
+    * (population covariance); components are unit-L2.
+    */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int,
+             iters: Int = 100, fxScale: Int = 6, seed: String = "pca"): PcaModel = {
+    require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    val rows = covarianceStats(df, vecCol, dim, fxScale).collect()
+    require(rows.nonEmpty, "no vectors of the requested dim")
+    val n = rows.head.getLong(5)
+    val s = new Array[Double](dim)
+    val c = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val d = r.getInt(0); val e = r.getInt(1)
+      c(d)(e) = r.getLong(2).toDouble
+      c(e)(d) = c(d)(e)
+      if (d == e) s(d) = r.getLong(3).toDouble
+    }
+    val mean = s.map(_ / n)
+    // population covariance: C(d,e) = spp/n − mean_d·mean_e
+    for (d <- 0 until dim; e <- 0 until dim)
+      c(d)(e) = c(d)(e) / n - mean(d) * mean(e)
+    val comps = Array.ofDim[Double](k, dim)
+    val eigs = new Array[Double](k)
+    for (comp <- 0 until k) {
+      // deterministic start: ±1 by md5 parity, then orthogonalize
+      var v = Array.tabulate(dim)(d =>
+        if (md5Hash60(s"$seed|$comp|$d") % 2 == 0L) 1.0 else -1.0)
+      var it = 0
+      while (it < iters) {
+        // w = C·v, deflated against found components
+        val w = Array.tabulate(dim)(d => (0 until dim).map(e => c(d)(e) * v(e)).sum)
+        for (p <- 0 until comp) {
+          val dot = (0 until dim).map(d => w(d) * comps(p)(d)).sum
+          for (d <- 0 until dim) w(d) -= dot * comps(p)(d)
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm == 0.0) it = iters // degenerate: keep current v
+        else { v = w.map(_ / norm); it += 1 }
+      }
+      // sign convention: first nonzero coordinate positive (replayable)
+      val firstNz = v.indexWhere(math.abs(_) > 1e-12)
+      if (firstNz >= 0 && v(firstNz) < 0) v = v.map(-_)
+      comps(comp) = v
+      eigs(comp) = (0 until dim).map(d =>
+        v(d) * (0 until dim).map(e => c(d)(e) * v(e)).sum).sum
+    }
+    PcaModel(dim, n, fxScale, mean, comps, eigs)
+  }
+
+  /** Project vectors onto a fitted [[PcaModel]] — entirely ROW-LOCAL
+    * (model bound as literals, no join, no shuffle): (id, proj) where
+    * proj(c) = Σ_d (q_d − mean_d)·w_c(d) over the same quantized
+    * components the fit saw. The 100-TB usage: fit once on a sample,
+    * project the whole corpus.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 model: PcaModel): DataFrame = {
+    val fx = (x: Column) =>
+      graft.metrics.MetricColumns.fixedPointLong(x.cast(DoubleType), model.fxScale)
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => fx(x).cast(DoubleType)).as("qv"))
+      .where(size(col("qv")) === model.dim)
+    val projections = model.components.map { w =>
+      (0 until model.dim).map { d =>
+        (element_at(col("qv"), d + 1) - lit(model.mean(d))) * lit(w(d))
+      }.reduce(_ + _)
+    }
+    base.select(col("id"), array(projections: _*).as("proj"))
+  }
+
   /** Cosine of each row's vector to its group centroid — outlier scoring
     * against the class prototype. Centroids are broadcast (one row per
     * (group, dim): tiny), the corpus streams.

@@ -1663,6 +1663,14 @@ object Catalog {
       Embeddings.centroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("grp", "dim")),
 
+    "q_embed_cov" -> ((s, dir) =>
+      // PCA sufficient statistics in one pass: all 2080 upper-triangle
+      // quantized product sums + marginals — the d²-bounded frame pcaFit
+      // eigendecomposes on the driver; exact integers, fully oracled
+      Embeddings.covarianceStats(t(s, dir, "embeddings"), "embedding",
+          dim = 64, fxScale = 6)
+        .orderBy("d", "e")),
+
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -5167,6 +5175,21 @@ object Catalog {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |             x -> CAST(CASE WHEN x >= 0 THEN floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |                            ELSE -floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) END AS BIGINT)) AS qq
+        |           FROM embeddings WHERE len(embedding) = 64),
+        |g AS (SELECT d.d AS d, e.e AS e
+        |      FROM (SELECT unnest(range(64)) AS d) d, (SELECT unnest(range(64)) AS e) e
+        |      WHERE e.e >= d.d)
+        |SELECT CAST(g.d AS INT) AS d, CAST(g.e AS INT) AS e,
+        |       CAST(sum(q.qq[g.d + 1] * q.qq[g.e + 1]) AS BIGINT) AS spp,
+        |       CAST(sum(q.qq[g.d + 1]) AS BIGINT) AS s_d,
+        |       CAST(sum(q.qq[g.e + 1]) AS BIGINT) AS s_e,
+        |       count(*) AS n
+        |FROM q CROSS JOIN g GROUP BY g.d, g.e ORDER BY d, e""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, n_tokens, tok_start,

@@ -2016,6 +2016,82 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(cos - 1.0) < 1e-12) // parallel to its own centroid
   }
 
+  test("PCA: exact covariance stats, power-iteration axes, row-local projection") {
+    // covariance stats vs a brute-force scala reference (dim 3, fx 2)
+    val vecs = Seq(
+      Seq(1.0f, 2.0f, -1.0f), Seq(2.0f, 4.0f, -2.0f),
+      Seq(3.0f, 6.1f, -3.0f), Seq(0.5f, 1.0f, 0.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    def fx(x: Float): Long = {
+      val d = x.toDouble * 100.0
+      if (x >= 0) math.floor(d + 0.5).toLong else -math.floor(-d + 0.5).toLong
+    }
+    val q = vecs.map(_.map(fx))
+    val stats = Embeddings.covarianceStats(df, "v", dim = 3, fxScale = 2)
+      .orderBy("d", "e").collect()
+    assert(stats.length == 6)
+    stats.foreach { r =>
+      val (d, e) = (r.getInt(0), r.getInt(1))
+      assert(r.getLong(2) == q.map(row => row(d) * row(e)).sum, s"spp($d,$e)")
+      assert(r.getLong(3) == q.map(_(d)).sum && r.getLong(4) == q.map(_(e)).sum)
+      assert(r.getLong(5) == 4L)
+    }
+    // wrong-length vectors triage out of the stats
+    val mixed = (df.as[(Long, Seq[Float])].collect().toSeq :+ (99L, Seq(1.0f)))
+      .toDF("id", "v")
+    assert(Embeddings.covarianceStats(mixed, "v", 3, 2).agg(max("n"))
+      .collect()(0).getLong(0) == 4L)
+
+    // hi/lo carry path: components near the 2^30 bound make product sums
+    // cross 2^61 — the aggregate must stay exact where a plain long sum
+    // would overflow silently; BigInt reference
+    val big = (1 to 3).map(i => (i.toLong,
+      Seq((1e9 + i * 1e6).toFloat, (-9.9e8 - i * 1e6).toFloat)))
+    val bdf = big.toDF("id", "v")
+    def fxb(x: Float): BigInt = {
+      val d = x.toDouble
+      BigInt(if (d >= 0) math.floor(d + 0.5).toLong else -math.floor(-d + 0.5).toLong)
+    }
+    val qb = big.map(_._2.map(fxb))
+    val bstats = Embeddings.covarianceStats(bdf, "v", dim = 2, fxScale = 0)
+      .orderBy("d", "e").collect()
+    bstats.foreach { r =>
+      val (d, e) = (r.getInt(0), r.getInt(1))
+      val want = qb.map(row => row(d) * row(e)).sum
+      assert(want.abs > BigInt(1L << 61), "test must actually cross the carry bound")
+      assert(BigInt(r.getLong(2)) == want, s"carry-exact spp($d,$e)")
+    }
+
+    // a dominant axis along (3,4)/5 with small orthogonal jitter: the top
+    // component must recover it (sign-normalized), eigenvalue ≈ spread
+    val axis = Seq(0.6, 0.8)
+    val pts = (-10 to 10).map { t =>
+      val jit = (t % 3 - 1) * 0.01
+      Seq((t * axis(0) + jit * axis(1)).toFloat, (t * axis(1) - jit * axis(0)).toFloat)
+    }
+    val pdf = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val m = Embeddings.pcaFit(pdf, "v", dim = 2, k = 2, fxScale = 4)
+    val c0 = m.components(0)
+    assert(math.abs(math.abs(c0(0) * axis(0) + c0(1) * axis(1)) - 1.0) < 1e-3,
+      s"top axis ${c0.toSeq}")
+    // orthonormal components, descending eigenvalues
+    assert(math.abs(c0.map(x => x * x).sum - 1.0) < 1e-9)
+    val dot01 = c0.zip(m.components(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot01) < 1e-6)
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) >= -1e-6)
+    // determinism + layout invariance
+    val m2 = Embeddings.pcaFit(pdf.repartition(7), "v", dim = 2, k = 2, fxScale = 4)
+    assert(m.components(0).toSeq == m2.components(0).toSeq &&
+      m.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    // projection: proj(0) spread dominates proj(1); mean-centered -> sums ~ 0
+    val proj = Embeddings.pcaProject(pdf, "id", "v", m)
+      .select("proj").as[Seq[Double]].collect()
+    val v0 = proj.map(_(0)); val v1 = proj.map(_(1))
+    def variance(xs: Seq[Double]) = { val mu = xs.sum / xs.size; xs.map(x => (x - mu) * (x - mu)).sum / xs.size }
+    assert(variance(v0) > 100 * variance(v1))
+    assert(math.abs(v0.sum / v0.size) < 1e-6)
+  }
+
   test("token counting") {
     val df = Seq((1L, "hello world 42 foo-bar")).toDF("id", "text")
     val r = df.select(
