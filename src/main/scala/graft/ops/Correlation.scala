@@ -199,6 +199,60 @@ object Correlation {
     frames.reduce(_.unionAll(_))
   }
 
+  /** FULL Pearson correlation matrix over `cols` in ONE pass: the columns
+    * assemble into a quantized long vector and [[graft.functions
+    * .CovVectorAgg]] accumulates every marginal and upper-triangle product
+    * sum in its mergeable d²-long state — one aggregate instead of
+    * k(k−1)/2 per-pair aggregate sets, and the column-pair count never
+    * touches the shuffle (O(d²) state per partition, nothing
+    * row-proportional). Listwise-complete semantics: a row with ANY null
+    * among `cols` is excluded from the whole matrix (unlike
+    * [[corrPairs]]'s pairwise-complete counts — both are standard; the
+    * matrix needs one consistent n to stay positive semidefinite).
+    * r derives from the exact integer moments via the [[pairCorr]] fixed
+    * double tree; NULL when either variance is zero.
+    *
+    * @return (col_a, col_b, n, corr) for every a < b pair.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dim = cols.size
+    val base = df
+      .select(array(cols.map(c => MetricColumns.fixedPointLong(col(c), scale)): _*).as("q"))
+      .where(!exists(col("q"), x => x.isNull))
+    val st = base.agg(graft.functions.CovVector.cov(col("q"), dim).as("st"))
+      .select(col("st.n").as("n"), col("st.hi").as("hi"), col("st.lo").as("lo"))
+    // CovVectorAgg slot layout: marginal d at slot d; pair (d ≤ e) at slot
+    // dim + d·dim − d(d−1)/2 + (e−d)
+    def pairSlot(d: Int, e: Int): Int = dim + d * dim - d * (d - 1) / 2 + (e - d)
+    val pairs = for { d <- 0 until dim; e <- d + 1 until dim } yield (d, e)
+    def slotDec(idx: Column): Column =
+      element_at(col("hi"), idx + 1).cast(DecimalType(38, 0)) * lit(2147483648L) +
+        element_at(col("lo"), idx + 1)
+    val nameA = typedLit(pairs.map(p => cols(p._1)))
+    val nameB = typedLit(pairs.map(p => cols(p._2)))
+    val sDE = typedLit(pairs.map { case (d, e) => pairSlot(d, e) })
+    val sDD = typedLit(pairs.map { case (d, _) => pairSlot(d, d) })
+    val sEE = typedLit(pairs.map { case (_, e) => pairSlot(e, e) })
+    val mD = typedLit(pairs.map(_._1))
+    val mE = typedLit(pairs.map(_._2))
+    val i1 = col("i") + 1
+    val nDec = col("n").cast(DecimalType(38, 0))
+    val num = (nDec * slotDec(element_at(sDE, i1)) -
+      slotDec(element_at(mD, i1)) * slotDec(element_at(mE, i1))).cast(DoubleType)
+    val dx = (nDec * slotDec(element_at(sDD, i1)) -
+      slotDec(element_at(mD, i1)) * slotDec(element_at(mD, i1))).cast(DoubleType)
+    val dy = (nDec * slotDec(element_at(sEE, i1)) -
+      slotDec(element_at(mE, i1)) * slotDec(element_at(mE, i1))).cast(DoubleType)
+    st.select(col("n"), col("hi"), col("lo"),
+        posexplode(typedLit(pairs.indices.toList)).as(Seq("i", "__x")))
+      .select(
+        element_at(nameA, i1).as("col_a"),
+        element_at(nameB, i1).as("col_b"),
+        col("n"),
+        when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("corr"))
+  }
+
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)], scale: Int = 2): DataFrame = {
     require(pairs.nonEmpty, "need at least one pair")
     val needed = pairs.flatMap(p => Seq(p._1, p._2)).distinct

@@ -1663,6 +1663,31 @@ object Catalog {
       Embeddings.centroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("grp", "dim")),
 
+    "q_corr_matrix" -> ((s, dir) =>
+      // FULL 4x4 correlation matrix in ONE CovVectorAgg pass (6 pairs from
+      // one d2-long mergeable state) - vs q_corr's two per-pair aggregates
+      Correlation.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 2)
+        .orderBy("col_a", "col_b")),
+
+    "q_skyline" -> { (s, dir) =>
+      // Pareto frontier over per-supplier aggregates: suppliers no other
+      // supplier beats on (revenue max, volume max, discount burden min)
+      // at once — the multi-criteria selection a weighted score can't
+      // express; two-phase local-skyline + candidate anti-join
+      val sup = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(
+          sum(MetricColumns.fixedPointLong(col("l_extendedprice"), 2))
+            .cast(LongType).as("revenue_c"),
+          count(lit(1)).cast(LongType).as("n_items"),
+          sum(MetricColumns.fixedPointLong(col("l_discount"), 2))
+            .cast(LongType).as("disc_c"))
+      Pareto.skyline(sup,
+          Seq(("revenue_c", true), ("n_items", true), ("disc_c", false)))
+        .orderBy("suppkey")
+    },
+
     "q_embed_cov" -> ((s, dir) =>
       // PCA sufficient statistics in one pass: all 2080 upper-triangle
       // quantized product sums + marginals — the d²-bounded frame pcaFit
@@ -5175,6 +5200,70 @@ object Catalog {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5) ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS q0,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5) ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS q1,
+        |  CAST(CASE WHEN l_discount >= 0 THEN floor(l_discount * 100.0 + 0.5) ELSE -floor(-l_discount * 100.0 + 0.5) END AS BIGINT) AS q2,
+        |  CAST(CASE WHEN l_tax >= 0 THEN floor(l_tax * 100.0 + 0.5) ELSE -floor(-l_tax * 100.0 + 0.5) END AS BIGINT) AS q3
+        |FROM lineitem),
+        |m AS (SELECT
+        |  count(*) AS n,
+        |  sum(CAST(q0 AS HUGEINT)) AS s0,
+        |  sum(CAST(q1 AS HUGEINT)) AS s1,
+        |  sum(CAST(q2 AS HUGEINT)) AS s2,
+        |  sum(CAST(q3 AS HUGEINT)) AS s3,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q0 AS HUGEINT)) AS p00,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q1 AS HUGEINT)) AS p01,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q2 AS HUGEINT)) AS p02,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p03,
+        |  sum(CAST(q1 AS HUGEINT) * CAST(q1 AS HUGEINT)) AS p11,
+        |  sum(CAST(q1 AS HUGEINT) * CAST(q2 AS HUGEINT)) AS p12,
+        |  sum(CAST(q1 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p13,
+        |  sum(CAST(q2 AS HUGEINT) * CAST(q2 AS HUGEINT)) AS p22,
+        |  sum(CAST(q2 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p23,
+        |  sum(CAST(q3 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p33
+        |FROM f)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |  CASE WHEN CAST(n * p00 - s0 * s0 AS DOUBLE) > 0.0 AND CAST(n * p11 - s1 * s1 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p01 - s0 * s1 AS DOUBLE) / (sqrt(CAST(n * p00 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * p11 - s1 * s1 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, n,
+        |  CASE WHEN CAST(n * p00 - s0 * s0 AS DOUBLE) > 0.0 AND CAST(n * p22 - s2 * s2 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p02 - s0 * s2 AS DOUBLE) / (sqrt(CAST(n * p00 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * p22 - s2 * s2 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n,
+        |  CASE WHEN CAST(n * p00 - s0 * s0 AS DOUBLE) > 0.0 AND CAST(n * p33 - s3 * s3 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p03 - s0 * s3 AS DOUBLE) / (sqrt(CAST(n * p00 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * p33 - s3 * s3 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n,
+        |  CASE WHEN CAST(n * p11 - s1 * s1 AS DOUBLE) > 0.0 AND CAST(n * p22 - s2 * s2 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p12 - s1 * s2 AS DOUBLE) / (sqrt(CAST(n * p11 - s1 * s1 AS DOUBLE)) * sqrt(CAST(n * p22 - s2 * s2 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n,
+        |  CASE WHEN CAST(n * p11 - s1 * s1 AS DOUBLE) > 0.0 AND CAST(n * p33 - s3 * s3 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p13 - s1 * s3 AS DOUBLE) / (sqrt(CAST(n * p11 - s1 * s1 AS DOUBLE)) * sqrt(CAST(n * p33 - s3 * s3 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n,
+        |  CASE WHEN CAST(n * p22 - s2 * s2 AS DOUBLE) > 0.0 AND CAST(n * p33 - s3 * s3 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p23 - s2 * s3 AS DOUBLE) / (sqrt(CAST(n * p22 - s2 * s2 AS DOUBLE)) * sqrt(CAST(n * p33 - s3 * s3 AS DOUBLE))) END AS corr FROM m
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q_skyline" ->
+      """WITH a AS (SELECT l_suppkey AS suppkey,
+        |    CAST(sum(CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                       ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS revenue_c,
+        |    count(*) AS n_items,
+        |    CAST(sum(CAST(CASE WHEN l_discount >= 0 THEN floor(l_discount * 100.0 + 0.5)
+        |                       ELSE -floor(-l_discount * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS disc_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT suppkey, revenue_c, n_items, disc_c FROM a r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM a s
+        |  WHERE s.revenue_c >= r.revenue_c AND s.n_items >= r.n_items AND s.disc_c <= r.disc_c
+        |    AND (s.revenue_c > r.revenue_c OR s.n_items > r.n_items OR s.disc_c < r.disc_c))
+        |ORDER BY suppkey""".stripMargin,
 
     "q_embed_cov" ->
       """WITH q AS (SELECT list_transform(embedding,

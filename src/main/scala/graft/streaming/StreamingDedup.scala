@@ -161,6 +161,43 @@ object StreamingDedup {
     hashedFirstSeenStream(spark, hashed, ttlSeconds, watermark)
   }
 
+  /** Continuous exact dedup of VIDEO containers by their frame dHash
+    * SEQUENCE: per GVID container the per-frame perceptual hashes fold
+    * (order-sensitive FNV-style) into one 64-bit signature, so a
+    * re-ingested copy suppresses even when every frame was TRANSCODED to
+    * another format (dHash is pixel-level: a BMP frame and its PNG
+    * re-encode hash identically — spec'd) or the container re-packed.
+    * Near-duplicate videos (a few edited frames) remain the batch
+    * keyframe machinery's job ([[graft.ops.Multimodal.shotBoundaries]]).
+    * Corrupt containers and all-undecodable-frame videos pass via unique
+    * per-id sentinels (triage, not loss). One long of state per distinct
+    * signature.
+    */
+  def videoFirstSeenStream(spark: SparkSession, df: DataFrame, tsCol: String,
+                           idCol: String, mediaCol: String,
+                           ttlSeconds: Long, watermark: String): Dataset[SeenOut] = {
+    import spark.implicits._
+    val hashed = df
+      .select(col(mediaCol).as("media"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"))
+      .as[(Array[Byte], Timestamp, Long)]
+      .mapPartitions { it =>
+        it.map { case (media, ts, id) =>
+          val h = graft.ops.Multimodal.Video.frames(media) match {
+            case None => Long.MinValue | id
+            case Some(fs) =>
+              val hs = fs.flatMap(f => graft.ops.Multimodal.dhash64(
+                f, graft.ops.Multimodal.Video.sniffBytes(f)))
+              if (hs.isEmpty) Long.MinValue | id
+              else hs.foldLeft(-3750763034362895579L)((acc, x) =>
+                (acc ^ x) * 1099511628211L)
+          }
+          (h, ts, id)
+        }
+      }.toDF("h", "ts", "id")
+    hashedFirstSeenStream(spark, hashed, ttlSeconds, watermark)
+  }
+
   /** The shared first-seen state machine over a PRE-HASHED (h, ts, id)
     * frame — text hashes, perceptual hashes, any 64-bit key.
     */

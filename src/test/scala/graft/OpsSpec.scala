@@ -961,6 +961,37 @@ class CorrelationSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Correlation
 
+  test("corrMatrix: one-pass matrix == per-pair exact aggregates, listwise nulls, zero variance") {
+    val df = (1 to 150).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, 150.0 - i, (i * i).toDouble % 37, 5.0)
+    }.toDF("x", "lin", "neg", "mod", "const")
+    val cols = Seq("x", "lin", "neg", "mod", "const")
+    val m = Correlation.corrMatrix(df, cols, scale = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(m.size == 10)
+    // bit-identical to the per-pair exact machinery on null-free data
+    val pairs = for { a <- cols.indices; b <- a + 1 until cols.size } yield (cols(a), cols(b))
+    val ref = Correlation.corrPairs(df, pairs, scale = 2).collect()
+      .map(r => r.getString(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    pairs.foreach { case (a, b) =>
+      assert(m((a, b))._1 == 150L)
+      assert(m((a, b))._2 == ref(s"$a~$b"), s"$a~$b: ${m((a, b))._2} vs ${ref(s"$a~$b")}")
+    }
+    assert(m(("x", "const"))._2.isEmpty, "zero variance -> null")
+    assert(math.abs(m(("x", "lin"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(m(("x", "neg"))._2.get + 1.0) < 1e-12)
+    // LISTWISE: one null anywhere drops the row from every pair's n
+    val withNull = df.union(Seq((999.0, 1.0, 1.0, Double.NaN, 5.0)).toDF())
+      .withColumn("mod", when(col("x") === 999.0, lit(null).cast("double")).otherwise(col("mod")))
+    val m2 = Correlation.corrMatrix(withNull, cols, scale = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m2.values.forall(_ == 150L), s"null row excluded everywhere: $m2")
+    // layout invariance (bit-exact decimal partials)
+    val m3 = Correlation.corrMatrix(df.repartition(13), cols, scale = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    pairs.foreach { case (a, b) => assert(m3((a, b)) == m((a, b))._2) }
+  }
+
   test("corrPairs: exact moments, hand-checked r, layout-invariant bits") {
     val df = (1 to 200).map { i =>
       (i.toDouble, 2.0 * i + 3.0, 200.0 - i, 7.0, if (i % 2 == 0) Some(i.toDouble) else None)
@@ -2090,6 +2121,43 @@ class TextAnalysisSpec extends SparkSpec {
     def variance(xs: Seq[Double]) = { val mu = xs.sum / xs.size; xs.map(x => (x - mu) * (x - mu)).sum / xs.size }
     assert(variance(v0) > 100 * variance(v1))
     assert(math.abs(v0.sum / v0.size) < 1e-6)
+  }
+
+  test("skyline: dominance filter, mixed directions, ties/duplicates, layout invariance") {
+    val pts = Seq(
+      (1L, 1L, 5L), (2L, 5L, 1L), (3L, 3L, 3L), (4L, 2L, 2L),
+      (5L, 5L, 1L), // exact duplicate criteria of id 2: both stay (no strict part)
+      (6L, 0L, 0L))
+    val df = pts.toDF("id", "a", "b")
+    val sky = Pareto.skyline(df, Seq(("a", true), ("b", true)))
+      .select("id").as[Long].collect().toSet
+    assert(sky == Set(1L, 2L, 3L, 5L), s"got $sky")
+    // any partitioning yields the same skyline (phase-1 locality is lossless)
+    val sky7 = Pareto.skyline(df.repartition(7), Seq(("a", true), ("b", true)))
+      .select("id").as[Long].collect().toSet
+    assert(sky7 == sky)
+    // minimize flips the direction: minimizing b keeps the low-b frontier
+    val skyMin = Pareto.skyline(df, Seq(("a", true), ("b", false)))
+      .select("id").as[Long].collect().toSet
+    assert(skyMin == Set(2L, 5L, 6L), s"got $skyMin")
+    // single criterion degenerates to argmax (all ties kept)
+    val one = Pareto.skyline(df, Seq(("a", true))).select("id").as[Long].collect().toSet
+    assert(one == Set(2L, 5L))
+    // NULL criterion rows triage out
+    val withNull = Seq((1L, Some(1L), 5L), (2L, None, 9L)).toDF("id", "a", "b")
+    assert(Pareto.skyline(withNull, Seq(("a", true), ("b", true)))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // brute-force cross-check on a pseudo-random 3-criteria set
+    val rnd = (1 to 80).map { i =>
+      (i.toLong, (i * 37 % 23).toLong, (i * 53 % 19).toLong, (i * 71 % 29).toLong)
+    }
+    val got = Pareto.skyline(rnd.toDF("id", "x", "y", "z"),
+      Seq(("x", true), ("y", false), ("z", true))).select("id").as[Long].collect().toSet
+    def dom(p: (Long, Long, Long, Long), q: (Long, Long, Long, Long)) =
+      p._2 >= q._2 && -p._3 >= -q._3 && p._4 >= q._4 &&
+        (p._2 > q._2 || -p._3 > -q._3 || p._4 > q._4)
+    val want = rnd.filter(p => !rnd.exists(q => dom(q, p))).map(_._1).toSet
+    assert(got == want)
   }
 
   test("token counting") {

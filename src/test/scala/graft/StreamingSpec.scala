@@ -414,6 +414,64 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 4L, 5L), s"$ids")
   }
 
+  test("streaming video dedup: transcoded re-ingest suppressed, frame order distinguishes, junk passes") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.ops.Multimodal.{Codecs, Video}
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def frame(seed: Int) = Codecs.grayBmp(16, 16, (x, y) => (x * seed + y * 7) % 256)
+    // PNG re-encode of the same pixels (grayscale, filter 0) — dHash must
+    // match the BMP frame bit-for-bit
+    def framePng(seed: Int): Array[Byte] = {
+      import java.io.ByteArrayOutputStream
+      import java.nio.ByteBuffer
+      import java.util.zip.{CRC32, Deflater}
+      val W = 16; val H = 16
+      val raw = new Array[Byte](H * (1 + W))
+      for (y <- 0 until H; x <- 0 until W) raw(y * (1 + W) + 1 + x) = ((x * seed + y * 7) % 256).toByte
+      val defl = new Deflater(); defl.setInput(raw); defl.finish()
+      val comp = new ByteArrayOutputStream(); val buf = new Array[Byte](256)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(12 + body.length)
+        bb.putInt(body.length); bb.put(tag.getBytes); bb.put(body)
+        val crc = new CRC32(); crc.update(tag.getBytes); crc.update(body)
+        bb.putInt(crc.getValue.toInt); bb.array()
+      }
+      val ihdr = ByteBuffer.allocate(13)
+      ihdr.putInt(W); ihdr.putInt(H); ihdr.put(8.toByte); ihdr.put(0.toByte)
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", ihdr.array()) ++ chunk("IDAT", comp.toByteArray) ++
+        chunk("IEND", Array.empty)
+    }
+    val vidA = Video.pack(Seq(frame(11), frame(29), frame(43)))
+    val vidATranscoded = Video.pack(Seq(framePng(11), framePng(29), framePng(43)))
+    val vidReordered = Video.pack(Seq(frame(29), frame(11), frame(43)))
+    val vidB = Video.pack(Seq(frame(5), frame(61)))
+
+    val stream = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = stream.toDF().toDF("ts", "id", "media")
+    val q = StreamingDedup.videoFirstSeenStream(spark, df, "ts", "id", "media",
+        ttlSeconds = 86400, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("vid_dedup").outputMode("append").start()
+
+    stream.addData((ts(0), 1L, vidA), (ts(1), 2L, vidB))
+    q.processAllAvailable()
+    // per-frame PNG transcode + container re-pack of A -> suppressed;
+    // the SAME frames in a different order are a different video; corrupt
+    // containers pass via unique sentinels
+    stream.addData((ts(2), 3L, vidATranscoded), (ts(3), 4L, vidReordered),
+      (ts(4), 5L, "junk".getBytes), (ts(5), 6L, "junk".getBytes))
+    q.processAllAvailable()
+
+    val ids = spark.table("vid_dedup").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 2L, 4L, 5L, 6L), s"$ids")
+  }
+
   test("streaming audio dedup: volume-normalized re-ingest suppressed") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
