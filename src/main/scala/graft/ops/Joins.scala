@@ -22,30 +22,60 @@ object Joins {
     *                       equal-timestamp right row IS visible to the left
     *                       row (matches DuckDB ASOF `left.ts >= right.ts`).
     */
+  /** @param toleranceMicros max allowed |leftTs − matched rightTs| —
+    *                        micros for timestamp columns, raw units for
+    *                        numeric ones; an over-age match NULLs the
+    *                        as-of values (row kept, standard
+    *                        asof-with-tolerance semantics)
+    * @param forward `true` flips direction: the EARLIEST right row with
+    *                rightTs >= leftTs ("next fill after the order") — the
+    *                same one-shuffle window scan, descending
+    */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTsCol: String, rightTsCol: String,
-           rightValueCols: Seq[String]): DataFrame = {
+           rightValueCols: Seq[String],
+           toleranceMicros: Option[Long] = None,
+           forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val leftCols = left.columns.toSeq
+    def tsNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case _ => c.cast(LongType)
+    }
     val l = left.select(
-      (keyCols.map(col) :+ col(leftTsCol).as("__ts") :+ lit(1).as("__side")) ++
+      (keyCols.map(col) :+ col(leftTsCol).as("__ts") :+
+        tsNum(col(leftTsCol), left.schema(leftTsCol).dataType).as("__tsn") :+
+        lit(1).as("__side") :+
+        lit(null).cast(LongType).as("__rtsn")) ++
         rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")) :+
         struct(leftCols.map(col): _*).as("__l"): _*)
     val r = right.select(
-      (keyCols.map(col) :+ col(rightTsCol).as("__ts") :+ lit(0).as("__side")) ++
+      (keyCols.map(col) :+ col(rightTsCol).as("__ts") :+
+        tsNum(col(rightTsCol), right.schema(rightTsCol).dataType).as("__tsn") :+
+        lit(0).as("__side") :+
+        tsNum(col(rightTsCol), right.schema(rightTsCol).dataType).as("__rtsn")) ++
         rightValueCols.map(c => col(c).as(s"__rv_$c")) :+
         lit(null).cast(l.schema("__l").dataType).as("__l"): _*)
 
+    // ties on (key, ts): the right row sorts first in BOTH directions, so
+    // an equal-timestamp right row is visible to the left row
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val carried = l.unionByName(r).select(
-      (col("__side") +: col("__l") +:
+      (col("__side") +: col("__l") +: col("__tsn") +:
+        last(col("__rtsn"), ignoreNulls = true).over(w).as("__asof_tsn") +:
         rightValueCols.map(c => last(col(s"__rv_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
 
+    val age =
+      if (forward) col("__asof_tsn") - col("__tsn") else col("__tsn") - col("__asof_tsn")
+    val inTol = toleranceMicros
+      .map(t => col("__asof_tsn").isNotNull && age <= t)
+      .getOrElse(lit(true))
     carried.where(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightValueCols.map(c => col(s"asof_$c")): _*)
+        rightValueCols.map(c => when(inTol, col(s"asof_$c")).as(s"asof_$c")): _*)
   }
 
   /** Blocked fuzzy self-join (entity resolution / near-duplicate records):

@@ -533,6 +533,21 @@ object Catalog {
         .orderBy("event_id")
     },
 
+    "q_asof_forward" -> { (s, dir) =>
+      // FORWARD as-of with tolerance: the next view within 30 minutes of
+      // each error ("did the user come back?") — same one-shuffle window
+      // scan as q_asof_join, descending, over-age matches null out
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      Joins.asOf(errors, views, Seq("user_id"), "ts", "view_ts", Seq("view_ts"),
+          toleranceMicros = Some(30L * 60 * 1000000), forward = true)
+        .select(col("event_id"), col("user_id"), col("asof_view_ts"))
+        .orderBy("event_id")
+    },
+
     "q_range_join" -> { (s, dir) =>
       // point-in-range via domain bucketization (RangeJoin.pointInRange):
       // overlapping price bands derived from nation (each covers 9000, strided
@@ -1810,6 +1825,23 @@ object Catalog {
       Joins.sortedNeighborhoodPairs(t(s, dir, "customer"), "c_custkey",
         col("c_name"), window = 5)
         .orderBy("rank_a", "rank_b")
+    },
+
+    "q_jaro_pairs" -> { (s, dir) =>
+      // Jaro-Winkler name scoring over SNM-blocked candidates — the
+      // name-matcher tier of the linkage family (LevenshteinK is typo
+      // DISTANCE; JW weights shared prefixes as names need). Native
+      // codegen'd expression, bit-identical to DuckDB's builtin
+      // (verified on 20k random pairs)
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      Joins.sortedNeighborhoodPairs(c, "id", col("name"), window = 5)
+        .join(c.select(col("id").as("id_a"), col("name").as("n_a")), Seq("id_a"))
+        .join(c.select(col("id").as("id_b"), col("name").as("n_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.JaroWinkler.sim(col("n_a"), col("n_b")).as("jw"))
+        .where(col("jw") >= 0.9)
+        .orderBy("id_a", "id_b")
     },
 
     "q_er_pipeline" -> { (s, dir) =>
@@ -3981,6 +4013,15 @@ object Catalog {
         |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
         |ORDER BY e.event_id""".stripMargin,
 
+    "q_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+        |SELECT e.event_id, e.user_id,
+        |       CASE WHEN epoch_us(v.view_ts) - epoch_us(e.ts) <= 1800000000
+        |            THEN v.view_ts END AS asof_view_ts
+        |FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts <= v.view_ts
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_range_join" ->
       // naive non-equi formulation — DuckDB plans it as it likes; graft's
       // bucketized equi-join must produce the identical match set
@@ -5357,6 +5398,17 @@ object Catalog {
         |SELECT a.id AS id_a, b.id AS id_b, a.rank AS rank_a, b.rank AS rank_b
         |FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5
         |ORDER BY rank_a, rank_b""".stripMargin,
+
+    "q_jaro_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |r AS (SELECT id, name,
+        |    CAST(row_number() OVER (ORDER BY name, id) AS BIGINT) - 1 AS rank
+        |  FROM c)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       jaro_winkler_similarity(a.name, b.name) AS jw
+        |FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_er_pipeline" ->
       """WITH RECURSIVE

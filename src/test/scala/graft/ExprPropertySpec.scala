@@ -181,6 +181,34 @@ class ExprPropertySpec extends SparkSpec {
     assert(a == b, s"$a vs $b")
   }
 
+  test("JaroWinklerExpr: literature values, symmetry, bounds, null routing") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String) = JaroWinkler.similarity(a, b)
+    // the standard literature pairs (also DuckDB's values — the gate
+    // oracles against its builtin, bit-verified on 20k random pairs)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333333334) < 1e-15)
+    assert(jw("abc", "abc") == 1.0 && jw("abc", "") == 0.0 && jw("", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0) // window 0: no matches
+    // boost only above 0.7, prefix capped at 4
+    assert(math.abs(jw("abcdxxxxx", "abcdyyyyy") - 0.6296296296296297) < 1e-15)
+    assert(math.abs(jw("x" * 20, "x" * 19 + "y") - 0.98) < 1e-15)
+    // properties: symmetry + [0,1] bounds on random pairs
+    val str = Gen.listOf(Gen.oneOf("abcdeXY123 #-".toSeq)).map(_.mkString)
+    check(Prop.forAll(str, str) { (a, b) =>
+      val s = jw(a, b)
+      s == jw(b, a) && s >= 0.0 && s <= 1.0
+    }, n = 500)
+    // through a real plan: codegen'd expression + null routing
+    val df = Seq((Some("martha"), Some("marhta")), (None, Some("x")))
+      .toDF("a", "b")
+    val got = df.select(JaroWinkler.sim(col("a"), col("b"))).collect()
+    assert(math.abs(got(0).getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(got(1).isNullAt(0))
+  }
+
   test("native langId equals the HOF fold formulation") {
     import graft.ops.TextAnalysis
     val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")

@@ -491,6 +491,36 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L).isEmpty)          // sym 2 has no quotes
   }
 
+  test("as-of join: forward direction and tolerance nulls over-age matches") {
+    val trades = Seq((1L, 1L, ts(10)), (2L, 1L, ts(20)), (3L, 1L, ts(40)))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((1L, ts(9), 100.0), (1L, ts(20), 105.0), (1L, ts(26), 110.0))
+      .toDF("sym", "qt", "px")
+    // forward: earliest quote at-or-after the trade
+    val fwd = Joins.asOf(trades, quotes, Seq("sym"), "t", "qt", Seq("px"),
+        forward = true)
+      .select("trade_id", "asof_px").as[(Long, Option[Double])].collect().toMap
+    assert(fwd(1L).contains(105.0)) // next quote after 00:10 is 00:20
+    assert(fwd(2L).contains(105.0)) // equal timestamp visible forward too
+    assert(fwd(3L).isEmpty)         // nothing after 00:40
+    // tolerance: backward match older than 5 minutes -> NULL, row kept
+    val tol = Joins.asOf(trades, quotes, Seq("sym"), "t", "qt", Seq("px"),
+        toleranceMicros = Some(5L * 60 * 1000000))
+      .select("trade_id", "asof_px").as[(Long, Option[Double])].collect().toMap
+    assert(tol(1L).contains(100.0)) // 1 minute old: inside
+    assert(tol(2L).contains(105.0)) // exact: inside
+    assert(tol(3L).isEmpty)         // last quote 14 min before 00:40: too old
+    // forward + tolerance on a numeric "timestamp" (raw units)
+    val l = Seq((1L, 100L), (2L, 200L)).toDF("id", "pos")
+    val r = Seq((103L, "a"), (290L, "b")).map { case (p, v) => (1, p, v) }
+      .toDF("g", "rpos", "v")
+    val lf = l.withColumn("g", org.apache.spark.sql.functions.lit(1))
+    val nf = Joins.asOf(lf, r, Seq("g"), "pos", "rpos", Seq("v"),
+        toleranceMicros = Some(10L), forward = true)
+      .select("id", "asof_v").as[(Long, Option[String])].collect().toMap
+    assert(nf(1L).contains("a") && nf(2L).isEmpty) // 290-200=90 > 10
+  }
+
   test("ER composition: SNM candidates -> fuzzy verify -> components -> canonical") {
     import org.apache.spark.sql.functions._
     // two fuzzy name clusters + one loner; typos within 1 edit

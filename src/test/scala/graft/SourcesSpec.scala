@@ -31,6 +31,16 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("orc roundtrip, partition pruning and filter pushdown") {
+    val p = tmp("graft_orc")
+    Tables.writeOrc(df.withColumn("part", $"id" % 2), p, partitionBy = Seq("part"))
+    val back = Tables.orc(spark, p).where($"part" === 1 && $"id" > 1)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(3L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,1)"), plan)
+  }
+
   test("partitioned parquet write + read prunes by partition") {
     val p = tmp("graft_parq")
     Tables.writeParquet(df.withColumn("part", $"id" % 2), p, partitionBy = Seq("part"))
