@@ -108,6 +108,41 @@ object Binning {
         (col("cum").cast("double") / col("n").cast("double")).as("cdf"))
   }
 
+  /** EXACT z-score standardization: adds `<col>_z` = (x − μ)/σ_pop — the
+    * other standard feature normalizer next to [[valueRanks]]'s rank
+    * normalization (ranks are robust; z-scores preserve distances).
+    * Values quantize to scale-`scale` longs, every moment is an exact
+    * decimal sum, and z = (x·n − s)/√(n·Σx² − s²) — ONE fixed double tree
+    * over exact integers (the (x−μ)/σ algebra cleared of intermediate
+    * divisions), so DuckDB replays the doubles bit-for-bit. Grouped:
+    * per-group moment frame broadcast back (group-bounded aggregate, rows
+    * never shuffle). NULL z when variance is 0 or the value is NULL.
+    */
+  def standardize(df: DataFrame, valueCol: String,
+                  groupCols: Seq[String] = Nil, scale: Int = 2): DataFrame = {
+    import graft.metrics.MetricColumns
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val base = df.withColumn("__fx", MetricColumns.fixedPointLong(col(valueCol), scale))
+    val aggs = Seq(
+      sum(when(col("__fx").isNotNull, 1L).otherwise(0L))
+        .cast(DecimalType(38, 0)).as("__n"),
+      sum(col("__fx").cast(DecimalType(38, 0))).as("__s")) ++
+      MetricColumns.exactSumSqParts(col("__fx"), "__q")
+    val moments =
+      if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined =
+      if (groupCols.isEmpty) base.crossJoin(broadcast(moments))
+      else base.join(broadcast(moments), groupCols)
+    val num = (col("__fx").cast(DecimalType(38, 0)) * col("__n") - col("__s"))
+      .cast(DoubleType)
+    val den = (col("__n") * MetricColumns.sumsqTotal("__q") - col("__s") * col("__s"))
+      .cast(DoubleType)
+    joined
+      .withColumn(s"${valueCol}_z", when(den > 0.0, num / sqrt(den)))
+      .drop("__fx", "__n", "__s", "__q__sumsq_hi", "__q__sumsq_lo", "__q__sumsq_slow")
+  }
+
   /** Attach [[valueRanks]]'s normalization to the rows themselves: the
     * original frame plus (pct_below, cdf) for `valueCol`. */
   def withPercentileRank(df: DataFrame, valueCol: Column,

@@ -284,6 +284,45 @@ object Embeddings {
     base.select(col("id"), array(projections: _*).as("proj"))
   }
 
+  /** PCA reconstruction-residual outlier score: ‖(x−μ) − W Wᵀ(x−μ)‖² per
+    * row — how much of a vector the top-k principal subspace CANNOT
+    * explain. Embeddings of corrupted/off-distribution documents carry
+    * mass outside the corpus's dominant directions, which cosine-to-
+    * centroid misses (a far-but-on-axis point scores clean here and vice
+    * versa). Entirely ROW-LOCAL against the literal-bound model (no join,
+    * no shuffle — the [[pcaProject]] discipline): residual² = ‖x−μ‖² −
+    * Σ_c proj_c² by orthonormality, so the cost is the k projections the
+    * caller usually wants anyway. Output: (id, proj, resid2, var_explained
+    * = 1 − resid2/‖x−μ‖²; 1.0 for a vector exactly at the mean).
+    */
+  def pcaResidual(df: DataFrame, idCol: String, vecCol: String,
+                  model: PcaModel): DataFrame = {
+    val fx = (x: Column) =>
+      graft.metrics.MetricColumns.fixedPointLong(x.cast(DoubleType), model.fxScale)
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => fx(x).cast(DoubleType)).as("qv"))
+      .where(size(col("qv")) === model.dim)
+    val centered = (0 until model.dim).map(d =>
+      element_at(col("qv"), d + 1) - lit(model.mean(d)))
+    val projections = model.components.map { w =>
+      (0 until model.dim).map(d => centered(d) * lit(w(d))).reduce(_ + _)
+    }
+    val norm2 = centered.map(c => c * c).reduce(_ + _)
+    // proj and __n2 materialize ONCE (multi-referenced non-cheap aliases —
+    // CollapseProject leaves them), resid2 folds over the proj column
+    // instead of re-inlining each 64-node projection tree
+    base
+      .select(col("id"), array(projections: _*).as("proj"), norm2.as("__n2"))
+      .select(col("id"), col("proj"),
+        greatest(lit(0.0), col("__n2") -
+          aggregate(col("proj"), lit(0.0), (a, x) => a + x * x)).as("resid2"),
+        col("__n2"))
+      .withColumn("var_explained",
+        when(col("__n2") === 0.0, lit(1.0))
+          .otherwise(lit(1.0) - col("resid2") / col("__n2")))
+      .select("id", "proj", "resid2", "var_explained")
+  }
+
   /** Cosine of each row's vector to its group centroid — outlier scoring
     * against the class prototype. Centroids are broadcast (one row per
     * (group, dim): tiny), the corpus streams.

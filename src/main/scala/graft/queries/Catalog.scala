@@ -674,6 +674,29 @@ object Catalog {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_standardize" -> ((s, dir) =>
+      // per-flag exact z-score normalization of quantity cents: z =
+      // (x·n − s)/√(n·Σx² − s²) — one fixed double tree over exact
+      // integer moments, broadcast back; rows never shuffle
+      Binning.standardize(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          "l_quantity", groupCols = Seq("l_returnflag"), scale = 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity_z"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity_z")),
+
+    "q_mwu" -> { (s, dir) =>
+      // exact tie-corrected Mann–Whitney U between the same returnflag
+      // populations q_ks compares — the rank-shift complement of the CDF
+      // gap, with the interpretable AUC (P[A beats R]); doubled ranks keep
+      // every statistic an exact integer until the final z/auc trees
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.mannWhitneyU(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
     "q_ks_group" -> { (s, dir) =>
       // per-language KS of document length between two sources — drift
       // localized to the segment that moved; n_chars is already integer
@@ -4200,6 +4223,55 @@ object Catalog {
         |                     - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
         |        FROM k, n) AS ks_stat
         |FROM n""".stripMargin,
+
+    "q_standardize" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS fx
+        |FROM lineitem),
+        |m AS (SELECT l_returnflag,
+        |        CAST(count(fx) AS HUGEINT) AS n,
+        |        sum(CAST(fx AS HUGEINT)) AS s,
+        |        sum(CAST(fx AS HUGEINT) * CAST(fx AS HUGEINT)) AS q
+        |      FROM f GROUP BY 1)
+        |SELECT f.l_orderkey, f.l_linenumber, f.l_returnflag,
+        |  CASE WHEN CAST(m.n * m.q - m.s * m.s AS DOUBLE) > 0.0
+        |       THEN CAST(CAST(f.fx AS HUGEINT) * m.n - m.s AS DOUBLE)
+        |            / sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE)) END AS l_quantity_z
+        |FROM f JOIN m USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity_z""".stripMargin,
+
+    "q_mwu" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT cents AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY cents),
+        |k AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS kc FROM c),
+        |m AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(CAST(c1 AS HUGEINT) * ((kc - c) * 2 + c + 1)) AS r1d,
+        |             sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END) AS ties
+        |      FROM k)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u_doubled,
+        |       CAST(ties AS BIGINT) AS tie_term,
+        |       CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc,
+        |       CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0.0
+        |       THEN (CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |            / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+        |       END AS z
+        |FROM m""".stripMargin,
 
     "q_ks_group" ->
       """WITH u AS (

@@ -123,6 +123,76 @@ object Drift {
       .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"), col("ks_stat"))
   }
 
+  /** EXACT two-sample Mann–Whitney U (Wilcoxon rank-sum) — the rank-based
+    * drift test the KS gap complements: KS is sensitive to the largest
+    * CDF gap anywhere, MWU to a stochastic SHIFT (P[ref > cur] ≠ 1/2),
+    * and its AUC form (U/(n₁n₂) = P[ref value > cur value] + ½ ties) is
+    * the directly interpretable "how often does a reference value beat a
+    * current one" number. Tie-corrected normal z for the significance
+    * readout.
+    *
+    * Exactness: tie-averaged ranks are half-integers, so everything
+    * carries as DOUBLED ranks — exact integers end-to-end (u_doubled,
+    * tie_term = Σ(t³−t)); only the final z/auc are fixed double trees.
+    * Distributed shape: identical to [[ksStatistic]] — one value-keyed
+    * shuffle with map-side combine + the fused two-phase prefix scan; no
+    * global-order funnel.
+    *
+    * @return one row: (n_ref, n_cur, u_doubled, tie_term, auc, z) where
+    *         u_doubled = 2·U_ref.
+    */
+  def mannWhitneyU(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n1 = totals.valuesIterator.map(_._1).sum
+    val n2 = totals.valuesIterator.map(_._2).sum
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val pids = totals.keys.toSeq.sorted
+    def offsets(part: ((Long, Long)) => Long): Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + part(totals(p))).init).toMap
+    def offsetExpr(m: Map[Int, Long]) =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val c = col("c1") + col("c2")
+    val stats = parts
+      .withColumn("k", sum(c).over(w) +
+        offsetExpr(offsets(t => t._1 + t._2)))
+      // doubled tie-averaged 1-based rank of value v: 2·cum_lt + c + 1
+      .withColumn("dr", (col("k") - c) * 2L + c + 1L)
+      .agg(
+        sum((col("c1") * col("dr")).cast(DecimalType(38, 0))).as("r1d"),
+        sum(when(c > 1L, (c * c * c - c).cast(DecimalType(38, 0)))
+          .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("ties"))
+    val n = n1 + n2
+    val u1d = (col("r1d") - lit(n1) * lit(n1 + 1L)).cast(LongType)
+    // fixed double trees (identical in the oracle): auc = U/(n1·n2),
+    // z = (U − n1n2/2) / sqrt(n1n2/12 · ((n+1) − ties/(n(n−1))))
+    val uD = u1d.cast(DoubleType) / 2.0
+    val mu = lit(n1.toDouble) * lit(n2.toDouble) / 2.0
+    val sig2 = lit(n1.toDouble) * lit(n2.toDouble) / 12.0 *
+      (lit((n + 1).toDouble) -
+        col("ties").cast(DoubleType) / (lit(n.toDouble) * lit((n - 1).toDouble)))
+    stats.select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      u1d.as("u_doubled"),
+      col("ties").cast(LongType).as("tie_term"),
+      (uD / (lit(n1.toDouble) * lit(n2.toDouble))).as("auc"),
+      when(sig2 > 0.0, (uD - mu) / sqrt(sig2)).as("z"))
+  }
+
   /** Per-GROUP exact two-sample KS: [[ksStatistic]] computed independently
     * for every value of `groupCol` (drift per language / source / shard).
     * Unlike the global statistic — whose cumulative needs the two-phase

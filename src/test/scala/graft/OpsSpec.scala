@@ -1108,6 +1108,31 @@ class BinningSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Binning
 
+  test("standardize: exact population z-scores, grouped, zero-variance and null routing") {
+    // values 2,4,6 (scale 0): mu=4, sigma_pop=sqrt(8/3); z = (x*3-12)/sqrt(3*56-144)
+    val df = Seq(2.0, 4.0, 6.0).toDF("v")
+    val z = Binning.standardize(df, "v", scale = 0)
+      .orderBy("v").select("v_z").as[Double].collect()
+    val den = math.sqrt(3.0 * 56.0 - 144.0)
+    assert(z.toSeq == Seq((2.0 * 3 - 12) / den, 0.0, (6.0 * 3 - 12) / den))
+    // scalar reference: z == (x-mean)/sigma_pop within fp
+    val ref = Seq(2.0, 4.0, 6.0).map(x => (x - 4.0) / math.sqrt(8.0 / 3.0))
+    z.zip(ref).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // grouped: each group standardizes against its OWN moments
+    val g = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0), ("b", 20.0))
+      .toDF("g", "v")
+    val gz = Binning.standardize(g, "v", groupCols = Seq("g"), scale = 0)
+      .orderBy("g", "v").select("g", "v_z").as[(String, Double)].collect()
+    assert(math.abs(gz(0)._2 + 1.0) < 1e-12 && math.abs(gz(1)._2 - 1.0) < 1e-12)
+    assert(math.abs(gz(3)._2) < 1e-12) // b's middle value (20) is its mean
+    // zero variance -> null z; null value -> null z (row kept)
+    val cz = Binning.standardize(Seq(5.0, 5.0).toDF("v"), "v", scale = 0)
+      .select("v_z").collect()
+    assert(cz.forall(_.isNullAt(0)))
+    val nz = Binning.standardize(Seq(Some(1.0), None, Some(3.0)).toDF("v"), "v", scale = 0)
+    assert(nz.count() == 3 && nz.where(col("v").isNull).collect()(0).isNullAt(1))
+  }
+
   test("equiDepthBins: ~equal depths, ties share a bin, hand-checked") {
     // 12 rows over 4 bins -> 3 per bin; values 1..12
     val out = Binning.equiDepthBins((1L to 12L).toDF("x"), col("x"), 4)
@@ -2151,6 +2176,25 @@ class TextAnalysisSpec extends SparkSpec {
     def variance(xs: Seq[Double]) = { val mu = xs.sum / xs.size; xs.map(x => (x - mu) * (x - mu)).sum / xs.size }
     assert(variance(v0) > 100 * variance(v1))
     assert(math.abs(v0.sum / v0.size) < 1e-6)
+
+    // residual scoring with k=1: on-axis points explain ~fully, an
+    // off-axis outlier carries its mass in resid2
+    val m1 = Embeddings.pcaFit(pdf, "v", dim = 2, k = 1, fxScale = 4)
+    val out = pts :+ Seq((5 * axis(1)).toFloat, (-5 * axis(0)).toFloat) // orthogonal
+    val odf = out.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val res = Embeddings.pcaResidual(odf, "id", "v", m1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    val onAxis = res.dropRight(1).filter(_._1 != 10) // id 10 is t=0 (at the mean)
+    assert(onAxis.forall(_._3 > 0.99), s"on-axis explained: ${onAxis.minBy(_._3)}")
+    val outlier = res.last
+    assert(outlier._3 < 0.2, s"orthogonal outlier barely explained: $outlier")
+    assert(res.find(_._1 == 10L).get._3 >= 0.99) // near the mean: tiny norms
+    // k = dim reconstructs exactly: resid2 ~ 0 everywhere
+    val full = Embeddings.pcaResidual(odf, "id", "v", m)
+      .agg(max("resid2")).collect()(0).getDouble(0)
+    val scale = math.pow(10, 4 * 2) // fx^2 units
+    assert(full < 1e-4 * scale, s"full-rank residual: $full")
   }
 
   test("skyline: dominance filter, mixed directions, ties/duplicates, layout invariance") {

@@ -381,6 +381,39 @@ class ScannerSpec extends SparkSpec {
     assert(dup == ((3L, 3L, 2.0 / 3.0 - 1.0 / 3.0)))
   }
 
+  test("mannWhitneyU: doubled-rank exactness, tie correction, AUC direction, layout invariance") {
+    import graft.scan.Drift
+    import spark.implicits._
+    // disjoint, ref entirely below: R1 = 6 -> U = 0, auc = 0
+    val lo = Seq(1.0, 2.0, 3.0).toDF("v")
+    val hi = Seq(4.0, 5.0, 6.0).toDF("v")
+    val r1 = Drift.mannWhitneyU(lo, hi, "v").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, 3L, 0L, 0L)))
+    assert(r1.getDouble(4) == 0.0 && r1.getDouble(5) < -1.9) // z = -1.964...
+    // flipped sides: U_doubled = 2*n1*n2, auc = 1
+    val r2 = Drift.mannWhitneyU(hi, lo, "v").collect()(0)
+    assert(r2.getLong(2) == 18L && r2.getDouble(4) == 1.0)
+    // hand case with a tie: A=[1,3], B=[2,3] -> doubled ranks 2,4,7,7;
+    // R1d = 2+7 = 9, U1d = 9 - 2*3 = 3 (U=1.5), auc = 0.375, ties = 2^3-2
+    val r3 = Drift.mannWhitneyU(Seq(1.0, 3.0).toDF("v"), Seq(2.0, 3.0).toDF("v"), "v").collect()(0)
+    assert((r3.getLong(2), r3.getLong(3)) == ((3L, 6L)))
+    assert(r3.getDouble(4) == 1.5 / 4.0)
+    // all values tied: auc exactly 1/2, zero variance -> z null
+    val t = Seq(5.0, 5.0).toDF("v")
+    val r4 = Drift.mannWhitneyU(t, t, "v").collect()(0)
+    assert(r4.getDouble(4) == 0.5 && r4.isNullAt(5))
+    // identical samples: U = n1*n2/2, auc 1/2, z = 0
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val r5 = Drift.mannWhitneyU(a, a, "v").collect()(0)
+    assert(r5.getLong(2) == 25L && r5.getDouble(4) == 0.5 && r5.getDouble(5) == 0.0)
+    // layout invariance (two-phase scan, no global funnel)
+    val big = (1 to 500).map(i => ((i * 37 % 101).toDouble)).toDF("v")
+    val cur = (1 to 400).map(i => ((i * 53 % 97 + 2).toDouble)).toDF("v")
+    val x = Drift.mannWhitneyU(big, cur, "v").collect()(0)
+    val y = Drift.mannWhitneyU(big.repartition(17), cur.repartition(3), "v").collect()(0)
+    assert(x == y)
+  }
+
   test("ksStatisticByGroup: per-group stats match per-group ksStatistic") {
     import graft.scan.Drift
     import spark.implicits._
