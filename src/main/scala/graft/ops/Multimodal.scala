@@ -1099,6 +1099,53 @@ object Multimodal {
         col("hamming_prev"), col("is_boundary"), col("shot_id"))
   }
 
+  /** VIDEO near-duplicate pairs via KEYFRAMES: two videos pair when enough
+    * of their shots' keyframe dHashes land within `maxHamming` bits — the
+    * re-encoded / re-containered / lightly-edited copy detector that
+    * whole-file hashing misses, at keyframe (not frame) cost. Composes
+    * [[keyframes]] with the shared Hamming bucket machinery
+    * ([[graft.ops.Dedup.hammingPairs]] — pigeonhole chunks, skinny
+    * shuffle, no all-pairs): keyframe ids encode as video·2²⁰ + shot (2²⁰
+    * shots/video bound), matched shots count DISTINCT per side, and
+    * `overlap` = min(matched_a, matched_b) / min(#keyframes) so a busy
+    * video can't inflate its match against a short one.
+    *
+    * @return (video_a, video_b, matched, kf_a, kf_b, overlap ≥ minOverlap)
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6, nChunks: Int = 8,
+                        shotHamming: Int = 12,
+                        minOverlap: Double = 0.5): DataFrame = {
+    val SHIFT = 1L << 20
+    val kf = keyframes(spark, media, shotHamming)
+      .select((col("id") * SHIFT + col("shot_id")).as("kfid"), col("dhash"))
+    val kfCounts = kf.select(expr(s"kfid div ${SHIFT}L").as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("nkf"))
+    val pairs = graft.ops.Dedup.hammingPairs(kf, "kfid", "dhash",
+        maxHamming = maxHamming, nChunks = nChunks)
+      .select(expr(s"id_a div ${SHIFT}L").as("video_a"),
+        pmod(col("id_a"), lit(SHIFT)).as("shot_a"),
+        expr(s"id_b div ${SHIFT}L").as("video_b"),
+        pmod(col("id_b"), lit(SHIFT)).as("shot_b"))
+      .where(col("video_a") =!= col("video_b"))
+      // canonical orientation so (a,b) and (b,a) collapse
+      .select(
+        least(col("video_a"), col("video_b")).as("video_a"),
+        when(col("video_a") < col("video_b"), col("shot_a")).otherwise(col("shot_b")).as("shot_a"),
+        greatest(col("video_a"), col("video_b")).as("video_b"),
+        when(col("video_a") < col("video_b"), col("shot_b")).otherwise(col("shot_a")).as("shot_b"))
+      .groupBy("video_a", "video_b")
+      .agg(countDistinct(col("shot_a")).as("m_a"), countDistinct(col("shot_b")).as("m_b"))
+    pairs
+      .join(kfCounts.select(col("vid").as("video_a"), col("nkf").as("kf_a")), Seq("video_a"))
+      .join(kfCounts.select(col("vid").as("video_b"), col("nkf").as("kf_b")), Seq("video_b"))
+      .withColumn("matched", least(col("m_a"), col("m_b")))
+      .withColumn("overlap",
+        col("matched").cast(DoubleType) / least(col("kf_a"), col("kf_b")).cast(DoubleType))
+      .where(col("overlap") >= minOverlap)
+      .select("video_a", "video_b", "matched", "kf_a", "kf_b", "overlap")
+  }
+
   /** One keyframe per shot — the shot's FIRST frame (deterministic, no
     * decode-quality heuristic): (id, shot_id, frame_idx, dhash, n_frames =
     * frames in the shot). The downstream contract: image-tier ops

@@ -251,6 +251,48 @@ object Drift {
     ks
   }
 
+  /** Driver-side twin of [[mannWhitneyU]] over collected samples — the
+    * per-window MWU for streaming drift: pair each
+    * [[graft.streaming.StreamingMonitor.ksSketchStream]] window sample
+    * against a static reference (exact when the sketches cover the
+    * windows; a hash-uniform subsample's statistic otherwise). Same
+    * doubled-rank exact arithmetic, same outputs (u_doubled, tie_term,
+    * auc, z — None on zero variance). Sample sizes are sketch-bounded, so
+    * the merge is trivially driver-safe.
+    */
+  def mwuOfSamples(ref: Seq[Double], cur: Seq[Double]): (Long, Long, Double, Option[Double]) = {
+    require(ref.nonEmpty && cur.nonEmpty, "both samples need values")
+    val n1 = ref.size.toLong; val n2 = cur.size.toLong
+    val all = (ref.map((_, 1)) ++ cur.map((_, 2))).sortBy(_._1)
+    var i = 0
+    var cumLt = 0L
+    var r1d = 0L
+    var ties = 0L
+    while (i < all.length) {
+      var j = i
+      var c1 = 0L
+      while (j < all.length && all(j)._1 == all(i)._1) {
+        if (all(j)._2 == 1) c1 += 1
+        j += 1
+      }
+      val c = (j - i).toLong
+      val dr = 2 * cumLt + c + 1
+      r1d += c1 * dr
+      if (c > 1) ties += c * c * c - c
+      cumLt += c
+      i = j
+    }
+    val u1d = r1d - n1 * (n1 + 1)
+    val n = n1 + n2
+    val auc = u1d.toDouble / 2.0 / (n1.toDouble * n2.toDouble)
+    val sig2 = n1.toDouble * n2.toDouble / 12.0 *
+      ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1).toDouble))
+    val z = if (sig2 > 0.0)
+      Some((u1d.toDouble / 2.0 - n1.toDouble * n2.toDouble / 2.0) / math.sqrt(sig2))
+    else None
+    (u1d, ties, auc, z)
+  }
+
   def psiBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
                  lo: Double, hi: Double, buckets: Int,
                  eps: Double = 1e-6): DataFrame =

@@ -2593,6 +2593,34 @@ class MultimodalSpec extends SparkSpec {
     assert(kf.forall(r => r.getLong(3) == byIdx(r.getInt(2))))
   }
 
+  test("video near-dup: keyframe-overlap pairs find edited copies, unrelated videos stay apart") {
+    import Multimodal.{Codecs, Video}
+    def scene(seed: Int)(x: Int, y: Int) = (x * seed + y * 13) % 256
+    // (3,4) IS on the dHash sampling grid (cols 0,1,3,5,…; even rows), so
+    // the edit moves a few bits — an off-grid pixel would be invisible
+    def jitter(seed: Int)(x: Int, y: Int) = if (x == 3 && y == 4) 255 else scene(seed)(x, y)
+    def f(g: (Int, Int) => Int) = Codecs.grayBmp(16, 16, g)
+    // video A: 3 shots (2 frames each); A': same shots, one-pixel-edited
+    // keyframes + an extra shot appended (the "lightly edited re-upload")
+    val a = Video.pack(Seq(f(scene(11)), f(scene(11)), f(scene(29)), f(scene(29)),
+      f(scene(47)), f(scene(47))))
+    val aEdit = Video.pack(Seq(f(jitter(11)), f(jitter(11)), f(jitter(29)), f(jitter(29)),
+      f(jitter(47)), f(jitter(47)), f(scene(83)), f(scene(83))))
+    // video C: entirely different scenes
+    val cVid = Video.pack(Seq(f(scene(101)), f(scene(101)), f(scene(151)), f(scene(151))))
+    val media = Seq((1L, a, "video/gvid"), (2L, aEdit, "video/gvid"),
+      (3L, cVid, "video/gvid")).toDF("id", "media", "format")
+    val pairs = Multimodal.videoNearDupPairs(spark, media,
+      maxHamming = 6, minOverlap = 0.5).collect()
+    assert(pairs.length == 1, s"got ${pairs.toSeq}")
+    val p = pairs(0)
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getLong(2) == 3L && p.getLong(3) == 3L && p.getLong(4) == 4L)
+    assert(p.getDouble(5) == 1.0) // all 3 of A's shots matched; min kf = 3
+    // raising the bar past the edit distance separates them
+    assert(Multimodal.videoNearDupPairs(spark, media, maxHamming = 0).isEmpty)
+  }
+
   test("audio fingerprint: gain-invariant energy contour, near-dup pairs") {
     import java.nio.{ByteBuffer, ByteOrder}
     def wav(samples: Seq[Int]): Array[Byte] = {

@@ -1332,6 +1332,47 @@ class StreamingSpec extends SparkSpec {
     assert(sub.toSeq == Seq(8))
   }
 
+  test("windowed MWU: sample-twin equals the distributed statistic, shift direction reads in AUC") {
+    import spark.implicits._
+    import graft.scan.Drift
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val w0 = (1 to 20).map(i => (ts(0, i), i.toLong, i.toDouble))          // = reference
+    val w1 = (1 to 20).map(i => (ts(1, i), 100L + i, i.toDouble + 50.0))   // shifted up
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingMonitor.ksSketchStream(
+      stream.toDF().toDF("ts", "id", "v"), "ts", "10 minutes", "1 hour",
+      xxhash64(col("id")), col("v"), k = 64)
+    val query = out.writeStream.format("memory")
+      .queryName("mwu_stream").outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    query.processAllAvailable()
+    val windows = spark.table("mwu_stream")
+      .select(col("window_start"), col("sample"))
+      .as[(Timestamp, Seq[Double])].collect().sortBy(_._1.getTime)
+    query.stop()
+
+    val ref = (1 to 20).map(_.toDouble)
+    // window 0 == reference: AUC 1/2, z 0; window 1 shifted up: every
+    // current value beats every reference one -> window-as-ref AUC 0
+    val (u0, t0, a0, z0) = Drift.mwuOfSamples(ref, windows(0)._2)
+    assert(a0 == 0.5 && z0.contains(0.0) && t0 == (2L * 2 * 2 - 2) * 20)
+    val (_, _, a1, z1) = Drift.mwuOfSamples(ref, windows(1)._2)
+    assert(a1 == 0.0 && z1.get < -5.0)
+    assert(u0 == 400L) // n1*n2/2 doubled
+    // the sample twin must equal the DISTRIBUTED statistic bit-for-bit
+    for ((cur, r) <- Seq((windows(1)._2, ref), (windows(0)._2, ref),
+      (Seq(1.0, 3.0), Seq(2.0, 3.0)))) {
+      val (ud, tt, auc, z) = Drift.mwuOfSamples(r, cur)
+      val row = Drift.mannWhitneyU(r.toDF("v"), cur.toDF("v"), "v").collect()(0)
+      assert(row.getLong(2) == ud && row.getLong(3) == tt)
+      assert(row.getDouble(4) == auc)
+      assert((if (row.isNullAt(5)) None else Some(row.getDouble(5))) == z)
+    }
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
