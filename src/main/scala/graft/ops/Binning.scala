@@ -143,6 +143,31 @@ object Binning {
       .drop("__fx", "__n", "__s", "__q__sumsq_hi", "__q__sumsq_lo", "__q__sumsq_slow")
   }
 
+  /** ROBUST scaling: `<col>_rz` = (x − median)/IQR — [[standardize]]'s
+    * outlier-immune sibling (one wild value moves μ and σ; the median and
+    * quartiles have 25-50% breakdown points). Fences come from
+    * [[graft.ops.Outliers.exactPercentilesRouted]] — the cardinality-
+    * routed counts cumulative, quantile_cont-exact, NO value multiset in
+    * any single task — and return as literals, so the transform is a pure
+    * row-local projection. Quantile interpolation on quantized longs
+    * lands on exact halves, so the (x − med)/iqr double tree replays
+    * bit-for-bit cross-engine. NULL when IQR is 0 or the value is NULL.
+    */
+  def robustScale(df: DataFrame, valueCol: String, scale: Int = 2,
+                  maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    import graft.metrics.MetricColumns
+    import org.apache.spark.sql.types.DoubleType
+    val base = df.withColumn("__fx", MetricColumns.fixedPointLong(col(valueCol), scale))
+    val Seq(q1, med, q3) = graft.ops.Outliers.exactPercentilesRouted(
+      base, col("__fx"), Seq(0.25, 0.5, 0.75), maxLocalDistinct)
+    val iqr = q3 - q1
+    base
+      .withColumn(s"${valueCol}_rz",
+        if (iqr > 0.0) (col("__fx").cast(DoubleType) - lit(med)) / lit(iqr)
+        else lit(null).cast(DoubleType))
+      .drop("__fx")
+  }
+
   /** Attach [[valueRanks]]'s normalization to the rows themselves: the
     * original frame plus (pct_below, cdf) for `valueCol`. */
   def withPercentileRank(df: DataFrame, valueCol: Column,

@@ -253,6 +253,47 @@ object Correlation {
         when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("corr"))
   }
 
+  /** EXACT Spearman rank correlation: Pearson r over tie-averaged ranks —
+    * the monotone-association measure that ignores the marginal scales
+    * Pearson is hostage to (one heavy-tailed column wrecks r; ranks
+    * don't care). Tie-averaged ranks are half-integers, so everything
+    * carries as DOUBLED ranks (exact longs; Pearson is affine-invariant,
+    * so r over doubled ranks IS r over ranks — and both engines compute
+    * the identical double tree over the exact integer moments).
+    *
+    * Scale shape: per-column (value, count) aggregates + the cumulative
+    * give each distinct value its doubled rank (2·cum_lt + c + 1); ranks
+    * attach back by VALUE join (rank maps are distinct-bounded,
+    * AQE-broadcastable) — rows never carry a global sort. Listwise: rows
+    * with either side NULL are excluded.
+    *
+    * @return one row (n, rho); rho NULL when either side is constant.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+               scale: Int = 2): DataFrame = {
+    val base = df.select(
+        MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
+        MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def rankMap(c: String) = {
+      import org.apache.spark.sql.expressions.Window
+      val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+      // distinct-value frames; the single-partition running sum is fine at
+      // any realistic quantized-value cardinality (route through
+      // Packing.prefixSum past ~1M distinct, as Binning does)
+      counts
+        .withColumn("cum", sum("c").over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("v"), ((col("cum") - col("c")) * 2L + col("c") + 1L).as(s"dr$c"))
+    }
+    val ranked = base
+      .join(broadcast(rankMap("__x")), base("__x") === col("v")).drop("v")
+      .join(broadcast(rankMap("__y")), base("__y") === col("v")).drop("v")
+    val m = ranked.agg(pairAggs(col("dr__x"), col("dr__y"), "sp").head,
+      pairAggs(col("dr__x"), col("dr__y"), "sp").tail: _*)
+    m.select(col("n_sp").cast(LongType).as("n"), pairCorr("sp").as("rho"))
+  }
+
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)], scale: Int = 2): DataFrame = {
     require(pairs.nonEmpty, "need at least one pair")
     val needed = pairs.flatMap(p => Seq(p._1, p._2)).distinct

@@ -1701,6 +1701,24 @@ object Catalog {
       Embeddings.centroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("grp", "dim")),
 
+    "q_robust_scale" -> ((s, dir) =>
+      // median/IQR scaling of price cents: routed exact quantile fences as
+      // literals, pure row-local transform; one value per distinct cents
+      // keeps the gate output distinct-bounded
+      Binning.robustScale(
+          t(s, dir, "lineitem").select(col("l_extendedprice")),
+          "l_extendedprice", scale = 2)
+        .groupBy(col("l_extendedprice_rz").as("rz"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("rz")),
+
+    "q_spearman" -> ((s, dir) =>
+      // exact Spearman rho between quantity and price — the rank-based
+      // association q_corr's Pearson can't see past marginal scales;
+      // doubled tie-averaged ranks keep every moment an exact integer
+      Correlation.spearman(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", scale = 2)),
+
     "q_corr_matrix" -> ((s, dir) =>
       // FULL 4x4 correlation matrix in ONE CovVectorAgg pass (6 pairs from
       // one d2-long mergeable state) - vs q_corr's two per-pair aggregates
@@ -5313,6 +5331,45 @@ object Catalog {
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS fx
+        |FROM lineitem),
+        |q AS (SELECT quantile_cont(fx, 0.25) AS q1, quantile_cont(fx, 0.5) AS med,
+        |             quantile_cont(fx, 0.75) AS q3 FROM f)
+        |SELECT (CAST(fx AS DOUBLE) - med) / (q3 - q1) AS rz, count(*) AS n
+        |FROM f CROSS JOIN q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_spearman" ->
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y
+        |FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT x AS v, count(*) AS c FROM f GROUP BY 1),
+        |rx AS (SELECT v, (sum(c) OVER (ORDER BY v) - c) * 2 + c + 1 AS dr FROM cx),
+        |cy AS (SELECT y AS v, count(*) AS c FROM f GROUP BY 1),
+        |ry AS (SELECT v, (sum(c) OVER (ORDER BY v) - c) * 2 + c + 1 AS dr FROM cy),
+        |j AS (SELECT rx.dr AS a, ry.dr AS b
+        |      FROM f JOIN rx ON f.x = rx.v JOIN ry ON f.y = ry.v),
+        |m AS (SELECT count(*) AS n,
+        |  sum(CAST(a AS HUGEINT)) AS sx, sum(CAST(b AS HUGEINT)) AS sy,
+        |  sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS sxx,
+        |  sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS syy,
+        |  sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sxy
+        |FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0
+        |            THEN num / (sqrt(dx) * sqrt(dy)) END AS rho
+        |FROM (SELECT n,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m)""".stripMargin,
 
     "q_corr_matrix" ->
       """WITH f AS (SELECT

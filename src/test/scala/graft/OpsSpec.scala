@@ -991,6 +991,39 @@ class CorrelationSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Correlation
 
+  test("spearman: monotone invariance, ties, anti-correlation, constant null") {
+    // y = x^3 is a nonlinear MONOTONE map: spearman must be exactly 1
+    val mono = (1 to 50).map(i => (i.toDouble, (i.toDouble * i * i)))
+    val r1 = Correlation.spearman(mono.toDF("x", "y"), "x", "y", scale = 0).collect()(0)
+    assert(r1.getLong(0) == 50L && math.abs(r1.getDouble(1) - 1.0) < 1e-12)
+    // reversed: exactly -1
+    val r2 = Correlation.spearman(mono.map { case (x, y) => (x, -y) }.toDF("x", "y"),
+      "x", "y", scale = 0).collect()(0)
+    assert(math.abs(r2.getDouble(1) + 1.0) < 1e-12)
+    // hand case with ties: x=(1,2,2,3), y=(10,20,20,5)
+    // rank_x=(1,2.5,2.5,4), rank_y=(2,3.5,3.5,1): cov=-1.5, vars=4.5 ->
+    // rho = -1/3
+    val r3 = Correlation.spearman(
+      Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 5.0)).toDF("x", "y"),
+      "x", "y", scale = 0).collect()(0)
+    assert(math.abs(r3.getDouble(1) + 1.0 / 3.0) < 1e-12, s"${r3.getDouble(1)}")
+    // constant side -> null rho; listwise null exclusion
+    val r4 = Correlation.spearman(Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y"),
+      "x", "y", scale = 0).collect()(0)
+    assert(r4.isNullAt(1))
+    val r5 = Correlation.spearman(
+      Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)), (None, Some(9.0)),
+        (Some(3.0), Some(3.0))).toDF("x", "y"), "x", "y", scale = 0).collect()(0)
+    assert(r5.getLong(0) == 3L && math.abs(r5.getDouble(1) - 1.0) < 1e-12)
+    // Pearson on a heavy-tail outlier drops but spearman holds at 1
+    val outl = (1 to 30).map(i => (i.toDouble, i.toDouble)) :+ ((31.0, 1e7))
+    val sp = Correlation.spearman(outl.toDF("x", "y"), "x", "y", scale = 0)
+      .collect()(0).getDouble(1)
+    val pe = Correlation.corrPairs(outl.toDF("x", "y"), Seq("x" -> "y"), scale = 0)
+      .collect()(0).getDouble(2)
+    assert(math.abs(sp - 1.0) < 1e-12 && pe < 0.8)
+  }
+
   test("corrMatrix: one-pass matrix == per-pair exact aggregates, listwise nulls, zero variance") {
     val df = (1 to 150).map { i =>
       (i.toDouble, 2.0 * i + 3.0, 150.0 - i, (i * i).toDouble % 37, 5.0)
@@ -1107,6 +1140,25 @@ class BinningSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
   import graft.ops.Binning
+
+  test("robustScale: median/IQR fences, outlier immunity, zero-IQR null") {
+    // 1..9 (scale 0): q1=3, med=5, q3=7, iqr=4
+    val df = (1 to 9).map(_.toDouble).toDF("v")
+    val rz = Binning.robustScale(df, "v", scale = 0)
+      .orderBy("v").select("v_rz").as[Double].collect()
+    assert(rz.toSeq == (1 to 9).map(i => (i.toDouble - 5.0) / 4.0))
+    // a wild outlier does NOT move the median fence the way it moves the mean
+    val out = ((1 to 9).map(_.toDouble) :+ 1e9).toDF("v")
+    val rzo = Binning.robustScale(out, "v", scale = 0)
+      .where(col("v") === 5.0).select("v_rz").as[Double].collect()(0)
+    assert(math.abs(rzo) < 0.3, s"median row stays near 0: $rzo")
+    val z = Binning.standardize(out, "v", scale = 0)
+      .where(col("v") === 5.0).select("v_z").as[Double].collect()(0)
+    assert(math.abs(z) > 0.3, "the mean/sigma z-score IS dragged by the outlier")
+    // constant column: IQR 0 -> null
+    assert(Binning.robustScale(Seq(4.0, 4.0, 4.0).toDF("v"), "v", scale = 0)
+      .select("v_rz").collect().forall(_.isNullAt(0)))
+  }
 
   test("standardize: exact population z-scores, grouped, zero-variance and null routing") {
     // values 2,4,6 (scale 0): mu=4, sigma_pop=sqrt(8/3); z = (x*3-12)/sqrt(3*56-144)
