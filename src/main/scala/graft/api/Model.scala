@@ -100,6 +100,20 @@ final case class ColumnConfig(
       * against it as a `ks_stat` measurement (`ks_reference:` YAML key).
       */
     ksReference: Option[String] = None,
+    /** Path to a parquet of reference VALUES for this column (same column
+      * name). The batch scan records the tie-corrected Mann–Whitney AUC
+      * and z against it as `mwu_auc` / `mwu_z` measurements
+      * (`mwu_reference:` YAML key) — the stochastic-SHIFT drift check next
+      * to `ks_reference:`'s largest-gap one.
+      */
+    mwuReference: Option[String] = None,
+    /** Path to a parquet of reference CATEGORY values for this column
+      * (same column name). The batch scan records the two-sample χ²
+      * homogeneity statistic (fixed-point ppm) as a `chi2_ppm` measurement
+      * (`chi2_reference:` YAML key) — the CATEGORICAL drift check; gate
+      * with e.g. `chi2_ppm < 20090000` (χ²(8) at p=0.01, scaled).
+      */
+    chi2Reference: Option[String] = None,
     /** Fixed-point scale for a Benford first-digit audit of this column
       * (`benford:` YAML key; 2 for currency). The scan records the
       * chi-square vs Benford's law as a `benford_chi2` measurement —

@@ -686,6 +686,17 @@ object Catalog {
           col("l_quantity_z"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity_z")),
 
+    "q_chi2_drift" -> { (s, dir) =>
+      // categorical mix drift: order-priority distribution, finished vs
+      // open orders — the categorical member of the drift family; the
+      // statistic sums as per-(category, side) truncated ppm integers,
+      // order-free and engine-portable
+      val o = t(s, dir, "orders")
+      graft.scan.Drift.chiSquareCategorical(
+        o.where(col("o_orderstatus") === "F"),
+        o.where(col("o_orderstatus") === "O"), "o_orderpriority")
+    },
+
     "q_mwu" -> { (s, dir) =>
       // exact tie-corrected Mann–Whitney U between the same returnflag
       // populations q_ks compares — the rank-shift complement of the CDF
@@ -4258,6 +4269,29 @@ object Catalog {
         |            / sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE)) END AS l_quantity_z
         |FROM f JOIN m USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber, l_quantity_z""".stripMargin,
+
+    "q_chi2_drift" ->
+      """WITH u AS (SELECT o_orderpriority AS k,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS side
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |c AS (SELECT k, sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             count(*) AS cats FROM c),
+        |terms AS (SELECT
+        |    ((CAST(c1 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n1)
+        |     * (CAST(c1 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n1)
+        |     * 1000000)
+        |    // (CAST(c1 + c2 AS HUGEINT) * (n1 + n2) * n1) +
+        |    ((CAST(c2 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n2)
+        |     * (CAST(c2 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n2)
+        |     * 1000000)
+        |    // (CAST(c1 + c2 AS HUGEINT) * (n1 + n2) * n2) AS tt
+        |  FROM c, n)
+        |SELECT n.n1 AS n_ref, n.n2 AS n_cur, n.cats AS categories,
+        |       (SELECT CAST(sum(tt) AS BIGINT) FROM terms) AS chi2_ppm
+        |FROM n""".stripMargin,
 
     "q_mwu" ->
       """WITH u AS (

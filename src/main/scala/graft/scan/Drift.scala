@@ -251,6 +251,54 @@ object Drift {
     ks
   }
 
+  /** Two-sample χ² homogeneity test over a CATEGORICAL column — the
+    * categorical member of the drift family (PSI/KS/MWU are numeric):
+    * did the category MIX shift between reference and current? Expected
+    * counts from the pooled margin; the statistic is the standard
+    * Σ (observed − expected)²/expected over both sides.
+    *
+    * Exactness: a double Σ over arbitrary-order categories is
+    * order-DEPENDENT in the low bits, so the statistic accumulates as
+    * FIXED-POINT integers instead: per category and side,
+    * term_ppm = ⌊(cᵢ·n − t·nᵢ)² · 10⁶ div (n·t·nᵢ)⌋ — exact integer
+    * arithmetic, order-free, engine-portable (this is the scaled form of
+    * (cᵢ − t·nᵢ/n)²/(t·nᵢ/n)). One category-keyed shuffle with map-side
+    * combine; category cardinality bounds everything downstream.
+    *
+    * @return one row: (n_ref, n_cur, categories, chi2_ppm) — χ² · 10⁶ as
+    *         BIGINT; df = categories − 1.
+    */
+  def chiSquareCategorical(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(colName).cast(StringType).as("k"))
+        .where(col("k").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("k").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        count(lit(1)).as("cats"))
+      .collect()(0)
+    val n1 = tot.getLong(0); val n2 = tot.getLong(1); val cats = tot.getLong(2)
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val n = n1 + n2
+    val D = DecimalType(38, 0)
+    // `div` (INTEGRAL division) on decimals truncates exactly like both
+    // engines' `//` — a decimal `/` would round at its result scale BEFORE
+    // a floor, an off-by-one-ppm trap at near-integer quotients
+    def termSql(c: String, ni: Long) =
+      s"(($c * ${n}L - t * ${ni}L) * ($c * ${n}L - t * ${ni}L) * 1000000L)" +
+        s" div (t * ${n}L * ${ni}L)"
+    counts
+      .select((col("c1") + col("c2")).cast(D).as("t"),
+        col("c1").cast(D).as("d1"), col("c2").cast(D).as("d2"))
+      .selectExpr(s"${termSql("d1", n1)} as t1", s"${termSql("d2", n2)} as t2")
+      .agg(sum(col("t1") + col("t2")).cast(LongType).as("chi2_ppm"))
+      .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+        lit(cats).as("categories"), col("chi2_ppm"))
+  }
+
   /** Driver-side twin of [[mannWhitneyU]] over collected samples — the
     * per-window MWU for streaming drift: pair each
     * [[graft.streaming.StreamingMonitor.ksSketchStream]] window sample

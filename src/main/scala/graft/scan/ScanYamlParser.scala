@@ -94,6 +94,8 @@ object ScanYamlParser {
       },
       psiReference = optStr(m, "psi_reference"),
       ksReference = optStr(m, "ks_reference"),
+      mwuReference = optStr(m, "mwu_reference"),
+      chi2Reference = optStr(m, "chi2_reference"),
       benford = optInt(m, "benford")
     )
 }

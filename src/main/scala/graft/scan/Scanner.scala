@@ -656,6 +656,22 @@ object Scanner {
         .select("ks_stat").collect()(0).getDouble(0)
       record(f.name, "ks_stat", ks)
     }
+    // `mwu_reference:` — the stochastic-shift drift companion to the KS
+    // gap (AUC = P[reference value beats current] + half-ties, z for
+    // significance); `chi2_reference:` — categorical mix drift as the
+    // fixed-point ppm statistic. Same reference-parquet contract as
+    // `ks_reference:`.
+    fields.filter(f => cfgOf(f.name).mwuReference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).mwuReference.get)
+      val row = Drift.mannWhitneyU(refDf, df, f.name).collect()(0)
+      record(f.name, "mwu_auc", row.getDouble(4))
+      record(f.name, "mwu_z", if (row.isNullAt(5)) null else row.getDouble(5))
+    }
+    fields.filter(f => cfgOf(f.name).chi2Reference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).chi2Reference.get)
+      val row = Drift.chiSquareCategorical(refDf, df, f.name).collect()(0)
+      record(f.name, "chi2_ppm", row.getLong(3))
+    }
 
     // ---- Benford audit (beyond the reference: `benford:` column key,
     // value = fixed-point scale) ---- chi-square of the column's first

@@ -381,6 +381,76 @@ class ScannerSpec extends SparkSpec {
     assert(dup == ((3L, 3L, 2.0 / 3.0 - 1.0 / 3.0)))
   }
 
+  test("chiSquareCategorical: hand chi2, identical-mix zero, one-sided categories, layout invariance") {
+    import graft.scan.Drift
+    import spark.implicits._
+    // ref: a=30 b=10; cur: a=10 b=30. totals: t_a=40, t_b=40, n1=n2=40, n=80.
+    // e = 20 everywhere; chi2 = 4 * (10^2/20) = 20.0 -> 20_000_000 ppm
+    val ref = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("k")
+    val cur = (Seq.fill(10)("a") ++ Seq.fill(30)("b")).toDF("k")
+    val r = Drift.chiSquareCategorical(ref, cur, "k").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((40L, 40L, 2L, 20000000L)))
+    // identical mixes: exactly 0
+    val same = Drift.chiSquareCategorical(ref, ref, "k").collect()(0)
+    assert(same.getLong(3) == 0L)
+    // a category present on ONE side only still contributes (expected > 0
+    // from the pooled margin)
+    val r2 = Drift.chiSquareCategorical(Seq("a", "a").toDF("k"), Seq("z", "z").toDF("k"), "k")
+      .collect()(0)
+    assert(r2.getLong(2) == 2L && r2.getLong(3) == 4000000L) // chi2 = 4
+    // hand-truncation case: ref a,a,b cur a,b,b -> four terms of 1/6 each,
+    // each truncated to 166666 ppm BEFORE summing -> 666664 (not 2/3 rounded)
+    val r3 = Drift.chiSquareCategorical(Seq("a", "a", "b").toDF("k"),
+      Seq("a", "b", "b").toDF("k"), "k").collect()(0)
+    assert(r3.getLong(3) == 666664L, s"${r3.getLong(3)}")
+    // layout invariance: the fixed-point sum is order-free
+    val big = (1 to 500).map(i => s"c${i % 23}").toDF("k")
+    val shift = (1 to 400).map(i => s"c${(i * 7) % 19}").toDF("k")
+    val x = Drift.chiSquareCategorical(big, shift, "k").collect()(0)
+    val y = Drift.chiSquareCategorical(big.repartition(17), shift.repartition(3), "k").collect()(0)
+    assert(x == y)
+  }
+
+  test("mwu_reference / chi2_reference scan keys record drift measurements and gate tests") {
+    import graft.scan.{Drift, Scanner}
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("scan-drift-ref").toString
+    // numeric reference: steady around 10; current data sits higher
+    (1 to 20).map(i => 10.0 + (i % 5) * 0.1).toDF("size").write.parquet(s"$refDir/vals")
+    // categorical reference: balanced US/NL; current is US-heavy
+    (Seq.fill(10)("US") ++ Seq.fill(10)("NL")).toDF("country")
+      .write.parquet(s"$refDir/cats")
+    val yaml =
+      s"""table_name: t
+         |columns:
+         |  size:
+         |    mwu_reference: $refDir/vals
+         |    tests:
+         |    - mwu_auc < 0.2
+         |  country:
+         |    chi2_reference: $refDir/cats
+         |    tests:
+         |    - chi2_ppm > 0
+         |""".stripMargin
+    val r = Scanner.executeYaml(spark, df, yaml)
+    assert(!r.hasErrors, r.errors.mkString("; "))
+    val auc = r.measurement("mwu_auc", Some("size")).get.value.get.asInstanceOf[Double]
+    val z = r.measurement("mwu_z", Some("size")).get.value.get.asInstanceOf[Double]
+    val chi2 = r.measurement("chi2_ppm", Some("country")).get.value.get.asInstanceOf[Long]
+    // parity with the direct operators
+    val direct = Drift.mannWhitneyU(
+      spark.read.parquet(s"$refDir/vals"), df, "size").collect()(0)
+    assert(auc == direct.getDouble(4) && z == direct.getDouble(5))
+    assert(auc < 0.2 && z < 0.0, s"reference sits below current: auc=$auc z=$z")
+    val directChi = Drift.chiSquareCategorical(
+      spark.read.parquet(s"$refDir/cats"), df, "country").collect()(0)
+    assert(chi2 == directChi.getLong(3) && chi2 > 0L)
+    // the tests gate on the new measurements like any metric
+    val byExpr = r.testResults.map(t => t.test.expression -> t).toMap
+    assert(byExpr("mwu_auc < 0.2").passed && byExpr("chi2_ppm > 0").passed)
+  }
+
   test("mannWhitneyU: doubled-rank exactness, tie correction, AUC direction, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._
