@@ -276,19 +276,19 @@ object Correlation {
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
     def rankMap(c: String) = {
-      import org.apache.spark.sql.expressions.Window
-      val counts = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
-      // distinct-value frames; the single-partition running sum is fine at
-      // any realistic quantized-value cardinality (route through
-      // Packing.prefixSum past ~1M distinct, as Binning does)
-      counts
-        .withColumn("cum", sum("c").over(
-          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      // the Binning cardinality-routed cumulative: distinct-bounded counts
+      // frames take the cheap local running sum, anything past
+      // maxLocalDistinct the two-phase distributed prefix scan — and the
+      // rank map only broadcasts when it measured small
+      val counts = Binning.distinctValueCounts(base, col(c))
+      val distinct = counts.count()
+      val m = Binning.cumulativeFromCounts(counts, distinct, 1L << 20)
         .select(col("v"), ((col("cum") - col("c")) * 2L + col("c") + 1L).as(s"dr$c"))
+      if (distinct <= (1L << 20)) broadcast(m) else m
     }
     val ranked = base
-      .join(broadcast(rankMap("__x")), base("__x") === col("v")).drop("v")
-      .join(broadcast(rankMap("__y")), base("__y") === col("v")).drop("v")
+      .join(rankMap("__x"), base("__x") === col("v")).drop("v")
+      .join(rankMap("__y"), base("__y") === col("v")).drop("v")
     val m = ranked.agg(pairAggs(col("dr__x"), col("dr__y"), "sp").head,
       pairAggs(col("dr__x"), col("dr__y"), "sp").tail: _*)
     m.select(col("n_sp").cast(LongType).as("n"), pairCorr("sp").as("rho"))
