@@ -708,6 +708,17 @@ object Catalog {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_wasserstein" -> { (s, dir) =>
+      // exact W1 (earth mover's) distance between the same returnflag
+      // populations q_ks/q_mwu compare — the magnitude member of the drift
+      // family ("how many cents did the mass move"); segment terms are
+      // exact |k1·n2 − k2·n1|·Δv integers, one final double division
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.wasserstein1(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
     "q_ks_group" -> { (s, dir) =>
       // per-language KS of document length between two sources — drift
       // localized to the segment that moved; n_chars is already integer
@@ -4324,6 +4335,27 @@ object Catalog {
         |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
         |       END AS z
         |FROM m""".stripMargin,
+
+    "q_wasserstein" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT cents AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY cents),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT v, sum(c1) OVER (ORDER BY v) AS k1,
+        |             sum(c2) OVER (ORDER BY v) AS k2,
+        |             lead(v) OVER (ORDER BY v) AS vn FROM c)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       (SELECT CAST(sum(abs(CAST(k1 AS HUGEINT) * n2 - CAST(k2 AS HUGEINT) * n1)
+        |                        * (vn - v)) AS DOUBLE)
+        |        FROM k, n WHERE vn IS NOT NULL)
+        |       / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS w1
+        |FROM n""".stripMargin,
 
     "q_ks_group" ->
       """WITH u AS (

@@ -193,6 +193,80 @@ object Drift {
       when(sig2 > 0.0, (uD - mu) / sqrt(sig2)).as("z"))
   }
 
+  /** EXACT two-sample Wasserstein-1 (earth mover's) distance over an
+    * integer-valued column: W1 = Σᵢ |F_ref(vᵢ) − F_cur(vᵢ)|·(vᵢ₊₁ − vᵢ)
+    * over the merged sorted distinct values — the MAGNITUDE member of the
+    * drift family. KS reports the largest CDF gap anywhere (a 1-cent shift
+    * of all mass and a $100 shift score the same), PSI a bucket-designed
+    * divergence, MWU a rank shift; W1 answers "how far did probability
+    * mass actually move", in the column's own units. Quantize continuous
+    * columns via `MetricColumns.fixedPointLong` first.
+    *
+    * Exactness: each segment contributes |k₁·n₂ − k₂·n₁|·Δv — exact
+    * integers summed as DECIMAL(38,0) (order-free, no float-summation
+    * order hazard) — and W1 is that sum over n₁·n₂ in ONE final double
+    * tree, so DuckDB replays the statistic bit-for-bit.
+    *
+    * Distributed shape: identical to [[ksStatistic]] — one value-keyed
+    * shuffle with map-side combine + the fused two-phase prefix scan. The
+    * successor-value gap needs one extra trick: per-partition `lead`
+    * covers all but each partition's last row, whose gap closes against
+    * the next non-empty partition's broadcast first value (range
+    * partitions are pid-ordered). The global maximum's term is always 0
+    * (both CDFs are 1 there), so its null successor drops out exactly.
+    *
+    * @return one row: (n_ref, n_cur, w1) — w1 in the integer column's
+    *         units (divide by 10^scale for quantized inputs).
+    */
+  def wasserstein1(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(LongType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // freeze pid assignment across the jobs below
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"), min(col("v")).as("v0"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val n1 = totals.valuesIterator.map(_._1).sum
+    val n2 = totals.valuesIterator.map(_._2).sum
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val pids = totals.keys.toSeq.sorted
+    def offsets(part: ((Long, Long, Long)) => Long): Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + part(totals(p))).init).toMap
+    def offsetExpr(m: Map[Int, Long]) =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    // each non-empty partition's successor partition's first value — the
+    // gap closer for per-partition last rows; absent key (the max pid) →
+    // null → zero term, exactly the global-maximum drop-out
+    val nextFirst: Map[Int, Long] =
+      pids.zip(pids.tail.map(p => totals(p)._3)).toMap
+    val nextFirstExpr =
+      if (nextFirst.isEmpty) lit(null).cast(LongType)
+      else element_at(typedlit(nextFirst), col("__pid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val cross = abs(
+      col("k1").cast(DecimalType(38, 0)) * lit(n2) -
+      col("k2").cast(DecimalType(38, 0)) * lit(n1))
+    parts
+      .withColumn("k1", sum(col("c1")).over(w) + offsetExpr(offsets(_._1)))
+      .withColumn("k2", sum(col("c2")).over(w) + offsetExpr(offsets(_._2)))
+      .withColumn("vn", coalesce(lead(col("v"), 1).over(w), nextFirstExpr))
+      .agg(sum(when(col("vn").isNotNull,
+          cross * (col("vn") - col("v")).cast(DecimalType(38, 0)))
+        .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("wfx"))
+      .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+        (col("wfx").cast(DoubleType) /
+          lit((BigInt(n1) * BigInt(n2)).toDouble)).as("w1"))
+  }
+
   /** Per-GROUP exact two-sample KS: [[ksStatistic]] computed independently
     * for every value of `groupCol` (drift per language / source / shard).
     * Unlike the global statistic — whose cumulative needs the two-phase

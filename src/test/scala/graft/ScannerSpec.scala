@@ -381,6 +381,34 @@ class ScannerSpec extends SparkSpec {
     assert(dup == ((3L, 3L, 2.0 / 3.0 - 1.0 / 3.0)))
   }
 
+  test("wasserstein1: hand EMD, shift linearity, zero on identical, layout invariance") {
+    import graft.scan.Drift
+    import spark.implicits._
+    def w1(a: Seq[Long], b: Seq[Long]): Double =
+      Drift.wasserstein1(a.toDF("v"), b.toDF("v"), "v")
+        .as[(Long, Long, Double)].collect()(0)._3
+    // point masses at 0 vs 7: all mass moves 7 units
+    assert(w1(Seq(0L), Seq(7L)) == 7.0)
+    // a pure shift of the whole sample moves every quantile by the shift
+    assert(w1(Seq(1L, 2L, 5L), Seq(11L, 12L, 15L)) == 10.0)
+    assert(w1(Seq(1L, 2L, 5L), Seq(1L, 2L, 5L)) == 0.0)
+    // hand case with unequal n: ref {0,10}, cur {0,0,10,10,10}. distinct
+    // 0,10: |k1·n2 − k2·n1|·Δv = |1·5 − 2·2|·10 = 10, over n1·n2 = 10 -> 1.0
+    // (exact in doubles: integer/integer with a power-of-2-free exact hit)
+    assert(w1(Seq(0L, 10L), Seq(0L, 0L, 10L, 10L, 10L)) == 1.0)
+    // W1 dominates: KS sees the same 1-step gap for a 1-unit and a
+    // 100-unit shift; W1 scales with the distance moved
+    assert(w1(Seq(0L), Seq(1L)) == 1.0 && w1(Seq(0L), Seq(100L)) == 100.0)
+    // layout invariance: many partitions + shuffled input, same statistic
+    val big = (1 to 4000).map(i => (i * 37L) % 1000L)
+    val shifted = big.map(_ + 13L)
+    val a = scala.util.Random.shuffle(big).toDF("v").repartition(17)
+    val b = scala.util.Random.shuffle(shifted).toDF("v").repartition(5)
+    assert(w1(big, shifted) == 13.0)
+    assert(Drift.wasserstein1(a, b, "v").as[(Long, Long, Double)]
+      .collect()(0) == ((4000L, 4000L, 13.0)))
+  }
+
   test("chiSquareCategorical: hand chi2, identical-mix zero, one-sided categories, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._
