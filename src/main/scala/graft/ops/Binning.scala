@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Equi-DEPTH binning (feature discretization / quantile bucketing): cut an
   * integer-valued column into `k` buckets of ~equal row count — the
@@ -166,6 +166,47 @@ object Binning {
         if (iqr > 0.0) (col("__fx").cast(DoubleType) - lit(med)) / lit(iqr)
         else lit(null).cast(DoubleType))
       .drop("__fx")
+  }
+
+  /** WEIGHTED percentiles (inverted-CDF / left-continuous form): for each
+    * p, the smallest value whose cumulative weight reaches p·W — the
+    * importance-weighted fence the unweighted family can't express
+    * (mixture-weighted length caps, importance-sampled quality
+    * thresholds: "the token-weighted median document length" weights a
+    * 10k-token doc 100× a 100-token one). With unit weights and the
+    * inverted-CDF convention this is the classic type-1 quantile.
+    *
+    * Scale shape: [[distinctValueCounts]]-style (value, Σweight) frame +
+    * the cardinality-routed cumulative — NO value multiset in any single
+    * task; the p-selection is a tiny explode over the distinct-bounded
+    * cumulative + one p-keyed min aggregate. Exactness: weights carry as
+    * longs (quantize first), the only double op is the `cum ≥ p·W`
+    * threshold compare — one fixed tree both engines replay identically.
+    * Zero/negative/null weights are excluded (a zero-weight value is
+    * invisible to a weighted quantile by definition).
+    *
+    * @return one row per p: (p, value, w_total), ordered by p.
+    */
+  def weightedPercentiles(df: DataFrame, valueCol: Column, weightCol: Column,
+                          ps: Seq[Double],
+                          maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "bad percentiles")
+    val counts = df
+      .select(valueCol.cast(LongType).as("v"), weightCol.cast(LongType).as("w"))
+      .where(col("v").isNotNull && col("w").isNotNull && col("w") > 0L)
+      .groupBy("v").agg(sum("w").as("c"))
+    val distinct = counts.count() // one cheap job; shuffle files are reused
+    require(distinct > 0, "no rows with positive weight")
+    val cum = cumulativeFromCounts(counts, distinct, maxLocalDistinct)
+    val total = broadcast(counts.agg(sum("c").cast(LongType).as("w_total")))
+    cum.crossJoin(total)
+      .select(col("v"), col("cum"), col("w_total"),
+        explode(typedlit(ps.sorted)).as("p"))
+      .where(col("cum").cast(DoubleType) >=
+        col("p") * col("w_total").cast(DoubleType))
+      .groupBy("p")
+      .agg(min("v").as("value"), max("w_total").as("w_total"))
+      .orderBy("p")
   }
 
   /** Attach [[valueRanks]]'s normalization to the rows themselves: the

@@ -708,6 +708,18 @@ object Catalog {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_weighted_median" -> { (s, dir) =>
+      // QUANTITY-weighted price quartiles + p90: the importance-weighted
+      // fences the unweighted family can't express (a 50-unit line weighs
+      // 50× a 1-unit line); counts-frame routed, the only double op is the
+      // cum ≥ p·W threshold compare
+      val li = t(s, dir, "lineitem")
+      Binning.weightedPercentiles(li,
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2),
+        MetricColumns.fixedPointLong(col("l_quantity"), 0),
+        Seq(0.25, 0.5, 0.75, 0.9))
+    },
+
     "q_wasserstein" -> { (s, dir) =>
       // exact W1 (earth mover's) distance between the same returnflag
       // populations q_ks/q_mwu compare — the magnitude member of the drift
@@ -4335,6 +4347,23 @@ object Catalog {
         |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
         |       END AS z
         |FROM m""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH f AS (SELECT
+        |    CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |         ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |    CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 1.0 + 0.5)
+        |         ELSE -floor(-l_quantity * 1.0 + 0.5) END AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (SELECT v, sum(w) AS c FROM f WHERE w > 0 GROUP BY v),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS wt FROM c),
+        |k AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        |p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
+        |SELECT p.p AS p, min(k.v) AS value, max(n.wt) AS w_total
+        |FROM p, k, n
+        |WHERE CAST(k.cum AS DOUBLE) >= p.p * CAST(n.wt AS DOUBLE)
+        |GROUP BY p.p
+        |ORDER BY p""".stripMargin,
 
     "q_wasserstein" ->
       """WITH u AS (

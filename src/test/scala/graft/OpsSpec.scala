@@ -1160,6 +1160,35 @@ class BinningSpec extends SparkSpec {
       .select("v_rz").collect().forall(_.isNullAt(0)))
   }
 
+  test("weightedPercentiles: hand fences, unit-weight type-1 parity, zero-weight invisibility, route equivalence") {
+    // values 1..4, weights 1,1,1,7 -> W=10; cum: 1,2,3,10.
+    // p=.2 -> first cum>=2 is v=2; p=.3 -> v=3; p=.31..1 -> v=4
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L)).toDF("v", "w")
+    val r = Binning.weightedPercentiles(df, col("v"), col("w"), Seq(0.2, 0.3, 0.5, 1.0))
+      .select("p", "value", "w_total").as[(Double, Long, Long)].collect().toSeq
+    assert(r == Seq((0.2, 2L, 10L), (0.3, 3L, 10L), (0.5, 4L, 10L), (1.0, 4L, 10L)))
+    // unit weights == classic type-1 (inverted-CDF) quantile: smallest v
+    // with rank >= ceil(p*n)
+    val vals = Seq(10L, 20L, 30L, 40L, 50L)
+    val u = Binning.weightedPercentiles(vals.toDF("v"), col("v"), lit(1L),
+      Seq(0.2, 0.5, 0.61, 1.0)).select("value").as[Long].collect().toSeq
+    assert(u == Seq(10L, 30L, 40L, 50L))
+    // zero/negative/null weights are invisible
+    val z = Binning.weightedPercentiles(
+      Seq((1L, Some(0L)), (2L, Some(-5L)), (3L, Option.empty[Long]), (9L, Some(2L)))
+        .toDF("v", "w"), col("v"), col("w"), Seq(0.5, 1.0))
+      .select("value", "w_total").as[(Long, Long)].collect().toSeq
+    assert(z == Seq((9L, 2L), (9L, 2L)))
+    // distributed-route equivalence: forcing the prefix-sum path past a
+    // tiny maxLocalDistinct returns the identical fences
+    val big = (1 to 5000).map(i => ((i * 17L) % 700L, (i % 9L) + 1L)).toDF("v", "w")
+    val local = Binning.weightedPercentiles(big, col("v"), col("w"), Seq(0.25, 0.5, 0.9))
+      .collect().map(_.toSeq).toSeq
+    val routed = Binning.weightedPercentiles(big, col("v"), col("w"), Seq(0.25, 0.5, 0.9),
+      maxLocalDistinct = 8).collect().map(_.toSeq).toSeq
+    assert(local == routed && local.size == 3)
+  }
+
   test("standardize: exact population z-scores, grouped, zero-variance and null routing") {
     // values 2,4,6 (scale 0): mu=4, sigma_pop=sqrt(8/3); z = (x*3-12)/sqrt(3*56-144)
     val df = Seq(2.0, 4.0, 6.0).toDF("v")
