@@ -60,6 +60,63 @@ object Delta {
     ups.unionByName(dels)
   }
 
+  /** Build the SCD TYPE-2 history from a CDC change feed: one row per
+    * (key, version) with [valid_from, valid_to) sequence bounds and an
+    * `is_current` flag — [[applyChanges]] answers "what is true NOW", this
+    * answers "what was true WHEN", the as-of dimension table behind
+    * training-data provenance ("which license/quality label did this doc
+    * carry when the snapshot shipped"). Consecutive upserts with IDENTICAL
+    * payloads collapse into one version (`IS DISTINCT FROM` semantics via
+    * null-safe struct compare — no hash, no collision risk); a delete
+    * CLOSES the open version at the delete's seq without opening a new one
+    * (re-upserts after a delete start a fresh version, payload equality
+    * notwithstanding). Equal-seq ties collapse to one winner, upsert over
+    * delete — [[applyChanges]]' tie rule, so `is_current` payloads here ≡
+    * applyChanges' survivors.
+    *
+    * Scale shape: every window is KEY-bounded (`partitionBy(id)`) and the
+    * island reduction is a (key, island) aggregate — no global-order
+    * funnel anywhere; three shuffles of the skinny feed (dedup, key
+    * window, island group), bodies move once.
+    *
+    * @return (id, version, valid_from, valid_to, is_current, payload...)
+    *         — version 1-based per key in seq order; valid_to null on the
+    *         open version.
+    */
+  def scd2(changes: DataFrame, idCol: String, seqCol: String, opCol: String,
+           payloadCols: Seq[String], upsertOp: String = "U",
+           deleteOp: String = "D"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val picked = (opCol +: payloadCols).map(col)
+    val evs = changes.groupBy(col(idCol), col(seqCol))
+      .agg(max_by(struct(picked: _*), col(opCol)).as("__w"))
+      .select(col(idCol) +: col(seqCol) +:
+        (opCol +: payloadCols).map(c => col(s"__w.$c").as(c)): _*)
+    val wk = Window.partitionBy(idCol).orderBy(seqCol)
+    val pay = struct(payloadCols.map(col): _*)
+    val started = evs
+      .withColumn("__prev_op", lag(col(opCol), 1).over(wk))
+      .withColumn("__prev_pay", lag(pay, 1).over(wk))
+      .withColumn("__start",
+        when(col(opCol) === upsertOp &&
+          (col("__prev_op").isNull || col("__prev_op") === deleteOp ||
+            !(pay <=> col("__prev_pay"))), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__start")).over(wk))
+    val wi = Window.partitionBy(idCol).orderBy(col("__first.s"))
+    started.groupBy(col(idCol), col("__island"))
+      .agg(
+        min(when(col(opCol) === upsertOp,
+          struct(col(seqCol).as("s"), pay.as("p")))).as("__first"),
+        min(when(col(opCol) === deleteOp, col(seqCol))).as("__del"))
+      .where(col("__first").isNotNull) // leading deletes open no version
+      .withColumn("valid_to",
+        coalesce(col("__del"), lead(col("__first.s"), 1).over(wi)))
+      .withColumn("version", row_number().over(wi))
+      .select(col(idCol) +: col("version") +: col("__first.s").as("valid_from") +:
+        col("valid_to") +: col("valid_to").isNull.as("is_current") +:
+        payloadCols.map(c => col(s"__first.p.$c").as(c)): _*)
+  }
+
   /** Apply a CDC change feed onto a snapshot (MERGE semantics): per key the
     * LATEST change by `seqCol` wins — `upsertOp` inserts-or-overwrites the
     * payload, `deleteOp` removes the key; keys without changes pass through.

@@ -664,6 +664,30 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_scd2" -> { (s, dir) =>
+      // SCD type-2 history from a synthetic feed: every doc opens at seq 1;
+      // ≡0-mod-4 docs re-upsert the IDENTICAL payload at seq 2 (must
+      // collapse), ≡1-mod-4 a CHANGED payload (new version); ≡0-mod-6 docs
+      // delete at seq 3 (closes the version); ≡0-mod-12 re-open at seq 4.
+      // Exercises collapse, close, gap and re-open in one history.
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      def ev(f: Column, seq: Long, op: String, lang: Column, nc: Column) =
+        base.where(f).select(col("doc_id"), lit(seq).as("seq"),
+          lit(op).as("op"), lang.as("lang"), nc.as("n_chars"))
+      val changes = ev(lit(true), 1L, "U", col("lang"), col("n_chars"))
+        .unionByName(ev(col("doc_id") % 4 === 0, 2L, "U", col("lang"), col("n_chars")))
+        .unionByName(ev(col("doc_id") % 4 === 1, 2L, "U", col("lang"),
+          col("n_chars") + 10L))
+        .unionByName(ev(col("doc_id") % 6 === 0, 3L, "D",
+          lit(null).cast(StringType), lit(null).cast(LongType)))
+        .unionByName(ev(col("doc_id") % 12 === 0, 4L, "U", lit("re"),
+          col("n_chars")))
+      Delta.scd2(changes, "doc_id", "seq", "op", Seq("lang", "n_chars"))
+        .withColumn("version", col("version").cast(LongType))
+        .orderBy("doc_id", "version")
+    },
+
     "q_ks" -> { (s, dir) =>
       // exact two-sample KS between returnflag populations, over fixed-point
       // cents (decimal→double conversion differs in the low bit between
@@ -4256,6 +4280,49 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS seq, 'U' AS op, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', lang, n_chars FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', lang, n_chars + 10 FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'D', NULL, NULL FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'U', 're', n_chars FROM documents WHERE doc_id % 12 = 0),
+        |w AS (
+        |  SELECT doc_id, seq, op, lang, n_chars,
+        |         lag(op) OVER k AS p_op,
+        |         lag(lang) OVER k AS p_lang,
+        |         lag(n_chars) OVER k AS p_nc
+        |  FROM ch WINDOW k AS (PARTITION BY doc_id ORDER BY seq)),
+        |f AS (
+        |  SELECT *, CASE WHEN op = 'U' AND (p_op IS NULL OR p_op = 'D'
+        |                 OR (lang IS DISTINCT FROM p_lang)
+        |                 OR (n_chars IS DISTINCT FROM p_nc))
+        |            THEN 1 ELSE 0 END AS strt
+        |  FROM w),
+        |i AS (
+        |  SELECT *, sum(strt) OVER (PARTITION BY doc_id ORDER BY seq) AS island
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, island,
+        |         min(seq) FILTER (WHERE op = 'U') AS valid_from,
+        |         arg_min(lang, seq) FILTER (WHERE op = 'U') AS lang,
+        |         arg_min(n_chars, seq) FILTER (WHERE op = 'U') AS n_chars,
+        |         min(seq) FILTER (WHERE op = 'D') AS del
+        |  FROM i GROUP BY doc_id, island),
+        |v AS (
+        |  SELECT doc_id, valid_from, lang, n_chars,
+        |         coalesce(del, lead(valid_from)
+        |           OVER (PARTITION BY doc_id ORDER BY valid_from)) AS valid_to,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY valid_from) AS version
+        |  FROM g WHERE valid_from IS NOT NULL)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current, lang, n_chars
+        |FROM v ORDER BY doc_id, version""".stripMargin,
 
     "q_ks" ->
       """WITH u AS (

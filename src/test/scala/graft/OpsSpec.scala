@@ -772,6 +772,42 @@ class DeltaSpec extends SparkSpec {
     assert(replayed == newSnap.as[(Long, String)].collect().toSet,
       "the replayed snapshot must equal the new one exactly")
   }
+
+  test("scd2: collapse, close, re-open, tie rule, current parity with applyChanges") {
+    // key 1: open -> identical re-upsert (collapse) -> changed (v2) -> delete
+    //        -> re-open with the ORIGINAL payload (v3, fresh despite equality)
+    // key 2: leading delete (no version) then open, stays current
+    // key 3: equal-seq U/D tie -> upsert wins, version stays open
+    val feed = Seq(
+      (1L, 1L, "U", "a", 10), (1L, 2L, "U", "a", 10), (1L, 3L, "U", "a", 11),
+      (1L, 4L, "D", null.asInstanceOf[String], 0), (1L, 6L, "U", "a", 10),
+      (2L, 1L, "D", null.asInstanceOf[String], 0), (2L, 2L, "U", "b", 20),
+      (3L, 5L, "U", "c", 30), (3L, 5L, "D", null.asInstanceOf[String], 0)
+    ).toDF("id", "seq", "op", "text", "v")
+    val h = Delta.scd2(feed, "id", "seq", "op", Seq("text", "v"))
+      .select("id", "version", "valid_from", "valid_to", "is_current", "text", "v")
+      .as[(Long, Int, Long, Option[Long], Boolean, String, Int)]
+      .collect().toSeq.sorted
+    assert(h == Seq(
+      (1L, 1, 1L, Some(3L), false, "a", 10),
+      (1L, 2, 3L, Some(4L), false, "a", 11),
+      (1L, 3, 6L, None, true, "a", 10),
+      (2L, 1, 2L, None, true, "b", 20),
+      (3L, 1, 5L, None, true, "c", 30)))
+    // the open versions ARE applyChanges' survivors (empty base)
+    val current = h.filter(_._5).map(t => (t._1, t._6, t._7)).toSet
+    val applied = Delta.applyChanges(
+      Seq.empty[(Long, String, Int)].toDF("id", "text", "v"),
+      feed, "id", "seq", "op", Seq("text", "v"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(current == applied)
+    // layout invariance: shuffled arrival order changes nothing
+    val shuffled = feed.orderBy(rand(7)).repartition(13)
+    assert(Delta.scd2(shuffled, "id", "seq", "op", Seq("text", "v"))
+      .select("id", "version", "valid_from", "valid_to", "is_current", "text", "v")
+      .as[(Long, Int, Long, Option[Long], Boolean, String, Int)]
+      .collect().toSeq.sorted == h)
+  }
 }
 
 class OutliersSpec extends SparkSpec {
