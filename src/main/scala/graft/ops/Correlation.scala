@@ -146,6 +146,51 @@ object Correlation {
     frames.reduce(_.unionAll(_))
   }
 
+  /** Cohen's kappa: chance-corrected agreement between two label columns —
+    * the LABEL-QUALITY member of the categorical family ([[cramersV]] asks
+    * "are these associated", kappa asks "do these two ANNOTATORS agree
+    * beyond luck" — the standard inter-rater gate before trusting training
+    * labels; raw p_o alone flatters skewed label sets where agreeing by
+    * chance is easy). κ = (n·agree − Σₖrₖcₖ)/(n² − Σₖrₖcₖ).
+    *
+    * Shape: one groupBy(a, b) cell shuffle (map-side combined), marginals
+    * as label-bounded re-aggregates, Σrₖcₖ as a label-keyed join of the
+    * two marginal frames. EXACT throughout — counts and both κ operands
+    * carry as DECIMAL(38,0) integers (no fixed-point quantization needed,
+    * unlike χ²/MI whose per-cell terms are transcendental), with the final
+    * p_o/p_e/κ doubles one fixed tree both engines replay bit-for-bit.
+    *
+    * @return one row: (n, agree, p_o, p_e, kappa); kappa null when chance
+    *         agreement is exact (n² = Σrc — constant identical labels).
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = DecimalType(38, 0)
+    val n = cells.agg(coalesce(sum(col("__o")), lit(0L)).cast(dec).as("n"))
+    val agree = cells.where(col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__o")), lit(0L)).cast(dec).as("agree"))
+    val rows = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+    val cols = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+    val rc = rows.join(cols, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__r").cast(dec) * col("__c")), lit(0L).cast(dec))
+        .as("rc"))
+    val nn = col("n") * col("n")
+    n.crossJoin(agree).crossJoin(rc)
+      .select(
+        col("n").cast(LongType).as("n"),
+        col("agree").cast(LongType).as("agree"),
+        when(col("n") > 0, col("agree").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("p_o"),
+        when(col("n") > 0, col("rc").cast(DoubleType) / nn.cast(DoubleType))
+          .as("p_e"),
+        when(nn =!= col("rc"),
+          (col("n") * col("agree") - col("rc")).cast(DoubleType) /
+            (nn - col("rc")).cast(DoubleType)).as("kappa"))
+  }
+
   /** Marginal entropies and mutual information for categorical pairs — the
     * information-theoretic sibling of [[cramersV]] ("how many bits does
     * knowing the source tell you about the language?"). Per pair:

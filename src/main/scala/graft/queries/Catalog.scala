@@ -664,6 +664,18 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_kappa" -> { (s, dir) =>
+      // chance-corrected label agreement: lang vs a "sloppy second
+      // annotator" that mislabels every ≡0-mod-9 doc as 'zz' — the
+      // inter-rater gate before trusting training labels; both κ operands
+      // exact integers, one final double tree
+      val docs = t(s, dir, "documents")
+      Correlation.cohensKappa(
+        docs.select(col("lang").as("a"),
+          when(col("doc_id") % 9 === 0, "zz").otherwise(col("lang")).as("b")),
+        "a", "b")
+    },
+
     "q_scd2" -> { (s, dir) =>
       // SCD type-2 history from a synthetic feed: every doc opens at seq 1;
       // ≡0-mod-4 docs re-upsert the IDENTICAL payload at seq 2 (must
@@ -4280,6 +4292,25 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_kappa" ->
+      """WITH lab AS (SELECT lang AS a,
+        |         CASE WHEN doc_id % 9 = 0 THEN 'zz' ELSE lang END AS b
+        |       FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM lab GROUP BY a, b),
+        |n AS (SELECT CAST(coalesce(sum(o), 0) AS HUGEINT) AS n FROM cells),
+        |ag AS (SELECT CAST(coalesce(sum(o), 0) AS HUGEINT) AS agree
+        |       FROM cells WHERE a = b),
+        |r AS (SELECT a AS k, sum(o) AS r FROM cells GROUP BY a),
+        |c AS (SELECT b AS k, sum(o) AS c FROM cells GROUP BY b),
+        |rc AS (SELECT CAST(coalesce(sum(CAST(r.r AS HUGEINT) * c.c), 0) AS HUGEINT) AS rc
+        |       FROM r JOIN c USING (k))
+        |SELECT CAST(n.n AS BIGINT) AS n, CAST(ag.agree AS BIGINT) AS agree,
+        |  CASE WHEN n.n > 0 THEN CAST(ag.agree AS DOUBLE) / CAST(n.n AS DOUBLE) END AS p_o,
+        |  CASE WHEN n.n > 0 THEN CAST(rc.rc AS DOUBLE) / CAST(n.n * n.n AS DOUBLE) END AS p_e,
+        |  CASE WHEN n.n * n.n <> rc.rc THEN CAST(n.n * ag.agree - rc.rc AS DOUBLE)
+        |       / CAST(n.n * n.n - rc.rc AS DOUBLE) END AS kappa
+        |FROM n, ag, rc""".stripMargin,
 
     "q_scd2" ->
       """WITH ch AS (

@@ -1027,6 +1027,33 @@ class CorrelationSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Correlation
 
+  test("cohensKappa: textbook 2x2, perfect, constant-null, disjoint-zero, null listwise") {
+    // classic table: yy 20, yn 5, ny 10, nn 15 -> p_o=.7, p_e=.5, kappa=.4
+    val df = (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))).toDF("a", "b")
+    val r = Correlation.cohensKappa(df, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((50L, 35L, 0.7, 0.5, 0.4)))
+    // perfect agreement -> 1 (non-constant labels)
+    val p = Correlation.cohensKappa(
+      Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(p.getDouble(4) == 1.0)
+    // constant identical labels: n^2 == rc -> kappa undefined (null)
+    val c = Correlation.cohensKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(c.isNullAt(4))
+    // fully disjoint label sets: agree 0, chance 0 -> kappa 0
+    val d = Correlation.cohensKappa(
+      Seq(("x", "y"), ("x", "y")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(d.getLong(1) == 0L && d.getDouble(4) == 0.0)
+    // nulls excluded listwise
+    val nl = Correlation.cohensKappa(
+      Seq((Some("x"), Some("x")), (None, Some("x")), (Some("y"), None))
+        .toDF("a", "b"), "a", "b").collect()(0)
+    // (single surviving row is a constant table -> kappa undefined)
+    assert(nl.getLong(0) == 1L && nl.getLong(1) == 1L && nl.isNullAt(4))
+  }
+
   test("spearman: monotone invariance, ties, anti-correlation, constant null") {
     // y = x^3 is a nonlinear MONOTONE map: spearman must be exactly 1
     val mono = (1 to 50).map(i => (i.toDouble, (i.toDouble * i * i)))
