@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Connected components over a pair/edge frame — turns near-dup PAIRS into
   * dup CLUSTERS (component id = smallest member id), the step that makes
@@ -543,7 +544,13 @@ object Components {
     *         triangle-free nodes); self-loops and duplicate/reverse edges
     *         are collapsed first.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleFrame(edges, srcCol, dstCol).select("node", "triangles")
+
+  /** Shared (node, degree, triangles) frame behind [[triangleCounts]] and
+    * [[clusteringCoefficients]] — one canonical-edge pass serves both. */
+  private def triangleFrame(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -566,8 +573,31 @@ object Components {
     val perNode = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("t"))
-    deg.select(col("v").as("node"))
+    deg.select(col("v").as("node"), col("d").as("degree"))
       .join(perNode, Seq("node"), "left")
-      .select(col("node"), coalesce(col("t"), lit(0L)).as("triangles"))
+      .select(col("node"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
   }
+
+  /** Local clustering coefficient per node: cc = 2·T(v)/(deg(v)·(deg(v)−1))
+    * — what fraction of a node's neighbor pairs are themselves connected.
+    * The community-density readout on top of [[triangleCounts]]' counts
+    * (dense friend-groups score near 1; hubs of unrelated spokes — link
+    * farms, aggregator accounts — near 0 despite huge degree, exactly the
+    * contrast raw triangle counts blur). Same degree-ordered wedge
+    * pipeline and shuffles as triangleCounts (one shared frame); the cc
+    * division is ONE double tree over exact longs, engine-portable.
+    * Degree-1 and isolated-in-canonical-form nodes report null cc
+    * (no neighbor pair exists to close).
+    *
+    * @return (node, degree, triangles, cc), every graph node present.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame =
+    triangleFrame(edges, srcCol, dstCol)
+      .select(col("node"), col("degree").cast(LongType).as("degree"),
+        col("triangles"),
+        when(col("degree") >= 2L,
+          (col("triangles") * 2L).cast(DoubleType) /
+            (col("degree") * (col("degree") - 1L)).cast(DoubleType)).as("cc"))
 }

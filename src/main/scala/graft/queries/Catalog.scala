@@ -2078,6 +2078,16 @@ object Catalog {
       Components.triangleCounts(edges, "src", "dst").orderBy("node")
     },
 
+    "q_clustering" -> { (s, dir) =>
+      // local clustering coefficient on the same mod-200 graph as
+      // q_triangles: cc = 2T/(d(d−1)) — density where raw triangle counts
+      // blur hubs vs cliques; one exact-integer double tree per node
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+      Components.clusteringCoefficients(edges, "src", "dst").orderBy("node")
+    },
+
     "q_ppr" -> { (s, dir) =>
       // PERSONALIZED PageRank: teleport only to the ≡0-mod-10 seed nodes —
       // rank = link-proximity to the seed set; same unrolled integer rounds
@@ -5799,6 +5809,22 @@ object Catalog {
         |) GROUP BY 1)
         |SELECT n.v AS node, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles
         |FROM nodes n LEFT JOIN cnt ON cnt.v = n.v ORDER BY node""".stripMargin,
+    "q_clustering" ->
+      """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s != d),
+        |deg AS (SELECT v, count(*) AS dg FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cnt AS (SELECT v, count(*) AS t FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        |) GROUP BY 1)
+        |SELECT deg.v AS node, CAST(deg.dg AS BIGINT) AS degree,
+        |       CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN deg.dg >= 2 THEN CAST(coalesce(cnt.t, 0) * 2 AS DOUBLE)
+        |            / CAST(deg.dg * (deg.dg - 1) AS DOUBLE) END AS cc
+        |FROM deg LEFT JOIN cnt ON cnt.v = deg.v ORDER BY node""".stripMargin,
+
     "q_ppr" -> pprOracleSql(500, 5, 10),
 
     "q_pipeline_pack" ->

@@ -86,6 +86,26 @@ class PageRankSpec extends SparkSpec {
     assert(got.values.sum / 3 == 4L)
   }
 
+  test("clusteringCoefficients: clique 1s, hub 0, pendant null, hand 1/3") {
+    // triangle {1,2,3} with a pendant 4 on node 1: cc(1)=2/(3·2)=1/3,
+    // cc(2)=cc(3)=1, cc(4)=null (degree 1)
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("s", "d")
+    val got = Components.clusteringCoefficients(tri, "s", "d")
+      .orderBy("node").as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, Some(1.0 / 3.0)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 2L, 1L, Some(1.0)), (4L, 1L, 0L, None)))
+    // a star hub: degree 4, zero triangles -> cc exactly 0, not null
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")
+    val hub = Components.clusteringCoefficients(star, "s", "d")
+      .where(col("node") === 0L).as[(Long, Long, Long, Option[Double])].collect()(0)
+    assert(hub == ((0L, 4L, 0L, Some(0.0))))
+    // K4: every node cc 1 (all neighbor pairs closed)
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("s", "d")
+    assert(Components.clusteringCoefficients(k4, "s", "d")
+      .select("cc").as[Double].collect().forall(_ == 1.0))
+  }
+
   test("kCore: peels cascades, keeps the dense core, handles dirty edges") {
     // K4 core on 0-3; a chain 4-5-6 hanging off node 0; a triangle 7-8-9
     // attached to 0 via 7 — for k=3 the K4 survives, the triangle peels
