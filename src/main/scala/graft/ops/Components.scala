@@ -579,6 +579,41 @@ object Components {
         coalesce(col("t"), lit(0L)).as("triangles"))
   }
 
+  /** Degree assortativity: Pearson r of the degrees at the two ends of
+    * every edge (each edge counted in both directions, the standard
+    * Newman form) — does the graph wire like-to-like? Social graphs run
+    * positive (hubs befriend hubs); spam/link-farm and star topologies
+    * run negative (hubs point at leaves), so the SIGN alone is a
+    * structure diagnostic the per-node metrics above can't give.
+    *
+    * Shape: canonical dedup + degree agg + two skinny degree joins (the
+    * [[triangleCounts]] prologue), then the symmetrized (deg_u, deg_v)
+    * pairs fold through [[Correlation.pairAggs]]' EXACT decimal co-moments
+    * — one 1-row aggregate, r from one fixed double tree, engine-portable
+    * bit-for-bit. NULL when either marginal is constant (e.g. a clique).
+    *
+    * @return one row: (m, assortativity) — m canonical edge count.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val sym = withDeg.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(withDeg.select(col("db").as("x"), col("da").as("y")))
+    val aggs = Correlation.pairAggs(col("x"), col("y"), "as")
+    sym.agg(aggs.head, aggs.tail: _*)
+      .select(expr("n_as div 2").cast(LongType).as("m"),
+        Correlation.pairCorr("as").as("assortativity"))
+  }
+
   /** Local clustering coefficient per node: cc = 2·T(v)/(deg(v)·(deg(v)−1))
     * — what fraction of a node's neighbor pairs are themselves connected.
     * The community-density readout on top of [[triangleCounts]]' counts

@@ -2088,6 +2088,16 @@ object Catalog {
       Components.clusteringCoefficients(edges, "src", "dst").orderBy("node")
     },
 
+    "q_assortativity" -> { (s, dir) =>
+      // degree assortativity of the mod-200 graph: Pearson r of endpoint
+      // degrees over symmetrized edges — like-to-like vs hub-to-leaf
+      // wiring in one sign; exact decimal co-moments, one double tree
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+      Components.degreeAssortativity(edges, "src", "dst")
+    },
+
     "q_ppr" -> { (s, dir) =>
       // PERSONALIZED PageRank: teleport only to the ≡0-mod-10 seed nodes —
       // rank = link-proximity to the seed set; same unrolled integer rounds
@@ -5824,6 +5834,29 @@ object Catalog {
         |       CASE WHEN deg.dg >= 2 THEN CAST(coalesce(cnt.t, 0) * 2 AS DOUBLE)
         |            / CAST(deg.dg * (deg.dg - 1) AS DOUBLE) END AS cc
         |FROM deg LEFT JOIN cnt ON cnt.v = deg.v ORDER BY node""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s != d),
+        |deg AS (SELECT v, count(*) AS dg FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |ed AS (SELECT da.dg AS x, db.dg AS y
+        |       FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |p AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx,
+        |             sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy
+        |      FROM p)
+        |SELECT CAST(n // 2 AS BIGINT) AS m,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS assortativity
+        |FROM m""".stripMargin,
 
     "q_ppr" -> pprOracleSql(500, 5, 10),
 

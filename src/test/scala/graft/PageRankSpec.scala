@@ -106,6 +106,35 @@ class PageRankSpec extends SparkSpec {
       .select("cc").as[Double].collect().forall(_ == 1.0))
   }
 
+  test("degreeAssortativity: star -1, path -1, clique null, random matches scalar Pearson") {
+    // star K1,4: every edge joins degree 4 to degree 1 -> exactly -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")
+    val rs = Components.degreeAssortativity(star, "s", "d").collect()(0)
+    assert(rs.getLong(0) == 4L && rs.getDouble(1) == -1.0)
+    // clique: constant degrees -> null
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("s", "d")
+    assert(Components.degreeAssortativity(k4, "s", "d").collect()(0).isNullAt(1))
+    // random graph: matches a driver-side scalar Pearson over the same
+    // symmetrized degree pairs to 1e-12
+    val es = (1 to 400).map(i => ((i * 17L) % 47L, (i * 31L) % 53L + 47L))
+      .toDF("s", "d")
+    val got = Components.degreeAssortativity(es, "s", "d").collect()(0).getDouble(1)
+    val canon = es.select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .where(col("a") =!= col("b")).distinct().as[(Long, Long)].collect()
+    val deg = canon.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.length.toDouble }
+    val pairs = canon.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val ref = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(got - ref) < 1e-12, s"$got vs $ref")
+  }
+
   test("kCore: peels cascades, keeps the dense core, handles dirty edges") {
     // K4 core on 0-3; a chain 4-5-6 hanging off node 0; a triangle 7-8-9
     // attached to 0 via 7 — for k=3 the K4 survives, the triangle peels
