@@ -367,6 +367,46 @@ object TextAnalysis {
         col("score_fx"), (col("score_fx").cast(DoubleType) / lit(1000000.0)).as("tfidf"))
   }
 
+  /** Per-slice unigram KL divergence vs the whole corpus: KL(P_slice ‖
+    * P_corpus) = Σₜ pₜ·ln(pₜ/qₜ) over the slice's tokens — WHICH segment's
+    * token mix diverges, and by how many nats (the corpus-composition
+    * drilldown next to [[Correlation.mutualInfo]]'s single association
+    * number; DSIR scores documents against two fixed corpora, this scores
+    * every SLICE against its own corpus). No smoothing needed: the corpus
+    * marginal dominates every slice (qₜ > 0 wherever pₜ > 0).
+    *
+    * Shape: one (slice, token) shuffle with map-side combine; the slice
+    * and token marginals ride bounded window sums over the cell frame
+    * (mutualInfo's discipline); each transcendental term quantizes through
+    * the portable fixed-point long (scale 9) and sums order-free, so the
+    * statistic replays cross-engine (sub-1e-9 quantization documented).
+    *
+    * @return one row per slice: (slice, n_tokens, vocab, kl_fx, kl).
+    */
+  def vocabKlBySlice(df: DataFrame, textCol: String, sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.metrics.MetricColumns
+    val cells = df.where(col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("slice"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy("slice", "__t").agg(count(lit(1)).as("__o"))
+    val nF = cells.agg(sum(col("__o")).cast(LongType).as("__n"))
+    val withTot = cells
+      .withColumn("__ns", sum(col("__o")).over(Window.partitionBy("slice")))
+      .withColumn("__ct", sum(col("__o")).over(Window.partitionBy("__t")))
+      .crossJoin(broadcast(nF))
+    val od = col("__o").cast(DoubleType); val nsd = col("__ns").cast(DoubleType)
+    val ctd = col("__ct").cast(DoubleType); val nd = col("__n").cast(DoubleType)
+    val term = (od / nsd) * log((od * nd) / (nsd * ctd))
+    withTot
+      .select(col("slice"), col("__ns"),
+        MetricColumns.fixedPointLong(term, 9).as("__tfx"))
+      .groupBy("slice")
+      .agg(max(col("__ns")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("__tfx")).cast(LongType).as("kl_fx"))
+      .withColumn("kl", col("kl_fx").cast(DoubleType) / lit(1000000000.0))
+  }
+
   /** Corpus-frequency commonness: mean corpus term-frequency of a document's
     * tokens — documents made of rare tokens (gibberish, code dumps,
     * boilerplate IDs) score low, a cheap corpus-relative quality dimension

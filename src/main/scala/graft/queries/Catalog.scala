@@ -664,6 +664,14 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_kl_slice" -> { (s, dir) =>
+      // which language's token mix diverges from the corpus, in nats —
+      // per-slice unigram KL with mutualInfo's bounded-window marginals;
+      // transcendental terms quantize to fx-9 longs and sum order-free
+      val docs = t(s, dir, "documents")
+      TextAnalysis.vocabKlBySlice(docs, "text", "lang").orderBy("slice")
+    },
+
     "q_kappa" -> { (s, dir) =>
       // chance-corrected label agreement: lang vs a "sloppy second
       // annotator" that mislabels every ≡0-mod-9 doc as 'zz' — the
@@ -4312,6 +4320,33 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_kl_slice" ->
+      """WITH tok AS (SELECT lang AS slice,
+        |         unnest(string_split_regex(text, '\s+')) AS token
+        |       FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT slice, token, count(*) AS o FROM tok GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |w AS (SELECT slice, o,
+        |             sum(o) OVER (PARTITION BY slice) AS ns,
+        |             sum(o) OVER (PARTITION BY token) AS ct FROM c),
+        |t AS (SELECT slice, ns,
+        |  CASE WHEN (CAST(o AS DOUBLE) / CAST(ns AS DOUBLE))
+        |            * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |                 / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))) >= 0
+        |  THEN CAST(floor((CAST(o AS DOUBLE) / CAST(ns AS DOUBLE))
+        |            * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |                 / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE)))
+        |            * 1000000000.0 + 0.5) AS BIGINT)
+        |  ELSE -CAST(floor(-((CAST(o AS DOUBLE) / CAST(ns AS DOUBLE))
+        |            * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |                 / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))))
+        |            * 1000000000.0 + 0.5) AS BIGINT) END AS tfx
+        |  FROM w CROSS JOIN n)
+        |SELECT slice, CAST(max(ns) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        |       CAST(sum(tfx) AS BIGINT) AS kl_fx,
+        |       CAST(CAST(sum(tfx) AS BIGINT) AS DOUBLE) / 1000000000.0 AS kl
+        |FROM t GROUP BY slice ORDER BY slice""".stripMargin,
 
     "q_kappa" ->
       """WITH lab AS (SELECT lang AS a,

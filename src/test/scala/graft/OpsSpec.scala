@@ -1779,6 +1779,37 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("vocabKlBySlice: hand KL, identical-mix zero, null slices dropped, layout invariance") {
+    // A: x x y  B: x y y y  -> N=7, C_x=3, C_y=4
+    val df = Seq(("a", "x x y"), ("b", "x y y y")).toDF("lang", "text")
+    val got = TextAnalysis.vocabKlBySlice(df, "text", "lang")
+      .orderBy("slice")
+      .select("slice", "n_tokens", "vocab", "kl").as[(String, Long, Long, Double)]
+      .collect().toSeq
+    def kl(ps: Seq[(Double, Double)]) =
+      ps.map { case (p, q) => p * math.log(p / q) }.sum
+    val ka = kl(Seq((2.0 / 3, 3.0 / 7), (1.0 / 3, 4.0 / 7)))
+    val kb = kl(Seq((1.0 / 4, 3.0 / 7), (3.0 / 4, 4.0 / 7)))
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("a", 3L, 2L), ("b", 4L, 2L)))
+    assert(math.abs(got(0)._4 - ka) < 2e-9 && math.abs(got(1)._4 - kb) < 2e-9)
+    // slices whose mix equals the corpus mix: exactly 0 (every term ln 1)
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("lang", "text")
+    assert(TextAnalysis.vocabKlBySlice(same, "text", "lang")
+      .select("kl").as[Double].collect().forall(_ == 0.0))
+    // null slice rows are excluded entirely
+    val withNull = Seq((Some("a"), "x"), (None, "zzz")).toDF("lang", "text")
+    val r = TextAnalysis.vocabKlBySlice(withNull, "text", "lang").collect()
+    assert(r.length == 1 && r(0).getString(0) == "a" && r(0).getLong(1) == 1L)
+    // layout invariance: fx terms sum order-free
+    val big = (1 to 300).map(i => (s"L${i % 3}", s"t${i % 17} t${i % 5} t${i % 29}"))
+      .toDF("lang", "text")
+    val one = TextAnalysis.vocabKlBySlice(big, "text", "lang")
+      .orderBy("slice").collect().map(_.toSeq).toSeq
+    val two = TextAnalysis.vocabKlBySlice(big.repartition(23), "text", "lang")
+      .orderBy("slice").collect().map(_.toSeq).toSeq
+    assert(one == two)
+  }
+
   test("hash sampling is deterministic, refinable, and stratified fractions apply") {
     val ids = spark.range(0, 1000).toDF("id")
     val s10 = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
