@@ -296,6 +296,42 @@ object Outliers {
     }
   }
 
+  /** TRIMMED mean: the mean of the values strictly inside the exact
+    * [pLow, pHigh] percentile fences — [[winsorize]]'s drop-don't-clip
+    * sibling (winsorizing pulls tail mass ONTO the fences and keeps row
+    * count; trimming discards the tails entirely — the estimator of choice
+    * when tail values are garbage rather than merely extreme). `valueCol`
+    * must be integer-valued (quantize via fixedPointLong first).
+    *
+    * Exact end-to-end: fences from the [[exactPercentilesRouted]] counts
+    * path (quantile_cont semantics, no value multiset in any task), the
+    * kept-sum as DECIMAL(38,0), ONE final double division — plus the
+    * fence compares on exact half-representable doubles; everything
+    * replays cross-engine bit-for-bit.
+    *
+    * @return one row: (n_total, n_kept, lo, hi, trimmed_mean).
+    */
+  def trimmedMean(df: DataFrame, valueCol: String, pLow: Double = 0.05,
+                  pHigh: Double = 0.95,
+                  maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "bad percentile bounds")
+    val Seq(lo, hi) =
+      exactPercentilesRouted(df, col(valueCol), Seq(pLow, pHigh), maxLocalDistinct)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val vd = col("__v").cast(DoubleType)
+    val kept = vd >= lit(lo) && vd <= lit(hi)
+    df.select(col(valueCol).cast(LongType).as("__v"))
+      .where(col("__v").isNotNull)
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(kept, lit(1))).as("n_kept"),
+        sum(when(kept, col("__v")).cast(DecimalType(38, 0))).as("__s"))
+      .select(col("n_total"), col("n_kept"), lit(lo).as("lo"), lit(hi).as("hi"),
+        when(col("n_kept") > 0,
+          col("__s").cast(DoubleType) / col("n_kept").cast(DoubleType))
+          .as("trimmed_mean"))
+  }
+
   /** Robust per-group outlier flags via the MEDIAN / MAD rule (the Hampel
     * identifier): a row is an outlier when |x − median| > k·MAD, with
     * MAD = median(|x − median|). Unlike the mean/stddev z-score, a few

@@ -664,6 +664,17 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_trimmed_mean" -> { (s, dir) =>
+      // trimmed mean of price cents inside DYADIC [1/16, 15/16] fences:
+      // drop-don't-clip robust center — dyadic p makes the interpolated
+      // fence an exact rational, so Spark's vl+f·Δ and DuckDB's
+      // vl(1−f)+vh·f trees agree bit-for-bit (non-dyadic p diverges in
+      // the low bit); decimal kept-sum, one double division
+      val li = t(s, dir, "lineitem").select(
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.trimmedMean(li, "cents", 0.0625, 0.9375)
+    },
+
     "q_kl_slice" -> { (s, dir) =>
       // which language's token mix diverges from the corpus, in nats —
       // per-slice unigram KL with mutualInfo's bounded-window marginals;
@@ -4320,6 +4331,21 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH f AS (SELECT CAST(CASE WHEN l_extendedprice >= 0
+        |         THEN floor(l_extendedprice * 100.0 + 0.5)
+        |         ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v
+        |       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT quantile_cont(v, 0.0625) AS lo, quantile_cont(v, 0.9375) AS hi,
+        |             CAST(count(*) AS BIGINT) AS n_total FROM f),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |             sum(CAST(v AS HUGEINT)) AS s
+        |      FROM f, b WHERE CAST(v AS DOUBLE) >= b.lo AND CAST(v AS DOUBLE) <= b.hi)
+        |SELECT b.n_total, k.n_kept, b.lo, b.hi,
+        |       CASE WHEN k.n_kept > 0
+        |            THEN CAST(k.s AS DOUBLE) / CAST(k.n_kept AS DOUBLE) END AS trimmed_mean
+        |FROM b, k""".stripMargin,
 
     "q_kl_slice" ->
       """WITH tok AS (SELECT lang AS slice,

@@ -1022,6 +1022,33 @@ class OutliersSpec extends SparkSpec {
   }
 }
 
+class TrimmedMeanSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("trimmedMean: hand fences, outlier immunity, full-range identity, route equivalence") {
+    // 1..10 at p05/p95: fences 1.45 / ~9.55 -> keeps 2..9, mean 5.5
+    // (hi replays quantile_cont's own IEEE tree: 9 + (9·0.95 − 8))
+    val df = (1L to 10L).toDF("v")
+    val r = Outliers.trimmedMean(df, "v", 0.05, 0.95).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((10L, 8L, 1.0 + (9 * 0.05 - 0.0), 9.0 + (9 * 0.95 - 8.0), 5.5)))
+    // a wild outlier is DROPPED from the trimmed mean (vs dragged mean)
+    val out = ((1L to 99L) :+ 1000000L).toDF("v")
+    val tm = Outliers.trimmedMean(out, "v", 0.01, 0.99).collect()(0).getDouble(4)
+    assert(tm < 60.0, s"trimmed mean immune to the tail: $tm")
+    // p0..p1 keeps everything: trimmed mean == plain mean
+    val full = Outliers.trimmedMean(df, "v", 0.0, 1.0).collect()(0)
+    assert(full.getLong(1) == 10L && full.getDouble(4) == 5.5)
+    // distributed prefix-sum route returns identical output
+    val big = (1 to 4000).map(i => (i * 13L) % 997L).toDF("v")
+    val a = Outliers.trimmedMean(big, "v", 0.1, 0.9).collect()(0).toSeq
+    val b = Outliers.trimmedMean(big, "v", 0.1, 0.9, maxLocalDistinct = 8)
+      .collect()(0).toSeq
+    assert(a == b)
+  }
+}
+
 class CorrelationSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
