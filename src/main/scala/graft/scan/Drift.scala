@@ -415,6 +415,36 @@ object Drift {
     (u1d, ties, auc, z)
   }
 
+  /** Scalar twin of [[wasserstein1]] for the sketch-bounded window samples
+    * the KS/MWU monitors collect ([[graft.streaming.StreamingMonitor
+    * .ksSketchStream]]) — per-window "how far did the mass move" against a
+    * static reference, on the driver, at sample cost. Values truncate to
+    * longs exactly like the distributed column cast; the accumulator is a
+    * BigInt of the SAME |k₁·n₂−k₂·n₁|·Δv integer terms and the final
+    * division replays the distributed decimal→double tree, so the twin is
+    * BIT-EQUAL to [[wasserstein1]] on equal frames (spec-asserted).
+    */
+  def w1OfSamples(ref: Seq[Double], cur: Seq[Double]): Double = {
+    require(ref.nonEmpty && cur.nonEmpty, "both samples need values")
+    val n1 = ref.size.toLong; val n2 = cur.size.toLong
+    val all = (ref.map(v => (v.toLong, 1)) ++ cur.map(v => (v.toLong, 2)))
+      .sortBy(_._1)
+    var i = 0; var k1 = 0L; var k2 = 0L
+    var acc = BigInt(0)
+    while (i < all.length) {
+      val v = all(i)._1
+      var j = i
+      while (j < all.length && all(j)._1 == v) {
+        if (all(j)._2 == 1) k1 += 1 else k2 += 1
+        j += 1
+      }
+      if (j < all.length)
+        acc += BigInt(math.abs(k1 * n2 - k2 * n1)) * (all(j)._1 - v)
+      i = j
+    }
+    acc.toDouble / (BigInt(n1) * BigInt(n2)).toDouble
+  }
+
   def psiBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
                  lo: Double, hi: Double, buckets: Int,
                  eps: Double = 1e-6): DataFrame =

@@ -1373,6 +1373,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed W1: sample twin equals the distributed statistic, shift magnitude reads in w1") {
+    import spark.implicits._
+    import graft.scan.Drift
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val w0 = (1 to 20).map(i => (ts(0, i), i.toLong, i.toDouble))          // = reference
+    val w1 = (1 to 20).map(i => (ts(1, i), 100L + i, i.toDouble + 50.0))   // shifted +50
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingMonitor.ksSketchStream(
+      stream.toDF().toDF("ts", "id", "v"), "ts", "10 minutes", "1 hour",
+      xxhash64(col("id")), col("v"), k = 64)
+    val query = out.writeStream.format("memory")
+      .queryName("w1_stream").outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    query.processAllAvailable()
+    val windows = spark.table("w1_stream")
+      .select(col("window_start"), col("sample"))
+      .as[(Timestamp, Seq[Double])].collect().sortBy(_._1.getTime)
+    query.stop()
+
+    val ref = (1 to 20).map(_.toDouble)
+    // window 0 == reference: zero mass moved; window 1: a pure +50 shift
+    // moves every quantile 50 units — W1 reads the MAGNITUDE where KS
+    // saturates at 1 for any disjoint shift
+    assert(Drift.w1OfSamples(ref, windows(0)._2) == 0.0)
+    assert(Drift.w1OfSamples(ref, windows(1)._2) == 50.0)
+    // bit-parity with the distributed statistic on the same frames
+    for ((r, cur) <- Seq((ref, windows(1)._2), (ref, windows(0)._2),
+      (Seq(1.0, 3.0, 3.0), Seq(2.0, 7.0)))) {
+      val batch = Drift.wasserstein1(r.toDF("v"), cur.toDF("v"), "v")
+        .select("w1").as[Double].collect()(0)
+      assert(batch == Drift.w1OfSamples(r, cur))
+    }
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
