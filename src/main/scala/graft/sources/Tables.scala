@@ -78,4 +78,34 @@ object Tables {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
+
+  /** Raw-binary ingestion via the built-in `binaryFile` source: one row
+    * per file — (path, modificationTime, length, content) — the landing
+    * zone for media dropped as loose files rather than parquet columns.
+    * Distributed file listing + per-file rows; `glob` prunes at the
+    * LISTING (files never open), and `maxLength` guards executors from a
+    * stray multi-GB payload (oversize files fail loudly rather than OOM).
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*",
+                  maxLength: Long = 256L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .where(col("length") <= maxLength)
+
+  /** [[binaryFiles]] shaped into the multimodal media-table contract:
+    * (media_id = filename stem, fmt = magic-byte sniff, n_bytes, payload)
+    * — the bridge from a directory of loose media files onto every
+    * [[graft.ops.Multimodal]] operator (dHash, fingerprints, decode,
+    * near-dup). Format comes from CONTENT, not the file extension —
+    * mislabeled uploads land under their true format.
+    */
+  def mediaTable(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    binaryFiles(spark, path, glob)
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1),
+          "^(.*?)(\\.[^.]*)?$", 1).as("media_id"),
+        graft.ops.Multimodal.sniffFormat(col("content")).as("fmt"),
+        col("length").as("n_bytes"),
+        col("content").as("payload"))
 }

@@ -41,6 +41,31 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,1)"), plan)
   }
 
+  test("binaryFiles + mediaTable: loose media files land typed, globbed, size-capped") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_bin")
+    val bmp = graft.ops.Multimodal.Codecs.grayBmp(4, 4, (x, y) => (x * 16 + y) % 256)
+    Files.write(dir.resolve("imgA.bmp"), bmp)
+    Files.write(dir.resolve("imgB.bmp"), bmp)
+    Files.write(dir.resolve("notes.txt"), "hello".getBytes("UTF-8"))
+    Files.write(dir.resolve("huge.bmp"), Array.fill[Byte](4096)(1))
+    // glob prunes at listing; the size cap drops the oversize payload
+    val media = Tables.mediaTable(spark, dir.toString, glob = "*.bmp")
+      .where(col("n_bytes") < 4096L)
+      .orderBy("media_id").collect()
+    assert(media.map(_.getString(0)).toSeq == Seq("imgA", "imgB"))
+    // format from CONTENT (magic bytes), not the extension
+    assert(media.forall(_.getString(1) == "image/bmp"))
+    assert(media.forall(_.getLong(2) == bmp.length.toLong))
+    assert(media.forall(r => r.getAs[Array[Byte]](3).sameElements(bmp)))
+    // the raw surface exposes path + length for manifest-style audits
+    val raw = Tables.binaryFiles(spark, dir.toString, maxLength = bmp.length.toLong)
+    assert(raw.count() == 3L) // huge.bmp (4096 B) filtered by the cap
+    // a text payload sniffs as octet-stream, not as its extension either
+    val txt = Tables.mediaTable(spark, dir.toString, glob = "*.txt").collect()
+    assert(txt.length == 1 && txt(0).getString(1) == "application/octet-stream")
+  }
+
   test("partitioned parquet write + read prunes by partition") {
     val p = tmp("graft_parq")
     Tables.writeParquet(df.withColumn("part", $"id" % 2), p, partitionBy = Seq("part"))
