@@ -786,6 +786,17 @@ object Catalog {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_wasserstein_group" -> { (s, dir) =>
+      // per-language W1 of document length between the two sources — the
+      // magnitude drilldown next to q_ks_group's largest-gap (how many
+      // CHARS did each language's length distribution move)
+      val docs = t(s, dir, "documents")
+      graft.scan.Drift.wasserstein1ByGroup(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") === "src1"), "n_chars", "lang")
+        .orderBy("lang")
+    },
+
     "q_ks_group" -> { (s, dir) =>
       // per-language KS of document length between two sources — drift
       // localized to the segment that moved; n_chars is already integer
@@ -4564,6 +4575,33 @@ object Catalog {
         |        FROM k, n WHERE vn IS NOT NULL)
         |       / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS w1
         |FROM n""".stripMargin,
+
+    "q_wasserstein_group" ->
+      """WITH u AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v, 1 AS side
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang, CAST(n_chars AS BIGINT), 2
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT g, v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY g, v),
+        |k AS (SELECT g, v, c1, c2,
+        |             sum(c1) OVER (PARTITION BY g ORDER BY v) AS k1,
+        |             sum(c2) OVER (PARTITION BY g ORDER BY v) AS k2,
+        |             lead(v) OVER (PARTITION BY g ORDER BY v) AS vn,
+        |             sum(c1) OVER (PARTITION BY g) AS n1,
+        |             sum(c2) OVER (PARTITION BY g) AS n2
+        |      FROM c)
+        |SELECT g AS lang, CAST(max(n1) AS BIGINT) AS n_ref,
+        |       CAST(max(n2) AS BIGINT) AS n_cur,
+        |       CAST(sum(CASE WHEN vn IS NOT NULL
+        |                THEN abs(CAST(k1 AS HUGEINT) * n2 - CAST(k2 AS HUGEINT) * n1)
+        |                     * (vn - v) ELSE 0 END) AS DOUBLE)
+        |       / CAST(CAST(max(n1) AS HUGEINT) * max(n2) AS DOUBLE) AS w1
+        |FROM k WHERE n1 > 0 AND n2 > 0
+        |GROUP BY g ORDER BY lang""".stripMargin,
 
     "q_ks_group" ->
       """WITH u AS (

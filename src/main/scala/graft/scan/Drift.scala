@@ -302,6 +302,49 @@ object Drift {
           col("k2").cast(DoubleType) / col("n2").cast(DoubleType))).as("ks_stat"))
   }
 
+  /** Per-GROUP exact Wasserstein-1: [[wasserstein1]] computed independently
+    * per `groupCol` value — WHICH segment's distribution moved and by HOW
+    * MANY units (the magnitude drilldown next to [[ksStatisticByGroup]]'s
+    * largest-gap). Like the per-group KS, group-bounded `lead`/running-sum
+    * windows replace the global two-phase machinery — no funnel to avoid;
+    * the per-group segment terms are the same exact |k₁·n₂−k₂·n₁|·Δv
+    * integers summed as DECIMAL(38,0), one double division per group.
+    * Groups present on only one side are excluded.
+    */
+  def wasserstein1ByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+                          groupCol: String): DataFrame = {
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(groupCol).as("g"), col(valueCol).cast(LongType).as("v"))
+        .where(col("v").isNotNull && col("g").isNotNull)
+        .withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("g", "v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val cross = abs(
+      col("k1").cast(DecimalType(38, 0)) * col("n2") -
+      col("k2").cast(DecimalType(38, 0)) * col("n1"))
+    counts
+      .withColumn("k1", sum(col("c1")).over(wRun))
+      .withColumn("k2", sum(col("c2")).over(wRun))
+      .withColumn("vn", lead(col("v"), 1).over(wRun))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .where(col("n1") > 0L && col("n2") > 0L)
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+        sum(when(col("vn").isNotNull,
+            cross * (col("vn") - col("v")).cast(DecimalType(38, 0)))
+          .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("wfx"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        (col("wfx").cast(DoubleType) /
+          (col("n_ref").cast(DecimalType(38, 0)) * col("n_cur"))
+            .cast(DoubleType)).as("w1"))
+  }
+
   /** Exact two-sample KS of two BOUNDED in-memory samples (merge walk over
     * the sorted values) — the driver-side companion of [[ksStatistic]] for
     * sketch-sized inputs (e.g. per-window bottom-k samples from

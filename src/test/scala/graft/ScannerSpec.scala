@@ -409,6 +409,26 @@ class ScannerSpec extends SparkSpec {
       .collect()(0) == ((4000L, 4000L, 13.0)))
   }
 
+  test("wasserstein1ByGroup: per-group parity with the global statistic, one-sided exclusion") {
+    import graft.scan.Drift
+    import spark.implicits._
+    val ref = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("b", 0L), ("b", 10L),
+      ("only_ref", 3L)).toDF("g", "v")
+    val cur = Seq(("a", 11L), ("a", 12L), ("a", 15L), ("b", 0L), ("b", 0L),
+      ("b", 10L), ("b", 10L), ("b", 10L)).toDF("g", "v")
+    val got = Drift.wasserstein1ByGroup(ref, cur, "v", "g")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    // group a: pure +10 shift -> 10.0; group b: the unequal-n hand case -> 1.0
+    assert(got == Seq(("a", 3L, 3L, 10.0), ("b", 2L, 5L, 1.0)))
+    // each group's statistic equals the GLOBAL operator run on that slice
+    for (g <- Seq("a", "b")) {
+      val global = Drift.wasserstein1(
+        ref.where(col("g") === g), cur.where(col("g") === g), "v")
+        .select("w1").as[Double].collect()(0)
+      assert(got.find(_._1 == g).get._4 == global)
+    }
+  }
+
   test("chiSquareCategorical: hand chi2, identical-mix zero, one-sided categories, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._
