@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Equi-DEPTH binning (feature discretization / quantile bucketing): cut an
   * integer-valued column into `k` buckets of ~equal row count — the
@@ -207,6 +207,45 @@ object Binning {
       .groupBy("p")
       .agg(min("v").as("value"), max("w_total").as("w_total"))
       .orderBy("p")
+  }
+
+  /** Gini concentration coefficient of a non-negative mass column — "is
+    * the corpus dominated by a few domains / the revenue by a few
+    * customers?" in one [0, 1) number (0 = perfectly even, → 1 = one key
+    * holds everything). Feed one row per key (aggregate per-key mass
+    * first); G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * masses, tie-stable by construction.
+    *
+    * NO global sort/rank window: runs of equal masses contribute
+    * x·(c·r₀ + c(c+1)/2) to Σ i·xᵢ in closed form, so the whole statistic
+    * rides the (mass, count) frame + the cardinality-routed cumulative
+    * (r₀ = cum − c) — the [[equiDepthBins]] discipline. Every operand is
+    * an exact DECIMAL(38,0) integer; ONE final double division.
+    *
+    * @return one row: (n_keys, total, gini); gini null when total = 0.
+    */
+  def giniCoefficient(df: DataFrame, valueCol: Column,
+                      maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    val counts = distinctValueCounts(df, valueCol)
+      .where(col("v") >= 0L)
+    val distinct = counts.count() // one cheap job; shuffle files are reused
+    require(distinct > 0, "no non-negative masses")
+    val cum = cumulativeFromCounts(counts, distinct, maxLocalDistinct)
+    val dec = DecimalType(38, 0)
+    val c = col("c").cast(dec); val v = col("v").cast(dec)
+    val r0 = (col("cum") - col("c")).cast(dec)
+    // 2·Σᵢ i·xᵢ carries the ×2 INSIDE the run term (2·c·r₀ + c(c+1)) so
+    // every operand stays an exact decimal integer — no decimal division
+    cum.agg(
+        sum(c).cast(dec).as("n"),
+        sum(v * c).as("sx"),
+        sum(v * (lit(2) * c * r0 + c * (c + lit(1)))).as("six2"))
+      .select(
+        col("n").cast(LongType).as("n_keys"),
+        col("sx").cast(LongType).as("total"),
+        when(col("sx") > 0,
+          (col("six2") - (col("n") + lit(1)) * col("sx")).cast(DoubleType) /
+            (col("n") * col("sx")).cast(DoubleType)).as("gini"))
   }
 
   /** Attach [[valueRanks]]'s normalization to the rows themselves: the

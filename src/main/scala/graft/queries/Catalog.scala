@@ -664,6 +664,18 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_gini" -> { (s, dir) =>
+      // revenue concentration across customers: Gini of per-customer
+      // order totals (cents) — the "is the corpus dominated by a few
+      // keys" diagnostic; closed-form run terms on the routed cumulative,
+      // no global rank window
+      val o = t(s, dir, "orders")
+      val perCust = o.groupBy("o_custkey")
+        .agg(sum(MetricColumns.fixedPointLong(col("o_totalprice"), 2))
+          .cast(LongType).as("cents"))
+      Binning.giniCoefficient(perCust, col("cents"))
+    },
+
     "q_trimmed_mean" -> { (s, dir) =>
       // trimmed mean of price cents inside DYADIC [1/16, 15/16] fences:
       // drop-don't-clip robust center — dyadic p makes the interpolated
@@ -4342,6 +4354,25 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_gini" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(CASE WHEN o_totalprice >= 0
+        |         THEN floor(o_totalprice * 100.0 + 0.5)
+        |         ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (SELECT cents AS v, count(*) AS c FROM per WHERE cents >= 0 GROUP BY cents),
+        |k AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        |m AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+        |             CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS sx,
+        |             CAST(sum(CAST(v AS HUGEINT)
+        |                  * (2 * CAST(c AS HUGEINT) * (cum - c)
+        |                     + CAST(c AS HUGEINT) * (c + 1))) AS HUGEINT) AS six2
+        |      FROM k)
+        |SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total,
+        |  CASE WHEN sx > 0 THEN CAST(six2 - (n + 1) * sx AS DOUBLE)
+        |       / CAST(n * sx AS DOUBLE) END AS gini
+        |FROM m""".stripMargin,
 
     "q_trimmed_mean" ->
       """WITH f AS (SELECT CAST(CASE WHEN l_extendedprice >= 0

@@ -1250,6 +1250,25 @@ class BinningSpec extends SparkSpec {
       .select("v_rz").collect().forall(_.isNullAt(0)))
   }
 
+  test("giniCoefficient: even zero, extreme concentration, textbook case, route equivalence") {
+    // perfectly even masses -> 0
+    val even = Seq(5L, 5L, 5L, 5L).toDF("x")
+    val e = Binning.giniCoefficient(even, col("x")).collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getDouble(2)) == ((4L, 20L, 0.0)))
+    // one key holds everything among n: G = (n-1)/n
+    val one = (Seq.fill(9)(0L) :+ 100L).toDF("x")
+    assert(Binning.giniCoefficient(one, col("x")).collect()(0).getDouble(2) == 0.9)
+    // textbook: masses 1,2,3,4 -> G = (2*(1+4+9+16) - 5*10)/(4*10) = 0.25
+    val t = Seq(1L, 2L, 3L, 4L).toDF("x")
+    assert(Binning.giniCoefficient(t, col("x")).collect()(0).getDouble(2) == 0.25)
+    // distributed prefix-sum route returns identical output
+    val big = (1 to 3000).map(i => (i * 7L) % 501L).toDF("x")
+    val a = Binning.giniCoefficient(big, col("x")).collect()(0).toSeq
+    val b = Binning.giniCoefficient(big, col("x"), maxLocalDistinct = 8)
+      .collect()(0).toSeq
+    assert(a == b)
+  }
+
   test("weightedPercentiles: hand fences, unit-weight type-1 parity, zero-weight invisibility, route equivalence") {
     // values 1..4, weights 1,1,1,7 -> W=10; cum: 1,2,3,10.
     // p=.2 -> first cum>=2 is v=2; p=.3 -> v=3; p=.31..1 -> v=4
