@@ -664,6 +664,20 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_fdr" -> { (s, dir) =>
+      // BH FDR over a deterministic p-value battery: uniform md5-hash p
+      // per order, with a planted low-p signal block (≡0 mod 97) the
+      // step-up rule must recover without flooding false alarms
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("test_id"))
+      val u = (graft.ops.Shingles.md5Hash60(
+        concat(col("test_id").cast("string"), lit("|fdr"))) % 1000003L)
+        .cast(DoubleType) / lit(1000003.0)
+      val withP = o.withColumn("p",
+        when(col("test_id") % 97 === 0, u / lit(1000.0)).otherwise(u))
+      graft.scan.Drift.fdrControl(withP, "p", 0.05, Seq("test_id"))
+        .orderBy("p_rank")
+    },
+
     "q_gini" -> { (s, dir) =>
       // revenue concentration across customers: Gini of per-customer
       // order totals (cents) — the "is the corpus dominated by a few
@@ -4354,6 +4368,27 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_fdr" ->
+      """WITH t AS (SELECT o_orderkey AS test_id,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|fdr'), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |p0 AS (SELECT test_id,
+        |    CASE WHEN test_id % 97 = 0
+        |         THEN CAST(h % 1000003 AS DOUBLE) / 1000003.0 / 1000.0
+        |         ELSE CAST(h % 1000003 AS DOUBLE) / 1000003.0 END AS p FROM t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p0),
+        |r AS (SELECT test_id, p,
+        |        CAST(row_number() OVER (ORDER BY p, test_id) AS BIGINT) AS p_rank
+        |      FROM p0),
+        |f AS (SELECT test_id, p, p_rank,
+        |        least(CAST(p AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |              / CAST(p_rank AS DOUBLE), 1.0) AS ff
+        |      FROM r, n),
+        |q AS (SELECT test_id, p, p_rank,
+        |        min(ff) OVER (ORDER BY p_rank DESC) AS bh_q FROM f)
+        |SELECT test_id, p, p_rank, bh_q, bh_q <= 0.05 AS reject
+        |FROM q ORDER BY p_rank""".stripMargin,
 
     "q_gini" ->
       """WITH per AS (SELECT o_custkey,

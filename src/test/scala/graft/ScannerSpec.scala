@@ -381,6 +381,48 @@ class ScannerSpec extends SparkSpec {
     assert(dup == ((3L, 3L, 2.0 / 3.0 - 1.0 / 3.0)))
   }
 
+  test("fdrControl: textbook BH step-up, q monotone, cap at 1, layout invariance") {
+    import graft.scan.Drift
+    import spark.implicits._
+    // classic example (n=5, alpha=0.25): p = .01,.04,.1,.3,.5
+    // f = .05,.1,.166...,.375,.5; suffix-min q = .05,.1,.1666..,.375,.5
+    // -> reject ranks 1-3 (q <= .25) even though p3=.1 > .25*3/5=.15? no:
+    // q3 = 1/6 <= .25 -> rejected by step-up (p3 <= alpha*3/5 = .15 holds)
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.1), ("d", 0.3), ("e", 0.5))
+      .toDF("id", "p")
+    val r = Drift.fdrControl(df, "p", 0.25, Seq("id"))
+      .orderBy("p_rank")
+      .select("id", "p_rank", "bh_q", "reject")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(r.map(_._1) == Seq("a", "b", "c", "d", "e"))
+    assert(r.map(_._2) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.map(_._3) == Seq(0.05, 0.1, 0.1 * 5 / 3, 0.3 * 5 / 4, 0.5))
+    assert(r.map(_._4) == Seq(true, true, true, false, false))
+    // step-up rescue: a large p ahead of a small one inherits the later
+    // (smaller) f through the suffix min -> q is monotone non-decreasing
+    val resc = Drift.fdrControl(
+      Seq(("x", 0.04), ("y", 0.045)).toDF("id", "p"), "p", 0.05, Seq("id"))
+      .orderBy("p_rank").select("bh_q").as[Double].collect().toSeq
+    assert(resc == Seq(0.045, 0.045)) // min(.08, .045) = .045 for rank 1
+    // q caps at 1.0
+    val cap = Drift.fdrControl(Seq(("z", 0.9)).toDF("id", "p"), "p", 0.05, Seq("id"))
+      .select("bh_q").as[Double].collect()(0)
+    assert(cap == 0.9) // n=1: f = .9; a lone p stays itself
+    // 0.99·4/1 caps at 1 within rank 1's own term, but rank 4's f = 0.99
+    // flows back through the suffix min — all q = 0.99 (textbook BH)
+    val cap2 = Drift.fdrControl(
+      (1 to 4).map(i => (s"t$i", 0.99)).toDF("id", "p"), "p", 0.05, Seq("id"))
+      .select("bh_q").as[Double].collect().toSeq
+    assert(cap2.forall(_ == 0.99))
+    // layout invariance: many partitions, same ranks/q/rejects
+    val big = (1 to 2000).map(i => (s"t$i", ((i * 37) % 1999) / 1999.0 + 1e-6))
+    val one = Drift.fdrControl(big.toDF("id", "p"), "p", 0.1, Seq("id"))
+      .orderBy("p_rank").collect().map(_.toSeq).toSeq
+    val two = Drift.fdrControl(big.toDF("id", "p").repartition(17), "p", 0.1, Seq("id"))
+      .orderBy("p_rank").collect().map(_.toSeq).toSeq
+    assert(one == two)
+  }
+
   test("wasserstein1: hand EMD, shift linearity, zero on identical, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._
