@@ -664,6 +664,17 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_prop_test" -> { (s, dir) =>
+      // did the fulfilled-rate move between high- and low-priority
+      // orders? two-proportion pooled z — the Bernoulli drift member;
+      // exact long counts, one fixed double tree
+      val o = t(s, dir, "orders")
+      graft.scan.Drift.proportionTest(
+        o.where(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        o.where(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")),
+        col("o_orderstatus") === "F")
+    },
+
     "q_fdr" -> { (s, dir) =>
       // BH FDR over a deterministic p-value battery: uniform md5-hash p
       // per order, with a planted low-p signal block (≡0 mod 97) the
@@ -4368,6 +4379,31 @@ object Catalog {
         |  UNION ALL
         |  SELECT doc_id, text, lang FROM latest WHERE op = 'U')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_prop_test" ->
+      """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS x_ref
+        |       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_cur,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS x_cur
+        |       FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')),
+        |m AS (SELECT * FROM r, c),
+        |d AS (SELECT *,
+        |        CAST(x_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) AS p1,
+        |        CAST(x_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) AS p2,
+        |        (CAST(x_ref AS DOUBLE) + CAST(x_cur AS DOUBLE))
+        |          / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)) AS pp
+        |      FROM m)
+        |SELECT n_ref, x_ref, n_cur, x_cur,
+        |  CASE WHEN n_ref > 0 THEN p1 END AS p_ref,
+        |  CASE WHEN n_cur > 0 THEN p2 END AS p_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN p1 - p2 END AS diff,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0
+        |        AND pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
+        |                               + 1.0 / CAST(n_cur AS DOUBLE)) > 0.0
+        |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
+        |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
+        |FROM d""".stripMargin,
 
     "q_fdr" ->
       """WITH t AS (SELECT o_orderkey AS test_id,

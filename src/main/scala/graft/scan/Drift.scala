@@ -458,6 +458,41 @@ object Drift {
     (u1d, ties, auc, z)
   }
 
+  /** Two-proportion z-test: did a RATE move between two populations —
+    * conversion, validity, defect, match rate — the Bernoulli member of
+    * the drift family (KS/MWU/W1 need a numeric column; this needs only a
+    * boolean). Pooled-variance z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with
+    * p̂ the pooled rate — the classic A/B-test statistic. Counts are exact
+    * longs from one 1-row aggregate per side; every derived double follows
+    * one fixed tree, engine-portable. z NULL when the pooled variance is 0
+    * (all-success/all-failure in both).
+    *
+    * @param successCol boolean Column evaluated on each side's rows; NULL
+    *                   rows are excluded (not counted as failures).
+    * @return one row: (n_ref, x_ref, n_cur, x_cur, p_ref, p_cur, diff, z).
+    */
+  def proportionTest(ref: DataFrame, cur: DataFrame,
+                     successCol: Column): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(successCol.cast("boolean").as("__b"))
+        .where(col("__b").isNotNull)
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as(s"x_$tag"))
+    val m = side(ref, "ref").crossJoin(side(cur, "cur"))
+    val n1 = col("n_ref").cast(DoubleType); val x1 = col("x_ref").cast(DoubleType)
+    val n2 = col("n_cur").cast(DoubleType); val x2 = col("x_cur").cast(DoubleType)
+    val p1 = x1 / n1; val p2 = x2 / n2
+    val pPool = (x1 + x2) / (n1 + n2)
+    val varTerm = pPool * (lit(1.0) - pPool) * (lit(1.0) / n1 + lit(1.0) / n2)
+    m.select(
+      col("n_ref"), col("x_ref"), col("n_cur"), col("x_cur"),
+      when(col("n_ref") > 0, p1).as("p_ref"),
+      when(col("n_cur") > 0, p2).as("p_cur"),
+      when(col("n_ref") > 0 && col("n_cur") > 0, p1 - p2).as("diff"),
+      when(col("n_ref") > 0 && col("n_cur") > 0 && varTerm > 0.0,
+        (p1 - p2) / sqrt(varTerm)).as("z"))
+  }
+
   /** Benjamini–Hochberg FDR control over a battery of p-values — the
     * multiple-testing layer the drift family needs at scale: scanning
     * 10 000 columns/segments for drift at α=0.05 hands you ~500 false

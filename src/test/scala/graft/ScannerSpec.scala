@@ -381,6 +381,30 @@ class ScannerSpec extends SparkSpec {
     assert(dup == ((3L, 3L, 2.0 / 3.0 - 1.0 / 3.0)))
   }
 
+  test("proportionTest: hand z, equal-rate zero, degenerate null, null rows excluded") {
+    import graft.scan.Drift
+    import spark.implicits._
+    // ref: 30/40 success; cur: 20/40 -> p1=.75, p2=.5, pooled=.625
+    val ref = (Seq.fill(30)(true) ++ Seq.fill(10)(false)).toDF("b")
+    val cur = (Seq.fill(20)(true) ++ Seq.fill(20)(false)).toDF("b")
+    val r = Drift.proportionTest(ref, cur, col("b")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((40L, 30L, 40L, 20L)))
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 0.5 && r.getDouble(6) == 0.25)
+    val expZ = 0.25 / math.sqrt(0.625 * 0.375 * (1.0 / 40 + 1.0 / 40))
+    assert(r.getDouble(7) == expZ && expZ > 2.3)
+    // identical rates -> diff 0, z 0
+    val same = Drift.proportionTest(ref, ref, col("b")).collect()(0)
+    assert(same.getDouble(6) == 0.0 && same.getDouble(7) == 0.0)
+    // all-success both sides: pooled variance 0 -> z null
+    val allT = Seq(true, true).toDF("b")
+    assert(Drift.proportionTest(allT, allT, col("b")).collect()(0).isNullAt(7))
+    // null rows are excluded, not failures
+    val withNull = Seq(Some(true), None, Some(false)).toDF("b")
+    val nr = Drift.proportionTest(withNull, withNull, col("b")).collect()(0)
+    assert(nr.getLong(0) == 2L && nr.getLong(1) == 1L)
+  }
+
   test("fdrControl: textbook BH step-up, q monotone, cap at 1, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._
