@@ -192,6 +192,76 @@ object Outliers {
       .drop("__arr", "__vs", "__st")
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing per key — level + trend +
+    * an m-slot seasonal profile, the member [[holt]] can't express (a
+    * daily/weekly cycle reads as "trend" to Holt and whipsaws it; HW
+    * learns the cycle and forecasts THROUGH it). Error-correction form as
+    * a fully integer recurrence on scale-`fxScale` longs (seed l = x₁,
+    * b = 0, seasons 0; season slot j = t mod period):
+    *
+    *   e    = x − l − b − s_j               (one-step forecast error)
+    *   d    = (e·αn) div αd                 (α·e)
+    *   l'   = l + b + d
+    *   b'   = b + (d·βn) div βd             ([[holt]]'s convention: β on d)
+    *   s_j' = s_j + ((e − d)·γn) div γd     (γ·(1−α)·e, exact on the
+    *                                         already-truncated d)
+    *
+    * Truncating `div` ≡ DuckDB `//` is part of the definition, so state
+    * replays bit-for-bit cross-engine. Same row-local ordered fold as
+    * [[ewma]]/[[holt]] (groupBy collect + codegen'd aggregate HOF); the
+    * accumulator is array(l, b, t, s₀…s_{m−1}) — the element counter t
+    * rides IN the state because the HOF has no index.
+    *
+    * @return per key: n, level_fx, trend_fx, season_fx (array of m longs),
+    *         level, forecast — forecast = l + b + s_{n mod m} (one step
+    *         ahead, through the cycle).
+    */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, period: Int,
+                  alphaNum: Int, alphaDen: Int, betaNum: Int, betaDen: Int,
+                  gammaNum: Int, gammaDen: Int, fxScale: Int = 2): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    require(alphaNum > 0 && alphaNum <= alphaDen, "alpha must be in (0, 1]")
+    require(betaNum > 0 && betaNum <= betaDen, "beta must be in (0, 1]")
+    require(gammaNum > 0 && gammaNum <= gammaDen, "gamma must be in (0, 1]")
+    val m = period
+    val v = graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale)
+    val sj = s"element_at(acc, cast(4 + element_at(acc, 3) % ${m}L as int))"
+    val e = s"(x - element_at(acc, 1) - element_at(acc, 2) - $sj)"
+    val d = s"(($e) * ${alphaNum}L) div ${alphaDen}L"
+    val fold =
+      s"""aggregate(slice(__vs, 2, greatest(size(__vs) - 1, 0)),
+         |  concat(array(element_at(__vs, 1), 0L, 1L), array_repeat(0L, $m)),
+         |  (acc, x) -> concat(
+         |    array(
+         |      element_at(acc, 1) + element_at(acc, 2) + ($d),
+         |      element_at(acc, 2) + (($d) * ${betaNum}L) div ${betaDen}L,
+         |      element_at(acc, 3) + 1L),
+         |    transform(sequence(0, ${m - 1}),
+         |      k -> CASE WHEN k = cast(element_at(acc, 3) % ${m}L as int)
+         |           THEN element_at(acc, cast(4 + k as int))
+         |                + ((($e) - ($d)) * ${gammaNum}L) div ${gammaDen}L
+         |           ELSE element_at(acc, cast(4 + k as int)) END)))""".stripMargin
+    df.filter(col(valueCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(orderCol).as("__o"), v.as("__v")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__o"), col("__v")))).as("__arr"),
+        count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n"))
+      .withColumn("__vs", expr("transform(__arr, x -> x.__v)"))
+      .withColumn("__st", expr(fold))
+      .withColumn("level_fx", expr("element_at(__st, 1)"))
+      .withColumn("trend_fx", expr("element_at(__st, 2)"))
+      .withColumn("season_fx", expr(s"slice(__st, 4, $m)"))
+      .withColumn("level",
+        col("level_fx").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(math.pow(10, fxScale)))
+      .withColumn("forecast", expr(
+        s"cast(element_at(__st, 1) + element_at(__st, 2) " +
+          s"+ element_at(__st, cast(4 + n % ${m}L as int)) as double)") /
+        lit(math.pow(10, fxScale)))
+      .drop("__arr", "__vs", "__st")
+  }
+
   /** Exact interpolated percentiles with `quantile_cont` semantics (rank
     * (n−1)·p, linear interpolation — bit-matching Spark's built-in
     * `percentile` aggregate) computed WITHOUT the value multiset: the

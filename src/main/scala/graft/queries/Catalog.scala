@@ -2115,6 +2115,22 @@ object Catalog {
         .select("user_id", "n", "level_fx", "trend_fx", "level", "forecast")
         .orderBy("user_id")),
 
+    "q_holt_winters" -> ((s, dir) =>
+      // Holt-Winters ADDITIVE seasonal (period 4, alpha 3/10, beta 2/10,
+      // gamma 5/10) per user: level + trend + a 4-slot cycle the plain
+      // Holt reads as trend; seasons split into scalar columns for the
+      // driver hash, oracle refolds the identical (3+m)-long list state
+      Outliers.holtWinters(t(s, dir, "events"), Seq("user_id"), "event_id",
+          "value", period = 4, alphaNum = 3, alphaDen = 10,
+          betaNum = 2, betaDen = 10, gammaNum = 5, gammaDen = 10)
+        .select(col("user_id"), col("n"), col("level_fx"), col("trend_fx"),
+          expr("element_at(season_fx, 1)").as("s0"),
+          expr("element_at(season_fx, 2)").as("s1"),
+          expr("element_at(season_fx, 3)").as("s2"),
+          expr("element_at(season_fx, 4)").as("s3"),
+          col("level"), col("forecast"))
+        .orderBy("user_id")),
+
     "q_cusum" -> ((s, dir) =>
       // two-sided CUSUM per user over the event stream: prefix-sum +
       // running-min windows (group-bounded), all-integer statistics
@@ -3516,6 +3532,41 @@ object Catalog {
   /** q_mutual_info oracle: one CTE block per pair replicating the cell
     * shuffle, window marginals, scale-9 sign-adjusted term quantization and
     * the derived double tree. */
+  /** DuckDB twin of [[graft.ops.Outliers.holtWinters]] (period 4, α 3/10,
+    * β 2/10, γ 5/10): list_reduce over (3+m)-long LIST state — the first
+    * transformed element [v,0,1,0,0,0,0] is the seed, e/d inlined since
+    * SQL lambdas have no lets.
+    */
+  private def holtWintersOracle: String = {
+    val e = "(x[1] - acc[1] - acc[2] - acc[4 + acc[3] % 4])"
+    val d = s"(($e) * 3) // 10"
+    s"""WITH f AS (SELECT user_id, event_id,
+       |  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+       |            ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+       |FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |             list(v ORDER BY event_id) AS vs
+       |      FROM f GROUP BY 1),
+       |st AS (SELECT user_id, n, list_reduce(
+       |    list_transform(vs, v -> [v, 0::BIGINT, 1::BIGINT,
+       |                             0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT]),
+       |    (acc, x) -> list_concat(
+       |      [acc[1] + acc[2] + ($d),
+       |       acc[2] + (($d) * 2) // 10,
+       |       acc[3] + 1],
+       |      list_transform(range(4), k -> CASE WHEN k = acc[3] % 4
+       |        THEN acc[4 + k] + ((($e) - ($d)) * 5) // 10
+       |        ELSE acc[4 + k] END))) AS s
+       |  FROM g)
+       |SELECT user_id, n,
+       |  CAST(s[1] AS BIGINT) AS level_fx, CAST(s[2] AS BIGINT) AS trend_fx,
+       |  CAST(s[4] AS BIGINT) AS s0, CAST(s[5] AS BIGINT) AS s1,
+       |  CAST(s[6] AS BIGINT) AS s2, CAST(s[7] AS BIGINT) AS s3,
+       |  CAST(CAST(s[1] AS BIGINT) AS DOUBLE) / 100.0 AS level,
+       |  CAST(s[1] + s[2] + s[4 + n % 4] AS DOUBLE) / 100.0 AS forecast
+       |FROM st ORDER BY user_id""".stripMargin
+  }
+
   private def mutualInfoOracle: String = {
     val S = "1000000000.0"
     def fx(t: String) =
@@ -3551,6 +3602,7 @@ object Catalog {
 
   val oracleSql: Map[String, String] = Map(
     "q_mutual_info" -> mutualInfoOracle,
+    "q_holt_winters" -> holtWintersOracle,
     "q_kcore" -> kCoreOracle(6, 8),
 
     "q_ewma" ->

@@ -826,6 +826,35 @@ class OutliersSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("holtWinters: hand trace, cycle learned where holt whipsaws, layout-invariant") {
+    // period 2, alpha=beta=gamma=1/2, series 10,20,10,20 (scale 0) — full
+    // hand trace: [l,b,t,s0,s1] = seed [10,0,1,0,0] -> [15,2,2,0,2]
+    // -> [14,1,3,-2,2] -> [16,1,4,-2,3]; forecast = 16+1+s_(4%2) = 15
+    val df = Seq(("u", 1L, 10.0), ("u", 2L, 20.0), ("u", 3L, 10.0), ("u", 4L, 20.0))
+      .toDF("k", "o", "v")
+    val r = Outliers.holtWinters(df, Seq("k"), "o", "v", period = 2,
+      1, 2, 1, 2, 1, 2, fxScale = 0).collect()(0)
+    assert(r.getAs[Long]("level_fx") == 16L && r.getAs[Long]("trend_fx") == 1L)
+    assert(r.getAs[scala.collection.Seq[Long]]("season_fx").toSeq == Seq(-2L, 3L))
+    assert(r.getAs[Double]("forecast") == 15.0)
+    // a pure 2-cycle: HW's seasonal forecast lands closer to the next
+    // value than Holt's (which reads the cycle as trend and whipsaws)
+    val cyc = (0 until 20).map(i => ("c", i.toLong, (i % 2) * 10.0)).toDF("k", "o", "v")
+    val hw = Outliers.holtWinters(cyc, Seq("k"), "o", "v", period = 2,
+      3, 10, 1, 10, 5, 10, fxScale = 0).collect()(0).getAs[Double]("forecast")
+    val h = Outliers.holt(cyc, Seq("k"), "o", "v", 3, 10, 1, 10, fxScale = 0)
+      .collect()(0).getAs[Double]("forecast")
+    // next value (index 20) is 0
+    assert(math.abs(hw - 0.0) < math.abs(h - 0.0),
+      s"hw forecast $hw should beat holt $h on a cycle")
+    // layout invariance: shuffled arrival + partitions, identical state
+    val shuffled = df.orderBy(rand(3)).repartition(7)
+    val r2 = Outliers.holtWinters(shuffled, Seq("k"), "o", "v", period = 2,
+      1, 2, 1, 2, 1, 2, fxScale = 0).collect()(0)
+    assert(r2.getAs[Long]("level_fx") == 16L &&
+      r2.getAs[scala.collection.Seq[Long]]("season_fx").toSeq == Seq(-2L, 3L))
+  }
+
   test("holt: scalar-fold equality, trend learns a ramp, layout-invariant") {
     // scalar reference of the identical truncating recurrence
     def ref(vals: Seq[Long]): (Long, Long) =
