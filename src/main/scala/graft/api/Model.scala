@@ -114,6 +114,15 @@ final case class ColumnConfig(
       * with e.g. `chi2_ppm < 20090000` (χ²(8) at p=0.01, scaled).
       */
     chi2Reference: Option[String] = None,
+    /** Path to a parquet of INTEGER-VALUED reference values for this
+      * column (same column name; quantize continuous domains upstream).
+      * The batch scan records the exact Wasserstein-1 distance against it
+      * as a `w1` measurement (`w1_reference:` YAML key) — the MAGNITUDE
+      * drift check next to `ks_reference:`'s largest-gap and
+      * `mwu_reference:`'s rank-shift ones: "how far did the mass move",
+      * in the column's own units.
+      */
+    w1Reference: Option[String] = None,
     /** Fixed-point scale for a Benford first-digit audit of this column
       * (`benford:` YAML key; 2 for currency). The scan records the
       * chi-square vs Benford's law as a `benford_chi2` measurement —

@@ -96,6 +96,7 @@ object ScanYamlParser {
       ksReference = optStr(m, "ks_reference"),
       mwuReference = optStr(m, "mwu_reference"),
       chi2Reference = optStr(m, "chi2_reference"),
+      w1Reference = optStr(m, "w1_reference"),
       benford = optInt(m, "benford")
     )
 }

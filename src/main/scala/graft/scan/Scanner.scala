@@ -672,6 +672,15 @@ object Scanner {
       val row = Drift.chiSquareCategorical(refDf, df, f.name).collect()(0)
       record(f.name, "chi2_ppm", row.getLong(3))
     }
+    // `w1_reference:` — the MAGNITUDE drift companion: exact earth-mover
+    // distance in the column's own units (integer-valued columns;
+    // quantize continuous domains upstream). Same reference-parquet
+    // contract; gate with e.g. `w1 < 50`.
+    fields.filter(f => cfgOf(f.name).w1Reference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).w1Reference.get)
+      val row = Drift.wasserstein1(refDf, df, f.name).collect()(0)
+      record(f.name, "w1", row.getDouble(2))
+    }
 
     // ---- Benford audit (beyond the reference: `benford:` column key,
     // value = fixed-point scale) ---- chi-square of the column's first

@@ -565,6 +565,32 @@ class ScannerSpec extends SparkSpec {
     assert(byExpr("mwu_auc < 0.2").passed && byExpr("chi2_ppm > 0").passed)
   }
 
+  test("w1_reference scan key records the earth-mover distance and gates tests") {
+    import graft.scan.{Drift, Scanner}
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("scan-w1-ref").toString
+    (1L to 20L).toDF("lat").write.parquet(s"$refDir/vals")
+    val cur = (51L to 70L).toDF("lat") // pure +50 shift -> w1 exactly 50
+    val yaml =
+      s"""table_name: t
+         |columns:
+         |  lat:
+         |    w1_reference: $refDir/vals
+         |    tests:
+         |    - w1 < 100
+         |""".stripMargin
+    val r = Scanner.executeYaml(spark, cur, yaml)
+    assert(!r.hasErrors, r.errors.mkString("; "))
+    val w1 = r.measurement("w1", Some("lat")).get.value.get.asInstanceOf[Double]
+    assert(w1 == 50.0)
+    // parity with the direct operator
+    assert(w1 == Drift.wasserstein1(
+      spark.read.parquet(s"$refDir/vals"), cur, "lat")
+      .select("w1").as[Double].collect()(0))
+    val byExpr = r.testResults.map(t => t.test.expression -> t).toMap
+    assert(byExpr("w1 < 100").passed)
+  }
+
   test("mannWhitneyU: doubled-rank exactness, tie correction, AUC direction, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._
