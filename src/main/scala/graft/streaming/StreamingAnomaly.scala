@@ -300,6 +300,70 @@ object StreamingAnomaly {
     }
   }
 
+  final case class HwPoint(key: String, seq: Long, level_fx: Long,
+                           trend_fx: Long, season_next_fx: Long)
+  final case class HwState(level: Long, trend: Long, t: Long,
+                           seasons: Seq[Long], seeded: Boolean)
+
+  /** Streaming twin of [[graft.ops.Outliers.holtWinters]] on the
+    * ordered-fold base: the (level, trend, counter, m seasons) state is
+    * the batch fold's accumulator verbatim (Java `/` on longs ≡ the batch
+    * `div`, truncation toward zero), so the key's LAST point equals the
+    * batch operator's final state exactly under any cross-batch arrival
+    * disorder inside the allowed lateness. Each point also carries the
+    * NEXT slot's season — level + trend + season_next is the one-step
+    * forecast through the cycle, the alarm-able number.
+    */
+  class HoltWintersProcessor(m: Int, aNum: Long, aDen: Long, bNum: Long,
+                             bDen: Long, gNum: Long, gDen: Long)
+      extends OrderedFoldProcessor[HwState, HwPoint](Encoders.product[HwState]) {
+    override protected def zero: HwState =
+      HwState(0L, 0L, 0L, Seq.fill(m)(0L), seeded = false)
+    override protected def step(st: HwState, e: TimedEvent): (HwState, HwPoint) = {
+      val next =
+        if (!st.seeded) HwState(e.fx, 0L, 1L, Seq.fill(m)(0L), seeded = true)
+        else {
+          val j = (st.t % m).toInt
+          val sj = st.seasons(j)
+          val err = e.fx - st.level - st.trend - sj
+          val d = (err * aNum) / aDen
+          HwState(st.level + st.trend + d, st.trend + (d * bNum) / bDen,
+            st.t + 1, st.seasons.updated(j, sj + ((err - d) * gNum) / gDen),
+            seeded = true)
+        }
+      (next, HwPoint(e.key, e.seq, next.level, next.trend,
+        next.seasons((next.t % m).toInt)))
+    }
+  }
+
+  /** Watermark-buffered streaming Holt–Winters; caller must already have
+    * applied `withWatermark(tsCol, …)`. Parameters mirror the batch
+    * operator.
+    */
+  def holtWintersStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                        tsCol: String, seqCol: String, valueCol: String,
+                        period: Int, alphaNum: Int, alphaDen: Int,
+                        betaNum: Int, betaDen: Int, gammaNum: Int,
+                        gammaDen: Int, fxScale: Int = 2): Dataset[HwPoint] = {
+    import spark.implicits._
+    require(period >= 2, "period must be >= 2")
+    require(alphaNum > 0 && alphaNum <= alphaDen, "alpha must be in (0, 1]")
+    require(betaNum > 0 && betaNum <= betaDen, "beta must be in (0, 1]")
+    require(gammaNum > 0 && gammaNum <= gammaDen, "gamma must be in (0, 1]")
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale).as("fx"),
+        (col(tsCol).cast("timestamp").cast("double") * 1000.0).cast("long").as("tsMs"))
+      .where(col("fx").isNotNull)
+      .as[TimedEvent]
+      .groupByKey(_.key)
+      .transformWithState(
+        new HoltWintersProcessor(period, alphaNum, alphaDen, betaNum, betaDen,
+          gammaNum, gammaDen),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Watermark-buffered streaming Holt smoothing; caller must already have
     * applied `withWatermark(tsCol, …)`. Parameters mirror the batch
     * operator.

@@ -788,6 +788,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt-Winters: last point per key equals the batch fold under disorder") {
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      // a 2-cycle with a shifted second key; period 2, alpha/beta/gamma halves
+      val rows = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 10.0), (1L, 4L, 20.0),
+        (2L, 1L, 5.0), (2L, 2L, 8.0), (2L, 3L, 4.0))
+      val batch = graft.ops.Outliers.holtWinters(
+          rows.toDF("user_id", "seq", "v"), Seq("user_id"), "seq", "v",
+          period = 2, 1, 2, 1, 2, 1, 2)
+        .select(col("user_id").cast("string"), col("level_fx"), col("trend_fx"),
+          expr("element_at(season_fx, cast(n % 2 as int) + 1)"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+      val stream = MemoryStream[(Long, Timestamp, Long, Double)]
+      val df = stream.toDF().toDF("user_id", "ts", "seq", "v")
+        .withWatermark("ts", "60 seconds")
+      val q = StreamingAnomaly.holtWintersStream(spark, df, "user_id", "ts",
+          "seq", "v", period = 2, 1, 2, 1, 2, 1, 2)
+        .writeStream.format("memory").queryName("hw_ord").outputMode("append").start()
+
+      val timed = rows.map { case (u, s, v) => (u, ts(s), s, v) }
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(11)).shuffle(timed)
+      stream.addData(shuffled.take(3)); q.processAllAvailable()
+      stream.addData(shuffled.drop(3)); q.processAllAvailable()
+      stream.addData((9L, ts(10000), 1L, 0.0)); q.processAllAvailable()
+      stream.addData((9L, ts(20000), 2L, 0.0)); q.processAllAvailable()
+
+      val points = spark.table("hw_ord").where(col("key") =!= "9")
+        .as[(String, Long, Long, Long, Long)].collect()
+      q.stop()
+      // the LAST point per key equals the batch final (level, trend,
+      // next-slot season — the forecast composition)
+      val last = points.groupBy(_._1)
+        .map { case (k, ps) => val p = ps.maxBy(_._2); k -> ((p._3, p._4, p._5)) }
+      assert(last == batch, s"$last vs $batch")
+      assert(points.length == rows.length)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming EWMA: last point per key equals the batch fold under disorder") {
     import spark.implicits._
     import graft.streaming.StreamingAnomaly
