@@ -248,6 +248,38 @@ object Binning {
             (col("n") * col("sx")).cast(DoubleType)).as("gini"))
   }
 
+  /** Per-GROUP [[giniCoefficient]]: concentration per segment — "which
+    * language's corpus is dominated by a few domains", "which region's
+    * revenue by a few customers". Group-bounded running-sum windows
+    * replace the routed global cumulative (no funnel exists to avoid);
+    * the same closed-form run terms, exact decimals, one double division
+    * per group.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("g"), valueCol.cast(LongType).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull && col("v") >= 0L)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wRun = Window.partitionBy("g").orderBy("v")
+    val dec = DecimalType(38, 0)
+    val c = col("c").cast(dec); val v = col("v").cast(dec)
+    val r0 = (col("cum") - col("c")).cast(dec)
+    counts
+      .withColumn("cum", sum(col("c")).over(wRun))
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        sum(c).cast(dec).as("n"),
+        sum(v * c).as("sx"),
+        sum(v * (lit(2) * c * r0 + c * (c + lit(1)))).as("six2"))
+      .select(col(groupCol),
+        col("n").cast(LongType).as("n_keys"),
+        col("sx").cast(LongType).as("total"),
+        when(col("sx") > 0,
+          (col("six2") - (col("n") + lit(1)) * col("sx")).cast(DoubleType) /
+            (col("n") * col("sx")).cast(DoubleType)).as("gini"))
+  }
+
   /** Attach [[valueRanks]]'s normalization to the rows themselves: the
     * original frame plus (pct_below, cdf) for `valueCol`. */
   def withPercentileRank(df: DataFrame, valueCol: Column,

@@ -675,6 +675,19 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_gini_group" -> { (s, dir) =>
+      // revenue concentration per market segment: which segment's revenue
+      // is dominated by few customers — group-bounded windows, same
+      // closed-form run terms as q_gini
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val perCust = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+        .agg(sum(MetricColumns.fixedPointLong(col("o_totalprice"), 2))
+          .cast(LongType).as("cents"))
+      Binning.giniByGroup(perCust, "seg", col("cents")).orderBy("seg")
+    },
+
     "q_fdr" -> { (s, dir) =>
       // BH FDR over a deterministic p-value battery: uniform md5-hash p
       // per order, with a planted low-p signal block (≡0 mod 97) the
@@ -4456,6 +4469,27 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_gini_group" ->
+      """WITH per AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+        |    CAST(sum(CAST(CASE WHEN o_totalprice >= 0
+        |         THEN floor(o_totalprice * 100.0 + 0.5)
+        |         ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT seg, cents AS v, count(*) AS c FROM per
+        |      WHERE cents >= 0 AND seg IS NOT NULL GROUP BY 1, 2),
+        |k AS (SELECT seg, v, c, sum(c) OVER (PARTITION BY seg ORDER BY v) AS cum FROM c),
+        |m AS (SELECT seg, CAST(sum(c) AS HUGEINT) AS n,
+        |             CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS sx,
+        |             CAST(sum(CAST(v AS HUGEINT)
+        |                  * (2 * CAST(c AS HUGEINT) * (cum - c)
+        |                     + CAST(c AS HUGEINT) * (c + 1))) AS HUGEINT) AS six2
+        |      FROM k GROUP BY seg)
+        |SELECT seg, CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total,
+        |  CASE WHEN sx > 0 THEN CAST(six2 - (n + 1) * sx AS DOUBLE)
+        |       / CAST(n * sx AS DOUBLE) END AS gini
+        |FROM m ORDER BY seg""".stripMargin,
 
     "q_fdr" ->
       """WITH t AS (SELECT o_orderkey AS test_id,

@@ -1298,6 +1298,24 @@ class BinningSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("giniByGroup: per-group parity with the global operator, null-group exclusion") {
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L),          // even -> 0
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L)           // textbook -> 0.25
+    ).toDF("g", "x")
+    val got = Binning.giniByGroup(df, "g", col("x")).orderBy("g")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 15L, 0.0), ("b", 4L, 10L, 0.25)))
+    // each group equals the GLOBAL operator on its slice
+    for (g <- Seq("a", "b")) {
+      val global = Binning.giniCoefficient(df.where(col("g") === g), col("x"))
+        .collect()(0).getDouble(2)
+      assert(got.find(_._1 == g).get._4 == global)
+    }
+    // null groups are excluded
+    val withNull = Seq((Some("a"), 1L), (None, 99L)).toDF("g", "x")
+    assert(Binning.giniByGroup(withNull, "g", col("x")).count() == 1L)
+  }
+
   test("weightedPercentiles: hand fences, unit-weight type-1 parity, zero-weight invisibility, route equivalence") {
     // values 1..4, weights 1,1,1,7 -> W=10; cum: 1,2,3,10.
     // p=.2 -> first cum>=2 is v=2; p=.3 -> v=3; p=.31..1 -> v=4
