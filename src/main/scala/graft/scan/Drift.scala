@@ -493,6 +493,25 @@ object Drift {
         (p1 - p2) / sqrt(varTerm)).as("z"))
   }
 
+  /** Scalar twin of [[proportionTest]] for bounded per-window counts (the
+    * [[graft.streaming.StreamingMonitor.rateStream]] output vs a static
+    * reference): the IDENTICAL double tree over the four exact counts, so
+    * it is bit-equal to the distributed statistic on equal counts
+    * (spec-asserted). Returns (p_ref, p_cur, diff, z) — z None when the
+    * pooled variance is 0.
+    */
+  def propTestOfCounts(nRef: Long, xRef: Long, nCur: Long,
+                       xCur: Long): (Double, Double, Double, Option[Double]) = {
+    require(nRef > 0 && nCur > 0, "both sides need rows")
+    val n1 = nRef.toDouble; val x1 = xRef.toDouble
+    val n2 = nCur.toDouble; val x2 = xCur.toDouble
+    val p1 = x1 / n1; val p2 = x2 / n2
+    val pPool = (x1 + x2) / (n1 + n2)
+    val varTerm = pPool * (1.0 - pPool) * (1.0 / n1 + 1.0 / n2)
+    val z = if (varTerm > 0.0) Some((p1 - p2) / math.sqrt(varTerm)) else None
+    (p1, p2, p1 - p2, z)
+  }
+
   /** Benjamini–Hochberg FDR control over a battery of p-values — the
     * multiple-testing layer the drift family needs at scale: scanning
     * 10 000 columns/segments for drift at α=0.05 hands you ~500 false

@@ -187,6 +187,22 @@ object StreamingMonitor {
       .select(col("w.start").as("window_start"), col("bucket"), col("cnt"))
   }
 
+  /** Windowed SUCCESS/TOTAL counts of a boolean predicate — the feed for
+    * per-window rate monitoring ("did this hour's validity/conversion/
+    * match rate move vs the reference") via [[graft.scan.Drift
+    * .propTestOfCounts]]. One windowed aggregate; NULL predicate rows are
+    * excluded (not failures), matching the batch `proportionTest`.
+    */
+  def rateStream(df: DataFrame, tsCol: String, watermark: String,
+                 duration: String, successCol: org.apache.spark.sql.Column): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .withColumn("__b", successCol.cast("boolean"))
+      .where(col("__b").isNotNull)
+      .groupBy(window(col(tsCol), duration).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("x"))
+      .select(col("w.start").as("window_start"), col("n"), col("x"))
+
   /** PSI of each collected window's bucket counts vs a static reference
     * distribution (e.g. last month's scan): driver-side over bounded
     * (window × bucket) rows, same eps-floored Σ (p−q)·ln(p/q) as the batch

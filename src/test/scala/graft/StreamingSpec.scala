@@ -1463,6 +1463,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed rate monitor: per-window counts, prop-test twin parity, null exclusion") {
+    import spark.implicits._
+    import graft.scan.Drift
+    import graft.streaming.StreamingMonitor
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: 15/20 valid (matches the 3/4 reference); hour 1: 5/20 (drifted);
+    // one NULL row in hour 1 must be excluded, not counted as failure
+    val w0 = (1 to 20).map(i => (ts(0, i), Some(i <= 15)))
+    val w1 = (1 to 20).map(i => (ts(1, i), Some(i <= 5))) :+
+      ((ts(1, 25), Option.empty[Boolean]))
+    val stream = MemoryStream[(Timestamp, Option[Boolean])]
+    val q = StreamingMonitor.rateStream(
+        stream.toDF().toDF("ts", "ok"), "ts", "10 minutes", "1 hour", col("ok"))
+      .writeStream.format("memory").queryName("rate_test").outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    q.processAllAvailable()
+    val windows = spark.table("rate_test")
+      .as[(Timestamp, Long, Long)].collect().sortBy(_._1.getTime)
+    q.stop()
+    assert(windows.map(w => (w._2, w._3)).toSeq == Seq((20L, 15L), (20L, 5L)))
+    // reference: 30/40 — window 0 rate matches (z small), window 1 drifts
+    val (p1a, p2a, _, za) = Drift.propTestOfCounts(40L, 30L, windows(0)._2, windows(0)._3)
+    assert(p1a == 0.75 && p2a == 0.75 && za.contains(0.0))
+    val (_, _, diffB, zb) = Drift.propTestOfCounts(40L, 30L, windows(1)._2, windows(1)._3)
+    assert(diffB == 0.5 && zb.get > 3.0)
+    // the scalar twin equals the DISTRIBUTED statistic bit-for-bit
+    val ref = (Seq.fill(30)(true) ++ Seq.fill(10)(false)).toDF("b")
+    val cur = (Seq.fill(5)(true) ++ Seq.fill(15)(false)).toDF("b")
+    val row = Drift.proportionTest(ref, cur, col("b")).collect()(0)
+    val (tp1, tp2, td, tz) = Drift.propTestOfCounts(40L, 30L, 20L, 5L)
+    assert(row.getDouble(4) == tp1 && row.getDouble(5) == tp2 &&
+      row.getDouble(6) == td && row.getDouble(7) == tz.get)
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
