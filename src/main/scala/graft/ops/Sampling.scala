@@ -284,4 +284,50 @@ object Sampling {
     withH.join(kept, col(keyCol) <=> col("__key") && col("__h") === col("__kh"), "left_semi")
       .drop("__h")
   }
+
+  /** TOKEN-BUDGET selection: fill a token budget with the best documents
+    * by quality-per-token — the greedy knapsack that turns "we can afford
+    * 10B training tokens" into a concrete keep-set (greedy by ratio IS
+    * optimal for the fractional relaxation; the one boundary doc that
+    * would cross the budget is dropped, documented semantics). Keeps rows
+    * in descending (score/tokens, id-tiebreak) order while the running
+    * token total stays ≤ `budgetTokens`.
+    *
+    * Scale shape: the global greedy order rides the two-phase
+    * range-partition discipline ([[graft.scan.Drift.fdrControl]]'s):
+    * range-repartition on (ratio desc, id), per-partition running token
+    * sums + broadcast prior-partition totals — no global-order window.
+    * The ratio is ONE double division of exact longs (engine-portable);
+    * everything else is integer.
+    *
+    * @return kept rows + (ratio, cum_tokens), cum_tokens ≤ budgetTokens.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+                   scoreCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val base = df
+      .withColumn("__tok", col(tokenCol).cast(LongType))
+      .where(col("__tok").isNotNull && col("__tok") > 0L)
+      .withColumn("__r",
+        col(scoreCol).cast(DoubleType) / col("__tok").cast(DoubleType))
+    val parts = base.repartitionByRange(col("__r").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // freeze pid assignment across the jobs below
+    val totals = parts.groupBy("__pid").agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__r").desc, col(idCol))
+    parts
+      .withColumn("cum_tokens", sum(col("__tok")).over(w) + offsetExpr)
+      .where(col("cum_tokens") <= lit(budgetTokens))
+      .withColumn("ratio", col("__r"))
+      .drop("__pid", "__r", "__tok")
+  }
 }

@@ -675,6 +675,21 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_budget_select" -> { (s, dir) =>
+      // token-budget curation knapsack: fill 12k training tokens with the
+      // best quality-per-token documents (greedy by ratio, boundary doc
+      // dropped); pseudo-quality from the shared md5-60 hash so both
+      // engines grade identically
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tokens"),
+        (graft.ops.Shingles.md5Hash60(
+          concat(col("doc_id").cast("string"), lit("|q"))) % 1000L).as("score"))
+      Sampling.budgetSelect(scored, "doc_id", "n_tokens", "score", 12000L)
+        .select("doc_id", "n_tokens", "score", "ratio", "cum_tokens")
+        .orderBy("cum_tokens")
+    },
+
     "q_gini_group" -> { (s, dir) =>
       // revenue concentration per market segment: which segment's revenue
       // is dominated by few customers — group-bounded windows, same
@@ -4469,6 +4484,19 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_budget_select" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|q'), 1, 15))::BIGINT % 1000 AS score
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_tokens, score,
+        |        CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ratio
+        |      FROM f WHERE n_tokens > 0),
+        |r AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY ratio DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM g)
+        |SELECT doc_id, n_tokens, CAST(score AS BIGINT) AS score, ratio, cum_tokens
+        |FROM r WHERE cum_tokens <= 12000 ORDER BY cum_tokens""".stripMargin,
 
     "q_gini_group" ->
       """WITH per AS (SELECT c.c_mktsegment AS seg, o.o_custkey,

@@ -1903,6 +1903,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == two)
   }
 
+  test("budgetSelect: greedy order, boundary drop, zero-token exclusion, layout invariance") {
+    // ratios: a=10/10=1.0, b=9/3=3.0, c=4/2=2.0, d=1/100 -> order b,c,a,d
+    // budget 16: b(3)+c(2)+a(10)=15 kept; d would cross -> dropped
+    val df = Seq(("a", 10L, 10L), ("b", 3L, 9L), ("c", 2L, 4L), ("d", 100L, 1L))
+      .toDF("id", "tok", "score")
+    val got = Sampling.budgetSelect(df, "id", "tok", "score", 16L)
+      .select("id", "cum_tokens").as[(String, Long)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq(("b", 3L), ("c", 5L), ("a", 15L)))
+    // exactly-at-budget boundary is KEPT (<=)
+    val exact = Sampling.budgetSelect(df, "id", "tok", "score", 15L)
+      .select("id").as[String].collect().toSet
+    assert(exact == Set("a", "b", "c"))
+    // zero/null token rows are excluded (no ratio exists)
+    val z = Seq(("x", 0L, 5L), ("y", 2L, 2L)).toDF("id", "tok", "score")
+    assert(Sampling.budgetSelect(z, "id", "tok", "score", 100L)
+      .select("id").as[String].collect().toSeq == Seq("y"))
+    // layout invariance: many partitions, same keep-set and cums
+    val big = (1 to 2000).map(i => (i.toLong, (i % 37L) + 1L, (i * 13L) % 97L))
+      .toDF("id", "tok", "score")
+    val one = Sampling.budgetSelect(big, "id", "tok", "score", 5000L)
+      .select("id", "cum_tokens").collect().map(_.toSeq).toSet
+    val two = Sampling.budgetSelect(big.repartition(19), "id", "tok", "score", 5000L)
+      .select("id", "cum_tokens").collect().map(_.toSeq).toSet
+    assert(one == two && one.nonEmpty)
+  }
+
   test("hash sampling is deterministic, refinable, and stratified fractions apply") {
     val ids = spark.range(0, 1000).toDF("id")
     val s10 = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
