@@ -285,6 +285,75 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic NEGATIVE sampling for contrastive pairs: each anchor
+    * draws `k` pseudo-random corpus documents that are neither itself nor
+    * one of its positives — the (anchor, positive, negatives…) triplet
+    * feed for contrastive/embedding training, reproducible on any layout
+    * (vs RNG `sample`, which re-draws per run). Draw j for an anchor is
+    * md5(anchor|j) mod n mapped through a global corpus rank; collisions
+    * with self/positives/duplicate draws are skipped and later slots fill
+    * in (draw `k + pad` slots; under-filled anchors keep fewer — raise
+    * `pad` if positives are dense).
+    *
+    * Scale shape: the corpus rank map is the two-phase range-partition
+    * rank (NO global window); draws explode anchors ×(k+pad) skinny rows;
+    * candidate resolution is one rank equi-join; positive/self exclusion
+    * one anti-join on (anchor, candidate); the keep-first-k window is
+    * anchor-bounded.
+    *
+    * @param positives (anchorCol, posCol) pairs — excluded as negatives
+    *                  for their anchor.
+    * @return (anchor, slot, negative) — slot is the surviving draw's
+    *         original index, ≤ k rows per anchor.
+    */
+  def contrastiveNegatives(anchors: DataFrame, anchorCol: String,
+                           positives: DataFrame, posAnchorCol: String,
+                           posCol: String, corpus: DataFrame, corpusIdCol: String,
+                           k: Int, pad: Int = 4): DataFrame = {
+    require(k >= 1 && pad >= 0, "bad k/pad")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    // global 0-based corpus rank in md5-hash order: range partition +
+    // per-partition row_number + broadcast offsets (the SNM discipline)
+    val hashed = corpus.select(col(corpusIdCol).as("__cid"))
+      .withColumn("__ch", Shingles.md5Hash60(concat(col("__cid").cast("string"), lit("|corpus"))))
+      .repartitionByRange(col("__ch"), col("__cid"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = hashed.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = totals.valuesIterator.sum
+    require(n > 0, "empty corpus")
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    val wRank = Window.partitionBy("__pid").orderBy(col("__ch"), col("__cid"))
+    val ranked = hashed
+      .withColumn("__rank", row_number().over(wRank).cast(LongType) - 1L + offsetExpr)
+      .select(col("__rank"), col("__cid"))
+    val draws = anchors.select(col(anchorCol).as("__a")).distinct()
+      .select(col("__a"), explode(sequence(lit(0), lit(k + pad - 1))).as("slot"))
+      .withColumn("__draw",
+        pmod(Shingles.md5Hash60(
+          concat(col("__a").cast("string"), lit("|neg"), col("slot").cast("string"))),
+          lit(n)))
+    val pos = positives.select(col(posAnchorCol).as("__a"), col(posCol).as("__cid"))
+    val wKeep = Window.partitionBy("__a").orderBy("slot")
+    draws.join(ranked, col("__draw") === col("__rank"))
+      .where(col("__cid") =!= col("__a"))
+      .join(pos, Seq("__a", "__cid"), "left_anti")
+      // duplicate draws keep their EARLIEST slot (deterministic, unlike
+      // dropDuplicates' arbitrary row)
+      .groupBy(col("__a"), col("__cid"))
+      .agg(min(col("slot")).cast(LongType).as("slot"))
+      .withColumn("__keep", row_number().over(wKeep))
+      .where(col("__keep") <= k)
+      .select(col("__a").as("anchor"), col("slot"), col("__cid").as("negative"))
+  }
+
   /** TOKEN-BUDGET selection: fill a token budget with the best documents
     * by quality-per-token — the greedy knapsack that turns "we can afford
     * 10B training tokens" into a concrete keep-set (greedy by ratio IS

@@ -675,6 +675,19 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_neg_sample" -> { (s, dir) =>
+      // contrastive negatives: every ≡0-mod-10 doc draws 3 deterministic
+      // corpus negatives excluding itself and its synthetic positive
+      // (doc_id+1); md5 draws through the two-phase corpus rank map
+      val docs = t(s, dir, "documents")
+      val anchors = docs.where(col("doc_id") % 10 === 0).select(col("doc_id"))
+      val positives = anchors.select(col("doc_id").as("a"),
+        (col("doc_id") + 1L).as("p"))
+      Sampling.contrastiveNegatives(anchors, "doc_id", positives, "a", "p",
+          docs.select("doc_id"), "doc_id", k = 3)
+        .orderBy("anchor", "slot")
+    },
+
     "q_budget_select" -> { (s, dir) =>
       // token-budget curation knapsack: fill 12k training tokens with the
       // best quality-per-token documents (greedy by ratio, boundary doc
@@ -4484,6 +4497,27 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_neg_sample" ->
+      """WITH corpus AS (SELECT doc_id AS cid,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|corpus'), 1, 15))::BIGINT AS ch
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+        |ranked AS (SELECT cid,
+        |    CAST(row_number() OVER (ORDER BY ch, cid) - 1 AS BIGINT) AS rnk FROM corpus),
+        |anchors AS (SELECT doc_id AS a FROM documents WHERE doc_id % 10 = 0),
+        |draws AS (SELECT a, CAST(unnest(range(7)) AS BIGINT) AS slot FROM anchors),
+        |d2 AS (SELECT a, slot,
+        |    ('0x' || substr(md5(CAST(a AS VARCHAR) || '|neg' || CAST(slot AS VARCHAR)), 1, 15))::BIGINT
+        |      % nn.n AS draw
+        |  FROM draws, nn),
+        |cand AS (SELECT a, slot, cid FROM d2 JOIN ranked ON draw = rnk WHERE cid != a),
+        |ex AS (SELECT * FROM cand WHERE cid != a + 1),
+        |uniq AS (SELECT a, cid, CAST(min(slot) AS BIGINT) AS slot FROM ex GROUP BY a, cid),
+        |keep AS (SELECT a, slot, cid,
+        |    row_number() OVER (PARTITION BY a ORDER BY slot) AS rn FROM uniq)
+        |SELECT a AS anchor, slot, cid AS negative
+        |FROM keep WHERE rn <= 3 ORDER BY anchor, slot""".stripMargin,
 
     "q_budget_select" ->
       """WITH f AS (SELECT doc_id,

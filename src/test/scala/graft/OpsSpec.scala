@@ -1903,6 +1903,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == two)
   }
 
+  test("contrastiveNegatives: k per anchor, no self/positive, deterministic, slots refill") {
+    val corpus = (1L to 50L).toDF("id")
+    val anchors = Seq(10L, 20L, 30L).toDF("id")
+    val positives = Seq((10L, 11L), (20L, 21L), (30L, 31L)).toDF("a", "p")
+    val got = Sampling.contrastiveNegatives(anchors, "id", positives, "a", "p",
+      corpus, "id", k = 3, pad = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byAnchor = got.groupBy(_._1)
+    // exactly k negatives per anchor (pad covers collisions on 50 ids)
+    assert(byAnchor.keySet == Set(10L, 20L, 30L))
+    assert(byAnchor.values.forall(_.size == 3))
+    // never self, never the anchor's positive, all from the corpus
+    assert(got.forall { case (a, _, n) => n != a && n != a + 1 && n >= 1 && n <= 50 })
+    // negatives are distinct within an anchor
+    assert(byAnchor.values.forall(v => v.map(_._3).distinct.size == v.size))
+    // deterministic under layout changes
+    val again = Sampling.contrastiveNegatives(
+      anchors.repartition(5), "id", positives.repartition(3), "a", "p",
+      corpus.repartition(7), "id", k = 3, pad = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again.toSet == got.toSet)
+    // a tiny corpus forces collisions: anchor still fills from later slots
+    val tiny = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val t = Sampling.contrastiveNegatives(Seq(1L).toDF("id"), "id",
+      Seq((1L, 2L)).toDF("a", "p"), "a", "p", tiny, "id", k = 2, pad = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t.map(_._3).toSet == Set(3L, 4L)) // only legal negatives
+  }
+
   test("budgetSelect: greedy order, boundary drop, zero-token exclusion, layout invariance") {
     // ratios: a=10/10=1.0, b=9/3=3.0, c=4/2=2.0, d=1/100 -> order b,c,a,d
     // budget 16: b(3)+c(2)+a(10)=15 kept; d would cross -> dropped
