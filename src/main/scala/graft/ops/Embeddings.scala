@@ -336,4 +336,48 @@ object Embeddings {
       .join(broadcast(cent), Seq("grp"))
       .select(col("id"), col("grp"), Similarity.cosine(col("v"), col("cvec")).as("cos_to_centroid"))
   }
+
+  /** EXACT average pairwise cosine of a vector set in ONE pass — the
+    * diversity audit for a curated sample ("did hub-suppressed /
+    * stratified selection actually diversify, or did we pick n copies of
+    * the same concept?"). The O(n²) pair sum collapses through the
+    * centroid identity Σ_{i≠j}uᵢ·uⱼ = |Σu|² − Σ|u|²: per-dim sums (one
+    * dim-bounded aggregate) + a row-local norm — no pair join, no corpus
+    * broadcast, scales in n.
+    *
+    * Cross-engine exactness: each vector L2-normalizes row-locally with a
+    * fixed left-fold tree, components quantize to scale-`scale`
+    * fixed-point longs, and EVERYTHING after is exact integer arithmetic
+    * (per-dim sums, squares, Σ|u|² as decimals) with one final double
+    * tree — so the statistic replays bit-for-bit (quantization ≤ ~1e-6
+    * per component is documented behavior, arithmetic after it exact).
+    * Null/empty/zero-norm vectors are excluded.
+    *
+    * @return one row: (n, avg_pair_cos) ∈ [−1, 1]-ish; null when n < 2.
+    */
+  def diversity(df: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
+    val s = math.pow(10, scale)
+    val fx = s"CASE WHEN CAST(x AS DOUBLE) / __norm >= 0 " +
+      s"THEN CAST(floor(CAST(x AS DOUBLE) / __norm * $s + 0.5) AS BIGINT) " +
+      s"ELSE -CAST(floor(-(CAST(x AS DOUBLE) / __norm) * $s + 0.5) AS BIGINT) END"
+    val base = df.select(col(vecCol).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) > 0)
+      .withColumn("__norm", sqrt(expr(
+        "aggregate(__v, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")))
+      .where(col("__norm") > 0.0)
+      .select(expr(s"transform(__v, x -> $fx)").as("__u"))
+    val dec = DecimalType(38, 0)
+    val nq = base.select(
+        expr("aggregate(__u, 0L, (a, y) -> a + y * y)").as("__q"))
+      .agg(count(lit(1)).as("n"), sum(col("__q").cast(dec)).as("qq"))
+    val s2 = base.select(posexplode(col("__u")).as(Seq("dim", "u")))
+      .groupBy("dim").agg(sum(col("u")).cast(dec).as("sd"))
+      .agg(coalesce(sum(col("sd") * col("sd")), lit(0L).cast(dec)).as("s2"))
+    val nn = (col("n").cast(dec) * (col("n") - 1L).cast(dec))
+    nq.crossJoin(s2).select(
+      col("n"),
+      when(col("n") >= 2L,
+        (col("s2") - col("qq")).cast(DoubleType) / nn.cast(DoubleType) /
+          lit(s * s)).as("avg_pair_cos"))
+  }
 }

@@ -675,6 +675,14 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_diversity" -> { (s, dir) =>
+      // average pairwise cosine of the whole embedding table in ONE pass
+      // via |Σu|² − Σ|u|² — the diversity audit with no pair join; exact
+      // integer arithmetic after per-vector quantization
+      val emb = t(s, dir, "embeddings")
+      Embeddings.diversity(emb, "embedding")
+    },
+
     "q_neg_sample" -> { (s, dir) =>
       // contrastive negatives: every ≡0-mod-10 doc draws 3 deterministic
       // corpus negatives excluding itself and its synthetic positive
@@ -4497,6 +4505,33 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_diversity" ->
+      """WITH b AS (SELECT embedding AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, x) -> a + x)) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |u AS (SELECT list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) / nrm >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-(CAST(x AS DOUBLE) / nrm) * 1000000.0 + 0.5) AS BIGINT)
+        |    END) AS uu
+        |  FROM b WHERE nrm > 0),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(list_reduce(list_transform(uu, y -> y * y), (a, x) -> a + x))
+        |         AS HUGEINT) AS qq
+        |  FROM u),
+        |dims AS (SELECT dim, CAST(sum(uv) AS HUGEINT) AS sd FROM (
+        |    SELECT unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u)
+        |  GROUP BY dim),
+        |s2 AS (SELECT CAST(coalesce(sum(sd * sd), 0) AS HUGEINT) AS s2 FROM dims)
+        |SELECT nq.n,
+        |  CASE WHEN nq.n >= 2
+        |       THEN CAST(s2.s2 - nq.qq AS DOUBLE)
+        |            / CAST(CAST(nq.n AS HUGEINT) * (nq.n - 1) AS DOUBLE)
+        |            / 1000000000000.0 END AS avg_pair_cos
+        |FROM nq, s2""".stripMargin,
 
     "q_neg_sample" ->
       """WITH corpus AS (SELECT doc_id AS cid,

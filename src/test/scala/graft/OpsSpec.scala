@@ -1903,6 +1903,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == two)
   }
 
+  test("diversity: clones 1, orthogonal 0, opposite -1, brute-force parity, degenerate null") {
+    def mk(vs: Seq[Seq[Float]]) = vs.map(v => Tuple1(v)).toDF("embedding")
+    def d(vs: Seq[Seq[Float]]): Option[Double] = {
+      val r = Embeddings.diversity(mk(vs), "embedding").collect()(0)
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    // n clones of one direction: every pair cos 1 (exact post-quantization)
+    assert(d(Seq.fill(5)(Seq(3f, 0f, 0f))).get == 1.0)
+    // two orthogonal vectors: the only pair has cos 0
+    assert(d(Seq(Seq(1f, 0f), Seq(0f, 1f))).get == 0.0)
+    // opposite vectors: -1
+    assert(d(Seq(Seq(2f, 0f), Seq(-5f, 0f))).get == -1.0)
+    // brute-force parity on a small random set
+    val rnd = new scala.util.Random(42)
+    val vs = Seq.fill(12)(Seq.fill(4)(rnd.nextFloat() * 2 - 1))
+    val norm = vs.map(v => { val n = math.sqrt(v.map(x => x.toDouble * x).sum); v.map(_ / n) })
+    val pairs = for (i <- norm.indices; j <- norm.indices if i != j)
+      yield norm(i).zip(norm(j)).map { case (a, b) => a * b }.sum
+    val brute = pairs.sum / pairs.size
+    assert(math.abs(d(vs).get - brute) < 1e-4, s"${d(vs)} vs $brute")
+    // zero vectors and empties are excluded; n<2 -> null
+    assert(d(Seq(Seq(0f, 0f), Seq(1f, 1f))).isEmpty)
+  }
+
   test("contrastiveNegatives: k per anchor, no self/positive, deterministic, slots refill") {
     val corpus = (1L to 50L).toDF("id")
     val anchors = Seq(10L, 20L, 30L).toDF("id")
