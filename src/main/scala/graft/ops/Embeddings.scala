@@ -337,6 +337,38 @@ object Embeddings {
       .select(col("id"), col("grp"), Similarity.cosine(col("v"), col("cvec")).as("cos_to_centroid"))
   }
 
+  /** Per-GROUP [[diversity]]: average pairwise cosine within each label /
+    * cluster / source — which segment collapsed to near-duplicates. Same
+    * centroid identity per group; the per-dim sums become a (group, dim)
+    * aggregate (group×dim-bounded), still no pair join anywhere.
+    */
+  def diversityByGroup(df: DataFrame, groupCol: String, vecCol: String,
+                       scale: Int = 6): DataFrame = {
+    val s = math.pow(10, scale)
+    val fx = s"CASE WHEN CAST(x AS DOUBLE) / __norm >= 0 " +
+      s"THEN CAST(floor(CAST(x AS DOUBLE) / __norm * $s + 0.5) AS BIGINT) " +
+      s"ELSE -CAST(floor(-(CAST(x AS DOUBLE) / __norm) * $s + 0.5) AS BIGINT) END"
+    val base = df.select(col(groupCol).as("grp"), col(vecCol).as("__v"))
+      .where(col("grp").isNotNull && col("__v").isNotNull && size(col("__v")) > 0)
+      .withColumn("__norm", sqrt(expr(
+        "aggregate(__v, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")))
+      .where(col("__norm") > 0.0)
+      .select(col("grp"), expr(s"transform(__v, x -> $fx)").as("__u"))
+    val dec = DecimalType(38, 0)
+    val nq = base.select(col("grp"),
+        expr("aggregate(__u, 0L, (a, y) -> a + y * y)").as("__q"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("__q").cast(dec)).as("qq"))
+    val s2 = base.select(col("grp"), posexplode(col("__u")).as(Seq("dim", "u")))
+      .groupBy("grp", "dim").agg(sum(col("u")).cast(dec).as("sd"))
+      .groupBy("grp").agg(sum(col("sd") * col("sd")).as("s2"))
+    val nn = (col("n").cast(dec) * (col("n") - 1L).cast(dec))
+    nq.join(s2, Seq("grp")).select(
+      col("grp").as(groupCol), col("n"),
+      when(col("n") >= 2L,
+        (col("s2") - col("qq")).cast(DoubleType) / nn.cast(DoubleType) /
+          lit(s * s)).as("avg_pair_cos"))
+  }
+
   /** EXACT average pairwise cosine of a vector set in ONE pass — the
     * diversity audit for a curated sample ("did hub-suppressed /
     * stratified selection actually diversify, or did we pick n copies of

@@ -675,6 +675,13 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_diversity_group" -> { (s, dir) =>
+      // per-label diversity: which cluster collapsed to near-duplicates —
+      // the same centroid identity with (label, dim)-bounded sums
+      val emb = t(s, dir, "embeddings")
+      Embeddings.diversityByGroup(emb, "label", "embedding").orderBy("label")
+    },
+
     "q_diversity" -> { (s, dir) =>
       // average pairwise cosine of the whole embedding table in ONE pass
       // via |Σu|² − Σ|u|² — the diversity audit with no pair join; exact
@@ -4505,6 +4512,34 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_diversity_group" ->
+      """WITH b AS (SELECT label, embedding AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, x) -> a + x)) AS nrm
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0),
+        |u AS (SELECT label, list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) / nrm >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-(CAST(x AS DOUBLE) / nrm) * 1000000.0 + 0.5) AS BIGINT)
+        |    END) AS uu
+        |  FROM b WHERE nrm > 0),
+        |nq AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(list_reduce(list_transform(uu, y -> y * y), (a, x) -> a + x))
+        |         AS HUGEINT) AS qq
+        |  FROM u GROUP BY label),
+        |dims AS (SELECT label, dim, CAST(sum(uv) AS HUGEINT) AS sd FROM (
+        |    SELECT label, unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u)
+        |  GROUP BY label, dim),
+        |s2 AS (SELECT label, CAST(sum(sd * sd) AS HUGEINT) AS s2 FROM dims GROUP BY label)
+        |SELECT nq.label, nq.n,
+        |  CASE WHEN nq.n >= 2
+        |       THEN CAST(s2.s2 - nq.qq AS DOUBLE)
+        |            / CAST(CAST(nq.n AS HUGEINT) * (nq.n - 1) AS DOUBLE)
+        |            / 1000000000000.0 END AS avg_pair_cos
+        |FROM nq JOIN s2 USING (label) ORDER BY label""".stripMargin,
 
     "q_diversity" ->
       """WITH b AS (SELECT embedding AS v,

@@ -1927,6 +1927,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d(Seq(Seq(0f, 0f), Seq(1f, 1f))).isEmpty)
   }
 
+  test("diversityByGroup: per-group parity with global, collapsed group reads 1") {
+    val df = Seq(
+      ("a", Seq(1f, 0f)), ("a", Seq(1f, 0f)), ("a", Seq(2f, 0f)),  // clones -> 1
+      ("b", Seq(1f, 0f)), ("b", Seq(0f, 1f))                        // orthogonal -> 0
+    ).toDF("g", "embedding")
+    val got = Embeddings.diversityByGroup(df, "g", "embedding")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 1.0), ("b", 2L, 0.0)))
+    for (g <- Seq("a", "b")) {
+      val global = Embeddings.diversity(df.where(col("g") === g), "embedding")
+        .collect()(0).getDouble(1)
+      assert(got.find(_._1 == g).get._3 == global)
+    }
+  }
+
   test("contrastiveNegatives: k per anchor, no self/positive, deterministic, slots refill") {
     val corpus = (1L to 50L).toDF("id")
     val anchors = Seq(10L, 20L, 30L).toDF("id")
