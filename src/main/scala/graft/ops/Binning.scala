@@ -280,6 +280,45 @@ object Binning {
             (col("n") * col("sx")).cast(DoubleType)).as("gini"))
   }
 
+  /** QUANTILE normalization: map each value onto the REFERENCE
+    * distribution's value at the same CDF position (inverted-CDF form:
+    * the smallest reference value whose cdf reaches the current value's
+    * cdf) — the cross-distribution aligner ("express this shard's quality
+    * scores in the reference shard's units") used when two scorers /
+    * snapshots / sensors must be made comparable rank-for-rank.
+    *
+    * EXACT: both sides reduce to (value, inclusive-count) frames via the
+    * cardinality-routed cumulative; the cdf comparison cross-multiplies
+    * to integer positions (cum_cur·N_ref ≤ cum_ref·N_cur — no double
+    * ever), and the forward as-of attach rides [[graft.ops.Joins.asOf]]
+    * over the two DISTINCT-BOUNDED rank maps (the cheap-single-task
+    * regime the route threshold governs). Rows join their normalized
+    * value back by VALUE (AQE-broadcastable skinny map). NULL values stay
+    * NULL.
+    *
+    * @return df + `<valueCol>_qnorm` (a reference-domain value).
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String, ref: DataFrame,
+                        refValueCol: String,
+                        maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    val cur = valueRanks(df, col(valueCol), maxLocalDistinct)
+      .select(col("v"), col("cum_le"))
+    val refR = valueRanks(ref, col(refValueCol), maxLocalDistinct)
+      .select(col("v").as("ref_v"), col("cum_le").as("ref_cum"))
+    val nCur = broadcast(cur.agg(max("cum_le").as("n_cur")))
+    val nRef = broadcast(refR.agg(max("ref_cum").as("n_ref")))
+    val curK = cur.crossJoin(nRef)
+      .select(col("v"), (col("cum_le") * col("n_ref")).as("pos"), lit(1).as("__k"))
+    val refK = refR.crossJoin(nCur)
+      .select(col("ref_v"), (col("ref_cum") * col("n_cur")).as("ref_pos"),
+        lit(1).as("__k"))
+    val mapped = Joins.asOf(curK, refK, Seq("__k"), "pos", "ref_pos",
+        Seq("ref_v"), forward = true)
+      .select(col("v").as("__qn_v"), col("asof_ref_v").as(s"${valueCol}_qnorm"))
+    df.join(mapped, col(valueCol).cast(LongType) === col("__qn_v"), "left")
+      .drop("__qn_v")
+  }
+
   /** Attach [[valueRanks]]'s normalization to the rows themselves: the
     * original frame plus (pct_below, cdf) for `valueCol`. */
   def withPercentileRank(df: DataFrame, valueCol: Column,

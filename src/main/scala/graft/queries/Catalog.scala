@@ -675,6 +675,18 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_qnorm" -> { (s, dir) =>
+      // quantile-normalize src0 document lengths onto src1's length
+      // distribution: rank-for-rank cross-shard alignment; integer
+      // cross-multiplied positions, forward as-of over the rank maps
+      val docs = t(s, dir, "documents")
+      val src0 = docs.where(col("source") === "src0")
+        .select("doc_id", "n_chars")
+      val src1 = docs.where(col("source") === "src1").select("n_chars")
+      Binning.quantileNormalize(src0, "n_chars", src1, "n_chars")
+        .orderBy("doc_id")
+    },
+
     "q_diversity_group" -> { (s, dir) =>
       // per-label diversity: which cluster collapsed to near-duplicates —
       // the same centroid identity with (label, dim)-bounded sums
@@ -4512,6 +4524,24 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_qnorm" ->
+      """WITH cur0 AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1),
+        |cur AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM cur0),
+        |ref0 AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1),
+        |ref AS (SELECT v AS ref_v, sum(c) OVER (ORDER BY v) AS ref_cum FROM ref0),
+        |n AS (SELECT (SELECT max(cum) FROM cur) AS n_cur,
+        |             (SELECT max(ref_cum) FROM ref) AS n_ref),
+        |m AS (SELECT cur.v, min(ref.ref_v) AS qn
+        |      FROM cur, ref, n
+        |      WHERE ref.ref_cum * n.n_cur >= cur.cum * n.n_ref
+        |      GROUP BY cur.v)
+        |SELECT d.doc_id, d.n_chars, m.qn AS n_chars_qnorm
+        |FROM documents d LEFT JOIN m ON CAST(d.n_chars AS BIGINT) = m.v
+        |WHERE d.source = 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_diversity_group" ->
       """WITH b AS (SELECT label, embedding AS v,

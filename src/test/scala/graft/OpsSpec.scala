@@ -1279,6 +1279,36 @@ class BinningSpec extends SparkSpec {
       .select("v_rz").collect().forall(_.isNullAt(0)))
   }
 
+  test("quantileNormalize: rank-for-rank mapping, self-identity, nulls, route equivalence") {
+    // cur {1,2,3,4} onto ref {10,20,30,40}: cdf positions line up exactly
+    val cur = Seq(1L, 2L, 3L, 4L).toDF("x")
+    val ref = Seq(10L, 20L, 30L, 40L).toDF("x")
+    val got = Binning.quantileNormalize(cur, "x", ref, "x")
+      .orderBy("x").select("x", "x_qnorm").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // unequal sizes: cur {1,2} (cdf .5, 1) onto ref {10,20,30,40}
+    // -> smallest ref with cdf >= .5 is 20; >= 1 is 40
+    val g2 = Binning.quantileNormalize(Seq(1L, 2L).toDF("x"), "x", ref, "x")
+      .orderBy("x").select("x_qnorm").as[Long].collect().toSeq
+    assert(g2 == Seq(20L, 40L))
+    // normalizing a distribution onto ITSELF is the identity
+    val self = Binning.quantileNormalize(cur, "x", cur, "x")
+      .select("x", "x_qnorm").as[(Long, Long)].collect()
+    assert(self.forall(p => p._1 == p._2))
+    // null values stay null (row kept)
+    val withNull = Seq(Some(1L), None).toDF("x")
+    val nr = Binning.quantileNormalize(withNull, "x", ref, "x").collect()
+    assert(nr.length == 2 && nr.exists(_.isNullAt(1)))
+    // forced distributed route returns the identical mapping
+    val big = (1 to 3000).map(i => (i * 7L) % 400L).toDF("x")
+    val bigRef = (1 to 2000).map(i => (i * 13L) % 900L + 1000L).toDF("x")
+    val a = Binning.quantileNormalize(big, "x", bigRef, "x")
+      .select("x", "x_qnorm").collect().map(_.toSeq).toSet
+    val b = Binning.quantileNormalize(big, "x", bigRef, "x", maxLocalDistinct = 8)
+      .select("x", "x_qnorm").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("giniCoefficient: even zero, extreme concentration, textbook case, route equivalence") {
     // perfectly even masses -> 0
     val even = Seq(5L, 5L, 5L, 5L).toDF("x")
