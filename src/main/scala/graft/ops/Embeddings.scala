@@ -337,6 +337,62 @@ object Embeddings {
       .select(col("id"), col("grp"), Similarity.cosine(col("v"), col("cvec")).as("cos_to_centroid"))
   }
 
+  /** Embedding SNAPSHOT drift: cosine between two snapshots' centroids +
+    * each side's mean vector norm — did the embedding space move (model
+    * re-train, encoder version bump, corpus shift) before you trust
+    * cross-snapshot ANN/dedup artifacts? Centroid cosine is
+    * scale-invariant, so it works on the SUM vectors directly: components
+    * quantize to fx-`scale` longs, per-dim sums are exact decimals, and
+    * cos = ΣS_ref·S_cur / (√ΣS_ref²·√ΣS_cur²) is one fixed double tree —
+    * no normalization pass, no pair join, one dim-bounded aggregate per
+    * side. Mean norms (fx-quantized, exact integer sums) catch the
+    * magnitude drift a direction-only cosine hides.
+    *
+    * @return one row: (n_ref, n_cur, centroid_cos, mean_norm_ref,
+    *         mean_norm_cur); cos null when either centroid is zero.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+                     scale: Int = 6): DataFrame = {
+    val s = math.pow(10, scale)
+    val dec = DecimalType(38, 0)
+    val fx = s"CASE WHEN CAST(x AS DOUBLE) >= 0 " +
+      s"THEN CAST(floor(CAST(x AS DOUBLE) * $s + 0.5) AS BIGINT) " +
+      s"ELSE -CAST(floor(-CAST(x AS DOUBLE) * $s + 0.5) AS BIGINT) END"
+    val normFx = "CASE WHEN sqrt(aggregate(__v, cast(0.0 as double), " +
+      "(a, x) -> a + cast(x as double) * cast(x as double))) >= 0 " +
+      s"THEN CAST(floor(sqrt(aggregate(__v, cast(0.0 as double), " +
+      s"(a, x) -> a + cast(x as double) * cast(x as double))) * $s + 0.5) AS BIGINT) END"
+    def side(df: DataFrame, tag: String) = {
+      val base = df.select(col(vecCol).as("__v"))
+        .where(col("__v").isNotNull && size(col("__v")) > 0)
+        .select(expr(s"transform(__v, x -> $fx)").as("__u"),
+          expr(normFx).as("__nfx"))
+      val nn = base.agg(count(lit(1)).as(s"n_$tag"),
+        sum(col("__nfx").cast(dec)).as(s"nsum_$tag"))
+      val dims = base.select(posexplode(col("__u")).as(Seq("dim", "u")))
+        .groupBy("dim").agg(sum(col("u")).cast(dec).as(s"s_$tag"))
+      (nn, dims)
+    }
+    val (nr, dr) = side(ref, "ref")
+    val (nc, dc) = side(cur, "cur")
+    val joined = dr.join(dc, Seq("dim"), "full_outer")
+      .select(coalesce(col("s_ref"), lit(0L).cast(dec)).as("a"),
+        coalesce(col("s_cur"), lit(0L).cast(dec)).as("b"))
+      .agg(sum(col("a") * col("b")).as("dot"),
+        sum(col("a") * col("a")).as("aa"),
+        sum(col("b") * col("b")).as("bb"))
+    nr.crossJoin(nc).crossJoin(joined).select(
+      col("n_ref"), col("n_cur"),
+      when(col("aa") > 0 && col("bb") > 0,
+        col("dot").cast(DoubleType) /
+          (sqrt(col("aa").cast(DoubleType)) * sqrt(col("bb").cast(DoubleType))))
+        .as("centroid_cos"),
+      when(col("n_ref") > 0, col("nsum_ref").cast(DoubleType) /
+        col("n_ref").cast(DoubleType) / lit(s)).as("mean_norm_ref"),
+      when(col("n_cur") > 0, col("nsum_cur").cast(DoubleType) /
+        col("n_cur").cast(DoubleType) / lit(s)).as("mean_norm_cur"))
+  }
+
   /** Per-GROUP [[diversity]]: average pairwise cosine within each label /
     * cluster / source — which segment collapsed to near-duplicates. Same
     * centroid identity per group; the per-dim sums become a (group, dim)

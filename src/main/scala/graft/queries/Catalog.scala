@@ -675,6 +675,16 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_embed_drift" -> { (s, dir) =>
+      // did the embedding space move between even- and odd-label halves:
+      // exact centroid cosine from per-dim decimal sums + mean norms —
+      // the pre-flight before trusting cross-snapshot ANN artifacts
+      val emb = t(s, dir, "embeddings")
+      Embeddings.embeddingDrift(
+        emb.where(col("label") % 2 === 0),
+        emb.where(col("label") % 2 === 1), "embedding")
+    },
+
     "q_qnorm" -> { (s, dir) =>
       // quantile-normalize src0 document lengths onto src1's length
       // distribution: rank-for-rank cross-shard alignment; integer
@@ -4524,6 +4534,49 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH s0 AS (SELECT embedding AS v FROM embeddings
+        |  WHERE label % 2 = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |s1 AS (SELECT embedding AS v FROM embeddings
+        |  WHERE label % 2 = 1 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |u0 AS (SELECT list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END) AS uu,
+        |    CAST(floor(sqrt(list_reduce(list_transform(v,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x))
+        |        * 1000000.0 + 0.5) AS BIGINT) AS nfx
+        |  FROM s0),
+        |u1 AS (SELECT list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END) AS uu,
+        |    CAST(floor(sqrt(list_reduce(list_transform(v,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x))
+        |        * 1000000.0 + 0.5) AS BIGINT) AS nfx
+        |  FROM s1),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_ref,
+        |              CAST(sum(nfx) AS HUGEINT) AS nsum_ref FROM u0),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cur,
+        |              CAST(sum(nfx) AS HUGEINT) AS nsum_cur FROM u1),
+        |d0 AS (SELECT dim, CAST(sum(uv) AS HUGEINT) AS sa FROM (
+        |    SELECT unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u0) GROUP BY dim),
+        |d1 AS (SELECT dim, CAST(sum(uv) AS HUGEINT) AS sb FROM (
+        |    SELECT unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u1) GROUP BY dim),
+        |j AS (SELECT CAST(coalesce(sum(coalesce(sa, 0) * coalesce(sb, 0)), 0) AS HUGEINT) AS dot,
+        |             CAST(coalesce(sum(coalesce(sa, 0) * coalesce(sa, 0)), 0) AS HUGEINT) AS aa,
+        |             CAST(coalesce(sum(coalesce(sb, 0) * coalesce(sb, 0)), 0) AS HUGEINT) AS bb
+        |      FROM d0 FULL OUTER JOIN d1 USING (dim))
+        |SELECT n0.n_ref, n1.n_cur,
+        |  CASE WHEN j.aa > 0 AND j.bb > 0
+        |       THEN CAST(j.dot AS DOUBLE)
+        |            / (sqrt(CAST(j.aa AS DOUBLE)) * sqrt(CAST(j.bb AS DOUBLE))) END AS centroid_cos,
+        |  CASE WHEN n0.n_ref > 0 THEN CAST(n0.nsum_ref AS DOUBLE)
+        |       / CAST(n0.n_ref AS DOUBLE) / 1000000.0 END AS mean_norm_ref,
+        |  CASE WHEN n1.n_cur > 0 THEN CAST(n1.nsum_cur AS DOUBLE)
+        |       / CAST(n1.n_cur AS DOUBLE) / 1000000.0 END AS mean_norm_cur
+        |FROM n0, n1, j""".stripMargin,
 
     "q_qnorm" ->
       """WITH cur0 AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c

@@ -1957,6 +1957,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d(Seq(Seq(0f, 0f), Seq(1f, 1f))).isEmpty)
   }
 
+  test("embeddingDrift: aligned 1, opposite -1, orthogonal 0, mean norms exact") {
+    def mk(vs: Seq[Seq[Float]]) = vs.map(v => Tuple1(v)).toDF("embedding")
+    def drift(a: Seq[Seq[Float]], b: Seq[Seq[Float]]) =
+      Embeddings.embeddingDrift(mk(a), mk(b), "embedding").collect()(0)
+    // same direction (different magnitudes): centroid cos exactly 1
+    val r1 = drift(Seq(Seq(1f, 0f), Seq(3f, 0f)), Seq(Seq(5f, 0f)))
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 1L && r1.getDouble(2) == 1.0)
+    assert(r1.getDouble(3) == 2.0 && r1.getDouble(4) == 5.0) // mean norms
+    // flipped space: -1 (within sqrt-product rounding; the quotient can
+    // overshoot by an ulp when sqrt(aa)·sqrt(bb) rounds down)
+    assert(math.abs(drift(Seq(Seq(2f, 1f)), Seq(Seq(-4f, -2f))).getDouble(2) + 1.0) < 1e-12)
+    // orthogonal centroids: 0
+    assert(drift(Seq(Seq(1f, 0f)), Seq(Seq(0f, 7f))).getDouble(2) == 0.0)
+    // zero centroid (cancelling vectors): cos null, norms still real
+    val z = drift(Seq(Seq(1f, 0f), Seq(-1f, 0f)), Seq(Seq(1f, 0f)))
+    assert(z.isNullAt(2) && z.getDouble(3) == 1.0)
+  }
+
   test("diversityByGroup: per-group parity with global, collapsed group reads 1") {
     val df = Seq(
       ("a", Seq(1f, 0f)), ("a", Seq(1f, 0f)), ("a", Seq(2f, 0f)),  // clones -> 1
