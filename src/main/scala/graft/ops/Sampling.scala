@@ -285,6 +285,40 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Per-STRATUM [[budgetSelect]]: an independent token budget per group —
+    * the mixture-weighted form ("30% code, 60% web, 10% books" becomes
+    * per-stratum token budgets, each filled with that stratum's best
+    * quality-per-token docs). Group-bounded windows replace the global
+    * two-phase machinery (the greedy order never crosses a stratum);
+    * budgets arrive as a (group, budget) frame, broadcast onto the
+    * running sums. Same boundary-drop semantics as the global operator.
+    *
+    * @param budgets (groupCol, budgetCol) rows — strata absent from it
+    *                keep NOTHING (an unallocated stratum has budget 0).
+    * @return kept rows + (ratio, cum_tokens), cum_tokens ≤ the stratum's
+    *         budget.
+    */
+  def budgetSelectByGroup(df: DataFrame, groupCol: String, idCol: String,
+                          tokenCol: String, scoreCol: String,
+                          budgets: DataFrame, budgetGroupCol: String,
+                          budgetCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val base = df
+      .withColumn("__tok", col(tokenCol).cast(LongType))
+      .where(col("__tok").isNotNull && col("__tok") > 0L && col(groupCol).isNotNull)
+      .withColumn("__r",
+        col(scoreCol).cast(DoubleType) / col("__tok").cast(DoubleType))
+    val b = broadcast(budgets.select(col(budgetGroupCol).as(groupCol),
+      col(budgetCol).cast(LongType).as("__budget")))
+    val w = Window.partitionBy(groupCol).orderBy(col("__r").desc, col(idCol))
+    base.join(b, Seq(groupCol))
+      .withColumn("cum_tokens", sum(col("__tok")).over(w))
+      .where(col("cum_tokens") <= col("__budget"))
+      .withColumn("ratio", col("__r"))
+      .drop("__r", "__tok", "__budget")
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive pairs: each anchor
     * draws `k` pseudo-random corpus documents that are neither itself nor
     * one of its positives — the (anchor, positive, negatives…) triplet

@@ -675,6 +675,25 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_budget_by_lang" -> { (s, dir) =>
+      // mixture-weighted budgets: each language fills ITS OWN token
+      // budget (2000·(lang-ordinal+1)) with its best quality-per-token
+      // docs — group-bounded greedy, same md5 pseudo-quality as
+      // q_budget_select
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tokens"),
+        (graft.ops.Shingles.md5Hash60(
+          concat(col("doc_id").cast("string"), lit("|q"))) % 1000L).as("score"))
+      val budgets = docs.select(col("lang")).distinct()
+        .withColumn("budget",
+          (ascii(substring(col("lang"), 1, 1)).cast(LongType) % 5L + 1L) * 2000L)
+      Sampling.budgetSelectByGroup(scored, "lang", "doc_id", "n_tokens",
+          "score", budgets, "lang", "budget")
+        .select("doc_id", "lang", "n_tokens", "score", "ratio", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    },
+
     "q_embed_drift" -> { (s, dir) =>
       // did the embedding space move between even- and odd-label halves:
       // exact centroid cosine from per-dim decimal sums + mean norms —
@@ -4534,6 +4553,24 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_budget_by_lang" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|q'), 1, 15))::BIGINT % 1000 AS score
+        |  FROM documents WHERE lang IS NOT NULL),
+        |b AS (SELECT lang,
+        |    (CAST(ascii(substr(lang, 1, 1)) AS BIGINT) % 5 + 1) * 2000 AS budget
+        |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)),
+        |g AS (SELECT doc_id, lang, n_tokens, score,
+        |        CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ratio
+        |      FROM f WHERE n_tokens > 0),
+        |r AS (SELECT g.*, b.budget,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY g.lang ORDER BY ratio DESC, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM g JOIN b USING (lang))
+        |SELECT doc_id, lang, n_tokens, CAST(score AS BIGINT) AS score, ratio, cum_tokens
+        |FROM r WHERE cum_tokens <= budget ORDER BY lang, cum_tokens""".stripMargin,
 
     "q_embed_drift" ->
       """WITH s0 AS (SELECT embedding AS v FROM embeddings

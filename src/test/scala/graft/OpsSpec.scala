@@ -2019,6 +2019,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.map(_._3).toSet == Set(3L, 4L)) // only legal negatives
   }
 
+  test("budgetSelectByGroup: independent budgets, unallocated stratum empty, global parity") {
+    val df = Seq(
+      ("L1", "a", 10L, 10L), ("L1", "b", 3L, 9L), ("L1", "c", 2L, 4L), ("L1", "d", 100L, 1L),
+      ("L2", "e", 5L, 50L), ("L2", "f", 5L, 1L),
+      ("L3", "g", 1L, 1L)).toDF("g", "id", "tok", "score")
+    val budgets = Seq(("L1", 16L), ("L2", 5L)).toDF("g", "budget") // L3 unallocated
+    val got = Sampling.budgetSelectByGroup(df, "g", "id", "tok", "score",
+        budgets, "g", "budget")
+      .select("g", "id", "cum_tokens").as[(String, String, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    // L1 mirrors the global hand case; L2 keeps only the best-ratio doc;
+    // L3 keeps nothing
+    assert(got == Seq(("L1", "b", 3L), ("L1", "c", 5L), ("L1", "a", 15L),
+      ("L2", "e", 5L)))
+    // a single-stratum run equals the GLOBAL operator on that slice
+    val l1 = df.where(col("g") === "L1").drop("g")
+    val global = Sampling.budgetSelect(l1, "id", "tok", "score", 16L)
+      .select("id", "cum_tokens").as[(String, Long)].collect().toSet
+    assert(got.filter(_._1 == "L1").map(r => (r._2, r._3)).toSet == global)
+  }
+
   test("budgetSelect: greedy order, boundary drop, zero-token exclusion, layout invariance") {
     // ratios: a=10/10=1.0, b=9/3=3.0, c=4/2=2.0, d=1/100 -> order b,c,a,d
     // budget 16: b(3)+c(2)+a(10)=15 kept; d would cross -> dropped
