@@ -407,6 +407,43 @@ object TextAnalysis {
       .withColumn("kl", col("kl_fx").cast(DoubleType) / lit(1000000000.0))
   }
 
+  /** Vocabulary coverage + OOV rate vs a REFERENCE vocabulary — the
+    * tokenizer-fit audit both directions at once: coverage = what
+    * fraction of the reference vocab the corpus exercises (a sample that
+    * never touches half the vocab under-trains those embeddings), and
+    * oov_rate = what fraction of corpus TOKEN OCCURRENCES fall outside
+    * the vocab (high OOV → the tokenizer fragments this corpus). One
+    * (token, count) shuffle + two skinny vocab joins (AQE-broadcast while
+    * the vocab fits); all-integer counts, two final double divisions.
+    *
+    * @param refVocab one row per vocab entry; `refTokenCol` its token.
+    * @return one row: (vocab_size, covered, coverage, n_tokens,
+    *         oov_tokens, oov_rate).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, refVocab: DataFrame,
+                    refTokenCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val vocab = refVocab.select(col(refTokenCol).as("token")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("vocab_size"))
+    val covered = counts.join(vocab, Seq("token"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("covered"))
+    val oov = counts.join(vocab, Seq("token"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).cast(dec).as("oov_tokens"))
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L)).cast(dec).as("n_tokens"))
+    vSize.crossJoin(covered).crossJoin(total).crossJoin(oov).select(
+      col("vocab_size"), col("covered"),
+      when(col("vocab_size") > 0,
+        col("covered").cast(DoubleType) / col("vocab_size").cast(DoubleType))
+        .as("coverage"),
+      col("n_tokens").cast(LongType).as("n_tokens"),
+      col("oov_tokens").cast(LongType).as("oov_tokens"),
+      when(col("n_tokens") > 0,
+        col("oov_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .as("oov_rate"))
+  }
+
   /** Corpus-frequency commonness: mean corpus term-frequency of a document's
     * tokens — documents made of rare tokens (gibberish, code dumps,
     * boilerplate IDs) score low, a cheap corpus-relative quality dimension

@@ -675,6 +675,16 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_vocab_coverage" -> { (s, dir) =>
+      // tokenizer-fit audit: src1 docs against src0's top-100 vocabulary —
+      // coverage (vocab fraction exercised) + OOV occurrence rate
+      val docs = t(s, dir, "documents")
+      val refVocab = TextAnalysis.vocabulary(
+        docs.where(col("source") === "src0"), "doc_id", "text", 100)
+      TextAnalysis.vocabCoverage(
+        docs.where(col("source") === "src1"), "text", refVocab, "token")
+    },
+
     "q_budget_by_lang" -> { (s, dir) =>
       // mixture-weighted budgets: each language fills ITS OWN token
       // budget (2000·(lang-ordinal+1)) with its best quality-per-token
@@ -4553,6 +4563,29 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH rt AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents WHERE source = 'src0'),
+        |rv AS (SELECT token FROM (
+        |    SELECT token, count(*) AS tf FROM rt GROUP BY token
+        |    ORDER BY tf DESC, token ASC LIMIT 100)),
+        |ct AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents WHERE source = 'src1'),
+        |c AS (SELECT token, count(*) AS c FROM ct GROUP BY token),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM rv),
+        |cov AS (SELECT CAST(count(*) AS BIGINT) AS covered FROM c
+        |        WHERE token IN (SELECT token FROM rv)),
+        |oov AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS oov_tokens FROM c
+        |        WHERE token NOT IN (SELECT token FROM rv)),
+        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens FROM c)
+        |SELECT vs.vocab_size, cov.covered,
+        |  CASE WHEN vs.vocab_size > 0
+        |       THEN CAST(cov.covered AS DOUBLE) / CAST(vs.vocab_size AS DOUBLE) END AS coverage,
+        |  tot.n_tokens, oov.oov_tokens,
+        |  CASE WHEN tot.n_tokens > 0
+        |       THEN CAST(oov.oov_tokens AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE) END AS oov_rate
+        |FROM vs, cov, oov, tot""".stripMargin,
 
     "q_budget_by_lang" ->
       """WITH f AS (SELECT doc_id, lang,

@@ -1902,6 +1902,23 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("vocabCoverage: hand coverage and OOV, full-coverage zero-oov, empty-vocab null") {
+    val corpus = Seq("a b b oovword", "a oovword2").toDF("text")
+    val vocab = Seq("a", "b", "unused1", "unused2").toDF("token")
+    val r = TextAnalysis.vocabCoverage(corpus, "text", vocab, "token").collect()(0)
+    // vocab 4, covered {a, b} = 2; tokens 6 total, oov {oovword, oovword2} = 2
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((4L, 2L, 0.5, 6L, 2L, 2.0 / 6.0)))
+    // corpus fully inside the vocab: oov 0; vocab fully exercised: coverage 1
+    val full = TextAnalysis.vocabCoverage(Seq("a b").toDF("text"), "text",
+      Seq("a", "b").toDF("token"), "token").collect()(0)
+    assert(full.getDouble(2) == 1.0 && full.getLong(4) == 0L && full.getDouble(5) == 0.0)
+    // duplicate vocab rows count once
+    val dup = TextAnalysis.vocabCoverage(Seq("a").toDF("text"), "text",
+      Seq("a", "a").toDF("token"), "token").collect()(0)
+    assert(dup.getLong(0) == 1L && dup.getDouble(2) == 1.0)
+  }
+
   test("vocabKlBySlice: hand KL, identical-mix zero, null slices dropped, layout invariance") {
     // A: x x y  B: x y y y  -> N=7, C_x=3, C_y=4
     val df = Seq(("a", "x x y"), ("b", "x y y y")).toDF("lang", "text")
