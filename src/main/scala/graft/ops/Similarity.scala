@@ -267,6 +267,27 @@ object Similarity {
     graph.groupBy(col("neighbor_id").as("id"))
       .agg(count(lit(1)).cast(LongType).as("in_degree"))
 
+  /** RECIPROCAL (mutual) kNN pairs: (a, b) where each is in the other's
+    * top-k — the high-precision symmetric core of the kNN graph (one-way
+    * edges are routinely hub artifacts: everything points AT boilerplate;
+    * the boilerplate points back at almost nothing). The standard
+    * mining filter for translation/near-dup pair candidates before
+    * expensive verification. One canonical-pair groupBy over the ≤ k·N
+    * edges — no join, no extra pass over vectors.
+    *
+    * @param graph a [[knnGraph]] output (query_id, neighbor_id, …).
+    * @return (id_a, id_b) with id_a < id_b, both directions present.
+    */
+  def mutualKnnPairs(graph: DataFrame): DataFrame =
+    graph.select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"))
+      .agg(max(when(col("a") < col("b"), 1).otherwise(0)).as("__f"),
+        max(when(col("a") > col("b"), 1).otherwise(0)).as("__b"))
+      .where(col("__f") === 1 && col("__b") === 1)
+      .select("id_a", "id_b")
+
   /** Hub-suppressed diverse sampling: drop embedding-space hubs (in-degree
     * over the kNN graph above `maxInDegree` — near-duplicate boilerplate
     * regions), then take a deterministic hash sample of the survivors.

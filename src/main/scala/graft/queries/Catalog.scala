@@ -1570,6 +1570,14 @@ object Catalog {
         k = 3, ncells = 16, nprobe = 2)
         .orderBy("query_id", "rank")),
 
+    "q_mutual_knn" -> ((s, dir) =>
+      // reciprocal top-3 pairs of the kNN graph: the hub-immune symmetric
+      // core — the standard pair-mining filter before verification
+      Similarity.mutualKnnPairs(
+        Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, ncells = 16, nprobe = 2))
+        .orderBy("id_a", "id_b")),
+
     "q_knn_hubs" -> ((s, dir) =>
       // hubness: in-degree over the kNN graph — one bounded shuffle
       Similarity.hubScores(
@@ -3964,6 +3972,15 @@ object Catalog {
     "q_ann_lsh_mp" -> lshMultiProbeOracleSql(5, 4, 64, 42L),
     "q_ann_ivf" -> ivfAnnOracleSql(5, 16, 4),
     "q_knn_graph" -> ivfAnnOracleSql(3, 16, 2, queryFilter = ""),
+    "q_mutual_knn" ->
+      s"""WITH ${ivfAnnEdgesSql(16, 2, "")},
+         |e AS (SELECT qid AS a, nid AS b FROM r WHERE rank <= 3 AND qid != nid),
+         |c AS (SELECT least(a, b) AS id_a, greatest(a, b) AS id_b,
+         |        max(CASE WHEN a < b THEN 1 ELSE 0 END) AS f,
+         |        max(CASE WHEN a > b THEN 1 ELSE 0 END) AS bk
+         |      FROM e GROUP BY 1, 2)
+         |SELECT id_a, id_b FROM c WHERE f = 1 AND bk = 1
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_knn_margin" -> knnMarginOracleSql(3, 16, 2),
     "q_hard_negatives" ->
       s"""WITH ${ivfAnnEdgesSql(16, 2, "")},

@@ -1950,6 +1950,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == two)
   }
 
+  test("mutualKnnPairs: symmetric core only, canonical once, self-loops dropped") {
+    // graph edges: 1->2, 2->1 (mutual); 1->3 (one-way); 4->4 (self);
+    // 5->6 and 6->5 duplicated both ways (still ONE canonical pair)
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 4L),
+      (5L, 6L), (6L, 5L), (5L, 6L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.mutualKnnPairs(g).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (5L, 6L)))
+    // parity on a real tiny kNN graph: pairs are exactly those present
+    // in both directions of the graph
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(0.1f, 0.9f)), (5L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val graph = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 1,
+      ncells = 1, nprobe = 1)
+    val edges = graph.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val expect = edges.filter { case (a, b) => a < b && edges.contains((b, a)) }
+    assert(Similarity.mutualKnnPairs(graph).as[(Long, Long)].collect().toSet == expect)
+  }
+
   test("diversity: clones 1, orthogonal 0, opposite -1, brute-force parity, degenerate null") {
     def mk(vs: Seq[Seq[Float]]) = vs.map(v => Tuple1(v)).toDF("embedding")
     def d(vs: Seq[Seq[Float]]): Option[Double] = {
