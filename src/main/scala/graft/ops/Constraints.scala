@@ -232,6 +232,56 @@ object Constraints {
     * unpivots to the pair frame. State is O(|cols|²) longs — audit column
     * sets, not thousand-column frames.
     */
+  /** Per-column categorical CONCENTRATION profile: Shannon entropy (nats)
+    * + the two "effective number of categories" readings — exp(H)
+    * (perplexity) and inverse-Simpson n²/Σc² — for each listed column.
+    * The corpus-composition diagnostic raw distinct counts flatter: a
+    * column with 1000 distinct values where one holds 99% of rows has
+    * ~1 EFFECTIVE category, and a mixture sampler keyed on it is broken.
+    *
+    * One groupBy per column over its (value, count) cells (map-side
+    * combined, category-bounded output); Σc² and n are exact decimals
+    * (inverse-Simpson is one exact-integer double tree), entropy terms
+    * quantize through the portable fx-9 long and sum order-free (the
+    * mutualInfo discipline). NULLs form their own category only when
+    * `countNulls` (default false → excluded).
+    *
+    * @return one row per column: (column, n, categories, entropy,
+    *         eff_exp_h, eff_simpson).
+    */
+  def categoryEntropy(df: DataFrame, cols: Seq[String],
+                      countNulls: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    import graft.metrics.MetricColumns
+    val dec = DecimalType(38, 0)
+    val frames = cols.map { c =>
+      val base = if (countNulls) df.select(col(c).cast("string").as("__v"))
+        else df.select(col(c).cast("string").as("__v")).where(col("__v").isNotNull)
+      val cells = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+      val nF = cells.agg(coalesce(sum(col("__c")), lit(0L)).cast(dec).as("__n"))
+      val nd = col("__n").cast(DoubleType)
+      val cd = col("__c").cast(DoubleType)
+      val withN = cells.crossJoin(broadcast(nF))
+      withN.select(col("__c"), col("__n"),
+          MetricColumns.fixedPointLong(-(cd / nd) * log(cd / nd), 9).as("__t"))
+        .agg(
+          max(col("__n")).as("nn"),
+          count(lit(1)).as("categories"),
+          coalesce(sum(col("__t")), lit(0L)).cast(LongType).as("hfx"),
+          coalesce(sum(col("__c").cast(dec) * col("__c")), lit(0L).cast(dec)).as("c2"))
+        .select(
+          lit(c).as("column"),
+          col("nn").cast(LongType).as("n"),
+          col("categories"),
+          (col("hfx").cast(DoubleType) / lit(1000000000.0)).as("entropy"),
+          exp(col("hfx").cast(DoubleType) / lit(1000000000.0)).as("eff_exp_h"),
+          when(col("c2") > 0,
+            (col("nn") * col("nn")).cast(DoubleType) / col("c2").cast(DoubleType))
+            .as("eff_simpson"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
   def coMissingness(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }

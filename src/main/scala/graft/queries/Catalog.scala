@@ -675,6 +675,15 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_cat_entropy" -> { (s, dir) =>
+      // effective-category profile of the corpus dimensions: entropy +
+      // exp(H) + inverse-Simpson per column — the concentration reading
+      // raw distinct counts flatter
+      val docs = t(s, dir, "documents")
+      Constraints.categoryEntropy(docs, Seq("lang", "source"))
+        .orderBy("column")
+    },
+
     "q_vocab_coverage" -> { (s, dir) =>
       // tokenizer-fit audit: src1 docs against src0's top-100 vocabulary —
       // coverage (vocab fraction exercised) + OOV occurrence rate
@@ -3682,6 +3691,38 @@ object Catalog {
        |FROM st ORDER BY user_id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.ops.Constraints.categoryEntropy]] over the
+    * documents table: per-column cells → exact n/Σc² + fx-9 entropy terms
+    * (n staged in its own CTE — a window inside an aggregate is illegal).
+    */
+  private def catEntropyOracle(cols: Seq[String]): String = {
+    val S = "1000000000.0"
+    def block(i: Int, c: String): String = {
+      val p = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+      val term = s"-$p * ln($p)"
+      s"""c$i AS (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c FROM documents
+         |  WHERE $c IS NOT NULL GROUP BY 1),
+         |n$i AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM c$i),
+         |m$i AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS cats,
+         |    CAST(sum(CASE WHEN $term >= 0
+         |      THEN CAST(floor(($term) * $S + 0.5) AS BIGINT)
+         |      ELSE -CAST(floor(-($term) * $S + 0.5) AS BIGINT) END) AS BIGINT) AS hfx,
+         |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2
+         |  FROM c$i, n$i)""".stripMargin
+    }
+    def sel(i: Int, c: String): String =
+      s"""SELECT '$c' AS "column", n, cats AS categories,
+         |  CAST(hfx AS DOUBLE) / $S AS entropy,
+         |  exp(CAST(hfx AS DOUBLE) / $S) AS eff_exp_h,
+         |  CASE WHEN c2 > 0 THEN CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+         |       / CAST(c2 AS DOUBLE) END AS eff_simpson
+         |FROM m$i""".stripMargin
+    s"""WITH ${cols.zipWithIndex.map { case (c, i) => block(i, c) }.mkString(",\n")}
+       |SELECT * FROM (
+       |${cols.zipWithIndex.map { case (c, i) => sel(i, c) }.mkString("\nUNION ALL\n")}
+       |) ORDER BY "column"""".stripMargin
+  }
+
   private def mutualInfoOracle: String = {
     val S = "1000000000.0"
     def fx(t: String) =
@@ -4580,6 +4621,8 @@ object Catalog {
         |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
         |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
         |FROM d""".stripMargin,
+
+    "q_cat_entropy" -> catEntropyOracle(Seq("lang", "source")),
 
     "q_vocab_coverage" ->
       """WITH rt AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token

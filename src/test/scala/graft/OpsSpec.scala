@@ -1346,6 +1346,35 @@ class BinningSpec extends SparkSpec {
     assert(Binning.giniByGroup(withNull, "g", col("x")).count() == 1L)
   }
 
+  test("categoryEntropy: hand entropy, uniform effective count, constant, skew contrast, nulls") {
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "z"), ("b", "w")).toDF("l", "s")
+    val got = Constraints.categoryEntropy(df, Seq("l", "s"))
+      .orderBy("column").collect()
+    // l = {a:3, b:1}: H = -(3/4)ln(3/4) - (1/4)ln(1/4); simpson = 16/10
+    val hL = -(0.75 * math.log(0.75)) - (0.25 * math.log(0.25))
+    val rl = got(0)
+    assert(rl.getString(0) == "l" && rl.getLong(1) == 4L && rl.getLong(2) == 2L)
+    assert(math.abs(rl.getDouble(3) - hL) < 2e-9)
+    assert(rl.getDouble(5) == 1.6)
+    // s uniform over 4: simpson effective EXACTLY 4, exp(H) ~ 4
+    val rs = got(1)
+    assert(rs.getLong(2) == 4L && rs.getDouble(5) == 4.0)
+    assert(math.abs(rs.getDouble(4) - 4.0) < 1e-6)
+    // constant column: entropy 0, both effectives 1
+    val c = Constraints.categoryEntropy(Seq("k", "k", "k").toDF("v"), Seq("v"))
+      .collect()(0)
+    assert(c.getDouble(3) == 0.0 && c.getDouble(4) == 1.0 && c.getDouble(5) == 1.0)
+    // heavy skew: distinct says 2, effective says ~1
+    val skew = (Seq.fill(99)("big") :+ "rare").toDF("v")
+    val sk = Constraints.categoryEntropy(skew, Seq("v")).collect()(0)
+    assert(sk.getLong(2) == 2L && sk.getDouble(5) < 1.05)
+    // nulls excluded by default; counted as a category when asked
+    val wn = Seq(Some("a"), None, Some("a")).toDF("v")
+    assert(Constraints.categoryEntropy(wn, Seq("v")).collect()(0).getLong(1) == 2L)
+    assert(Constraints.categoryEntropy(wn, Seq("v"), countNulls = true)
+      .collect()(0).getLong(2) == 2L)
+  }
+
   test("weightedPercentiles: hand fences, unit-weight type-1 parity, zero-weight invisibility, route equivalence") {
     // values 1..4, weights 1,1,1,7 -> W=10; cum: 1,2,3,10.
     // p=.2 -> first cum>=2 is v=2; p=.3 -> v=3; p=.31..1 -> v=4
