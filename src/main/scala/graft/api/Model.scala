@@ -129,7 +129,13 @@ final case class ColumnConfig(
       * compare to the chi-square(8) critical value (20.09 at p = 0.01) in
       * a test like `benford_chi2 < 20.09`.
       */
-    benford: Option[Int] = None
+    benford: Option[Int] = None,
+    /** Record the column's categorical concentration profile — `entropy`
+      * (nats), `eff_exp_h` (perplexity) and `eff_simpson` (n²/Σc²)
+      * measurements (`concentration: true` YAML key) — the "did this
+      * dimension collapse" gate before mixture sampling keys on it.
+      */
+    concentration: Boolean = false
 )
 
 /** Beyond the reference surface: per-column rolling z-score anomaly

@@ -97,6 +97,7 @@ object ScanYamlParser {
       mwuReference = optStr(m, "mwu_reference"),
       chi2Reference = optStr(m, "chi2_reference"),
       w1Reference = optStr(m, "w1_reference"),
-      benford = optInt(m, "benford")
+      benford = optInt(m, "benford"),
+      concentration = optStr(m, "concentration").exists(_.toBoolean)
     )
 }

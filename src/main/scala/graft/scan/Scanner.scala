@@ -698,6 +698,23 @@ object Scanner {
       }
     }
 
+    // ---- categorical concentration (beyond the reference:
+    // `concentration: true` column key) ---- Shannon entropy + both
+    // effective-category counts as `entropy` / `eff_exp_h` / `eff_simpson`
+    // measurements — gate "this dimension collapsed" with e.g.
+    // `eff_simpson > 3` before a mixture sampler keys on the column
+    {
+      val concCols = fields.filter(f => cfgOf(f.name).concentration).map(_.name)
+      if (concCols.nonEmpty) {
+        graft.ops.Constraints.categoryEntropy(df, concCols).collect().foreach { r =>
+          record(r.getString(0), "entropy", r.getDouble(3))
+          record(r.getString(0), "eff_exp_h", r.getDouble(4))
+          record(r.getString(0), "eff_simpson",
+            if (r.isNullAt(5)) null else r.getDouble(5))
+        }
+      }
+    }
+
     // ---- co-missingness audit (beyond the reference: table-level
     // `co_missingness:` column list) ---- per pair the both-null count and
     // the null-set jaccard (Constraints.coMissingness — one fused

@@ -565,6 +565,33 @@ class ScannerSpec extends SparkSpec {
     assert(byExpr("mwu_auc < 0.2").passed && byExpr("chi2_ppm > 0").passed)
   }
 
+  test("concentration scan key records entropy/effective-category measurements and gates") {
+    import graft.scan.Scanner
+    import graft.ops.Constraints
+    import spark.implicits._
+    val df2 = (Seq.fill(99)("big") :+ "rare").toDF("segment")
+    val yaml =
+      """table_name: t
+        |columns:
+        |  segment:
+        |    concentration: true
+        |    tests:
+        |    - eff_simpson < 1.5
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, df2, yaml)
+    assert(!r.hasErrors, r.errors.mkString("; "))
+    val eff = r.measurement("eff_simpson", Some("segment")).get.value.get
+      .asInstanceOf[Double]
+    val ent = r.measurement("entropy", Some("segment")).get.value.get
+      .asInstanceOf[Double]
+    // parity with the direct operator
+    val direct = Constraints.categoryEntropy(df2, Seq("segment")).collect()(0)
+    assert(eff == direct.getDouble(5) && ent == direct.getDouble(3))
+    assert(eff < 1.05, s"99-1 skew collapses to ~1 effective category: $eff")
+    val byExpr = r.testResults.map(t => t.test.expression -> t).toMap
+    assert(byExpr("eff_simpson < 1.5").passed)
+  }
+
   test("w1_reference scan key records the earth-mover distance and gates tests") {
     import graft.scan.{Drift, Scanner}
     import spark.implicits._
