@@ -203,6 +203,25 @@ object StreamingMonitor {
         sum(when(col("__b"), 1L).otherwise(0L)).as("x"))
       .select(col("w.start").as("window_start"), col("n"), col("x"))
 
+  /** Windowed OUT-OF-VOCABULARY rate: per-window fraction of token
+    * occurrences outside a (bounded, broadcast-literal) reference
+    * vocabulary — the STREAMING tokenizer-fit monitor next to the batch
+    * [[graft.ops.TextAnalysis.vocabCoverage]] ("did tonight's crawl start
+    * speaking a language our tokenizer fragments"). Tokens explode
+    * row-locally BEFORE the windowed aggregate, so this is one windowed
+    * count — [[rateStream]] pointed at token-level membership; same
+    * output contract, here (window_start, n = tokens, x = in-vocab).
+    */
+  def oovStream(df: DataFrame, tsCol: String, watermark: String,
+                duration: String, textCol: String,
+                vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "need a non-empty vocabulary")
+    val tokens = df.select(col(tsCol).as("__ts"),
+      explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("__t"))
+    rateStream(tokens, "__ts", watermark, duration,
+        col("__t").isInCollection(vocab))
+  }
+
   /** PSI of each collected window's bucket counts vs a static reference
     * distribution (e.g. last month's scan): driver-side over bounded
     * (window × bucket) rows, same eps-floored Σ (p−q)·ln(p/q) as the batch

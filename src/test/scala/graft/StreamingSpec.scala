@@ -1499,6 +1499,34 @@ class StreamingSpec extends SparkSpec {
       row.getDouble(6) == td && row.getDouble(7) == tz.get)
   }
 
+  test("windowed OOV monitor: per-window token counts vs vocab, drift reads in the rate") {
+    import spark.implicits._
+    import graft.streaming.StreamingMonitor
+    import graft.scan.Drift
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: all tokens in-vocab; hour 1: half the tokens are novel
+    val w0 = Seq((ts(0, 1), "aa bb"), (ts(0, 2), "aa aa"))
+    val w1 = Seq((ts(1, 1), "aa zz"), (ts(1, 2), "bb qq"))
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = StreamingMonitor.oovStream(
+        stream.toDF().toDF("ts", "text"), "ts", "10 minutes", "1 hour",
+        "text", Seq("aa", "bb", "cc"))
+      .writeStream.format("memory").queryName("oov_test").outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    q.processAllAvailable()
+    val windows = spark.table("oov_test")
+      .as[(Timestamp, Long, Long)].collect().sortBy(_._1.getTime)
+    q.stop()
+    // (n tokens, in-vocab): hour 0 = (4, 4); hour 1 = (4, 2)
+    assert(windows.map(w => (w._2, w._3)).toSeq == Seq((4L, 4L), (4L, 2L)))
+    // the prop-test twin turns the counts into a drift verdict vs a
+    // reference in-vocab rate (e.g. the batch scan's 100%)
+    val (_, p1, _, _) = Drift.propTestOfCounts(100L, 100L, windows(1)._2, windows(1)._3)
+    assert(p1 == 0.5)
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
