@@ -104,4 +104,52 @@ object LinearProbe {
       .collect()(0)
     BigInt(row.getDecimal(0).toBigInteger) / BigInt(row.getLong(1))
   }
+
+  /** CALIBRATION table (reliability diagram): equal-width score buckets ×
+    * (count, mean predicted score, observed positive rate, |gap|·weight
+    * ECE contribution) — does a 0.9 from this scorer actually mean 90%?
+    * An uncalibrated quality probe silently skews every downstream
+    * mixture/threshold decision; the per-bucket |gap| is the audit, and
+    * Σ ece_term = the expected calibration error.
+    *
+    * Exactness: scores quantize to fx-6 longs BEFORE bucketing (floor of
+    * an exact integer ratio — the bucket edge can't flap on a low bit),
+    * per-bucket sums/counts are exact integers, and the three derived
+    * doubles follow fixed trees — engine-portable. One bucket-bounded
+    * aggregate; NULL score/label rows are excluded.
+    *
+    * @param scoreCol a [0, 1]-ish prediction; values clamp into
+    *                 [0, buckets−1] at the edges.
+    * @return per non-empty bucket: (bucket, n, mean_score, pos_rate,
+    *         ece_term) ordered by bucket.
+    */
+  def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
+                       buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val dec = DecimalType(38, 0)
+    val sFx = graft.metrics.MetricColumns.fixedPointLong(
+      col(scoreCol).cast(DoubleType), 6)
+    val base = df.select(sFx.as("__s"), col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      // integer bucket edge: floor(sfx·B / 10^6), clamped — no double ever
+      .withColumn("__b", least(greatest(
+        expr(s"(__s * ${buckets}L) div 1000000L"), lit(0L)),
+        lit(buckets.toLong - 1)))
+    val total = base.agg(count(lit(1)).cast(dec).as("__n"))
+    base.groupBy("__b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast(dec)).as("__ss"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+      .crossJoin(broadcast(total))
+      .select(col("__b").as("bucket"), col("n"),
+        (col("__ss").cast(DoubleType) / col("n").cast(DoubleType) /
+          lit(1000000.0)).as("mean_score"),
+        (col("__pos").cast(DoubleType) / col("n").cast(DoubleType)).as("pos_rate"),
+        (abs(col("__ss").cast(DoubleType) / col("n").cast(DoubleType) /
+          lit(1000000.0) -
+          col("__pos").cast(DoubleType) / col("n").cast(DoubleType)) *
+          (col("n").cast(DoubleType) / col("__n").cast(DoubleType)))
+          .as("ece_term"))
+      .orderBy("bucket")
+  }
 }

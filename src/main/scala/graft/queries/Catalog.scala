@@ -675,6 +675,20 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_calibration" -> { (s, dir) =>
+      // reliability diagram over a synthetic calibrated scorer: score =
+      // h1/1000, label = (h2 < h1) -> P(label|score) = score, so bucket
+      // gaps are pure sampling noise; exact integer bucketing and sums
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(col("doc_id"),
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.calibrationTable(scored, "score", "label", 10)
+    },
+
     "q_cat_entropy" -> { (s, dir) =>
       // effective-category profile of the corpus dimensions: entropy +
       // exp(H) + inverse-Simpson per column — the concentration reading
@@ -4623,6 +4637,28 @@ object Catalog {
         |FROM d""".stripMargin,
 
     "q_cat_entropy" -> catEntropyOracle(Seq("lang", "source")),
+
+    "q_calibration" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |g AS (SELECT CAST(h1 AS DOUBLE) / 1000.0 AS score, h2 < h1 AS label FROM f),
+        |q AS (SELECT CAST(CASE WHEN score >= 0 THEN floor(score * 1000000.0 + 0.5)
+        |          ELSE -floor(-score * 1000000.0 + 0.5) END AS BIGINT) AS sfx, label FROM g),
+        |b AS (SELECT least(greatest((sfx * 10) // 1000000, 0), 9) AS bucket, sfx, label FROM q),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS tot FROM b),
+        |m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(sfx AS HUGEINT)) AS HUGEINT) AS ss,
+        |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, n,
+        |  CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_score,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+        |  abs(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS ece_term
+        |FROM m, t ORDER BY bucket""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH rt AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token

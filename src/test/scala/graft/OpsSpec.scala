@@ -2786,6 +2786,36 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class CalibrationSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("calibrationTable: perfect scorer zero gaps, constant-score bucket, edge clamp, nulls") {
+    // perfectly calibrated buckets: bucket 0-ish scores with matching rates
+    val df = (Seq.fill(8)((0.25, false)) ++ Seq.fill(2)((0.25, true)) ++  // rate .2 @ .25
+      Seq.fill(3)((0.75, true)) ++ Seq.fill(1)((0.75, false)))            // rate .75 @ .75
+      .toDF("score", "label")
+    val got = LinearProbe.calibrationTable(df, "score", "label", 4)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val b1 = got(0); val b3 = got(1)
+    assert(b1.getLong(1) == 10L && b1.getDouble(2) == 0.25 && b1.getDouble(3) == 0.2)
+    assert(b3.getLong(1) == 4L && b3.getDouble(2) == 0.75 && b3.getDouble(3) == 0.75)
+    // ece_term: bucket 3 perfectly calibrated -> 0; bucket 1 gap .05 * 10/14
+    assert(b3.getDouble(4) == 0.0)
+    assert(math.abs(b1.getDouble(4) - 0.05 * 10.0 / 14.0) < 1e-12)
+    // score 1.0 clamps into the top bucket
+    val top = LinearProbe.calibrationTable(
+      Seq((1.0, true)).toDF("score", "label"), "score", "label", 4).collect()(0)
+    assert(top.getLong(0) == 3L)
+    // null score or label rows are excluded
+    val wn = Seq((Some(0.5), Some(true)), (None, Some(false)), (Some(0.5), None))
+      .toDF("score", "label")
+    assert(LinearProbe.calibrationTable(wn, "score", "label", 4)
+      .agg(sum("n")).collect()(0).getLong(0) == 1L)
+  }
+}
+
 class CardSpec extends SparkSpec {
   import spark.implicits._
 
