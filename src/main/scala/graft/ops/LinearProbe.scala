@@ -105,6 +105,73 @@ object LinearProbe {
     BigInt(row.getDecimal(0).toBigInteger) / BigInt(row.getLong(1))
   }
 
+  /** EXACT ROC-AUC of a scorer against boolean labels — literally the
+    * tie-corrected Mann–Whitney AUC with (ref, cur) = (positives,
+    * negatives): AUC = P[score(pos) > score(neg)] + ½·ties, the
+    * threshold-free ranking quality number. Scores quantize to fx-6 longs
+    * (doubled-rank exactness end-to-end); one value-keyed shuffle + the
+    * fused two-phase prefix scan ([[graft.scan.Drift.mannWhitneyU]]
+    * verbatim — the drift statistic IS the eval statistic).
+    *
+    * @return one row: (n_pos, n_neg, auc, z) — z vs the AUC=½ null.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val base = df.select(
+        graft.metrics.MetricColumns.fixedPointLong(
+          col(scoreCol).cast(DoubleType), 6).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    graft.scan.Drift.mannWhitneyU(
+        base.where(col("__y")), base.where(!col("__y")), "__s")
+      .select(col("n_ref").as("n_pos"), col("n_cur").as("n_neg"),
+        col("auc"), col("z"))
+  }
+
+  /** Precision / recall / F1 at EVERY achievable threshold — the full
+    * operating-characteristic table behind "pick the quality cutoff":
+    * for each distinct score s (a candidate threshold, predict positive
+    * when score ≥ s), TP/FP from the DESCENDING cumulative of the
+    * (score, pos, neg) counts frame. Distinct-bounded frame + the
+    * [[graft.ops.Binning]] local-window regime (scores are fx-quantized,
+    * cardinality-bounded); every metric one fixed double tree over exact
+    * longs. NULL rows excluded.
+    *
+    * @return per distinct score: (threshold_fx, tp, fp, fn, precision,
+    *         recall, f1) ordered by threshold_fx descending.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val base = df.select(
+        graft.metrics.MetricColumns.fixedPointLong(
+          col(scoreCol).cast(DoubleType), 6).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(col("__s").as("threshold_fx"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+    val totals = broadcast(cells.agg(
+      coalesce(sum(col("__p")), lit(0L)).as("__tp_all")))
+    // thresholds are distinct-bounded (fx-quantized scores) — the cheap
+    // single-task descending cumulative, the documented Binning regime
+    val w = Window.orderBy(col("threshold_fx").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tp = sum(col("__p")).over(w); val fp = sum(col("__n")).over(w)
+    cells.crossJoin(totals)
+      .select(col("threshold_fx"), tp.as("tp"), fp.as("fp"),
+        (col("__tp_all") - tp).as("fn"))
+      .withColumn("precision", col("tp").cast(DoubleType) /
+        (col("tp") + col("fp")).cast(DoubleType))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0L, col("tp").cast(DoubleType) /
+          (col("tp") + col("fn")).cast(DoubleType)))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          (lit(2L) * col("tp")).cast(DoubleType) /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast(DoubleType)))
+      .orderBy(col("threshold_fx").desc)
+  }
+
   /** CALIBRATION table (reliability diagram): equal-width score buckets ×
     * (count, mean predicted score, observed positive rate, |gap|·weight
     * ECE contribution) — does a 0.9 from this scorer actually mean 90%?

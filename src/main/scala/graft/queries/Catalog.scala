@@ -675,6 +675,33 @@ object Catalog {
         col("o_orderstatus") === "F")
     },
 
+    "q_roc_auc" -> { (s, dir) =>
+      // exact ROC-AUC of the synthetic calibrated scorer (same score/
+      // label construction as q_calibration) — the MWU machinery IS the
+      // eval statistic; a calibrated uniform scorer lands near 2/3
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.rocAuc(scored, "score", "label")
+    },
+
+    "q_pr_curve" -> { (s, dir) =>
+      // full precision/recall/F1 operating table of the same scorer —
+      // every achievable threshold from the descending counts cumulative
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.prCurve(scored, "score", "label")
+    },
+
     "q_calibration" -> { (s, dir) =>
       // reliability diagram over a synthetic calibrated scorer: score =
       // h1/1000, label = (h2 < h1) -> P(label|score) = score, so bucket
@@ -4637,6 +4664,67 @@ object Catalog {
         |FROM d""".stripMargin,
 
     "q_cat_entropy" -> catEntropyOracle(Seq("lang", "source")),
+
+    "q_roc_auc" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |u AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS v,
+        |       CASE WHEN h2 < h1 THEN 1 ELSE 2 END AS side
+        |  FROM f),
+        |c AS (SELECT v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY v),
+        |k AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS kc FROM c),
+        |m AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(CAST(c1 AS HUGEINT) * ((kc - c) * 2 + c + 1)) AS r1d,
+        |             sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END) AS ties
+        |      FROM k)
+        |SELECT n1 AS n_pos, n2 AS n_neg,
+        |       CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc,
+        |       CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0.0
+        |       THEN (CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |            / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+        |       END AS z
+        |FROM m""".stripMargin,
+
+    "q_pr_curve" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS s,
+        |       h2 < h1 AS y FROM f),
+        |c AS (SELECT s AS threshold_fx,
+        |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+        |        sum(CASE WHEN y THEN 0 ELSE 1 END) AS ng
+        |      FROM q GROUP BY s),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all FROM c),
+        |k AS (SELECT threshold_fx,
+        |        CAST(sum(p) OVER (ORDER BY threshold_fx DESC) AS BIGINT) AS tp,
+        |        CAST(sum(ng) OVER (ORDER BY threshold_fx DESC) AS BIGINT) AS fp
+        |      FROM c)
+        |SELECT threshold_fx, tp, fp, t.tp_all - tp AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CASE WHEN tp + (t.tp_all - tp) > 0
+        |       THEN CAST(tp AS DOUBLE) / CAST(tp + (t.tp_all - tp) AS DOUBLE) END AS recall,
+        |  CASE WHEN 2 * tp + fp + (t.tp_all - tp) > 0
+        |       THEN CAST(2 * tp AS DOUBLE)
+        |            / CAST(2 * tp + fp + (t.tp_all - tp) AS DOUBLE) END AS f1
+        |FROM k, t ORDER BY threshold_fx DESC""".stripMargin,
 
     "q_calibration" ->
       """WITH f AS (SELECT

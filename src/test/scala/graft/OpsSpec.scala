@@ -2790,6 +2790,36 @@ class CalibrationSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
 
+  test("rocAuc: perfect separation 1, random half, reversed 0, mwu parity") {
+    // perfect: all positives above all negatives
+    val perfect = (Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      .toDF("score", "label")
+    assert(LinearProbe.rocAuc(perfect, "score", "label").collect()(0).getDouble(2) == 1.0)
+    // reversed scorer: 0
+    val rev = perfect.withColumn("score", lit(1.0) - col("score"))
+    assert(LinearProbe.rocAuc(rev, "score", "label").collect()(0).getDouble(2) == 0.0)
+    // constant score: all ties -> exactly 1/2
+    val const = Seq((0.5, true), (0.5, false), (0.5, true)).toDF("score", "label")
+    assert(LinearProbe.rocAuc(const, "score", "label").collect()(0).getDouble(2) == 0.5)
+  }
+
+  test("prCurve: hand thresholds, monotone recall, top row, degenerate all-positive") {
+    // scores .9(+), .7(-), .5(+), .3(-): thresholds desc
+    val df = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false))
+      .toDF("score", "label")
+    val r = LinearProbe.prCurve(df, "score", "label")
+      .select("threshold_fx", "tp", "fp", "fn", "precision", "recall", "f1")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(900000L, 700000L, 500000L, 300000L))
+    assert(r.map(t => (t._2, t._3, t._4)) ==
+      Seq((1L, 0L, 1L), (1L, 1L, 1L), (2L, 1L, 0L), (2L, 2L, 0L)))
+    assert(r(0)._5 == 1.0 && r(0)._6 == 0.5)        // highest threshold
+    assert(r(2)._5 == 2.0 / 3.0 && r(2)._6 == 1.0)  // best F1 row
+    assert(r(2)._7 == 2.0 * 2 / (2 * 2 + 1 + 0))
+    // recall is monotone non-decreasing as the threshold drops
+    assert(r.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("calibrationTable: perfect scorer zero gaps, constant-score bucket, edge clamp, nulls") {
     // perfectly calibrated buckets: bucket 0-ish scores with matching rates
     val df = (Seq.fill(8)((0.25, false)) ++ Seq.fill(2)((0.25, true)) ++  // rate .2 @ .25
