@@ -172,6 +172,35 @@ object LinearProbe {
       .orderBy(col("threshold_fx").desc)
   }
 
+  /** AVERAGE PRECISION (area under the PR curve, step form): AP =
+    * Σ (recall_i − recall_{i−1})·precision_i over descending thresholds —
+    * the single-number PR summary that (unlike ROC-AUC) doesn't flatter
+    * scorers on heavily imbalanced labels, i.e. exactly the
+    * rare-positive curation setting. Rides [[prCurve]]'s table + one lag
+    * over the distinct-bounded thresholds; each step term is one fixed
+    * double tree over exact longs, terms quantize through the portable
+    * fx-12 long and sum ORDER-FREE (a raw double Σ would be
+    * order-dependent).
+    *
+    * @return one row: (n_pos, n_thresholds, avg_precision).
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val curve = prCurve(df, scoreCol, labelCol)
+    val w = Window.orderBy(col("threshold_fx").desc)
+    val prevTp = coalesce(lag(col("tp"), 1).over(w), lit(0L))
+    val tpAll = col("tp") + col("fn") // constant across rows
+    val term = ((col("tp") - prevTp).cast(DoubleType) / tpAll.cast(DoubleType)) *
+      (col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType))
+    curve
+      .select(col("tp"), col("fp"), col("fn"),
+        graft.metrics.MetricColumns.fixedPointLong(term, 12).as("__t"))
+      .agg(max(tpAll).cast(LongType).as("n_pos"),
+        count(lit(1)).as("n_thresholds"),
+        (sum(col("__t")).cast(DoubleType) / lit(1.0E12)).as("avg_precision"))
+  }
+
   /** CALIBRATION table (reliability diagram): equal-width score buckets ×
     * (count, mean predicted score, observed positive rate, |gap|·weight
     * ECE contribution) — does a 0.9 from this scorer actually mean 90%?

@@ -702,6 +702,19 @@ object Catalog {
       LinearProbe.prCurve(scored, "score", "label")
     },
 
+    "q_avg_precision" -> { (s, dir) =>
+      // single-number PR summary of the same scorer — the imbalance-proof
+      // companion to q_roc_auc; step terms fx-12, order-free sum
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.averagePrecision(scored, "score", "label")
+    },
+
     "q_calibration" -> { (s, dir) =>
       // reliability diagram over a synthetic calibrated scorer: score =
       // h1/1000, label = (h2 < h1) -> P(label|score) = score, so bucket
@@ -4725,6 +4738,36 @@ object Catalog {
         |       THEN CAST(2 * tp AS DOUBLE)
         |            / CAST(2 * tp + fp + (t.tp_all - tp) AS DOUBLE) END AS f1
         |FROM k, t ORDER BY threshold_fx DESC""".stripMargin,
+
+    "q_avg_precision" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS s,
+        |       h2 < h1 AS y FROM f),
+        |c AS (SELECT s AS tf, sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+        |        sum(CASE WHEN y THEN 0 ELSE 1 END) AS ng FROM q GROUP BY s),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all FROM c),
+        |k AS (SELECT tf, CAST(sum(p) OVER (ORDER BY tf DESC) AS BIGINT) AS tp,
+        |        CAST(sum(ng) OVER (ORDER BY tf DESC) AS BIGINT) AS fp FROM c),
+        |g AS (SELECT tf, tp, fp,
+        |        CAST(coalesce(lag(tp) OVER (ORDER BY tf DESC), 0) AS BIGINT) AS ptp
+        |      FROM k),
+        |terms AS (SELECT
+        |    (CAST(tp - ptp AS DOUBLE) / CAST(t.tp_all AS DOUBLE))
+        |      * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS term
+        |  FROM g, t),
+        |fx AS (SELECT CAST(sum(CASE WHEN term >= 0
+        |    THEN CAST(floor(term * 1000000000000.0 + 0.5) AS BIGINT)
+        |    ELSE -CAST(floor(-term * 1000000000000.0 + 0.5) AS BIGINT) END) AS BIGINT) AS sfx
+        |  FROM terms)
+        |SELECT t.tp_all AS n_pos,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_thresholds,
+        |       CAST(fx.sfx AS DOUBLE) / 1000000000000.0 AS avg_precision
+        |FROM t, fx""".stripMargin,
 
     "q_calibration" ->
       """WITH f AS (SELECT

@@ -2820,6 +2820,24 @@ class CalibrationSpec extends SparkSpec {
     assert(r.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("averagePrecision: hand AP, perfect 1, reversed floor") {
+    // scores .9(+) .7(-) .5(+) .3(-): AP = .5*1 + .5*(2/3) = 5/6
+    val df = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false))
+      .toDF("score", "label")
+    val r = LinearProbe.averagePrecision(df, "score", "label").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) - 5.0 / 6.0) < 2e-12)
+    // perfect separation: AP exactly 1 (within fx-12)
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("score", "label")
+    assert(math.abs(LinearProbe.averagePrecision(perfect, "score", "label")
+      .collect()(0).getDouble(2) - 1.0) < 2e-12)
+    // reversed scorer: AP sinks toward the positive prevalence
+    val rev = Seq((0.1, true), (0.2, true), (0.9, false), (0.8, false))
+      .toDF("score", "label")
+    assert(LinearProbe.averagePrecision(rev, "score", "label")
+      .collect()(0).getDouble(2) < 0.6)
+  }
+
   test("calibrationTable: perfect scorer zero gaps, constant-score bucket, edge clamp, nulls") {
     // perfectly calibrated buckets: bucket 0-ish scores with matching rates
     val df = (Seq.fill(8)((0.25, false)) ++ Seq.fill(2)((0.25, true)) ++  // rate .2 @ .25
