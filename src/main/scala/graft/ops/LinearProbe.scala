@@ -172,6 +172,31 @@ object LinearProbe {
       .orderBy(col("threshold_fx").desc)
   }
 
+  /** BRIER score: mean squared error of the probability against the 0/1
+    * outcome — the PROPER scoring rule that punishes both discrimination
+    * AND calibration failures in one number (AUC can't see a constant
+    * bias; ECE can't see a useless-but-calibrated scorer; Brier sees
+    * both). Scores quantize to fx-6 longs, every (sfx − y·10⁶)² is an
+    * exact long, the sum an exact decimal, ONE double division —
+    * engine-portable. One 1-row aggregate; NULL rows excluded.
+    *
+    * @return one row: (n, brier) ∈ [0, 1]; 0 = perfect.
+    */
+  def brierScore(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(
+        graft.metrics.MetricColumns.fixedPointLong(
+          col(scoreCol).cast(DoubleType), 6).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val e = col("__s") - when(col("__y"), 1000000L).otherwise(0L)
+    base.agg(count(lit(1)).as("n"),
+        sum((e.cast(dec) * e.cast(dec))).as("__se"))
+      .select(col("n"),
+        when(col("n") > 0, col("__se").cast(DoubleType) /
+          col("n").cast(DoubleType) / lit(1.0E12)).as("brier"))
+  }
+
   /** AVERAGE PRECISION (area under the PR curve, step form): AP =
     * Σ (recall_i − recall_{i−1})·precision_i over descending thresholds —
     * the single-number PR summary that (unlike ROC-AUC) doesn't flatter

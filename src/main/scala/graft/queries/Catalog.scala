@@ -702,6 +702,20 @@ object Catalog {
       LinearProbe.prCurve(scored, "score", "label")
     },
 
+    "q_brier" -> { (s, dir) =>
+      // proper scoring rule over the same calibrated scorer: punishes
+      // miscalibration AND non-discrimination in one number; exact
+      // integer squared errors, one double division
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.brierScore(scored, "score", "label")
+    },
+
     "q_avg_precision" -> { (s, dir) =>
       // single-number PR summary of the same scorer — the imbalance-proof
       // companion to q_roc_auc; step terms fx-12, order-free sum
@@ -4738,6 +4752,21 @@ object Catalog {
         |       THEN CAST(2 * tp AS DOUBLE)
         |            / CAST(2 * tp + fp + (t.tp_all - tp) AS DOUBLE) END AS f1
         |FROM k, t ORDER BY threshold_fx DESC""".stripMargin,
+
+    "q_brier" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS s,
+        |       CASE WHEN h2 < h1 THEN 1000000 ELSE 0 END AS y FROM f),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(s - y AS HUGEINT) * (s - y)) AS se FROM q)
+        |SELECT n, CASE WHEN n > 0
+        |  THEN CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0 END AS brier
+        |FROM m""".stripMargin,
 
     "q_avg_precision" ->
       """WITH f AS (SELECT

@@ -2820,6 +2820,22 @@ class CalibrationSpec extends SparkSpec {
     assert(r.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("brierScore: perfect 0, worst 1, hand value, null exclusion") {
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("score", "label")
+    assert(LinearProbe.brierScore(perfect, "score", "label")
+      .collect()(0).getDouble(1) == 0.0)
+    val worst = Seq((0.0, true), (1.0, false)).toDF("score", "label")
+    assert(LinearProbe.brierScore(worst, "score", "label")
+      .collect()(0).getDouble(1) == 1.0)
+    // hand: (.8,T),(.4,F) -> ((.2)^2 + (.4)^2)/2 = .1 exactly in fx-6
+    val h = LinearProbe.brierScore(
+      Seq((0.8, true), (0.4, false)).toDF("score", "label"), "score", "label")
+      .collect()(0)
+    assert(h.getLong(0) == 2L && h.getDouble(1) == 0.1)
+    val wn = Seq((Some(0.5), Some(true)), (None, Some(true))).toDF("score", "label")
+    assert(LinearProbe.brierScore(wn, "score", "label").collect()(0).getLong(0) == 1L)
+  }
+
   test("averagePrecision: hand AP, perfect 1, reversed floor") {
     // scores .9(+) .7(-) .5(+) .3(-): AP = .5*1 + .5*(2/3) = 5/6
     val df = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false))
