@@ -339,6 +339,42 @@ object Correlation {
     m.select(col("n_sp").cast(LongType).as("n"), pairCorr("sp").as("rho"))
   }
 
+  /** Per-GROUP [[spearman]]: monotone association per segment — "does
+    * quality track length in EVERY language, or only in English?" Rank
+    * maps become (group, value) counts with group-bounded running-sum
+    * windows (no routing needed — the cumulative never crosses a group),
+    * doubled tie-averaged ranks attach back by (group, value) join, and
+    * the per-group moments ride the exact pairAggs machinery. Groups
+    * where either side is constant report NULL rho; listwise NULLs.
+    *
+    * @return one row per group: (groupCol, n, rho).
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // three consumers (two rank maps + the join spine) — persist the
+    // three-column frame so the source scans once (4.7 → ~3 s at sf0.1)
+    val base = df.select(col(groupCol).as("g"),
+        MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
+        MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
+      .where(col("g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rankMap(c: String) = {
+      val wRun = Window.partitionBy("g").orderBy("v")
+      base.groupBy(col("g"), col(c).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wRun))
+        .select(col("g"), col("v"),
+          ((col("cum") - col("c")) * 2L + col("c") + 1L).as(s"dr$c"))
+    }
+    val ranked = base
+      .join(rankMap("__x").withColumnRenamed("v", "__x"), Seq("g", "__x"))
+      .join(rankMap("__y").withColumnRenamed("v", "__y"), Seq("g", "__y"))
+    val aggs = pairAggs(col("dr__x"), col("dr__y"), "sp")
+    ranked.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), col("n_sp").cast(LongType).as("n"),
+        pairCorr("sp").as("rho"))
+  }
+
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)], scale: Int = 2): DataFrame = {
     require(pairs.nonEmpty, "need at least one pair")
     val needed = pairs.flatMap(p => Seq(p._1, p._2)).distinct

@@ -702,6 +702,16 @@ object Catalog {
       LinearProbe.prCurve(scored, "score", "label")
     },
 
+    "q_spearman_group" -> { (s, dir) =>
+      // does price track quantity monotonically in EVERY return-flag
+      // segment — per-group doubled-rank spearman on group-bounded
+      // rank windows
+      val li = t(s, dir, "lineitem")
+      Correlation.spearmanByGroup(li, "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    },
+
     "q_brier" -> { (s, dir) =>
       // proper scoring rule over the same calibrated scorer: punishes
       // miscalibration AND non-discrimination in one number; exact
@@ -4752,6 +4762,39 @@ object Catalog {
         |       THEN CAST(2 * tp AS DOUBLE)
         |            / CAST(2 * tp + fp + (t.tp_all - tp) AS DOUBLE) END AS f1
         |FROM k, t ORDER BY threshold_fx DESC""".stripMargin,
+
+    "q_spearman_group" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y
+        |FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_returnflag IS NOT NULL),
+        |cx AS (SELECT g, x AS v, count(*) AS c FROM f GROUP BY 1, 2),
+        |rx AS (SELECT g, v,
+        |        (sum(c) OVER (PARTITION BY g ORDER BY v) - c) * 2 + c + 1 AS dr FROM cx),
+        |cy AS (SELECT g, y AS v, count(*) AS c FROM f GROUP BY 1, 2),
+        |ry AS (SELECT g, v,
+        |        (sum(c) OVER (PARTITION BY g ORDER BY v) - c) * 2 + c + 1 AS dr FROM cy),
+        |j AS (SELECT f.g, rx.dr AS a, ry.dr AS b
+        |      FROM f JOIN rx ON f.g = rx.g AND f.x = rx.v
+        |             JOIN ry ON f.g = ry.g AND f.y = ry.v),
+        |m AS (SELECT g, count(*) AS n,
+        |  sum(CAST(a AS HUGEINT)) AS sx, sum(CAST(b AS HUGEINT)) AS sy,
+        |  sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS sxx,
+        |  sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS syy,
+        |  sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sxy
+        |FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0
+        |            THEN num / (sqrt(dx) * sqrt(dy)) END AS rho
+        |FROM (SELECT g, n,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_brier" ->
       """WITH f AS (SELECT

@@ -1110,6 +1110,28 @@ class CorrelationSpec extends SparkSpec {
     assert(nl.getLong(0) == 1L && nl.getLong(1) == 1L && nl.isNullAt(4))
   }
 
+  test("spearmanByGroup: per-group parity with global, opposing groups, constant null") {
+    // group a: monotone up (rho 1); group b: monotone down (rho -1);
+    // group c: constant y (rho null)
+    val df = Seq(
+      ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 90.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 5.0), ("b", 3.0, 1.0),
+      ("c", 1.0, 7.0), ("c", 2.0, 7.0)).toDF("g", "x", "y")
+    val got = Correlation.spearmanByGroup(df, "g", "x", "y", scale = 0)
+      .orderBy("g").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // ±1 within an ulp (sqrt(dx)·sqrt(dy) can round below the exact product)
+    assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(got(1).getDouble(2) + 1.0) < 1e-12)
+    assert(got(2).isNullAt(2))
+    // each group equals the GLOBAL operator on its slice
+    for (g <- Seq("a", "b")) {
+      val global = Correlation.spearman(df.where(col("g") === g), "x", "y",
+        scale = 0).collect()(0).getDouble(1)
+      assert(got.find(_.getString(0) == g).get.getDouble(2) == global)
+    }
+  }
+
   test("spearman: monotone invariance, ties, anti-correlation, constant null") {
     // y = x^3 is a nonlinear MONOTONE map: spearman must be exactly 1
     val mono = (1 to 50).map(i => (i.toDouble, (i.toDouble * i * i)))
