@@ -172,6 +172,46 @@ object LinearProbe {
       .orderBy(col("threshold_fx").desc)
   }
 
+  /** Confusion matrix + derived metrics AT a decision threshold (predict
+    * positive when score ≥ t): tp/fp/fn/tn, accuracy, and the Matthews
+    * correlation coefficient — the one thresholded single-number that
+    * stays honest under class imbalance (accuracy flatters the majority
+    * class; MCC needs all four cells, which is why [[prCurve]] — which
+    * never sees TN — can't derive it). Threshold compares on fx-6
+    * quantized scores (no low-bit flap), all four cells exact longs, MCC
+    * numerator/denominator as exact decimals with one final double tree.
+    *
+    * @return one row: (tp, fp, fn, tn, accuracy, mcc); mcc null when any
+    *         marginal is empty (the undefined case).
+    */
+  def confusionAt(df: DataFrame, scoreCol: String, labelCol: String,
+                  threshold: Double): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tFx = (if (threshold >= 0) math.floor(threshold * 1e6 + 0.5)
+      else -math.floor(-threshold * 1e6 + 0.5)).toLong
+    val base = df.select(
+        graft.metrics.MetricColumns.fixedPointLong(
+          col(scoreCol).cast(DoubleType), 6).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__p", col("__s") >= lit(tFx))
+    val m = base.agg(
+      sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("__p") && col("__y"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__p") && !col("__y"), 1L).otherwise(0L)).as("tn"))
+    val (tp, fp, fn, tn) = (col("tp").cast(dec), col("fp").cast(dec),
+      col("fn").cast(dec), col("tn").cast(dec))
+    val num = tp * tn - fp * fn
+    val den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      ((col("tp") + col("tn")).cast(DoubleType) /
+        (col("tp") + col("fp") + col("fn") + col("tn")).cast(DoubleType))
+        .as("accuracy"),
+      when(den > 0, num.cast(DoubleType) / sqrt(den.cast(DoubleType)))
+        .as("mcc"))
+  }
+
   /** BRIER score: mean squared error of the probability against the 0/1
     * outcome — the PROPER scoring rule that punishes both discrimination
     * AND calibration failures in one number (AUC can't see a constant

@@ -702,6 +702,19 @@ object Catalog {
       LinearProbe.prCurve(scored, "score", "label")
     },
 
+    "q_confusion" -> { (s, dir) =>
+      // thresholded confusion + MCC of the calibrated scorer at t=0.6 —
+      // the imbalance-honest single number prCurve can't derive (no TN)
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.confusionAt(scored, "score", "label", 0.6)
+    },
+
     "q_spearman_group" -> { (s, dir) =>
       // does price track quantity monotonically in EVERY return-flag
       // segment — per-group doubled-rank spearman on group-bounded
@@ -4762,6 +4775,30 @@ object Catalog {
         |       THEN CAST(2 * tp AS DOUBLE)
         |            / CAST(2 * tp + fp + (t.tp_all - tp) AS DOUBLE) END AS f1
         |FROM k, t ORDER BY threshold_fx DESC""".stripMargin,
+
+    "q_confusion" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT)
+        |         >= 600000 AS p,
+        |       h2 < h1 AS y FROM f),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM q)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+        |  CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+        |  THEN CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |       / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE))
+        |  END AS mcc
+        |FROM m""".stripMargin,
 
     "q_spearman_group" ->
       """WITH f AS (SELECT l_returnflag AS g,

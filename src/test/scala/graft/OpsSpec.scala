@@ -2842,6 +2842,30 @@ class CalibrationSpec extends SparkSpec {
     assert(r.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("confusionAt: hand cells, mcc extremes, degenerate null, threshold inclusive") {
+    // t=.5: scores .8(T) .6(F) .4(T) .2(F) -> tp1 fp1 fn1 tn1
+    val df = Seq((0.8, true), (0.6, false), (0.4, true), (0.2, false))
+      .toDF("score", "label")
+    val r = LinearProbe.confusionAt(df, "score", "label", 0.5).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.0) // mcc 0: coin flip
+    // perfect split at t=.5 -> mcc 1; inverted labels -> -1
+    val perfect = Seq((0.9, true), (0.8, true), (0.1, false)).toDF("score", "label")
+    assert(LinearProbe.confusionAt(perfect, "score", "label", 0.5)
+      .collect()(0).getDouble(5) == 1.0)
+    val inv = perfect.withColumn("label", !col("label"))
+    assert(LinearProbe.confusionAt(inv, "score", "label", 0.5)
+      .collect()(0).getDouble(5) == -1.0)
+    // all predicted positive: a marginal is empty -> mcc null
+    val allp = Seq((0.9, true), (0.8, false)).toDF("score", "label")
+    assert(LinearProbe.confusionAt(allp, "score", "label", 0.1).collect()(0).isNullAt(5))
+    // threshold is INCLUSIVE (score == t predicts positive)
+    val edge = Seq((0.5, true)).toDF("score", "label")
+    assert(LinearProbe.confusionAt(edge, "score", "label", 0.5)
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("brierScore: perfect 0, worst 1, hand value, null exclusion") {
     val perfect = Seq((1.0, true), (0.0, false)).toDF("score", "label")
     assert(LinearProbe.brierScore(perfect, "score", "label")
