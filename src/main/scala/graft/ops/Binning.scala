@@ -302,14 +302,16 @@ object Binning {
                         refValueCol: String,
                         maxLocalDistinct: Long = 1L << 20): DataFrame = {
     // both rank maps feed two consumers each (the N aggregate + the
-    // as-of); persist the skinny distinct-bounded frames so the base
-    // tables scan once (1.40 → 1.20 s at sf0.1)
+    // as-of); eagerly localCheckpoint the skinny distinct-bounded frames
+    // so the base tables scan once (1.40 → 1.20 s at sf0.1) — checkpoint
+    // blocks are ContextCleaner-freed once unreachable, unlike a persist
+    // with no matching unpersist
     val cur = valueRanks(df, col(valueCol), maxLocalDistinct)
       .select(col("v"), col("cum_le"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val refR = valueRanks(ref, col(refValueCol), maxLocalDistinct)
       .select(col("v").as("ref_v"), col("cum_le").as("ref_cum"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nCur = broadcast(cur.agg(max("cum_le").as("n_cur")))
     val nRef = broadcast(refR.agg(max("ref_cum").as("n_ref")))
     val curK = cur.crossJoin(nRef)

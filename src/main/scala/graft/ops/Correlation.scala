@@ -164,10 +164,14 @@ object Correlation {
     *         agreement is exact (n² = Σrc — constant identical labels).
     */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // eager localCheckpoint (not persist): five consumers reuse the
+    // materialized cell frame, and the ContextCleaner frees the blocks
+    // once the frame is unreachable — no session-lifetime cache growth
+    // across repeated calls (a persist here had no matching unpersist)
     val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dec = DecimalType(38, 0)
     val n = cells.agg(coalesce(sum(col("__o")), lit(0L)).cast(dec).as("n"))
     val agree = cells.where(col("__a") === col("__b"))
@@ -352,13 +356,15 @@ object Correlation {
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String, scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // three consumers (two rank maps + the join spine) — persist the
-    // three-column frame so the source scans once (4.7 → ~3 s at sf0.1)
+    // three consumers (two rank maps + the join spine) — eager
+    // localCheckpoint the three-column frame so the source scans once
+    // (4.7 → ~3 s at sf0.1); unlike persist, the blocks are auto-freed
+    // by the ContextCleaner when the frame goes unreachable
     val base = df.select(col(groupCol).as("g"),
         MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
       .where(col("g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def rankMap(c: String) = {
       val wRun = Window.partitionBy("g").orderBy("v")
       base.groupBy(col("g"), col(c).as("v")).agg(count(lit(1)).as("c"))

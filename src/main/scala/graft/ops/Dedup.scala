@@ -970,9 +970,21 @@ object Dedup {
     // of re-deriving it through substringSpans (measured 2.7 → ~1.2 s at
     // sf0.1; scan count 10 → 4).
     val ENC = 1L << 22
+    val DOC_BOUND = 1L << 41 // doc_id·2^22 + pos must stay inside a signed long
+    // row-local encode-bound guard (no extra job): a pos ≥ 2^22 window
+    // position (~20 MB text) or doc_id ≥ 2^41 would silently corrupt the
+    // packed ordering and return wrong provenance — fail loudly instead
+    // and point at the struct fallback. Two long compares per row, codegen'd.
+    def encChecked(doc: Column, pos: Column): Column =
+      when(pos < 0 || pos >= ENC || doc < 0 || doc >= DOC_BOUND,
+        raise_error(concat(
+          lit("substringSpansWithProvenance: (doc_id,pos)=("), doc, lit(","), pos,
+          lit(") exceeds the long-packing bounds (pos<2^22, 0<=doc_id<2^41); "),
+          lit("re-key doc ids or use the struct formulation"))))
+        .otherwise(doc * ENC + pos)
     val wins = windowHashes(df, idCol, textCol, K, tokenHasher)
     val bot = wins.groupBy("wh").agg(count(lit(1)).as("c"),
-        graft.functions.KmvSketch.kmv(col("doc_id") * ENC + col("pos"), 2).as("b2"))
+        graft.functions.KmvSketch.kmv(encChecked(col("doc_id"), col("pos")), 2).as("b2"))
       .where(col("c") > 1)
       .select(col("wh"), element_at(col("b2"), 1).as("e1"), element_at(col("b2"), 2).as("e2"))
     val occ = wins.join(bot, Seq("wh"))

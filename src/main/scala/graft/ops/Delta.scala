@@ -88,8 +88,12 @@ object Delta {
            deleteOp: String = "D"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val picked = (opCol +: payloadCols).map(col)
+    // equal-seq tie rule "upsert over delete" as an EXPLICIT priority —
+    // ordering by the raw op string would only hold because "U" > "D"
+    // lexicographically and silently invert for custom op names
+    val opPriority = when(col(opCol) === upsertOp, 1).otherwise(0)
     val evs = changes.groupBy(col(idCol), col(seqCol))
-      .agg(max_by(struct(picked: _*), col(opCol)).as("__w"))
+      .agg(max_by(struct(picked: _*), opPriority).as("__w"))
       .select(col(idCol) +: col(seqCol) +:
         (opCol +: payloadCols).map(c => col(s"__w.$c").as(c)): _*)
     val wk = Window.partitionBy(idCol).orderBy(seqCol)
@@ -133,8 +137,11 @@ object Delta {
                    seqCol: String, opCol: String, payloadCols: Seq[String],
                    upsertOp: String = "U", deleteOp: String = "D"): DataFrame = {
     val picked = (opCol +: payloadCols).map(col)
+    // explicit upsert-over-delete tie priority (see scd2) — not the op
+    // string, whose sort order is an accident of the default names
     val latest = changes.groupBy(col(idCol))
-      .agg(max_by(struct(picked: _*), struct(col(seqCol), col(opCol))).as("__w"))
+      .agg(max_by(struct(picked: _*),
+        struct(col(seqCol), when(col(opCol) === upsertOp, 1).otherwise(0))).as("__w"))
       .select(col(idCol) +: (opCol +: payloadCols).map(c => col(s"__w.$c").as(c)): _*)
     val out = (idCol +: payloadCols).map(col)
     base.select(out: _*)

@@ -177,7 +177,10 @@ object Drift {
         sum(when(c > 1L, (c * c * c - c).cast(DecimalType(38, 0)))
           .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("ties"))
     val n = n1 + n2
-    val u1d = (col("r1d") - lit(n1) * lit(n1 + 1L)).cast(LongType)
+    // u1d stays DECIMAL(38,0) so auc/z survive n1·n2 > 2^62 (multi-
+    // billion-row sides); only the u_doubled OUTPUT column narrows to
+    // BIGINT for gate portability.
+    val u1d = (col("r1d") - lit(n1) * lit(n1 + 1L)).cast(DecimalType(38, 0))
     // fixed double trees (identical in the oracle): auc = U/(n1·n2),
     // z = (U − n1n2/2) / sqrt(n1n2/12 · ((n+1) − ties/(n(n−1))))
     val uD = u1d.cast(DoubleType) / 2.0
@@ -187,7 +190,7 @@ object Drift {
         col("ties").cast(DoubleType) / (lit(n.toDouble) * lit((n - 1).toDouble)))
     stats.select(
       lit(n1).as("n_ref"), lit(n2).as("n_cur"),
-      u1d.as("u_doubled"),
+      u1d.cast(LongType).as("u_doubled"),
       col("ties").cast(LongType).as("tie_term"),
       (uD / (lit(n1.toDouble) * lit(n2.toDouble))).as("auc"),
       when(sig2 > 0.0, (uD - mu) / sqrt(sig2)).as("z"))

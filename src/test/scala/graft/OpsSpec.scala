@@ -808,6 +808,26 @@ class DeltaSpec extends SparkSpec {
       .as[(Long, Int, Long, Option[Long], Boolean, String, Int)]
       .collect().toSeq.sorted == h)
   }
+
+  test("scd2/applyChanges: upsert-over-delete tie holds for custom op names " +
+       "that sort the other way") {
+    // "zap" > "apply" lexicographically — an op-string tiebreak would pick
+    // the delete; the explicit priority must still pick the upsert
+    val feed = Seq(
+      (1L, 5L, "apply", "a", 1), (1L, 5L, "zap", null.asInstanceOf[String], 0)
+    ).toDF("id", "seq", "op", "text", "v")
+    val h = Delta.scd2(feed, "id", "seq", "op", Seq("text", "v"),
+        upsertOp = "apply", deleteOp = "zap")
+      .select("id", "is_current", "text", "v")
+      .as[(Long, Boolean, String, Int)].collect().toSet
+    assert(h == Set((1L, true, "a", 1)))
+    val applied = Delta.applyChanges(
+      Seq.empty[(Long, String, Int)].toDF("id", "text", "v"),
+      feed, "id", "seq", "op", Seq("text", "v"),
+      upsertOp = "apply", deleteOp = "zap")
+      .as[(Long, String, Int)].collect().toSet
+    assert(applied == Set((1L, "a", 1)))
+  }
 }
 
 class OutliersSpec extends SparkSpec {
@@ -2451,6 +2471,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((2L, 1L)) == ((1L, 2L)))
     assert(got((3L, 0L)) == ((1L, 2L)))
     assert(got((3L, 9L)) == ((1L, 2L)))
+  }
+
+  test("span provenance: out-of-bound doc_id fails loudly instead of " +
+       "silently corrupting the packed ordering") {
+    val d = Seq(
+      (1L << 41, "A B C D E"), // doc_id at the 2^41 packing bound
+      (7L, "A B C D E")
+    ).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.substringSpansWithProvenance(d, "doc_id", "text", windowTokens = 3)
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("long-packing bounds"))))
   }
 
   test("line dedup drops cross-document boilerplate lines, keeps unique bodies") {
