@@ -1066,14 +1066,102 @@ object Dedup {
     * keys on the cell. Within-cell comparison is quadratic IN THE CELL, so
     * `ncells` is the knob that bounds it — size it so n/ncells stays at
     * the 10^4 level (the paper runs 50k clusters at web scale); cells play
-    * the role LSH buckets play in [[minhashLshPairs]].
+    * the role LSH buckets play in [[minhashLshPairs]]. GUARDED: the cell
+    * histogram is MEASURED before the self-join (the [[jaccardPairsAuto]]
+    * discipline) and hot cells are split by a deterministic sub-quantizer
+    * ([[semDedupBlocks]]) so a skewed embedding distribution — boilerplate
+    * clusters are common in web corpora — can no longer go silently
+    * quadratic; `maxPairsPerCell` is the per-cell pair budget.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                quality: Column, ncells: Int = 16,
-               trainIterations: Int = 0): DataFrame = {
+               trainIterations: Int = 0,
+               maxPairsPerCell: Long = 25000000L): DataFrame = {
     val withCell = Similarity.assignCells(df, idCol, vecCol, ncells, trainIterations)
-    val pairs = cosinePairs(withCell, idCol, vecCol, "cell", threshold)
+    val blocked = semDedupBlocks(withCell, idCol, vecCol, maxPairsPerCell)
+    val pairs = cosinePairs(blocked, idCol, vecCol, "__blk", threshold)
     keepBestPerComponent(df, idCol, pairs, quality)
+  }
+
+  /** Per-cell cap on [[semDedupBlocks]]'s sub-quantizer width: past 256
+    * sub-seeds the per-row assignment cost (k cosines) dominates and the
+    * honest fix is more coarse cells, not a wider split — the capped route
+    * is logged so the ncells misconfiguration is visible, never silent.
+    */
+  val MaxSemDedupSubSeeds: Int = 256
+
+  /** Measure-then-route guard for [[semDedup]]'s within-cell self-join:
+    * ONE count aggregate over the cell frame decides the route. A cell
+    * whose pair count n·(n−1)/2 exceeds `maxPairsPerCell` is split
+    * k = ⌈pairs/budget⌉ ways (capped at [[MaxSemDedupSubSeeds]]) by a
+    * deterministic sub-quantizer seeded with the cell's k smallest-id
+    * vectors — the same argmax-cosine, ties-to-larger-id rule as the
+    * coarse quantizer, so members of a TIGHT duplicate group share an
+    * argmax and land in one sub-cell together (the split is
+    * dedup-preserving on the clusters SemDeDup targets; route equivalence
+    * is spec'd). Cold cells pass through as single blocks.
+    *
+    * Driver cost is bounded by construction: ncells count rows + at most
+    * Σ min(k_c, 256) seed vectors collect; the seed table binds ONCE as a
+    * literal (the `mightContain` bind-once idiom), so sub-assignment is
+    * row-local — no join, no shuffle, exactly like the coarse pass.
+    *
+    * @return the input plus a `__blk` long column (cell · 2^20 + sub-cell)
+    *         for the pair join to block on.
+    */
+  def semDedupBlocks(withCell: DataFrame, idCol: String, vecCol: String,
+                     maxPairsPerCell: Long): DataFrame = {
+    require(maxPairsPerCell > 0, "maxPairsPerCell must be positive")
+    val SUB = 1L << 20
+    def pairsOf(n: Long): Long = n * (n - 1) / 2
+    val counts = withCell.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val splits: Map[Long, Int] = counts.collect {
+      case (c, n) if pairsOf(n) > maxPairsPerCell =>
+        val k = (pairsOf(n) + maxPairsPerCell - 1) / maxPairsPerCell
+        c -> math.min(n, math.min(k, MaxSemDedupSubSeeds.toLong)).toInt
+    }
+    if (splits.isEmpty) withCell.withColumn("__blk", col("cell").cast(LongType) * SUB)
+    else {
+      val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+      val capped = splits.collect { case (c, k)
+        if k == MaxSemDedupSubSeeds && pairsOf(counts(c)) / k > maxPairsPerCell => c }
+      log.info(s"semDedup: splitting ${splits.size} hot cell(s) " +
+        s"${splits.toSeq.sortBy(_._1).map { case (c, k) => s"$c(n=${counts(c)},k=$k)" }
+          .mkString(", ")} under pair budget $maxPairsPerCell")
+      if (capped.nonEmpty)
+        log.warn(s"semDedup: cell(s) ${capped.toSeq.sorted.mkString(", ")} hit the " +
+          s"$MaxSemDedupSubSeeds-way split cap and may still exceed the pair " +
+          "budget — raise ncells (finer coarse quantizer) for this corpus")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col(idCol))
+      val kExpr = element_at(typedlit(splits), col("cell").cast(LongType))
+      val seeds = withCell
+        .where(col("cell").cast(LongType).isin(splits.keys.toSeq: _*))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= kExpr)
+        .select(col("cell").cast(LongType).as("c"), col("__rn").as("s"),
+          transform(col(vecCol), x => x.cast(DoubleType)).as("sv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      val seedLit = typedlit(seeds.toSeq) // ONE literal node, k×dim values
+      val mySeeds = filter(seedLit, s => s.getField("_1") === col("cell").cast(LongType))
+      val v = transform(col(vecCol), x => x.cast(DoubleType))
+      val sub = array_max(transform(mySeeds,
+          s => struct(Similarity.cosine(v, s.getField("_3")).as("cos"),
+            s.getField("_2").as("s"))))
+        .getField("s")
+      // eager localCheckpoint: without a hard barrier CollapseProject
+      // inlines the seed-literal expression into the pair join's keys on
+      // BOTH sides and the optimizer/codegen re-chews the full literal per
+      // appearance (measured 28 s vs 0.3 s at sf0.1; a repartition barrier
+      // still leaves 15 s of per-stage planning). The split route pays one
+      // corpus materialization — executor-local blocks, ContextCleaner-
+      // freed — which the pair self-join would shuffle right after anyway.
+      withCell.withColumn("__blk",
+          col("cell").cast(LongType) * SUB + coalesce(sub.cast(LongType), lit(0L)))
+        .localCheckpoint(true)
+    }
   }
 
   /** Embedding-cosine near-dup pairs within blocks (e.g. same label).

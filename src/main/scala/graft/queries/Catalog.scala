@@ -1567,6 +1567,19 @@ object Catalog {
         .select("vec_id", "label").orderBy("vec_id")
     },
 
+    "q_semdedup_guard" -> { (s, dir) =>
+      // the measured hot-cell SPLIT route, forced by a deliberately small
+      // pair budget (500): cells past the budget re-quantize k-ways on
+      // their k smallest-id members; the oracle replays the k =
+      // ceil(pairs/500) sub-quantizer end-to-end, so the guard's routing
+      // arithmetic and the sub-assignment tie rule are both bit-gated
+      val emb = t(s, dir, "embeddings")
+      Dedup.semDedup(emb, "vec_id", "embedding", threshold = 0.3,
+        quality = element_at(col("embedding"), 1).cast(DoubleType), ncells = 16,
+        maxPairsPerCell = 500L)
+        .select("vec_id", "label").orderBy("vec_id")
+    },
+
     "q_embed_quantize" -> ((s, dir) =>
       // q8 is array<tinyint> — serialized to JSON text (the q_scan_wide
       // group_values pattern) so the harness's pandas compare, which sorts
@@ -1877,6 +1890,31 @@ object Catalog {
       Sampling.capPerKey(t(s, dir, "documents"), "source", "doc_id", maxRows = 10,
           hasher = Shingles.md5Hash60)
         .select("doc_id", "source").orderBy("doc_id")),
+
+    "q_url_domain" -> { (s, dir) =>
+      // URL canonicalization + registrable domain over messy URLs
+      // synthesized deterministically in-gate (the q_chunk_sentences
+      // precedent): mixed-case schemes/hosts, default and non-default
+      // ports, tracking params mixed into real ones, fragments, and both
+      // generic and two-label-suffix TLDs. The oracle replays the entire
+      // regexp chain (RE2-safe by construction) plus the suffix-lite rule.
+      val docs = t(s, dir, "documents")
+      val url = syntheticUrl
+      docs.select(col("doc_id"), url.as("url"),
+          graft.ops.Urls.canonicalizeUrl(url).as("url_canon"),
+          graft.ops.Urls.domainOf(url).as("domain"))
+        .orderBy("doc_id")
+    },
+
+    "q_domain_cap" -> { (s, dir) =>
+      // the composition per-domain curation actually runs: registrable
+      // domain as the capPerKey key — "at most N docs per domain"
+      val docs = t(s, dir, "documents")
+      Sampling.capPerKey(
+          docs.withColumn("domain", graft.ops.Urls.domainOf(syntheticUrl)),
+          "domain", "doc_id", maxRows = 12, hasher = Shingles.md5Hash60)
+        .select("doc_id", "domain").orderBy("doc_id")
+    },
 
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
@@ -2908,6 +2946,98 @@ object Catalog {
   // ==================================================================
 
   /** Shared md5-60-bit token hash (see graft.ops.Shingles.md5Hash60). */
+  /** Deterministic messy-URL synthesis for the URL/domain gates — one
+    * expression over `documents` (doc_id, lang, source), mirrored verbatim
+    * by [[urlSqlPrefix]] so both engines derive the identical url column.
+    */
+  private def syntheticUrl: Column = {
+    val m3 = col("doc_id") % 3
+    val m4 = col("doc_id") % 4
+    val m5 = col("doc_id") % 5
+    val m6 = col("doc_id") % 6
+    val scheme = when(m3 === 0, "http").when(m3 === 1, "HTTPS").otherwise("https")
+    val suffix = when(m5 === 0, ".co.uk").when(m5 === 1, ".com")
+      .when(m5 === 2, ".org.au").when(m5 === 3, ".io").otherwise(".gov.in")
+    val host = concat(
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("lang"), lit("-"), col("source"), suffix)
+    val port = when(m4 === 0, ":80").when(m4 === 1, ":443")
+      .when(m4 === 2, ":8080").otherwise(lit(""))
+    val qs = when(m6 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id") % 100, lit("&fbclid=xyz")))
+      .when(m6 === 1, concat(lit("?id="), col("doc_id") % 100, lit("&utm_medium=email")))
+      .when(m6 === 2, lit("?gclid=abc"))
+      .otherwise(lit(""))
+    val frag = when(m5 === 1, lit("#section-2")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, lit("/docs/"), col("doc_id"), qs, frag)
+  }
+
+  /** DuckDB twin of [[syntheticUrl]] + the full canonicalization chain, as
+    * CTEs ending in `canon(doc_id, url, scheme, host, portout, path, cq)`.
+    */
+  private def urlSqlPrefix: String = {
+    val suffixIn = graft.ops.Urls.MultiPartSuffixes.map(s => s"'$s'").mkString(", ")
+    // NOTE: consuming oracle entries interpolate this prefix and then call
+    // .stripMargin on the WHOLE string, so no line here may begin with
+    // whitespace + '|' — concatenation operators stay at line ends.
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'https' END) ||
+       |    '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    lang || '-' || source ||
+       |    (CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+       |        WHEN 2 THEN '.org.au' WHEN 3 THEN '.io' ELSE '.gov.in' END) ||
+       |    (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+       |        WHEN 2 THEN ':8080' ELSE '' END) ||
+       |    '/docs/' || doc_id ||
+       |    (CASE doc_id % 6
+       |        WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 100) || '&fbclid=xyz'
+       |        WHEN 1 THEN '?id=' || (doc_id % 100) || '&utm_medium=email'
+       |        WHEN 2 THEN '?gclid=abc' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 1 THEN '#section-2' ELSE '' END) AS url
+       |  FROM documents),
+       |q1 AS (
+       |  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u1 FROM u),
+       |q2 AS (
+       |  SELECT doc_id, url, u1,
+       |    lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM q1),
+       |q3 AS (
+       |  SELECT doc_id, url, scheme,
+       |    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+       |    regexp_replace(rest, '^[^/?]*', '') AS pathq
+       |  FROM q2),
+       |q4 AS (
+       |  SELECT doc_id, url, scheme,
+       |    lower(regexp_replace(hostport, ':[0-9]+${"$"}', '')) AS host,
+       |    regexp_extract(hostport, ':([0-9]+)${"$"}', 1) AS port,
+       |    regexp_extract(pathq, '^([^?]*)', 1) AS path,
+       |    regexp_extract(pathq, '[?](.*)', 1) AS qstr
+       |  FROM q3),
+       |canon AS (
+       |  SELECT doc_id, url, scheme, host, path,
+       |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |              OR (scheme = 'https' AND port = '443')
+       |         THEN '' ELSE ':' || port END AS portout,
+       |    array_to_string(list_filter(string_split(qstr, '&'),
+       |      x -> x <> '' AND NOT regexp_matches(x,
+       |        '${graft.ops.Urls.TrackingParamPattern}')), '&') AS cq
+       |  FROM q4),
+       |dom AS (
+       |  SELECT doc_id, url, scheme, host, portout, path, cq,
+       |    string_split(host, '.') AS hp
+       |  FROM canon),
+       |dom2 AS (
+       |  SELECT *, CASE
+       |      WHEN regexp_matches(host, '^[0-9.]+${"$"}') THEN host
+       |      WHEN len(hp) <= 2 THEN host
+       |      WHEN (hp[-2] || '.' || hp[-1]) IN ($suffixIn)
+       |        THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+       |      ELSE hp[-2] || '.' || hp[-1] END AS domain
+       |  FROM dom)""".stripMargin
+  }
+
   private val duckTokenHash = "('0x' || substr(md5(t), 1, 15))::BIGINT"
 
   /** Squared-L2 between two subDim-element list slices, spelled as the
@@ -5785,6 +5915,49 @@ object Catalog {
         |JOIN ranked r ON e.vec_id = r.vec_id AND r.rn = 1
         |ORDER BY e.vec_id""".stripMargin,
 
+    "q_semdedup_guard" ->
+      """WITH RECURSIVE
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, embedding AS sv
+        |          FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, e.embedding, s.cell,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell DESC) AS rn
+        |        FROM embeddings e CROSS JOIN seeds s),
+        |best AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+        |hot AS (SELECT cell,
+        |               LEAST(count(*), LEAST((count(*)*(count(*)-1)//2 + 499) // 500, 256)) AS k
+        |        FROM best GROUP BY cell
+        |        HAVING count(*)*(count(*)-1)//2 > 500),
+        |subseeds AS (
+        |  SELECT cell, ssv, s FROM (
+        |    SELECT b.cell, b.embedding AS ssv, h.k,
+        |           CAST(row_number() OVER (PARTITION BY b.cell ORDER BY b.vec_id) AS INT) AS s
+        |    FROM best b JOIN hot h USING (cell))
+        |  WHERE s <= k),
+        |subasg AS (SELECT b.vec_id, ss.s,
+        |                  row_number() OVER (PARTITION BY b.vec_id
+        |                    ORDER BY list_cosine_similarity(b.embedding, ss.ssv) DESC, ss.s DESC) AS rn
+        |           FROM best b JOIN subseeds ss ON b.cell = ss.cell),
+        |sub AS (SELECT vec_id, s FROM subasg WHERE rn = 1),
+        |blk AS (SELECT b.vec_id, b.embedding, b.cell, COALESCE(sub.s, 0) AS sub
+        |        FROM best b LEFT JOIN sub USING (vec_id)),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM blk a JOIN blk b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |cc(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT s.a, cc.lbl FROM cc JOIN sym s ON cc.id = s.b),
+        |comp AS (SELECT id AS vec_id, min(lbl) AS component FROM cc GROUP BY id),
+        |q AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS q FROM embeddings),
+        |ranked AS (SELECT c.vec_id, row_number() OVER (PARTITION BY c.component
+        |             ORDER BY q.q DESC, c.vec_id ASC) AS rn
+        |           FROM comp c JOIN q USING (vec_id))
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |JOIN ranked r ON e.vec_id = r.vec_id AND r.rn = 1
+        |ORDER BY e.vec_id""".stripMargin,
+
     "q_dedup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -6178,6 +6351,25 @@ object Catalog {
         |   OR ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
         |      < CAST(ceil(CAST(10 AS DOUBLE) / CAST(kn AS DOUBLE) * 10000) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_url_domain" ->
+      s"""$urlSqlPrefix
+         |SELECT doc_id, url,
+         |  (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END)
+         |  || host || portout || path
+         |  || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS url_canon,
+         |  domain
+         |FROM dom2 ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""$urlSqlPrefix,
+         |n AS (SELECT domain AS k, count(*) AS kn FROM dom2 GROUP BY domain)
+         |SELECT d.doc_id, d.domain
+         |FROM dom2 d JOIN n ON d.domain IS NOT DISTINCT FROM n.k
+         |WHERE n.kn <= 12
+         |   OR ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+         |      < CAST(ceil(CAST(12 AS DOUBLE) / CAST(kn AS DOUBLE) * 10000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -1680,15 +1680,47 @@ class ComponentsSpec extends SparkSpec {
     val nodes = (1L to n.toLong).toDF("id")
     val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
     // 10 rounds: each round = 1 propagation hop + 2 pointer jumps (~3x
-    // contraction per round); plain propagation would need ~200 rounds
-    val cc = Components.connectedComponents(nodes, "id", edges, "a", "b", maxIterations = 10)
+    // contraction per round); plain propagation would need ~200 rounds.
+    // maxLocalEdges = 0 forces the distributed iteration (this test is
+    // ABOUT the iteration — the measured route would shortcut it)
+    val cc = Components.connectedComponents(nodes, "id", edges, "a", "b",
+      maxIterations = 10, maxLocalEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L))
     // and without halving, 10 rounds is NOT enough on this chain
     val noHalving = Components.connectedComponents(nodes, "id", edges, "a", "b",
-      maxIterations = 10, pathHalving = false)
+      maxIterations = 10, pathHalving = false, maxLocalEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(noHalving.values.toSet != Set(1L))
+  }
+
+  test("measured small-graph route equals the distributed iteration on " +
+       "chains, cliques, random graphs, isolated nodes") {
+    def both(nodes: org.apache.spark.sql.DataFrame,
+             edges: org.apache.spark.sql.DataFrame): Unit = {
+      val local = Components.connectedComponents(nodes, "id", edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val dist = Components.connectedComponents(nodes, "id", edges, "a", "b",
+          maxIterations = 60, maxLocalEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist)
+    }
+    both((1L to 105L).toDF("id"), (1L until 100L).map(i => (i, i + 1)).toDF("a", "b"))
+    val cl = (for { i <- 1L to 10L; j <- i + 1 to 10L } yield (i, j)) ++ Seq((10L, 11L)) ++
+      (for { i <- 21L to 25L; j <- i + 1 to 25L } yield (i, j))
+    both((1L to 25L).toDF("id"), cl.toDF("a", "b"))
+    val rnd = (1 to 300).map { i =>
+      val a = (i * 2654435761L) % 200 + 1
+      val b = (i * 40503L + 7) % 200 + 1
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    both((1L to 200L).toDF("id"), rnd.toDF("a", "b"))
+    // string ids route locally too (lexicographic min labels)
+    val snodes = Seq("a", "b", "c", "d").toDF("id")
+    val sedges = Seq(("a", "b"), ("c", "d")).toDF("a", "b")
+    val sc = Components.connectedComponents(snodes, "id", sedges, "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(sc == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
   }
 
   test("large-star/small-star equals label propagation on chains, cliques, random graphs") {
@@ -1767,6 +1799,38 @@ class SimilaritySpec extends SparkSpec {
         quality = col("vec_id").cast("double"), ncells = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(4L, 5L, 6L, 7L))
+  }
+
+  test("semDedup guard: forced-split route equals the unsplit route on " +
+       "tight duplicate groups, and the split really engages") {
+    // 4 groups of 10 IDENTICAL vectors each, near-orthogonal across groups
+    // — the SemDeDup scenario (tight duplicate clusters). Identical members
+    // share every cosine, so argmax sub-assignment is group-stable by
+    // construction and the split must be result-preserving.
+    val emb = (0 until 40).map { i =>
+      val g = i % 4
+      (i.toLong,
+        Array.tabulate(8)(j => if (j == 2 * g) 1.0f else if (j == 2 * g + 1) 0.5f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    def run(budget: Long) = Dedup.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, quality = col("vec_id").cast("double"), ncells = 2,
+        maxPairsPerCell = budget)
+      .select("vec_id").as[Long].collect().toSet
+    val unsplit = run(Long.MaxValue)
+    val split = run(3) // every cell with >2 near-dup members goes hot
+    assert(split == unsplit)
+    // keep-best by quality=id: the largest id of each group survives
+    assert(unsplit == Set(36L, 37L, 38L, 39L))
+    // the forced route genuinely produced more blocks than cells
+    val withCell = Similarity.assignCells(emb, "vec_id", "embedding", ncells = 2)
+    val nBlocks = Dedup.semDedupBlocks(withCell, "vec_id", "embedding", 3)
+      .select("__blk").distinct().count()
+    val nCells = withCell.select("cell").distinct().count()
+    assert(nBlocks > nCells, s"expected a split: $nBlocks blocks vs $nCells cells")
+    // and the cold (unsplit) route blocks 1:1 with cells
+    val coldBlocks = Dedup.semDedupBlocks(withCell, "vec_id", "embedding", Long.MaxValue)
+      .select("__blk").distinct().count()
+    assert(coldBlocks == nCells)
   }
 
   test("ivf probes cells and mostly agrees with brute force") {
