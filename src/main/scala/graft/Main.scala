@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.Main <scan.yml> <table-path> [key=value ...]
+  *   graft.Main sweep <scan-dir> <table-root> [--out <dir>]
+  *              [--baseline <dir>] [key=value ...]
   *   graft.Main stream <scan.yml> <log-dir> <out-dir|console>
   *              [--schema <ddl>] [--max-files-per-trigger N] [key=value ...]
   *
@@ -30,6 +32,7 @@ object Main {
     */
   def run(args: Array[String], sparkIn: Option[SparkSession]): Int = {
     if (args.headOption.contains("stream")) return runStream(args.drop(1), sparkIn)
+    if (args.headOption.contains("sweep")) return runSweep(args.drop(1), sparkIn)
     if (args.length < 2) {
       System.err.println("usage: graft.Main <scan.yml> <table-path> [key=value ...] | graft.Main stream ...")
       return 2
@@ -83,6 +86,143 @@ object Main {
     } catch {
       case e: Exception =>
         System.err.println(s"scan failed: ${e.getMessage}")
+        2
+    } finally if (sparkIn.isEmpty) spark.stop()
+  }
+
+  /** Multi-table sweep: run every scan yml in a directory against
+    * `<table-root>/<table_name>.{parquet|csv|json|jsonl}` (the yml's own
+    * `table_name` resolves the table — one config sweep gates a whole
+    * dataset directory, where the single-table CLI mirrors `soda scan`).
+    *
+    * Output: a per-table PASS/FAIL summary plus ONE merged
+    * measurements/tests report (the per-table ScanResult frames with a
+    * leading `table` column). `--out <dir>` persists the merged frames as
+    * parquet (`measurements/`, `tests/`); `--baseline <dir>` points at a
+    * PREVIOUS sweep's `--out` dump and prints the per-table
+    * [[graft.scan.Drift.compare]] rows that moved — the cross-run loop the
+    * reference delegates to Soda Cloud, across every table in one command.
+    *
+    * Exit code: 0 all tables pass, 1 any test failure, 2 any scan error /
+    * unresolvable table / bad usage — schedulers gate on the worst table.
+    */
+  def runSweep(args: Array[String], sparkIn: Option[SparkSession]): Int = {
+    import graft.api.ScanResultFrames
+    import graft.scan.{Drift, ScanYamlParser, Scanner}
+    import org.apache.spark.sql.functions.lit
+
+    val usage = "usage: graft.Main sweep <scan-dir> <table-root> " +
+      "[--out <dir>] [--baseline <dir>] [key=value ...]"
+    if (args.length < 2) { System.err.println(usage); return 2 }
+    val Array(scanDir, tableRoot) = args.take(2)
+    var outDir = Option.empty[String]
+    var baseline = Option.empty[String]
+    val vars = scala.collection.mutable.Map.empty[String, String]
+    var i = 2
+    while (i < args.length) args(i) match {
+      case "--out" if i + 1 < args.length => outDir = Some(args(i + 1)); i += 2
+      case "--baseline" if i + 1 < args.length => baseline = Some(args(i + 1)); i += 2
+      case kv => kv.split("=", 2) match {
+        case Array(k, v) => vars(k) = v; i += 1
+        case _ => System.err.println(s"unrecognized argument '$kv'\n$usage"); return 2
+      }
+    }
+    val ymls = Option(new java.io.File(scanDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && (f.getName.endsWith(".yml") || f.getName.endsWith(".yaml")))
+      .sortBy(_.getName)
+    if (ymls.isEmpty) { System.err.println(s"no scan ymls under $scanDir"); return 2 }
+
+    val spark = sparkIn.getOrElse {
+      SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-scan-sweep")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    try {
+      def readTable(name: String): Option[org.apache.spark.sql.DataFrame] = {
+        val candidates = Seq(s"$tableRoot/$name.parquet", s"$tableRoot/$name",
+          s"$tableRoot/$name.csv", s"$tableRoot/$name.json", s"$tableRoot/$name.jsonl")
+        candidates.find(p => new java.io.File(p).exists()).map { p =>
+          if (p.endsWith(".csv"))
+            spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+          else if (p.endsWith(".json") || p.endsWith(".jsonl")) spark.read.json(p)
+          else spark.read.parquet(p)
+        }
+      }
+      var anyError = false
+      val results = ymls.toSeq.map { f =>
+        val content = java.nio.file.Files.readString(f.toPath)
+        val table = ScanYamlParser.parse(content).tableName
+        readTable(table) match {
+          case None =>
+            System.err.println(s"  $table: no table under $tableRoot")
+            anyError = true
+            table -> graft.api.ScanResult(Nil, Nil,
+              Seq(graft.api.ScanError(s"table $table not found under $tableRoot")))
+          case Some(df) =>
+            table -> Scanner.executeYaml(spark, df, content, vars.toMap)
+        }
+      }
+      results.foreach { case (table, r) =>
+        val failed = r.testResults.count(t => !t.skipped && !t.passed)
+        val status =
+          if (r.hasErrors) "ERROR" else if (failed > 0) "FAIL" else "PASS"
+        println(f"  $status%-5s $table%-12s measurements=${r.measurements.size}%-4d " +
+          s"tests=${r.testResults.size} failed=$failed errors=${r.errors.size}")
+        r.testResults.filter(t => !t.skipped && !t.passed).foreach(t =>
+          println(s"         FAIL ${t.test.expression} " +
+            t.values.map { case (k, v) => s"$k=$v" }.mkString("[", ", ", "]")))
+        r.errors.foreach(e => println(s"         ERROR ${e.message}"))
+      }
+      // ONE merged report: per-table frames unioned under a `table` column
+      val measurements = results.map { case (t, r) =>
+        ScanResultFrames.measurementsToDF(spark, r.measurements)
+          .select(lit(t).as("table"), org.apache.spark.sql.functions.col("*"))
+      }.reduce(_ unionByName _)
+      val tests = results.map { case (t, r) =>
+        ScanResultFrames.testResultsToDF(spark, r.testResults)
+          .select(lit(t).as("table"), org.apache.spark.sql.functions.col("*"))
+      }.reduce(_ unionByName _)
+      outDir.foreach { d =>
+        measurements.coalesce(1).write.mode("overwrite").parquet(s"$d/measurements")
+        tests.coalesce(1).write.mode("overwrite").parquet(s"$d/tests")
+        println(s"  merged report written under $d")
+      }
+      baseline.foreach { b =>
+        val prev = spark.read.parquet(s"$b/measurements").collect().toSeq
+          .groupBy(_.getAs[String]("table"))
+          .map { case (t, rows) =>
+            t -> graft.api.ScanResult(rows.map { row =>
+              val v = Option(row.getAs[String]("value")).map { s =>
+                scala.util.Try(java.lang.Double.valueOf(s): Any).getOrElse(s: Any)
+              }
+              graft.api.Measurement(row.getAs[String]("metric"),
+                Option(row.getAs[String]("column_name")), v)
+            }, Nil, Nil)
+          }
+        println("  -- drift vs baseline --")
+        results.foreach { case (t, r) =>
+          prev.get(t) match {
+            case None => println(s"  $t: no baseline")
+            case Some(p) =>
+              val moved = Drift.driftedOnly(p, r)
+              if (moved.isEmpty) println(s"  $t: stable")
+              else moved.foreach(d => println(s"  $t: ${d.status} ${d.metric}" +
+                d.columnName.map(c => s" $c").getOrElse("") +
+                s" ${d.before.getOrElse("-")} -> ${d.after.getOrElse("-")}"))
+          }
+        }
+      }
+      val failedTotal = results.map(_._2.testResults.count(t => !t.skipped && !t.passed)).sum
+      val errorsTotal = results.count(_._2.hasErrors)
+      println(s"sweep complete: ${results.size} tables, $failedTotal failed tests, " +
+        s"$errorsTotal tables with errors")
+      if (anyError || errorsTotal > 0) 2 else if (failedTotal > 0) 1 else 0
+    } catch {
+      case e: Exception =>
+        System.err.println(s"sweep failed: ${e.getMessage}")
         2
     } finally if (sparkIn.isEmpty) spark.stop()
   }

@@ -73,7 +73,8 @@ object MetricColumns {
     "min", "max", "avg", "sum", "variance", "stddev",
     "min_length", "max_length", "avg_length", "approx_distinct",
     "approx_unique_count", "approx_duplicate_count", "approx_uniqueness",
-    "token_count", "avg_tokens", "min_tokens", "max_tokens"
+    "token_count", "avg_tokens", "min_tokens", "max_tokens",
+    "mojibake_count"
   )
 
   private val textMetrics = Seq("token_count", "avg_tokens", "min_tokens", "max_tokens")
@@ -340,6 +341,12 @@ object MetricColumns {
           out += countIf(tk.isNotNull).as(s"${name}__tok_count")
         }
       }
+      // encoding-damage triage: rows whose value carries repairable
+      // double-encoded UTF-8 (graft.functions.Mojibake) — rides pass 1 as
+      // one codegen'd conditional count, row semantics like missing_count
+      if (need("mojibake_count"))
+        out += countIf(value && graft.functions.Mojibake.count(c) > 0)
+          .as(s"${name}__mojibake_count")
     }
     out.result()
   }
@@ -408,6 +415,7 @@ object MetricColumns {
       if (m("token_count")) out += col(s"${name}__tok_sum").as(s"${name}__token_count")
       if (m("avg_tokens")) out += (col(s"${name}__tok_sum").cast(DoubleType) /
         col(s"${name}__tok_count").cast(DoubleType)).as(s"${name}__avg_tokens")
+      if (m("mojibake_count")) out += col(s"${name}__mojibake_count")
     }
     out.result()
   }

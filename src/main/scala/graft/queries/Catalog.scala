@@ -1916,6 +1916,55 @@ object Catalog {
         .select("doc_id", "domain").orderBy("doc_id")
     },
 
+    "q_url_dedup" -> { (s, dir) =>
+      // URL-level exact dedup — the FIRST dedup of every web pipeline:
+      // group by canonical URL, keep the smallest id. The synthesis here
+      // varies ONLY canonicalization-removable noise (scheme/host case,
+      // default port, tracking params, fragments) over colliding paths,
+      // so the oracle derives the canonical ANALYTICALLY — an independent
+      // derivation, not a replay of the same regexps
+      val docs = t(s, dir, "documents")
+      val m3 = col("doc_id") % 3
+      val m4 = col("doc_id") % 4
+      val m5 = col("doc_id") % 5
+      val m6 = col("doc_id") % 6
+      val scheme = when(m3 === 0, "http").when(m3 === 1, "HTTP").otherwise("hTtP")
+      val host0 = concat(col("lang"), lit("-"), col("source"), lit(".com"))
+      val host = when(col("doc_id") % 2 === 0, upper(host0)).otherwise(host0)
+      val port = when(m4 === 0, ":80").otherwise(lit(""))
+      val qs = when(m6 === 0, "?utm_source=feed&utm_medium=x")
+        .when(m6 === 1, "?fbclid=zz").otherwise(lit(""))
+      val frag = when(m5 === 1, "#top").otherwise(lit(""))
+      val url = concat(scheme, lit("://"), host, port,
+        lit("/p/"), col("doc_id") % 25, qs, frag)
+      docs.select(col("doc_id"),
+          graft.ops.Urls.canonicalizeUrl(url).as("url_canon"))
+        .groupBy("url_canon")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("url_canon")
+    },
+
+    "q_domain_skew" -> { (s, dir) =>
+      // per-domain concentration: counts, share, cumulative share of the
+      // top 20 domains — "is this corpus three domains in a trenchcoat?".
+      // The running-sum window is DOMAIN-bounded (hundreds of rows), never
+      // row data; total attaches as a broadcast 1-row frame
+      val docs = t(s, dir, "documents")
+      val counts = docs.select(graft.ops.Urls.domainOf(syntheticUrl).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("domain"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_n", sum("n").over(w))
+        .where(col("rank") <= 20)
+        .select(col("rank"), col("domain"), col("n"),
+          (col("n").cast(DoubleType) / col("tot").cast(DoubleType)).as("share"),
+          (col("cum_n").cast(DoubleType) / col("tot").cast(DoubleType)).as("cum_share"))
+        .orderBy("rank")
+    },
+
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
           fractions = Map("en" -> 0.2, "es" -> 0.5), defaultFraction = 0.05,
@@ -2684,6 +2733,52 @@ object Catalog {
         .orderBy("id")
     },
 
+    "q_html_text" -> { (s, dir) =>
+      // HTML-to-text strip over messy pages synthesized in-gate around the
+      // real document bodies: doctype, style/script blocks (with '<'/'>'
+      // inside), comments, mixed-case tags, entities (incl. double-encoded
+      // &amp;amp; and an unknown &unknown; kept literal), an unterminated
+      // comment tail every 17th doc and an unterminated script every 13th.
+      // The oracle replays the DEFINING regexp chain (HtmlText scaladoc);
+      // the native scanner is spec'd equivalent to that chain.
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          graft.functions.HtmlText.htmlText(syntheticHtml).as("text_clean"))
+        .orderBy("doc_id")
+    },
+
+    "q_html_quality" -> { (s, dir) =>
+      // the web-pipeline composition end-to-end: HTML strip FEEDING the
+      // quality features — the order every crawled-corpus pipeline runs
+      // them in; the oracle chains the defining regexp chain into the
+      // q_text_quality feature SQL
+      val docs = t(s, dir, "documents")
+      val cleaned = docs.select(col("doc_id"),
+        graft.functions.HtmlText.htmlText(syntheticHtml).as("text"))
+      TextAnalysis.qualityFeatures(cleaned, "text")
+        .select("doc_id", "n_tokens", "alpha_chars", "stopword_hits",
+          "avg_token_len", "stopword_ratio")
+        .orderBy("doc_id")
+    },
+
+    "q_mojibake" -> { (s, dir) =>
+      // double-encoded-UTF-8 repair: the gate GARBLES real text plus an
+      // accent/cp1252 literal by the exact mis-decoding crawlers commit
+      // (UTF-8 bytes read back as Latin-1 — built-in encode/decode, no
+      // custom fixture files), repairs it with the native expression, and
+      // the oracle simply rebuilds the ORIGINAL — repair must invert the
+      // garbling bit-for-bit. n_bad (sequences decoded) cross-checks as
+      // the original's non-ASCII codepoint count.
+      val docs = t(s, dir, "documents")
+      val orig = concat(substring(col("text"), 1, 80),
+        lit(" café naïve piñata — “smart” ‘quotes’ … €9 Ÿ end"))
+      val garbled = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+      docs.select(col("doc_id"),
+          graft.functions.Mojibake.fix(garbled).as("fixed"),
+          graft.functions.Mojibake.count(garbled).as("n_bad"))
+        .orderBy("doc_id")
+    },
+
     "q_record_linkage" -> { (s, dir) =>
       // Fellegi-Sunter-shape entity resolution on customers: fuzzy name +
       // exact segment/nation agreements, integer log-odds weights; blocked
@@ -2950,7 +3045,64 @@ object Catalog {
     * expression over `documents` (doc_id, lang, source), mirrored verbatim
     * by [[urlSqlPrefix]] so both engines derive the identical url column.
     */
-  private def syntheticUrl: Column = {
+  /** Deterministic messy-HTML synthesis for the HTML gates, mirrored by
+    * [[htmlSqlCte]]: doctype, style/script blocks (with inner `<`/`>`),
+    * comments, mixed-case tags, entity soup, unterminated tails.
+    */
+  private def syntheticHtml: Column = concat(
+    lit("<!DOCTYPE html><html><head><title>T</title>"),
+    lit("<STYLE type=\"text/css\">body { color: #fff; }</STYLE>"),
+    lit("<script src=\"a.js\">if (a<b && c>d) { alert(\"x\"); }</script>"),
+    lit("<!-- crawler note "), col("source"), lit(" -->"),
+    lit("<body class=\"doc\"><h1>Doc</h1><P>"),
+    substring(col("text"), 1, 160),
+    lit("</p><p>A &amp;amp; B &lt;tag&gt; says &quot;hi&quot; " +
+      "&apos;q&apos; &#39;z&#39;&nbsp;end&unknown;</p>"),
+    when(col("doc_id") % 17 === 0, lit("<!-- unterminated trail"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 13 === 0, lit("<script>var dangling = 1;"))
+      .otherwise(lit("")),
+    lit("</body></html>"))
+
+  /** DuckDB twin of [[syntheticHtml]] + the defining strip chain, as CTEs
+    * ending in `cleaned(doc_id, text_clean)`. Lines must survive a second
+    * outer stripMargin (no leading-whitespace-then-pipe lines).
+    */
+  private def htmlSqlCte: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<!DOCTYPE html><html><head><title>T</title>' ||
+      |    '<STYLE type="text/css">body { color: #fff; }</STYLE>' ||
+      |    '<script src="a.js">if (a<b && c>d) { alert("x"); }</script>' ||
+      |    '<!-- crawler note ' || source || ' -->' ||
+      |    '<body class="doc"><h1>Doc</h1><P>' ||
+      |    substr(text, 1, 160) ||
+      |    '</p><p>A &amp;amp; B &lt;tag&gt; says &quot;hi&quot; &apos;q&apos; &#39;z&#39;&nbsp;end&unknown;</p>' ||
+      |    (CASE WHEN doc_id % 17 = 0 THEN '<!-- unterminated trail' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN '<script>var dangling = 1;' ELSE '' END) ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(
+      |        regexp_replace(html,
+      |          '(?is)<!--.*?(-->|$)|<script[^>]*>.*?(</script[^>]*>|$)|<style[^>]*>.*?(</style[^>]*>|$)',
+      |          '', 'g'),
+      |        '(?s)<[^<>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |    '[ \t\n\r\f]+', ' ', 'g'), ' ') AS text_clean
+      |  FROM h)""".stripMargin
+
+  private def syntheticUrl: Column = syntheticUrlWithPath(
+    concat(lit("/docs/"), col("doc_id")))
+
+  /** `pathExpr` variant — the dedup gate collides paths on doc_id % 50 so
+    * distinct RAW urls (case/port/tracking/fragment noise) share canonicals.
+    */
+  private def syntheticUrlWithPath(pathExpr: Column): Column = {
     val m3 = col("doc_id") % 3
     val m4 = col("doc_id") % 4
     val m5 = col("doc_id") % 5
@@ -2969,7 +3121,7 @@ object Catalog {
       .when(m6 === 2, lit("?gclid=abc"))
       .otherwise(lit(""))
     val frag = when(m5 === 1, lit("#section-2")).otherwise(lit(""))
-    concat(scheme, lit("://"), host, port, lit("/docs/"), col("doc_id"), qs, frag)
+    concat(scheme, lit("://"), host, port, pathExpr, qs, frag)
   }
 
   /** DuckDB twin of [[syntheticUrl]] + the full canonicalization chain, as
@@ -6352,6 +6504,28 @@ object Catalog {
         |      < CAST(ceil(CAST(10 AS DOUBLE) / CAST(kn AS DOUBLE) * 10000) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_url_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'http://' || lower(lang || '-' || source) || '.com/p/' || (doc_id % 25) AS url_canon
+        |  FROM documents)
+        |SELECT url_canon, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM c GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    "q_domain_skew" ->
+      s"""$urlSqlPrefix,
+         |n AS (SELECT domain, count(*) AS n FROM dom2 GROUP BY domain),
+         |t2 AS (SELECT domain, n,
+         |         CAST(row_number() OVER (ORDER BY n DESC, domain) AS INT) AS rank,
+         |         sum(n) OVER (ORDER BY n DESC, domain
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |         (SELECT sum(n) FROM n) AS tot
+         |       FROM n)
+         |SELECT rank, domain, n,
+         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+         |  CAST(cum_n AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+         |FROM t2 WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     "q_url_domain" ->
       s"""$urlSqlPrefix
          |SELECT doc_id, url,
@@ -7170,6 +7344,32 @@ object Catalog {
         |      WHEN 2 THEN concat('naïve—', c_name)
         |      ELSE upper(c_name) END))) AS folded
         |FROM customer ORDER BY id""".stripMargin,
+
+    "q_html_text" ->
+      s"""$htmlSqlCte
+         |SELECT doc_id, text_clean FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q_html_quality" ->
+      s"""$htmlSqlCte,
+         |f AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(text_clean, '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text_clean, '\\s+', '', 'g')) AS BIGINT) AS alpha_chars,
+         |  CAST(len(list_filter(string_split_regex(text_clean, '\\s+'),
+         |       t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS BIGINT) AS stopword_hits
+         |FROM cleaned)
+         |SELECT doc_id, n_tokens, alpha_chars, stopword_hits,
+         |  CAST(alpha_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_mojibake" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 80) || ' café naïve piñata — “smart” ‘quotes’ … €9 Ÿ end' AS orig
+        |  FROM documents)
+        |SELECT doc_id, orig AS fixed,
+        |  length(regexp_replace(orig, '[\x00-\x7F]', '', 'g')) AS n_bad
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "q_record_linkage" ->
       """WITH b AS (SELECT c_custkey AS id, substr(c_name, 1, 16) AS blk,

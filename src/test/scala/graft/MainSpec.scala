@@ -50,6 +50,63 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("sweep subcommand: two tables one pass one fail, merged report, drift vs baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-sweep").toString
+    val root = s"$dir/tables"; val scans = s"$dir/scans"
+    new java.io.File(root).mkdirs(); new java.io.File(scans).mkdirs()
+    Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "name").write.parquet(s"$root/good.parquet")
+    Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "name").write.parquet(s"$root/bad.parquet")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$scans/a_good.yml"),
+      """table_name: good
+        |metrics:
+        |- row_count
+        |tests:
+        |- row_count > 0
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$scans/b_bad.yml"),
+      """table_name: bad
+        |metrics:
+        |- row_count
+        |columns:
+        |  name:
+        |    tests:
+        |    - missing_count == 0
+        |""".stripMargin)
+    def sweep(extra: String*): (Int, String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val code = Console.withOut(new java.io.PrintStream(buf)) {
+        Main.run(Array("sweep", scans, root) ++ extra, Some(spark))
+      }
+      (code, buf.toString)
+    }
+    val (code, out) = sweep("--out", s"$dir/run1")
+    assert(code == 1, out) // bad's test fails -> worst-table exit
+    assert(out.contains("PASS") && out.contains("good"))
+    assert(out.contains("FAIL") && out.contains("bad"))
+    assert(out.contains("missing_count == 0"))
+    // ONE merged report with the table column
+    val merged = spark.read.parquet(s"$dir/run1/measurements")
+    assert(merged.columns.head == "table")
+    assert(merged.select("table").distinct().as[String].collect().toSet ==
+      Set("good", "bad"))
+    val tests = spark.read.parquet(s"$dir/run1/tests")
+    assert(tests.where(!col("passed") && !col("skipped")).count() == 1)
+    // grow `good` -> drift vs the run1 baseline flags row_count, bad stable
+    Seq((4L, "d"), (5L, "e"), (6L, "f"), (7L, "g")).toDF("id", "name")
+      .write.mode("append").parquet(s"$root/good.parquet")
+    val (code2, out2) = sweep("--baseline", s"$dir/run1")
+    assert(code2 == 1, out2)
+    assert(out2.contains("drift vs baseline"), out2)
+    assert(out2.contains("good: drifted row_count 3.0 -> 7.0"), out2)
+    assert(out2.contains("bad: stable"), out2)
+    // a yml naming a missing table -> exit 2
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$scans/c_absent.yml"),
+      "table_name: absent\nmetrics:\n- row_count\n")
+    assert(sweep()._1 == 2)
+  }
+
   test("stream subcommand: file-log in, parquet verdicts out, checkpointed incremental runs") {
     import graft.streaming.StreamLog
     import java.sql.Timestamp

@@ -351,6 +351,18 @@ class ScannerSpec extends SparkSpec {
     assert(folded.contains(("variance", Some("v"))))
   }
 
+  test("mojibake_count rides scan pass 1: garbled rows counted, clean and null skipped") {
+    val garbled = new String("café “x”".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val df = Seq(Some(garbled), Some("clean ascii"), Some("café fine"), None)
+      .toDF("t")
+    val sd = ScanDefinition(tableName = "mj", metrics = Seq("mojibake_count"))
+    val m = Scanner.execute(spark, df, sd).measurements
+      .filter(_.metric == "mojibake_count")
+      .map(m => m.columnName -> m.value.get).toMap
+    assert(m == Map(Some("t") -> 1L))
+  }
+
   test("incremental scan rejects metrics that cannot fold exactly") {
     import graft.scan.IncrementalScan
     val sd = ScanDefinition(tableName = "inc", metrics = Seq("distinct"))
