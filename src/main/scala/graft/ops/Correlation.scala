@@ -356,15 +356,18 @@ object Correlation {
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String, scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // three consumers (two rank maps + the join spine) — eager
+    // three consumers (two rank maps + the join spine) — LAZY
     // localCheckpoint the three-column frame so the source scans once
-    // (4.7 → ~3 s at sf0.1); unlike persist, the blocks are auto-freed
-    // by the ContextCleaner when the frame goes unreachable
+    // (4.7 → ~3 s at sf0.1); unlike persist, the blocks are auto-freed by
+    // the ContextCleaner when the frame goes unreachable, and unlike the
+    // eager form the materialization rides the first consumer's job
+    // (eager benched +0.5 s here: an extra job boundary on the widest
+    // frame in the family)
     val base = df.select(col(groupCol).as("g"),
         MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
       .where(col("g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def rankMap(c: String) = {
       val wRun = Window.partitionBy("g").orderBy("v")
       base.groupBy(col("g"), col(c).as("v")).agg(count(lit(1)).as("c"))
