@@ -1021,6 +1021,35 @@ object Dedup {
     * pairs only, reassembly is per-document. Blank lines shared across
     * documents are boilerplate by this definition and drop with the rest.
     */
+  /** In-DOCUMENT repeated-unit removal: within each document, keep only the
+    * FIRST occurrence of every `sep`-delimited unit (line / paragraph) —
+    * the within-page sibling of [[lineDedup]]'s cross-document rule.
+    * Templated pages repeat their own chrome (cookie banners between
+    * sections, duplicated subscribe blocks); cross-document frequency
+    * can't see a unit that repeats only inside one page.
+    *
+    * ROW-LOCAL — zero shuffle at any corpus size: the keep-first rule is
+    * one `filter((u, i) => array_position(units, u) == i+1)` over the
+    * pre-projected unit array (projected ONCE so CollapseProject can't
+    * re-inline the split per element). Empty units (consecutive
+    * separators) are units too: a run of blank lines collapses to one.
+    *
+    * @return df + (`outCol`, n_units, n_dropped)
+    */
+  def dropRepeatedUnitsInDoc(df: DataFrame, textCol: String,
+                             sep: String = "\n",
+                             outCol: String = "text_clean"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    df.withColumn("__units", split(col(textCol), q))
+      .withColumn("__keep", filter(col("__units"),
+        (u, i) => array_position(col("__units"), u) === (i.cast(LongType) + 1L)))
+      .withColumn(outCol, array_join(col("__keep"), sep))
+      .withColumn("n_units", size(col("__units")).cast(LongType))
+      .withColumn("n_dropped",
+        (size(col("__units")) - size(col("__keep"))).cast(LongType))
+      .drop("__units", "__keep")
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 maxDocFreq: Int = 1,
                 tokenHasher: Column => Column = xxhash64(_)): DataFrame =

@@ -21,6 +21,24 @@ object TextAnalysis {
   val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def bpeishCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
 
+  /** Control/zero-width text cleanup — the pre-tokenization hygiene pass
+    * crawled corpora need: normalize line endings (`\r\n` then lone `\r`
+    * to `\n`), strip C0 controls (except tab/newline) and DEL, strip the
+    * zero-width family (ZWSP / ZWNJ / ZWJ / BOM-as-ZWNBSP — invisible
+    * chars that split tokens and break dedup equality), and turn NBSP
+    * into a plain space. Pure codegen'd `regexp_replace` chain, RE2-safe
+    * (`\x{...}` escapes work in both engines) so a DuckDB oracle replays
+    * it verbatim. Run BEFORE [[tokens]]/fingerprinting; pair with
+    * [[graft.functions.Mojibake]] for byte-level damage.
+    */
+  def cleanText(c: Column): Column = {
+    val lineNorm = regexp_replace(regexp_replace(c, "\\r\\n", "\n"), "\\r", "\n")
+    val noCtl = regexp_replace(lineNorm,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val noZw = regexp_replace(noCtl, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    regexp_replace(noZw, "\\x{00A0}", " ")
+  }
+
   /** English-ish stopwords used for quality scoring / lang ID. */
   val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 

@@ -2761,6 +2761,35 @@ object Catalog {
         .orderBy("doc_id")
     },
 
+    "q_selfrep" -> { (s, dir) =>
+      // in-document repeated-unit removal: pages synthesized to repeat
+      // their own chrome (cookie banner between sections, doubled
+      // subscribe block, blank-line runs, a trailing prefix echo that
+      // only collides for short docs — the rule decides, not the gate)
+      val docs = t(s, dir, "documents")
+      val t2 = concat(
+        substring(col("text"), 1, 100), lit("\nCOOKIE NOTICE\n"),
+        substring(col("text"), 101, 100),
+        lit("\nCOOKIE NOTICE\nsubscribe now\nsubscribe now\n\n\n"),
+        substring(col("text"), 1, 40))
+      Dedup.dropRepeatedUnitsInDoc(docs.select(col("doc_id"), t2.as("t2")), "t2")
+        .select("doc_id", "text_clean", "n_units", "n_dropped")
+        .orderBy("doc_id")
+    },
+
+    "q_text_clean" -> { (s, dir) =>
+      // control/zero-width hygiene: C0 controls, DEL, CRLF/lone-CR line
+      // endings, the zero-width family and NBSP injected around real text;
+      // the oracle replays the identical RE2-safe regexp chain
+      val docs = t(s, dir, "documents")
+      val noisy = concat(
+        lit("a\u0007b\r\nc\rd"), substring(col("text"), 1, 60),
+        lit("e\u200Bf\u200Cg\u200Dh\uFEFFi\u00A0j\u001Fk\u007Fl\tm\n end"))
+      docs.select(col("doc_id"),
+          TextAnalysis.cleanText(noisy).as("cleaned"))
+        .orderBy("doc_id")
+    },
+
     "q_mojibake" -> { (s, dir) =>
       // double-encoded-UTF-8 repair: the gate GARBLES real text plus an
       // accent/cp1252 literal by the exact mis-decoding crawlers commit
@@ -7361,6 +7390,44 @@ object Catalog {
          |  CAST(alpha_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
          |  CAST(stopword_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_selfrep" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 100) || chr(10) || 'COOKIE NOTICE' || chr(10) ||
+        |    substr(text, 101, 100) || chr(10) || 'COOKIE NOTICE' || chr(10) ||
+        |    'subscribe now' || chr(10) || 'subscribe now' || chr(10) || chr(10) || chr(10) ||
+        |    substr(text, 1, 40) AS t2
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(t2, chr(10)) AS u FROM s),
+        |o AS (SELECT doc_id, u,
+        |        list_filter(u, (x, i) -> list_position(u, x) = i) AS keep
+        |      FROM l)
+        |SELECT doc_id, array_to_string(keep, chr(10)) AS text_clean,
+        |  CAST(len(u) AS BIGINT) AS n_units,
+        |  CAST(len(u) - len(keep) AS BIGINT) AS n_dropped
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'a' || chr(7) || 'b' || chr(13) || chr(10) || 'c' || chr(13) || 'd' ||
+        |    substr(text, 1, 60) ||
+        |    'e' || chr(8203) || 'f' || chr(8204) || 'g' || chr(8205) || 'h' ||
+        |    chr(65279) || 'i' || chr(160) || 'j' || chr(31) || 'k' || chr(127) ||
+        |    'l' || chr(9) || 'm' || chr(10) || ' end' AS noisy
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(noisy, '\r\n', chr(10), 'g'),
+        |          '\r', chr(10), 'g'),
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |    '\x{00A0}', ' ', 'g') AS cleaned
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_mojibake" ->
       """WITH o AS (

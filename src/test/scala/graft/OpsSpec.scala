@@ -2553,6 +2553,38 @@ class TextAnalysisSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("long-packing bounds"))))
   }
 
+  test("in-doc repeated-unit removal: keep-first, blank runs collapse, " +
+       "no shuffle in the plan") {
+    val d = Seq(
+      (1L, "intro\nCOOKIE\nbody\nCOOKIE\nend"),
+      (2L, "a\n\n\na"),       // blank units dedup too; trailing 'a' drops
+      (3L, "unique\nlines\nonly"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedUnitsInDoc(d, "text")
+      .select("doc_id", "text_clean", "n_units", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "intro\nCOOKIE\nbody\nend", 5L, 1L)))
+    assert(got(2L) == ((2L, "a\n", 4L, 2L)))
+    assert(got(3L) == ((3L, "unique\nlines\nonly", 3L, 0L)))
+    assert(got(4L) == ((4L, "", 1L, 0L)))
+    // row-local: no exchange in the plan
+    val plan = Dedup.dropRepeatedUnitsInDoc(d, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "in-doc dedup must not shuffle")
+  }
+
+  test("cleanText: line endings, C0/DEL, zero-width family, NBSP") {
+    val noisy = "ab\r\nc\rd e\u200Bf\u200Cg\u200Dh\uFEFFi\u00A0jkl\tm"
+    val got = Seq(noisy).toDF("t")
+      .select(TextAnalysis.cleanText(col("t"))).as[String].collect()(0)
+    assert(got == "ab\nc\nd efghi jkl\tm")
+    // idempotent on clean text
+    val again = Seq(got).toDF("t")
+      .select(TextAnalysis.cleanText(col("t"))).as[String].collect()(0)
+    assert(again == got)
+  }
+
   test("line dedup drops cross-document boilerplate lines, keeps unique bodies") {
     val d = Seq(
       (1L, "COOKIE BANNER\nreal content one\nfooter"),
