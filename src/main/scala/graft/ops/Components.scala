@@ -49,16 +49,21 @@ object Components {
     *        only between near-duplicates), so this is the common case even
     *        at large corpus scale; a graph past the bound takes the
     *        distributed iteration unchanged. 0 forces the iterative route.
-    *        Default 2^22 symmetrized rows ≈ 64 MB of raw id pairs (a
-    *        bounded, transient driver cost — measured 1.8 s local vs
-    *        3.2 s iterative on a 1.5M-row dedup graph at sf0.1).
+    *        Default 2^20 symmetrized rows: the raw ids are ~16 MB, but the
+    *        collected `Row` objects plus the boxed union-find HashMap cost
+    *        ~5-10× that in driver heap, so the default is sized for a
+    *        default-ish 1g driver rather than the 64 MB raw-byte estimate
+    *        (measured 1.8 s local vs 3.2 s iterative on a 1.5M-row dedup
+    *        graph at sf0.1 — still the common dedup-graph case). Callers
+    *        with a large driver can raise it; callers on tiny drivers
+    *        should pass 0.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 20,
                           broadcastLabels: Boolean = false,
                           pathHalving: Boolean = true,
-                          maxLocalEdges: Long = 1L << 22): DataFrame = {
+                          maxLocalEdges: Long = 1L << 20): DataFrame = {
     // Symmetrized edges, hash-partitioned and sorted by the join key (b) ONCE
     // — localCheckpoint preserves partitioning+ordering, so per-round joins
     // add no edge-side exchange or sort.
@@ -132,7 +137,26 @@ object Components {
     dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
-      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case StringType =>
+        // UTF-8 BYTE order, not Java's UTF-16 code-unit order: Spark's
+        // `min` on strings compares UTF8String binary (code-point order),
+        // and the two diverge for supplementary-plane vs U+E000..U+FFFF
+        // ids. Matching Spark's order keeps the elected representative
+        // identical whichever route the size measurement picks.
+        Some(new Ordering[Any] {
+          def compare(x: Any, y: Any): Int = {
+            val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val c = (a(i) & 0xff) - (b(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            a.length - b.length
+          }
+        })
       case _ => None
     }
   }

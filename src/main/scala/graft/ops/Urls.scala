@@ -26,9 +26,16 @@ object Urls {
     * click-tracking noise (UTM campaign tags, Google/Facebook/Microsoft
     * click ids, mail-campaign ids) whose presence splits one logical page
     * into many distinct URLs. Anchored per-parameter; RE2-safe.
+    *
+    * Bare `ref` is deliberately NOT in the default set: unlike `utm_*` /
+    * `gclid` it widely carries non-tracking payloads (branch/ref selectors,
+    * referenced-object ids), so dropping it would merge genuinely distinct
+    * pages — the exact over-normalization this file warns against. Callers
+    * whose corpora use `ref` purely as a referrer tag pass their own
+    * pattern to [[canonicalizeUrl(url:org\.apache\.spark\.sql\.Column,trackingPattern:String)*]].
     */
   val TrackingParamPattern: String =
-    "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|ref|ref_src)(=.*)?$"
+    "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|ref_src)(=.*)?$"
 
   /** Two-label public suffixes (suffix-list-lite): when a host's last two
     * labels are one of these, the registrable domain is the last THREE
@@ -60,10 +67,14 @@ object Urls {
   private def afterScheme(u: Column): Column =
     regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
 
-  /** Lowercased host (no port) of an absolute URL — row-local. */
+  /** Lowercased host (no port) of an absolute URL — row-local. A trailing
+    * dot is stripped (`example.com.` is the fully-qualified spelling of the
+    * same host; without the strip one domain would split into two curation
+    * keys).
+    */
   def host(url: Column): Column = {
     val hp = regexp_extract(afterScheme(stripFragment(url)), "^([^/?]*)", 1)
-    lower(regexp_replace(hp, ":[0-9]+$", ""))
+    lower(regexp_replace(regexp_replace(hp, ":[0-9]+$", ""), "\\.$", ""))
   }
 
   /** Canonical form: lowercase scheme and host, default port stripped
@@ -73,13 +84,20 @@ object Urls {
     * empties. Path and non-tracking parameters are preserved byte-for-byte
     * (over-normalizing paths merges genuinely distinct pages).
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    canonicalizeUrl(url, TrackingParamPattern)
+
+  /** [[canonicalizeUrl]] with a caller-supplied tracking-parameter pattern
+    * (anchored per-parameter, RE2-safe) — for corpora whose referrer noise
+    * differs from the default set (e.g. sites where bare `ref` IS tracking).
+    */
+  def canonicalizeUrl(url: Column, trackingPattern: String): Column = {
     val u1 = stripFragment(url)
     val scheme = schemeOf(u1)
     val rest = afterScheme(u1)
     val hostport = regexp_extract(rest, "^([^/?]*)", 1)
     val pathq = regexp_replace(rest, "^[^/?]*", "")
-    val hostL = lower(regexp_replace(hostport, ":[0-9]+$", ""))
+    val hostL = lower(regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "\\.$", ""))
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val portOut = when(port === "" ||
         (scheme === "http" && port === "80") ||
@@ -88,7 +106,7 @@ object Urls {
     val path = regexp_extract(pathq, "^([^?]*)", 1)
     val qstr = regexp_extract(pathq, "[?](.*)", 1)
     val cleanQ = array_join(
-      filter(split(qstr, "&"), p => p =!= "" && !p.rlike(TrackingParamPattern)),
+      filter(split(qstr, "&"), p => p =!= "" && !p.rlike(trackingPattern)),
       "&")
     concat(
       when(scheme =!= "", concat(scheme, lit("://"))).otherwise(lit("")),
@@ -102,14 +120,24 @@ object Urls {
     * their own key. Row-local array slicing — no join against a suffix
     * table; the 60-entry suffix set is a literal IN-list.
     */
-  def registrableDomain(hostCol: Column): Column = {
-    val parts = split(hostCol, "\\.")
+  def registrableDomain(hostCol: Column): Column =
+    registrableDomain(hostCol, MultiPartSuffixes)
+
+  /** [[registrableDomain]] with a caller-supplied multi-label public-suffix
+    * set (e.g. the full ~9k-entry public-suffix list, or a corpus-specific
+    * subset). Bound ONCE as a literal IN-list — still row-local, no join.
+    * A trailing dot on the host is stripped first (FQDN spelling parity
+    * with [[host]]).
+    */
+  def registrableDomain(hostCol: Column, suffixes: Seq[String]): Column = {
+    val h = regexp_replace(hostCol, "\\.$", "")
+    val parts = split(h, "\\.")
     val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
     val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
       element_at(parts, -1))
-    when(hostCol.rlike("^[0-9.]+$"), hostCol)
-      .when(size(parts) <= 2, hostCol)
-      .when(last2.isin(MultiPartSuffixes: _*), last3)
+    when(h.rlike("^[0-9.]+$"), h)
+      .when(size(parts) <= 2, h)
+      .when(last2.isin(suffixes: _*), last3)
       .otherwise(last2)
   }
 

@@ -3191,7 +3191,7 @@ object Catalog {
        |  FROM q2),
        |q4 AS (
        |  SELECT doc_id, url, scheme,
-       |    lower(regexp_replace(hostport, ':[0-9]+${"$"}', '')) AS host,
+       |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+${"$"}', '')), '\\.${"$"}', '') AS host,
        |    regexp_extract(hostport, ':([0-9]+)${"$"}', 1) AS port,
        |    regexp_extract(pathq, '^([^?]*)', 1) AS path,
        |    regexp_extract(pathq, '[?](.*)', 1) AS qstr

@@ -28,8 +28,13 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://a.com/p?utm_campaign=x&fbclid=y") == Seq("http://a.com/p"))
     // a '?' with nothing behind it disappears
     assert(canon("http://a.com/p?") == Seq("http://a.com/p"))
-    // ref is tracking; refresh is NOT (prefix must not over-match)
-    assert(canon("http://a.com/p?ref=home&refresh=1") == Seq("http://a.com/p?refresh=1"))
+    // bare ref is NOT tracking by default (it carries real payloads:
+    // branch selectors, referenced ids); ref_src IS
+    assert(canon("http://a.com/p?ref=main&ref_src=twsrc") == Seq("http://a.com/p?ref=main"))
+    // caller-supplied pattern: a corpus where bare ref IS tracking opts in
+    assert(Seq("http://a.com/p?ref=home&refresh=1").toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"), "^(utm_[a-z0-9_]*|ref)(=.*)?$"))
+      .as[String].collect().toSeq == Seq("http://a.com/p?refresh=1"))
     // scheme-less best effort: host-first, no scheme prefix
     assert(canon("Example.COM/a?gclid=1") == Seq("example.com/a"))
     // empty path, query only
@@ -45,6 +50,21 @@ class UrlsSpec extends SparkSpec {
     assert(dom("http://localhost:9000/x") == Seq("localhost"))
     // a bare two-label host that IS a listed suffix stays itself (n<=2 rule)
     assert(dom("http://co.uk") == Seq("co.uk"))
+    // trailing dot (FQDN spelling) keys to the same domain as without it
+    assert(dom("http://example.com./x", "http://example.com/x") ==
+      Seq("example.com", "example.com"))
+    assert(canon("http://Example.COM./p?x=1") == Seq("http://example.com/p?x=1"))
+  }
+
+  test("registrableDomain: caller-supplied public-suffix table") {
+    // com.pl is NOT in the built-in lite list → default keys on com.pl...
+    val hosts = Seq("shop.allegro.com.pl", "a.b.example.com").toDF("h")
+    assert(hosts.select(Urls.registrableDomain(col("h"))).as[String].collect().toSeq ==
+      Seq("com.pl", "example.com"))
+    // ...a caller-supplied table that lists it keys on the registrable label
+    val full = Urls.MultiPartSuffixes :+ "com.pl"
+    assert(hosts.select(Urls.registrableDomain(col("h"), full)).as[String].collect().toSeq ==
+      Seq("allegro.com.pl", "example.com"))
   }
 
   test("canonicalizeUrl is idempotent on its own output") {
