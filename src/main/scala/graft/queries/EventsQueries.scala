@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.api._
+import graft.metrics.{GroupMetrics, MetricColumns}
+import graft.ops._
+import graft.scan.Scanner
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event/session analytics, streaming-parity and multimodal gates. Split from the single gate catalog; entries are
+  * concatenated back into [[Catalog.queries]]/[[Catalog.oracleSql]].
+  */
+private[queries] object EventsQueries {
+  import QueryShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, dir) =>
+      // ordered signup→click→purchase funnel, 7-day conversion window:
+      // greedy-min sequencing, one skinny aggregate per stage
+      Events.funnel(t(s, dir, "events"), "ts", "user_id", "event_type",
+          Seq("signup", "click", "purchase"), windowSec = 7L * 86400L)
+        .orderBy("stage_index")),
+
+    "q_funnel_gaps" -> ((s, dir) =>
+      // time-to-convert between the same funnel's stages: exact quartiles
+      // + mean of integer-second reach-time gaps per transition
+      Events.stageGaps(t(s, dir, "events"), "ts", "user_id", "event_type",
+          Seq("signup", "click", "purchase"), windowSec = 7L * 86400L)
+        .orderBy("stage_index")),
+
+    "q_cohort" -> ((s, dir) =>
+      // weekly cohort retention triangle over integer epoch-day/week indices
+      // (calendar-function-free, so both engines bucket identically)
+      Events.cohortRetention(t(s, dir, "events"), "ts", "user_id",
+          maxWeeks = 8)
+        .orderBy("cohort_week", "week_offset")),
+
+    "q_transitions" -> ((s, dir) =>
+      // per-user consecutive event-type transition counts, (ts, event_id)
+      // ordered so the matrix is deterministic under any partitioning
+      Events.transitions(t(s, dir, "events"), "ts", "user_id", "event_type",
+          "event_id")
+        .orderBy("from_type", "to_type")),
+
+    "q_multimodal" -> { (s, dir) =>
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.decodeFeatures(s, media)
+        .select(col("id"), col("n_bytes"), col("first_byte")).orderBy("id")
+    },
+
+    "q_video_shots" -> { (s, dir) =>
+      import s.implicits._
+      // video keyframe plumbing end-to-end from the BYTES up: one GVID
+      // container per 20th order, one 9x8 grayscale BMP frame per lineitem
+      // (Weyl-style multiplicative pixel field seeded by the price cents;
+      // 9x8 makes the dHash grid sample pixels 1:1) -> parse + per-frame
+      // dHash + consecutive-frame Hamming -> shot ids. The oracle
+      // re-derives every dHash comparison from the same integer pixel
+      // formula, so boundaries verify cross-engine bit-exactly.
+      val seeds = t(s, dir, "lineitem").where(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("vid"),
+          struct(col("l_linenumber"),
+            (MetricColumns.fixedPointLong(col("l_extendedprice"), 2) % 256)
+              .cast(IntegerType).as("s")).as("fs"))
+        .groupBy("vid").agg(sort_array(collect_list(col("fs"))).as("fs"))
+      val media = seeds.as[(Long, Seq[(Int, Int)])].map { case (vid, fs) =>
+        val frames = fs.map { case (_, seed) =>
+          Multimodal.Codecs.grayBmp(9, 8, (x, y) =>
+            (((seed.toLong * 72 + y * 9 + x + 1) * 2654435761L) % 256).toInt)
+        }
+        Multimodal.MediaRow(vid, Multimodal.Video.pack(frames), "video/gvid")
+      }.toDF()
+      Multimodal.shotBoundaries(s, media, maxHamming = 20)
+        .select(col("id").as("video_id"), col("frame_idx"), col("hamming_prev"),
+          col("is_boundary"), col("shot_id"))
+        .orderBy("video_id", "frame_idx")
+    },
+
+    "q_window_events" -> ((s, dir) =>
+      Windows.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    "q_window_sliding" -> ((s, dir) =>
+      // 1-hour windows every 15 minutes: each event lands in exactly 4
+      // windows; the oracle reproduces the epoch-aligned slide grid
+      Windows.sliding(t(s, dir, "events"), "ts", "event_type", "value",
+        "1 hour", "15 minutes")
+        .orderBy("window_start", "event_type")),
+
+    "q_sessionize" -> ((s, dir) =>
+      Windows.sessionizeBatch(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800)
+        .orderBy("user_id", "session_id")),
+
+    "q_stream_quality" -> { (s, dir) =>
+      val cols = Seq(
+        "value" -> ColumnConfig(validMin = Some(0.0), validMax = Some(150.0)),
+        "event_type" -> ColumnConfig(validValues = Seq("click", "view", "purchase", "signup")))
+      graft.streaming.StreamingMonitor.qualityByWindow(t(s, dir, "events"), "ts", "1 hour", cols)
+        .orderBy("window_start")
+    },
+
+    "q_quality_by_dim" -> { (s, dir) =>
+      val cols = Seq("c_acctbal" -> ColumnConfig(validMin = Some(0.0)))
+      graft.streaming.StreamingMonitor.qualityByDimension(t(s, dir, "customer"), "c_mktsegment", cols)
+        .orderBy("c_mktsegment")
+    },
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1
+        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id AS u, min(s1.t1) AS t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.u = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id AS u, min(s2.t1) AS t1, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON s2.u = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s2.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_index, 'signup' AS stage, count(*) AS users FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY stage_index""".stripMargin,
+
+    "q_funnel_gaps" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1
+        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id AS u, min(s1.t1) AS t1, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON s1.u = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id AS u, min(s2.t1) AS t1, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON s2.u = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(s2.t1)) AS BIGINT) <= 604800
+        |       GROUP BY e.user_id),
+        |g1 AS (SELECT CAST(floor(epoch(s2.t2)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) AS gap
+        |       FROM s2 JOIN s1 ON s1.u = s2.u),
+        |g2 AS (SELECT CAST(floor(epoch(s3.t3)) AS BIGINT) - CAST(floor(epoch(s2.t2)) AS BIGINT) AS gap
+        |       FROM s3 JOIN s2 ON s2.u = s3.u)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_index, 'signup->click' AS transition, CAST(count(*) AS BIGINT) AS users,
+        |         quantile_cont(gap, 0.25) AS p25, quantile_cont(gap, 0.5) AS p50, quantile_cont(gap, 0.75) AS p75,
+        |         CASE WHEN count(*) > 0 THEN CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS avg_sec
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT 2, 'click->purchase', CAST(count(*) AS BIGINT),
+        |         quantile_cont(gap, 0.25), quantile_cont(gap, 0.5), quantile_cont(gap, 0.75),
+        |         CASE WHEN count(*) > 0 THEN CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) END
+        |  FROM g2)
+        |ORDER BY stage_index""".stripMargin,
+
+    "q_cohort" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |                   CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS d
+        |            FROM events),
+        |f AS (SELECT u, min(d) AS d0 FROM ev GROUP BY u)
+        |SELECT CAST(floor(d0 / 7.0) AS BIGINT) AS cohort_week,
+        |       CAST(floor((d - d0) / 7.0) AS BIGINT) AS week_offset,
+        |       count(DISTINCT ev.u) AS users
+        |FROM ev JOIN f ON f.u = ev.u
+        |WHERE CAST(floor((d - d0) / 7.0) AS BIGINT) <= 8
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |                  lead(event_type) OVER (PARTITION BY user_id
+        |                      ORDER BY ts ASC, event_id ASC) AS next_type
+        |           FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // dHash bit (y, x) of a frame with pixel p(x,y) = ((s*72+y*9+x+1)*K)%256
+    // is p(x+1,y) > p(x,y) (the 9x8 frame makes the grid sample 1:1); the
+    // Hamming distance between consecutive frames is the count of the 64
+    // grid cells whose comparison flips between seeds
+    "q_video_shots" ->
+      """WITH f AS (
+        |  SELECT l_orderkey AS vid, l_linenumber AS fi,
+        |         CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                   ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) % 256 AS s
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |o AS (SELECT vid, s,
+        |             row_number() OVER (PARTITION BY vid ORDER BY fi, s) - 1 AS idx,
+        |             lag(s) OVER (PARTITION BY vid ORDER BY fi, s) AS sp
+        |      FROM f),
+        |g AS (SELECT y.y AS y, x.x AS x
+        |      FROM (SELECT unnest(range(8)) AS y) y, (SELECT unnest(range(8)) AS x) x),
+        |h AS (SELECT o.vid, o.idx, max(o.sp IS NULL) AS frst,
+        |        CAST(sum(CASE WHEN o.sp IS NOT NULL AND
+        |          ((((o.s  * 72 + g.y * 9 + g.x + 2) * 2654435761) % 256) >
+        |           (((o.s  * 72 + g.y * 9 + g.x + 1) * 2654435761) % 256)) !=
+        |          ((((o.sp * 72 + g.y * 9 + g.x + 2) * 2654435761) % 256) >
+        |           (((o.sp * 72 + g.y * 9 + g.x + 1) * 2654435761) % 256))
+        |          THEN 1 ELSE 0 END) AS INT) AS ham
+        |      FROM o CROSS JOIN g GROUP BY o.vid, o.idx)
+        |SELECT vid AS video_id, CAST(idx AS INT) AS frame_idx,
+        |  CASE WHEN frst THEN -1 ELSE ham END AS hamming_prev,
+        |  (NOT frst AND ham > 20) AS is_boundary,
+        |  CAST(sum(CASE WHEN NOT frst AND ham > 20 THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY vid ORDER BY idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
+        |FROM h ORDER BY video_id, frame_idx""".stripMargin,
+
+    "q_window_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                          ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH g AS (
+        |  SELECT date_trunc('hour', ts) + to_minutes(15 * (EXTRACT(minute FROM ts) // 15)) AS grid,
+        |         event_type, value
+        |  FROM events),
+        |e AS (SELECT grid - to_minutes(15 * s.i) AS window_start, event_type, value
+        |      FROM g CROSS JOIN (SELECT unnest(range(4)) AS i) s)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                          ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_quality" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       count(*) AS row_count,
+        |       count(*) FILTER (WHERE value IS NULL) AS value_missing,
+        |       count(*) FILTER (WHERE value IS NOT NULL
+        |             AND NOT (CAST(value AS DOUBLE) >= 0.0 AND CAST(value AS DOUBLE) <= 150.0)) AS value_invalid,
+        |       count(*) FILTER (WHERE event_type IS NULL) AS event_type_missing,
+        |       count(*) FILTER (WHERE event_type IS NOT NULL
+        |             AND event_type NOT IN ('click','view','purchase','signup')) AS event_type_invalid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quality_by_dim" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS row_count,
+        |       count(*) FILTER (WHERE c_acctbal IS NULL) AS c_acctbal_missing,
+        |       count(*) FILTER (WHERE c_acctbal IS NOT NULL
+        |             AND NOT (CAST(c_acctbal AS DOUBLE) >= 0.0)) AS c_acctbal_invalid
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+  )
+}

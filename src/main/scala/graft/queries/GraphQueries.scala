@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.api._
+import graft.metrics.{GroupMetrics, MetricColumns}
+import graft.ops._
+import graft.scan.Scanner
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph analytics: PageRank family, communities, k-core, BFS. Split from the single gate catalog; entries are
+  * concatenated back into [[Catalog.queries]]/[[Catalog.oracleSql]].
+  */
+private[queries] object GraphQueries {
+  import QueryShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> { (s, dir) =>
+      // integer-arithmetic PageRank over a graph derived from orders
+      // (customer-block → order-block links): truncating long division is
+      // part of the definition, so 5 rounds reproduce bit-identically in
+      // any engine — the oracle unrolls the same 5 steps as CTEs
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst")).distinct()
+      Components.pageRank(s.range(500).toDF("id"), "id", edges, "src", "dst",
+        iterations = 5).orderBy("id")
+    },
+
+    "q_kcore" -> { (s, dir) =>
+      // 6-core of the (sparsified) part co-purchase graph: peeling runs 4
+      // rounds at sf0.01; the 8-round cap makes Spark ≡ the unrolled
+      // 8-round oracle at ANY scale (converged rounds are identity)
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = l.as("x").join(l.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .where(((col("x.pk") + col("y.pk")) % 11) === 0)
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      Components.kCore(e, "src", "dst", k = 6, maxRounds = 8).orderBy("node")
+    },
+
+    "q_triangles" -> { (s, dir) =>
+      // per-node triangle counts over the mod-200 orders graph —
+      // degree-ordered wedge generation, closed against canonical edges;
+      // the oracle counts the same triangles via a 3-way self-join
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+      Components.triangleCounts(edges, "src", "dst").orderBy("node")
+    },
+
+    "q_clustering" -> { (s, dir) =>
+      // local clustering coefficient on the same mod-200 graph as
+      // q_triangles: cc = 2T/(d(d−1)) — density where raw triangle counts
+      // blur hubs vs cliques; one exact-integer double tree per node
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+      Components.clusteringCoefficients(edges, "src", "dst").orderBy("node")
+    },
+
+    "q_assortativity" -> { (s, dir) =>
+      // degree assortativity of the mod-200 graph: Pearson r of endpoint
+      // degrees over symmetrized edges — like-to-like vs hub-to-leaf
+      // wiring in one sign; exact decimal co-moments, one double tree
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+      Components.degreeAssortativity(edges, "src", "dst")
+    },
+
+    "q_ppr" -> { (s, dir) =>
+      // PERSONALIZED PageRank: teleport only to the ≡0-mod-10 seed nodes —
+      // rank = link-proximity to the seed set; same unrolled integer rounds
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst")).distinct()
+      val nodes = s.range(500).toDF("id")
+      Components.personalizedPageRank(nodes, "id", edges, "src", "dst",
+        seeds = nodes.where(col("id") % 10 === 0), iterations = 5)
+        .orderBy("id")
+    },
+
+    "q_wpagerank" -> { (s, dir) =>
+      // WEIGHTED PageRank over the supplier→part shipment graph: edge
+      // weight = shipment multiplicity (the multigraph collapsed to
+      // integer weights); contributions (pr·w) div Σw — truncating
+      // division is the definition, oracle unrolls the same 5 rounds
+      val l = t(s, dir, "lineitem")
+      val edges = l.groupBy((col("l_suppkey") % 300).as("src"),
+          (col("l_partkey") % 300).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Components.weightedPageRank(s.range(300).toDF("id"), "id", edges,
+        "src", "dst", "w", iterations = 5).orderBy("id")
+    },
+
+    "q_cooc" -> { (s, dir) =>
+      // co-purchase graph: parts (mod 150) co-occurring in an order become
+      // weighted edges; count >= 2 prunes one-off pairs
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), (col("l_partkey") % 150).as("i"))
+      Components.coOccurrence(l, "k", "i", maxKeyItems = 50, minCount = 2)
+        .orderBy("item_a", "item_b")
+    },
+
+    "q_bfs" -> { (s, dir) =>
+      // multi-source BFS: hop distance from the ≡0-mod-25 seed set along
+      // the directed mod-400 order graph, 4 relaxation rounds; unreached
+      // nodes stay NULL
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 400).as("src"),
+        (col("o_orderkey") % 400).as("dst")).distinct()
+      val nodes = s.range(400).toDF("id")
+      Components.bfsDistances(nodes, "id", edges, "src", "dst",
+        seeds = nodes.where(col("id") % 25 === 0), maxHops = 4)
+        .orderBy("id")
+    },
+
+    "q_communities" -> { (s, dir) =>
+      // deterministic synchronous label propagation (4 fixed rounds,
+      // smallest-label ties) over the mod-300 order graph; the oracle
+      // replays the identical rounds with window-ranked argmax
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 300).as("src"),
+        (col("o_orderkey") % 300).as("dst")).distinct()
+      Components.labelPropagation(s.range(300).toDF("id"), "id", edges,
+        "src", "dst", iterations = 4).orderBy("id")
+    },
+
+    "q_hits" -> { (s, dir) =>
+      // HITS hubs/authorities over the customer→order graph: L∞-normalized
+      // integer rounds (truncating division is the definition); the oracle
+      // unrolls the same 5 rounds with HUGEINT intermediates
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 400).as("src"),
+        (col("o_orderkey") % 400).as("dst")).distinct()
+      Components.hits(s.range(400).toDF("id"), "id", edges, "src", "dst",
+        iterations = 5).orderBy("id")
+    },
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_kcore" -> kCoreOracle(6, 8),
+
+    "q_pagerank" -> pageRankOracleSql(500, 5),
+
+    "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
+
+    "q_hits" -> hitsOracleSql(400, 5),
+
+    "q_communities" -> labelPropOracleSql(300, 4),
+
+    "q_cooc" ->
+      """WITH ki AS (SELECT DISTINCT l_orderkey AS k, l_partkey % 150 AS i FROM lineitem),
+        |ok AS (SELECT k FROM ki GROUP BY k HAVING count(*) <= 50),
+        |c AS (SELECT ki.k, ki.i FROM ki JOIN ok USING (k))
+        |SELECT a.i AS item_a, b.i AS item_b, count(*) AS cnt
+        |FROM c a JOIN c b ON a.k = b.k AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_bfs" -> bfsOracleSql(400, 25, 4),
+
+    "q_triangles" ->
+      """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s != d),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT a AS v FROM e UNION SELECT b AS v FROM e),
+        |cnt AS (SELECT v, count(*) AS t FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        |) GROUP BY 1)
+        |SELECT n.v AS node, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles
+        |FROM nodes n LEFT JOIN cnt ON cnt.v = n.v ORDER BY node""".stripMargin,
+
+    "q_clustering" ->
+      """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s != d),
+        |deg AS (SELECT v, count(*) AS dg FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cnt AS (SELECT v, count(*) AS t FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        |) GROUP BY 1)
+        |SELECT deg.v AS node, CAST(deg.dg AS BIGINT) AS degree,
+        |       CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN deg.dg >= 2 THEN CAST(coalesce(cnt.t, 0) * 2 AS DOUBLE)
+        |            / CAST(deg.dg * (deg.dg - 1) AS DOUBLE) END AS cc
+        |FROM deg LEFT JOIN cnt ON cnt.v = deg.v ORDER BY node""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s != d),
+        |deg AS (SELECT v, count(*) AS dg FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |ed AS (SELECT da.dg AS x, db.dg AS y
+        |       FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+        |p AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx,
+        |             sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy
+        |      FROM p)
+        |SELECT CAST(n // 2 AS BIGINT) AS m,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS assortativity
+        |FROM m""".stripMargin,
+
+    "q_ppr" -> pprOracleSql(500, 5, 10),
+
+  )
+}

@@ -1,0 +1,573 @@
+package graft.queries
+
+import graft.api._
+import graft.metrics.{GroupMetrics, MetricColumns}
+import graft.ops._
+import graft.scan.Scanner
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ANN, PQ/IVF, kNN-graph and embedding-space gates. Split from the single gate catalog; entries are
+  * concatenated back into [[Catalog.queries]]/[[Catalog.oracleSql]].
+  */
+private[queries] object SimilarityQueries {
+  import QueryShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> { (s, dir) =>
+      // did the embedding space move between even- and odd-label halves:
+      // exact centroid cosine from per-dim decimal sums + mean norms —
+      // the pre-flight before trusting cross-snapshot ANN artifacts
+      val emb = t(s, dir, "embeddings")
+      Embeddings.embeddingDrift(
+        emb.where(col("label") % 2 === 0),
+        emb.where(col("label") % 2 === 1), "embedding")
+    },
+
+    "q_diversity_group" -> { (s, dir) =>
+      // per-label diversity: which cluster collapsed to near-duplicates —
+      // the same centroid identity with (label, dim)-bounded sums
+      val emb = t(s, dir, "embeddings")
+      Embeddings.diversityByGroup(emb, "label", "embedding").orderBy("label")
+    },
+
+    "q_diversity" -> { (s, dir) =>
+      // average pairwise cosine of the whole embedding table in ONE pass
+      // via |Σu|² − Σ|u|² — the diversity audit with no pair join; exact
+      // integer arithmetic after per-vector quantization
+      val emb = t(s, dir, "embeddings")
+      Embeddings.diversity(emb, "embedding")
+    },
+
+    "q_neg_sample" -> { (s, dir) =>
+      // contrastive negatives: every ≡0-mod-10 doc draws 3 deterministic
+      // corpus negatives excluding itself and its synthetic positive
+      // (doc_id+1); md5 draws through the two-phase corpus rank map
+      val docs = t(s, dir, "documents")
+      val anchors = docs.where(col("doc_id") % 10 === 0).select(col("doc_id"))
+      val positives = anchors.select(col("doc_id").as("a"),
+        (col("doc_id") + 1L).as("p"))
+      Sampling.contrastiveNegatives(anchors, "doc_id", positives, "a", "p",
+          docs.select("doc_id"), "doc_id", k = 3)
+        .orderBy("anchor", "slot")
+    },
+
+    "q_embed_quantize" -> ((s, dir) =>
+      // q8 is array<tinyint> — serialized to JSON text (the q_scan_wide
+      // group_values pattern) so the harness's pandas compare, which sorts
+      // every column, never sees an array cell
+      Embeddings.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("scale"),
+          to_json(col("q8")).as("q8"))
+        .orderBy("vec_id")),
+
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_silhouette" -> ((s, dir) =>
+      // exact per-point silhouette on int8-quantized vectors: integer
+      // distances -> every value incl. the ratio is bit-oracled
+      Embeddings.silhouetteQuantized(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nMedoids = 8)
+        .withColumnRenamed("id", "id")
+        .orderBy("id")),
+
+    "q_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_ann_lsh_mp" -> { (s, dir) =>
+      // multi-probe: query also probes the flip of its lowest-margin
+      // plane per table — recall of more tables at the index cost of few
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, probes = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_pq_encode" -> { (s, dir) =>
+      // product quantization codes (m=8 subspaces × c=8 codewords over
+      // dim 64): deterministic smallest-id seed codebook, row-local argmin
+      // probes against the one codebook literal — the oracle replays every
+      // distance with the identical left-fold association
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Pq.trainCodebook(emb, "vec_id", "embedding", m = 8, c = 8)
+      // wide code columns, not posexplode: a Generate over the (expensive)
+      // codes expression makes InferFiltersFromGenerate clone the whole
+      // pipeline into a per-row Filter; 8 element_at refs also pin the
+      // codes projection (measured ~10x on the encode bench)
+      graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+        .select(col("id").as("vec_id") +:
+          (0 until 8).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+        .orderBy("vec_id")
+    },
+
+    "q_ivfpq_encode" -> { (s, dir) =>
+      // IVFADC index build: coarse cell routing + residual PQ codes, one
+      // row-local pass; cells, residuals and codes all replayed exactly
+      val emb = t(s, dir, "embeddings")
+      val cells = graft.ops.IvfPq.trainCells(emb, "vec_id", "embedding", ncells = 8)
+      val cb = graft.ops.IvfPq.trainResidualCodebook(emb, "vec_id", "embedding",
+        cells, m = 8, c = 8)
+      // wide code columns for the same InferFiltersFromGenerate reason as
+      // q_pq_encode
+      graft.ops.IvfPq.encode(emb, "vec_id", "embedding", cells, cb)
+        .select(Seq(col("id").as("vec_id"), col("cell")) ++
+          (0 until 8).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+        .orderBy("vec_id")
+    },
+
+    "q_ivfpq_topk" -> { (s, dir) =>
+      // IVFADC end-to-end: probe the 2 nearest cells per query, ADC-score
+      // only their members against the per-(query, cell) residual lookup
+      // tables — the oracle replays probes, luts and the ranked fold
+      val emb = t(s, dir, "embeddings")
+      graft.ops.IvfPq.ivfPqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, ncells = 8, m = 8, c = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_pq_topk" -> { (s, dir) =>
+      // ADC search over the codes: query-side m×c lookup tables, candidate
+      // distance = m table lookups (left-fold), ranks oracled end-to-end
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Pq.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 8, c = 8)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_knn_graph" -> ((s, dir) =>
+      // full-corpus kNN graph: every vector is a query; both sides
+      // shuffle-join on the IVF cell (no broadcast of the corpus). Oracle
+      // replicates the quantizer, probing and per-node top-k in SQL.
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, ncells = 16, nprobe = 2)
+        .orderBy("query_id", "rank")),
+
+    "q_mutual_knn" -> ((s, dir) =>
+      // reciprocal top-3 pairs of the kNN graph: the hub-immune symmetric
+      // core — the standard pair-mining filter before verification
+      Similarity.mutualKnnPairs(
+        Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, ncells = 16, nprobe = 2))
+        .orderBy("id_a", "id_b")),
+
+    "q_knn_hubs" -> ((s, dir) =>
+      // hubness: in-degree over the kNN graph — one bounded shuffle
+      Similarity.hubScores(
+        Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, ncells = 16, nprobe = 2))
+        .orderBy("id")),
+
+    "q_knn_margin" -> ((s, dir) =>
+      // ratio-margin re-ranking of the kNN graph (the bitext-mining
+      // criterion): per-node neighborhood means attached via two skinny
+      // id-keyed joins; oracle replays the full graph + margin algebra.
+      // Rank-only output — the house rule for cosine-derived orderings.
+      Similarity.knnMargin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, ncells = 16, nprobe = 2)
+        .orderBy("query_id", "margin_rank")),
+
+    "q_hard_negatives" -> { (s, dir) =>
+      // contrastive hard negatives: nearest non-positive neighbors, with
+      // positives = same-label pairs (the embeddings table's cluster id) —
+      // over-fetch 6, anti-join positives, keep top-3 negatives.
+      val emb = t(s, dir, "embeddings")
+      val pos = emb.select(col("vec_id").as("qid"), col("label"))
+        .join(emb.select(col("vec_id").as("nid"), col("label")), "label")
+        .where(col("qid") =!= col("nid"))
+        .select("qid", "nid")
+      Similarity.hardNegatives(emb, pos, "vec_id", "embedding",
+          k = 3, fetchK = 6, ncells = 16, nprobe = 2)
+        .orderBy("query_id", "neg_rank")
+    },
+
+    "q_embed_centroids" -> ((s, dir) =>
+      Embeddings.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("grp", "dim")),
+
+    "q_embed_cov" -> ((s, dir) =>
+      // PCA sufficient statistics in one pass: all 2080 upper-triangle
+      // quantized product sums + marginals — the d²-bounded frame pcaFit
+      // eigendecomposes on the driver; exact integers, fully oracled
+      Embeddings.covarianceStats(t(s, dir, "embeddings"), "embedding",
+          dim = 64, fxScale = 6)
+        .orderBy("d", "e")),
+
+    "q_rproject" -> { (s, dir) =>
+      // JL random projection 64 → 8 dims: deterministic md5-parity sign
+      // matrix, exact ±sums of scale-6 fixed-point longs — the oracle
+      // rebuilds signs and projections from the same rule
+      Embeddings.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, inDim = 64).orderBy("id", "dim_out")
+    },
+
+    "q_rrf" -> { (s, dir) =>
+      // reciprocal rank fusion of two genuinely different rankings per
+      // query: sparse-cosine retrieval (inverted index) + a length-
+      // similarity ranking; integer contributions scale div (rank+60)
+      val docs = t(s, dir, "documents")
+      val a = TextAnalysis.invertedIndexTopK(docs, docs.where(col("doc_id") < 10),
+          "doc_id", "text", k = 5, maxDfPermille = 1000)
+        .select("query_id", "doc_id", "rank")
+      val q = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("n_chars").as("qn"))
+      val cand = q.crossJoin(docs.select(col("doc_id"), col("n_chars")))
+        .where(col("doc_id") =!= col("query_id"))
+        .withColumn("dd", abs(col("n_chars") - col("qn")))
+      val w = Window.partitionBy("query_id").orderBy(col("dd").asc, col("doc_id").asc)
+      val b = cand.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5).select("query_id", "doc_id", "rank")
+      TextAnalysis.rrfFuse(Seq(a, b), kConst = 60, topK = 8)
+        .orderBy("query_id", "fused_rank")
+    },
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
+
+    "q_ann_lsh_mp" -> lshMultiProbeOracleSql(5, 4, 64, 42L),
+
+    "q_ann_ivf" -> ivfAnnOracleSql(5, 16, 4),
+
+    "q_knn_graph" -> ivfAnnOracleSql(3, 16, 2, queryFilter = ""),
+
+    "q_mutual_knn" ->
+      s"""WITH ${ivfAnnEdgesSql(16, 2, "")},
+         |e AS (SELECT qid AS a, nid AS b FROM r WHERE rank <= 3 AND qid != nid),
+         |c AS (SELECT least(a, b) AS id_a, greatest(a, b) AS id_b,
+         |        max(CASE WHEN a < b THEN 1 ELSE 0 END) AS f,
+         |        max(CASE WHEN a > b THEN 1 ELSE 0 END) AS bk
+         |      FROM e GROUP BY 1, 2)
+         |SELECT id_a, id_b FROM c WHERE f = 1 AND bk = 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_knn_margin" -> knnMarginOracleSql(3, 16, 2),
+
+    "q_hard_negatives" ->
+      s"""WITH ${ivfAnnEdgesSql(16, 2, "")},
+         |g AS (SELECT qid, nid, cos FROM r WHERE rank <= 6),
+         |f AS (SELECT g.qid, g.nid, g.cos FROM g
+         |      JOIN embeddings qe ON qe.vec_id = g.qid
+         |      JOIN embeddings ne ON ne.vec_id = g.nid
+         |      WHERE qe.label != ne.label),
+         |n AS (SELECT qid, nid,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |                 ORDER BY cos DESC, nid ASC) AS INT) AS neg_rank
+         |      FROM f)
+         |SELECT qid AS query_id, neg_rank, nid AS neighbor_id
+         |FROM n WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin,
+
+    "q_knn_hubs" ->
+      s"""WITH g AS (${ivfAnnOracleSql(3, 16, 2, queryFilter = "")})
+         |SELECT neighbor_id AS id, count(*) AS in_degree
+         |FROM g GROUP BY neighbor_id ORDER BY id""".stripMargin,
+
+    "q_silhouette" ->
+      // identical quantization tree, then integer squared distances to the
+      // first-8 medoids; (d2, cell) ranking replicates the struct sort
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |           FROM embeddings),
+        |sc AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, list_transform(vv, x -> CAST(CAST(CASE
+        |         WHEN scale = 0.0 THEN 0
+        |         WHEN x >= 0 THEN floor(x / scale * 127.0 + 0.5)
+        |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT) AS BIGINT)) AS qv
+        |      FROM sc),
+        |m AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qv AS mv
+        |      FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+        |d AS (SELECT q.vec_id, m.cell,
+        |             CAST(list_sum(list_transform(range(1, 65),
+        |               i -> (q.qv[i] - m.mv[i]) * (q.qv[i] - m.mv[i]))) AS BIGINT) AS d2
+        |      FROM q CROSS JOIN m),
+        |r AS (SELECT vec_id, cell, d2,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d),
+        |ab AS (SELECT a.vec_id, a.cell, a.d2 AS a2, b.d2 AS b2
+        |       FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+        |SELECT vec_id AS id, cell, a2, b2,
+        |       CASE WHEN greatest(a2, b2) = 0 THEN 0.0
+        |            ELSE CAST(b2 - a2 AS DOUBLE) / CAST(greatest(a2, b2) AS DOUBLE) END AS s
+        |FROM ab ORDER BY id""".stripMargin,
+
+    "q_embed_quantize" ->
+      // identical IEEE tree: cast-to-double components, scale = max abs,
+      // sign-adjusted floor(x/scale*127 + 0.5), zero vectors -> zeros
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS scale FROM v)
+        |SELECT vec_id, scale,
+        |       '[' || COALESCE(list_aggregate(list_transform(vv, x -> CAST(CAST(CASE
+        |         WHEN scale = 0.0 THEN 0
+        |         WHEN x >= 0 THEN floor(x / scale * 127.0 + 0.5)
+        |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT) AS VARCHAR)),
+        |         'string_agg', ','), '') || ']' AS q8
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_embed_drift" ->
+      """WITH s0 AS (SELECT embedding AS v FROM embeddings
+        |  WHERE label % 2 = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |s1 AS (SELECT embedding AS v FROM embeddings
+        |  WHERE label % 2 = 1 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |u0 AS (SELECT list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END) AS uu,
+        |    CAST(floor(sqrt(list_reduce(list_transform(v,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x))
+        |        * 1000000.0 + 0.5) AS BIGINT) AS nfx
+        |  FROM s0),
+        |u1 AS (SELECT list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END) AS uu,
+        |    CAST(floor(sqrt(list_reduce(list_transform(v,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x))
+        |        * 1000000.0 + 0.5) AS BIGINT) AS nfx
+        |  FROM s1),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_ref,
+        |              CAST(sum(nfx) AS HUGEINT) AS nsum_ref FROM u0),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cur,
+        |              CAST(sum(nfx) AS HUGEINT) AS nsum_cur FROM u1),
+        |d0 AS (SELECT dim, CAST(sum(uv) AS HUGEINT) AS sa FROM (
+        |    SELECT unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u0) GROUP BY dim),
+        |d1 AS (SELECT dim, CAST(sum(uv) AS HUGEINT) AS sb FROM (
+        |    SELECT unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u1) GROUP BY dim),
+        |j AS (SELECT CAST(coalesce(sum(coalesce(sa, 0) * coalesce(sb, 0)), 0) AS HUGEINT) AS dot,
+        |             CAST(coalesce(sum(coalesce(sa, 0) * coalesce(sa, 0)), 0) AS HUGEINT) AS aa,
+        |             CAST(coalesce(sum(coalesce(sb, 0) * coalesce(sb, 0)), 0) AS HUGEINT) AS bb
+        |      FROM d0 FULL OUTER JOIN d1 USING (dim))
+        |SELECT n0.n_ref, n1.n_cur,
+        |  CASE WHEN j.aa > 0 AND j.bb > 0
+        |       THEN CAST(j.dot AS DOUBLE)
+        |            / (sqrt(CAST(j.aa AS DOUBLE)) * sqrt(CAST(j.bb AS DOUBLE))) END AS centroid_cos,
+        |  CASE WHEN n0.n_ref > 0 THEN CAST(n0.nsum_ref AS DOUBLE)
+        |       / CAST(n0.n_ref AS DOUBLE) / 1000000.0 END AS mean_norm_ref,
+        |  CASE WHEN n1.n_cur > 0 THEN CAST(n1.nsum_cur AS DOUBLE)
+        |       / CAST(n1.n_cur AS DOUBLE) / 1000000.0 END AS mean_norm_cur
+        |FROM n0, n1, j""".stripMargin,
+
+    "q_diversity_group" ->
+      """WITH b AS (SELECT label, embedding AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, x) -> a + x)) AS nrm
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0),
+        |u AS (SELECT label, list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) / nrm >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-(CAST(x AS DOUBLE) / nrm) * 1000000.0 + 0.5) AS BIGINT)
+        |    END) AS uu
+        |  FROM b WHERE nrm > 0),
+        |nq AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(list_reduce(list_transform(uu, y -> y * y), (a, x) -> a + x))
+        |         AS HUGEINT) AS qq
+        |  FROM u GROUP BY label),
+        |dims AS (SELECT label, dim, CAST(sum(uv) AS HUGEINT) AS sd FROM (
+        |    SELECT label, unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u)
+        |  GROUP BY label, dim),
+        |s2 AS (SELECT label, CAST(sum(sd * sd) AS HUGEINT) AS s2 FROM dims GROUP BY label)
+        |SELECT nq.label, nq.n,
+        |  CASE WHEN nq.n >= 2
+        |       THEN CAST(s2.s2 - nq.qq AS DOUBLE)
+        |            / CAST(CAST(nq.n AS HUGEINT) * (nq.n - 1) AS DOUBLE)
+        |            / 1000000000000.0 END AS avg_pair_cos
+        |FROM nq JOIN s2 USING (label) ORDER BY label""".stripMargin,
+
+    "q_diversity" ->
+      """WITH b AS (SELECT embedding AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, x) -> a + x)) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |u AS (SELECT list_transform(v, x ->
+        |    CASE WHEN CAST(x AS DOUBLE) / nrm >= 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE -CAST(floor(-(CAST(x AS DOUBLE) / nrm) * 1000000.0 + 0.5) AS BIGINT)
+        |    END) AS uu
+        |  FROM b WHERE nrm > 0),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(list_reduce(list_transform(uu, y -> y * y), (a, x) -> a + x))
+        |         AS HUGEINT) AS qq
+        |  FROM u),
+        |dims AS (SELECT dim, CAST(sum(uv) AS HUGEINT) AS sd FROM (
+        |    SELECT unnest(uu) AS uv, unnest(range(len(uu))) AS dim FROM u)
+        |  GROUP BY dim),
+        |s2 AS (SELECT CAST(coalesce(sum(sd * sd), 0) AS HUGEINT) AS s2 FROM dims)
+        |SELECT nq.n,
+        |  CASE WHEN nq.n >= 2
+        |       THEN CAST(s2.s2 - nq.qq AS DOUBLE)
+        |            / CAST(CAST(nq.n AS HUGEINT) * (nq.n - 1) AS DOUBLE)
+        |            / 1000000000000.0 END AS avg_pair_cos
+        |FROM nq, s2""".stripMargin,
+
+    "q_neg_sample" ->
+      """WITH corpus AS (SELECT doc_id AS cid,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|corpus'), 1, 15))::BIGINT AS ch
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+        |ranked AS (SELECT cid,
+        |    CAST(row_number() OVER (ORDER BY ch, cid) - 1 AS BIGINT) AS rnk FROM corpus),
+        |anchors AS (SELECT doc_id AS a FROM documents WHERE doc_id % 10 = 0),
+        |draws AS (SELECT a, CAST(unnest(range(7)) AS BIGINT) AS slot FROM anchors),
+        |d2 AS (SELECT a, slot,
+        |    ('0x' || substr(md5(CAST(a AS VARCHAR) || '|neg' || CAST(slot AS VARCHAR)), 1, 15))::BIGINT
+        |      % nn.n AS draw
+        |  FROM draws, nn),
+        |cand AS (SELECT a, slot, cid FROM d2 JOIN ranked ON draw = rnk WHERE cid != a),
+        |ex AS (SELECT * FROM cand WHERE cid != a + 1),
+        |uniq AS (SELECT a, cid, CAST(min(slot) AS BIGINT) AS slot FROM ex GROUP BY a, cid),
+        |keep AS (SELECT a, slot, cid,
+        |    row_number() OVER (PARTITION BY a ORDER BY slot) AS rn FROM uniq)
+        |SELECT a AS anchor, slot, cid AS negative
+        |FROM keep WHERE rn <= 3 ORDER BY anchor, slot""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(e.embedding, q.qv) AS cos
+        |      FROM embeddings e, q WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS INT) AS rank FROM s)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_encode" ->
+      s"""${pqCodesSqlPrefix(8, 8, 8)}
+         |SELECT vec_id,
+         |       MAX(code) FILTER (WHERE sub = 0) AS c0, MAX(code) FILTER (WHERE sub = 1) AS c1,
+         |       MAX(code) FILTER (WHERE sub = 2) AS c2, MAX(code) FILTER (WHERE sub = 3) AS c3,
+         |       MAX(code) FILTER (WHERE sub = 4) AS c4, MAX(code) FILTER (WHERE sub = 5) AS c5,
+         |       MAX(code) FILTER (WHERE sub = 6) AS c6, MAX(code) FILTER (WHERE sub = 7) AS c7
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_ivfpq_encode" ->
+      s"""${ivfPqCodesSqlPrefix(8, 8, 8, 64)}
+         |SELECT vec_id, MAX(cell) AS cell,
+         |       MAX(code) FILTER (WHERE sub = 0) AS c0, MAX(code) FILTER (WHERE sub = 1) AS c1,
+         |       MAX(code) FILTER (WHERE sub = 2) AS c2, MAX(code) FILTER (WHERE sub = 3) AS c3,
+         |       MAX(code) FILTER (WHERE sub = 4) AS c4, MAX(code) FILTER (WHERE sub = 5) AS c5,
+         |       MAX(code) FILTER (WHERE sub = 6) AS c6, MAX(code) FILTER (WHERE sub = 7) AS c7
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_pq_topk" -> {
+      val foldDs = (1 to 8).foldLeft("0") { (acc, i) => s"($acc + ds[$i])" }
+      s"""${pqCodesSqlPrefix(8, 8, 8)},
+         |qs AS (SELECT vec_id AS qid, sub, sv FROM sv WHERE vec_id < 10),
+         |lut AS (SELECT q.qid, q.sub, c.code, ${pqDistSql("q.sv", "c.cw", 8)} AS d
+         |        FROM qs q JOIN cb c ON c.sub = q.sub),
+         |cand AS (SELECT l.qid, cd.vec_id AS nid, l.sub, l.d
+         |         FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+         |         WHERE cd.vec_id != l.qid),
+         |g AS (SELECT qid, nid, list(d ORDER BY sub) AS ds FROM cand GROUP BY qid, nid),
+         |r AS (SELECT qid, nid,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY $foldDs, nid) AS INT) AS rank
+         |      FROM g)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_ivfpq_topk" -> {
+      // IVFADC search replayed end-to-end: coarse probes (2 nearest cells
+      // by the same left-fold distance, ties to the smaller cell), the
+      // per-(query, cell) residual lookup table, candidates restricted to
+      // probed cells' members, and the m-lookup left-fold ADC distance.
+      val foldDs = (1 to 8).foldLeft("0") { (acc, i) => s"($acc + ds[$i])" }
+      s"""${ivfPqCodesSqlPrefix(8, 8, 8, 64)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |qcd AS (SELECT q.qid, cc.cell, ${pqDistSql("q.qv", "cc.cw", 64)} AS d FROM q, cc),
+         |probe AS (SELECT qid, cell FROM (
+         |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn FROM qcd)
+         |  WHERE rn <= 2),
+         |qres AS (SELECT p.qid, p.cell, [q.qv[i+1] - cc.cw[i+1] for i in range(0, 64)] AS qr
+         |         FROM probe p JOIN q ON q.qid = p.qid JOIN cc ON cc.cell = p.cell),
+         |qsv AS (SELECT qid, cell, CAST(s AS INT) AS sub, qr[(s*8+1):((s+1)*8)] AS sv
+         |        FROM qres, generate_series(0, 7) t(s)),
+         |lut AS (SELECT s.qid, s.cell, s.sub, c.code, ${pqDistSql("s.sv", "c.cw", 8)} AS d
+         |        FROM qsv s JOIN rcb c ON c.sub = s.sub),
+         |cand AS (SELECT l.qid, cd.vec_id AS nid, l.sub, l.d
+         |         FROM codes cd JOIN lut l ON l.cell = cd.cell AND l.sub = cd.sub AND l.code = cd.code
+         |         WHERE cd.vec_id != l.qid),
+         |g AS (SELECT qid, nid, list(d ORDER BY sub) AS ds FROM cand GROUP BY qid, nid),
+         |r AS (SELECT qid, nid,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY $foldDs, nid) AS INT) AS rank
+         |      FROM g)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_embed_centroids" ->
+      """WITH e AS (SELECT label AS grp, CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+        |                  unnest(embedding) AS v
+        |           FROM embeddings)
+        |SELECT grp, dim,
+        |       CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS centroid
+        |FROM e GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |             x -> CAST(CASE WHEN x >= 0 THEN floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |                            ELSE -floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) END AS BIGINT)) AS qq
+        |           FROM embeddings WHERE len(embedding) = 64),
+        |g AS (SELECT d.d AS d, e.e AS e
+        |      FROM (SELECT unnest(range(64)) AS d) d, (SELECT unnest(range(64)) AS e) e
+        |      WHERE e.e >= d.d)
+        |SELECT CAST(g.d AS INT) AS d, CAST(g.e AS INT) AS e,
+        |       CAST(sum(q.qq[g.d + 1] * q.qq[g.e + 1]) AS BIGINT) AS spp,
+        |       CAST(sum(q.qq[g.d + 1]) AS BIGINT) AS s_d,
+        |       CAST(sum(q.qq[g.e + 1]) AS BIGINT) AS s_e,
+        |       count(*) AS n
+        |FROM q CROSS JOIN g GROUP BY g.d, g.e ORDER BY d, e""".stripMargin,
+
+    "q_rproject" ->
+      """WITH q AS (SELECT vec_id AS id, list_transform(embedding, x ->
+        |    CAST(CASE WHEN CAST(x AS DOUBLE) >= 0 THEN floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |              ELSE -floor(-CAST(x AS DOUBLE) * 1000000.0 + 0.5) END AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sg AS (SELECT b.b, d.d,
+        |    CASE WHEN ('0x' || substr(md5('rp|' || CAST(b.b AS VARCHAR) || '|' || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(range(0, 8)) AS b) b, (SELECT unnest(range(0, 64)) AS d) d),
+        |p AS (SELECT q.id, sg.b AS dim_out, CAST(sum(sg.s * q.qv[sg.d + 1]) AS BIGINT) AS p_fx
+        |  FROM q, sg GROUP BY 1, 2)
+        |SELECT id, CAST(dim_out AS INT) AS dim_out, p_fx
+        |FROM p ORDER BY id, dim_out""".stripMargin,
+
+    "q_rrf" ->
+      s"""WITH $invertedTopkCtes,
+         |r5 AS (SELECT qid AS query_id, did AS doc_id, CAST(rank AS BIGINT) AS rank
+         |       FROM r WHERE rank <= 5),
+         |lq AS (SELECT doc_id AS query_id, n_chars AS qn FROM documents WHERE doc_id < 10),
+         |lc AS (SELECT lq.query_id, d.doc_id, abs(d.n_chars - lq.qn) AS dd
+         |       FROM lq, documents d WHERE d.doc_id != lq.query_id),
+         |lr AS (SELECT query_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dd ASC, doc_id ASC) AS BIGINT) AS rank
+         |       FROM lc),
+         |lr5 AS (SELECT query_id, doc_id, rank FROM lr WHERE rank <= 5),
+         |uni AS (SELECT * FROM r5 UNION ALL SELECT * FROM lr5),
+         |sc2 AS (SELECT query_id, doc_id,
+         |          CAST(sum(1000000000000 // (rank + 60)) AS BIGINT) AS rrf_fx,
+         |          CAST(count(*) AS BIGINT) AS n_lists
+         |        FROM uni GROUP BY 1, 2),
+         |fz AS (SELECT query_id, doc_id, rrf_fx, n_lists,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_fx DESC, doc_id ASC) AS INT) AS fused_rank
+         |       FROM sc2)
+         |SELECT query_id, doc_id, rrf_fx, n_lists, fused_rank
+         |FROM fz WHERE fused_rank <= 8
+         |ORDER BY query_id, fused_rank""".stripMargin,
+
+  )
+}

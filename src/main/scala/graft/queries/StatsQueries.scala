@@ -1,0 +1,1510 @@
+package graft.queries
+
+import graft.api._
+import graft.metrics.{GroupMetrics, MetricColumns}
+import graft.ops._
+import graft.scan.Scanner
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistics, drift tests, outliers, correlation, calibration. Split from the single gate catalog; entries are
+  * concatenated back into [[Catalog.queries]]/[[Catalog.oracleSql]].
+  */
+private[queries] object StatsQueries {
+  import QueryShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prop_test" -> { (s, dir) =>
+      // did the fulfilled-rate move between high- and low-priority
+      // orders? two-proportion pooled z — the Bernoulli drift member;
+      // exact long counts, one fixed double tree
+      val o = t(s, dir, "orders")
+      graft.scan.Drift.proportionTest(
+        o.where(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        o.where(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")),
+        col("o_orderstatus") === "F")
+    },
+
+    "q_roc_auc" -> { (s, dir) =>
+      // exact ROC-AUC of the synthetic calibrated scorer (same score/
+      // label construction as q_calibration) — the MWU machinery IS the
+      // eval statistic; a calibrated uniform scorer lands near 2/3
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.rocAuc(scored, "score", "label")
+    },
+
+    "q_pr_curve" -> { (s, dir) =>
+      // full precision/recall/F1 operating table of the same scorer —
+      // every achievable threshold from the descending counts cumulative
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.prCurve(scored, "score", "label")
+    },
+
+    "q_confusion" -> { (s, dir) =>
+      // thresholded confusion + MCC of the calibrated scorer at t=0.6 —
+      // the imbalance-honest single number prCurve can't derive (no TN)
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.confusionAt(scored, "score", "label", 0.6)
+    },
+
+    "q_spearman_group" -> { (s, dir) =>
+      // does price track quantity monotonically in EVERY return-flag
+      // segment — per-group doubled-rank spearman on group-bounded
+      // rank windows
+      val li = t(s, dir, "lineitem")
+      Correlation.spearmanByGroup(li, "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    },
+
+    "q_brier" -> { (s, dir) =>
+      // proper scoring rule over the same calibrated scorer: punishes
+      // miscalibration AND non-discrimination in one number; exact
+      // integer squared errors, one double division
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.brierScore(scored, "score", "label")
+    },
+
+    "q_avg_precision" -> { (s, dir) =>
+      // single-number PR summary of the same scorer — the imbalance-proof
+      // companion to q_roc_auc; step terms fx-12, order-free sum
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.averagePrecision(scored, "score", "label")
+    },
+
+    "q_calibration" -> { (s, dir) =>
+      // reliability diagram over a synthetic calibrated scorer: score =
+      // h1/1000, label = (h2 < h1) -> P(label|score) = score, so bucket
+      // gaps are pure sampling noise; exact integer bucketing and sums
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(col("doc_id"),
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.calibrationTable(scored, "score", "label", 10)
+    },
+
+    "q_cat_entropy" -> { (s, dir) =>
+      // effective-category profile of the corpus dimensions: entropy +
+      // exp(H) + inverse-Simpson per column — the concentration reading
+      // raw distinct counts flatter
+      val docs = t(s, dir, "documents")
+      Constraints.categoryEntropy(docs, Seq("lang", "source"))
+        .orderBy("column")
+    },
+
+    "q_qnorm" -> { (s, dir) =>
+      // quantile-normalize src0 document lengths onto src1's length
+      // distribution: rank-for-rank cross-shard alignment; integer
+      // cross-multiplied positions, forward as-of over the rank maps
+      val docs = t(s, dir, "documents")
+      val src0 = docs.where(col("source") === "src0")
+        .select("doc_id", "n_chars")
+      val src1 = docs.where(col("source") === "src1").select("n_chars")
+      Binning.quantileNormalize(src0, "n_chars", src1, "n_chars")
+        .orderBy("doc_id")
+    },
+
+    "q_gini_group" -> { (s, dir) =>
+      // revenue concentration per market segment: which segment's revenue
+      // is dominated by few customers — group-bounded windows, same
+      // closed-form run terms as q_gini
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val perCust = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+        .agg(sum(MetricColumns.fixedPointLong(col("o_totalprice"), 2))
+          .cast(LongType).as("cents"))
+      Binning.giniByGroup(perCust, "seg", col("cents")).orderBy("seg")
+    },
+
+    "q_fdr" -> { (s, dir) =>
+      // BH FDR over a deterministic p-value battery: uniform md5-hash p
+      // per order, with a planted low-p signal block (≡0 mod 97) the
+      // step-up rule must recover without flooding false alarms
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("test_id"))
+      val u = (graft.ops.Shingles.md5Hash60(
+        concat(col("test_id").cast("string"), lit("|fdr"))) % 1000003L)
+        .cast(DoubleType) / lit(1000003.0)
+      val withP = o.withColumn("p",
+        when(col("test_id") % 97 === 0, u / lit(1000.0)).otherwise(u))
+      graft.scan.Drift.fdrControl(withP, "p", 0.05, Seq("test_id"))
+        .orderBy("p_rank")
+    },
+
+    "q_gini" -> { (s, dir) =>
+      // revenue concentration across customers: Gini of per-customer
+      // order totals (cents) — the "is the corpus dominated by a few
+      // keys" diagnostic; closed-form run terms on the routed cumulative,
+      // no global rank window
+      val o = t(s, dir, "orders")
+      val perCust = o.groupBy("o_custkey")
+        .agg(sum(MetricColumns.fixedPointLong(col("o_totalprice"), 2))
+          .cast(LongType).as("cents"))
+      Binning.giniCoefficient(perCust, col("cents"))
+    },
+
+    "q_trimmed_mean" -> { (s, dir) =>
+      // trimmed mean of price cents inside DYADIC [1/16, 15/16] fences:
+      // drop-don't-clip robust center — dyadic p makes the interpolated
+      // fence an exact rational, so Spark's vl+f·Δ and DuckDB's
+      // vl(1−f)+vh·f trees agree bit-for-bit (non-dyadic p diverges in
+      // the low bit); decimal kept-sum, one double division
+      val li = t(s, dir, "lineitem").select(
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.trimmedMean(li, "cents", 0.0625, 0.9375)
+    },
+
+    "q_kl_slice" -> { (s, dir) =>
+      // which language's token mix diverges from the corpus, in nats —
+      // per-slice unigram KL with mutualInfo's bounded-window marginals;
+      // transcendental terms quantize to fx-9 longs and sum order-free
+      val docs = t(s, dir, "documents")
+      TextAnalysis.vocabKlBySlice(docs, "text", "lang").orderBy("slice")
+    },
+
+    "q_kappa" -> { (s, dir) =>
+      // chance-corrected label agreement: lang vs a "sloppy second
+      // annotator" that mislabels every ≡0-mod-9 doc as 'zz' — the
+      // inter-rater gate before trusting training labels; both κ operands
+      // exact integers, one final double tree
+      val docs = t(s, dir, "documents")
+      Correlation.cohensKappa(
+        docs.select(col("lang").as("a"),
+          when(col("doc_id") % 9 === 0, "zz").otherwise(col("lang")).as("b")),
+        "a", "b")
+    },
+
+    "q_ks" -> { (s, dir) =>
+      // exact two-sample KS between returnflag populations, over fixed-point
+      // cents (decimal→double conversion differs in the low bit between
+      // engines; long→double is exact) — bucket-free drift, bit-for-bit
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.ksStatistic(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_standardize" -> ((s, dir) =>
+      // per-flag exact z-score normalization of quantity cents: z =
+      // (x·n − s)/√(n·Σx² − s²) — one fixed double tree over exact
+      // integer moments, broadcast back; rows never shuffle
+      Binning.standardize(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          "l_quantity", groupCols = Seq("l_returnflag"), scale = 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity_z"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity_z")),
+
+    "q_chi2_drift" -> { (s, dir) =>
+      // categorical mix drift: order-priority distribution, finished vs
+      // open orders — the categorical member of the drift family; the
+      // statistic sums as per-(category, side) truncated ppm integers,
+      // order-free and engine-portable
+      val o = t(s, dir, "orders")
+      graft.scan.Drift.chiSquareCategorical(
+        o.where(col("o_orderstatus") === "F"),
+        o.where(col("o_orderstatus") === "O"), "o_orderpriority")
+    },
+
+    "q_mwu" -> { (s, dir) =>
+      // exact tie-corrected Mann–Whitney U between the same returnflag
+      // populations q_ks compares — the rank-shift complement of the CDF
+      // gap, with the interpretable AUC (P[A beats R]); doubled ranks keep
+      // every statistic an exact integer until the final z/auc trees
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.mannWhitneyU(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_weighted_median" -> { (s, dir) =>
+      // QUANTITY-weighted price quartiles + p90: the importance-weighted
+      // fences the unweighted family can't express (a 50-unit line weighs
+      // 50× a 1-unit line); counts-frame routed, the only double op is the
+      // cum ≥ p·W threshold compare
+      val li = t(s, dir, "lineitem")
+      Binning.weightedPercentiles(li,
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2),
+        MetricColumns.fixedPointLong(col("l_quantity"), 0),
+        Seq(0.25, 0.5, 0.75, 0.9))
+    },
+
+    "q_wasserstein" -> { (s, dir) =>
+      // exact W1 (earth mover's) distance between the same returnflag
+      // populations q_ks/q_mwu compare — the magnitude member of the drift
+      // family ("how many cents did the mass move"); segment terms are
+      // exact |k1·n2 − k2·n1|·Δv integers, one final double division
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.wasserstein1(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_wasserstein_group" -> { (s, dir) =>
+      // per-language W1 of document length between the two sources — the
+      // magnitude drilldown next to q_ks_group's largest-gap (how many
+      // CHARS did each language's length distribution move)
+      val docs = t(s, dir, "documents")
+      graft.scan.Drift.wasserstein1ByGroup(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") === "src1"), "n_chars", "lang")
+        .orderBy("lang")
+    },
+
+    "q_ks_group" -> { (s, dir) =>
+      // per-language KS of document length between two sources — drift
+      // localized to the segment that moved; n_chars is already integer
+      val docs = t(s, dir, "documents")
+      graft.scan.Drift.ksStatisticByGroup(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") === "src1"), "n_chars", "lang")
+        .orderBy("lang")
+    },
+
+    "q_outliers" -> { (s, dir) =>
+      // Tukey-fence outliers per returnflag on fixed-point cents (integer
+      // domain keeps quartile interpolation + fence arithmetic bit-exact)
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.iqrOutliers(li, col("cents"), "l_returnflag")
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).cast(LongType).as("n_outliers"),
+          min(when(col("is_outlier"), col("cents"))).as("min_outlier_cents"),
+          max(when(col("is_outlier"), col("cents"))).as("max_outlier_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_anomaly" -> { (s, dir) =>
+      // rolling z-score over each user's event sequence: flag events more
+      // than 3 sigma (t^2 = 9) from their PRECEDING-10 window — the flag is
+      // pure integer arithmetic on fixed-point longs ((nv-S)^2 > t^2(nQ-S^2)),
+      // so the oracle window reproduces it exactly
+      Outliers.rollingZScore(t(s, dir, "events"), Seq("user_id"), "event_id",
+          "value", window = 10, tSquared = 9, minPoints = 5)
+        .where(col("is_anomaly"))
+        .select(col("user_id"), col("event_id"))
+        .orderBy("user_id", "event_id")
+    },
+
+    "q_heavy_hitters" -> { (s, dir) =>
+      // Misra-Gries summary over lang with k above the distinct-language
+      // count -> counts EXACT and order-independent (the oracle is a plain
+      // GROUP BY); the overflow/merge behavior is property-spec'd
+      val sk = t(s, dir, "documents")
+        .agg(graft.functions.MgSketch.mg(col("lang"), 16).as("hh"))
+      sk.select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("lang"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("lang").asc)
+    },
+
+    "q_heavy_hitters_group" -> { (s, dir) =>
+      // the mergeable MG summary as a GROUPED aggregate: per source the
+      // top languages — bounded k-entry state per group; k above the
+      // distinct count keeps the exact-path oracle
+      val sk = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.MgSketch.mg(col("lang"), 16).as("hh"))
+      sk.select(col("source"), explode(col("hh")).as("e"))
+        .select(col("source"), col("e.item").as("lang"), col("e.cnt").as("cnt"))
+        .orderBy(col("source"), col("cnt").desc, col("lang").asc)
+    },
+
+    "q_winsorize_group" -> { (s, dir) =>
+      // per-group winsorization: clamp into each return flag's OWN 5/95
+      // fences (iqrOutliers' grouped-percentile shape + winsorize's clamp)
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.winsorizeByGroup(base, "cents", "l_returnflag", 0.05, 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_clipped"), 1L).otherwise(0L)).cast(LongType).as("clipped"),
+          sum(MetricColumns.fixedPointLong(col("cents_winsorized"), 2))
+            .cast(LongType).as("wsum_fx"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_heavy_hitters_ss" -> { (s, dir) =>
+      // SpaceSaving (overwrite-min) twin of q_heavy_hitters: k above the
+      // distinct-language count -> no overwrite ever fires, counts EXACT and
+      // err 0 (the oracle is a plain GROUP BY with a zero err column); the
+      // overwrite/merge/error-bound behavior is property-spec'd
+      val sk = t(s, dir, "documents")
+        .agg(graft.functions.SpaceSaving.ss(col("lang"), 16).as("hh"))
+      sk.select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("lang"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+        .orderBy(col("cnt").desc, col("lang").asc)
+    },
+
+    "q_corr" -> ((s, dir) =>
+      // exact Pearson r for two pairs in one pass: quantity~price
+      // (positively correlated by construction) and discount~tax (~0);
+      // moments are exact integers, r derived with a fixed double tree
+      Correlation.corrPairs(t(s, dir, "lineitem"), Seq(
+          "l_quantity" -> "l_extendedprice",
+          "l_discount" -> "l_tax"), scale = 2)
+        .orderBy("pair")),
+
+    "q_skew_report" -> ((s, dir) =>
+      // hottest 10 sources + integer ppm share — the diagnostic that
+      // decides whether salting/AQE skew handling is needed
+      Skew.skewReport(t(s, dir, "documents"), "source", topK = 10)
+        .orderBy(col("cnt").desc, col("key").asc)),
+
+    "q_bins" -> ((s, dir) =>
+      // equi-depth discretization of extended price (cents): 8 ~75k-row
+      // buckets where the equi-width histogram would be skew-lopsided;
+      // integer bin formula reproduced exactly by the oracle
+      Binning.equiDepthBins(t(s, dir, "lineitem"),
+          MetricColumns.fixedPointLong(col("l_extendedprice"), 2), k = 8)
+        .orderBy("bin")),
+
+    "q_pct_rank" -> ((s, dir) =>
+      // exact empirical CDF of quantity cents: the corpus-relative score
+      // normalizer; same routed-cumulative shape as q_bins, no global row
+      // window anywhere
+      Binning.valueRanks(t(s, dir, "lineitem"),
+        MetricColumns.fixedPointLong(col("l_quantity"), 2))
+        .orderBy("v")),
+
+    "q_mad" -> { (s, dir) =>
+      // median/MAD robust outlier flags (Hampel rule) per return flag on
+      // fixed-point cents: medians interpolate to exactly-representable
+      // halves, so med/mad/flag all replay bit-for-bit in the oracle
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.madOutliers(base, col("cents"), "l_returnflag", k = 3.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).cast(LongType).as("n_outliers"),
+          min(col("__med")).as("med"), min(col("__mad")).as("mad"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_winsorize" -> { (s, dir) =>
+      // heavy-tail clipping into exact 5/95 percentile fences; summary per
+      // flag with an order-free quantized sum of the clamped values
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      Outliers.winsorize(base, "cents", 0.05, 0.95)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_clipped"), 1L).otherwise(0L)).cast(LongType).as("clipped"),
+          sum(MetricColumns.fixedPointLong(col("cents_winsorized"), 2))
+            .cast(LongType).as("wsum_fx"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_percentiles_group" -> { (s, dir) =>
+      val p = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75)))
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(p.as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_robust_scale" -> ((s, dir) =>
+      // median/IQR scaling of price cents: routed exact quantile fences as
+      // literals, pure row-local transform; one value per distinct cents
+      // keeps the gate output distinct-bounded
+      Binning.robustScale(
+          t(s, dir, "lineitem").select(col("l_extendedprice")),
+          "l_extendedprice", scale = 2)
+        .groupBy(col("l_extendedprice_rz").as("rz"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("rz")),
+
+    "q_spearman" -> ((s, dir) =>
+      // exact Spearman rho between quantity and price — the rank-based
+      // association q_corr's Pearson can't see past marginal scales;
+      // doubled tie-averaged ranks keep every moment an exact integer
+      Correlation.spearman(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", scale = 2)),
+
+    "q_corr_matrix" -> ((s, dir) =>
+      // FULL 4x4 correlation matrix in ONE CovVectorAgg pass (6 pairs from
+      // one d2-long mergeable state) - vs q_corr's two per-pair aggregates
+      Correlation.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 2)
+        .orderBy("col_a", "col_b")),
+
+    "q_skyline" -> { (s, dir) =>
+      // Pareto frontier over per-supplier aggregates: suppliers no other
+      // supplier beats on (revenue max, volume max, discount burden min)
+      // at once — the multi-criteria selection a weighted score can't
+      // express; two-phase local-skyline + candidate anti-join
+      val sup = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(
+          sum(MetricColumns.fixedPointLong(col("l_extendedprice"), 2))
+            .cast(LongType).as("revenue_c"),
+          count(lit(1)).cast(LongType).as("n_items"),
+          sum(MetricColumns.fixedPointLong(col("l_discount"), 2))
+            .cast(LongType).as("disc_c"))
+      Pareto.skyline(sup,
+          Seq(("revenue_c", true), ("n_items", true), ("disc_c", false)))
+        .orderBy("suppkey")
+    },
+
+    "q_ewma" -> ((s, dir) =>
+      // replayable integer EWMA (alpha = 3/10) per user over event values;
+      // the oracle refolds the identical recurrence via list_reduce
+      Outliers.ewma(t(s, dir, "events"), Seq("user_id"), "event_id", "value",
+        alphaNum = 3, alphaDen = 10)
+        .orderBy("user_id")),
+
+    "q_holt" -> ((s, dir) =>
+      // Holt level+trend (alpha 3/10, beta 2/10) per user over the event
+      // stream; the oracle refolds the identical array-state recurrence
+      // via list_reduce over list accumulators
+      Outliers.holt(t(s, dir, "events"), Seq("user_id"), "event_id", "value",
+        alphaNum = 3, alphaDen = 10, betaNum = 2, betaDen = 10)
+        .select("user_id", "n", "level_fx", "trend_fx", "level", "forecast")
+        .orderBy("user_id")),
+
+    "q_holt_winters" -> ((s, dir) =>
+      // Holt-Winters ADDITIVE seasonal (period 4, alpha 3/10, beta 2/10,
+      // gamma 5/10) per user: level + trend + a 4-slot cycle the plain
+      // Holt reads as trend; seasons split into scalar columns for the
+      // driver hash, oracle refolds the identical (3+m)-long list state
+      Outliers.holtWinters(t(s, dir, "events"), Seq("user_id"), "event_id",
+          "value", period = 4, alphaNum = 3, alphaDen = 10,
+          betaNum = 2, betaDen = 10, gammaNum = 5, gammaDen = 10)
+        .select(col("user_id"), col("n"), col("level_fx"), col("trend_fx"),
+          expr("element_at(season_fx, 1)").as("s0"),
+          expr("element_at(season_fx, 2)").as("s1"),
+          expr("element_at(season_fx, 3)").as("s2"),
+          expr("element_at(season_fx, 4)").as("s3"),
+          col("level"), col("forecast"))
+        .orderBy("user_id")),
+
+    "q_cusum" -> ((s, dir) =>
+      // two-sided CUSUM per user over the event stream: prefix-sum +
+      // running-min windows (group-bounded), all-integer statistics
+      Outliers.cusum(t(s, dir, "events"), Seq("user_id"), "event_id", "value",
+        target = 60.0, slack = 10.0, threshold = 500.0)
+        .select("user_id", "event_id", "s_up", "s_dn", "alarm_up", "alarm_dn")
+        .orderBy("user_id", "event_id")),
+
+    "q_trend" -> ((s, dir) =>
+      // per-group OLS: price-vs-quantity slope/intercept per return flag
+      // from decimal-exact co-moments, one grouped aggregate
+      Correlation.trendByGroup(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    "q_mutual_info" -> { (s, dir) =>
+      // entropy/MI on the same two categorical pairs as q_cramers_v — the
+      // information-theoretic reading of the same contingency cells
+      Correlation.mutualInfo(t(s, dir, "orders"),
+        Seq("o_orderstatus" -> "o_orderpriority"))
+        .unionAll(Correlation.mutualInfo(t(s, dir, "lineitem"),
+          Seq("l_returnflag" -> "l_linestatus")))
+        .orderBy("pair")
+    },
+
+    "q_cramers_v" -> { (s, dir) =>
+      // categorical association: order status~priority (near-independent)
+      // and returnflag~linestatus (strongly dependent — both track
+      // shipdate); χ² via order-free fixed-point cell terms
+      Correlation.cramersV(t(s, dir, "orders"),
+        Seq("o_orderstatus" -> "o_orderpriority"))
+        .unionAll(Correlation.cramersV(t(s, dir, "lineitem"),
+          Seq("l_returnflag" -> "l_linestatus")))
+        .orderBy("pair")
+    },
+
+    "q_psi" -> { (s, dir) =>
+      // distribution drift: PSI of l_extendedprice between early and late
+      // ship dates; per-bucket fixed-point contributions (integer rows)
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1996-01-01").cast(TimestampType)
+      graft.scan.Drift.psiBuckets(
+        li.where(col("l_shipdate") < cut), li.where(col("l_shipdate") >= cut),
+        "l_extendedprice", lo = 900.0, hi = 105000.0, buckets = 10)
+        .orderBy("bucket")
+    },
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mutual_info" -> mutualInfoOracle,
+
+    "q_holt_winters" -> holtWintersOracle,
+
+    "q_ewma" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |            ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |             list(v ORDER BY event_id) AS vs
+        |      FROM f GROUP BY 1)
+        |SELECT user_id, n,
+        |  CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) * 3) // 10) AS BIGINT) AS ewma_fx,
+        |  CAST(CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) * 3) // 10) AS BIGINT) AS DOUBLE) / 100.0 AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_holt" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |            ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |             list(v ORDER BY event_id) AS vs
+        |      FROM f GROUP BY 1),
+        |st AS (SELECT user_id, n, list_reduce(
+        |         list_transform(vs, v -> [v, 0::BIGINT]),
+        |         (acc, x) -> [acc[1] + acc[2] + ((x[1] - acc[1] - acc[2]) * 3) // 10,
+        |                      acc[2] + ((((x[1] - acc[1] - acc[2]) * 3) // 10) * 2) // 10]) AS s
+        |       FROM g)
+        |SELECT user_id, n, CAST(s[1] AS BIGINT) AS level_fx, CAST(s[2] AS BIGINT) AS trend_fx,
+        |  CAST(CAST(s[1] AS BIGINT) AS DOUBLE) / 100.0 AS level,
+        |  CAST(CAST(s[1] AS BIGINT) + CAST(s[2] AS BIGINT) AS DOUBLE) / 100.0 AS forecast
+        |FROM st ORDER BY user_id""".stripMargin,
+
+    "q_cusum" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |            ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+        |FROM events),
+        |p AS (SELECT user_id, event_id,
+        |  sum(v - 7000) OVER w AS pu,
+        |  sum(5000 - v) OVER w AS pd
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id, event_id,
+        |  pu - least(0, min(pu) OVER w) AS s_up,
+        |  pd - least(0, min(pd) OVER w) AS s_dn
+        |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(s_up AS BIGINT) AS s_up, CAST(s_dn AS BIGINT) AS s_dn,
+        |       s_up > 50000 AS alarm_up, s_dn > 50000 AS alarm_dn
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
+
+    "q_trend" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y
+        |FROM lineitem),
+        |m AS (SELECT g,
+        |  count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |FROM f GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN den > 0.0 THEN num / den END AS slope,
+        |  CASE WHEN den > 0.0 THEN (syd - num / den * sxd) / CAST(n AS DOUBLE) / 100.0 END AS intercept
+        |FROM (SELECT g, n,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |      FROM m)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_cramers_v" ->
+      """WITH c1 AS (SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+        |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |w1 AS (SELECT o, a, b, sum(o) OVER (PARTITION BY a) AS ra, sum(o) OVER (PARTITION BY b) AS cb FROM c1),
+        |t1 AS (SELECT o, a, b,
+        |  CAST(floor(CAST(o * o AS DOUBLE) / CAST(ra * cb AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS tfx FROM w1),
+        |m1 AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r_levels,
+        |  count(DISTINCT b) AS c_levels, CAST(sum(tfx) AS BIGINT) AS sfx FROM t1),
+        |c2 AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+        |w2 AS (SELECT o, a, b, sum(o) OVER (PARTITION BY a) AS ra, sum(o) OVER (PARTITION BY b) AS cb FROM c2),
+        |t2 AS (SELECT o, a, b,
+        |  CAST(floor(CAST(o * o AS DOUBLE) / CAST(ra * cb AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS tfx FROM w2),
+        |m2 AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT a) AS r_levels,
+        |  count(DISTINCT b) AS c_levels, CAST(sum(tfx) AS BIGINT) AS sfx FROM t2)
+        |SELECT * FROM (
+        |  SELECT 'o_orderstatus~o_orderpriority' AS pair, n, r_levels, c_levels,
+        |    greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0) AS chi2,
+        |    CASE WHEN n > 0 AND CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE) > 0.0
+        |         THEN sqrt(greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0)
+        |                   / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END AS cramers_v
+        |  FROM m1
+        |  UNION ALL
+        |  SELECT 'l_returnflag~l_linestatus', n, r_levels, c_levels,
+        |    greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0),
+        |    CASE WHEN n > 0 AND CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE) > 0.0
+        |         THEN sqrt(greatest(CAST(n AS DOUBLE) * (CAST(sfx AS DOUBLE) / 1000000000000.0 - 1.0), 0.0)
+        |                   / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))) END
+        |  FROM m2
+        |) ORDER BY pair""".stripMargin,
+
+    "q_mad" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |FROM lineitem),
+        |m AS (SELECT g, quantile_cont(cents, 0.5) AS med FROM f GROUP BY 1),
+        |d AS (SELECT f.g, m.med, abs(CAST(f.cents AS DOUBLE) - m.med) AS dev
+        |      FROM f JOIN m USING (g)),
+        |md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.g AS l_returnflag, count(*) AS n,
+        |  CAST(count(CASE WHEN d.dev > 3.0 * md.mad THEN 1 END) AS BIGINT) AS n_outliers,
+        |  min(d.med) AS med, min(md.mad) AS mad
+        |FROM d JOIN md USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_heavy_hitters_group" ->
+      """SELECT source, lang, count(*) AS cnt
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, cnt DESC, lang""".stripMargin,
+
+    "q_winsorize_group" ->
+      """WITH f AS (SELECT l_returnflag,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |FROM lineitem),
+        |q AS (SELECT l_returnflag, quantile_cont(cents, 0.05) AS lo, quantile_cont(cents, 0.95) AS hi
+        |      FROM f GROUP BY 1),
+        |w AS (SELECT f.l_returnflag,
+        |        least(greatest(CAST(cents AS DOUBLE), lo), hi) AS wv,
+        |        (CAST(cents AS DOUBLE) < lo OR CAST(cents AS DOUBLE) > hi) AS clip
+        |      FROM f JOIN q USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(count(CASE WHEN clip THEN 1 END) AS BIGINT) AS clipped,
+        |  CAST(sum(CAST(CASE WHEN wv >= 0 THEN floor(wv * 100.0 + 0.5)
+        |                     ELSE -floor(-wv * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS wsum_fx
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |FROM lineitem),
+        |q AS (SELECT quantile_cont(cents, 0.05) AS lo, quantile_cont(cents, 0.95) AS hi FROM f),
+        |w AS (SELECT l_returnflag,
+        |        least(greatest(CAST(cents AS DOUBLE), lo), hi) AS wv,
+        |        (CAST(cents AS DOUBLE) < lo OR CAST(cents AS DOUBLE) > hi) AS clip
+        |      FROM f CROSS JOIN q)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(count(CASE WHEN clip THEN 1 END) AS BIGINT) AS clipped,
+        |  CAST(sum(CAST(CASE WHEN wv >= 0 THEN floor(wv * 100.0 + 0.5)
+        |                     ELSE -floor(-wv * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS wsum_fx
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_prop_test" ->
+      """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n_ref,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS x_ref
+        |       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_cur,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS x_cur
+        |       FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')),
+        |m AS (SELECT * FROM r, c),
+        |d AS (SELECT *,
+        |        CAST(x_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) AS p1,
+        |        CAST(x_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) AS p2,
+        |        (CAST(x_ref AS DOUBLE) + CAST(x_cur AS DOUBLE))
+        |          / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)) AS pp
+        |      FROM m)
+        |SELECT n_ref, x_ref, n_cur, x_cur,
+        |  CASE WHEN n_ref > 0 THEN p1 END AS p_ref,
+        |  CASE WHEN n_cur > 0 THEN p2 END AS p_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN p1 - p2 END AS diff,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0
+        |        AND pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
+        |                               + 1.0 / CAST(n_cur AS DOUBLE)) > 0.0
+        |  THEN (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_ref AS DOUBLE)
+        |                                           + 1.0 / CAST(n_cur AS DOUBLE))) END AS z
+        |FROM d""".stripMargin,
+
+    "q_cat_entropy" -> catEntropyOracle(Seq("lang", "source")),
+
+    "q_roc_auc" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |u AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS v,
+        |       CASE WHEN h2 < h1 THEN 1 ELSE 2 END AS side
+        |  FROM f),
+        |c AS (SELECT v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY v),
+        |k AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS kc FROM c),
+        |m AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(CAST(c1 AS HUGEINT) * ((kc - c) * 2 + c + 1)) AS r1d,
+        |             sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END) AS ties
+        |      FROM k)
+        |SELECT n1 AS n_pos, n2 AS n_neg,
+        |       CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc,
+        |       CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0.0
+        |       THEN (CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |            / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+        |       END AS z
+        |FROM m""".stripMargin,
+
+    "q_pr_curve" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS s,
+        |       h2 < h1 AS y FROM f),
+        |c AS (SELECT s AS threshold_fx,
+        |        sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+        |        sum(CASE WHEN y THEN 0 ELSE 1 END) AS ng
+        |      FROM q GROUP BY s),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all FROM c),
+        |k AS (SELECT threshold_fx,
+        |        CAST(sum(p) OVER (ORDER BY threshold_fx DESC) AS BIGINT) AS tp,
+        |        CAST(sum(ng) OVER (ORDER BY threshold_fx DESC) AS BIGINT) AS fp
+        |      FROM c)
+        |SELECT threshold_fx, tp, fp, t.tp_all - tp AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CASE WHEN tp + (t.tp_all - tp) > 0
+        |       THEN CAST(tp AS DOUBLE) / CAST(tp + (t.tp_all - tp) AS DOUBLE) END AS recall,
+        |  CASE WHEN 2 * tp + fp + (t.tp_all - tp) > 0
+        |       THEN CAST(2 * tp AS DOUBLE)
+        |            / CAST(2 * tp + fp + (t.tp_all - tp) AS DOUBLE) END AS f1
+        |FROM k, t ORDER BY threshold_fx DESC""".stripMargin,
+
+    "q_confusion" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT)
+        |         >= 600000 AS p,
+        |       h2 < h1 AS y FROM f),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM q)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+        |  CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+        |  THEN CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+        |       / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE))
+        |  END AS mcc
+        |FROM m""".stripMargin,
+
+    "q_spearman_group" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y
+        |FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_returnflag IS NOT NULL),
+        |cx AS (SELECT g, x AS v, count(*) AS c FROM f GROUP BY 1, 2),
+        |rx AS (SELECT g, v,
+        |        (sum(c) OVER (PARTITION BY g ORDER BY v) - c) * 2 + c + 1 AS dr FROM cx),
+        |cy AS (SELECT g, y AS v, count(*) AS c FROM f GROUP BY 1, 2),
+        |ry AS (SELECT g, v,
+        |        (sum(c) OVER (PARTITION BY g ORDER BY v) - c) * 2 + c + 1 AS dr FROM cy),
+        |j AS (SELECT f.g, rx.dr AS a, ry.dr AS b
+        |      FROM f JOIN rx ON f.g = rx.g AND f.x = rx.v
+        |             JOIN ry ON f.g = ry.g AND f.y = ry.v),
+        |m AS (SELECT g, count(*) AS n,
+        |  sum(CAST(a AS HUGEINT)) AS sx, sum(CAST(b AS HUGEINT)) AS sy,
+        |  sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS sxx,
+        |  sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS syy,
+        |  sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sxy
+        |FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0
+        |            THEN num / (sqrt(dx) * sqrt(dy)) END AS rho
+        |FROM (SELECT g, n,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_brier" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS s,
+        |       CASE WHEN h2 < h1 THEN 1000000 ELSE 0 END AS y FROM f),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(s - y AS HUGEINT) * (s - y)) AS se FROM q)
+        |SELECT n, CASE WHEN n > 0
+        |  THEN CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0 END AS brier
+        |FROM m""".stripMargin,
+
+    "q_avg_precision" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |q AS (SELECT CAST(CASE WHEN CAST(h1 AS DOUBLE) / 1000.0 >= 0
+        |         THEN floor(CAST(h1 AS DOUBLE) / 1000.0 * 1000000.0 + 0.5)
+        |         ELSE -floor(-(CAST(h1 AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) END AS BIGINT) AS s,
+        |       h2 < h1 AS y FROM f),
+        |c AS (SELECT s AS tf, sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+        |        sum(CASE WHEN y THEN 0 ELSE 1 END) AS ng FROM q GROUP BY s),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS tp_all FROM c),
+        |k AS (SELECT tf, CAST(sum(p) OVER (ORDER BY tf DESC) AS BIGINT) AS tp,
+        |        CAST(sum(ng) OVER (ORDER BY tf DESC) AS BIGINT) AS fp FROM c),
+        |g AS (SELECT tf, tp, fp,
+        |        CAST(coalesce(lag(tp) OVER (ORDER BY tf DESC), 0) AS BIGINT) AS ptp
+        |      FROM k),
+        |terms AS (SELECT
+        |    (CAST(tp - ptp AS DOUBLE) / CAST(t.tp_all AS DOUBLE))
+        |      * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS term
+        |  FROM g, t),
+        |fx AS (SELECT CAST(sum(CASE WHEN term >= 0
+        |    THEN CAST(floor(term * 1000000000000.0 + 0.5) AS BIGINT)
+        |    ELSE -CAST(floor(-term * 1000000000000.0 + 0.5) AS BIGINT) END) AS BIGINT) AS sfx
+        |  FROM terms)
+        |SELECT t.tp_all AS n_pos,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_thresholds,
+        |       CAST(fx.sfx AS DOUBLE) / 1000000000000.0 AS avg_precision
+        |FROM t, fx""".stripMargin,
+
+    "q_calibration" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |g AS (SELECT CAST(h1 AS DOUBLE) / 1000.0 AS score, h2 < h1 AS label FROM f),
+        |q AS (SELECT CAST(CASE WHEN score >= 0 THEN floor(score * 1000000.0 + 0.5)
+        |          ELSE -floor(-score * 1000000.0 + 0.5) END AS BIGINT) AS sfx, label FROM g),
+        |b AS (SELECT least(greatest((sfx * 10) // 1000000, 0), 9) AS bucket, sfx, label FROM q),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS tot FROM b),
+        |m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(sfx AS HUGEINT)) AS HUGEINT) AS ss,
+        |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, n,
+        |  CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_score,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+        |  abs(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS ece_term
+        |FROM m, t ORDER BY bucket""".stripMargin,
+
+    "q_qnorm" ->
+      """WITH cur0 AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL GROUP BY 1),
+        |cur AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM cur0),
+        |ref0 AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1),
+        |ref AS (SELECT v AS ref_v, sum(c) OVER (ORDER BY v) AS ref_cum FROM ref0),
+        |n AS (SELECT (SELECT max(cum) FROM cur) AS n_cur,
+        |             (SELECT max(ref_cum) FROM ref) AS n_ref),
+        |m AS (SELECT cur.v, min(ref.ref_v) AS qn
+        |      FROM cur, ref, n
+        |      WHERE ref.ref_cum * n.n_cur >= cur.cum * n.n_ref
+        |      GROUP BY cur.v)
+        |SELECT d.doc_id, d.n_chars, m.qn AS n_chars_qnorm
+        |FROM documents d LEFT JOIN m ON CAST(d.n_chars AS BIGINT) = m.v
+        |WHERE d.source = 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_gini_group" ->
+      """WITH per AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+        |    CAST(sum(CAST(CASE WHEN o_totalprice >= 0
+        |         THEN floor(o_totalprice * 100.0 + 0.5)
+        |         ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT seg, cents AS v, count(*) AS c FROM per
+        |      WHERE cents >= 0 AND seg IS NOT NULL GROUP BY 1, 2),
+        |k AS (SELECT seg, v, c, sum(c) OVER (PARTITION BY seg ORDER BY v) AS cum FROM c),
+        |m AS (SELECT seg, CAST(sum(c) AS HUGEINT) AS n,
+        |             CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS sx,
+        |             CAST(sum(CAST(v AS HUGEINT)
+        |                  * (2 * CAST(c AS HUGEINT) * (cum - c)
+        |                     + CAST(c AS HUGEINT) * (c + 1))) AS HUGEINT) AS six2
+        |      FROM k GROUP BY seg)
+        |SELECT seg, CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total,
+        |  CASE WHEN sx > 0 THEN CAST(six2 - (n + 1) * sx AS DOUBLE)
+        |       / CAST(n * sx AS DOUBLE) END AS gini
+        |FROM m ORDER BY seg""".stripMargin,
+
+    "q_fdr" ->
+      """WITH t AS (SELECT o_orderkey AS test_id,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|fdr'), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |p0 AS (SELECT test_id,
+        |    CASE WHEN test_id % 97 = 0
+        |         THEN CAST(h % 1000003 AS DOUBLE) / 1000003.0 / 1000.0
+        |         ELSE CAST(h % 1000003 AS DOUBLE) / 1000003.0 END AS p FROM t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p0),
+        |r AS (SELECT test_id, p,
+        |        CAST(row_number() OVER (ORDER BY p, test_id) AS BIGINT) AS p_rank
+        |      FROM p0),
+        |f AS (SELECT test_id, p, p_rank,
+        |        least(CAST(p AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |              / CAST(p_rank AS DOUBLE), 1.0) AS ff
+        |      FROM r, n),
+        |q AS (SELECT test_id, p, p_rank,
+        |        min(ff) OVER (ORDER BY p_rank DESC) AS bh_q FROM f)
+        |SELECT test_id, p, p_rank, bh_q, bh_q <= 0.05 AS reject
+        |FROM q ORDER BY p_rank""".stripMargin,
+
+    "q_gini" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(CASE WHEN o_totalprice >= 0
+        |         THEN floor(o_totalprice * 100.0 + 0.5)
+        |         ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (SELECT cents AS v, count(*) AS c FROM per WHERE cents >= 0 GROUP BY cents),
+        |k AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        |m AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+        |             CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS sx,
+        |             CAST(sum(CAST(v AS HUGEINT)
+        |                  * (2 * CAST(c AS HUGEINT) * (cum - c)
+        |                     + CAST(c AS HUGEINT) * (c + 1))) AS HUGEINT) AS six2
+        |      FROM k)
+        |SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total,
+        |  CASE WHEN sx > 0 THEN CAST(six2 - (n + 1) * sx AS DOUBLE)
+        |       / CAST(n * sx AS DOUBLE) END AS gini
+        |FROM m""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH f AS (SELECT CAST(CASE WHEN l_extendedprice >= 0
+        |         THEN floor(l_extendedprice * 100.0 + 0.5)
+        |         ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v
+        |       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT quantile_cont(v, 0.0625) AS lo, quantile_cont(v, 0.9375) AS hi,
+        |             CAST(count(*) AS BIGINT) AS n_total FROM f),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |             sum(CAST(v AS HUGEINT)) AS s
+        |      FROM f, b WHERE CAST(v AS DOUBLE) >= b.lo AND CAST(v AS DOUBLE) <= b.hi)
+        |SELECT b.n_total, k.n_kept, b.lo, b.hi,
+        |       CASE WHEN k.n_kept > 0
+        |            THEN CAST(k.s AS DOUBLE) / CAST(k.n_kept AS DOUBLE) END AS trimmed_mean
+        |FROM b, k""".stripMargin,
+
+    "q_kl_slice" ->
+      """WITH tok AS (SELECT lang AS slice,
+        |         unnest(string_split_regex(text, '\s+')) AS token
+        |       FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT slice, token, count(*) AS o FROM tok GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |w AS (SELECT slice, o,
+        |             sum(o) OVER (PARTITION BY slice) AS ns,
+        |             sum(o) OVER (PARTITION BY token) AS ct FROM c),
+        |t AS (SELECT slice, ns,
+        |  CASE WHEN (CAST(o AS DOUBLE) / CAST(ns AS DOUBLE))
+        |            * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |                 / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))) >= 0
+        |  THEN CAST(floor((CAST(o AS DOUBLE) / CAST(ns AS DOUBLE))
+        |            * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |                 / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE)))
+        |            * 1000000000.0 + 0.5) AS BIGINT)
+        |  ELSE -CAST(floor(-((CAST(o AS DOUBLE) / CAST(ns AS DOUBLE))
+        |            * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+        |                 / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))))
+        |            * 1000000000.0 + 0.5) AS BIGINT) END AS tfx
+        |  FROM w CROSS JOIN n)
+        |SELECT slice, CAST(max(ns) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        |       CAST(sum(tfx) AS BIGINT) AS kl_fx,
+        |       CAST(CAST(sum(tfx) AS BIGINT) AS DOUBLE) / 1000000000.0 AS kl
+        |FROM t GROUP BY slice ORDER BY slice""".stripMargin,
+
+    "q_kappa" ->
+      """WITH lab AS (SELECT lang AS a,
+        |         CASE WHEN doc_id % 9 = 0 THEN 'zz' ELSE lang END AS b
+        |       FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM lab GROUP BY a, b),
+        |n AS (SELECT CAST(coalesce(sum(o), 0) AS HUGEINT) AS n FROM cells),
+        |ag AS (SELECT CAST(coalesce(sum(o), 0) AS HUGEINT) AS agree
+        |       FROM cells WHERE a = b),
+        |r AS (SELECT a AS k, sum(o) AS r FROM cells GROUP BY a),
+        |c AS (SELECT b AS k, sum(o) AS c FROM cells GROUP BY b),
+        |rc AS (SELECT CAST(coalesce(sum(CAST(r.r AS HUGEINT) * c.c), 0) AS HUGEINT) AS rc
+        |       FROM r JOIN c USING (k))
+        |SELECT CAST(n.n AS BIGINT) AS n, CAST(ag.agree AS BIGINT) AS agree,
+        |  CASE WHEN n.n > 0 THEN CAST(ag.agree AS DOUBLE) / CAST(n.n AS DOUBLE) END AS p_o,
+        |  CASE WHEN n.n > 0 THEN CAST(rc.rc AS DOUBLE) / CAST(n.n * n.n AS DOUBLE) END AS p_e,
+        |  CASE WHEN n.n * n.n <> rc.rc THEN CAST(n.n * ag.agree - rc.rc AS DOUBLE)
+        |       / CAST(n.n * n.n - rc.rc AS DOUBLE) END AS kappa
+        |FROM n, ag, rc""".stripMargin,
+
+    "q_ks" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT CAST(cents AS DOUBLE) AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY cents),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT sum(c1) OVER (ORDER BY v) AS k1,
+        |             sum(c2) OVER (ORDER BY v) AS k2 FROM c)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       (SELECT max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |                     - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |        FROM k, n) AS ks_stat
+        |FROM n""".stripMargin,
+
+    "q_standardize" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS fx
+        |FROM lineitem),
+        |m AS (SELECT l_returnflag,
+        |        CAST(count(fx) AS HUGEINT) AS n,
+        |        sum(CAST(fx AS HUGEINT)) AS s,
+        |        sum(CAST(fx AS HUGEINT) * CAST(fx AS HUGEINT)) AS q
+        |      FROM f GROUP BY 1)
+        |SELECT f.l_orderkey, f.l_linenumber, f.l_returnflag,
+        |  CASE WHEN CAST(m.n * m.q - m.s * m.s AS DOUBLE) > 0.0
+        |       THEN CAST(CAST(f.fx AS HUGEINT) * m.n - m.s AS DOUBLE)
+        |            / sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE)) END AS l_quantity_z
+        |FROM f JOIN m USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity_z""".stripMargin,
+
+    "q_chi2_drift" ->
+      """WITH u AS (SELECT o_orderpriority AS k,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS side
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |c AS (SELECT k, sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             count(*) AS cats FROM c),
+        |terms AS (SELECT
+        |    ((CAST(c1 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n1)
+        |     * (CAST(c1 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n1)
+        |     * 1000000)
+        |    // (CAST(c1 + c2 AS HUGEINT) * (n1 + n2) * n1) +
+        |    ((CAST(c2 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n2)
+        |     * (CAST(c2 AS HUGEINT) * (n1 + n2) - CAST(c1 + c2 AS HUGEINT) * n2)
+        |     * 1000000)
+        |    // (CAST(c1 + c2 AS HUGEINT) * (n1 + n2) * n2) AS tt
+        |  FROM c, n)
+        |SELECT n.n1 AS n_ref, n.n2 AS n_cur, n.cats AS categories,
+        |       (SELECT CAST(sum(tt) AS BIGINT) FROM terms) AS chi2_ppm
+        |FROM n""".stripMargin,
+
+    "q_mwu" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT cents AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY cents),
+        |k AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS kc FROM c),
+        |m AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(CAST(c1 AS HUGEINT) * ((kc - c) * 2 + c + 1)) AS r1d,
+        |             sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END) AS ties
+        |      FROM k)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u_doubled,
+        |       CAST(ties AS BIGINT) AS tie_term,
+        |       CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc,
+        |       CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0.0
+        |       THEN (CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE) / 2.0
+        |               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |            / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |                 (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+        |                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))
+        |       END AS z
+        |FROM m""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH f AS (SELECT
+        |    CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |         ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |    CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 1.0 + 0.5)
+        |         ELSE -floor(-l_quantity * 1.0 + 0.5) END AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (SELECT v, sum(w) AS c FROM f WHERE w > 0 GROUP BY v),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS wt FROM c),
+        |k AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        |p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
+        |SELECT p.p AS p, min(k.v) AS value, max(n.wt) AS w_total
+        |FROM p, k, n
+        |WHERE CAST(k.cum AS DOUBLE) >= p.p * CAST(n.wt AS DOUBLE)
+        |GROUP BY p.p
+        |ORDER BY p""".stripMargin,
+
+    "q_wasserstein" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT cents AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY cents),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT v, sum(c1) OVER (ORDER BY v) AS k1,
+        |             sum(c2) OVER (ORDER BY v) AS k2,
+        |             lead(v) OVER (ORDER BY v) AS vn FROM c)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       (SELECT CAST(sum(abs(CAST(k1 AS HUGEINT) * n2 - CAST(k2 AS HUGEINT) * n1)
+        |                        * (vn - v)) AS DOUBLE)
+        |        FROM k, n WHERE vn IS NOT NULL)
+        |       / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS w1
+        |FROM n""".stripMargin,
+
+    "q_wasserstein_group" ->
+      """WITH u AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v, 1 AS side
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang, CAST(n_chars AS BIGINT), 2
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT g, v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY g, v),
+        |k AS (SELECT g, v, c1, c2,
+        |             sum(c1) OVER (PARTITION BY g ORDER BY v) AS k1,
+        |             sum(c2) OVER (PARTITION BY g ORDER BY v) AS k2,
+        |             lead(v) OVER (PARTITION BY g ORDER BY v) AS vn,
+        |             sum(c1) OVER (PARTITION BY g) AS n1,
+        |             sum(c2) OVER (PARTITION BY g) AS n2
+        |      FROM c)
+        |SELECT g AS lang, CAST(max(n1) AS BIGINT) AS n_ref,
+        |       CAST(max(n2) AS BIGINT) AS n_cur,
+        |       CAST(sum(CASE WHEN vn IS NOT NULL
+        |                THEN abs(CAST(k1 AS HUGEINT) * n2 - CAST(k2 AS HUGEINT) * n1)
+        |                     * (vn - v) ELSE 0 END) AS DOUBLE)
+        |       / CAST(CAST(max(n1) AS HUGEINT) * max(n2) AS DOUBLE) AS w1
+        |FROM k WHERE n1 > 0 AND n2 > 0
+        |GROUP BY g ORDER BY lang""".stripMargin,
+
+    "q_ks_group" ->
+      """WITH u AS (
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1 AS side
+        |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang, CAST(n_chars AS DOUBLE), 2
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT g, v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY g, v),
+        |k AS (SELECT g, v, c1, c2,
+        |             sum(c1) OVER (PARTITION BY g ORDER BY v) AS k1,
+        |             sum(c2) OVER (PARTITION BY g ORDER BY v) AS k2,
+        |             sum(c1) OVER (PARTITION BY g) AS n1,
+        |             sum(c2) OVER (PARTITION BY g) AS n2
+        |      FROM c)
+        |SELECT g AS lang, CAST(max(n1) AS BIGINT) AS n_ref,
+        |       CAST(max(n2) AS BIGINT) AS n_cur,
+        |       max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |             - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_stat
+        |FROM k WHERE n1 > 0 AND n2 > 0
+        |GROUP BY g ORDER BY lang""".stripMargin,
+
+    "q_outliers" ->
+      """WITH v AS (SELECT l_returnflag,
+        |                  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents
+        |           FROM lineitem),
+        |q AS (SELECT l_returnflag, quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+        |      FROM v GROUP BY l_returnflag)
+        |SELECT v.l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN cents < q1 - 1.5 * (q3 - q1) OR cents > q3 + 1.5 * (q3 - q1)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       min(CASE WHEN cents < q1 - 1.5 * (q3 - q1) OR cents > q3 + 1.5 * (q3 - q1)
+        |                THEN cents END) AS min_outlier_cents,
+        |       max(CASE WHEN cents < q1 - 1.5 * (q3 - q1) OR cents > q3 + 1.5 * (q3 - q1)
+        |                THEN cents END) AS max_outlier_cents
+        |FROM v JOIN q USING (l_returnflag)
+        |GROUP BY v.l_returnflag ORDER BY v.l_returnflag""".stripMargin,
+
+    "q_anomaly" ->
+      // identical integer flag over the identical ROWS frame; DuckDB's
+      // HUGEINT window sums are exact, and only id columns are output
+      """WITH f AS (SELECT user_id, event_id,
+        |                  CAST(CASE WHEN value >= 0 THEN floor(value * 1000.0 + 0.5)
+        |                            ELSE -floor(-value * 1000.0 + 0.5) END AS BIGINT) AS v
+        |           FROM events),
+        |r AS (SELECT user_id, event_id, v,
+        |             count(v) OVER w AS n, sum(v) OVER w AS s, sum(v * v) OVER w AS q
+        |      FROM f
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id FROM r
+        |WHERE n >= 5 AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang ASC""".stripMargin,
+
+    "q_heavy_hitters_ss" ->
+      """SELECT lang, count(*) AS cnt, CAST(0 AS BIGINT) AS err FROM documents
+        |GROUP BY lang ORDER BY cnt DESC, lang ASC""".stripMargin,
+
+    "q_corr" ->
+      // identical moments as exact HUGEINT sums, identical double tree:
+      // CAST each co-moment once, then num / (sqrt(dx) * sqrt(dy))
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x1,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y1,
+        |  CAST(CASE WHEN l_discount >= 0 THEN floor(l_discount * 100.0 + 0.5)
+        |            ELSE -floor(-l_discount * 100.0 + 0.5) END AS BIGINT) AS x2,
+        |  CAST(CASE WHEN l_tax >= 0 THEN floor(l_tax * 100.0 + 0.5)
+        |            ELSE -floor(-l_tax * 100.0 + 0.5) END AS BIGINT) AS y2
+        |FROM lineitem),
+        |m AS (SELECT
+        |  count(CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL THEN 1 END) AS n1,
+        |  sum(CAST(x1 AS HUGEINT)) AS sx1, sum(CAST(y1 AS HUGEINT)) AS sy1,
+        |  sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS sxx1,
+        |  sum(CAST(y1 AS HUGEINT) * CAST(y1 AS HUGEINT)) AS syy1,
+        |  sum(CAST(x1 AS HUGEINT) * CAST(y1 AS HUGEINT)) AS sxy1,
+        |  count(CASE WHEN x2 IS NOT NULL AND y2 IS NOT NULL THEN 1 END) AS n2,
+        |  sum(CAST(x2 AS HUGEINT)) AS sx2, sum(CAST(y2 AS HUGEINT)) AS sy2,
+        |  sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS sxx2,
+        |  sum(CAST(y2 AS HUGEINT) * CAST(y2 AS HUGEINT)) AS syy2,
+        |  sum(CAST(x2 AS HUGEINT) * CAST(y2 AS HUGEINT)) AS sxy2
+        |FROM f)
+        |SELECT pair, n, CASE WHEN dx > 0.0 AND dy > 0.0
+        |                     THEN num / (sqrt(dx) * sqrt(dy)) END AS corr
+        |FROM (
+        |  SELECT 'l_quantity~l_extendedprice' AS pair, n1 AS n,
+        |         CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) AS num,
+        |         CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) AS dx,
+        |         CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) AS dy
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'l_discount~l_tax', n2,
+        |         CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE),
+        |         CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE),
+        |         CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE)
+        |  FROM m)
+        |ORDER BY pair""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT source AS key, count(*) AS cnt FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT key, cnt, CAST((cnt * 1000000) // n AS BIGINT) AS share_ppm
+        |FROM c, n ORDER BY cnt DESC, key ASC LIMIT 10""".stripMargin,
+
+    "q_pct_rank" ->
+      """WITH c AS (SELECT CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |                            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS v,
+        |                  count(*) AS c
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(c) OVER () AS n
+        |      FROM c)
+        |SELECT v, CAST(c AS BIGINT) AS c,
+        |       CAST(cum - c AS BIGINT) AS cum_lt, CAST(cum AS BIGINT) AS cum_le,
+        |       CAST(cum - c AS DOUBLE) / CAST(n AS DOUBLE) AS pct_below,
+        |       CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS cdf
+        |FROM t ORDER BY v""".stripMargin,
+
+    "q_bins" ->
+      // the identical integer bin formula; DuckDB // == Spark div on the
+      // non-negative (cum-1)*k
+      """WITH c AS (SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |                  count(*) AS c
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM c)
+        |SELECT CAST(((cum - 1) * 8) // n AS BIGINT) AS bin,
+        |       CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS v_min, max(v) AS v_max
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentiles_group" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS fx
+        |FROM lineitem),
+        |q AS (SELECT quantile_cont(fx, 0.25) AS q1, quantile_cont(fx, 0.5) AS med,
+        |             quantile_cont(fx, 0.75) AS q3 FROM f)
+        |SELECT (CAST(fx AS DOUBLE) - med) / (q3 - q1) AS rz, count(*) AS n
+        |FROM f CROSS JOIN q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_spearman" ->
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |            ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS x,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |            ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS y
+        |FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT x AS v, count(*) AS c FROM f GROUP BY 1),
+        |rx AS (SELECT v, (sum(c) OVER (ORDER BY v) - c) * 2 + c + 1 AS dr FROM cx),
+        |cy AS (SELECT y AS v, count(*) AS c FROM f GROUP BY 1),
+        |ry AS (SELECT v, (sum(c) OVER (ORDER BY v) - c) * 2 + c + 1 AS dr FROM cy),
+        |j AS (SELECT rx.dr AS a, ry.dr AS b
+        |      FROM f JOIN rx ON f.x = rx.v JOIN ry ON f.y = ry.v),
+        |m AS (SELECT count(*) AS n,
+        |  sum(CAST(a AS HUGEINT)) AS sx, sum(CAST(b AS HUGEINT)) AS sy,
+        |  sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS sxx,
+        |  sum(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS syy,
+        |  sum(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sxy
+        |FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0
+        |            THEN num / (sqrt(dx) * sqrt(dy)) END AS rho
+        |FROM (SELECT n,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m)""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH f AS (SELECT
+        |  CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5) ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS q0,
+        |  CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5) ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS q1,
+        |  CAST(CASE WHEN l_discount >= 0 THEN floor(l_discount * 100.0 + 0.5) ELSE -floor(-l_discount * 100.0 + 0.5) END AS BIGINT) AS q2,
+        |  CAST(CASE WHEN l_tax >= 0 THEN floor(l_tax * 100.0 + 0.5) ELSE -floor(-l_tax * 100.0 + 0.5) END AS BIGINT) AS q3
+        |FROM lineitem),
+        |m AS (SELECT
+        |  count(*) AS n,
+        |  sum(CAST(q0 AS HUGEINT)) AS s0,
+        |  sum(CAST(q1 AS HUGEINT)) AS s1,
+        |  sum(CAST(q2 AS HUGEINT)) AS s2,
+        |  sum(CAST(q3 AS HUGEINT)) AS s3,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q0 AS HUGEINT)) AS p00,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q1 AS HUGEINT)) AS p01,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q2 AS HUGEINT)) AS p02,
+        |  sum(CAST(q0 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p03,
+        |  sum(CAST(q1 AS HUGEINT) * CAST(q1 AS HUGEINT)) AS p11,
+        |  sum(CAST(q1 AS HUGEINT) * CAST(q2 AS HUGEINT)) AS p12,
+        |  sum(CAST(q1 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p13,
+        |  sum(CAST(q2 AS HUGEINT) * CAST(q2 AS HUGEINT)) AS p22,
+        |  sum(CAST(q2 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p23,
+        |  sum(CAST(q3 AS HUGEINT) * CAST(q3 AS HUGEINT)) AS p33
+        |FROM f)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+        |  CASE WHEN CAST(n * p00 - s0 * s0 AS DOUBLE) > 0.0 AND CAST(n * p11 - s1 * s1 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p01 - s0 * s1 AS DOUBLE) / (sqrt(CAST(n * p00 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * p11 - s1 * s1 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, n,
+        |  CASE WHEN CAST(n * p00 - s0 * s0 AS DOUBLE) > 0.0 AND CAST(n * p22 - s2 * s2 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p02 - s0 * s2 AS DOUBLE) / (sqrt(CAST(n * p00 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * p22 - s2 * s2 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n,
+        |  CASE WHEN CAST(n * p00 - s0 * s0 AS DOUBLE) > 0.0 AND CAST(n * p33 - s3 * s3 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p03 - s0 * s3 AS DOUBLE) / (sqrt(CAST(n * p00 - s0 * s0 AS DOUBLE)) * sqrt(CAST(n * p33 - s3 * s3 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n,
+        |  CASE WHEN CAST(n * p11 - s1 * s1 AS DOUBLE) > 0.0 AND CAST(n * p22 - s2 * s2 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p12 - s1 * s2 AS DOUBLE) / (sqrt(CAST(n * p11 - s1 * s1 AS DOUBLE)) * sqrt(CAST(n * p22 - s2 * s2 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n,
+        |  CASE WHEN CAST(n * p11 - s1 * s1 AS DOUBLE) > 0.0 AND CAST(n * p33 - s3 * s3 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p13 - s1 * s3 AS DOUBLE) / (sqrt(CAST(n * p11 - s1 * s1 AS DOUBLE)) * sqrt(CAST(n * p33 - s3 * s3 AS DOUBLE))) END AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n,
+        |  CASE WHEN CAST(n * p22 - s2 * s2 AS DOUBLE) > 0.0 AND CAST(n * p33 - s3 * s3 AS DOUBLE) > 0.0
+        |  THEN CAST(n * p23 - s2 * s3 AS DOUBLE) / (sqrt(CAST(n * p22 - s2 * s2 AS DOUBLE)) * sqrt(CAST(n * p33 - s3 * s3 AS DOUBLE))) END AS corr FROM m
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q_skyline" ->
+      """WITH a AS (SELECT l_suppkey AS suppkey,
+        |    CAST(sum(CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                       ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS revenue_c,
+        |    count(*) AS n_items,
+        |    CAST(sum(CAST(CASE WHEN l_discount >= 0 THEN floor(l_discount * 100.0 + 0.5)
+        |                       ELSE -floor(-l_discount * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS disc_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT suppkey, revenue_c, n_items, disc_c FROM a r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM a s
+        |  WHERE s.revenue_c >= r.revenue_c AND s.n_items >= r.n_items AND s.disc_c <= r.disc_c
+        |    AND (s.revenue_c > r.revenue_c OR s.n_items > r.n_items OR s.disc_c < r.disc_c))
+        |ORDER BY suppkey""".stripMargin,
+
+    "q_psi" ->
+      """WITH rb AS (SELECT greatest(least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0) / 10410.0) AS BIGINT), 9), 0) AS bucket,
+        |              count(*) AS cnt
+        |       FROM lineitem
+        |       WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_extendedprice IS NOT NULL
+        |       GROUP BY 1),
+        |cb AS (SELECT greatest(least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0) / 10410.0) AS BIGINT), 9), 0) AS bucket,
+        |              count(*) AS cnt
+        |       FROM lineitem
+        |       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_extendedprice IS NOT NULL
+        |       GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bucket),
+        |j AS (SELECT spine.bucket, coalesce(rb.cnt, 0) AS ref_cnt, coalesce(cb.cnt, 0) AS cur_cnt
+        |      FROM spine LEFT JOIN rb USING (bucket) LEFT JOIN cb USING (bucket)),
+        |tt AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS nr, CAST(sum(cur_cnt) AS BIGINT) AS nc FROM j),
+        |x AS (SELECT bucket, ref_cnt, cur_cnt,
+        |        greatest(CAST(ref_cnt AS DOUBLE) / CAST(nr AS DOUBLE), 1e-6) AS p,
+        |        greatest(CAST(cur_cnt AS DOUBLE) / CAST(nc AS DOUBLE), 1e-6) AS q
+        |      FROM j, tt)
+        |SELECT bucket, ref_cnt, cur_cnt,
+        |  CAST(CASE WHEN y >= 0 THEN floor(y * 1000000.0 + 0.5)
+        |            ELSE -floor(-y * 1000000.0 + 0.5) END AS BIGINT) AS psi_fx
+        |FROM (SELECT bucket, ref_cnt, cur_cnt, (p - q) * ln(p / q) AS y FROM x)
+        |ORDER BY bucket""".stripMargin,
+
+  )
+}
