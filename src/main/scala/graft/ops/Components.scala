@@ -273,6 +273,51 @@ object Components {
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))
   }
 
+  /** Cross-run INCREMENTAL connected components: converge a persisted
+    * `(id, component)` label store with a new batch's nodes and pairs,
+    * WITHOUT re-reading any prior run's edges. The store is re-expressed
+    * as STAR edges (`id — component` for every non-representative member):
+    * a star preserves the old component's connectivity exactly (every
+    * member reaches every other through the representative), so running
+    * ordinary components over `stars ∪ newEdges` yields EXACTLY the
+    * recompute-from-scratch answer over all edges ever seen — new edges
+    * are free to merge old components with each other or with new nodes,
+    * and the min-id representative stays correct because the stored label
+    * IS the component's min member id (a candidate for the merged min like
+    * any other node).
+    *
+    * This is the label-granularity sibling of the MinHash-signature store
+    * ([[Dedup.minhashSignatures]] / [[Dedup.dedupAgainstStore]]) and the
+    * substring-span store: each run persists the returned frame as the
+    * next run's `store`, and per-run cost is O(new edges + total nodes),
+    * never O(all edges ever). Edge frames stay skinny (two id columns);
+    * the measured small-graph route applies to the star-union graph like
+    * any other.
+    *
+    * @param store    previous run's `(id, component)` labels (empty frame
+    *                 with those columns on the first run)
+    * @param newNodes this batch's node frame (store ids need not repeat
+    *                 here; the union is taken)
+    * @param newEdges this batch's pair frame — new-new pairs plus
+    *                 new-store candidates from whatever blocking produced
+    *                 them (LSH, cells, blocks)
+    * @return updated `(id, component)` covering store ∪ new nodes
+    */
+  def incrementalComponents(store: DataFrame, newNodes: DataFrame, idCol: String,
+                            newEdges: DataFrame, srcCol: String, dstCol: String,
+                            maxIterations: Int = 20,
+                            maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val stars = store.where(col("id") =!= col("component"))
+      .select(col("id").as("__a"), col("component").as("__b"))
+    val nodes = store.select(col("id"))
+      .unionAll(newNodes.select(col(idCol).as("id")))
+      .distinct()
+    val edges = stars.unionAll(
+      newEdges.select(col(srcCol).as("__a"), col(dstCol).as("__b")))
+    connectedComponents(nodes, "id", edges, "__a", "__b",
+      maxIterations = maxIterations, maxLocalEdges = maxLocalEdges)
+  }
+
   /** PageRank in INTEGER arithmetic — node importance over a derived graph
     * (kNN neighbours, domain links, co-occurrence), the curation signal
     * behind "keep the influential documents". Scores are fixed-point longs

@@ -128,6 +128,28 @@ private[queries] object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "q_components_incremental" -> { (s, dir) =>
+      // cross-RUN incremental components: label the "old" batches
+      // (doc_id % 3 != 0) from their own edges, persist ONLY (id,
+      // component), then converge that store with the new batch's edges
+      // (every pair touching a new doc). The oracle recomputes components
+      // FROM SCRATCH over the full corpus — the gate passes iff
+      // star-union ≡ recompute, i.e. the incremental invariant itself.
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 3 === 0
+      val oldDocs = docs.where(!isNew)
+      val store = Components.connectedComponents(oldDocs, "doc_id",
+        Dedup.jaccardPairsAllPairs(oldDocs, "doc_id", "text",
+          threshold = 0.8, blockCols = Seq("lang")), "id_a", "id_b")
+      val newEdges = Dedup.jaccardPairsAllPairs(docs, "doc_id", "text",
+          threshold = 0.8, blockCols = Seq("lang"))
+        .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      Components.incrementalComponents(store, docs.select("doc_id"), "doc_id",
+          newEdges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       // cross-RUN dedup: "new crawl" (doc_id ≡ 0 mod 3) against the
       // persisted signature store of earlier batches (the rest) — store
@@ -361,6 +383,25 @@ private[queries] object DedupQueries {
 
   )
 
+  /** From-scratch recursive-CTE components over the full corpus — shared by
+    * the direct gate and the incremental-invariant gate.
+    */
+  private val fullComponentsOracle: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
+      |t AS (SELECT doc_id, lang, len(toks) AS nt, unnest(toks) AS tok FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
+      |  HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.8),
+      |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+      |cc(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.a, cc.label FROM cc JOIN sym s ON cc.id = s.b)
+      |SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
 
@@ -410,21 +451,11 @@ private[queries] object DedupQueries {
         |WHERE CAST(inter AS DOUBLE) / CAST(nt_sub AS DOUBLE) >= 0.9
         |ORDER BY id_sub, id_sup""".stripMargin,
 
-    "q_dedup_components" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, lang, list_distinct(string_split_regex(text, '\s+')) AS toks FROM documents),
-        |t AS (SELECT doc_id, lang, len(toks) AS nt, unnest(toks) AS tok FROM d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.nt, b.nt
-        |  HAVING CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE) >= 0.8),
-        |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-        |cc(id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT s.a, cc.label FROM cc JOIN sym s ON cc.id = s.b)
-        |SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_components" -> fullComponentsOracle,
+
+    // the incremental gate's oracle IS recompute-from-scratch over the full
+    // corpus: star-union ≡ recompute is exactly the invariant under test
+    "q_components_incremental" -> fullComponentsOracle,
 
     "q_dedup_keep_best" ->
       """WITH RECURSIVE

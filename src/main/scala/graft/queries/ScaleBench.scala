@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.tools.ScaleUp
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale-slope harness: replicate the bench corpus `factor`× with
+  * [[ScaleUp]] (deterministic, workload-structure-preserving), run the
+  * data-dominated gate queries at both scales in the SAME session, and
+  * report per-query time ratios. A ratio well past `factor` on a
+  * `factor`× corpus is a super-linear funnel the plan-shape review missed;
+  * a ratio at or below `factor` is measured evidence the shape scales.
+  *
+  * Usage (mirrors Bench):
+  * {{{
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.queries.ScaleBench"           // all slope queries
+  *   ... ScaleBench q_dedup_minhash q_semdedup           // targeted
+  * }}}
+  * Prints ONE JSON line:
+  * `{"metric":"sf1_slope","factor":10,"gen_sec":...,"queries":{q:{"base":b,"scaled":s,"ratio":r}}}`.
+  */
+object ScaleBench {
+
+  /** The data-dominated operators whose 100 TB story rests on plan shape:
+    * the dedup families (signature, token-set, substring, embedding),
+    * similarity/kNN, the heavy text operators, the end-to-end scanner and
+    * the shuffle-shaped relational/event gates.
+    */
+  val SlopeQueries: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_jaccard_inv",
+    "q_dedup_ngram", "q_dedup_simhash", "q_dedup_cosine", "q_semdedup",
+    "q_dedup_components", "q_dedup_keep_best", "q_substr_dedup", "q_line_dedup",
+    "q_para_dedup", "q_split_leakage", "q_knn_graph", "q_ann_lsh",
+    "q_bpe_tokens", "q_lang_id", "q_token_count", "q_gopher",
+    "q_scan_wide", "q1_agg", "q_pack", "q_sessionize")
+
+  /** Generate the scaled corpus: every table the slope queries read,
+    * replicated with workload-preserving transforms and written as
+    * `factor` range-partitioned files per table. Returns gen seconds.
+    */
+  def generate(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Double = {
+    val t0 = System.nanoTime()
+    def write(name: String, saltIds: Seq[String], rotate: Seq[String] = Nil,
+              shiftVec: Seq[String] = Nil): Unit =
+      ScaleUp.replicate(QueryShared.t(spark, baseDir, name), factor, saltIds, rotate, shiftVec)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    write("documents", Seq("doc_id"), rotate = Seq("text"))
+    write("embeddings", Seq("vec_id"), shiftVec = Seq("embedding"))
+    // fact keys salt; part/supp dim keys stay — dims grow slower than facts
+    write("lineitem", Seq("l_orderkey"))
+    write("events", Seq("event_id", "user_id"))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                   spark: SparkSession, dir: String, runs: Int): Option[Double] = {
+    val ts = Seq.newBuilder[Double]
+    var ok = true
+    var i = 0
+    while (i < runs && ok) {
+      System.gc()
+      val t0 = System.nanoTime()
+      try fn(spark, dir).queryExecution.toRdd.count()
+      catch { case _: Throwable => ok = false }
+      if (ok) ts += (System.nanoTime() - t0) / 1e9
+      i += 1
+    }
+    val r = ts.result()
+    if (!ok || r.isEmpty) None else Some(r.min)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "1").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$baseDir/documents.parquet").count()
+
+    val genSec = generate(spark, baseDir, outDir, factor)
+
+    val only = args.toSet
+    val names = SlopeQueries.filter(q => only.isEmpty || only(q))
+    val rows = names.map { name =>
+      val fn = Catalog.queries(name)
+      val base = time(fn, spark, baseDir, runs)
+      val scaled = time(fn, spark, outDir, runs)
+      (name, base, scaled)
+    }
+    val qs = rows.map { case (name, base, scaled) =>
+      val b = base.map(_.toString).getOrElse("null")
+      val s = scaled.map(_.toString).getOrElse("null")
+      val ratio = (for (bb <- base; ss <- scaled) yield (ss / bb).toString).getOrElse("null")
+      s""""$name":{"base":$b,"scaled":$s,"ratio":$ratio}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sf1_slope","factor":$factor,"gen_sec":$genSec,"runs":$runs,"base":"$baseDir","queries":$qs}""")
+    spark.stop()
+    if (rows.exists(r => r._2.isEmpty || r._3.isEmpty)) sys.exit(1)
+  }
+}

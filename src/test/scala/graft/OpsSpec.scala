@@ -172,6 +172,34 @@ class DedupSpec extends SparkSpec {
     assert(hits == direct)
   }
 
+  test("incrementalComponents: persisted label store + new edges == recompute") {
+    import org.apache.spark.sql.functions._
+    // run 1: two clusters {1,2} and {3,4}, plus isolated 5
+    val nodes1 = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges1 = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("ccstore").toString
+    Components.connectedComponents(nodes1, "id", edges1, "a", "b")
+      .write.mode("overwrite").parquet(dir) // persist ONLY (id, component)
+    val store = spark.read.parquet(dir)
+    // run 2: new node 0 (smaller than every store id) joins cluster {3,4};
+    // a new edge merges the two OLD clusters through node 5
+    val nodes2 = Seq(0L).toDF("id")
+    val edges2 = Seq((0L, 4L), (2L, 5L), (5L, 3L)).toDF("a", "b")
+    val inc = Components.incrementalComponents(store, nodes2, "id", edges2, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // everything is now one component labeled by the NEW min id 0
+    assert(inc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    // equals recompute-from-scratch over all edges ever seen
+    val scratch = Components.connectedComponents(
+      nodes1.unionAll(nodes2), "id", edges1.unionAll(edges2), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == scratch)
+    // and forcing the distributed route agrees too
+    val dist = Components.incrementalComponents(store, nodes2, "id", edges2, "a", "b",
+      maxLocalEdges = 0).as[(Long, Long)].collect().toMap
+    assert(dist == inc)
+  }
+
   test("native SimHashExpr is bit-identical to the HOF formulation") {
     for (bits <- Seq(60, 64)) {
       val r = docs.select(

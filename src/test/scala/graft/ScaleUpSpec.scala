@@ -1,0 +1,62 @@
+package graft
+
+import graft.tools.ScaleUp
+import org.apache.spark.sql.functions._
+
+class ScaleUpSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox leaps over the lazy dog"),
+    (4L, "completely different words entirely unrelated content here")
+  ).toDF("doc_id", "text")
+
+  test("replicate: row count scales, ids disjoint, replica 0 is the original") {
+    val r = ScaleUp.replicate(docs, 3, Seq("doc_id"), rotateCols = Seq("text"))
+    assert(r.count() == 12)
+    // replica id ranges never collide
+    val perReplica = r.groupBy((col("doc_id") / ScaleUp.IdStride).cast("long").as("rep"))
+      .count().as[(Long, Long)].collect().toMap
+    assert(perReplica == Map(0L -> 4L, 1L -> 4L, 2L -> 4L))
+    // replica 0 is byte-identical to the input
+    val rep0 = r.where(col("doc_id") < ScaleUp.IdStride)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(rep0 == docs.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+  }
+
+  test("rotateText preserves within-replica token structure, disjoint across replicas") {
+    val r = ScaleUp.replicate(docs, 2, Seq("doc_id"), rotateCols = Seq("text"))
+    val toks = r.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // within replica 1: docs 1 and 2 are still exact duplicates, and doc 3
+    // still shares exactly 7 of 8 distinct tokens with doc 1 (jumps/leaps)
+    val m = toks.as[(Long, Seq[String])].collect().toMap
+    val s = ScaleUp.IdStride
+    assert(m(s + 1L) == m(s + 2L))
+    assert(m(s + 1L).toSet.intersect(m(s + 3L).toSet).size == 7)
+    // token lengths are preserved (Caesar is length-preserving)
+    assert(m(s + 1L).map(_.length) == m(1L).map(_.length))
+    // across replicas: zero shared tokens
+    assert(m(1L).toSet.intersect(m(s + 1L).toSet).isEmpty)
+  }
+
+  test("shiftEmbedding is an isometry within replica, not identity across") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 2.0f, 0.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 2.0f, 0.0f, 3.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = ScaleUp.replicate(vecs, 2, Seq("vec_id"), shiftVecCols = Seq("embedding"))
+    val m = r.as[(Long, Seq[Float])].collect().toMap
+    val s = ScaleUp.IdStride
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    // dimension count and norms preserved; within-replica dot product exact
+    assert(m(s + 1L).size == 8 && m(s + 2L).size == 8)
+    assert(dot(m(s + 1L), m(s + 1L)) == dot(m(1L), m(1L)))
+    assert(dot(m(s + 1L), m(s + 2L)) == dot(m(1L), m(2L)))
+    // the shifted copy is a genuine permutation, not the same vector
+    assert(m(s + 1L) != m(1L))
+    assert(m(s + 1L).sorted == m(1L).sorted)
+  }
+}
