@@ -127,6 +127,21 @@ object Similarity {
         .getField("cell"))
   }
 
+  /** [[assignCells]] against a PRE-TRAINED (cell, centroid) quantizer frame
+    * (from [[trainIvfQuantizer]] / [[loadQuantizer]]): identical row-local
+    * bind-once assignment and identical `array_max` tie rule, zero training
+    * scans — the form streaming consumers need (a stream can't train) and
+    * the cell-parity bridge between batch [[Dedup.semDedup]] and
+    * [[graft.streaming.StreamingDedup.semanticFirstSeenStream]].
+    */
+  def assignCellsWithQuantizer(df: DataFrame, vecCol: String,
+                               quantizer: DataFrame, out: String = "cell"): DataFrame = {
+    val seeds = decodeQuantizer(quantizer)
+    df.withColumn(out,
+      array_max(cellScoresBound(transform(col(vecCol), x => x.cast(DoubleType)), seeds))
+        .getField("cell"))
+  }
+
   /** Train the coarse quantizer and return it as a tiny (cell, centroid)
     * frame (ncells rows). The 100 TB usage pattern: train ONCE, persist with
     * [[saveQuantizer]], and serve every later batch of queries through

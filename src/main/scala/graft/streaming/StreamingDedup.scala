@@ -198,6 +198,97 @@ object StreamingDedup {
     hashedFirstSeenStream(spark, hashed, ttlSeconds, watermark)
   }
 
+  final case class SemEvent(cell: Int, ts: Timestamp, id: Long, v: Array[Double]) {
+    def tsMicros: Long = ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
+  final case class SemRep(id: Long, v: Array[Double])
+  final case class SemState(reps: List[SemRep])
+  final case class SemOut(id: Long, cell: Int, ts: Timestamp)
+
+  /** Streaming SEMANTIC dedup — the continuous form of [[graft.ops.Dedup.semDedup]]
+    * for embedding streams: each arriving vector is cell-assigned row-local
+    * against a PRE-TRAINED persisted quantizer
+    * ([[graft.ops.Similarity.trainIvfQuantizer]] /
+    * [[graft.ops.Similarity.loadQuantizer]] — a stream can't train), then
+    * compared ONLY against its cell's representative store; a vector within
+    * `threshold` cosine of any representative is suppressed, otherwise it
+    * passes AND joins the store. First-seen semantics (the first crawl
+    * keeps the document), the online analogue of keep-one-per-component —
+    * identical to the batch answer whenever semantic groups are tight
+    * (all-pairs over threshold), which is exactly the regime SemDeDup
+    * targets; on chains the greedy rule may keep more (never fewer) than
+    * the batch transitive closure, the safe direction for dedup.
+    *
+    * A prior run's survivors seed the state via `initialReps`
+    * ((id, cell, vector) rows — e.g. the persisted output of a batch
+    * [[graft.ops.Dedup.semDedup]] pass or of this stream), so the store
+    * GROWS across runs exactly like the MinHash signature store.
+    *
+    * State per cell is its representative list — the same memory class as
+    * one IVF cell (corpus_reps/ncells vectors); size `ncells` so a cell's
+    * representatives fit an executor, the knob [[graft.ops.Dedup.semDedup]]
+    * already imposes. Within a batch events apply in (ts, id) order, so
+    * results are arrival-deterministic. No TTL: a dedup store persists
+    * (re-admission semantics belong to exact-hash TTL dedup, not semantic).
+    */
+  def semanticFirstSeenStream(spark: SparkSession, df: DataFrame, tsCol: String,
+                              idCol: String, vecCol: String,
+                              quantizer: DataFrame, threshold: Double,
+                              watermark: String,
+                              initialReps: Option[DataFrame] = None): Dataset[SemOut] = {
+    import spark.implicits._
+    def localCos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val events = graft.ops.Similarity
+      .assignCellsWithQuantizer(
+        df.select(col(tsCol).as("ts"), col(idCol).cast("long").as("id"),
+          transform(col(vecCol), x => x.cast("double")).as("v")),
+        "v", quantizer)
+      .select(col("cell").cast("int").as("cell"), col("ts"), col("id"), col("v"))
+      .withWatermark("ts", watermark)
+      .as[SemEvent]
+    val grouped = events.groupByKey(_.cell)
+    val step = (cell: Int, evs: Iterator[SemEvent], state: GroupState[SemState]) => {
+      val reps = scala.collection.mutable.ListBuffer.empty[SemRep]
+      reps ++= state.getOption.map(_.reps).getOrElse(Nil)
+      val out = List.newBuilder[SemOut]
+      evs.toSeq.sortBy(e => (e.tsMicros, e.id)).foreach { e =>
+        if (!reps.exists(r => localCos(r.v, e.v) >= threshold)) {
+          reps += SemRep(e.id, e.v)
+          out += SemOut(e.id, cell, e.ts)
+        }
+      }
+      state.update(SemState(reps.toList))
+      out.result().iterator
+    }
+    initialReps match {
+      case Some(reps) =>
+        // contract: first column = id, second column = embedding (e.g. the
+        // persisted survivors of a batch semDedup pass or of this stream)
+        val init = graft.ops.Similarity
+          .assignCellsWithQuantizer(
+            reps.select(col(reps.columns(0)).cast("long").as("id"),
+              transform(col(reps.columns(1)), x => x.cast("double")).as("v")),
+            "v", quantizer)
+          .select(col("cell").cast("int").as("cell"), col("id"), col("v"))
+          .as[(Int, Long, Array[Double])]
+          .groupByKey(_._1)
+          .mapValues(t => SemRep(t._2, t._3))
+          .mapGroups((c, rs) => (c, SemState(rs.toList.sortBy(_.id))))
+          .groupByKey(_._1)
+          .mapValues(_._2)
+        grouped.flatMapGroupsWithState[SemState, SemOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(step)
+      case None =>
+        grouped.flatMapGroupsWithState[SemState, SemOut](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+    }
+  }
+
   /** The shared first-seen state machine over a PRE-HASHED (h, ts, id)
     * frame — text hashes, perceptual hashes, any 64-bit key.
     */

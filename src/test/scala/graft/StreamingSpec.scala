@@ -1568,4 +1568,89 @@ class StreamingSpec extends SparkSpec {
     val psisBoot = StreamingMonitor.psiOfWindows(rows, loaded.refCounts)
     assert(psisBoot == psis, "persisted-reference bootstrap must reproduce the monitor")
   }
+
+  test("streaming semantic dedup: cross-batch parity with batch semDedup on tight groups") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // three TIGHT directions (all-pairs within group over threshold,
+    // cross-group ~0): A = ids 1,3,5; B = ids 2,4; C = id 6
+    val a1 = Seq(1.0, 0.0, 0.0, 0.0); val a2 = Seq(0.99, 0.01, 0.0, 0.0)
+    val b1 = Seq(0.0, 1.0, 0.0, 0.0); val b2 = Seq(0.01, 0.99, 0.0, 0.0)
+    val c1 = Seq(0.0, 0.0, 1.0, 0.0)
+    val batch1 = Seq((1L, a1), (2L, b1), (3L, a2))
+    val batch2 = Seq((4L, b2), (5L, a2), (6L, c1))
+    val full = (batch1 ++ batch2).toDF("vec_id", "embedding")
+
+    // batch answer: keep min id per tight component (quality constant)
+    val batchKeep = Dedup.semDedup(full, "vec_id", "embedding", threshold = 0.9,
+      quality = lit(0.0), ncells = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchKeep == Set(1L, 2L, 6L))
+
+    // stream the same rows in two batches against a quantizer trained on
+    // batch 1 (= the full corpus's two smallest-id seeds, so cells match)
+    val quant = Similarity.trainIvfQuantizer(batch1.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ncells = 2)
+    val stream = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val df = stream.toDF().toDF("ts", "vec_id", "embedding")
+    val out = StreamingDedup.semanticFirstSeenStream(spark, df, "ts", "vec_id",
+      "embedding", quant, threshold = 0.9, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    stream.addData(batch1.zipWithIndex.map { case ((id, v), i) => (ts(i), id, v) }: _*)
+    q.processAllAvailable()
+    stream.addData(batch2.zipWithIndex.map { case ((id, v), i) => (ts(10 + i), id, v) }: _*)
+    q.processAllAvailable()
+    val streamKeep = spark.table("semdedup_stream").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(streamKeep == batchKeep,
+      s"streaming survivors $streamKeep != batch survivors $batchKeep")
+  }
+
+  test("streaming semantic dedup: persisted representative store seeds and grows") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val a1 = Seq(1.0, 0.0, 0.0, 0.0); val a2 = Seq(0.99, 0.01, 0.0, 0.0)
+    val b1 = Seq(0.0, 1.0, 0.0, 0.0); val b2 = Seq(0.01, 0.99, 0.0, 0.0)
+    val c1 = Seq(0.0, 0.0, 1.0, 0.0); val c2 = Seq(0.0, 0.01, 0.99, 0.0)
+    val d1 = Seq(0.0, 0.0, 0.0, 1.0)
+    val run1 = Seq((1L, a1), (2L, b1), (3L, a2)).toDF("vec_id", "embedding")
+    val quant = Similarity.trainIvfQuantizer(run1, "vec_id", "embedding", ncells = 2)
+
+    // run 1 is a BATCH semDedup pass; its survivors persist as the store
+    val dir = java.nio.file.Files.createTempDirectory("semstore").toString
+    Dedup.semDedup(run1, "vec_id", "embedding", threshold = 0.9,
+        quality = lit(0.0), ncells = 2)
+      .select("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    assert(store.count() == 2) // reps 1 (A) and 2 (B)
+
+    // run 2 streams NEW batches against the seeded store
+    val stream = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val df = stream.toDF().toDF("ts", "vec_id", "embedding")
+    val out = StreamingDedup.semanticFirstSeenStream(spark, df, "ts", "vec_id",
+      "embedding", quant, threshold = 0.9, watermark = "0 seconds",
+      initialReps = Some(store))
+    val q = out.writeStream.format("memory").queryName("semstore_stream")
+      .outputMode("append").start()
+    // dups of STORE reps suppress without those vectors ever re-arriving;
+    // the new direction C passes and becomes a rep
+    stream.addData((ts(0), 10L, a2), (ts(1), 11L, b2), (ts(2), 12L, c1))
+    q.processAllAvailable()
+    // the store GREW mid-stream: a dup of C (first seen only as id 12)
+    // suppresses in a LATER batch; a fresh direction D still passes
+    stream.addData((ts(10), 13L, c2), (ts(11), 14L, d1))
+    q.processAllAvailable()
+    val kept = spark.table("semstore_stream").select("id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(12L, 14L), s"got $kept")
+  }
 }
