@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main <scan.yml> <table-path> [key=value ...]
   *   graft.Main sweep <scan-dir> <table-root> [--out <dir>]
-  *              [--baseline <dir>] [key=value ...]
+  *              [--baseline <dir>] [--report <md-file>] [key=value ...]
   *   graft.Main stream <scan.yml> <log-dir> <out-dir|console>
   *              [--schema <ddl>] [--max-files-per-trigger N] [key=value ...]
   *
@@ -102,6 +102,8 @@ object Main {
     * PREVIOUS sweep's `--out` dump and prints the per-table
     * [[graft.scan.Drift.compare]] rows that moved — the cross-run loop the
     * reference delegates to Soda Cloud, across every table in one command.
+    * `--report <md-file>` additionally renders everything as one markdown
+    * document ([[sweepReport]]) — the human-readable artifact.
     *
     * Exit code: 0 all tables pass, 1 any test failure, 2 any scan error /
     * unresolvable table / bad usage — schedulers gate on the worst table.
@@ -112,16 +114,18 @@ object Main {
     import org.apache.spark.sql.functions.lit
 
     val usage = "usage: graft.Main sweep <scan-dir> <table-root> " +
-      "[--out <dir>] [--baseline <dir>] [key=value ...]"
+      "[--out <dir>] [--baseline <dir>] [--report <md-file>] [key=value ...]"
     if (args.length < 2) { System.err.println(usage); return 2 }
     val Array(scanDir, tableRoot) = args.take(2)
     var outDir = Option.empty[String]
     var baseline = Option.empty[String]
+    var reportPath = Option.empty[String]
     val vars = scala.collection.mutable.Map.empty[String, String]
     var i = 2
     while (i < args.length) args(i) match {
       case "--out" if i + 1 < args.length => outDir = Some(args(i + 1)); i += 2
       case "--baseline" if i + 1 < args.length => baseline = Some(args(i + 1)); i += 2
+      case "--report" if i + 1 < args.length => reportPath = Some(args(i + 1)); i += 2
       case kv => kv.split("=", 2) match {
         case Array(k, v) => vars(k) = v; i += 1
         case _ => System.err.println(s"unrecognized argument '$kv'\n$usage"); return 2
@@ -190,7 +194,7 @@ object Main {
         tests.coalesce(1).write.mode("overwrite").parquet(s"$d/tests")
         println(s"  merged report written under $d")
       }
-      baseline.foreach { b =>
+      val driftLines: Seq[String] = baseline.toSeq.flatMap { b =>
         val prev = spark.read.parquet(s"$b/measurements").collect().toSeq
           .groupBy(_.getAs[String]("table"))
           .map { case (t, rows) =>
@@ -202,18 +206,26 @@ object Main {
                 Option(row.getAs[String]("column_name")), v)
             }, Nil, Nil)
           }
-        println("  -- drift vs baseline --")
-        results.foreach { case (t, r) =>
+        results.flatMap { case (t, r) =>
           prev.get(t) match {
-            case None => println(s"  $t: no baseline")
+            case None => Seq(s"$t: no baseline")
             case Some(p) =>
               val moved = Drift.driftedOnly(p, r)
-              if (moved.isEmpty) println(s"  $t: stable")
-              else moved.foreach(d => println(s"  $t: ${d.status} ${d.metric}" +
+              if (moved.isEmpty) Seq(s"$t: stable")
+              else moved.map(d => s"$t: ${d.status} ${d.metric}" +
                 d.columnName.map(c => s" $c").getOrElse("") +
-                s" ${d.before.getOrElse("-")} -> ${d.after.getOrElse("-")}"))
+                s" ${d.before.getOrElse("-")} -> ${d.after.getOrElse("-")}")
           }
         }
+      }
+      if (baseline.nonEmpty) {
+        println("  -- drift vs baseline --")
+        driftLines.foreach(l => println(s"  $l"))
+      }
+      reportPath.foreach { p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          sweepReport(results, driftLines, baseline))
+        println(s"  markdown report written to $p")
       }
       val failedTotal = results.map(_._2.testResults.count(t => !t.skipped && !t.passed)).sum
       val errorsTotal = results.count(_._2.hasErrors)
@@ -225,6 +237,63 @@ object Main {
         System.err.println(s"sweep failed: ${e.getMessage}")
         2
     } finally if (sparkIn.isEmpty) spark.stop()
+  }
+
+  /** The human-readable half of the sweep: one markdown document with the
+    * per-table status table, each table's failed tests / errors /
+    * measurements, and the drift-vs-baseline section when a baseline was
+    * given — the report the reference delegates to Soda Cloud's UI,
+    * rendered from the sweep's own in-memory results (no re-scan).
+    */
+  private def sweepReport(results: Seq[(String, graft.api.ScanResult)],
+                          driftLines: Seq[String],
+                          baseline: Option[String]): String = {
+    val sb = new StringBuilder
+    def esc(s: String): String = s.replace("|", "\\|").replace("\n", " ")
+    sb ++= "# Scan sweep report\n\n"
+    val failedTotal = results.map(_._2.testResults.count(t => !t.skipped && !t.passed)).sum
+    val errorTables = results.count(_._2.hasErrors)
+    sb ++= s"${results.size} tables, $failedTotal failed tests, " +
+      s"$errorTables tables with errors\n\n"
+    sb ++= "| table | status | measurements | tests | failed | errors |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    results.foreach { case (t, r) =>
+      val failed = r.testResults.count(x => !x.skipped && !x.passed)
+      val status = if (r.hasErrors) "ERROR" else if (failed > 0) "FAIL" else "PASS"
+      sb ++= s"| ${esc(t)} | $status | ${r.measurements.size} | " +
+        s"${r.testResults.size} | $failed | ${r.errors.size} |\n"
+    }
+    results.foreach { case (t, r) =>
+      val failed = r.testResults.count(x => !x.skipped && !x.passed)
+      val status = if (r.hasErrors) "ERROR" else if (failed > 0) "FAIL" else "PASS"
+      sb ++= s"\n## $t — $status\n"
+      val bad = r.testResults.filter(x => !x.skipped && !x.passed)
+      if (bad.nonEmpty) {
+        sb ++= "\n### Failed tests\n\n"
+        bad.foreach { x =>
+          val vals = if (x.values.nonEmpty)
+            x.values.map { case (k, v) => s"$k=$v" }.mkString(" [", ", ", "]") else ""
+          sb ++= s"- `${x.test.expression}`${esc(vals)}\n"
+        }
+      }
+      if (r.errors.nonEmpty) {
+        sb ++= "\n### Errors\n\n"
+        r.errors.foreach(e => sb ++= s"- ${esc(e.message)}\n")
+      }
+      if (r.measurements.nonEmpty) {
+        sb ++= "\n### Measurements\n\n| metric | column | value |\n|---|---|---|\n"
+        r.measurements.foreach { m =>
+          val v = m.value.map(_.toString)
+            .getOrElse(if (m.groupValues.nonEmpty) s"groups=${m.groupValues.size}" else "")
+          sb ++= s"| ${esc(m.metric)} | ${m.columnName.map(esc).getOrElse("")} | ${esc(v)} |\n"
+        }
+      }
+    }
+    baseline.foreach { b =>
+      sb ++= s"\n## Drift vs baseline (`$b`)\n\n"
+      driftLines.foreach(l => sb ++= s"- ${esc(l)}\n")
+    }
+    sb.result()
   }
 
   /** The continuous-monitor subcommand: drive the streaming scan from a

@@ -101,6 +101,25 @@ class MainSpec extends SparkSpec {
     assert(out2.contains("drift vs baseline"), out2)
     assert(out2.contains("good: drifted row_count 3.0 -> 7.0"), out2)
     assert(out2.contains("bad: stable"), out2)
+    // --report renders the same results as one markdown document
+    val md = s"$dir/report.md"
+    val (code3, out3) = sweep("--baseline", s"$dir/run1", "--report", md)
+    assert(code3 == 1, out3)
+    assert(out3.contains(s"markdown report written to $md"), out3)
+    val report = java.nio.file.Files.readString(java.nio.file.Paths.get(md))
+    assert(report.startsWith("# Scan sweep report"), report)
+    assert(report.contains("| good | PASS |"), report)
+    assert(report.contains("| bad | FAIL |"), report)
+    assert(report.contains("## bad — FAIL"), report)
+    assert(report.contains("### Failed tests"), report)
+    assert(report.contains("`missing_count == 0`"), report)
+    // the passing table has no failed-tests section, but has measurements
+    assert(!report.split("## bad")(0).contains("### Failed tests"), report)
+    assert(report.contains("| row_count |  | 7 |"), report)
+    // drift section carries the baseline comparison
+    assert(report.contains("## Drift vs baseline"), report)
+    assert(report.contains("good: drifted row_count 3.0 -> 7.0"), report)
+    assert(report.contains("bad: stable"), report)
     // a yml naming a missing table -> exit 2
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$scans/c_absent.yml"),
       "table_name: absent\nmetrics:\n- row_count\n")
