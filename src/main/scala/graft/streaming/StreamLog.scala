@@ -83,6 +83,77 @@ object StreamLog {
         .select(col("id").as("value"), current_timestamp().as("timestamp")))
   }
 
+  /** REAL Kafka topic behind the same envelope: wraps Spark's kafka source
+    * (`format("kafka")` — the public `spark-sql-kafka-0-10` connector,
+    * resolved by NAME at runtime, so this adapter adds no compile-time
+    * dependency) and normalizes its raw frame (binary key/value,
+    * timestampType) to [[envelopeSchema]]. Because every operator is
+    * written against the envelope, pointing production at a broker is
+    * exactly one `Source` swap: `FileLogSource(dir)` →
+    * `KafkaLogSource(brokers, topic)` — no operator changes.
+    *
+    * `batch` is the same topic through the batch kafka reader (bounded by
+    * `startingOffsets`/`endingOffsets`) — backfills and batch/streaming
+    * parity over the identical normalization. Requires the connector jar
+    * on the classpath and a reachable broker at RUN time; absent either,
+    * construction still succeeds and `stream`/`batch` fail loudly at
+    * `load()` — the file-backed segments remain the test path
+    * ([[normalize]] itself is spec'd against a raw-schema frame, no broker
+    * needed).
+    *
+    * @param extraOptions passed through verbatim (e.g.
+    *        `kafka.security.protocol`, `maxOffsetsPerTrigger`)
+    */
+  final case class KafkaLogSource(bootstrapServers: String, topic: String,
+                                  startingOffsets: String = "earliest",
+                                  extraOptions: Map[String, String] = Map.empty)
+      extends Source {
+    private def configured[T](r: T, opt: (T, String, String) => T): T = {
+      var acc = opt(opt(opt(r, "kafka.bootstrap.servers", bootstrapServers),
+        "subscribe", topic), "startingOffsets", startingOffsets)
+      extraOptions.foreach { case (k, v) => acc = opt(acc, k, v) }
+      acc
+    }
+    override def stream(spark: SparkSession): DataFrame =
+      KafkaLogSource.normalize(
+        configured(spark.readStream.format("kafka"),
+          (r: org.apache.spark.sql.streaming.DataStreamReader, k: String, v: String) => r.option(k, v))
+          .load())
+    override def batch(spark: SparkSession): DataFrame =
+      KafkaLogSource.normalize(
+        configured(spark.read.format("kafka"),
+          (r: org.apache.spark.sql.DataFrameReader, k: String, v: String) => r.option(k, v))
+          .load())
+  }
+
+  object KafkaLogSource {
+    /** The raw column set the kafka source emits (key/value BINARY plus
+      * timestampType) — what [[normalize]] accepts.
+      */
+    val rawSchema: StructType = StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+
+    /** Raw kafka frame → [[envelopeSchema]]: the standard
+      * `CAST(key/value AS STRING)` plus dropping `timestampType` — factored
+      * out so the normalization is testable without a broker (and reusable
+      * on any frame already shaped like the kafka source).
+      */
+    def normalize(raw: DataFrame): DataFrame =
+      raw.select(
+        col("key").cast(StringType).as("key"),
+        col("value").cast(StringType).as("value"),
+        col("topic"),
+        col("partition").cast(IntegerType).as("partition"),
+        col("offset").cast(LongType).as("offset"),
+        col("timestamp").cast(TimestampType).as("timestamp"))
+  }
+
   /** Parse the JSON `value` payload with `schema`, keeping the envelope's
     * event-time timestamp: the standard kafka consumer step
     * (`from_json(CAST(value AS STRING), schema)`), envelope-agnostic.

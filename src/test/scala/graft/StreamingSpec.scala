@@ -1569,6 +1569,42 @@ class StreamingSpec extends SparkSpec {
     assert(psisBoot == psis, "persisted-reference bootstrap must reproduce the monitor")
   }
 
+  test("kafka adapter: raw-frame normalization matches the envelope contract end-to-end") {
+    import spark.implicits._
+    import graft.streaming.StreamLog
+    import org.apache.spark.sql.types.StructType
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val payloads = Seq(
+      (ts(0), """{"event_type":"click","value":1.5}"""),
+      (ts(1), """{"event_type":"view","value":2.5}"""))
+    // the raw frame as the kafka source emits it: BINARY key/value + timestampType
+    val raw = payloads.zipWithIndex.map { case ((t, v), i) =>
+      (s"k$i".getBytes("UTF-8"), v.getBytes("UTF-8"), "events", 0, i.toLong, t, 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    assert(raw.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      StreamLog.KafkaLogSource.rawSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    val env = StreamLog.KafkaLogSource.normalize(raw)
+    // exact envelope contract: same columns, same types as every other adapter
+    assert(env.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      StreamLog.envelopeSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    // parity: the normalized kafka frame parses identically to the same
+    // payloads through the file-backed segment source
+    val dir = java.nio.file.Files.createTempDirectory("kafka-parity").toString
+    StreamLog.appendSegment(spark, dir, payloads.zipWithIndex.map { case ((t, v), i) =>
+      (s"k$i", v, "events", 0, i.toLong, t)
+    })
+    val schema = StructType.fromDDL("event_type STRING, value DOUBLE")
+    val viaKafka = StreamLog.parsed(env, schema)
+      .orderBy("offset").collect().toSeq
+    val viaFile = StreamLog.parsed(StreamLog.FileLogSource(dir).batch(spark), schema)
+      .orderBy("offset").collect().toSeq
+    assert(viaKafka == viaFile)
+  }
+
   test("streaming semantic dedup: cross-batch parity with batch semDedup on tight groups") {
     import spark.implicits._
     import graft.ops.{Dedup, Similarity}
