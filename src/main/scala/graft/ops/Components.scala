@@ -49,21 +49,22 @@ object Components {
     *        only between near-duplicates), so this is the common case even
     *        at large corpus scale; a graph past the bound takes the
     *        distributed iteration unchanged. 0 forces the iterative route.
-    *        Default 2^20 symmetrized rows: the raw ids are ~16 MB, but the
-    *        collected `Row` objects plus the boxed union-find HashMap cost
-    *        ~5-10× that in driver heap, so the default is sized for a
-    *        default-ish 1g driver rather than the 64 MB raw-byte estimate
-    *        (measured 1.8 s local vs 3.2 s iterative on a 1.5M-row dedup
-    *        graph at sf0.1 — still the common dedup-graph case). Callers
-    *        with a large driver can raise it; callers on tiny drivers
-    *        should pass 0.
+    *        Default −1 = AUTO: `min(2^22, driver maxHeap / 1024)` — the
+    *        raw ids of a 2^22-row edge list are ~64 MB, but the collected
+    *        `Row` objects plus the boxed union-find HashMap cost ~5-10×
+    *        that, so the auto bound budgets ~1 KB of transient heap per
+    *        edge row: a 24 g driver keeps the full 2^22 cap (measured
+    *        1.8 s local vs 3.2 s iterative on a 1.5M-row dedup graph at
+    *        sf0.1), a default-ish 1 g driver self-limits to ~2^20 instead
+    *        of risking its heap. Callers can still pin any bound
+    *        explicitly.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIterations: Int = 20,
                           broadcastLabels: Boolean = false,
                           pathHalving: Boolean = true,
-                          maxLocalEdges: Long = 1L << 20): DataFrame = {
+                          maxLocalEdges: Long = -1L): DataFrame = {
     // Symmetrized edges, hash-partitioned and sorted by the join key (b) ONCE
     // — localCheckpoint preserves partitioning+ordering, so per-round joins
     // add no edge-side exchange or sort.
@@ -76,7 +77,11 @@ object Components {
 
     // route on the MEASURED edge count (a count over the already-
     // materialized checkpoint — no extra scan of the input)
-    if (maxLocalEdges > 0 && sym.count() <= maxLocalEdges) {
+    val localBound =
+      if (maxLocalEdges < 0)
+        math.min(1L << 22, Runtime.getRuntime.maxMemory() / 1024)
+      else maxLocalEdges
+    if (localBound > 0 && sym.count() <= localBound) {
       localOrdering(sym.schema("a").dataType) match {
         case Some(ord) => return localComponents(nodes, idCol, sym, ord)
         case None => // non-comparable id type: fall through to the iteration
@@ -306,7 +311,7 @@ object Components {
   def incrementalComponents(store: DataFrame, newNodes: DataFrame, idCol: String,
                             newEdges: DataFrame, srcCol: String, dstCol: String,
                             maxIterations: Int = 20,
-                            maxLocalEdges: Long = 1L << 20): DataFrame = {
+                            maxLocalEdges: Long = -1L): DataFrame = {
     val stars = store.where(col("id") =!= col("component"))
       .select(col("id").as("__a"), col("component").as("__b"))
     val nodes = store.select(col("id"))
