@@ -150,6 +150,35 @@ private[queries] object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "q_dedup_incremental_e2e" -> { (s, dir) =>
+      // the COMPLETE cross-run dedup story in one gate: signatures are the
+      // only persisted artifact (bodies of the old batches never re-read),
+      // similarity is the signature estimate EVERYWHERE (in-batch self
+      // pairs ride the same store machinery), old labels persist as the
+      // component store, and the new batch converges incrementally. The
+      // oracle recomputes the whole thing from scratch over the full
+      // corpus — pass iff store-resume ≡ recompute, end to end.
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 3 === 0
+      def sigsOf(d: org.apache.spark.sql.DataFrame) =
+        Dedup.minhashSignatures(d, "doc_id", "text", shingleLen = 3,
+          tokenHasher = Shingles.md5Hash60)
+      val sigsOld = sigsOf(docs.where(!isNew))
+      val sigsNew = sigsOf(docs.where(isNew))
+      def selfPairs(sg: org.apache.spark.sql.DataFrame) =
+        Dedup.dedupAgainstStore(sg, sg, threshold = 0.7)
+          .where(col("new_id") < col("store_id"))
+      val store = Components.connectedComponents(
+        docs.where(!isNew).select("doc_id"), "doc_id",
+        selfPairs(sigsOld), "new_id", "store_id")
+      val newEdges = selfPairs(sigsNew)
+        .unionByName(Dedup.dedupAgainstStore(sigsNew, sigsOld, threshold = 0.7))
+      Components.incrementalComponents(store, docs.select("doc_id"), "doc_id",
+          newEdges, "new_id", "store_id")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
     "q_dedup_incremental" -> { (s, dir) =>
       // cross-RUN dedup: "new crawl" (doc_id ≡ 0 mod 3) against the
       // persisted signature store of earlier batches (the rest) — store
@@ -456,6 +485,11 @@ private[queries] object DedupQueries {
     // the incremental gate's oracle IS recompute-from-scratch over the full
     // corpus: star-union ≡ recompute is exactly the invariant under test
     "q_components_incremental" -> fullComponentsOracle,
+
+    // same invariant for the full signature-store pipeline: the oracle
+    // rebuilds signatures, bands, estimate-verified pairs and components
+    // from scratch over the whole corpus
+    "q_dedup_incremental_e2e" -> minhashEstComponentsOracle(64, 16, 0.7, 3),
 
     "q_dedup_keep_best" ->
       """WITH RECURSIVE

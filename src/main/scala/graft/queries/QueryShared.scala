@@ -303,6 +303,41 @@ private[queries] object QueryShared {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** From-scratch twin of the cross-run incremental dedup E2E gate:
+    * per-doc MinHash signatures from the md5-60 shingle hashes, any-band
+    * collision candidacy, SIGNATURE-ESTIMATE verification (the fraction of
+    * agreeing components — the store-side similarity, since incremental
+    * runs never re-read old bodies), then recursive-CTE components with
+    * min-id labels over the whole corpus.
+    */
+  def minhashEstComponentsOracle(numHashes: Int, bands: Int, threshold: Double,
+                                 shingleLen: Int): String = {
+    val (as, bs) = graft.functions.MinHash.coefs(numHashes)
+    val p = graft.functions.MinHash.P
+    val rows = numHashes / bands
+    val sigAggs = (0 until numHashes)
+      .map(i => s"min(((h % $p) * ${as(i)} + ${bs(i)}) % $p) AS s$i").mkString(", ")
+    val bandClauses = (0 until bands).map { b =>
+      (0 until rows).map(r => s"a.s${b * rows + r} = b.s${b * rows + r}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val est = (0 until numHashes)
+      .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH RECURSIVE
+       |sh AS (SELECT doc_id, unnest(${duckShingles(shingleLen)}) AS t FROM documents),
+       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM sh),
+       |g AS MATERIALIZED (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |      WHERE ($bandClauses)
+       |        AND CAST($est AS DOUBLE) / $numHashes.0 >= $threshold),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |cc(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.a, cc.label FROM cc JOIN sym s ON cc.id = s.b)
+       |SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   /** q_dict_hits dictionary (shared by gate and oracle); multi-word phrases
     * and the self-overlapping "a a" exercise what replace-based counting
     * would miss. */
