@@ -39,6 +39,32 @@ object TextAnalysis {
     regexp_replace(noZw, "\\x{00A0}", " ")
   }
 
+  /** Markdown-to-text strip — the markdown sibling of the HTML strip for
+    * README/docs/forum corpora: fenced code blocks drop (with the same
+    * unterminated-tail rule as HTML script blocks), images and links keep
+    * their TEXT (alt/label) and lose their URLs, heading/quote/bullet/rule
+    * markers and emphasis fences strip, inline-code spans keep their
+    * content, whitespace collapses. Semantics are DEFINED by this
+    * leftmost-first regexp chain (underscore-emphasis inside identifiers
+    * resolves the way the chain says — ambiguity markdown itself has);
+    * every pattern is RE2-safe (no lookarounds, no backrefs in the MATCH)
+    * so a DuckDB oracle replays it verbatim. Pure codegen'd
+    * `regexp_replace` chain, row-local, zero shuffle.
+    */
+  def stripMarkdown(c: Column): Column = {
+    val noFence = regexp_replace(c, "(?s)```.*?(```|$)", " ")
+    val noHead = regexp_replace(noFence, "(?m)^#{1,6}[ \\t]+", "")
+    val noQuote = regexp_replace(noHead, "(?m)^[ \\t]*>[ \\t]?", "")
+    val noHr = regexp_replace(noQuote, "(?m)^[ \\t]*([*_-][ \\t]*){3,}$", "")
+    val noImg = regexp_replace(noHr, "!\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1")
+    val noBold = regexp_replace(noLink, "(\\*\\*|__)([^*_]+)(\\*\\*|__)", "$2")
+    val noItal = regexp_replace(noBold, "([*_])([^*_]+)([*_])", "$2")
+    val noCode = regexp_replace(noItal, "`([^`]*)`", "$1")
+    val noBullet = regexp_replace(noCode, "(?m)^[ \\t]*[-*+][ \\t]+", "")
+    trim(regexp_replace(noBullet, "[ \\t\\n\\r\\f]+", " "))
+  }
+
   /** English-ish stopwords used for quality scoring / lang ID. */
   val stopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 

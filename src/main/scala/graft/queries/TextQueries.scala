@@ -210,6 +210,28 @@ private[queries] object TextQueries {
         .orderBy("doc_id")
     },
 
+    "q_md_text" -> { (s, dir) =>
+      // markdown-to-text strip over READMEs synthesized in-gate around the
+      // real document bodies: heading, bold/italic/inline-code spans, a
+      // fenced code block (dropped), blockquote + list bullets, a
+      // link/image pair (labels kept, urls dropped), a horizontal rule,
+      // and an unterminated fence tail every 13th doc. The oracle replays
+      // the DEFINING regexp chain (stripMarkdown scaladoc) verbatim.
+      val docs = t(s, dir, "documents")
+      val md = concat(
+        lit("# Title\n\nSome **bold** and _ital_ text with `code span`.\n\n"),
+        lit("```\nval x = 1 // dropped <- code\n```\n"),
+        lit("> quoted line\n- item one\n* item two\n\n"),
+        lit("[see "), col("source"), lit("](https://example.com/x?a=1) and "),
+        lit("![alt text](img.png)\n\n---\n"),
+        substring(col("text"), 1, 150),
+        when(col("doc_id") % 13 === 0, lit("\n```unterminated tail"))
+          .otherwise(lit("")))
+      docs.select(col("doc_id"),
+          TextAnalysis.stripMarkdown(md).as("text_md"))
+        .orderBy("doc_id")
+    },
+
     "q_html_quality" -> { (s, dir) =>
       // the web-pipeline composition end-to-end: HTML strip FEEDING the
       // quality features — the order every crawled-corpus pipeline runs
@@ -614,6 +636,43 @@ private[queries] object TextQueries {
     "q_html_text" ->
       s"""$htmlSqlCte
          |SELECT doc_id, text_clean FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q_md_text" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '# Title' || chr(10) || chr(10) ||
+        |    'Some **bold** and _ital_ text with `code span`.' || chr(10) || chr(10) ||
+        |    '```' || chr(10) || 'val x = 1 // dropped <- code' || chr(10) || '```' || chr(10) ||
+        |    '> quoted line' || chr(10) || '- item one' || chr(10) || '* item two' || chr(10) || chr(10) ||
+        |    '[see ' || source || '](https://example.com/x?a=1) and ' ||
+        |    '![alt text](img.png)' || chr(10) || chr(10) || '---' || chr(10) ||
+        |    substr(text, 1, 150) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN chr(10) || '```unterminated tail' ELSE '' END) AS md
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(
+        |    regexp_replace(md,
+        |      '(?s)```.*?(```|$)', ' ', 'g'),
+        |      '(?m)^#{1,6}[ \t]+', '', 'g'),
+        |      '(?m)^[ \t]*>[ \t]?', '', 'g'),
+        |      '(?m)^[ \t]*([*_-][ \t]*){3,}$', '', 'g'),
+        |      '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |      '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |      '(\*\*|__)([^*_]+)(\*\*|__)', '\2', 'g'),
+        |      '([*_])([^*_]+)([*_])', '\2', 'g'),
+        |      '`([^`]*)`', '\1', 'g'),
+        |      '(?m)^[ \t]*[-*+][ \t]+', '', 'g'),
+        |    '[ \t\n\r\f]+', ' ', 'g'), ' ') AS text_md
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_html_quality" ->
       s"""$htmlSqlCte,

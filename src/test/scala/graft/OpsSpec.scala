@@ -2065,6 +2065,23 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stripMarkdown: hand cases — fences, links, emphasis, structure markers") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.stripMarkdown(col("t"))).as[String].collect()(0)
+    assert(strip("# Head\n\nplain **bold** _it_ `code` text") ==
+      "Head plain bold it code text")
+    // fenced block drops entirely, including its content
+    assert(strip("before\n```\nval secret = 1\n```\nafter") == "before after")
+    // unterminated fence drops to end-of-doc (the HTML script tail rule)
+    assert(strip("keep\n```scala\ntail never closes") == "keep")
+    // links and images keep their label, lose the url
+    assert(strip("[label](http://u) and ![alt](i.png)") == "label and alt")
+    // blockquote, bullets and rules are structure, not text
+    assert(strip("> quote\n- one\n* two\n---\nend") == "quote one two end")
+    // no markdown -> whitespace-normalized passthrough
+    assert(strip("already  plain\ntext") == "already plain text")
+  }
+
   test("vocabCoverage: hand coverage and OOV, full-coverage zero-oov, empty-vocab null") {
     val corpus = Seq("a b b oovword", "a oovword2").toDF("text")
     val vocab = Seq("a", "b", "unused1", "unused2").toDF("token")
