@@ -137,13 +137,16 @@ private[queries] object DedupQueries {
       // star-union ≡ recompute, i.e. the incremental invariant itself.
       val docs = t(s, dir, "documents")
       val isNew = col("doc_id") % 3 === 0
-      val oldDocs = docs.where(!isNew)
-      val store = Components.connectedComponents(oldDocs, "doc_id",
-        Dedup.jaccardPairsAllPairs(oldDocs, "doc_id", "text",
-          threshold = 0.8, blockCols = Seq("lang")), "id_a", "id_b")
-      val newEdges = Dedup.jaccardPairsAllPairs(docs, "doc_id", "text",
+      // ONE pair computation, split by batch membership (all-pairs-in-block
+      // restricted to a doc subset ≡ the subset's own pairs, so the split
+      // is exact); checkpointed because both halves consume it
+      val allEdges = Dedup.jaccardPairsAllPairs(docs, "doc_id", "text",
           threshold = 0.8, blockCols = Seq("lang"))
-        .where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        .localCheckpoint(true)
+      val oldEdges = allEdges.where(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
+      val newEdges = allEdges.where(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      val store = Components.connectedComponents(docs.where(!isNew), "doc_id",
+        oldEdges, "id_a", "id_b")
       Components.incrementalComponents(store, docs.select("doc_id"), "doc_id",
           newEdges, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
@@ -163,6 +166,7 @@ private[queries] object DedupQueries {
       def sigsOf(d: org.apache.spark.sql.DataFrame) =
         Dedup.minhashSignatures(d, "doc_id", "text", shingleLen = 3,
           tokenHasher = Shingles.md5Hash60)
+          .localCheckpoint(true) // each sig frame feeds two banded joins
       val sigsOld = sigsOf(docs.where(!isNew))
       val sigsNew = sigsOf(docs.where(isNew))
       def selfPairs(sg: org.apache.spark.sql.DataFrame) =
