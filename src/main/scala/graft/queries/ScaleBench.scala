@@ -27,12 +27,23 @@ object ScaleBench {
     * the shuffle-shaped relational/event gates.
     */
   val SlopeQueries: Seq[String] = Seq(
+    // dedup / similarity (documents, embeddings)
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_jaccard_inv",
     "q_dedup_ngram", "q_dedup_simhash", "q_dedup_cosine", "q_semdedup",
     "q_dedup_components", "q_dedup_keep_best", "q_substr_dedup", "q_line_dedup",
     "q_para_dedup", "q_split_leakage", "q_knn_graph", "q_ann_lsh",
+    // text (documents)
     "q_bpe_tokens", "q_lang_id", "q_token_count", "q_gopher",
-    "q_scan_wide", "q1_agg", "q_pack", "q_sessionize")
+    "q_vocab", "q_tfidf", "q_text_quality", "q_lm_perplexity",
+    // scanner / relational (lineitem, orders, customer + unscaled dims)
+    "q_scan_wide", "q1_agg", "q3_topk", "q4_semijoin", "q5_join", "q6_filter",
+    "q13_distribution",
+    // stats families (lineitem/orders — groups keep their key space, rows x10)
+    "q_mad", "q_spearman_group", "q_corr_matrix", "q_winsorize_group",
+    "q_percentiles_group", "q_standardize", "q_ewma", "q_holt", "q_cooc",
+    // events / sessions (user space x10, same time span)
+    "q_pack", "q_sessionize", "q_funnel", "q_transitions", "q_cohort",
+    "q_window_events")
 
   /** Generate the scaled corpus: every table the slope queries read,
     * replicated with workload-preserving transforms and written as
@@ -46,9 +57,16 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     write("documents", Seq("doc_id"), rotate = Seq("text"))
     write("embeddings", Seq("vec_id"), shiftVec = Seq("embedding"))
-    // fact keys salt; part/supp dim keys stay — dims grow slower than facts
+    // fact keys salt consistently across tables (joins stay within-replica);
+    // part/supp/nation dim keys stay — dims grow slower than facts
     write("lineitem", Seq("l_orderkey"))
+    write("orders", Seq("o_orderkey", "o_custkey"))
+    write("customer", Seq("c_custkey"))
     write("events", Seq("event_id", "user_id"))
+    // dims pass through unreplicated so dim-joining gates resolve
+    for (dim <- Seq("region", "nation", "supplier", "part"))
+      QueryShared.t(spark, baseDir, dim)
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
     (System.nanoTime() - t0) / 1e9
   }
 
