@@ -39,6 +39,46 @@ object TextAnalysis {
     regexp_replace(noZw, "\\x{00A0}", " ")
   }
 
+  /** RefinedWeb-style LINE-WISE cleaning: drop the navigation/chrome lines
+    * web extraction leaves INSIDE a document — too-short fragments, shouty
+    * all-caps menu bars, lines with no lowercase prose — and rejoin the
+    * survivors in order. The in-doc RULE-based complement of
+    * [[graft.ops.Dedup.lineDedup]] (which drops lines by cross-corpus
+    * frequency) and [[graft.ops.Dedup.dropRepeatedUnitsInDoc]] (in-doc
+    * repeats): frequency catches boilerplate that repeats, rules catch
+    * chrome that doesn't.
+    *
+    * Keep a line iff: trimmed length ≥ `minChars` AND (it has no letters
+    * OR its upper/letters ratio ≤ `maxUpperRatio`) AND (unless
+    * `requireAlpha` is off) it contains at least one lowercase letter.
+    * ROW-LOCAL — one split pre-projected ONCE (CollapseProject can't
+    * re-inline it per element), a codegen'd HOF filter, zero shuffle at
+    * any corpus size.
+    *
+    * @return df + (`text_clean`, n_lines, n_dropped)
+    */
+  def lineWiseClean(df: DataFrame, textCol: String, minChars: Int = 10,
+                    maxUpperRatio: Double = 0.6,
+                    requireAlpha: Boolean = true): DataFrame = {
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      val upper = length(regexp_replace(t, "[^A-Z]", ""))
+      val letters = length(regexp_replace(t, "[^A-Za-z]", ""))
+      val lenOk = length(t) >= minChars
+      val caseOk = letters === 0 ||
+        upper.cast(DoubleType) / letters.cast(DoubleType) <= maxUpperRatio
+      val alphaOk = if (requireAlpha) t.rlike("[a-z]") else lit(true)
+      lenOk && caseOk && alphaOk
+    }
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__keep", filter(col("__lines"), keepLine _))
+      .withColumn("text_clean", array_join(col("__keep"), "\n"))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("n_dropped",
+        (size(col("__lines")) - size(col("__keep"))).cast(LongType))
+      .drop("__lines", "__keep")
+  }
+
   /** Markdown-to-text strip — the markdown sibling of the HTML strip for
     * README/docs/forum corpora: fenced code blocks drop (with the same
     * unterminated-tail rule as HTML script blocks), images and links keep

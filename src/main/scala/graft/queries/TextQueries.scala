@@ -210,6 +210,25 @@ private[queries] object TextQueries {
         .orderBy("doc_id")
     },
 
+    "q_line_filter" -> { (s, dir) =>
+      // RefinedWeb line-wise rules over pages with chrome injected between
+      // real text lines: a shouty nav bar, a too-short fragment, a
+      // digits-only line, a mixed-case menu exactly at the ratio edge —
+      // the rules decide, not the gate
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("HOME | ABOUT | CONTACT US\n"),     // all-caps chrome -> drop
+        lit("ok\n"),                            // too short -> drop
+        substring(col("text"), 1, 120), lit("\n"),
+        lit("4015551234567\n"),                 // no lowercase -> drop
+        lit("Read More About Everything\n"),    // mixed case, long -> keep
+        substring(col("text"), 121, 80))
+      TextAnalysis.lineWiseClean(
+          docs.select(col("doc_id"), page.as("page")), "page")
+        .select("doc_id", "text_clean", "n_lines", "n_dropped")
+        .orderBy("doc_id")
+    },
+
     "q_md_text" -> { (s, dir) =>
       // markdown-to-text strip over READMEs synthesized in-gate around the
       // real document bodies: heading, bold/italic/inline-code spans, a
@@ -636,6 +655,30 @@ private[queries] object TextQueries {
     "q_html_text" ->
       s"""$htmlSqlCte
          |SELECT doc_id, text_clean FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q_line_filter" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'HOME | ABOUT | CONTACT US' || chr(10) ||
+        |    'ok' || chr(10) ||
+        |    substr(text, 1, 120) || chr(10) ||
+        |    '4015551234567' || chr(10) ||
+        |    'Read More About Everything' || chr(10) ||
+        |    substr(text, 121, 80) AS page
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+        |k AS (SELECT doc_id, ls,
+        |  list_filter(ls, l ->
+        |    length(trim(l)) >= 10
+        |    AND (length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) = 0
+        |         OR CAST(length(regexp_replace(trim(l), '[^A-Z]', '', 'g')) AS DOUBLE)
+        |            / CAST(length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) AS DOUBLE) <= 0.6)
+        |    AND regexp_matches(l, '[a-z]')) AS keep
+        |  FROM s)
+        |SELECT doc_id, array_to_string(keep, chr(10)) AS text_clean,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(keep) AS BIGINT) AS n_dropped
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_md_text" ->
       """WITH m AS (
