@@ -41,6 +41,24 @@ class ScaleUpSpec extends SparkSpec {
     assert(m(1L).toSet.intersect(m(s + 1L).toSet).isEmpty)
   }
 
+  test("end-to-end workload preservation: dedup pairs replicate exactly, never merge") {
+    // the property the slope measurement rests on: the replicated corpus's
+    // exact-Jaccard pair set is the original's pair set once per replica
+    // (shifted), with ZERO cross-replica pairs
+    val rep = ScaleUp.replicate(docs, 3, Seq("doc_id"), rotateCols = Seq("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.ops.Dedup.jaccardPairsAllPairs(df, "doc_id", "text", threshold = 0.5,
+          blockCols = Nil)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val base = pairs(docs)
+    val scaled = pairs(rep)
+    val expected = (0 until 3).flatMap { r =>
+      base.map { case (a, b) => (a + r * ScaleUp.IdStride, b + r * ScaleUp.IdStride) }
+    }.toSet
+    assert(base.nonEmpty) // docs 1-2 exact dups, 3 near-dup: pairs exist
+    assert(scaled == expected, s"scaled pair set must be 3 disjoint copies")
+  }
+
   test("shiftEmbedding is an isometry within replica, not identity across") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 2.0f, 0.0f, 0.0f, 0.0f, 1.0f)),
