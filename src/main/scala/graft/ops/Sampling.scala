@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Keep the top `pct` PERCENT of each group by `scoreCol` (descending,
+    * ties broken by `tieCols` ascending — fully deterministic): the
+    * quality-threshold calibration every curation pipeline runs ("keep the
+    * best 20% per language") without choosing a global cutoff that
+    * over-prunes weak groups. The keep rule is EXACT INTEGER math —
+    * `rank·100 ≤ group_count·pct`, i.e. floor(n·pct/100) rows per group —
+    * so it replays bit-identically on any engine (a double `frac`
+    * multiply would flap on ties like 0.2·500).
+    *
+    * Scale shape: one group-BOUNDED window pair (row_number + count) —
+    * the per-group-rank family discipline; rows never leave their group's
+    * partitions, no global sort.
+    */
+  def topPercentByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                        tieCols: Seq[String], pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be 0..100")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc +: tieCols.map(col(_).asc): _*)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__rk") * 100 <= col("__n") * pct)
+      .drop("__rk", "__n")
+  }
+
   /** Keep rows whose `pmod(hash(key), buckets) < fraction*buckets`.
     * `hasher` defaults to xxhash64; pass [[Shingles.md5Hash60]] for the
     * cross-engine-checkable variant.

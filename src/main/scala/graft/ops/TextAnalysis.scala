@@ -79,6 +79,67 @@ object TextAnalysis {
       .drop("__lines", "__keep")
   }
 
+  /** The PUBLISHED C4 line rules (Raffel et al. 2020, §2.2) as a line-wise
+    * cleaner: keep a line iff it ends in terminal punctuation (`.` `!` `?`
+    * `"`), has at least `minWords` whitespace-separated words, and does not
+    * contain the word "javascript" (case-insensitive) — the exact
+    * heuristics behind the most widely used web corpus, as the in-doc
+    * sibling of [[lineWiseClean]] (generic chrome rules) so pipelines can
+    * reproduce C4 rather than approximate it. Row-local, same
+    * pre-projected-split + codegen'd HOF shape.
+    *
+    * @return df + (`text_clean`, n_lines, n_dropped)
+    */
+  def c4LineClean(df: DataFrame, textCol: String, minWords: Int = 5): DataFrame = {
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower(t).contains("javascript")
+    }
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__keep", filter(col("__lines"), keepLine _))
+      .withColumn("text_clean", array_join(col("__keep"), "\n"))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("n_dropped",
+        (size(col("__lines")) - size(col("__keep"))).cast(LongType))
+      .drop("__lines", "__keep")
+  }
+
+  /** Unicode SCRIPT profile: per document, letter counts in the major
+    * scripts (Latin, Cyrillic, CJK ideographs, Arabic, Hangul, Greek,
+    * Devanagari) plus the dominant script label — the router upstream of
+    * per-language pipelines and the sanity check language-ID marker words
+    * can't give on unseen languages (markers need a dictionary; script
+    * ranges don't). Counts are codepoint-range regex counts, row-local;
+    * dominance ties break on the fixed script order below (deterministic).
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}")
+
+  /** Per-script letter count columns + dominant script for `text`. */
+  def scriptProfile(text: Column): Seq[Column] = {
+    val counts = ScriptRanges.map { case (name, range) =>
+      length(regexp_replace(text, s"[^$range]", "")).cast(LongType).as(s"n_$name")
+    }
+    // dominant = max count, ties to the EARLIER script in ScriptRanges
+    val best = ScriptRanges.zipWithIndex.map { case ((name, range), i) =>
+      struct(
+        length(regexp_replace(text, s"[^$range]", "")).cast(LongType).as("n"),
+        lit(ScriptRanges.size - i).as("prio"),
+        lit(name).as("script"))
+    }
+    val dominant = when(greatest(best: _*).getField("n") === 0, lit("none"))
+      .otherwise(greatest(best: _*).getField("script")).as("script")
+    counts :+ dominant
+  }
+
   /** Markdown-to-text strip — the markdown sibling of the HTML strip for
     * README/docs/forum corpora: fenced code blocks drop (with the same
     * unterminated-tail rule as HTML script blocks), images and links keep

@@ -16,6 +16,15 @@ private[queries] object SamplingQueries {
   import QueryShared._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_pct" -> ((s, dir) =>
+      // per-group quality-threshold calibration: keep the top 20% of each
+      // language by length — exact-integer keep rule (rank*100 <= n*pct),
+      // group-bounded windows only
+      Sampling.topPercentByGroup(t(s, dir, "documents"), "lang", "n_chars",
+          tieCols = Seq("doc_id"), pct = 20)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     "q_budget_by_lang" -> { (s, dir) =>
       // mixture-weighted budgets: each language fills ITS OWN token
       // budget (2000·(lang-ordinal+1)) with its best quality-per-token
@@ -205,6 +214,14 @@ private[queries] object SamplingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_top_pct" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rk * 100 <= n * 20 ORDER BY doc_id""".stripMargin,
+
     "q_budget_by_lang" ->
       """WITH f AS (SELECT doc_id, lang,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,

@@ -210,6 +210,42 @@ private[queries] object TextQueries {
         .orderBy("doc_id")
     },
 
+    "q_c4_lines" -> { (s, dir) =>
+      // the PUBLISHED C4 line rules over pages with the classic offenders
+      // injected: a punctuation-less call-to-action, a javascript notice
+      // (terminal punct + enough words — only the word rule catches it),
+      // a too-short sentence; the real text line ends with '.' so the
+      // word-count rule decides it
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("Click here to learn more\n"),
+        lit("Please enable JavaScript to view this content.\n"),
+        lit("Too short.\n"),
+        lit("This is a proper sentence with enough words in it.\n"),
+        substring(col("text"), 1, 150), lit("."))
+      TextAnalysis.c4LineClean(
+          docs.select(col("doc_id"), page.as("page")), "page")
+        .select("doc_id", "text_clean", "n_lines", "n_dropped")
+        .orderBy("doc_id")
+    },
+
+    "q_script" -> { (s, dir) =>
+      // Unicode script routing: short real-text prefixes against per-doc
+      // injected script samples sized so dominance genuinely flips between
+      // latin and the injected script — the rules decide, not the gate
+      val docs = t(s, dir, "documents")
+      val m5 = col("doc_id") % 5
+      val sample = when(m5 === 0, " привет мир как дела")
+        .when(m5 === 1, " 你好世界早上好")
+        .when(m5 === 2, " مرحبا بالعالم")
+        .when(m5 === 3, " 안녕하세요 세계")
+        .otherwise(lit(" γεια σου κόσμε"))
+      val txt = concat(substring(col("text"), 1, 10), sample,
+        when(col("doc_id") % 7 === 0, " नमस्ते").otherwise(lit("")))
+      docs.select(col("doc_id") +: TextAnalysis.scriptProfile(txt): _*)
+        .orderBy("doc_id")
+    },
+
     "q_line_filter" -> { (s, dir) =>
       // RefinedWeb line-wise rules over pages with chrome injected between
       // real text lines: a shouty nav bar, a too-short fragment, a
@@ -655,6 +691,59 @@ private[queries] object TextQueries {
     "q_html_text" ->
       s"""$htmlSqlCte
          |SELECT doc_id, text_clean FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q_c4_lines" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Click here to learn more' || chr(10) ||
+        |    'Please enable JavaScript to view this content.' || chr(10) ||
+        |    'Too short.' || chr(10) ||
+        |    'This is a proper sentence with enough words in it.' || chr(10) ||
+        |    substr(text, 1, 150) || '.' AS page
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+        |k AS (SELECT doc_id, ls,
+        |  list_filter(ls, l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS keep
+        |  FROM s)
+        |SELECT doc_id, array_to_string(keep, chr(10)) AS text_clean,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(keep) AS BIGINT) AS n_dropped
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_script" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 10) ||
+        |    (CASE doc_id % 5
+        |       WHEN 0 THEN ' привет мир как дела'
+        |       WHEN 1 THEN ' 你好世界早上好'
+        |       WHEN 2 THEN ' مرحبا بالعالم'
+        |       WHEN 3 THEN ' 안녕하세요 세계'
+        |       ELSE ' γεια σου κόσμε' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' नमस्ते' ELSE '' END) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(regexp_replace(t, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(regexp_replace(t, '[^\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g')) AS BIGINT) AS n_hangul,
+        |  CAST(length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(regexp_replace(t, '[^\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS n_devanagari
+        |  FROM x)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul, n_greek, n_devanagari,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) = 0 THEN 'none'
+        |       WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) THEN 'latin'
+        |       WHEN n_cyrillic = greatest(n_cyrillic, n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) THEN 'cyrillic'
+        |       WHEN n_cjk = greatest(n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) THEN 'cjk'
+        |       WHEN n_arabic = greatest(n_arabic, n_hangul, n_greek, n_devanagari) THEN 'arabic'
+        |       WHEN n_hangul = greatest(n_hangul, n_greek, n_devanagari) THEN 'hangul'
+        |       WHEN n_greek = greatest(n_greek, n_devanagari) THEN 'greek'
+        |       ELSE 'devanagari' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_line_filter" ->
       """WITH p AS (
