@@ -106,6 +106,32 @@ object TextAnalysis {
       .drop("__lines", "__keep")
   }
 
+  /** The PUBLISHED C4 page rules (Raffel et al. 2020, §2.2) — the document-
+    * level half of the C4 cleaning whose line-level half is
+    * [[c4LineClean]]: drop a page iff it contains "lorem ipsum"
+    * (lowercased), contains a curly brace `{` (code), has fewer than 3
+    * sentences (defined here as terminal-punctuation marks — the
+    * replayable stand-in for C4's sentence splitter), or contains any
+    * caller-supplied blockword (C4's word list is not shipped; pass your
+    * own). Row-local flags + a `keep` verdict, first-failing-rule `reason`.
+    */
+  def c4PageFilter(df: DataFrame, textCol: String,
+                   blockWords: Seq[String] = Nil): DataFrame = {
+    val t = col(textCol)
+    val low = lower(t)
+    val nSent = length(regexp_replace(t, "[^.!?]", "")).cast(LongType)
+    val blocked = blockWords.foldLeft(lit(false))((acc, w) =>
+      acc || low.contains(w.toLowerCase))
+    val reason = when(low.contains("lorem ipsum"), "lorem_ipsum")
+      .when(t.contains("{"), "curly_brace")
+      .when(nSent < 3, "too_few_sentences")
+      .when(blocked, "blockword")
+      .otherwise("ok")
+    df.withColumn("n_sentences", nSent)
+      .withColumn("reason", reason)
+      .withColumn("keep", col("reason") === "ok")
+  }
+
   /** Unicode SCRIPT profile: per document, letter counts in the major
     * scripts (Latin, Cyrillic, CJK ideographs, Arabic, Hangul, Greek,
     * Devanagari) plus the dominant script label — the router upstream of

@@ -229,6 +229,27 @@ private[queries] object TextQueries {
         .orderBy("doc_id")
     },
 
+    "q_c4_pipeline" -> { (s, dir) =>
+      // the COMPLETE published C4 cleaning, line rules feeding page rules:
+      // pages salted with lorem-ipsum / code / sentence-starved variants by
+      // doc_id residue, then line-cleaned, then page-filtered — exactly the
+      // order the paper runs them in
+      val docs = t(s, dir, "documents")
+      val m4 = col("doc_id") % 4
+      val page = concat(
+        lit("This is a proper sentence with enough words in it.\n"),
+        when(m4 === 0, "Some Lorem Ipsum filler text appears right here today.\n")
+          .when(m4 === 1, "A code sample { return 1; } hides in this sentence.\n")
+          .otherwise(lit("")),
+        substring(col("text"), 1, 120), lit("."),
+        when(m4 === 2, lit("")).otherwise(lit("\nAnother full sentence arrives here to help the count.")))
+      val cleaned = TextAnalysis.c4LineClean(
+        docs.select(col("doc_id"), page.as("page")), "page")
+      TextAnalysis.c4PageFilter(cleaned, "text_clean")
+        .select("doc_id", "n_lines", "n_dropped", "n_sentences", "reason", "keep")
+        .orderBy("doc_id")
+    },
+
     "q_script" -> { (s, dir) =>
       // Unicode script routing: short real-text prefixes against per-doc
       // injected script samples sized so dominance genuinely flips between
@@ -712,6 +733,41 @@ private[queries] object TextQueries {
         |  CAST(len(ls) AS BIGINT) AS n_lines,
         |  CAST(len(ls) - len(keep) AS BIGINT) AS n_dropped
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_c4_pipeline" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'This is a proper sentence with enough words in it.' || chr(10) ||
+        |    (CASE doc_id % 4
+        |       WHEN 0 THEN 'Some Lorem Ipsum filler text appears right here today.' || chr(10)
+        |       WHEN 1 THEN 'A code sample { return 1; } hides in this sentence.' || chr(10)
+        |       ELSE '' END) ||
+        |    substr(text, 1, 120) || '.' ||
+        |    (CASE WHEN doc_id % 4 = 2 THEN ''
+        |          ELSE chr(10) || 'Another full sentence arrives here to help the count.' END) AS page
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+        |k AS (SELECT doc_id, ls,
+        |  list_filter(ls, l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS keep
+        |  FROM s),
+        |c AS (SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(keep) AS BIGINT) AS n_dropped,
+        |  array_to_string(keep, chr(10)) AS tc
+        |  FROM k),
+        |f AS (SELECT doc_id, n_lines, n_dropped,
+        |  CAST(length(regexp_replace(tc, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  CASE WHEN contains(lower(tc), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN contains(tc, '{') THEN 'curly_brace'
+        |       WHEN length(regexp_replace(tc, '[^.!?]', '', 'g')) < 3 THEN 'too_few_sentences'
+        |       ELSE 'ok' END AS reason
+        |  FROM c)
+        |SELECT doc_id, n_lines, n_dropped, n_sentences, reason,
+        |  reason = 'ok' AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_script" ->
       """WITH x AS (
