@@ -564,6 +564,44 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** One-row corpus DUPLICATION diagnostic — the "how duplicated is this
+    * crawl" report every dedup decision starts from: document count,
+    * distinct-text count, duplicate rate, singleton share and the largest
+    * cluster's size. Exact, from ONE hash-groupBy over text hashes (the
+    * [[exactGroups]] shuffle) + one bounded re-aggregate over the
+    * (cluster size) frame — cluster COUNT rows, never documents, reach
+    * the second stage. [[dedupSizeHistogram]] is the per-bucket companion.
+    */
+  def dedupReport(df: DataFrame, idCol: String, textCol: String,
+                  hasher: Column => Column = xxhash64(_)): DataFrame = {
+    val sizes = df.select(hasher(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    sizes
+      .agg(
+        sum(col("n")).cast(LongType).as("n_docs"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        max(col("n")).cast(LongType).as("max_cluster"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).cast(LongType).as("n_singletons"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct")).cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("singleton_share",
+        col("n_singletons").cast(DoubleType) / col("n_distinct").cast(DoubleType))
+  }
+
+  /** Cluster-size histogram companion to [[dedupReport]]: one row per log2
+    * size bucket — (bucket, cluster_count, doc_count). Exact; bucket count
+    * is ≤ 64 by construction. The bucket is `length(bin(n)) - 1` — the
+    * INTEGER floor(log2): a float log2 would flap on exact powers of two
+    * (Java computes log(n)/log(2), e.g. log2(8) = 2.999…96).
+    */
+  def dedupSizeHistogram(df: DataFrame, idCol: String, textCol: String,
+                         hasher: Column => Column = xxhash64(_)): DataFrame =
+    df.select(hasher(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .groupBy((length(bin(col("n"))) - 1).cast("int").as("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n_clusters"),
+        sum(col("n")).cast(LongType).as("n_docs"))
+
   /** Per-doc MinHash signature frame — the PERSISTABLE dedup artifact.
     * Write it per ingested batch (`.write.parquet(store)`): later batches
     * dedup against the accumulated store via [[dedupAgainstStore]] WITHOUT

@@ -128,6 +128,24 @@ private[queries] object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "q_dedup_report" -> ((s, dir) =>
+      // the "how duplicated is this crawl" one-row diagnostic every dedup
+      // decision starts from; the corpus has no exact text dups, so the
+      // gate injects two boilerplate clusters (a big one and a small one)
+      // by doc_id residue; md5-60 text hash so the oracle replays it
+      Dedup.dedupReport(
+        t(s, dir, "documents").select(col("doc_id"), dupSaltedText.as("text")),
+        "doc_id", "text", hasher = Shingles.md5Hash60)),
+
+    "q_dedup_hist" -> ((s, dir) =>
+      // log2 cluster-size histogram over the same salted corpus: INTEGER
+      // bucket math (length(bin(n))-1) because float log2 flaps on exact
+      // powers of two
+      Dedup.dedupSizeHistogram(
+          t(s, dir, "documents").select(col("doc_id"), dupSaltedText.as("text")),
+          "doc_id", "text", hasher = Shingles.md5Hash60)
+        .orderBy("bucket")),
+
     "q_components_incremental" -> { (s, dir) =>
       // cross-RUN incremental components: label the "old" batches
       // (doc_id % 3 != 0) from their own edges, persist ONLY (id,
@@ -416,6 +434,19 @@ private[queries] object DedupQueries {
 
   )
 
+  /** Duplication-salted text for the dedup-report gates: ~20% of docs
+    * collapse onto one big boilerplate cluster, ~10% onto a smaller one.
+    */
+  private def dupSaltedText =
+    when(col("doc_id") % 10 < 2, lit("cookie banner boilerplate page"))
+      .when(col("doc_id") % 10 === 2, lit("subscribe footer boilerplate"))
+      .otherwise(col("text"))
+
+  private val dupSaltedSql =
+    """CASE WHEN doc_id % 10 < 2 THEN 'cookie banner boilerplate page'
+      |     WHEN doc_id % 10 = 2 THEN 'subscribe footer boilerplate'
+      |     ELSE text END""".stripMargin.replace("\n", " ")
+
   /** From-scratch recursive-CTE components over the full corpus — shared by
     * the direct gate and the incremental-invariant gate.
     */
@@ -483,6 +514,28 @@ private[queries] object DedupQueries {
         |FROM u
         |WHERE CAST(inter AS DOUBLE) / CAST(nt_sub AS DOUBLE) >= 0.9
         |ORDER BY id_sub, id_sup""".stripMargin,
+
+    "q_dedup_report" ->
+      s"""WITH d AS (SELECT doc_id, $dupSaltedSql AS text FROM documents),
+        |g AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h, count(*) AS n
+        |           FROM d GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(max(n) AS BIGINT) AS max_cluster,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |       CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS singleton_share
+        |FROM g""".stripMargin,
+
+    "q_dedup_hist" ->
+      s"""WITH d AS (SELECT doc_id, $dupSaltedSql AS text FROM documents),
+        |g AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h, count(*) AS n
+        |           FROM d GROUP BY 1)
+        |SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_components" -> fullComponentsOracle,
 

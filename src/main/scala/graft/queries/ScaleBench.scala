@@ -35,6 +35,7 @@ object ScaleBench {
     // text (documents)
     "q_bpe_tokens", "q_lang_id", "q_token_count", "q_gopher",
     "q_vocab", "q_tfidf", "q_text_quality", "q_lm_perplexity",
+    "q_md_text", "q_line_filter", "q_c4_pipeline", "q_script", "q_top_pct",
     // scanner / relational (lineitem, orders, customer + unscaled dims)
     "q_scan_wide", "q1_agg", "q3_topk", "q4_semijoin", "q5_join", "q6_filter",
     "q13_distribution",
