@@ -9,6 +9,42 @@ import org.apache.spark.sql.types._
   */
 object Embeddings {
 
+  /** Embedding HYGIENE audit — the pre-ANN sanity report: at 100 TB an
+    * embedding column reliably carries nulls, wrong-dimension vectors
+    * (model-version mixups), NaN/Inf components (training blowups) and
+    * zero vectors (failed encodes), and every similarity operator
+    * silently misbehaves on them. One row: counts per defect class +
+    * squared-norm stats over the CLEAN rows. Norms are per-row fixed-point
+    * longs (floor(‖v‖²·10⁶ + 0.5) — the fixedPointLong discipline) summed
+    * exactly, so the report is bit-reproducible on any engine; the per-row
+    * sum of squares is a LEFT FOLD (`aggregate`), the association the
+    * oracle replays verbatim.
+    */
+  def audit(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame = {
+    val v = col(vecCol)
+    val isNullV = v.isNull
+    val wrongDim = !isNullV && size(v) =!= expectedDim
+    val nonFinite = !isNullV && !wrongDim &&
+      exists(v, x => isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+    val clean = !isNullV && !wrongDim && !nonFinite
+    val sq = aggregate(transform(v, _.cast(DoubleType)), lit(0.0), (a, x) => a + x * x)
+    val fx = when(clean, floor(sq * 1e6 + 0.5).cast(LongType))
+    df.select(isNullV.as("is_null"), wrongDim.as("wrong_dim"),
+        nonFinite.as("non_finite"), clean.as("clean"), fx.as("fx"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_rows"),
+        sum(when(col("is_null"), 1L).otherwise(0L)).cast(LongType).as("n_null"),
+        sum(when(col("wrong_dim"), 1L).otherwise(0L)).cast(LongType).as("n_wrong_dim"),
+        sum(when(col("non_finite"), 1L).otherwise(0L)).cast(LongType).as("n_nonfinite"),
+        sum(when(col("clean") && col("fx") === 0L, 1L).otherwise(0L)).cast(LongType).as("n_zero_norm"),
+        sum(when(col("clean"), 1L).otherwise(0L)).cast(LongType).as("n_clean"),
+        min(col("fx")).as("norm2fx_min"),
+        max(col("fx")).as("norm2fx_max"),
+        sum(col("fx")).as("norm2fx_sum"))
+      .withColumn("mean_norm2",
+        col("norm2fx_sum").cast(DoubleType) / (col("n_clean").cast(DoubleType) * 1e6))
+  }
+
   /** Per-group, per-dimension centroid of an `Array[Float]` column:
     * (grp, dim, centroid). One posexplode → one groupBy(grp, dim) shuffle
     * with map-side partials — never collects vectors, scales to any group

@@ -54,6 +54,22 @@ private[queries] object SimilarityQueries {
         .orderBy("anchor", "slot")
     },
 
+    "q_embed_audit" -> { (s, dir) =>
+      // embedding hygiene report over a corpus salted with every defect
+      // class ANN silently misbehaves on: nulls, wrong-dim (model-version
+      // mixup), a NaN component, zero vectors — injected by vec_id residue
+      // in when-chain order the oracle mirrors
+      val emb = t(s, dir, "embeddings")
+      val id = col("vec_id")
+      val v = col("embedding")
+      val salted = when(id % 97 === 0, lit(null).cast("array<float>"))
+        .when(id % 89 === 0, slice(v, 1, 10))
+        .when(id % 83 === 0, concat(array(lit(Float.NaN)), slice(v, 2, 63)))
+        .when(id % 79 === 0, transform(v, x => x * lit(0.0f)))
+        .otherwise(v)
+      Embeddings.audit(emb.select(id, salted.as("embedding")), "embedding", 64)
+    },
+
     "q_embed_quantize" -> ((s, dir) =>
       // q8 is array<tinyint> — serialized to JSON text (the q_scan_wide
       // group_values pattern) so the harness's pandas compare, which sorts
@@ -237,7 +253,41 @@ private[queries] object SimilarityQueries {
 
   )
 
+  private def embedAuditSumSq: String =
+    (1 to 64).foldLeft("0") { (acc, i) =>
+      s"($acc + CAST(v[$i] AS DOUBLE)*CAST(v[$i] AS DOUBLE))" }
+
   val oracleSql: Map[String, String] = Map(
+    "q_embed_audit" ->
+      s"""WITH e0 AS (SELECT vec_id, [CAST(x AS FLOAT) for x in embedding] AS v0 FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  CASE WHEN vec_id % 97 = 0 THEN NULL
+         |       WHEN vec_id % 89 = 0 THEN v0[1:10]
+         |       WHEN vec_id % 83 = 0 THEN ['NaN'::FLOAT] || v0[2:64]
+         |       WHEN vec_id % 79 = 0 THEN list_transform(v0, x -> x * 0.0::FLOAT)
+         |       ELSE v0 END AS v
+         |  FROM e0),
+         |f AS (SELECT vec_id, v,
+         |  (v IS NULL) AS is_null,
+         |  (v IS NOT NULL AND len(v) <> 64) AS wrong_dim,
+         |  (v IS NOT NULL AND len(v) = 64
+         |     AND len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0) AS non_finite
+         |  FROM s),
+         |c AS (SELECT *, (NOT is_null AND NOT wrong_dim AND NOT non_finite) AS clean FROM f),
+         |n AS (SELECT is_null, wrong_dim, non_finite, clean,
+         |  CASE WHEN clean THEN CAST(floor(($embedAuditSumSq) * 1000000.0 + 0.5) AS BIGINT) END AS fx
+         |  FROM c)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+         |  CAST(sum(CASE WHEN non_finite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+         |  CAST(sum(CASE WHEN clean AND fx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  min(fx) AS norm2fx_min,
+         |  max(fx) AS norm2fx_max,
+         |  sum(fx) AS norm2fx_sum,
+         |  CAST(sum(fx) AS DOUBLE) / (CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0) AS mean_norm2
+         |FROM n""".stripMargin,
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),
 
     "q_ann_lsh_mp" -> lshMultiProbeOracleSql(5, 4, 64, 42L),
