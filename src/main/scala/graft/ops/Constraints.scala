@@ -463,6 +463,37 @@ object Constraints {
     *         regressions included (the healthy majority is the signal that
     *         the check ran).
     */
+  /** DECLARED-schema diff between two frames — the metadata complement of
+    * [[typeDrift]] (which audits what the DATA looks like): columns added,
+    * dropped, or type-changed between two dumps of "the same" table, the
+    * first thing to check when a downstream job starts failing after a
+    * producer deploy. Pure metadata — runs on the driver from the two
+    * StructTypes, NO Spark job, O(#columns).
+    *
+    * @return (column, change ∈ added|dropped|type_changed, before_type,
+    *         after_type) rows, ordered by column name; empty when schemas
+    *         match (nullability ignored — parquet round-trips flip it)
+    */
+  def schemaDiff(before: org.apache.spark.sql.types.StructType,
+                 after: org.apache.spark.sql.types.StructType): Seq[(String, String, Option[String], Option[String])] = {
+    val b = before.fields.map(f => f.name -> f.dataType.sql).toMap
+    val a = after.fields.map(f => f.name -> f.dataType.sql).toMap
+    val dropped = (b.keySet -- a.keySet).toSeq.map(c => (c, "dropped", Some(b(c)), None))
+    val added = (a.keySet -- b.keySet).toSeq.map(c => (c, "added", None, Some(a(c))))
+    val changed = (b.keySet & a.keySet).toSeq
+      .filter(c => b(c) != a(c))
+      .map(c => (c, "type_changed", Some(b(c)), Some(a(c))))
+    (dropped ++ added ++ changed).sortBy(_._1)
+  }
+
+  /** [[schemaDiff]] as a frame for report plumbing. */
+  def schemaDiffFrame(spark: org.apache.spark.sql.SparkSession,
+                      before: org.apache.spark.sql.types.StructType,
+                      after: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    schemaDiff(before, after).toDF("column", "change", "before_type", "after_type")
+  }
+
   def monotonicityViolations(df: DataFrame, partCols: Seq[String], orderCol: String,
                              valueCol: String, ascending: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window

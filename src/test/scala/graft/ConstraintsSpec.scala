@@ -294,4 +294,22 @@ class ConstraintsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq == Seq((1L, 2L, 1), (1L, 3L, 1)))
   }
+
+  test("schemaDiff: added, dropped, type-changed; identical schemas empty; no Spark job") {
+    import graft.ops.Constraints
+    import org.apache.spark.sql.functions._
+    val before = Seq((1L, "a", 1.5)).toDF("id", "name", "score")
+    val after = before.drop("name")
+      .withColumn("score", col("score").cast("decimal(10,2)"))
+      .withColumn("added_at", lit("2024-01-01"))
+    val diff = Constraints.schemaDiff(before.schema, after.schema)
+    assert(diff == Seq(
+      ("added_at", "added", None, Some("STRING")),
+      ("name", "dropped", Some("STRING"), None),
+      ("score", "type_changed", Some("DOUBLE"), Some("DECIMAL(10,2)"))))
+    assert(Constraints.schemaDiff(before.schema, before.schema).isEmpty)
+    val frame = Constraints.schemaDiffFrame(spark, before.schema, after.schema)
+    assert(frame.columns.toSeq == Seq("column", "change", "before_type", "after_type"))
+    assert(frame.count() == 3)
+  }
 }
