@@ -588,6 +588,26 @@ object Dedup {
         col("n_singletons").cast(DoubleType) / col("n_distinct").cast(DoubleType))
   }
 
+  /** [[dedupReport]] PER KEY — "which sources/domains are the most
+    * duplicated": one row per `keyCol` value with the same duplication
+    * stats, duplication counted WITHIN the key (a text shared by two
+    * domains is each domain's own cluster). Same two-stage shape: one
+    * (key, hash) groupBy + a key-keyed re-aggregate over cluster counts.
+    */
+  def dedupReportByKey(df: DataFrame, keyCol: String, idCol: String,
+                       textCol: String,
+                       hasher: Column => Column = xxhash64(_)): DataFrame =
+    df.select(col(keyCol).as("key"), hasher(col(textCol)).as("h"))
+      .groupBy("key", "h").agg(count(lit(1)).as("n"))
+      .groupBy("key")
+      .agg(
+        sum(col("n")).cast(LongType).as("n_docs"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        max(col("n")).cast(LongType).as("max_cluster"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).cast(LongType).as("n_singletons"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct")).cast(DoubleType) / col("n_docs").cast(DoubleType))
+
   /** Cluster-size histogram companion to [[dedupReport]]: one row per log2
     * size bucket — (bucket, cluster_count, doc_count). Exact; bucket count
     * is ≤ 64 by construction. The bucket is `length(bin(n)) - 1` — the

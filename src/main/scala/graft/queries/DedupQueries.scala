@@ -137,6 +137,14 @@ private[queries] object DedupQueries {
         t(s, dir, "documents").select(col("doc_id"), dupSaltedText.as("text")),
         "doc_id", "text", hasher = Shingles.md5Hash60)),
 
+    "q_dedup_report_by_source" -> ((s, dir) =>
+      // which SOURCES are the most duplicated — duplication counted within
+      // the source over the same salted corpus
+      Dedup.dedupReportByKey(
+          t(s, dir, "documents").select(col("source"), col("doc_id"), dupSaltedText.as("text")),
+          "source", "doc_id", "text", hasher = Shingles.md5Hash60)
+        .orderBy("key")),
+
     "q_dedup_hist" -> ((s, dir) =>
       // log2 cluster-size histogram over the same salted corpus: INTEGER
       // bucket math (length(bin(n))-1) because float log2 flaps on exact
@@ -527,6 +535,18 @@ private[queries] object DedupQueries {
         |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(count(*) AS DOUBLE) AS singleton_share
         |FROM g""".stripMargin,
+
+    "q_dedup_report_by_source" ->
+      s"""WITH d AS (SELECT source, doc_id, $dupSaltedSql AS text FROM documents),
+        |g AS (SELECT source AS key, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h, count(*) AS n
+        |      FROM d GROUP BY 1, 2)
+        |SELECT key,
+        |       CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(max(n) AS BIGINT) AS max_cluster,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |       CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate
+        |FROM g GROUP BY key ORDER BY key""".stripMargin,
 
     "q_dedup_hist" ->
       s"""WITH d AS (SELECT doc_id, $dupSaltedSql AS text FROM documents),

@@ -396,6 +396,16 @@ private[queries] object TextQueries {
       TextAnalysis.langId(t(s, dir, "documents"), "text")
         .select("doc_id", "predicted_lang").orderBy("doc_id")),
 
+    "q_lang_confusion" -> ((s, dir) =>
+      // declared-vs-detected language confusion matrix: the mislabeled-
+      // metadata audit every multilingual corpus needs before trusting its
+      // lang column for routing/budgets — detection rides the same
+      // codegen'd WordSetHits pass as q_lang_id, counts in one group-by
+      TextAnalysis.langId(t(s, dir, "documents"), "text")
+        .groupBy(col("lang").as("declared_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .orderBy("declared_lang", "predicted_lang")),
+
     "q_lang_scores" -> { (s, dir) =>
       val txt = col("text")
       t(s, dir, "documents").select(
@@ -995,6 +1005,29 @@ private[queries] object TextQueries {
         |  WHEN h_fr >= h_zh THEN 'fr'
         |  ELSE 'zh' END AS predicted_lang
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_lang_confusion" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['der','die','und','das','von','zu','mit','den','ein','ist'], t))) AS h_de,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS h_en,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['el','la','de','que','y','en','un','por','con','los'], t))) AS h_es,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS h_fr,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'], t))) AS h_zh
+        |FROM documents),
+        |p AS (SELECT lang AS declared_lang, CASE
+        |  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+        |  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+        |  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+        |  WHEN h_fr >= h_zh THEN 'fr'
+        |  ELSE 'zh' END AS predicted_lang
+        |FROM f)
+        |SELECT declared_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_lang_margin" ->
       """WITH f AS (SELECT doc_id,
