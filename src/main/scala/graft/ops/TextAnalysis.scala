@@ -248,6 +248,37 @@ object TextAnalysis {
     df.withColumn(out, bestLang(hitCounts, langs.map(_._1)))
   }
 
+  /** Per-SEGMENT language mixture: split each document into
+    * `sep`-delimited segments, language-ID every segment with the same
+    * marker pass as [[langId]], and report the per-doc mixture — segment
+    * count, distinct detected languages, the majority language and its
+    * share. The code-switching detector document-level lang-ID hides: a
+    * page that is half English boilerplate and half target-language prose
+    * scores as its majority, but `n_langs > 1` with a low `majority_share`
+    * routes it to segment-level handling. One explode + one group-by;
+    * segments never leave their doc's partition until the count shuffle.
+    */
+  def langMixture(df: DataFrame, idCol: String, textCol: String,
+                  sep: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    val segs = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), q)).as("seg"))
+      .where(trim(col("seg")) =!= "")
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val hit = graft.functions.WordSetHits.hits(tokens(col("seg")), langs.map(_._2))
+    segs
+      .select(col("id"), bestLang(hit, langs.map(_._1)).as("seg_lang"))
+      .groupBy("id", "seg_lang").agg(count(lit(1)).as("n"))
+      .groupBy("id")
+      .agg(
+        sum(col("n")).cast(LongType).as("n_segments"),
+        count(lit(1)).cast(LongType).as("n_langs"),
+        max(struct(col("n"), col("seg_lang"))).getField("seg_lang").as("majority_lang"),
+        max(struct(col("n"), col("seg_lang"))).getField("n").cast(LongType).as("majority_n"))
+      .withColumn("majority_share",
+        col("majority_n").cast(DoubleType) / col("n_segments").cast(DoubleType))
+  }
+
   /** [[langId]] with CONFIDENCE: top and runner-up marker hit counts and
     * their margin, plus an `is_mixed` flag when the margin is below
     * `minMargin` — the code-switching / boilerplate-interleave detector a

@@ -406,6 +406,24 @@ private[queries] object TextQueries {
         .agg(count(lit(1)).cast(LongType).as("n_docs"))
         .orderBy("declared_lang", "predicted_lang")),
 
+    "q_lang_mix" -> { (s, dir) =>
+      // per-segment language mixture over pages salted with cross-language
+      // boilerplate (an English nav line always, a Spanish footer always,
+      // a French extra every third doc) around the real text — the
+      // code-switching signal document-level lang-ID hides
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("the of and to in a is on for with\n"),
+        substring(col("text"), 1, 120),
+        lit("\nel la de que y en un por con los"),
+        when(col("doc_id") % 3 === 0, "\nle la de et les des en un du que")
+          .otherwise(lit("")))
+      TextAnalysis.langMixture(
+          docs.select(col("doc_id"), page.as("page")), "doc_id", "page")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_lang_scores" -> { (s, dir) =>
       val txt = col("text")
       t(s, dir, "documents").select(
@@ -1005,6 +1023,46 @@ private[queries] object TextQueries {
         |  WHEN h_fr >= h_zh THEN 'fr'
         |  ELSE 'zh' END AS predicted_lang
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_lang_mix" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'the of and to in a is on for with' || chr(10) ||
+        |    substr(text, 1, 120) || chr(10) ||
+        |    'el la de que y en un por con los' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'le la de et les des en un du que' ELSE '' END) AS page
+        |  FROM documents),
+        |segs AS (SELECT doc_id, unnest(string_split(page, chr(10))) AS seg FROM p),
+        |ns AS (SELECT doc_id, seg FROM segs WHERE trim(seg) <> ''),
+        |f AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(seg, '\s+'),
+        |      t -> list_contains(['der','die','und','das','von','zu','mit','den','ein','ist'], t))) AS h_de,
+        |  len(list_filter(string_split_regex(seg, '\s+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','on','for','with'], t))) AS h_en,
+        |  len(list_filter(string_split_regex(seg, '\s+'),
+        |      t -> list_contains(['el','la','de','que','y','en','un','por','con','los'], t))) AS h_es,
+        |  len(list_filter(string_split_regex(seg, '\s+'),
+        |      t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS h_fr,
+        |  len(list_filter(string_split_regex(seg, '\s+'),
+        |      t -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4'], t))) AS h_zh
+        |FROM ns),
+        |sl AS (SELECT doc_id, CASE
+        |  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+        |  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+        |  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+        |  WHEN h_fr >= h_zh THEN 'fr'
+        |  ELSE 'zh' END AS seg_lang
+        |FROM f),
+        |g AS (SELECT doc_id, seg_lang, count(*) AS n FROM sl GROUP BY 1, 2),
+        |m AS (SELECT doc_id, seg_lang, n,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, seg_lang DESC) AS rk FROM g),
+        |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments,
+        |  CAST(count(*) AS BIGINT) AS n_langs FROM g GROUP BY 1)
+        |SELECT a.doc_id, a.n_segments, a.n_langs,
+        |  m.seg_lang AS majority_lang, CAST(m.n AS BIGINT) AS majority_n,
+        |  CAST(m.n AS DOUBLE) / CAST(a.n_segments AS DOUBLE) AS majority_share
+        |FROM a JOIN m ON m.doc_id = a.doc_id AND m.rk = 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_lang_confusion" ->
       """WITH f AS (SELECT doc_id, lang,

@@ -2065,6 +2065,35 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("line cleaners are idempotent: a kept line still satisfies the rules") {
+    val pages = Seq(
+      (1L, "HOME | NAV\nok\nThis line has enough lowercase prose in it.\n12345678901234\nAnother Proper Line Stays Here."),
+      (2L, "Click here\nToo short.\nThis is a proper sentence with enough words.\nEnable javascript to view this proper sentence now.")
+    ).toDF("doc_id", "page")
+    val once = TextAnalysis.lineWiseClean(pages, "page")
+      .select(col("doc_id"), col("text_clean").as("page"))
+    val twice = TextAnalysis.lineWiseClean(once, "page")
+    assert(twice.where(col("n_dropped") =!= 0).count() == 0)
+    val c4once = TextAnalysis.c4LineClean(pages, "page")
+      .select(col("doc_id"), col("text_clean").as("page"))
+    val c4twice = TextAnalysis.c4LineClean(c4once, "page")
+    assert(c4twice.where(col("n_dropped") =!= 0).count() == 0)
+  }
+
+  test("langMixture: mixed page reports its languages; pure page reports one") {
+    val pages = Seq(
+      (1L, "the of and to in a is on\nel la de que y en un por"),
+      (2L, "the of and to in a is on\nthe a and of to in is on")
+    ).toDF("doc_id", "page")
+    val byId = TextAnalysis.langMixture(pages, "doc_id", "page")
+      .select("id", "n_segments", "n_langs", "majority_lang")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(2 + 1)))).toMap
+    // doc 1: en line + es line -> 2 langs, majority tie breaks to the
+    // larger lang string (the max(struct) rule)
+    assert(byId(1L) == ((2L, 2L, "es")))
+    assert(byId(2L) == ((2L, 1L, "en")))
+  }
+
   test("stripMarkdown: hand cases — fences, links, emphasis, structure markers") {
     def strip(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.stripMarkdown(col("t"))).as[String].collect()(0)
