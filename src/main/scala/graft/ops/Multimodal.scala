@@ -530,8 +530,71 @@ object Multimodal {
     * PNG or lossless-path JPEG hashes IDENTICALLY (spec'd). None outside
     * the decoders' envelope — triage, never a throw.
     */
-  def dhash64(bytes: Array[Byte], format: String): Option[Long] = {
-    // (w, h, luma lookup in integer thousandths) per decoded format
+  def dhash64(bytes: Array[Byte], format: String): Option[Long] =
+    sampledLuma(bytes, format).map { case (w, h, luma) =>
+      val grid = Array.tabulate(8, 9) { (y, x) =>
+        luma((x * w) / 9, (y * h) / 8) // floor NN sampling
+      }
+      var hash = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (grid(y)(x + 1) > grid(y)(x)) hash |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
+  /** 64-bit DCT perceptual hash (pHash): 32×32 NN-sampled luma → 2D DCT-II
+    * → the 8×8 low-frequency block; the 63 AC coefficients compare against
+    * their own mean (bit set iff above; bit 63 stays 0). Because only AC
+    * coefficients are used and the threshold is their own mean, the hash
+    * is EXACTLY invariant under any positive linear brightness transform
+    * (a·luma + b, a > 0) — the re-grade/re-exposure robustness [[dhash64]]
+    * only has for monotone per-pixel comparisons — while crops and edits
+    * move low-frequency structure and show up as hamming distance. Same
+    * deterministic decode envelope as dhash (None outside it).
+    */
+  def phash64(bytes: Array[Byte], format: String): Option[Long] =
+    sampledLuma(bytes, format).map { case (w, h, luma) =>
+      val N = 32
+      val g = Array.tabulate(N, N) { (y, x) =>
+        luma((x * w) / N, (y * h) / N).toDouble
+      }
+      // separable DCT-II, orthonormal scaling irrelevant (mean-threshold)
+      val cosT = Array.tabulate(8, N)((u, i) =>
+        math.cos((2 * i + 1) * u * math.Pi / (2.0 * N)))
+      val rows = Array.tabulate(N, 8) { (y, u) =>
+        var s = 0.0; var x = 0
+        while (x < N) { s += g(y)(x) * cosT(u)(x); x += 1 }
+        s
+      }
+      val dct = Array.tabulate(8, 8) { (v, u) =>
+        var s = 0.0; var y = 0
+        while (y < N) { s += rows(y)(u) * cosT(v)(y); y += 1 }
+        s
+      }
+      var sum = 0.0
+      for (v <- 0 until 8; u <- 0 until 8; if v != 0 || u != 0) sum += dct(v)(u)
+      val mean = sum / 63.0
+      var hash = 0L
+      var bit = 0
+      for (v <- 0 until 8; u <- 0 until 8; if v != 0 || u != 0) {
+        if (dct(v)(u) > mean) hash |= (1L << bit)
+        bit += 1
+      }
+      hash
+    }
+
+  /** (w, h, luma lookup in integer thousandths) per decoded format — the
+    * shared deterministic decode behind [[dhash64]] and [[phash64]].
+    */
+  private[ops] def sampledLuma(bytes: Array[Byte], format: String): Option[(Int, Int, (Int, Int) => Int)] = {
     val decoded: Option[(Int, Int, (Int, Int) => Int)] = format match {
       case "image/bmp" =>
         // direct sampled reads of the stored pixel array (no full decode)
@@ -587,24 +650,7 @@ object Multimodal {
         }
       case _ => None
     }
-    decoded.map { case (w, h, luma) =>
-      val grid = Array.tabulate(8, 9) { (y, x) =>
-        luma((x * w) / 9, (y * h) / 8) // floor NN sampling
-      }
-      var hash = 0L
-      var bit = 0
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (grid(y)(x + 1) > grid(y)(x)) hash |= (1L << bit)
-          bit += 1
-          x += 1
-        }
-        y += 1
-      }
-      hash
-    }
+    decoded
   }
 
   /** 64-bit audio fingerprint — the PCM analogue of [[dhash64]]: the sample

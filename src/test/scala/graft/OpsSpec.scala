@@ -3307,6 +3307,41 @@ class BpeSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("image pHash: brightness-transform invariance, locality, distance") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val W = 16; val H = 16
+    // clamp into [10, 120] so a*v+b with a=2, b=10 stays in byte range
+    def lumA(x: Int, y: Int) = 10 + (x * 7 + y * 3) % 111
+    def lumGraded(x: Int, y: Int) = 2 * lumA(x, y) + 10          // a*v + b, a > 0
+    def lumEdit(x: Int, y: Int) = if (x == 3 && y == 4) 250 else lumA(x, y)
+    def lumOther(x: Int, y: Int) = 10 + ((W - 1 - x) * 31 + y * 17) % 111
+    def bmp(f: (Int, Int) => Int): Array[Byte] = {
+      val row = (W * 3 + 3) / 4 * 4
+      val bb = ByteBuffer.allocate(54 + row * H).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes); bb.putInt(54 + row * H); bb.putInt(0); bb.putInt(54)
+      bb.putInt(40); bb.putInt(W); bb.putInt(H); bb.putShort(1); bb.putShort(24)
+      bb.putInt(0); bb.putInt(row * H); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+      for (sy <- 0 until H) {
+        val y = H - 1 - sy
+        for (x <- 0 until W) { val v = f(x, y).toByte; bb.put(v); bb.put(v); bb.put(v) }
+        bb.put(new Array[Byte](row - W * 3))
+      }
+      bb.array()
+    }
+    val hA = Multimodal.phash64(bmp(lumA), "image/bmp").get
+    // EXACT invariance under a positive linear brightness transform: only
+    // AC coefficients are hashed and the threshold is their own mean
+    val hG = Multimodal.phash64(bmp(lumGraded), "image/bmp").get
+    assert(hA == hG, "re-graded image must pHash identically")
+    // dHash is NOT invariant here in general, pHash specifically is; a
+    // one-pixel edit moves few bits, a different image sits far away
+    val dEdit = java.lang.Long.bitCount(hA ^ Multimodal.phash64(bmp(lumEdit), "image/bmp").get)
+    assert(dEdit <= 8, s"one-pixel edit moves few pHash bits: $dEdit")
+    val dOther = java.lang.Long.bitCount(hA ^ Multimodal.phash64(bmp(lumOther), "image/bmp").get)
+    assert(dOther > 12, s"different image must sit far away: $dOther")
+    assert(Multimodal.phash64("junk".getBytes, "image/bmp").isEmpty)
+  }
+
   test("image dHash: cross-format identity, perturbation locality, near-dup pairs") {
     import java.io.ByteArrayOutputStream
     import java.nio.{ByteBuffer, ByteOrder}
