@@ -734,6 +734,22 @@ object Multimodal {
       maxHamming = maxHamming, nChunks = nChunks)
   }
 
+  /** [[imageNearDupPairs]] over [[phash64]] signatures — the re-grade-
+    * robust variant (same shared Hamming bucket machinery; pick pHash when
+    * the corpus carries re-exposed/re-graded copies, dHash for raw
+    * re-encodes).
+    */
+  def imagePhashPairs(spark: SparkSession, media: DataFrame,
+                      maxHamming: Int = 6, nChunks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val sigs = media.as[MediaRow].mapPartitions { it =>
+      it.flatMap(r => phash64(r.media, r.format)
+        .map(h => DhashRow(r.id, r.format, ok = true, h)))
+    }.toDF()
+    graft.ops.Dedup.hammingPairs(sigs, "id", "dhash",
+      maxHamming = maxHamming, nChunks = nChunks)
+  }
+
   /** Audio near-duplicate pairs over [[ahash64]] fingerprints — same shared
     * Hamming bucket machinery as the image path.
     */

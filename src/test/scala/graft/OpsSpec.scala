@@ -3340,6 +3340,19 @@ class MultimodalSpec extends SparkSpec {
     val dOther = java.lang.Long.bitCount(hA ^ Multimodal.phash64(bmp(lumOther), "image/bmp").get)
     assert(dOther > 12, s"different image must sit far away: $dOther")
     assert(Multimodal.phash64("junk".getBytes, "image/bmp").isEmpty)
+
+    // corpus-scale pairs through the shared Hamming bucket machinery: the
+    // re-graded copy pairs at distance 0, the far image pairs with nothing
+    val media = Seq(
+      (1L, bmp(lumA), "image/bmp"), (2L, bmp(lumGraded), "image/bmp"),
+      (3L, bmp(lumOther), "image/bmp"), (4L, "junk".getBytes, "image/bmp")
+    ).toDF("id", "media", "format")
+    val pairs = Multimodal.imagePhashPairs(spark, media, maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"re-graded copy at distance 0: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("image dHash: cross-format identity, perturbation locality, near-dup pairs") {
