@@ -196,13 +196,33 @@ object Similarity {
     * input to graph-based curation (hub detection, diversity sampling,
     * semantic-cluster pruning via [[Components.connectedComponents]]).
     */
+  /** Balance point of exact IVF cost: cell ASSIGNMENT is n·ncells cosines
+    * and within-cell SEARCH is n·nprobe·(n/ncells), equal at
+    * ncells = √(n·nprobe) — total Θ(n^1.5·√nprobe), the exact-IVF optimum.
+    * ANY fixed ncells is Θ(n²/ncells): the round-11 factor-30 slope
+    * measurement caught exactly this (q_knn_graph exponent 3.0 with
+    * ncells pinned at 16), which is why the default is now MEASURED —
+    * one count of the corpus that is scanned anyway (the measure-then-
+    * route discipline). Floor 16, cap 2^16 (past that the quantizer
+    * collect itself needs a hierarchical scheme).
+    */
+  private[ops] def autoNcells(n: Long, nprobe: Int): Int =
+    math.max(16, math.min(1 << 16,
+      math.ceil(math.sqrt(n.toDouble * nprobe)).toInt))
+
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               ncells: Int = 16, nprobe: Int = 2,
+               ncells: Int = -1, nprobe: Int = 2,
                quantizer: Option[DataFrame] = None,
                keepCos: Boolean = false): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
-    val seeds = quantizer.map(decodeQuantizer).getOrElse(trainSeeds(base, ncells, 0))
+    val seeds = quantizer.map(decodeQuantizer).getOrElse {
+      // ncells <= 0 = AUTO: size the quantizer to the MEASURED corpus so
+      // per-cell membership stays ~√(n/nprobe) and total work Θ(n^1.5),
+      // instead of quietly going quadratic at a fixed cell count
+      val cells = if (ncells > 0) ncells else autoNcells(base.count(), nprobe)
+      trainSeeds(base, cells, 0)
+    }
     ivfSearch(base, corpus, idCol, vecCol, k, nprobe, seeds,
       broadcastQueries = false, keepCos = keepCos)
   }
@@ -223,7 +243,7 @@ object Similarity {
     * the plan after the graph is built.
     */
   def knnMargin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-                ncells: Int = 16, nprobe: Int = 2,
+                ncells: Int = -1, nprobe: Int = 2,
                 quantizer: Option[DataFrame] = None): DataFrame = {
     val g = knnGraph(corpus, idCol, vecCol, k, ncells, nprobe, quantizer,
       keepCos = true)
@@ -257,7 +277,7 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, positives: DataFrame, idCol: String,
                     vecCol: String, k: Int, fetchK: Int,
-                    ncells: Int = 16, nprobe: Int = 2,
+                    ncells: Int = -1, nprobe: Int = 2,
                     quantizer: Option[DataFrame] = None): DataFrame = {
     require(positives.columns.length == 2,
       s"positives must have exactly (query id, positive id) columns, got ${positives.columns.toSeq}")

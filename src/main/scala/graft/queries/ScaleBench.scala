@@ -31,7 +31,8 @@ object ScaleBench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_jaccard_inv",
     "q_dedup_ngram", "q_dedup_simhash", "q_dedup_cosine", "q_semdedup",
     "q_dedup_components", "q_dedup_keep_best", "q_substr_dedup", "q_line_dedup",
-    "q_para_dedup", "q_split_leakage", "q_knn_graph", "q_ann_lsh",
+    "q_para_dedup", "q_split_leakage", "q_knn_graph", "q_knn_graph_auto",
+    "q_ann_lsh",
     // text (documents)
     "q_bpe_tokens", "q_lang_id", "q_token_count", "q_gopher",
     "q_vocab", "q_tfidf", "q_text_quality", "q_lm_perplexity",

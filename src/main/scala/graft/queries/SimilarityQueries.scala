@@ -173,6 +173,18 @@ private[queries] object SimilarityQueries {
         k = 3, ncells = 16, nprobe = 2)
         .orderBy("query_id", "rank")),
 
+    "q_knn_graph_auto" -> ((s, dir) =>
+      // AUTO-ncells twin of q_knn_graph (rows-only BY DESIGN, the _xx
+      // precedent: ncells here is a function of the MEASURED corpus count,
+      // so a fixed oracle SQL can't replay it; the pinned-ncells twin
+      // above is the correctness gate for the identical search machinery).
+      // Exists so the bench and the scale-slope harness time the default
+      // users actually run — the fixed-ncells form measured exponent 3.0
+      // at factor 30, which is what the auto default exists to fix.
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")),
+
     "q_mutual_knn" -> ((s, dir) =>
       // reciprocal top-3 pairs of the kNN graph: the hub-immune symmetric
       // core — the standard pair-mining filter before verification
