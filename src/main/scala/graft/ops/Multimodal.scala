@@ -745,8 +745,8 @@ object Multimodal {
     val sigs = media.as[MediaRow].mapPartitions { it =>
       it.flatMap(r => phash64(r.media, r.format)
         .map(h => DhashRow(r.id, r.format, ok = true, h)))
-    }.toDF()
-    graft.ops.Dedup.hammingPairs(sigs, "id", "dhash",
+    }.toDF().withColumnRenamed("dhash", "phash") // name the hash FAMILY, not the reused row shape
+    graft.ops.Dedup.hammingPairs(sigs, "id", "phash",
       maxHamming = maxHamming, nChunks = nChunks)
   }
 
@@ -758,8 +758,8 @@ object Multimodal {
     import spark.implicits._
     val sigs = media.as[MediaRow].mapPartitions { it =>
       it.flatMap(r => ahash64(r.media).map(h => DhashRow(r.id, r.format, ok = true, h)))
-    }.toDF()
-    graft.ops.Dedup.hammingPairs(sigs, "id", "dhash",
+    }.toDF().withColumnRenamed("dhash", "ahash") // name the hash FAMILY, not the reused row shape
+    graft.ops.Dedup.hammingPairs(sigs, "id", "ahash",
       maxHamming = maxHamming, nChunks = nChunks)
   }
 
@@ -787,11 +787,11 @@ object Multimodal {
             .map(h => DhashRow(r.id, r.format, ok = true, h))
         }
       }
-    }.toDF()
+    }.toDF().withColumnRenamed("dhash", "ahash")
     val csigs = corpus.as[MediaRow].mapPartitions { it =>
       it.flatMap(r => ahash64(r.media).map(h => DhashRow(r.id, r.format, ok = true, h)))
-    }.toDF()
-    graft.ops.Dedup.hammingJoin(qsigs, "id", "dhash", csigs, "id", "dhash",
+    }.toDF().withColumnRenamed("dhash", "ahash")
+    graft.ops.Dedup.hammingJoin(qsigs, "id", "ahash", csigs, "id", "ahash",
         maxHamming = maxHamming, nChunks = nChunks)
       .groupBy(col("id_l").as("query_id"), col("id_r").as("corpus_id"))
       .agg(min(col("hamming")).as("hamming"))

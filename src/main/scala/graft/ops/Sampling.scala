@@ -34,7 +34,7 @@ object Sampling {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     df.withColumn("__rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
-      .where(col("__rk") * 100 <= col("__n") * pct)
+      .where(col("__rk").cast("long") * 100L <= col("__n") * pct)
       .drop("__rk", "__n")
   }
 

@@ -50,7 +50,14 @@ object TextAnalysis {
     *
     * Keep a line iff: trimmed length ≥ `minChars` AND (it has no letters
     * OR its upper/letters ratio ≤ `maxUpperRatio`) AND (unless
-    * `requireAlpha` is off) it contains at least one lowercase letter.
+    * `requireAlpha` is off) it contains at least one lowercase letter in
+    * ANY cased script (`\p{Ll}` — Latin, Cyrillic, Greek, …). Scripts with
+    * no case (CJK, Arabic, Devanagari, …) have no lowercase AT ALL, so
+    * under defaults every line of such a document drops: route by
+    * [[scriptProfile]] first and pass `requireAlpha = false` for no-case
+    * scripts. The upper-ratio "shouty chrome" test stays ASCII [A-Z]/[A-Za-z]
+    * on purpose (the nav-bar heuristic is a Latin-web artifact; for no-case
+    * scripts letters==0 short-circuits it to pass).
     * ROW-LOCAL — one split pre-projected ONCE (CollapseProject can't
     * re-inline it per element), a codegen'd HOF filter, zero shuffle at
     * any corpus size.
@@ -67,7 +74,7 @@ object TextAnalysis {
       val lenOk = length(t) >= minChars
       val caseOk = letters === 0 ||
         upper.cast(DoubleType) / letters.cast(DoubleType) <= maxUpperRatio
-      val alphaOk = if (requireAlpha) t.rlike("[a-z]") else lit(true)
+      val alphaOk = if (requireAlpha) t.rlike("\\p{Ll}") else lit(true)
       lenOk && caseOk && alphaOk
     }
     df.withColumn("__lines", split(col(textCol), "\n"))

@@ -297,7 +297,7 @@ private[queries] object SimilarityQueries {
          |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
          |  min(fx) AS norm2fx_min,
          |  max(fx) AS norm2fx_max,
-         |  sum(fx) AS norm2fx_sum,
+         |  CAST(sum(fx) AS BIGINT) AS norm2fx_sum,
          |  CAST(sum(fx) AS DOUBLE) / (CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0) AS mean_norm2
          |FROM n""".stripMargin,
     "q_ann_lsh" -> lshAnnOracleSql(5, 4, 4, 64, 42L),

@@ -846,7 +846,7 @@ private[queries] object TextQueries {
         |    AND (length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) = 0
         |         OR CAST(length(regexp_replace(trim(l), '[^A-Z]', '', 'g')) AS DOUBLE)
         |            / CAST(length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) AS DOUBLE) <= 0.6)
-        |    AND regexp_matches(l, '[a-z]')) AS keep
+        |    AND regexp_matches(l, '\p{Ll}')) AS keep
         |  FROM s)
         |SELECT doc_id, array_to_string(keep, chr(10)) AS text_clean,
         |  CAST(len(ls) AS BIGINT) AS n_lines,

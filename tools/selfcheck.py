@@ -59,6 +59,109 @@ def lint_portable(name, schema):
     return bad
 
 
+def _arrow_family(t):
+    """Collapse an arrow type to the fetch-dtype FAMILY the driver's pandas
+    compare actually sees. All integer widths are one family (int32 vs int64
+    compare equal as Python ints); HUGEINT has no arrow analogue on the
+    Spark side so it can never appear here."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", _arrow_family(t.value_type))
+    return f"other:{t}"
+
+
+def _duck_family(ts):
+    """Collapse a DuckDB DESCRIBE type string to the same family lattice.
+    Returns (family, problem_or_None): HUGEINT/UHUGEINT and STRUCT/MAP are
+    non-portable regardless of the Spark side — pandas fetches HUGEINT as
+    float64/object (the q_embed_audit incident) and composites have
+    engine-specific canonical forms."""
+    t = ts.strip().upper()
+    if t.endswith("[]"):
+        fam, prob = _duck_family(t[:-2])
+        return ("list", fam), prob
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "int", f"{ts} — pandas fetches float64/object, not int64; CAST to BIGINT/DOUBLE in the oracle SQL"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int", None
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float", None
+    if t.startswith("DECIMAL"):
+        return "decimal", None
+    if t == "BOOLEAN":
+        return "bool", None
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "string", None
+    if t in ("BLOB", "BYTEA"):
+        return "binary", None
+    if t == "DATE":
+        return "date", None
+    if t.startswith("TIMESTAMP"):
+        return "timestamp", None
+    if t.startswith("STRUCT") or t.startswith("MAP") or t.startswith("UNION"):
+        return f"other:{ts}", f"{ts} — flatten or JSON-serialize in the oracle SQL"
+    return f"other:{ts}", None
+
+
+def lint_oracle(con, spark_schema, sql):
+    """ORACLE-side portability lint (the 4th incident of the value-identical/
+    hash-red class was on THIS side — q_embed_audit's sum(fx) HUGEINT — which
+    the Spark-schema walk above cannot see). DESCRIBEs the oracle SQL and
+    checks each output column's DuckDB fetch dtype FAMILY against the Spark
+    parquet column of the same name: intrinsically non-portable fetches
+    (HUGEINT, STRUCT/MAP) and int-vs-float-style family mismatches are
+    exactly what the driver's pandas compare hashes differently."""
+    bad = []
+    try:
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+    except Exception:
+        return bad  # a broken oracle surfaces as its own failure below
+    spark_fams = {f.name: _arrow_family(f.type) for f in spark_schema} if spark_schema is not None else {}
+    for row in desc:
+        col_name, col_type = row[0], row[1]
+        fam, prob = _duck_family(col_type)
+        if prob:
+            bad.append(f"{col_name}: {prob}")
+        elif col_name in spark_fams and fam != spark_fams[col_name]:
+            bad.append(
+                f"{col_name}: oracle fetches {col_type} ({fam}) but the Spark gate emits "
+                f"{spark_fams[col_name]} — align the families (CAST in the oracle or the gate)")
+    return bad
+
+
+def selftest():
+    """Seeded regression for the oracle-side lint: a sum(BIGINT) (HUGEINT)
+    oracle against an int64 Spark schema MUST be flagged; the cast twin must
+    pass clean."""
+    import pyarrow as pa
+    con = duckdb.connect()
+    spark_schema = pa.schema([pa.field("s", pa.int64())])
+    hot = lint_oracle(con, spark_schema, "SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)")
+    assert hot and "HUGEINT" in hot[0], f"HUGEINT case not flagged: {hot}"
+    cold = lint_oracle(con, spark_schema, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)")
+    assert not cold, f"cast twin falsely flagged: {cold}"
+    mixed = lint_oracle(con, pa.schema([pa.field("v", pa.int64())]), "SELECT 1.5 AS v")
+    assert mixed, "int-vs-decimal family mismatch not flagged"
+    print("selftest OK: HUGEINT flagged, BIGINT cast clean, family mismatch flagged")
+    return 0
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -74,6 +177,8 @@ def main(sf_dir, out_dir):
         tbl = pq.read_table(pdir)
         for msg in lint_portable(name, tbl.schema):
             failures.append((name, f"LINT non-portable gate output type — {msg}"))
+        for msg in lint_oracle(con, tbl.schema, sql):
+            failures.append((name, f"LINT non-portable ORACLE fetch dtype — {msg}"))
         s_names, s_rows = table_rows(tbl.column_names, list(zip(*[c.to_pylist() for c in tbl.columns])) if tbl.num_columns else [])
         try:
             cur = con.execute(sql)
@@ -106,4 +211,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
