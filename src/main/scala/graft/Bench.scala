@@ -54,7 +54,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}"""
+    println(full)
+    // The full line above is ~15 KB; a tail-capped log keeps only its end,
+    // which parses as nothing. Persist the complete per-query map as a file
+    // (committed per round → per-query history lives in git), then END
+    // stdout with a compact summary line that survives any tail window.
+    val parsedPath = java.nio.file.Paths.get("BENCH_PARSED.json")
+    java.nio.file.Files.write(parsedPath, full.getBytes("UTF-8"))
+    val nOk = results.count(_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_ok":$nOk,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir","queries_file":"${parsedPath.toAbsolutePath}"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -608,6 +608,39 @@ object Drift {
     acc.toDouble / (BigInt(n1) * BigInt(n2)).toDouble
   }
 
+  /** Scalar twin of [[chiSquareCategorical]] over bounded (category → count)
+    * maps — the per-window categorical drift verdict for streaming
+    * ([[graft.streaming.StreamingMonitor.categoryCountStream]] windows vs a
+    * static reference). The SAME truncated fixed-point terms
+    * ((cᵢ·n − t·nᵢ)²·10⁶ div (n·t·nᵢ)) accumulate as BigInts (BigInt `/` on
+    * the non-negative square truncates exactly like both engines' decimal
+    * `div`), so the twin is BIT-EQUAL to the distributed statistic on equal
+    * counts (spec-asserted). Zero-count entries are ignored (a category the
+    * batch counts frame would never contain).
+    *
+    * @return (n_ref, n_cur, categories, chi2_ppm)
+    */
+  def chi2OfCounts(ref: Map[String, Long], cur: Map[String, Long]): (Long, Long, Long, Long) = {
+    val n1 = ref.valuesIterator.sum
+    val n2 = cur.valuesIterator.sum
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val n = n1 + n2
+    def term(c: Long, ni: Long, t: Long): BigInt = {
+      val d = BigInt(c) * n - BigInt(t) * ni
+      d * d * 1000000 / (BigInt(t) * n * ni)
+    }
+    val cats = (ref.keySet ++ cur.keySet).filter(k =>
+      ref.getOrElse(k, 0L) + cur.getOrElse(k, 0L) > 0)
+    var acc = BigInt(0)
+    cats.foreach { k =>
+      val c1 = ref.getOrElse(k, 0L)
+      val c2 = cur.getOrElse(k, 0L)
+      val t = c1 + c2
+      acc += term(c1, n1, t) + term(c2, n2, t)
+    }
+    (n1, n2, cats.size.toLong, acc.toLong)
+  }
+
   def psiBuckets(ref: DataFrame, cur: DataFrame, valueCol: String,
                  lo: Double, hi: Double, buckets: Int,
                  eps: Double = 1e-6): DataFrame =

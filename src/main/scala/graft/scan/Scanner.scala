@@ -26,6 +26,20 @@ import scala.util.control.NonFatal
   */
 object Scanner {
 
+  /** Daemon pool for the scan's CONCURRENT passes (see `execute`): unbounded
+    * cached threads so nested pass futures can never deadlock each other;
+    * each thread spends its life blocked in a Spark action, so the pool
+    * carries no CPU weight of its own.
+    */
+  private lazy val passEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-scan-pass")
+          t.setDaemon(true)
+          t
+        }))
+
   val FrequentValuesN = 5
   val MinsMaxsN = 5
   /** Minimum per-row workload (aggregate/exploded columns) before a narrow
@@ -112,6 +126,26 @@ object Scanner {
         * exact when k covers the distinct values.
         */
       ks: Map[String, (Seq[Double], DataFrame)],
+      /** Per `mwu_reference:`-configured column: the reference's coordinated
+        * bottom-k sample plus the SAME per-window sample stream the KS
+        * monitor rides; pair collected windows with [[Drift.mwuOfSamples]]
+        * for the per-window AUC/z (bit-equal to the distributed
+        * [[Drift.mannWhitneyU]] when the sketches cover the windows).
+        */
+      mwu: Map[String, (Seq[Double], DataFrame)],
+      /** Per `w1_reference:`-configured column: same coordinated sample
+        * feed; pair collected windows with [[Drift.w1OfSamples]] for the
+        * per-window earth-mover distance in the column's own units.
+        */
+      w1: Map[String, (Seq[Double], DataFrame)],
+      /** Per `chi2_reference:`-configured column: the reference's category
+        * counts (driver-bounded by category cardinality) plus the
+        * per-window (category, cnt) stream
+        * ([[graft.streaming.StreamingMonitor.categoryCountStream]]); pair
+        * collected windows with [[Drift.chi2OfCounts]] for the per-window
+        * χ² ppm statistic.
+        */
+      chi2: Map[String, (Map[String, Long], DataFrame)],
       /** Per `benford:`-configured column: (window_start, n, benford_chi2)
         * — the first-digit chi2 per event-time window, through the SAME
         * digit classifier and literal chi2 tree as the batch audit
@@ -180,14 +214,24 @@ object Scanner {
       name -> (ref, StreamingMonitor.bucketCountStream(df, sc.timeColumn, sc.watermark,
         sc.window, name, ref.lo, ref.hi, ref.buckets))
     }.toMap
-    val ks = cols.collect { case (name, cfg) if cfg.ksReference.isDefined =>
+    // shared by the ks/mwu/w1 monitors: a reference parquet's coordinated
+    // bottom-k-by-value-hash sample (same k and hash as the window stream,
+    // so both sides keep the same value subset where they overlap) and the
+    // per-window sample stream itself
+    def refValueSample(path: String, name: String): Seq[Double] = {
       import graft.functions.QuantileSketch
-      val refDf = spark.read.parquet(cfg.ksReference.get)
-      val refSample = refDf
+      val s = spark.read.parquet(path)
         .agg(QuantileSketch.qsketch(
           xxhash64(col(name).cast(DoubleType)), col(name), KsSampleK).as("s"))
         .collect()(0).getSeq[Double](0)
-      require(refSample.nonEmpty, s"ks_reference for '$name' has no values")
+      require(s.nonEmpty, s"reference for '$name' has no values")
+      s
+    }
+    def valueSampleStream(name: String): DataFrame =
+      StreamingMonitor.ksSketchStream(df, sc.timeColumn, sc.watermark,
+        sc.window, xxhash64(col(name).cast(DoubleType)), col(name), KsSampleK)
+    val ks = cols.collect { case (name, cfg) if cfg.ksReference.isDefined =>
+      val refSample = refValueSample(cfg.ksReference.get, name)
       // per-window KS against the reference sample, computed row-locally in
       // the stream (reference bound as ONE literal; the merge walk is the
       // same count<=v / size double tree as Drift.ksOfSamples, so the
@@ -199,11 +243,32 @@ object Scanner {
         abs(size(filter(refLit, x => x <= v)).cast(DoubleType) / refN -
             size(filter(col("sample"), x => x <= v)).cast(DoubleType) /
               size(col("sample")).cast(DoubleType))))
-      val stream = StreamingMonitor.ksSketchStream(df, sc.timeColumn,
-          sc.watermark, sc.window, xxhash64(col(name).cast(DoubleType)),
-          col(name), KsSampleK)
-        .withColumn("ks_stat", ksCol)
+      val stream = valueSampleStream(name).withColumn("ks_stat", ksCol)
       name -> (refSample, stream)
+    }.toMap
+    // `mwu_reference:` / `w1_reference:` — the stochastic-shift and
+    // magnitude members of the numeric drift battery ride the SAME
+    // coordinated sample feed; per-window verdicts via the driver-side
+    // twins (Drift.mwuOfSamples / Drift.w1OfSamples), which are bit-equal
+    // to the distributed statistics when the sketches cover the windows
+    val mwu = cols.collect { case (name, cfg) if cfg.mwuReference.isDefined =>
+      name -> (refValueSample(cfg.mwuReference.get, name), valueSampleStream(name))
+    }.toMap
+    val w1 = cols.collect { case (name, cfg) if cfg.w1Reference.isDefined =>
+      name -> (refValueSample(cfg.w1Reference.get, name), valueSampleStream(name))
+    }.toMap
+    // `chi2_reference:` — the CATEGORICAL drift member: reference category
+    // counts load once (bounded by category cardinality); per-window counts
+    // stream through one windowed aggregate, verdicts via Drift.chi2OfCounts
+    val chi2 = cols.collect { case (name, cfg) if cfg.chi2Reference.isDefined =>
+      val refCounts = spark.read.parquet(cfg.chi2Reference.get)
+        .select(col(name).cast(StringType).as("k"))
+        .where(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(refCounts.nonEmpty, s"chi2_reference for '$name' has no values")
+      name -> (refCounts, StreamingMonitor.categoryCountStream(df,
+        sc.timeColumn, sc.watermark, sc.window, name))
     }.toMap
     // per-window Benford chi2: the batch audit's digit classifier +
     // literal chi2 tree riding an ordinary (watermarked) window aggregate
@@ -227,8 +292,8 @@ object Scanner {
           sc.window, if (df.isStreaming) Some(sc.watermark) else None,
           scan.coMissingness))
       else None
-    StreamingScan(quality, anomalies, psi, ks, benford, coMissing,
-      windowTests(quality, scan.tests, cols))
+    StreamingScan(quality, anomalies, psi, ks, mwu, w1, chi2, benford,
+      coMissing, windowTests(quality, scan.tests, cols))
   }
 
   /** Per-window evaluation of the scan's `tests:` over the quality frame's
@@ -440,7 +505,132 @@ object Scanner {
     }) ++ corrPairs.zipWithIndex.map { case (_, i) =>
       graft.ops.Correlation.pairCorr(s"corr_$i").as(s"__corr_$i")
     } ++ scan.rowChecks.indices.map(i => col(s"__rowcheck_$i"))
-    val row = base.select(derivedCols: _*).collect()(0)
+    // ---- passes 1-3 run as CONCURRENT Spark actions ---------------------
+    // They are independent jobs (pass 3 needs only pass 1's min/max bounds,
+    // expressed as a future chained on pass 1), so serializing them on the
+    // driver wastes wall-clock twice over: the cluster idles between
+    // actions, and each pass's whole-stage codegen compiles in its own
+    // exclusive window (measured: the cold q_scan_wide run spends more time
+    // in serialized JIT/scheduling gaps than in tasks). Concurrent actions
+    // on one SparkSession are a supported, standard pattern; result
+    // PROCESSING below stays in the original deterministic order, so the
+    // measurement stream is bit-identical to the sequential form.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = passEc
+
+    val rowF = Future { base.select(derivedCols: _*).collect()(0) }
+
+    // ---- pass 2 (launch): distinct family + frequent values (one shuffle)
+    val groupFields = fields.filter(f => metricsOf(f).exists(groupMetrics))
+    val needFreq = groupFields.zipWithIndex.filter { case (f, _) => metricsOf(f).contains("frequent_values") }
+    val needMinsMaxs = groupFields.zipWithIndex.filter { case (f, _) =>
+      isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))
+    }
+    val pass2F: Future[(Array[Row], Map[(String, Int), Array[Row]])] =
+      if (groupFields.isEmpty) Future.successful((Array.empty[Row], Map.empty))
+      else Future {
+        val valueExprs = groupFields.map { f =>
+          val cfg = cfgOf(f.name)
+          when(!missingCond(col(f.name), cfg), col(f.name).cast(StringType))
+        }
+        val exploded = widened(df, groupFields.length * 2)
+          .select(posexplode(array(valueExprs.toSeq: _*)).as(Seq("colIdx", "value")))
+          .where(col("value").isNotNull)
+        val counted = exploded.groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))
+        // Only the frequent-values / mins / maxs top-K jobs re-read counted
+        // rows; cache ONLY those columns' slices (typically a handful of
+        // distinct values) instead of materializing every column's full
+        // distinct-value set.
+        val topKIdxs = groupFields.zipWithIndex.collect {
+          case (f, idx) if metricsOf(f).contains("frequent_values") ||
+            (isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))) => idx
+        }
+        val topKSlice = if (topKIdxs.nonEmpty)
+          Some(counted.where(col("colIdx").isin(topKIdxs.toSeq: _*)).cache())
+        else None
+        try {
+          // the distinct-family aggregate and the fused top-K union are
+          // themselves independent actions over `counted` — overlap them too
+          val distinctF = Future {
+            counted.groupBy("colIdx").agg(
+              count(lit(1)).as("distinct"),
+              sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("unique_count"),
+              sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("duplicate_count"),
+              sum("cnt").as("values_cnt")
+            ).collect()
+          }
+          // frequent values / mins / maxs: every requesting column's bounded
+          // slice rides ONE fused job — a union whose branches are each a
+          // sort+limit over that column's slice of the CACHED counted frame.
+          // Each branch is per-partition-top-n + an n-row merge exchange (the
+          // TakeOrderedAndProject shape), so a high-cardinality column can
+          // never funnel its whole distinct-value set through one partition
+          // the way a Window.partitionBy("colIdx") pass does.
+          // Branch output order is NOT relied on: rows re-sort driver-side
+          // (≤ n rows each) by the same keys the branch sorted with.
+          // Columns whose every value is missing produce NO measurement (the
+          // pre-round-3 windowed pass emitted nothing for an absent colIdx).
+          def freqBranch(idx: Int): DataFrame =
+            topFrequent(topKSlice.get, idx, FrequentValuesN)
+              .select(lit("freq").as("kind"), lit(idx).as("idx"),
+                col("value"), col("cnt"), lit(null).cast(DoubleType).as("v"))
+          def edgeBranch(idx: Int, asc: Boolean): DataFrame =
+            edgeValues(topKSlice.get, idx, MinsMaxsN, asc)
+              .select(lit(if (asc) "mins" else "maxs").as("kind"), lit(idx).as("idx"),
+                lit(null).cast(StringType).as("value"), lit(null).cast(LongType).as("cnt"), col("v"))
+          val branches =
+            needFreq.map { case (_, idx) => freqBranch(idx) } ++
+            needMinsMaxs.flatMap { case (f, idx) =>
+              val ms = metricsOf(f).toSet
+              (if (ms("mins")) Seq(edgeBranch(idx, asc = true)) else Nil) ++
+                (if (ms("maxs")) Seq(edgeBranch(idx, asc = false)) else Nil)
+            }
+          val slicedF: Future[Map[(String, Int), Array[Row]]] =
+            if (branches.isEmpty) Future.successful(Map.empty)
+            else Future {
+              branches.reduce(_.unionAll(_)).collect()
+                .groupBy(r => (r.getAs[String]("kind"), r.getAs[Int]("idx")))
+            }
+          (Await.result(distinctF, Duration.Inf), Await.result(slicedF, Duration.Inf))
+        } finally topKSlice.foreach(_.unpersist())
+      }
+
+    // ---- pass 3 (launch): histograms, chained on pass 1's bounds --------
+    val histFields = fields.filter(f => isNumeric(f.dataType) && metricsOf(f).contains("histogram"))
+    val histF: Future[Option[(Map[String, (Double, Double)], Array[Row])]] =
+      if (histFields.isEmpty) Future.successful(None)
+      else rowF.map { row =>
+        // min/max ride pass 1 when requested as metrics (same alias
+        // contract as the record loop below); compute the rest in one agg
+        def fromRow(f: StructField, m: String): Option[Double] = {
+          val alias = s"${f.name}__${m}_out"
+          if (metricsOf(f).contains(m) && row.schema.fieldNames.contains(alias) &&
+              row.getAs[Any](alias) != null)
+            Some(toDouble(row.getAs[Any](alias)))
+          else None
+        }
+        val need = histFields.filter(f => fromRow(f, "min").isEmpty || fromRow(f, "max").isEmpty)
+        val extra: Map[String, (Double, Double)] = if (need.nonEmpty) {
+          val aggs = need.flatMap(f => Seq(
+            min(col(f.name)).cast(DoubleType).as(s"${f.name}__hmin"),
+            max(col(f.name)).cast(DoubleType).as(s"${f.name}__hmax")))
+          val r = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+          need.map(f => f.name -> (r.getAs[Double](s"${f.name}__hmin"), r.getAs[Double](s"${f.name}__hmax"))).toMap
+        } else Map.empty
+        val bounds = histFields.map { f =>
+          extra.get(f.name) match {
+            case Some(b) => f.name -> b
+            case None => f.name -> (fromRow(f, "min").get, fromRow(f, "max").get)
+          }
+        }.toMap
+        val histBuckets = histogramFrame(df, histFields.map(f => (f.name, bounds(f.name))).toSeq, HistogramBuckets)
+          .collect()
+        Some((bounds, histBuckets))
+      }
+
+    // ---- pass 1 (process) ------------------------------------------------
+    val row = Await.result(rowF, Duration.Inf)
     corrPairs.zipWithIndex.foreach { case ((a, b), i) =>
       val r = row.getAs[Any](s"__corr_$i")
       if (r != null)
@@ -485,136 +675,44 @@ object Scanner {
       }
     }
 
-    // ---- pass 2: distinct family + frequent values (one shuffle) --------
-    val groupFields = fields.filter(f => metricsOf(f).exists(groupMetrics))
+    // ---- pass 2 (process) ------------------------------------------------
     if (groupFields.nonEmpty) {
-      val valueExprs = groupFields.map { f =>
-        val cfg = cfgOf(f.name)
-        when(!missingCond(col(f.name), cfg), col(f.name).cast(StringType))
+      val (distinctAgg, sliced) = Await.result(pass2F, Duration.Inf)
+      distinctAgg.foreach { r =>
+        val f = groupFields(r.getAs[Int]("colIdx"))
+        val ms = metricsOf(f).toSet
+        val d = r.getAs[Long]("distinct")
+        val vc = r.getAs[Long]("values_cnt")
+        if (ms("distinct")) record(f.name, "distinct", d)
+        if (ms("unique_count")) record(f.name, "unique_count", r.getAs[Long]("unique_count"))
+        if (ms("duplicate_count")) record(f.name, "duplicate_count", r.getAs[Long]("duplicate_count"))
+        if (ms("uniqueness") && vc > 1)
+          record(f.name, "uniqueness", (d - 1).toDouble * 100.0 / (vc - 1).toDouble)
       }
-      val exploded = widened(df, groupFields.length * 2)
-        .select(posexplode(array(valueExprs.toSeq: _*)).as(Seq("colIdx", "value")))
-        .where(col("value").isNotNull)
-      val counted = exploded.groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))
-      // Only the frequent-values / mins / maxs top-K jobs re-read counted
-      // rows; cache ONLY those columns' slices (typically a handful of
-      // distinct values) instead of materializing every column's full
-      // distinct-value set. The distinct-family aggregate and the top-K jobs
-      // share the same exchange, so Spark reuses the shuffle files across
-      // jobs — an uncached full `counted` is re-aggregated, not re-scanned.
-      val topKIdxs = groupFields.zipWithIndex.collect {
-        case (f, idx) if metricsOf(f).contains("frequent_values") ||
-          (isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))) => idx
+      needFreq.foreach { case (f, idx) =>
+        val top = sliced.getOrElse(("freq", idx), Array.empty[Row])
+          .sortBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("value")))
+        if (top.nonEmpty) {
+          val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
+          measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
+        }
       }
-      val topKSlice = if (topKIdxs.nonEmpty)
-        Some(counted.where(col("colIdx").isin(topKIdxs.toSeq: _*)).cache())
-      else None
-      try {
-        val distinctAgg = counted.groupBy("colIdx").agg(
-          count(lit(1)).as("distinct"),
-          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("unique_count"),
-          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("duplicate_count"),
-          sum("cnt").as("values_cnt")
-        ).collect()
-
-        distinctAgg.foreach { r =>
-          val f = groupFields(r.getAs[Int]("colIdx"))
-          val ms = metricsOf(f).toSet
-          val d = r.getAs[Long]("distinct")
-          val vc = r.getAs[Long]("values_cnt")
-          if (ms("distinct")) record(f.name, "distinct", d)
-          if (ms("unique_count")) record(f.name, "unique_count", r.getAs[Long]("unique_count"))
-          if (ms("duplicate_count")) record(f.name, "duplicate_count", r.getAs[Long]("duplicate_count"))
-          if (ms("uniqueness") && vc > 1)
-            record(f.name, "uniqueness", (d - 1).toDouble * 100.0 / (vc - 1).toDouble)
+      needMinsMaxs.foreach { case (f, idx) =>
+        val ms = metricsOf(f).toSet
+        if (ms("mins")) {
+          val mins = sliced.getOrElse(("mins", idx), Array.empty[Row]).map(_.getAs[Double]("v")).sorted
+          if (mins.nonEmpty) measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
         }
-
-        // frequent values / mins / maxs: every requesting column's bounded
-        // slice rides ONE fused job — a union whose branches are each a
-        // sort+limit over that column's slice of the CACHED counted frame.
-        // Each branch is per-partition-top-n + an n-row merge exchange (the
-        // TakeOrderedAndProject shape), so a high-cardinality column can
-        // never funnel its whole distinct-value set through one partition
-        // the way a Window.partitionBy("colIdx") pass does — but the ~10
-        // per-column jobs this used to launch (whose scheduling/JIT spread
-        // dominated wide-scan bench variance, and which would serialize on
-        // a busy cluster scheduler) collapse into a single collect.
-        // Branch output order is NOT relied on: rows re-sort driver-side
-        // (≤ n rows each) by the same keys the branch sorted with.
-        // Columns whose every value is missing produce NO measurement (the
-        // pre-round-3 windowed pass emitted nothing for an absent colIdx).
-        val needFreq = groupFields.zipWithIndex.filter { case (f, _) => metricsOf(f).contains("frequent_values") }
-        val needMinsMaxs = groupFields.zipWithIndex.filter { case (f, _) =>
-          isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))
+        if (ms("maxs")) {
+          val maxs = sliced.getOrElse(("maxs", idx), Array.empty[Row])
+            .map(_.getAs[Double]("v")).sorted(Ordering[Double].reverse)
+          if (maxs.nonEmpty) measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
         }
-        def freqBranch(idx: Int): DataFrame =
-          topFrequent(topKSlice.get, idx, FrequentValuesN)
-            .select(lit("freq").as("kind"), lit(idx).as("idx"),
-              col("value"), col("cnt"), lit(null).cast(DoubleType).as("v"))
-        def edgeBranch(idx: Int, asc: Boolean): DataFrame =
-          edgeValues(topKSlice.get, idx, MinsMaxsN, asc)
-            .select(lit(if (asc) "mins" else "maxs").as("kind"), lit(idx).as("idx"),
-              lit(null).cast(StringType).as("value"), lit(null).cast(LongType).as("cnt"), col("v"))
-        val branches =
-          needFreq.map { case (_, idx) => freqBranch(idx) } ++
-          needMinsMaxs.flatMap { case (f, idx) =>
-            val ms = metricsOf(f).toSet
-            (if (ms("mins")) Seq(edgeBranch(idx, asc = true)) else Nil) ++
-              (if (ms("maxs")) Seq(edgeBranch(idx, asc = false)) else Nil)
-          }
-        if (branches.nonEmpty) {
-          val sliced = branches.reduce(_.unionAll(_)).collect()
-            .groupBy(r => (r.getAs[String]("kind"), r.getAs[Int]("idx")))
-          needFreq.foreach { case (f, idx) =>
-            val top = sliced.getOrElse(("freq", idx), Array.empty)
-              .sortBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("value")))
-            if (top.nonEmpty) {
-              val gvs = top.map(r => GroupValue(Map("value" -> r.getAs[String]("value")), r.getAs[Long]("cnt").toString))
-              measurements += Measurement("frequent_values", Some(f.name), None, gvs.toSeq)
-            }
-          }
-          needMinsMaxs.foreach { case (f, idx) =>
-            val ms = metricsOf(f).toSet
-            if (ms("mins")) {
-              val mins = sliced.getOrElse(("mins", idx), Array.empty).map(_.getAs[Double]("v")).sorted
-              if (mins.nonEmpty) measurements += Measurement("mins", Some(f.name), Some(mins.toSeq))
-            }
-            if (ms("maxs")) {
-              val maxs = sliced.getOrElse(("maxs", idx), Array.empty)
-                .map(_.getAs[Double]("v")).sorted(Ordering[Double].reverse)
-              if (maxs.nonEmpty) measurements += Measurement("maxs", Some(f.name), Some(maxs.toSeq))
-            }
-          }
-        }
-      } finally topKSlice.foreach(_.unpersist())
+      }
     }
 
-    // ---- pass 3: histograms (one job for all histogram columns) ---------
-    val histFields = fields.filter(f => isNumeric(f.dataType) && metricsOf(f).contains("histogram"))
-    if (histFields.nonEmpty) {
-      // min/max may not be requested as metrics; compute if absent
-      val bounds: Map[String, (Double, Double)] = {
-        val need = histFields.filter { f =>
-          !(metricValues.contains((Some(f.name), "min")) && metricValues.contains((Some(f.name), "max")))
-        }
-        val extra: Map[String, (Double, Double)] = if (need.nonEmpty) {
-          val aggs = need.flatMap(f => Seq(
-            min(col(f.name)).cast(DoubleType).as(s"${f.name}__hmin"),
-            max(col(f.name)).cast(DoubleType).as(s"${f.name}__hmax")))
-          val r = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
-          need.map(f => f.name -> (r.getAs[Double](s"${f.name}__hmin"), r.getAs[Double](s"${f.name}__hmax"))).toMap
-        } else Map.empty
-        histFields.map { f =>
-          extra.get(f.name) match {
-            case Some(b) => f.name -> b
-            case None => f.name -> (
-              toDouble(metricValues((Some(f.name), "min"))),
-              toDouble(metricValues((Some(f.name), "max"))))
-          }
-        }.toMap
-      }
-      val histBuckets = histogramFrame(df, histFields.map(f => (f.name, bounds(f.name))).toSeq, HistogramBuckets)
-        .collect()
+    // ---- pass 3 (process) ------------------------------------------------
+    Await.result(histF, Duration.Inf).foreach { case (bounds, histBuckets) =>
       histBuckets.groupBy(_.getAs[Int]("colIdx")).foreach { case (idx, rows) =>
         val f = histFields(idx)
         val byBucket = rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap

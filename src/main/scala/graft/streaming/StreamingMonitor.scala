@@ -187,6 +187,25 @@ object StreamingMonitor {
       .select(col("w.start").as("window_start"), col("bucket"), col("cnt"))
   }
 
+  /** Windowed (category, count) feed for the CATEGORICAL drift monitor —
+    * the streaming half of the `chi2_reference:` scan key: pair each
+    * collected window's count map with [[graft.scan.Drift.chi2OfCounts]]
+    * against a static reference for the per-window χ² ppm statistic (the
+    * twin replays the batch statistic's truncated integer terms, so it is
+    * bit-equal on equal counts). NULL categories are excluded, matching
+    * the batch [[graft.scan.Drift.chiSquareCategorical]]. One windowed
+    * aggregate with map-side combine; output bounded by windows × category
+    * cardinality.
+    */
+  def categoryCountStream(df: DataFrame, tsCol: String, watermark: String,
+                          duration: String, valueCol: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(valueCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(window(col(tsCol), duration).as("w"), col("k").as("category"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("category"), col("cnt"))
+
   /** Windowed SUCCESS/TOTAL counts of a boolean predicate — the feed for
     * per-window rate monitoring ("did this hour's validity/conversion/
     * match rate move vs the reference") via [[graft.scan.Drift

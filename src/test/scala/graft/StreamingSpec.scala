@@ -1463,6 +1463,109 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift battery parity: mwu/w1/chi2 reference keys served by executeStream") {
+    import spark.implicits._
+    import graft.scan.{Drift, Scanner}
+    implicit val sqlCtx = spark.sqlContext
+
+    val refDir = java.nio.file.Files.createTempDirectory("scan-drift-ref").toString
+    // numeric reference = the hour-0 regime; categorical reference mix 8:4
+    (1 to 20).map(_.toDouble).toDF("v").write.parquet(s"$refDir/vals")
+    (Seq.fill(8)("a") ++ Seq.fill(4)("b")).toDF("cat").write.parquet(s"$refDir/cats")
+
+    val yaml =
+      s"""table_name: events
+         |stream:
+         |  time_column: ts
+         |  watermark: 10 minutes
+         |  window: 1 hour
+         |columns:
+         |  v:
+         |    mwu_reference: $refDir/vals
+         |    w1_reference: $refDir/vals
+         |  cat:
+         |    chi2_reference: $refDir/cats
+         |""".stripMargin
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def catOf(i: Int, flip: Boolean): String =
+      if (i > 12) null
+      else if ((i % 3 == 0) != flip) "b"
+      else "a" // 12 rows per hour: 8:4 matching the reference, flipped to 4:8
+    // hour 0 = the reference regime exactly; hour 1 = +50 value shift and
+    // an inverted category mix
+    val w0 = (1 to 20).map(i => (ts(0, i), i.toDouble, catOf(i, flip = false)))
+    val w1 = (1 to 20).map(i => (ts(1, i), i.toDouble + 50.0, catOf(i, flip = true)))
+
+    val stream = MemoryStream[(Timestamp, Double, String)]
+    val df = stream.toDF().toDF("ts", "v", "cat")
+    val scan = Scanner.executeStreamYaml(spark, df, yaml)
+    assert(scan.mwu.keySet == Set("v") && scan.w1.keySet == Set("v"))
+    assert(scan.chi2.keySet == Set("cat"))
+    val (mwuRef, mwuStream) = scan.mwu("v")
+    val (w1Ref, w1Stream) = scan.w1("v")
+    assert(mwuRef.sorted == (1 to 20).map(_.toDouble) && w1Ref.sorted == mwuRef.sorted)
+    val (chi2Ref, chi2Stream) = scan.chi2("cat")
+    assert(chi2Ref == Map("a" -> 8L, "b" -> 4L))
+
+    val q1 = mwuStream.writeStream.format("memory").queryName("drift_mwu")
+      .outputMode("complete").start()
+    val q2 = chi2Stream.writeStream.format("memory").queryName("drift_chi2")
+      .outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    Seq(q1, q2).foreach(_.processAllAvailable())
+    val samples = spark.table("drift_mwu")
+      .select(col("window_start"), col("sample"))
+      .as[(Timestamp, Seq[Double])].collect().sortBy(_._1.getTime)
+    val catCounts = spark.table("drift_chi2")
+      .select(col("window_start"), col("category"), col("cnt"))
+      .as[(Timestamp, String, Long)].collect()
+    Seq(q1, q2).foreach(_.stop())
+
+    // --- MWU verdicts: hour 0 = no shift, hour 1 = total upward shift ---
+    val (_, _, auc0, z0) = Drift.mwuOfSamples(mwuRef, samples(0)._2)
+    assert(auc0 == 0.5 && z0.contains(0.0))
+    val (_, _, auc1, z1) = Drift.mwuOfSamples(mwuRef, samples(1)._2)
+    assert(auc1 == 0.0 && z1.get < -5.0)
+    // wiring parity with the distributed statistic on the same frames
+    val batchRow = Drift.mannWhitneyU(mwuRef.toDF("v"),
+      samples(1)._2.toDF("v"), "v").collect()(0)
+    assert(batchRow.getDouble(4) == auc1)
+
+    // --- W1 verdicts: zero mass moved, then exactly +50 units ---
+    assert(Drift.w1OfSamples(w1Ref, samples(0)._2) == 0.0)
+    assert(Drift.w1OfSamples(w1Ref, samples(1)._2) == 50.0)
+
+    // --- chi2 verdicts: identical mix reads 0, the inverted mix reads the
+    // batch statistic bit-for-bit ---
+    val byWindow = catCounts.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.map(r => r._2 -> r._3).toMap
+    }
+    val wins = byWindow.keys.toSeq.sortBy(_.getTime)
+    assert(byWindow(wins(0)) == Map("a" -> 8L, "b" -> 4L))
+    assert(byWindow(wins(1)) == Map("a" -> 4L, "b" -> 8L))
+    assert(Drift.chi2OfCounts(chi2Ref, byWindow(wins(0))) == ((12L, 12L, 2L, 0L)))
+    val (n1, n2, cats, ppm) = Drift.chi2OfCounts(chi2Ref, byWindow(wins(1)))
+    val batch = Drift.chiSquareCategorical(
+      (Seq.fill(8)("a") ++ Seq.fill(4)("b")).toDF("cat"),
+      (Seq.fill(4)("a") ++ Seq.fill(8)("b")).toDF("cat"), "cat").collect()(0)
+    assert((n1, n2, cats, ppm) ==
+      ((batch.getLong(0), batch.getLong(1), batch.getLong(2), batch.getLong(3))))
+    assert(ppm > 0L)
+
+    // --- backfill parity: the same YAML over the same rows as a BATCH
+    // frame yields identical sample windows and category counts ---
+    val batchScan = Scanner.executeStreamYaml(spark, (w0 ++ w1).toDF("ts", "v", "cat"), yaml)
+    val batchSamples = batchScan.mwu("v")._2
+      .select(col("window_start"), col("sample"))
+      .as[(Timestamp, Seq[Double])].collect().sortBy(_._1.getTime)
+    assert(batchSamples.map(s => (s._1, s._2.sorted)).toSeq ==
+      samples.map(s => (s._1, s._2.sorted)).toSeq)
+    val batchCats = batchScan.chi2("cat")._2
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(batchCats == catCounts.toSet)
+  }
+
   test("windowed rate monitor: per-window counts, prop-test twin parity, null exclusion") {
     import spark.implicits._
     import graft.scan.Drift
