@@ -163,6 +163,106 @@ object Similarity {
   def loadQuantizer(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Decoded two-level quantizer: level-1 centroids + per-top (global cell
+    * id, centroid) sub-tables. Driver/closure-held — the whole structure is
+    * ncells×dim doubles, shipped to executors once per stage via the task
+    * binary broadcast, never bound as a plan literal.
+    */
+  private[ops] final case class HQuantizer(tops: Array[Array[Double]],
+                                           subIds: Array[Array[Int]],
+                                           subVecs: Array[Array[Array[Double]]]) {
+    def ncells: Int = subIds.iterator.map(_.length).sum
+  }
+
+  /** Train the TWO-LEVEL coarse quantizer for cell counts past the flat
+    * literal route's caps: `ntop = ⌈√ncells⌉` level-1 seeds via the flat
+    * trainer, corpus assigned to tops ROW-LOCALLY through the closure
+    * expression ([[graft.functions.IvfCellsExpr]] — no literal), then each
+    * top's `⌈ncells/ntop⌉` smallest-id members become its sub-cells
+    * (deterministic, the flat smallest-id-init discipline per block).
+    * Global cell ids are dense 0..ncells-1 in (top, member-rank) order, so
+    * a 1-top quantizer's assignment is BIT-EQUAL to the flat route's
+    * (spec-asserted). Training cost: one ntop-collect + one row-local
+    * assignment pass + one group-bounded top-nsub window — never an
+    * all-cells literal, never an unbounded collect.
+    */
+  private[ops] def trainHierarchicalSeeds(base: DataFrame, ncells: Int,
+                                          ntopIn: Int = -1): HQuantizer = {
+    require(ncells >= 1)
+    val ntop = if (ntopIn > 0) ntopIn
+      else math.max(2, math.ceil(math.sqrt(ncells.toDouble)).toInt)
+    val topSeeds = trainSeeds(base, ntop, 0).map(_._2.toArray)
+    if (topSeeds.isEmpty) return HQuantizer(Array.empty, Array.empty, Array.empty)
+    val nsub = math.max(1, math.ceil(ncells.toDouble / ntop).toInt)
+    val w = Window.partitionBy("top").orderBy("neighbor_id")
+    val subRows = base
+      .withColumn("top", graft.functions.IvfCells.bestFlat(col("cv"), topSeeds))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= nsub)
+      .select(col("top"), col("__rk"), col("cv"))
+      .collect()
+    val byTop = subRows.groupBy(_.getInt(0))
+    val subIds = new Array[Array[Int]](topSeeds.length)
+    val subVecs = new Array[Array[Array[Double]]](topSeeds.length)
+    var nextId = 0
+    var t = 0
+    while (t < topSeeds.length) {
+      val rows = byTop.getOrElse(t, Array.empty[org.apache.spark.sql.Row])
+        .sortBy(_.getInt(1))
+      subIds(t) = Array.tabulate(rows.length)(i => nextId + i)
+      subVecs(t) = rows.map(_.getSeq[Double](2).toArray)
+      nextId += rows.length
+      t += 1
+    }
+    HQuantizer(topSeeds, subIds, subVecs)
+  }
+
+  /** [[trainHierarchicalSeeds]] as a persistable frame — schema
+    * (level, cell, top, centroid): level-1 rows carry the top centroids
+    * (cell = top id), level-2 rows the sub-cells with their GLOBAL ids.
+    * Round-trips through [[saveQuantizer]]/[[loadQuantizer]]; [[knnGraph]]
+    * recognizes the `level` column and routes to the closure-expression
+    * assigner automatically.
+    */
+  def trainHierarchicalQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                                 ncells: Int, ntop: Int = -1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val hq = trainHierarchicalSeeds(base, ncells, ntop)
+    val topRows = hq.tops.zipWithIndex.map { case (c, t) => (1, t, t, c.toSeq) }
+    val subRows = for {
+      t <- hq.subIds.indices
+      j <- hq.subIds(t).indices
+    } yield (2, hq.subIds(t)(j), t, hq.subVecs(t)(j).toSeq)
+    (topRows.toSeq ++ subRows).toDF("level", "cell", "top", "centroid")
+  }
+
+  /** Bounded decode of a (level, cell, top, centroid) hierarchical
+    * quantizer frame back to the closure-held structure.
+    */
+  private[ops] def decodeHQuantizer(quantizer: DataFrame): HQuantizer = {
+    val rows = quantizer
+      .select(col("level").cast(IntegerType), col("cell").cast(IntegerType),
+        col("top").cast(IntegerType), col("centroid"))
+      .collect()
+    val tops = rows.filter(_.getInt(0) == 1).sortBy(_.getInt(2))
+      .map(_.getSeq[Double](3).toArray)
+    val subs = rows.filter(_.getInt(0) == 2).groupBy(_.getInt(2))
+    val subIds = new Array[Array[Int]](tops.length)
+    val subVecs = new Array[Array[Array[Double]]](tops.length)
+    var t = 0
+    while (t < tops.length) {
+      val rs = subs.getOrElse(t, Array.empty[org.apache.spark.sql.Row])
+        .sortBy(_.getInt(1))
+      subIds(t) = rs.map(_.getInt(1))
+      subVecs(t) = rs.map(_.getSeq[Double](3).toArray)
+      t += 1
+    }
+    HQuantizer(tops, subIds, subVecs)
+  }
+
   /** IVF search against a PRE-TRAINED quantizer frame (from
     * [[trainIvfQuantizer]] / [[loadQuantizer]]): same plan as [[ivfTopK]],
     * zero training scans — only the bounded (ncells × dim) centroid collect.
@@ -210,21 +310,94 @@ object Similarity {
     math.max(16, math.min(1 << 16,
       math.ceil(math.sqrt(n.toDouble * nprobe)).toInt))
 
+  /** The UNCAPPED balance point — the router below decides which assignment
+    * tier serves it (flat literal / hierarchical closure).
+    */
+  private[ops] def autoNcellsRaw(n: Long, nprobe: Int): Long =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble * nprobe)).toLong)
+
+  /** Flat-literal route caps, both conf-overridable (tests force routes;
+    * deployments tune them):
+    *  - `spark.graft.similarity.maxFlatCells` (default 2^16): past this the
+    *    per-row assignment cost (ncells cosines) wants the two-level form;
+    *  - `spark.graft.similarity.maxLiteralMatrixCells` (default 2^20
+    *    ncells×dim doubles ≈ 8 MB): past this the `typedLit` centroid
+    *    matrix measurably stalls the DRIVER — at the 2^16×64 cap the
+    *    literal is ~33 MB of plan constant and every analyze/execute pass
+    *    re-walks it (measured in PLANS.md round-12), while the closure
+    *    expression is O(1) in ncells on the driver.
+    * Hierarchical cell counts cap at 2^20 (the closure is ncells×dim
+    * doubles in the task binary — ~0.5 GB at dim 64 past that; a corpus
+    * that wants more than 2^20 cells means n·nprobe > 2^40 ≈ a trillion
+    * vectors, where the quantizer itself should become a distributed
+    * join-assigned table rather than any driver-held structure).
+    */
+  val MaxFlatCells: Int = 1 << 16
+  val MaxLiteralMatrixCells: Long = 1L << 20
+  val MaxHierCells: Int = 1 << 20
+
+  /** Above this the AUTO route swaps the literal expressions for the
+    * closure expression even while flat (same results bit-for-bit,
+    * spec-asserted; measured ~6× faster per row at 1024 cells and ~10× at
+    * 65536 — PLANS.md round-12). Explicit-ncells calls and pre-trained flat
+    * quantizers keep the literal form: their plans stay SQL-transparent
+    * (the oracled gates' shape) and their cell counts are small by
+    * construction.
+    */
+  val AutoClosureMinCells: Int = 256
+
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                ncells: Int = -1, nprobe: Int = 2,
                quantizer: Option[DataFrame] = None,
                keepCos: Boolean = false): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
-    val seeds = quantizer.map(decodeQuantizer).getOrElse {
-      // ncells <= 0 = AUTO: size the quantizer to the MEASURED corpus so
-      // per-cell membership stays ~√(n/nprobe) and total work Θ(n^1.5),
-      // instead of quietly going quadratic at a fixed cell count
-      val cells = if (ncells > 0) ncells else autoNcells(base.count(), nprobe)
-      trainSeeds(base, cells, 0)
+    quantizer match {
+      case Some(qf) if qf.columns.contains("level") =>
+        // pre-trained TWO-LEVEL quantizer → closure-expression assigner
+        ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe,
+          new HierAssigner(decodeHQuantizer(qf), nprobe),
+          broadcastQueries = false, keepCos = keepCos)
+      case Some(qf) =>
+        ivfSearch(base, corpus, idCol, vecCol, k, nprobe, decodeQuantizer(qf),
+          broadcastQueries = false, keepCos = keepCos)
+      case None =>
+        // ncells <= 0 = AUTO: size the quantizer to the MEASURED corpus so
+        // per-cell membership stays ~√(n/nprobe) and total work Θ(n^1.5),
+        // instead of quietly going quadratic at a fixed cell count — then
+        // ROUTE on the size: flat literal while both caps hold,
+        // hierarchical closure assignment past them
+        val wanted: Long =
+          if (ncells > 0) ncells.toLong else autoNcellsRaw(base.count(), nprobe)
+        val maxFlat = confLong(corpus, "spark.graft.similarity.maxFlatCells", MaxFlatCells)
+        val maxLit = confLong(corpus, "spark.graft.similarity.maxLiteralMatrixCells", MaxLiteralMatrixCells)
+        // dim only matters near the literal cap — don't spend a job on it
+        // for the common small-quantizer call
+        def litOk: Boolean = wanted <= 2048 || {
+          val dim = base.select(org.apache.spark.sql.functions.size(col("cv")))
+            .head.getInt(0)
+          wanted * dim <= maxLit
+        }
+        if (wanted <= maxFlat && litOk) {
+          val seeds = trainSeeds(base, wanted.toInt, 0)
+          // small quantizers keep the SQL-transparent literal plan (the
+          // oracled gates' form); bigger flat quantizers swap to the
+          // closure expression — identical results, measured 6-10× faster
+          val assigner: CellAssigner =
+            if (wanted <= AutoClosureMinCells) new FlatAssigner(seeds, nprobe)
+            else new FlatClosureAssigner(seeds.map(_._2.toArray), nprobe)
+          ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe, assigner,
+            broadcastQueries = false, keepCos = keepCos)
+        } else {
+          val target = math.min(wanted, MaxHierCells.toLong).toInt
+          ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe,
+            new HierAssigner(trainHierarchicalSeeds(base, target), nprobe),
+            broadcastQueries = false, keepCos = keepCos)
+        }
     }
-    ivfSearch(base, corpus, idCol, vecCol, k, nprobe, seeds,
-      broadcastQueries = false, keepCos = keepCos)
   }
 
   /** Ratio-margin re-scoring of the kNN graph (Artetxe & Schwenk ACL'19, the
@@ -340,6 +513,51 @@ object Similarity {
       corpus.join(hubs, Seq(idCol), "left_anti"), idCol, fraction)
   }
 
+  /** Row-local cell assignment, abstracted over the two tiers: the flat
+    * literal expressions (plan-bound centroid matrix, SQL-replayable — the
+    * oracled gates' form) and the hierarchical closure expression
+    * ([[graft.functions.IvfCellsExpr]] — matrices in the task binary, for
+    * cell counts past the literal caps).
+    */
+  private sealed trait CellAssigner {
+    def bestCell(v: Column): Column
+    def probedCells(v: Column): Column // array<cell id>, best first
+  }
+  private final class FlatAssigner(seeds: Array[(Int, Seq[Double])],
+                                   nprobe: Int) extends CellAssigner {
+    // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
+    private def cellScores(v: Column): Column = cellScoresBound(v, seeds)
+    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
+    def probedCells(v: Column): Column =
+      slice(reverse(array_sort(cellScores(v))), 1, nprobe).getField("cell")
+  }
+  /** The FLAT ranking through the closure expression — bit-equal results to
+    * [[FlatAssigner]] (spec-asserted), ~6× faster per row at ncells ≥ 1024
+    * (tight primitive loop vs the HOF walk over a plan literal; measured in
+    * PLANS.md round-12) and O(1) plan size. The auto knnGraph route picks
+    * it between [[AutoClosureMinCells]] and the flat cap.
+    */
+  private final class FlatClosureAssigner(seedVecs: Array[Array[Double]],
+                                          nprobe: Int) extends CellAssigner {
+    def bestCell(v: Column): Column =
+      graft.functions.IvfCells.bestFlat(v, seedVecs)
+    def probedCells(v: Column): Column =
+      graft.functions.IvfCells.probed(v, seedVecs, Array.empty, Array.empty,
+        nprobe, 1)
+  }
+
+  private final class HierAssigner(hq: HQuantizer, nprobe: Int) extends CellAssigner {
+    // expanding nprobe+1 tops keeps probe recall close to the flat ranking
+    // at 2√ncells per-row cost (the recall/cost dial of the hierarchy)
+    private val expandTops = math.min(math.max(1, hq.tops.length), nprobe + 1)
+    def bestCell(v: Column): Column =
+      element_at(graft.functions.IvfCells.probed(v, hq.tops, hq.subIds,
+        hq.subVecs, 1, expandTops), 1)
+    def probedCells(v: Column): Column =
+      graft.functions.IvfCells.probed(v, hq.tops, hq.subIds, hq.subVecs,
+        nprobe, expandTops)
+  }
+
   /** Probed-cell candidate join + exact cosine top-K over given seeds.
     * `broadcastQueries = false` is the full-corpus (kNN graph) shape: a
     * plain shuffle join on the cell id with no broadcast hint.
@@ -348,18 +566,20 @@ object Similarity {
                         idCol: String, vecCol: String, k: Int, nprobe: Int,
                         seeds: Array[(Int, Seq[Double])],
                         broadcastQueries: Boolean = true,
-                        keepCos: Boolean = false): DataFrame = {
-    // array of (cos-to-seed, cellId) structs; struct ordering ranks by cos
-    def cellScores(v: Column): Column = cellScoresBound(v, seeds)
-    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
-    def probedCells(v: Column): Column =
-      slice(reverse(array_sort(cellScores(v))), 1, nprobe)
+                        keepCos: Boolean = false): DataFrame =
+    ivfSearchWith(base, queries, idCol, vecCol, k, nprobe,
+      new FlatAssigner(seeds, nprobe), broadcastQueries, keepCos)
 
-    val corpusCells = base.withColumn("cell", bestCell(col("cv")))
+  private def ivfSearchWith(base: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int, nprobe: Int,
+                            assigner: CellAssigner,
+                            broadcastQueries: Boolean,
+                            keepCos: Boolean): DataFrame = {
+    val corpusCells = base.withColumn("cell", assigner.bestCell(col("cv")))
     val q = queries.select(col(idCol).as("query_id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(probedCells(col("qv")).getField("cell")).as("cell"))
+        explode(assigner.probedCells(col("qv"))).as("cell"))
 
     val qSide = if (broadcastQueries) broadcast(q) else q
     val scored = corpusCells.join(qSide, Seq("cell"))
