@@ -372,7 +372,13 @@ object Main {
             s"ks_$c" -> df.select(col("window_start"), col("n_sample"), col("ks_stat"))
           } ++
           scan.benford.toSeq.map { case (c, df) => s"benford_$c" -> df } ++
-          scan.coMissing.toSeq.map(df => "co_missingness" -> df)
+          scan.coMissing.toSeq.map(df => "co_missingness" -> df) ++
+          // the rest of the drift battery: per-window coordinated samples
+          // (mwu/w1 verdicts computed against the reference in the
+          // bounded post-pass below) and category counts (chi2 likewise)
+          scan.mwu.toSeq.map { case (c, (_, df)) => s"mwu_$c" -> df } ++
+          scan.w1.toSeq.map { case (c, (_, df)) => s"w1_$c" -> df } ++
+          scan.chi2.toSeq.map { case (c, (_, df)) => s"chi2_$c" -> df }
 
       def parquetFiles(sub: String): Set[String] = {
         val d = new java.io.File(s"$outDir/$sub")
@@ -408,6 +414,45 @@ object Main {
             }
             n
           }
+        // drift verdicts over everything sunk so far (window count bounded):
+        // the per-window halves of the mwu/w1/chi2 reference monitors,
+        // paired with the loaded references through the driver-side twins
+        // (bit-equal to the distributed statistics — StreamingSpec)
+        def windowsOf(sub: String): Seq[org.apache.spark.sql.Row] = {
+          val d = new java.io.File(s"$outDir/$sub")
+          if (!d.isDirectory || parquetFiles(sub).isEmpty) Seq.empty
+          else spark.read.parquet(d.getPath).collect().toSeq
+        }
+        scan.mwu.foreach { case (c, (ref, _)) =>
+          windowsOf(s"mwu_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+            .foreach { r =>
+              val s = r.getSeq[Double](r.fieldIndex("sample"))
+              if (s.nonEmpty) {
+                val (_, _, auc, z) = graft.scan.Drift.mwuOfSamples(ref, s)
+                println(f"  MWU   column=$c window=${r.getAs[Any]("window_start")} auc=$auc%.4f z=${z.map(v => f"$v%.2f").getOrElse("null")}")
+              }
+            }
+        }
+        scan.w1.foreach { case (c, (ref, _)) =>
+          windowsOf(s"w1_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+            .foreach { r =>
+              val s = r.getSeq[Double](r.fieldIndex("sample"))
+              if (s.nonEmpty)
+                println(f"  W1    column=$c window=${r.getAs[Any]("window_start")} w1=${graft.scan.Drift.w1OfSamples(ref, s)}%.4f")
+            }
+        }
+        scan.chi2.foreach { case (c, (ref, _)) =>
+          windowsOf(s"chi2_$c")
+            .groupBy(_.getAs[java.sql.Timestamp]("window_start"))
+            .toSeq.sortBy(_._1.getTime)
+            .foreach { case (w, rows) =>
+              val cur = rows.map(r => r.getAs[String]("category") -> r.getAs[Long]("cnt")).toMap
+              if (cur.valuesIterator.sum > 0) {
+                val (_, _, _, ppm) = graft.scan.Drift.chi2OfCounts(ref, cur)
+                println(s"  CHI2  column=$c window=$w chi2_ppm=$ppm")
+              }
+            }
+        }
         println(s"stream scan complete: ${monitors.size} monitors, $failed failed window tests this run")
         if (failed > 0) 1 else 0
       }

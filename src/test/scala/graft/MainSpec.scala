@@ -135,8 +135,11 @@ class MainSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli-stream").toString
     try {
       val logDir = s"$dir/log"; val outDir = s"$dir/out"; val yml = s"$dir/scan.yml"
+      // drift references for the battery monitors riding the same scan.yml
+      Seq(10.0, 20.0, 30.0).toDF("value").write.parquet(s"$dir/ref_vals")
+      Seq("click", "click", "view").toDF("event_type").write.parquet(s"$dir/ref_cats")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(yml),
-        """table_name: events
+        s"""table_name: events
           |stream:
           |  time_column: timestamp
           |  watermark: 10 seconds
@@ -146,8 +149,12 @@ class MainSpec extends SparkSpec {
           |columns:
           |  value:
           |    valid_max: 100
+          |    mwu_reference: $dir/ref_vals
+          |    w1_reference: $dir/ref_vals
           |    tests:
           |    - invalid_count == 0
+          |  event_type:
+          |    chi2_reference: $dir/ref_cats
           |""".stripMargin)
       // window 0 (hour 0): 3 events, one invalid (500 > valid_max)
       StreamLog.appendSegment(spark, logDir, Seq(
@@ -173,6 +180,20 @@ class MainSpec extends SparkSpec {
         .select(col("window_start").cast("string"), col("row_count"), col("value_invalid"))
         .as[(String, Long, Long)].collect().toSet
       assert(quality == Set(("2024-01-01 00:00:00", 3L, 1L)))
+
+      // the drift-battery monitors sank window 0 alongside the verdicts:
+      // the coordinated sample for mwu/w1 and the category counts for chi2
+      val mwuSample = spark.read.parquet(s"$outDir/mwu_value")
+        .select(col("window_start").cast("string"), col("sample"))
+        .as[(String, Seq[Double])].collect().toSeq
+      assert(mwuSample.map(_._1) == Seq("2024-01-01 00:00:00") &&
+        mwuSample.head._2.sorted == Seq(10.0, 20.0, 500.0))
+      assert(spark.read.parquet(s"$outDir/w1_value").count() == 1)
+      val chi2Counts = spark.read.parquet(s"$outDir/chi2_event_type")
+        .select(col("window_start").cast("string"), col("category"), col("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      assert(chi2Counts == Set(("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 00:00:00", "view", 1L)))
 
       // run 2: nothing new appended -> checkpoint skips everything -> exit 0
       assert(Main.run(cliArgs, Some(spark)) == 0)
