@@ -1251,6 +1251,72 @@ object Dedup {
     }
   }
 
+  /** [[cosinePairs]] with the measure-then-route guard ([[jaccardPairsAuto]]
+    * / [[semDedupBlocks]] discipline) closing the last unguarded quadratic:
+    * fixed LABEL blocking is only safe while every block's pair count
+    * n·(n−1)/2 fits the budget, and a skewed label distribution (one
+    * dominant language/domain) silently breaks that. ONE count aggregate
+    * over the block column decides the route: cold corpora run the exact
+    * within-block join unchanged (bit-identical to [[cosinePairs]],
+    * spec-asserted); a hot block is split k = ⌈pairs/budget⌉ ways (cap
+    * [[MaxSemDedupSubSeeds]], logged) by the deterministic sub-quantizer
+    * seeded with the block's k smallest-id vectors — members of a TIGHT
+    * duplicate cluster share an argmax and stay together, the split is
+    * dedup-preserving on the clusters the threshold targets (cross-sub
+    * pairs of merely-similar vectors are the documented recall trade;
+    * [[semDedup]] is the first-class scale path when that matters).
+    *
+    * Block cardinality must be driver-bounded (it is a LABEL column by
+    * contract — language, source, domain bucket), exactly like the
+    * [[semDedupBlocks]] cell histogram.
+    */
+  def cosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                      blockCol: String, threshold: Double,
+                      maxPairsPerBlock: Long = 25000000L): DataFrame = {
+    require(maxPairsPerBlock > 0, "maxPairsPerBlock must be positive")
+    def pairsOf(n: Long): Long = n * (n - 1) / 2
+    val counts = df.where(col(blockCol).isNotNull)
+      .groupBy(col(blockCol).cast(StringType).as("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val splits: Map[String, Int] = counts.collect {
+      case (b, n) if pairsOf(n) > maxPairsPerBlock =>
+        val k = (pairsOf(n) + maxPairsPerBlock - 1) / maxPairsPerBlock
+        b -> math.min(n, math.min(k, MaxSemDedupSubSeeds.toLong)).toInt
+    }
+    if (splits.isEmpty) cosinePairs(df, idCol, vecCol, blockCol, threshold)
+    else {
+      val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+      log.info(s"cosinePairsAuto: splitting ${splits.size} hot block(s) " +
+        s"${splits.toSeq.sorted.map { case (b, k) => s"$b(n=${counts(b)},k=$k)" }
+          .mkString(", ")} under pair budget $maxPairsPerBlock")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(blockCol).orderBy(col(idCol))
+      val kExpr = element_at(typedlit(splits), col(blockCol).cast(StringType))
+      val seeds = df
+        .where(col(blockCol).cast(StringType).isin(splits.keys.toSeq: _*))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= kExpr)
+        .select(col(blockCol).cast(StringType).as("b"), col("__rn").as("s"),
+          transform(col(vecCol), x => x.cast(DoubleType)).as("sv"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2)))
+      val seedLit = typedlit(seeds.toSeq) // ONE literal node, Σk×dim values
+      val mySeeds = filter(seedLit, s => s.getField("_1") === col(blockCol).cast(StringType))
+      val v = transform(col(vecCol), x => x.cast(DoubleType))
+      val sub = array_max(transform(mySeeds,
+          s => struct(Similarity.cosine(v, s.getField("_3")).as("cos"),
+            s.getField("_2").as("s"))))
+        .getField("s")
+      // same eager-barrier rationale as semDedupBlocks: without it the
+      // seed-literal expression inlines into BOTH sides of the pair join
+      val blocked = df.withColumn("__blk",
+          concat_ws("#", col(blockCol).cast(StringType),
+            coalesce(sub.cast(LongType), lit(0L)).cast(StringType)))
+        .localCheckpoint(true)
+      cosinePairs(blocked, idCol, vecCol, "__blk", threshold)
+    }
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (e.g. same label).
     * Vectors are cast to double before any arithmetic; dot/norms use ordered
     * `aggregate` so results are reproducible.

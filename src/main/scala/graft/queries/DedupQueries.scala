@@ -116,7 +116,10 @@ private[queries] object DedupQueries {
         .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")),
 
     "q_dedup_cosine" -> ((s, dir) =>
-      Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)
+      // the GUARDED route (one block-histogram aggregate measures before
+      // the pair join); at gate scale no block exceeds the budget, so the
+      // plan and output are the exact within-label join the oracle replays
+      Dedup.cosinePairsAuto(t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
     "q_dedup_components" -> { (s, dir) =>

@@ -411,6 +411,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("cosinePairsAuto: exact parity under budget, measured split engages on a hot block") {
+    // block "big": three clusters whose SMALLEST ids (1, 2, 3) are one per
+    // cluster — with k=3 the sub-quantizer seeds land one per cluster, so
+    // every member argmaxes to its own cluster's seed and the split is
+    // lossless on this geometry. Block "small": one pair, under budget.
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val vecs = Seq(
+      (1L, v(1, 0, 0), "big"), (2L, v(0, 1, 0), "big"), (3L, v(0, 0, 1), "big"),
+      (4L, v(0.99, 0.05, 0), "big"), (5L, v(0.98, 0.06, 0), "big"), (6L, v(0.97, 0.04, 0), "big"),
+      (7L, v(0.05, 0.99, 0), "big"), (8L, v(0.06, 0.98, 0), "big"),
+      (9L, v(0, 0.05, 0.99), "big"),
+      (20L, v(1, 0, 0), "small"), (21L, v(1, 0.01, 0), "small")
+    ).toDF("id", "vec", "blk")
+    val exact = Dedup.cosinePairs(vecs, "id", "vec", "blk", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val xC = Set(1L, 4L, 5L, 6L); val yC = Set(2L, 7L, 8L); val zC = Set(3L, 9L)
+    def within(c: Set[Long]) = for (a <- c; b <- c if a < b) yield (a, b)
+    assert(exact == within(xC) ++ within(yC) ++ within(zC) + ((20L, 21L)))
+    // budget above every block's pair count -> the exact route, bit parity
+    val cold = Dedup.cosinePairsAuto(vecs, "id", "vec", "blk", threshold = 0.9,
+        maxPairsPerBlock = 1000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cold == exact)
+    // budget 15: "big" (36 pairs) splits k=3 ways, "small" (1 pair) passes
+    // through untouched; seeds 1/2/3 are one per cluster so the split
+    // output EQUALS the exact pairs (and in general can only lose pairs,
+    // never invent them)
+    val hot = Dedup.cosinePairsAuto(vecs, "id", "vec", "blk", threshold = 0.9,
+        maxPairsPerBlock = 15L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hot == exact, s"missing: ${exact -- hot}, extra: ${hot -- exact}")
+  }
+
   test("passage dedup drops cross-document passages and preserves order") {
     // K=3 passages; docs 1 and 2 share their FIRST passage verbatim, doc 3
     // is entirely the shared passage, doc 4 is untouched
