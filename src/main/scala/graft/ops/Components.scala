@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -340,10 +340,90 @@ object Components {
     * bodies never move. `iterations` is fixed (PageRank converges
     * geometrically; 5–10 rounds rank-order-stabilizes real graphs).
     */
+  /** Measured small-graph bound shared by the iterative family's local
+    * routes (the [[connectedComponents]] discipline extended, round 12): a
+    * graph whose EDGE frame fits comfortably on the driver iterates there
+    * in one job + one broadcast attach instead of `rounds × joins` — the
+    * mod-pinned derived graphs these operators usually run on are a few
+    * hundred nodes, for which 10-20 Spark rounds are pure scheduling
+    * floor. The local iterations replicate the distributed integer
+    * arithmetic EXACTLY (truncating long/`BigInt` division on non-negative
+    * operands ≡ both engines' `div`), so the route choice is invisible in
+    * the output — spec-asserted bit-for-bit per operator, and every
+    * oracled gate replays identically whichever route the measurement
+    * picks. Pass `maxLocalEdges = 0` to force the distributed rounds,
+    * a positive bound to override the heap-scaled default.
+    */
+  private def localGraphBound(maxLocalEdges: Long): Long =
+    if (maxLocalEdges >= 0) maxLocalEdges
+    else math.min(1L << 22, Runtime.getRuntime.maxMemory() / 1024)
+
+  /** Broadcast-attach a driver-computed per-node value map onto the id
+    * frame: one tiny createDataFrame + a broadcast left join, the
+    * [[localComponents]] attach shape.
+    */
+  private def attachLocal(ids: DataFrame, idType: org.apache.spark.sql.types.DataType,
+                          values: Iterable[(Any, Seq[Any])],
+                          valueFields: Seq[org.apache.spark.sql.types.StructField],
+                          defaults: Seq[Column], outNames: Seq[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id", idType) +: valueFields)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](values.size)
+    values.foreach { case (id, vs) =>
+      rows.add(org.apache.spark.sql.Row.fromSeq(id +: vs))
+    }
+    val lbl = ids.sparkSession.createDataFrame(rows, schema)
+    val joined = ids.select(col("id")).join(broadcast(lbl), Seq("id"), "left")
+    val outs = valueFields.map(_.name).zip(defaults).zip(outNames).map {
+      case ((f, d), o) => coalesce(col(f), d).as(o)
+    }
+    joined.select(col("id") +: outs: _*)
+  }
+
+  /** Driver-side [[pageRank]]/[[weightedPageRank]] rounds over a
+    * measured-bounded edge list: identical truncating-long arithmetic
+    * (`pr div d`, `(num·c) div den` — all operands non-negative, so Java
+    * `/` ≡ `div`). Untouched nodes read `baseFx` exactly as the
+    * distributed left-join coalesce does.
+    */
+  private def pageRankLocal(ids: DataFrame, idType: org.apache.spark.sql.types.DataType,
+                            rows: Array[org.apache.spark.sql.Row],
+                            weighted: Boolean, iterations: Int,
+                            dampingNum: Long, dampingDen: Long,
+                            initFx: Long, baseFx: Long): DataFrame = {
+    import scala.collection.mutable
+    val touched = mutable.LinkedHashSet[Any]()
+    rows.foreach { r =>
+      if (!r.isNullAt(0)) touched += r.get(0)
+      if (!r.isNullAt(1)) touched += r.get(1)
+    }
+    val pr = mutable.HashMap[Any, Long]()
+    touched.foreach(t => pr(t) = initFx)
+    for (_ <- 1 to iterations) {
+      val in = mutable.HashMap[Any, Long]()
+      rows.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val c =
+            if (weighted) pr(r.get(0)) * r.getLong(2) / r.getLong(3)
+            else pr(r.get(0)) / r.getLong(2)
+          in(r.get(1)) = in.getOrElse(r.get(1), 0L) + c
+        }
+      }
+      touched.foreach { t =>
+        pr(t) = baseFx + dampingNum * in.getOrElse(t, 0L) / dampingDen
+      }
+    }
+    attachLocal(ids, idType,
+      touched.map(t => t -> Seq[Any](pr(t))),
+      Seq(org.apache.spark.sql.types.StructField("__pr", org.apache.spark.sql.types.LongType)),
+      Seq(lit(baseFx)), Seq("pr"))
+  }
+
   def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
                srcCol: String, dstCol: String, iterations: Int = 5,
                dampingNum: Long = 85, dampingDen: Long = 100,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               maxLocalEdges: Long = -1L): DataFrame = {
     require(iterations >= 1 && dampingNum > 0 && dampingDen > dampingNum)
     val n = nodes.count()
     require(n > 0, "empty node set")
@@ -353,6 +433,13 @@ object Components {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
       .localCheckpoint(true) // materialize once; every round re-reads it
+    // route on the MEASURED edge count (a count over the materialized
+    // checkpoint); the local rounds are bit-identical by construction
+    val bound = localGraphBound(maxLocalEdges)
+    if (bound > 0 && ed.count() <= bound)
+      return pageRankLocal(ids, nodes.schema(idCol).dataType,
+        ed.select("src", "dst", "d").collect(), weighted = false,
+        iterations, dampingNum, dampingDen, initFx, baseFx)
     var pr = ids.withColumn("pr", lit(initFx))
     for (_ <- 1 to iterations) {
       val inMass = ed.join(pr, ed("src") === pr("id"))
@@ -387,7 +474,8 @@ object Components {
                        srcCol: String, dstCol: String, weightCol: String,
                        iterations: Int = 5,
                        dampingNum: Long = 85, dampingDen: Long = 100,
-                       scale: Long = 1000000000L): DataFrame = {
+                       scale: Long = 1000000000L,
+                       maxLocalEdges: Long = -1L): DataFrame = {
     require(iterations >= 1 && dampingNum > 0 && dampingDen > dampingNum)
     val n = nodes.count()
     require(n > 0, "empty node set")
@@ -398,6 +486,11 @@ object Components {
       col(weightCol).cast("long").as("w"))
     val ed = e.join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
       .localCheckpoint(true) // materialize once; every round re-reads it
+    val bound = localGraphBound(maxLocalEdges)
+    if (bound > 0 && ed.count() <= bound)
+      return pageRankLocal(ids, nodes.schema(idCol).dataType,
+        ed.select("src", "dst", "w", "sw").collect(), weighted = true,
+        iterations, dampingNum, dampingDen, initFx, baseFx)
     var pr = ids.withColumn("pr", lit(initFx))
     for (_ <- 1 to iterations) {
       val inMass = ed.join(pr, ed("src") === pr("id"))
@@ -427,7 +520,8 @@ object Components {
                            srcCol: String, dstCol: String, seeds: DataFrame,
                            iterations: Int = 5,
                            dampingNum: Long = 85, dampingDen: Long = 100,
-                           scale: Long = 1000000000L): DataFrame = {
+                           scale: Long = 1000000000L,
+                           maxLocalEdges: Long = -1L): DataFrame = {
     require(iterations >= 1 && dampingNum > 0 && dampingDen > dampingNum)
     val s = seeds.select(col(seeds.columns.head).as("id")).distinct()
     val nSeeds = s.count()
@@ -441,6 +535,46 @@ object Components {
       .localCheckpoint(true)
     val teleport = when(col("__seed"), lit(initFx)).otherwise(lit(0L))
     val base = when(col("__seed"), lit(baseFx)).otherwise(lit(0L))
+    val bound = localGraphBound(maxLocalEdges)
+    if (bound > 0 && ed.count() <= bound) {
+      import scala.collection.mutable
+      val rows = ed.select("src", "dst", "d").collect()
+      val touched = mutable.LinkedHashSet[Any]()
+      rows.foreach { r =>
+        if (!r.isNullAt(0)) touched += r.get(0)
+        if (!r.isNullAt(1)) touched += r.get(1)
+      }
+      // seed membership of the TOUCHED nodes only (bounded collect); an
+      // untouched node's rank is a pure function of its seed flag, handled
+      // by the attach default below
+      val touchedSeeds: Set[Any] =
+        if (touched.isEmpty) Set.empty
+        else ids.where(col("__seed") && col("id").isInCollection(touched.toSeq))
+          .select("id").collect().map(_.get(0)).toSet
+      val pr = mutable.HashMap[Any, Long]()
+      touched.foreach(t => pr(t) = if (touchedSeeds(t)) initFx else 0L)
+      for (_ <- 1 to iterations) {
+        val in = mutable.HashMap[Any, Long]()
+        rows.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val c = pr(r.get(0)) / r.getLong(2)
+            in(r.get(1)) = in.getOrElse(r.get(1), 0L) + c
+          }
+        }
+        touched.foreach { t =>
+          val b = if (touchedSeeds(t)) baseFx else 0L
+          pr(t) = b + dampingNum * in.getOrElse(t, 0L) / dampingDen
+        }
+      }
+      val lblSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", nodes.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("__pr", org.apache.spark.sql.types.LongType)))
+      val lblRows = new java.util.ArrayList[org.apache.spark.sql.Row](touched.size)
+      touched.foreach(t => lblRows.add(org.apache.spark.sql.Row(t, pr(t))))
+      val lbl = ids.sparkSession.createDataFrame(lblRows, lblSchema)
+      return ids.join(broadcast(lbl), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__pr"), base).as("pr"))
+    }
     var pr = ids.select(col("id"), col("__seed"), teleport.as("pr"))
     for (_ <- 1 to iterations) {
       val inMass = ed.join(pr.select("id", "pr"), ed("src") === pr("id"))
@@ -497,13 +631,53 @@ object Components {
     */
   def bfsDistances(nodes: DataFrame, idCol: String, edges: DataFrame,
                    srcCol: String, dstCol: String, seeds: DataFrame,
-                   maxHops: Int = 6): DataFrame = {
+                   maxHops: Int = 6,
+                   maxLocalEdges: Long = -1L): DataFrame = {
     require(maxHops >= 1)
     val ids = nodes.select(col(idCol).as("id"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     val s = seeds.select(col(seeds.columns.head).as("id")).distinct()
       .withColumn("__s", lit(true))
+    val bound = localGraphBound(maxLocalEdges)
+    if (bound > 0 && e.count() <= bound) {
+      import scala.collection.mutable
+      val rows = e.collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      val touched = mutable.LinkedHashSet[Any]()
+      rows.foreach { r => touched += r.get(0); touched += r.get(1) }
+      val touchedSeeds: Set[Any] =
+        if (touched.isEmpty) Set.empty
+        else s.where(col("id").isInCollection(touched.toSeq))
+          .select("id").collect().map(_.get(0)).toSet
+      val dist = mutable.HashMap[Any, Long]()
+      touchedSeeds.foreach(t => dist(t) = 0L)
+      // synchronous min-relaxation rounds, exactly the distributed loop
+      for (_ <- 1 to maxHops) {
+        val nd = mutable.HashMap[Any, Long]()
+        rows.foreach { r =>
+          dist.get(r.get(0)).foreach { d =>
+            val c = d + 1L
+            if (nd.get(r.get(1)).forall(c < _)) nd(r.get(1)) = c
+          }
+        }
+        nd.foreach { case (v, d) =>
+          if (dist.get(v).forall(d < _)) dist(v) = d
+        }
+      }
+      // untouched nodes: 0 when seed, NULL otherwise — the distributed
+      // left-join defaults
+      val lblSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", nodes.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("__d", org.apache.spark.sql.types.LongType)))
+      val lblRows = new java.util.ArrayList[org.apache.spark.sql.Row](dist.size)
+      dist.foreach { case (v, d) => lblRows.add(org.apache.spark.sql.Row(v, d)) }
+      val lbl = ids.sparkSession.createDataFrame(lblRows, lblSchema)
+      return ids.join(s, Seq("id"), "left")
+        .join(broadcast(lbl), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__d"),
+            when(col("__s"), 0L).otherwise(lit(null).cast("long"))).as("dist"))
+    }
     var dist = ids.join(s, Seq("id"), "left")
       .select(col("id"),
         when(col("__s"), 0L).otherwise(lit(null).cast("long")).as("dist"))
@@ -543,7 +717,8 @@ object Components {
     */
   def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
                        srcCol: String, dstCol: String,
-                       iterations: Int = 4): DataFrame = {
+                       iterations: Int = 4,
+                       maxLocalEdges: Long = -1L): DataFrame = {
     require(iterations >= 1)
     val ids = nodes.select(col(idCol).as("id"))
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -551,6 +726,57 @@ object Components {
       .where(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    // numeric ids only (the distributed tie rule negates the label); the
+    // local argmax replicates max(struct(c, -label)) = most votes, ties to
+    // the SMALLEST label
+    val numericId = nodes.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val bound = localGraphBound(maxLocalEdges)
+    if (numericId && bound > 0 && sym.count() <= bound) {
+      import scala.collection.mutable
+      val rows = sym.collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      def lv(x: Any): Long = x.asInstanceOf[Number].longValue
+      val touched = mutable.LinkedHashSet[Any]()
+      rows.foreach { r => touched += r.get(0); touched += r.get(1) }
+      val label = mutable.HashMap[Any, Long]()
+      touched.foreach(t => label(t) = lv(t))
+      for (_ <- 1 to iterations) {
+        val votes = mutable.HashMap[Any, mutable.HashMap[Long, Long]]()
+        rows.foreach { r =>
+          val m = votes.getOrElseUpdate(r.get(0), mutable.HashMap[Long, Long]())
+          val l = label(r.get(1))
+          m(l) = m.getOrElse(l, 0L) + 1L
+        }
+        val next = mutable.HashMap[Any, Long]()
+        touched.foreach { t =>
+          next(t) = votes.get(t) match {
+            case Some(m) =>
+              var bc = -1L; var bl = 0L
+              m.foreach { case (l, c) =>
+                if (c > bc || (c == bc && l < bl)) { bc = c; bl = l }
+              }
+              bl
+            case None => label(t)
+          }
+        }
+        next.foreach { case (t, l) => label(t) = l }
+      }
+      // labels carry the ID TYPE (they are node ids), matching the
+      // distributed output schema
+      def back(l: Long): Any = nodes.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.IntegerType => l.toInt
+        case org.apache.spark.sql.types.ShortType => l.toShort
+        case org.apache.spark.sql.types.ByteType => l.toByte
+        case _ => l
+      }
+      return attachLocal(ids, nodes.schema(idCol).dataType,
+        touched.map(t => t -> Seq[Any](back(label(t)))),
+        Seq(org.apache.spark.sql.types.StructField("__l", nodes.schema(idCol).dataType)),
+        Seq(col("id")), Seq("community"))
+    }
     var labels = ids.withColumn("label", col("id"))
     for (_ <- 1 to iterations) {
       val votes = sym.join(labels, sym("b") === labels("id"))
@@ -588,11 +814,51 @@ object Components {
     */
   def hits(nodes: DataFrame, idCol: String, edges: DataFrame,
            srcCol: String, dstCol: String, iterations: Int = 5,
-           scale: Long = 1000000000L): DataFrame = {
+           scale: Long = 1000000000L,
+           maxLocalEdges: Long = -1L): DataFrame = {
     require(iterations >= 1 && scale > 0)
     val ids = nodes.select(col(idCol).as("id"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
+    val bound = localGraphBound(maxLocalEdges)
+    if (bound > 0 && e.count() <= bound) {
+      import scala.collection.mutable
+      val rows = e.collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      val touched = mutable.LinkedHashSet[Any]()
+      rows.foreach { r => touched += r.get(0); touched += r.get(1) }
+      val h = mutable.HashMap[Any, Long]()
+      val a = mutable.HashMap[Any, Long]()
+      touched.foreach(t => h(t) = scale)
+      // (x·scale) div max through BigInt = the distributed DECIMAL(38,0)
+      // intermediates; all operands non-negative so BigInt `/` ≡ `div`.
+      // Untouched nodes have raw 0 on both sides every round, so they
+      // never move the max and read (0, 0) at the end — the attach default.
+      def rescale(raw: mutable.HashMap[Any, Long], out: mutable.HashMap[Any, Long]): Unit = {
+        var mx = 0L
+        raw.valuesIterator.foreach(v => if (v > mx) mx = v)
+        val den = math.max(mx, 1L)
+        touched.foreach { t =>
+          out(t) = (BigInt(raw.getOrElse(t, 0L)) * scale / den).toLong
+        }
+      }
+      for (_ <- 1 to iterations) {
+        val aRaw = mutable.HashMap[Any, Long]()
+        rows.foreach { r =>
+          aRaw(r.get(1)) = aRaw.getOrElse(r.get(1), 0L) + h(r.get(0))
+        }
+        rescale(aRaw, a)
+        val hRaw = mutable.HashMap[Any, Long]()
+        rows.foreach { r =>
+          hRaw(r.get(0)) = hRaw.getOrElse(r.get(0), 0L) + a(r.get(1))
+        }
+        rescale(hRaw, h)
+      }
+      return attachLocal(ids, nodes.schema(idCol).dataType,
+        touched.map(t => t -> Seq[Any](h(t), a(t))),
+        Seq(org.apache.spark.sql.types.StructField("__h", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__a", org.apache.spark.sql.types.LongType)),
+        Seq(lit(0L), lit(0L)), Seq("hub", "authority"))
+    }
     var h = ids.withColumn("h", lit(scale))
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
@@ -648,14 +914,50 @@ object Components {
     * peeling depth, typically O(log n) on heavy-tailed graphs.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 30): DataFrame = {
+            maxRounds: Int = 30,
+            maxLocalEdges: Long = -1L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct().localCheckpoint()
-    var prev = e.count()
+    val boundL = localGraphBound(maxLocalEdges)
+    val firstCount = e.count()
+    if (boundL > 0 && firstCount <= boundL) {
+      import scala.collection.mutable
+      var rows: Array[(Any, Any)] = e.collect().map(r => (r.get(0), r.get(1)))
+      var prevN = rows.length.toLong
+      var round = 0
+      var done = prevN == 0L
+      // identical peel rounds (capped ≡ unrolled: converged rounds are
+      // identity, exactly the distributed loop's contract)
+      while (!done && round < maxRounds) {
+        val deg = mutable.HashMap[Any, Long]()
+        rows.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+        val next = rows.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        done = next.length.toLong == prevN
+        prevN = next.length.toLong
+        rows = next
+        round += 1
+      }
+      val deg = mutable.LinkedHashMap[Any, Long]()
+      rows.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", e.schema("a").dataType),
+        org.apache.spark.sql.types.StructField("degree", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](deg.size)
+      deg.foreach { case (v, d) => out.add(org.apache.spark.sql.Row(v, d)) }
+      return e.sparkSession.createDataFrame(out, schema)
+    }
+    var prev = firstCount
     var round = 0
     var converged = prev == 0L
     while (!converged && round < maxRounds) {

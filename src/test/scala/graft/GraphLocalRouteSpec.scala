@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Components
+import org.apache.spark.sql.functions._
+
+/** The measured LOCAL route extended to the iterative graph family (round
+  * 12): under the edge bound each operator iterates on the driver with the
+  * IDENTICAL integer arithmetic, so the route choice must be invisible —
+  * every assertion here is bit-for-bit equality between the forced
+  * distributed rounds (`maxLocalEdges = 0`) and the local route.
+  */
+class GraphLocalRouteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a messy directed graph: hub, chain, cycle, duplicate edge, self-loopish
+  // structure, plus isolated nodes in the node frame
+  private lazy val edges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+    (6L, 4L), (7L, 8L), (2L, 3L), (8L, 7L), (3L, 4L), (9L, 1L)
+  ).toDF("src", "dst")
+  private lazy val nodes = (1L to 12L).toDF("id") // 10-12 isolated
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("pageRank: local route bit-equal to distributed rounds") {
+    val local = Components.pageRank(nodes, "id", edges, "src", "dst", iterations = 5)
+    val dist = Components.pageRank(nodes, "id", edges, "src", "dst", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist) && local.count() == 12)
+  }
+
+  test("weightedPageRank: local route bit-equal to distributed rounds") {
+    val we = edges.withColumn("w", (col("src") * 3 + col("dst")) % 5 + 1)
+    val local = Components.weightedPageRank(nodes, "id", we, "src", "dst", "w", iterations = 5)
+    val dist = Components.weightedPageRank(nodes, "id", we, "src", "dst", "w", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+  }
+
+  test("personalizedPageRank: local route bit-equal, incl. untouched seed/non-seed defaults") {
+    val seeds = Seq(1L, 7L, 11L).toDF("id") // 11 is isolated: rank = baseFx
+    val local = Components.personalizedPageRank(nodes, "id", edges, "src", "dst", seeds, iterations = 5)
+    val dist = Components.personalizedPageRank(nodes, "id", edges, "src", "dst", seeds, iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+    val m = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(11L) > 0L && m(10L) == 0L, "isolated seed gets base mass, isolated non-seed zero")
+  }
+
+  test("bfsDistances: local route bit-equal, incl. unreached NULLs") {
+    val seeds = Seq(1L, 11L).toDF("id")
+    val local = Components.bfsDistances(nodes, "id", edges, "src", "dst", seeds, maxHops = 3)
+    val dist = Components.bfsDistances(nodes, "id", edges, "src", "dst", seeds, maxHops = 3,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+    val m = local.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(m(11L) == 0L && m(10L) == null && m(2L) == 1L)
+  }
+
+  test("labelPropagation: local route bit-equal (argmax ties to smallest label)") {
+    val local = Components.labelPropagation(nodes, "id", edges, "src", "dst", iterations = 4)
+    val dist = Components.labelPropagation(nodes, "id", edges, "src", "dst", iterations = 4,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+  }
+
+  test("hits: local route bit-equal (BigInt rescale = DECIMAL div)") {
+    val local = Components.hits(nodes, "id", edges, "src", "dst", iterations = 5)
+    val dist = Components.hits(nodes, "id", edges, "src", "dst", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+  }
+
+  test("kCore: local route bit-equal (peel-until-fixpoint, capped rounds)") {
+    for (k <- Seq(2, 3)) {
+      val local = Components.kCore(edges, "src", "dst", k = k)
+      val dist = Components.kCore(edges, "src", "dst", k = k, maxLocalEdges = 0L)
+      assert(rows(local) == rows(dist), s"k=$k")
+    }
+    // capped rounds: maxRounds=1 must match one distributed peel exactly
+    val local1 = Components.kCore(edges, "src", "dst", k = 3, maxRounds = 1)
+    val dist1 = Components.kCore(edges, "src", "dst", k = 3, maxRounds = 1,
+      maxLocalEdges = 0L)
+    assert(rows(local1) == rows(dist1))
+  }
+}
