@@ -60,8 +60,10 @@ object Bench {
     // which parses as nothing. Persist the complete per-query map as a file
     // (committed per round → per-query history lives in git), then END
     // stdout with a compact summary line that survives any tail window.
+    // Targeted runs (query-name args) skip the file so local iteration
+    // never clobbers the committed full-sweep artifact.
     val parsedPath = java.nio.file.Paths.get("BENCH_PARSED.json")
-    java.nio.file.Files.write(parsedPath, full.getBytes("UTF-8"))
+    if (only.isEmpty) java.nio.file.Files.write(parsedPath, full.getBytes("UTF-8"))
     val nOk = results.count(_._3)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_ok":$nOk,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir","queries_file":"${parsedPath.toAbsolutePath}"}""")
     spark.stop()
