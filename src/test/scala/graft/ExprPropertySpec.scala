@@ -209,6 +209,32 @@ class ExprPropertySpec extends SparkSpec {
     assert(got(1).isNullAt(0))
   }
 
+  test("IvfCellsExpr flat probe ranking equals the literal array_sort route on random vectors") {
+    import graft.ops.Similarity
+    // small coordinates force cosine ties and zero vectors force NaNs —
+    // exactly the orderings the closure expression claims to replicate
+    val coord = Gen.oneOf(-1.0, 0.0, 0.5, 1.0)
+    val vec = Gen.listOfN(4, coord)
+    val mat = Gen.listOfN(6, vec).suchThat(_.nonEmpty)
+    check(Prop.forAll(vec, mat, Gen.chooseNum(1, 6)) { (v, m, nprobe) =>
+      val seeds = m.map(_.toArray).toArray
+      val df = Seq(Tuple1(v)).toDF("v")
+        .select(transform(col("v"), x => x.cast("double")).as("v"))
+      val got = df.select(graft.functions.IvfCells.probed(
+          col("v"), seeds, Array.empty, Array.empty, nprobe, 1))
+        .as[Seq[Int]].collect()(0)
+      // the literal route's ranking: reverse(array_sort(struct(cos, cell)))
+      val lit0 = seeds.zipWithIndex.map { case (s, i) =>
+        struct(Similarity.cosine(col("v"), typedLit(s.toSeq)).as("cos"),
+          lit(i).as("cell"))
+      }
+      val want = df.select(slice(reverse(array_sort(array(lit0.toSeq: _*))), 1, nprobe)
+          .getField("cell"))
+        .as[Seq[Int]].collect()(0)
+      got == want
+    }, n = 120)
+  }
+
   test("native langId equals the HOF fold formulation") {
     import graft.ops.TextAnalysis
     val word = Gen.oneOf("the", "la", "de", "que", "und", "zhe4", "xyz", "ist", "en", "du")
