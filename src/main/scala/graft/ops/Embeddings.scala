@@ -359,6 +359,144 @@ object Embeddings {
       .select("id", "proj", "resid2", "var_explained")
   }
 
+  final case class ProcrustesModel(dim: Int, n: Long, fxScale: Int,
+                                   rotation: Array[Array[Double]],
+                                   sigma: Array[Double])
+
+  /** ORTHOGONAL PROCRUSTES embedding-space alignment (Schönemann 1966):
+    * the rotation R minimizing ‖A·R − B‖_F over paired vectors — the FIX
+    * for what [[embeddingDrift]] detects. When an encoder is re-trained or
+    * bumped, the new space is typically a near-rotation of the old one;
+    * aligning it makes cross-snapshot ANN tables, semantic-dedup stores
+    * and centroid artifacts comparable again instead of rebuilt.
+    *
+    * R = U·Vᵀ where Aᵀ B = U Σ Vᵀ. Spark-first shape: the ONLY data pass
+    * is [[covarianceStats]] over the CONCATENATED pair [a; b] (one native
+    * CovVector aggregate, (2d)²-bounded output — the cross block at
+    * (d, e+dim) IS Aᵀ B in exact quantized integers); the d×d SVD is
+    * driver arithmetic via the [[pcaFit]] discipline (deterministic
+    * md5-seeded power iteration + deflation on MᵀM, fixed iteration count,
+    * sign convention on V propagated to U through u = M·v/σ — flipping the
+    * (u, v) pair leaves U·Vᵀ unchanged, so the rotation is replayable).
+    * Directions with σ ≤ 1e-9·σ₀ (rank-deficient M — only under
+    * degenerate inputs) fall back to the deflated-orthogonalized v itself,
+    * keeping R deterministic and near-identity on the null space.
+    *
+    * Rotation-only by design (no centering/scaling): embedding geometry
+    * lives in directions, and downstream consumers compare cosines.
+    *
+    * @param pairs frame with BOTH vector columns already paired row-wise
+    *              (join snapshots on the id upstream); rows where either
+    *              side is null / wrong-dim are excluded.
+    */
+  def procrustesFit(pairs: DataFrame, aCol: String, bCol: String, dim: Int,
+                    fxScale: Int = 6, iters: Int = 300,
+                    seed: String = "procrustes"): ProcrustesModel = {
+    require(dim >= 1, "dim must be >= 1")
+    val both = pairs
+      .where(col(aCol).isNotNull && col(bCol).isNotNull &&
+        size(col(aCol)) === dim && size(col(bCol)) === dim)
+      .select(concat(
+        transform(col(aCol), x => x.cast(DoubleType)),
+        transform(col(bCol), x => x.cast(DoubleType))).as("__ab"))
+    val rows = covarianceStats(both, "__ab", 2 * dim, fxScale).collect()
+    require(rows.nonEmpty, "no complete pairs of the requested dim")
+    val n = rows.head.getLong(5)
+    val m = Array.ofDim[Double](dim, dim) // M = Aᵀ B (quantized units²)
+    rows.foreach { r =>
+      val d = r.getInt(0); val e = r.getInt(1)
+      if (d < dim && e >= dim) m(d)(e - dim) = r.getLong(2).toDouble
+    }
+    // S = MᵀM, symmetric PSD; eigenvectors via deterministic power
+    // iteration with Gram–Schmidt deflation (the pcaFit loop verbatim)
+    val s = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim)
+      s(i)(j) = (0 until dim).map(k => m(k)(i) * m(k)(j)).sum
+    val v = Array.ofDim[Double](dim, dim)
+    val sigma = new Array[Double](dim)
+    for (comp <- 0 until dim) {
+      var vc = Array.tabulate(dim)(d =>
+        if (md5Hash60(s"$seed|$comp|$d") % 2 == 0L) 1.0 else -1.0)
+      var it = 0
+      while (it < iters) {
+        val w = Array.tabulate(dim)(d => (0 until dim).map(e => s(d)(e) * vc(e)).sum)
+        for (p <- 0 until comp) {
+          val dot = (0 until dim).map(d => w(d) * v(p)(d)).sum
+          for (d <- 0 until dim) w(d) -= dot * v(p)(d)
+        }
+        // re-orthogonalize the iterate itself too (null-space components
+        // of S neither grow nor shrink under S·v — deflation alone can't
+        // remove them from a degenerate start)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm == 0.0) it = iters
+        else { vc = w.map(_ / norm); it += 1 }
+      }
+      for (p <- 0 until comp) {
+        val dot = (0 until dim).map(d => vc(d) * v(p)(d)).sum
+        for (d <- 0 until dim) vc(d) -= dot * v(p)(d)
+      }
+      val nrm = math.sqrt(vc.map(x => x * x).sum)
+      if (nrm > 0) vc = vc.map(_ / nrm)
+      val firstNz = vc.indexWhere(math.abs(_) > 1e-12)
+      if (firstNz >= 0 && vc(firstNz) < 0) vc = vc.map(-_)
+      v(comp) = vc
+      sigma(comp) = {
+        val mv = Array.tabulate(dim)(d => (0 until dim).map(e => m(d)(e) * vc(e)).sum)
+        math.sqrt(mv.map(x => x * x).sum)
+      }
+    }
+    val eps = 1e-9 * math.max(sigma.headOption.getOrElse(0.0), 1e-300)
+    val u = Array.ofDim[Double](dim, dim)
+    for (comp <- 0 until dim) {
+      if (sigma(comp) > eps) {
+        val mv = Array.tabulate(dim)(d => (0 until dim).map(e => m(d)(e) * v(comp)(e)).sum)
+        var uc = mv.map(_ / sigma(comp))
+        // explicit Gram–Schmidt: power iteration leaves ~1e-4 residue in
+        // u = M·v/σ, which would make R only approximately orthogonal —
+        // a rotation must be exact (R'R = I to machine precision)
+        for (p <- 0 until comp) {
+          val dot = (0 until dim).map(d => uc(d) * u(p)(d)).sum
+          for (d <- 0 until dim) uc(d) -= dot * u(p)(d)
+        }
+        val nrm = math.sqrt(uc.map(x => x * x).sum)
+        u(comp) = if (nrm > 1e-12) uc.map(_ / nrm) else uc
+      } else {
+        // null direction: start from v, orthogonalize against found u's
+        var uc = v(comp).clone()
+        for (p <- 0 until comp) {
+          val dot = (0 until dim).map(d => uc(d) * u(p)(d)).sum
+          for (d <- 0 until dim) uc(d) -= dot * u(p)(d)
+        }
+        val nrm = math.sqrt(uc.map(x => x * x).sum)
+        u(comp) = if (nrm > 1e-12) uc.map(_ / nrm) else v(comp)
+      }
+    }
+    // R = U Vᵀ as R(d,e) = Σ_c u_c(d) · v_c(e); A·R aligns A onto B
+    val r = Array.ofDim[Double](dim, dim)
+    for (d <- 0 until dim; e <- 0 until dim)
+      r(d)(e) = (0 until dim).map(c => u(c)(d) * v(c)(e)).sum
+    ProcrustesModel(dim, n, fxScale, r, sigma)
+  }
+
+  /** Apply a fitted [[ProcrustesModel]] ROW-LOCALLY: aligned = x · R, the
+    * rotation matrix bound once as a literal ([[pcaProject]] discipline —
+    * no join, no shuffle; fit once on the paired sample, align the whole
+    * corpus). Rows of the wrong dim are excluded (triage).
+    */
+  def procrustesApply(df: DataFrame, idCol: String, vecCol: String,
+                      model: ProcrustesModel): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .where(size(col("v")) === model.dim)
+    val matLit = typedLit(model.rotation.map(_.toSeq).toSeq) // dim×dim, ONE node
+    // aligned(e) = Σ_d v(d)·R(d,e): fold the rows of R with their v weights
+    val aligned = aggregate(
+      zip_with(col("v"), matLit, (x, row) => transform(row, re => x * re)),
+      typedLit(Seq.fill(model.dim)(0.0)),
+      (acc, term) => zip_with(acc, term, (p, q) => p + q))
+    base.select(col("id"), aligned.as("aligned"))
+  }
+
   /** Cosine of each row's vector to its group centroid — outlier scoring
     * against the class prototype. Centroids are broadcast (one row per
     * (group, dim): tiny), the corpus streams.
