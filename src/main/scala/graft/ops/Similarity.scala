@@ -135,12 +135,17 @@ object Similarity {
     * [[graft.streaming.StreamingDedup.semanticFirstSeenStream]].
     */
   def assignCellsWithQuantizer(df: DataFrame, vecCol: String,
-                               quantizer: DataFrame, out: String = "cell"): DataFrame = {
-    val seeds = decodeQuantizer(quantizer)
-    df.withColumn(out,
-      array_max(cellScoresBound(transform(col(vecCol), x => x.cast(DoubleType)), seeds))
-        .getField("cell"))
-  }
+                               quantizer: DataFrame, out: String = "cell"): DataFrame =
+    if (quantizer.columns.contains("level")) {
+      val hq = decodeHQuantizer(quantizer)
+      df.withColumn(out, new HierAssigner(hq, 1)
+        .bestCell(transform(col(vecCol), x => x.cast(DoubleType))))
+    } else {
+      val seeds = decodeQuantizer(quantizer)
+      df.withColumn(out,
+        array_max(cellScoresBound(transform(col(vecCol), x => x.cast(DoubleType)), seeds))
+          .getField("cell"))
+    }
 
   /** Train the coarse quantizer and return it as a tiny (cell, centroid)
     * frame (ncells rows). The 100 TB usage pattern: train ONCE, persist with
@@ -272,14 +277,27 @@ object Similarity {
                            quantizer: DataFrame): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
-    ivfSearch(base, queries, idCol, vecCol, k, nprobe, decodeQuantizer(quantizer))
+    if (quantizer.columns.contains("level"))
+      ivfSearchWith(base, queries, idCol, vecCol, k, nprobe,
+        new HierAssigner(decodeHQuantizer(quantizer), nprobe),
+        broadcastQueries = true, keepCos = false)
+    else
+      ivfSearch(base, queries, idCol, vecCol, k, nprobe, decodeQuantizer(quantizer))
   }
 
-  /** Bounded (ncells rows) collect of a (cell, centroid) quantizer frame. */
-  private def decodeQuantizer(quantizer: DataFrame): Array[(Int, Seq[Double])] =
+  /** Bounded (ncells rows) collect of a FLAT (cell, centroid) quantizer
+    * frame. A two-level frame (it carries a `level` column) must decode
+    * through [[decodeHQuantizer]] — mixing its level-1 and level-2 rows as
+    * flat cells would silently corrupt every assignment, so this refuses.
+    */
+  private def decodeQuantizer(quantizer: DataFrame): Array[(Int, Seq[Double])] = {
+    require(!quantizer.columns.contains("level"),
+      "two-level quantizer frame passed to a flat decode — this entry point " +
+        "routes it automatically; do not strip the 'level' column")
     quantizer.select(col("cell").cast(IntegerType), col("centroid"))
       .orderBy("cell").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
+  }
 
   /** Full-corpus kNN GRAPH: for EVERY vector, its `k` nearest neighbors
     * (IVF-blocked). Unlike [[ivfTopK]] — whose query set is small and

@@ -93,6 +93,30 @@ class HierIvfSpec extends SparkSpec {
     assert(flatPlan.length > p256, "flat literal plan should dwarf the closure plan")
   }
 
+  test("every quantizer entry point routes two-level frames (no silent flat mis-decode)") {
+    val df = clustered(80)
+    val hq = Similarity.trainHierarchicalQuantizer(df, "id", "vec", ncells = 16)
+    // ivfTopKWithQuantizer: queries through the hierarchical assigner
+    val queries = df.where(col("id") < 8)
+    val topk = Similarity.ivfTopKWithQuantizer(df, queries, "id", "vec",
+      k = 3, nprobe = 2, hq)
+    assert(topk.count() == 8 * 3)
+    topk.collect().foreach(r => assert(r.getLong(0) % 4 == r.getLong(2) % 4,
+      "separated clusters: neighbors share the query's cluster"))
+    // assignCellsWithQuantizer: row-local hierarchical bestCell — members of
+    // one tight cluster land in one cell
+    val cells = Similarity.assignCellsWithQuantizer(df, "vec", hq)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(cells.length == 80)
+    val byCluster = cells.groupBy(_._1 % 4).view.mapValues(_.map(_._2).toSet)
+    byCluster.foreach { case (c, cellSet) =>
+      byCluster.foreach { case (c2, cellSet2) =>
+        if (c != c2) assert(cellSet.intersect(cellSet2).isEmpty,
+          s"clusters $c/$c2 share a cell: $cellSet vs $cellSet2")
+      }
+    }
+  }
+
   test("auto route's closure-flat tier returns the identical graph to the literal flat route") {
     val df = clustered(400)
     // explicit ncells past AutoClosureMinCells -> closure-flat assigner;
