@@ -356,7 +356,12 @@ object Components {
     */
   private def localGraphBound(maxLocalEdges: Long): Long =
     if (maxLocalEdges >= 0) maxLocalEdges
-    else math.min(1L << 22, Runtime.getRuntime.maxMemory() / 1024)
+    // budget by estimated BYTES, not edge count: a collected edge is a
+    // GenericRow of boxed endpoints + divisors + flags (~hundreds of bytes
+    // with wide id types, plus the serialized collect buffers), so ~4 KiB
+    // of headroom per edge keeps the route safely under driver heap even
+    // on modest drivers — the distributed rounds handle anything bigger
+    else math.min(1L << 22, Runtime.getRuntime.maxMemory() / 4096)
 
   /** Broadcast-attach a driver-computed per-node value map onto the id
     * frame: one tiny createDataFrame + a broadcast left join, the
@@ -380,11 +385,38 @@ object Components {
     joined.select(col("id") +: outs: _*)
   }
 
+  /** Annotate a measured-bounded edge frame with per-endpoint membership of
+    * the node frame (plus an optional per-node flag, e.g. seed-ness): the
+    * distributed rounds confine mass/labels/votes to `ids` via joins, so the
+    * local routes must see exactly which endpoints are IN-FRAME — otherwise
+    * a dangling edge (or the legitimate "rank a subgraph by restricting the
+    * node frame" pattern) would let out-of-frame endpoints accumulate and
+    * re-emit, diverging from the joins' semantics. Two plain equi-joins,
+    * taken only on the already-measured local branch.
+    */
+  private def annotateEndpoints(ed: DataFrame, ids: DataFrame,
+                                flagCol: Option[String] = None): DataFrame = {
+    def side(key: String, inName: String, flagName: String): DataFrame = {
+      val cols = Seq(col("id").as(key), lit(true).as(inName)) ++
+        flagCol.map(c => col(c).as(flagName))
+      ids.select(cols: _*)
+    }
+    ed.join(side("src", "__sin", "__sflag"), Seq("src"), "left")
+      .join(side("dst", "__din", "__dflag"), Seq("dst"), "left")
+  }
+
+  private def rowFlag(r: org.apache.spark.sql.Row, i: Int): Boolean =
+    !r.isNullAt(i) && r.getBoolean(i)
+
   /** Driver-side [[pageRank]]/[[weightedPageRank]] rounds over a
     * measured-bounded edge list: identical truncating-long arithmetic
     * (`pr div d`, `(num·c) div den` — all operands non-negative, so Java
     * `/` ≡ `div`). Untouched nodes read `baseFx` exactly as the
-    * distributed left-join coalesce does.
+    * distributed left-join coalesce does; OUT-OF-FRAME endpoints (dangling
+    * edges, subgraph-restricted node frames) never hold or emit mass,
+    * exactly as the distributed rank-frame joins drop them. Rows carry
+    * (src, dst, divisors..., __sin, __din) membership flags from
+    * [[annotateEndpoints]].
     */
   private def pageRankLocal(ids: DataFrame, idType: org.apache.spark.sql.types.DataType,
                             rows: Array[org.apache.spark.sql.Row],
@@ -392,29 +424,34 @@ object Components {
                             dampingNum: Long, dampingDen: Long,
                             initFx: Long, baseFx: Long): DataFrame = {
     import scala.collection.mutable
-    val touched = mutable.LinkedHashSet[Any]()
+    val fi = if (weighted) 4 else 3
+    val inFrame = mutable.LinkedHashSet[Any]()
     rows.foreach { r =>
-      if (!r.isNullAt(0)) touched += r.get(0)
-      if (!r.isNullAt(1)) touched += r.get(1)
+      if (!r.isNullAt(0) && rowFlag(r, fi)) inFrame += r.get(0)
+      if (!r.isNullAt(1) && rowFlag(r, fi + 1)) inFrame += r.get(1)
     }
     val pr = mutable.HashMap[Any, Long]()
-    touched.foreach(t => pr(t) = initFx)
+    inFrame.foreach(t => pr(t) = initFx)
     for (_ <- 1 to iterations) {
       val in = mutable.HashMap[Any, Long]()
       rows.foreach { r =>
-        if (!r.isNullAt(0) && !r.isNullAt(1)) {
-          val c =
-            if (weighted) pr(r.get(0)) * r.getLong(2) / r.getLong(3)
-            else pr(r.get(0)) / r.getLong(2)
-          in(r.get(1)) = in.getOrElse(r.get(1), 0L) + c
+        // src must be in-frame to emit (pr is defined over ids only) and
+        // dst in-frame to receive (the distributed left join drops the rest)
+        if (!r.isNullAt(0) && !r.isNullAt(1) && rowFlag(r, fi + 1)) {
+          pr.get(r.get(0)).foreach { p =>
+            val c =
+              if (weighted) p * r.getLong(2) / r.getLong(3)
+              else p / r.getLong(2)
+            in(r.get(1)) = in.getOrElse(r.get(1), 0L) + c
+          }
         }
       }
-      touched.foreach { t =>
+      inFrame.foreach { t =>
         pr(t) = baseFx + dampingNum * in.getOrElse(t, 0L) / dampingDen
       }
     }
     attachLocal(ids, idType,
-      touched.map(t => t -> Seq[Any](pr(t))),
+      inFrame.map(t => t -> Seq[Any](pr(t))),
       Seq(org.apache.spark.sql.types.StructField("__pr", org.apache.spark.sql.types.LongType)),
       Seq(lit(baseFx)), Seq("pr"))
   }
@@ -438,7 +475,9 @@ object Components {
     val bound = localGraphBound(maxLocalEdges)
     if (bound > 0 && ed.count() <= bound)
       return pageRankLocal(ids, nodes.schema(idCol).dataType,
-        ed.select("src", "dst", "d").collect(), weighted = false,
+        annotateEndpoints(ed.select("src", "dst", "d"), ids)
+          .select("src", "dst", "d", "__sin", "__din").collect(),
+        weighted = false,
         iterations, dampingNum, dampingDen, initFx, baseFx)
     var pr = ids.withColumn("pr", lit(initFx))
     for (_ <- 1 to iterations) {
@@ -489,7 +528,9 @@ object Components {
     val bound = localGraphBound(maxLocalEdges)
     if (bound > 0 && ed.count() <= bound)
       return pageRankLocal(ids, nodes.schema(idCol).dataType,
-        ed.select("src", "dst", "w", "sw").collect(), weighted = true,
+        annotateEndpoints(ed.select("src", "dst", "w", "sw"), ids)
+          .select("src", "dst", "w", "sw", "__sin", "__din").collect(),
+        weighted = true,
         iterations, dampingNum, dampingDen, initFx, baseFx)
     var pr = ids.withColumn("pr", lit(initFx))
     for (_ <- 1 to iterations) {
@@ -538,39 +579,45 @@ object Components {
     val bound = localGraphBound(maxLocalEdges)
     if (bound > 0 && ed.count() <= bound) {
       import scala.collection.mutable
-      val rows = ed.select("src", "dst", "d").collect()
-      val touched = mutable.LinkedHashSet[Any]()
+      // membership + seed flags ride the collect (the distributed rounds
+      // confine mass to `ids` via joins — out-of-frame endpoints and seeds
+      // not present in the node frame contribute nothing there, so they
+      // must contribute nothing here either)
+      val rows = annotateEndpoints(ed.select("src", "dst", "d"), ids, Some("__seed"))
+        .select("src", "dst", "d", "__sin", "__sflag", "__din", "__dflag").collect()
+      val inFrame = mutable.LinkedHashSet[Any]()
+      val seedSet = mutable.HashSet[Any]()
       rows.foreach { r =>
-        if (!r.isNullAt(0)) touched += r.get(0)
-        if (!r.isNullAt(1)) touched += r.get(1)
+        if (!r.isNullAt(0) && rowFlag(r, 3)) {
+          inFrame += r.get(0); if (rowFlag(r, 4)) seedSet += r.get(0)
+        }
+        if (!r.isNullAt(1) && rowFlag(r, 5)) {
+          inFrame += r.get(1); if (rowFlag(r, 6)) seedSet += r.get(1)
+        }
       }
-      // seed membership of the TOUCHED nodes only (bounded collect); an
-      // untouched node's rank is a pure function of its seed flag, handled
-      // by the attach default below
-      val touchedSeeds: Set[Any] =
-        if (touched.isEmpty) Set.empty
-        else ids.where(col("__seed") && col("id").isInCollection(touched.toSeq))
-          .select("id").collect().map(_.get(0)).toSet
+      // an untouched node's rank is a pure function of its seed flag,
+      // handled by the attach default below
       val pr = mutable.HashMap[Any, Long]()
-      touched.foreach(t => pr(t) = if (touchedSeeds(t)) initFx else 0L)
+      inFrame.foreach(t => pr(t) = if (seedSet(t)) initFx else 0L)
       for (_ <- 1 to iterations) {
         val in = mutable.HashMap[Any, Long]()
         rows.foreach { r =>
-          if (!r.isNullAt(0) && !r.isNullAt(1)) {
-            val c = pr(r.get(0)) / r.getLong(2)
-            in(r.get(1)) = in.getOrElse(r.get(1), 0L) + c
+          if (!r.isNullAt(0) && !r.isNullAt(1) && rowFlag(r, 5)) {
+            pr.get(r.get(0)).foreach { p =>
+              in(r.get(1)) = in.getOrElse(r.get(1), 0L) + p / r.getLong(2)
+            }
           }
         }
-        touched.foreach { t =>
-          val b = if (touchedSeeds(t)) baseFx else 0L
+        inFrame.foreach { t =>
+          val b = if (seedSet(t)) baseFx else 0L
           pr(t) = b + dampingNum * in.getOrElse(t, 0L) / dampingDen
         }
       }
       val lblSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", nodes.schema(idCol).dataType),
         org.apache.spark.sql.types.StructField("__pr", org.apache.spark.sql.types.LongType)))
-      val lblRows = new java.util.ArrayList[org.apache.spark.sql.Row](touched.size)
-      touched.foreach(t => lblRows.add(org.apache.spark.sql.Row(t, pr(t))))
+      val lblRows = new java.util.ArrayList[org.apache.spark.sql.Row](inFrame.size)
+      inFrame.foreach(t => lblRows.add(org.apache.spark.sql.Row(t, pr(t))))
       val lbl = ids.sparkSession.createDataFrame(lblRows, lblSchema)
       return ids.join(broadcast(lbl), Seq("id"), "left")
         .select(col("id"), coalesce(col("__pr"), base).as("pr"))
@@ -642,20 +689,25 @@ object Components {
     val bound = localGraphBound(maxLocalEdges)
     if (bound > 0 && e.count() <= bound) {
       import scala.collection.mutable
-      val rows = e.collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val touched = mutable.LinkedHashSet[Any]()
-      rows.foreach { r => touched += r.get(0); touched += r.get(1) }
-      val touchedSeeds: Set[Any] =
-        if (touched.isEmpty) Set.empty
-        else s.where(col("id").isInCollection(touched.toSeq))
-          .select("id").collect().map(_.get(0)).toSet
+      // membership + seed flags ride the collect: the distributed relax
+      // joins dist (defined over `ids`) on src and left-joins dst back onto
+      // ids, so out-of-frame endpoints never act as sources or sinks; seeds
+      // absent from the node frame are ignored (the ids⋈s left join)
+      val rows = annotateEndpoints(e, ids.join(s, Seq("id"), "left"), Some("__s"))
+        .select("src", "dst", "__sin", "__sflag", "__din", "__dflag").collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       val dist = mutable.HashMap[Any, Long]()
-      touchedSeeds.foreach(t => dist(t) = 0L)
-      // synchronous min-relaxation rounds, exactly the distributed loop
+      rows.foreach { r =>
+        if (rowFlag(r, 3)) dist(r.get(0)) = 0L
+        if (rowFlag(r, 5)) dist(r.get(1)) = 0L
+      }
+      // synchronous min-relaxation rounds, exactly the distributed loop;
+      // dist's domain stays ⊆ in-frame endpoints (seeds∩ids above, dst
+      // gated on membership below), so out-of-frame nodes never relax
       for (_ <- 1 to maxHops) {
         val nd = mutable.HashMap[Any, Long]()
         rows.foreach { r =>
-          dist.get(r.get(0)).foreach { d =>
+          if (rowFlag(r, 4)) dist.get(r.get(0)).foreach { d =>
             val c = d + 1L
             if (nd.get(r.get(1)).forall(c < _)) nd(r.get(1)) = c
           }
@@ -737,21 +789,32 @@ object Components {
     val bound = localGraphBound(maxLocalEdges)
     if (numericId && bound > 0 && sym.count() <= bound) {
       import scala.collection.mutable
-      val rows = sym.collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      // membership flags ride the collect: the distributed vote join keys
+      // labels (defined over `ids`) on b, and the update left-joins back
+      // onto the label frame — out-of-frame neighbors never vote and
+      // out-of-frame ids never hold a label
+      val rows = annotateEndpoints(
+          sym.select(col("a").as("src"), col("b").as("dst")), ids)
+        .select("src", "dst", "__sin", "__din").collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       def lv(x: Any): Long = x.asInstanceOf[Number].longValue
-      val touched = mutable.LinkedHashSet[Any]()
-      rows.foreach { r => touched += r.get(0); touched += r.get(1) }
+      val inFrame = mutable.LinkedHashSet[Any]()
+      rows.foreach { r =>
+        if (rowFlag(r, 2)) inFrame += r.get(0)
+        if (rowFlag(r, 3)) inFrame += r.get(1)
+      }
       val label = mutable.HashMap[Any, Long]()
-      touched.foreach(t => label(t) = lv(t))
+      inFrame.foreach(t => label(t) = lv(t))
       for (_ <- 1 to iterations) {
         val votes = mutable.HashMap[Any, mutable.HashMap[Long, Long]]()
         rows.foreach { r =>
-          val m = votes.getOrElseUpdate(r.get(0), mutable.HashMap[Long, Long]())
-          val l = label(r.get(1))
-          m(l) = m.getOrElse(l, 0L) + 1L
+          if (rowFlag(r, 2)) label.get(r.get(1)).foreach { l =>
+            val m = votes.getOrElseUpdate(r.get(0), mutable.HashMap[Long, Long]())
+            m(l) = m.getOrElse(l, 0L) + 1L
+          }
         }
         val next = mutable.HashMap[Any, Long]()
-        touched.foreach { t =>
+        inFrame.foreach { t =>
           next(t) = votes.get(t) match {
             case Some(m) =>
               var bc = -1L; var bl = 0L
@@ -773,7 +836,7 @@ object Components {
         case _ => l
       }
       return attachLocal(ids, nodes.schema(idCol).dataType,
-        touched.map(t => t -> Seq[Any](back(label(t)))),
+        inFrame.map(t => t -> Seq[Any](back(label(t)))),
         Seq(org.apache.spark.sql.types.StructField("__l", nodes.schema(idCol).dataType)),
         Seq(col("id")), Seq("community"))
     }
@@ -823,38 +886,52 @@ object Components {
     val bound = localGraphBound(maxLocalEdges)
     if (bound > 0 && e.count() <= bound) {
       import scala.collection.mutable
-      val rows = e.collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      val touched = mutable.LinkedHashSet[Any]()
-      rows.foreach { r => touched += r.get(0); touched += r.get(1) }
+      // membership flags ride the collect: the distributed rounds key every
+      // score frame on `ids` (h/a joins + the ids left join per round), so
+      // out-of-frame endpoints never hold or emit score mass and never move
+      // the max
+      val rows = annotateEndpoints(e, ids)
+        .select("src", "dst", "__sin", "__din").collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      val inFrame = mutable.LinkedHashSet[Any]()
+      rows.foreach { r =>
+        if (rowFlag(r, 2)) inFrame += r.get(0)
+        if (rowFlag(r, 3)) inFrame += r.get(1)
+      }
       val h = mutable.HashMap[Any, Long]()
       val a = mutable.HashMap[Any, Long]()
-      touched.foreach(t => h(t) = scale)
+      inFrame.foreach(t => h(t) = scale)
       // (x·scale) div max through BigInt = the distributed DECIMAL(38,0)
       // intermediates; all operands non-negative so BigInt `/` ≡ `div`.
-      // Untouched nodes have raw 0 on both sides every round, so they
-      // never move the max and read (0, 0) at the end — the attach default.
+      // Untouched in-frame nodes have raw 0 on both sides every round, so
+      // they never move the max and read (0, 0) at the end — the attach
+      // default.
       def rescale(raw: mutable.HashMap[Any, Long], out: mutable.HashMap[Any, Long]): Unit = {
         var mx = 0L
         raw.valuesIterator.foreach(v => if (v > mx) mx = v)
         val den = math.max(mx, 1L)
-        touched.foreach { t =>
+        inFrame.foreach { t =>
           out(t) = (BigInt(raw.getOrElse(t, 0L)) * scale / den).toLong
         }
       }
       for (_ <- 1 to iterations) {
         val aRaw = mutable.HashMap[Any, Long]()
         rows.foreach { r =>
-          aRaw(r.get(1)) = aRaw.getOrElse(r.get(1), 0L) + h(r.get(0))
+          if (rowFlag(r, 3)) h.get(r.get(0)).foreach { v =>
+            aRaw(r.get(1)) = aRaw.getOrElse(r.get(1), 0L) + v
+          }
         }
         rescale(aRaw, a)
         val hRaw = mutable.HashMap[Any, Long]()
         rows.foreach { r =>
-          hRaw(r.get(0)) = hRaw.getOrElse(r.get(0), 0L) + a(r.get(1))
+          if (rowFlag(r, 2)) a.get(r.get(1)).foreach { v =>
+            hRaw(r.get(0)) = hRaw.getOrElse(r.get(0), 0L) + v
+          }
         }
         rescale(hRaw, h)
       }
       return attachLocal(ids, nodes.schema(idCol).dataType,
-        touched.map(t => t -> Seq[Any](h(t), a(t))),
+        inFrame.map(t => t -> Seq[Any](h(t), a(t))),
         Seq(org.apache.spark.sql.types.StructField("__h", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("__a", org.apache.spark.sql.types.LongType)),
         Seq(lit(0L), lit(0L)), Seq("hub", "authority"))

@@ -73,6 +73,68 @@ class GraphLocalRouteSpec extends SparkSpec {
     assert(rows(local) == rows(dist))
   }
 
+  // dangling edges: endpoints 90-93 are NOT in the node frame. The
+  // distributed rounds drop their mass/labels/votes via the ids joins, so
+  // the local route must drop them identically — this is also the
+  // legitimate "rank a subgraph by restricting the node frame" pattern.
+  private lazy val dangling = edges.unionAll(Seq(
+    (90L, 1L), (1L, 91L), (92L, 93L), (91L, 2L), (5L, 90L)
+  ).toDF("src", "dst"))
+
+  test("pageRank: dangling edges / restricted node frame — local ≡ distributed") {
+    val local = Components.pageRank(nodes, "id", dangling, "src", "dst", iterations = 5)
+    val dist = Components.pageRank(nodes, "id", dangling, "src", "dst", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist) && local.count() == 12)
+  }
+
+  test("weightedPageRank: dangling edges — local ≡ distributed") {
+    val we = dangling.withColumn("w", (col("src") * 3 + col("dst")) % 5 + 1)
+    val local = Components.weightedPageRank(nodes, "id", we, "src", "dst", "w", iterations = 5)
+    val dist = Components.weightedPageRank(nodes, "id", we, "src", "dst", "w", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+  }
+
+  test("personalizedPageRank: dangling edges + OUT-OF-FRAME seed — local ≡ distributed") {
+    // seed 90 exists in the edge frame but NOT in nodes: the distributed
+    // ids⋈seeds join ignores it, so it must emit no teleport mass locally
+    val seeds = Seq(1L, 90L, 99L).toDF("id")
+    val local = Components.personalizedPageRank(nodes, "id", dangling, "src", "dst", seeds,
+      iterations = 5)
+    val dist = Components.personalizedPageRank(nodes, "id", dangling, "src", "dst", seeds,
+      iterations = 5, maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+  }
+
+  test("bfsDistances: dangling edges + out-of-frame seed — local ≡ distributed") {
+    // 90 → 1 exists, 90 is a seed, but 90 ∉ nodes: the distributed relax
+    // join never sees it as a source, so node 1 must NOT read dist 1 via 90
+    val seeds = Seq(90L, 4L).toDF("id")
+    val local = Components.bfsDistances(nodes, "id", dangling, "src", "dst", seeds, maxHops = 4)
+    val dist = Components.bfsDistances(nodes, "id", dangling, "src", "dst", seeds, maxHops = 4,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+    val m = local.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(m(1L) == null, "out-of-frame seed must not act as a distance-0 source")
+    assert(m(4L) == 0L && m(5L) == 1L)
+  }
+
+  test("labelPropagation: dangling edges — local ≡ distributed") {
+    val local = Components.labelPropagation(nodes, "id", dangling, "src", "dst", iterations = 4)
+    val dist = Components.labelPropagation(nodes, "id", dangling, "src", "dst", iterations = 4,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+  }
+
+  test("hits: dangling edges — local ≡ distributed") {
+    val local = Components.hits(nodes, "id", dangling, "src", "dst", iterations = 5)
+    val dist = Components.hits(nodes, "id", dangling, "src", "dst", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist))
+  }
+
   test("kCore: local route bit-equal (peel-until-fixpoint, capped rounds)") {
     for (k <- Seq(2, 3)) {
       val local = Components.kCore(edges, "src", "dst", k = k)
