@@ -22,6 +22,22 @@ object Dedup {
     */
   val DefaultVerifyBroadcastMaxBytes: Long = 1L << 30
 
+  /** Sentinel for [[minhashLshPairs]]'s `maxBucket`: measure the hottest
+    * band bucket first, then route (exact first-matching-band path under
+    * [[DefaultHotBucketCap]], hot-bucket drop + pair-level dedup over it).
+    */
+  val AutoMaxBucket: Int = -1
+
+  /** Bucket-size cap the AUTO route enforces when the measured hottest
+    * bucket exceeds it: 2048 members ≈ 2.1M candidate pairs from the worst
+    * single bucket — bounded work per bucket at any corpus size. Docs in a
+    * hotter bucket collide in (nearly) EVERY band — they are boilerplate
+    * near-dups of everything there, which cluster-representative handling
+    * (components over the surviving pairs) resolves without the O(B²)
+    * enumeration.
+    */
+  val DefaultHotBucketCap: Int = 2048
+
   /** Exact dedup: one row per distinct `textCol` value, keeping the smallest
     * `idCol`, with the number of copies. Shuffles (hash, id) only; the text
     * body never crosses the wire (collision odds at 64-bit are ~n^2/2^65).
@@ -294,7 +310,20 @@ object Dedup {
     * whole job. Capping is the standard at-scale mitigation — docs in such
     * buckets are near-dups of *everything* there and are better handled by
     * cluster representatives (see [[Components.connectedComponents]]) than by
-    * enumerating O(B²) pairs. Default: uncapped (exact LSH semantics).
+    * enumerating O(B²) pairs.
+    *
+    * Default [[AutoMaxBucket]] MEASURES instead of guessing (the
+    * jaccardPairsAuto / semDedupBlocks / cosinePairsAuto discipline applied
+    * to LSH's own buckets): the skinny banded frame is materialized once,
+    * ONE bucket-size aggregate reads the hottest bucket, and the route is
+    * picked from the measurement — under [[DefaultHotBucketCap]] the exact
+    * first-matching-band path runs BIT-IDENTICALLY to the uncapped
+    * semantics; over it, hot buckets are dropped BEFORE member-list
+    * materialization (a broadcast anti-join on the hot keys, so the
+    * degenerate collect_list row is never even built) and the sound
+    * pair-level-dedup fallback runs, with the route logged. Pass
+    * `Int.MaxValue` to force exact uncapped semantics (no measurement), or
+    * a positive cap to force the capped path.
     */
   /** `tokenHasher`: hash applied to each shingle string. xxhash64 (default)
     * is the fast path; [[Shingles.md5Hash60]] is the oracle-checkable one.
@@ -302,10 +331,12 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3, broadcastVerify: Option[Boolean] = None,
-                      maxBucket: Int = Int.MaxValue,
+                      maxBucket: Int = AutoMaxBucket,
                       tokenHasher: Column => Column = xxhash64(_),
                       verifyBroadcastMaxBytes: Long = DefaultVerifyBroadcastMaxBytes): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucket == AutoMaxBucket || maxBucket > 0,
+      s"maxBucket must be positive or AutoMaxBucket ($AutoMaxBucket)")
     val rowsPerBand = numHashes / bands
     // (id, sig) only — the document body never enters the LSH shuffle.
     // The repartition is a deliberate materialization barrier: it (a) keeps
@@ -321,20 +352,59 @@ object Dedup {
     // per-doc band-key array (hash of each signature slice); each doc then
     // explodes to (band, bkey) rows CARRYING the 16-long array — the array is
     // what lets pair generation dedup inline (below)
-    val banded = sigs.select(col("id"),
+    val bandedRaw = sigs.select(col("id"),
       array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*).as("bk"))
+
+    // Route resolution. Forced-exact (Int.MaxValue) keeps the single-pass
+    // pipeline untouched. Auto/forced-cap materialize the SKINNY banded
+    // frame once (id + bands longs, ~140 bytes/doc) so the bucket-size
+    // measurement and the bucket build both read it without recomputing the
+    // signature scan — the expensive per-doc shingle+hash work runs exactly
+    // once either way.
+    val (banded, effMax) =
+      if (maxBucket == Int.MaxValue) (bandedRaw, Int.MaxValue)
+      else {
+        val ck = bandedRaw.localCheckpoint(true)
+        if (maxBucket > 0) (ck, maxBucket)
+        else {
+          // MEASURE: one aggregate over the exploded band keys → hottest
+          // bucket size. Only the 1-row max comes back to the driver (bucket
+          // COUNT is corpus-sized, so no per-bucket collect here — unlike
+          // the cell/block routers whose key spaces are bounded).
+          val r = ck.select(posexplode(col("bk")).as(Seq("band", "bkey")))
+            .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+            .agg(max(col("n"))).collect()(0)
+          val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
+          if (hottest <= DefaultHotBucketCap) (ck, Int.MaxValue)
+          else {
+            val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+            log.info(s"minhashLshPairs: hottest band bucket has $hottest members " +
+              s"(> $DefaultHotBucketCap cap, ~${hottest * (hottest - 1) / 2} candidate " +
+              s"pairs) — dropping hot buckets and taking the pair-level-dedup route")
+            (ck, DefaultHotBucketCap)
+          }
+        }
+      }
     val exploded = banded.select(col("id"), col("bk"),
       posexplode(col("bk")).as(Seq("band", "bkey")))
 
     // Bucket materialization: ONE skinny shuffle of (band, bkey, id, bk)
     // rows — ~bands rows per doc, ~140 bytes each — into per-bucket member
-    // lists. maxBucket capping is then a row-local size filter.
+    // lists. On a capped route, hot buckets are dropped BEFORE the
+    // member-list aggregate (broadcast anti-join on the few hot keys), so
+    // the degenerate collect_list row is never built at all.
     val buckets = {
-      val b = exploded.groupBy("band", "bkey")
+      val src =
+        if (effMax == Int.MaxValue) exploded
+        else {
+          val hot = exploded.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+            .where(col("n") > effMax).select("band", "bkey")
+          exploded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+        }
+      src.groupBy("band", "bkey")
         .agg(collect_list(struct(col("id"), col("bk"))).as("ms"))
         .where(size(col("ms")) > 1)
-      if (maxBucket == Int.MaxValue) b else b.where(size(col("ms")) <= maxBucket)
     }
     // Pair generation by double posexplode within each bucket (j > i), with
     // FIRST-MATCHING-BAND dedup, row-local: a pair colliding in b bands would
@@ -354,7 +424,7 @@ object Dedup {
       .select(col("band"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
       .where(col("j") > col("i"))
     val cand =
-      if (maxBucket == Int.MaxValue)
+      if (effMax == Int.MaxValue)
         pairsRaw
           .where(!graft.functions.BandPrefixMatch.matchesBefore(col("a.bk"), col("b.bk"), col("band")))
           .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
@@ -556,7 +626,7 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                         shingleLen: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+                         shingleLen: Int = 3, maxBucket: Int = AutoMaxBucket): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands,
       shingleLen, maxBucket = maxBucket)
     val cc = Components.connectedComponents(df.select(col(idCol)), idCol, pairs, "id_a", "id_b")

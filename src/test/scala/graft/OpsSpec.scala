@@ -304,6 +304,48 @@ class DedupSpec extends SparkSpec {
     assert(run(Int.MaxValue) == run(1000))
   }
 
+  test("minhash LSH AUTO route: cold corpus keeps the exact first-matching-band path") {
+    // route equivalence: the measured auto route (default) is bit-identical
+    // to forced-exact when no bucket exceeds the cap
+    def run(cap: Int) = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7,
+        shingleLen = 1, maxBucket = cap)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(run(Dedup.AutoMaxBucket) == run(Int.MaxValue))
+    // plan proof: the auto route picked the first-matching-band dedup (the
+    // codegen'd prefix filter), NOT the pair-keyed dropDuplicates aggregate
+    val plan = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7, shingleLen = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_band_prefix_match"), plan)
+    assert(!plan.contains("keys=[id_a"), plan)
+  }
+
+  test("minhash LSH AUTO route: measured hot bucket flips to capped pair-level dedup") {
+    // a boilerplate cluster bigger than DefaultHotBucketCap collides in
+    // EVERY band: the auto route must measure it and drop the hot buckets
+    // instead of enumerating ~2.2M candidate pairs from one bucket
+    val boiler = (1000L until 1000L + Dedup.DefaultHotBucketCap + 50L)
+      .map(i => (i, "same boilerplate text repeated verbatim on every page"))
+    val corpus = docs.unionAll(boiler.toDF("id", "text"))
+    val auto = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.7, shingleLen = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // hot-bucket members are near-dups of EVERYTHING there — handled by
+    // cluster representatives, not O(B²) pairs: none of their pairs appear
+    assert(!auto.exists(p => p._1 >= 1000L || p._2 >= 1000L))
+    // the cold near-dup pairs are still found, unchanged
+    assert(auto.contains((1L, 2L)) && auto.contains((1L, 3L)))
+    assert(!auto.exists(p => p._1 == 4L || p._2 == 4L))
+    // the auto decision equals the explicitly capped route bit-for-bit
+    val forced = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.7,
+        shingleLen = 1, maxBucket = Dedup.DefaultHotBucketCap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == forced)
+    // and the capped plan carries the pair-keyed dedup, not the prefix filter
+    val plan = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.7, shingleLen = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_band_prefix_match"), plan)
+    assert(plan.contains("keys=[id_a"), plan)
+  }
+
   test("minhash LSH verification routes on measured size: broadcast small, shuffle large") {
     // neutralize stats-driven broadcast selection so the plan shape proves
     // what the ROUTER decided, not what the tiny test corpus's stats allow
