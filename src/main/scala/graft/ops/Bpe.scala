@@ -53,18 +53,124 @@ object Bpe {
       .select(explode(regexp_extract_all(lower(col(textCol)), lit(pattern), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Spark's string ascending order is UTF8String binary order (unsigned
+    * UTF-8 byte comparison) — NOT Java's UTF-16 code-unit compareTo. The
+    * local merge loop must break count ties with the identical order for
+    * the merge sequence to replay bit-for-bit.
+    */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Measured vocabulary bound for the driver-local merge loop (the
+    * [[graft.ops.Components]] localGraphBound discipline): a real tokenizer
+    * is 32k-50k merges, and each distributed round is one full Spark job of
+    * pure scheduling floor over a VOCABULARY-sized frame — when that frame
+    * fits on the driver, the merge loop runs there with identical
+    * arithmetic (exact pair counts, the same desc-count / utf8-asc tie
+    * break), so the route choice is invisible in the output. Budgeted by
+    * estimated bytes per word (syms arrays + incremental pair-index
+    * entries), capped at 2^20 words — natural-language vocabularies fit.
+    */
+  private def localVocabBound(maxLocalWords: Long): Long =
+    if (maxLocalWords >= 0) maxLocalWords
+    else math.min(1L << 20, Runtime.getRuntime.maxMemory() / 8192)
+
+  /** Driver-local merge rounds with INCREMENTAL pair-count maintenance (the
+    * classic trainer structure, Sennrich et al.'s reference implementation):
+    * only words containing the merged pair change, so each round subtracts
+    * the affected words' old adjacent pairs, applies the merge, and re-adds
+    * — exactly the full recount, maintained exactly. 32k merges touch a few
+    * words each instead of 32k vocabulary-wide Spark jobs.
+    */
+  private def trainLocal(words: Array[Word], nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWord(idx: Int, sign: Long): Unit = {
+      val w = words(idx)
+      var i = 0
+      while (i + 1 < w.syms.length) {
+        val p = (w.syms(i), w.syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * w.freq
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0) index.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+        i += 1
+      }
+      if (sign < 0) {
+        i = 0
+        while (i + 1 < w.syms.length) {
+          val p = (w.syms(i), w.syms(i + 1))
+          index.get(p).foreach { s => s -= idx; if (s.isEmpty) index.remove(p) }
+          i += 1
+        }
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      // argmax by (cnt desc, a utf8-asc, b utf8-asc) — the strict total
+      // order makes the scan deterministic regardless of map iteration order
+      var best: (String, String) = null
+      var bc = 0L
+      counts.foreach { case (p, c) =>
+        if (best == null || c > bc ||
+          (c == bc && (utf8Less(p._1, best._1) ||
+            (p._1 == best._1 && utf8Less(p._2, best._2))))) { best = p; bc = c }
+      }
+      if (best == null) done = true // vocabulary fully merged — stop early
+      else {
+        merges += Merge(r, best._1, best._2, bc)
+        val affected = index.getOrElse(best, mutable.HashSet.empty).toArray
+        affected.foreach { idx =>
+          addWord(idx, -1L)
+          words(idx) = words(idx).copy(
+            syms = applyMerge(words(idx).syms, best._1, best._2))
+          addWord(idx, 1L)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Train `nMerges` BPE merges. Returns the final tokenized vocabulary
-    * frame and the ordered merge table. The vocabulary frame stays
-    * distributed; only the per-round 1-row argmax and the N-row merge list
-    * ever reach the driver.
+    * frame and the ordered merge table.
+    *
+    * The route is MEASURED: the corpus is read once into the word-frequency
+    * frame; when the vocabulary fits the driver bound the merge loop runs
+    * locally ([[trainLocal]], bit-identical merge sequence by construction —
+    * spec-asserted), else the rounds stay distributed (one skinny
+    * vocabulary-wide aggregate + 1-row argmax collect per round). Pass
+    * `maxLocalWords = 0` to force distributed rounds, a positive bound to
+    * override the heap-scaled default.
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String, nMerges: Int,
-            pattern: String = "[a-z]+"): (Dataset[Word], Seq[Merge]) = {
+            pattern: String = "[a-z]+",
+            maxLocalWords: Long = -1L): (Dataset[Word], Seq[Merge]) = {
     import spark.implicits._
     var wf: Dataset[Word] = wordFrequencies(docs, textCol, pattern)
       .as[(String, Long)]
       .map { case (w, f) => Word(w, f, w.map(_.toString).toArray) }
       .localCheckpoint() // materialize the vocab; the corpus is never re-read
+    val bound = localVocabBound(maxLocalWords)
+    if (bound > 0 && wf.count() <= bound) {
+      // the count rides the already-materialized checkpoint (cheap action)
+      val words = wf.collect()
+      val merges = trainLocal(words, nMerges)
+      return (spark.createDataset(words.toIndexedSeq), merges)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     while (r <= nMerges) {

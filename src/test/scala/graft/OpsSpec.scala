@@ -3367,6 +3367,43 @@ class BpeSpec extends SparkSpec {
     assert(total == fromWf.values.sum)
   }
 
+  test("train: measured LOCAL merge loop is bit-parity with distributed rounds") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quiet brown bear sleeps under the shady tree"),
+      (3L, "quick brown foxes and quiet brown bears"),
+      (4L, "banana banana band abandon bandana")).toDF("doc_id", "text")
+    val (wfL, mL) = Bpe.train(spark, docs, "text", nMerges = 12)
+    val (wfD, mD) = Bpe.train(spark, docs, "text", nMerges = 12, maxLocalWords = 0L)
+    assert(mL == mD, "merge sequence must be identical on both routes")
+    val tL = Bpe.tokenCounts(wfL).as[(String, Long)].collect().toMap
+    val tD = Bpe.tokenCounts(wfD).as[(String, Long)].collect().toMap
+    assert(tL == tD, "final vocabulary expansion must be identical")
+    // early stop agrees too (vocabulary fully merged before the budget)
+    val tiny = Seq((1L, "aa ab")).toDF("doc_id", "text")
+    val (_, eL) = Bpe.train(spark, tiny, "text", nMerges = 10)
+    val (_, eD) = Bpe.train(spark, tiny, "text", nMerges = 10, maxLocalWords = 0L)
+    assert(eL == eD && eL.size < 10)
+  }
+
+  test("train: non-ASCII / surrogate tie-break agrees across routes") {
+    // the char-split alphabet mangles supplementary chars into unpaired
+    // surrogates, which Spark's encoder round-trip canonicalizes to '?'
+    // (getBytes UTF-8 replacement) BEFORE either route sees them — so both
+    // routes must see identical '?' symbols and the '?'(0x3F)-before-'z'
+    // byte order must pick the same winner under a forced count tie. (On
+    // the reachable post-encoder symbol space — BMP strings — UTF-8 byte
+    // order and UTF-16 compareTo coincide; the local comparator still uses
+    // UTF-8 bytes to match Spark's UTF8String order by construction.)
+    val docs = Seq((1L, "\uD800a za éa")).toDF("doc_id", "text")
+    val (_, mL) = Bpe.train(spark, docs, "text", nMerges = 1, pattern = "[^ ]+")
+    val (_, mD) = Bpe.train(spark, docs, "text", nMerges = 1, pattern = "[^ ]+",
+      maxLocalWords = 0L)
+    assert(mL == mD)
+    assert(mL.head.mleft == "?" && mL.head.mright == "a",
+      s"'?'(0x3F) sorts before 'z' and 'é' in UTF-8 byte order, got ${mL.head}")
+  }
+
   test("encode handles unseen words and empty text deterministically") {
     val train = Seq((1L, "banana banana band")).toDF("doc_id", "text")
     val (_, merges) = Bpe.train(spark, train, "text", nMerges = 3)
