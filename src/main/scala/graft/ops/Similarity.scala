@@ -244,6 +244,73 @@ object Similarity {
     (topRows.toSeq ++ subRows).toDF("level", "cell", "top", "centroid")
   }
 
+  /** JOIN-tier trainer: the same two-level construction as
+    * [[trainHierarchicalSeeds]], but the sub-centroids are NEVER collected —
+    * they stay a distributed (cell, top, centroid) frame. Only the ntop
+    * level-1 centroids (capped at [[MaxJoinTierTops]]) and the ntop-row
+    * per-top counts (for the dense global cell-id offsets) reach the
+    * driver, so cell counts past [[MaxHierCells]] stay bounded everywhere.
+    * Global ids replicate the driver trainer's nextId walk exactly
+    * (offsets = cumulative per-top member counts in top order), so on a
+    * corpus both trainers can handle, the frames are row-equal
+    * (spec-asserted).
+    */
+  private[ops] def trainHierarchicalFrame(base: DataFrame, ncells: Long,
+                                          ntopIn: Int = -1): (Array[Array[Double]], DataFrame) = {
+    require(ncells >= 1)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val ntop = if (ntopIn > 0) ntopIn
+      else math.min(MaxJoinTierTops.toLong,
+        math.max(2L, math.ceil(math.sqrt(ncells.toDouble)).toLong)).toInt
+    val topSeeds = trainSeeds(base, ntop, 0).map(_._2.toArray)
+    if (topSeeds.isEmpty)
+      return (Array.empty,
+        Seq.empty[(Int, Int, Seq[Double])].toDF("cell", "top", "centroid"))
+    val nsub = math.max(1L, math.min(Int.MaxValue.toLong, (ncells + ntop - 1) / ntop))
+    val w = Window.partitionBy("top").orderBy("neighbor_id")
+    val ranked = base
+      .withColumn("top", graft.functions.IvfCells.bestFlat(col("cv"), topSeeds))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= nsub)
+      .select(col("top"), col("__rk"), col("cv"))
+      .localCheckpoint() // reused by the counts collect AND the id projection
+    val counts = ranked.groupBy("top").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](topSeeds.length)
+    var acc = 0L
+    var t = 0
+    while (t < topSeeds.length) {
+      offsets(t) = acc; acc += counts.getOrElse(t, 0L); t += 1
+    }
+    val offDf = broadcast(
+      offsets.zipWithIndex.map { case (o, tt) => (tt, o) }.toSeq.toDF("top", "__off"))
+    val subs = ranked.join(offDf, Seq("top"))
+      .select((col("__off") + col("__rk") - 1L).cast(IntegerType).as("cell"),
+        col("top"), col("cv").as("centroid"))
+    (topSeeds, subs)
+  }
+
+  /** [[trainHierarchicalFrame]] as the persistable (level, cell, top,
+    * centroid) frame — same schema as [[trainHierarchicalQuantizer]], but
+    * the level-2 rows are produced distributed and never collected, so it
+    * scales past [[MaxHierCells]] total cells. [[knnGraph]] recognizes the
+    * `level` column and routes oversized frames to the join tier
+    * automatically.
+    */
+  def trainHierarchicalQuantizerFrame(corpus: DataFrame, idCol: String, vecCol: String,
+                                      ncells: Long, ntop: Int = -1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val (tops, subs) = trainHierarchicalFrame(base, ncells, ntop)
+    val topRows = tops.zipWithIndex.map { case (c, t) => (1, t, t, c.toSeq) }
+      .toSeq.toDF("level", "cell", "top", "centroid")
+    topRows.unionAll(
+      subs.select(lit(2).as("level"), col("cell"), col("top"), col("centroid")))
+  }
+
   /** Bounded decode of a (level, cell, top, centroid) hierarchical
     * quantizer frame back to the closure-held structure.
     */
@@ -352,7 +419,32 @@ object Similarity {
     */
   val MaxFlatCells: Int = 1 << 16
   val MaxLiteralMatrixCells: Long = 1L << 20
+
+  /** Closure-tier cell cap (conf `spark.graft.similarity.maxHierCells`):
+    * past this the quantizer is no driver/closure structure at all — the
+    * JOIN tier keeps the sub-centroids as a DISTRIBUTED frame and assigns
+    * by the same IVF-blocked join the kNN graph uses (see
+    * [[trainHierarchicalQuantizerFrame]] / the knnGraph router). Only the
+    * ntop ≈ √ncells level-1 centroids (capped at [[MaxJoinTierTops]]) are
+    * ever collected.
+    */
   val MaxHierCells: Int = 1 << 20
+
+  /** Level-1 cap of the join tier: ntop centroids are the only driver-held
+    * structure, so 2^14 × dim doubles (~8 MB at dim 64) bounds it while
+    * supporting ~2^28 total cells (nsub ≈ ncells/ntop per-top windows stay
+    * group-bounded).
+    */
+  val MaxJoinTierTops: Int = 1 << 14
+
+  /** Fixed top-expansion for hierarchical ASSIGNMENT (bestCell): every
+    * entry point — batch knnGraph builds, streaming stores,
+    * assignCellsWithQuantizer — must give a vector the same home cell for
+    * a given quantizer, so assignment cannot ride the caller's nprobe.
+    * 2 tops keeps the boundary-vector assignment quality of the hierarchy
+    * at ~2√ncells per-row cost.
+    */
+  val BestCellExpandTops: Int = 2
 
   /** Above this the AUTO route swaps the literal expressions for the
     * closure expression even while flat (same results bit-for-bit,
@@ -375,10 +467,24 @@ object Similarity {
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
     quantizer match {
       case Some(qf) if qf.columns.contains("level") =>
-        // pre-trained TWO-LEVEL quantizer → closure-expression assigner
-        ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe,
-          new HierAssigner(decodeHQuantizer(qf), nprobe),
-          broadcastQueries = false, keepCos = keepCos)
+        // pre-trained TWO-LEVEL quantizer: closure assigner while the cell
+        // count fits the closure cap, the join tier past it (level-2 rows
+        // stay a distributed frame; only level-1 is collected)
+        val maxHier = confLong(corpus, "spark.graft.similarity.maxHierCells",
+          MaxHierCells.toLong)
+        if (qf.where(col("level") === 2).count() <= maxHier)
+          ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe,
+            new HierAssigner(decodeHQuantizer(qf), nprobe),
+            broadcastQueries = false, keepCos = keepCos)
+        else {
+          val tops = qf.where(col("level") === 1)
+            .select(col("top").cast(IntegerType), col("centroid")).collect()
+            .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+          val subs = qf.where(col("level") === 2)
+            .select(col("cell").cast(IntegerType).as("cell"),
+              col("top").cast(IntegerType).as("top"), col("centroid"))
+          ivfSearchJoinTier(base, corpus, idCol, vecCol, k, nprobe, tops, subs, keepCos)
+        }
       case Some(qf) =>
         ivfSearch(base, corpus, idCol, vecCol, k, nprobe, decodeQuantizer(qf),
           broadcastQueries = false, keepCos = keepCos)
@@ -410,10 +516,18 @@ object Similarity {
           ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe, assigner,
             broadcastQueries = false, keepCos = keepCos)
         } else {
-          val target = math.min(wanted, MaxHierCells.toLong).toInt
-          ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe,
-            new HierAssigner(trainHierarchicalSeeds(base, target), nprobe),
-            broadcastQueries = false, keepCos = keepCos)
+          val maxHier = confLong(corpus, "spark.graft.similarity.maxHierCells",
+            MaxHierCells.toLong)
+          if (wanted <= maxHier)
+            ivfSearchWith(base, corpus, idCol, vecCol, k, nprobe,
+              new HierAssigner(trainHierarchicalSeeds(base, wanted.toInt), nprobe),
+              broadcastQueries = false, keepCos = keepCos)
+          else {
+            // JOIN tier: the quantizer is a distributed frame; nothing
+            // cell-count-sized is ever driver- or closure-held
+            val (tops, subs) = trainHierarchicalFrame(base, wanted)
+            ivfSearchJoinTier(base, corpus, idCol, vecCol, k, nprobe, tops, subs, keepCos)
+          }
         }
     }
   }
@@ -565,16 +679,36 @@ object Similarity {
   }
 
   private final class HierAssigner(hq: HQuantizer, nprobe: Int) extends CellAssigner {
-    // expanding nprobe+1 tops keeps probe recall close to the flat ranking
-    // at 2√ncells per-row cost (the recall/cost dial of the hierarchy)
-    private val expandTops = math.min(math.max(1, hq.tops.length), nprobe + 1)
+    // PROBING expands nprobe+1 tops — the recall/cost dial of the hierarchy
+    // (2√ncells per-row cost, probe recall close to the flat ranking).
+    // ASSIGNMENT (bestCell) expands a FIXED number of tops instead: a
+    // vector's home cell must not depend on the caller's nprobe, or the
+    // same vector + same saved quantizer would land in different cells
+    // across entry points (a streaming dedup store assigned via
+    // assignCellsWithQuantizer must block consistently against cells
+    // assigned during a knnGraph build — the flat route's argmax has this
+    // property for free).
+    private val probeExpand = math.min(math.max(1, hq.tops.length), nprobe + 1)
+    private val bestExpand = math.min(math.max(1, hq.tops.length), BestCellExpandTops)
     def bestCell(v: Column): Column =
       element_at(graft.functions.IvfCells.probed(v, hq.tops, hq.subIds,
-        hq.subVecs, 1, expandTops), 1)
+        hq.subVecs, 1, bestExpand), 1)
     def probedCells(v: Column): Column =
       graft.functions.IvfCells.probed(v, hq.tops, hq.subIds, hq.subVecs,
-        nprobe, expandTops)
+        nprobe, probeExpand)
   }
+
+  /** Test/diagnostic surface: the EXACT home-cell column the search entry
+    * points assign a corpus vector for a (possibly hierarchical) quantizer
+    * at a given nprobe. Assignment is nprobe-INDEPENDENT by construction
+    * (fixed [[BestCellExpandTops]] expansion — spec-asserted), so every
+    * entry point blocks consistently for a given quantizer.
+    */
+  private[graft] def bestCellColumn(quantizer: DataFrame, v: Column, nprobe: Int): Column =
+    if (quantizer.columns.contains("level"))
+      new HierAssigner(decodeHQuantizer(quantizer), nprobe).bestCell(v)
+    else
+      new FlatAssigner(decodeQuantizer(quantizer), nprobe).bestCell(v)
 
   /** Probed-cell candidate join + exact cosine top-K over given seeds.
     * `broadcastQueries = false` is the full-corpus (kNN graph) shape: a
@@ -601,6 +735,63 @@ object Similarity {
 
     val qSide = if (broadcastQueries) broadcast(q) else q
     val scored = corpusCells.join(qSide, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    if (keepCos) ranked.select("query_id", "rank", "neighbor_id", "cos")
+    else ranked.select("query_id", "rank", "neighbor_id")
+  }
+
+  /** The JOIN-ASSIGNED search tier for cell counts past [[MaxHierCells]]:
+    * the sub-centroid table stays a DISTRIBUTED (cell, top, centroid)
+    * frame — nothing cell-count-sized is driver- or closure-held. Per row,
+    * the candidate TOPS come from the row-local closure over the ntop
+    * level-1 centroids (the only collected structure, ≤ [[MaxJoinTierTops]]
+    * rows), the candidate sub-centroids from the blocked equi-join on
+    * `top` (fan-out = expandTops × nsub ≈ 2√ncells rows per vector — the
+    * same per-row cosine budget as the closure tier, paid as shuffle
+    * instead of closure memory), and the winner from one max-struct
+    * aggregate whose (cos desc, cell desc, NaN greatest) order is exactly
+    * the closure expression's tie rule — so on a corpus both tiers can
+    * handle, the graphs are BIT-EQUAL (spec-asserted).
+    */
+  private def ivfSearchJoinTier(base: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                                tops: Array[Array[Double]], subs: DataFrame,
+                                keepCos: Boolean): DataFrame = {
+    val ntop = math.max(1, tops.length)
+    val bestExpand = math.min(ntop, BestCellExpandTops)
+    val probeExpand = math.min(ntop, nprobe + 1)
+    val subsSel = subs.select(col("cell"), col("top"), col("centroid"))
+    // corpus assignment: one skinny (neighbor_id, cos, cell) aggregate, the
+    // home cell re-attached to the payload by an id-keyed join
+    val cTop = base.select(col("neighbor_id"), col("cv"),
+      explode(graft.functions.IvfCells.probed(col("cv"), tops,
+        Array.empty, Array.empty, bestExpand, 1)).as("top"))
+    val cCell = cTop.join(subsSel, Seq("top"))
+      .groupBy("neighbor_id")
+      .agg(max(struct(cosine(col("cv"), col("centroid")).as("cos"),
+        col("cell").as("cell"))).as("m"))
+      .select(col("neighbor_id"), col("m.cell").as("cell"))
+    val corpusCells = base.join(cCell, Seq("neighbor_id"))
+    // query probes: top-nprobe cells per query by the same (cos, cell) order
+    val qBase = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
+    val qTop = qBase.select(col("query_id"), col("qv"),
+      explode(graft.functions.IvfCells.probed(col("qv"), tops,
+        Array.empty, Array.empty, probeExpand, 1)).as("top"))
+    val wq = Window.partitionBy("query_id").orderBy(col("__sc").desc)
+    val qCells = qTop.join(subsSel, Seq("top"))
+      .select(col("query_id"),
+        struct(cosine(col("qv"), col("centroid")).as("cos"),
+          col("cell").as("cell")).as("__sc"))
+      .withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__sc.cell").as("cell"))
+    val q = qBase.join(qCells, Seq("query_id"))
+    val scored = corpusCells.join(q, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -130,6 +130,92 @@ class HierIvfSpec extends SparkSpec {
     assert(viaClosure == viaLiteral && viaClosure.nonEmpty)
   }
 
+  test("JOIN tier: frame trainer row-equal to the driver trainer") {
+    val df = clustered(96)
+    val driver = Similarity.trainHierarchicalQuantizer(df, "id", "vec", ncells = 20)
+      .collect().map(_.toSeq).toSet
+    val frame = Similarity.trainHierarchicalQuantizerFrame(df, "id", "vec", ncells = 20)
+      .collect().map(_.toSeq).toSet
+    assert(frame == driver && frame.nonEmpty)
+  }
+
+  test("JOIN tier: graph bit-equal to the closure tier on a forced-route corpus") {
+    val df = clustered(160)
+    val hq = Similarity.trainHierarchicalQuantizer(df, "id", "vec", ncells = 24)
+    def graph(nprobe: Int) = Similarity.knnGraph(df, "id", "vec", k = 3,
+        nprobe = nprobe, quantizer = Some(hq), keepCos = true)
+      .collect().map(_.toSeq).toSet
+    val viaClosure1 = graph(1)
+    val viaClosure2 = graph(2)
+    try {
+      // force the pre-trained route past the (conf-lowered) closure cap:
+      // the level-2 rows stay a distributed frame, assignment goes through
+      // the blocked join — results must not move by a bit
+      spark.conf.set("spark.graft.similarity.maxHierCells", "8")
+      assert(graph(1) == viaClosure1 && viaClosure1.nonEmpty)
+      assert(graph(2) == viaClosure2 && viaClosure2.nonEmpty)
+    } finally spark.conf.unset("spark.graft.similarity.maxHierCells")
+  }
+
+  test("AUTO route engages the join tier past the (conf-forced) caps") {
+    val df = clustered(120)
+    try {
+      spark.conf.set("spark.graft.similarity.maxFlatCells", "4")
+      spark.conf.set("spark.graft.similarity.maxHierCells", "8")
+      val g = Similarity.knnGraph(df, "id", "vec", k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(g.size == 120 * 3)
+      g.foreach { case (q, n) => assert(q % 4 == n % 4,
+        "separated clusters: every edge stays in-cluster on the join tier") }
+    } finally {
+      spark.conf.unset("spark.graft.similarity.maxFlatCells")
+      spark.conf.unset("spark.graft.similarity.maxHierCells")
+    }
+  }
+
+  test("hierarchical ASSIGNMENT is nprobe-independent and equal across entry points") {
+    val df = clustered(120)
+    val hq = Similarity.trainHierarchicalQuantizer(df, "id", "vec", ncells = 24)
+    def cells(nprobe: Int) = df.select(col("id"),
+        Similarity.bestCellColumn(hq, transform(col("vec"), x => x.cast("double")), nprobe)
+          .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c1 = cells(1)
+    assert(c1 == cells(3) && c1 == cells(7),
+      "a vector's home cell must not depend on the caller's nprobe")
+    // and assignCellsWithQuantizer (the streaming-store entry point) agrees
+    val viaAssign = Similarity.assignCellsWithQuantizer(df, "vec", hq)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaAssign == c1)
+  }
+
+  test("measured recall gate: two-level probe ranking vs the flat route at equal nprobe") {
+    // NOISY fixture (deterministic): 8 anchor directions + per-vector noise
+    // big enough that cells overlap — the two-level ranking (nearest tops'
+    // sub-cells, not the global cell ranking) must still recover the flat
+    // route's edges above a stated floor. Well-separated clusters measure
+    // 1.0 and gate nothing.
+    val rng = new scala.util.Random(1234)
+    val df = (0 until 600).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(8)(d => 0.35 * rng.nextGaussian())
+      v(c) += 1.0
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    def edges(quantizer: Option[org.apache.spark.sql.DataFrame], nprobe: Int) =
+      Similarity.knnGraph(df, "id", "vec", k = 5, ncells = 48, nprobe = nprobe,
+          quantizer = quantizer)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hq = Similarity.trainHierarchicalQuantizer(df, "id", "vec", ncells = 48)
+    for ((nprobe, floor) <- Seq(1 -> 0.55, 2 -> 0.70, 4 -> 0.80)) {
+      val flat = edges(None, nprobe)   // ncells=48 explicit -> flat route
+      val hier = edges(Some(hq), nprobe)
+      val recall = hier.intersect(flat).size.toDouble / flat.size
+      info(s"two-level recall@5 vs flat at nprobe=$nprobe: $recall")
+      assert(recall >= floor, s"nprobe=$nprobe recall $recall < floor $floor")
+    }
+  }
+
   test("closure flat argmax (IvfCells.bestFlat) is bit-equal to the literal array_max incl. zero vectors") {
     // includes a zero vector (NaN cosine) to pin the NaN-greatest tie rule
     val rows = Seq(
