@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main <scan.yml> <table-path> [key=value ...]
   *   graft.Main sweep <scan-dir> <table-root> [--out <dir>]
-  *              [--baseline <dir>] [--report <md-file>] [key=value ...]
+  *              [--baseline <dir>] [--report <md-file>] [--post <url>]
+  *              [key=value ...]
   *   graft.Main stream <scan.yml> <log-dir> <out-dir|console>
   *              [--schema <ddl>] [--max-files-per-trigger N] [key=value ...]
   *
@@ -104,9 +105,14 @@ object Main {
     * reference delegates to Soda Cloud, across every table in one command.
     * `--report <md-file>` additionally renders everything as one markdown
     * document ([[sweepReport]]) — the human-readable artifact.
+    * `--post <url>` ships the merged results as one JSON document to an
+    * HTTP endpoint (or a `file:` path — the test/automation sink): the
+    * webhook analogue of the reference's `soda_server_client` Soda Cloud
+    * callback (scan.py:430,463), pointed at a caller-owned endpoint.
     *
     * Exit code: 0 all tables pass, 1 any test failure, 2 any scan error /
-    * unresolvable table / bad usage — schedulers gate on the worst table.
+    * unresolvable table / bad usage / failed --post — schedulers gate on
+    * the worst table.
     */
   def runSweep(args: Array[String], sparkIn: Option[SparkSession]): Int = {
     import graft.api.ScanResultFrames
@@ -114,18 +120,20 @@ object Main {
     import org.apache.spark.sql.functions.lit
 
     val usage = "usage: graft.Main sweep <scan-dir> <table-root> " +
-      "[--out <dir>] [--baseline <dir>] [--report <md-file>] [key=value ...]"
+      "[--out <dir>] [--baseline <dir>] [--report <md-file>] [--post <url>] [key=value ...]"
     if (args.length < 2) { System.err.println(usage); return 2 }
     val Array(scanDir, tableRoot) = args.take(2)
     var outDir = Option.empty[String]
     var baseline = Option.empty[String]
     var reportPath = Option.empty[String]
+    var postUrl = Option.empty[String]
     val vars = scala.collection.mutable.Map.empty[String, String]
     var i = 2
     while (i < args.length) args(i) match {
       case "--out" if i + 1 < args.length => outDir = Some(args(i + 1)); i += 2
       case "--baseline" if i + 1 < args.length => baseline = Some(args(i + 1)); i += 2
       case "--report" if i + 1 < args.length => reportPath = Some(args(i + 1)); i += 2
+      case "--post" if i + 1 < args.length => postUrl = Some(args(i + 1)); i += 2
       case kv => kv.split("=", 2) match {
         case Array(k, v) => vars(k) = v; i += 1
         case _ => System.err.println(s"unrecognized argument '$kv'\n$usage"); return 2
@@ -229,15 +237,81 @@ object Main {
       }
       val failedTotal = results.map(_._2.testResults.count(t => !t.skipped && !t.passed)).sum
       val errorsTotal = results.count(_._2.hasErrors)
+      // --post: ship the merged results as ONE JSON document — the
+      // machine-readable analogue of the reference's soda_server_client
+      // callback (scan.py posts results to Soda Cloud), pointed at YOUR
+      // endpoint instead of a proprietary service. The measurements/tests
+      // arrays are the --out frames row-for-row (Spark's own toJSON
+      // encoding); `file:` URLs write the body to the path — the
+      // zero-network test/automation sink. Posting never masks the scan
+      // verdict: test failures still exit 1; a transport failure is an
+      // operational error (exit 2, like any other scan error).
+      var postFailed = false
+      postUrl.foreach { u =>
+        def esc(s: String): String = s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        val mJson = measurements.toJSON.collect().mkString("[", ",", "]")
+        val tJson = tests.toJSON.collect().mkString("[", ",", "]")
+        val eJson = results.flatMap { case (t, r) =>
+          r.errors.map(e => s"""{"table":"${esc(t)}","message":"${esc(e.message)}"}""")
+        }.mkString("[", ",", "]")
+        val body = s"""{"tables":${results.size},"failed_tests":$failedTotal,""" +
+          s""""tables_with_errors":$errorsTotal,"measurements":$mJson,""" +
+          s""""tests":$tJson,"errors":$eJson}"""
+        postJson(u, body) match {
+          case None => println(s"  posted sweep results to $u")
+          case Some(err) =>
+            System.err.println(s"  post to $u failed: $err")
+            postFailed = true
+        }
+      }
       println(s"sweep complete: ${results.size} tables, $failedTotal failed tests, " +
         s"$errorsTotal tables with errors")
-      if (anyError || errorsTotal > 0) 2 else if (failedTotal > 0) 1 else 0
+      if (anyError || errorsTotal > 0 || postFailed) 2
+      else if (failedTotal > 0) 1 else 0
     } catch {
       case e: Exception =>
         System.err.println(s"sweep failed: ${e.getMessage}")
         2
     } finally if (sparkIn.isEmpty) spark.stop()
   }
+
+  /** Minimal JSON-POST transport for `sweep --post`. `file:` URLs write the
+    * body to the path (zero-network tests/automation); http(s) URLs POST
+    * with `Content-Type: application/json` and succeed on any 2xx. Returns
+    * None on success, Some(error) otherwise — the caller decides exit-code
+    * policy.
+    */
+  private def postJson(url: String, body: String): Option[String] =
+    try {
+      if (url.startsWith("file:")) {
+        val p = java.nio.file.Paths.get(java.net.URI.create(url))
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p,
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        None
+      } else {
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        val out = conn.getOutputStream
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val code = conn.getResponseCode
+        if (code >= 200 && code < 300) None else Some(s"HTTP $code")
+      }
+    } catch { case e: Exception => Some(e.getMessage) }
 
   /** The human-readable half of the sweep: one markdown document with the
     * per-table status table, each table's failed tests / errors /

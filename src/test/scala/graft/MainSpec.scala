@@ -120,6 +120,25 @@ class MainSpec extends SparkSpec {
     assert(report.contains("## Drift vs baseline"), report)
     assert(report.contains("good: drifted row_count 3.0 -> 7.0"), report)
     assert(report.contains("bad: stable"), report)
+    // --post (file-URL transport): the sink receives ONE JSON document with
+    // the merged measurements/tests row-for-row and the summary counts;
+    // a failing test STILL exits 1 (posting never masks the verdict)
+    val sink = s"$dir/posted/sweep.json"
+    val (code4, out4) = sweep("--post", s"file://$sink")
+    assert(code4 == 1, out4)
+    assert(out4.contains(s"posted sweep results to file://$sink"), out4)
+    val posted = java.nio.file.Files.readString(java.nio.file.Paths.get(sink))
+    assert(posted.startsWith("""{"tables":2,"failed_tests":1,"tables_with_errors":0,"""),
+      posted.take(200))
+    // the measurements array is the --out frame row-for-row (Spark toJSON)
+    val expectMs = spark.read.parquet(s"$dir/run1/measurements")
+      .where(col("table") === "bad").toJSON.collect()
+    expectMs.foreach(m => assert(posted.contains(m), s"missing $m"))
+    assert(posted.contains(""""tests":[{"""), posted.take(400))
+    assert(posted.contains(""""errors":[]"""), posted.takeRight(200))
+    // unwritable sink -> operational error exit 2, verdict still printed
+    val (code5, _) = sweep("--post", "file:///proc/nope/x.json")
+    assert(code5 == 2)
     // a yml naming a missing table -> exit 2
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$scans/c_absent.yml"),
       "table_name: absent\nmetrics:\n- row_count\n")
