@@ -53,9 +53,10 @@ object TextAnalysis {
     * `requireAlpha` is off) it contains at least one lowercase letter in
     * ANY cased script (`\p{Ll}` — Latin, Cyrillic, Greek, …). Scripts with
     * no case (CJK, Arabic, Devanagari, …) have no lowercase AT ALL, so
-    * under defaults every line of such a document drops: route by
-    * [[scriptProfile]] first and pass `requireAlpha = false` for no-case
-    * scripts. The upper-ratio "shouty chrome" test stays ASCII [A-Z]/[A-Za-z]
+    * under defaults every line of such a document drops: use
+    * [[lineWiseCleanAuto]] (routes the rule per document on
+    * [[scriptProfile]] dominance) or pass `requireAlpha = false` for
+    * no-case scripts. The upper-ratio "shouty chrome" test stays ASCII [A-Z]/[A-Za-z]
     * on purpose (the nav-bar heuristic is a Latin-web artifact; for no-case
     * scripts letters==0 short-circuits it to pass).
     * ROW-LOCAL — one split pre-projected ONCE (CollapseProject can't
@@ -84,6 +85,49 @@ object TextAnalysis {
       .withColumn("n_dropped",
         (size(col("__lines")) - size(col("__keep"))).cast(LongType))
       .drop("__lines", "__keep")
+  }
+
+  /** Scripts in [[ScriptRanges]] with NO case distinction — a `\p{Ll}`
+    * lowercase-prose test can never pass on them, so the script-aware
+    * cleaner flips to a has-any-letter test for documents they dominate.
+    */
+  val UncasedScripts: Set[String] = Set("cjk", "arabic", "hangul", "devanagari")
+
+  /** SCRIPT-AWARE [[lineWiseClean]]: the lowercase-prose rule routes per
+    * DOCUMENT on [[scriptProfile]] dominance — cased-script documents keep
+    * the RefinedWeb `\p{Ll}` test; documents dominated by an UNCASED script
+    * (CJK, Arabic, Hangul, Devanagari — lowercase does not EXIST there)
+    * flip to a non-empty-prose test (≥ 1 letter in any script, `\p{L}`), so
+    * a Chinese page is cleaned line-wise instead of losing every line. The
+    * length and shouty-chrome rules are unchanged (letters==0
+    * short-circuits the ASCII upper-ratio for no-case scripts). Row-local:
+    * the dominance column and the line filter ride one projection — zero
+    * shuffle at any corpus size.
+    *
+    * @return df + (`script`, text_clean, n_lines, n_dropped)
+    */
+  def lineWiseCleanAuto(df: DataFrame, textCol: String, minChars: Int = 10,
+                        maxUpperRatio: Double = 0.6): DataFrame = {
+    val uncased = col("__script").isin(UncasedScripts.toSeq.sorted: _*)
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      val upper = length(regexp_replace(t, "[^A-Z]", ""))
+      val letters = length(regexp_replace(t, "[^A-Za-z]", ""))
+      val lenOk = length(t) >= minChars
+      val caseOk = letters === 0 ||
+        upper.cast(DoubleType) / letters.cast(DoubleType) <= maxUpperRatio
+      val alphaOk = when(uncased, t.rlike("\\p{L}")).otherwise(t.rlike("\\p{Ll}"))
+      lenOk && caseOk && alphaOk
+    }
+    df.withColumn("__script", scriptProfile(col(textCol)).last)
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__keep", filter(col("__lines"), keepLine _))
+      .withColumn("script", col("__script"))
+      .withColumn("text_clean", array_join(col("__keep"), "\n"))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("n_dropped",
+        (size(col("__lines")) - size(col("__keep"))).cast(LongType))
+      .drop("__lines", "__keep", "__script")
   }
 
   /** The PUBLISHED C4 line rules (Raffel et al. 2020, §2.2) as a line-wise

@@ -286,6 +286,29 @@ private[queries] object TextQueries {
         .orderBy("doc_id")
     },
 
+    "q_line_filter_cjk" -> { (s, dir) =>
+      // the SCRIPT-AWARE cleaner: every 3rd doc becomes a pure-CJK page
+      // (dominance flips to an uncased script, where the lowercase-prose
+      // rule would drop EVERY line) — the auto route keeps CJK prose,
+      // still drops short/digit chrome, and applies the full RefinedWeb
+      // rules to the Latin pages unchanged
+      val docs = t(s, dir, "documents")
+      val cjkPage = concat(
+        lit("这是一段足够长的中文正文内容应当保留下来\n"), // long CJK prose -> keep
+        lit("短行\n"),                                      // too short -> drop
+        lit("4015551234567890\n"),                          // no letter -> drop
+        lit("另一段较长的中文句子也应该被保留在输出之中"))
+      val latinPage = concat(
+        lit("HOME | ABOUT | CONTACT US\n"),
+        substring(col("text"), 1, 120), lit("\n"),
+        lit("Read More About Everything"))
+      val page = when(col("doc_id") % 3 === 0, cjkPage).otherwise(latinPage)
+      TextAnalysis.lineWiseCleanAuto(
+          docs.select(col("doc_id"), page.as("page")), "page")
+        .select("doc_id", "script", "text_clean", "n_lines", "n_dropped")
+        .orderBy("doc_id")
+    },
+
     "q_md_text" -> { (s, dir) =>
       // markdown-to-text strip over READMEs synthesized in-gate around the
       // real document bodies: heading, bold/italic/inline-code spans, a
@@ -849,6 +872,55 @@ private[queries] object TextQueries {
         |    AND regexp_matches(l, '\p{Ll}')) AS keep
         |  FROM s)
         |SELECT doc_id, array_to_string(keep, chr(10)) AS text_clean,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(keep) AS BIGINT) AS n_dropped
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_line_filter_cjk" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '这是一段足够长的中文正文内容应当保留下来' || chr(10) ||
+        |      '短行' || chr(10) ||
+        |      '4015551234567890' || chr(10) ||
+        |      '另一段较长的中文句子也应该被保留在输出之中'
+        |    ELSE
+        |      'HOME | ABOUT | CONTACT US' || chr(10) ||
+        |      substr(text, 1, 120) || chr(10) ||
+        |      'Read More About Everything'
+        |    END AS page
+        |  FROM documents),
+        |c AS (SELECT doc_id, page,
+        |  CAST(length(regexp_replace(page, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(regexp_replace(page, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(regexp_replace(page, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(regexp_replace(page, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(regexp_replace(page, '[^\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g')) AS BIGINT) AS n_hangul,
+        |  CAST(length(regexp_replace(page, '[^\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(regexp_replace(page, '[^\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS n_devanagari
+        |  FROM p),
+        |d AS (SELECT doc_id, page,
+        |  CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) = 0 THEN 'none'
+        |       WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) THEN 'latin'
+        |       WHEN n_cyrillic = greatest(n_cyrillic, n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) THEN 'cyrillic'
+        |       WHEN n_cjk = greatest(n_cjk, n_arabic, n_hangul, n_greek, n_devanagari) THEN 'cjk'
+        |       WHEN n_arabic = greatest(n_arabic, n_hangul, n_greek, n_devanagari) THEN 'arabic'
+        |       WHEN n_hangul = greatest(n_hangul, n_greek, n_devanagari) THEN 'hangul'
+        |       WHEN n_greek = greatest(n_greek, n_devanagari) THEN 'greek'
+        |       ELSE 'devanagari' END AS script
+        |  FROM c),
+        |s AS (SELECT doc_id, script, string_split(page, chr(10)) AS ls FROM d),
+        |k AS (SELECT doc_id, script, ls,
+        |  list_filter(ls, l ->
+        |    length(trim(l)) >= 10
+        |    AND (length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) = 0
+        |         OR CAST(length(regexp_replace(trim(l), '[^A-Z]', '', 'g')) AS DOUBLE)
+        |            / CAST(length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) AS DOUBLE) <= 0.6)
+        |    AND (CASE WHEN script IN ('arabic', 'cjk', 'devanagari', 'hangul')
+        |          THEN regexp_matches(l, '\p{L}')
+        |          ELSE regexp_matches(l, '\p{Ll}') END)) AS keep
+        |  FROM s)
+        |SELECT doc_id, script, array_to_string(keep, chr(10)) AS text_clean,
         |  CAST(len(ls) AS BIGINT) AS n_lines,
         |  CAST(len(ls) - len(keep) AS BIGINT) AS n_dropped
         |FROM k ORDER BY doc_id""".stripMargin,

@@ -2155,6 +2155,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c4twice.where(col("n_dropped") =!= 0).count() == 0)
   }
 
+  test("lineWiseCleanAuto: CJK documents survive line cleaning; cased docs keep RefinedWeb rules") {
+    val pages = Seq(
+      // pure-CJK page: prose lines must SURVIVE (no lowercase exists), the
+      // short line and the digits line must still drop
+      (1L, "这是一段足够长的中文正文内容应当保留下来\n短行\n4015551234567890\n另一段较长的中文句子也应该被保留在输出之中"),
+      // Latin page: identical behavior to lineWiseClean
+      (2L, "HOME | ABOUT | CONTACT US\nok\nThis line has enough lowercase prose in it.\n4015551234567"),
+      // Arabic (uncased): long prose line survives
+      (3L, "مرحبا بالعالم هذه جملة طويلة بما يكفي للبقاء\nقص")
+    ).toDF("doc_id", "page")
+    val out = TextAnalysis.lineWiseCleanAuto(pages, "page")
+      .select("doc_id", "script", "text_clean", "n_lines", "n_dropped")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    val (s1, t1, n1, d1) = out(1L)
+    assert(s1 == "cjk" && n1 == 4L && d1 == 2L, out(1L))
+    assert(t1 == "这是一段足够长的中文正文内容应当保留下来\n另一段较长的中文句子也应该被保留在输出之中")
+    // under the plain cleaner the same CJK page loses EVERY line — the
+    // incident the script-aware route exists to prevent
+    val plain = TextAnalysis.lineWiseClean(pages.where(col("doc_id") === 1), "page")
+      .select("text_clean").head.getString(0)
+    assert(plain.isEmpty)
+    val (s2, t2, _, _) = out(2L)
+    assert(s2 == "latin")
+    val viaPlain = TextAnalysis.lineWiseClean(pages.where(col("doc_id") === 2), "page")
+      .select("text_clean").head.getString(0)
+    assert(t2 == viaPlain, "cased documents must behave exactly like lineWiseClean")
+    val (s3, t3, _, d3) = out(3L)
+    assert(s3 == "arabic" && d3 == 1L && t3.nonEmpty, out(3L))
+  }
+
   test("langMixture: mixed page reports its languages; pure page reports one") {
     val pages = Seq(
       (1L, "the of and to in a is on\nel la de que y en un por"),
