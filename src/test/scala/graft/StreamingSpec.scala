@@ -1750,6 +1750,66 @@ class StreamingSpec extends SparkSpec {
       s"streaming survivors $streamKeep != batch survivors $batchKeep")
   }
 
+  test("state-size telemetry: per-trigger metrics track forced store growth; state reader gives reps-per-cell") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.streaming.{StreamingDedup, StreamingTelemetry}
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // forced growth: 16 mutually-novel directions on the unit circle
+    // (pairwise cos <= cos(0.3) ~ 0.955 < threshold) — every vector passes
+    // and joins its cell's representative list, so state grows every batch
+    def v(j: Int): Seq[Double] =
+      Seq(math.cos(0.3 * j), math.sin(0.3 * j), 0.0, 0.0)
+    val quant = Similarity.trainIvfQuantizer(
+      Seq((1L, v(0)), (2L, v(5))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ncells = 2)
+
+    val rec = StreamingTelemetry.attach(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("telemetry-ckpt").toString
+    try {
+      val stream = MemoryStream[(Timestamp, Long, Seq[Double])]
+      val df = stream.toDF().toDF("ts", "vec_id", "embedding")
+      val out = StreamingDedup.semanticFirstSeenStream(spark, df, "ts", "vec_id",
+        "embedding", quant, threshold = 0.98, watermark = "0 seconds")
+      val q = out.writeStream.format("memory").queryName("telemetry_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      stream.addData((0 until 8).map(j => (ts(j), j.toLong, v(j))): _*)
+      q.processAllAvailable()
+      stream.addData((8 until 16).map(j => (ts(10 + j), j.toLong, v(j))): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      // live per-trigger metrics: rows exist, are keyed by batch, and the
+      // state MEMORY grows across the two data triggers (row count alone
+      // can't see it — flatMapGroupsWithState holds one row per cell)
+      val ms = rec.snapshot.filter(_.query == "telemetry_stream")
+      assert(ms.nonEmpty, "recorder captured no state metrics")
+      val mem = ms.filter(_.metric == "state_memory_bytes")
+        .groupBy(_.batch_id).view.mapValues(_.map(_.value).max).toMap
+      val dataBatches = mem.keys.toSeq.sorted.take(2)
+      assert(dataBatches.size == 2, s"expected 2 data triggers, got $mem")
+      assert(mem(dataBatches(1)) > mem(dataBatches(0)),
+        s"state memory must grow under forced novel-vector load: $mem")
+      val rows = ms.filter(_.metric == "state_rows_total").map(_.value).max
+      assert(rows == 2L, s"one state row per cell, got $rows")
+      // the recorder frame is monitor-shaped (union into the monitor sink)
+      val f = rec.frame(spark)
+      assert(f.columns.toSeq ==
+        Seq("query", "run_id", "batch_id", "operator", "metric", "value"))
+      assert(f.where(col("metric") === "state_memory_bytes").count() >= 2)
+
+      // offline depth: the state reader decodes reps-per-cell exactly —
+      // all 16 novel vectors are representatives, split across the 2 cells
+      val depth = StreamingTelemetry.semanticStoreDepth(spark, ckpt)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(depth.values.sum == 16L, s"got $depth")
+      assert(depth.keys.toSet.subsetOf(Set(0, 1)), s"got $depth")
+    } finally StreamingTelemetry.detach(spark, rec)
+  }
+
   test("streaming semantic dedup: persisted representative store seeds and grows") {
     import spark.implicits._
     import graft.ops.{Dedup, Similarity}
