@@ -438,20 +438,28 @@ object Main {
       val scan = Scanner.executeStreamYaml(spark,
         StreamLog.parsed(source.stream(spark), schema), yamlPath, vars.toMap)
 
+      // ONE coordinated-sample sink per COLUMN serves the whole numeric
+      // drift battery on it: ks/mwu/w1 read the identical (window_start,
+      // sample) feed (Scanner shares the stream), so a column configured
+      // with all three runs ONE windowed aggregate with ONE checkpoint —
+      // not three identical queries. The ks frame is the sample feed plus
+      // its in-stream ks_stat column, so it serves as the sink when present.
+      val sampleCols = (scan.ks.keySet ++ scan.mwu.keySet ++ scan.w1.keySet).toSeq.sorted
+      val sampleFeeds = sampleCols.map { c =>
+        val feed = scan.ks.get(c).map(_._2)
+          .orElse(scan.mwu.get(c).map(_._2))
+          .orElse(scan.w1.get(c).map(_._2)).get
+        s"sample_$c" -> feed
+      }
       val monitors: Seq[(String, org.apache.spark.sql.DataFrame)] =
         Seq("quality" -> scan.quality, "tests" -> scan.tests) ++
           scan.anomalies.toSeq.map { case (c, ds) => s"anomaly_$c" -> ds.toDF() } ++
           scan.psi.toSeq.map { case (c, (_, df)) => s"psi_$c" -> df } ++
-          scan.ks.toSeq.map { case (c, (_, df)) =>
-            s"ks_$c" -> df.select(col("window_start"), col("n_sample"), col("ks_stat"))
-          } ++
+          sampleFeeds ++
           scan.benford.toSeq.map { case (c, df) => s"benford_$c" -> df } ++
           scan.coMissing.toSeq.map(df => "co_missingness" -> df) ++
-          // the rest of the drift battery: per-window coordinated samples
-          // (mwu/w1 verdicts computed against the reference in the
-          // bounded post-pass below) and category counts (chi2 likewise)
-          scan.mwu.toSeq.map { case (c, (_, df)) => s"mwu_$c" -> df } ++
-          scan.w1.toSeq.map { case (c, (_, df)) => s"w1_$c" -> df } ++
+          // categorical drift: per-window category counts (chi2 verdicts
+          // computed against the reference in the bounded post-pass below)
           scan.chi2.toSeq.map { case (c, (_, df)) => s"chi2_$c" -> df }
 
       def parquetFiles(sub: String): Set[String] = {
@@ -460,6 +468,12 @@ object Main {
         else d.listFiles().iterator.map(_.getPath).filter(_.endsWith(".parquet")).toSet
       }
       val testsBefore = parquetFiles("tests")
+      // high-water mark for the drift post-pass: verdicts run only over
+      // windows whose files THIS run writes (the before/after diff), so a
+      // long-lived monitored table doesn't make every run re-collect and
+      // re-print its entire window history
+      val monitorsBefore: Map[String, Set[String]] =
+        monitors.map { case (n, _) => n -> parquetFiles(n) }.toMap
 
       val queries = monitors.map { case (name, df) =>
         val w = df.writeStream.queryName(name)
@@ -488,17 +502,21 @@ object Main {
             }
             n
           }
-        // drift verdicts over everything sunk so far (window count bounded):
-        // the per-window halves of the mwu/w1/chi2 reference monitors,
-        // paired with the loaded references through the driver-side twins
-        // (bit-equal to the distributed statistics — StreamingSpec)
+        // drift verdicts over THIS RUN's windows only: the per-window
+        // halves of the mwu/w1/chi2 reference monitors, paired with the
+        // loaded references through the driver-side twins (bit-equal to
+        // the distributed statistics — StreamingSpec). Append-mode windows
+        // emit once, so the fresh-file diff is exactly the new windows —
+        // the driver collect stays bounded by one run's output however
+        // long the table has been monitored.
         def windowsOf(sub: String): Seq[org.apache.spark.sql.Row] = {
-          val d = new java.io.File(s"$outDir/$sub")
-          if (!d.isDirectory || parquetFiles(sub).isEmpty) Seq.empty
-          else spark.read.parquet(d.getPath).collect().toSeq
+          val fresh = (parquetFiles(sub) -- monitorsBefore.getOrElse(sub, Set.empty))
+            .toSeq.sorted
+          if (fresh.isEmpty) Seq.empty
+          else spark.read.parquet(fresh: _*).collect().toSeq
         }
         scan.mwu.foreach { case (c, (ref, _)) =>
-          windowsOf(s"mwu_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+          windowsOf(s"sample_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
             .foreach { r =>
               val s = r.getSeq[Double](r.fieldIndex("sample"))
               if (s.nonEmpty) {
@@ -508,7 +526,7 @@ object Main {
             }
         }
         scan.w1.foreach { case (c, (ref, _)) =>
-          windowsOf(s"w1_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+          windowsOf(s"sample_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
             .foreach { r =>
               val s = r.getSeq[Double](r.fieldIndex("sample"))
               if (s.nonEmpty)

@@ -227,9 +227,15 @@ object Scanner {
       require(s.nonEmpty, s"reference for '$name' has no values")
       s
     }
+    // ONE sample stream per column, shared by every monitor configured on
+    // it: a column with ks_reference + mwu_reference + w1_reference reads
+    // the identical (window_start, sample) feed — consumers (graft.Main)
+    // sink it once per column, not once per monitor kind
+    val sampleStreams = scala.collection.mutable.Map.empty[String, DataFrame]
     def valueSampleStream(name: String): DataFrame =
-      StreamingMonitor.ksSketchStream(df, sc.timeColumn, sc.watermark,
-        sc.window, xxhash64(col(name).cast(DoubleType)), col(name), KsSampleK)
+      sampleStreams.getOrElseUpdate(name,
+        StreamingMonitor.ksSketchStream(df, sc.timeColumn, sc.watermark,
+          sc.window, xxhash64(col(name).cast(DoubleType)), col(name), KsSampleK))
     val ks = cols.collect { case (name, cfg) if cfg.ksReference.isDefined =>
       val refSample = refValueSample(cfg.ksReference.get, name)
       // per-window KS against the reference sample, computed row-locally in

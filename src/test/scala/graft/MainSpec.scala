@@ -201,13 +201,16 @@ class MainSpec extends SparkSpec {
       assert(quality == Set(("2024-01-01 00:00:00", 3L, 1L)))
 
       // the drift-battery monitors sank window 0 alongside the verdicts:
-      // the coordinated sample for mwu/w1 and the category counts for chi2
-      val mwuSample = spark.read.parquet(s"$outDir/mwu_value")
+      // ONE coordinated-sample sink per column serves BOTH mwu and w1
+      // (keyed by column, not monitor kind — one aggregate, one checkpoint)
+      val sample = spark.read.parquet(s"$outDir/sample_value")
         .select(col("window_start").cast("string"), col("sample"))
         .as[(String, Seq[Double])].collect().toSeq
-      assert(mwuSample.map(_._1) == Seq("2024-01-01 00:00:00") &&
-        mwuSample.head._2.sorted == Seq(10.0, 20.0, 500.0))
-      assert(spark.read.parquet(s"$outDir/w1_value").count() == 1)
+      assert(sample.map(_._1) == Seq("2024-01-01 00:00:00") &&
+        sample.head._2.sorted == Seq(10.0, 20.0, 500.0))
+      assert(!new java.io.File(s"$outDir/mwu_value").exists() &&
+        !new java.io.File(s"$outDir/w1_value").exists(),
+        "per-monitor-kind duplicate sinks must not exist")
       val chi2Counts = spark.read.parquet(s"$outDir/chi2_event_type")
         .select(col("window_start").cast("string"), col("category"), col("cnt"))
         .as[(String, String, Long)].collect().toSet
@@ -219,10 +222,20 @@ class MainSpec extends SparkSpec {
       assert(spark.read.parquet(s"$outDir/tests").count() == 2)
 
       // run 3: a later segment closes the (clean) sentinel window -> exit 0,
-      // only that window's verdicts are new
+      // only that window's verdicts are new; the drift post-pass verdicts
+      // ONLY the freshly-written window (high-water mark on the file diff) —
+      // window 0's MWU/W1/CHI2 lines must NOT be recomputed and reprinted
       StreamLog.appendSegment(spark, logDir, Seq(
         ("u5", payload("click", 2.0), "events", 0, 4L, ts(4, 5))))
-      assert(Main.run(cliArgs, Some(spark)) == 0)
+      val buf3 = new java.io.ByteArrayOutputStream()
+      val code3 = Console.withOut(new java.io.PrintStream(buf3)) {
+        Main.run(cliArgs, Some(spark))
+      }
+      assert(code3 == 0, buf3.toString)
+      val out3 = buf3.toString
+      assert(out3.contains("MWU   column=value window=2024-01-01 02:00:00"), out3)
+      assert(!out3.contains("window=2024-01-01 00:00:00"),
+        s"run 3 re-verdicted historical windows:\n$out3")
       val all = spark.read.parquet(s"$outDir/tests")
         .select(col("window_start").cast("string"), col("passed"))
         .as[(String, Boolean)].collect().toSeq
