@@ -821,7 +821,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
                    tokenHasher: Column => Column = xxhash64(_), bits: Int = 64,
-                   nChunks: Int = 4, maxBucket: Int = Int.MaxValue): DataFrame = {
+                   nChunks: Int = 4, maxBucket: Int = AutoMaxBucket): DataFrame = {
     // materialize token hashes before the per-bit folds (see minhashLshPairs)
     val sigs = df.select(col(idCol).as("id"),
         transform(TextAnalysis.tokens(col(textCol)), tokenHasher).as("h"))
@@ -837,39 +837,80 @@ object Dedup {
     * at least one chunk is untouched ⇒ the pair collides in that chunk's
     * bucket. Shuffle rows carry (chunk key, id, sig) only; first-matching-
     * chunk dedup is row-local ([[graft.functions.BandPrefixMatchExpr]]).
+    *
+    * `maxBucket` defaults to [[AutoMaxBucket]] — the same measure-then-route
+    * guard as [[minhashLshPairs]]: a corpus of near-identical signatures
+    * (boilerplate pages, re-encoded media) collides whole clusters into one
+    * chunk bucket, which is O(B²) pair generation under exact semantics.
+    * The auto route measures the hottest bucket (one aggregate, 1-row max
+    * back) and, past [[DefaultHotBucketCap]], drops hot buckets BEFORE the
+    * member-list aggregate (broadcast anti-join) with the sound pair-level
+    * dedup fallback. `Int.MaxValue` forces exact single-pass semantics.
     */
   def hammingPairs(sigFrame: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3, bits: Int = 64, nChunks: Int = 4,
-                   maxBucket: Int = Int.MaxValue): DataFrame = {
+                   maxBucket: Int = AutoMaxBucket): DataFrame = {
     require(bits % nChunks == 0, "bits must be divisible by nChunks")
     require(maxHamming < nChunks, s"chunk recall guarantee needs maxHamming < nChunks")
+    require(maxBucket == AutoMaxBucket || maxBucket > 0,
+      s"maxBucket must be positive or AutoMaxBucket ($AutoMaxBucket)")
     val width = bits / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val sigs = sigFrame.select(col(idCol).as("id"), col(sigCol).as("sig"))
-    val withCk = sigs.select(col("id"), col("sig"),
+    val withCkRaw = sigs.select(col("id"), col("sig"),
       array((0 until nChunks).map(i =>
         shiftright(col("sig"), i * width).bitwiseAND(lit(mask))): _*).as("ck"))
+    // route resolution (the minhashLshPairs discipline): forced-exact keeps
+    // the single-pass pipeline; auto/forced-cap materialize the skinny
+    // (id, sig, ck) frame once so the measurement and the bucket build
+    // share it
+    val (withCk, effMax) =
+      if (maxBucket == Int.MaxValue) (withCkRaw, Int.MaxValue)
+      else {
+        val ck = withCkRaw.localCheckpoint(true)
+        if (maxBucket > 0) (ck, maxBucket)
+        else {
+          val r = ck.select(posexplode(col("ck")).as(Seq("chunk", "ckey")))
+            .groupBy("chunk", "ckey").agg(count(lit(1)).as("n"))
+            .agg(max(col("n"))).collect()(0)
+          val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
+          if (hottest <= DefaultHotBucketCap) (ck, Int.MaxValue)
+          else {
+            val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+            log.info(s"hammingPairs: hottest chunk bucket has $hottest members " +
+              s"(> $DefaultHotBucketCap cap) — dropping hot buckets and taking " +
+              "the pair-level-dedup route")
+            (ck, DefaultHotBucketCap)
+          }
+        }
+      }
     val exploded = withCk.select(col("id"), col("sig"), col("ck"),
       posexplode(col("ck")).as(Seq("chunk", "ckey")))
     val buckets = {
-      val b = exploded.groupBy("chunk", "ckey")
+      val src =
+        if (effMax == Int.MaxValue) exploded
+        else {
+          val hot = exploded.groupBy("chunk", "ckey").agg(count(lit(1)).as("n"))
+            .where(col("n") > effMax).select("chunk", "ckey")
+          exploded.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
+        }
+      src.groupBy("chunk", "ckey")
         .agg(collect_list(struct(col("id"), col("sig"), col("ck"))).as("ms"))
         .where(size(col("ms")) > 1)
-      if (maxBucket == Int.MaxValue) b else b.where(size(col("ms")) <= maxBucket)
     }
     val pairsRaw = buckets
       .select(col("chunk"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(col("chunk"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
       .where(col("j") > col("i"))
     val firstMatch =
-      if (maxBucket == Int.MaxValue)
+      if (effMax == Int.MaxValue)
         pairsRaw.where(!graft.functions.BandPrefixMatch.matchesBefore(col("a.ck"), col("b.ck"), col("chunk")))
       else pairsRaw
     val pairs = firstMatch
       .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-    if (maxBucket == Int.MaxValue) pairs else pairs.dropDuplicates("id_a", "id_b", "hamming")
+    if (effMax == Int.MaxValue) pairs else pairs.dropDuplicates("id_a", "id_b", "hamming")
   }
 
   /** BIPARTITE Hamming join: for every (left, right) pair within

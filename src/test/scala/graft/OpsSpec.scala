@@ -295,6 +295,26 @@ class DedupSpec extends SparkSpec {
     def run(cap: Int) = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3, maxBucket = cap)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(run(Int.MaxValue) == run(1000))
+    // the AUTO default routes to the exact path on this cold corpus
+    assert(run(Dedup.AutoMaxBucket) == run(Int.MaxValue))
+  }
+
+  test("hammingPairs AUTO route: measured hot chunk bucket flips to capped pair-level dedup") {
+    // 2100 identical signatures collide in EVERY chunk: the auto route must
+    // measure the hot bucket and drop it instead of emitting ~2.2M pairs;
+    // the cold near-dup pair (1,2) survives via its own cold chunk bucket
+    val boiler = (1000L until 1000L + Dedup.DefaultHotBucketCap + 52L)
+      .map(i => (i, 0x0F0F0F0FL))
+    val cold = Seq((1L, 0xFFL), (2L, 0xFEL), (3L, 0x0F00L))
+    val sigs = (cold ++ boiler).toDF("id", "sig")
+    val auto = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == Set((1L, 2L)), s"got $auto")
+    // equals the explicitly capped route bit-for-bit
+    val forced = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3,
+        maxBucket = Dedup.DefaultHotBucketCap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == forced)
   }
 
   test("minhash LSH: maxBucket-capped fallback emits the same pairs when nothing is capped") {
