@@ -1708,6 +1708,54 @@ class StreamingSpec extends SparkSpec {
     assert(viaKafka == viaFile)
   }
 
+  test("streaming bottom-k sample: admissions superset recovers the batch sample exactly, any batching") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    import graft.streaming.StreamingSample
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // two keys, 40 ids each — k=5 forces churn (later small-hash arrivals
+    // displace earlier admissions)
+    val rows = (0 until 80).map(i => (ts(i % 50), if (i % 2 == 0) "en" else "de", i.toLong))
+    val all = rows.toDF("ts", "lang", "doc_id")
+    val batchSample = Sampling.topNPerKeyExact(all, "lang", "doc_id", n = 5)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(batchSample.size == 10)
+
+    def streamed(splitAt: Int): (Set[(String, Long)], Long) = {
+      val stream = MemoryStream[(Timestamp, String, Long)]
+      val df = stream.toDF().toDF("ts", "lang", "doc_id")
+      val out = StreamingSample.bottomKAdmissionsStream(spark, df, "ts", "lang",
+        "doc_id", k = 5, watermark = "0 seconds")
+      val name = s"bk_sample_$splitAt"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      stream.addData(rows.take(splitAt): _*)
+      q.processAllAvailable()
+      if (splitAt < rows.size) {
+        stream.addData(rows.drop(splitAt): _*)
+        q.processAllAvailable()
+      }
+      val adm = spark.table(name)
+      val sample = Sampling.topNPerKeyExact(
+          adm.select(col("key").as("lang"), col("id").as("doc_id")),
+          "lang", "doc_id", n = 5)
+        .select("lang", "doc_id").as[(String, Long)].collect().toSet
+      val nAdm = adm.count()
+      q.stop()
+      (sample, nAdm)
+    }
+    // one batch and a mid-stream split must both recover the batch sample
+    val (s1, n1) = streamed(rows.size)
+    val (s2, n2) = streamed(37)
+    assert(s1 == batchSample, s"one-batch sample $s1 != batch $batchSample")
+    assert(s2 == batchSample, s"split sample $s2 != batch $batchSample")
+    // admissions are a tight superset: >= the sample, bounded by churn
+    assert(n1 >= 10 && n2 >= n1, "splitting can only add early admissions")
+    assert(batchSample.subsetOf(s2))
+  }
+
   test("streaming semantic dedup: cross-batch parity with batch semDedup on tight groups") {
     import spark.implicits._
     import graft.ops.{Dedup, Similarity}
