@@ -137,15 +137,60 @@ object Similarity {
   def assignCellsWithQuantizer(df: DataFrame, vecCol: String,
                                quantizer: DataFrame, out: String = "cell"): DataFrame =
     if (quantizer.columns.contains("level")) {
-      val hq = decodeHQuantizer(quantizer)
-      df.withColumn(out, new HierAssigner(hq, 1)
-        .bestCell(transform(col(vecCol), x => x.cast(DoubleType))))
+      val maxHier = confLong(df, "spark.graft.similarity.maxHierCells",
+        MaxHierCells.toLong)
+      if (quantizer.where(col("level") === 2).count() <= maxHier) {
+        val hq = decodeHQuantizer(quantizer)
+        df.withColumn(out, new HierAssigner(hq, 1)
+          .bestCell(transform(col(vecCol), x => x.cast(DoubleType))))
+      } else {
+        // JOIN tier: the level-2 table is never collected. Join-based
+        // assignment needs a per-row key + an aggregate, which streaming
+        // frames can't run here — a streaming store past the closure cap
+        // must raise maxHierCells (memory permitting) or use a coarser
+        // quantizer.
+        require(!df.isStreaming,
+          s"hierarchical quantizer exceeds spark.graft.similarity.maxHierCells " +
+            s"($maxHier) — join-tier assignment is batch-only; raise the conf " +
+            "or train a coarser quantizer for streaming stores")
+        val (tops, subs) = decodeJoinTier(quantizer)
+        val bestExpand = math.min(math.max(1, tops.length), BestCellExpandTops)
+        // same candidates + same (cos desc, cell desc, NaN greatest) rule as
+        // the closure bestCell → assignment EQUAL across tiers (spec'd)
+        val keyed = df.withColumn("__rid", monotonically_increasing_id())
+          .localCheckpoint() // pin the row keys across the two uses
+        val cand = keyed.select(col("__rid"),
+            transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
+            explode(graft.functions.IvfCells.probed(
+              transform(col(vecCol), x => x.cast(DoubleType)), tops,
+              Array.empty, Array.empty, bestExpand, 1)).as("top"))
+          .join(subs.select(col("top"), col("cell"), col("centroid")), Seq("top"))
+          .groupBy("__rid")
+          .agg(max(struct(cosine(col("__v"), col("centroid")).as("cos"),
+            col("cell").as("cell"))).as("m"))
+          .select(col("__rid"), col("m.cell").as(out))
+        keyed.join(cand, Seq("__rid")).drop("__rid")
+      }
     } else {
       val seeds = decodeQuantizer(quantizer)
       df.withColumn(out,
         array_max(cellScoresBound(transform(col(vecCol), x => x.cast(DoubleType)), seeds))
           .getField("cell"))
     }
+
+  /** Bounded decode of a hierarchical frame's LEVEL-1 half plus its
+    * distributed level-2 table — the join tier's inputs; only ntop rows
+    * are ever collected.
+    */
+  private def decodeJoinTier(qf: DataFrame): (Array[Array[Double]], DataFrame) = {
+    val tops = qf.where(col("level") === 1)
+      .select(col("top").cast(IntegerType), col("centroid")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val subs = qf.where(col("level") === 2)
+      .select(col("cell").cast(IntegerType).as("cell"),
+        col("top").cast(IntegerType).as("top"), col("centroid"))
+    (tops, subs)
+  }
 
   /** Train the coarse quantizer and return it as a tiny (cell, centroid)
     * frame (ncells rows). The 100 TB usage pattern: train ONCE, persist with
@@ -344,11 +389,19 @@ object Similarity {
                            quantizer: DataFrame): DataFrame = {
     val base = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
-    if (quantizer.columns.contains("level"))
-      ivfSearchWith(base, queries, idCol, vecCol, k, nprobe,
-        new HierAssigner(decodeHQuantizer(quantizer), nprobe),
-        broadcastQueries = true, keepCos = false)
-    else
+    if (quantizer.columns.contains("level")) {
+      val maxHier = confLong(corpus, "spark.graft.similarity.maxHierCells",
+        MaxHierCells.toLong)
+      if (quantizer.where(col("level") === 2).count() <= maxHier)
+        ivfSearchWith(base, queries, idCol, vecCol, k, nprobe,
+          new HierAssigner(decodeHQuantizer(quantizer), nprobe),
+          broadcastQueries = true, keepCos = false)
+      else {
+        val (tops, subs) = decodeJoinTier(quantizer)
+        ivfSearchJoinTier(base, queries, idCol, vecCol, k, nprobe, tops, subs,
+          keepCos = false, broadcastQueries = true)
+      }
+    } else
       ivfSearch(base, queries, idCol, vecCol, k, nprobe, decodeQuantizer(quantizer))
   }
 
@@ -477,12 +530,7 @@ object Similarity {
             new HierAssigner(decodeHQuantizer(qf), nprobe),
             broadcastQueries = false, keepCos = keepCos)
         else {
-          val tops = qf.where(col("level") === 1)
-            .select(col("top").cast(IntegerType), col("centroid")).collect()
-            .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-          val subs = qf.where(col("level") === 2)
-            .select(col("cell").cast(IntegerType).as("cell"),
-              col("top").cast(IntegerType).as("top"), col("centroid"))
+          val (tops, subs) = decodeJoinTier(qf)
           ivfSearchJoinTier(base, corpus, idCol, vecCol, k, nprobe, tops, subs, keepCos)
         }
       case Some(qf) =>
@@ -760,7 +808,8 @@ object Similarity {
   private def ivfSearchJoinTier(base: DataFrame, queries: DataFrame,
                                 idCol: String, vecCol: String, k: Int, nprobe: Int,
                                 tops: Array[Array[Double]], subs: DataFrame,
-                                keepCos: Boolean): DataFrame = {
+                                keepCos: Boolean,
+                                broadcastQueries: Boolean = false): DataFrame = {
     val ntop = math.max(1, tops.length)
     val bestExpand = math.min(ntop, BestCellExpandTops)
     val probeExpand = math.min(ntop, nprobe + 1)
@@ -791,7 +840,8 @@ object Similarity {
       .where(col("__rn") <= nprobe)
       .select(col("query_id"), col("__sc.cell").as("cell"))
     val q = qBase.join(qCells, Seq("query_id"))
-    val scored = corpusCells.join(q, Seq("cell"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val scored = corpusCells.join(qSide, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

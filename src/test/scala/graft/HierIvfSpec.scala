@@ -147,6 +147,12 @@ class HierIvfSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val viaClosure1 = graph(1)
     val viaClosure2 = graph(2)
+    // the OTHER two-level entry points must route and agree identically
+    val queries = df.where(col("id") < 8)
+    val topkClosure = Similarity.ivfTopKWithQuantizer(df, queries, "id", "vec",
+      k = 3, nprobe = 2, hq).collect().map(_.toSeq).toSet
+    val assignClosure = Similarity.assignCellsWithQuantizer(df, "vec", hq)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     try {
       // force the pre-trained route past the (conf-lowered) closure cap:
       // the level-2 rows stay a distributed frame, assignment goes through
@@ -154,6 +160,13 @@ class HierIvfSpec extends SparkSpec {
       spark.conf.set("spark.graft.similarity.maxHierCells", "8")
       assert(graph(1) == viaClosure1 && viaClosure1.nonEmpty)
       assert(graph(2) == viaClosure2 && viaClosure2.nonEmpty)
+      val topkJoin = Similarity.ivfTopKWithQuantizer(df, queries, "id", "vec",
+        k = 3, nprobe = 2, hq).collect().map(_.toSeq).toSet
+      assert(topkJoin == topkClosure && topkJoin.nonEmpty)
+      val assignJoin = Similarity.assignCellsWithQuantizer(df, "vec", hq)
+        .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(assignJoin == assignClosure,
+        "join-tier assignment must equal the closure bestCell per row")
     } finally spark.conf.unset("spark.graft.similarity.maxHierCells")
   }
 
