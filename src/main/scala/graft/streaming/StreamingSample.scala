@@ -55,16 +55,23 @@ object StreamingSample {
       .flatMapGroupsWithState[BkState, Admission](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, evs: Iterator[AdmitEvent], state: GroupState[BkState]) =>
-          var hs = state.getOption.map(_.hs.toVector).getOrElse(Vector.empty)
+          // sorted buffer + binary search: O(log k) membership and O(k)
+          // insert-with-evict per admission — k can be 100k+ without the
+          // per-event linear scan a List would cost
+          val hs = new java.util.ArrayList[java.lang.Long](k)
+          state.getOption.foreach(_.hs.foreach(h => hs.add(h)))
           val out = List.newBuilder[Admission]
           evs.toSeq.sortBy(e => (e.h, e.id)).foreach { e =>
-            val qualifies = hs.size < k || e.h < hs.last
-            if (qualifies && !hs.contains(e.h)) {
-              hs = (hs :+ e.h).sorted.take(k)
+            val pos = java.util.Collections.binarySearch(hs, e.h: java.lang.Long)
+            val qualifies = hs.size < k || e.h < hs.get(hs.size - 1)
+            if (qualifies && pos < 0) {
+              hs.add(-pos - 1, e.h)
+              if (hs.size > k) hs.remove(hs.size - 1)
               out += Admission(key, e.id, e.ts, e.h)
             }
           }
-          state.update(BkState(hs.toList))
+          state.update(BkState(
+            scala.jdk.CollectionConverters.ListHasAsScala(hs).asScala.map(Long.unbox).toList))
           out.result().iterator
       }
   }
