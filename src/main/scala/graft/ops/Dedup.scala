@@ -318,9 +318,13 @@ object Dedup {
     * ONE bucket-size aggregate reads the hottest bucket, and the route is
     * picked from the measurement — under [[DefaultHotBucketCap]] the exact
     * first-matching-band path runs BIT-IDENTICALLY to the uncapped
-    * semantics; over it, hot buckets are dropped BEFORE member-list
-    * materialization (a broadcast anti-join on the hot keys, so the
-    * degenerate collect_list row is never even built) and the sound
+    * semantics; over it the capped route runs: exact-duplicate signatures
+    * PRE-COLLAPSE to min-id representatives (each group emits its linear
+    * (rep, member) star — a degenerate bucket IS mostly an exact-dup
+    * cluster, so its connectivity survives at linear cost), only the
+    * representatives enter the bucket machinery, residual hot buckets drop
+    * BEFORE member-list materialization (broadcast anti-join — the
+    * degenerate collect_list row is never built) and the sound
     * pair-level-dedup fallback runs, with the route logged. Pass
     * `Int.MaxValue` to force exact uncapped semantics (no measurement), or
     * a positive cap to force the capped path.
@@ -381,17 +385,40 @@ object Dedup {
             val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
             log.info(s"minhashLshPairs: hottest band bucket has $hottest members " +
               s"(> $DefaultHotBucketCap cap, ~${hottest * (hottest - 1) / 2} candidate " +
-              s"pairs) — dropping hot buckets and taking the pair-level-dedup route")
+              s"pairs) — pre-collapsing exact-dup signatures, dropping residual " +
+              "hot buckets and taking the pair-level-dedup route")
             (ck, DefaultHotBucketCap)
           }
         }
       }
-    val exploded = banded.select(col("id"), col("bk"),
+    // Capped routes PRE-COLLAPSE exact-duplicate signatures before
+    // bucketing — a degenerate bucket IS (mostly) an exact-dup cluster, so
+    // instead of losing its pairs wholesale: docs sharing a signature
+    // collapse to their min-id representative, each group emits its linear
+    // (rep, member) star (B−1 pairs, verified like any candidate — a
+    // sig-collision pair simply fails the exact-jaccard check), and only
+    // the REPRESENTATIVES enter the bucket machinery — boilerplate buckets
+    // shrink to size ~1, and the residual cap bites only buckets of
+    // DISTINCT near-dup signatures. Connectivity through the reps is what
+    // downstream components need; the exact (uncapped) route is untouched.
+    val (lshSrc, groupCand) =
+      if (effMax == Int.MaxValue) (banded, None)
+      else {
+        val keyed = banded.withColumn("__sk", xxhash64(concat_ws(",", col("bk"))))
+        val repOf = keyed.groupBy("__sk").agg(min(col("id")).as("__rep"))
+        val withRep = keyed.join(repOf, Seq("__sk"))
+        val stars = withRep.where(col("id") =!= col("__rep"))
+          .select(col("__rep").as("id_a"), col("id").as("id_b"))
+        val reps = withRep.where(col("id") === col("__rep"))
+          .select(col("id"), col("bk"))
+        (reps, Some(stars))
+      }
+    val exploded = lshSrc.select(col("id"), col("bk"),
       posexplode(col("bk")).as(Seq("band", "bkey")))
 
     // Bucket materialization: ONE skinny shuffle of (band, bkey, id, bk)
     // rows — ~bands rows per doc, ~140 bytes each — into per-bucket member
-    // lists. On a capped route, hot buckets are dropped BEFORE the
+    // lists. On a capped route, residual hot buckets are dropped BEFORE the
     // member-list aggregate (broadcast anti-join on the few hot keys), so
     // the degenerate collect_list row is never built at all.
     val buckets = {
@@ -431,6 +458,7 @@ object Dedup {
       else
         pairsRaw
           .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
+          .unionAll(groupCand.get)
           .dropDuplicates("id_a", "id_b")
 
     // exact-Jaccard verification on SORTED DISTINCT SHINGLE-HASH sets (the

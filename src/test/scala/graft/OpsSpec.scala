@@ -317,11 +317,29 @@ class DedupSpec extends SparkSpec {
     assert(auto == forced)
   }
 
-  test("minhash LSH: maxBucket-capped fallback emits the same pairs when nothing is capped") {
+  test("minhash LSH: capped route = true-pair SUBSET with identical components") {
+    // the capped route pre-collapses exact-dup signatures: a member's pairs
+    // to other docs route through its representative, so the pair set is a
+    // connectivity-preserving SUBSET of the exact route's (every emitted
+    // pair is exact-verified; components are what downstream dedup needs)
     def run(cap: Int) = Dedup.minhashLshPairs(docs, "id", "text", threshold = 0.7,
         shingleLen = 1, maxBucket = cap)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(run(Int.MaxValue) == run(1000))
+    val exact = run(Int.MaxValue)
+    val capped = run(1000)
+    assert(capped.subsetOf(exact), s"capped $capped ⊄ exact $exact")
+    def components(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      // tiny union-find over the 5-doc fixture
+      val parent = scala.collection.mutable.Map((1L to 5L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to 5L).map(i => i -> find(i)).toMap
+    }
+    assert(components(capped) == components(exact),
+      "capped route must preserve the exact route's near-dup components")
   }
 
   test("minhash LSH AUTO route: cold corpus keeps the exact first-matching-band path") {
@@ -341,16 +359,20 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH AUTO route: measured hot bucket flips to capped pair-level dedup") {
     // a boilerplate cluster bigger than DefaultHotBucketCap collides in
-    // EVERY band: the auto route must measure it and drop the hot buckets
-    // instead of enumerating ~2.2M candidate pairs from one bucket
-    val boiler = (1000L until 1000L + Dedup.DefaultHotBucketCap + 50L)
+    // EVERY band: the auto route must measure it and flip — exact-dup
+    // signatures pre-collapse to their min-id rep (the cluster's
+    // connectivity survives as a LINEAR star, not ~2.2M enumerated pairs)
+    val nBoiler = Dedup.DefaultHotBucketCap + 50
+    val boiler = (1000L until 1000L + nBoiler)
       .map(i => (i, "same boilerplate text repeated verbatim on every page"))
     val corpus = docs.unionAll(boiler.toDF("id", "text"))
     val auto = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.7, shingleLen = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // hot-bucket members are near-dups of EVERYTHING there — handled by
-    // cluster representatives, not O(B²) pairs: none of their pairs appear
-    assert(!auto.exists(p => p._1 >= 1000L || p._2 >= 1000L))
+    // the boilerplate cluster survives as the rep's star: exactly B−1
+    // pairs, all anchored at the min id — never member×member pairs
+    val star = auto.filter(p => p._1 >= 1000L || p._2 >= 1000L)
+    assert(star.size == nBoiler - 1, s"expected linear star, got ${star.size}")
+    assert(star.forall(_._1 == 1000L), "every boilerplate pair anchors at the rep")
     // the cold near-dup pairs are still found, unchanged
     assert(auto.contains((1L, 2L)) && auto.contains((1L, 3L)))
     assert(!auto.exists(p => p._1 == 4L || p._2 == 4L))
@@ -364,6 +386,11 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("graft_band_prefix_match"), plan)
     assert(plan.contains("keys=[id_a"), plan)
+    // downstream connectivity: dropNearDuplicates keeps ONE boilerplate doc
+    val kept = Dedup.dropNearDuplicates(corpus, "id", "text", threshold = 0.7,
+        shingleLen = 1)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 1000L), s"got $kept")
   }
 
   test("minhash LSH verification routes on measured size: broadcast small, shuffle large") {
