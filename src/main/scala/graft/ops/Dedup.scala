@@ -912,7 +912,24 @@ object Dedup {
           }
         }
       }
-    val exploded = withCk.select(col("id"), col("sig"), col("ck"),
+    // capped routes PRE-COLLAPSE identical signatures (the minhashLshPairs
+    // discipline): each exact-dup group emits its linear (rep, member,
+    // hamming=0) star and only the min-id representatives enter the bucket
+    // machinery — the degenerate bucket shrinks to ~1 member and the
+    // residual cap bites only buckets of DISTINCT near-dup signatures; the
+    // capped pair set is a connectivity-preserving subset of exact
+    val (lshSrc, groupCand) =
+      if (effMax == Int.MaxValue) (withCk, None)
+      else {
+        val repOf = withCk.groupBy("sig").agg(min(col("id")).as("__rep"))
+        val withRep = withCk.join(repOf, Seq("sig"))
+        val stars = withRep.where(col("id") =!= col("__rep"))
+          .select(col("__rep").as("id_a"), col("id").as("id_b"),
+            lit(0).cast("int").as("hamming"))
+        (withRep.where(col("id") === col("__rep"))
+          .select(col("id"), col("sig"), col("ck")), Some(stars))
+      }
+    val exploded = lshSrc.select(col("id"), col("sig"), col("ck"),
       posexplode(col("ck")).as(Seq("chunk", "ckey")))
     val buckets = {
       val src =
@@ -938,7 +955,8 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-    if (effMax == Int.MaxValue) pairs else pairs.dropDuplicates("id_a", "id_b", "hamming")
+    if (effMax == Int.MaxValue) pairs
+    else pairs.unionAll(groupCand.get).dropDuplicates("id_a", "id_b", "hamming")
   }
 
   /** BIPARTITE Hamming join: for every (left, right) pair within

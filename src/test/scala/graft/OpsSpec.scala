@@ -301,19 +301,24 @@ class DedupSpec extends SparkSpec {
 
   test("hammingPairs AUTO route: measured hot chunk bucket flips to capped pair-level dedup") {
     // 2100 identical signatures collide in EVERY chunk: the auto route must
-    // measure the hot bucket and drop it instead of emitting ~2.2M pairs;
+    // measure the hot bucket and flip — the exact-dup cluster survives as
+    // its rep's LINEAR hamming-0 star instead of ~2.2M enumerated pairs;
     // the cold near-dup pair (1,2) survives via its own cold chunk bucket
-    val boiler = (1000L until 1000L + Dedup.DefaultHotBucketCap + 52L)
-      .map(i => (i, 0x0F0F0F0FL))
+    val nBoiler = Dedup.DefaultHotBucketCap + 52
+    val boiler = (1000L until 1000L + nBoiler).map(i => (i, 0x0F0F0F0FL))
     val cold = Seq((1L, 0xFFL), (2L, 0xFEL), (3L, 0x0F00L))
     val sigs = (cold ++ boiler).toDF("id", "sig")
     val auto = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(auto == Set((1L, 2L)), s"got $auto")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val star = auto.filter(p => p._1 >= 1000L || p._2 >= 1000L)
+    assert(star.size == nBoiler - 1 && star.forall(p => p._1 == 1000L && p._3 == 0),
+      s"expected the rep's hamming-0 star, got ${star.size}")
+    assert(auto.contains((1L, 2L, 1)), s"got $auto")
+    assert(auto.size == star.size + 1)
     // equals the explicitly capped route bit-for-bit
     val forced = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3,
         maxBucket = Dedup.DefaultHotBucketCap)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(auto == forced)
   }
 
