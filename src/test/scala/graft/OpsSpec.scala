@@ -3469,6 +3469,28 @@ class BpeSpec extends SparkSpec {
     assert(eL == eD && eL.size < 10)
   }
 
+  test("train: seeded randomized route-parity sweep (tiny alphabet maximizes ties)") {
+    // {a,b,c} words of length <= 5 collide on pair counts constantly — the
+    // adversarial regime for the tie-break and the incremental maintenance;
+    // every corpus must produce the identical merge sequence on both routes
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val words = Seq.fill(12 + rng.nextInt(20)) {
+        val len = 1 + rng.nextInt(5)
+        (1 to len).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      }
+      val docs = words.grouped(6).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val n = 3 + rng.nextInt(8)
+      val (wfL, mL) = Bpe.train(spark, docs, "text", nMerges = n)
+      val (wfD, mD) = Bpe.train(spark, docs, "text", nMerges = n, maxLocalWords = 0L)
+      assert(mL == mD, s"trial $trial (nMerges=$n, words=$words): $mL != $mD")
+      val tL = Bpe.tokenCounts(wfL).as[(String, Long)].collect().toMap
+      val tD = Bpe.tokenCounts(wfD).as[(String, Long)].collect().toMap
+      assert(tL == tD, s"trial $trial vocabulary mismatch")
+    }
+  }
+
   test("train: non-ASCII / surrogate tie-break agrees across routes") {
     // the char-split alphabet mangles supplementary chars into unpaired
     // surrogates, which Spark's encoder round-trip canonicalizes to '?'
