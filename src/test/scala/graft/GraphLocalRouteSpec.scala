@@ -135,6 +135,44 @@ class GraphLocalRouteSpec extends SparkSpec {
     assert(rows(local) == rows(dist))
   }
 
+  test("seeded randomized sweep: local ≡ distributed on graphs with dangling edges") {
+    // random graphs whose edge ids EXCEED the node range (dangling) and
+    // random seed sets that are partly out-of-frame — the adversarial
+    // regime for the membership confinement; 4 trials × 4 operators
+    val rng = new scala.util.Random(1337)
+    for (trial <- 1 to 4) {
+      val nNodes = 6 + rng.nextInt(8)
+      val ns = (1L to nNodes.toLong).toDF("id")
+      val es = Seq.fill(10 + rng.nextInt(15)) {
+        // ~1/4 of endpoints fall outside the node frame
+        def ep() = (1 + rng.nextInt(nNodes + nNodes / 2)).toLong
+        (ep(), ep())
+      }.filter(e => e._1 != e._2).toDF("src", "dst")
+      val seeds = Seq.fill(3)((1 + rng.nextInt(nNodes * 2)).toLong).distinct.toDF("id")
+      def eq(name: String, local: org.apache.spark.sql.DataFrame,
+             dist: org.apache.spark.sql.DataFrame): Unit =
+        assert(rows(local) == rows(dist), s"trial $trial $name")
+      eq("pageRank",
+        Components.pageRank(ns, "id", es, "src", "dst", iterations = 4),
+        Components.pageRank(ns, "id", es, "src", "dst", iterations = 4, maxLocalEdges = 0L))
+      eq("ppr",
+        Components.personalizedPageRank(ns, "id", es, "src", "dst", seeds, iterations = 4),
+        Components.personalizedPageRank(ns, "id", es, "src", "dst", seeds, iterations = 4,
+          maxLocalEdges = 0L))
+      eq("bfs",
+        Components.bfsDistances(ns, "id", es, "src", "dst", seeds, maxHops = 3),
+        Components.bfsDistances(ns, "id", es, "src", "dst", seeds, maxHops = 3,
+          maxLocalEdges = 0L))
+      eq("labelPropagation",
+        Components.labelPropagation(ns, "id", es, "src", "dst", iterations = 3),
+        Components.labelPropagation(ns, "id", es, "src", "dst", iterations = 3,
+          maxLocalEdges = 0L))
+      eq("hits",
+        Components.hits(ns, "id", es, "src", "dst", iterations = 3),
+        Components.hits(ns, "id", es, "src", "dst", iterations = 3, maxLocalEdges = 0L))
+    }
+  }
+
   test("kCore: local route bit-equal (peel-until-fixpoint, capped rounds)") {
     for (k <- Seq(2, 3)) {
       val local = Components.kCore(edges, "src", "dst", k = k)
