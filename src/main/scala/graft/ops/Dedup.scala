@@ -406,7 +406,9 @@ object Dedup {
       else {
         val keyed = banded.withColumn("__sk", xxhash64(concat_ws(",", col("bk"))))
         val repOf = keyed.groupBy("__sk").agg(min(col("id")).as("__rep"))
-        val withRep = keyed.join(repOf, Seq("__sk"))
+        // materialized once: both the star pairs and the rep frame read it
+        // (without the checkpoint the groupBy+join pass runs twice)
+        val withRep = keyed.join(repOf, Seq("__sk")).localCheckpoint(true)
         val stars = withRep.where(col("id") =!= col("__rep"))
           .select(col("__rep").as("id_a"), col("id").as("id_b"))
         val reps = withRep.where(col("id") === col("__rep"))
@@ -416,22 +418,48 @@ object Dedup {
     val exploded = lshSrc.select(col("id"), col("bk"),
       posexplode(col("bk")).as(Seq("band", "bkey")))
 
+    // Capped routes measure the REP-LEVEL hottest bucket too: pre-collapse
+    // usually shrinks the degenerate buckets under the cap, and when
+    // NOTHING needs dropping the rep-level LSH is COMPLETE — the row-local
+    // first-matching-band dedup is sound again and no pair-level exchange
+    // is paid (measured 2× on the degenerate bench corpus). Only when
+    // residual rep buckets still exceed the cap do we drop them and fall
+    // back to pair-level dedup.
+    val residualDrop: Boolean =
+      effMax != Int.MaxValue && {
+        val r = exploded.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0)
+        !r.isNullAt(0) && r.getLong(0) > effMax
+      }
+
     // Bucket materialization: ONE skinny shuffle of (band, bkey, id, bk)
     // rows — ~bands rows per doc, ~140 bytes each — into per-bucket member
-    // lists. On a capped route, residual hot buckets are dropped BEFORE the
+    // lists. When residual hot buckets remain, they are dropped BEFORE the
     // member-list aggregate (broadcast anti-join on the few hot keys), so
     // the degenerate collect_list row is never built at all.
     val buckets = {
       val src =
-        if (effMax == Int.MaxValue) exploded
+        if (!residualDrop) exploded
         else {
           val hot = exploded.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
             .where(col("n") > effMax).select("band", "bkey")
           exploded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
         }
-      src.groupBy("band", "bkey")
+      val grouped = src.groupBy("band", "bkey")
         .agg(collect_list(struct(col("id"), col("bk"))).as("ms"))
         .where(size(col("ms")) > 1)
+      // residual-drop route only: a degenerate corpus collides the SAME
+      // member set in every band — identical sets yield identical pairs, so
+      // enumerate each distinct set once (one member-id hash +
+      // dropDuplicates over bucket-count rows) instead of bands× the pairs
+      // into the pair-level dedup exchange. The first-band routes dedup
+      // row-locally without this.
+      if (!residualDrop) grouped
+      else grouped
+        .withColumn("__mh", xxhash64(concat_ws(",",
+          array_sort(transform(col("ms"), m => m.getField("id").cast("string"))))))
+        .dropDuplicates("__mh")
+        .drop("__mh")
     }
     // Pair generation by double posexplode within each bucket (j > i), with
     // FIRST-MATCHING-BAND dedup, row-local: a pair colliding in b bands would
@@ -442,19 +470,25 @@ object Dedup {
     // measured 4× faster than the bucket self-join + dropDuplicates shape.
     //
     // First-matching-band dedup is only sound when NO bucket was dropped:
-    // under maxBucket capping, a pair whose earliest matching band fell in a
-    // capped bucket would be suppressed in every kept band (the bk arrays
-    // still match at the capped band's index) and never emitted at all.
-    // Capped runs therefore fall back to a pair-level dropDuplicates.
+    // a pair whose earliest matching band fell in a dropped bucket would be
+    // suppressed in every kept band (the bk arrays still match at the
+    // dropped band's index) and never emitted at all. It therefore applies
+    // on the exact route AND on the collapsed-complete route (capped, but
+    // every rep-level bucket fit the cap); only residual-drop runs fall
+    // back to a pair-level dropDuplicates.
     val pairsRaw = buckets
       .select(col("band"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(col("band"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
       .where(col("j") > col("i"))
+    def firstBand(p: DataFrame): DataFrame = p
+      .where(!graft.functions.BandPrefixMatch.matchesBefore(col("a.bk"), col("b.bk"), col("band")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
     val cand =
-      if (effMax == Int.MaxValue)
-        pairsRaw
-          .where(!graft.functions.BandPrefixMatch.matchesBefore(col("a.bk"), col("b.bk"), col("band")))
-          .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
+      if (effMax == Int.MaxValue) firstBand(pairsRaw)
+      else if (!residualDrop)
+        // rep-rep pairs (both endpoints reps) and rep-member stars are
+        // disjoint by construction — no pair-level dedup needed
+        firstBand(pairsRaw).unionAll(groupCand.get)
       else
         pairsRaw
           .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
@@ -922,7 +956,7 @@ object Dedup {
       if (effMax == Int.MaxValue) (withCk, None)
       else {
         val repOf = withCk.groupBy("sig").agg(min(col("id")).as("__rep"))
-        val withRep = withCk.join(repOf, Seq("sig"))
+        val withRep = withCk.join(repOf, Seq("sig")).localCheckpoint(true)
         val stars = withRep.where(col("id") =!= col("__rep"))
           .select(col("__rep").as("id_a"), col("id").as("id_b"),
             lit(0).cast("int").as("hamming"))
@@ -931,24 +965,41 @@ object Dedup {
       }
     val exploded = lshSrc.select(col("id"), col("sig"), col("ck"),
       posexplode(col("ck")).as(Seq("chunk", "ckey")))
+    // collapsed-complete vs residual-drop (the minhashLshPairs tree): when
+    // every rep-level chunk bucket fits the cap, nothing is dropped and the
+    // row-local first-matching-chunk dedup stays sound — no pair exchange
+    val residualDrop: Boolean =
+      effMax != Int.MaxValue && {
+        val r = exploded.groupBy("chunk", "ckey").agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0)
+        !r.isNullAt(0) && r.getLong(0) > effMax
+      }
     val buckets = {
       val src =
-        if (effMax == Int.MaxValue) exploded
+        if (!residualDrop) exploded
         else {
           val hot = exploded.groupBy("chunk", "ckey").agg(count(lit(1)).as("n"))
             .where(col("n") > effMax).select("chunk", "ckey")
           exploded.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
         }
-      src.groupBy("chunk", "ckey")
+      val grouped = src.groupBy("chunk", "ckey")
         .agg(collect_list(struct(col("id"), col("sig"), col("ck"))).as("ms"))
         .where(size(col("ms")) > 1)
+      // residual-drop route: enumerate each distinct member set once (see
+      // minhashLshPairs — identical sets across chunks yield identical pairs)
+      if (!residualDrop) grouped
+      else grouped
+        .withColumn("__mh", xxhash64(concat_ws(",",
+          array_sort(transform(col("ms"), m => m.getField("id").cast("string"))))))
+        .dropDuplicates("__mh")
+        .drop("__mh")
     }
     val pairsRaw = buckets
       .select(col("chunk"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(col("chunk"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
       .where(col("j") > col("i"))
     val firstMatch =
-      if (effMax == Int.MaxValue)
+      if (!residualDrop)
         pairsRaw.where(!graft.functions.BandPrefixMatch.matchesBefore(col("a.ck"), col("b.ck"), col("chunk")))
       else pairsRaw
     val pairs = firstMatch
@@ -956,6 +1007,7 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
     if (effMax == Int.MaxValue) pairs
+    else if (!residualDrop) pairs.unionAll(groupCand.get)
     else pairs.unionAll(groupCand.get).dropDuplicates("id_a", "id_b", "hamming")
   }
 

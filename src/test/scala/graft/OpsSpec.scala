@@ -283,12 +283,19 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(uncapped.contains("graft_band_prefix_match"), uncapped)
     assert(!uncapped.contains("keys=[id_a"), uncapped)
-    // capped: falls back to the dropDuplicates aggregate (first-match would
-    // lose pairs whose earliest chunk was capped) and drops the prefix filter
+    // capped but nothing dropped (collapsed-complete): the rep-level chunk
+    // buckets all fit the cap, so the row-local first-match filter stays
+    // sound — no pair-level dedup aggregate
     val capped = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3, maxBucket = 1000)
       .queryExecution.executedPlan.toString
-    assert(!capped.contains("graft_band_prefix_match"), capped)
-    assert(capped.contains("keys=[id_a"), capped)
+    assert(capped.contains("graft_band_prefix_match"), capped)
+    assert(!capped.contains("keys=[id_a"), capped)
+    // residual-drop (cap 1 drops every bucket): falls back to the
+    // dropDuplicates aggregate and drops the prefix filter
+    val dropped = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3, maxBucket = 1)
+      .queryExecution.executedPlan.toString
+    assert(!dropped.contains("graft_band_prefix_match"), dropped)
+    assert(dropped.contains("keys=[id_a"), dropped)
   }
 
   test("simhash pairs: maxBucket-capped fallback emits the same pairs when nothing is capped") {
@@ -386,11 +393,13 @@ class DedupSpec extends SparkSpec {
         shingleLen = 1, maxBucket = Dedup.DefaultHotBucketCap)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(auto == forced)
-    // and the capped plan carries the pair-keyed dedup, not the prefix filter
+    // pre-collapse shrank every rep-level bucket under the cap, so the
+    // capped plan is COLLAPSED-COMPLETE: the row-local prefix filter stays
+    // (no bucket dropped => first-band dedup sound), no pair-keyed exchange
     val plan = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.7, shingleLen = 1)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("graft_band_prefix_match"), plan)
-    assert(plan.contains("keys=[id_a"), plan)
+    assert(plan.contains("graft_band_prefix_match"), plan)
+    assert(!plan.contains("keys=[id_a"), plan)
     // downstream connectivity: dropNearDuplicates keeps ONE boilerplate doc
     val kept = Dedup.dropNearDuplicates(corpus, "id", "text", threshold = 0.7,
         shingleLen = 1)
