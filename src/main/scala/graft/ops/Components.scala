@@ -1144,6 +1144,59 @@ object Components {
         Correlation.pairCorr("as").as("assortativity"))
   }
 
+  /** Newman modularity Q of a node partition — the "are these communities
+    * REAL" number for any label assignment ([[labelPropagation]] output, a
+    * connected-components clustering, a domain grouping):
+    * Q = Σ_c [e_c/m − (d_c/2m)²] over communities, where e_c = intra-
+    * community edges, d_c = degree sum, m = total edges. Q ≈ 0 means the
+    * partition is no better than random wiring; Q ≳ 0.3 means real
+    * structure — the acceptance gate before TRUSTING detected communities
+    * for curation decisions (dedup clusters, domain groups).
+    *
+    * Exactness: per-community numerators (4m·e_c − d_c²) are exact
+    * integers summed as DECIMAL(38,0) — order-free — and Q is that sum
+    * over 4m² in ONE final double tree, engine-portable with no truncation
+    * at all. Graph canonicalized like [[degreeAssortativity]] (undirected,
+    * self-loops dropped, duplicate edges collapsed); labels attach with two
+    * equi-joins (AQE broadcasts the label side when it fits). Edges whose
+    * endpoint lacks a label row are excluded from m (the subgraph-scoring
+    * semantics of the distributed graph family).
+    *
+    * @param labels one row per node: (`idCol`, `labelCol`).
+    * @return one row: (m_edges, communities, q_num, modularity) — q_num =
+    *         Σ(4m·e_c − d_c²) as the exact integer diagnostic (BIGINT-safe
+    *         to m ≈ 1.5·10⁹ edges; modularity itself has no such cap).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lab = labels.select(col(idCol).as("v"), col(labelCol).as("l"))
+      .where(col("v").isNotNull && col("l").isNotNull)
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .join(lab.select(col("v").as("a"), col("l").as("la")), Seq("a"))
+      .join(lab.select(col("v").as("b"), col("l").as("lb")), Seq("b"))
+      .localCheckpoint(true) // one edge computation serves m, e_c and d_c
+    val m = e.count()
+    require(m > 0, "modularity needs at least one labeled edge")
+    // d_c sums both endpoints' incidences per label; e_c only same-label
+    // edges — ONE label-keyed shuffle over the exploded endpoint view
+    val byLabel = e.select(col("la").as("l"),
+        when(col("la") === col("lb"), 1L).otherwise(0L).as("ei"), lit(1L).as("di"))
+      .unionAll(e.select(col("lb").as("l"), lit(0L).as("ei"), lit(1L).as("di")))
+      .groupBy("l").agg(sum(col("ei")).as("ec"), sum(col("di")).as("dc"))
+    val qNum = (lit(4L).cast(D) * lit(m).cast(D) * col("ec").cast(D) -
+      col("dc").cast(D) * col("dc").cast(D))
+    byLabel.agg(count(lit(1)).as("communities"), sum(qNum).as("qn"))
+      .select(lit(m).as("m_edges"), col("communities"),
+        col("qn").cast(LongType).as("q_num"),
+        (col("qn").cast(DoubleType) /
+          (lit(4.0) * lit(m.toDouble) * lit(m.toDouble))).as("modularity"))
+  }
+
   /** Local clustering coefficient per node: cc = 2·T(v)/(deg(v)·(deg(v)−1))
     * — what fraction of a node's neighbor pairs are themselves connected.
     * The community-density readout on top of [[triangleCounts]]' counts

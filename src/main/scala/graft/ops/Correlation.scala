@@ -95,6 +95,187 @@ object Correlation {
           col("n_t").cast(DoubleType) / deScale).as("intercept")): _*)
   }
 
+  /** Autocorrelation function per group at lags 1..maxLag — the
+    * seasonality/persistence detector over monitoring series ("does
+    * today's volume predict tomorrow's; is there a weekly cycle"), the
+    * diagnostic that picks [[graft.ops.Outliers.holtWinters]]' season
+    * length instead of guessing it. Each lag's coefficient is the exact
+    * Pearson r over the (v_t, v_{t+k}) overlap pairs (the
+    * gap-robust estimator: missing ticks shrink the overlap instead of
+    * misaligning it — feed [[graft.ops.Windows.gapFill]] output for the
+    * dense-grid variant).
+    *
+    * Exactness: same machinery as [[corrPairs]] — exact integer
+    * co-moments via the hi/lo split, r from ONE fixed double tree. Shape:
+    * the series explodes ×maxLag (lag is calendar-bounded), one
+    * (group, tick) equi-join, one (group, lag) rollup; nothing driver-side.
+    *
+    * @param tCol integer tick (unique per group), vCol integer value —
+    *             quantize via `MetricColumns.fixedPointLong` first.
+    * @return one row per (group, lag) with overlap: (groups…, lag,
+    *         n_pairs, acf).
+    */
+  def acf(df: DataFrame, groupCols: Seq[String], tCol: String, vCol: String,
+          maxLag: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val gc = groupCols.map(col)
+    val s = df.select(gc ++ Seq(
+        col(tCol).cast(LongType).as("__t"), col(vCol).cast(LongType).as("__v")): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val left = s.select(gc ++ Seq(col("__t"), col("__v").as("x")): _*)
+      .withColumn("lag", explode(typedlit((1 to maxLag).map(_.toLong))))
+      .withColumn("__t2", col("__t") + col("lag"))
+      .drop("__t")
+    val right = s.select(gc ++ Seq(col("__t").as("__t2"), col("__v").as("y")): _*)
+    val aggs = pairAggs(col("x"), col("y"), "acf")
+    left.join(right, groupCols :+ "__t2")
+      .groupBy(gc :+ col("lag"): _*).agg(aggs.head, aggs.tail: _*)
+      .select(gc ++ Seq(col("lag"), col("n_acf").as("n_pairs"),
+        pairCorr("acf").as("acf")): _*)
+  }
+
+  /** Kendall τ-b rank correlation per group — the TIE-AWARE ordinal
+    * association next to [[spearmanByGroup]] (τ's pair-concordance form is
+    * the statistic [[mannKendall]]'s S already is against time; this is
+    * the two-variable version: "do daily volume and daily revenue move
+    * together"). τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2 and
+    * n₁/n₂ the x/y tie-pair counts.
+    *
+    * Exactness: C−D = Σ sgn(xⱼ−xᵢ)·sgn(yⱼ−yᵢ) and the tie-pair counts are
+    * exact longs (tie counts come from value-rollups, never the pair
+    * join); τ-b is ONE final double tree. Same BOUNDED-SERIES pair-join
+    * contract as [[mannKendall]] (`tCol` is the unique-per-group tick).
+    *
+    * @return one row per group: (groups…, n, n_pairs, cd, tie_x_pairs,
+    *         tie_y_pairs, tau_b) — cd = C−D; τ-b null when either side is
+    *         all-ties.
+    */
+  def kendallTauB(df: DataFrame, groupCols: Seq[String], tCol: String,
+                  xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val gc = groupCols.map(col)
+    val s = df.select(gc ++ Seq(col(tCol).cast(LongType).as("__t"),
+        col(xCol).cast(LongType).as("__x"), col(yCol).cast(LongType).as("__y")): _*)
+      .where(col("__t").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // serves n, both tie rollups and the pair join
+    val nG = s.groupBy(gc: _*).agg(count(lit(1)).as("n"))
+    def tiePairs(c: String, out: String) =
+      s.groupBy(gc :+ col(c): _*).agg(count(lit(1)).as("__c"))
+        .groupBy(gc: _*)
+        .agg(sum(col("__c") * (col("__c") - 1L)).as(out)) // doubled tie pairs
+    val tx = tiePairs("__x", "tx2")
+    val ty = tiePairs("__y", "ty2")
+    val pairs = s.select(gc ++ Seq(col("__t").as("t1"),
+        col("__x").as("x1"), col("__y").as("y1")): _*)
+      .join(s.select(gc ++ Seq(col("__t").as("t2"),
+        col("__x").as("x2"), col("__y").as("y2")): _*), groupCols)
+      .where(col("t1") < col("t2"))
+    val sgnX = when(col("x2") > col("x1"), 1L)
+      .when(col("x2") < col("x1"), -1L).otherwise(0L)
+    val sgnY = when(col("y2") > col("y1"), 1L)
+      .when(col("y2") < col("y1"), -1L).otherwise(0L)
+    val cdG = pairs.groupBy(gc: _*).agg(
+      sum(sgnX * sgnY).as("cd"), count(lit(1)).as("n_pairs"))
+    val out = nG.join(tx, groupCols).join(ty, groupCols)
+      .join(cdG, groupCols, "left")
+    // n0, n1, n2 carried DOUBLED (n(n−1), Σt(t−1)) so everything stays an
+    // exact long; the halving cancels inside the square root's product:
+    // (n0−n1)(n0−n2) = (n0₂−n1₂)(n0₂−n2₂)/4, and τ = 2·cd/√(…₂·…₂)·… —
+    // written as one fixed tree below
+    val n02 = col("n") * (col("n") - 1L)
+    val dx2 = (n02 - col("tx2")).cast(DoubleType)
+    val dy2 = (n02 - col("ty2")).cast(DoubleType)
+    out.select(gc ++ Seq(col("n"), col("n_pairs"), col("cd"),
+      expr("tx2 div 2").as("tie_x_pairs"), expr("ty2 div 2").as("tie_y_pairs"),
+      when(dx2 > 0.0 && dy2 > 0.0,
+        col("cd").cast(DoubleType) / (sqrt(dx2) * sqrt(dy2)) * lit(2.0))
+        .as("tau_b")): _*)
+  }
+
+  /** Mann–Kendall monotonic-trend test + Sen's slope per group — the
+    * ROBUST trend detector next to [[trendByGroup]]'s least squares (one
+    * outlier day can flip an OLS slope; MK counts concordant/discordant
+    * pairs and Sen's slope is the MEDIAN pairwise slope, both
+    * outlier-immune — the standard monitoring pair for "is this metric
+    * actually trending"). S = Σ sign(vⱼ−vᵢ) over i<j; tie-corrected
+    * 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5); z with the ±1 continuity
+    * correction; Sen slope = median{(vⱼ−vᵢ)/(tⱼ−tᵢ)}.
+    *
+    * Contract: one observation per (group, tick) — the shape
+    * [[graft.ops.Windows.gapFill]] or any time-rollup emits — with integer
+    * ticks and integer values (quantize via `MetricColumns.fixedPointLong`
+    * first), so S, the tie term and Var are EXACT integers. Pairs are
+    * O(n²) per group: this is the BOUNDED-SERIES member (calendar-sized
+    * ticks — a decade of dailies is 6.7M pairs), same contract as the
+    * other per-group rank operators; the pair generation is a group-keyed
+    * self-join, never a cross-partition explosion.
+    *
+    * Exactness: sign counts and tie terms are exact longs; each pairwise
+    * slope is ONE double division of exact longs; the median picks the
+    * middle element(s) of the sorted slope multiset (avg of the two
+    * middles on even counts — one commutative double add + halving), so
+    * no order-dependent summation exists anywhere; z is one final double
+    * tree.
+    *
+    * @return one row per group: (groups…, n, n_pairs, s_stat, tie_term,
+    *         var18, z, sen_slope) — z/sen null for single-tick groups or
+    *         zero variance.
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], tCol: String,
+                  vCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val s = df.select(gc ++ Seq(
+        col(tCol).cast(LongType).as("__t"), col(vCol).cast(LongType).as("__v")): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+      .localCheckpoint(true) // one materialization serves n, ties and pairs
+    val nG = s.groupBy(gc: _*).agg(count(lit(1)).as("n"))
+    val tiesG = s.groupBy(gc :+ col("__v"): _*).agg(count(lit(1)).as("c"))
+      .groupBy(gc: _*)
+      .agg(sum(when(col("c") > 1L,
+          col("c") * (col("c") - 1L) * (col("c") * 2L + 5L))
+        .otherwise(0L)).as("tie_term"))
+    val pairs = s.select(gc ++ Seq(col("__t").as("t1"), col("__v").as("v1")): _*)
+      .join(s.select(gc ++ Seq(col("__t").as("t2"), col("__v").as("v2")): _*),
+        groupCols)
+      .where(col("t1") < col("t2"))
+      .withColumn("sgn",
+        when(col("v2") > col("v1"), 1L).when(col("v2") < col("v1"), -1L)
+          .otherwise(0L))
+      .withColumn("slope",
+        (col("v2") - col("v1")).cast(DoubleType) /
+          (col("t2") - col("t1")).cast(DoubleType))
+    // deterministic total order for the median ranks (slope ties broken by
+    // the pair's ticks — boundary-tied slopes are equal-valued, so the
+    // selected multiset positions are order-unique anyway)
+    val wOrd = Window.partitionBy(gc: _*).orderBy("slope", "t1", "t2")
+    val wAll = Window.partitionBy(gc: _*)
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__p", count(lit(1)).over(wAll))
+    val sG = ranked.groupBy(gc: _*).agg(
+      sum(col("sgn")).as("s_stat"),
+      max(col("__p")).as("n_pairs"),
+      avg(when(col("__rn") === expr("(__p + 1) div 2") ||
+               col("__rn") === expr("__p div 2 + 1"), col("slope")))
+        .as("sen_slope"))
+    val out = nG.join(tiesG, groupCols).join(sG, groupCols, "left")
+    val var18 = (col("n") * (col("n") - 1L) * (col("n") * 2L + 5L) -
+      col("tie_term")).as("var18")
+    val sd = col("s_stat").cast(DoubleType)
+    val sig = sqrt(col("var18").cast(DoubleType) / lit(18.0))
+    out.select(gc ++ Seq(col("n"), col("n_pairs"), col("s_stat"),
+      col("tie_term"), var18, col("sen_slope")): _*)
+      .withColumn("z",
+        when(col("var18") > 0L && col("s_stat") > 0L, (sd - 1.0) / sig)
+          .when(col("var18") > 0L && col("s_stat") < 0L, (sd + 1.0) / sig)
+          .when(col("var18") > 0L && col("s_stat") === 0L, lit(0.0)))
+      .select(gc ++ Seq(col("n"), col("n_pairs"), col("s_stat"),
+        col("tie_term"), col("var18"), col("z"), col("sen_slope")): _*)
+  }
+
   /** Cramér's V association between CATEGORICAL column pairs — the
     * discrete counterpart of [[corrPairs]] ("does return flag depend on
     * line status?"). V = √(χ² / (n·min(r−1, c−1))) ∈ [0, 1].

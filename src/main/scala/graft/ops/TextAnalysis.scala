@@ -839,6 +839,41 @@ object TextAnalysis {
             (col("sum_clnc_fx").cast(DoubleType) / 1e6) / col("n_tokens").cast(DoubleType)))
   }
 
+  /** Flesch-style readability per document — the classic prose-complexity
+    * quality signal (the dimension C4/Gopher length-and-symbol rules don't
+    * measure: a page can pass every ratio rule and still be word-salad or
+    * legalese; educational-quality curation filters score on readability
+    * bands). Flesch reading ease = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    * with the standard machine approximations: words = \S+ runs, sentences
+    * = [.!?]+ runs, syllables = [aeiouy]+ vowel-group runs over the
+    * lowercased text (vowel runs never span whitespace, so the global
+    * count equals the per-word sum).
+    *
+    * Entirely ROW-LOCAL and codegen'd (three `regexp_count` calls — the
+    * [[bpeishCount]] idiom; DuckDB oracle: len(regexp_extract_all(…)));
+    * the score is ONE fixed double tree over the three exact integers.
+    * Documents with zero words or zero sentence marks report a null score
+    * (their counts still emit, so the caller can route them to a length
+    * rule instead).
+    *
+    * @return input columns + (words, sentences, syllables, flesch).
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val words = regexp_count(col(textCol), lit("\\S+"))
+    val sents = regexp_count(col(textCol), lit("[.!?]+"))
+    val sylls = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+    df.withColumn("words", words.cast(LongType))
+      .withColumn("sentences", sents.cast(LongType))
+      .withColumn("syllables", sylls.cast(LongType))
+      .withColumn("flesch",
+        when(col("words") > 0L && col("sentences") > 0L,
+          lit(206.835) -
+            lit(1.015) * (col("words").cast(DoubleType) /
+              col("sentences").cast(DoubleType)) -
+            lit(84.6) * (col("syllables").cast(DoubleType) /
+              col("words").cast(DoubleType))))
+  }
+
   /** Sliding-window document chunking (the RAG / context-window prep op):
     * split each document into `chunkTokens`-token chunks advancing by
     * `chunkTokens − overlapTokens`, so consecutive chunks share

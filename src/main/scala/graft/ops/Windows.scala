@@ -154,4 +154,60 @@ object Windows {
           }
       }
   }
+
+  /** Per-key time-grid FORWARD FILL (LOCF — last observation carried
+    * forward): materialize an epoch-aligned grid at `stepSeconds` between
+    * each key's first and last observation and fill every empty tick with
+    * the latest earlier value — the gap-repair every downstream
+    * window/trend/anomaly operator silently assumes ("no row" and "no
+    * change" are different facts; rolling z-scores and Holt forecasts
+    * misread missing ticks as discontinuities).
+    *
+    * Semantics (all deterministic): ticks are FLOOR-aligned to the epoch
+    * (`g = unix_micros div step`, the q_window_sliding grid convention, so
+    * two tables gap-filled independently share tick boundaries); a tick
+    * holding ≥1 observation takes the LAST one (max (ts, value) — value
+    * desc breaks exact-ts ties); empty ticks inherit the nearest earlier
+    * tick's value (`observed = false`). No fill precedes a key's first
+    * observation (grids start AT the first tick, so output rows are never
+    * NULL-valued).
+    *
+    * Distributed shape: one (key, tick) shuffle with map-side combine for
+    * the bucket reduction, one key-keyed grid join + one per-key ordered
+    * window for the carry — everything linear in observations + emitted
+    * grid rows. The GRID is the output's honest cost: span/step rows per
+    * key, chosen by the caller (a year of hourly ticks = 8.8k rows/key);
+    * nothing is driver-side or key-count-bounded.
+    *
+    * @return (key, grid_ts timestamp, value, observed) — one row per key
+    *         per tick, ordered semantics-free (order downstream).
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val stepUs = stepSeconds * 1000000L
+    val obs = df.select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("us"),
+        col(valueCol).cast(DoubleType).as("v"))
+      // null values are NON-observations (there is nothing to carry), not
+      // "observed null" — they neither open a tick nor reset the carry
+      .where(col("key").isNotNull && col("us").isNotNull && col("v").isNotNull)
+    // per-(key, tick) last observation: max(struct) keeps the latest ts,
+    // value-desc on exact-ts ties — one shuffle, map-side combined
+    val buckets = obs
+      .select(col("key"), (col("us") - pmod(col("us"), lit(stepUs))).as("g"),
+        struct(col("us"), col("v")).as("o"))
+      .groupBy("key", "g").agg(max(col("o")).getField("v").as("bv"))
+    // per-key tick span → explode the grid; sequence is long-typed
+    val grid = buckets.groupBy("key")
+      .agg(min(col("g")).as("g0"), max(col("g")).as("g1"))
+      .select(col("key"),
+        explode(sequence(col("g0"), col("g1"), lit(stepUs))).as("g"))
+    val w = Window.partitionBy("key").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(buckets, Seq("key", "g"), "left")
+      .select(col("key"), timestamp_micros(col("g")).as("grid_ts"),
+        last(col("bv"), ignoreNulls = true).over(w).as("value"),
+        col("bv").isNotNull.as("observed"))
+  }
 }

@@ -78,6 +78,13 @@ private[queries] object EventsQueries {
         .orderBy("video_id", "frame_idx")
     },
 
+    "q_gap_fill" -> ((s, dir) =>
+      // per-type daily LOCF grid: the gap repair every trend/anomaly
+      // operator assumes ("no row" ≠ "no change"); epoch-aligned ticks,
+      // last-observation-per-tick, carry across empty days
+      Windows.gapFill(t(s, dir, "events"), "event_type", "ts", "value", 86400)
+        .orderBy("key", "grid_ts")),
+
     "q_window_events" -> ((s, dir) =>
       Windows.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
         .orderBy("window_start", "event_type")),
@@ -217,6 +224,23 @@ private[queries] object EventsQueries {
         |       OVER (PARTITION BY vid ORDER BY idx
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
         |FROM h ORDER BY video_id, frame_idx""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH o AS (SELECT event_type AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value AS v
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT key, us - us % 86400000000 AS g, us, v,
+        |             row_number() OVER (PARTITION BY key, us - us % 86400000000
+        |                                ORDER BY us DESC, v DESC) AS rn
+        |      FROM o),
+        |bv AS (SELECT key, g, v AS bv FROM b WHERE rn = 1),
+        |sp AS (SELECT key, min(g) AS g0, max(g) AS g1 FROM bv GROUP BY key),
+        |grid AS (SELECT key, unnest(range(g0, g1 + 1, 86400000000)) AS g FROM sp),
+        |f AS (SELECT grid.key, grid.g, bv.bv FROM grid LEFT JOIN bv USING (key, g))
+        |SELECT key, make_timestamp(g) AS grid_ts,
+        |       last_value(bv IGNORE NULLS) OVER (PARTITION BY key ORDER BY g
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |       bv IS NOT NULL AS observed
+        |FROM f ORDER BY key, grid_ts""".stripMargin,
 
     "q_window_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

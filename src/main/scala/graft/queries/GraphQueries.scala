@@ -117,6 +117,17 @@ private[queries] object GraphQueries {
         .orderBy("id")
     },
 
+    "q_modularity" -> { (s, dir) =>
+      // partition-quality acceptance gate over the q_communities graph:
+      // Newman Q of a deterministic 10-way node partition — exact integer
+      // numerators, ONE final double division (no truncation at all)
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 300).as("src"),
+        (col("o_orderkey") % 300).as("dst")).distinct()
+      val labels = s.range(300).toDF("id").withColumn("lbl", col("id") % 10)
+      Components.modularity(edges, "src", "dst", labels, "id", "lbl")
+    },
+
     "q_communities" -> { (s, dir) =>
       // deterministic synchronous label propagation (4 fixed rounds,
       // smallest-label ties) over the mod-300 order graph; the oracle
@@ -149,6 +160,23 @@ private[queries] object GraphQueries {
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
 
     "q_hits" -> hitsOracleSql(400, 5),
+
+    "q_modularity" ->
+      """WITH e0 AS (SELECT DISTINCT least(o_custkey % 300, o_orderkey % 300) AS a,
+        |                            greatest(o_custkey % 300, o_orderkey % 300) AS b
+        |            FROM orders),
+        |e AS (SELECT a, b, a % 10 AS la, b % 10 AS lb FROM e0 WHERE a <> b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |bl AS (SELECT l, CAST(sum(ei) AS BIGINT) AS ec, CAST(sum(di) AS BIGINT) AS dc
+        |       FROM (SELECT la AS l, CASE WHEN la = lb THEN 1 ELSE 0 END AS ei, 1 AS di FROM e
+        |             UNION ALL
+        |             SELECT lb AS l, 0 AS ei, 1 AS di FROM e) x
+        |       GROUP BY l)
+        |SELECT max(m.m) AS m_edges, CAST(count(*) AS BIGINT) AS communities,
+        |       CAST(sum(CAST(4 AS HUGEINT) * m.m * ec - CAST(dc AS HUGEINT) * dc) AS BIGINT) AS q_num,
+        |       CAST(sum(CAST(4 AS HUGEINT) * m.m * ec - CAST(dc AS HUGEINT) * dc) AS DOUBLE)
+        |         / (4.0 * CAST(max(m.m) AS DOUBLE) * CAST(max(m.m) AS DOUBLE)) AS modularity
+        |FROM bl, m""".stripMargin,
 
     "q_communities" -> labelPropOracleSql(300, 4),
 

@@ -16,6 +16,92 @@ private[queries] object StatsQueries {
   import QueryShared._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kruskal" -> { (s, dir) =>
+      // K-SAMPLE rank drift: are the three returnflag populations even
+      // from the same price distribution, in ONE test (the pairwise
+      // q_ks/q_mwu family's multiple-testing escape hatch); doubled ranks
+      // + centered ppm terms keep every sum an exact integer
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.kruskalWallis(li, "cents", "l_returnflag")
+    },
+
+    "q_anova" -> { (s, dir) =>
+      // the MEAN-SHIFT k-sample companion (q_kruskal is its rank twin):
+      // did per-flag mean prices move apart relative to in-group spread;
+      // grand-mean-centered exact moments, floored per-group terms
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.anovaF(li, "cents", "l_returnflag")
+    },
+
+    "q_cliffs" -> { (s, dir) =>
+      // ordinal EFFECT SIZE on the q_mwu populations: at bench scale
+      // everything is "significant" — δ says whether the shift matters;
+      // exact from the doubled U, Romano-banded
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.cliffsDelta(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_js_div" -> { (s, dir) =>
+      // bounded symmetric mix distance on the q_chi2_drift populations:
+      // "how FAR apart are the priority mixes" on a fixed [0, ln 2] scale,
+      // comparable across columns; pico fixed-point order-free sum
+      val o = t(s, dir, "orders")
+      graft.scan.Drift.jsDivergence(
+        o.where(col("o_orderstatus") === "F"),
+        o.where(col("o_orderstatus") === "O"), "o_orderpriority")
+    },
+
+    "q_acf" -> { (s, dir) =>
+      // lag-1..7 autocorrelation of the daily event-count series per type:
+      // the seasonality diagnostic that picks holt-winters' season length;
+      // exact co-moments at every lag, gap-robust overlap pairs
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Correlation.acf(daily, Seq("event_type"), "d", "cnt", maxLag = 7)
+        .orderBy("event_type", "lag")
+    },
+
+    "q_kendall" -> { (s, dir) =>
+      // tie-aware ordinal association between daily volume and daily
+      // revenue per event type — τ-b from exact pair signs + value-rollup
+      // tie counts (never the pair join)
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000L").as("d"),
+          MetricColumns.fixedPointLong(col("value"), 2).as("cents"))
+        .groupBy("event_type", "d")
+        .agg(count(lit(1)).as("x"), sum("cents").as("y"))
+      Correlation.kendallTauB(daily, Seq("event_type"), "d", "x", "y")
+        .orderBy("event_type")
+    },
+
+    "q_mcnemar" -> { (s, dir) =>
+      // paired filter comparison on the SAME corpus: does the length rule
+      // and the token-count rule disagree more than chance — only the
+      // disagreeing pairs carry information
+      val docs = t(s, dir, "documents")
+      graft.scan.Drift.mcnemar(docs,
+        col("n_chars") >= 500,
+        regexp_count(col("text"), lit("\\S+")) >= 80)
+    },
+
+    "q_mann_kendall" -> { (s, dir) =>
+      // robust monotonic trend per event type over the DAILY event-count
+      // series (integer ticks × integer counts — everything exact): the
+      // outlier-immune complement of q_trend's OLS; Sen slope in
+      // events/day per day
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Correlation.mannKendall(daily, Seq("event_type"), "d", "cnt")
+        .orderBy("event_type")
+    },
+
     "q_prop_test" -> { (s, dir) =>
       // did the fulfilled-rate move between high- and low-priority
       // orders? two-proportion pooled z — the Bernoulli drift member;
@@ -566,6 +652,223 @@ private[queries] object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_kruskal" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         l_returnflag AS g
+        |  FROM lineitem),
+        |c AS (SELECT v, g, count(*) AS cg FROM u GROUP BY v, g),
+        |vc AS (SELECT v, sum(cg) AS c FROM c GROUP BY v),
+        |k AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS kc FROM vc),
+        |r AS (SELECT v, c, (kc - c) * 2 + c + 1 AS dr FROM k),
+        |tn AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |              CAST(sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END) AS BIGINT) AS ties
+        |       FROM r),
+        |bg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng0, CAST(sum(cg) AS HUGEINT) AS ng,
+        |              sum(CAST(cg AS HUGEINT) * dr) AS rd
+        |       FROM c JOIN r USING (v) GROUP BY g),
+        |st AS (SELECT count(*) AS groups,
+        |              sum(((rd - ng * (tn.n + 1)) * (rd - ng * (tn.n + 1)) * 1000000) // (ng * 4)) AS hnum,
+        |              max(tn.n) AS n, max(tn.ties) AS ties
+        |       FROM bg, tn)
+        |SELECT groups, n, ties AS tie_term,
+        |       CASE WHEN 1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0.0
+        |       THEN 12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * (CAST(hnum AS DOUBLE) / 1000000.0)
+        |            / (1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |       END AS h
+        |FROM st""".stripMargin,
+
+    "q_anova" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         l_returnflag AS g
+        |  FROM lineitem),
+        |tot AS (SELECT sum(CAST(v AS HUGEINT)) AS s, CAST(count(*) AS BIGINT) AS n FROM u),
+        |mu AS (SELECT s // n AS mu, s - (s // n) * n AS srem, n FROM tot),
+        |bg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |              sum(CAST(v - mu.mu AS HUGEINT)) AS sg,
+        |              sum(CAST(v - mu.mu AS HUGEINT) * CAST(v - mu.mu AS HUGEINT)) AS qg,
+        |              max(mu.srem) AS srem, max(mu.n) AS n
+        |       FROM u, mu GROUP BY g),
+        |st AS (SELECT count(*) AS groups, max(n) AS n,
+        |              sum(CAST(floor((CAST(sg AS DOUBLE) * CAST(n AS DOUBLE) - CAST(srem AS DOUBLE) * CAST(ng AS DOUBLE))
+        |                           * (CAST(sg AS DOUBLE) * CAST(n AS DOUBLE) - CAST(srem AS DOUBLE) * CAST(ng AS DOUBLE))
+        |                           / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS HUGEINT)) AS ssb,
+        |              sum(CAST(floor((CAST(qg AS DOUBLE) * CAST(ng AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |                           / CAST(ng AS DOUBLE)) AS HUGEINT)) AS ssw
+        |       FROM bg)
+        |SELECT groups, n, CAST(ssb AS DOUBLE) AS ssb, CAST(ssw AS DOUBLE) AS ssw,
+        |       CASE WHEN groups > 1 AND n > groups AND CAST(ssw AS DOUBLE) > 0.0
+        |       THEN (CAST(ssb AS DOUBLE) / CAST(groups - 1 AS DOUBLE))
+        |            / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(groups AS DOUBLE)))
+        |       END AS f
+        |FROM st""".stripMargin,
+
+    "q_cliffs" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS cents,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT cents AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY cents),
+        |k AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS kc FROM c),
+        |m AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             sum(CAST(c1 AS HUGEINT) * ((kc - c) * 2 + c + 1)) AS r1d
+        |      FROM k),
+        |d AS (SELECT n1, n2,
+        |             CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS ud,
+        |             CAST(CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS DOUBLE)
+        |               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1.0 AS delta
+        |      FROM m)
+        |SELECT n1 AS n_ref, n2 AS n_cur, ud AS u_doubled, delta,
+        |       CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |            WHEN abs(delta) < 0.33 THEN 'small'
+        |            WHEN abs(delta) < 0.474 THEN 'medium'
+        |            ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
+
+    "q_js_div" ->
+      """WITH u AS (
+        |  SELECT o_orderpriority AS k,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS side
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |c AS (SELECT k,
+        |             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM u GROUP BY k),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             CAST(count(*) AS BIGINT) AS cats FROM c),
+        |tm AS (SELECT
+        |         (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE))
+        |                 * ln(2.0 * (CAST(c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE))
+        |                      / ((CAST(c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE)) + (CAST(c2 AS DOUBLE) / CAST(n.n2 AS DOUBLE))))
+        |               ELSE 0.0 END) * 0.5
+        |       + (CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n.n2 AS DOUBLE))
+        |                 * ln(2.0 * (CAST(c2 AS DOUBLE) / CAST(n.n2 AS DOUBLE))
+        |                      / ((CAST(c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE)) + (CAST(c2 AS DOUBLE) / CAST(n.n2 AS DOUBLE))))
+        |               ELSE 0.0 END) * 0.5 AS term
+        |       FROM c, n),
+        |fx AS (SELECT CAST(sum(CAST(CASE WHEN term >= 0 THEN floor(term * 1000000000000.0 + 0.5)
+        |                                 ELSE -floor(-term * 1000000000000.0 + 0.5) END AS BIGINT)) AS BIGINT) AS js_fx
+        |       FROM tm)
+        |SELECT n.n1 AS n_ref, n.n2 AS n_cur, n.cats AS categories, fx.js_fx,
+        |       CAST(fx.js_fx AS DOUBLE) / 1000000000000.0 AS js
+        |FROM n, fx""".stripMargin,
+
+    "q_acf" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS v
+        |             FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, d, v AS x, unnest(range(1, 8)) AS lag FROM ser),
+        |j AS (SELECT l.event_type, l.lag, l.x, r.v AS y
+        |      FROM l JOIN ser r ON r.event_type = l.event_type AND r.d = l.d + l.lag),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |      FROM j GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0 THEN num / (sqrt(dx) * sqrt(dy)) END AS acf
+        |FROM (SELECT event_type, lag, n_pairs,
+        |        CAST(n_pairs * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n_pairs * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n_pairs * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m) t
+        |ORDER BY event_type, lag""".stripMargin,
+
+    "q_kendall" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS x,
+        |                    CAST(sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                                       ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS y
+        |             FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY event_type),
+        |tx AS (SELECT event_type, CAST(sum(c * (c - 1)) AS BIGINT) AS tx2
+        |       FROM (SELECT event_type, x, count(*) AS c FROM ser GROUP BY event_type, x)
+        |       GROUP BY event_type),
+        |ty AS (SELECT event_type, CAST(sum(c * (c - 1)) AS BIGINT) AS ty2
+        |       FROM (SELECT event_type, y, count(*) AS c FROM ser GROUP BY event_type, y)
+        |       GROUP BY event_type),
+        |p AS (SELECT a.event_type,
+        |             (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |           * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+        |      FROM ser a JOIN ser b ON a.event_type = b.event_type AND a.d < b.d),
+        |cd AS (SELECT event_type, CAST(sum(s) AS BIGINT) AS cd,
+        |              CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM p GROUP BY event_type)
+        |SELECT n.event_type, n.n, cd.n_pairs, cd.cd,
+        |       tx.tx2 // 2 AS tie_x_pairs, ty.ty2 // 2 AS tie_y_pairs,
+        |       CASE WHEN CAST(n.n * (n.n - 1) - tx.tx2 AS DOUBLE) > 0.0
+        |             AND CAST(n.n * (n.n - 1) - ty.ty2 AS DOUBLE) > 0.0
+        |            THEN CAST(cd.cd AS DOUBLE)
+        |                 / (sqrt(CAST(n.n * (n.n - 1) - tx.tx2 AS DOUBLE))
+        |                    * sqrt(CAST(n.n * (n.n - 1) - ty.ty2 AS DOUBLE))) * 2.0
+        |       END AS tau_b
+        |FROM n JOIN tx USING (event_type) JOIN ty USING (event_type)
+        |LEFT JOIN cd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH f AS (SELECT n_chars >= 500 AS a,
+        |                  len(regexp_extract_all(text, '\S+')) >= 80 AS b
+        |           FROM documents),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL AND a AND b THEN 1 ELSE 0 END) AS BIGINT) AS "both",
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL AND a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL AND NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+        |  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL AND NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS neither
+        |FROM f)
+        |SELECT n, "both", only_a, only_b, neither,
+        |       CASE WHEN only_a + only_b > 0 THEN
+        |         (CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE))
+        |         * (CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE))
+        |         / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
+        |       END AS chi2
+        |FROM m""".stripMargin,
+
+    "q_mann_kendall" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS v
+        |             FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY event_type),
+        |tt AS (SELECT event_type,
+        |              CAST(sum(CASE WHEN c > 1 THEN c * (c - 1) * (c * 2 + 5) ELSE 0 END) AS BIGINT) AS tie_term
+        |       FROM (SELECT event_type, v, count(*) AS c FROM ser GROUP BY event_type, v)
+        |       GROUP BY event_type),
+        |p AS (SELECT a.event_type, a.d AS t1, b.d AS t2,
+        |             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+        |             CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |      FROM ser a JOIN ser b ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT event_type, sgn, slope,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY slope, t1, t2) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS pc
+        |      FROM p),
+        |sg AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |              CAST(max(pc) AS BIGINT) AS n_pairs,
+        |              avg(CASE WHEN rn = (pc + 1) // 2 OR rn = pc // 2 + 1 THEN slope END) AS sen_slope
+        |       FROM r GROUP BY event_type)
+        |SELECT n.event_type, n.n, sg.n_pairs, sg.s_stat, tt.tie_term,
+        |       n.n * (n.n - 1) * (n.n * 2 + 5) - tt.tie_term AS var18,
+        |       CASE WHEN n.n * (n.n - 1) * (n.n * 2 + 5) - tt.tie_term > 0 AND sg.s_stat > 0
+        |              THEN (CAST(sg.s_stat AS DOUBLE) - 1.0)
+        |                   / sqrt(CAST(n.n * (n.n - 1) * (n.n * 2 + 5) - tt.tie_term AS DOUBLE) / 18.0)
+        |            WHEN n.n * (n.n - 1) * (n.n * 2 + 5) - tt.tie_term > 0 AND sg.s_stat < 0
+        |              THEN (CAST(sg.s_stat AS DOUBLE) + 1.0)
+        |                   / sqrt(CAST(n.n * (n.n - 1) * (n.n * 2 + 5) - tt.tie_term AS DOUBLE) / 18.0)
+        |            WHEN n.n * (n.n - 1) * (n.n * 2 + 5) - tt.tie_term > 0 AND sg.s_stat = 0
+        |              THEN 0.0 END AS z,
+        |       sg.sen_slope
+        |FROM n JOIN tt USING (event_type) LEFT JOIN sg USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "q_mutual_info" -> mutualInfoOracle,
 
     "q_holt_winters" -> holtWintersOracle,

@@ -410,6 +410,15 @@ private[queries] object TextQueries {
         .select("doc_id", "n_tokens", "sum_clnc_fx")
         .orderBy("doc_id")),
 
+    "q_readability" -> ((s, dir) =>
+      // Flesch-style prose complexity per document — the quality dimension
+      // the ratio rules don't measure; three codegen'd regexp_counts +
+      // one fixed double tree, fully row-local
+      TextAnalysis.readability(
+          t(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "words", "sentences", "syllables", "flesch")
+        .orderBy("doc_id")),
+
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
         .select("doc_id", "n_tokens", "alpha_chars", "stopword_hits", "avg_token_len", "stopword_ratio")
@@ -1062,6 +1071,19 @@ private[queries] object TextQueries {
         |       coalesce(a.sfx, 0) AS sum_clnc_fx
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_readability" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+        |FROM documents)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CASE WHEN words > 0 AND sentences > 0 THEN
+        |    206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |            - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        |  END AS flesch
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH f AS (SELECT doc_id,

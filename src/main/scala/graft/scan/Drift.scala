@@ -752,4 +752,251 @@ object Drift {
       bucketCounts(cur, valueCol, reference.lo, reference.hi, reference.buckets, "cur_cnt"),
       reference.buckets, eps)
   }
+
+  /** EXACT Kruskal–Wallis H — the K-SAMPLE member of the rank-drift family:
+    * [[mannWhitneyU]] asks "did these TWO populations shift"; this asks
+    * "are these k segments (languages, sources, shards) even drawn from
+    * the same distribution" in ONE test, instead of k·(k−1)/2 pairwise
+    * MWUs with a multiple-testing problem.
+    *
+    * Exactness discipline (same as [[chiSquareCategorical]]): tie-averaged
+    * ranks carry as DOUBLED integer ranks; per-group terms use the
+    * MEAN-CENTERED form H = 12/(N(N+1))·Σᵢ Dᵢ²/(4nᵢ) with
+    * Dᵢ = Rᵢᵈ − nᵢ(N+1) (the doubled deviation from the expected doubled
+    * rank sum — centering keeps the squares data-scaled, not N²-scaled),
+    * truncated to ppm integers via decimal `div` so the cross-group sum is
+    * order-free and engine-portable; tie correction C = 1 − Σ(t³−t)/(N³−N)
+    * from exact integers; only the final H is a fixed double tree.
+    *
+    * Distributed shape: one (value, group) shuffle with map-side combine,
+    * one value-keyed rollup + the fused prefix scan of [[ksStatistic]],
+    * one broadcast-joined rank attach, one k-row group rollup. Nothing
+    * driver-side beyond partition totals and the 1-row tie aggregate.
+    *
+    * Honest range: the ppm term (nᵢ(N+1))²·10⁶ must fit DECIMAL(38,0) ⇒
+    * nᵢ·N ≲ 3·10¹⁵ — beyond ~10⁸ balanced rows drop the ppm scale (the
+    * statistic's magnitude dwarfs ppm precision there anyway).
+    *
+    * @return one row: (groups, n, tie_term, h) — df = groups − 1.
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val cells = rows.groupBy("v", "g").agg(count(lit(1)).as("cg"))
+    val vals = cells.groupBy("v").agg(sum(col("cg")).as("c"))
+    val parts = vals.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = parts.groupBy("__pid").agg(sum(col("c")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = totals.valuesIterator.sum
+    require(n > 0, "kruskalWallis needs at least one non-null row")
+    val pids = totals.keys.toSeq.sorted
+    val offs = pids.zip(pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
+    val offExpr =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offs), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val ranked = parts
+      .withColumn("k", sum(col("c")).over(w) + offExpr)
+      // doubled tie-averaged 1-based rank of value v: 2·cum_lt + c + 1
+      .withColumn("dr", (col("k") - col("c")) * 2L + col("c") + 1L)
+      .localCheckpoint(true) // serves the tie aggregate AND the rank join
+    val ties = Option(ranked.agg(
+        sum(when(col("c") > 1L, (col("c") * col("c") * col("c") - col("c")).cast(D))
+          .otherwise(lit(0L).cast(D))).as("ties"))
+      .collect()(0).getDecimal(0)).map(_.toBigInteger.longValueExact()).getOrElse(0L)
+    // per-group doubled rank sums (values side is distinct-values-sized;
+    // AQE broadcasts it under the threshold, shuffles otherwise)
+    val byG = cells.join(ranked.select("v", "dr"), Seq("v"))
+      .groupBy("g").agg(
+        sum(col("cg")).as("ng"),
+        sum((col("cg") * col("dr")).cast(D)).as("rd"))
+    // centered ppm term: ⌊(Rᵢᵈ − nᵢ(N+1))² · 10⁶ div (4nᵢ)⌋ — decimal `div`
+    // truncates exactly like DuckDB's `//` (see chiSquareCategorical)
+    val stats = byG
+      .selectExpr("ng",
+        s"((rd - CAST(ng AS DECIMAL(38,0)) * ${n + 1}L) * " +
+          s"(rd - CAST(ng AS DECIMAL(38,0)) * ${n + 1}L) * 1000000L) " +
+          "div (CAST(ng AS DECIMAL(38,0)) * 4L) as term_ppm")
+      .agg(count(lit(1)).as("groups"),
+        sum(col("term_ppm")).cast(D).as("h_num_ppm"))
+    val nD = n.toDouble
+    // fixed double trees (replicated in the oracle): centered H needs no
+    // −3(N+1) term; tie correction divides once
+    val hRaw = lit(12.0) / (lit(nD) * lit(nD + 1.0)) *
+      (col("h_num_ppm").cast(DoubleType) / lit(1e6))
+    val corr = lit(1.0) -
+      lit(ties.toDouble) / (lit(nD) * lit(nD) * lit(nD) - lit(nD))
+    stats.select(col("groups"), lit(n).as("n"), lit(ties).as("tie_term"),
+      when(corr > 0.0, hRaw / corr).as("h"))
+  }
+
+  /** One-way ANOVA F — the MEAN-SHIFT k-sample member of the drift family
+    * ([[kruskalWallis]] is its rank twin): did the group MEANS move apart
+    * relative to within-group spread? Quantize continuous columns via
+    * `MetricColumns.fixedPointLong` first (same contract as KS/MWU/W1).
+    *
+    * Exactness: values center by the integer grand mean μ = S div N first
+    * (shift-invariance keeps SSB/SSW identical while the squared sums stay
+    * data-scaled instead of N²·value²-scaled); per-group moments
+    * (nᵢ, sᵢ=Σy, qᵢ=Σy²) are exact DECIMAL(38,0); the per-group terms
+    * ssbᵢ = (sᵢN − S'nᵢ)²/(nᵢN²) and sswᵢ = (qᵢnᵢ − sᵢ²)/nᵢ evaluate as
+    * ONE fixed double tree each and `floor` to integers (error ≤ 1 per
+    * group on statistics of magnitude ~10¹⁵ — the chi2_ppm tradeoff), so
+    * the cross-group sums are order-free; F is one final double tree.
+    *
+    * @return one row: (groups, n, ssb, ssw, f) — ssb/ssw as doubles
+    *         round-nearest from the exact floored-integer sums (the sums
+    *         exceed BIGINT past ~10⁸ rows·σ²; the double view is the
+    *         scale-honest output); df = (groups−1, n−groups).
+    */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(LongType).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // one scan serves the μ pass and the moments
+    val tot = rows.agg(sum(col("v").cast(D)).as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = tot.getLong(1)
+    require(n > 0, "anovaF needs at least one non-null row")
+    val s = BigInt(tot.getDecimal(0).toBigInteger)
+    // FLOOR division (DuckDB's `//`), not BigInt's truncate-toward-zero —
+    // they differ on negative sums
+    val q0 = s / n
+    val mu = (if (s.sign < 0 && q0 * n != s) q0 - 1 else q0).toLong
+    val sRem = (s - BigInt(mu) * n).toLong // S' = Σ(v−μ), 0 ≤ S' < N
+    val y = (col("v") - lit(mu)).cast(D)
+    val byG = rows.groupBy("g").agg(
+      count(lit(1)).as("ng"),
+      sum(y).as("sg"),
+      sum(y * y).as("qg"))
+    // per-group fixed double trees, floored to order-free integers
+    val ngD = col("ng").cast(DoubleType)
+    val sgD = col("sg").cast(DoubleType)
+    val qgD = col("qg").cast(DoubleType)
+    val nD = n.toDouble
+    val dI = sgD * lit(nD) - lit(sRem.toDouble) * ngD
+    val ssbTerm = floor(dI * dI / (ngD * lit(nD) * lit(nD))).cast(D)
+    val sswTerm = floor((qgD * ngD - sgD * sgD) / ngD).cast(D)
+    val stats = byG.agg(count(lit(1)).as("groups"),
+      sum(ssbTerm).as("ssb"), sum(sswTerm).as("ssw"))
+    stats.select(col("groups"), lit(n).as("n"),
+        col("ssb").cast(DoubleType).as("ssb"),
+        col("ssw").cast(DoubleType).as("ssw"),
+        when(col("groups") > 1 && lit(n) > col("groups") &&
+             col("ssw").cast(DoubleType) > 0.0,
+          (col("ssb").cast(DoubleType) / (col("groups") - 1).cast(DoubleType)) /
+          (col("ssw").cast(DoubleType) / (lit(nD) - col("groups").cast(DoubleType))))
+          .as("f"))
+  }
+
+  /** Cliff's delta — the ORDINAL EFFECT SIZE companion to [[mannWhitneyU]]:
+    * δ = (#(ref > cur) − #(ref < cur))/(n₁n₂) ∈ [−1, 1], the
+    * "how big is the shift" number next to MWU's "is there a shift" z
+    * (at 10⁹ rows everything is significant; δ says whether it matters).
+    * Derived exactly from the doubled U: δ = u_d/(n₁n₂) − 1 (ties count
+    * half in U, cancelling in the difference). Magnitude bands follow
+    * Romano et al. 2006: |δ| < .147 negligible, < .33 small, < .474
+    * medium, else large.
+    *
+    * Same distributed shape and exact integers as [[mannWhitneyU]]; one
+    * extra fixed double tree for δ.
+    *
+    * @return one row: (n_ref, n_cur, u_doubled, delta, magnitude).
+    */
+  def cliffsDelta(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val mwu = mannWhitneyU(ref, cur, valueCol)
+    val delta = col("u_doubled").cast(DoubleType) /
+      (col("n_ref").cast(DoubleType) * col("n_cur").cast(DoubleType)) - lit(1.0)
+    mwu.select(col("n_ref"), col("n_cur"), col("u_doubled"),
+      delta.as("delta"),
+      when(abs(delta) < 0.147, "negligible")
+        .when(abs(delta) < 0.33, "small")
+        .when(abs(delta) < 0.474, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
+  /** McNemar's test over PAIRED booleans — the model-comparison member of
+    * the drift family: [[proportionTest]] compares rates of two DIFFERENT
+    * populations; McNemar compares two RULES on the SAME rows (old vs new
+    * quality filter, two annotators, champion vs challenger classifier),
+    * where only the DISAGREEING pairs carry information. χ² = (b−c)²/(b+c)
+    * over b = #(a-only), c = #(b-only); the agreeing diagonal is reported
+    * but never enters the statistic.
+    *
+    * Exactness: one 1-row aggregate of exact long counts (rows where
+    * either side is NULL are excluded); χ² is ONE fixed double tree, NULL
+    * when the rules never disagree. Distributed shape: a single scan with
+    * conditional sums — nothing else.
+    *
+    * @param aCol,bCol boolean Columns evaluated on each row.
+    * @return one row: (n, both, only_a, only_b, neither, chi2).
+    */
+  def mcnemar(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val valid = aCol.isNotNull && bCol.isNotNull
+    def cnt(p: Column) = sum(when(valid && p, 1L).otherwise(0L))
+    val agg = df.agg(
+      cnt(lit(true)).as("n"),
+      cnt(aCol && bCol).as("both"),
+      cnt(aCol && !bCol).as("only_a"),
+      cnt(!aCol && bCol).as("only_b"),
+      cnt(!aCol && !bCol).as("neither"))
+    val b = col("only_a").cast(DoubleType)
+    val c = col("only_b").cast(DoubleType)
+    agg.select(col("n"), col("both"), col("only_a"), col("only_b"),
+      col("neither"),
+      when(col("only_a") + col("only_b") > 0L,
+        (b - c) * (b - c) / (b + c)).as("chi2"))
+  }
+
+  /** Jensen–Shannon divergence between two CATEGORICAL distributions — the
+    * bounded, symmetric divergence member of the drift family:
+    * [[chiSquareCategorical]] answers "is the mix shift significant",
+    * JSD answers "how FAR apart are the mixes" on a fixed [0, ln 2] scale
+    * that never blows up on categories one side lacks (KL's infinity),
+    * so it's comparable across columns and over time.
+    *
+    * Exactness (the vocabKlBySlice discipline): per-category terms
+    * ½(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2 evaluate as ONE fixed
+    * double tree from exact integer counts, truncate to 10⁻¹² fixed-point
+    * longs (terms are ≤ ln 2, so pico precision costs nothing), and sum
+    * order-free; zero-count sides contribute their q·ln 2 term exactly.
+    * One category-keyed shuffle with map-side combine.
+    *
+    * @return one row: (n_ref, n_cur, categories, js_fx, js) — js in nats,
+    *         js_fx = ⌊js·10¹²⌋ summed per category.
+    */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(colName).cast(StringType).as("k"))
+        .where(col("k").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("k").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        count(lit(1)).as("cats"))
+      .collect()(0)
+    val n1 = tot.getLong(0); val n2 = tot.getLong(1); val cats = tot.getLong(2)
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    // p = c1/n1, q = c2/n2, m = (p+q)/2; 0·ln(0/m) ≡ 0. One fixed tree:
+    // term = ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) — written exactly so in SQL
+    val p = col("c1").cast(DoubleType) / lit(n1.toDouble)
+    val q = col("c2").cast(DoubleType) / lit(n2.toDouble)
+    val term =
+      when(col("c1") > 0L, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) * 0.5 +
+      when(col("c2") > 0L, q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0)) * 0.5
+    counts
+      .select(graft.metrics.MetricColumns.fixedPointLong(term, 12).as("fx"))
+      .agg(sum(col("fx")).cast(LongType).as("js_fx"))
+      .select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+        lit(cats).as("categories"), col("js_fx"),
+        (col("js_fx").cast(DoubleType) / lit(1e12)).as("js"))
+  }
 }

@@ -165,17 +165,19 @@ object StreamingAnomaly {
                              alarm_up: Boolean, alarm_dn: Boolean)
   final case class CusumLevels(sUp: Long, sDn: Long)
 
-  /** Watermark-buffered total-order FOLD base: incoming events park in a
-    * ListState buffer; once the watermark finalizes them they drain through
-    * `step` in (ts, seq) order — so any per-event recurrence (CUSUM, EWMA)
-    * gets batch-identical results under cross-batch disorder by
-    * implementing ONE method. State = pending buffer + the fold state S +
-    * two bookkeeping longs; exactly one pending timer per key.
+  /** Watermark-buffered total-order FOLD base with 0..n outputs per event
+    * (the [[OrderedFoldProcessor]] machinery, `stepMany` primitive):
+    * incoming events park in a ListState buffer; once the watermark
+    * finalizes them they drain through `stepMany` in (ts, seq) order.
+    * Exists for folds whose per-event emission count varies — the LOCF
+    * gap-fill twin emits one row per CLOSED grid tick (0 for a same-tick
+    * update, many across a long gap). Single-output recurrences extend
+    * [[OrderedFoldProcessor]] instead.
     */
-  abstract class OrderedFoldProcessor[S, O](stateEnc: org.apache.spark.sql.Encoder[S])
+  abstract class OrderedFoldFlatProcessor[S, O](stateEnc: org.apache.spark.sql.Encoder[S])
       extends StatefulProcessor[String, TimedEvent, O] {
     protected def zero: S
-    protected def step(st: S, e: TimedEvent): (S, O)
+    protected def stepMany(st: S, e: TimedEvent): (S, IterableOnce[O])
 
     @transient private var lvl: ValueState[S] = _
     @transient private var buf: ListState[TimedEvent] = _
@@ -195,10 +197,10 @@ object StreamingAnomaly {
       val (ready, pending) = all.partition(_.tsMs <= watermarkMs)
       if (ready.isEmpty) return Iterator.empty
       var st = if (lvl.exists()) lvl.get() else zero
-      val out = ready.sortBy(e => (e.tsMs, e.seq)).map { e =>
-        val (st2, o) = step(st, e)
+      val out = ready.sortBy(e => (e.tsMs, e.seq)).flatMap { e =>
+        val (st2, os) = stepMany(st, e)
         st = st2
-        o
+        os.iterator
       }
       lvl.update(st)
       drainedTo.update(watermarkMs)
@@ -238,6 +240,24 @@ object StreamingAnomaly {
       val out = drain(timerValues.getCurrentWatermarkInMs())
       armTimer(timerValues)
       out
+    }
+  }
+
+  /** Watermark-buffered total-order FOLD base: incoming events park in a
+    * ListState buffer; once the watermark finalizes them they drain through
+    * `step` in (ts, seq) order — so any per-event recurrence (CUSUM, EWMA)
+    * gets batch-identical results under cross-batch disorder by
+    * implementing ONE method. State = pending buffer + the fold state S +
+    * two bookkeeping longs; exactly one pending timer per key. (The
+    * exactly-one-output specialization of [[OrderedFoldFlatProcessor]] —
+    * all buffering/timer machinery lives there.)
+    */
+  abstract class OrderedFoldProcessor[S, O](stateEnc: org.apache.spark.sql.Encoder[S])
+      extends OrderedFoldFlatProcessor[S, O](stateEnc) {
+    protected def step(st: S, e: TimedEvent): (S, O)
+    final override protected def stepMany(st: S, e: TimedEvent): (S, IterableOnce[O]) = {
+      val (st2, o) = step(st, e)
+      (st2, Iterator.single(o))
     }
   }
 

@@ -1900,4 +1900,70 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(kept == Set(12L, 14L), s"got $kept")
   }
+
+  test("streaming LOCF gap fill: batch grid minus the open tick, under shuffled cross-batch arrival") {
+    import spark.implicits._
+    import graft.streaming.StreamingGapFill
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      val step = 60L
+      // key a: two obs in tick 0 (65 overrides 10), gap over ticks 1-2,
+      // obs in tick 3, obs in tick 5; key b: single tick (stays open)
+      val rows = Seq(
+        ("a", 10L, 1.0), ("a", 50L, 2.0),
+        ("a", 190L, 5.0), ("a", 330L, 7.5),
+        ("b", 600L, 9.0))
+
+      // batch reference over the same rows
+      val batchDf = rows.toDF("k", "sec", "v")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+      val batch = Windows.gapFill(batchDf, "k", "ts", "v", step)
+        .select(col("key"), (unix_micros(col("grid_ts")) / 60000000L).cast("long").as("tick"),
+          col("value"), col("observed"))
+        .as[(String, Long, Double, Boolean)].collect().toSet
+      // drop each key's LAST tick (the stream's still-open tick)
+      val lastTick = batch.groupBy(_._1).map { case (k, s) => k -> s.map(_._2).max }
+      val expect = batch.filterNot { case (k, t, _, _) => lastTick(k) == t }
+
+      val stream = MemoryStream[(String, Timestamp, Long, Double)]
+      // the shuffle moves events up to the full 600 s span across batches —
+      // the allowed lateness must cover it (events beyond it are DROPPED,
+      // the documented watermark contract)
+      val df = stream.toDF().toDF("k", "ts", "seq", "v")
+        .withWatermark("ts", "1000 seconds")
+      val q = StreamingGapFill.locfStream(spark, df, "k", "ts", "seq", "v", step)
+        .writeStream.format("memory").queryName("locf_stream")
+        .outputMode("append").start()
+
+      // distinct timestamps → (ts, seq) order matches batch; shuffle across
+      // two batches to exercise the watermark buffer, then flush with a
+      // far-future sentinel key
+      val timed = rows.zipWithIndex.map { case ((k, s, v), i) => (k, ts(s), i.toLong, v) }
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(timed)
+      stream.addData(shuffled.take(2)); q.processAllAvailable()
+      stream.addData(shuffled.drop(2)); q.processAllAvailable()
+      stream.addData(("z", ts(100000), 99L, 0.0)); q.processAllAvailable()
+      stream.addData(("z", ts(200000), 100L, 0.0)); q.processAllAvailable()
+
+      val got = spark.table("locf_stream").where(col("key") =!= "z")
+        .select(col("key"), col("tick"),
+          (col("value_fx").cast("double") / 100.0).as("value"), col("observed"))
+        .as[(String, Long, Double, Boolean)].collect().toSet
+      q.stop()
+      assert(got == expect, s"streamed $got vs batch-minus-open $expect")
+      // key b never closed its only tick: nothing emitted for it
+      assert(!got.exists(_._1 == "b"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
