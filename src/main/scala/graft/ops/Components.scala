@@ -1218,4 +1218,63 @@ object Components {
         when(col("degree") >= 2L,
           (col("triangles") * 2L).cast(DoubleType) /
             (col("degree") * (col("degree") - 1L)).cast(DoubleType)).as("cc"))
+
+  /** Link prediction over distance-2 pairs — common neighbors, Adamic–Adar
+    * (Adamic & Adar 2003) and neighborhood Jaccard for every non-adjacent
+    * node pair sharing ≥ 1 neighbor: the "which entities are probably the
+    * same / about to connect" scorer on co-occurrence and interaction
+    * graphs (record-linkage candidates past direct edges, related-domain
+    * discovery, citation suggestion). AA down-weights promiscuous shared
+    * neighbors by 1/ln(deg): sharing a rare neighbor is strong evidence,
+    * sharing a hub is none.
+    *
+    * Exactness: each center z's weight ⌊10¹²/ln(deg_z)⌋ is computed ONCE
+    * per node in the degree frame (wedge centers have deg ≥ 2, so
+    * ln > 0), then summed as exact longs — order-free; aa and jaccard =
+    * cn/(deg_u + deg_v − cn) are one double tree each.
+    *
+    * Scale shape: wedges = Σ_z deg(z)² — quadratic in HUB degree, so
+    * centers with deg > maxDegree are EXCLUDED (the standard cap:
+    * a 10⁶-degree hub contributes 10¹² uninformative wedges of weight
+    * 1/ln(10⁶) each); the exclusion is part of the operator's definition
+    * and is replayed by the oracle. Output is bounded to the top-K pairs
+    * by (aa_fx desc, a, b) — a TakeOrderedAndProject, never a global sort.
+    *
+    * @return ≤ topK rows: (a, b, common_neighbors, aa_fx, aa, jaccard)
+    *         with a < b non-adjacent; aa_fx = Σ⌊10¹²/ln deg⌋ exact.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxDegree: Long = 10000L, topK: Int = 100): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // serves adjacency, degrees AND the anti-join
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    // per-center weight, computed once per node: ⌊10¹²/ln(deg)⌋
+    val centers = deg.where(col("deg") <= maxDegree && col("deg") >= 2L)
+      .select(col("z"),
+        floor(lit(1e12) / log(col("deg").cast(DoubleType))).cast(LongType).as("w"))
+    val wedges = adj.join(centers, Seq("z"))
+    val pairs = wedges.as("l").join(wedges.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.w").as("w"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"),
+        sum(col("w")).as("aa_fx"))
+      .join(canon, Seq("a", "b"), "left_anti") // only NON-adjacent pairs
+      .join(deg.select(col("z").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("z").as("b"), col("deg").as("db")), Seq("b"))
+    pairs.select(col("a"), col("b"), col("common_neighbors"),
+        col("aa_fx"),
+        (col("aa_fx").cast(DoubleType) / lit(1e12)).as("aa"),
+        (col("common_neighbors").cast(DoubleType) /
+          (col("da") + col("db") - col("common_neighbors")).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy(col("aa_fx").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

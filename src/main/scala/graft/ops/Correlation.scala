@@ -135,6 +135,47 @@ object Correlation {
         pairCorr("acf").as("acf")): _*)
   }
 
+  /** Cross-correlation function per group at lags −maxLag..maxLag — the
+    * LEAD/LAG detector between two monitoring series ("does click volume
+    * predict purchase revenue two days later; which signal moves first"),
+    * [[acf]]'s two-variable sibling: ccf(k) = exact Pearson r over the
+    * (x_t, y_{t+k}) overlap pairs. A peak at positive k means x LEADS y
+    * by k ticks; at negative k, y leads x. ccf(0) = corrPairs on the
+    * aligned series.
+    *
+    * Same exactness and shape as [[acf]]: integer co-moments via the
+    * hi/lo split, r from ONE fixed double tree; the series explodes
+    * ×(2·maxLag+1), one (group, tick) equi-join, one (group, lag) rollup;
+    * gap-robust overlap pairs (missing ticks shrink the overlap, never
+    * misalign it).
+    *
+    * @param tCol integer tick unique per group; xCol/yCol integer values —
+    *             quantize via `MetricColumns.fixedPointLong` first.
+    * @return one row per (group, lag) with overlap: (groups…, lag,
+    *         n_pairs, ccf), lag ∈ [−maxLag, maxLag].
+    */
+  def ccf(df: DataFrame, groupCols: Seq[String], tCol: String,
+          xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val gc = groupCols.map(col)
+    val s = df.select(gc ++ Seq(
+        col(tCol).cast(LongType).as("__t"),
+        col(xCol).cast(LongType).as("__x"),
+        col(yCol).cast(LongType).as("__y")): _*)
+      .where(col("__t").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+    val left = s.select(gc ++ Seq(col("__t"), col("__x").as("x")): _*)
+      .withColumn("lag", explode(typedlit((-maxLag to maxLag).map(_.toLong))))
+      .withColumn("__t2", col("__t") + col("lag"))
+      .drop("__t", "__x", "__y")
+    val right = s.select(gc ++ Seq(col("__t").as("__t2"), col("__y").as("y")): _*)
+    val aggs = pairAggs(col("x"), col("y"), "ccf")
+    left.join(right, groupCols :+ "__t2")
+      .groupBy(gc :+ col("lag"): _*).agg(aggs.head, aggs.tail: _*)
+      .select(gc ++ Seq(col("lag"), col("n_ccf").as("n_pairs"),
+        pairCorr("ccf").as("ccf")): _*)
+  }
+
   /** Kendall τ-b rank correlation per group — the TIE-AWARE ordinal
     * association next to [[spearmanByGroup]] (τ's pair-concordance form is
     * the statistic [[mannKendall]]'s S already is against time; this is

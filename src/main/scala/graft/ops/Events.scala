@@ -137,4 +137,64 @@ object Events {
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).cast(LongType).as("n"))
   }
+
+  /** RFM scoring — the classic per-entity behavioral segmentation
+    * (recency / frequency / monetary, Hughes 1994): the three per-customer
+    * aggregates plus exact k-quantile scores 1..k per dimension and the
+    * composed `rfm` code (555 = recent + frequent + big spender; 111 =
+    * churned). The summarization layer between raw events ([[funnel]],
+    * [[cohortRetention]]) and campaign/sampling decisions.
+    *
+    * Exact, deterministic, tie-honest scoring: score = ⌊k·|{entities with
+    * a strictly smaller value}| / n⌋ + 1 via integer `div` over the
+    * cardinality-routed cumulative-count machinery
+    * ([[graft.ops.Binning]]) — NO global row window, no ntile: tied
+    * values always share a score (the property a marketer actually wants
+    * — two identical customers can't land in different quintiles), and
+    * the arithmetic replays in any engine. Recency scores on the NEGATED
+    * day count so "more recent" = higher score, matching f/m orientation.
+    *
+    * Shape: one entity aggregate, three distinct-value cumulative frames
+    * (each one value shuffle + the routed prefix), three skinny
+    * AQE-broadcastable joins back.
+    *
+    * @param asOfUs "now" in epoch micros — recency anchor, caller-pinned
+    *               for replayability.
+    * @return (entity, recency_days, frequency, monetary_fx, r_score,
+    *         f_score, m_score, rfm) — monetary in fixed-point units.
+    */
+  def rfmScores(df: DataFrame, entityCol: String, tsCol: String,
+                amountCol: String, asOfUs: Long, k: Int = 5,
+                scale: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(col(entityCol).as("entity"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("us"),
+        graft.metrics.MetricColumns.fixedPointLong(col(amountCol), scale).as("a"))
+      .where(col("entity").isNotNull && col("us").isNotNull && col("a").isNotNull)
+      .groupBy("entity").agg(
+        expr(s"(${asOfUs}L - max(us)) div 86400000000L").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("a").cast(DecimalType(38, 0))).cast(LongType).as("monetary_fx"))
+      .localCheckpoint(true) // serves all three score frames + the joins
+    val n = base.count()
+    def scoreFrame(metric: Column, out: String): DataFrame = {
+      val cum = Binning.cumulativeCounts(base, metric, 1L << 20)
+      cum.select(col("v"),
+        (expr(s"((cum - c) * ${k}L) div ${n}L") + 1L).as(out))
+    }
+    // recency negated: most-recent (smallest day count) = highest score
+    val r = scoreFrame(-col("recency_days"), "r_score")
+      .select((-col("v")).as("recency_days"), col("r_score"))
+    val f = scoreFrame(col("frequency"), "f_score")
+      .select(col("v").as("frequency"), col("f_score"))
+    val m = scoreFrame(col("monetary_fx"), "m_score")
+      .select(col("v").as("monetary_fx"), col("m_score"))
+    base.join(r, Seq("recency_days"))
+      .join(f, Seq("frequency"))
+      .join(m, Seq("monetary_fx"))
+      .select(col("entity"), col("recency_days"), col("frequency"),
+        col("monetary_fx"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm"))
+  }
 }

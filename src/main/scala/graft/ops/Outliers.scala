@@ -482,4 +482,66 @@ object Outliers {
         valueCol > col("__q3") + lit(k) * (col("__q3") - col("__q1")))
       .drop("__q1", "__q3")
   }
+
+  /** Changepoint LOCALIZATION per key — the "WHERE did the mean shift"
+    * companion to [[cusum]]'s "did it shift" alarms: single best split of
+    * each key's ordered series by the normalized CUSUM scan statistic
+    * stat(k) = |S_k·n − k·S_n| / (n·√(k(n−k))) — equivalently
+    * |mean_left − mean_right|·√(k(n−k))/n, the binary-segmentation
+    * objective (Scott & Knott 1974 / standard BinSeg first split).
+    *
+    * Exactness: the numerator is an EXACT DECIMAL(38,0) integer over
+    * fixed-point values; stat is ONE fixed double tree, and the argmax
+    * breaks ties on the SMALLER k — both replay in any engine. Same
+    * bounded-series contract as [[cusum]]/mannKendall (calendar-sized
+    * series per key; key-partitioned windows, no global sort).
+    *
+    * @return one row per key with n ≥ 2: (keys…, n, k_split, split_tick,
+    *         stat, mean_left, mean_right) — the left segment is ticks
+    *         1..k_split (split_tick = its last tick), means de-scaled.
+    */
+  def changepointSplit(df: DataFrame, partCols: Seq[String], orderCol: String,
+                       valueCol: String, fxScale: Int = 2): DataFrame = {
+    require(partCols.nonEmpty, "need at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gc = partCols.map(col)
+    val v = graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale)
+    val rows = df.select(gc ++ Seq(col(orderCol).cast(org.apache.spark.sql.types.LongType)
+        .as("__t"), v.as("__v")): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val wRun = Window.partitionBy(gc: _*).orderBy(col("__t"))
+    val wAll = Window.partitionBy(gc: _*)
+    val kD = col("__k").cast(org.apache.spark.sql.types.DoubleType)
+    val nD = col("__n").cast(org.apache.spark.sql.types.DoubleType)
+    val num = (col("__sk").cast(D) * col("__n") - col("__sn").cast(D) * col("__k"))
+    val stat = abs(num).cast(org.apache.spark.sql.types.DoubleType) /
+      (nD * sqrt(kD * (nD - kD)))
+    val deScale = lit(math.pow(10, fxScale))
+    val cands = rows
+      .withColumn("__k", row_number().over(wRun).cast(org.apache.spark.sql.types.LongType))
+      .withColumn("__sk", sum(col("__v")).over(
+        wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("__v")).over(wAll))
+      .where(col("__k") < col("__n")) // splits 1..n−1
+      .withColumn("__stat", stat)
+    cands
+      .groupBy(gc: _*)
+      .agg(max(struct(col("__stat"), (-col("__k")).as("__negk"), col("__k"),
+        col("__t"), col("__sk"), col("__n"), col("__sn"))).as("__best"))
+      .select(gc ++ Seq(
+        col("__best.__n").as("n"),
+        col("__best.__k").as("k_split"),
+        col("__best.__t").as("split_tick"),
+        col("__best.__stat").as("stat"),
+        (col("__best.__sk").cast(org.apache.spark.sql.types.DoubleType) /
+          col("__best.__k").cast(org.apache.spark.sql.types.DoubleType) / deScale)
+          .as("mean_left"),
+        ((col("__best.__sn") - col("__best.__sk"))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          (col("__best.__n") - col("__best.__k"))
+            .cast(org.apache.spark.sql.types.DoubleType) / deScale)
+          .as("mean_right")): _*)
+  }
 }

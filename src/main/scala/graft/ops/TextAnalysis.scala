@@ -1328,6 +1328,62 @@ object TextAnalysis {
             element_at(ratioLit, (pmod(hasher(f), lit(B)) + 1L).cast("int"))),
           lit(0L), (acc, x) => acc + x).as("weight_fx"))
   }
+
+  /** Zipf law fit over the corpus rank-frequency curve — the
+    * distribution-level corpus-health diagnostic next to
+    * [[vocabulary]]'s raw counts: natural language follows
+    * freq ∝ rank^(−s) with s ≈ 1 (Zipf 1949); template-generated or
+    * keyword-stuffed corpora bend the log-log line (s drifts, R²
+    * collapses), so (zipf_s, r2) is a two-number generator/spam tripwire
+    * per corpus or slice.
+    *
+    * Fit: OLS of ln(tf) on ln(rank) over the top `topN` ranks (the
+    * standard head fit — the tail is censored by corpus size). Ranks are
+    * the [[vocabulary]] total order (tf desc, token asc); both logs
+    * quantize to scale-12 fixed point ([[jsDivergence]]'s pico
+    * discipline), the co-moments are EXACT integers via
+    * [[Correlation.pairAggs]]' hi/lo split, and slope / intercept / r²
+    * are ONE fixed double tree each — engine-portable bits.
+    *
+    * Shape: one (token) aggregate, a TakeOrderedAndProject top-N, one
+    * N-row window for ranks (bounded by topN), ONE 1-row aggregate.
+    *
+    * @return one row: (n_ranks, slope, intercept, r2, zipf_s = −slope) —
+    *         intercept in ln-frequency units.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val top = df.select(explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topN)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("token").asc))
+        .cast(org.apache.spark.sql.types.LongType))
+    val xFx = graft.metrics.MetricColumns.fixedPointLong(log(col("rank").cast(Dbl)), 12)
+    val yFx = graft.metrics.MetricColumns.fixedPointLong(log(col("tf").cast(Dbl)), 12)
+    val aggs = Correlation.pairAggs(xFx, yFx, "z")
+    val m = ranked.agg(aggs.head, aggs.tail: _*)
+    val n = col("n_z").cast(D)
+    val sx = col("sx_z"); val sy = col("sy_z")
+    val sxx = graft.metrics.MetricColumns.sumsqTotal("xx_z")
+    val sxy = graft.metrics.MetricColumns.sumprodTotal("xy_z")
+    val num = (n * sxy - sx * sy).cast(Dbl)
+    val den = (n * sxx - sx * sx).cast(Dbl)
+    val slope = num / den
+    val r = Correlation.pairCorr("z")
+    m.select(col("n_z").as("n_ranks"),
+      when(den > 0.0, slope).as("slope"),
+      when(den > 0.0,
+        (sy.cast(Dbl) - num / den * sx.cast(Dbl)) /
+          col("n_z").cast(Dbl) / lit(1e12)).as("intercept"),
+      (r * r).as("r2"),
+      when(den > 0.0, -slope).as("zipf_s"))
+  }
 }
 
 /** Shared shingle machinery (also used by MinHash dedup). */

@@ -210,4 +210,51 @@ object Windows {
         last(col("bv"), ignoreNulls = true).over(w).as("value"),
         col("bv").isNotNull.as("observed"))
   }
+
+  /** OHLC / time-bar resampling per key — the standard downsample from
+    * tick-level series to per-window bars (open / high / low / close /
+    * count / sum / mean): the shape every monitoring dashboard and
+    * financial feed consumes, and the variance-preserving alternative to
+    * plain windowed means (a mean hides the intra-window spike; high−low
+    * is the spread signal [[graft.ops.Outliers]] detectors band on).
+    *
+    * Determinism: open/close use TOTAL-ORDER selection — open is the value
+    * of the minimum (ts, value) struct (earliest tick; value-asc on
+    * exact-ts ties), close of the maximum (latest tick; value-desc on
+    * ties) — so re-runs and engines agree even on tied timestamps. Values
+    * quantize to scale-`scale` longs ([[MetricColumns.fixedPointLong]]);
+    * the sum is decimal-exact; mean is ONE double division. Windows are
+    * epoch-aligned like [[gapFill]] (floor semantics via pmod, so
+    * independently-resampled tables share boundaries).
+    *
+    * Shape: ONE (key, window) shuffle with map-side combine — min/max of
+    * structs and the decimal sum all partial-aggregate; no row window, no
+    * sort.
+    *
+    * @return (key, window_start, open, high, low, close, n_ticks, sum_fx,
+    *         mean) — open/high/low/close/sum_fx in fixed-point units.
+    */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, windowSeconds: Long, scale: Int = 2): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val stepUs = windowSeconds * 1000000L
+    val rows = df.select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("us"),
+        MetricColumns.fixedPointLong(col(valueCol), scale).as("v"))
+      .where(col("key").isNotNull && col("us").isNotNull && col("v").isNotNull)
+    rows
+      .select(col("key"), (col("us") - pmod(col("us"), lit(stepUs))).as("g"),
+        col("us"), col("v"))
+      .groupBy("key", "g").agg(
+        min(struct(col("us"), col("v"))).getField("v").as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(struct(col("us"), col("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("v").cast(DecimalType(38, 0))).as("sv"))
+      .select(col("key"), timestamp_micros(col("g")).as("window_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"),
+        col("sv").cast(LongType).as("sum_fx"),
+        (col("sv").cast(DoubleType) / col("n_ticks").cast(DoubleType)).as("mean"))
+  }
 }

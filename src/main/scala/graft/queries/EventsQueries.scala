@@ -89,6 +89,23 @@ private[queries] object EventsQueries {
       Windows.tumbling(t(s, dir, "events"), "ts", "event_type", "value", "1 hour")
         .orderBy("window_start", "event_type")),
 
+    "q_ohlc" -> ((s, dir) =>
+      // daily OHLC bars per event type: total-order open/close selection
+      // (ts, then value on exact-ts ties), decimal-exact sums, one
+      // (key, window) shuffle — the variance-preserving downsample
+      Windows.ohlcBars(t(s, dir, "events"), "event_type", "ts", "value",
+        windowSeconds = 86400)
+        .orderBy("key", "window_start")),
+
+    "q_rfm" -> { (s, dir) =>
+      // classic per-customer RFM segmentation over orders: exact
+      // tie-honest quintiles via integer div over cumulative counts — no
+      // ntile, tied customers always share a score
+      Events.rfmScores(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice", asOfUs = 999302400000000L) // 2001-09-01T00:00:00Z
+        .orderBy("entity")
+    },
+
     "q_window_sliding" -> ((s, dir) =>
       // 1-hour windows every 15 minutes: each event lands in exactly 4
       // windows; the oracle reproduces the epoch-aligned slide grid
@@ -117,6 +134,51 @@ private[queries] object EventsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ohlc" ->
+      """WITH r AS (SELECT event_type AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                       ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS v
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT key, us - (us % 86400000000) AS g, us, v FROM r),
+        |w1 AS (SELECT key, g, min(us) AS us0, max(us) AS us1, max(v) AS high, min(v) AS low,
+        |              CAST(count(*) AS BIGINT) AS n_ticks, sum(CAST(v AS HUGEINT)) AS sv
+        |       FROM g GROUP BY 1, 2),
+        |oc AS (SELECT g.key, g.g, min(CASE WHEN g.us = w1.us0 THEN g.v END) AS open,
+        |              max(CASE WHEN g.us = w1.us1 THEN g.v END) AS close
+        |       FROM g JOIN w1 USING (key, g) GROUP BY 1, 2)
+        |SELECT w1.key, make_timestamp(w1.g) AS window_start, oc.open, w1.high, w1.low, oc.close,
+        |       w1.n_ticks, CAST(w1.sv AS BIGINT) AS sum_fx,
+        |       CAST(w1.sv AS DOUBLE) / CAST(w1.n_ticks AS DOUBLE) AS mean
+        |FROM w1 JOIN oc USING (key, g)
+        |ORDER BY key, window_start""".stripMargin,
+
+    "q_rfm" ->
+      """WITH o AS (SELECT o_custkey AS entity, epoch_us(o_orderdate) AS us,
+        |                  CAST(CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 100.0 + 0.5)
+        |                       ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT) AS a
+        |           FROM orders
+        |           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |b AS (SELECT entity, (999302400000000 - max(us)) // 86400000000 AS recency_days,
+        |             CAST(count(*) AS BIGINT) AS frequency,
+        |             CAST(sum(CAST(a AS HUGEINT)) AS BIGINT) AS monetary_fx
+        |      FROM o GROUP BY entity),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+        |rs AS (SELECT -v AS recency_days, ((cum - c) * 5) // n.nn + 1 AS r_score
+        |       FROM (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM
+        |             (SELECT -recency_days AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1)), n),
+        |fs AS (SELECT v AS frequency, ((cum - c) * 5) // n.nn + 1 AS f_score
+        |       FROM (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM
+        |             (SELECT frequency AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1)), n),
+        |ms AS (SELECT v AS monetary_fx, ((cum - c) * 5) // n.nn + 1 AS m_score
+        |       FROM (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM
+        |             (SELECT monetary_fx AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1)), n)
+        |SELECT b.entity, b.recency_days, b.frequency, b.monetary_fx,
+        |       CAST(rs.r_score AS BIGINT) AS r_score, CAST(fs.f_score AS BIGINT) AS f_score,
+        |       CAST(ms.m_score AS BIGINT) AS m_score,
+        |       CAST(rs.r_score * 100 + fs.f_score * 10 + ms.m_score AS BIGINT) AS rfm
+        |FROM b JOIN rs USING (recency_days) JOIN fs USING (frequency) JOIN ms USING (monetary_fx)
+        |ORDER BY entity""".stripMargin,
+
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1
         |            FROM events WHERE event_type = 'signup' GROUP BY user_id),

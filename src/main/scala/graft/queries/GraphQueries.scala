@@ -60,6 +60,18 @@ private[queries] object GraphQueries {
       Components.clusteringCoefficients(edges, "src", "dst").orderBy("node")
     },
 
+    "q_linkpred" -> { (s, dir) =>
+      // link prediction over the q_triangles graph: top-100 non-adjacent
+      // distance-2 pairs by Adamic–Adar (exact ⌊10¹²/ln deg⌋ weights) with
+      // common-neighbor counts and neighborhood Jaccard — the "probably
+      // the same / about to connect" scorer for ER candidates
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+      Components.linkPrediction(edges, "src", "dst",
+        maxDegree = 10000L, topK = 100)
+    },
+
     "q_assortativity" -> { (s, dir) =>
       // degree assortativity of the mod-200 graph: Pearson r of endpoint
       // degrees over symmetrized edges — like-to-like vs hub-to-leaf
@@ -190,6 +202,25 @@ private[queries] object GraphQueries {
         |ORDER BY item_a, item_b""".stripMargin,
 
     "q_bfs" -> bfsOracleSql(400, 25, 4),
+
+    "q_linkpred" ->
+      """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s != d),
+        |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+        |ctr AS (SELECT z, CAST(floor(1e12 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w
+        |        FROM deg WHERE deg <= 10000 AND deg >= 2),
+        |wd AS (SELECT adj.z, adj.n, ctr.w FROM adj JOIN ctr USING (z)),
+        |pr AS (SELECT l.n AS a, r.n AS b, CAST(count(*) AS BIGINT) AS cn,
+        |              CAST(sum(l.w) AS BIGINT) AS aa_fx
+        |       FROM wd l JOIN wd r ON l.z = r.z AND l.n < r.n GROUP BY 1, 2),
+        |np AS (SELECT pr.* FROM pr
+        |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = pr.a AND e.b = pr.b))
+        |SELECT np.a, np.b, np.cn AS common_neighbors, np.aa_fx,
+        |       CAST(np.aa_fx AS DOUBLE) / 1e12 AS aa,
+        |       CAST(np.cn AS DOUBLE) / CAST(da.deg + db.deg - np.cn AS DOUBLE) AS jaccard
+        |FROM np JOIN deg da ON da.z = np.a JOIN deg db ON db.z = np.b
+        |ORDER BY np.aa_fx DESC, np.a, np.b LIMIT 100""".stripMargin,
 
     "q_triangles" ->
       """WITH raw AS (SELECT o_custkey % 200 AS s, o_orderkey % 200 AS d FROM orders),

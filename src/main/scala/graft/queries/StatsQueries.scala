@@ -90,6 +90,60 @@ private[queries] object StatsQueries {
         regexp_count(col("text"), lit("\\S+")) >= 80)
     },
 
+    "q_welch" -> { (s, dir) =>
+      // unequal-variance two-sample mean drift on the q_mwu populations:
+      // did the A-vs-R mean price move, with Welch–Satterthwaite df —
+      // grand-mean-centered exact moments, one fixed double tree
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.welchT(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_bf" -> { (s, dir) =>
+      // k-sample VARIANCE drift (Brown–Forsythe): did per-flag price
+      // SPREADS move apart — the question q_anova (means) and q_kruskal
+      // (ranks) don't ask; doubled medians keep |v − median| an exact long
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.brownForsythe(li, "cents", "l_returnflag")
+    },
+
+    "q_energy" -> { (s, dir) =>
+      // all-moments drift on the q_mwu populations: the energy statistic
+      // responds to ANY distributional difference; all three pairwise-|·|
+      // sums are exact gap-weighted prefix products
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.energyDistance(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_cvm" -> { (s, dir) =>
+      // integrated-CDF drift on the q_ks populations: CvM scores the
+      // WHOLE squared CDF gap where KS takes only the max — doubled
+      // tie-averaged ranks on both levels keep U an exact integer
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.cramerVonMises(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_ccf" -> { (s, dir) =>
+      // lead/lag detection between daily event VOLUME and daily event
+      // REVENUE per type at lags −3..3: a peak at positive lag means
+      // volume leads revenue — q_acf's two-variable sibling, exact
+      // co-moments per lag over overlap pairs
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000L").as("d"),
+          MetricColumns.fixedPointLong(col("value"), 2).as("cents"))
+        .groupBy("event_type", "d")
+        .agg(count(lit(1)).as("x"), sum("cents").as("y"))
+      Correlation.ccf(daily, Seq("event_type"), "d", "x", "y", maxLag = 3)
+        .orderBy("event_type", "lag")
+    },
+
     "q_mann_kendall" -> { (s, dir) =>
       // robust monotonic trend per event type over the DAILY event-count
       // series (integer ticks × integer counts — everything exact): the
@@ -833,6 +887,159 @@ private[queries] object StatsQueries {
         |         / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
         |       END AS chi2
         |FROM m""".stripMargin,
+
+    "q_welch" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |tot AS (SELECT sum(CAST(v AS HUGEINT)) AS s, CAST(count(*) AS BIGINT) AS n FROM u),
+        |mu AS (SELECT s // n AS mu FROM tot),
+        |m AS (SELECT side, CAST(count(*) AS BIGINT) AS ng,
+        |             sum(CAST(v - mu.mu AS HUGEINT)) AS sg,
+        |             sum(CAST(v - mu.mu AS HUGEINT) * CAST(v - mu.mu AS HUGEINT)) AS qg
+        |      FROM u, mu GROUP BY side),
+        |p AS (SELECT max(CASE WHEN side = 1 THEN ng END) AS n1, max(CASE WHEN side = 1 THEN sg END) AS s1,
+        |             max(CASE WHEN side = 1 THEN qg END) AS q1,
+        |             max(CASE WHEN side = 2 THEN ng END) AS n2, max(CASE WHEN side = 2 THEN sg END) AS s2,
+        |             max(CASE WHEN side = 2 THEN qg END) AS q2
+        |      FROM m),
+        |sel AS (SELECT n1, n2, CAST(mu.mu AS DOUBLE) AS mud,
+        |               CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |               CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d
+        |        FROM p, mu),
+        |vv AS (SELECT *, (q1d * n1d - s1d * s1d) / (n1d * (n1d - 1.0)) AS var1,
+        |              (q2d * n2d - s2d * s2d) / (n2d * (n2d - 1.0)) AS var2 FROM sel),
+        |ee AS (SELECT *, var1 / n1d AS se1, var2 / n2d AS se2 FROM vv),
+        |ff AS (SELECT *, se1 + se2 AS se FROM ee)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       mud + s1d / n1d AS mean_ref, mud + s2d / n2d AS mean_cur,
+        |       CASE WHEN n1 >= 2 THEN var1 END AS var_ref,
+        |       CASE WHEN n2 >= 2 THEN var2 END AS var_cur,
+        |       CASE WHEN n1 >= 2 AND n2 >= 2 AND se > 0.0
+        |            THEN (s1d / n1d - s2d / n2d) / sqrt(se) END AS t,
+        |       CASE WHEN n1 >= 2 AND n2 >= 2 AND se > 0.0
+        |            THEN se * se / (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0)) END AS df
+        |FROM ff""".stripMargin,
+
+    "q_bf" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         l_returnflag AS g
+        |  FROM lineitem),
+        |c AS (SELECT g, v, count(*) AS c FROM u GROUP BY 1, 2),
+        |kk AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS k,
+        |              sum(c) OVER (PARTITION BY g) AS ng FROM c),
+        |md AS (SELECT g, min(CASE WHEN k >= (ng + 1) // 2 THEN v END)
+        |              + min(CASE WHEN k >= ng // 2 + 1 THEN v END) AS md
+        |       FROM kk GROUP BY g),
+        |z AS (SELECT u.g AS g, abs(u.v * 2 - md.md) AS v FROM u JOIN md USING (g)),
+        |tot AS (SELECT sum(CAST(v AS HUGEINT)) AS s, CAST(count(*) AS BIGINT) AS n FROM z),
+        |mu AS (SELECT s // n AS mu, s - (s // n) * n AS srem, n FROM tot),
+        |bg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |              sum(CAST(v - mu.mu AS HUGEINT)) AS sg,
+        |              sum(CAST(v - mu.mu AS HUGEINT) * CAST(v - mu.mu AS HUGEINT)) AS qg,
+        |              max(mu.srem) AS srem, max(mu.n) AS n
+        |       FROM z, mu GROUP BY g),
+        |st AS (SELECT count(*) AS groups, max(n) AS n,
+        |              sum(CAST(floor((CAST(sg AS DOUBLE) * CAST(n AS DOUBLE) - CAST(srem AS DOUBLE) * CAST(ng AS DOUBLE))
+        |                           * (CAST(sg AS DOUBLE) * CAST(n AS DOUBLE) - CAST(srem AS DOUBLE) * CAST(ng AS DOUBLE))
+        |                           / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS HUGEINT)) AS ssb,
+        |              sum(CAST(floor((CAST(qg AS DOUBLE) * CAST(ng AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |                           / CAST(ng AS DOUBLE)) AS HUGEINT)) AS ssw
+        |       FROM bg)
+        |SELECT groups, n, CAST(ssb AS DOUBLE) AS ssb, CAST(ssw AS DOUBLE) AS ssw,
+        |       CASE WHEN groups > 1 AND n > groups AND CAST(ssw AS DOUBLE) > 0.0
+        |       THEN (CAST(ssb AS DOUBLE) / CAST(groups - 1 AS DOUBLE))
+        |            / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(groups AS DOUBLE)))
+        |       END AS f
+        |FROM st""".stripMargin,
+
+    "q_energy" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT v, CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM u GROUP BY v),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT v, c1, c2, sum(c1) OVER (ORDER BY v) AS k1,
+        |             sum(c2) OVER (ORDER BY v) AS k2,
+        |             lead(v) OVER (ORDER BY v) AS vn FROM c),
+        |s AS (SELECT
+        |        sum(CASE WHEN vn IS NOT NULL THEN CAST(vn - v AS HUGEINT)
+        |              * (CAST(k1 AS HUGEINT) * (n.n2 - k2) + CAST(k2 AS HUGEINT) * (n.n1 - k1))
+        |            ELSE 0 END) AS sab,
+        |        sum(CASE WHEN vn IS NOT NULL THEN CAST(vn - v AS HUGEINT)
+        |              * (CAST(k1 AS HUGEINT) * (n.n1 - k1)) ELSE 0 END) AS saa,
+        |        sum(CASE WHEN vn IS NOT NULL THEN CAST(vn - v AS HUGEINT)
+        |              * (CAST(k2 AS HUGEINT) * (n.n2 - k2)) ELSE 0 END) AS sbb
+        |      FROM k, n),
+        |d AS (SELECT n.n1, n.n2, CAST(sab AS DOUBLE) AS sabd, CAST(saa AS DOUBLE) AS saad,
+        |             CAST(sbb AS DOUBLE) AS sbbd,
+        |             CAST(n.n1 AS DOUBLE) AS n1d, CAST(n.n2 AS DOUBLE) AS n2d
+        |      FROM s, n),
+        |e AS (SELECT *, 2.0 * sabd / (n1d * n2d) - 2.0 * saad / (n1d * n1d)
+        |               - 2.0 * sbbd / (n2d * n2d) AS e FROM d)
+        |SELECT n1 AS n_ref, n2 AS n_cur, sabd AS sum_cross, saad AS sum_ref, sbbd AS sum_cur,
+        |       e, n1d * n2d / (n1d + n2d) * e AS t_stat
+        |FROM e""".stripMargin,
+
+    "q_cvm" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT v, CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM u GROUP BY v),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS k,
+        |             sum(c1) OVER (ORDER BY v) AS k1,
+        |             sum(c2) OVER (ORDER BY v) AS k2 FROM c),
+        |d AS (SELECT c1, c2,
+        |             ((k - c) * 2 + c + 1) - ((k1 - c1) * 2 + c1 + 1) AS d1,
+        |             ((k - c) * 2 + c + 1) - ((k2 - c2) * 2 + c2 + 1) AS d2 FROM k),
+        |a AS (SELECT
+        |        sum(CASE WHEN c1 > 0 THEN CAST(c1 AS HUGEINT) * CAST(d1 AS HUGEINT) * CAST(d1 AS HUGEINT) ELSE 0 END) AS a1,
+        |        sum(CASE WHEN c2 > 0 THEN CAST(c2 AS HUGEINT) * CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT) ELSE 0 END) AS a2
+        |      FROM d),
+        |f AS (SELECT n.n1, n.n2, CAST(n.n1 AS HUGEINT) * a1 + CAST(n.n2 AS HUGEINT) * a2 AS u4 FROM a, n)
+        |SELECT n1 AS n_ref, n2 AS n_cur, CAST(u4 AS DOUBLE) AS u4,
+        |       CAST(u4 AS DOUBLE) / 4.0 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+        |       - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0) / (6.0 * CAST(n1 + n2 AS DOUBLE)) AS t
+        |FROM f""".stripMargin,
+
+    "q_ccf" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS x,
+        |                    CAST(sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                                       ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS y
+        |             FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, d, x, unnest(range(-3, 4)) AS lag FROM ser),
+        |j AS (SELECT l.event_type, l.lag, l.x, r.y
+        |      FROM l JOIN ser r ON r.event_type = l.event_type AND r.d = l.d + l.lag),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |      FROM j GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0 THEN num / (sqrt(dx) * sqrt(dy)) END AS ccf
+        |FROM (SELECT event_type, lag, n_pairs,
+        |        CAST(n_pairs * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n_pairs * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n_pairs * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m) t
+        |ORDER BY event_type, lag""".stripMargin,
 
     "q_mann_kendall" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

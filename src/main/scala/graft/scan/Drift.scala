@@ -999,4 +999,261 @@ object Drift {
         lit(cats).as("categories"), col("js_fx"),
         (col("js_fx").cast(DoubleType) / lit(1e12)).as("js"))
   }
+
+  /** Welch's t — the UNEQUAL-VARIANCE two-sample mean drift test, the
+    * parametric member between [[proportionTest]] (rates) and [[anovaF]]
+    * (k-sample, pooled variance): "did the mean move" when the two sides'
+    * spreads differ (post-deploy latency, re-crawled doc lengths), where
+    * the pooled-variance t is anticonservative. Quantize continuous
+    * columns via `MetricColumns.fixedPointLong` first (the KS/MWU/W1
+    * contract).
+    *
+    * Exactness ([[anovaF]]'s discipline): both sides center by the global
+    * FLOOR-division grand mean (shift invariance keeps means-difference
+    * and variances identical while squares stay data-scaled); per-side
+    * moments (n, Σy, Σy²) are exact DECIMAL(38,0); t, the Welch–
+    * Satterthwaite df and the sample variances are ONE fixed double tree
+    * over those integers — any engine, same bits.
+    *
+    * Distributed shape: the union scans once (checkpoint serves the μ
+    * pass and the moments), one 2-group aggregate; nothing driver-side
+    * beyond the two moment rows.
+    *
+    * @return one row: (n_ref, n_cur, mean_ref, mean_cur, var_ref,
+    *         var_cur, t, df) — means/variances in the input's fixed-point
+    *         units; t/df null unless both sides have ≥ 2 rows and the
+    *         combined standard error is positive.
+    */
+  def welchT(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(LongType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val rows = side(ref, 1).unionByName(side(cur, 2))
+      .localCheckpoint(true) // one scan serves the μ pass and the moments
+    val tot = rows.agg(sum(col("v").cast(D)).as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = tot.getLong(1)
+    require(n > 0, "welchT needs at least one non-null row")
+    val sAll = BigInt(tot.getDecimal(0).toBigInteger)
+    // FLOOR division (DuckDB's `//`) — see anovaF
+    val q0 = sAll / n
+    val mu = (if (sAll.sign < 0 && q0 * n != sAll) q0 - 1 else q0).toLong
+    val y = (col("v") - lit(mu)).cast(D)
+    val m = rows.groupBy("s").agg(count(lit(1)).as("ng"),
+        sum(y).as("sg"), sum(y * y).as("qg"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))))
+      .toMap
+    require(m.contains(1) && m.contains(2),
+      s"both sides need rows (ref=${m.get(1).map(_._1).getOrElse(0L)}, " +
+        s"cur=${m.get(2).map(_._1).getOrElse(0L)})")
+    val (n1, s1, q1) = m(1); val (n2, s2, q2) = m(2)
+    // fixed double trees (replicated verbatim in the oracle)
+    val n1d = lit(n1.toDouble); val n2d = lit(n2.toDouble)
+    val s1d = lit(s1.toDouble); val s2d = lit(s2.toDouble)
+    val q1d = lit(q1.toDouble); val q2d = lit(q2.toDouble)
+    val muD = lit(mu.toDouble)
+    val var1 = (q1d * n1d - s1d * s1d) / (n1d * (n1d - lit(1.0)))
+    val var2 = (q2d * n2d - s2d * s2d) / (n2d * (n2d - lit(1.0)))
+    val se1 = var1 / n1d
+    val se2 = var2 / n2d
+    val se = se1 + se2
+    val tStat = (s1d / n1d - s2d / n2d) / sqrt(se)
+    val dfW = se * se / (se1 * se1 / (n1d - lit(1.0)) + se2 * se2 / (n2d - lit(1.0)))
+    val ok = n1 >= 2 && n2 >= 2
+    ref.sparkSession.range(1).select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      (muD + s1d / n1d).as("mean_ref"), (muD + s2d / n2d).as("mean_cur"),
+      (if (n1 >= 2) var1 else lit(null).cast(DoubleType)).as("var_ref"),
+      (if (n2 >= 2) var2 else lit(null).cast(DoubleType)).as("var_cur"),
+      (if (ok) when(se > 0.0, tStat) else lit(null).cast(DoubleType)).as("t"),
+      (if (ok) when(se > 0.0, dfW) else lit(null).cast(DoubleType)).as("df"))
+  }
+
+  /** Brown–Forsythe test — the k-sample VARIANCE drift member (the
+    * robust Levene variant): did the group SPREADS move apart, the
+    * question [[anovaF]]/[[kruskalWallis]] (location) and [[welchT]]
+    * (two-sample mean) don't ask — a quality score whose variance doubles
+    * per segment is drifting even with stable means. W = the [[anovaF]] F
+    * computed over zᵢⱼ = |vᵢⱼ − medianᵢ|.
+    *
+    * Exactness: group medians use the LOWER+UPPER-middle convention kept
+    * DOUBLED (md = v⌈n/2⌉ + v⌊n/2⌋₊₁ over the per-group sorted values), so
+    * z = |2v − md| stays an exact long — no .5 ever materializes; the
+    * ANOVA stage is [[anovaF]] verbatim (grand-mean centering, floored
+    * per-group terms).
+    *
+    * Distributed shape: one (group, value) rollup, per-group running
+    * windows over the DISTINCT-VALUE frame (group-bounded — the
+    * ksStatisticByGroup discipline), a skinny k-row median frame joined
+    * back (AQE broadcast), then the anovaF pass. Values quantize via
+    * `MetricColumns.fixedPointLong` first.
+    *
+    * @return one row: (groups, n, ssb, ssw, f) — f is the Brown–Forsythe
+    *         W on the doubled deviations (scale-free as a test statistic).
+    */
+  def brownForsythe(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(LongType).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // serves the median rollup AND the z pass
+    val cells = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val meds = cells
+      .withColumn("k", sum(col("c")).over(wRun))
+      .withColumn("ng", sum(col("c")).over(wAll))
+      // 1-based lower middle ⌈n/2⌉ = (n+1) div 2; upper middle n div 2 + 1
+      // (integer div — Column./ on longs is DOUBLE division)
+      .groupBy("g").agg(
+        (min(when(col("k") >= expr("(ng + 1) div 2"), col("v"))) +
+         min(when(col("k") >= expr("ng div 2 + 1"), col("v")))).as("md"))
+    val z = rows.join(meds, Seq("g"))
+      .select(col("g"), abs(col("v") * 2L - col("md")).as("z"))
+    anovaF(z, "z", "g")
+  }
+
+  /** EXACT two-sample energy distance (Székely–Rizzo) — the
+    * all-moments member of the drift family: KS sees the largest CDF gap,
+    * W1 the mean mass transport; the energy statistic
+    * E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| responds to ANY distributional
+    * difference (location, scale, shape) and its nm/(n+m)-scaled form is
+    * the classic energy two-sample test statistic.
+    *
+    * Exactness: all three pairwise-|·| sums reduce to gap-weighted
+    * prefix-count products over the merged distinct values —
+    * Σ|x−y| = Σ_gaps gap·(k₁(n₂−k₂) + k₂(n₁−k₁)), Σ|x−x′| = Σ gap·k₁(n₁−k₁)
+    * — exact DECIMAL(38,0) integers on [[wasserstein1]]'s two-phase
+    * prefix machinery (range partition + per-partition running sums +
+    * driver offsets); E and the test statistic are ONE fixed double tree.
+    *
+    * @return one row: (n_ref, n_cur, sum_cross, sum_ref, sum_cur, e,
+    *         t_stat) — sums as doubles of the exact integers (they exceed
+    *         BIGINT at scale), e in the input's fixed-point units,
+    *         t_stat = n₁n₂/(n₁+n₂)·e.
+    */
+  def energyDistance(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(LongType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // freeze pid assignment across the jobs below
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"), min(col("v")).as("v0"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val n1 = totals.valuesIterator.map(_._1).sum
+    val n2 = totals.valuesIterator.map(_._2).sum
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val pids = totals.keys.toSeq.sorted
+    def offsets(part: ((Long, Long, Long)) => Long): Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + part(totals(p))).init).toMap
+    def offsetExpr(m: Map[Int, Long]) =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    val nextFirst: Map[Int, Long] =
+      pids.zip(pids.tail.map(p => totals(p)._3)).toMap
+    val nextFirstExpr =
+      if (nextFirst.isEmpty) lit(null).cast(LongType)
+      else element_at(typedlit(nextFirst), col("__pid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val gap = (col("vn") - col("v")).cast(D)
+    def pairTerm(kc: Column, nOther: Long, kOther: Column) =
+      kc.cast(D) * (lit(nOther) - kOther)
+    val zero = lit(0L).cast(D)
+    val sums = parts
+      .withColumn("k1", sum(col("c1")).over(w) + offsetExpr(offsets(_._1)))
+      .withColumn("k2", sum(col("c2")).over(w) + offsetExpr(offsets(_._2)))
+      .withColumn("vn", coalesce(lead(col("v"), 1).over(w), nextFirstExpr))
+      .agg(
+        sum(when(col("vn").isNotNull,
+          gap * (pairTerm(col("k1"), n2, col("k2")) +
+                 pairTerm(col("k2"), n1, col("k1")))).otherwise(zero)).as("sab"),
+        sum(when(col("vn").isNotNull,
+          gap * pairTerm(col("k1"), n1, col("k1"))).otherwise(zero)).as("saa"),
+        sum(when(col("vn").isNotNull,
+          gap * pairTerm(col("k2"), n2, col("k2"))).otherwise(zero)).as("sbb"))
+    val n1d = lit(n1.toDouble); val n2d = lit(n2.toDouble)
+    val e = lit(2.0) * col("sab").cast(DoubleType) / (n1d * n2d) -
+      lit(2.0) * col("saa").cast(DoubleType) / (n1d * n1d) -
+      lit(2.0) * col("sbb").cast(DoubleType) / (n2d * n2d)
+    sums.select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      col("sab").cast(DoubleType).as("sum_cross"),
+      col("saa").cast(DoubleType).as("sum_ref"),
+      col("sbb").cast(DoubleType).as("sum_cur"),
+      e.as("e"), (n1d * n2d / (n1d + n2d) * e).as("t_stat"))
+  }
+
+  /** Two-sample Cramér–von Mises — the INTEGRATED-CDF drift member: KS
+    * scores only the single largest CDF gap (a narrow spike and a broad
+    * shift can tie); CvM integrates the squared gap over the whole
+    * distribution, so diffuse drift that KS under-weights scores
+    * proportionally. T = U/(n₁n₂N) − (4n₁n₂−1)/(6N) with
+    * U = n₁Σᵢ(rᵢ−i)² + n₂Σⱼ(sⱼ−j)² (Anderson's rank form).
+    *
+    * Exactness: combined AND own-sample ranks carry as DOUBLED
+    * tie-averaged integers (the [[mannWhitneyU]] discipline — this
+    * operator's tie convention: average ranks on both levels), so every
+    * squared deviation is an exact integer; U rides DECIMAL(38,0) at 4×
+    * scale (u4 = 4U); T is one final double tree. Same two-phase prefix
+    * machinery and one extra per-side running sum.
+    *
+    * @return one row: (n_ref, n_cur, u4, t) — u4 = 4U as a double of the
+    *         exact decimal (U ~ n²m² exceeds BIGINT at scale).
+    */
+  def cramerVonMises(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n1 = totals.valuesIterator.map(_._1).sum
+    val n2 = totals.valuesIterator.map(_._2).sum
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val pids = totals.keys.toSeq.sorted
+    def offsets(part: ((Long, Long)) => Long): Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + part(totals(p))).init).toMap
+    def offsetExpr(m: Map[Int, Long]) =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val c = col("c1") + col("c2")
+    def drOf(k: Column, cc: Column) = (k - cc) * 2L + cc + 1L
+    val d1 = (drOf(col("k"), c) - drOf(col("k1"), col("c1"))).cast(D)
+    val d2 = (drOf(col("k"), c) - drOf(col("k2"), col("c2"))).cast(D)
+    val zero = lit(0L).cast(D)
+    val sums = parts
+      .withColumn("k", sum(c).over(w) + offsetExpr(offsets(t => t._1 + t._2)))
+      .withColumn("k1", sum(col("c1")).over(w) + offsetExpr(offsets(_._1)))
+      .withColumn("k2", sum(col("c2")).over(w) + offsetExpr(offsets(_._2)))
+      .agg(
+        sum(when(col("c1") > 0L, col("c1").cast(D) * d1 * d1).otherwise(zero)).as("a1"),
+        sum(when(col("c2") > 0L, col("c2").cast(D) * d2 * d2).otherwise(zero)).as("a2"))
+    val u4 = (lit(n1).cast(D) * col("a1") + lit(n2).cast(D) * col("a2"))
+    val n1d = lit(n1.toDouble); val n2d = lit(n2.toDouble)
+    val nD = lit((n1 + n2).toDouble)
+    val t = u4.cast(DoubleType) / lit(4.0) / (n1d * n2d * nD) -
+      (lit(4.0) * n1d * n2d - lit(1.0)) / (lit(6.0) * nD)
+    sums.select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      u4.cast(DoubleType).as("u4"), t.as("t"))
+  }
 }

@@ -5,10 +5,14 @@ import graft.scan.Drift
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-/** Round-13 batch-2 statistics: k-sample drift (Kruskal–Wallis, ANOVA F),
-  * effect size (Cliff's δ), JS divergence, Mann–Kendall + Sen slope,
-  * time-grid gap fill (LOCF), and partition modularity. Fixtures with
-  * hand-computed closed-form expectations.
+/** Round-13 statistics batches: k-sample drift (Kruskal–Wallis, ANOVA F,
+  * Brown–Forsythe), two-sample drift (Welch t, energy distance,
+  * Cramér–von Mises), effect size (Cliff's δ), JS divergence,
+  * Mann–Kendall + Sen slope, cross-correlation, time-grid gap fill
+  * (LOCF), partition modularity, link prediction, OHLC bars and RFM
+  * scoring. Fixtures with hand-computed closed-form expectations — the
+  * oracle replays the engine's arithmetic, so only closed forms catch a
+  * bug both sides share (the round-13 SSW incident).
   */
 class TrendDriftSpec extends SparkSpec {
   import spark.implicits._
@@ -241,6 +245,157 @@ class TrendDriftSpec extends SparkSpec {
     val agree = Seq((true, true), (false, false)).toDF("a", "b")
     val ra = Drift.mcnemar(agree, col("a"), col("b")).collect()(0)
     assert(ra.isNullAt(ra.fieldIndex("chi2")))
+  }
+
+  test("welchT: closed-form two-sample fixture (unequal n, unequal variance)") {
+    // ref = {0, 2}: mean 1, s² = 2; cur = {10, 12, 14}: mean 12, s² = 4
+    // se = 2/2 + 4/3 = 7/3; t = −11/√(7/3); df = (7/3)²/(1 + (4/3)²/2) = 49/17
+    val ref = Seq(0L, 2L).toDF("v")
+    val cur = Seq(10L, 12L, 14L).toDF("v")
+    val r = Drift.welchT(ref, cur, "v").collect()(0)
+    assert(r.getAs[Long]("n_ref") == 2 && r.getAs[Long]("n_cur") == 3)
+    assert(r.getAs[Double]("mean_ref") == 1.0 && r.getAs[Double]("mean_cur") == 12.0)
+    assert(r.getAs[Double]("var_ref") == 2.0 && r.getAs[Double]("var_cur") == 4.0)
+    assert(math.abs(r.getAs[Double]("t") - (-11.0 / math.sqrt(7.0 / 3.0))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - 49.0 / 17.0) < 1e-12)
+  }
+
+  test("welchT: single-row side yields null t/df, means intact") {
+    val r = Drift.welchT(Seq(5L).toDF("v"), Seq(1L, 3L).toDF("v"), "v").collect()(0)
+    assert(r.getAs[Double]("mean_ref") == 5.0 && r.getAs[Double]("mean_cur") == 2.0)
+    assert(r.isNullAt(r.fieldIndex("t")) && r.isNullAt(r.fieldIndex("df")))
+    assert(r.isNullAt(r.fieldIndex("var_ref")) && r.getAs[Double]("var_cur") == 2.0)
+  }
+
+  test("brownForsythe: variance shift detected; equal spreads score ~0") {
+    // g0 = {0,10,20} → doubled median 20, z = {20,0,20};
+    // g1 = {100,101,102,103} → md = 203, z = {3,1,1,3}
+    // exact SSB = 220.19…, SSW = 800/3 + 4 = 270.67… (floored per group)
+    val df = Seq(("g0", 0L), ("g0", 10L), ("g0", 20L),
+      ("g1", 100L), ("g1", 101L), ("g1", 102L), ("g1", 103L)).toDF("g", "v")
+    val r = Drift.brownForsythe(df, "v", "g").collect()(0)
+    assert(r.getAs[Long]("groups") == 2 && r.getAs[Long]("n") == 7)
+    val ssb = r.getAs[Double]("ssb"); val ssw = r.getAs[Double]("ssw")
+    assert(ssb >= 218.0 && ssb <= 221.0, s"ssb: $r")
+    assert(ssw >= 268.0 && ssw <= 271.0, s"ssw: $r")
+    assert(r.getAs[Double]("f") == (ssb / 1.0) / (ssw / 5.0))
+    // identical spreads, different locations → median-centered groups
+    // identical → SSB collapses to floor error
+    val same = Seq(("g0", 0L), ("g0", 10L), ("g0", 20L),
+      ("g1", 100L), ("g1", 110L), ("g1", 120L)).toDF("g", "v")
+    val r2 = Drift.brownForsythe(same, "v", "g").collect()(0)
+    assert(math.abs(r2.getAs[Double]("ssb")) <= 2.0, s"equal-spread ssb: $r2")
+  }
+
+  test("energyDistance: identical samples → 0 exactly; shifted closed form") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val r0 = Drift.energyDistance(a, Seq(1L, 2L, 3L).toDF("v"), "v").collect()(0)
+    assert(r0.getAs[Double]("e") == 0.0 && r0.getAs[Double]("t_stat") == 0.0)
+    // ref {0,1}, cur {10,11}: SAB = 40, SAA = SBB = 1
+    // e = 2·40/4 − 2/4 − 2/4 = 19; t = (4/4)·19 = 19
+    val r1 = Drift.energyDistance(Seq(0L, 1L).toDF("v"),
+      Seq(10L, 11L).toDF("v"), "v").collect()(0)
+    assert(r1.getAs[Double]("sum_cross") == 40.0)
+    assert(r1.getAs[Double]("sum_ref") == 1.0 && r1.getAs[Double]("sum_cur") == 1.0)
+    assert(r1.getAs[Double]("e") == 19.0 && r1.getAs[Double]("t_stat") == 19.0)
+  }
+
+  test("cramerVonMises: identical tied samples → T = 0; disjoint closed form") {
+    // ref = cur = {1,2}: tie-averaged ranks align combined and own ranks
+    // exactly → U = n₁n₂(4n₁n₂−1)/… here T = 10/16 − 15/24 = 0
+    val r0 = Drift.cramerVonMises(Seq(1L, 2L).toDF("v"),
+      Seq(1L, 2L).toDF("v"), "v").collect()(0)
+    assert(r0.getAs[Double]("u4") == 40.0 && r0.getAs[Double]("t") == 0.0)
+    // disjoint {1,2} vs {10,20}: a1 = 0, a2 = 32, U = 16, T = 1 − 15/24
+    val r1 = Drift.cramerVonMises(Seq(1L, 2L).toDF("v"),
+      Seq(10L, 20L).toDF("v"), "v").collect()(0)
+    assert(r1.getAs[Double]("u4") == 64.0)
+    assert(math.abs(r1.getAs[Double]("t") - 0.375) < 1e-15)
+  }
+
+  test("ccf: a series and its 2-tick delay peak at lag +2") {
+    // tick i carries x_i and y_i = x_{i−2} ⇒ (x_i, y_{i+2}) = (x_i, x_i)
+    val x = Seq(1L, 5L, 2L, 8L, 3L, 9L, 4L, 7L)
+    val simple = (2 until 8).map(i => ("a", i.toLong, x(i), x(i - 2)))
+      .toDF("g", "t", "x", "y")
+    val out = graft.ops.Correlation.ccf(simple, Seq("g"), "t", "x", "y", maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n_pairs"), Option(r.getAs[Any]("ccf")).map(_.asInstanceOf[Double]))))
+      .toMap
+    // lag +2: (x_i, y_{i+2}) = (x_i, x_i) over i = 2..5 → r = 1
+    assert(out(2L)._1 == 4 && math.abs(out(2L)._2.get - 1.0) < 1e-12, s"$out")
+    assert(out(0L)._2.forall(v => v < 0.999), s"aligned lag should not be perfect: $out")
+  }
+
+  test("linkPrediction: path pair scored, adjacent and hub-centered pairs excluded") {
+    // path 1−2−3: only candidate (1,3) through center 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Components.linkPrediction(path, "src", "dst").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("a") == 1L && r(0).getAs[Long]("b") == 3L)
+    assert(r(0).getAs[Long]("common_neighbors") == 1L)
+    assert(r(0).getAs[Long]("aa_fx") == math.floor(1e12 / math.log(2.0)).toLong)
+    assert(r(0).getAs[Double]("jaccard") == 1.0)
+    // triangle 1-2-3 + spoke 1-4: (2,3) adjacent → excluded;
+    // (2,4)/(3,4) share center 1 (deg 3)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val pairs = Components.linkPrediction(tri, "src", "dst").collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"))).toSet
+    assert(pairs == Set((2L, 4L), (3L, 4L)), s"$pairs")
+    // hub cap: star center deg 3 > maxDegree 2 → no wedges survive
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(Components.linkPrediction(star, "src", "dst", maxDegree = 2L).isEmpty)
+  }
+
+  test("ohlcBars: total-order open/close on tied timestamps, exact sums") {
+    val base = 1699999980L * 1000000L // 60s-aligned epoch anchor
+    def ts(s: Long) = new java.sql.Timestamp((base + s * 1000000L) / 1000L)
+    val df = Seq(
+      ("k", ts(0), 5.0), ("k", ts(0), 3.0), // tied open tick → open = min v
+      ("k", ts(30), 9.0),
+      ("k", ts(59), 7.0), ("k", ts(59), 8.0), // tied close tick → close = max v
+      ("k", ts(70), 1.0)).toDF("key", "ts", "v")
+    val out = Windows.ohlcBars(df, "key", "ts", "v", windowSeconds = 60)
+      .orderBy("window_start").collect()
+    assert(out.length == 2)
+    val w0 = out(0)
+    assert(w0.getAs[Long]("open") == 300L && w0.getAs[Long]("close") == 800L)
+    assert(w0.getAs[Long]("high") == 900L && w0.getAs[Long]("low") == 300L)
+    assert(w0.getAs[Long]("n_ticks") == 5L && w0.getAs[Long]("sum_fx") == 3200L)
+    assert(w0.getAs[Double]("mean") == 640.0)
+    val w1 = out(1)
+    assert(w1.getAs[Long]("open") == 100L && w1.getAs[Long]("close") == 100L &&
+      w1.getAs[Long]("n_ticks") == 1L)
+  }
+
+  test("rfmScores: exact quartiles, ties share a score") {
+    val dayUs = 86400000000L
+    def ts(day: Long) = new java.sql.Timestamp(day * dayUs / 1000L)
+    val orders = Seq(
+      (1L, ts(0), 10.0),
+      (2L, ts(1), 10.0), (2L, ts(2), 10.0),
+      (3L, ts(3), 10.0), (3L, ts(4), 10.0), (3L, ts(5), 10.0),
+      (4L, ts(6), 10.0), (4L, ts(7), 10.0), (4L, ts(8), 10.0), (4L, ts(9), 10.0)
+    ).toDF("cust", "ts", "amt")
+    val out = graft.ops.Events.rfmScores(orders, "cust", "ts", "amt",
+        asOfUs = 10L * dayUs, k = 4)
+      .orderBy("entity").collect()
+    // recency_days: 10, 8, 5, 1 → r scores 1..4; frequency 1..4; monetary
+    // 10..40 dollars → same ordering
+    assert(out.map(_.getAs[Long]("recency_days")).toSeq == Seq(10L, 8L, 5L, 1L))
+    assert(out.map(_.getAs[Long]("r_score")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("f_score")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("m_score")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("rfm")).toSeq == Seq(111L, 222L, 333L, 444L))
+    // add a twin of customer 4 → the tied pair shares every score
+    val twin = orders.unionAll(Seq(
+      (5L, ts(6), 10.0), (5L, ts(7), 10.0), (5L, ts(8), 10.0), (5L, ts(9), 10.0)
+    ).toDF("cust", "ts", "amt"))
+    val o2 = graft.ops.Events.rfmScores(twin, "cust", "ts", "amt",
+        asOfUs = 10L * dayUs, k = 4)
+      .orderBy("entity").collect()
+    val c4 = o2(3); val c5 = o2(4)
+    assert(c4.getAs[Long]("rfm") == c5.getAs[Long]("rfm"))
   }
 
   test("readability: counts and score follow the documented approximations") {
