@@ -234,6 +234,39 @@ object Windows {
     * @return (key, window_start, open, high, low, close, n_ticks, sum_fx,
     *         mean) — open/high/low/close/sum_fx in fixed-point units.
     */
+  /** Streaming twin of [[ohlcBars]] — the identical aggregate body
+    * (total-order struct min/max for open/close, decimal-exact sum) under
+    * a watermarked event-time window: every component is a partial
+    * aggregate, so the bars maintain incrementally with bounded state
+    * (one accumulator row per open (key, window)). Batch parity is by
+    * construction (same expressions over `window()`, which is
+    * epoch-aligned exactly like the batch pmod bucketing) and spec-
+    * asserted under cross-batch arrival.
+    */
+  def ohlcBarsStream(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, windowSeconds: Long, watermark: String,
+                     scale: Int = 2): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val rows = df.select(col(keyCol).as("key"),
+        col(tsCol).cast(TimestampType).as("__ts"),
+        MetricColumns.fixedPointLong(col(valueCol), scale).as("v"))
+      .where(col("key").isNotNull && col("__ts").isNotNull && col("v").isNotNull)
+    rows.withWatermark("__ts", watermark)
+      .withColumn("us", unix_micros(col("__ts")))
+      .groupBy(window(col("__ts"), s"$windowSeconds seconds").as("w"), col("key"))
+      .agg(
+        min(struct(col("us"), col("v"))).getField("v").as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(struct(col("us"), col("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("v").cast(DecimalType(38, 0))).as("sv"))
+      .select(col("key"), col("w.start").as("window_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"),
+        col("sv").cast(LongType).as("sum_fx"),
+        (col("sv").cast(DoubleType) / col("n_ticks").cast(DoubleType)).as("mean"))
+  }
+
   def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
                valueCol: String, windowSeconds: Long, scale: Int = 2): DataFrame = {
     require(windowSeconds > 0, "windowSeconds must be positive")

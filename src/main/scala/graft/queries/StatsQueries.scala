@@ -129,6 +129,18 @@ private[queries] object StatsQueries {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_changepoint" -> { (s, dir) =>
+      // mean-shift LOCALIZATION per event type over the daily count
+      // series: q_cusum says "did it shift", this says WHERE — best
+      // binary-segmentation split by the normalized CUSUM scan statistic,
+      // exact integer numerator, smaller-k tie rule
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Outliers.changepointSplit(daily, Seq("event_type"), "d", "cnt",
+        fxScale = 0).orderBy("event_type")
+    },
+
     "q_ccf" -> { (s, dir) =>
       // lead/lag detection between daily event VOLUME and daily event
       // REVENUE per type at lags −3..3: a peak at positive lag means
@@ -1016,6 +1028,27 @@ private[queries] object StatsQueries {
         |       CAST(u4 AS DOUBLE) / 4.0 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
         |       - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0) / (6.0 * CAST(n1 + n2 AS DOUBLE)) AS t
         |FROM f""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS v
+        |             FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, v,
+        |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS k,
+        |             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS sk,
+        |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |             CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+        |      FROM ser),
+        |c AS (SELECT event_type, d, k, sk, n, sn,
+        |             CAST(abs(CAST(sk AS HUGEINT) * n - CAST(sn AS HUGEINT) * k) AS DOUBLE)
+        |               / (CAST(n AS DOUBLE) * sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))) AS stat
+        |      FROM w WHERE k < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY stat DESC, k ASC) AS rn FROM c)
+        |SELECT event_type, n, k AS k_split, d AS split_tick, stat,
+        |       CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+        |       CAST(sn - sk AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_right
+        |FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
 
     "q_ccf" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

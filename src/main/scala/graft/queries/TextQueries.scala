@@ -53,6 +53,12 @@ private[queries] object TextQueries {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
 
+    "q_zipf" -> ((s, dir) =>
+      // corpus-health Zipf fit over the top-500 rank-frequency curve:
+      // natural text reads s ≈ 1 with high R²; template/generated corpora
+      // bend the log-log line — pico fixed-point logs, exact co-moments
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 500)),
+
     "q_collocations" -> ((s, dir) =>
       // top-30 adjacent-pair collocations by quantized PMI (minCount 20):
       // two count shuffles + skinny unigram joins, TakeOrdered top-k
@@ -576,6 +582,33 @@ private[queries] object TextQueries {
         |g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs FROM t GROUP BY token)
         |SELECT token, tf, df_docs FROM g
         |ORDER BY tf DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok WHERE token <> '' GROUP BY token),
+        |top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token ASC LIMIT 500),
+        |rk AS (SELECT tf, CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT) AS rank FROM top),
+        |fx AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT) AS x,
+        |              CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT) AS y
+        |       FROM rk),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |      FROM fx)
+        |SELECT n AS n_ranks,
+        |       CASE WHEN dx > 0.0 THEN num / dx END AS slope,
+        |       CASE WHEN dx > 0.0 THEN (CAST(sy AS DOUBLE) - num / dx * CAST(sx AS DOUBLE))
+        |                               / CAST(n AS DOUBLE) / 1000000000000.0 END AS intercept,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0
+        |            THEN (num / (sqrt(dx) * sqrt(dy))) * (num / (sqrt(dx) * sqrt(dy))) END AS r2,
+        |       CASE WHEN dx > 0.0 THEN -(num / dx) END AS zipf_s
+        |FROM (SELECT n, sx, sy,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m) t""".stripMargin,
 
     "q_quality_filter" ->
       """WITH f AS (SELECT doc_id,

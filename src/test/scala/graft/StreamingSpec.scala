@@ -51,6 +51,46 @@ class StreamingSpec extends SparkSpec {
     assert(b == rows)
   }
 
+  test("streaming OHLC bars match the batch operator under cross-batch arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "k", "v")
+    val agg = Windows.ohlcBarsStream(df, "k", "ts", "v",
+      windowSeconds = 3600, watermark = "10 minutes")
+    val query = agg.writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("complete").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (ts(0, 0), "a", 5.0), (ts(0, 0), "a", 3.0), // tied open tick
+      (ts(0, 30), "a", 9.0),
+      (ts(0, 59), "a", 7.0), (ts(0, 59), "a", 8.0), // tied close tick
+      (ts(1, 10), "a", 1.0), (ts(0, 20), "b", 2.0))
+    // split across two batches, later-window data first — the partial
+    // aggregates must still converge to the batch bars
+    stream.addData(rows.drop(4))
+    query.processAllAvailable()
+    stream.addData(rows.take(4))
+    query.processAllAvailable()
+
+    def shape(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("key"), col("window_start").cast("string"), col("open"),
+        col("high"), col("low"), col("close"), col("n_ticks"),
+        col("sum_fx"), col("mean"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSet
+    val streamed = shape(spark.table("ohlc_stream"))
+    query.stop()
+    val batch = shape(Windows.ohlcBars(rows.toDF("ts", "k", "v"),
+      "k", "ts", "v", windowSeconds = 3600))
+    assert(streamed == batch)
+    // the tied-tick discipline survived the streaming partial aggregates
+    val w0 = streamed.find(r => r._1 == "a" && r._2.startsWith("2024-01-01 00")).get
+    assert(w0._3 == 300L && w0._6 == 800L)
+  }
+
   test("stream-stream interval join matches the batch join under cross-batch arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

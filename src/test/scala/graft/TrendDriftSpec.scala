@@ -398,6 +398,54 @@ class TrendDriftSpec extends SparkSpec {
     assert(c4.getAs[Long]("rfm") == c5.getAs[Long]("rfm"))
   }
 
+  test("changepointSplit: step series localizes the boundary with exact stat") {
+    // [10,10,10,20,20,20]: k=3 → |30·6−90·3|/(6·√9) = 90/18 = 5.0 exact
+    val df = (1 to 6).map(i => ("a", i.toLong, if (i <= 3) 10.0 else 20.0))
+      .toDF("g", "t", "v")
+    val r = graft.ops.Outliers.changepointSplit(df, Seq("g"), "t", "v",
+      fxScale = 0).collect()(0)
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("k_split") == 3 &&
+      r.getAs[Long]("split_tick") == 3)
+    assert(r.getAs[Double]("stat") == 5.0)
+    assert(r.getAs[Double]("mean_left") == 10.0 && r.getAs[Double]("mean_right") == 20.0)
+  }
+
+  test("changepointSplit: equal-stat candidates break to the smaller k") {
+    // [1,2,1]: k=1 and k=2 both score 1/(3√2) — smaller k wins
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 1.0)).toDF("g", "t", "v")
+    val r = graft.ops.Outliers.changepointSplit(df, Seq("g"), "t", "v",
+      fxScale = 0).collect()(0)
+    assert(r.getAs[Long]("k_split") == 1L, s"$r")
+  }
+
+  test("zipfFit: replayed fixed-point OLS over a tiny rank-frequency curve") {
+    // tf = {8,4,2} at ranks {1,2,3}
+    val doc = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc")).mkString(" ")
+    val out = graft.ops.TextAnalysis.zipfFit(Seq((1L, doc)).toDF("doc_id", "text"),
+      "text", topN = 10).collect()(0)
+    assert(out.getAs[Long]("n_ranks") == 3)
+    // replay the exact arithmetic: pico fixed-point logs, integer moments
+    def fx(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L)).map { case (r0, f0) =>
+      (fx(math.log(r0.toDouble)), fx(math.log(f0.toDouble))) }
+    val n = BigInt(3)
+    val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val syy = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val dx = (n * sxx - sx * sx).toDouble
+    val dy = (n * syy - sy * sy).toDouble
+    val rr = num / (math.sqrt(dx) * math.sqrt(dy))
+    assert(out.getAs[Double]("slope") == num / dx)
+    assert(out.getAs[Double]("zipf_s") == -(num / dx))
+    assert(out.getAs[Double]("r2") == rr * rr)
+    assert(out.getAs[Double]("intercept") ==
+      (sy.toDouble - num / dx * sx.toDouble) / 3.0 / 1e12)
+    // natural-ish decay: s in a plausible band, strong fit
+    assert(out.getAs[Double]("zipf_s") > 0.5 && out.getAs[Double]("r2") > 0.95)
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
