@@ -460,7 +460,10 @@ object Main {
           scan.coMissing.toSeq.map(df => "co_missingness" -> df) ++
           // categorical drift: per-window category counts (chi2 verdicts
           // computed against the reference in the bounded post-pass below)
-          scan.chi2.toSeq.map { case (c, (_, df)) => s"chi2_$c" -> df }
+          scan.chi2.toSeq.map { case (c, (_, df)) => s"chi2_$c" -> df } ++
+          // parametric mean drift: per-window EXACT raw moments (welch
+          // verdicts derived in the post-pass — bit-equal to batch welchT)
+          scan.welch.toSeq.map { case (c, (_, df)) => s"moments_$c" -> df }
 
       def parquetFiles(sub: String): Set[String] = {
         val d = new java.io.File(s"$outDir/$sub")
@@ -531,6 +534,19 @@ object Main {
               val s = r.getSeq[Double](r.fieldIndex("sample"))
               if (s.nonEmpty)
                 println(f"  W1    column=$c window=${r.getAs[Any]("window_start")} w1=${graft.scan.Drift.w1OfSamples(ref, s)}%.4f")
+            }
+        }
+        scan.welch.foreach { case (c, ((rn, rs, rq), _)) =>
+          windowsOf(s"moments_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+            .foreach { r =>
+              val n = r.getAs[Long]("n")
+              if (n > 0) {
+                val (_, _, _, _, t, df) = graft.scan.Drift.welchOfMoments(
+                  rn, rs, rq, n,
+                  BigInt(r.getDecimal(r.fieldIndex("s_raw")).toBigInteger),
+                  BigInt(r.getDecimal(r.fieldIndex("q_raw")).toBigInteger))
+                println(f"  WELCH column=$c window=${r.getAs[Any]("window_start")} t=${t.map(v => f"$v%.3f").getOrElse("null")} df=${df.map(v => f"$v%.1f").getOrElse("null")}")
+              }
             }
         }
         scan.chi2.foreach { case (c, (ref, _)) =>

@@ -123,6 +123,29 @@ final case class ColumnConfig(
       * in the column's own units.
       */
     w1Reference: Option[String] = None,
+    /** Path to a parquet of INTEGER-VALUED reference values for this
+      * column (same column name; quantize continuous domains upstream).
+      * The batch scan records Welch's unequal-variance t and its
+      * Welch–Satterthwaite df against it as `welch_t` / `welch_df`
+      * measurements (`welch_reference:` YAML key) — the parametric
+      * MEAN-drift check next to the rank (`mwu_reference:`) and
+      * shape (`ks_reference:`) ones; gate with e.g. `abs(welch_t) < 3`.
+      */
+    welchReference: Option[String] = None,
+    /** Path to a parquet of reference values (same contract as
+      * `welch_reference:`). The batch scan records the two-sample
+      * Cramér–von Mises statistic as a `cvm_t` measurement
+      * (`cvm_reference:` YAML key) — the INTEGRATED-CDF drift check where
+      * `ks_reference:` takes only the largest gap.
+      */
+    cvmReference: Option[String] = None,
+    /** Path to a parquet of reference values (same contract as
+      * `welch_reference:`). The batch scan records the energy distance
+      * and its nm/(n+m)-scaled test statistic as `energy` / `energy_t`
+      * measurements (`energy_reference:` YAML key) — the ALL-MOMENTS
+      * drift check (location + scale + shape in one number).
+      */
+    energyReference: Option[String] = None,
     /** Fixed-point scale for a Benford first-digit audit of this column
       * (`benford:` YAML key; 2 for currency). The scan records the
       * chi-square vs Benford's law as a `benford_chi2` measurement —

@@ -1071,6 +1071,51 @@ object Drift {
       (if (ok) when(se > 0.0, dfW) else lit(null).cast(DoubleType)).as("df"))
   }
 
+  /** Scalar twin of [[welchT]] over RAW integer moments (n, Σv, Σv²) —
+    * the per-window half of the streaming `welch_reference:` monitor
+    * ([[graft.streaming.StreamingMonitor.momentStream]] supplies the
+    * window's moments; the reference's load once). Replays welchT
+    * EXACTLY: the union grand mean μ = ⌊(S₁+S₂)/(N₁+N₂)⌋ (floor
+    * division), centered moments via the integer identities
+    * Σ(v−μ) = S − nμ and Σ(v−μ)² = Q − 2μS + nμ², then the IDENTICAL
+    * double tree — bit-equal to the distributed statistic on the same
+    * rows (spec-asserted), with no sample-coverage caveat (moments are
+    * exact at any window size).
+    *
+    * @return (mean_ref, mean_cur, var_ref, var_cur, t, df) — variances
+    *         None under 2 rows, t/df None unless both sides ≥ 2 and
+    *         se > 0.
+    */
+  def welchOfMoments(n1: Long, s1Raw: BigInt, q1Raw: BigInt,
+                     n2: Long, s2Raw: BigInt, q2Raw: BigInt)
+      : (Double, Double, Option[Double], Option[Double], Option[Double], Option[Double]) = {
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val n = n1 + n2
+    val sAll = s1Raw + s2Raw
+    val q0 = sAll / n
+    val mu = if (sAll.sign < 0 && q0 * n != sAll) q0 - 1 else q0
+    def centered(nn: Long, s: BigInt, q: BigInt): (BigInt, BigInt) =
+      (s - mu * nn, q - mu * s * 2 + mu * mu * nn)
+    val (s1, q1) = centered(n1, s1Raw, q1Raw)
+    val (s2, q2) = centered(n2, s2Raw, q2Raw)
+    val n1d = n1.toDouble; val n2d = n2.toDouble
+    val s1d = s1.toDouble; val s2d = s2.toDouble
+    val q1d = q1.toDouble; val q2d = q2.toDouble
+    val muD = mu.toDouble
+    val var1 = (q1d * n1d - s1d * s1d) / (n1d * (n1d - 1.0))
+    val var2 = (q2d * n2d - s2d * s2d) / (n2d * (n2d - 1.0))
+    val se1 = var1 / n1d
+    val se2 = var2 / n2d
+    val se = se1 + se2
+    val ok = n1 >= 2 && n2 >= 2
+    val t = if (ok && se > 0.0) Some((s1d / n1d - s2d / n2d) / math.sqrt(se)) else None
+    val dfW = if (ok && se > 0.0)
+      Some(se * se / (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0))) else None
+    (muD + s1d / n1d, muD + s2d / n2d,
+      if (n1 >= 2) Some(var1) else None, if (n2 >= 2) Some(var2) else None,
+      t, dfW)
+  }
+
   /** Brown–Forsythe test — the k-sample VARIANCE drift member (the
     * robust Levene variant): did the group SPREADS move apart, the
     * question [[anovaF]]/[[kruskalWallis]] (location) and [[welchT]]

@@ -97,6 +97,9 @@ object ScanYamlParser {
       mwuReference = optStr(m, "mwu_reference"),
       chi2Reference = optStr(m, "chi2_reference"),
       w1Reference = optStr(m, "w1_reference"),
+      welchReference = optStr(m, "welch_reference"),
+      cvmReference = optStr(m, "cvm_reference"),
+      energyReference = optStr(m, "energy_reference"),
       benford = optInt(m, "benford"),
       concentration = optStr(m, "concentration").exists(_.toBoolean)
     )

@@ -138,6 +138,15 @@ object Scanner {
         * per-window earth-mover distance in the column's own units.
         */
       w1: Map[String, (Seq[Double], DataFrame)],
+      /** Per `welch_reference:`-configured column: the reference's RAW
+        * integer moments (n, Σv, Σv²) plus the per-window moment stream
+        * ([[graft.streaming.StreamingMonitor.momentStream]]); pair
+        * collected windows with [[Drift.welchOfMoments]] for the
+        * per-window Welch t/df — EXACT at any window size (moments are
+        * plain partial aggregates), bit-equal to the batch statistic on
+        * the window's slice.
+        */
+      welch: Map[String, ((Long, BigInt, BigInt), DataFrame)],
       /** Per `chi2_reference:`-configured column: the reference's category
         * counts (driver-bounded by category cardinality) plus the
         * per-window (category, cnt) stream
@@ -263,6 +272,24 @@ object Scanner {
     val w1 = cols.collect { case (name, cfg) if cfg.w1Reference.isDefined =>
       name -> (refValueSample(cfg.w1Reference.get, name), valueSampleStream(name))
     }.toMap
+    // `welch_reference:` — the parametric MEAN-drift member: the
+    // reference's raw moments load once (three scalars), the window's
+    // moments stream through one exact windowed aggregate, verdicts via
+    // Drift.welchOfMoments (bit-equal to the batch welchT — no sketch)
+    val welch = cols.collect { case (name, cfg) if cfg.welchReference.isDefined =>
+      val D = DecimalType(38, 0)
+      val v = col(name).cast(org.apache.spark.sql.types.LongType)
+      val m = spark.read.parquet(cfg.welchReference.get)
+        .select(v.as("__v")).where(col("__v").isNotNull)
+        .agg(count(lit(1)).as("n"), sum(col("__v").cast(D)).as("s"),
+          sum(col("__v").cast(D) * col("__v").cast(D)).as("q"))
+        .collect()(0)
+      require(m.getLong(0) > 0, s"welch_reference for '$name' has no values")
+      val ref = (m.getLong(0), BigInt(m.getDecimal(1).toBigInteger),
+        BigInt(m.getDecimal(2).toBigInteger))
+      name -> (ref, StreamingMonitor.momentStream(df, sc.timeColumn,
+        sc.watermark, sc.window, name))
+    }.toMap
     // `chi2_reference:` — the CATEGORICAL drift member: reference category
     // counts load once (bounded by category cardinality); per-window counts
     // stream through one windowed aggregate, verdicts via Drift.chi2OfCounts
@@ -298,7 +325,7 @@ object Scanner {
           sc.window, if (df.isStreaming) Some(sc.watermark) else None,
           scan.coMissingness))
       else None
-    StreamingScan(quality, anomalies, psi, ks, mwu, w1, chi2, benford,
+    StreamingScan(quality, anomalies, psi, ks, mwu, w1, welch, chi2, benford,
       coMissing, windowTests(quality, scan.tests, cols))
   }
 
@@ -784,6 +811,29 @@ object Scanner {
       val refDf = spark.read.parquet(cfgOf(f.name).w1Reference.get)
       val row = Drift.wasserstein1(refDf, df, f.name).collect()(0)
       record(f.name, "w1", row.getDouble(2))
+    }
+    // `welch_reference:` / `cvm_reference:` / `energy_reference:` — the
+    // round-13 completions of the two-sample family: parametric MEAN
+    // drift (Welch t + df), INTEGRATED-CDF drift (Cramér–von Mises) and
+    // ALL-MOMENTS drift (energy distance). Same reference-parquet
+    // contract; gate with e.g. `abs(welch_t) < 3`, `cvm_t < 0.5`,
+    // `energy_t < 10`.
+    fields.filter(f => cfgOf(f.name).welchReference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).welchReference.get)
+      val row = Drift.welchT(refDf, df, f.name).collect()(0)
+      record(f.name, "welch_t", if (row.isNullAt(6)) null else row.getDouble(6))
+      record(f.name, "welch_df", if (row.isNullAt(7)) null else row.getDouble(7))
+    }
+    fields.filter(f => cfgOf(f.name).cvmReference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).cvmReference.get)
+      val row = Drift.cramerVonMises(refDf, df, f.name).collect()(0)
+      record(f.name, "cvm_t", row.getDouble(3))
+    }
+    fields.filter(f => cfgOf(f.name).energyReference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).energyReference.get)
+      val row = Drift.energyDistance(refDf, df, f.name).collect()(0)
+      record(f.name, "energy", row.getDouble(5))
+      record(f.name, "energy_t", row.getDouble(6))
     }
 
     // ---- Benford audit (beyond the reference: `benford:` column key,

@@ -131,6 +131,29 @@ object StreamingMonitor {
         size(col("sample")).as("n_sample"), col("sample"))
   }
 
+  /** Per-window EXACT raw moments (n, Σv, Σv²) of an integer-valued
+    * column — the streaming half of the `welch_reference:` monitor and,
+    * unlike the bottom-k sample feeds, EXACT at any window size: moments
+    * are plain partial aggregates, so the per-window Welch t derived from
+    * them ([[graft.scan.Drift.welchOfMoments]]) is bit-equal to the batch
+    * [[graft.scan.Drift.welchT]] on the window's slice — no sketch
+    * coverage caveat. Sums ride DECIMAL(38,0) (v² up to ~10¹⁸ per row).
+    * Works identically on a batch frame.
+    */
+  def momentStream(df: DataFrame, tsCol: String, watermark: String,
+                   duration: String, colName: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = col(colName).cast(org.apache.spark.sql.types.LongType)
+    val base = df.select(col(tsCol), v.as("__v")).where(col("__v").isNotNull)
+    val src = if (df.isStreaming) base.withWatermark(tsCol, watermark) else base
+    src.groupBy(window(col(tsCol), duration).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(D)).as("s_raw"),
+        sum(col("__v").cast(D) * col("__v").cast(D)).as("q_raw"))
+      .select(col("w.start").as("window_start"), col("n"),
+        col("s_raw"), col("q_raw"))
+  }
+
   /** Per-window Count-Min counter table: [[graft.ops.CountMin]]'s groupBy
     * rides the normal watermarked window aggregation — streaming state is
     * ≤ depth×width cells per window, point estimates for ANY key from it

@@ -630,6 +630,43 @@ class ScannerSpec extends SparkSpec {
     assert(byExpr("w1 < 100").passed)
   }
 
+  test("welch/cvm/energy reference scan keys record drift measurements and gate tests") {
+    import graft.scan.{Drift, Scanner}
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("scan-ts-ref").toString
+    (1L to 20L).toDF("lat").write.parquet(s"$refDir/vals")
+    val cur = (51L to 70L).toDF("lat") // pure +50 shift
+    val yaml =
+      s"""table_name: t
+         |columns:
+         |  lat:
+         |    welch_reference: $refDir/vals
+         |    cvm_reference: $refDir/vals
+         |    energy_reference: $refDir/vals
+         |    tests:
+         |    - welch_t < 0
+         |    - cvm_t > 0.3
+         |    - energy_t > 10
+         |""".stripMargin
+    val r = Scanner.executeYaml(spark, cur, yaml)
+    assert(!r.hasErrors, r.errors.mkString("; "))
+    def m(name: String) =
+      r.measurement(name, Some("lat")).get.value.get.asInstanceOf[Double]
+    val ref = spark.read.parquet(s"$refDir/vals")
+    // parity with the direct operators, bit-for-bit
+    val dw = Drift.welchT(ref, cur, "lat").collect()(0)
+    assert(m("welch_t") == dw.getDouble(6) && m("welch_df") == dw.getDouble(7))
+    val dc = Drift.cramerVonMises(ref, cur, "lat").collect()(0)
+    assert(m("cvm_t") == dc.getDouble(3))
+    val de = Drift.energyDistance(ref, cur, "lat").collect()(0)
+    assert(m("energy") == de.getDouble(5) && m("energy_t") == de.getDouble(6))
+    // a +50 shift: negative t (ref below cur), near-max CvM, energy ≈ 2·50
+    assert(m("welch_t") < -20.0 && m("cvm_t") > 0.3 && m("energy") > 80.0)
+    val byExpr = r.testResults.map(t => t.test.expression -> t).toMap
+    assert(byExpr("welch_t < 0").passed && byExpr("cvm_t > 0.3").passed &&
+      byExpr("energy_t > 10").passed)
+  }
+
   test("mannWhitneyU: doubled-rank exactness, tie correction, AUC direction, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._

@@ -1606,6 +1606,59 @@ class StreamingSpec extends SparkSpec {
     assert(batchCats == catCounts.toSet)
   }
 
+  test("streaming welch_reference monitor: exact per-window moments, batch bit-parity") {
+    import spark.implicits._
+    import graft.scan.{Drift, Scanner}
+    implicit val sqlCtx = spark.sqlContext
+
+    val refDir = java.nio.file.Files.createTempDirectory("scan-welch-ref").toString
+    (1L to 20L).toDF("v").write.parquet(s"$refDir/vals")
+    val yaml =
+      s"""table_name: events
+         |stream:
+         |  time_column: ts
+         |  watermark: 10 minutes
+         |  window: 1 hour
+         |columns:
+         |  v:
+         |    welch_reference: $refDir/vals
+         |""".stripMargin
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0 = the reference regime exactly; hour 1 = +50 shift
+    val w0 = (1 to 20).map(i => (ts(0, i), i.toLong))
+    val w1 = (1 to 20).map(i => (ts(1, i), i.toLong + 50L))
+    val stream = MemoryStream[(Timestamp, Long)]
+    val scan = Scanner.executeStreamYaml(spark,
+      stream.toDF().toDF("ts", "v"), yaml)
+    assert(scan.welch.keySet == Set("v"))
+    val ((rn, rs, rq), momStream) = scan.welch("v")
+    assert(rn == 20L && rs == BigInt(210) && rq == BigInt(2870))
+    val q = momStream.writeStream.format("memory").queryName("welch_moments")
+      .outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    q.processAllAvailable()
+    val wins = spark.table("welch_moments")
+      .select(col("window_start"), col("n"), col("s_raw").cast("string"),
+        col("q_raw").cast("string"))
+      .as[(Timestamp, Long, String, String)].collect().sortBy(_._1.getTime)
+    q.stop()
+    assert(wins.length == 2)
+    def verdict(w: (Timestamp, Long, String, String)) =
+      Drift.welchOfMoments(rn, rs, rq, w._2, BigInt(w._3), BigInt(w._4))
+    // hour 0: identical populations — t exactly 0
+    val v0 = verdict(wins(0))
+    assert(v0._1 == v0._2 && v0._5.contains(0.0))
+    // hour 1: +50 shift — strongly negative t, and BIT-EQUAL to the batch
+    // distributed statistic over the same rows
+    val v1 = verdict(wins(1))
+    val batch = Drift.welchT((1L to 20L).toDF("v"),
+      w1.map(_._2).toDF("v"), "v").collect()(0)
+    assert(v1._1 == batch.getDouble(2) && v1._2 == batch.getDouble(3))
+    assert(v1._3.get == batch.getDouble(4) && v1._4.get == batch.getDouble(5))
+    assert(v1._5.get == batch.getDouble(6) && v1._6.get == batch.getDouble(7))
+    assert(v1._5.get < -20.0)
+  }
+
   test("windowed rate monitor: per-window counts, prop-test twin parity, null exclusion") {
     import spark.implicits._
     import graft.scan.Drift
