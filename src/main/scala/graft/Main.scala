@@ -444,11 +444,14 @@ object Main {
       // with all three runs ONE windowed aggregate with ONE checkpoint —
       // not three identical queries. The ks frame is the sample feed plus
       // its in-stream ks_stat column, so it serves as the sink when present.
-      val sampleCols = (scan.ks.keySet ++ scan.mwu.keySet ++ scan.w1.keySet).toSeq.sorted
+      val sampleCols = (scan.ks.keySet ++ scan.mwu.keySet ++ scan.w1.keySet ++
+        scan.cvm.keySet ++ scan.energy.keySet).toSeq.sorted
       val sampleFeeds = sampleCols.map { c =>
         val feed = scan.ks.get(c).map(_._2)
           .orElse(scan.mwu.get(c).map(_._2))
-          .orElse(scan.w1.get(c).map(_._2)).get
+          .orElse(scan.w1.get(c).map(_._2))
+          .orElse(scan.cvm.get(c).map(_._2))
+          .orElse(scan.energy.get(c).map(_._2)).get
         s"sample_$c" -> feed
       }
       val monitors: Seq[(String, org.apache.spark.sql.DataFrame)] =
@@ -534,6 +537,26 @@ object Main {
               val s = r.getSeq[Double](r.fieldIndex("sample"))
               if (s.nonEmpty)
                 println(f"  W1    column=$c window=${r.getAs[Any]("window_start")} w1=${graft.scan.Drift.w1OfSamples(ref, s)}%.4f")
+            }
+        }
+        scan.cvm.foreach { case (c, (ref, _)) =>
+          windowsOf(s"sample_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+            .foreach { r =>
+              val s = r.getSeq[Double](r.fieldIndex("sample"))
+              if (s.nonEmpty) {
+                val (_, t) = graft.scan.Drift.cvmOfSamples(ref, s)
+                println(f"  CVM   column=$c window=${r.getAs[Any]("window_start")} t=$t%.4f")
+              }
+            }
+        }
+        scan.energy.foreach { case (c, (ref, _)) =>
+          windowsOf(s"sample_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+            .foreach { r =>
+              val s = r.getSeq[Double](r.fieldIndex("sample"))
+              if (s.nonEmpty) {
+                val (e, t) = graft.scan.Drift.energyOfSamples(ref, s)
+                println(f"  ENRGY column=$c window=${r.getAs[Any]("window_start")} e=$e%.4f t=$t%.4f")
+              }
             }
         }
         scan.welch.foreach { case (c, ((rn, rs, rq), _)) =>

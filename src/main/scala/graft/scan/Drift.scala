@@ -461,6 +461,82 @@ object Drift {
     (u1d, ties, auc, z)
   }
 
+  /** Scalar twin of [[cramerVonMises]] over bounded value samples — the
+    * per-window integrated-CDF drift verdict for streaming (the same
+    * coordinated bottom-k sample feed the ks/mwu/w1 monitors ride).
+    * Identical doubled tie-averaged ranks on both levels and the
+    * identical final tree, so it is BIT-EQUAL to the distributed
+    * statistic on equal value multisets (spec-asserted); sample-exact
+    * when the sketch covers the window.
+    *
+    * @return (u4, t) — u4 = 4U as a double of the exact integer.
+    */
+  def cvmOfSamples(ref: Seq[Double], cur: Seq[Double]): (Double, Double) = {
+    require(ref.nonEmpty && cur.nonEmpty, "both samples need values")
+    val n1 = ref.size.toLong; val n2 = cur.size.toLong
+    val all = (ref.map((_, 1)) ++ cur.map((_, 2))).sortBy(_._1)
+    var i = 0
+    var k = 0L; var k1 = 0L; var k2 = 0L
+    var a1 = BigInt(0); var a2 = BigInt(0)
+    while (i < all.length) {
+      var j = i
+      var c1 = 0L
+      while (j < all.length && all(j)._1 == all(i)._1) {
+        if (all(j)._2 == 1) c1 += 1
+        j += 1
+      }
+      val c = (j - i).toLong
+      val c2 = c - c1
+      val dr = 2 * k + c + 1
+      if (c1 > 0) { val d = dr - (2 * k1 + c1 + 1); a1 += BigInt(c1) * BigInt(d) * BigInt(d) }
+      if (c2 > 0) { val d = dr - (2 * k2 + c2 + 1); a2 += BigInt(c2) * BigInt(d) * BigInt(d) }
+      k += c; k1 += c1; k2 += c2
+      i = j
+    }
+    val u4 = BigInt(n1) * a1 + BigInt(n2) * a2
+    val n1d = n1.toDouble; val n2d = n2.toDouble; val nD = (n1 + n2).toDouble
+    val t = u4.toDouble / 4.0 / (n1d * n2d * nD) -
+      (4.0 * n1d * n2d - 1.0) / (6.0 * nD)
+    (u4.toDouble, t)
+  }
+
+  /** Scalar twin of [[energyDistance]] over bounded INTEGER-VALUED
+    * samples (same `.toLong` contract as [[w1OfSamples]]) — the
+    * per-window all-moments drift verdict for streaming. The same
+    * gap-weighted prefix-count products and final trees, so it is
+    * BIT-EQUAL to the distributed statistic on equal value multisets
+    * (spec-asserted).
+    *
+    * @return (e, t_stat).
+    */
+  def energyOfSamples(ref: Seq[Double], cur: Seq[Double]): (Double, Double) = {
+    require(ref.nonEmpty && cur.nonEmpty, "both samples need values")
+    val n1 = ref.size.toLong; val n2 = cur.size.toLong
+    val all = (ref.map(v => (v.toLong, 1)) ++ cur.map(v => (v.toLong, 2)))
+      .sortBy(_._1)
+    var i = 0; var k1 = 0L; var k2 = 0L
+    var sab = BigInt(0); var saa = BigInt(0); var sbb = BigInt(0)
+    while (i < all.length) {
+      val v = all(i)._1
+      var j = i
+      while (j < all.length && all(j)._1 == v) {
+        if (all(j)._2 == 1) k1 += 1 else k2 += 1
+        j += 1
+      }
+      if (j < all.length) {
+        val gap = BigInt(all(j)._1 - v)
+        sab += gap * (BigInt(k1) * (n2 - k2) + BigInt(k2) * (n1 - k1))
+        saa += gap * (BigInt(k1) * (n1 - k1))
+        sbb += gap * (BigInt(k2) * (n2 - k2))
+      }
+      i = j
+    }
+    val n1d = n1.toDouble; val n2d = n2.toDouble
+    val e = 2.0 * sab.toDouble / (n1d * n2d) - 2.0 * saa.toDouble / (n1d * n1d) -
+      2.0 * sbb.toDouble / (n2d * n2d)
+    (e, n1d * n2d / (n1d + n2d) * e)
+  }
+
   /** Two-proportion z-test: did a RATE move between two populations —
     * conversion, validity, defect, match rate — the Bernoulli member of
     * the drift family (KS/MWU/W1 need a numeric column; this needs only a

@@ -147,6 +147,16 @@ object Scanner {
         * the window's slice.
         */
       welch: Map[String, ((Long, BigInt, BigInt), DataFrame)],
+      /** Per `cvm_reference:`-configured column: same coordinated sample
+        * feed as ks/mwu/w1; pair collected windows with
+        * [[Drift.cvmOfSamples]] for the per-window integrated-CDF drift.
+        */
+      cvm: Map[String, (Seq[Double], DataFrame)],
+      /** Per `energy_reference:`-configured column: same coordinated
+        * sample feed; pair collected windows with
+        * [[Drift.energyOfSamples]] for the per-window all-moments drift.
+        */
+      energy: Map[String, (Seq[Double], DataFrame)],
       /** Per `chi2_reference:`-configured column: the reference's category
         * counts (driver-bounded by category cardinality) plus the
         * per-window (category, cnt) stream
@@ -272,6 +282,17 @@ object Scanner {
     val w1 = cols.collect { case (name, cfg) if cfg.w1Reference.isDefined =>
       name -> (refValueSample(cfg.w1Reference.get, name), valueSampleStream(name))
     }.toMap
+    // `cvm_reference:` / `energy_reference:` — the integrated-CDF and
+    // all-moments members ride the SAME coordinated sample feed as
+    // ks/mwu/w1; per-window verdicts via Drift.cvmOfSamples /
+    // Drift.energyOfSamples (bit-equal to the distributed statistics on
+    // covered windows)
+    val cvm = cols.collect { case (name, cfg) if cfg.cvmReference.isDefined =>
+      name -> (refValueSample(cfg.cvmReference.get, name), valueSampleStream(name))
+    }.toMap
+    val energy = cols.collect { case (name, cfg) if cfg.energyReference.isDefined =>
+      name -> (refValueSample(cfg.energyReference.get, name), valueSampleStream(name))
+    }.toMap
     // `welch_reference:` — the parametric MEAN-drift member: the
     // reference's raw moments load once (three scalars), the window's
     // moments stream through one exact windowed aggregate, verdicts via
@@ -325,7 +346,8 @@ object Scanner {
           sc.window, if (df.isStreaming) Some(sc.watermark) else None,
           scan.coMissingness))
       else None
-    StreamingScan(quality, anomalies, psi, ks, mwu, w1, welch, chi2, benford,
+    StreamingScan(quality, anomalies, psi, ks, mwu, w1, welch, cvm, energy,
+      chi2, benford,
       coMissing, windowTests(quality, scan.tests, cols))
   }
 

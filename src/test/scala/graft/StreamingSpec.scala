@@ -1659,6 +1659,59 @@ class StreamingSpec extends SparkSpec {
     assert(v1._5.get < -20.0)
   }
 
+  test("streaming cvm/energy reference monitors: sample-twin bit-parity, served by executeStream") {
+    import spark.implicits._
+    import graft.scan.{Drift, Scanner}
+    implicit val sqlCtx = spark.sqlContext
+
+    // twin ≡ distributed statistic on equal multisets (incl. ties)
+    val r = Seq(1.0, 2.0, 2.0, 5.0); val c = Seq(2.0, 3.0, 7.0)
+    val (u4, t) = Drift.cvmOfSamples(r, c)
+    val dc = Drift.cramerVonMises(r.toDF("v"), c.toDF("v"), "v").collect()(0)
+    assert(u4 == dc.getDouble(2) && t == dc.getDouble(3))
+    val (e, ts0) = Drift.energyOfSamples(r, c)
+    val de = Drift.energyDistance(r.toDF("v"), c.toDF("v"), "v").collect()(0)
+    assert(e == de.getDouble(5) && ts0 == de.getDouble(6))
+
+    // executeStream serves both keys off the SHARED per-column sample feed
+    val refDir = java.nio.file.Files.createTempDirectory("scan-cvm-ref").toString
+    (1L to 20L).toDF("v").write.parquet(s"$refDir/vals")
+    val yaml =
+      s"""table_name: events
+         |stream:
+         |  time_column: ts
+         |  watermark: 10 minutes
+         |  window: 1 hour
+         |columns:
+         |  v:
+         |    cvm_reference: $refDir/vals
+         |    energy_reference: $refDir/vals
+         |""".stripMargin
+    def mkts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Timestamp, Long)]
+    val scan = Scanner.executeStreamYaml(spark, stream.toDF().toDF("ts", "v"), yaml)
+    assert(scan.cvm.keySet == Set("v") && scan.energy.keySet == Set("v"))
+    // one shared feed: the two monitors hold the SAME stream plan
+    assert(scan.cvm("v")._2 eq scan.energy("v")._2)
+    val q = scan.cvm("v")._2.writeStream.format("memory").queryName("cvm_feed")
+      .outputMode("complete").start()
+    stream.addData((1 to 20).map(i => (mkts(0, i), i.toLong + 50L)))
+    q.processAllAvailable()
+    val sample = spark.table("cvm_feed").select(col("sample"))
+      .as[Seq[Double]].collect()(0)
+    q.stop()
+    val ref = scan.cvm("v")._1
+    // +50 shift: disjoint populations — near-max CvM, energy ≈ 2·50 − spreads
+    val (_, tShift) = Drift.cvmOfSamples(ref, sample)
+    val (eShift, _) = Drift.energyOfSamples(ref, sample)
+    assert(tShift > 0.3 && eShift > 80.0)
+    // parity with the distributed statistics on the window's multiset
+    val dd = Drift.cramerVonMises(ref.toDF("v"), sample.toDF("v"), "v").collect()(0)
+    assert(tShift == dd.getDouble(3))
+    val ee = Drift.energyDistance(ref.toDF("v"), sample.toDF("v"), "v").collect()(0)
+    assert(eShift == ee.getDouble(5))
+  }
+
   test("windowed rate monitor: per-window counts, prop-test twin parity, null exclusion") {
     import spark.implicits._
     import graft.scan.Drift
