@@ -1219,6 +1219,92 @@ object Components {
           (col("triangles") * 2L).cast(DoubleType) /
             (col("degree") * (col("degree") - 1L)).cast(DoubleType)).as("cc"))
 
+  /** SCAN structural graph clustering (Xu et al. KDD 2007) — the
+    * DENSITY-based community detector next to [[labelPropagation]]'s
+    * majority voting: clusters grow only through CORE nodes (≥ mu
+    * eps-similar closed neighbors), and nodes that belong to no cluster
+    * are classified as HUBS (bridging ≥ 2 clusters — the link-farm /
+    * aggregator shape) or OUTLIERS (noise) instead of being force-labeled.
+    * Exactly the triage a curation pipeline wants over co-occurrence or
+    * interaction graphs: keep clusters, inspect hubs, drop outliers.
+    *
+    * Structural similarity over each ADJACENT pair (closed
+    * neighborhoods): σ(u,v) = (cn + 2)/√((dᵤ+1)(dᵥ+1)) — ONE fixed
+    * double tree over exact integers, so the eps threshold replays in any
+    * engine. Clusters = connected components over core–core eps-edges
+    * (min-id labels via [[connectedComponents]]); border nodes attach to
+    * the MINIMUM cluster id among their eps-adjacent cores
+    * (deterministic).
+    *
+    * Shape: degree frame + one wedge join restricted to adjacent pairs
+    * (Σdeg² bounded by the triangle machinery's contract), the components
+    * rounds, and skinny label joins. Returns every node:
+    * (node, role ∈ core/border/hub/outlier, cluster — null for
+    * hub/outlier).
+    */
+  def scanClusters(edges: DataFrame, srcCol: String, dstCol: String,
+                   eps: Double, mu: Int): DataFrame = {
+    require(eps > 0.0 && eps <= 1.0, "eps must be in (0, 1]")
+    require(mu >= 2, "mu must be >= 2")
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // serves adjacency, the pair filter and epsE
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    // common-neighbor counts for ADJACENT pairs only (wedges closed
+    // against the canonical edge set — the triangleCounts shape)
+    val cnP = adj.as("l").join(adj.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"))
+      .join(canon, Seq("a", "b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val sims = canon.join(cnP, Seq("a", "b"), "left")
+      .withColumn("cn", coalesce(col("cn"), lit(0L)))
+      .join(deg.select(col("z").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("z").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("sim", (col("cn") + 2L).cast(Dbl) /
+        sqrt(((col("da") + 1L) * (col("db") + 1L)).cast(Dbl)))
+    val epsE = sims.where(col("sim") >= eps).select(col("a"), col("b"))
+      .localCheckpoint(true) // serves the core count, components and attach
+    // core: |N_eps(v)| ≥ mu with v ∈ N_eps(v) (σ(v,v) = 1 ≥ eps always)
+    val cores = epsE.select(col("a").as("node"))
+      .unionAll(epsE.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("ed"))
+      .where(col("ed") + 1L >= mu.toLong).select("node")
+    val coreE = epsE
+      .join(cores.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(cores.select(col("node").as("b")), Seq("b"), "left_semi")
+    val comps = connectedComponents(cores.select(col("node").as("id")), "id",
+      coreE, "a", "b")
+    val labeledCores = comps.select(col("id").as("node"),
+      col("component").as("cluster"), lit("core").as("role"))
+    // borders: non-core, eps-adjacent to ≥ 1 core → min core cluster
+    val epsSym = epsE.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(epsE.select(col("b").as("u"), col("a").as("v")))
+    val borders = epsSym
+      .join(comps.select(col("id").as("v"), col("component")), Seq("v"))
+      .join(cores.select(col("node").as("u")), Seq("u"), "left_anti")
+      .groupBy("u").agg(min(col("component")).as("cluster"))
+      .select(col("u").as("node"), col("cluster"), lit("border").as("role"))
+    val labeled = labeledCores.unionByName(borders)
+    // the rest: hub if ADJACENT to ≥ 2 distinct clusters, else outlier
+    val unlabeled = deg.select(col("z").as("node"))
+      .join(labeled.select("node"), Seq("node"), "left_anti")
+    val nbrClusters = adj.select(col("z").as("node"), col("n").as("nbr"))
+      .join(labeled.select(col("node").as("nbr"), col("cluster")), Seq("nbr"))
+      .join(unlabeled, Seq("node"), "left_semi")
+      .groupBy("node").agg(countDistinct(col("cluster")).as("nc"))
+    val rest = unlabeled.join(nbrClusters, Seq("node"), "left")
+      .select(col("node"), lit(null).cast(comps.schema("component").dataType).as("cluster"),
+        when(coalesce(col("nc"), lit(0L)) >= 2L, "hub").otherwise("outlier").as("role"))
+    labeled.unionByName(rest)
+  }
+
   /** Link prediction over distance-2 pairs — common neighbors, Adamic–Adar
     * (Adamic & Adar 2003) and neighborhood Jaccard for every non-adjacent
     * node pair sharing ≥ 1 neighbor: the "which entities are probably the

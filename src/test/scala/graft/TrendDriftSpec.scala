@@ -446,6 +446,36 @@ class TrendDriftSpec extends SparkSpec {
     assert(out.getAs[Double]("zipf_s") > 0.5 && out.getAs[Double]("r2") > 0.95)
   }
 
+  test("scanClusters: two cliques, a bridging hub and a pendant outlier") {
+    // K4 {1..4} + K4 {5..8}; node 9 bridges 1 and 5; pendant 10 hangs off 9.
+    // At eps 0.6 / mu 3: clique members are cores (within-clique sim
+    // 4/√20 ≈ 0.894), 9 reaches no core eps-similarly (2/√20 ≈ 0.447)
+    // but touches both clusters → hub; 10's only neighbor is unlabeled → outlier
+    def k4(off: Long) = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (off + i, off + j)
+    val edges = (k4(1) ++ k4(5) ++ Seq((1L, 9L), (5L, 9L), (9L, 10L)))
+      .toDF("src", "dst")
+    val out = Components.scanClusters(edges, "src", "dst", eps = 0.6, mu = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[String]("role"), Option(r.getAs[Any]("cluster"))))).toMap
+    assert(out.size == 10)
+    (1L to 4L).foreach(n => assert(out(n) == (("core", Some(1L))), s"$n: ${out(n)}"))
+    (5L to 8L).foreach(n => assert(out(n) == (("core", Some(5L))), s"$n: ${out(n)}"))
+    assert(out(9L) == (("hub", None)), s"9: ${out(9L)}")
+    assert(out(10L) == (("outlier", None)), s"10: ${out(10L)}")
+  }
+
+  test("scanClusters: border nodes attach to the minimum eps-adjacent core cluster") {
+    // K4 {1..4} with a pendant 20 on node 4: sim(4,20) = 2/√10 ≈ 0.632 ≥ 0.6
+    // → 20 is eps-adjacent to core 4 but not core itself → border of cluster 1
+    def k4(off: Long) = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (off + i, off + j)
+    val edges = (k4(1) ++ Seq((4L, 20L))).toDF("src", "dst")
+    val out = Components.scanClusters(edges, "src", "dst", eps = 0.6, mu = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[String]("role"), Option(r.getAs[Any]("cluster"))))).toMap
+    assert(out(20L) == (("border", Some(1L))), s"20: ${out(20L)}")
+    assert(out(4L)._1 == "core")
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
