@@ -313,4 +313,93 @@ object LinearProbe {
           .as("ece_term"))
       .orderBy("bucket")
   }
+
+  /** PAV isotonic calibration (pool-adjacent-violators, Ayer et al. 1955 /
+    * Zadrozny & Elkan 2002) — the MONOTONE recalibration map that turns a
+    * well-RANKING but badly-CALIBRATED scorer into probabilities:
+    * [[calibrationTable]]/[[brierScore]] DIAGNOSE miscalibration, this
+    * FIXES it without touching the ranking (isotonic regression is the
+    * nonparametric step past Platt scaling).
+    *
+    * Distributed shape (the measured-route discipline): per-distinct-score
+    * (n, positives) aggregate; when distinct scores exceed `maxBins` they
+    * pre-bin EQUI-DEPTH through the cardinality-routed cumulative
+    * ([[Binning]]); the PAV merge itself is inherently sequential and runs
+    * on the ≤ maxBins driver rows with EXACT rational pool comparisons
+    * (cross-multiplied longs — no float rates until output).
+    *
+    * @return monotone step table ordered by score: (score_lo, score_hi,
+    *         n, pos, rate) — rate strictly increasing across rows.
+    */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+                        maxBins: Int = 1024): DataFrame = {
+    require(maxBins >= 2, "maxBins must be >= 2")
+    val sFx = graft.metrics.MetricColumns.fixedPointLong(
+      col(scoreCol).cast(DoubleType), 6)
+    val base = df.select(sFx.as("__s"), col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val perScore = base.groupBy("__s").agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint(true) // serves the count and whichever route wins
+    val distinct = perScore.count()
+    val rows: Array[(Long, Long, Long, Long)] = // (sLo, sHi, n, pos)
+      if (distinct <= maxBins)
+        perScore.collect()
+          .map(r => (r.getLong(0), r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+      else {
+        val cum = Binning.cumulativeFromCounts(
+          perScore.select(col("__s").as("v"), col("n").as("c")),
+          distinct, 1L << 20)
+        val totalN = base.count()
+        cum.join(perScore.select(col("__s").as("v"), col("pos")), Seq("v"))
+          .withColumn("__bin", expr(s"((cum - 1) * ${maxBins}L) div ${totalN}L"))
+          .groupBy("__bin").agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+            sum(col("c")).cast("long").as("n"), sum(col("pos")).cast("long").as("pos"))
+          .collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(_._1)
+      }
+    // PAV: merge while the previous pool's rate is >= the current one —
+    // exact cross-multiplied comparison, so ties merge deterministically
+    // and the output rates are STRICTLY increasing
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    rows.foreach { r =>
+      pools += r
+      while (pools.length >= 2 && {
+        val p = pools(pools.length - 2); val c = pools.last
+        BigInt(p._4) * c._3 >= BigInt(c._4) * p._3
+      }) {
+        val c = pools.remove(pools.length - 1)
+        val p = pools.remove(pools.length - 1)
+        pools += ((p._1, c._2, p._3 + c._3, p._4 + c._4))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    pools.toSeq.toDF("__lo", "__hi", "n", "pos")
+      .select((col("__lo").cast(DoubleType) / lit(1e6)).as("score_lo"),
+        (col("__hi").cast(DoubleType) / lit(1e6)).as("score_hi"),
+        col("n"), col("pos"),
+        (col("pos").cast(DoubleType) / col("n").cast(DoubleType)).as("rate"))
+      .orderBy("score_lo")
+  }
+
+  /** Row-local application of an [[isotonicCalibrate]] table: adds
+    * `calibrated` = the rate of the LAST pool whose score_lo ≤ score
+    * (scores below the first pool clamp to its rate) — the step-function
+    * lookup bound as literal arrays (tables are ≤ maxBins rows), evaluated
+    * by codegen'd HOFs with zero shuffle.
+    */
+  def applyCalibration(df: DataFrame, scoreCol: String,
+                       table: DataFrame): DataFrame = {
+    val t = table.select("score_lo", "rate").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    require(t.nonEmpty, "empty calibration table")
+    val los = array(t.map(p => lit(p._1)): _*)
+    val rates = array(t.map(p => lit(p._2)): _*)
+    val s = col(scoreCol).cast(DoubleType)
+    df.withColumn("calibrated",
+      element_at(rates, greatest(lit(1), size(filter(los, x => x <= s)))))
+  }
 }

@@ -483,6 +483,52 @@ object Outliers {
       .drop("__q1", "__q3")
   }
 
+  /** Classical seasonal profile per key (decomposition-lite): the
+    * MEASURED seasonal indices [[holtWinters]] estimates adaptively and
+    * [[graft.ops.Correlation.acf]] only detects — per (key, phase = tick
+    * mod period), the mean DETRENDED value, where the trend is the
+    * centered ±⌊period/2⌋ moving average (the classical MA detrend;
+    * window width period+1 for even periods). Ticks without a FULL
+    * centered window are excluded (series edges, gaps — feed
+    * [[graft.ops.Windows.gapFill]] output for dense grids); tick unique
+    * per key (the acf contract).
+    *
+    * Exactness: the trend ratio and detrended value are one fixed double
+    * tree per row; detrended values quantize to scale-`fxScale`
+    * fixed-point longs so the per-phase sums are EXACT and order-free;
+    * the per-phase mean is one final double tree. One key-partitioned
+    * RANGE window + one (key, phase) rollup.
+    *
+    * @return (keys…, phase, n, seasonal_fx, seasonal) ordered by caller.
+    */
+  def seasonalProfile(df: DataFrame, keyCols: Seq[String], tickCol: String,
+                      valueCol: String, period: Int, fxScale: Int = 6): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val h = period / 2
+    val gc = keyCols.map(col)
+    val s = df.select(gc ++ Seq(
+        col(tickCol).cast(org.apache.spark.sql.types.LongType).as("__t"),
+        col(valueCol).cast(org.apache.spark.sql.types.LongType).as("__v")): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val w = Window.partitionBy(gc: _*).orderBy(col("__t"))
+      .rangeBetween(-h, h)
+    val det = col("__v").cast(Dbl) -
+      col("__sw").cast(Dbl) / col("__cw").cast(Dbl)
+    s.withColumn("__sw", sum(col("__v")).over(w))
+      .withColumn("__cw", count(lit(1)).over(w))
+      .where(col("__cw") === (2L * h + 1L))
+      .withColumn("__fx", graft.metrics.MetricColumns.fixedPointLong(det, fxScale))
+      .groupBy(gc :+ pmod(col("__t"), lit(period.toLong)).as("phase"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__fx").cast(D)).as("__sfx"))
+      .select(gc ++ Seq(col("phase"), col("n"),
+        col("__sfx").cast(org.apache.spark.sql.types.LongType).as("seasonal_fx"),
+        (col("__sfx").cast(Dbl) / col("n").cast(Dbl) /
+          lit(math.pow(10, fxScale))).as("seasonal")): _*)
+  }
+
   /** Changepoint LOCALIZATION per key — the "WHERE did the mean shift"
     * companion to [[cusum]]'s "did it shift" alarms: single best split of
     * each key's ordered series by the normalized CUSUM scan statistic

@@ -129,6 +129,18 @@ private[queries] object StatsQueries {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_seasonal" -> { (s, dir) =>
+      // measured day-of-week seasonal indices per event type: the classical
+      // ±3-day MA detrend + per-phase exact fixed-point means — the profile
+      // holt-winters estimates adaptively and q_acf only detects (daily
+      // ticks so the grid is dense at every SF)
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Outliers.seasonalProfile(daily, Seq("event_type"), "d", "cnt",
+        period = 7).orderBy("event_type", "phase")
+    },
+
     "q_changepoint" -> { (s, dir) =>
       // mean-shift LOCALIZATION per event type over the daily count
       // series: q_cusum says "did it shift", this says WHERE — best
@@ -1028,6 +1040,27 @@ private[queries] object StatsQueries {
         |       CAST(u4 AS DOUBLE) / 4.0 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
         |       - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0) / (6.0 * CAST(n1 + n2 AS DOUBLE)) AS t
         |FROM f""".stripMargin,
+
+    "q_seasonal" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+        |                    CAST(count(*) AS BIGINT) AS v
+        |             FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, t, v,
+        |             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY t
+        |                               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sw,
+        |             CAST(count(*) OVER (PARTITION BY event_type ORDER BY t
+        |                                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS cw
+        |      FROM ser),
+        |d AS (SELECT event_type, t % 7 AS phase,
+        |             CAST(v AS DOUBLE) - CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) AS det
+        |      FROM w WHERE cw = 7),
+        |f AS (SELECT event_type, phase, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(CASE WHEN det >= 0 THEN floor(det * 1000000.0 + 0.5)
+        |                                ELSE -floor(-det * 1000000.0 + 0.5) END AS BIGINT)) AS BIGINT) AS seasonal_fx
+        |      FROM d GROUP BY 1, 2)
+        |SELECT event_type, phase, n, seasonal_fx,
+        |       CAST(seasonal_fx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS seasonal
+        |FROM f ORDER BY event_type, phase""".stripMargin,
 
     "q_changepoint" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

@@ -476,6 +476,69 @@ class TrendDriftSpec extends SparkSpec {
     assert(out(4L)._1 == "core")
   }
 
+  test("isotonicCalibrate: classic PAV pooling, strictly increasing rates, apply clamps") {
+    import graft.ops.LinearProbe
+    // per-score rates [0,1,0,0,1,1] → pools [0.1]=0, [0.2..0.4]=1/3, [0.5..0.6]=1
+    val df = Seq((0.1, false), (0.2, true), (0.3, false), (0.4, false),
+      (0.5, true), (0.6, true)).toDF("score", "label")
+    val table = LinearProbe.isotonicCalibrate(df, "score", "label")
+    val rows = table.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("score_lo") == 0.1 && rows(0).getAs[Double]("rate") == 0.0)
+    assert(rows(1).getAs[Double]("score_lo") == 0.2 &&
+      rows(1).getAs[Double]("score_hi") == 0.4 &&
+      rows(1).getAs[Double]("rate") == 1.0 / 3.0)
+    assert(rows(2).getAs[Double]("score_lo") == 0.5 && rows(2).getAs[Double]("rate") == 1.0)
+    // rates strictly increasing by construction
+    assert(rows.map(_.getAs[Double]("rate")).sliding(2).forall(p => p(0) < p(1)))
+    // step-function application with clamping on both ends
+    val applied = LinearProbe.applyCalibration(
+        Seq(0.05, 0.35, 0.9).toDF("score"), "score", table)
+      .orderBy("score").collect().map(_.getAs[Double]("calibrated"))
+    assert(applied.toSeq == Seq(0.0, 1.0 / 3.0, 1.0))
+  }
+
+  test("isotonicCalibrate: over-cardinality scores pre-bin equi-depth, stay monotone") {
+    import graft.ops.LinearProbe
+    // 100 distinct scores, noisy-but-increasing label probability; force
+    // the binned route with maxBins = 8
+    val rows = (1 to 100).map(i => (i / 100.0, (i + (i % 7) * 13) % 100 > 50))
+    val table = LinearProbe.isotonicCalibrate(rows.toDF("score", "label"),
+      "score", "label", maxBins = 8)
+    val t = table.collect()
+    assert(t.length <= 8 && t.map(_.getAs[Long]("n")).sum == 100)
+    assert(t.map(_.getAs[Double]("rate")).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    // pools cover the score range in order
+    assert(t.map(_.getAs[Double]("score_lo")).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+  }
+
+  test("seasonalProfile: pure period-2 alternation reads ±amplitude, edges excluded") {
+    // v = 10 on even ticks, 20 on odd: the ±1 MA at an even tick averages
+    // (20+10+20)/3 = 50/3 → det = −20/3; at an odd tick 40/3 → det = +20/3
+    val df = (0 until 10).map(i => ("a", i.toLong, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("g", "t", "v")
+    val out = graft.ops.Outliers.seasonalProfile(df, Seq("g"), "t", "v", period = 2)
+      .orderBy("phase").collect()
+    assert(out.length == 2)
+    // ticks 1..8 have full windows: 4 per phase
+    assert(out.forall(_.getAs[Long]("n") == 4))
+    assert(math.abs(out(0).getAs[Double]("seasonal") + 20.0 / 3.0) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("seasonal") - 20.0 / 3.0) < 1e-6)
+    // the two indices are exact mirror images in fixed point
+    assert(out(0).getAs[Long]("seasonal_fx") == -out(1).getAs[Long]("seasonal_fx"))
+  }
+
+  test("seasonalProfile: gapped ticks lose their incomplete windows, not alignment") {
+    // remove tick 4: ticks 3 and 5 lose full ±1 windows, others unaffected
+    val df = (0 until 10).filter(_ != 4)
+      .map(i => ("a", i.toLong, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("g", "t", "v")
+    val out = graft.ops.Outliers.seasonalProfile(df, Seq("g"), "t", "v", period = 2)
+      .orderBy("phase").collect()
+    // full windows remain at ticks 1,2,6,7,8 → phase0 {2,6,8}, phase1 {1,7}
+    assert(out(0).getAs[Long]("n") == 3 && out(1).getAs[Long]("n") == 2)
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
