@@ -505,4 +505,33 @@ object Constraints {
       .groupBy(partCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(col("__bad")).cast(LongType).as("regressions"))
   }
+
+  /** Deterministic per-group MODE imputation — the categorical gap-fill
+    * next to the numeric scalers ([[graft.ops.Binning.robustScale]] fills
+    * nothing; pipelines that group/join on a column with nulls silently
+    * drop those rows): adds `<col>_filled` = the original value, or the
+    * group's most-frequent non-null value when NULL, with frequency ties
+    * broken by the MINIMUM value (the [[graft.ops.Joins.goldenRecord]]
+    * survivorship rule — engine-replayable, never arrival-order). Groups
+    * with no non-null value at all keep NULL (flagged by `imputed` =
+    * false there only when the original was null).
+    *
+    * Shape: one (group, value) rollup, a skinny max-count attach and a
+    * tie-resolving min (all AQE-broadcastable), one join back to rows.
+    */
+  def imputeMode(df: DataFrame, valueCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val gc = groupCols.map(col)
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(gc :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
+    val top = counts.groupBy(gc: _*).agg(max(col("__c")).as("__m"))
+    val modes = counts.join(top, groupCols)
+      .where(col("__c") === col("__m"))
+      .groupBy(gc: _*).agg(min(col(valueCol)).as("__mode"))
+    df.join(modes, groupCols, "left")
+      .withColumn(s"${valueCol}_filled", coalesce(col(valueCol), col("__mode")))
+      .withColumn("imputed", col(valueCol).isNull && col("__mode").isNotNull)
+      .drop("__mode")
+  }
 }

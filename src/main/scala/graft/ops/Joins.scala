@@ -202,4 +202,45 @@ object Joins {
         col("rank").as("rank_b")), Seq("slot"))
       .select("id_a", "id_b", "rank_a", "rank_b")
   }
+
+  /** Golden-record survivorship — the MERGE step after entity resolution:
+    * matched-pair edges ([[linkagePairs]] / the ER pipeline / any dedup
+    * pair source) collapse into entity clusters
+    * ([[graft.ops.Components.connectedComponents]] min-id labels), and
+    * each cluster emits ONE canonical row whose attributes survive by
+    * MOST-FREQUENT-NON-NULL with ties broken by the MINIMUM value — the
+    * standard deterministic survivorship rule, engine-replayable (no
+    * "first seen" arrival-order dependence).
+    *
+    * Shape: the components rounds + per attribute one
+    * (entity, value) rollup, a 1-row-per-entity max-count attach
+    * (AQE-broadcastable) and a tie-resolving min — attributes never
+    * shuffle together, so wide records cost one pass per SURVIVING column,
+    * each over the skinny (entity, value, count) frame.
+    *
+    * @return one row per entity: (entity = min member id, n_members,
+    *         attr…) — singletons pass through unchanged.
+    */
+  def goldenRecord(df: DataFrame, idCol: String, pairs: DataFrame,
+                   pairACol: String, pairBCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    val comps = Components.connectedComponents(
+        df.select(col(idCol).as("id")), "id", pairs, pairACol, pairBCol)
+      .select(col("id"), col("component").as("entity"))
+    val labeled = df.select(col(idCol).as("id") +: attrCols.map(col): _*)
+      .join(comps, Seq("id"))
+      .localCheckpoint(true) // one labeling serves every attribute pass
+    val members = labeled.groupBy("entity")
+      .agg(count(lit(1)).as("n_members"))
+    attrCols.foldLeft(members) { (acc, a) =>
+      val counts = labeled.where(col(a).isNotNull)
+        .groupBy(col("entity"), col(a)).agg(count(lit(1)).as("__c"))
+      val top = counts.groupBy("entity").agg(max(col("__c")).as("__m"))
+      val survived = counts.join(top, Seq("entity"))
+        .where(col("__c") === col("__m"))
+        .groupBy("entity").agg(min(col(a)).as(a))
+      acc.join(survived, Seq("entity"), "left")
+    }
+  }
 }

@@ -430,6 +430,20 @@ private[queries] object RelationalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    "q_golden" -> { (s, dir) =>
+      // golden-record survivorship over deterministic 3-chains of
+      // customers (0-based keys: (ck, ck+1) pairs when ck % 3 ∈ {0,1} →
+      // chains {3k, 3k+1, 3k+2}): one canonical row per entity,
+      // attributes by most-frequent-non-null with min-value ties — the
+      // MERGE step after entity resolution
+      val c = t(s, dir, "customer")
+        .withColumn("c_nationkey", col("c_nationkey").cast("long"))
+      val pairs = c.where(col("c_custkey") % 3 =!= 2)
+        .select(col("c_custkey").as("a"), (col("c_custkey") + 1L).as("b"))
+      Joins.goldenRecord(c, "c_custkey", pairs, "a", "b",
+        Seq("c_mktsegment", "c_nationkey")).orderBy("entity")
+    },
+
     "q_er_pipeline" -> { (s, dir) =>
       // entity-resolution composition: sorted-neighborhood candidates →
       // levenshtein≤1 verification → connected components → canonical
@@ -838,6 +852,25 @@ private[queries] object RelationalQueries {
         |FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5
         |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_golden" ->
+      """WITH m AS (SELECT c_custkey - (c_custkey % 3) AS entity,
+        |                  c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |           FROM customer),
+        |n AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY entity),
+        |s1 AS (SELECT entity, c_mktsegment AS v, count(*) AS c FROM m
+        |       WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+        |t1 AS (SELECT entity, max(c) AS mx FROM s1 GROUP BY entity),
+        |a1 AS (SELECT s1.entity, min(v) AS c_mktsegment
+        |       FROM s1 JOIN t1 ON t1.entity = s1.entity AND s1.c = t1.mx GROUP BY s1.entity),
+        |s2 AS (SELECT entity, c_nationkey AS v, count(*) AS c FROM m
+        |       WHERE c_nationkey IS NOT NULL GROUP BY 1, 2),
+        |t2 AS (SELECT entity, max(c) AS mx FROM s2 GROUP BY entity),
+        |a2 AS (SELECT s2.entity, min(v) AS c_nationkey
+        |       FROM s2 JOIN t2 ON t2.entity = s2.entity AND s2.c = t2.mx GROUP BY s2.entity)
+        |SELECT n.entity, n.n_members, a1.c_mktsegment, a2.c_nationkey
+        |FROM n LEFT JOIN a1 USING (entity) LEFT JOIN a2 USING (entity)
+        |ORDER BY entity""".stripMargin,
 
     "q_er_pipeline" ->
       """WITH RECURSIVE

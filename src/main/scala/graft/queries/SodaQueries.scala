@@ -548,6 +548,20 @@ private[queries] object SodaQueries {
         Seq("user_id"), "event_id", "value")
         .orderBy("user_id")),
 
+    "q_impute" -> { (s, dir) =>
+      // deterministic per-group MODE imputation: lang nulled on every 7th
+      // doc, refilled with the source's most-frequent language (min-value
+      // ties — the goldenRecord survivorship rule); the categorical
+      // gap-fill before grouping/joining on a null-bearing column
+      val docs = t(s, dir, "documents")
+        .withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))
+      graft.ops.Constraints.imputeMode(docs, "lang", Seq("source"))
+        .select("doc_id", "source", "lang", "lang_filled", "imputed")
+        .orderBy("doc_id")
+    },
+
     "q_type_infer" -> { (s, dir) =>
       // schema mining on stringly-typed columns: derived string renderings
       // of orders fields (identical exprs in the oracle); threshold 0.8 so
@@ -742,6 +756,20 @@ private[queries] object SodaQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_benford" -> benfordOracle,
+
+    "q_impute" ->
+      """WITH d AS (SELECT doc_id, source,
+        |                  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+        |           FROM documents),
+        |c AS (SELECT source, lang AS v, count(*) AS c FROM d
+        |      WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT source, max(c) AS m FROM c GROUP BY source),
+        |md AS (SELECT c.source, min(v) AS mode
+        |       FROM c JOIN t ON t.source = c.source AND c.c = t.m GROUP BY c.source)
+        |SELECT d.doc_id, d.source, d.lang, coalesce(d.lang, md.mode) AS lang_filled,
+        |       (d.lang IS NULL AND md.mode IS NOT NULL) AS imputed
+        |FROM d LEFT JOIN md USING (source)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_type_infer" -> typeInferOracle,
 

@@ -539,6 +539,45 @@ class TrendDriftSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n") == 3 && out(1).getAs[Long]("n") == 2)
   }
 
+  test("goldenRecord: most-frequent-non-null survivorship, min-value ties, singleton passthrough") {
+    import graft.ops.Joins
+    val df = Seq(
+      (1L, Some("b"), Some(5L)), (2L, Option.empty[String], Some(5L)),
+      (3L, Some("a"), Some(7L)), (4L, Some("z"), Option.empty[Long]))
+      .toDF("id", "name", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Joins.goldenRecord(df, "id", pairs, "a", "b", Seq("name", "score"))
+      .orderBy("entity").collect()
+    assert(out.length == 2)
+    val e1 = out(0)
+    assert(e1.getAs[Long]("entity") == 1L && e1.getAs[Long]("n_members") == 3L)
+    // name: frequency tie {a: 1, b: 1} → min "a"; score: mode 5 (2 votes)
+    assert(e1.getAs[String]("name") == "a" && e1.getAs[Long]("score") == 5L)
+    val e4 = out(1)
+    assert(e4.getAs[Long]("entity") == 4L && e4.getAs[Long]("n_members") == 1L)
+    assert(e4.getAs[String]("name") == "z" && e4.isNullAt(e4.fieldIndex("score")))
+  }
+
+  test("imputeMode: per-group mode fill, min-value ties, all-null group stays null") {
+    import graft.ops.Constraints
+    val df = Seq(
+      ("g1", Some("en")), ("g1", Some("en")), ("g1", Some("de")), ("g1", None),
+      ("g2", Some("fr")), ("g2", Some("nl")), ("g2", None), // tie → "fr"
+      ("g3", None)) // no non-null value: stays null, not imputed
+      .toDF("src", "lang")
+    val out = Constraints.imputeMode(df, "lang", Seq("src"))
+      .orderBy("src", "lang").collect()
+    val g1 = out.filter(_.getString(0) == "g1")
+    assert(g1.filter(_.isNullAt(1)).head.getAs[String]("lang_filled") == "en")
+    val g2null = out.filter(r => r.getString(0) == "g2" && r.isNullAt(1)).head
+    assert(g2null.getAs[String]("lang_filled") == "fr" && g2null.getAs[Boolean]("imputed"))
+    val g3 = out.filter(_.getString(0) == "g3").head
+    assert(g3.isNullAt(g3.fieldIndex("lang_filled")) && !g3.getAs[Boolean]("imputed"))
+    // non-null rows pass through untouched and unflagged
+    assert(out.filter(!_.isNullAt(1)).forall(r =>
+      r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
