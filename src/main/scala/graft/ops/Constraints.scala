@@ -534,4 +534,35 @@ object Constraints {
       .withColumn("imputed", col(valueCol).isNull && col("__mode").isNotNull)
       .drop("__mode")
   }
+
+  /** Per-group LOWER-MEDIAN imputation — [[imputeMode]]'s numeric twin:
+    * nulls fill with the group's lower median (the value at 1-based rank
+    * ⌈n/2⌉ over the non-null values — always an OBSERVED value, no
+    * interpolated artifacts, deterministic in any engine). Same output
+    * contract: `<col>_filled` + the `imputed` flag; all-null groups stay
+    * NULL.
+    *
+    * Shape: one (group, value) rollup + a group-bounded running window
+    * over the DISTINCT-VALUE frame (the ksStatisticByGroup discipline) +
+    * one skinny join back.
+    */
+  def imputeMedian(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val cells = df.where(col(valueCol).isNotNull)
+      .groupBy(gc :+ col(valueCol).as("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wRun = Window.partitionBy(gc: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(gc: _*)
+    val meds = cells
+      .withColumn("__k", sum(col("__c")).over(wRun))
+      .withColumn("__ng", sum(col("__c")).over(wAll))
+      .groupBy(gc: _*)
+      .agg(min(when(col("__k") >= expr("(__ng + 1) div 2"), col("__v"))).as("__med"))
+    df.join(meds, groupCols, "left")
+      .withColumn(s"${valueCol}_filled", coalesce(col(valueCol), col("__med")))
+      .withColumn("imputed", col(valueCol).isNull && col("__med").isNotNull)
+      .drop("__med")
+  }
 }

@@ -163,6 +163,59 @@ object Events {
     * @return (entity, recency_days, frequency, monetary_fx, r_score,
     *         f_score, m_score, rfm) — monetary in fixed-point units.
     */
+  /** Kaplan–Meier survival curve (product-limit estimator, Kaplan & Meier
+    * 1958) — the CENSORING-AWARE lifetime summary the naive "average
+    * lifetime" gets wrong: subjects still alive at observation end
+    * (censored) leave the risk set without counting as deaths, so
+    * retention/churn/TTL curves stay unbiased. S(t) = Π_{u ≤ t}
+    * (1 − d_u/n_u) over distinct event times.
+    *
+    * Exactness: the cumulative PRODUCT is carried as a cumulative SUM of
+    * pico fixed-point ln(1 − d/n) terms (each term ONE fixed double tree
+    * from exact longs, truncated order-free — the jsDivergence
+    * discipline), survival = exp of the exact sum (`exp` parity is
+    * engine-proven by the categoryEntropy gate). A time where the whole
+    * risk set dies (d = n) zeroes survival exactly from there on (null
+    * ln_s_fx). Distinct event times are calendar-bounded (the mannKendall
+    * contract), so the ordered window runs over the bounded distinct-time
+    * rollup, never raw rows.
+    *
+    * @param observedCol true = event observed, false = censored.
+    * @return one row per distinct duration: (t, n_risk, events, censored,
+    *         ln_s_fx, survival) ordered by t.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  observedCol: Column): DataFrame = {
+    val rows = df.select(col(durationCol).cast(LongType).as("t"),
+        observedCol.cast("boolean").as("e"))
+      .where(col("t").isNotNull && col("e").isNotNull)
+    val cells = rows.groupBy("t").agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val total = cells.agg(sum(col("d") + col("c")).cast(LongType).as("__n"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    val nRisk = col("__n") - (sum(col("d") + col("c")).over(w) - (col("d") + col("c")))
+    val dD = col("d").cast(DoubleType)
+    val nD = col("n_risk").cast(DoubleType)
+    val term = when(col("d") > 0L && col("d") < col("n_risk"),
+        graft.metrics.MetricColumns.fixedPointLong(
+          log(lit(1.0) - dD / nD), 12))
+      .otherwise(lit(0L))
+    cells.crossJoin(broadcast(total))
+      .withColumn("n_risk", nRisk)
+      .withColumn("__term", term)
+      .withColumn("__dead", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("__lnfx", sum(col("__term")).over(w))
+      .withColumn("__dd", sum(col("__dead")).over(w))
+      .select(col("t"), col("n_risk"), col("d").as("events"),
+        col("c").as("censored"),
+        when(col("__dd") >= 1L, lit(null).cast(LongType))
+          .otherwise(col("__lnfx")).as("ln_s_fx"),
+        when(col("__dd") >= 1L, lit(0.0))
+          .otherwise(exp(col("__lnfx").cast(DoubleType) / lit(1e12)))
+          .as("survival"))
+  }
+
   def rfmScores(df: DataFrame, entityCol: String, tsCol: String,
                 amountCol: String, asOfUs: Long, k: Int = 5,
                 scale: Int = 2): DataFrame = {

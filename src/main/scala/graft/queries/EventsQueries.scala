@@ -97,6 +97,20 @@ private[queries] object EventsQueries {
         windowSeconds = 86400)
         .orderBy("key", "window_start")),
 
+    "q_km" -> { (s, dir) =>
+      // censoring-aware user-lifetime survival: duration = active days
+      // (last − first event), censored when the user was still active in
+      // the corpus's final days (last event ≥ 2024-01-28); cumulative
+      // product as an exact pico fixed-point ln sum
+      val users = t(s, dir, "events").groupBy("user_id").agg(
+        expr("unix_micros(min(ts))").as("f"),
+        expr("unix_micros(max(ts))").as("l"))
+      val lifetimes = users.select(
+        expr("(l - f) div 86400000000L").as("dur"),
+        (col("l") < lit(1706400000000000L)).as("observed"))
+      Events.kaplanMeier(lifetimes, "dur", col("observed")).orderBy("t")
+    },
+
     "q_rfm" -> { (s, dir) =>
       // classic per-customer RFM segmentation over orders: exact
       // tie-honest quintiles via integer div over cumulative counts — no
@@ -151,6 +165,36 @@ private[queries] object EventsQueries {
         |       CAST(w1.sv AS DOUBLE) / CAST(w1.n_ticks AS DOUBLE) AS mean
         |FROM w1 JOIN oc USING (key, g)
         |ORDER BY key, window_start""".stripMargin,
+
+    "q_km" ->
+      """WITH u AS (SELECT user_id, epoch_us(min(CAST(ts AS TIMESTAMP))) AS f,
+        |                  epoch_us(max(CAST(ts AS TIMESTAMP))) AS l
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT (l - f) // 86400000000 AS t, l < 1706400000000000 AS e FROM u),
+        |c AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |             CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |      FROM s GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM s),
+        |k AS (SELECT t, d, c,
+        |             CAST(n.nn - (sum(d + c) OVER (ORDER BY t) - (d + c)) AS BIGINT) AS n_risk
+        |      FROM c, n),
+        |r AS (SELECT t, d, c, n_risk,
+        |             CASE WHEN d > 0 AND d < n_risk THEN
+        |               CAST(CASE WHEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) >= 0
+        |                    THEN floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000000000.0 + 0.5)
+        |                    ELSE -floor(-ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000000000.0 + 0.5)
+        |               END AS BIGINT) ELSE 0 END AS term,
+        |             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |      FROM k),
+        |f AS (SELECT t, n_risk, d, c,
+        |             CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS lnfx,
+        |             CAST(sum(dead) OVER (ORDER BY t) AS BIGINT) AS dd
+        |      FROM r)
+        |SELECT t, n_risk, d AS events, c AS censored,
+        |       CASE WHEN dd >= 1 THEN NULL ELSE lnfx END AS ln_s_fx,
+        |       CASE WHEN dd >= 1 THEN 0.0
+        |            ELSE exp(CAST(lnfx AS DOUBLE) / 1000000000000.0) END AS survival
+        |FROM f ORDER BY t""".stripMargin,
 
     "q_rfm" ->
       """WITH o AS (SELECT o_custkey AS entity, epoch_us(o_orderdate) AS us,

@@ -562,6 +562,19 @@ private[queries] object SodaQueries {
         .orderBy("doc_id")
     },
 
+    "q_impute_num" -> { (s, dir) =>
+      // numeric twin of q_impute: n_chars nulled on every 11th doc,
+      // refilled with the language's LOWER median (always an observed
+      // value — no interpolated artifacts)
+      val docs = t(s, dir, "documents")
+        .withColumn("n_chars",
+          when(col("doc_id") % 11 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")))
+      graft.ops.Constraints.imputeMedian(docs, "n_chars", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "n_chars_filled", "imputed")
+        .orderBy("doc_id")
+    },
+
     "q_type_infer" -> { (s, dir) =>
       // schema mining on stringly-typed columns: derived string renderings
       // of orders fields (identical exprs in the oracle); threshold 0.8 so
@@ -769,6 +782,22 @@ private[queries] object SodaQueries {
         |SELECT d.doc_id, d.source, d.lang, coalesce(d.lang, md.mode) AS lang_filled,
         |       (d.lang IS NULL AND md.mode IS NOT NULL) AS imputed
         |FROM d LEFT JOIN md USING (source)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_impute_num" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |           FROM documents),
+        |c AS (SELECT lang, n_chars AS v, count(*) AS c FROM d
+        |      WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |k AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS k,
+        |             sum(c) OVER (PARTITION BY lang) AS ng FROM c),
+        |md AS (SELECT lang, min(CASE WHEN k >= (ng + 1) // 2 THEN v END) AS med
+        |       FROM k GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       coalesce(d.n_chars, md.med) AS n_chars_filled,
+        |       (d.n_chars IS NULL AND md.med IS NOT NULL) AS imputed
+        |FROM d LEFT JOIN md USING (lang)
         |ORDER BY doc_id""".stripMargin,
 
     "q_type_infer" -> typeInferOracle,

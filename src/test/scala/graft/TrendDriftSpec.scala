@@ -578,6 +578,34 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("kaplanMeier: textbook curve with censoring, total-death zeroing") {
+    import graft.ops.Events
+    val subjects = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "obs")
+    val out = Events.kaplanMeier(subjects, "dur", col("obs"))
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("t")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(6L, 5L, 4L, 2L, 1L))
+    val s = out.map(_.getAs[Double]("survival"))
+    assert(math.abs(s(0) - 5.0 / 6.0) < 1e-9) // (1 − 1/6)
+    assert(s(1) == s(0)) // censor-only time: curve unchanged
+    assert(math.abs(s(2) - 5.0 / 12.0) < 1e-9) // ·(1 − 2/4)
+    assert(s(3) == s(2))
+    assert(s(4) == 0.0 && out(4).isNullAt(out(4).fieldIndex("ln_s_fx")))
+  }
+
+  test("imputeMedian: lower-median fill per group, observed values only") {
+    import graft.ops.Constraints
+    val df = Seq(("g", Some(10L)), ("g", Some(20L)), ("g", Some(30L)),
+      ("g", Some(40L)), ("g", None), ("h", None)).toDF("k", "v")
+    val out = Constraints.imputeMedian(df, "v", Seq("k")).collect()
+    // even count {10,20,30,40}: LOWER median = 20 (an observed value)
+    val gNull = out.filter(r => r.getString(0) == "g" && r.isNullAt(1)).head
+    assert(gNull.getAs[Long]("v_filled") == 20L && gNull.getAs[Boolean]("imputed"))
+    val hNull = out.filter(r => r.getString(0) == "h").head
+    assert(hNull.isNullAt(hNull.fieldIndex("v_filled")) && !hNull.getAs[Boolean]("imputed"))
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
