@@ -216,6 +216,69 @@ object Events {
           .as("survival"))
   }
 
+  /** Two-sample log-rank test (Mantel 1966) — [[kaplanMeier]]'s
+    * comparison companion: "are these two survival curves the same",
+    * censoring-aware (a t-test on lifetimes is biased the moment anything
+    * is censored). At each distinct event time, observed-vs-expected
+    * events in the ref group under the shared-hazard null, with the
+    * hypergeometric variance; χ² = (ΣO−E)²/ΣV, df = 1.
+    *
+    * Exactness: per-time O−E = d₁ − n₁d/n and V = n₁n₂d(n−d)/(n²(n−1))
+    * are ONE fixed double tree each from exact longs, truncated to pico
+    * fixed-point (order-free sums — the [[kaplanMeier]] discipline); χ²
+    * is one final tree. Distinct event times calendar-bounded, windows on
+    * the bounded rollup.
+    *
+    * @return one row: (n_ref, n_cur, events_ref, events_cur, oe_fx,
+    *         var_fx, chi2) — chi2 null when the variance sum is 0.
+    */
+  def logRank(ref: DataFrame, cur: DataFrame, durationCol: String,
+              observedCol: Column): DataFrame = {
+    def side(df: DataFrame, tag: Int) =
+      df.select(col(durationCol).cast(LongType).as("t"),
+          observedCol.cast("boolean").as("e"))
+        .where(col("t").isNotNull && col("e").isNotNull)
+        .withColumn("s", lit(tag))
+    val cells = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("t").agg(
+        sum(when(col("s") === 1 && col("e"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("s") === 1 && !col("e"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2 && col("e"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("s") === 2 && !col("e"), 1L).otherwise(0L)).as("c2"))
+    val totals = cells.agg(
+        sum(col("d1") + col("c1")).cast(LongType).as("__n1"),
+        sum(col("d2") + col("c2")).cast(LongType).as("__n2"),
+        sum(col("d1")).cast(LongType).as("__e1"),
+        sum(col("d2")).cast(LongType).as("__e2"))
+      .collect()(0)
+    val (totN1, totN2) = (totals.getLong(0), totals.getLong(1))
+    require(totN1 > 0 && totN2 > 0, s"both sides need rows (ref=$totN1, cur=$totN2)")
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    val n1 = lit(totN1) - (sum(col("d1") + col("c1")).over(w) - (col("d1") + col("c1")))
+    val n2 = lit(totN2) - (sum(col("d2") + col("c2")).over(w) - (col("d2") + col("c2")))
+    val d = col("d1") + col("d2")
+    val n1D = col("__r1").cast(DoubleType); val n2D = col("__r2").cast(DoubleType)
+    val nD = (col("__r1") + col("__r2")).cast(DoubleType)
+    val dD = d.cast(DoubleType)
+    val oe = when(d > 0L, graft.metrics.MetricColumns.fixedPointLong(
+        col("d1").cast(DoubleType) - n1D * dD / nD, 12)).otherwise(lit(0L))
+    val vv = when(d > 0L && (col("__r1") + col("__r2")) > 1L,
+        graft.metrics.MetricColumns.fixedPointLong(
+          n1D * n2D * dD * (nD - dD) / (nD * nD * (nD - lit(1.0))), 12))
+      .otherwise(lit(0L))
+    val sums = cells
+      .withColumn("__r1", n1).withColumn("__r2", n2)
+      .withColumn("__oe", oe).withColumn("__v", vv)
+      .agg(sum(col("__oe")).cast(LongType).as("oe_fx"),
+        sum(col("__v")).cast(LongType).as("var_fx"))
+    val oeD = col("oe_fx").cast(DoubleType)
+    val vD = col("var_fx").cast(DoubleType)
+    sums.select(lit(totN1).as("n_ref"), lit(totN2).as("n_cur"),
+      lit(totals.getLong(2)).as("events_ref"), lit(totals.getLong(3)).as("events_cur"),
+      col("oe_fx"), col("var_fx"),
+      when(vD > 0.0, oeD * oeD / (vD * lit(1e12))).as("chi2"))
+  }
+
   def rfmScores(df: DataFrame, entityCol: String, tsCol: String,
                 amountCol: String, asOfUs: Long, k: Int = 5,
                 scale: Int = 2): DataFrame = {

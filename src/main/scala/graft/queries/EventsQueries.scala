@@ -111,6 +111,20 @@ private[queries] object EventsQueries {
       Events.kaplanMeier(lifetimes, "dur", col("observed")).orderBy("t")
     },
 
+    "q_logrank" -> { (s, dir) =>
+      // are even- and odd-id users' lifetime curves the same? the
+      // censoring-aware curve comparison (a lifetime t-test is biased the
+      // moment anything is censored) — pico fixed-point O−E and V sums
+      val users = t(s, dir, "events").groupBy("user_id").agg(
+        expr("unix_micros(min(ts))").as("f"),
+        expr("unix_micros(max(ts))").as("l"))
+      val lifetimes = users.select(col("user_id"),
+        expr("(l - f) div 86400000000L").as("dur"),
+        (col("l") < lit(1706400000000000L)).as("observed"))
+      Events.logRank(lifetimes.where(col("user_id") % 2 === 0),
+        lifetimes.where(col("user_id") % 2 =!= 0), "dur", col("observed"))
+    },
+
     "q_rfm" -> { (s, dir) =>
       // classic per-customer RFM segmentation over orders: exact
       // tie-honest quintiles via integer div over cumulative counts — no
@@ -195,6 +209,44 @@ private[queries] object EventsQueries {
         |       CASE WHEN dd >= 1 THEN 0.0
         |            ELSE exp(CAST(lnfx AS DOUBLE) / 1000000000000.0) END AS survival
         |FROM f ORDER BY t""".stripMargin,
+
+    "q_logrank" ->
+      """WITH u AS (SELECT user_id, epoch_us(min(CAST(ts AS TIMESTAMP))) AS f,
+        |                  epoch_us(max(CAST(ts AS TIMESTAMP))) AS l
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS sd,
+        |             (l - f) // 86400000000 AS t, l < 1706400000000000 AS e FROM u),
+        |c AS (SELECT t,
+        |             CAST(sum(CASE WHEN sd = 1 AND e THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |             CAST(sum(CASE WHEN sd = 1 AND NOT e THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN sd = 2 AND e THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |             CAST(sum(CASE WHEN sd = 2 AND NOT e THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM s GROUP BY t),
+        |n AS (SELECT CAST(sum(d1 + c1) AS BIGINT) AS tn1, CAST(sum(d2 + c2) AS BIGINT) AS tn2,
+        |             CAST(sum(d1) AS BIGINT) AS te1, CAST(sum(d2) AS BIGINT) AS te2 FROM c),
+        |k AS (SELECT t, d1, d2,
+        |             CAST(n.tn1 - (sum(d1 + c1) OVER (ORDER BY t) - (d1 + c1)) AS BIGINT) AS r1,
+        |             CAST(n.tn2 - (sum(d2 + c2) OVER (ORDER BY t) - (d2 + c2)) AS BIGINT) AS r2
+        |      FROM c, n),
+        |r AS (SELECT
+        |        CASE WHEN d1 + d2 > 0 THEN
+        |          CAST(CASE WHEN CAST(d1 AS DOUBLE) - CAST(r1 AS DOUBLE) * CAST(d1 + d2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE) >= 0
+        |               THEN floor((CAST(d1 AS DOUBLE) - CAST(r1 AS DOUBLE) * CAST(d1 + d2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)) * 1000000000000.0 + 0.5)
+        |               ELSE -floor(-(CAST(d1 AS DOUBLE) - CAST(r1 AS DOUBLE) * CAST(d1 + d2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)) * 1000000000000.0 + 0.5)
+        |          END AS BIGINT) ELSE 0 END AS oe,
+        |        CASE WHEN d1 + d2 > 0 AND r1 + r2 > 1 THEN
+        |          CAST(floor((CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE) * CAST(d1 + d2 AS DOUBLE)
+        |                      * (CAST(r1 + r2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+        |                      / (CAST(r1 + r2 AS DOUBLE) * CAST(r1 + r2 AS DOUBLE) * (CAST(r1 + r2 AS DOUBLE) - 1.0)))
+        |                     * 1000000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS v
+        |      FROM k),
+        |f AS (SELECT CAST(sum(oe) AS BIGINT) AS oe_fx, CAST(sum(v) AS BIGINT) AS var_fx FROM r)
+        |SELECT n.tn1 AS n_ref, n.tn2 AS n_cur, n.te1 AS events_ref, n.te2 AS events_cur,
+        |       f.oe_fx, f.var_fx,
+        |       CASE WHEN CAST(f.var_fx AS DOUBLE) > 0.0
+        |            THEN CAST(f.oe_fx AS DOUBLE) * CAST(f.oe_fx AS DOUBLE)
+        |                 / (CAST(f.var_fx AS DOUBLE) * 1000000000000.0) END AS chi2
+        |FROM f, n""".stripMargin,
 
     "q_rfm" ->
       """WITH o AS (SELECT o_custkey AS entity, epoch_us(o_orderdate) AS us,

@@ -606,6 +606,20 @@ class TrendDriftSpec extends SparkSpec {
     assert(hNull.isNullAt(hNull.fieldIndex("v_filled")) && !hNull.getAs[Boolean]("imputed"))
   }
 
+  test("logRank: identical cohorts score exactly 0; separated curves score large") {
+    import graft.ops.Events
+    val a = (1 to 10).map(i => ((i % 5 + 1).toLong, i % 3 != 0)).toDF("dur", "obs")
+    val same = Events.logRank(a, a, "dur", col("obs")).collect()(0)
+    assert(same.getAs[Long]("oe_fx") == 0L && same.getAs[Double]("chi2") == 0.0)
+    // A all dies at t=1, B all dies at t=10: O−E = 5 at t=1, V = 10⁴/7600
+    val early = Seq.fill(10)((1L, true)).toDF("dur", "obs")
+    val late = Seq.fill(10)((10L, true)).toDF("dur", "obs")
+    val r = Events.logRank(early, late, "dur", col("obs")).collect()(0)
+    assert(r.getAs[Long]("n_ref") == 10 && r.getAs[Long]("events_ref") == 10)
+    assert(r.getAs[Long]("oe_fx") == 5000000000000L)
+    assert(math.abs(r.getAs[Double]("chi2") - 19.0) < 0.01, s"$r")
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
