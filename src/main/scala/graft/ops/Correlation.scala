@@ -135,6 +135,75 @@ object Correlation {
         pairCorr("acf").as("acf")): _*)
   }
 
+  /** Partial autocorrelation function per group (Durbin–Levinson
+    * recursion over the [[acf]] estimates) — the AR-ORDER picker [[acf]]
+    * alone can't be: an AR(1) process has geometric acf at EVERY lag but
+    * pacf cuts off after lag 1, so "how many autoregressive terms does
+    * this metric actually have" reads directly off the pacf plot (the
+    * Box–Jenkins identification step before fitting [[graft.ops
+    * .Outliers.holt]]/holtWinters-class models).
+    *
+    * Shape: the acf frame collects to the driver — it is (groups ×
+    * maxLag)-sized BY CONSTRUCTION (lags are calendar-bounded, groups are
+    * the bounded monitoring dimensions — the funnel/cohort contract,
+    * guarded by `maxRows`); the recursion is pure driver double
+    * arithmetic (deterministic — fixed operation order), re-emitted as a
+    * frame. Lags with no overlap pairs (gaps) truncate the recursion at
+    * the first missing lag.
+    *
+    * @return one row per (group, lag ≤ deepest contiguous acf lag):
+    *         (groups…, lag, pacf).
+    */
+  def pacf(df: DataFrame, groupCols: Seq[String], tCol: String,
+           vCol: String, maxLag: Int, maxRows: Int = 100000): DataFrame = {
+    val ac = acf(df, groupCols, tCol, vCol, maxLag)
+    val rows = ac.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"pacf collects the acf frame: > $maxRows rows — reduce groups or maxLag")
+    val k = groupCols.length
+    val byGroup = rows.groupBy(r => (0 until k).map(r.get).toSeq)
+    val out = byGroup.toSeq.flatMap { case (g, rs) =>
+      val r = rs.flatMap { row =>
+        val lag = row.getLong(k).toInt
+        if (row.isNullAt(k + 2)) None else Some(lag -> row.getDouble(k + 2))
+      }.toMap
+      // deepest contiguous prefix 1..m of available acf lags
+      val m = Iterator.from(1).takeWhile(l => l <= maxLag && r.contains(l))
+        .foldLeft(0)((_, l) => l)
+      if (m == 0) Seq.empty
+      else {
+        // Durbin–Levinson: phi(k,k) is the lag-k pacf; a zero prediction
+        // error (|pacf| = 1 — perfectly predicted series) truncates the
+        // recursion instead of dividing by zero
+        val phi = Array.ofDim[Double](m + 1, m + 1)
+        var err = 1.0
+        val pacfs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        var kk = 1
+        while (kk <= m && err > 0.0) {
+          val num = r(kk) - (1 until kk).map(j => phi(kk - 1)(j) * r(kk - j)).sum
+          val p = num / err
+          phi(kk)(kk) = p
+          for (j <- 1 until kk) phi(kk)(j) = phi(kk - 1)(j) - p * phi(kk - 1)(kk - j)
+          err = err * (1.0 - p * p)
+          pacfs += (kk.toLong -> p)
+          kk += 1
+        }
+        // Seq[Any] — Seq(lag, p) would numerically WIDEN the Long lag to
+        // Double and break the LongType field encoding
+        pacfs.map { case (lag, p) =>
+          org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](lag, p)) }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      ac.schema.fields.take(k) ++ Seq(
+        org.apache.spark.sql.types.StructField("lag",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("pacf",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** Cross-correlation function per group at lags −maxLag..maxLag — the
     * LEAD/LAG detector between two monitoring series ("does click volume
     * predict purchase revenue two days later; which signal moves first"),

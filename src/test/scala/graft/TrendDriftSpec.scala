@@ -620,6 +620,36 @@ class TrendDriftSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("chi2") - 19.0) < 0.01, s"$r")
   }
 
+  test("pacf: lag-1 equals acf exactly; recursion replayed; perfect fit truncates") {
+    // a wandering integer series with real structure at several lags
+    val xs = Seq(3L, 7L, 6L, 9L, 12L, 10L, 14L, 13L, 17L, 16L, 20L, 22L, 19L, 25L)
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("g", "t", "v")
+    val ac = Correlation.acf(df, Seq("g"), "t", "v", maxLag = 4)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    val out = Correlation.pacf(df, Seq("g"), "t", "v", maxLag = 4)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("pacf")).toMap
+    assert(out(1L) == ac(1L)) // Durbin–Levinson initialization
+    // replay the recursion in the test (independent arithmetic)
+    val phi = Array.ofDim[Double](5, 5)
+    var err = 1.0
+    (1 to 4).foreach { k =>
+      val num = ac(k.toLong) - (1 until k).map(j => phi(k - 1)(j) * ac((k - j).toLong)).sum
+      val p = num / err
+      phi(k)(k) = p
+      for (j <- 1 until k) phi(k)(j) = phi(k - 1)(j) - p * phi(k - 1)(k - j)
+      err *= (1.0 - p * p)
+      assert(out(k.toLong) == p, s"lag $k")
+    }
+    // perfectly alternating 0/1 with an EVEN overlap count: dx = m², so
+    // acf(1) = −dx/(√dx·√dx) = −1.0 BIT-EXACTLY → err hits 0 → truncation
+    val alt = (0 until 13).map(i => ("b", i.toLong, (i % 2).toLong))
+      .toDF("g", "t", "v")
+    val altOut = Correlation.pacf(alt, Seq("g"), "t", "v", maxLag = 4).collect()
+    assert(altOut.map(_.getAs[Long]("lag")).toSeq == Seq(1L), s"${altOut.toSeq}")
+    assert(altOut(0).getAs[Double]("pacf") == -1.0)
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
