@@ -163,6 +163,59 @@ object Events {
     * @return (entity, recency_days, frequency, monetary_fx, r_score,
     *         f_score, m_score, rfm) — monetary in fixed-point units.
     */
+  /** Association rules over baskets (support / confidence / lift — the
+    * Agrawal et al. 1993 pair-rule core): directed a→b rules from
+    * co-occurrence counts, the "customers who X also Y" scorer for
+    * recommendations, bundle design and co-curation diagnostics.
+    * [[graft.ops.Components.coOccurrence]] gives the raw pair counts;
+    * this derives the decision numbers — support = n(ab)/N,
+    * confidence = n(ab)/n(a), lift = n(ab)·N/(n(a)·n(b)).
+    *
+    * Shape: distinct (basket, item) once (hot baskets over
+    * `maxBasketItems` are EXCLUDED — the coOccurrence quadratic cap, part
+    * of the operator definition and replayed by the oracle), one pair
+    * shuffle, skinny item-count joins, ratios as one double tree each;
+    * output bounded to the top-K rules by (lift desc, antecedent,
+    * consequent).
+    */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+                  minPairCount: Long = 1L, topK: Int = 100,
+                  maxBasketItems: Int = 1000): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val ki = df.select(col(basketCol).as("k"), col(itemCol).as("i"))
+      .where(col("k").isNotNull && col("i").isNotNull)
+      .distinct()
+    val hot = ki.groupBy("k").agg(count(lit(1)).as("f"))
+      .where(col("f") > maxBasketItems).select("k")
+    val capped = ki.join(broadcast(hot), Seq("k"), "left_anti")
+      .localCheckpoint(true) // serves N, item counts and the pair join
+    val n = capped.select("k").distinct().count()
+    require(n > 0, "no baskets")
+    val items = capped.groupBy("i").agg(count(lit(1)).as("ni"))
+    val pairs = capped.select(col("k"), col("i").as("a"))
+      .join(capped.select(col("k"), col("i").as("b")), Seq("k"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      .where(col("nab") >= minPairCount)
+    val directed = pairs.select(col("a").as("antecedent"),
+        col("b").as("consequent"), col("nab"))
+      .unionAll(pairs.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("nab")))
+      .join(items.select(col("i").as("antecedent"), col("ni").as("na")),
+        Seq("antecedent"))
+      .join(items.select(col("i").as("consequent"), col("ni").as("nb")),
+        Seq("consequent"))
+    val nD = lit(n.toDouble)
+    directed.select(col("antecedent"), col("consequent"), col("nab"),
+        col("na"), col("nb"),
+        (col("nab").cast(DoubleType) / nD).as("support"),
+        (col("nab").cast(DoubleType) / col("na").cast(DoubleType)).as("confidence"),
+        (col("nab").cast(DoubleType) * nD /
+          (col("na").cast(DoubleType) * col("nb").cast(DoubleType))).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
   /** Kaplan–Meier survival curve (product-limit estimator, Kaplan & Meier
     * 1958) — the CENSORING-AWARE lifetime summary the naive "average
     * lifetime" gets wrong: subjects still alive at observation end

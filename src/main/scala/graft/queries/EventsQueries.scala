@@ -111,6 +111,15 @@ private[queries] object EventsQueries {
       Events.kaplanMeier(lifetimes, "dur", col("observed")).orderBy("t")
     },
 
+    "q_basket_rules" -> { (s, dir) =>
+      // "orders containing X also contain Y": top-100 directed pair rules
+      // by lift over order baskets (items = partkey mod 100); exact count
+      // ratios, hot-basket cap part of the definition
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+        (col("l_partkey") % 100).as("item"))
+      Events.basketRules(li, "basket", "item", minPairCount = 2L, topK = 100)
+    },
+
     "q_logrank" -> { (s, dir) =>
       // are even- and odd-id users' lifetime curves the same? the
       // censoring-aware curve comparison (a lifetime t-test is biased the
@@ -209,6 +218,27 @@ private[queries] object EventsQueries {
         |       CASE WHEN dd >= 1 THEN 0.0
         |            ELSE exp(CAST(lnfx AS DOUBLE) / 1000000000000.0) END AS survival
         |FROM f ORDER BY t""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH ki AS (SELECT DISTINCT l_orderkey AS k, l_partkey % 100 AS i FROM lineitem),
+        |hot AS (SELECT k FROM (SELECT k, count(*) AS f FROM ki GROUP BY k) WHERE f > 1000),
+        |cap AS (SELECT * FROM ki WHERE k NOT IN (SELECT k FROM hot)),
+        |n AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n FROM cap),
+        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM cap GROUP BY i),
+        |p AS (SELECT a.i AS a, b.i AS b, CAST(count(*) AS BIGINT) AS nab
+        |      FROM cap a JOIN cap b ON a.k = b.k AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT a AS antecedent, b AS consequent, nab FROM p
+        |      UNION ALL SELECT b, a, nab FROM p),
+        |j AS (SELECT d.antecedent, d.consequent, d.nab, ia.ni AS na, ib.ni AS nb
+        |      FROM d JOIN it ia ON ia.i = d.antecedent JOIN it ib ON ib.i = d.consequent)
+        |SELECT antecedent, consequent, nab, na, nb,
+        |       CAST(nab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+        |       CAST(nab AS DOUBLE) / CAST(na AS DOUBLE) AS confidence,
+        |       CAST(nab AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS lift
+        |FROM j, n
+        |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
 
     "q_logrank" ->
       """WITH u AS (SELECT user_id, epoch_us(min(CAST(ts AS TIMESTAMP))) AS f,

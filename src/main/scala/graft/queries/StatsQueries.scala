@@ -129,6 +129,20 @@ private[queries] object StatsQueries {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_cuped" -> { (s, dir) =>
+      // CUPED variance reduction: order totals adjusted by the customer's
+      // account balance (the pre-period covariate) — the same A/B test
+      // then needs (1−ρ²)× the sample; θ/x̄ from exact co-moments, the
+      // per-row adjustment one fixed tree
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val joined = o.join(c.select(col("c_custkey").as("o_custkey"),
+        col("c_acctbal")), Seq("o_custkey"))
+      graft.scan.Drift.cuped(joined, "o_totalprice", "c_acctbal")
+        .select("o_orderkey", "o_totalprice", "c_acctbal", "o_totalprice_adj")
+        .orderBy("o_orderkey")
+    },
+
     "q_seasonal" -> { (s, dir) =>
       // measured day-of-week seasonal indices per event type: the classical
       // ±3-day MA detrend + per-phase exact fixed-point means — the profile
@@ -1040,6 +1054,28 @@ private[queries] object StatsQueries {
         |       CAST(u4 AS DOUBLE) / 4.0 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
         |       - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0) / (6.0 * CAST(n1 + n2 AS DOUBLE)) AS t
         |FROM f""".stripMargin,
+
+    "q_cuped" ->
+      """WITH j AS (SELECT o_orderkey, o_totalprice, c_acctbal,
+        |                  CAST(CASE WHEN c_acctbal >= 0 THEN floor(c_acctbal * 100.0 + 0.5)
+        |                       ELSE -floor(-c_acctbal * 100.0 + 0.5) END AS BIGINT) AS x,
+        |                  CAST(CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 100.0 + 0.5)
+        |                       ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT) AS y
+        |           FROM orders JOIN customer ON c_custkey = o_custkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |      FROM j WHERE x IS NOT NULL AND y IS NOT NULL),
+        |s AS (SELECT CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |                  THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+        |      FROM m)
+        |SELECT j.o_orderkey, j.o_totalprice, j.c_acctbal,
+        |       CASE WHEN x IS NOT NULL AND y IS NOT NULL AND s.theta IS NOT NULL
+        |            THEN (CAST(y AS DOUBLE) - s.theta * (CAST(x AS DOUBLE) - s.mx)) / 100.0
+        |       END AS o_totalprice_adj
+        |FROM j, s ORDER BY o_orderkey""".stripMargin,
 
     "q_seasonal" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,

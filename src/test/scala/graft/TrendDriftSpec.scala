@@ -650,6 +650,38 @@ class TrendDriftSpec extends SparkSpec {
     assert(altOut(0).getAs[Double]("pacf") == -1.0)
   }
 
+  test("basketRules: closed-form support/confidence/lift, rarity rewarded by lift") {
+    import graft.ops.Events
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b")).toDF("basket", "item")
+    val out = Events.basketRules(rows, "basket", "item", minPairCount = 1L)
+      .collect().map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) -> r).toMap
+    // n=4, na=3, nb=3, nc=1, n(ab)=2, n(ac)=1
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Double]("support") == 2.0 / 4.0)
+    assert(ab.getAs[Double]("confidence") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("lift") == 2.0 * 4.0 / (3.0 * 3.0))
+    val ca = out(("c", "a"))
+    assert(ca.getAs[Double]("confidence") == 1.0) // every c-basket has a
+    assert(ca.getAs[Double]("lift") == 1.0 * 4.0 / (1.0 * 3.0)) // rare → high lift
+    // lift is symmetric; confidence is not
+    assert(out(("a", "c")).getAs[Double]("lift") == ca.getAs[Double]("lift"))
+    assert(out(("a", "c")).getAs[Double]("confidence") == 1.0 / 3.0)
+  }
+
+  test("cuped: perfect linear covariate collapses variance, preserves the mean") {
+    // y = 2x exactly: θ = 2, x̄ = 1 → adjusted = constant 2 (= mean y)
+    val df = Seq((1L, 0.0, 0.0), (2L, 2.0, 4.0)).toDF("id", "x", "y")
+    val out = Drift.cuped(df, "y", "x").orderBy("id").collect()
+    assert(out.map(_.getAs[Double]("y_adj")).toSeq == Seq(2.0, 2.0))
+    // a null covariate row yields null adjustment, others unaffected
+    val withNull = Seq((1L, Some(0.0), 0.0), (2L, Some(2.0), 4.0),
+      (3L, Option.empty[Double], 9.0)).toDF("id", "x", "y")
+    val o2 = Drift.cuped(withNull, "y", "x").orderBy("id").collect()
+    assert(o2(2).isNullAt(o2(2).fieldIndex("y_adj")))
+    assert(o2(0).getAs[Double]("y_adj") == 2.0 && o2(1).getAs[Double]("y_adj") == 2.0)
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
