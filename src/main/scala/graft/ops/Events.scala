@@ -163,6 +163,50 @@ object Events {
     * @return (entity, recency_days, frequency, monetary_fx, r_score,
     *         f_score, m_score, rfm) — monetary in fixed-point units.
     */
+  /** Touch attribution per conversion — the marketing-analytics member of
+    * the event family: for every conversion event, the LAST and FIRST
+    * touch (of the configured touch types, same user) inside the lookback
+    * window, plus the touch count — last-touch and first-touch
+    * attribution in one pass, deterministic under tied timestamps
+    * (total-order (ts, id) struct min/max).
+    *
+    * Shape: conversions × touches join per user bounded by the lookback
+    * window (the funnel per-user contract), one group-by per conversion;
+    * no global sort. Conversions with NO touch in the window report null
+    * attribution (direct conversions) — they stay in the output so rates
+    * sum correctly.
+    *
+    * @return one row per conversion: (user, conv_id, conv_ts,
+    *         last_touch_type, first_touch_type, n_touches).
+    */
+  def attribution(df: DataFrame, tsCol: String, userCol: String,
+                  typeCol: String, idCol: String, touchTypes: Seq[String],
+                  convType: String, lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackSec > 0, "bad parameters")
+    val base = df.select(col(userCol).as("user"), col(idCol).as("id"),
+      unix_micros(col(tsCol).cast(TimestampType)).as("us"),
+      col(typeCol).as("typ"))
+    val convs = base.where(col("typ") === convType)
+      .select(col("user"), col("id").as("conv_id"), col("us").as("conv_us"))
+    val touches = base.where(col("typ").isin(touchTypes: _*))
+      .select(col("user"), col("us").as("t_us"), col("id").as("t_id"),
+        col("typ").as("t_typ"))
+    val lookUs = lookbackSec * 1000000L
+    val joined = convs.join(touches, Seq("user"), "left")
+      .withColumn("__in", col("t_us").isNotNull &&
+        col("t_us") <= col("conv_us") && col("t_us") > col("conv_us") - lookUs)
+    joined.groupBy("user", "conv_id", "conv_us")
+      .agg(
+        max(when(col("__in"), struct(col("t_us"), col("t_id"), col("t_typ"))))
+          .getField("t_typ").as("last_touch_type"),
+        min(when(col("__in"), struct(col("t_us"), col("t_id"), col("t_typ"))))
+          .getField("t_typ").as("first_touch_type"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("n_touches"))
+      .select(col("user"), col("conv_id"),
+        timestamp_micros(col("conv_us")).as("conv_ts"),
+        col("last_touch_type"), col("first_touch_type"), col("n_touches"))
+  }
+
   /** Association rules over baskets (support / confidence / lift — the
     * Agrawal et al. 1993 pair-rule core): directed a→b rules from
     * co-occurrence counts, the "customers who X also Y" scorer for

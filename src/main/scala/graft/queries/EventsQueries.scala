@@ -111,6 +111,15 @@ private[queries] object EventsQueries {
       Events.kaplanMeier(lifetimes, "dur", col("observed")).orderBy("t")
     },
 
+    "q_attribution" -> { (s, dir) =>
+      // last/first-touch attribution: every purchase attributed to the
+      // click/view touches in its 6-hour lookback (total-order tie rule);
+      // direct conversions stay in the output with null attribution
+      Events.attribution(t(s, dir, "events"), "ts", "user_id", "event_type",
+        "event_id", Seq("click", "view"), "purchase", lookbackSec = 21600)
+        .orderBy("conv_id")
+    },
+
     "q_basket_rules" -> { (s, dir) =>
       // "orders containing X also contain Y": top-100 directed pair rules
       // by lift over order baskets (items = partkey mod 100); exact count
@@ -218,6 +227,29 @@ private[queries] object EventsQueries {
         |       CASE WHEN dd >= 1 THEN 0.0
         |            ELSE exp(CAST(lnfx AS DOUBLE) / 1000000000000.0) END AS survival
         |FROM f ORDER BY t""".stripMargin,
+
+    "q_attribution" ->
+      """WITH b AS (SELECT user_id AS u, event_id AS id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS typ
+        |           FROM events),
+        |cv AS (SELECT u, id AS conv_id, us AS conv_us FROM b WHERE typ = 'purchase'),
+        |tc AS (SELECT u, us AS t_us, id AS t_id, typ AS t_typ FROM b
+        |       WHERE typ IN ('click', 'view')),
+        |j AS (SELECT cv.conv_id, tc.t_us, tc.t_id, tc.t_typ
+        |      FROM cv JOIN tc ON tc.u = cv.u AND tc.t_us <= cv.conv_us
+        |                     AND tc.t_us > cv.conv_us - 21600000000),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY t_us DESC, t_id DESC) AS rl,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY t_us ASC, t_id ASC) AS rf,
+        |        count(*) OVER (PARTITION BY conv_id) AS nt
+        |      FROM j),
+        |lastt AS (SELECT conv_id, t_typ AS last_touch_type FROM r WHERE rl = 1),
+        |firstt AS (SELECT conv_id, t_typ AS first_touch_type, nt FROM r WHERE rf = 1)
+        |SELECT cv.u AS "user", cv.conv_id, make_timestamp(cv.conv_us) AS conv_ts,
+        |       lastt.last_touch_type, firstt.first_touch_type,
+        |       CAST(coalesce(firstt.nt, 0) AS BIGINT) AS n_touches
+        |FROM cv LEFT JOIN lastt USING (conv_id) LEFT JOIN firstt USING (conv_id)
+        |ORDER BY conv_id""".stripMargin,
 
     "q_basket_rules" ->
       """WITH ki AS (SELECT DISTINCT l_orderkey AS k, l_partkey % 100 AS i FROM lineitem),

@@ -682,6 +682,31 @@ class TrendDriftSpec extends SparkSpec {
     assert(o2(0).getAs[Double]("y_adj") == 2.0 && o2(1).getAs[Double]("y_adj") == 2.0)
   }
 
+  test("attribution: last/first touch in lookback, tied-ts tie rule, direct conversions") {
+    import graft.ops.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = Seq(
+      (1L, ts(100), 10L, "click"), (1L, ts(200), 11L, "view"),   // journey
+      (1L, ts(250), 12L, "purchase"),
+      (2L, ts(0), 20L, "click"), (2L, ts(100000), 21L, "purchase"), // touch out of window
+      (3L, ts(50), 30L, "view"), (3L, ts(50), 31L, "click"),     // tied ts → max id wins last
+      (3L, ts(60), 32L, "purchase")
+    ).toDF("user", "ts", "event_id", "event_type")
+    val out = Events.attribution(rows, "ts", "user", "event_type", "event_id",
+        Seq("click", "view"), "purchase", lookbackSec = 3600)
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    val c1 = out(12L)
+    assert(c1.getAs[String]("last_touch_type") == "view" &&
+      c1.getAs[String]("first_touch_type") == "click" &&
+      c1.getAs[Long]("n_touches") == 2L)
+    val c2 = out(21L) // only touch is 100000s earlier → direct
+    assert(c2.isNullAt(c2.fieldIndex("last_touch_type")) &&
+      c2.getAs[Long]("n_touches") == 0L)
+    val c3 = out(32L) // tied timestamps: last = higher id (click), first = lower (view)
+    assert(c3.getAs[String]("last_touch_type") == "click" &&
+      c3.getAs[String]("first_touch_type") == "view")
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
