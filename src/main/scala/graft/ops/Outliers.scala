@@ -483,6 +483,64 @@ object Outliers {
       .drop("__q1", "__q3")
   }
 
+  /** Forecast error metrics per key — MAE / RMSE / MAPE / MASE over an
+    * (actual, predicted) tick series: the ACCEPTANCE layer for the
+    * forecasting family ([[holt]]/[[holtWinters]]/seasonal-naive) — a
+    * forecaster is only better if its MASE < 1 (it beat the naive lag-1
+    * walk on the SAME series, Hyndman & Koehler 2006), which "low RMSE"
+    * alone never establishes.
+    *
+    * Exactness: actual/predicted quantize to fixed-point longs; |e| and
+    * e² sum as exact decimals; the MAPE percentage terms truncate to pico
+    * fixed-point (order-free, zero-actual ticks excluded and counted);
+    * the naive lag-1 denominator needs consecutive ticks (one key-bounded
+    * lag window). Each output metric is ONE final double tree.
+    *
+    * @return per key: (keys…, n, mae, rmse, mape, mape_n, mase) — mase
+    *         null when the naive denominator is 0.
+    */
+  def forecastErrors(df: DataFrame, keyCols: Seq[String], tickCol: String,
+                     actualCol: String, predCol: String,
+                     fxScale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val gc = keyCols.map(col)
+    val s = df.select(gc ++ Seq(
+        col(tickCol).cast(org.apache.spark.sql.types.LongType).as("__t"),
+        graft.metrics.MetricColumns.fixedPointLong(col(actualCol).cast(Dbl), fxScale).as("__a"),
+        graft.metrics.MetricColumns.fixedPointLong(col(predCol).cast(Dbl), fxScale).as("__p")): _*)
+      .where(col("__t").isNotNull && col("__a").isNotNull && col("__p").isNotNull)
+    val w = Window.partitionBy(gc: _*).orderBy(col("__t"))
+    val e = col("__a") - col("__p")
+    val naive = abs(col("__a") - lag(col("__a"), 1).over(w))
+    val pct = when(col("__a") =!= 0L,
+      graft.metrics.MetricColumns.fixedPointLong(
+        abs(e).cast(Dbl) / abs(col("__a")).cast(Dbl), 12))
+    val agg = s
+      .withColumn("__nv", naive)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(e).cast(D)).as("__sae"),
+        sum((e.cast(D) * e.cast(D))).as("__sse"),
+        sum(pct).cast(org.apache.spark.sql.types.LongType).as("__spct"),
+        count(pct).as("mape_n"),
+        sum(col("__nv").cast(D)).as("__snv"),
+        count(col("__nv")).as("__nnv"))
+    val nD = col("n").cast(Dbl)
+    val deScale = lit(math.pow(10, fxScale))
+    agg.select(gc ++ Seq(col("n"),
+      (col("__sae").cast(Dbl) / nD / deScale).as("mae"),
+      (sqrt(col("__sse").cast(Dbl) / nD) / deScale).as("rmse"),
+      when(col("mape_n") > 0L,
+        col("__spct").cast(Dbl) / col("mape_n").cast(Dbl) / lit(1e12)).as("mape"),
+      col("mape_n"),
+      when(col("__nnv") > 0L && col("__snv").cast(Dbl) > 0.0,
+        (col("__sae").cast(Dbl) / nD) /
+          (col("__snv").cast(Dbl) / col("__nnv").cast(Dbl))).as("mase")): _*)
+  }
+
   /** Classical seasonal profile per key (decomposition-lite): the
     * MEASURED seasonal indices [[holtWinters]] estimates adaptively and
     * [[graft.ops.Correlation.acf]] only detects — per (key, phase = tick

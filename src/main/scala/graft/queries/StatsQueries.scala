@@ -129,6 +129,19 @@ private[queries] object StatsQueries {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_forecast_eval" -> { (s, dir) =>
+      // forecaster acceptance: seasonal-naive lag-7 predictions of the
+      // daily count series scored with MAE/RMSE/MAPE/MASE — a forecaster
+      // is only better if MASE < 1 (it beat the naive walk)
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val wd = Window.partitionBy("event_type").orderBy("d")
+      val withPred = daily.withColumn("pred", lag(col("cnt"), 7).over(wd))
+      Outliers.forecastErrors(withPred, Seq("event_type"), "d", "cnt", "pred",
+        fxScale = 0).orderBy("event_type")
+    },
+
     "q_cuped" -> { (s, dir) =>
       // CUPED variance reduction: order totals adjusted by the customer's
       // account balance (the pre-period covariate) — the same A/B test
@@ -1054,6 +1067,34 @@ private[queries] object StatsQueries {
         |       CAST(u4 AS DOUBLE) / 4.0 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
         |       - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0) / (6.0 * CAST(n1 + n2 AS DOUBLE)) AS t
         |FROM f""".stripMargin,
+
+    "q_forecast_eval" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS v
+        |             FROM events GROUP BY 1, 2),
+        |pr AS (SELECT event_type, d, v AS a,
+        |              lag(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS p FROM ser),
+        |f AS (SELECT event_type, d, a, p FROM pr WHERE p IS NOT NULL),
+        |g AS (SELECT *, abs(a - lag(a, 1) OVER (PARTITION BY event_type ORDER BY d)) AS nv FROM f),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(abs(a - p) AS HUGEINT)) AS sae,
+        |             sum(CAST(a - p AS HUGEINT) * CAST(a - p AS HUGEINT)) AS sse,
+        |             CAST(sum(CASE WHEN a <> 0 THEN
+        |               CAST(floor(CAST(abs(a - p) AS DOUBLE) / CAST(abs(a) AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT)
+        |             END) AS BIGINT) AS spct,
+        |             CAST(count(CASE WHEN a <> 0 THEN 1 END) AS BIGINT) AS mape_n,
+        |             sum(CAST(nv AS HUGEINT)) AS snv,
+        |             CAST(count(nv) AS BIGINT) AS nnv
+        |      FROM g GROUP BY 1)
+        |SELECT event_type, n,
+        |       CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae,
+        |       sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+        |       CASE WHEN mape_n > 0 THEN CAST(spct AS DOUBLE) / CAST(mape_n AS DOUBLE) / 1000000000000.0 END AS mape,
+        |       mape_n,
+        |       CASE WHEN nnv > 0 AND CAST(snv AS DOUBLE) > 0.0
+        |            THEN (CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 / (CAST(snv AS DOUBLE) / CAST(nnv AS DOUBLE)) END AS mase
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_cuped" ->
       """WITH j AS (SELECT o_orderkey, o_totalprice, c_acctbal,

@@ -707,6 +707,23 @@ class TrendDriftSpec extends SparkSpec {
       c3.getAs[String]("first_touch_type") == "view")
   }
 
+  test("forecastErrors: closed-form MAE/RMSE/MAPE/MASE on a constant forecaster") {
+    import graft.ops.Outliers
+    // actual [10,12,8,10] vs constant 10: e = [0,2,−2,0]
+    val df = Seq(("k", 1L, 10.0, 10.0), ("k", 2L, 12.0, 10.0),
+      ("k", 3L, 8.0, 10.0), ("k", 4L, 10.0, 10.0)).toDF("g", "t", "a", "p")
+    val r = Outliers.forecastErrors(df, Seq("g"), "t", "a", "p", fxScale = 0)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("mae") == 1.0)
+    assert(r.getAs[Double]("rmse") == math.sqrt(8.0 / 4.0))
+    // MAPE = (0 + 2/12 + 2/8 + 0)/4 within pico truncation
+    assert(math.abs(r.getAs[Double]("mape") - (2.0 / 12.0 + 2.0 / 8.0) / 4.0) < 1e-9)
+    assert(r.getAs[Long]("mape_n") == 4)
+    // naive diffs [2,4,2] → denom 8/3; MASE = 1/(8/3)
+    assert(math.abs(r.getAs[Double]("mase") - 3.0 / 8.0) < 1e-12)
+  }
+
   test("readability: counts and score follow the documented approximations") {
     val df = Seq(
       (1L, "The cat sat. The dog ran!"),
