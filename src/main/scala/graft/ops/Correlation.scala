@@ -692,4 +692,46 @@ object Correlation {
     }
     m.select(inline(array(rows: _*)))
   }
+
+  /** Durbin–Watson statistic per group over an ordered integer series —
+    * the RESIDUAL-autocorrelation diagnostic ([[acf]] reports the lag
+    * correlogram; DW is the single accept/reject number forecasting
+    * pipelines gate on): DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over mean residuals,
+    * ≈2 under independence, →0 under positive lag-1 autocorrelation,
+    * →4 under alternation.
+    *
+    * Exactness: with S = Σx over n rows, n·eₜ = n·xₜ − S, so
+    * DW = n·Σ(Δx)²/(n·Σx² − S²) — numerator and denominator are exact
+    * DECIMAL(38,0) from long inputs (Δx cancels S), the ratio ONE fixed
+    * double tree. Consecutive = row-adjacent in the `tCol` order (gaps are
+    * the caller's modeling choice, as in [[acf]]). One window + one
+    * grouped aggregate, both partitioned by the group key.
+    *
+    * @return per group: (groupCols*, n, sum_d2, dw) — dw null when n < 2
+    *         or the series is constant.
+    */
+  def durbinWatson(df: DataFrame, groupCols: Seq[String], tCol: String,
+                   vCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val keys = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__t"))
+    val rows = df.select(keys :+ col(tCol).cast(LongType).as("__t") :+
+        col(vCol).cast(LongType).as("__v"): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val agg = rows
+      .withColumn("__dx", col("__v") - lag(col("__v"), 1).over(w))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(D)).as("s"),
+        sum(col("__v").cast(D) * col("__v").cast(D)).as("q"),
+        sum(when(col("__dx").isNotNull, col("__dx").cast(D) * col("__dx").cast(D))
+          .otherwise(lit(0L).cast(D))).as("sdx2"))
+    val num2 = col("n").cast(D) * col("sdx2")
+    val den2 = col("n").cast(D) * col("q") - col("s") * col("s")
+    val dw = when(col("n") >= 2L && den2 > lit(0L).cast(D),
+      num2.cast(DoubleType) / den2.cast(DoubleType))
+    agg.select(keys :+ col("n") :+ col("sdx2").cast(DoubleType).as("sum_d2") :+
+      dw.as("dw"): _*)
+  }
 }

@@ -402,4 +402,94 @@ object LinearProbe {
     df.withColumn("calibrated",
       element_at(rates, greatest(lit(1), size(filter(los, x => x <= s)))))
   }
+
+  /** Expected calibration error — the SCALAR verdict over
+    * [[calibrationTable]]'s reliability diagram (the number a model card
+    * quotes): ECE = Σ_b (n_b/N)·|acc_b − conf_b|.
+    *
+    * Exactness: per bucket |acc−conf|·n_b = |pos_b·10⁶ − Σs_fx|/10⁶ — the
+    * numerator is an EXACT integer (micro fixed-point scores, integer
+    * positives), so the bucket terms sum order-free and
+    * ECE = Σ|pos·10⁶ − ss| / (N·10⁶) is ONE final tree. Same integer
+    * bucket edges as [[calibrationTable]].
+    *
+    * @return one row: (n, buckets_used, num (exact Σ|·| as double), ece).
+    */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+                               labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val dec = DecimalType(38, 0)
+    val sFx = graft.metrics.MetricColumns.fixedPointLong(
+      col(scoreCol).cast(DoubleType), 6)
+    val base = df.select(sFx.as("__s"), col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__b", least(greatest(
+        expr(s"(__s * ${buckets}L) div 1000000L"), lit(0L)),
+        lit(buckets.toLong - 1)))
+    val perB = base.groupBy("__b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast(dec)).as("ss"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+    perB.agg(sum(col("n")).as("n"), count(lit(1)).as("buckets_used"),
+        sum(abs(col("pos").cast(dec) * lit(1000000L).cast(dec) - col("ss")))
+          .as("__num"))
+      .select(col("n"), col("buckets_used"),
+        col("__num").cast(DoubleType).as("num"),
+        (col("__num").cast(DoubleType) / col("n").cast(DoubleType) /
+          lit(1000000.0)).as("ece"))
+  }
+
+  /** Decile lift / cumulative-gains table — the targeting-eval view of a
+    * scorer ([[rocAuc]] summarizes ranking in one number; lift says "the
+    * top decile captures X× its share of positives", the number a
+    * selection/curation pipeline actually acts on).
+    *
+    * Scale shape: rows roll up per DISTINCT score (bounded for fixed-point
+    * scorers — the micro-fx score grid), a descending cumulative assigns
+    * each distinct score the bucket of its FIRST row
+    * (⌊rank_before·B/N⌋ — ties share a bucket, so bucket sizes wobble by
+    * tie mass; deterministic, no per-row tiebreak needed), then one
+    * grouped aggregate per bucket. Exact integer counts throughout; rate,
+    * lift and gain are fixed double trees.
+    *
+    * @return per bucket: (bucket, n, pos, rate, lift, cum_pos, cum_gain).
+    */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val sFx = graft.metrics.MetricColumns.fixedPointLong(
+      col(scoreCol).cast(DoubleType), 6)
+    val perScore = df.select(sFx.as("__s"), col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("c"), sum(when(col("__y"), 1L).otherwise(0L)).as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val ranked = perScore
+      .withColumn("__k", sum(col("c")).over(w) - col("c"))
+      .withColumn("__n", sum(col("c")).over(wAll))
+      .withColumn("__tp", sum(col("p")).over(wAll))
+      .withColumn("bucket", expr(s"(__k * ${buckets}L) div __n"))
+    val perBucket = ranked.groupBy("bucket", "__n", "__tp")
+      .agg(sum("c").as("n"), sum("p").as("pos"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("cum_pos", sum(col("pos")).over(wB))
+      .select(col("bucket"), col("n"), col("pos"),
+        (col("pos").cast(DoubleType) / col("n").cast(DoubleType)).as("rate"),
+        when(col("__tp") > 0L,
+          col("pos").cast(DoubleType) * col("__n").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("__tp").cast(DoubleType)))
+          .as("lift"),
+        col("cum_pos"),
+        when(col("__tp") > 0L,
+          col("cum_pos").cast(DoubleType) / col("__tp").cast(DoubleType))
+          .as("cum_gain"))
+      .orderBy("bucket")
+  }
 }

@@ -648,4 +648,40 @@ object Outliers {
             .cast(org.apache.spark.sql.types.DoubleType) / deScale)
           .as("mean_right")): _*)
   }
+
+  /** Pinball (quantile) loss per key — [[forecastErrors]] scores a POINT
+    * forecast; pinball scores a QUANTILE forecast (the metric that makes a
+    * p90 capacity forecast honest: under-prediction of the true value
+    * costs q, over-prediction costs 1−q). Loss = mean of
+    * q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺ with q = qNum/qDen.
+    *
+    * Exactness: with integer fixed-point y/ŷ and a RATIONAL q, the
+    * per-row term qNum·(y−ŷ)⁺ + (qDen−qNum)·(ŷ−y)⁺ is an exact long, the
+    * sum an exact DECIMAL(38,0), and the mean ONE fixed double tree
+    * dividing by qDen·n. One grouped aggregate, no window.
+    *
+    * @return per key: (keyCols*, n, sum_q (exact, in fx·qDen units),
+    *         pinball).
+    */
+  def pinballLoss(df: DataFrame, keyCols: Seq[String], actualCol: String,
+                  predCol: String, qNum: Int, qDen: Int,
+                  fxScale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(qNum > 0 && qNum < qDen, "need 0 < qNum/qDen < 1")
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val gc = keyCols.map(col)
+    val s = df.select(gc ++ Seq(
+        graft.metrics.MetricColumns.fixedPointLong(col(actualCol).cast(Dbl), fxScale).as("__a"),
+        graft.metrics.MetricColumns.fixedPointLong(col(predCol).cast(Dbl), fxScale).as("__p")): _*)
+      .where(col("__a").isNotNull && col("__p").isNotNull)
+    val under = greatest(col("__a") - col("__p"), lit(0L))
+    val over = greatest(col("__p") - col("__a"), lit(0L))
+    val term = lit(qNum.toLong) * under + lit((qDen - qNum).toLong) * over
+    s.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum(term.cast(D)).as("__sq"))
+      .select(gc ++ Seq(col("n"), col("__sq").cast(Dbl).as("sum_q"),
+        (col("__sq").cast(Dbl) / lit(qDen.toDouble) / col("n").cast(Dbl) /
+          lit(math.pow(10, fxScale))).as("pinball")): _*)
+  }
 }

@@ -129,6 +129,93 @@ private[queries] object StatsQueries {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_ad" -> { (s, dir) =>
+      // tail-weighted drift on the q_cvm populations: AD weights the CDF
+      // gap by 1/(F(1-F)) so tail contamination scores where CvM's
+      // uniform weight dilutes it; tie-adjusted midrank version, exact
+      // integer cumulatives, milli-fx order-free term sum
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.andersonDarling(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_dw" -> { (s, dir) =>
+      // lag-1 residual autocorrelation verdict per event type on the
+      // daily count series: the single number (≈2 = independent) that
+      // gates "can I trust this forecaster's residuals"; exact decimal
+      // co-moments, one fixed ratio tree
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Correlation.durbinWatson(daily, Seq("event_type"), "d", "cnt")
+        .orderBy("event_type")
+    },
+
+    "q_runs" -> { (s, dir) =>
+      // sign-sequence randomness per event type: are above/below-median
+      // days clustered into regimes (or over-alternating) — the question
+      // q_mann_kendall's monotone trend misses; doubled exact median,
+      // exact flip counts, one z tree
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      graft.scan.Drift.runsTest(daily, Seq("event_type"), "d", "cnt")
+        .orderBy("event_type")
+    },
+
+    "q_mood" -> { (s, dir) =>
+      // k-sample counting drift: do per-flag prices split evenly around
+      // the POOLED median — coarser than q_kruskal's ranks but immune to
+      // tails entirely; exact doubled median + exact cells, nano-fx χ²
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.moodMedian(li, "cents", "l_returnflag")
+    },
+
+    "q_pinball" -> { (s, dir) =>
+      // p90 quantile-forecast acceptance: the lag-7 naive scored as a
+      // QUANTILE forecast (under-prediction costs 0.9, over costs 0.1) —
+      // the metric q_forecast_eval's point scores can't express; exact
+      // integer loss terms, one mean tree
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val wd = Window.partitionBy("event_type").orderBy("d")
+      val withPred = daily.withColumn("pred", lag(col("cnt"), 7).over(wd))
+      Outliers.pinballLoss(withPred, Seq("event_type"), "cnt", "pred",
+        qNum = 9, qDen = 10, fxScale = 0).orderBy("event_type")
+    },
+
+    "q_ece" -> { (s, dir) =>
+      // the model-card scalar over q_calibration's reliability table:
+      // ECE = Σ (n_b/N)·|acc−conf| with an EXACT integer numerator
+      // (micro-fx scores × integer positives) — order-free by construction
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.expectedCalibrationError(scored, "score", "label", 10)
+    },
+
+    "q_lift" -> { (s, dir) =>
+      // decile lift/cumulative-gains of the calibrated scorer: "the top
+      // decile captures X× its share of positives" — the targeting view
+      // of the same ranking q_roc_auc summarizes; distinct-score rollup,
+      // ties share the first row's bucket
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.liftTable(scored, "score", "label", 10)
+    },
+
     "q_forecast_eval" -> { (s, dir) =>
       // forecaster acceptance: seasonal-naive lag-7 predictions of the
       // daily count series scored with MAE/RMSE/MAPE/MASE — a forecaster
@@ -938,6 +1025,166 @@ private[queries] object StatsQueries {
         |         / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
         |       END AS chi2
         |FROM m""".stripMargin,
+
+    "q_ad" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT v, CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM u GROUP BY v),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             CAST(sum(c1 + c2) AS BIGINT) AS nn FROM c),
+        |k AS (SELECT v, c1, c2, c1 + c2 AS l,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS k, sum(c1) OVER (ORDER BY v) AS k1 FROM c),
+        |g AS (SELECT l, 2 * k - l AS b2, 2 * k1 - c1 AS m2 FROM k),
+        |tm AS (SELECT l, CAST(n.nn AS HUGEINT) * m2 - CAST(n.n1 AS HUGEINT) * b2 AS gg,
+        |              CAST(b2 AS HUGEINT) * (2 * n.nn - b2) - CAST(n.nn AS HUGEINT) * l AS den4
+        |       FROM g, n),
+        |s AS (SELECT CAST(sum(CASE WHEN den4 > 0 THEN
+        |               CAST(floor(CAST(l AS DOUBLE) * CAST(gg AS DOUBLE) * CAST(gg AS DOUBLE)
+        |                          / CAST(den4 AS DOUBLE) * 1000.0 + 0.5) AS HUGEINT)
+        |             ELSE 0 END) AS HUGEINT) AS sfx FROM tm)
+        |SELECT n.n1 AS n_ref, n.n2 AS n_cur, CAST(s.sfx AS DOUBLE) AS sum_fx,
+        |       (CAST(n.nn AS DOUBLE) - 1.0) / CAST(n.nn AS DOUBLE)
+        |       * (1.0 / CAST(n.n1 AS DOUBLE) + 1.0 / CAST(n.n2 AS DOUBLE))
+        |       * (CAST(s.sfx AS DOUBLE) / 1000.0) / CAST(n.nn AS DOUBLE) AS a2
+        |FROM s, n""".stripMargin,
+
+    "q_dw" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, cnt,
+        |             cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY d) AS dx FROM ser),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(cnt AS HUGEINT)) AS s,
+        |             sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS q,
+        |             sum(CASE WHEN dx IS NOT NULL THEN CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)
+        |                 ELSE 0 END) AS sdx2
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n, CAST(sdx2 AS DOUBLE) AS sum_d2,
+        |       CASE WHEN n >= 2 AND (n * q - s * s) > 0
+        |            THEN CAST(n * sdx2 AS DOUBLE) / CAST(n * q - s * s AS DOUBLE) END AS dw
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_runs" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |cells AS (SELECT event_type, cnt AS v, count(*) AS c FROM ser GROUP BY 1, 2),
+        |kk AS (SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v) AS k,
+        |              sum(c) OVER (PARTITION BY event_type) AS ng FROM cells),
+        |md AS (SELECT event_type, min(CASE WHEN k >= (ng + 1) // 2 THEN v END)
+        |              + min(CASE WHEN k >= ng // 2 + 1 THEN v END) AS md
+        |       FROM kk GROUP BY 1),
+        |sg AS (SELECT ser.event_type, ser.d, CASE WHEN ser.cnt * 2 > md.md THEN 1 ELSE 0 END AS sgn
+        |       FROM ser JOIN md USING (event_type) WHERE ser.cnt * 2 <> md.md),
+        |fl AS (SELECT event_type, sgn,
+        |              lag(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prev FROM sg),
+        |ag AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS n_pos,
+        |              CAST(sum(1 - sgn) AS BIGINT) AS n_neg,
+        |              CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sgn THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+        |       FROM fl GROUP BY 1),
+        |d AS (SELECT event_type, n_pos, n_neg, runs,
+        |             CAST(n_pos AS DOUBLE) AS a, CAST(n_neg AS DOUBLE) AS b FROM ag),
+        |e AS (SELECT *, a + b AS nd,
+        |             2.0 * a * b / (a + b) + 1.0 AS mu,
+        |             2.0 * a * b * (2.0 * a * b - (a + b))
+        |             / ((a + b) * (a + b) * ((a + b) - 1.0)) AS sig2 FROM d)
+        |SELECT event_type, n_pos, n_neg, runs,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
+        |            THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    "q_mood" ->
+      """WITH u AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v
+        |  FROM lineitem),
+        |c AS (SELECT v, count(*) AS c FROM u GROUP BY v),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |kk AS (SELECT v, sum(c) OVER (ORDER BY v) AS k FROM c),
+        |md AS (SELECT min(CASE WHEN k >= (t.n + 1) // 2 THEN v END)
+        |            + min(CASE WHEN k >= t.n // 2 + 1 THEN v END) AS md FROM kk, t),
+        |sd AS (SELECT u.g, CASE WHEN u.v * 2 > md.md THEN 1 ELSE 0 END AS ab
+        |       FROM u, md WHERE u.v * 2 <> md.md),
+        |pg AS (SELECT g, CAST(sum(ab) AS BIGINT) AS a, CAST(sum(1 - ab) AS BIGINT) AS b
+        |       FROM sd GROUP BY g),
+        |m AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+        |             CAST(count(*) AS BIGINT) AS groups FROM pg),
+        |tm AS (SELECT pg.a, pg.b, m.ta, m.tb, m.groups,
+        |              CAST(pg.a AS HUGEINT) * (m.ta + m.tb) - CAST(pg.a + pg.b AS HUGEINT) * m.ta AS d
+        |       FROM pg, m WHERE m.ta > 0 AND m.tb > 0)
+        |SELECT max(groups) AS groups, max(ta + tb) AS n, max(ta) AS n_above, max(tb) AS n_below,
+        |       CAST(sum(CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b AS DOUBLE)
+        |                          / CAST(ta AS DOUBLE) / CAST(tb AS DOUBLE) * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |       / 1000000000.0 AS chi2
+        |FROM tm""".stripMargin,
+
+    "q_pinball" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, cnt,
+        |             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred FROM ser),
+        |f AS (SELECT event_type, cnt AS a, pred AS pr FROM p WHERE pred IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(9 * greatest(a - pr, 0) + 1 * greatest(pr - a, 0) AS HUGEINT)) AS DOUBLE) AS sum_q,
+        |       CAST(sum(CAST(9 * greatest(a - pr, 0) + 1 * greatest(pr - a, 0) AS HUGEINT)) AS DOUBLE)
+        |       / 10.0 / CAST(count(*) AS DOUBLE) / 1.0 AS pinball
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ece" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |g AS (SELECT CAST(h1 AS DOUBLE) / 1000.0 AS score, h2 < h1 AS label FROM f),
+        |q AS (SELECT CAST(CASE WHEN score >= 0 THEN floor(score * 1000000.0 + 0.5)
+        |          ELSE -floor(-score * 1000000.0 + 0.5) END AS BIGINT) AS sfx, label FROM g),
+        |b AS (SELECT least(greatest((sfx * 10) // 1000000, 0), 9) AS bucket, sfx, label FROM q),
+        |m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(sfx AS HUGEINT)) AS HUGEINT) AS ss,
+        |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |      FROM b GROUP BY bucket)
+        |SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS buckets_used,
+        |       CAST(sum(abs(CAST(pos AS HUGEINT) * 1000000 - ss)) AS DOUBLE) AS num,
+        |       CAST(sum(abs(CAST(pos AS HUGEINT) * 1000000 - ss)) AS DOUBLE)
+        |       / CAST(sum(n) AS DOUBLE) / 1000000.0 AS ece
+        |FROM m""".stripMargin,
+
+    "q_lift" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |g AS (SELECT CAST(h1 AS DOUBLE) / 1000.0 AS score, h2 < h1 AS label FROM f),
+        |q AS (SELECT CAST(CASE WHEN score >= 0 THEN floor(score * 1000000.0 + 0.5)
+        |          ELSE -floor(-score * 1000000.0 + 0.5) END AS BIGINT) AS sfx, label FROM g),
+        |ps AS (SELECT sfx, CAST(count(*) AS BIGINT) AS c,
+        |              CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |       FROM q GROUP BY sfx),
+        |r AS (SELECT sfx, c, p,
+        |             CAST(sum(c) OVER (ORDER BY sfx DESC) - c AS BIGINT) AS k,
+        |             CAST(sum(c) OVER () AS BIGINT) AS n_all,
+        |             CAST(sum(p) OVER () AS BIGINT) AS tp FROM ps),
+        |b AS (SELECT (k * 10) // n_all AS bucket, n_all, tp, c, p FROM r),
+        |pb AS (SELECT bucket, n_all, tp, CAST(sum(c) AS BIGINT) AS n,
+        |              CAST(sum(p) AS BIGINT) AS pos
+        |       FROM b GROUP BY bucket, n_all, tp),
+        |cg AS (SELECT bucket, n_all, tp, n, pos,
+        |              CAST(sum(pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos FROM pb)
+        |SELECT bucket, n, pos,
+        |       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |       CASE WHEN tp > 0 THEN CAST(pos AS DOUBLE) * CAST(n_all AS DOUBLE)
+        |            / (CAST(n AS DOUBLE) * CAST(tp AS DOUBLE)) END AS lift,
+        |       cum_pos,
+        |       CASE WHEN tp > 0 THEN CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) END AS cum_gain
+        |FROM cg ORDER BY bucket""".stripMargin,
 
     "q_welch" ->
       """WITH u AS (

@@ -1424,4 +1424,231 @@ object Drift {
     sums.select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
       u4.cast(DoubleType).as("u4"), t.as("t"))
   }
+
+  /** EXACT two-sample Anderson–Darling (Scholz–Stephens 1987 A²akN, the
+    * tie-adjusted midrank version) — the TAIL-weighted member of the drift
+    * family: [[cramerVonMises]] integrates the squared CDF gap uniformly,
+    * AD weights it by 1/(F(1−F)) so departures in the tails (where
+    * training-data contamination hides) score disproportionately. Under
+    * the null E[A²] ≈ k−1 = 1.
+    *
+    * Exactness: over merged distinct values the doubled midrank pooled
+    * cumulative B₂ = 2k−l and doubled ref cumulative M₂ = 2k₁−c₁ are exact
+    * longs; g = N·M₂ − n₁·B₂ and den₄ = B₂(2N−B₂) − N·l are exact
+    * DECIMAL(38,0) (two-sample symmetry: g₂ = −g₁, so ONE g² serves both
+    * sides' Σ 1/nᵢ terms); each value's term l·g²/den₄ is ONE fixed double
+    * tree → milli fixed-point → order-free integer sum (milli keeps
+    * floor's long input bounded: term·10³ ≤ ~4·10¹⁴·l at sf0.1); A² is one
+    * final tree. Same two-phase prefix machinery as [[cramerVonMises]]
+    * (range partition + per-partition running sums + driver offsets — no
+    * single-partition window at scale).
+    *
+    * @return one row: (n_ref, n_cur, sum_fx, a2) — a2 is A²akN.
+    */
+  def andersonDarling(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n1 = totals.valuesIterator.map(_._1).sum
+    val n2 = totals.valuesIterator.map(_._2).sum
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val nn = n1 + n2
+    val pids = totals.keys.toSeq.sorted
+    def offsets(part: ((Long, Long)) => Long): Map[Int, Long] =
+      pids.zip(pids.scanLeft(0L)((a, p) => a + part(totals(p))).init).toMap
+    def offsetExpr(m: Map[Int, Long]) =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val l = col("c1") + col("c2")
+    val b2 = (col("k") * 2L - l).cast(D)
+    val m2 = (col("k1") * 2L - col("c1")).cast(D)
+    val g = lit(nn).cast(D) * m2 - lit(n1).cast(D) * b2
+    val den4 = b2 * (lit(2L * nn).cast(D) - b2) - lit(nn).cast(D) * l.cast(D)
+    val termD = l.cast(DoubleType) * g.cast(DoubleType) * g.cast(DoubleType) /
+      den4.cast(DoubleType)
+    val termFx = when(den4 > lit(0L).cast(D),
+      floor(termD * lit(1000.0) + lit(0.5))).otherwise(lit(0L)).cast(D)
+    val sums = parts
+      .withColumn("k", sum(l).over(w) + offsetExpr(offsets(t => t._1 + t._2)))
+      .withColumn("k1", sum(col("c1")).over(w) + offsetExpr(offsets(_._1)))
+      .agg(sum(termFx).as("sfx"))
+    val nD = lit(nn.toDouble); val n1d = lit(n1.toDouble); val n2d = lit(n2.toDouble)
+    val a2 = (nD - lit(1.0)) / nD * (lit(1.0) / n1d + lit(1.0) / n2d) *
+      (col("sfx").cast(DoubleType) / lit(1000.0)) / nD
+    sums.select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      col("sfx").cast(DoubleType).as("sum_fx"), a2.as("a2"))
+  }
+
+  /** Scalar twin of [[andersonDarling]] over bounded samples — the same
+    * distinct-value walk, milli fixed-point term tree and final tree, so
+    * it is BIT-EQUAL to the distributed statistic on equal value multisets
+    * (spec-asserted parity sweep).
+    *
+    * @return (sum_fx, a2).
+    */
+  def adOfSamples(ref: Seq[Double], cur: Seq[Double]): (Double, Double) = {
+    require(ref.nonEmpty && cur.nonEmpty, "both samples need values")
+    val n1 = ref.size.toLong; val n2 = cur.size.toLong
+    val nn = n1 + n2
+    val all = (ref.map((_, 1)) ++ cur.map((_, 2))).sortBy(_._1)
+    var i = 0
+    var k = 0L; var k1 = 0L
+    var sfx = BigInt(0)
+    while (i < all.length) {
+      var j = i
+      var c1 = 0L
+      while (j < all.length && all(j)._1 == all(i)._1) {
+        if (all(j)._2 == 1) c1 += 1
+        j += 1
+      }
+      val c = (j - i).toLong
+      k += c; k1 += c1
+      val b2 = BigInt(2 * k - c)
+      val m2 = BigInt(2 * k1 - c1)
+      val g = BigInt(nn) * m2 - BigInt(n1) * b2
+      val den4 = b2 * (BigInt(2 * nn) - b2) - BigInt(nn) * BigInt(c)
+      if (den4 > 0) {
+        val termD = c.toDouble * g.toDouble * g.toDouble / den4.toDouble
+        sfx += BigInt(math.floor(termD * 1000.0 + 0.5).toLong)
+      }
+      i = j
+    }
+    val nD = nn.toDouble
+    val a2 = (nD - 1.0) / nD * (1.0 / n1 + 1.0 / n2) * (sfx.toDouble / 1000.0) / nD
+    (sfx.toDouble, a2)
+  }
+
+  /** Mood's median test — the k-sample COUNTING member of the drift
+    * family: [[kruskalWallis]] compares full rank distributions, this asks
+    * only "do the groups split evenly around the POOLED median" — coarser
+    * but immune to tail weirdness entirely (only the side of the median
+    * matters), the right test when values are heavy-tailed or clipped.
+    * Values equal to the pooled median are dropped (standard convention).
+    *
+    * Exactness: the doubled pooled median is an exact long (the
+    * [[brownForsythe]] rollup, ungrouped); per-group above/below counts
+    * are exact; with dg = ag·N − ng·A (so the below-cell residual is −dg),
+    * χ² = Σg dg²/(ng·A·B) — per-group term dg²/ng is ONE fixed double tree
+    * → micro fixed-point → order-free sum; χ² one final tree.
+    *
+    * @return one row: (groups, n, n_above, n_below, chi2) — χ² has
+    *         groups−1 df; null when either margin is empty.
+    */
+  def moodMedian(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(LongType).as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // serves the median rollup AND the cell pass
+    val cells = rows.groupBy("v").agg(count(lit(1)).as("c"))
+      .repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = cells.groupBy("__pid").agg(sum(col("c")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = totals.valuesIterator.sum
+    require(n > 0, "need at least one non-null row")
+    val pids = totals.keys.toSeq.sorted
+    val offs = pids.zip(pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
+    val off = coalesce(element_at(typedlit(offs), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    // 1-based lower middle ⌈n/2⌉ = (n+1) div 2; upper middle n div 2 + 1
+    val med2 = cells.withColumn("k", sum(col("c")).over(w) + off)
+      .agg((min(when(col("k") >= lit((n + 1) / 2), col("v"))) +
+            min(when(col("k") >= lit(n / 2 + 1), col("v")))).as("__md"))
+    val sided = rows.crossJoin(broadcast(med2))
+      .where(col("v") * 2L =!= col("__md"))
+      .withColumn("__ab", (col("v") * 2L > col("__md")).cast(LongType))
+    val perG = sided.groupBy("g").agg(
+      sum(col("__ab")).as("a"), sum(lit(1L) - col("__ab")).as("b"))
+    val m = perG.agg(sum("a").as("ta"), sum("b").as("tb"),
+      count(lit(1)).as("groups"))
+    val nn = (col("ta") + col("tb")).cast(D)
+    val ng = (col("a") + col("b")).cast(D)
+    val d = col("a").cast(D) * nn - ng * col("ta").cast(D)
+    // per-group χ² contribution d²/(ng·A·B): ONE fixed tree, nano fx
+    val termD = d.cast(DoubleType) * d.cast(DoubleType) /
+      ng.cast(DoubleType) / col("ta").cast(DoubleType) /
+      col("tb").cast(DoubleType)
+    val agg = perG.crossJoin(broadcast(m))
+      .where(col("ta") > 0L && col("tb") > 0L)
+      .agg(max(col("groups")).as("groups"),
+        max(col("ta") + col("tb")).as("n"),
+        max(col("ta")).as("n_above"), max(col("tb")).as("n_below"),
+        sum(floor(termD * lit(1e9) + lit(0.5)).cast(D)).as("sfx"))
+    agg.select(col("groups"), col("n"), col("n_above"), col("n_below"),
+      (col("sfx").cast(DoubleType) / lit(1e9)).as("chi2"))
+  }
+
+  /** Wald–Wolfowitz runs test per group — the SEQUENCE-randomness member
+    * of the drift family: q_mann_kendall asks "is there a monotone
+    * trend", this asks "is the above/below-median sign sequence random at
+    * all" (clustered regimes AND over-alternation both reject). Values
+    * equal to the group median are dropped (the standard convention);
+    * ordering must be a total order per group (e.g. the daily tick).
+    *
+    * Exactness: the doubled group median (the [[brownForsythe]] rollup) is
+    * an exact long, signs and the flip count are exact; z is ONE fixed
+    * double tree from (n₊, n₋, R): μ = 2ab/n + 1,
+    * σ² = 2ab(2ab−n)/(n²(n−1)). Groups whose values all equal the median
+    * vanish (no informative signs). One rollup shuffle for the median +
+    * one ordered window per group.
+    *
+    * @return per group: (groupCols*, n_pos, n_neg, runs, z) — z null when
+    *         either sign is absent or σ² ≤ 0.
+    */
+  def runsTest(df: DataFrame, groupCols: Seq[String], tCol: String,
+               vCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    val rows = df.select(keys :+ col(tCol).cast(LongType).as("__t") :+
+        col(vCol).cast(LongType).as("__v"): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+      .localCheckpoint(true) // serves the median rollup AND the sign pass
+    val cells = rows.groupBy(keys :+ col("__v"): _*).agg(count(lit(1)).as("c"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("__v")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val meds = cells
+      .withColumn("k", sum(col("c")).over(wRun))
+      .withColumn("ng", sum(col("c")).over(wAll))
+      .groupBy(keys: _*).agg(
+        (min(when(col("k") >= expr("(ng + 1) div 2"), col("__v"))) +
+         min(when(col("k") >= expr("ng div 2 + 1"), col("__v")))).as("__md"))
+    val signed = rows.join(meds, groupCols)
+      .where(col("__v") * 2L =!= col("__md"))
+      .withColumn("__sgn", (col("__v") * 2L > col("__md")).cast("int"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("__t")
+    val flips = signed
+      .withColumn("__prev", lag(col("__sgn"), 1).over(wT))
+      .groupBy(keys: _*).agg(
+        sum(col("__sgn").cast(LongType)).as("n_pos"),
+        sum(lit(1L) - col("__sgn")).as("n_neg"),
+        (sum(when(col("__prev").isNotNull && col("__prev") =!= col("__sgn"),
+          1L).otherwise(0L)) + 1L).as("runs"))
+    val a = col("n_pos").cast(DoubleType); val b = col("n_neg").cast(DoubleType)
+    val nD = a + b
+    val mu = lit(2.0) * a * b / nD + lit(1.0)
+    val sig2 = lit(2.0) * a * b * (lit(2.0) * a * b - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    val z = when(col("n_pos") > 0L && col("n_neg") > 0L && sig2 > lit(0.0),
+      (col("runs").cast(DoubleType) - mu) / sqrt(sig2))
+    flips.select(keys :+ col("n_pos") :+ col("n_neg") :+ col("runs") :+
+      z.as("z"): _*)
+  }
 }

@@ -3297,6 +3297,61 @@ class CalibrationSpec extends SparkSpec {
     assert(LinearProbe.calibrationTable(wn, "score", "label", 4)
       .agg(sum("n")).collect()(0).getLong(0) == 1L)
   }
+
+  test("expectedCalibrationError: perfect scorer 0, hand gap, agrees with calibrationTable terms") {
+    val df = (Seq.fill(8)((0.25, false)) ++ Seq.fill(2)((0.25, true)) ++
+      Seq.fill(3)((0.75, true)) ++ Seq.fill(1)((0.75, false)))
+      .toDF("score", "label")
+    val r = LinearProbe.expectedCalibrationError(df, "score", "label", 4)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 14 && r.getAs[Long]("buckets_used") == 2)
+    // bucket1: |2·10⁶ − 10·250000| = 500000; bucket3: |3·10⁶ − 4·750000| = 0
+    assert(r.getAs[Double]("num") == 500000.0)
+    assert(math.abs(r.getAs[Double]("ece") - 0.05 * 10.0 / 14.0) < 1e-12)
+    // ECE equals the sum of calibrationTable's ece_terms on tie-free buckets
+    val terms = LinearProbe.calibrationTable(df, "score", "label", 4)
+      .agg(sum("ece_term")).collect()(0).getDouble(0)
+    assert(math.abs(r.getAs[Double]("ece") - terms) < 1e-12)
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("score", "label")
+    assert(LinearProbe.expectedCalibrationError(perfect, "score", "label", 4)
+      .collect()(0).getAs[Double]("ece") == 0.0)
+  }
+
+  test("liftTable: hand deciles, tie bucketing, cumulative gain reaches 1") {
+    // 20 rows, scores 0.95 down to 0.00 in steps, positives in the top half
+    val rows = Seq.tabulate(20)(i => ((19 - i) * 0.05, i < 10))
+    val got = LinearProbe.liftTable(rows.toDF("score", "label"), "score", "label", 10)
+      .collect()
+    assert(got.length == 10)
+    val top = got(0)
+    assert(top.getAs[Long]("bucket") == 0L && top.getAs[Long]("n") == 2L &&
+      top.getAs[Long]("pos") == 2L)
+    // overall rate 0.5 → top-decile lift = 1.0/0.5 = 2
+    assert(top.getAs[Double]("lift") == 2.0)
+    assert(got.last.getAs[Long]("cum_pos") == 10L &&
+      got.last.getAs[Double]("cum_gain") == 1.0)
+    // ties share the first row's bucket: one constant score = one bucket
+    val tied = Seq.fill(9)((0.5, true)).toDF("score", "label")
+    val tb = LinearProbe.liftTable(tied, "score", "label", 10).collect()
+    assert(tb.length == 1 && tb(0).getAs[Long]("bucket") == 0L &&
+      tb(0).getAs[Long]("n") == 9L)
+  }
+
+  test("pinballLoss: hand quantile-loss values, null pred rows excluded") {
+    import graft.ops.Outliers
+    // y=10: pred 8 (under by 2 → 9·2), pred 12 (over by 2 → 1·2)
+    val df = Seq(("g", 10L, Some(8L)), ("g", 10L, Some(12L)),
+      ("g", 10L, None)).toDF("g", "y", "p")
+    val r = Outliers.pinballLoss(df, Seq("g"), "y", "p", 9, 10, fxScale = 0)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 2)
+    assert(r.getAs[Double]("sum_q") == 18.0 + 2.0)
+    assert(r.getAs[Double]("pinball") == 20.0 / 10.0 / 2.0)
+    // symmetric q = 1/2 halves the absolute error mean
+    val r2 = Outliers.pinballLoss(df, Seq("g"), "y", "p", 1, 2, fxScale = 0)
+      .collect()(0)
+    assert(r2.getAs[Double]("pinball") == (2.0 + 2.0) / 2.0 / 2.0)
+  }
 }
 
 class CardSpec extends SparkSpec {

@@ -741,4 +741,97 @@ class TrendDriftSpec extends SparkSpec {
     assert(out(2).getAs[Long]("words") == 0 &&
       out(2).isNullAt(out(2).fieldIndex("flesch")))
   }
+
+  test("andersonDarling: identical samples score exactly 0, shifted samples score large") {
+    val vals = Seq.tabulate(200)(i => (i % 37).toLong)
+    val a = vals.toDF("v"); val b = vals.toDF("v")
+    val same = Drift.andersonDarling(a, b, "v").collect()(0)
+    assert(same.getAs[Long]("n_ref") == 200 && same.getAs[Long]("n_cur") == 200)
+    // equal per-value counts ⇒ g = N·M₂ − n₁·B₂ = 0 at every value
+    assert(same.getAs[Double]("a2") == 0.0, s"identical-sample A² must be 0: $same")
+    val shifted = vals.map(_ + 30L).toDF("v")
+    val far = Drift.andersonDarling(a, shifted, "v").collect()(0).getAs[Double]("a2")
+    assert(far > 50.0, s"shifted-sample A² should be large: $far")
+  }
+
+  test("andersonDarling: null-case magnitude ~1 on disjoint draws from one population") {
+    // interleaved draws from the same discrete population: E[A²] ≈ k−1 = 1
+    val pop = Seq.tabulate(600)(i => ((i * 7919) % 101).toLong)
+    val (a, b) = pop.zipWithIndex.partition(_._2 % 2 == 0)
+    val r = Drift.andersonDarling(a.map(_._1).toDF("v"), b.map(_._1).toDF("v"), "v")
+      .collect()(0).getAs[Double]("a2")
+    assert(math.abs(r) < 3.0, s"null-case A² should be O(1): $r")
+  }
+
+  test("andersonDarling: distributed statistic is bit-equal to adOfSamples across randomized sweeps") {
+    val rnd = new scala.util.Random(1337)
+    for (round <- 1 to 5) {
+      val n1 = 30 + rnd.nextInt(170); val n2 = 30 + rnd.nextInt(170)
+      val span = 1 + rnd.nextInt(40) // heavy→light tie regimes
+      val r = Seq.fill(n1)(rnd.nextInt(span).toLong - 10)
+      val c = Seq.fill(n2)((rnd.nextInt(span) + rnd.nextInt(6)).toLong - 10)
+      val dist = Drift.andersonDarling(r.toDF("v"), c.toDF("v"), "v").collect()(0)
+      val (sfx, a2) = Drift.adOfSamples(r.map(_.toDouble), c.map(_.toDouble))
+      assert(dist.getAs[Double]("sum_fx") == sfx, s"round $round sum_fx")
+      assert(dist.getAs[Double]("a2") == a2, s"round $round a2")
+    }
+  }
+
+  test("moodMedian: separated groups hit χ² = n, balanced groups 0, median ties dropped") {
+    // fully separated: every g0 below / g1 above the pooled median → χ² = n
+    val sep = (Seq(1L, 2L, 3L, 4L).map(("g0", _)) ++
+      Seq(10L, 11L, 12L, 13L).map(("g1", _))).toDF("g", "v")
+    val r1 = Drift.moodMedian(sep, "v", "g").collect()(0)
+    assert(r1.getAs[Long]("groups") == 2 && r1.getAs[Long]("n") == 8)
+    assert(r1.getAs[Long]("n_above") == 4 && r1.getAs[Long]("n_below") == 4)
+    assert(r1.getAs[Double]("chi2") == 8.0)
+    // interleaved: every group splits evenly → χ² = 0
+    val bal = Seq(("g0", 1L), ("g0", 3L), ("g1", 2L), ("g1", 4L)).toDF("g", "v")
+    assert(Drift.moodMedian(bal, "v", "g").collect()(0)
+      .getAs[Double]("chi2") == 0.0)
+    // values equal to the pooled median are dropped before the cells
+    val ties = Seq(("g0", 1L), ("g0", 2L), ("g1", 2L), ("g1", 3L)).toDF("g", "v")
+    val r3 = Drift.moodMedian(ties, "v", "g").collect()(0)
+    assert(r3.getAs[Long]("n") == 2 && r3.getAs[Double]("chi2") == 2.0)
+  }
+
+  test("durbinWatson: hand fixtures hit the closed forms") {
+    // x = [1,2,3]: e = [−1,0,1], num = 2, den = 2 → DW = 1 exactly
+    val ramp = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L)).toDF("g", "t", "v")
+    val r1 = Correlation.durbinWatson(ramp, Seq("g"), "t", "v").collect()(0)
+    assert(r1.getAs[Long]("n") == 3 && r1.getAs[Double]("dw") == 1.0)
+    // alternating [1,5,...]: num2 = 6·80, den2 = 6·78−18² → DW = 10/3 (→4 = alternation)
+    val alt = Seq.tabulate(6)(i => ("g", i.toLong, if (i % 2 == 0) 1L else 5L))
+      .toDF("g", "t", "v")
+    val r2 = Correlation.durbinWatson(alt, Seq("g"), "t", "v").collect()(0)
+    assert(r2.getAs[Double]("dw") == 480.0 / 144.0)
+    // constant series → null (zero variance)
+    val const = Seq(("g", 1L, 7L), ("g", 2L, 7L)).toDF("g", "t", "v")
+    val r3 = Correlation.durbinWatson(const, Seq("g"), "t", "v").collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("dw")))
+  }
+
+  test("runsTest: regime vs alternation fixtures, median ties dropped") {
+    // [1,1,1,5,5,5]: med₂ = 6, signs −−−+++ → R = 2, μ = 4, σ² = 1.2
+    val blocks = Seq.tabulate(6)(i => ("g", i.toLong, if (i < 3) 1L else 5L))
+      .toDF("g", "t", "v")
+    val r1 = Drift.runsTest(blocks, Seq("g"), "t", "v").collect()(0)
+    assert(r1.getAs[Long]("n_pos") == 3 && r1.getAs[Long]("n_neg") == 3)
+    assert(r1.getAs[Long]("runs") == 2)
+    assert(math.abs(r1.getAs[Double]("z") - (2.0 - 4.0) / math.sqrt(1.2)) < 1e-12)
+    // alternating: R = 6 → z positive, same magnitude
+    val alt = Seq.tabulate(6)(i => ("g", i.toLong, if (i % 2 == 0) 1L else 5L))
+      .toDF("g", "t", "v")
+    val r2 = Drift.runsTest(alt, Seq("g"), "t", "v").collect()(0)
+    assert(r2.getAs[Long]("runs") == 6)
+    assert(math.abs(r2.getAs[Double]("z") - (6.0 - 4.0) / math.sqrt(1.2)) < 1e-12)
+    // values equal to the median are dropped: [1,2,3] → med₂ = 4, signs −+ → R = 2
+    val odd = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L)).toDF("g", "t", "v")
+    val r3 = Drift.runsTest(odd, Seq("g"), "t", "v").collect()(0)
+    assert(r3.getAs[Long]("n_pos") == 1 && r3.getAs[Long]("n_neg") == 1 &&
+      r3.getAs[Long]("runs") == 2)
+    // all-equal group vanishes (no informative signs)
+    val flat = Seq(("g", 1L, 7L), ("g", 2L, 7L)).toDF("g", "t", "v")
+    assert(Drift.runsTest(flat, Seq("g"), "t", "v").count() == 0)
+  }
 }
