@@ -693,6 +693,24 @@ object Correlation {
     m.select(inline(array(rows: _*)))
   }
 
+  /** Theil's uncertainty coefficient — the ASYMMETRIC association
+    * measure over [[mutualInfo]]'s machinery: U(A|B) = I(A;B)/H(A) reads
+    * "the share of A's entropy that B explains" — directional where
+    * [[cramersV]]/nmi are symmetric (a label column can fully determine a
+    * coarse bucket while the bucket barely constrains the label; only U
+    * exposes that asymmetry). Same fx-exact entropy/MI sums, so both
+    * ratios are bit-portable.
+    *
+    * @return per pair: (pair, n, u_a_given_b, u_b_given_a) — null when
+    *         the conditioned side's entropy is 0.
+    */
+  def theilsU(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val m = mutualInfo(df, pairs)
+    m.select(col("pair"), col("n"),
+      when(col("h_a") > 0.0, col("mi") / col("h_a")).as("u_a_given_b"),
+      when(col("h_b") > 0.0, col("mi") / col("h_b")).as("u_b_given_a"))
+  }
+
   /** Durbin–Watson statistic per group over an ordered integer series —
     * the RESIDUAL-autocorrelation diagnostic ([[acf]] reports the lag
     * correlogram; DW is the single accept/reject number forecasting

@@ -313,6 +313,83 @@ object Events {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator — [[kaplanMeier]]'s
+    * additive companion: KM multiplies survival factors, NA sums hazard
+    * increments H(t) = Σ_{s≤t} d/n (the quantity hazard-ratio models are
+    * fit against, and better-behaved than −ln(KM) at small n). The
+    * Breslow survival exp(−H) rides along for comparison with KM.
+    *
+    * Exactness: the same (t → d, c, n_risk) cells as [[kaplanMeier]];
+    * each increment d/n is ONE fixed double tree truncated to pico
+    * fixed-point, so the cumulative is an exact integer prefix sum
+    * (order-free at equal cells) and H/exp(−H) are final trees. Distinct
+    * event times are calendar-bounded, windows on the bounded rollup.
+    *
+    * @return per distinct duration: (t, n_risk, events, censored, h_fx
+    *         (exact pico), h, s_breslow) ordered by t.
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  observedCol: Column): DataFrame = {
+    val rows = df.select(col(durationCol).cast(LongType).as("t"),
+        observedCol.cast("boolean").as("e"))
+      .where(col("t").isNotNull && col("e").isNotNull)
+    val cells = rows.groupBy("t").agg(
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("e"), 1L).otherwise(0L)).as("c"))
+    val total = cells.agg(sum(col("d") + col("c")).cast(LongType).as("__n"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    val nRisk = col("__n") - (sum(col("d") + col("c")).over(w) - (col("d") + col("c")))
+    val term = when(col("d") > 0L,
+        graft.metrics.MetricColumns.fixedPointLong(
+          col("d").cast(DoubleType) / col("n_risk").cast(DoubleType), 12))
+      .otherwise(lit(0L))
+    cells.crossJoin(broadcast(total))
+      .withColumn("n_risk", nRisk)
+      .withColumn("__term", term)
+      .withColumn("h_fx", sum(col("__term")).over(w))
+      .select(col("t"), col("n_risk"), col("d").as("events"),
+        col("c").as("censored"), col("h_fx"),
+        (col("h_fx").cast(DoubleType) / lit(1e12)).as("h"),
+        exp(-col("h_fx").cast(DoubleType) / lit(1e12)).as("s_breslow"))
+  }
+
+  /** DAU/MAU stickiness per key and calendar month — the engagement
+    * ratio ("what share of a month's users show up on an average day")
+    * that a raw active-user count hides. Days with zero events simply
+    * don't enter the daily average (the standard dashboard convention);
+    * stickiness = (Σ daily-distinct / active-days) / monthly-distinct.
+    *
+    * Scale shape: ONE distinct-ification of (key, month, day, user) feeds
+    * both the daily rollup and (re-projected) the monthly distinct — the
+    * user id never appears in more than one shuffle stage; counts are
+    * exact longs and the ratio is ONE fixed tree.
+    *
+    * @return per (key, month): (keyCols*, month, days_active, sum_dau,
+    *         mau, stickiness).
+    */
+  def stickiness(df: DataFrame, tsCol: String, userCol: String,
+                 keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val base = df.select(keys ++ Seq(
+        date_trunc("MONTH", col(tsCol).cast(TimestampType)).as("month"),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000L")
+          .as("__day"),
+        col(userCol).as("__u")): _*)
+      .where(col("month").isNotNull && col("__u").isNotNull)
+      .distinct()
+    val gm = keys :+ col("month")
+    val daily = base.groupBy(gm :+ col("__day"): _*)
+      .agg(count(lit(1)).as("__dau"))
+    val monthlyDays = daily.groupBy(gm: _*)
+      .agg(count(lit(1)).as("days_active"), sum(col("__dau")).as("sum_dau"))
+    val mau = base.select(gm :+ col("__u"): _*).distinct()
+      .groupBy(gm: _*).agg(count(lit(1)).as("mau"))
+    monthlyDays.join(mau, keyCols :+ "month")
+      .select(gm ++ Seq(col("days_active"), col("sum_dau"), col("mau"),
+        (col("sum_dau").cast(DoubleType) / col("days_active").cast(DoubleType) /
+          col("mau").cast(DoubleType)).as("stickiness")): _*)
+  }
+
   /** Two-sample log-rank test (Mantel 1966) — [[kaplanMeier]]'s
     * comparison companion: "are these two survival curves the same",
     * censoring-aware (a t-test on lifetimes is biased the moment anything

@@ -290,4 +290,46 @@ object Windows {
         col("sv").cast(LongType).as("sum_fx"),
         (col("sv").cast(DoubleType) / col("n_ticks").cast(DoubleType)).as("mean"))
   }
+
+  /** VWAP bars — [[ohlcBars]]'s WEIGHTED companion: the per-window
+    * volume-weighted average price Σ(p·w)/Σw, the downsample that a
+    * tick-count mean misrepresents the moment volume is uneven (one
+    * whale tick ≠ one retail tick). Same tumbling-window grain as
+    * [[ohlcBars]] so the two frames join on (key, window_start).
+    *
+    * Exactness: fixed-point prices × long weights accumulate as exact
+    * DECIMAL(38,0); the vwap is ONE fixed double tree (Σpw/Σw then
+    * descale). One (key, window) shuffle with map-side partials.
+    *
+    * @return per (key, window): (key, window_start, n_ticks, sum_pv
+    *         (exact, fx·weight units), sum_vol, vwap) — vwap null when
+    *         the window's weight sum is 0.
+    */
+  def vwapBars(df: DataFrame, keyCol: String, tsCol: String,
+               priceCol: String, volCol: String, windowSeconds: Long,
+               scale: Int = 2): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val D = DecimalType(38, 0)
+    val stepUs = windowSeconds * 1000000L
+    val rows = df.select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("us"),
+        MetricColumns.fixedPointLong(col(priceCol), scale).as("p"),
+        col(volCol).cast(LongType).as("w"))
+      .where(col("key").isNotNull && col("us").isNotNull &&
+        col("p").isNotNull && col("w").isNotNull)
+    rows
+      .select(col("key"), (col("us") - pmod(col("us"), lit(stepUs))).as("g"),
+        col("p"), col("w"))
+      .groupBy("key", "g").agg(
+        count(lit(1)).as("n_ticks"),
+        sum(col("p").cast(D) * col("w").cast(D)).as("spv"),
+        sum(col("w").cast(D)).as("sw"))
+      .select(col("key"), timestamp_micros(col("g")).as("window_start"),
+        col("n_ticks"),
+        col("spv").cast(LongType).as("sum_pv"),
+        col("sw").cast(LongType).as("sum_vol"),
+        when(col("sw") > lit(0L).cast(D),
+          col("spv").cast(DoubleType) / col("sw").cast(DoubleType) /
+            lit(math.pow(10, scale))).as("vwap"))
+  }
 }

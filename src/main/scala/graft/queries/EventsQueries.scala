@@ -111,6 +111,40 @@ private[queries] object EventsQueries {
       Events.kaplanMeier(lifetimes, "dur", col("observed")).orderBy("t")
     },
 
+    "q_na" -> { (s, dir) =>
+      // Nelson-Aalen cumulative hazard on q_km's lifetimes: the additive
+      // estimator hazard-ratio models fit against, with the Breslow
+      // survival for KM comparison; exact pico fixed-point increments
+      val users = t(s, dir, "events").groupBy("user_id").agg(
+        expr("unix_micros(min(ts))").as("f"),
+        expr("unix_micros(max(ts))").as("l"))
+      val lifetimes = users.select(
+        expr("(l - f) div 86400000000L").as("dur"),
+        (col("l") < lit(1706400000000000L)).as("observed"))
+      Events.nelsonAalen(lifetimes, "dur", col("observed")).orderBy("t")
+    },
+
+    "q_vwap" -> { (s, dir) =>
+      // volume-weighted daily price per event type (volume = the
+      // deterministic 1+id%10 tick size): the downsample q_ohlc's
+      // tick-count mean misrepresents under uneven volume; exact
+      // decimal Σpw/Σw, one (key, window) shuffle
+      val ev = t(s, dir, "events")
+        .withColumn("vol", lit(1L) + col("event_id") % 10L)
+      Windows.vwapBars(ev, "event_type", "ts", "value", "vol",
+        windowSeconds = 86400)
+        .orderBy("key", "window_start")
+    },
+
+    "q_stickiness" -> { (s, dir) =>
+      // DAU/MAU engagement per event type and month: one
+      // distinct-ification feeds both the daily rollup and the monthly
+      // distinct; exact counts, one ratio tree
+      Events.stickiness(t(s, dir, "events"), "ts", "user_id",
+        Seq("event_type"))
+        .orderBy("event_type", "month")
+    },
+
     "q_attribution" -> { (s, dir) =>
       // last/first-touch attribution: every purchase attributed to the
       // click/view touches in its 6-hour lookback (total-order tie rule);
@@ -227,6 +261,65 @@ private[queries] object EventsQueries {
         |       CASE WHEN dd >= 1 THEN 0.0
         |            ELSE exp(CAST(lnfx AS DOUBLE) / 1000000000000.0) END AS survival
         |FROM f ORDER BY t""".stripMargin,
+
+    "q_na" ->
+      """WITH u AS (SELECT user_id, epoch_us(min(CAST(ts AS TIMESTAMP))) AS f,
+        |                  epoch_us(max(CAST(ts AS TIMESTAMP))) AS l
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT (l - f) // 86400000000 AS t, l < 1706400000000000 AS e FROM u),
+        |c AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |             CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |      FROM s GROUP BY t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM s),
+        |k AS (SELECT t, d, c,
+        |             CAST(n.nn - (sum(d + c) OVER (ORDER BY t) - (d + c)) AS BIGINT) AS n_risk
+        |      FROM c, n),
+        |r AS (SELECT t, d, c, n_risk,
+        |             CASE WHEN d > 0 THEN
+        |               CAST(CASE WHEN CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) >= 0
+        |                    THEN floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1000000000000.0 + 0.5)
+        |                    ELSE -floor(-(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000000000.0 + 0.5)
+        |               END AS BIGINT) ELSE 0 END AS term
+        |      FROM k),
+        |f AS (SELECT t, n_risk, d, c,
+        |             CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS h_fx
+        |      FROM r)
+        |SELECT t, n_risk, d AS events, c AS censored, h_fx,
+        |       CAST(h_fx AS DOUBLE) / 1000000000000.0 AS h,
+        |       exp(-(CAST(h_fx AS DOUBLE)) / 1000000000000.0) AS s_breslow
+        |FROM f ORDER BY t""".stripMargin,
+
+    "q_vwap" ->
+      """WITH r AS (SELECT event_type AS key, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                       ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT) AS p,
+        |                  1 + event_id % 10 AS w
+        |           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT key, us - (us % 86400000000) AS g, p, w FROM r),
+        |a AS (SELECT key, g, CAST(count(*) AS BIGINT) AS n_ticks,
+        |             sum(CAST(p AS HUGEINT) * CAST(w AS HUGEINT)) AS spv,
+        |             sum(CAST(w AS HUGEINT)) AS sw
+        |      FROM g GROUP BY 1, 2)
+        |SELECT key, make_timestamp(g) AS window_start, n_ticks,
+        |       CAST(spv AS BIGINT) AS sum_pv, CAST(sw AS BIGINT) AS sum_vol,
+        |       CASE WHEN sw > 0 THEN CAST(spv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 END AS vwap
+        |FROM a ORDER BY key, window_start""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH b AS (SELECT DISTINCT event_type,
+        |                  CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id AS u
+        |           FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT event_type, month, day, CAST(count(*) AS BIGINT) AS dau
+        |      FROM b GROUP BY 1, 2, 3),
+        |md AS (SELECT event_type, month, CAST(count(*) AS BIGINT) AS days_active,
+        |              CAST(sum(dau) AS BIGINT) AS sum_dau FROM d GROUP BY 1, 2),
+        |mu AS (SELECT event_type, month, CAST(count(*) AS BIGINT) AS mau
+        |       FROM (SELECT DISTINCT event_type, month, u FROM b) GROUP BY 1, 2)
+        |SELECT md.event_type, md.month, days_active, sum_dau, mau,
+        |       CAST(sum_dau AS DOUBLE) / CAST(days_active AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+        |FROM md JOIN mu USING (event_type, month)
+        |ORDER BY event_type, month""".stripMargin,
 
     "q_attribution" ->
       """WITH b AS (SELECT user_id AS u, event_id AS id,

@@ -1173,4 +1173,39 @@ private[queries] object QueryShared {
        |) ORDER BY pair""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.ops.Correlation.theilsU]] — the
+    * [[mutualInfoOracle]] blocks with the asymmetric U = I/H selects. */
+  def theilsUOracle: String = {
+    val S = "1000000000.0"
+    def fx(t: String) =
+      s"CASE WHEN $t >= 0 THEN CAST(floor(($t) * $S + 0.5) AS BIGINT) ELSE -CAST(floor(-($t) * $S + 0.5) AS BIGINT) END"
+    def block(i: Int, tbl: String, a: String, b: String): String = {
+      val miT = s"(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))"
+      val hT = s"-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""c$i AS (SELECT $a AS a, $b AS b, count(*) AS o FROM $tbl
+         |  WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2),
+         |n$i AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c$i),
+         |w$i AS (SELECT o, sum(o) OVER (PARTITION BY a) AS ra, sum(o) OVER (PARTITION BY b) AS cb FROM c$i),
+         |mi$i AS (SELECT CAST(sum(${fx(miT)}) AS BIGINT) AS mi_fx FROM w$i CROSS JOIN n$i),
+         |ha$i AS (SELECT CAST(sum(${fx(hT)}) AS BIGINT) AS ha_fx
+         |  FROM (SELECT sum(o) AS r FROM c$i GROUP BY a) CROSS JOIN n$i),
+         |hb$i AS (SELECT CAST(sum(${fx(hT)}) AS BIGINT) AS hb_fx
+         |  FROM (SELECT sum(o) AS r FROM c$i GROUP BY b) CROSS JOIN n$i)""".stripMargin
+    }
+    def sel(i: Int, pair: String): String =
+      s"""SELECT '$pair' AS pair, n,
+         |  CASE WHEN CAST(ha_fx AS DOUBLE) / $S > 0.0
+         |       THEN (CAST(mi_fx AS DOUBLE) / $S) / (CAST(ha_fx AS DOUBLE) / $S) END AS u_a_given_b,
+         |  CASE WHEN CAST(hb_fx AS DOUBLE) / $S > 0.0
+         |       THEN (CAST(mi_fx AS DOUBLE) / $S) / (CAST(hb_fx AS DOUBLE) / $S) END AS u_b_given_a
+         |FROM mi$i CROSS JOIN ha$i CROSS JOIN hb$i CROSS JOIN n$i""".stripMargin
+    s"""WITH ${block(1, "orders", "o_orderstatus", "o_orderpriority")},
+       |${block(2, "lineitem", "l_returnflag", "l_linestatus")}
+       |SELECT * FROM (
+       |${sel(1, "o_orderstatus~o_orderpriority")}
+       |UNION ALL
+       |${sel(2, "l_returnflag~l_linestatus")}
+       |) ORDER BY pair""".stripMargin
+  }
+
 }

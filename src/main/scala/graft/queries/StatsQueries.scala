@@ -164,6 +164,29 @@ private[queries] object StatsQueries {
         .orderBy("event_type")
     },
 
+    "q_theils_u" -> { (s, dir) =>
+      // directional association on the q_mutual_info contingencies:
+      // U(A|B) = I/H(A) exposes the asymmetry nmi/Cramér's V average
+      // away (status explains priority ≠ priority explains status)
+      Correlation.theilsU(t(s, dir, "orders"),
+        Seq("o_orderstatus" -> "o_orderpriority"))
+        .unionAll(Correlation.theilsU(t(s, dir, "lineitem"),
+          Seq("l_returnflag" -> "l_linestatus")))
+        .orderBy("pair")
+    },
+
+    "q_eb_rate" -> { (s, dir) =>
+      // empirical-Bayes shrunk per-customer open-order rates: a 1/1
+      // customer must not outrank a 9/10 one — beta-binomial MoM prior
+      // learned from the corpus, nano-fx exact moments, per-key one tree
+      val o = t(s, dir, "orders")
+      val perCust = o.groupBy(col("o_custkey").as("custkey")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("x_open"))
+      Shrinkage.ebBetaBinomial(perCust, Seq("custkey"), "n_orders", "x_open")
+        .orderBy("custkey")
+    },
+
     "q_mood" -> { (s, dir) =>
       // k-sample counting drift: do per-flag prices split evenly around
       // the POOLED median — coarser than q_kruskal's ranks but immune to
@@ -1467,6 +1490,27 @@ private[queries] object StatsQueries {
         |ORDER BY event_type""".stripMargin,
 
     "q_mutual_info" -> mutualInfoOracle,
+
+    "q_theils_u" -> theilsUOracle,
+
+    "q_eb_rate" ->
+      """WITH pc AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n,
+        |                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |            FROM orders GROUP BY 1),
+        |r AS (SELECT custkey, n, x, (x * 1000000000) // n AS rate_fx FROM pc),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS g, sum(CAST(rate_fx AS HUGEINT)) AS s1,
+        |             sum(CAST(rate_fx AS HUGEINT) * CAST(rate_fx AS HUGEINT)) AS s2 FROM r),
+        |d AS (SELECT CAST(g AS DOUBLE) AS gd, CAST(s1 AS DOUBLE) AS s1d,
+        |             CAST(s2 AS DOUBLE) AS s2d FROM m),
+        |p AS (SELECT gd, s1d / gd / 1000000000.0 AS pbar,
+        |             (s2d * gd - s1d * s1d) / (gd * gd) / 1e18 AS v FROM d),
+        |q AS (SELECT pbar, v, pbar * (1.0 - pbar) / v - 1.0 AS ab FROM p),
+        |z AS (SELECT pbar, v, ab, pbar * ab AS alpha FROM q)
+        |SELECT custkey, n, x, rate_fx,
+        |       CASE WHEN v > 0.0 AND ab > 0.0
+        |            THEN (CAST(x AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + ab)
+        |            ELSE pbar END AS shrunk
+        |FROM r, z ORDER BY custkey""".stripMargin,
 
     "q_holt_winters" -> holtWintersOracle,
 

@@ -578,6 +578,80 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("nelsonAalen: hand hazard increments, Breslow survival") {
+    // durations: 1(obs), 1(obs), 2(cens), 3(obs)
+    val subjects = Seq((1L, true), (1L, true), (2L, false), (3L, true))
+      .toDF("dur", "obs")
+    val out = graft.ops.Events.nelsonAalen(subjects, "dur", col("obs"))
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Long]("t")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 2L, 1L))
+    // H = [2/4, 2/4, 2/4 + 1/1] at pico fx
+    assert(out(0).getAs[Long]("h_fx") == 500000000000L)
+    assert(out(1).getAs[Long]("h_fx") == 500000000000L)
+    assert(out(2).getAs[Long]("h_fx") == 1500000000000L)
+    assert(out(0).getAs[Double]("h") == 0.5)
+    assert(out(2).getAs[Double]("s_breslow") == math.exp(-1.5))
+  }
+
+  test("vwapBars: weighted window mean, zero-weight window null") {
+    val ev = Seq(
+      ("k", "2024-01-01 00:10:00", 1.00, 1L),
+      ("k", "2024-01-01 05:00:00", 2.00, 3L),
+      ("k", "2024-01-02 01:00:00", 5.00, 0L)).toDF("key", "ts", "v", "w")
+    val out = graft.ops.Windows.vwapBars(ev, "key", "ts", "v", "w", 86400)
+      .orderBy("window_start").collect()
+    assert(out.length == 2)
+    // (100·1 + 200·3)/4 cents = 175 → 1.75
+    assert(out(0).getAs[Long]("sum_pv") == 700L &&
+      out(0).getAs[Long]("sum_vol") == 4L)
+    assert(out(0).getAs[Double]("vwap") == 1.75)
+    assert(out(1).isNullAt(out(1).fieldIndex("vwap")))
+  }
+
+  test("stickiness: hand DAU/MAU ratio, duplicate events collapse") {
+    val ev = Seq(
+      ("t", "2024-03-01 10:00:00", "a"), ("t", "2024-03-01 11:00:00", "a"),
+      ("t", "2024-03-01 12:00:00", "b"), ("t", "2024-03-02 09:00:00", "a"))
+      .toDF("typ", "ts", "u")
+    val r = graft.ops.Events.stickiness(ev, "ts", "u", Seq("typ"))
+      .collect()(0)
+    // day1 {a,b}, day2 {a} → Σdau = 3, days = 2, mau = 2 → 0.75
+    assert(r.getAs[Long]("days_active") == 2 && r.getAs[Long]("sum_dau") == 3 &&
+      r.getAs[Long]("mau") == 2)
+    assert(r.getAs[Double]("stickiness") == 3.0 / 2.0 / 2.0)
+  }
+
+  test("theilsU: deterministic direction scores 1, coarse direction ln2/ln4") {
+    // b = a div 2 over uniform a ∈ {0..3}: knowing a determines b
+    val df = Seq.tabulate(40)(i => (i % 4, (i % 4) / 2)).toDF("a", "b")
+    val r = Correlation.theilsU(df, Seq("a" -> "b")).collect()(0)
+    assert(math.abs(r.getAs[Double]("u_b_given_a") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("u_a_given_b") - 0.5) < 1e-6)
+  }
+
+  test("ebBetaBinomial: MoM shrinkage pulls toward the mean, degenerate case collapses") {
+    val df = Seq(("k1", 10L, 2L), ("k2", 10L, 8L)).toDF("k", "n", "x")
+    val out = graft.ops.Shrinkage.ebBetaBinomial(df, Seq("k"), "n", "x")
+      .orderBy("k").collect()
+    // pbar = .5, v = .09 → α+β = .25/.09 − 1, α = (α+β)/2
+    val ab = 0.5 * (1.0 - 0.5) / 0.09 - 1.0
+    val alpha = 0.5 * ab
+    val s1 = (2.0 + alpha) / (10.0 + ab)
+    assert(math.abs(out(0).getAs[Double]("shrunk") - s1) < 1e-9)
+    assert(out(0).getAs[Long]("rate_fx") == 200000000L)
+    // shrunk rates sit strictly between raw rate and pbar
+    assert(out(0).getAs[Double]("shrunk") > 0.2 &&
+      out(0).getAs[Double]("shrunk") < 0.5)
+    assert(out(1).getAs[Double]("shrunk") < 0.8 &&
+      out(1).getAs[Double]("shrunk") > 0.5)
+    // zero between-key variance → full collapse to pbar
+    val flat = Seq(("k1", 4L, 2L), ("k2", 4L, 2L)).toDF("k", "n", "x")
+    val f = graft.ops.Shrinkage.ebBetaBinomial(flat, Seq("k"), "n", "x")
+      .collect()
+    assert(f.forall(_.getAs[Double]("shrunk") == 0.5))
+  }
+
   test("kaplanMeier: textbook curve with censoring, total-death zeroing") {
     import graft.ops.Events
     val subjects = Seq((1L, true), (2L, false), (3L, true), (3L, true),
