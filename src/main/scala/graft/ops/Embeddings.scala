@@ -182,6 +182,130 @@ object Embeddings {
             greatest(col("a2"), col("b2")).cast(DoubleType)))
   }
 
+  /** Calinski–Harabasz and Davies–Bouldin cluster-validity indices over
+    * the SAME int8-quantized medoid cells as [[silhouetteQuantized]] —
+    * the two standard "did this clustering separate anything" numbers
+    * (CH: between/within dispersion ratio, bigger = better; DBI: worst
+    * same-vs-apart overlap per cluster averaged, smaller = better).
+    * Together with silhouette they complete the validity triple a
+    * clustering pipeline gates on.
+    *
+    * Exactness: quantized components are small longs, so every sufficient
+    * statistic is an exact integer — per-cell counts n_c, Σ‖x‖², per-dim
+    * component sums S_cd, global S_d. Within W_c = (n_c·Σ‖x‖² − ‖S_c‖²)/n_c
+    * and between B_c = Σ_d(S_cd·N − S_d·n_c)²/(n_c·N²) derive per cell as
+    * ONE fixed double tree each → micro fx → order-free sums. DBI's
+    * per-point centroid distances fx-sum per cell (s_c), centroid
+    * separations d_ij compute from the exact sums in dim-index order, and
+    * each cell's worst ratio R_c is fx'd before the final mean — every
+    * aggregation over doubles is order-free by construction.
+    *
+    * Shape: medoids bind as one literal (no join) for assignment; one
+    * posexplode rollup for the per-dim sums (skinny (cell, dim) shuffle);
+    * the per-point distance pass joins the k-row cell-stat frame
+    * broadcast; everything after is k- and k²-bounded frames.
+    *
+    * @return one row: (k, n, w, b, ch, dbi) — ch null when k < 2, n ≤ k
+    *         or W = 0; dbi null when any pair of centroids coincides.
+    */
+  def clusterValidity(df: DataFrame, idCol: String, vecCol: String,
+                      nMedoids: Int): DataFrame = {
+    require(nMedoids >= 2, "need at least 2 medoids")
+    val D = DecimalType(38, 0)
+    val q = quantizeInt8(df, idCol, vecCol)
+      .select(col("id"), transform(col("q8"), x => x.cast(LongType)).as("qv"))
+    val medoids: Array[(Int, Seq[Long])] = q.orderBy("id").limit(nMedoids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }
+    val scores = array(medoids.map { case (c, m) =>
+      val mLit = array(m.map(lit): _*)
+      struct(
+        aggregate(
+          zip_with(col("qv"), mLit, (x, mm) => (x - mm) * (x - mm)),
+          lit(0L), (acc, d) => acc + d).as("d2"),
+        lit(c).as("cell"))
+    }: _*)
+    val assigned = q
+      .withColumn("cell", element_at(array_sort(scores), 1).getField("cell"))
+      .withColumn("n2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .localCheckpoint(true) // feeds cellstats, the dim rollup AND the s_c pass
+    val cellStats = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("nc"), sum(col("n2")).as("ssq"))
+    val dims = assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim").agg(sum(col("v")).as("s"))
+    val cellArr = dims.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+          x => x.getField("s")).as("sarr"),
+        sum(col("s").cast(D) * col("s").cast(D)).as("s2"))
+    val globals = cellStats.agg(sum("nc").as("n"), count(lit(1)).as("k"))
+    val globalDims = dims.groupBy("dim").agg(sum("s").as("gs"))
+    // W: per-cell (n_c·Σ‖x‖² − ‖S_c‖²)/n_c, micro fx
+    val wTerm = (col("nc").cast(D) * col("ssq").cast(D) - col("s2"))
+      .cast(DoubleType) / col("nc").cast(DoubleType)
+    val wAgg = cellStats.join(cellArr, "cell")
+      .agg(sum(floor(wTerm * lit(1e6) + lit(0.5)).cast(D)).as("wfx"))
+    // B: per-cell Σ_d (S_cd·N − S_d·n_c)² / (n_c·N²), micro fx
+    val bNum = (col("s").cast(D) * col("n").cast(D) -
+      col("gs").cast(D) * col("nc").cast(D))
+    val bCell = dims.join(broadcast(globalDims), "dim")
+      .join(broadcast(cellStats.select("cell", "nc")), "cell")
+      .crossJoin(broadcast(globals.select("n")))
+      .groupBy("cell").agg(max(col("nc")).as("nc"), max(col("n")).as("n"),
+        sum(bNum * bNum).as("bsum"))
+    val bTerm = col("bsum").cast(DoubleType) / col("nc").cast(DoubleType) /
+      col("n").cast(DoubleType) / col("n").cast(DoubleType)
+    val bAgg = bCell.agg(sum(floor(bTerm * lit(1e6) + lit(0.5)).cast(D)).as("bfx"))
+    // s_c: per-point distance to own centroid, micro fx, exact per-cell sum
+    val distFx = floor(
+      sqrt(zipSumLong(col("qv"), col("sarr"), col("nc")).cast(DoubleType)) /
+        col("nc").cast(DoubleType) * lit(1e6) + lit(0.5)).cast(LongType)
+    val sC = assigned
+      .join(broadcast(cellArr.join(cellStats, "cell")
+        .select("cell", "sarr", "nc")), "cell")
+      .withColumn("__dfx", distFx)
+      .groupBy("cell").agg(max(col("nc")).as("nc"), sum(col("__dfx")).as("sfx"))
+      .withColumn("s", col("sfx").cast(DoubleType) / col("nc").cast(DoubleType) /
+        lit(1e6))
+    // pairwise centroid separations + worst-ratio per cell, nano-fx mean
+    val a = sC.join(cellArr.select("cell", "sarr"), "cell")
+      .select(col("cell").as("ci"), col("nc").as("ni"), col("s").as("si"),
+        col("sarr").as("ai"))
+    val b = sC.join(cellArr.select("cell", "sarr"), "cell")
+      .select(col("cell").as("cj"), col("nc").as("nj"), col("s").as("sj"),
+        col("sarr").as("aj"))
+    val dij = sqrt(aggregate(
+        zip_with(col("ai"), col("aj"),
+          (x, y) => { val dd = (x * col("nj") - y * col("ni")).cast(DoubleType); dd * dd }),
+        lit(0.0), (acc, v) => acc + v)) /
+      (col("ni").cast(DoubleType) * col("nj").cast(DoubleType))
+    val pairs = a.crossJoin(b).where(col("ci") =!= col("cj"))
+      .withColumn("__d", dij)
+      .withColumn("__r", when(col("__d") > lit(0.0),
+        (col("si") + col("sj")) / col("__d")))
+    val rAgg = pairs.groupBy("ci")
+      .agg(max(col("__r")).as("r"), sum(when(col("__d") <= 0.0, 1L).otherwise(0L)).as("bad"))
+      .agg(sum(floor(col("r") * lit(1e9) + lit(0.5)).cast(D)).as("rfx"),
+        sum(col("bad")).as("badTot"), count(lit(1)).as("kr"))
+    val joined = globals.crossJoin(wAgg).crossJoin(bAgg).crossJoin(rAgg)
+    val kD = col("k").cast(DoubleType); val nD = col("n").cast(DoubleType)
+    val w = col("wfx").cast(DoubleType) / lit(1e6)
+    val bOut = col("bfx").cast(DoubleType) / lit(1e6)
+    val ch = when(col("k") > 1L && col("n") > col("k") && w > lit(0.0),
+      (bOut / (kD - lit(1.0))) / (w / (nD - kD)))
+    val dbi = when(col("badTot") === 0L && col("kr") === col("k"),
+      col("rfx").cast(DoubleType) / lit(1e9) / kD)
+    joined.select(col("k"), col("n"), w.as("w"), bOut.as("b"),
+      ch.as("ch"), dbi.as("dbi"))
+  }
+
+  /** Σ_d (qv_d·n − s_d)² as an exact long left fold (components and sums
+    * are small enough that the square stays in range — ≤ (127·n)²·dim). */
+  private def zipSumLong(qv: Column, sarr: Column, n: Column): Column =
+    aggregate(zip_with(qv, sarr, (x, s) => {
+      val d = x * n - s; d * d
+    }), lit(0L), (acc, v) => acc + v)
+
   /** EXACT PCA sufficient statistics in ONE corpus pass: per dimension
     * pair d ≤ e, the quantized product sum Σ q_d·q_e plus the marginal
     * sums and row count — everything the covariance matrix needs, as

@@ -93,6 +93,13 @@ private[queries] object SimilarityQueries {
         .withColumnRenamed("id", "id")
         .orderBy("id")),
 
+    "q_cluster_validity" -> ((s, dir) =>
+      // CH + DBI over the SAME medoid cells as q_silhouette — the
+      // validity triple complete: exact integer sufficient statistics,
+      // every double aggregation fx'd order-free
+      Embeddings.clusterValidity(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nMedoids = 8)),
+
     "q_ann_lsh" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -364,6 +371,83 @@ private[queries] object SimilarityQueries {
         |       CASE WHEN greatest(a2, b2) = 0 THEN 0.0
         |            ELSE CAST(b2 - a2 AS DOUBLE) / CAST(greatest(a2, b2) AS DOUBLE) END AS s
         |FROM ab ORDER BY id""".stripMargin,
+
+    "q_cluster_validity" ->
+      // q_silhouette's quantization + assignment, then exact sufficient
+      // statistics: W/B per cell micro-fx'd, per-point centroid distances
+      // micro-fx'd, worst-ratio per cell nano-fx'd — order-free sums
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |           FROM embeddings),
+        |sc AS (SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, list_transform(vv, x -> CAST(CAST(CASE
+        |         WHEN scale = 0.0 THEN 0
+        |         WHEN x >= 0 THEN floor(x / scale * 127.0 + 0.5)
+        |         ELSE -floor(-x / scale * 127.0 + 0.5) END AS TINYINT) AS BIGINT)) AS qv
+        |      FROM sc),
+        |m AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qv AS mv
+        |      FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+        |a0 AS (SELECT q.vec_id, m.cell, q.qv,
+        |              CAST(list_sum(list_transform(range(1, 65),
+        |                i -> (q.qv[i] - m.mv[i]) * (q.qv[i] - m.mv[i]))) AS BIGINT) AS d2
+        |       FROM q CROSS JOIN m),
+        |asg AS (SELECT vec_id, cell, qv FROM (
+        |         SELECT vec_id, cell, qv,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |         FROM a0) WHERE rn = 1),
+        |pt AS (SELECT vec_id, cell, qv,
+        |              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM asg),
+        |cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS nc, CAST(sum(n2) AS BIGINT) AS ssq
+        |       FROM pt GROUP BY cell),
+        |dims AS (SELECT cell, i AS dim, CAST(sum(qv[i]) AS BIGINT) AS s
+        |         FROM asg CROSS JOIN range(1, 65) t(i) GROUP BY cell, i),
+        |ca AS (SELECT cell, list(s ORDER BY dim) AS sarr,
+        |              sum(CAST(s AS HUGEINT) * s) AS s2 FROM dims GROUP BY cell),
+        |g AS (SELECT CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM cs),
+        |gd AS (SELECT dim, CAST(sum(s) AS BIGINT) AS gs FROM dims GROUP BY dim),
+        |wt AS (SELECT CAST(sum(CAST(floor(CAST(CAST(nc AS HUGEINT) * ssq - s2 AS DOUBLE)
+        |                 / CAST(nc AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS HUGEINT) AS wfx
+        |       FROM cs JOIN ca USING (cell)),
+        |bc AS (SELECT dims.cell, max(cs.nc) AS nc, max(g.n) AS n,
+        |              sum((CAST(dims.s AS HUGEINT) * g.n - CAST(gd.gs AS HUGEINT) * cs.nc)
+        |                * (CAST(dims.s AS HUGEINT) * g.n - CAST(gd.gs AS HUGEINT) * cs.nc)) AS bsum
+        |       FROM dims JOIN gd USING (dim) JOIN cs USING (cell) CROSS JOIN g
+        |       GROUP BY dims.cell),
+        |bt AS (SELECT CAST(sum(CAST(floor(CAST(bsum AS DOUBLE) / CAST(nc AS DOUBLE)
+        |                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS HUGEINT) AS bfx
+        |       FROM bc),
+        |sc2 AS (SELECT pt.cell, max(cs.nc) AS nc,
+        |               CAST(sum(CAST(floor(sqrt(CAST(list_sum(list_transform(range(1, 65),
+        |                   i -> (pt.qv[i] * cs.nc - ca.sarr[i]) * (pt.qv[i] * cs.nc - ca.sarr[i]))) AS DOUBLE))
+        |                 / CAST(cs.nc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfx
+        |        FROM pt JOIN cs USING (cell) JOIN ca USING (cell)
+        |        GROUP BY pt.cell),
+        |scv AS (SELECT cell, nc, CAST(sfx AS DOUBLE) / CAST(nc AS DOUBLE) / 1000000.0 AS s
+        |        FROM sc2),
+        |pr AS (SELECT a.cell AS ci, a.nc AS ni, a.s AS si, ca1.sarr AS ai,
+        |              b.cell AS cj, b.nc AS nj, b.s AS sj, ca2.sarr AS aj
+        |       FROM scv a JOIN ca ca1 ON a.cell = ca1.cell
+        |            CROSS JOIN scv b JOIN ca ca2 ON b.cell = ca2.cell
+        |       WHERE a.cell <> b.cell),
+        |prd AS (SELECT ci, si, sj,
+        |               sqrt(list_sum(list_transform(range(1, 65),
+        |                 i -> CAST(ai[i] * nj - aj[i] * ni AS DOUBLE)
+        |                    * CAST(ai[i] * nj - aj[i] * ni AS DOUBLE))))
+        |               / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)) AS d
+        |        FROM pr),
+        |ra AS (SELECT ci, max(CASE WHEN d > 0.0 THEN (si + sj) / d END) AS r,
+        |              CAST(sum(CASE WHEN d <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad
+        |       FROM prd GROUP BY ci),
+        |rt AS (SELECT CAST(sum(CAST(floor(r * 1000000000.0 + 0.5) AS HUGEINT)) AS HUGEINT) AS rfx,
+        |              CAST(sum(bad) AS BIGINT) AS badtot, CAST(count(*) AS BIGINT) AS kr FROM ra)
+        |SELECT g.k, g.n,
+        |       CAST(wt.wfx AS DOUBLE) / 1000000.0 AS w,
+        |       CAST(bt.bfx AS DOUBLE) / 1000000.0 AS b,
+        |       CASE WHEN g.k > 1 AND g.n > g.k AND CAST(wt.wfx AS DOUBLE) / 1000000.0 > 0.0
+        |            THEN (CAST(bt.bfx AS DOUBLE) / 1000000.0 / (CAST(g.k AS DOUBLE) - 1.0))
+        |                 / (CAST(wt.wfx AS DOUBLE) / 1000000.0 / (CAST(g.n AS DOUBLE) - CAST(g.k AS DOUBLE))) END AS ch,
+        |       CASE WHEN rt.badtot = 0 AND rt.kr = g.k
+        |            THEN CAST(rt.rfx AS DOUBLE) / 1000000000.0 / CAST(g.k AS DOUBLE) END AS dbi
+        |FROM g, wt, bt, rt""".stripMargin,
 
     "q_embed_quantize" ->
       // identical IEEE tree: cast-to-double components, scale = max abs,

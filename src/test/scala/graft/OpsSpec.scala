@@ -2950,6 +2950,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0, d2, d2, 0.0)))
   }
 
+  test("clusterValidity: hand CH/DBI on two separated pairs, degenerate nulls") {
+    // ids ordered so medoids are one per blob; quantization leaves these
+    // exact: (10,0)->(127,0), (10,1)->(127,13), mirrored for the other blob
+    val d = Seq(
+      (0L, Seq(10.0f, 0.0f)), (1L, Seq(0.0f, 10.0f)),
+      (2L, Seq(10.0f, 1.0f)), (3L, Seq(1.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.clusterValidity(d, "vec_id", "embedding", nMedoids = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 4)
+    // per cell Wnum = 2·ssq − ‖S‖² = 169 → W = 169/2 ×2 cells = 169
+    assert(r.getAs[Double]("w") == 169.0)
+    // per cell B = (482² + 482²)/32 = 14520.25 ×2 = 29040.5
+    assert(r.getAs[Double]("b") == 29040.5)
+    assert(math.abs(r.getAs[Double]("ch") -
+      (29040.5 / 1.0) / (169.0 / 2.0)) < 1e-9)
+    // s = 6.5 both cells; d01 = 241·√2/2; DBI = 13/d01
+    val d01 = math.sqrt(2.0 * 241.0 * 241.0 * 4.0) / 4.0
+    assert(math.abs(r.getAs[Double]("dbi") - 13.0 / d01) < 1e-6)
+    // identical points: duplicate medoid leaves one empty cell → k = 1,
+    // W = 0 → ch and dbi both null
+    val flat = Seq((0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val f = Embeddings.clusterValidity(flat, "vec_id", "embedding", nMedoids = 2)
+      .collect()(0)
+    assert(f.getAs[Long]("k") == 1)
+    assert(f.isNullAt(f.fieldIndex("ch")) && f.isNullAt(f.fieldIndex("dbi")))
+  }
+
   test("randomProject: sign-rule twin, exact projections, JL distance band") {
     // the driver-side md5-60 twin must equal the Column rule exactly
     val probes = Seq("rp|0|0", "rp|7|63", "x", "", "Café")
