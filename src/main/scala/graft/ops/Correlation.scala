@@ -711,6 +711,60 @@ object Correlation {
       when(col("h_b") > 0.0, col("mi") / col("h_b")).as("u_b_given_a"))
   }
 
+  /** Periodogram power at CANDIDATE periods per group — the frequency-
+    * domain seasonality detector ([[acf]] sees self-similarity at integer
+    * lags; the DFT power P(p) = (Σx·cos(2πt/p))² + (Σx·sin)² over n
+    * scores a hypothesized period directly and is robust to phase).
+    * Feed the candidate set (7, 30, …) and the winning period configures
+    * Holt–Winters / [[graft.ops.Outliers.seasonalProfile]].
+    *
+    * Exactness contract: cos/sin are NOT bit-portable across libm
+    * implementations — but the argument grid has only p distinct values,
+    * so both engines consume the SAME literal trig table (generated once,
+    * embedded as literals here and in the oracle SQL; round-trip-exact
+    * decimal strings). Each row's x·cos term is micro-fx'd (one fixed
+    * tree) → exact integer sums; power is one final tree. One grouped
+    * aggregate per period over the phase-joined rows.
+    *
+    * @return per (group, period): (groupCols*, period, n, sc_fx, ss_fx,
+    *         power).
+    */
+  def periodogram(df: DataFrame, groupCols: Seq[String], tCol: String,
+                  vCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), "periods must be >= 2")
+    val D = DecimalType(38, 0)
+    val keys = groupCols.map(col)
+    val rows = df.select(keys :+ col(tCol).cast(LongType).as("__t") :+
+        col(vCol).cast(LongType).as("__v"): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val frames = periods.map { p =>
+      val cosArr = array(trigTable(p)._1.map(lit): _*)
+      val sinArr = array(trigTable(p)._2.map(lit): _*)
+      val phase = (pmod(col("__t"), lit(p.toLong)) + 1L).cast("int")
+      def fx(table: Column) = graft.metrics.MetricColumns.fixedPointLong(
+        col("__v").cast(DoubleType) * element_at(table, phase), 6)
+      val agg = rows.withColumn("__cfx", fx(cosArr)).withColumn("__sfx", fx(sinArr))
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("__cfx").cast(D)).as("__sc"),
+          sum(col("__sfx").cast(D)).as("__ss"))
+      val scd = col("__sc").cast(DoubleType) / lit(1e6)
+      val ssd = col("__ss").cast(DoubleType) / lit(1e6)
+      agg.select(keys ++ Seq(lit(p).as("period"), col("n"),
+        col("__sc").cast(LongType).as("sc_fx"),
+        col("__ss").cast(LongType).as("ss_fx"),
+        ((scd * scd + ssd * ssd) / col("n").cast(DoubleType)).as("power")): _*)
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
+  /** The shared literal trig table for [[periodogram]] and its oracle:
+    * (cos, sin) at the p phase points — generated in ONE place so both
+    * engines consume identical doubles. */
+  private[graft] def trigTable(p: Int): (Seq[Double], Seq[Double]) =
+    (Seq.tabulate(p)(i => math.cos(2.0 * math.Pi * i / p)),
+     Seq.tabulate(p)(i => math.sin(2.0 * math.Pi * i / p)))
+
   /** Durbin–Watson statistic per group over an ordered integer series —
     * the RESIDUAL-autocorrelation diagnostic ([[acf]] reports the lag
     * correlogram; DW is the single accept/reject number forecasting

@@ -267,6 +267,35 @@ object Windows {
         (col("sv").cast(DoubleType) / col("n_ticks").cast(DoubleType)).as("mean"))
   }
 
+  /** Streaming twin of [[vwapBars]] — the same exact DECIMAL Σpw/Σw per
+    * tumbling window on a watermarked stream, so the continuous VWAP feed
+    * is BIT-EQUAL to a batch replay of the same ticks (spec-asserted).
+    * State is one (count, Σpw, Σw) triple per open (key, window). */
+  def vwapBarsStream(df: DataFrame, keyCol: String, tsCol: String,
+                     priceCol: String, volCol: String, windowSeconds: Long,
+                     watermark: String, scale: Int = 2): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(keyCol).as("key"),
+        col(tsCol).cast(TimestampType).as("__ts"),
+        MetricColumns.fixedPointLong(col(priceCol), scale).as("p"),
+        col(volCol).cast(LongType).as("w"))
+      .where(col("key").isNotNull && col("__ts").isNotNull &&
+        col("p").isNotNull && col("w").isNotNull)
+    rows.withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$windowSeconds seconds").as("wd"), col("key"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("p").cast(D) * col("w").cast(D)).as("spv"),
+        sum(col("w").cast(D)).as("sw"))
+      .select(col("key"), col("wd.start").as("window_start"),
+        col("n_ticks"),
+        col("spv").cast(LongType).as("sum_pv"),
+        col("sw").cast(LongType).as("sum_vol"),
+        when(col("sw") > lit(0L).cast(D),
+          col("spv").cast(DoubleType) / col("sw").cast(DoubleType) /
+            lit(math.pow(10, scale))).as("vwap"))
+  }
+
   def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
                valueCol: String, windowSeconds: Long, scale: Int = 2): DataFrame = {
     require(windowSeconds > 0, "windowSeconds must be positive")

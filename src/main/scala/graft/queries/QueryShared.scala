@@ -1173,6 +1173,35 @@ private[queries] object QueryShared {
        |) ORDER BY pair""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.ops.Correlation.periodogram]] over the daily
+    * event-count series — the trig table embeds the SAME doubles the
+    * Spark literal arrays carry (round-trip-exact decimal strings), so
+    * cross-libm cos/sin drift never enters either side. */
+  def periodogramOracle(periods: Seq[Int]): String = {
+    val trig = periods.flatMap { p =>
+      val (c, s) = graft.ops.Correlation.trigTable(p)
+      (0 until p).map(i => s"($p, $i, ${c(i)}, ${s(i)})")
+    }.mkString(",\n|  ")
+    s"""WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+       |                    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+       |trig(period, phase, c, s) AS (VALUES
+       |  $trig),
+       |f AS (SELECT event_type, period,
+       |             CAST(v AS DOUBLE) * c AS tc, CAST(v AS DOUBLE) * s AS ts2
+       |      FROM ser JOIN trig ON ser.d % trig.period = trig.phase),
+       |a AS (SELECT event_type, period, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN tc >= 0 THEN CAST(floor(tc * 1000000.0 + 0.5) AS BIGINT)
+       |                 ELSE -CAST(floor(-tc * 1000000.0 + 0.5) AS BIGINT) END) AS BIGINT) AS sc_fx,
+       |        CAST(sum(CASE WHEN ts2 >= 0 THEN CAST(floor(ts2 * 1000000.0 + 0.5) AS BIGINT)
+       |                 ELSE -CAST(floor(-ts2 * 1000000.0 + 0.5) AS BIGINT) END) AS BIGINT) AS ss_fx
+       |      FROM f GROUP BY 1, 2)
+       |SELECT event_type, period, n, sc_fx, ss_fx,
+       |       (CAST(sc_fx AS DOUBLE) / 1000000.0 * (CAST(sc_fx AS DOUBLE) / 1000000.0)
+       |        + CAST(ss_fx AS DOUBLE) / 1000000.0 * (CAST(ss_fx AS DOUBLE) / 1000000.0))
+       |       / CAST(n AS DOUBLE) AS power
+       |FROM a ORDER BY event_type, period""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.ops.Correlation.theilsU]] — the
     * [[mutualInfoOracle]] blocks with the asymmetric U = I/H selects. */
   def theilsUOracle: String = {

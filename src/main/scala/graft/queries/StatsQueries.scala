@@ -164,6 +164,19 @@ private[queries] object StatsQueries {
         .orderBy("event_type")
     },
 
+    "q_periodogram" -> { (s, dir) =>
+      // frequency-domain seasonality: DFT power at candidate periods
+      // 7/30 over the daily series — q_acf detects self-similarity, this
+      // SCORES the hypothesized period directly (phase-robust); shared
+      // literal trig table keeps cos/sin bit-identical across engines
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Correlation.periodogram(daily, Seq("event_type"), "d", "cnt",
+        periods = Seq(7, 30))
+        .orderBy("event_type", "period")
+    },
+
     "q_theils_u" -> { (s, dir) =>
       // directional association on the q_mutual_info contingencies:
       // U(A|B) = I/H(A) exposes the asymmetry nmi/Cramér's V average
@@ -1492,6 +1505,8 @@ private[queries] object StatsQueries {
     "q_mutual_info" -> mutualInfoOracle,
 
     "q_theils_u" -> theilsUOracle,
+
+    "q_periodogram" -> periodogramOracle(Seq(7, 30)),
 
     "q_eb_rate" ->
       """WITH pc AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n,

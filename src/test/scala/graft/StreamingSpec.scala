@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSpec {
     assert(w0._3 == 300L && w0._6 == 800L)
   }
 
+  test("vwapBarsStream: streamed VWAP bars are bit-equal to the batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Double, Long)]
+    val df = stream.toDF().toDF("ts", "k", "v", "w")
+    val agg = Windows.vwapBarsStream(df, "k", "ts", "v", "w",
+      windowSeconds = 3600, watermark = "10 minutes")
+    val query = agg.writeStream.format("memory").queryName("vwap_stream")
+      .outputMode("complete").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (ts(0, 0), "a", 1.0, 1L), (ts(0, 30), "a", 2.0, 3L),
+      (ts(1, 10), "a", 5.0, 2L),
+      (ts(0, 20), "b", 4.0, 0L)) // zero-volume window → null vwap
+    stream.addData(rows.drop(2))
+    query.processAllAvailable()
+    stream.addData(rows.take(2))
+    query.processAllAvailable()
+
+    def shape(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("key"), col("window_start").cast("string"), col("n_ticks"),
+        col("sum_pv"), col("sum_vol"), col("vwap"))
+      .as[(String, String, Long, Long, Long, Option[Double])]
+      .collect().toSet
+    val streamed = shape(spark.table("vwap_stream"))
+    query.stop()
+    val batch = shape(Windows.vwapBars(rows.toDF("ts", "k", "v", "w"),
+      "k", "ts", "v", "w", windowSeconds = 3600))
+    assert(streamed == batch)
+    val w0 = streamed.find(r => r._1 == "a" && r._2.startsWith("2024-01-01 00")).get
+    assert(w0._4 == 700L && w0._5 == 4L && w0._6.contains(1.75))
+    assert(streamed.find(_._1 == "b").get._6.isEmpty)
+  }
+
   test("stream-stream interval join matches the batch join under cross-batch arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

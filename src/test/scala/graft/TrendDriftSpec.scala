@@ -851,6 +851,23 @@ class TrendDriftSpec extends SparkSpec {
     }
   }
 
+  test("periodogram: weekly signal concentrates power at p=7, constant series ~0") {
+    val week = Seq(50L, 30L, -20L, -50L, -30L, 10L, 10L)
+    val ser = Seq.tabulate(210)(t => ("g", t.toLong, 100L + week(t % 7)))
+      .toDF("g", "t", "v")
+    val out = Correlation.periodogram(ser, Seq("g"), "t", "v", Seq(7, 30))
+      .orderBy("period").collect()
+    assert(out.map(_.getAs[Int]("period")).toSeq == Seq(7, 30))
+    assert(out.forall(_.getAs[Long]("n") == 210L))
+    val p7 = out(0).getAs[Double]("power"); val p30 = out(1).getAs[Double]("power")
+    assert(p7 > 100.0 * math.max(p30, 1.0), s"weekly power must dominate: $p7 vs $p30")
+    // constant series: Σcos over complete periods ≈ 0 → power ≈ 0
+    val const = Seq.tabulate(210)(t => ("g", t.toLong, 100L)).toDF("g", "t", "v")
+    val c = Correlation.periodogram(const, Seq("g"), "t", "v", Seq(7))
+      .collect()(0).getAs[Double]("power")
+    assert(c < 1e-3, s"constant-series power should vanish: $c")
+  }
+
   test("moodMedian: separated groups hit χ² = n, balanced groups 0, median ties dropped") {
     // fully separated: every g0 below / g1 above the pooled median → χ² = n
     val sep = (Seq(1L, 2L, 3L, 4L).map(("g0", _)) ++
