@@ -445,13 +445,14 @@ object Main {
       // not three identical queries. The ks frame is the sample feed plus
       // its in-stream ks_stat column, so it serves as the sink when present.
       val sampleCols = (scan.ks.keySet ++ scan.mwu.keySet ++ scan.w1.keySet ++
-        scan.cvm.keySet ++ scan.energy.keySet).toSeq.sorted
+        scan.cvm.keySet ++ scan.energy.keySet ++ scan.ad.keySet).toSeq.sorted
       val sampleFeeds = sampleCols.map { c =>
         val feed = scan.ks.get(c).map(_._2)
           .orElse(scan.mwu.get(c).map(_._2))
           .orElse(scan.w1.get(c).map(_._2))
           .orElse(scan.cvm.get(c).map(_._2))
-          .orElse(scan.energy.get(c).map(_._2)).get
+          .orElse(scan.energy.get(c).map(_._2))
+          .orElse(scan.ad.get(c).map(_._2)).get
         s"sample_$c" -> feed
       }
       val monitors: Seq[(String, org.apache.spark.sql.DataFrame)] =
@@ -556,6 +557,16 @@ object Main {
               if (s.nonEmpty) {
                 val (e, t) = graft.scan.Drift.energyOfSamples(ref, s)
                 println(f"  ENRGY column=$c window=${r.getAs[Any]("window_start")} e=$e%.4f t=$t%.4f")
+              }
+            }
+        }
+        scan.ad.foreach { case (c, (ref, _)) =>
+          windowsOf(s"sample_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+            .foreach { r =>
+              val s = r.getSeq[Double](r.fieldIndex("sample"))
+              if (s.nonEmpty) {
+                val (_, a2) = graft.scan.Drift.adOfSamples(ref, s)
+                println(f"  AD    column=$c window=${r.getAs[Any]("window_start")} a2=$a2%.4f")
               }
             }
         }

@@ -146,6 +146,14 @@ final case class ColumnConfig(
       * drift check (location + scale + shape in one number).
       */
     energyReference: Option[String] = None,
+    /** Path to a parquet of reference values (same contract as
+      * `welch_reference:`). The batch scan records the tie-adjusted
+      * two-sample Anderson–Darling statistic as an `ad_a2` measurement
+      * (`ad_reference:` YAML key) — the TAIL-weighted drift check next to
+      * the uniform-weight `cvm_reference:` (contamination hides in tails;
+      * under the null A² ≈ 1); gate with e.g. `ad_a2 < 4`.
+      */
+    adReference: Option[String] = None,
     /** Fixed-point scale for a Benford first-digit audit of this column
       * (`benford:` YAML key; 2 for currency). The scan records the
       * chi-square vs Benford's law as a `benford_chi2` measurement —

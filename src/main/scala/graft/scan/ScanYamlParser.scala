@@ -100,6 +100,7 @@ object ScanYamlParser {
       welchReference = optStr(m, "welch_reference"),
       cvmReference = optStr(m, "cvm_reference"),
       energyReference = optStr(m, "energy_reference"),
+      adReference = optStr(m, "ad_reference"),
       benford = optInt(m, "benford"),
       concentration = optStr(m, "concentration").exists(_.toBoolean)
     )

@@ -157,6 +157,11 @@ object Scanner {
         * [[Drift.energyOfSamples]] for the per-window all-moments drift.
         */
       energy: Map[String, (Seq[Double], DataFrame)],
+      /** Per `ad_reference:`-configured column: same coordinated sample
+        * feed; pair collected windows with [[Drift.adOfSamples]] for the
+        * per-window tail-weighted drift.
+        */
+      ad: Map[String, (Seq[Double], DataFrame)],
       /** Per `chi2_reference:`-configured column: the reference's category
         * counts (driver-bounded by category cardinality) plus the
         * per-window (category, cnt) stream
@@ -293,6 +298,9 @@ object Scanner {
     val energy = cols.collect { case (name, cfg) if cfg.energyReference.isDefined =>
       name -> (refValueSample(cfg.energyReference.get, name), valueSampleStream(name))
     }.toMap
+    val ad = cols.collect { case (name, cfg) if cfg.adReference.isDefined =>
+      name -> (refValueSample(cfg.adReference.get, name), valueSampleStream(name))
+    }.toMap
     // `welch_reference:` — the parametric MEAN-drift member: the
     // reference's raw moments load once (three scalars), the window's
     // moments stream through one exact windowed aggregate, verdicts via
@@ -347,7 +355,7 @@ object Scanner {
           scan.coMissingness))
       else None
     StreamingScan(quality, anomalies, psi, ks, mwu, w1, welch, cvm, energy,
-      chi2, benford,
+      ad, chi2, benford,
       coMissing, windowTests(quality, scan.tests, cols))
   }
 
@@ -856,6 +864,11 @@ object Scanner {
       val row = Drift.energyDistance(refDf, df, f.name).collect()(0)
       record(f.name, "energy", row.getDouble(5))
       record(f.name, "energy_t", row.getDouble(6))
+    }
+    fields.filter(f => cfgOf(f.name).adReference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).adReference.get)
+      val row = Drift.andersonDarling(refDf, df, f.name).collect()(0)
+      record(f.name, "ad_a2", row.getDouble(3))
     }
 
     // ---- Benford audit (beyond the reference: `benford:` column key,

@@ -667,6 +667,37 @@ class ScannerSpec extends SparkSpec {
       byExpr("energy_t > 10").passed)
   }
 
+  test("ad_reference scan key records ad_a2 and gates tests, parity with the operator") {
+    import graft.scan.{Drift, Scanner}
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("scan-ad-ref").toString
+    (1L to 20L).toDF("lat").write.parquet(s"$refDir/vals")
+    val cur = (51L to 70L).toDF("lat") // pure +50 shift
+    val yaml =
+      s"""table_name: t
+         |columns:
+         |  lat:
+         |    ad_reference: $refDir/vals
+         |    tests:
+         |    - ad_a2 > 4
+         |""".stripMargin
+    val r = Scanner.executeYaml(spark, cur, yaml)
+    assert(!r.hasErrors, r.errors.mkString("; "))
+    val a2 = r.measurement("ad_a2", Some("lat")).get.value.get.asInstanceOf[Double]
+    val d = Drift.andersonDarling(spark.read.parquet(s"$refDir/vals"), cur, "lat")
+      .collect()(0)
+    assert(a2 == d.getDouble(3)) // bit-parity with the direct operator
+    // disjoint samples: far above the null's A² ≈ 1
+    assert(a2 > 10.0, s"disjoint-sample A²: $a2")
+    val byExpr = r.testResults.map(t => t.test.expression -> t).toMap
+    assert(byExpr("ad_a2 > 4").passed)
+    // null case: same population → A² near 1 (and far from the shifted value)
+    val same = Scanner.executeYaml(spark, (1L to 20L).toDF("lat"),
+      s"table_name: t\ncolumns:\n  lat:\n    ad_reference: $refDir/vals\n")
+    val a2same = same.measurement("ad_a2", Some("lat")).get.value.get.asInstanceOf[Double]
+    assert(a2same < 1.0, s"identical-sample A² should be ~0: $a2same")
+  }
+
   test("mannWhitneyU: doubled-rank exactness, tie correction, AUC direction, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._

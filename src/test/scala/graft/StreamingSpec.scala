@@ -1748,6 +1748,43 @@ class StreamingSpec extends SparkSpec {
     assert(eShift == ee.getDouble(5))
   }
 
+  test("ad_reference streaming twin: shared sample feed, adOfSamples parity on the window multiset") {
+    import spark.implicits._
+    import graft.scan.{Drift, Scanner}
+    implicit val sqlCtx = spark.sqlContext
+
+    val refDir = java.nio.file.Files.createTempDirectory("scan-ad-sref").toString
+    (1L to 20L).toDF("v").write.parquet(s"$refDir/vals")
+    val yaml =
+      s"""table_name: events
+         |stream:
+         |  time_column: ts
+         |  watermark: 10 minutes
+         |  window: 1 hour
+         |columns:
+         |  v:
+         |    ks_reference: $refDir/vals
+         |    ad_reference: $refDir/vals
+         |""".stripMargin
+    def mkts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Timestamp, Long)]
+    val scan = Scanner.executeStreamYaml(spark, stream.toDF().toDF("ts", "v"), yaml)
+    assert(scan.ad.keySet == Set("v"))
+    val q = scan.ad("v")._2.writeStream.format("memory").queryName("ad_feed")
+      .outputMode("complete").start()
+    stream.addData((1 to 20).map(i => (mkts(0, i), i.toLong + 50L)))
+    q.processAllAvailable()
+    val sample = spark.table("ad_feed").select(col("sample"))
+      .as[Seq[Double]].collect()(0)
+    q.stop()
+    val ref = scan.ad("v")._1
+    val (sfx, a2) = Drift.adOfSamples(ref, sample)
+    assert(a2 > 10.0, s"disjoint-window A²: $a2") // +50 shift, far above null ≈ 1
+    // parity with the distributed statistic on the window's multiset
+    val dd = Drift.andersonDarling(ref.toDF("v"), sample.toDF("v"), "v").collect()(0)
+    assert(sfx == dd.getDouble(2) && a2 == dd.getDouble(3))
+  }
+
   test("windowed rate monitor: per-window counts, prop-test twin parity, null exclusion") {
     import spark.implicits._
     import graft.scan.Drift
