@@ -509,6 +509,87 @@ object Components {
     *
     * @param weightCol positive integral edge weight column on `edges`.
     */
+  /** Katz centrality — the attenuation-series rank next to [[pageRank]]:
+    * PR divides a node's mass across its out-edges (a random surfer),
+    * Katz transmits the FULL score down every edge attenuated by α
+    * (x ← β + α·Aᵀx) — the right notion when influence is additive, not
+    * conserved (citations, follows, dependency graphs). Five truncated
+    * series rounds with the integer fixed-point discipline: truncating
+    * long division IS the definition, so rounds replay bit-identically on
+    * any engine and the oracle unrolls the same steps as CTEs.
+    *
+    * Same measured LOCAL route as [[pageRank]] (driver rounds under the
+    * byte-budgeted edge bound, bit-parity by construction, membership
+    * flags confine score to the node frame); same per-round shape
+    * otherwise: edges join the rank frame on src, one (dst) aggregate,
+    * one left join back to ids.
+    *
+    * @return per node: (id, katz) — fixed-point at `scale`.
+    */
+  def katzCentrality(nodes: DataFrame, idCol: String, edges: DataFrame,
+                     srcCol: String, dstCol: String, iterations: Int = 5,
+                     alphaNum: Long = 20, alphaDen: Long = 100,
+                     scale: Long = 1000000000L,
+                     maxLocalEdges: Long = -1L): DataFrame = {
+    require(iterations >= 1 && alphaNum > 0 && alphaDen > alphaNum,
+      "need iterations >= 1 and 0 < alpha < 1")
+    val n = nodes.count()
+    require(n > 0, "empty node set")
+    val ids = nodes.select(col(idCol).as("id"))
+    val baseFx = scale / n
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val bound = localGraphBound(maxLocalEdges)
+    if (bound > 0 && e.count() <= bound)
+      return katzLocal(ids, nodes.schema(idCol).dataType,
+        annotateEndpoints(e, ids).select("src", "dst", "__sin", "__din").collect(),
+        iterations, alphaNum, alphaDen, baseFx)
+    var x = ids.withColumn("katz", lit(baseFx))
+    for (_ <- 1 to iterations) {
+      val inMass = e.join(x, e("src") === x("id"))
+        .select(col("dst").as("id"), col("katz").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      x = ids.join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(baseFx) + expr(s"($alphaNum * coalesce(c, 0L)) div $alphaDen")).as("katz"))
+    }
+    x
+  }
+
+  /** Driver-side [[katzCentrality]] rounds — identical truncating-long
+    * arithmetic; out-of-frame endpoints never hold or emit score, exactly
+    * as the distributed joins drop them. */
+  private def katzLocal(ids: DataFrame, idType: org.apache.spark.sql.types.DataType,
+                        rows: Array[org.apache.spark.sql.Row],
+                        iterations: Int, alphaNum: Long, alphaDen: Long,
+                        baseFx: Long): DataFrame = {
+    import scala.collection.mutable
+    val inFrame = mutable.LinkedHashSet[Any]()
+    rows.foreach { r =>
+      if (!r.isNullAt(0) && rowFlag(r, 2)) inFrame += r.get(0)
+      if (!r.isNullAt(1) && rowFlag(r, 3)) inFrame += r.get(1)
+    }
+    val x = mutable.HashMap[Any, Long]()
+    inFrame.foreach(t => x(t) = baseFx)
+    for (_ <- 1 to iterations) {
+      val in = mutable.HashMap[Any, Long]()
+      rows.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1) && rowFlag(r, 3)) {
+          x.get(r.get(0)).foreach { p =>
+            in(r.get(1)) = in.getOrElse(r.get(1), 0L) + p
+          }
+        }
+      }
+      inFrame.foreach { t =>
+        x(t) = baseFx + alphaNum * in.getOrElse(t, 0L) / alphaDen
+      }
+    }
+    attachLocal(ids, idType,
+      inFrame.map(t => t -> Seq[Any](x(t))),
+      Seq(org.apache.spark.sql.types.StructField("__katz", org.apache.spark.sql.types.LongType)),
+      Seq(lit(baseFx)), Seq("katz"))
+  }
+
   def weightedPageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
                        srcCol: String, dstCol: String, weightCol: String,
                        iterations: Int = 5,

@@ -28,6 +28,17 @@ private[queries] object GraphQueries {
         iterations = 5).orderBy("id")
     },
 
+    "q_katz" -> { (s, dir) =>
+      // Katz attenuation-series centrality on the q_pagerank graph: full
+      // score down every edge ×0.2 per hop (influence is additive, not
+      // conserved) — 5 integer rounds, oracle-unrolled
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst")).distinct()
+      Components.katzCentrality(s.range(500).toDF("id"), "id", edges,
+        "src", "dst", iterations = 5).orderBy("id")
+    },
+
     "q_kcore" -> { (s, dir) =>
       // 6-core of the (sparsified) part co-purchase graph: peeling runs 4
       // rounds at sf0.01; the 8-round cap makes Spark ≡ the unrolled
@@ -182,6 +193,8 @@ private[queries] object GraphQueries {
     "q_kcore" -> kCoreOracle(6, 8),
 
     "q_pagerank" -> pageRankOracleSql(500, 5),
+
+    "q_katz" -> katzOracleSql(500, 5),
 
     "q_wpagerank" -> weightedPageRankOracleSql(300, 5),
 

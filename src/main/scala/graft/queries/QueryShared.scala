@@ -615,6 +615,25 @@ private[queries] object QueryShared {
        |SELECT id, CAST(pr AS BIGINT) AS pr FROM p$iters ORDER BY id""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.ops.Components.katzCentrality]] — the same
+    * truncated attenuation series unrolled as CTEs (no out-degree
+    * division, full score down every edge). */
+  def katzOracleSql(n: Int, iters: Int): String = {
+    val baseFx = 1000000000L / n
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT nn.id, $baseFx + (20 * coalesce(s.c, 0)) // 100 AS katz
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p${i - 1}.katz) AS c
+         |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.id
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }
+    s"""WITH e AS (SELECT DISTINCT o_custkey % $n AS src, o_orderkey % $n AS dst FROM orders),
+       |nn AS (SELECT unnest(range(0, $n)) AS id),
+       |p0 AS (SELECT id, $baseFx AS katz FROM nn),
+       |${steps.mkString(",\n")}
+       |SELECT id, CAST(katz AS BIGINT) AS katz FROM p$iters ORDER BY id""".stripMargin
+  }
+
   /** The q_inverted_topk CTE chain (postings, integer-linear idf, HUGEINT
     * dots/norms, ranked `r`) — shared verbatim by q_rrf's first ranking.
     */

@@ -30,6 +30,27 @@ class GraphLocalRouteSpec extends SparkSpec {
     assert(rows(local) == rows(dist) && local.count() == 12)
   }
 
+  test("katzCentrality: local route bit-equal, hand star fixture, dangling edges") {
+    val local = Components.katzCentrality(nodes, "id", edges, "src", "dst", iterations = 5)
+    val dist = Components.katzCentrality(nodes, "id", edges, "src", "dst", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(local) == rows(dist) && local.count() == 12)
+    // star 1→3, 2→3 over {1,2,3}: base = 1e9/3; katz(3) = base + (20·2·base)//100
+    val star = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Components.katzCentrality((1L to 3L).toDF("id"), "id", star,
+      "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = 1000000000L / 3
+    assert(got(1L) == base && got(2L) == base)
+    assert(got(3L) == base + 20L * (2L * base) / 100L)
+    // dangling edges + restricted frame: out-of-frame endpoints carry no score
+    val dang = edges.unionAll(Seq((99L, 1L), (3L, 99L)).toDF("src", "dst"))
+    val l2 = Components.katzCentrality(nodes, "id", dang, "src", "dst", iterations = 5)
+    val d2 = Components.katzCentrality(nodes, "id", dang, "src", "dst", iterations = 5,
+      maxLocalEdges = 0L)
+    assert(rows(l2) == rows(d2))
+  }
+
   test("weightedPageRank: local route bit-equal to distributed rounds") {
     val we = edges.withColumn("w", (col("src") * 3 + col("dst")) % 5 + 1)
     val local = Components.weightedPageRank(nodes, "id", we, "src", "dst", "w", iterations = 5)
