@@ -390,6 +390,49 @@ object Events {
           col("mau").cast(DoubleType)).as("stickiness")): _*)
   }
 
+  /** Harrell's concordance index — the RANKING eval for survival risk
+    * scores ([[logRank]] compares two groups; the C-index scores a
+    * CONTINUOUS risk model): over comparable pairs (subject i observed to
+    * fail before j's time), the fraction where the model ranked i
+    * riskier, score ties counting half. C = 1 perfect, 0.5 random.
+    *
+    * Exactness: everything reduces to integer pair counts over the
+    * (duration, observed, score) cell rollup —
+    * C = (2·concordant + tied)/(2·comparable) with an EXACT integer
+    * numerator. The cell×cell range join is bounded by the rollup's
+    * cardinality (quantize continuous scores upstream — the same contract
+    * as every drift reference); comparable pairs use strict tᵢ < tⱼ
+    * (equal-time pairs are excluded, the standard convention).
+    *
+    * @return one row: (comparable, concordant, tied_score, c).
+    */
+  def concordanceIndex(df: DataFrame, durationCol: String,
+                       observedCol: Column, scoreCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cells = df.select(col(durationCol).cast(LongType).as("t"),
+        observedCol.cast("boolean").as("e"),
+        col(scoreCol).cast(LongType).as("sc"))
+      .where(col("t").isNotNull && col("e").isNotNull && col("sc").isNotNull)
+      .groupBy("t", "e", "sc").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val a = cells.where(col("e"))
+      .select(col("t").as("ta"), col("sc").as("sa"), col("c").as("ca"))
+    val b = cells.select(col("t").as("tb"), col("sc").as("sb"), col("c").as("cb"))
+    val pair = (col("ca") * col("cb")).cast(D)
+    val agg = a.join(b, col("ta") < col("tb"))
+      .agg(sum(pair).as("__comp"),
+        sum(when(col("sa") > col("sb"), pair).otherwise(lit(0L).cast(D))).as("__conc"),
+        sum(when(col("sa") === col("sb"), pair).otherwise(lit(0L).cast(D))).as("__tied"))
+    val compD = col("__comp").cast(DoubleType)
+    val c = when(col("__comp") > lit(0L).cast(D),
+      (lit(2.0) * col("__conc").cast(DoubleType) + col("__tied").cast(DoubleType)) /
+        (lit(2.0) * compD))
+    agg.select(col("__comp").cast(LongType).as("comparable"),
+      col("__conc").cast(LongType).as("concordant"),
+      col("__tied").cast(LongType).as("tied_score"),
+      c.as("c"))
+  }
+
   /** Two-sample log-rank test (Mantel 1966) — [[kaplanMeier]]'s
     * comparison companion: "are these two survival curves the same",
     * censoring-aware (a t-test on lifetimes is biased the moment anything

@@ -129,6 +129,40 @@ private[queries] object StatsQueries {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_cohens_d" -> { (s, dir) =>
+      // parametric effect size on the q_mwu populations: at bench scale
+      // q_welch's t explodes with n — d/g say how many pooled SDs the
+      // means actually moved; welch's exact centered moments, two trees
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.cohensD(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
+    "q_qq" -> { (s, dir) =>
+      // per-decile QQ drill-down of the q_ks/q_w1 populations: WHERE do
+      // the price distributions diverge (tails vs body) — exact type-1
+      // quantiles from integer cumulatives, one conditional-min agg/side
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.qqTable(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents", quantiles = 10)
+    },
+
+    "q_cindex" -> { (s, dir) =>
+      // Harrell's C for "does activity volume rank user lifetimes":
+      // integer pair counts over the (t, e, score) rollup, exact
+      // (2·conc + tied)/(2·comparable)
+      val users = t(s, dir, "events").groupBy("user_id").agg(
+        expr("unix_micros(min(ts))").as("f"),
+        expr("unix_micros(max(ts))").as("l"),
+        count(lit(1)).as("risk"))
+      val lifetimes = users.select(
+        expr("(l - f) div 86400000000L").as("dur"),
+        (col("l") < lit(1706400000000000L)).as("observed"), col("risk"))
+      Events.concordanceIndex(lifetimes, "dur", col("observed"), "risk")
+    },
+
     "q_ad" -> { (s, dir) =>
       // tail-weighted drift on the q_cvm populations: AD weights the CDF
       // gap by 1/(F(1-F)) so tail contamination scores where CvM's
@@ -1061,6 +1095,79 @@ private[queries] object StatsQueries {
         |         / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
         |       END AS chi2
         |FROM m""".stripMargin,
+
+    "q_cohens_d" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |tot AS (SELECT sum(CAST(v AS HUGEINT)) AS s, CAST(count(*) AS BIGINT) AS n FROM u),
+        |mu AS (SELECT s // n AS mu FROM tot),
+        |m AS (SELECT side, CAST(count(*) AS BIGINT) AS ng,
+        |             sum(CAST(v - mu.mu AS HUGEINT)) AS sg,
+        |             sum(CAST(v - mu.mu AS HUGEINT) * CAST(v - mu.mu AS HUGEINT)) AS qg
+        |      FROM u, mu GROUP BY side),
+        |p AS (SELECT max(CASE WHEN side = 1 THEN ng END) AS n1, max(CASE WHEN side = 1 THEN sg END) AS s1,
+        |             max(CASE WHEN side = 1 THEN qg END) AS q1,
+        |             max(CASE WHEN side = 2 THEN ng END) AS n2, max(CASE WHEN side = 2 THEN sg END) AS s2,
+        |             max(CASE WHEN side = 2 THEN qg END) AS q2
+        |      FROM m),
+        |sel AS (SELECT n1, n2,
+        |               CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |               CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d
+        |        FROM p),
+        |vv AS (SELECT *, (q1d * n1d - s1d * s1d) / n1d AS ss1,
+        |              (q2d * n2d - s2d * s2d) / n2d AS ss2 FROM sel),
+        |w2 AS (SELECT *, (ss1 + ss2) / (n1d + n2d - 2.0) AS sp2 FROM vv),
+        |dd AS (SELECT *, (s1d / n1d - s2d / n2d) / sqrt(sp2) AS d FROM w2)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       CASE WHEN n1 >= 2 AND n2 >= 2 AND sp2 > 0.0 THEN d END AS d,
+        |       CASE WHEN n1 >= 2 AND n2 >= 2 AND sp2 > 0.0
+        |            THEN d * (1.0 - 3.0 / (4.0 * (n1d + n2d) - 9.0)) END AS g
+        |FROM dd""".stripMargin,
+
+    "q_qq" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |sp AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS p),
+        |c1 AS (SELECT v, count(*) AS c FROM u WHERE side = 1 GROUP BY v),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+        |k1 AS (SELECT v, sum(c) OVER (ORDER BY v) AS k FROM c1),
+        |q1s AS (SELECT sp.p, min(CASE WHEN k1.k * 10 >= sp.p * n1.n THEN k1.v END) AS q_ref
+        |        FROM k1, n1, sp GROUP BY sp.p),
+        |c2 AS (SELECT v, count(*) AS c FROM u WHERE side = 2 GROUP BY v),
+        |n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c2),
+        |k2 AS (SELECT v, sum(c) OVER (ORDER BY v) AS k FROM c2),
+        |q2s AS (SELECT sp.p, min(CASE WHEN k2.k * 10 >= sp.p * n2.n THEN k2.v END) AS q_cur
+        |        FROM k2, n2, sp GROUP BY sp.p)
+        |SELECT CAST(q1s.p AS INT) AS p, q_ref, q_cur, q_cur - q_ref AS gap
+        |FROM q1s JOIN q2s ON q1s.p = q2s.p
+        |ORDER BY p""".stripMargin,
+
+    "q_cindex" ->
+      """WITH u AS (SELECT user_id, epoch_us(min(CAST(ts AS TIMESTAMP))) AS f,
+        |                  epoch_us(max(CAST(ts AS TIMESTAMP))) AS l,
+        |                  CAST(count(*) AS BIGINT) AS risk
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT (l - f) // 86400000000 AS t, l < 1706400000000000 AS e, risk FROM u),
+        |cells AS (SELECT t, e, risk AS sc, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2, 3),
+        |a AS (SELECT t AS ta, sc AS sa, c AS ca FROM cells WHERE e),
+        |b AS (SELECT t AS tb, sc AS sb, c AS cb FROM cells),
+        |p AS (SELECT sum(CAST(ca AS HUGEINT) * cb) AS comp,
+        |             sum(CASE WHEN sa > sb THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS conc,
+        |             sum(CASE WHEN sa = sb THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS tied
+        |      FROM a JOIN b ON a.ta < b.tb)
+        |SELECT CAST(comp AS BIGINT) AS comparable, CAST(conc AS BIGINT) AS concordant,
+        |       CAST(tied AS BIGINT) AS tied_score,
+        |       CASE WHEN comp > 0 THEN
+        |         (2.0 * CAST(conc AS DOUBLE) + CAST(tied AS DOUBLE))
+        |         / (2.0 * CAST(comp AS DOUBLE)) END AS c
+        |FROM p""".stripMargin,
 
     "q_ad" ->
       """WITH u AS (

@@ -1531,6 +1531,100 @@ object Drift {
     (sfx.toDouble, a2)
   }
 
+  /** Cohen's d / Hedges' g — the PARAMETRIC effect size next to
+    * [[cliffsDelta]]'s ordinal one: at bench scale everything is
+    * "significant" ([[welchT]] explodes with n); d says how many pooled
+    * standard deviations the means moved, and g is its small-sample
+    * unbiased correction. Same grand-mean-centered exact moments as
+    * [[welchT]]; d and g are ONE fixed double tree each.
+    *
+    * @return one row: (n_ref, n_cur, d, g) — null when either side has
+    *         < 2 rows or the pooled variance is 0.
+    */
+  def cohensD(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(LongType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val rows = side(ref, 1).unionByName(side(cur, 2))
+      .localCheckpoint(true) // one scan serves the μ pass and the moments
+    val tot = rows.agg(sum(col("v").cast(D)).as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = tot.getLong(1)
+    require(n > 0, "cohensD needs at least one non-null row")
+    val sAll = BigInt(tot.getDecimal(0).toBigInteger)
+    // FLOOR division (DuckDB's `//`) — see anovaF
+    val q0 = sAll / n
+    val mu = (if (sAll.sign < 0 && q0 * n != sAll) q0 - 1 else q0).toLong
+    val y = (col("v") - lit(mu)).cast(D)
+    val m = rows.groupBy("s").agg(count(lit(1)).as("ng"),
+        sum(y).as("sg"), sum(y * y).as("qg"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))))
+      .toMap
+    require(m.contains(1) && m.contains(2), "both sides need rows")
+    val (n1, s1, q1) = m(1); val (n2, s2, q2) = m(2)
+    val n1d = lit(n1.toDouble); val n2d = lit(n2.toDouble)
+    val s1d = lit(s1.toDouble); val s2d = lit(s2.toDouble)
+    val q1d = lit(q1.toDouble); val q2d = lit(q2.toDouble)
+    // (n−1)·var = (q·n − s²)/n exactly; pooled s² over n1+n2−2
+    val ss1 = (q1d * n1d - s1d * s1d) / n1d
+    val ss2 = (q2d * n2d - s2d * s2d) / n2d
+    val sp2 = (ss1 + ss2) / (n1d + n2d - lit(2.0))
+    val d = (s1d / n1d - s2d / n2d) / sqrt(sp2)
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1d + n2d) - lit(9.0)))
+    val ok = n1 >= 2 && n2 >= 2
+    ref.sparkSession.range(1).select(
+      lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      (if (ok) when(sp2 > lit(0.0), d) else lit(null).cast(DoubleType)).as("d"),
+      (if (ok) when(sp2 > lit(0.0), g) else lit(null).cast(DoubleType)).as("g"))
+  }
+
+  /** Quantile–quantile table — the per-quantile MAGNITUDE view of
+    * two-sample drift: [[wasserstein1]] integrates the quantile gap into
+    * one number, the QQ table shows WHERE the distributions diverge
+    * (tails vs body) — the drill-down for every battery verdict. Type-1
+    * lower quantiles over exact integer cumulatives (k·q ≥ p·n — no
+    * floats anywhere), so every row is engine-exact.
+    *
+    * Same two-phase prefix machinery as [[wasserstein1]]; the q−1 cut
+    * points ride ONE conditional-min aggregate per side (no spine join).
+    *
+    * @return per cut p ∈ 1..q−1: (p, q_ref, q_cur, gap) ordered by p.
+    */
+  def qqTable(ref: DataFrame, cur: DataFrame, valueCol: String,
+              quantiles: Int = 10): DataFrame = {
+    require(quantiles >= 2, "need at least 2 quantiles")
+    def sideQ(df: DataFrame, outName: String): DataFrame = {
+      val cells = df.select(col(valueCol).cast(LongType).as("v"))
+        .where(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .repartitionByRange(col("v"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+      val totals = cells.groupBy("__pid").agg(sum(col("c")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = totals.valuesIterator.sum
+      require(n > 0, "both sides need rows")
+      val pids = totals.keys.toSeq.sorted
+      val offs = pids.zip(pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
+      val off = coalesce(element_at(typedlit(offs), col("__pid")), lit(0L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__pid").orderBy("v")
+      val withK = cells.withColumn("k", sum(col("c")).over(w) + off)
+      val mins = (1 until quantiles).map(p =>
+        min(when(col("k") * quantiles >= lit(p.toLong) * n, col("v"))).as(s"q$p"))
+      val one = withK.agg(mins.head, mins.tail: _*)
+      val rows = (1 until quantiles).map(p =>
+        struct(lit(p).as("p"), col(s"q$p").as(outName)))
+      one.select(inline(array(rows: _*)))
+    }
+    sideQ(ref, "q_ref").join(sideQ(cur, "q_cur"), "p")
+      .select(col("p"), col("q_ref"), col("q_cur"),
+        (col("q_cur") - col("q_ref")).as("gap"))
+      .orderBy("p")
+  }
+
   /** Mood's median test — the k-sample COUNTING member of the drift
     * family: [[kruskalWallis]] compares full rank distributions, this asks
     * only "do the groups split evenly around the POOLED median" — coarser

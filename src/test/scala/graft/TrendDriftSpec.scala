@@ -578,6 +578,55 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("cohensD: hand pooled-SD effect size, degenerate null") {
+    // g0 = {0,2}, g1 = {10,12}: ss = 2 each, sp² = 2, d = −10/√2
+    val a = Seq(0L, 2L).toDF("v"); val b = Seq(10L, 12L).toDF("v")
+    val r = Drift.cohensD(a, b, "v").collect()(0)
+    assert(r.getAs[Long]("n_ref") == 2 && r.getAs[Long]("n_cur") == 2)
+    assert(math.abs(r.getAs[Double]("d") - (-10.0 / math.sqrt(2.0))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("g") - r.getAs[Double]("d") * (1.0 - 3.0 / 7.0)) < 1e-12)
+    // zero pooled variance → null
+    val c = Seq(5L, 5L).toDF("v")
+    assert(Drift.cohensD(c, c, "v").collect()(0).isNullAt(2))
+  }
+
+  test("qqTable: shifted uniform hits exact decile gaps") {
+    val ref = (1L to 10L).toDF("v"); val cur = (11L to 20L).toDF("v")
+    val out = Drift.qqTable(ref, cur, "v", quantiles = 10)
+      .collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      val p = r.getAs[Int]("p")
+      assert(r.getAs[Long]("q_ref") == p.toLong, s"q_ref at p=$p")
+      assert(r.getAs[Long]("q_cur") == p.toLong + 10L)
+      assert(r.getAs[Long]("gap") == 10L)
+    }
+  }
+
+  test("concordanceIndex: perfect, reversed and tied rankings") {
+    import graft.ops.Events
+    // events at t=1,2 (observed), t=3 censored; score descends with time
+    val good = Seq((1L, true, 5L), (2L, true, 3L), (3L, false, 1L))
+      .toDF("dur", "obs", "risk")
+    val r1 = Events.concordanceIndex(good, "dur", col("obs"), "risk").collect()(0)
+    assert(r1.getAs[Long]("comparable") == 3 && r1.getAs[Long]("concordant") == 3)
+    assert(r1.getAs[Double]("c") == 1.0)
+    // reversed scores → C = 0
+    val bad = Seq((1L, true, 1L), (2L, true, 3L), (3L, false, 5L))
+      .toDF("dur", "obs", "risk")
+    assert(Events.concordanceIndex(bad, "dur", col("obs"), "risk")
+      .collect()(0).getAs[Double]("c") == 0.0)
+    // all-tied scores → C = 0.5; censored-first subject contributes no pairs
+    val tied = Seq((1L, true, 7L), (2L, true, 7L), (3L, false, 7L))
+      .toDF("dur", "obs", "risk")
+    val r3 = Events.concordanceIndex(tied, "dur", col("obs"), "risk").collect()(0)
+    assert(r3.getAs[Long]("tied_score") == 3 && r3.getAs[Double]("c") == 0.5)
+    // censored subjects never open pairs: single censored row → no pairs
+    val cen = Seq((1L, false, 5L), (2L, false, 1L)).toDF("dur", "obs", "risk")
+    val r4 = Events.concordanceIndex(cen, "dur", col("obs"), "risk").collect()(0)
+    assert(r4.isNullAt(r4.fieldIndex("comparable")) || r4.getAs[Long]("comparable") == 0)
+  }
+
   test("nelsonAalen: hand hazard increments, Breslow survival") {
     // durations: 1(obs), 1(obs), 2(cens), 3(obs)
     val subjects = Seq((1L, true), (1L, true), (2L, false), (3L, true))
