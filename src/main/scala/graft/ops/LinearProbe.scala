@@ -439,6 +439,56 @@ object LinearProbe {
           lit(1000000.0)).as("ece"))
   }
 
+  /** Label-noise screen (confident-learning-lite) — the curation pass
+    * that catches MISLABELED rows before they poison a training set: with
+    * per-class mean-score thresholds t₁/t₀, a negative scoring strictly
+    * above t₁ (or a positive strictly below t₀) is flagged as likely
+    * mislabeled. The full confident-learning machinery estimates a joint
+    * noise matrix; the class-threshold rule is its deterministic core and
+    * is exactly computable.
+    *
+    * Exactness: micro-fx scores make each threshold comparison an integer
+    * cross-multiplication (s·n₁ > Σs₁ — no division anywhere), so the
+    * flag set and all counts are engine-exact; the reported thresholds
+    * and rate are final-tree doubles. Two grouped aggregates (class
+    * moments broadcast back), no window.
+    *
+    * @return one row: (n, n_pos, n_neg, t_pos, t_neg, flagged_neg_high,
+    *         flagged_pos_low, noise_rate).
+    */
+  def labelNoiseStats(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sFx = graft.metrics.MetricColumns.fixedPointLong(
+      col(scoreCol).cast(DoubleType), 6)
+    val base = df.select(sFx.as("__s"), col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // serves the moment pass AND the flag pass
+    val m = base.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__y"), col("__s")).otherwise(0L).cast(dec)).as("s1"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("n0"),
+      sum(when(!col("__y"), col("__s")).otherwise(0L).cast(dec)).as("s0"))
+    val flags = base.crossJoin(broadcast(m))
+      .agg(max(col("n1")).as("n1"), max(col("n0")).as("n0"),
+        max(col("s1")).as("s1"), max(col("s0")).as("s0"),
+        sum(when(!col("__y") && col("n1") > 0L &&
+          col("__s").cast(dec) * col("n1").cast(dec) > col("s1"), 1L)
+          .otherwise(0L)).as("flagged_neg_high"),
+        sum(when(col("__y") && col("n0") > 0L &&
+          col("__s").cast(dec) * col("n0").cast(dec) < col("s0"), 1L)
+          .otherwise(0L)).as("flagged_pos_low"))
+    val n = col("n1") + col("n0")
+    flags.select(n.as("n"), col("n1").as("n_pos"), col("n0").as("n_neg"),
+      when(col("n1") > 0L, col("s1").cast(DoubleType) /
+        col("n1").cast(DoubleType) / lit(1e6)).as("t_pos"),
+      when(col("n0") > 0L, col("s0").cast(DoubleType) /
+        col("n0").cast(DoubleType) / lit(1e6)).as("t_neg"),
+      col("flagged_neg_high"), col("flagged_pos_low"),
+      ((col("flagged_neg_high") + col("flagged_pos_low")).cast(DoubleType) /
+        n.cast(DoubleType)).as("noise_rate"))
+  }
+
   /** Decile lift / cumulative-gains table — the targeting-eval view of a
     * scorer ([[rocAuc]] summarizes ranking in one number; lift says "the
     * top decile captures X× its share of positives", the number a

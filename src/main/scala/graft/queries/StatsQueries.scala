@@ -129,6 +129,35 @@ private[queries] object StatsQueries {
         li.where(col("l_returnflag") === "R"), "cents")
     },
 
+    "q_label_noise" -> { (s, dir) =>
+      // confident-learning-lite over the calibrated scorer: negatives
+      // scoring above the positive-class mean (and vice versa) flag as
+      // likely mislabeled — integer cross-multiplied thresholds, no
+      // division in the flag rule
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(
+        (h1.cast(DoubleType) / lit(1000.0)).as("score"), (h2 < h1).as("label"))
+      LinearProbe.labelNoiseStats(scored, "score", "label")
+    },
+
+    "q_score_ks" -> { (s, dir) =>
+      // scorer discrimination as the classic KS statistic between the
+      // positive and negative score populations — the credit-scoring
+      // number next to q_roc_auc, on the existing exact KS machinery
+      val docs = t(s, dir, "documents")
+      val h1 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|score"))) % 1000L
+      val h2 = graft.ops.Shingles.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("|label"))) % 1000L
+      val scored = docs.select(h1.as("sfx"), (h2 < h1).as("label"))
+      graft.scan.Drift.ksStatistic(scored.where(col("label")),
+        scored.where(!col("label")), "sfx")
+    },
+
     "q_cohens_d" -> { (s, dir) =>
       // parametric effect size on the q_mwu populations: at bench scale
       // q_welch's t explodes with n — d/g say how many pooled SDs the
@@ -1095,6 +1124,51 @@ private[queries] object StatsQueries {
         |         / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
         |       END AS chi2
         |FROM m""".stripMargin,
+
+    "q_label_noise" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |g AS (SELECT CAST(h1 AS DOUBLE) / 1000.0 AS score, h2 < h1 AS label FROM f),
+        |q AS (SELECT CAST(CASE WHEN score >= 0 THEN floor(score * 1000000.0 + 0.5)
+        |          ELSE -floor(-score * 1000000.0 + 0.5) END AS BIGINT) AS sfx, label FROM g),
+        |m AS (SELECT CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             sum(CASE WHEN label THEN CAST(sfx AS HUGEINT) ELSE 0 END) AS s1,
+        |             CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+        |             sum(CASE WHEN label THEN 0 ELSE CAST(sfx AS HUGEINT) END) AS s0
+        |      FROM q),
+        |fl AS (SELECT m.n1, m.n0, m.s1, m.s0,
+        |        CAST(sum(CASE WHEN NOT label AND m.n1 > 0
+        |                      AND CAST(sfx AS HUGEINT) * m.n1 > m.s1 THEN 1 ELSE 0 END) AS BIGINT) AS fnh,
+        |        CAST(sum(CASE WHEN label AND m.n0 > 0
+        |                      AND CAST(sfx AS HUGEINT) * m.n0 < m.s0 THEN 1 ELSE 0 END) AS BIGINT) AS fpl
+        |       FROM q, m GROUP BY m.n1, m.n0, m.s1, m.s0)
+        |SELECT n1 + n0 AS n, n1 AS n_pos, n0 AS n_neg,
+        |       CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0 END AS t_pos,
+        |       CASE WHEN n0 > 0 THEN CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1000000.0 END AS t_neg,
+        |       fnh AS flagged_neg_high, fpl AS flagged_pos_low,
+        |       CAST(fnh + fpl AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS noise_rate
+        |FROM fl""".stripMargin,
+
+    "q_score_ks" ->
+      """WITH f AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|score'), 1, 15))::BIGINT % 1000 AS h1,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|label'), 1, 15))::BIGINT % 1000 AS h2
+        |  FROM documents),
+        |u AS (SELECT h1 AS sfx, CASE WHEN h2 < h1 THEN 1 ELSE 2 END AS side FROM f),
+        |c AS (SELECT CAST(sfx AS DOUBLE) AS v,
+        |             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        |      FROM u GROUP BY sfx),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+        |k AS (SELECT sum(c1) OVER (ORDER BY v) AS k1,
+        |             sum(c2) OVER (ORDER BY v) AS k2 FROM c)
+        |SELECT n1 AS n_ref, n2 AS n_cur,
+        |       (SELECT max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |                     - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+        |        FROM k, n) AS ks_stat
+        |FROM n""".stripMargin,
 
     "q_cohens_d" ->
       """WITH u AS (

@@ -3366,6 +3366,24 @@ class CalibrationSpec extends SparkSpec {
       tb(0).getAs[Long]("n") == 9L)
   }
 
+  test("labelNoiseStats: class-threshold flags, exact cross-multiplied rule") {
+    // positives {.8,.9} (t₊ = .85), negatives {.1,.2,.9}: the .9 negative
+    // flags; no positive sits below t₋ = .4
+    val df = Seq((0.8, true), (0.9, true), (0.1, false), (0.2, false),
+      (0.9, false)).toDF("score", "label")
+    val r = LinearProbe.labelNoiseStats(df, "score", "label").collect()(0)
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Long]("n_pos") == 2)
+    assert(r.getAs[Double]("t_pos") == 0.85 && r.getAs[Double]("t_neg") == 0.4)
+    assert(r.getAs[Long]("flagged_neg_high") == 1)
+    assert(r.getAs[Long]("flagged_pos_low") == 0)
+    assert(r.getAs[Double]("noise_rate") == 1.0 / 5.0)
+    // a score exactly AT the threshold does not flag (strict inequality)
+    val at = Seq((0.5, true), (0.5, false)).toDF("score", "label")
+    val r2 = LinearProbe.labelNoiseStats(at, "score", "label").collect()(0)
+    assert(r2.getAs[Long]("flagged_neg_high") == 0 &&
+      r2.getAs[Long]("flagged_pos_low") == 0)
+  }
+
   test("pinballLoss: hand quantile-loss values, null pred rows excluded") {
     import graft.ops.Outliers
     // y=10: pred 8 (under by 2 → 9·2), pred 12 (over by 2 → 1·2)
