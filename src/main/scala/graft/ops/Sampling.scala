@@ -458,4 +458,59 @@ object Sampling {
       .withColumn("ratio", col("__r"))
       .drop("__pid", "__r", "__tok")
   }
+
+  /** Poisson(1) CDF thresholds on the 60-bit hash range — the shared
+    * literal table for [[bootstrapMeans]] and its oracle (generated in
+    * ONE place, the periodogram trig-table discipline). A hash below
+    * `poissonThresholds60(k)` draws weight ≤ k. */
+  private[graft] val poissonThresholds60: Seq[Long] = {
+    val cdf = Iterator.iterate((0, 1.0 / math.E, 1.0 / math.E)) {
+      case (k, pk, acc) =>
+        val p = pk / (k + 1); (k + 1, p, acc + p)
+    }.take(9).map(_._3).toSeq
+    cdf.map(c => math.floor(c * math.pow(2, 60)).toLong)
+  }
+
+  /** Deterministic multiplier bootstrap of a fixed-point mean — the
+    * RESAMPLING uncertainty a single variance number understates for
+    * skewed/heavy-tailed columns, without any data movement: each row
+    * draws a Poisson(1) multiplicity PER RESAMPLE from its id-hash (the
+    * classic multinomial→Poisson bootstrap approximation), so resample b
+    * is a deterministic row-local function and the whole B-resample sweep
+    * is ONE skinny (b, w, w·x) shuffle with map-side combine — no shuffle
+    * of the data, no per-resample pass, replayable on any engine.
+    *
+    * Exactness: weights come from integer hash-threshold comparisons
+    * (the shared [[poissonThresholds60]] literals), Σw and Σw·x are exact
+    * longs-in-decimal, each resample mean is ONE final tree.
+    *
+    * @return per resample: (b, sum_w, sum_wx, mean) ordered by b —
+    *         percentile CIs select from the sorted means.
+    */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                     resamples: Int = 20): DataFrame = {
+    require(resamples >= 2, "need at least 2 resamples")
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val rows = df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast(org.apache.spark.sql.types.LongType).as("__v"))
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+    val weighted = rows.select(posexplode(expr(s"sequence(0, ${resamples - 1})"))
+        .as(Seq("__i", "b")), col("__id"), col("__v"))
+      .withColumn("__h", graft.ops.Shingles.md5Hash60(
+        concat(col("__id"), lit("|bs|"), col("b").cast("string"))))
+      .withColumn("__w", poissonThresholds60.zipWithIndex.reverse
+        .foldLeft(lit(poissonThresholds60.size.toLong)) { case (acc, (t, k)) =>
+          when(col("__h") < lit(t), lit(k.toLong)).otherwise(acc)
+        })
+    weighted.groupBy("b")
+      .agg(sum(col("__w").cast(D)).as("__sw"),
+        sum((col("__w") * col("__v")).cast(D)).as("__swx"))
+      .select(col("b").cast(org.apache.spark.sql.types.LongType).as("b"),
+        col("__sw").cast(org.apache.spark.sql.types.LongType).as("sum_w"),
+        col("__swx").cast(org.apache.spark.sql.types.LongType).as("sum_wx"),
+        when(col("__sw") > lit(0L).cast(D),
+          col("__swx").cast(Dbl) / col("__sw").cast(Dbl)).as("mean"))
+      .orderBy("b")
+  }
 }

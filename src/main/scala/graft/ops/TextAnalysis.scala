@@ -1351,6 +1351,83 @@ object TextAnalysis {
     * @return one row: (n_ranks, slope, intercept, r2, zipf_s = −slope) —
     *         intercept in ln-frequency units.
     */
+  /** Token burstiness (Church & Gale): the variance-to-mean ratio of a
+    * token's per-document counts over the WHOLE corpus (zero docs
+    * included via the N-scaled identity) — Poissonian function words read
+    * ≈ 1, topical/boilerplate tokens ≫ 1; the signal that separates "the"
+    * from a template artifact with the same total frequency, and a
+    * dataset-card staple.
+    *
+    * Exactness: with tf = Σx and x2 = Σx² over containing docs and N the
+    * corpus size, VMR = (x2·N − tf²)/(N·tf) — exact DECIMAL(38,0)
+    * operands, one final tree. One (token, doc) shuffle with map-side
+    * combine + one token rollup; ordering (vmr desc, token asc) is
+    * deterministic because both engines compute the identical double.
+    *
+    * @return top-K rows: (token, tf, df_docs, vmr).
+    */
+  def burstiness(df: DataFrame, idCol: String, textCol: String,
+                 minTotal: Long = 50L, topK: Int = 50): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val base = df.where(col(textCol).isNotNull)
+    val nDocs = base.count()
+    require(nDocs > 0, "need at least one document")
+    val perDoc = base
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token", "doc").agg(count(lit(1)).as("c"))
+    val g = perDoc.groupBy("token")
+      .agg(sum(col("c")).cast(org.apache.spark.sql.types.LongType).as("tf"),
+        sum(col("c").cast(D) * col("c").cast(D)).as("x2"),
+        count(lit(1)).as("df_docs"))
+      .where(col("tf") >= minTotal)
+    val num = (col("x2") * lit(nDocs).cast(D) -
+      col("tf").cast(D) * col("tf").cast(D)).cast(Dbl)
+    val den = (lit(nDocs).cast(D) * col("tf").cast(D)).cast(Dbl)
+    g.select(col("token"), col("tf"), col("df_docs"), (num / den).as("vmr"))
+      .orderBy(col("vmr").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** Heaps'-law fit — vocabulary GROWTH health next to [[zipfFit]]'s
+    * frequency health: across documents, distinct types scale as
+    * V = K·n^β (β ≈ 0.4–0.6 for natural text); a template corpus reads
+    * β → 0 (vocab saturates), id-spam reads β → 1. Pico fixed-point
+    * log-log OLS over the per-document (tokens, types) points — the
+    * zipfFit machinery on a different point cloud.
+    *
+    * @return one row: (n_docs, beta, intercept, k, r2).
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val perDoc = df
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("doc").agg(count(lit(1)).as("nt"),
+        countDistinct(col("token")).as("nv"))
+    val xFx = graft.metrics.MetricColumns.fixedPointLong(log(col("nt").cast(Dbl)), 12)
+    val yFx = graft.metrics.MetricColumns.fixedPointLong(log(col("nv").cast(Dbl)), 12)
+    val aggs = Correlation.pairAggs(xFx, yFx, "z")
+    val m = perDoc.agg(aggs.head, aggs.tail: _*)
+    val n = col("n_z").cast(D)
+    val sx = col("sx_z"); val sy = col("sy_z")
+    val sxx = graft.metrics.MetricColumns.sumsqTotal("xx_z")
+    val sxy = graft.metrics.MetricColumns.sumprodTotal("xy_z")
+    val num = (n * sxy - sx * sy).cast(Dbl)
+    val den = (n * sxx - sx * sx).cast(Dbl)
+    val slope = num / den
+    val r = Correlation.pairCorr("z")
+    val intercept = (sy.cast(Dbl) - num / den * sx.cast(Dbl)) /
+      col("n_z").cast(Dbl) / lit(1e12)
+    m.select(col("n_z").as("n_docs"),
+      when(den > 0.0, slope).as("beta"),
+      when(den > 0.0, intercept).as("intercept"),
+      when(den > 0.0, exp(intercept)).as("k"),
+      (r * r).as("r2"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
     require(topN >= 2, "topN must be >= 2")
     import org.apache.spark.sql.expressions.Window

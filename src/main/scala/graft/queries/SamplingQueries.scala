@@ -16,6 +16,14 @@ private[queries] object SamplingQueries {
   import QueryShared._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap" -> ((s, dir) =>
+      // deterministic Poisson multiplier bootstrap of the mean doc
+      // length: 20 hash-seeded resamples in ONE skinny shuffle — the
+      // resampling uncertainty a variance number understates for skewed
+      // columns; integer threshold weights, exact sums
+      Sampling.bootstrapMeans(t(s, dir, "documents"), "doc_id", "n_chars",
+        resamples = 20)),
+
     "q_top_pct" -> ((s, dir) =>
       // per-group quality-threshold calibration: keep the top 20% of each
       // language by length — exact-integer keep rule (rank*100 <= n*pct),
@@ -239,6 +247,24 @@ private[queries] object SamplingQueries {
         |      FROM g JOIN b USING (lang))
         |SELECT doc_id, lang, n_tokens, CAST(score AS BIGINT) AS score, ratio, cum_tokens
         |FROM r WHERE cum_tokens <= budget ORDER BY lang, cum_tokens""".stripMargin,
+
+    "q_bootstrap" -> {
+      val ths = graft.ops.Sampling.poissonThresholds60
+      val arms = ths.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+      s"""WITH r AS (SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS BIGINT) AS v
+         |           FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         |e AS (SELECT id, v, CAST(unnest(range(0, 20)) AS BIGINT) AS b FROM r),
+         |h AS (SELECT b, v,
+         |             ('0x' || substr(md5(id || '|bs|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM e),
+         |w AS (SELECT b, v, CASE $arms ELSE ${ths.size} END AS w FROM h),
+         |g AS (SELECT b, sum(CAST(w AS HUGEINT)) AS sw,
+         |             sum(CAST(w * v AS HUGEINT)) AS swx FROM w GROUP BY b)
+         |SELECT b, CAST(sw AS BIGINT) AS sum_w, CAST(swx AS BIGINT) AS sum_wx,
+         |       CASE WHEN sw > 0 THEN CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) END AS mean
+         |FROM g ORDER BY b""".stripMargin
+    },
 
     "q_budget_select" ->
       """WITH f AS (SELECT doc_id,

@@ -53,6 +53,19 @@ private[queries] object TextQueries {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
 
+    "q_burstiness" -> ((s, dir) =>
+      // token variance-to-mean over per-doc counts (zeros via the
+      // N-scaled identity): separates topical/template tokens (VMR >> 1)
+      // from Poissonian function words with the same total frequency
+      TextAnalysis.burstiness(t(s, dir, "documents"), "doc_id", "text",
+        minTotal = 50L, topK = 50)),
+
+    "q_heaps" -> ((s, dir) =>
+      // vocabulary-growth health: Heaps' V = K·n^beta across per-doc
+      // (tokens, types) points — template corpora read beta -> 0,
+      // id-spam beta -> 1; pico-fx log-log OLS (the zipf machinery)
+      TextAnalysis.heapsFit(t(s, dir, "documents"), "doc_id", "text")),
+
     "q_zipf" -> ((s, dir) =>
       // corpus-health Zipf fit over the top-500 rank-frequency curve:
       // natural text reads s ≈ 1 with high R²; template/generated corpora
@@ -582,6 +595,51 @@ private[queries] object TextQueries {
         |g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs FROM t GROUP BY token)
         |SELECT token, tf, df_docs FROM g
         |ORDER BY tf DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |      FROM documents WHERE text IS NOT NULL),
+        |pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c FROM t
+        |       WHERE token <> '' GROUP BY 1, 2),
+        |g AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+        |             sum(CAST(c AS HUGEINT) * c) AS x2,
+        |             CAST(count(*) AS BIGINT) AS df_docs
+        |      FROM pd GROUP BY token),
+        |v AS (SELECT token, tf, df_docs,
+        |        CAST(x2 * nd.n - CAST(tf AS HUGEINT) * tf AS DOUBLE)
+        |        / CAST(CAST(nd.n AS HUGEINT) * tf AS DOUBLE) AS vmr
+        |      FROM g, nd WHERE tf >= 50)
+        |SELECT token, tf, df_docs, vmr FROM v
+        |ORDER BY vmr DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_heaps" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+        |              CAST(count(DISTINCT token) AS BIGINT) AS nv
+        |       FROM t WHERE token <> '' GROUP BY doc_id),
+        |fx AS (SELECT CAST(floor(ln(CAST(nt AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT) AS x,
+        |              CAST(floor(ln(CAST(nv AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT) AS y
+        |       FROM pd),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |      FROM fx)
+        |SELECT n AS n_docs,
+        |       CASE WHEN dx > 0.0 THEN num / dx END AS beta,
+        |       CASE WHEN dx > 0.0 THEN (CAST(sy AS DOUBLE) - num / dx * CAST(sx AS DOUBLE))
+        |                               / CAST(n AS DOUBLE) / 1000000000000.0 END AS intercept,
+        |       CASE WHEN dx > 0.0 THEN exp((CAST(sy AS DOUBLE) - num / dx * CAST(sx AS DOUBLE))
+        |                               / CAST(n AS DOUBLE) / 1000000000000.0) END AS k,
+        |       CASE WHEN dx > 0.0 AND dy > 0.0
+        |            THEN (num / (sqrt(dx) * sqrt(dy))) * (num / (sqrt(dx) * sqrt(dy))) END AS r2
+        |FROM (SELECT n, sx, sy,
+        |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |        CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |        CAST(n * syy - sy * sy AS DOUBLE) AS dy
+        |      FROM m) t""".stripMargin,
 
     "q_zipf" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),

@@ -2478,6 +2478,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == two && one.nonEmpty)
   }
 
+  test("burstiness: concentrated token VMR = 3, uniform token VMR = 0") {
+    val docs = Seq(
+      (1L, "x x x x y"), (2L, "y"), (3L, "y"), (4L, "y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.burstiness(docs, "doc_id", "text",
+        minTotal = 1L, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("vmr")).toMap
+    // x: tf=4, x2=16, N=4 → (64−16)/16 = 3; y: one per doc → variance 0
+    assert(out("x") == 3.0)
+    assert(out("y") == 0.0)
+  }
+
+  test("heapsFit: two-point power law beta = 1, degenerate corpus null") {
+    val docs = Seq((1L, "a b"), (2L, "c d e f")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("k") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    // all docs the same length → zero x-variance → null fit
+    val flat = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val f = TextAnalysis.heapsFit(flat, "doc_id", "text").collect()(0)
+    assert(f.isNullAt(f.fieldIndex("beta")))
+  }
+
+  test("bootstrapMeans: deterministic Poisson resamples, weight mass ~n, means bracket the truth") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("v", (col("id") % 100) + 1L)
+    val out = Sampling.bootstrapMeans(df, "id", "v", resamples = 20).collect()
+    assert(out.length == 20 && out.map(_.getAs[Long]("b")).toSeq == (0L until 20L))
+    // Poisson(1) weights: per-resample mass within ±10% of n
+    out.foreach { r =>
+      val sw = r.getAs[Long]("sum_w")
+      assert(sw > 1800 && sw < 2200, s"resample mass off: $sw")
+    }
+    // resample means scatter around the true mean 50.5, all within ±3 SE
+    val means = out.map(_.getAs[Double]("mean"))
+    assert(means.forall(m => math.abs(m - 50.5) < 3.0), means.mkString(","))
+    assert(means.distinct.length > 1) // resamples genuinely differ
+    // byte-for-byte deterministic across runs and layouts
+    val again = Sampling.bootstrapMeans(df.repartition(17), "id", "v", 20)
+      .collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+    // threshold table is the Poisson(1) CDF at 2^60 scale: first arm = e^-1
+    assert(Sampling.poissonThresholds60.head ==
+      math.floor(1.0 / math.E * math.pow(2, 60)).toLong)
+    assert(Sampling.poissonThresholds60.length == 9 &&
+      Sampling.poissonThresholds60.last > (1L << 59) * 2 - (1L << 41))
+  }
+
   test("hash sampling is deterministic, refinable, and stratified fractions apply") {
     val ids = spark.range(0, 1000).toDF("id")
     val s10 = Sampling.hashSample(ids, "id", 0.1).select("id").as[Long].collect().toSet
