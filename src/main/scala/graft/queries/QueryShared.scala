@@ -1221,6 +1221,68 @@ private[queries] object QueryShared {
        |FROM a ORDER BY event_type, period""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.scan.Drift.jonckheereTerpstra]] over the
+    * orders priority tiers — generated so the k cumulative columns, the
+    * k(k−1)/2 pair terms and every variance tree mirror the Spark
+    * operator exactly. */
+  def jtOracle(groups: Seq[String]): String = {
+    val k = groups.size
+    val inList = groups.map(g => s"'$g'").mkString(", ")
+    val cCols = groups.zipWithIndex.map { case (g, i) =>
+      s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(",\n|        ")
+    val kCols = (0 until k).map(i =>
+      s"sum(c$i) OVER (ORDER BY v) AS k$i").mkString(",\n|        ")
+    val cList = (0 until k).map(i => s"c$i").mkString(", ")
+    val pairTerms = (for { i <- 0 until k; j <- (i + 1) until k } yield
+      s"CAST(c$j AS HUGEINT) * (k$i * 2 - c$i)").mkString("\n|          + ")
+    val tSum = (0 until k).map(i => s"c$i").mkString(" + ")
+    val nCols = (0 until k).map(i =>
+      s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+    val nSum = (0 until k).map(i => s"n$i").mkString(" + ")
+    def gSum(body: String) =
+      (0 until k).map(i => s"CAST(n$i AS HUGEINT)${body.replace("m", s"n$i")}")
+        .mkString(" + ")
+    val saSql = gSum(" * (m - 1) * (2 * m + 5)")
+    val sbSql = gSum(" * (m - 1) * (m - 2)")
+    val scSql = gSum(" * (m - 1)")
+    val sqSql = (0 until k).map(i => s"CAST(n$i AS HUGEINT) * n$i").mkString(" + ")
+    s"""WITH u AS (SELECT o_orderpriority AS g,
+       |       CAST(CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 100.0 + 0.5)
+       |            ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT) AS v
+       |  FROM orders WHERE o_orderpriority IN ($inList)),
+       |c AS (SELECT v,
+       |        $cCols
+       |      FROM u GROUP BY v),
+       |kk AS (SELECT v, $cList,
+       |        $kCols FROM c),
+       |m AS (SELECT
+       |        sum($pairTerms) AS j2,
+       |        sum(CAST(($tSum) AS HUGEINT) * (($tSum) - 1) * (($tSum) * 2 + 5)) AS ta,
+       |        sum(CAST(($tSum) AS HUGEINT) * (($tSum) - 1) * (($tSum) - 2)) AS tb,
+       |        sum(CAST(($tSum) AS HUGEINT) * (($tSum) - 1)) AS tc
+       |      FROM kk),
+       |ng AS (SELECT $nCols FROM c),
+       |st AS (SELECT CAST($nSum AS BIGINT) AS n,
+       |              $saSql AS sa, $sbSql AS sb, $scSql AS sc,
+       |              $sqSql AS sq FROM ng),
+       |fin AS (SELECT m.j2, m.ta, m.tb, m.tc, st.n, st.sa, st.sb, st.sc,
+       |               (CAST(st.n AS HUGEINT) * st.n - st.sq) // 2 AS ej2,
+       |               CAST(st.n AS HUGEINT) * (st.n - 1) * (2 * st.n + 5) AS nterm
+       |        FROM m, st),
+       |d AS (SELECT CAST(j2 AS DOUBLE) AS j2d, CAST(ej2 AS DOUBLE) AS ej2d,
+       |             CAST(n AS DOUBLE) AS nd,
+       |             (CAST(nterm AS DOUBLE) - CAST(sa AS DOUBLE) - CAST(ta AS DOUBLE)) / 72.0
+       |             + CAST(sb AS DOUBLE) * CAST(tb AS DOUBLE)
+       |               / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0))
+       |             + CAST(sc AS DOUBLE) * CAST(tc AS DOUBLE)
+       |               / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS varj,
+       |             n FROM fin)
+       |SELECT CAST($k AS BIGINT) AS groups, n, j2d AS j2, ej2d AS e_j2,
+       |       CASE WHEN varj > 0.0 THEN (j2d - ej2d) / 2.0 / sqrt(varj) END AS z
+       |FROM d""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.ops.Correlation.theilsU]] — the
     * [[mutualInfoOracle]] blocks with the asymmetric U = I/H selects. */
   def theilsUOracle: String = {

@@ -263,6 +263,17 @@ private[queries] object StatsQueries {
         .orderBy("custkey")
     },
 
+    "q_jt" -> { (s, dir) =>
+      // ordered-alternative k-sample trend: do order totals shift
+      // MONOTONICALLY with priority tier — the question q_kruskal's
+      // any-difference H has no power against; doubled exact J over the
+      // pooled rollup, tie-corrected Hollander-Wolfe variance
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        MetricColumns.fixedPointLong(col("o_totalprice"), 2).as("cents"))
+      graft.scan.Drift.jonckheereTerpstra(o, "cents", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+    },
+
     "q_mood" -> { (s, dir) =>
       // k-sample counting drift: do per-flag prices split evenly around
       // the POOLED median — coarser than q_kruskal's ranks but immune to
@@ -1315,6 +1326,9 @@ private[queries] object StatsQueries {
         |       CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
         |            THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q_jt" -> jtOracle(
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
 
     "q_mood" ->
       """WITH u AS (

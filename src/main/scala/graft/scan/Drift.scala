@@ -1531,6 +1531,93 @@ object Drift {
     (sfx.toDouble, a2)
   }
 
+  /** Jonckheere–Terpstra ordered-alternative trend test — the k-sample
+    * member [[kruskalWallis]] can't replace when the groups carry an
+    * ORDER (priority tiers, quality buckets, date cohorts): KW asks "any
+    * difference", JT asks "do the distributions shift MONOTONICALLY with
+    * the group order" and has far more power against exactly that
+    * alternative. J = Σ_{i<j} [#(xᵢ<xⱼ) + ½·ties] over ordered group
+    * pairs; z via the tie-corrected Hollander–Wolfe variance.
+    *
+    * Exactness: carried DOUBLED (J₂ = Σ cⱼ(v)·(2Kᵢ(v)−cᵢ(v)) over the
+    * pooled distinct-value rollup — exact DECIMAL(38,0)); all three tie
+    * sums Σt(t−1)(2t+5)/Σt(t−1)(t−2)/Σt(t−1) and the group-size sums are
+    * exact integers; E[J₂] = (N²−Σnᵢ²)/2 exact; z is ONE fixed tree. One
+    * (value) shuffle + the fused per-group prefix scan (k cumulative
+    * columns through the partition-offset machinery — no global-order
+    * funnel).
+    *
+    * @param orderedGroups the group values in their hypothesized
+    *        ascending order (rows outside the list are dropped)
+    * @return one row: (groups, n, j2, e_j2, z) — z null when the
+    *         variance is 0.
+    */
+  def jonckheereTerpstra(df: DataFrame, valueCol: String, groupCol: String,
+                         orderedGroups: Seq[String]): DataFrame = {
+    val k = orderedGroups.size
+    require(k >= 2, "need at least 2 ordered groups")
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(LongType).as("v"))
+      .where(col("g").isin(orderedGroups: _*) && col("v").isNotNull)
+    val cAggs = orderedGroups.zipWithIndex.map { case (gv, i) =>
+      sum(when(col("g") === gv, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = rows.groupBy("v").agg(cAggs.head, cAggs.tail: _*)
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val tAggs = (0 until k).map(i => sum(col(s"c$i")).as(s"t$i"))
+    val totals = parts.groupBy("__pid").agg(tAggs.head, tAggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> (0 until k).map(i => r.getLong(i + 1)))
+      .toMap
+    val nG: Seq[Long] = (0 until k).map(i => totals.valuesIterator.map(_(i)).sum)
+    val n = nG.sum
+    require(n > 0, "need at least one in-group row")
+    val pids = totals.keys.toSeq.sorted
+    def offsetExpr(i: Int) = {
+      val m = pids.zip(pids.scanLeft(0L)((a, p) => a + totals(p)(i)).init).toMap
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    var withK = parts
+    for (i <- 0 until k)
+      withK = withK.withColumn(s"k$i", sum(col(s"c$i")).over(w) + offsetExpr(i))
+    // J₂ contribution at each value: Σ_{i<j} cⱼ·(2Kᵢ − cᵢ)
+    val contrib = (for {
+      i <- 0 until k; j <- (i + 1) until k
+    } yield col(s"c$j").cast(D) *
+      (col(s"k$i") * 2L - col(s"c$i")).cast(D)).reduce(_ + _)
+    val t = (0 until k).map(i => col(s"c$i")).reduce(_ + _)
+    val agg = withK.agg(sum(contrib).as("__j2"),
+      sum((t * (t - 1L) * (t * 2L + 5L)).cast(D)).as("__ta"),
+      sum((t * (t - 1L) * (t - 2L)).cast(D)).as("__tb"),
+      sum((t * (t - 1L)).cast(D)).as("__tc"))
+    // group-size sums (driver BigInt — k-bounded)
+    def gs(f: Long => BigInt): BigInt = nG.map(f).sum
+    val sa = gs(m => BigInt(m) * (m - 1) * (2 * m + 5))
+    val sb = gs(m => BigInt(m) * (m - 1) * (m - 2))
+    val sc = gs(m => BigInt(m) * (m - 1))
+    val sumSq = nG.map(m => BigInt(m) * m).sum
+    val eJ2 = (BigInt(n) * n - sumSq) / 2 // even: N² and Σn² share parity
+    val nD = lit(n.toDouble)
+    val aD = (lit((BigInt(n) * (n - 1) * (2L * n + 5)).toDouble) -
+      lit(sa.toDouble) - col("__ta").cast(DoubleType)) / lit(72.0)
+    val bD = lit(sb.toDouble) * col("__tb").cast(DoubleType) /
+      (lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0)))
+    val cD = lit(sc.toDouble) * col("__tc").cast(DoubleType) /
+      (lit(8.0) * nD * (nD - lit(1.0)))
+    val varJ = aD + bD + cD
+    val z = when(varJ > lit(0.0),
+      (col("__j2").cast(DoubleType) - lit(eJ2.toDouble)) / lit(2.0) /
+        sqrt(varJ))
+    agg.select(lit(k.toLong).as("groups"), lit(n).as("n"),
+      col("__j2").cast(DoubleType).as("j2"),
+      lit(eJ2.toDouble).as("e_j2"), z.as("z"))
+  }
+
   /** Cohen's d / Hedges' g — the PARAMETRIC effect size next to
     * [[cliffsDelta]]'s ordinal one: at bench scale everything is
     * "significant" ([[welchT]] explodes with n); d says how many pooled

@@ -578,6 +578,31 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("jonckheereTerpstra: hand fixture, MWU identity, tie handling") {
+    // a = {1,2} < b = {3,4}: J = 4, E[J2] = 4, Var = 5/3
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Drift.jonckheereTerpstra(df, "v", "g", Seq("a", "b")).collect()(0)
+    assert(r.getAs[Long]("groups") == 2 && r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("j2") == 8.0 && r.getAs[Double]("e_j2") == 4.0)
+    assert(math.abs(r.getAs[Double]("z") - (8.0 - 4.0) / 2.0 / math.sqrt(5.0 / 3.0)) < 1e-12)
+    // k = 2 reduces to MWU: J2 = 2·n1·n2 − u_doubled, any data incl. ties
+    val rnd = new scala.util.Random(99)
+    val g1 = Seq.fill(40)(rnd.nextInt(12).toLong)
+    val g2 = Seq.fill(55)(rnd.nextInt(12).toLong + 3)
+    val both = (g1.map(("a", _)) ++ g2.map(("b", _))).toDF("g", "v")
+    val jt = Drift.jonckheereTerpstra(both, "v", "g", Seq("a", "b")).collect()(0)
+    val mwu = Drift.mannWhitneyU(g1.toDF("v"), g2.toDF("v"), "v").collect()(0)
+    assert(jt.getAs[Double]("j2") ==
+      2.0 * 40 * 55 - mwu.getAs[Long]("u_doubled").toDouble)
+    // perfectly ordered three groups: J2 at its maximum 2·Σ ninj
+    val mono = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("g", "v")
+    val m = Drift.jonckheereTerpstra(mono, "v", "g", Seq("a", "b", "c")).collect()(0)
+    assert(m.getAs[Double]("j2") == 6.0 && m.getAs[Double]("e_j2") == 3.0)
+    // reversed order scores 0
+    val rev = Drift.jonckheereTerpstra(mono, "v", "g", Seq("c", "b", "a")).collect()(0)
+    assert(rev.getAs[Double]("j2") == 0.0)
+  }
+
   test("cohensD: hand pooled-SD effect size, degenerate null") {
     // g0 = {0,2}, g1 = {10,12}: ss = 2 each, sp² = 2, d = −10/√2
     val a = Seq(0L, 2L).toDF("v"); val b = Seq(10L, 12L).toDF("v")
