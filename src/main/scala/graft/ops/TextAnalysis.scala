@@ -1351,6 +1351,56 @@ object TextAnalysis {
     * @return one row: (n_ranks, slope, intercept, r2, zipf_s = −slope) —
     *         intercept in ln-frequency units.
     */
+  /** RAKE keyword extraction (Rose et al. 2010) — corpus-level keyphrase
+    * mining next to the per-document tf-idf keywords: candidate phrases
+    * are the maximal runs between stopwords/non-alphanumerics, a word
+    * scores degree/frequency (words that live in LONG phrases beat
+    * words that appear alone), a phrase scores the sum of its words —
+    * multi-word domain terms surface where unigram frequency buries them.
+    *
+    * Exactness: word scores quantize by INTEGER division
+    * (deg·10⁶ div freq), phrase scores are exact integer sums, ordering
+    * (score desc, phrase asc) is total. Shape: one posexplode + a per-doc
+    * position window for the stop-run islands (gaps-and-islands via the
+    * running stop count), then bounded (word) and (phrase) rollups; the
+    * word-score join is skinny (vocabulary-sized — AQE broadcasts).
+    *
+    * @return top-K rows: (phrase, cnt, score_fx, score).
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = stopwordsEn,
+                   topK: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val words = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("__pos", "__w")))
+    val w1 = words.withColumn("__st",
+      when(col("__w").isin(stopwords: _*) || col("__w") === "", 1L).otherwise(0L))
+    val w2 = w1.withColumn("__pid",
+      sum(col("__st")).over(Window.partitionBy("__doc").orderBy("__pos")))
+    val wnz = w2.where(col("__st") === 0L).select("__doc", "__pid", "__pos", "__w")
+    val ph = wnz.groupBy("__doc", "__pid").agg(count(lit(1)).as("__len"))
+    val wl = wnz.join(ph, Seq("__doc", "__pid"))
+    val ws = wl.groupBy("__w")
+      .agg(count(lit(1)).as("freq"), sum(col("__len")).as("deg"))
+      .withColumn("__sfx", expr("(deg * 1000000L) div freq"))
+    val ps = wl.join(ws.select("__w", "__sfx"), "__w")
+      .groupBy("__doc", "__pid")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w")), " ").as("phrase"),
+        sum(col("__sfx").cast(D)).as("__score"))
+    ps.groupBy("phrase")
+      .agg(count(lit(1)).as("cnt"),
+        max(col("__score")).cast(org.apache.spark.sql.types.LongType).as("score_fx"))
+      .select(col("phrase"), col("cnt"), col("score_fx"),
+        (col("score_fx").cast(org.apache.spark.sql.types.DoubleType) /
+          lit(1e6)).as("score"))
+      .orderBy(col("score_fx").desc, col("phrase").asc)
+      .limit(topK)
+  }
+
   /** Token burstiness (Church & Gale): the variance-to-mean ratio of a
     * token's per-document counts over the WHOLE corpus (zero docs
     * included via the N-scaled identity) — Poissonian function words read

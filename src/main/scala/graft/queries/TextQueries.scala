@@ -53,6 +53,13 @@ private[queries] object TextQueries {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
 
+    "q_rake" -> ((s, dir) =>
+      // corpus keyphrases: maximal stopword-free runs scored by summed
+      // word degree/frequency — multi-word domain terms surface where
+      // unigram frequency buries them; integer-division word scores
+      TextAnalysis.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+        topK = 25)),
+
     "q_burstiness" -> ((s, dir) =>
       // token variance-to-mean over per-doc counts (zeros via the
       // N-scaled identity): separates topical/template tokens (VMR >> 1)
@@ -595,6 +602,34 @@ private[queries] object TextQueries {
         |g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs FROM t GROUP BY token)
         |SELECT token, tf, df_docs FROM g
         |ORDER BY tf DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_rake" ->
+      """WITH d0 AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+        |            FROM documents WHERE text IS NOT NULL),
+        |w0 AS (SELECT doc_id, CAST(unnest(generate_series(1, len(arr))) AS BIGINT) AS pos,
+        |              unnest(arr) AS word
+        |       FROM d0),
+        |w1 AS (SELECT doc_id, pos, word,
+        |              CASE WHEN word IN ('the','a','and','of','to','in','is','on','for','with')
+        |                     OR word = '' THEN 1 ELSE 0 END AS st
+        |       FROM w0),
+        |w2 AS (SELECT doc_id, pos, word, st,
+        |              sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM w1),
+        |wnz AS (SELECT doc_id, pid, pos, word FROM w2 WHERE st = 0),
+        |ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len FROM wnz GROUP BY 1, 2),
+        |wl AS (SELECT w.word, w.doc_id, w.pid, w.pos, ph.len
+        |       FROM wnz w JOIN ph USING (doc_id, pid)),
+        |ws AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, CAST(sum(len) AS BIGINT) AS deg
+        |       FROM wl GROUP BY word),
+        |sc AS (SELECT word, (deg * 1000000) // freq AS sfx FROM ws),
+        |ps AS (SELECT wl.doc_id, wl.pid,
+        |              string_agg(wl.word, ' ' ORDER BY wl.pos) AS phrase,
+        |              CAST(sum(sc.sfx) AS BIGINT) AS score_fx
+        |       FROM wl JOIN sc USING (word) GROUP BY 1, 2),
+        |agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS cnt,
+        |               CAST(max(score_fx) AS BIGINT) AS score_fx FROM ps GROUP BY phrase)
+        |SELECT phrase, cnt, score_fx, CAST(score_fx AS DOUBLE) / 1000000.0 AS score
+        |FROM agg ORDER BY score_fx DESC, phrase ASC LIMIT 25""".stripMargin,
 
     "q_burstiness" ->
       """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),

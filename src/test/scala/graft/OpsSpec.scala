@@ -2478,6 +2478,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == two && one.nonEmpty)
   }
 
+  test("rakeKeywords: degree/frequency scoring, stopword islands, exact integer scores") {
+    val docs = Seq(
+      (1L, "Deep Learning of deep learning"),
+      (2L, "learning")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("score_fx")))).toMap
+    // deep: freq 2, deg 4 → 2.0; learning: freq 3, deg 5 → ⌊5e6/3⌋
+    val learn = 5000000L / 3
+    assert(out("deep learning") == ((2L, 2000000L + learn)))
+    assert(out("learning") == ((1L, learn)))
+    // the multi-word phrase outranks the unigram
+    val first = TextAnalysis.rakeKeywords(docs, "doc_id", "text", topK = 1)
+      .collect()(0).getString(0)
+    assert(first == "deep learning")
+  }
+
   test("burstiness: concentrated token VMR = 3, uniform token VMR = 0") {
     val docs = Seq(
       (1L, "x x x x y"), (2L, "y"), (3L, "y"), (4L, "y"))
