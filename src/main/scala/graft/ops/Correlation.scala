@@ -693,6 +693,65 @@ object Correlation {
     m.select(inline(array(rows: _*)))
   }
 
+  /** First-order partial correlation — "is x still correlated with y
+    * once z is controlled for": r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)
+    * (1−r_yz²)) — the confounder check a raw correlation matrix invites
+    * but can't answer (price~tax looks real until quantity is held
+    * fixed). Listwise-complete over the triple so all three r's share
+    * one n.
+    *
+    * Exactness: all three pairwise co-moment sets ride ONE aggregate
+    * ([[pairAggs]] ×3 — exact integers, hi/lo split squares); each r and
+    * the partial are fixed double trees.
+    *
+    * @return one row: (n, r_xy, r_xz, r_yz, partial) — partial null when
+    *         either conditioning correlation is ±1 or any variance is 0.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String, zCol: String,
+                  scale: Int = 2): DataFrame = {
+    def fx(c: String) =
+      MetricColumns.fixedPointLong(col(c).cast(DoubleType), scale)
+    val sel = df.select(fx(xCol).as("__x"), fx(yCol).as("__y"), fx(zCol).as("__z"))
+      .where(col("__x").isNotNull && col("__y").isNotNull && col("__z").isNotNull)
+    val aggs = pairAggs(col("__x"), col("__y"), "xy") ++
+      pairAggs(col("__x"), col("__z"), "xz") ++
+      pairAggs(col("__y"), col("__z"), "yz")
+    val m = sel.agg(aggs.head, aggs.tail: _*)
+    val rxy = pairCorr("xy"); val rxz = pairCorr("xz"); val ryz = pairCorr("yz")
+    val dxz = lit(1.0) - rxz * rxz
+    val dyz = lit(1.0) - ryz * ryz
+    val pc = when(dxz > lit(0.0) && dyz > lit(0.0),
+      (rxy - rxz * ryz) / (sqrt(dxz) * sqrt(dyz)))
+    m.select(col("n_xy").as("n"), rxy.as("r_xy"), rxz.as("r_xz"),
+      ryz.as("r_yz"), pc.as("partial"))
+  }
+
+  /** Pearson-residual drill-down of a contingency table — WHICH cells
+    * drive a significant χ²/Cramér's V: per cell the standardized
+    * residual (o−e)/√e with e = rₐ·c_b/N (|resid| > 2 flags the cell).
+    * Exact counts and margins; e and the residual are fixed double
+    * trees. One (a, b) rollup + margin windows.
+    *
+    * @return per cell: (a, b, o, e, std_resid) ordered by (a, b).
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast(StringType).as("a"),
+        col(bCol).cast(StringType).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val tot = cells.agg(sum(col("o")).cast(LongType).as("__n"))
+    val withM = cells
+      .withColumn("__ra", sum(col("o")).over(Window.partitionBy("a")))
+      .withColumn("__cb", sum(col("o")).over(Window.partitionBy("b")))
+      .crossJoin(broadcast(tot))
+    val e = col("__ra").cast(DoubleType) * col("__cb").cast(DoubleType) /
+      col("__n").cast(DoubleType)
+    withM.select(col("a"), col("b"), col("o"), e.as("e"),
+        ((col("o").cast(DoubleType) - e) / sqrt(e)).as("std_resid"))
+      .orderBy("a", "b")
+  }
+
   /** Theil's uncertainty coefficient — the ASYMMETRIC association
     * measure over [[mutualInfo]]'s machinery: U(A|B) = I(A;B)/H(A) reads
     * "the share of A's entropy that B explains" — directional where

@@ -263,6 +263,32 @@ private[queries] object StatsQueries {
         .orderBy("custkey")
     },
 
+    "q_partial_corr" -> { (s, dir) =>
+      // the confounder check the raw corr matrix invites: is price still
+      // correlated with tax once QUANTITY is controlled for; three
+      // pairwise exact co-moment sets on ONE aggregate, fixed trees
+      Correlation.partialCorr(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_tax", "l_quantity", scale = 2)
+    },
+
+    "q_chi2_cells" -> { (s, dir) =>
+      // WHICH cells drive q_cramers_v: per-cell Pearson residual
+      // (o-e)/sqrt(e) over the status x priority contingency — |resid|>2
+      // flags the cell; exact counts/margins, fixed trees
+      Correlation.chiSquareCells(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")
+    },
+
+    "q_ca_trend" -> { (s, dir) =>
+      // binary-outcome ordered trend: does the FULFILLED rate move
+      // monotonically with priority tier — q_jt's Bernoulli twin with
+      // integer scores; exact decimal T.N and B, one z tree
+      graft.scan.Drift.cochranArmitage(t(s, dir, "orders"),
+        "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        col("o_orderstatus") === "F")
+    },
+
     "q_jt" -> { (s, dir) =>
       // ordered-alternative k-sample trend: do order totals shift
       // MONOTONICALLY with priority tier — the question q_kruskal's
@@ -1326,6 +1352,80 @@ private[queries] object StatsQueries {
         |       CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
         |            THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q_partial_corr" ->
+      """WITH f AS (SELECT
+        |    CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |         ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS x,
+        |    CAST(CASE WHEN l_tax >= 0 THEN floor(l_tax * 100.0 + 0.5)
+        |         ELSE -floor(-l_tax * 100.0 + 0.5) END AS BIGINT) AS y,
+        |    CAST(CASE WHEN l_quantity >= 0 THEN floor(l_quantity * 100.0 + 0.5)
+        |         ELSE -floor(-l_quantity * 100.0 + 0.5) END AS BIGINT) AS z
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_tax IS NOT NULL AND l_quantity IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(z AS HUGEINT)) AS sz,
+        |        sum(CAST(x AS HUGEINT) * x) AS pxx, sum(CAST(y AS HUGEINT) * y) AS pyy,
+        |        sum(CAST(z AS HUGEINT) * z) AS pzz,
+        |        sum(CAST(x AS HUGEINT) * y) AS pxy, sum(CAST(x AS HUGEINT) * z) AS pxz,
+        |        sum(CAST(y AS HUGEINT) * z) AS pyz
+        |      FROM f),
+        |r AS (SELECT CAST(n AS BIGINT) AS n,
+        |        CASE WHEN CAST(n * pxx - sx * sx AS DOUBLE) > 0.0 AND CAST(n * pyy - sy * sy AS DOUBLE) > 0.0
+        |             THEN CAST(n * pxy - sx * sy AS DOUBLE)
+        |                  / (sqrt(CAST(n * pxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * pyy - sy * sy AS DOUBLE))) END AS rxy,
+        |        CASE WHEN CAST(n * pxx - sx * sx AS DOUBLE) > 0.0 AND CAST(n * pzz - sz * sz AS DOUBLE) > 0.0
+        |             THEN CAST(n * pxz - sx * sz AS DOUBLE)
+        |                  / (sqrt(CAST(n * pxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * pzz - sz * sz AS DOUBLE))) END AS rxz,
+        |        CASE WHEN CAST(n * pyy - sy * sy AS DOUBLE) > 0.0 AND CAST(n * pzz - sz * sz AS DOUBLE) > 0.0
+        |             THEN CAST(n * pyz - sy * sz AS DOUBLE)
+        |                  / (sqrt(CAST(n * pyy - sy * sy AS DOUBLE)) * sqrt(CAST(n * pzz - sz * sz AS DOUBLE))) END AS ryz
+        |      FROM m)
+        |SELECT n, rxy AS r_xy, rxz AS r_xz, ryz AS r_yz,
+        |       CASE WHEN 1.0 - rxz * rxz > 0.0 AND 1.0 - ryz * ryz > 0.0
+        |            THEN (rxy - rxz * ryz)
+        |                 / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz)) END AS partial
+        |FROM r""".stripMargin,
+
+    "q_chi2_cells" ->
+      """WITH c AS (SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+        |                  CAST(o_orderpriority AS VARCHAR) AS b,
+        |                  CAST(count(*) AS BIGINT) AS o
+        |           FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |           GROUP BY 1, 2),
+        |w AS (SELECT a, b, o, CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+        |             CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS cb FROM c),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+        |e AS (SELECT a, b, o,
+        |             CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(t.n AS DOUBLE) AS e
+        |      FROM w, t)
+        |SELECT a, b, o, e, (CAST(o AS DOUBLE) - e) / sqrt(e) AS std_resid
+        |FROM e ORDER BY a, b""".stripMargin,
+
+    "q_ca_trend" ->
+      """WITH u AS (SELECT o_orderpriority AS g, o_orderstatus = 'F' AS y FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |             AND o_orderstatus IS NOT NULL),
+        |s AS (SELECT CASE g WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1 WHEN '3-MEDIUM' THEN 2
+        |             WHEN '4-NOT SPECIFIED' THEN 3 ELSE 4 END AS s, y FROM u),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |             CAST(sum(s) AS BIGINT) AS ssn,
+        |             CAST(sum(CASE WHEN y THEN s ELSE 0 END) AS BIGINT) AS ssx,
+        |             CAST(sum(s * s) AS BIGINT) AS ss2n
+        |      FROM s),
+        |f AS (SELECT n, x,
+        |             CAST(ssx AS HUGEINT) * n - CAST(x AS HUGEINT) * ssn AS tn,
+        |             CAST(n AS HUGEINT) * ss2n - CAST(ssn AS HUGEINT) * ssn AS b
+        |      FROM m)
+        |SELECT CAST(5 AS BIGINT) AS groups, n, x, CAST(tn AS DOUBLE) AS t_n,
+        |       CASE WHEN x > 0 AND x < n AND b > 0
+        |            THEN CAST(tn AS DOUBLE) / CAST(n AS DOUBLE)
+        |                 / sqrt(CAST(x AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+        |                        * CAST(b AS DOUBLE)
+        |                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END AS z
+        |FROM f""".stripMargin,
 
     "q_jt" -> jtOracle(
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),

@@ -1531,6 +1531,50 @@ object Drift {
     (sfx.toDouble, a2)
   }
 
+  /** Cochran–Armitage trend test — [[jonckheereTerpstra]]'s BINARY
+    * twin: with a success/failure outcome across ORDERED groups
+    * (fulfilled-rate by priority tier, pass-rate by quality bucket), CA
+    * tests whether the PROPORTION trends monotonically with integer
+    * scores 0..k−1 — the test q_prop_test's two-group z and
+    * [[chiSquareCategorical]]'s any-difference χ² both miss.
+    *
+    * Exactness: per-group (nᵢ, xᵢ) are exact longs from ONE k-wide
+    * aggregate; T·N = Σsᵢxᵢ·N − X·Σsᵢnᵢ and B = N·Σsᵢ²nᵢ − (Σsᵢnᵢ)² are
+    * exact DECIMAL(38,0); z = (TN/N)/√(X(N−X)·B/N³) is ONE fixed tree.
+    *
+    * @return one row: (groups, n, x, t_n, z) — z null when the outcome
+    *         or score carries no variance.
+    */
+  def cochranArmitage(df: DataFrame, groupCol: String,
+                      orderedGroups: Seq[String],
+                      successCol: Column): DataFrame = {
+    val k = orderedGroups.size
+    require(k >= 2, "need at least 2 ordered groups")
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(groupCol).cast(StringType).as("g"),
+        successCol.cast("boolean").as("y"))
+      .where(col("g").isin(orderedGroups: _*) && col("y").isNotNull)
+    val aggs = orderedGroups.zipWithIndex.flatMap { case (gv, i) => Seq(
+      sum(when(col("g") === gv, 1L).otherwise(0L)).as(s"n$i"),
+      sum(when(col("g") === gv && col("y"), 1L).otherwise(0L)).as(s"x$i"))
+    }
+    val m = rows.agg(aggs.head, aggs.tail: _*)
+    def comb(f: Int => Column) = (0 until k).map(f).reduce(_ + _)
+    val n = comb(i => col(s"n$i"))
+    val x = comb(i => col(s"x$i"))
+    val ssn = comb(i => col(s"n$i") * lit(i.toLong))
+    val ssx = comb(i => col(s"x$i") * lit(i.toLong))
+    val ss2n = comb(i => col(s"n$i") * lit((i.toLong) * i))
+    val tn = ssx.cast(D) * n.cast(D) - x.cast(D) * ssn.cast(D)
+    val b = n.cast(D) * ss2n.cast(D) - ssn.cast(D) * ssn.cast(D)
+    val nD = n.cast(DoubleType); val xD = x.cast(DoubleType)
+    val varD = xD * (nD - xD) * b.cast(DoubleType) / (nD * nD * nD)
+    val z = when(x > 0L && x < n && b > lit(0L).cast(D),
+      tn.cast(DoubleType) / nD / sqrt(varD))
+    m.select(lit(k.toLong).as("groups"), n.as("n"), x.as("x"),
+      tn.cast(DoubleType).as("t_n"), z.as("z"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative trend test — the k-sample
     * member [[kruskalWallis]] can't replace when the groups carry an
     * ORDER (priority tiers, quality buckets, date cohorts): KW asks "any

@@ -578,6 +578,60 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("partialCorr: confounder fully explains → null, replicated-tree parity on random data") {
+    // x and y both EQUAL z: conditioning on z leaves zero variance → null
+    val same = Seq.tabulate(8)(i => (i + 1.0, i + 1.0, i + 1.0)).toDF("x", "y", "z")
+    val r0 = Correlation.partialCorr(same, "x", "y", "z", scale = 0).collect()(0)
+    assert(r0.isNullAt(r0.fieldIndex("partial")))
+    // random integers: replicate the trees from exact moments in the test
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(60)((rnd.nextInt(50).toDouble,
+      rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    val r = Correlation.partialCorr(data.toDF("x", "y", "z"), "x", "y", "z",
+      scale = 0).collect()(0)
+    def corr(u: Seq[Double], v: Seq[Double]): Double = {
+      val n = u.size.toDouble
+      val (su, sv) = (u.sum, v.sum)
+      val nuv = n * u.zip(v).map { case (a, b) => a * b }.sum - su * sv
+      val du = n * u.map(a => a * a).sum - su * su
+      val dv = n * v.map(a => a * a).sum - sv * sv
+      nuv / (math.sqrt(du) * math.sqrt(dv))
+    }
+    val (xs, ys, zs) = (data.map(_._1), data.map(_._2), data.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val expect = (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+    assert(math.abs(r.getAs[Double]("partial") - expect) < 1e-9, s"$r vs $expect")
+  }
+
+  test("chiSquareCells: hand residuals on a 2x2-ish table") {
+    val df = Seq(("p", "u"), ("p", "u"), ("p", "v"), ("q", "u"))
+      .toDF("a", "b")
+    val out = Correlation.chiSquareCells(df, "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("o"), r.getAs[Double]("e"), r.getAs[Double]("std_resid")))).toMap
+    // e(p,u) = 3·3/4 = 2.25 → resid = −0.25/1.5
+    assert(out(("p", "u"))._2 == 2.25)
+    assert(math.abs(out(("p", "u"))._3 - (-0.25 / 1.5)) < 1e-12)
+    assert(out(("q", "u"))._1 == 1L && out(("q", "u"))._2 == 0.75)
+  }
+
+  test("cochranArmitage: perfect linear trend z = 2 exactly, flat outcome null") {
+    val df = Seq(
+      ("a", false), ("a", false), ("b", true), ("b", false),
+      ("c", true), ("c", true)).toDF("g", "y")
+    val r = Drift.cochranArmitage(df, "g", Seq("a", "b", "c"), col("y"))
+      .collect()(0)
+    // n=6, x=3, TN = 5·6−3·6 = 12, B = 24, Var = 1 → z = 2
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("x") == 3)
+    assert(r.getAs[Double]("t_n") == 12.0 && r.getAs[Double]("z") == 2.0)
+    // all-success outcome carries no variance → null
+    val flat = Seq(("a", true), ("b", true), ("c", true)).toDF("g", "y")
+    val f = Drift.cochranArmitage(flat, "g", Seq("a", "b", "c"), col("y"))
+      .collect()(0)
+    assert(f.isNullAt(f.fieldIndex("z")))
+  }
+
   test("jonckheereTerpstra: hand fixture, MWU identity, tie handling") {
     // a = {1,2} < b = {3,4}: J = 4, E[J2] = 4, Var = 5/3
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
