@@ -1473,13 +1473,26 @@ object Drift {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy("v")
     val l = col("c1") + col("c2")
-    val b2 = (col("k") * 2L - l).cast(D)
-    val m2 = (col("k1") * 2L - col("c1")).cast(D)
-    val g = lit(nn).cast(D) * m2 - lit(n1).cast(D) * b2
-    val den4 = b2 * (lit(2L * nn).cast(D) - b2) - lit(nn).cast(D) * l.cast(D)
-    val termD = l.cast(DoubleType) * g.cast(DoubleType) * g.cast(DoubleType) /
-      den4.cast(DoubleType)
-    val termFx = when(den4 > lit(0L).cast(D),
+    // measured route on N: below 2^30 rows every intermediate
+    // (g ≤ 2N², den₄ ≤ N²) fits a long EXACTLY — same values, no per-row
+    // decimal arithmetic; past it the decimal path keeps exactness
+    val (termD, den4Pos) =
+      if (nn <= (1L << 30)) {
+        val b2 = col("k") * 2L - l
+        val m2 = col("k1") * 2L - col("c1")
+        val g = lit(nn) * m2 - lit(n1) * b2
+        val den4 = b2 * (lit(2L * nn) - b2) - lit(nn) * l
+        (l.cast(DoubleType) * g.cast(DoubleType) * g.cast(DoubleType) /
+          den4.cast(DoubleType), den4 > lit(0L))
+      } else {
+        val b2 = (col("k") * 2L - l).cast(D)
+        val m2 = (col("k1") * 2L - col("c1")).cast(D)
+        val g = lit(nn).cast(D) * m2 - lit(n1).cast(D) * b2
+        val den4 = b2 * (lit(2L * nn).cast(D) - b2) - lit(nn).cast(D) * l.cast(D)
+        (l.cast(DoubleType) * g.cast(DoubleType) * g.cast(DoubleType) /
+          den4.cast(DoubleType), den4 > lit(0L).cast(D))
+      }
+    val termFx = when(den4Pos,
       floor(termD * lit(1000.0) + lit(0.5))).otherwise(lit(0L)).cast(D)
     val sums = parts
       .withColumn("k", sum(l).over(w) + offsetExpr(offsets(t => t._1 + t._2)))
