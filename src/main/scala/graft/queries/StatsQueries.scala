@@ -711,6 +711,35 @@ private[queries] object StatsQueries {
         .orderBy("lang")
     },
 
+    "q_ad_group" -> { (s, dir) =>
+      // per-language tail drift of doc length between sources: WHICH
+      // segment's tails moved — the AD drill-down next to q_ks_group's
+      // largest-gap and q_wasserstein_group's magnitude
+      val docs = t(s, dir, "documents")
+      graft.scan.Drift.andersonDarlingByGroup(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") === "src1"), "n_chars", "lang")
+        .orderBy("lang")
+    },
+
+    "q_mantel_haenszel" -> { (s, dir) =>
+      // stratified association: are BIG orders more often fulfilled once
+      // PRIORITY is held fixed — the Simpson's-paradox-proof common odds
+      // ratio + MH chi2; exact cells, nano-fx per-stratum terms
+      graft.scan.Drift.mantelHaenszel(t(s, dir, "orders"),
+        "o_orderpriority",
+        col("o_totalprice") >= 150000.0,
+        col("o_orderstatus") === "F")
+    },
+
+    "q_hill" -> { (s, dir) =>
+      // heavy-tail diagnostic over doc lengths: Hill alpha on the top-500
+      // order statistics — alpha <= 2 means infinite variance (mean-based
+      // budgets silently break); pico-fx logs, bounded top-k sort
+      graft.scan.Drift.hillEstimator(t(s, dir, "documents"), "n_chars",
+        k = 500)
+    },
+
     "q_outliers" -> { (s, dir) =>
       // Tukey-fence outliers per returnflag on fixed-point cents (integer
       // domain keeps quartile interpolation + fence arithmetic bit-exact)
@@ -1352,6 +1381,103 @@ private[queries] object StatsQueries {
         |       CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
         |            THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q_ad_group" ->
+      """WITH r AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents
+        |             WHERE source = 'src0' AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |           UNION ALL
+        |           SELECT lang, CAST(n_chars AS DOUBLE), 2 FROM documents
+        |             WHERE source = 'src1' AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT g, v, CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM r GROUP BY 1, 2),
+        |kk AS (SELECT g, v, c1, c2, c1 + c2 AS l,
+        |              sum(c1 + c2) OVER (PARTITION BY g ORDER BY v) AS k,
+        |              sum(c1) OVER (PARTITION BY g ORDER BY v) AS k1,
+        |              sum(c1) OVER (PARTITION BY g) AS n1,
+        |              sum(c2) OVER (PARTITION BY g) AS n2 FROM c),
+        |tm AS (SELECT g, n1, n2,
+        |              2 * k - l AS b2, 2 * k1 - c1 AS m2, l, n1 + n2 AS nn
+        |       FROM kk WHERE n1 > 0 AND n2 > 0),
+        |tt AS (SELECT g, n1, n2,
+        |              nn * m2 - n1 * b2 AS gg,
+        |              b2 * (nn * 2 - b2) - nn * l AS den4, l FROM tm),
+        |ag AS (SELECT g, CAST(max(n1) AS BIGINT) AS n_ref, CAST(max(n2) AS BIGINT) AS n_cur,
+        |              CAST(sum(CASE WHEN den4 > 0 THEN
+        |                CAST(floor(CAST(l AS DOUBLE) * CAST(gg AS DOUBLE) * CAST(gg AS DOUBLE)
+        |                           / CAST(den4 AS DOUBLE) * 1000.0 + 0.5) AS HUGEINT)
+        |              ELSE 0 END) AS HUGEINT) AS sfx
+        |       FROM tt GROUP BY g)
+        |SELECT g AS lang, n_ref, n_cur, CAST(sfx AS DOUBLE) AS sum_fx,
+        |       (CAST(n_ref + n_cur AS DOUBLE) - 1.0) / CAST(n_ref + n_cur AS DOUBLE)
+        |       * (1.0 / CAST(n_ref AS DOUBLE) + 1.0 / CAST(n_cur AS DOUBLE))
+        |       * (CAST(sfx AS DOUBLE) / 1000.0) / CAST(n_ref + n_cur AS DOUBLE) AS a2
+        |FROM ag ORDER BY lang""".stripMargin,
+
+    "q_mantel_haenszel" ->
+      """WITH r AS (SELECT CAST(o_orderpriority AS VARCHAR) AS st,
+        |                  o_totalprice >= 150000.0 AS e, o_orderstatus = 'F' AS y
+        |           FROM orders WHERE o_orderpriority IS NOT NULL
+        |             AND o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (SELECT st,
+        |            CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |            CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |            CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |            CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |          FROM r GROUP BY st),
+        |dd AS (SELECT a, b, c, d,
+        |              CAST(a + b + c + d AS DOUBLE) AS n,
+        |              CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+        |              CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS ddd
+        |       FROM cells),
+        |tfx AS (SELECT a, b, c, d,
+        |          CASE WHEN n > 1.0 THEN
+        |            CASE WHEN (ad * n - (ad + bd) * (ad + cd)) / n >= 0
+        |            THEN CAST(floor((ad * n - (ad + bd) * (ad + cd)) / n * 1000000000.0 + 0.5) AS BIGINT)
+        |            ELSE -CAST(floor(-((ad * n - (ad + bd) * (ad + cd)) / n) * 1000000000.0 + 0.5) AS BIGINT)
+        |            END ELSE 0 END AS ae_fx,
+        |          CASE WHEN n > 1.0 THEN
+        |            CAST(floor((ad + bd) * (cd + ddd) * (ad + cd) * (bd + ddd)
+        |                       / (n * n * (n - 1.0)) * 1000000000.0 + 0.5) AS BIGINT)
+        |          ELSE 0 END AS v_fx,
+        |          CASE WHEN n > 1.0 THEN
+        |            CAST(floor(ad * ddd / n * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS adn_fx,
+        |          CASE WHEN n > 1.0 THEN
+        |            CAST(floor(bd * cd / n * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS bcn_fx
+        |        FROM dd),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS strata,
+        |             CAST(sum(a + b + c + d) AS BIGINT) AS n,
+        |             CAST(sum(ae_fx) AS BIGINT) AS ae, CAST(sum(v_fx) AS BIGINT) AS v,
+        |             CAST(sum(adn_fx) AS BIGINT) AS adn, CAST(sum(bcn_fx) AS BIGINT) AS bcn
+        |      FROM tfx)
+        |SELECT strata, n,
+        |       CASE WHEN bcn > 0 THEN CAST(adn AS DOUBLE) / CAST(bcn AS DOUBLE) END AS or_mh,
+        |       CASE WHEN v > 0 THEN
+        |         (abs(CAST(ae AS DOUBLE) / 1000000000.0) - 0.5)
+        |         * (abs(CAST(ae AS DOUBLE) / 1000000000.0) - 0.5)
+        |         / (CAST(v AS DOUBLE) / 1000000000.0) END AS chi2_mh
+        |FROM m""".stripMargin,
+
+    "q_hill" ->
+      """WITH top AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        |             WHERE n_chars IS NOT NULL AND n_chars > 0
+        |             ORDER BY v DESC LIMIT 501),
+        |m AS (SELECT CAST(min(v) AS BIGINT) AS x_tail,
+        |             CAST(sum(CASE WHEN ln(CAST(v AS DOUBLE)) >= 0
+        |               THEN CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)
+        |               ELSE -CAST(floor(-ln(CAST(v AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)
+        |             END) AS BIGINT) AS slog,
+        |             CAST(min(CASE WHEN ln(CAST(v AS DOUBLE)) >= 0
+        |               THEN CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)
+        |               ELSE -CAST(floor(-ln(CAST(v AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)
+        |             END) AS BIGINT) AS ltail,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM top)
+        |SELECT CAST(500 AS BIGINT) AS k, x_tail,
+        |       CASE WHEN cnt = 501
+        |                 AND CAST(slog - ltail - 500 * ltail AS DOUBLE) / 1000000000000.0 > 0.0
+        |            THEN 500.0 / (CAST(slog - ltail - 500 * ltail AS DOUBLE) / 1000000000000.0) END AS alpha
+        |FROM m""".stripMargin,
 
     "q_partial_corr" ->
       """WITH f AS (SELECT

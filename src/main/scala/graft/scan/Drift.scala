@@ -348,6 +348,137 @@ object Drift {
             .cast(DoubleType)).as("w1"))
   }
 
+  /** Per-GROUP tie-adjusted Anderson–Darling — [[andersonDarling]]
+    * computed independently per `groupCol` value: WHICH segment's tails
+    * moved (the drill-down next to [[ksStatisticByGroup]]'s largest-gap
+    * and [[wasserstein1ByGroup]]'s magnitude). Group-bounded windows
+    * replace the global two-phase machinery; the same long-arithmetic
+    * milli-fx term tree as the ungrouped operator (per-group N ≤ 2³⁰
+    * documented — the single-sample long-route bound), so a group's a2
+    * equals the ungrouped statistic on that group's slice bit-for-bit.
+    * Groups present on only one side are excluded.
+    */
+  def andersonDarlingByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+                             groupCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(groupCol).as("g"), col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull && col("g").isNotNull)
+        .withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("g", "v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val l = col("c1") + col("c2")
+    val nn = col("n1") + col("n2")
+    val b2 = col("k") * 2L - l
+    val m2 = col("k1") * 2L - col("c1")
+    val gg = nn * m2 - col("n1") * b2
+    val den4 = b2 * (nn * 2L - b2) - nn * l
+    val termD = l.cast(DoubleType) * gg.cast(DoubleType) * gg.cast(DoubleType) /
+      den4.cast(DoubleType)
+    val termFx = when(den4 > lit(0L),
+      floor(termD * lit(1000.0) + lit(0.5))).otherwise(lit(0L)).cast(D)
+    val agg = counts
+      .withColumn("k", sum(l).over(wRun))
+      .withColumn("k1", sum(col("c1")).over(wRun))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .where(col("n1") > 0L && col("n2") > 0L)
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+        sum(termFx).as("__sfx"))
+    val nD = (col("n_ref") + col("n_cur")).cast(DoubleType)
+    val a2 = (nD - lit(1.0)) / nD *
+      (lit(1.0) / col("n_ref").cast(DoubleType) +
+        lit(1.0) / col("n_cur").cast(DoubleType)) *
+      (col("__sfx").cast(DoubleType) / lit(1000.0)) / nD
+    agg.select(col(groupCol), col("n_ref"), col("n_cur"),
+      col("__sfx").cast(DoubleType).as("sum_fx"), a2.as("a2"))
+  }
+
+  /** Mantel–Haenszel stratified 2×2 association — "is the exposure→
+    * outcome association REAL once the stratifying confounder is held
+    * fixed" (Simpson's-paradox insurance the pooled χ² famously lacks):
+    * per stratum the 2×2 cells, the common odds ratio
+    * OR = Σ(ad/n)/Σ(bc/n) and the MH χ² with the ½ continuity
+    * correction, (|Σ(a−E)|−½)²/ΣV.
+    *
+    * Exactness: cells are exact longs from ONE grouped aggregate;
+    * per-stratum a−E = (a·n − (a+b)(a+c))/n, V, ad/n and bc/n are each
+    * ONE fixed tree truncated to nano fixed-point (order-free sums); OR
+    * and χ² are final trees.
+    *
+    * @return one row: (strata, n, or_mh, chi2_mh) — null OR when the
+    *         denominator mass is 0, null χ² when ΣV = 0.
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, exposure: Column,
+                     outcome: Column): DataFrame = {
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(stratumCol).cast(StringType).as("st"),
+        exposure.cast("boolean").as("e"), outcome.cast("boolean").as("y"))
+      .where(col("st").isNotNull && col("e").isNotNull && col("y").isNotNull)
+    val cells = rows.groupBy("st").agg(
+      sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast(DoubleType)
+    val aD = col("a").cast(DoubleType); val bD = col("b").cast(DoubleType)
+    val cD = col("c").cast(DoubleType); val dD = col("d").cast(DoubleType)
+    val aMinusE = (aD * n - (aD + bD) * (aD + cD)) / n
+    val v = (aD + bD) * (cD + dD) * (aD + cD) * (bD + dD) /
+      (n * n * (n - lit(1.0)))
+    def fx(c: Column) = when(n > lit(1.0),
+      when(c >= 0, floor(c * lit(1e9) + lit(0.5)))
+        .otherwise(-floor(-c * lit(1e9) + lit(0.5)))).otherwise(lit(0L)).cast(D)
+    val agg = cells.agg(count(lit(1)).as("strata"),
+      sum(col("a") + col("b") + col("c") + col("d")).as("n"),
+      sum(fx(aMinusE)).as("__ae"), sum(fx(v)).as("__v"),
+      sum(fx(aD * dD / n)).as("__adn"), sum(fx(bD * cD / n)).as("__bcn"))
+    val orMh = when(col("__bcn") > lit(0L).cast(D),
+      col("__adn").cast(DoubleType) / col("__bcn").cast(DoubleType))
+    val aeAbs = abs(col("__ae").cast(DoubleType) / lit(1e9)) - lit(0.5)
+    val chi2 = when(col("__v") > lit(0L).cast(D),
+      aeAbs * aeAbs / (col("__v").cast(DoubleType) / lit(1e9)))
+    agg.select(col("strata"), col("n"), orMh.as("or_mh"), chi2.as("chi2_mh"))
+  }
+
+  /** Hill tail-index estimator — the heavy-tail diagnostic next to the
+    * Zipf/Heaps corpus-health fits: over the top-k order statistics,
+    * α = k / Σ ln(xᵢ/x₍k₊₁₎); α ≤ 2 means infinite variance (length
+    * budgets and mean-based SLAs silently break), α large means thin
+    * tails. Positive values only.
+    *
+    * Exactness: the top-(k+1) VALUE multiset is deterministic (ties at
+    * the cut carry equal values); per-value ln terms truncate to pico
+    * fixed-point and sum order-free; α is one final tree. The top-k sort
+    * is a bounded limit (never a global collect of the column).
+    *
+    * @return one row: (k, x_tail, alpha) — null α when fewer than k+1
+    *         positive values or a zero log-sum.
+    */
+  def hillEstimator(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val top = df.select(col(valueCol).cast(LongType).as("v"))
+      .where(col("v").isNotNull && col("v") > 0L)
+      .orderBy(col("v").desc).limit(k + 1)
+      .localCheckpoint(true) // one bounded sort serves the tail min AND the sum
+    val cnt = top.count()
+    val lnFx = graft.metrics.MetricColumns.fixedPointLong(
+      log(col("v").cast(DoubleType)), 12)
+    val agg = top.agg(min(col("v")).as("x_tail"), sum(lnFx).as("__slog"),
+      min(lnFx).as("__ltail"))
+    val num = (col("__slog") - col("__ltail") - lit(k.toLong) * col("__ltail"))
+      .cast(DoubleType) / lit(1e12)
+    val alpha = when(lit(cnt) === lit((k + 1).toLong) && num > lit(0.0),
+      lit(k.toDouble) / num)
+    agg.select(lit(k.toLong).as("k"), col("x_tail"), alpha.as("alpha"))
+  }
+
   /** Exact two-sample KS of two BOUNDED in-memory samples (merge walk over
     * the sorted values) — the driver-side companion of [[ksStatistic]] for
     * sketch-sized inputs (e.g. per-window bottom-k samples from

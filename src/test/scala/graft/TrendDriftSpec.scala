@@ -578,6 +578,59 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("andersonDarlingByGroup: single-group slice equals the ungrouped statistic bit-for-bit") {
+    val rnd = new scala.util.Random(23)
+    val ref = Seq.fill(120)(("g1", rnd.nextInt(25).toLong)) ++
+      Seq.fill(80)(("g2", rnd.nextInt(25).toLong + 5))
+    val cur = Seq.fill(100)(("g1", rnd.nextInt(25).toLong + 2)) ++
+      Seq.fill(90)(("g2", rnd.nextInt(25).toLong + 9))
+    val grouped = Drift.andersonDarlingByGroup(
+      ref.toDF("g", "v"), cur.toDF("g", "v"), "v", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("sum_fx"), r.getAs[Double]("a2")))).toMap
+    for (g <- Seq("g1", "g2")) {
+      val u = Drift.andersonDarling(
+        ref.filter(_._1 == g).map(_._2).toDF("v"),
+        cur.filter(_._1 == g).map(_._2).toDF("v"), "v").collect()(0)
+      assert(grouped(g) == ((u.getAs[Double]("sum_fx"), u.getAs[Double]("a2"))),
+        s"group $g mismatch")
+    }
+    // one-sided group excluded
+    val oneSided = Drift.andersonDarlingByGroup(
+      (ref ++ Seq(("only", 1L))).toDF("g", "v"), cur.toDF("g", "v"), "v", "g")
+    assert(!oneSided.collect().map(_.getString(0)).contains("only"))
+  }
+
+  test("mantelHaenszel: common OR recovered across strata, paradox-proof cells") {
+    def stratum(st: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, true, true)) ++ Seq.fill(b)((st, true, false)) ++
+      Seq.fill(c)((st, false, true)) ++ Seq.fill(d)((st, false, false))
+    // OR = 4 in both strata at different sizes → MH OR = 4
+    val df = (stratum("s1", 10, 5, 5, 10) ++ stratum("s2", 20, 10, 10, 20))
+      .toDF("st", "e", "y")
+    val r = Drift.mantelHaenszel(df, "st", col("e"), col("y")).collect()(0)
+    assert(r.getAs[Long]("strata") == 2 && r.getAs[Long]("n") == 90)
+    assert(math.abs(r.getAs[Double]("or_mh") - 4.0) < 1e-6)
+    assert(r.getAs[Double]("chi2_mh") > 5.0) // real association
+    // perfectly balanced cells: OR = 1, chi2 ≈ 0 (continuity-corrected)
+    val flat = stratum("s1", 5, 5, 5, 5).toDF("st", "e", "y")
+    val f = Drift.mantelHaenszel(flat, "st", col("e"), col("y")).collect()(0)
+    assert(math.abs(f.getAs[Double]("or_mh") - 1.0) < 1e-6)
+    assert(f.getAs[Double]("chi2_mh") < 0.2)
+  }
+
+  test("hillEstimator: geometric tail hits 1/ln2 scaling, short input null") {
+    // top-4: {8,4,2, tail 1}: α = 3/ln(64)
+    val df = (Seq(8L, 4L, 2L, 1L) ++ Seq.fill(5)(1L)).toDF("v")
+    val r = Drift.hillEstimator(df, "v", k = 3).collect()(0)
+    assert(r.getAs[Long]("x_tail") == 1L)
+    assert(math.abs(r.getAs[Double]("alpha") - 3.0 / math.log(64.0)) < 1e-9)
+    // fewer than k+1 positive values → null
+    val short = Seq(3L, 2L).toDF("v")
+    val s = Drift.hillEstimator(short, "v", k = 3).collect()(0)
+    assert(s.isNullAt(s.fieldIndex("alpha")))
+  }
+
   test("partialCorr: confounder fully explains → null, replicated-tree parity on random data") {
     // x and y both EQUAL z: conditioning on z leaves zero variance → null
     val same = Seq.tabulate(8)(i => (i + 1.0, i + 1.0, i + 1.0)).toDF("x", "y", "z")
