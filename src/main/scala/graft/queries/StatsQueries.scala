@@ -711,6 +711,17 @@ private[queries] object StatsQueries {
         .orderBy("lang")
     },
 
+    "q_friedman" -> { (s, dir) =>
+      // repeated-measures rank test: do event types keep a STABLE volume
+      // ordering across days — within-day ranks remove the day effect a
+      // surge would fake in q_kruskal; doubled exact ranks, Conover tie
+      // correction, incomplete days dropped
+      val daily = t(s, dir, "events")
+        .selectExpr("unix_micros(ts) div 86400000000L as d", "event_type")
+        .groupBy("d", "event_type").agg(count(lit(1)).as("cnt"))
+      graft.scan.Drift.friedman(daily, "d", "event_type", "cnt")
+    },
+
     "q_ad_group" -> { (s, dir) =>
       // per-language tail drift of doc length between sources: WHICH
       // segment's tails moved — the AD drill-down next to q_ks_group's
@@ -1381,6 +1392,30 @@ private[queries] object StatsQueries {
         |       CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
         |            THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q_friedman" ->
+      """WITH ser AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR) AS b,
+        |                    event_type AS t, CAST(count(*) AS BIGINT) AS v
+        |             FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM ser),
+        |cb AS (SELECT b FROM ser GROUP BY b
+        |       HAVING count(DISTINCT t) = (SELECT k FROM kk) AND count(*) = (SELECT k FROM kk)),
+        |r AS (SELECT ser.b, ser.t, ser.v FROM ser JOIN cb USING (b)),
+        |rk AS (SELECT b, t, CAST(rank() OVER (PARTITION BY b ORDER BY v) AS BIGINT) * 2
+        |              + CAST(count(*) OVER (PARTITION BY b, v) AS BIGINT) - 1 AS r2 FROM r),
+        |pt AS (SELECT t, CAST(sum(r2) AS BIGINT) AS r2s, CAST(count(*) AS BIGINT) AS nb
+        |       FROM rk GROUP BY t),
+        |a4 AS (SELECT sum(CAST(r2 AS HUGEINT) * r2) AS a4 FROM rk),
+        |ag AS (SELECT CAST(max(nb) AS BIGINT) AS blocks, max(a4.a4) AS a4d,
+        |              sum((CAST(r2s AS HUGEINT) - CAST(nb AS HUGEINT) * (kk.k + 1))
+        |                * (CAST(r2s AS HUGEINT) - CAST(nb AS HUGEINT) * (kk.k + 1))) AS sdev,
+        |              CAST(max(kk.k) AS BIGINT) AS k
+        |       FROM pt, a4, kk)
+        |SELECT k AS treatments, blocks,
+        |       CASE WHEN a4d - CAST(blocks AS HUGEINT) * k * ((k + 1) * (k + 1)) > 0
+        |            THEN CAST(k - 1 AS DOUBLE) * CAST(sdev AS DOUBLE)
+        |                 / CAST(a4d - CAST(blocks AS HUGEINT) * k * ((k + 1) * (k + 1)) AS DOUBLE) END AS chi2_f
+        |FROM ag""".stripMargin,
 
     "q_ad_group" ->
       """WITH r AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents

@@ -348,6 +348,62 @@ object Drift {
             .cast(DoubleType)).as("w1"))
   }
 
+  /** Friedman test — the REPEATED-MEASURES member of the rank battery:
+    * [[kruskalWallis]] assumes independent groups; when every block
+    * (day, user, site) measures ALL k treatments, ranking WITHIN blocks
+    * removes the block effect entirely ("do event types keep a stable
+    * volume ordering across days" — a day-level surge can't fake it).
+    * Tie-corrected Conover form: χ²_F = (k−1)·Σ(Rⱼ−n(k+1))²/(A₄−C₄)
+    * over doubled within-block ranks.
+    *
+    * Exactness: doubled tie-averaged ranks r₂ = 2·rank + t − 1 are exact
+    * longs from block-bounded windows (blocks are k-sized — no funnel);
+    * Σr₂ per treatment, A₄ = Σr₂², C₄ = n·k(k+1)² are exact integers and
+    * the statistic is ONE final tree. INCOMPLETE blocks (missing a
+    * treatment) are dropped — the standard complete-design requirement.
+    *
+    * @return one row: (treatments, blocks, chi2_f) — null when every
+    *         block ranks fully tied (A₄ = C₄).
+    */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+               valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(blockCol).cast(StringType).as("b"),
+        col(treatmentCol).cast(StringType).as("t"),
+        col(valueCol).cast(LongType).as("v"))
+      .where(col("b").isNotNull && col("t").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // serves the k-count, completeness AND ranks
+    val k = rows.select("t").distinct().count()
+    require(k >= 2, "need at least 2 treatments")
+    val complete = rows
+      .withColumn("__kb", size(collect_set(col("t")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b"))))
+      .withColumn("__nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b")))
+      .where(col("__kb") === lit(k) && col("__nb") === lit(k))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("v")
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy("b", "v")
+    val ranked = complete
+      .withColumn("__r2", rank().over(wB).cast(LongType) * 2L +
+        count(lit(1)).over(wT) - 1L)
+    val perT = ranked.groupBy("t").agg(sum(col("__r2")).as("r2"),
+      count(lit(1)).as("nb"))
+    val a4 = ranked.agg(sum((col("__r2") * col("__r2")).cast(D)).as("a4"))
+    val agg = perT.crossJoin(broadcast(a4))
+      .withColumn("__dev", col("r2").cast(D) -
+        col("nb").cast(D) * lit(k + 1).cast(D))
+      .agg(max(col("nb")).as("blocks"), max(col("a4")).as("a4d"),
+        sum(col("__dev") * col("__dev")).as("sdev"))
+    val c4 = col("blocks").cast(D) * lit(k).cast(D) *
+      lit((k + 1) * (k + 1)).cast(D)
+    val den = col("a4d") - c4
+    val chi2 = when(den > lit(0L).cast(D),
+      lit((k - 1).toDouble) * col("sdev").cast(DoubleType) /
+        den.cast(DoubleType))
+    agg.select(lit(k).as("treatments"), col("blocks"), chi2.as("chi2_f"))
+  }
+
   /** Per-GROUP tie-adjusted Anderson–Darling — [[andersonDarling]]
     * computed independently per `groupCol` value: WHICH segment's tails
     * moved (the drill-down next to [[ksStatisticByGroup]]'s largest-gap

@@ -578,6 +578,30 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("friedman: perfect consistency hits n(k-1), all-tied null, incomplete blocks dropped") {
+    // 2 complete blocks, k = 3, identical ordering → χ²_F = n(k−1) = 4
+    val df = Seq(
+      ("b1", "x", 1L), ("b1", "y", 2L), ("b1", "z", 3L),
+      ("b2", "x", 5L), ("b2", "y", 6L), ("b2", "z", 7L),
+      ("b3", "x", 1L), ("b3", "y", 2L)) // incomplete → dropped
+      .toDF("b", "t", "v")
+    val r = Drift.friedman(df, "b", "t", "v").collect()(0)
+    assert(r.getAs[Long]("treatments") == 3 && r.getAs[Long]("blocks") == 2)
+    assert(r.getAs[Double]("chi2_f") == 4.0)
+    // fully tied blocks → A₄ = C₄ → null
+    val tied = Seq(
+      ("b1", "x", 7L), ("b1", "y", 7L), ("b1", "z", 7L),
+      ("b2", "x", 9L), ("b2", "y", 9L), ("b2", "z", 9L)).toDF("b", "t", "v")
+    val f = Drift.friedman(tied, "b", "t", "v").collect()(0)
+    assert(f.isNullAt(f.fieldIndex("chi2_f")))
+    // reversed-order block cancels: two opposite blocks → χ² = 0
+    val opp = Seq(
+      ("b1", "x", 1L), ("b1", "y", 2L), ("b1", "z", 3L),
+      ("b2", "x", 3L), ("b2", "y", 2L), ("b2", "z", 1L)).toDF("b", "t", "v")
+    assert(Drift.friedman(opp, "b", "t", "v").collect()(0)
+      .getAs[Double]("chi2_f") == 0.0)
+  }
+
   test("andersonDarlingByGroup: single-group slice equals the ungrouped statistic bit-for-bit") {
     val rnd = new scala.util.Random(23)
     val ref = Seq.fill(120)(("g1", rnd.nextInt(25).toLong)) ++
