@@ -711,6 +711,16 @@ private[queries] object StatsQueries {
         .orderBy("lang")
     },
 
+    "q_mood_scale" -> { (s, dir) =>
+      // rank-based DISPERSION drift on the q_bf populations: Mood's
+      // squared-rank-deviation score needs no |v - median| magnitudes at
+      // all — the fully nonparametric scale check; exact doubled ranks
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents"))
+      graft.scan.Drift.moodScale(li.where(col("l_returnflag") === "A"),
+        li.where(col("l_returnflag") === "R"), "cents")
+    },
+
     "q_friedman" -> { (s, dir) =>
       // repeated-measures rank test: do event types keep a STABLE volume
       // ordering across days — within-day ranks remove the day effect a
@@ -1392,6 +1402,33 @@ private[queries] object StatsQueries {
         |       CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
         |            THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q_mood_scale" ->
+      """WITH u AS (
+        |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |              ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v,
+        |         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 2 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |c AS (SELECT v, CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM u GROUP BY v),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |             CAST(sum(c1 + c2) AS BIGINT) AS nn FROM c),
+        |k AS (SELECT c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (ORDER BY v) AS k FROM c),
+        |s AS (SELECT sum(CAST(c1 AS HUGEINT) * (2 * k - c - n.nn) * (2 * k - c - n.nn)) AS m4
+        |      FROM k, n)
+        |SELECT n.n1 AS n_ref, n.n2 AS n_cur, CAST(s.m4 AS DOUBLE) AS m4,
+        |       CASE WHEN n.nn > 2
+        |                 AND CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+        |                     * (CAST(n.nn AS DOUBLE) + 1.0)
+        |                     * (CAST(n.nn AS DOUBLE) * CAST(n.nn AS DOUBLE) - 4.0) / 180.0 * 16.0 > 0.0
+        |            THEN (CAST(s.m4 AS DOUBLE)
+        |                  - CAST(n.n1 AS DOUBLE) * (CAST(n.nn AS DOUBLE) * CAST(n.nn AS DOUBLE) - 1.0) / 3.0)
+        |                 / sqrt(CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+        |                        * (CAST(n.nn AS DOUBLE) + 1.0)
+        |                        * (CAST(n.nn AS DOUBLE) * CAST(n.nn AS DOUBLE) - 4.0) / 180.0 * 16.0) END AS z
+        |FROM s, n""".stripMargin,
 
     "q_friedman" ->
       """WITH ser AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS VARCHAR) AS b,

@@ -348,6 +348,62 @@ object Drift {
             .cast(DoubleType)).as("w1"))
   }
 
+  /** Mood's rank SCALE test (Mood 1954) — the nonparametric twin of
+    * [[brownForsythe]]'s variance drift: M = Σ_ref (rᵢ − (N+1)/2)² scores
+    * how far the reference sample's ranks sit from the pooled CENTER —
+    * sensitive to dispersion shifts with no distributional assumptions
+    * at all (BF still leans on |v − median| magnitudes; ranks don't).
+    *
+    * Exactness: with doubled tie-averaged ranks r̄₂ = 2k − c + 1 the
+    * per-value term is c₁·(2k − c − N)² — exact integers end-to-end on
+    * the [[ksStatistic]] prefix machinery; M₄ = 4M is exact and z is ONE
+    * fixed tree from the classical moments E[M] = n₁(N²−1)/12,
+    * Var = n₁n₂(N+1)(N²−4)/180 (exact under no ties; the standard
+    * approximation under ties — the statistic itself stays exact).
+    *
+    * @return one row: (n_ref, n_cur, m4, z).
+    */
+  def moodScale(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull).withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = parts.groupBy("__pid")
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n1 = totals.valuesIterator.map(_._1).sum
+    val n2 = totals.valuesIterator.map(_._2).sum
+    require(n1 > 0 && n2 > 0, s"both sides need rows (ref=$n1, cur=$n2)")
+    val nn = n1 + n2
+    val pids = totals.keys.toSeq.sorted
+    val offs = pids.zip(pids.scanLeft(0L)((a, p) =>
+      a + totals(p)._1 + totals(p)._2).init).toMap
+    val off = coalesce(element_at(typedlit(offs), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val c = col("c1") + col("c2")
+    val dev = (col("k") * 2L - c - lit(nn)).cast(D)
+    val sums = parts
+      .withColumn("k", sum(c).over(w) + off)
+      .agg(sum(col("c1").cast(D) * dev * dev).as("m4"))
+    val n1d = lit(n1.toDouble); val n2d = lit(n2.toDouble)
+    val nD = lit(nn.toDouble)
+    val eM4 = n1d * (nD * nD - lit(1.0)) / lit(3.0) // 4·E[M]
+    val var16 = n1d * n2d * (nD + lit(1.0)) * (nD * nD - lit(4.0)) / lit(180.0) *
+      lit(16.0)
+    val z = when(lit(nn) > 2L && var16 > lit(0.0),
+      (col("m4").cast(DoubleType) - eM4) / sqrt(var16))
+    sums.select(lit(n1).as("n_ref"), lit(n2).as("n_cur"),
+      col("m4").cast(DoubleType).as("m4"), z.as("z"))
+  }
+
   /** Friedman test — the REPEATED-MEASURES member of the rank battery:
     * [[kruskalWallis]] assumes independent groups; when every block
     * (day, user, site) measures ALL k treatments, ranking WITHIN blocks

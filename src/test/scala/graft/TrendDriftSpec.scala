@@ -578,6 +578,25 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("moodScale: hand squared-rank deviations, dispersion direction") {
+    // ref = {1,4} wraps cur = {2,3}: M₄ = 18 (max dispersion), z > 0
+    val wide = Drift.moodScale(Seq(1L, 4L).toDF("v"), Seq(2L, 3L).toDF("v"), "v")
+      .collect()(0)
+    assert(wide.getAs[Double]("m4") == 18.0)
+    val e = 2.0 * (16.0 - 1.0) / 3.0
+    val v16 = 2.0 * 2.0 * 5.0 * (16.0 - 4.0) / 180.0 * 16.0
+    assert(math.abs(wide.getAs[Double]("z") - (18.0 - e) / math.sqrt(v16)) < 1e-12)
+    // ref concentrated in the center → minimal M₄, z < 0
+    val tight = Drift.moodScale(Seq(2L, 3L).toDF("v"), Seq(1L, 4L).toDF("v"), "v")
+      .collect()(0)
+    assert(tight.getAs[Double]("m4") == 2.0 && tight.getAs[Double]("z") < 0.0)
+    // tied values use the doubled average-rank dev exactly: {1,1} vs {1,1}
+    val allTied = Drift.moodScale(Seq(1L, 1L).toDF("v"), Seq(1L, 1L).toDF("v"), "v")
+      .collect()(0)
+    // single 4-way tie run: dev = 2k − c − N = 8 − 4 − 4 = 0
+    assert(allTied.getAs[Double]("m4") == 0.0)
+  }
+
   test("friedman: perfect consistency hits n(k-1), all-tied null, incomplete blocks dropped") {
     // 2 complete blocks, k = 3, identical ordering → χ²_F = n(k−1) = 4
     val df = Seq(
