@@ -693,6 +693,119 @@ object Correlation {
     m.select(inline(array(rows: _*)))
   }
 
+  /** Cook's-distance influence for the per-group OLS trend — WHICH points
+    * drive [[trendByGroup]]'s slope ("one bad day steers the line"; Dᵢ
+    * combines residual size with leverage, the regression-diagnostics
+    * reading an outlier fence can't give). Top-K per group by
+    * Dᵢ = eᵢ²hᵢ/(p·s²(1−hᵢ)²), p = 2.
+    *
+    * Exactness: ONE grouped aggregate produces the exact integer
+    * co-moments; every per-point quantity (residual, leverage, D) is a
+    * fixed tree over n-scaled centered forms — no float mean anywhere;
+    * ranking (D desc, t asc) is total. The moment row joins back
+    * broadcast (group-count-sized).
+    *
+    * @return top-K rows per group: (groupCols*, t, v, resid, leverage,
+    *         cooks_d, rnk).
+    */
+  def olsInfluence(df: DataFrame, groupCols: Seq[String], tCol: String,
+                   vCol: String, topK: Int = 3): DataFrame = {
+    val D = DecimalType(38, 0)
+    val keys = groupCols.map(col)
+    val rows = df.select(keys :+ col(tCol).cast(LongType).as("__t") :+
+        col(vCol).cast(LongType).as("__v"): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val m = rows.groupBy(keys: _*).agg(count(lit(1)).as("__n"),
+      sum(col("__t").cast(D)).as("__sx"), sum(col("__v").cast(D)).as("__sy"),
+      sum(col("__t").cast(D) * col("__t").cast(D)).as("__sxx"),
+      sum(col("__t").cast(D) * col("__v").cast(D)).as("__sxy"),
+      sum(col("__v").cast(D) * col("__v").cast(D)).as("__syy"))
+    val j = rows.join(broadcast(m), groupCols)
+    val nD = col("__n").cast(DoubleType)
+    val cxx = (col("__n").cast(D) * col("__sxx") - col("__sx") * col("__sx")).cast(DoubleType)
+    val cxy = (col("__n").cast(D) * col("__sxy") - col("__sx") * col("__sy")).cast(DoubleType)
+    val cyy = (col("__n").cast(D) * col("__syy") - col("__sy") * col("__sy")).cast(DoubleType)
+    val b = cxy / cxx
+    val dtN = nD * col("__t").cast(DoubleType) - col("__sx").cast(DoubleType)
+    val e = (nD * col("__v").cast(DoubleType) - col("__sy").cast(DoubleType) -
+      b * dtN) / nD
+    val h = lit(1.0) / nD + dtN * dtN / (nD * cxx)
+    val s2 = (cyy - cxy * cxy / cxx) / nD / (nD - lit(2.0))
+    val d = e * e * h / (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h))
+    val ok = col("__n") > 2L && cxx > lit(0.0) && s2 > lit(0.0) && h < lit(1.0)
+    val scored = j.withColumn("cooks_d", when(ok, d))
+      .withColumn("resid", when(ok, e))
+      .withColumn("leverage", when(ok, h))
+      .where(col("cooks_d").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("cooks_d").desc, col("__t").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(keys :+ col("__t").as("t") :+ col("__v").as("v") :+
+        col("resid") :+ col("leverage") :+ col("cooks_d") :+ col("rnk"): _*)
+  }
+
+  /** Chow structural-break test at a KNOWN split — the "did the trend
+    * LINE change at the deploy/policy date" companion to
+    * [[graft.ops.Outliers.changepointSplit]] (which LOCATES an unknown
+    * mean shift): fit y~t separately before/after the split and pooled;
+    * F = ((SSRₚ−SSR₁−SSR₂)/2)/((SSR₁+SSR₂)/(n−4)) rejects when the two
+    * segments need different lines (slope OR intercept).
+    *
+    * Exactness: each segment's SSR = (Syy·Sxx − Sxy²)/Sxx derives from
+    * exact integer co-moments (ONE grouped aggregate computes both
+    * segments' moments via conditional sums — no second pass); F is one
+    * fixed tree. SSRs use the n-scaled centered forms so no mean is ever
+    * a float.
+    *
+    * @return per group: (groupCols*, n_before, n_after, f) — f null when
+    *         either segment lacks 2 points or x-variance, or n ≤ 4.
+    */
+  def chowTest(df: DataFrame, groupCols: Seq[String], tCol: String,
+               vCol: String, splitT: Long): DataFrame = {
+    val D = DecimalType(38, 0)
+    val keys = groupCols.map(col)
+    val rows = df.select(keys :+ col(tCol).cast(LongType).as("__t") :+
+        col(vCol).cast(LongType).as("__v"): _*)
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+      .withColumn("__a", col("__t") < lit(splitT))
+    def seg(flag: Column, tag: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(flag, col("__t")).otherwise(0L).cast(D)).as(s"sx_$tag"),
+      sum(when(flag, col("__v")).otherwise(0L).cast(D)).as(s"sy_$tag"),
+      sum(when(flag, col("__t").cast(D) * col("__t").cast(D)).otherwise(lit(0L).cast(D))).as(s"sxx_$tag"),
+      sum(when(flag, col("__t").cast(D) * col("__v").cast(D)).otherwise(lit(0L).cast(D))).as(s"sxy_$tag"),
+      sum(when(flag, col("__v").cast(D) * col("__v").cast(D)).otherwise(lit(0L).cast(D))).as(s"syy_$tag"))
+    val aggs = seg(col("__a"), "a") ++ seg(!col("__a"), "b")
+    val m = rows.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    // n-scaled centered moments: Cxx = n·Σx² − (Σx)² etc.; SSR·n = (Cyy·Cxx − Cxy²)/Cxx
+    def ssrOver(nC: Column, sx: Column, sy: Column, sxx: Column,
+                sxy: Column, syy: Column): (Column, Column) = {
+      val cxx = (nC.cast(D) * sxx - sx * sx).cast(DoubleType)
+      val cyy = (nC.cast(D) * syy - sy * sy).cast(DoubleType)
+      val cxy = (nC.cast(D) * sxy - sx * sy).cast(DoubleType)
+      // SSR = (Cyy − Cxy²/Cxx)/n
+      ((cyy - cxy * cxy / cxx) / nC.cast(DoubleType), cxx)
+    }
+    val (ssrA, cxxA) = ssrOver(col("n_a"), col("sx_a"), col("sy_a"),
+      col("sxx_a"), col("sxy_a"), col("syy_a"))
+    val (ssrB, cxxB) = ssrOver(col("n_b"), col("sx_b"), col("sy_b"),
+      col("sxx_b"), col("sxy_b"), col("syy_b"))
+    val nP = col("n_a") + col("n_b")
+    val (ssrP, cxxP) = ssrOver(nP,
+      col("sx_a") + col("sx_b"), col("sy_a") + col("sy_b"),
+      col("sxx_a") + col("sxx_b"), col("sxy_a") + col("sxy_b"),
+      col("syy_a") + col("syy_b"))
+    val nD = nP.cast(DoubleType)
+    val f = (ssrP - ssrA - ssrB) / lit(2.0) / ((ssrA + ssrB) / (nD - lit(4.0)))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && nP > 4L &&
+      cxxA > lit(0.0) && cxxB > lit(0.0) && cxxP > lit(0.0) &&
+      (ssrA + ssrB) > lit(0.0)
+    m.select(keys :+ col("n_a").as("n_before") :+ col("n_b").as("n_after") :+
+      when(ok, f).as("f"): _*)
+  }
+
   /** First-order partial correlation — "is x still correlated with y
     * once z is controlled for": r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)
     * (1−r_yz²)) — the confounder check a raw correlation matrix invites

@@ -711,6 +711,29 @@ private[queries] object StatsQueries {
         .orderBy("lang")
     },
 
+    "q_chow" -> { (s, dir) =>
+      // structural break at a KNOWN date: did each type's daily-count
+      // trend LINE change at Jan 15 — the hypothesis test beside
+      // q_changepoint's unknown-shift localization; exact segment
+      // co-moments from ONE conditional aggregate
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Correlation.chowTest(daily, Seq("event_type"), "d", "cnt",
+        splitT = 19737L).orderBy("event_type")
+    },
+
+    "q_influence" -> { (s, dir) =>
+      // WHICH days steer each type's trend line: top-3 by Cook's D —
+      // residual x leverage, the diagnostics an outlier fence can't
+      // give; exact co-moments, per-point fixed trees
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Correlation.olsInfluence(daily, Seq("event_type"), "d", "cnt",
+        topK = 3).orderBy("event_type", "rnk")
+    },
+
     "q_mood_scale" -> { (s, dir) =>
       // rank-based DISPERSION drift on the q_bf populations: Mood's
       // squared-rank-deviation score needs no |v - median| magnitudes at
@@ -1402,6 +1425,78 @@ private[queries] object StatsQueries {
         |       CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
         |            THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z
         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q_chow" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN d < 19737 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        sum(CASE WHEN d < 19737 THEN CAST(d AS HUGEINT) ELSE 0 END) AS sxa,
+        |        sum(CASE WHEN d < 19737 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sya,
+        |        sum(CASE WHEN d < 19737 THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS sxxa,
+        |        sum(CASE WHEN d < 19737 THEN CAST(d AS HUGEINT) * v ELSE 0 END) AS sxya,
+        |        sum(CASE WHEN d < 19737 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS syya,
+        |        CAST(sum(CASE WHEN d >= 19737 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |        sum(CASE WHEN d >= 19737 THEN CAST(d AS HUGEINT) ELSE 0 END) AS sxb,
+        |        sum(CASE WHEN d >= 19737 THEN CAST(v AS HUGEINT) ELSE 0 END) AS syb,
+        |        sum(CASE WHEN d >= 19737 THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS sxxb,
+        |        sum(CASE WHEN d >= 19737 THEN CAST(d AS HUGEINT) * v ELSE 0 END) AS sxyb,
+        |        sum(CASE WHEN d >= 19737 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS syyb
+        |      FROM ser GROUP BY 1),
+        |x AS (SELECT event_type, na, nb,
+        |        CAST(na * sxxa - sxa * sxa AS DOUBLE) AS cxxa,
+        |        CAST(na * sxya - sxa * sya AS DOUBLE) AS cxya,
+        |        CAST(na * syya - sya * sya AS DOUBLE) AS cyya,
+        |        CAST(nb * sxxb - sxb * sxb AS DOUBLE) AS cxxb,
+        |        CAST(nb * sxyb - sxb * syb AS DOUBLE) AS cxyb,
+        |        CAST(nb * syyb - syb * syb AS DOUBLE) AS cyyb,
+        |        CAST((na + nb) * (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) AS DOUBLE) AS cxxp,
+        |        CAST((na + nb) * (sxya + sxyb) - (sxa + sxb) * (sya + syb) AS DOUBLE) AS cxyp,
+        |        CAST((na + nb) * (syya + syyb) - (sya + syb) * (sya + syb) AS DOUBLE) AS cyyp
+        |      FROM m),
+        |y AS (SELECT event_type, na, nb, cxxa, cxxb, cxxp,
+        |        (cyya - cxya * cxya / cxxa) / CAST(na AS DOUBLE) AS ssra,
+        |        (cyyb - cxyb * cxyb / cxxb) / CAST(nb AS DOUBLE) AS ssrb,
+        |        (cyyp - cxyp * cxyp / cxxp) / CAST(na + nb AS DOUBLE) AS ssrp
+        |      FROM x)
+        |SELECT event_type, na AS n_before, nb AS n_after,
+        |       CASE WHEN na >= 2 AND nb >= 2 AND na + nb > 4
+        |                 AND cxxa > 0.0 AND cxxb > 0.0 AND cxxp > 0.0
+        |                 AND ssra + ssrb > 0.0
+        |            THEN (ssrp - ssra - ssrb) / 2.0
+        |                 / ((ssra + ssrb) / (CAST(na + nb AS DOUBLE) - 4.0)) END AS f
+        |FROM y ORDER BY event_type""".stripMargin,
+
+    "q_influence" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(d AS HUGEINT)) AS sx, sum(CAST(v AS HUGEINT)) AS sy,
+        |        sum(CAST(d AS HUGEINT) * d) AS sxx, sum(CAST(d AS HUGEINT) * v) AS sxy,
+        |        sum(CAST(v AS HUGEINT) * v) AS syy
+        |      FROM ser GROUP BY 1),
+        |j AS (SELECT ser.event_type, ser.d, ser.v, m.n,
+        |             CAST(m.n AS DOUBLE) AS nd,
+        |             CAST(m.sx AS DOUBLE) AS sxd, CAST(m.sy AS DOUBLE) AS syd,
+        |             CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS cxx,
+        |             CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) AS cxy,
+        |             CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) AS cyy
+        |      FROM ser JOIN m USING (event_type)),
+        |p AS (SELECT event_type, d, v, n, nd, cxx, cyy, cxy,
+        |             nd * CAST(d AS DOUBLE) - sxd AS dtn,
+        |             (nd * CAST(v AS DOUBLE) - syd - cxy / cxx * (nd * CAST(d AS DOUBLE) - sxd)) / nd AS e,
+        |             1.0 / nd + (nd * CAST(d AS DOUBLE) - sxd) * (nd * CAST(d AS DOUBLE) - sxd) / (nd * cxx) AS h,
+        |             (cyy - cxy * cxy / cxx) / nd / (nd - 2.0) AS s2
+        |      FROM j),
+        |q AS (SELECT event_type, d, v, e, h,
+        |             e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cd
+        |      FROM p
+        |      WHERE n > 2 AND cxx > 0.0 AND s2 > 0.0 AND h < 1.0),
+        |r AS (SELECT event_type, d, v, e, h, cd,
+        |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY cd DESC, d ASC) AS INT) AS rnk
+        |      FROM q)
+        |SELECT event_type, d AS t, v, e AS resid, h AS leverage, cd AS cooks_d, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
 
     "q_mood_scale" ->
       """WITH u AS (

@@ -578,6 +578,53 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("chowTest: broken line rejects, stable line stays low, replicated-tree parity") {
+    def mk(pts: Seq[(Long, Long)]) = pts.map { case (t, v) => ("g", t, v) }
+      .toDF("g", "t", "v")
+    // same noisy line both sides → small F; level jump at the split → large F
+    val stable = mk(Seq((1L, 10L), (2L, 12L), (3L, 11L), (4L, 13L),
+      (5L, 12L), (6L, 14L)))
+    val rs = Correlation.chowTest(stable, Seq("g"), "t", "v", splitT = 4L)
+      .collect()(0)
+    val broken = mk(Seq((1L, 10L), (2L, 12L), (3L, 11L), (4L, 50L),
+      (5L, 52L), (6L, 49L)))
+    val rb = Correlation.chowTest(broken, Seq("g"), "t", "v", splitT = 4L)
+      .collect()(0)
+    assert(rs.getAs[Long]("n_before") == 3 && rs.getAs[Long]("n_after") == 3)
+    assert(rb.getAs[Double]("f") > 10.0 * math.max(rs.getAs[Double]("f"), 0.1),
+      s"broken ${rb.getAs[Double]("f")} vs stable ${rs.getAs[Double]("f")}")
+    // replicated closed form on the stable fixture
+    def ssr(p: Seq[(Long, Long)]): Double = {
+      val n = p.size.toDouble
+      val sx = p.map(_._1.toDouble).sum; val sy = p.map(_._2.toDouble).sum
+      val sxx = p.map(q => q._1.toDouble * q._1).sum
+      val sxy = p.map(q => q._1.toDouble * q._2).sum
+      val syy = p.map(q => q._2.toDouble * q._2).sum
+      val (cxx, cxy, cyy) = (n * sxx - sx * sx, n * sxy - sx * sy, n * syy - sy * sy)
+      (cyy - cxy * cxy / cxx) / n
+    }
+    val pts = Seq((1L, 10L), (2L, 12L), (3L, 11L), (4L, 13L), (5L, 12L), (6L, 14L))
+    val (a, b) = pts.partition(_._1 < 4)
+    val expF = (ssr(pts) - ssr(a) - ssr(b)) / 2.0 / ((ssr(a) + ssr(b)) / 2.0)
+    assert(math.abs(rs.getAs[Double]("f") - expF) < 1e-9)
+  }
+
+  test("olsInfluence: the outlier day dominates Cook's D, rank order total") {
+    // near-perfect line with one gross outlier at t = 5
+    val pts = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 99L),
+      (6L, 60L), (7L, 70L))
+    val df = pts.map { case (t, v) => ("g", t, v) }.toDF("g", "t", "v")
+    val out = Correlation.olsInfluence(df, Seq("g"), "t", "v", topK = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("t") == 5L) // the outlier leads
+    // the gross outlier inflates s² too, so dominance is moderate: ~1.8×
+    assert(out(0).getAs[Double]("cooks_d") > 1.5 * out(1).getAs[Double]("cooks_d"))
+    assert(out.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2, 3))
+    // residual at the outlier is strongly positive
+    assert(out(0).getAs[Double]("resid") > 20.0)
+  }
+
   test("moodScale: hand squared-rank deviations, dispersion direction") {
     // ref = {1,4} wraps cur = {2,3}: M₄ = 18 (max dispersion), z > 0
     val wide = Drift.moodScale(Seq(1L, 4L).toDF("v"), Seq(2L, 3L).toDF("v"), "v")
