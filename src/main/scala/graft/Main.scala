@@ -445,14 +445,16 @@ object Main {
       // not three identical queries. The ks frame is the sample feed plus
       // its in-stream ks_stat column, so it serves as the sink when present.
       val sampleCols = (scan.ks.keySet ++ scan.mwu.keySet ++ scan.w1.keySet ++
-        scan.cvm.keySet ++ scan.energy.keySet ++ scan.ad.keySet).toSeq.sorted
+        scan.cvm.keySet ++ scan.energy.keySet ++ scan.ad.keySet ++
+        scan.moodScale.keySet).toSeq.sorted
       val sampleFeeds = sampleCols.map { c =>
         val feed = scan.ks.get(c).map(_._2)
           .orElse(scan.mwu.get(c).map(_._2))
           .orElse(scan.w1.get(c).map(_._2))
           .orElse(scan.cvm.get(c).map(_._2))
           .orElse(scan.energy.get(c).map(_._2))
-          .orElse(scan.ad.get(c).map(_._2)).get
+          .orElse(scan.ad.get(c).map(_._2))
+          .orElse(scan.moodScale.get(c).map(_._2)).get
         s"sample_$c" -> feed
       }
       val monitors: Seq[(String, org.apache.spark.sql.DataFrame)] =
@@ -567,6 +569,16 @@ object Main {
               if (s.nonEmpty) {
                 val (_, a2) = graft.scan.Drift.adOfSamples(ref, s)
                 println(f"  AD    column=$c window=${r.getAs[Any]("window_start")} a2=$a2%.4f")
+              }
+            }
+        }
+        scan.moodScale.foreach { case (c, (ref, _)) =>
+          windowsOf(s"sample_$c").sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+            .foreach { r =>
+              val s = r.getSeq[Double](r.fieldIndex("sample"))
+              if (s.nonEmpty) {
+                val (m4, z) = graft.scan.Drift.moodScaleOfSamples(ref, s)
+                println(f"  MOODS column=$c window=${r.getAs[Any]("window_start")} m4=$m4%.0f z=$z%.3f")
               }
             }
         }

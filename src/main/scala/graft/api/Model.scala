@@ -154,6 +154,14 @@ final case class ColumnConfig(
       * under the null A² ≈ 1); gate with e.g. `ad_a2 < 4`.
       */
     adReference: Option[String] = None,
+    /** Path to a parquet of reference values (same contract as
+      * `welch_reference:`). The batch scan records Mood's rank scale
+      * statistic and its z as `mood_m4` / `mood_z` measurements
+      * (`mood_scale_reference:` YAML key) — the fully NONPARAMETRIC
+      * dispersion-drift check (ranks only; no \|v−median\| magnitudes);
+      * gate with e.g. `abs(mood_z) < 3`.
+      */
+    moodScaleReference: Option[String] = None,
     /** Fixed-point scale for a Benford first-digit audit of this column
       * (`benford:` YAML key; 2 for currency). The scan records the
       * chi-square vs Benford's law as a `benford_chi2` measurement —

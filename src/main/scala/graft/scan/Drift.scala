@@ -404,6 +404,41 @@ object Drift {
       col("m4").cast(DoubleType).as("m4"), z.as("z"))
   }
 
+  /** Scalar twin of [[moodScale]] over bounded samples — the same
+    * distinct-value walk, exact term and final trees, BIT-EQUAL to the
+    * distributed statistic on equal value multisets (spec-asserted).
+    *
+    * @return (m4, z) — z NaN when degenerate (n ≤ 2).
+    */
+  def moodScaleOfSamples(ref: Seq[Double], cur: Seq[Double]): (Double, Double) = {
+    require(ref.nonEmpty && cur.nonEmpty, "both samples need values")
+    val n1 = ref.size.toLong; val n2 = cur.size.toLong
+    val nn = n1 + n2
+    val all = (ref.map((_, 1)) ++ cur.map((_, 2))).sortBy(_._1)
+    var i = 0
+    var k = 0L
+    var m4 = BigInt(0)
+    while (i < all.length) {
+      var j = i
+      var c1 = 0L
+      while (j < all.length && all(j)._1 == all(i)._1) {
+        if (all(j)._2 == 1) c1 += 1
+        j += 1
+      }
+      val c = (j - i).toLong
+      k += c
+      val dev = BigInt(2 * k - c - nn)
+      m4 += BigInt(c1) * dev * dev
+      i = j
+    }
+    val n1d = n1.toDouble; val n2d = n2.toDouble; val nD = nn.toDouble
+    val eM4 = n1d * (nD * nD - 1.0) / 3.0
+    val var16 = n1d * n2d * (nD + 1.0) * (nD * nD - 4.0) / 180.0 * 16.0
+    val z = if (nn > 2 && var16 > 0.0) (m4.toDouble - eM4) / math.sqrt(var16)
+            else Double.NaN
+    (m4.toDouble, z)
+  }
+
   /** Friedman test — the REPEATED-MEASURES member of the rank battery:
     * [[kruskalWallis]] assumes independent groups; when every block
     * (day, user, site) measures ALL k treatments, ranking WITHIN blocks

@@ -101,6 +101,7 @@ object ScanYamlParser {
       cvmReference = optStr(m, "cvm_reference"),
       energyReference = optStr(m, "energy_reference"),
       adReference = optStr(m, "ad_reference"),
+      moodScaleReference = optStr(m, "mood_scale_reference"),
       benford = optInt(m, "benford"),
       concentration = optStr(m, "concentration").exists(_.toBoolean)
     )

@@ -162,6 +162,11 @@ object Scanner {
         * per-window tail-weighted drift.
         */
       ad: Map[String, (Seq[Double], DataFrame)],
+      /** Per `mood_scale_reference:`-configured column: same coordinated
+        * sample feed; pair collected windows with
+        * [[Drift.moodScaleOfSamples]] for the per-window rank-scale drift.
+        */
+      moodScale: Map[String, (Seq[Double], DataFrame)],
       /** Per `chi2_reference:`-configured column: the reference's category
         * counts (driver-bounded by category cardinality) plus the
         * per-window (category, cnt) stream
@@ -301,6 +306,9 @@ object Scanner {
     val ad = cols.collect { case (name, cfg) if cfg.adReference.isDefined =>
       name -> (refValueSample(cfg.adReference.get, name), valueSampleStream(name))
     }.toMap
+    val moodScale = cols.collect { case (name, cfg) if cfg.moodScaleReference.isDefined =>
+      name -> (refValueSample(cfg.moodScaleReference.get, name), valueSampleStream(name))
+    }.toMap
     // `welch_reference:` — the parametric MEAN-drift member: the
     // reference's raw moments load once (three scalars), the window's
     // moments stream through one exact windowed aggregate, verdicts via
@@ -355,7 +363,7 @@ object Scanner {
           scan.coMissingness))
       else None
     StreamingScan(quality, anomalies, psi, ks, mwu, w1, welch, cvm, energy,
-      ad, chi2, benford,
+      ad, moodScale, chi2, benford,
       coMissing, windowTests(quality, scan.tests, cols))
   }
 
@@ -869,6 +877,12 @@ object Scanner {
       val refDf = spark.read.parquet(cfgOf(f.name).adReference.get)
       val row = Drift.andersonDarling(refDf, df, f.name).collect()(0)
       record(f.name, "ad_a2", row.getDouble(3))
+    }
+    fields.filter(f => cfgOf(f.name).moodScaleReference.isDefined).foreach { f =>
+      val refDf = spark.read.parquet(cfgOf(f.name).moodScaleReference.get)
+      val row = Drift.moodScale(refDf, df, f.name).collect()(0)
+      record(f.name, "mood_m4", row.getDouble(2))
+      record(f.name, "mood_z", if (row.isNullAt(3)) null else row.getDouble(3))
     }
 
     // ---- Benford audit (beyond the reference: `benford:` column key,

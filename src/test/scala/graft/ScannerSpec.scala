@@ -698,6 +698,34 @@ class ScannerSpec extends SparkSpec {
     assert(a2same < 1.0, s"identical-sample A² should be ~0: $a2same")
   }
 
+  test("mood_scale_reference scan key records m4/z and gates tests, operator parity") {
+    import graft.scan.{Drift, Scanner}
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("scan-moods-ref").toString
+    (1L to 20L).toDF("lat").write.parquet(s"$refDir/vals")
+    // current values wrap the reference range → dispersion grew
+    val cur = ((-20L to -11L) ++ (31L to 40L)).toDF("lat")
+    val yaml =
+      s"""table_name: t
+         |columns:
+         |  lat:
+         |    mood_scale_reference: $refDir/vals
+         |    tests:
+         |    - mood_z < 0
+         |""".stripMargin
+    val r = Scanner.executeYaml(spark, cur, yaml)
+    assert(!r.hasErrors, r.errors.mkString("; "))
+    def m(name: String) =
+      r.measurement(name, Some("lat")).get.value.get.asInstanceOf[Double]
+    val d = Drift.moodScale(spark.read.parquet(s"$refDir/vals"), cur, "lat")
+      .collect()(0)
+    assert(m("mood_m4") == d.getDouble(2) && m("mood_z") == d.getDouble(3))
+    // ref is squeezed into the center of cur → ref ranks near center → z < 0
+    assert(m("mood_z") < -3.0, s"z: ${m("mood_z")}")
+    val byExpr = r.testResults.map(t => t.test.expression -> t).toMap
+    assert(byExpr("mood_z < 0").passed)
+  }
+
   test("mannWhitneyU: doubled-rank exactness, tie correction, AUC direction, layout invariance") {
     import graft.scan.Drift
     import spark.implicits._

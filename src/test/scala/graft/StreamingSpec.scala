@@ -1785,6 +1785,49 @@ class StreamingSpec extends SparkSpec {
     assert(sfx == dd.getDouble(2) && a2 == dd.getDouble(3))
   }
 
+  test("mood_scale streaming twin: shared sample feed, moodScaleOfSamples parity") {
+    import spark.implicits._
+    import graft.scan.{Drift, Scanner}
+    implicit val sqlCtx = spark.sqlContext
+
+    // twin ≡ distributed statistic on equal multisets (incl. ties)
+    val rr = Seq(1.0, 2.0, 2.0, 9.0); val cc = Seq(4.0, 5.0, 6.0)
+    val (m4l, _) = Drift.moodScaleOfSamples(rr, cc)
+    val dd = Drift.moodScale(rr.toDF("v"), cc.toDF("v"), "v").collect()(0)
+    assert(m4l == dd.getDouble(2))
+
+    val refDir = java.nio.file.Files.createTempDirectory("scan-moods-sref").toString
+    (1L to 20L).toDF("v").write.parquet(s"$refDir/vals")
+    val yaml =
+      s"""table_name: events
+         |stream:
+         |  time_column: ts
+         |  watermark: 10 minutes
+         |  window: 1 hour
+         |columns:
+         |  v:
+         |    mood_scale_reference: $refDir/vals
+         |""".stripMargin
+    def mkts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Timestamp, Long)]
+    val scan = Scanner.executeStreamYaml(spark, stream.toDF().toDF("ts", "v"), yaml)
+    assert(scan.moodScale.keySet == Set("v"))
+    val q = scan.moodScale("v")._2.writeStream.format("memory")
+      .queryName("moods_feed").outputMode("complete").start()
+    // window values wrap the reference → ref concentrated → z < 0
+    stream.addData((1 to 10).map(i => (mkts(0, i), -i.toLong * 3)) ++
+      (11 to 20).map(i => (mkts(0, i), i.toLong * 3)))
+    q.processAllAvailable()
+    val sample = spark.table("moods_feed").select(col("sample"))
+      .as[Seq[Double]].collect()(0)
+    q.stop()
+    val ref = scan.moodScale("v")._1
+    val (m4s, zs) = Drift.moodScaleOfSamples(ref, sample)
+    val dw = Drift.moodScale(ref.toDF("v"), sample.toDF("v"), "v").collect()(0)
+    assert(m4s == dw.getDouble(2) && zs == dw.getDouble(3))
+    assert(zs < -2.0, s"wrapped-window z: $zs")
+  }
+
   test("windowed rate monitor: per-window counts, prop-test twin parity, null exclusion") {
     import spark.implicits._
     import graft.scan.Drift
