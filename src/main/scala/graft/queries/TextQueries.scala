@@ -53,6 +53,24 @@ private[queries] object TextQueries {
       TextAnalysis.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 20)
         .select("token", "tf", "df_docs").orderBy(col("tf").desc, col("token").asc)),
 
+    "q_rbo" -> { (s, dir) =>
+      // top-50 token-ranking stability between sources: rank-biased
+      // overlap weights head churn over tail churn (p = 0.9: the top 10
+      // carry ~86%) — the snapshot-churn metric a list Jaccard flattens;
+      // suffix-weight literal table, ONE aggregate, no depth spine
+      val docs = t(s, dir, "documents")
+      def ranking(src: String) = {
+        val top = docs.where(col("source") === src)
+          .select(explode(split(col("text"), "\\s+")).as("token"))
+          .where(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token").asc).limit(50)
+        top.withColumn("rank", row_number().over(
+          Window.orderBy(col("tf").desc, col("token").asc)))
+      }
+      Ranking.rbo(ranking("src0"), ranking("src1"), "token", "rank", k = 50)
+    },
+
     "q_rake" -> ((s, dir) =>
       // corpus keyphrases: maximal stopword-free runs scored by summed
       // word degree/frequency — multi-word domain terms surface where
@@ -602,6 +620,33 @@ private[queries] object TextQueries {
         |g AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs FROM t GROUP BY token)
         |SELECT token, tf, df_docs FROM g
         |ORDER BY tf DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_rbo" -> {
+      val (_, suffix) = graft.ops.Ranking.rboWeights(50, 0.9)
+      val wvals = suffix.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(",\n|  ")
+      raw"""WITH wt(r, w) AS (VALUES
+         |  $wvals),
+         |ta AS (SELECT token, count(*) AS tf FROM
+         |        (SELECT unnest(string_split_regex(text, '\s+')) AS token
+         |         FROM documents WHERE source = 'src0')
+         |       WHERE token <> '' GROUP BY token ORDER BY tf DESC, token ASC LIMIT 50),
+         |rak AS (SELECT token, CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS INT) AS ra
+         |        FROM ta),
+         |tb AS (SELECT token, count(*) AS tf FROM
+         |        (SELECT unnest(string_split_regex(text, '\s+')) AS token
+         |         FROM documents WHERE source = 'src1')
+         |       WHERE token <> '' GROUP BY token ORDER BY tf DESC, token ASC LIMIT 50),
+         |rbk AS (SELECT token, CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS INT) AS rb
+         |        FROM tb),
+         |j AS (SELECT greatest(ra, rb) AS mr FROM rak JOIN rbk USING (token)),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_common,
+         |             CAST(sum(CAST(floor(wt.w * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfx
+         |      FROM j JOIN wt ON j.mr = wt.r)
+         |SELECT CAST(50 AS BIGINT) AS k, coalesce(n_common, 0) AS n_common,
+         |       coalesce(CAST(sfx AS DOUBLE) / 1000000000000.0, 0.0) AS rbo
+         |FROM s""".stripMargin
+    },
 
     "q_rake" ->
       """WITH d0 AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr

@@ -2478,6 +2478,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == two && one.nonEmpty)
   }
 
+  test("rbo: identical lists hit 1 - p^k, disjoint 0, head churn outweighs tail churn") {
+    import graft.ops.Ranking
+    def list(ids: Seq[String]) = ids.zipWithIndex
+      .map { case (s, i) => (s, i + 1) }.toDF("id", "rank")
+    val base = list((1 to 20).map("t" + _))
+    val r = Ranking.rbo(base, base, "id", "rank", k = 20).collect()(0)
+    assert(r.getAs[Long]("n_common") == 20)
+    // truncated-RBO ceiling for identical lists: Σ d·w_d = 1 − p^k
+    assert(math.abs(r.getAs[Double]("rbo") - (1.0 - math.pow(0.9, 20))) < 1e-9)
+    val disjoint = list((1 to 20).map("u" + _))
+    assert(Ranking.rbo(base, disjoint, "id", "rank", 20)
+      .collect()(0).getAs[Double]("rbo") == 0.0)
+    // replacing the #1 item costs more than replacing the #20 item
+    val headSwap = list(Seq("zzz") ++ (2 to 20).map("t" + _))
+    val tailSwap = list((1 to 19).map("t" + _) ++ Seq("zzz"))
+    val rh = Ranking.rbo(base, headSwap, "id", "rank", 20)
+      .collect()(0).getAs[Double]("rbo")
+    val rt = Ranking.rbo(base, tailSwap, "id", "rank", 20)
+      .collect()(0).getAs[Double]("rbo")
+    assert(rh < rt, s"head churn $rh should cost more than tail churn $rt")
+  }
+
   test("rakeKeywords: degree/frequency scoring, stopword islands, exact integer scores") {
     val docs = Seq(
       (1L, "Deep Learning of deep learning"),
