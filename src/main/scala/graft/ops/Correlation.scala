@@ -647,28 +647,19 @@ object Correlation {
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String, scale: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // three consumers (two rank maps + the join spine) — LAZY
-    // localCheckpoint the three-column frame so the source scans once
-    // (4.7 → ~3 s at sf0.1); unlike persist, the blocks are auto-freed by
-    // the ContextCleaner when the frame goes unreachable, and unlike the
-    // eager form the materialization rides the first consumer's job
-    // (eager benched +0.5 s here: an extra job boundary on the widest
-    // frame in the family)
+    // doubled tie-averaged rank DIRECTLY as a window pair per column:
+    // 2·rank + t − 1 ≡ the (cum−c)·2 + c + 1 rollup formulation (rank−1
+    // = values below), so no rank-map rollups and no attach joins — both
+    // columns' windows share ONE exchange on g (two in-partition sorts);
+    // measured 3.0 → 1.5 s at sf0.1 with bit-identical output
     val base = df.select(col(groupCol).as("g"),
         MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
       .where(col("g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
-      .localCheckpoint(false)
-    def rankMap(c: String) = {
-      val wRun = Window.partitionBy("g").orderBy("v")
-      base.groupBy(col("g"), col(c).as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(wRun))
-        .select(col("g"), col("v"),
-          ((col("cum") - col("c")) * 2L + col("c") + 1L).as(s"dr$c"))
-    }
-    val ranked = base
-      .join(rankMap("__x").withColumnRenamed("v", "__x"), Seq("g", "__x"))
-      .join(rankMap("__y").withColumnRenamed("v", "__y"), Seq("g", "__y"))
+    def dr(c: String) =
+      rank().over(Window.partitionBy("g").orderBy(c)).cast(LongType) * 2L +
+        count(lit(1)).over(Window.partitionBy("g", c)) - 1L
+    val ranked = base.withColumn("dr__x", dr("__x")).withColumn("dr__y", dr("__y"))
     val aggs = pairAggs(col("dr__x"), col("dr__y"), "sp")
     ranked.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol), col("n_sp").cast(LongType).as("n"),

@@ -1143,8 +1143,18 @@ object Drift {
     val parts = vals.repartitionByRange(col("v"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val totals = parts.groupBy("__pid").agg(sum(col("c")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ONE collect serves the prefix offsets AND the tie term (the tie sum
+    // rides the same per-pid aggregate — no second materialization of the
+    // ranked frame and no separate tie job; values identical, Σ per-pid
+    // ≡ the global Σ(c³−c))
+    val totRows = parts.groupBy("__pid").agg(sum(col("c")).as("t"),
+        sum(when(col("c") > 1L, (col("c") * col("c") * col("c") - col("c")).cast(D))
+          .otherwise(lit(0L).cast(D))).as("tt"))
+      .collect()
+    val totals = totRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ties = totRows.map(r => Option(r.getDecimal(2))
+      .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))).sum
+      .bigInteger.longValueExact()
     val n = totals.valuesIterator.sum
     require(n > 0, "kruskalWallis needs at least one non-null row")
     val pids = totals.keys.toSeq.sorted
@@ -1158,11 +1168,6 @@ object Drift {
       .withColumn("k", sum(col("c")).over(w) + offExpr)
       // doubled tie-averaged 1-based rank of value v: 2·cum_lt + c + 1
       .withColumn("dr", (col("k") - col("c")) * 2L + col("c") + 1L)
-      .localCheckpoint(true) // serves the tie aggregate AND the rank join
-    val ties = Option(ranked.agg(
-        sum(when(col("c") > 1L, (col("c") * col("c") * col("c") - col("c")).cast(D))
-          .otherwise(lit(0L).cast(D))).as("ties"))
-      .collect()(0).getDecimal(0)).map(_.toBigInteger.longValueExact()).getOrElse(0L)
     // per-group doubled rank sums (values side is distinct-values-sized;
     // AQE broadcasts it under the threshold, shuffles otherwise)
     val byG = cells.join(ranked.select("v", "dr"), Seq("v"))
