@@ -669,6 +669,69 @@ object Outliers {
           .as("mean_right")): _*)
   }
 
+  /** Split-conformal interval calibration per key — the DISTRIBUTION-FREE
+    * uncertainty wrapper for any point forecaster: on a calibration
+    * window the ⌈(n+1)(1−α)⌉-th smallest |residual| becomes the band
+    * half-width q̂, and on the evaluation window the band |y−ŷ| ≤ q̂ is
+    * GUARANTEED ≥ 1−α coverage under exchangeability — no model, no
+    * variance assumption (the guarantee [[forecastErrors]]' point scores
+    * and a Gaussian ±kσ band both lack). The measured eval coverage is
+    * the health check: far below 1−α means the residual distribution
+    * shifted between windows.
+    *
+    * Exactness: |residuals| are exact longs, the conformal rank
+    * threshold ⌈(n+1)·aNum/aDen⌉ is integer arithmetic, q̂ selects via
+    * the group-bounded cumulative (the median machinery at an arbitrary
+    * rank), and coverage counts are exact; one rollup + one window + one
+    * broadcast join back.
+    *
+    * @param splitT rows with tick < splitT calibrate; the rest evaluate
+    * @param aNum/aDen target coverage 1−α = aNum/aDen (e.g. 9/10)
+    * @return per key: (keyCols*, n_cal, qhat, n_eval, covered, coverage)
+    *         — qhat/coverage null when the calibration window is smaller
+    *         than the conformal rank requires.
+    */
+  def conformalCoverage(df: DataFrame, keyCols: Seq[String], tickCol: String,
+                        actualCol: String, predCol: String, splitT: Long,
+                        aNum: Int = 9, aDen: Int = 10,
+                        fxScale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(aNum > 0 && aNum < aDen, "need 0 < aNum/aDen < 1")
+    import org.apache.spark.sql.expressions.Window
+    val Dbl = org.apache.spark.sql.types.DoubleType
+    val gc = keyCols.map(col)
+    val s = df.select(gc ++ Seq(
+        col(tickCol).cast(org.apache.spark.sql.types.LongType).as("__t"),
+        graft.metrics.MetricColumns.fixedPointLong(col(actualCol).cast(Dbl), fxScale).as("__a"),
+        graft.metrics.MetricColumns.fixedPointLong(col(predCol).cast(Dbl), fxScale).as("__p")): _*)
+      .where(col("__t").isNotNull && col("__a").isNotNull && col("__p").isNotNull)
+      .withColumn("__r", abs(col("__a") - col("__p")))
+      .localCheckpoint(true) // serves the calibration rollup AND the eval pass
+    val cal = s.where(col("__t") < splitT)
+    val cells = cal.groupBy(gc :+ col("__r"): _*).agg(count(lit(1)).as("__c"))
+    val wRun = Window.partitionBy(gc: _*).orderBy("__r")
+    val wAll = Window.partitionBy(gc: _*)
+    // conformal rank ⌈(n+1)·aNum/aDen⌉ = ((n+1)·aNum + aDen−1) div aDen
+    val qhat = cells
+      .withColumn("__k", sum(col("__c")).over(wRun))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__thr",
+        expr(s"((__n + 1) * $aNum + ${aDen - 1}) div $aDen"))
+      .groupBy(gc: _*).agg(max(col("__n")).as("n_cal"),
+        min(when(col("__k") >= col("__thr"), col("__r"))).as("qhat"))
+    val eval = s.where(col("__t") >= splitT)
+      .join(broadcast(qhat), keyCols)
+      .groupBy(gc: _*).agg(max(col("n_cal")).as("n_cal"),
+        max(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("qhat").isNotNull && col("__r") <= col("qhat"), 1L)
+          .otherwise(0L)).as("covered"))
+    eval.select(gc ++ Seq(col("n_cal"), col("qhat"), col("n_eval"),
+      col("covered"),
+      when(col("qhat").isNotNull && col("n_eval") > 0L,
+        col("covered").cast(Dbl) / col("n_eval").cast(Dbl)).as("coverage")): _*)
+  }
+
   /** Pinball (quantile) loss per key — [[forecastErrors]] scores a POINT
     * forecast; pinball scores a QUANTILE forecast (the metric that makes a
     * p90 capacity forecast honest: under-prediction of the true value

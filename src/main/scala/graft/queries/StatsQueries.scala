@@ -309,6 +309,22 @@ private[queries] object StatsQueries {
       graft.scan.Drift.moodMedian(li, "cents", "l_returnflag")
     },
 
+    "q_conformal" -> { (s, dir) =>
+      // split-conformal band check for the lag-7 naive: the calibration
+      // window's conformal quantile gives a distribution-free >=90% band
+      // — measured eval coverage far below 0.9 means the residual
+      // distribution shifted; exact integer ranks and counts
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val wd = Window.partitionBy("event_type").orderBy("d")
+      val withPred = daily.withColumn("pred", lag(col("cnt"), 7).over(wd))
+        .where(col("pred").isNotNull)
+      Outliers.conformalCoverage(withPred, Seq("event_type"), "d", "cnt",
+        "pred", splitT = 19737L, aNum = 9, aDen = 10, fxScale = 0)
+        .orderBy("event_type")
+    },
+
     "q_pinball" -> { (s, dir) =>
       // p90 quantile-forecast acceptance: the lag-7 naive scored as a
       // QUANTILE forecast (under-prediction costs 0.9, over costs 0.1) —
@@ -1748,6 +1764,29 @@ private[queries] object StatsQueries {
         |                          / CAST(ta AS DOUBLE) / CAST(tb AS DOUBLE) * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
         |       / 1000000000.0 AS chi2
         |FROM tm""".stripMargin,
+
+    "q_conformal" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, d, cnt,
+        |             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred FROM ser),
+        |f AS (SELECT event_type, d, abs(cnt - pred) AS r FROM p WHERE pred IS NOT NULL),
+        |cal AS (SELECT event_type, r, count(*) AS c FROM f WHERE d < 19737 GROUP BY 1, 2),
+        |kk AS (SELECT event_type, r,
+        |              sum(c) OVER (PARTITION BY event_type ORDER BY r) AS k,
+        |              sum(c) OVER (PARTITION BY event_type) AS n FROM cal),
+        |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_cal,
+        |             CAST(min(CASE WHEN k >= ((n + 1) * 9 + 9) // 10 THEN r END) AS BIGINT) AS qhat
+        |      FROM kk GROUP BY 1),
+        |e AS (SELECT f.event_type, q.n_cal, q.qhat,
+        |             CAST(count(*) AS BIGINT) AS n_eval,
+        |             CAST(sum(CASE WHEN q.qhat IS NOT NULL AND f.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |      FROM f JOIN q USING (event_type) WHERE d >= 19737 GROUP BY 1, 2, 3)
+        |SELECT event_type, n_cal, qhat, n_eval, covered,
+        |       CASE WHEN qhat IS NOT NULL AND n_eval > 0
+        |            THEN CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE) END AS coverage
+        |FROM e ORDER BY event_type""".stripMargin,
 
     "q_pinball" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

@@ -578,6 +578,26 @@ class TrendDriftSpec extends SparkSpec {
       r.getAs[String]("lang_filled") == r.getString(1) && !r.getAs[Boolean]("imputed")))
   }
 
+  test("conformalCoverage: hand conformal rank, eval coverage, short-calibration null") {
+    import graft.ops.Outliers
+    // calibration residuals 1..10 (t < 100): thr = ⌈11·9/10⌉ = 10 → q̂ = 10
+    // eval residuals {5, 10, 11}: 2 of 3 covered
+    val rows = (1 to 10).map(i => ("g", i.toLong, 100L + i, 100L)) ++
+      Seq(("g", 101L, 105L, 100L), ("g", 102L, 110L, 100L), ("g", 103L, 111L, 100L))
+    val df = rows.toDF("g", "t", "y", "p")
+    val r = Outliers.conformalCoverage(df, Seq("g"), "t", "y", "p",
+      splitT = 100L, aNum = 9, aDen = 10, fxScale = 0).collect()(0)
+    assert(r.getAs[Long]("n_cal") == 10 && r.getAs[Long]("qhat") == 10)
+    assert(r.getAs[Long]("n_eval") == 3 && r.getAs[Long]("covered") == 2)
+    assert(r.getAs[Double]("coverage") == 2.0 / 3.0)
+    // 5-point calibration: thr = ⌈6·0.9⌉ = 6 > 5 → null q̂/coverage
+    val short = ((1 to 5).map(i => ("g", i.toLong, 100L + i, 100L)) ++
+      Seq(("g", 101L, 103L, 100L))).toDF("g", "t", "y", "p")
+    val s = Outliers.conformalCoverage(short, Seq("g"), "t", "y", "p",
+      splitT = 100L).collect()(0)
+    assert(s.isNullAt(s.fieldIndex("qhat")) && s.isNullAt(s.fieldIndex("coverage")))
+  }
+
   test("chowTest: broken line rejects, stable line stays low, replicated-tree parity") {
     def mk(pts: Seq[(Long, Long)]) = pts.map { case (t, v) => ("g", t, v) }
       .toDF("g", "t", "v")
