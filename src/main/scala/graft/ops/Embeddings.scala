@@ -208,8 +208,12 @@ object Embeddings {
     * @return one row: (k, n, w, b, ch, dbi) — ch null when k < 2, n ≤ k
     *         or W = 0; dbi null when any pair of centroids coincides.
     */
+  /** @param longRouteMaxN overrides the exact-long cell-size route bound
+    *        (None = computed from dim; Some(0) forces the decimal branch
+    *        everywhere — route-parity specs). */
   def clusterValidity(df: DataFrame, idCol: String, vecCol: String,
-                      nMedoids: Int): DataFrame = {
+                      nMedoids: Int,
+                      longRouteMaxN: Option[Long] = None): DataFrame = {
     require(nMedoids >= 2, "need at least 2 medoids")
     val D = DecimalType(38, 0)
     val q = quantizeInt8(df, idCol, vecCol)
@@ -256,9 +260,19 @@ object Embeddings {
     val bTerm = col("bsum").cast(DoubleType) / col("nc").cast(DoubleType) /
       col("n").cast(DoubleType) / col("n").cast(DoubleType)
     val bAgg = bCell.agg(sum(floor(bTerm * lit(1e6) + lit(0.5)).cast(D)).as("bfx"))
-    // s_c: per-point distance to own centroid, micro fx, exact per-cell sum
+    // s_c: per-point distance to own centroid, micro fx, exact per-cell
+    // sum. The long fold is exact only while dim·(254·n_c)² fits a long —
+    // past that cell size the same fold runs in DECIMAL(38,0) (identical
+    // values in range; exact to n_c ~ 10¹⁶). Routed per ROW on the cell's
+    // own n_c (no extra measurement job; only the selected branch runs).
+    val dim = medoids.headOption.map(_._2.length).getOrElse(1).max(1)
+    val zipLongMaxN = longRouteMaxN.getOrElse(
+      (math.sqrt(Long.MaxValue.toDouble / dim) / 254.0).toLong)
+    val distSum = when(col("nc") <= lit(zipLongMaxN),
+        zipSumLong(col("qv"), col("sarr"), col("nc")).cast(DoubleType))
+      .otherwise(zipSumDec(col("qv"), col("sarr"), col("nc")).cast(DoubleType))
     val distFx = floor(
-      sqrt(zipSumLong(col("qv"), col("sarr"), col("nc")).cast(DoubleType)) /
+      sqrt(distSum) /
         col("nc").cast(DoubleType) * lit(1e6) + lit(0.5)).cast(LongType)
     val sC = assigned
       .join(broadcast(cellArr.join(cellStats, "cell")
@@ -274,11 +288,25 @@ object Embeddings {
     val b = sC.join(cellArr.select("cell", "sarr"), "cell")
       .select(col("cell").as("cj"), col("nc").as("nj"), col("s").as("sj"),
         col("sarr").as("aj"))
-    val dij = sqrt(aggregate(
+    // cross-multiplied per-dim gap S_id·n_j − S_jd·n_i is exact in LONG
+    // only while 254·n_i·n_j fits — past that pair size the products run
+    // in DECIMAL before the double cast (identical values in range);
+    // routed per pair row on the decimal product (which can't wrap).
+    val pairLongOk = col("ni").cast(D) * col("nj").cast(D) <=
+      lit(longRouteMaxN match {
+        case Some(0L) => 0L // forced-decimal spec route
+        case _        => Long.MaxValue / 254L
+      }).cast(D)
+    def dijOf(cross: (Column, Column) => Column) = sqrt(aggregate(
         zip_with(col("ai"), col("aj"),
-          (x, y) => { val dd = (x * col("nj") - y * col("ni")).cast(DoubleType); dd * dd }),
+          (x, y) => { val dd = cross(x, y); dd * dd }),
         lit(0.0), (acc, v) => acc + v)) /
       (col("ni").cast(DoubleType) * col("nj").cast(DoubleType))
+    val dij = when(pairLongOk,
+        dijOf((x, y) => (x * col("nj") - y * col("ni")).cast(DoubleType)))
+      .otherwise(dijOf((x, y) =>
+        (x.cast(D) * col("nj").cast(D) - y.cast(D) * col("ni").cast(D))
+          .cast(DoubleType)))
     val pairs = a.crossJoin(b).where(col("ci") =!= col("cj"))
       .withColumn("__d", dij)
       .withColumn("__r", when(col("__d") > lit(0.0),
@@ -299,12 +327,22 @@ object Embeddings {
       ch.as("ch"), dbi.as("dbi"))
   }
 
-  /** Σ_d (qv_d·n − s_d)² as an exact long left fold (components and sums
-    * are small enough that the square stays in range — ≤ (127·n)²·dim). */
+  /** Σ_d (qv_d·n − s_d)² as an exact long left fold — exact while
+    * dim·(254·n)² fits a long (the [[clusterValidity]] per-row route
+    * bound); past it use [[zipSumDec]]. */
   private def zipSumLong(qv: Column, sarr: Column, n: Column): Column =
     aggregate(zip_with(qv, sarr, (x, s) => {
       val d = x * n - s; d * d
     }), lit(0L), (acc, v) => acc + v)
+
+  /** [[zipSumLong]]'s DECIMAL(38,0) twin for cells past the exact-long
+    * bound — identical values in range, exact to n ~ 10¹⁶. */
+  private def zipSumDec(qv: Column, sarr: Column, n: Column): Column = {
+    val D = DecimalType(38, 0)
+    aggregate(zip_with(qv, sarr, (x, s) => {
+      val d = x.cast(D) * n.cast(D) - s.cast(D); d * d
+    }), lit(0L).cast(D), (acc, v) => acc + v)
+  }
 
   /** EXACT PCA sufficient statistics in ONE corpus pass: per dimension
     * pair d ≤ e, the quantized product sum Σ q_d·q_e plus the marginal

@@ -687,9 +687,11 @@ object Outliers {
     *
     * @param splitT rows with tick < splitT calibrate; the rest evaluate
     * @param aNum/aDen target coverage 1−α = aNum/aDen (e.g. 9/10)
-    * @return per key: (keyCols*, n_cal, qhat, n_eval, covered, coverage)
-    *         — qhat/coverage null when the calibration window is smaller
-    *         than the conformal rank requires.
+    * @return one row per key seen in EITHER window: (keyCols*, n_cal,
+    *         qhat, n_eval, covered, coverage) — qhat/coverage null when
+    *         the calibration window is smaller than the conformal rank
+    *         requires; n_cal = 0 with null qhat for keys never
+    *         calibrated; n_eval = 0 for keys with no evaluation rows.
     */
   def conformalCoverage(df: DataFrame, keyCols: Seq[String], tickCol: String,
                         actualCol: String, predCol: String, splitT: Long,
@@ -719,17 +721,25 @@ object Outliers {
         expr(s"((__n + 1) * $aNum + ${aDen - 1}) div $aDen"))
       .groupBy(gc: _*).agg(max(col("__n")).as("n_cal"),
         min(when(col("__k") >= col("__thr"), col("__r"))).as("qhat"))
+    // key universe is BOTH windows' keys: eval rows LEFT-join the
+    // calibration frame (a key with no calibration window surfaces with
+    // n_cal = 0 and null qhat/coverage — 'never calibrated'), and the
+    // full join back resurfaces calibrated keys with no eval rows
+    // (n_eval = 0) — callers can tell 'never calibrated' from 'covered'
+    // instead of both silently vanishing. Both sides are key-bounded.
     val eval = s.where(col("__t") >= splitT)
-      .join(broadcast(qhat), keyCols)
-      .groupBy(gc: _*).agg(max(col("n_cal")).as("n_cal"),
-        max(col("qhat")).as("qhat"),
+      .join(broadcast(qhat), keyCols, "left")
+      .groupBy(gc: _*).agg(
         count(lit(1)).as("n_eval"),
         sum(when(col("qhat").isNotNull && col("__r") <= col("qhat"), 1L)
           .otherwise(0L)).as("covered"))
-    eval.select(gc ++ Seq(col("n_cal"), col("qhat"), col("n_eval"),
-      col("covered"),
-      when(col("qhat").isNotNull && col("n_eval") > 0L,
-        col("covered").cast(Dbl) / col("n_eval").cast(Dbl)).as("coverage")): _*)
+    qhat.join(eval, keyCols, "full")
+      .select(gc ++ Seq(coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        col("qhat"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        when(col("qhat").isNotNull && col("n_eval") > 0L,
+          col("covered").cast(Dbl) / col("n_eval").cast(Dbl)).as("coverage")): _*)
   }
 
   /** Pinball (quantile) loss per key — [[forecastErrors]] scores a POINT

@@ -1779,14 +1779,15 @@ private[queries] object StatsQueries {
         |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_cal,
         |             CAST(min(CASE WHEN k >= ((n + 1) * 9 + 9) // 10 THEN r END) AS BIGINT) AS qhat
         |      FROM kk GROUP BY 1),
-        |e AS (SELECT f.event_type, q.n_cal, q.qhat,
+        |e AS (SELECT f.event_type,
         |             CAST(count(*) AS BIGINT) AS n_eval,
         |             CAST(sum(CASE WHEN q.qhat IS NOT NULL AND f.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered
-        |      FROM f JOIN q USING (event_type) WHERE d >= 19737 GROUP BY 1, 2, 3)
-        |SELECT event_type, n_cal, qhat, n_eval, covered,
-        |       CASE WHEN qhat IS NOT NULL AND n_eval > 0
-        |            THEN CAST(covered AS DOUBLE) / CAST(n_eval AS DOUBLE) END AS coverage
-        |FROM e ORDER BY event_type""".stripMargin,
+        |      FROM f LEFT JOIN q USING (event_type) WHERE d >= 19737 GROUP BY 1)
+        |SELECT event_type, coalesce(q.n_cal, 0) AS n_cal, q.qhat,
+        |       coalesce(e.n_eval, 0) AS n_eval, coalesce(e.covered, 0) AS covered,
+        |       CASE WHEN q.qhat IS NOT NULL AND e.n_eval > 0
+        |            THEN CAST(e.covered AS DOUBLE) / CAST(e.n_eval AS DOUBLE) END AS coverage
+        |FROM q FULL JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
 
     "q_pinball" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

@@ -174,7 +174,10 @@ object Drift {
       .withColumn("dr", (col("k") - c) * 2L + c + 1L)
       .agg(
         sum((col("c1") * col("dr")).cast(DecimalType(38, 0))).as("r1d"),
-        sum(when(c > 1L, (c * c * c - c).cast(DecimalType(38, 0)))
+        // c³ in DECIMAL from the first product — a long wraps past
+        // c ≈ 2.1M rows tied on one value (value-identical in range)
+        sum(when(c > 1L, c.cast(DecimalType(38, 0)) * c.cast(DecimalType(38, 0)) *
+            c.cast(DecimalType(38, 0)) - c.cast(DecimalType(38, 0)))
           .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("ties"))
     val n = n1 + n2
     // u1d stays DECIMAL(38,0) so auc/z survive n1·n2 > 2^62 (multi-
@@ -188,10 +191,15 @@ object Drift {
     val sig2 = lit(n1.toDouble) * lit(n2.toDouble) / 12.0 *
       (lit((n + 1).toDouble) -
         col("ties").cast(DoubleType) / (lit(n.toDouble) * lit((n - 1).toDouble)))
+    // the BIGINT output narrowing goes NULL (not ANSI-error) past the
+    // long range — the statistic itself stays decimal-exact above
+    def narrow(c: Column) = when(
+      c <= lit(Long.MaxValue).cast(DecimalType(38, 0)) &&
+        c >= lit(Long.MinValue).cast(DecimalType(38, 0)), c.cast(LongType))
     stats.select(
       lit(n1).as("n_ref"), lit(n2).as("n_cur"),
-      u1d.cast(LongType).as("u_doubled"),
-      col("ties").cast(LongType).as("tie_term"),
+      narrow(u1d).as("u_doubled"),
+      narrow(col("ties").cast(DecimalType(38, 0))).as("tie_term"),
       (uD / (lit(n1.toDouble) * lit(n2.toDouble))).as("auc"),
       when(sig2 > 0.0, (uD - mu) / sqrt(sig2)).as("z"))
   }
@@ -500,13 +508,25 @@ object Drift {
     * moved (the drill-down next to [[ksStatisticByGroup]]'s largest-gap
     * and [[wasserstein1ByGroup]]'s magnitude). Group-bounded windows
     * replace the global two-phase machinery; the same long-arithmetic
-    * milli-fx term tree as the ungrouped operator (per-group N ≤ 2³⁰
-    * documented — the single-sample long-route bound), so a group's a2
-    * equals the ungrouped statistic on that group's slice bit-for-bit.
-    * Groups present on only one side are excluded.
+    * milli-fx term tree as the ungrouped operator below per-group
+    * N ≤ 2³⁰ (the single-sample long-route bound), and past it the SAME
+    * per-row decimal fallback the ungrouped operator takes — routed by a
+    * per-row `when` on the group's N (the group size isn't known at plan
+    * time, so the route rides the column instead of a driver measurement;
+    * only the selected branch evaluates). A group's a2 therefore equals
+    * the ungrouped statistic on that group's slice bit-for-bit at any
+    * group size. Groups present on only one side are excluded.
     */
   def andersonDarlingByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
-                             groupCol: String): DataFrame = {
+                             groupCol: String): DataFrame =
+    andersonDarlingByGroupRouted(ref, cur, valueCol, groupCol, 1L << 30)
+
+  /** [[andersonDarlingByGroup]] with the long→decimal route threshold
+    * exposed — `longRouteMax = 0` forces every group onto the decimal
+    * branch (route-parity specs). */
+  private[graft] def andersonDarlingByGroupRouted(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      groupCol: String, longRouteMax: Long): DataFrame = {
     val D = DecimalType(38, 0)
     def side(df: DataFrame, flag: Int) =
       df.select(col(groupCol).as("g"), col(valueCol).cast(DoubleType).as("v"))
@@ -521,14 +541,26 @@ object Drift {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val l = col("c1") + col("c2")
     val nn = col("n1") + col("n2")
+    // b2/m2 stay long on BOTH branches (≤ 2N — exact to N = 2⁶²,
+    // mirroring the ungrouped decimal branch); only the quadratic
+    // products route: g ≤ 2N², den₄ ≤ N² exceed a long past N = 2³⁰.
     val b2 = col("k") * 2L - l
     val m2 = col("k1") * 2L - col("c1")
-    val gg = nn * m2 - col("n1") * b2
-    val den4 = b2 * (nn * 2L - b2) - nn * l
-    val termD = l.cast(DoubleType) * gg.cast(DoubleType) * gg.cast(DoubleType) /
-      den4.cast(DoubleType)
-    val termFx = when(den4 > lit(0L),
-      floor(termD * lit(1000.0) + lit(0.5))).otherwise(lit(0L)).cast(D)
+    val (termFxL, termFxD) = {
+      val gg = nn * m2 - col("n1") * b2
+      val den4 = b2 * (nn * 2L - b2) - nn * l
+      val termD = l.cast(DoubleType) * gg.cast(DoubleType) * gg.cast(DoubleType) /
+        den4.cast(DoubleType)
+      val ggD = nn.cast(D) * m2.cast(D) - col("n1").cast(D) * b2.cast(D)
+      val den4D = b2.cast(D) * (nn.cast(D) * lit(2L).cast(D) - b2.cast(D)) -
+        nn.cast(D) * l.cast(D)
+      val termDD = l.cast(DoubleType) * ggD.cast(DoubleType) * ggD.cast(DoubleType) /
+        den4D.cast(DoubleType)
+      (when(den4 > lit(0L), floor(termD * lit(1000.0) + lit(0.5))).otherwise(lit(0L)),
+       when(den4D > lit(0L).cast(D), floor(termDD * lit(1000.0) + lit(0.5))).otherwise(lit(0L)))
+    }
+    val termFx = when(nn <= lit(longRouteMax), termFxL)
+      .otherwise(termFxD).cast(D)
     val agg = counts
       .withColumn("k", sum(l).over(wRun))
       .withColumn("k1", sum(col("c1")).over(wRun))
@@ -1148,7 +1180,10 @@ object Drift {
     // ranked frame and no separate tie job; values identical, Σ per-pid
     // ≡ the global Σ(c³−c))
     val totRows = parts.groupBy("__pid").agg(sum(col("c")).as("t"),
-        sum(when(col("c") > 1L, (col("c") * col("c") * col("c") - col("c")).cast(D))
+        // c³ in DECIMAL from the first product — a long wraps past
+        // c ≈ 2.1M rows tied on one value (value-identical in range)
+        sum(when(col("c") > 1L, col("c").cast(D) * col("c").cast(D) *
+            col("c").cast(D) - col("c").cast(D))
           .otherwise(lit(0L).cast(D))).as("tt"))
       .collect()
     val totals = totRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1931,10 +1966,15 @@ object Drift {
     } yield col(s"c$j").cast(D) *
       (col(s"k$i") * 2L - col(s"c$i")).cast(D)).reduce(_ + _)
     val t = (0 until k).map(i => col(s"c$i")).reduce(_ + _)
+    // tie terms in DECIMAL from the first product: t³ exceeds a long once
+    // a single distinct value carries ~1.6M rows (heavily tied fixed-point
+    // columns at scale) — same cubic-overflow class as kruskalWallis's
+    // c³−c; the decimal tree is value-identical in range.
+    val tD = t.cast(D)
     val agg = withK.agg(sum(contrib).as("__j2"),
-      sum((t * (t - 1L) * (t * 2L + 5L)).cast(D)).as("__ta"),
-      sum((t * (t - 1L) * (t - 2L)).cast(D)).as("__tb"),
-      sum((t * (t - 1L)).cast(D)).as("__tc"))
+      sum(tD * (tD - lit(1L).cast(D)) * (tD * lit(2L).cast(D) + lit(5L).cast(D))).as("__ta"),
+      sum(tD * (tD - lit(1L).cast(D)) * (tD - lit(2L).cast(D))).as("__tb"),
+      sum(tD * (tD - lit(1L).cast(D))).as("__tc"))
     // group-size sums (driver BigInt — k-bounded)
     def gs(f: Long => BigInt): BigInt = nG.map(f).sum
     val sa = gs(m => BigInt(m) * (m - 1) * (2 * m + 5))

@@ -3068,6 +3068,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("ch")) && f.isNullAt(f.fieldIndex("dbi")))
   }
 
+  test("clusterValidity: forced-decimal overflow route is bit-identical to the long route") {
+    // oversized cells route the s_c fold and the d_ij cross products onto
+    // DECIMAL instead of silently wrapping a long; the two branches must
+    // agree bit-for-bit on in-range data
+    val rnd = new scala.util.Random(47)
+    val d = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 20 - 10)))
+      .toDF("vec_id", "embedding")
+    def run(thr: Option[Long]) =
+      Embeddings.clusterValidity(d, "vec_id", "embedding", nMedoids = 3,
+        longRouteMaxN = thr).collect()(0).toSeq
+    assert(run(Some(0L)) == run(None))
+  }
+
   test("randomProject: sign-rule twin, exact projections, JL distance band") {
     // the driver-side md5-60 twin must equal the Column rule exactly
     val probes = Seq("rp|0|0", "rp|7|63", "x", "", "Café")

@@ -1216,4 +1216,111 @@ class TrendDriftSpec extends SparkSpec {
     val flat = Seq(("g", 1L, 7L), ("g", 2L, 7L)).toDF("g", "t", "v")
     assert(Drift.runsTest(flat, Seq("g"), "t", "v").count() == 0)
   }
+
+  test("andersonDarlingByGroupRouted: forced-decimal branch is bit-identical to the long branch") {
+    val rnd = new scala.util.Random(31)
+    val ref = Seq.fill(150)(("g1", rnd.nextInt(20).toLong)) ++
+      Seq.fill(70)(("g2", rnd.nextInt(12).toLong))
+    val cur = Seq.fill(120)(("g1", rnd.nextInt(20).toLong + 3)) ++
+      Seq.fill(90)(("g2", rnd.nextInt(12).toLong + 1))
+    def run(thr: Long) = Drift.andersonDarlingByGroupRouted(
+        ref.toDF("g", "v"), cur.toDF("g", "v"), "v", "g", thr)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("sum_fx"), r.getAs[Double]("a2")))
+      .sortBy(_._1).toSeq
+    // thr = 0 forces the decimal term tree on every group; the values
+    // must match the long route bit-for-bit (same integers, same final
+    // double tree)
+    assert(run(0L) == run(1L << 30))
+  }
+
+  test("jonckheereTerpstra: 1.8M-row tie keeps the cubic tie terms exact (decimal route)") {
+    // one value carrying 1.8M rows: t(t−1)(2t+5) ≈ 1.17e19 wraps a long —
+    // the decimal tie tree must reproduce the BigInt-replicated z exactly
+    val heavy = spark.range(900000).selectExpr("'a' as g", "10 as v")
+      .unionAll(spark.range(900000).selectExpr("'b' as g", "10 as v"))
+      .unionAll(Seq(("a", 1), ("a", 2), ("a", 3), ("b", 21), ("b", 22), ("b", 23))
+        .toDF("g", "v"))
+    val r = Drift.jonckheereTerpstra(heavy, "v", "g", Seq("a", "b")).collect()(0)
+    // driver replica over the (value, c_a, c_b) rollup
+    val cells = Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (10L, 900000L, 900000L), (21L, 0L, 1L), (22L, 0L, 1L), (23L, 0L, 1L))
+    val nA = cells.map(_._2).sum; val nB = cells.map(_._3).sum; val n = nA + nB
+    var ka = 0L
+    var j2 = BigInt(0); var ta = BigInt(0); var tb = BigInt(0); var tc = BigInt(0)
+    for ((_, ca, cb) <- cells) {
+      ka += ca
+      j2 += BigInt(cb) * (2 * ka - ca)
+      val t = ca + cb
+      ta += BigInt(t) * (t - 1) * (2 * t + 5)
+      tb += BigInt(t) * (t - 1) * (t - 2)
+      tc += BigInt(t) * (t - 1)
+    }
+    val sa = Seq(nA, nB).map(m => BigInt(m) * (m - 1) * (2 * m + 5)).sum
+    val sb = Seq(nA, nB).map(m => BigInt(m) * (m - 1) * (m - 2)).sum
+    val sc = Seq(nA, nB).map(m => BigInt(m) * (m - 1)).sum
+    val eJ2 = (BigInt(n) * n - (BigInt(nA) * nA + BigInt(nB) * nB)) / 2
+    val nD = n.toDouble
+    val aD = ((BigInt(n) * (n - 1) * (2L * n + 5)).toDouble - sa.toDouble -
+      ta.toDouble) / 72.0
+    val bD = sb.toDouble * tb.toDouble / (36.0 * nD * (nD - 1.0) * (nD - 2.0))
+    val cD = sc.toDouble * tc.toDouble / (8.0 * nD * (nD - 1.0))
+    val z = (j2.toDouble - eJ2.toDouble) / 2.0 / math.sqrt(aD + bD + cD)
+    assert(r.getAs[Double]("j2") == j2.toDouble)
+    assert(r.getAs[Double]("z") == z, s"got ${r.getAs[Double]("z")} want $z")
+  }
+
+  test("mannWhitney: 4.4M-row tie keeps c³−c exact (decimal route)") {
+    // one value with 4.4M pooled rows: c³ ≈ 8.5e19 wraps a long — the
+    // decimal tie product must reproduce the BigInt-replicated z exactly
+    val ref = spark.range(2200000).selectExpr("10 as v")
+      .unionAll(Seq(1, 2, 3).toDF("v"))
+    val cur = spark.range(2200000).selectExpr("10 as v")
+      .unionAll(Seq(21, 22).toDF("v"))
+    val r = Drift.mannWhitneyU(ref, cur, "v").collect()(0)
+    val cells = Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (10L, 2200000L, 2200000L), (21L, 0L, 1L), (22L, 0L, 1L))
+    val n1 = cells.map(_._2).sum; val n2 = cells.map(_._3).sum; val n = n1 + n2
+    var k = 0L; var r1d = BigInt(0); var ties = BigInt(0)
+    for ((_, c1, c2) <- cells) {
+      val c = c1 + c2
+      val dr = (k) * 2 + c + 1 // doubled tie-averaged rank: 2·cum_lt + c + 1
+      r1d += BigInt(c1) * dr
+      if (c > 1) ties += BigInt(c) * c * c - c
+      k += c
+    }
+    val u1d = r1d - BigInt(n1) * (n1 + 1)
+    val uD = u1d.toDouble / 2.0
+    val mu = n1.toDouble * n2.toDouble / 2.0
+    val sig2 = n1.toDouble * n2.toDouble / 12.0 *
+      ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1).toDouble))
+    assert(r.getAs[Double]("auc") == uD / (n1.toDouble * n2.toDouble))
+    assert(r.getAs[Double]("z") == (uD - mu) / math.sqrt(sig2))
+  }
+
+  test("conformalCoverage: keys missing one window surface instead of vanishing") {
+    import graft.ops.Outliers
+    // key "c" calibrates but never evaluates; key "e" evaluates but was
+    // never calibrated; key "b" has both windows
+    val rows = (1 to 10).map(i => ("c", i.toLong, 100L + i, 100L)) ++
+      (1 to 10).map(i => ("b", i.toLong, 100L + i, 100L)) ++
+      Seq(("b", 101L, 105L, 100L), ("e", 101L, 105L, 100L),
+        ("e", 102L, 130L, 100L))
+    val out = Outliers.conformalCoverage(rows.toDF("g", "t", "y", "p"),
+        Seq("g"), "t", "y", "p", splitT = 100L, aNum = 9, aDen = 10,
+        fxScale = 0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("b", "c", "e"))
+    val e = out("e")
+    assert(e.getAs[Long]("n_cal") == 0 && e.isNullAt(e.fieldIndex("qhat")) &&
+      e.getAs[Long]("n_eval") == 2 && e.getAs[Long]("covered") == 0 &&
+      e.isNullAt(e.fieldIndex("coverage")))
+    val c = out("c")
+    assert(c.getAs[Long]("n_cal") == 10 && c.getAs[Long]("qhat") == 10 &&
+      c.getAs[Long]("n_eval") == 0 && c.getAs[Long]("covered") == 0 &&
+      c.isNullAt(c.fieldIndex("coverage")))
+    val b = out("b")
+    assert(b.getAs[Long]("n_eval") == 1 && b.getAs[Long]("covered") == 1 &&
+      b.getAs[Double]("coverage") == 1.0)
+  }
 }
