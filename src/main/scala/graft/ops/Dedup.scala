@@ -38,6 +38,20 @@ object Dedup {
     */
   val DefaultHotBucketCap: Int = 2048
 
+  /** Candidate-volume cap for the capped route's ENUMERATION strategy:
+    * under it the row-local first-matching-band filter wins (no pair
+    * exchange at all — measured 4.5 vs 6.2 s at sf0.1); over it, IF the
+    * measured distinct-member-set collapse at least halves the volume,
+    * the member-set bucket-dedup + pair-level exchange wins (a degenerate
+    * corpus collides the SAME rep set in every band, so first-band pays
+    * bands× the enumeration the collapse removes — the 30×-scale failure
+    * mode). 2²⁷ ≈ 134M in-bucket candidate evaluations ≈ seconds of
+    * row-local filter work per executor — comfortably inside the
+    * first-band win region at bench scale, well under the 10⁹-evaluation
+    * pressure measured at 30×.
+    */
+  val DefaultFirstBandVolumeCap: Long = 1L << 27
+
   /** Exact dedup: one row per distinct `textCol` value, keeping the smallest
     * `idCol`, with the number of copies. Shuffles (hash, id) only; the text
     * body never crosses the wire (collision odds at 64-bit are ~n^2/2^65).
@@ -332,12 +346,24 @@ object Dedup {
   /** `tokenHasher`: hash applied to each shingle string. xxhash64 (default)
     * is the fast path; [[Shingles.md5Hash60]] is the oracle-checkable one.
     */
+  /** `memberSetExchange`: forces the capped route's enumeration strategy
+    * (`Some(true)` = member-set bucket-dedup + pair exchange,
+    * `Some(false)` = row-local first-matching-band). `None` (default)
+    * MEASURES: the bucket histogram the residual-drop decision already
+    * pays also yields total candidate volume Σ n(n−1)/2 and the volume
+    * surviving a distinct-member-set collapse (order-free per-bucket
+    * fingerprint); the exchange engages only when volume exceeds
+    * `firstBandVolumeCap` AND the collapse at least halves it — a huge
+    * but incompressible corpus keeps the exchange-free first-band path.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3, broadcastVerify: Option[Boolean] = None,
                       maxBucket: Int = AutoMaxBucket,
                       tokenHasher: Column => Column = xxhash64(_),
-                      verifyBroadcastMaxBytes: Long = DefaultVerifyBroadcastMaxBytes): DataFrame = {
+                      verifyBroadcastMaxBytes: Long = DefaultVerifyBroadcastMaxBytes,
+                      memberSetExchange: Option[Boolean] = None,
+                      firstBandVolumeCap: Long = DefaultFirstBandVolumeCap): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(maxBucket == AutoMaxBucket || maxBucket > 0,
       s"maxBucket must be positive or AutoMaxBucket ($AutoMaxBucket)")
@@ -418,18 +444,43 @@ object Dedup {
     val exploded = lshSrc.select(col("id"), col("bk"),
       posexplode(col("bk")).as(Seq("band", "bkey")))
 
-    // Capped routes measure the REP-LEVEL hottest bucket too: pre-collapse
+    // Capped routes measure the REP-LEVEL bucket histogram: pre-collapse
     // usually shrinks the degenerate buckets under the cap, and when
-    // NOTHING needs dropping the rep-level LSH is COMPLETE — the row-local
-    // first-matching-band dedup is sound again and no pair-level exchange
-    // is paid (measured 2× on the degenerate bench corpus). Only when
-    // residual rep buckets still exceed the cap do we drop them and fall
-    // back to pair-level dedup.
-    val residualDrop: Boolean =
-      effMax != Int.MaxValue && {
-        val r = exploded.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
-          .agg(max(col("n"))).collect()(0)
-        !r.isNullAt(0) && r.getLong(0) > effMax
+    // NOTHING needs dropping the rep-level LSH is COMPLETE — both
+    // enumeration strategies below are sound. ONE aggregate over the
+    // exploded band keys yields all three routing numbers: the hottest
+    // bucket (residual-drop decision), the total candidate VOLUME
+    // Σ n(n−1)/2, and the volume surviving a distinct-member-set collapse
+    // (order-free per-bucket fingerprint: bit_xor of member-id hashes +
+    // size — two buckets holding the same member set share it, so the
+    // fp-level rollup prices exactly what the __mh bucket-dedup below
+    // would remove). Volumes sum in DOUBLE (routing needs magnitude, and
+    // a degenerate corpus can push the exact sum past a long).
+    val (residualDrop, memberExchange) =
+      if (effMax == Int.MaxValue) (false, false)
+      else {
+        val hist = exploded.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("id"))).as("fp"))
+          .where(col("n") > 1L)
+        val vol = (col("n").cast(DoubleType) * (col("n").cast(DoubleType) - 1.0)) / 2.0
+        val r = hist.groupBy("fp", "n").agg(count(lit(1)).as("reps"))
+          .agg(max(col("n")), sum(vol * col("reps").cast(DoubleType)), sum(vol))
+          .collect()(0)
+        val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val cVol = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+        val dVol = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+        if (hottest > effMax) (true, false)
+        else {
+          val exch = memberSetExchange.getOrElse(
+            cVol > firstBandVolumeCap.toDouble && dVol * 2.0 <= cVol)
+          if (exch) {
+            val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+            log.info(f"minhashLshPairs: rep-level candidate volume $cVol%.3g " +
+              f"(> cap $firstBandVolumeCap), distinct-member-set volume $dVol%.3g " +
+              "— taking the member-set bucket-dedup + pair-exchange route")
+          }
+          (false, exch)
+        }
       }
 
     // Bucket materialization: ONE skinny shuffle of (band, bkey, id, bk)
@@ -448,13 +499,14 @@ object Dedup {
       val grouped = src.groupBy("band", "bkey")
         .agg(collect_list(struct(col("id"), col("bk"))).as("ms"))
         .where(size(col("ms")) > 1)
-      // residual-drop route only: a degenerate corpus collides the SAME
-      // member set in every band — identical sets yield identical pairs, so
-      // enumerate each distinct set once (one member-id hash +
-      // dropDuplicates over bucket-count rows) instead of bands× the pairs
-      // into the pair-level dedup exchange. The first-band routes dedup
+      // pair-exchange routes only (residual-drop, or measured member-set
+      // exchange): a degenerate corpus collides the SAME member set in
+      // every band — identical sets yield identical pairs, so enumerate
+      // each distinct set once (one member-id hash + dropDuplicates over
+      // bucket-count rows) instead of bands× the pairs into the
+      // pair-level dedup exchange. The first-band routes dedup
       // row-locally without this.
-      if (!residualDrop) grouped
+      if (!residualDrop && !memberExchange) grouped
       else grouped
         .withColumn("__mh", xxhash64(concat_ws(",",
           array_sort(transform(col("ms"), m => m.getField("id").cast("string"))))))
@@ -473,9 +525,11 @@ object Dedup {
     // a pair whose earliest matching band fell in a dropped bucket would be
     // suppressed in every kept band (the bk arrays still match at the
     // dropped band's index) and never emitted at all. It therefore applies
-    // on the exact route AND on the collapsed-complete route (capped, but
-    // every rep-level bucket fit the cap); only residual-drop runs fall
-    // back to a pair-level dropDuplicates.
+    // on the exact route AND on the low-volume collapsed-complete route
+    // (capped, every rep-level bucket fit the cap, measured candidate
+    // volume under the first-band cap); residual-drop runs AND measured
+    // high-volume collapsible runs take the member-set-dedup + pair-level
+    // dropDuplicates exchange instead.
     val pairsRaw = buckets
       .select(col("band"), col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(col("band"), col("a"), col("i"), posexplode(col("ms")).as(Seq("j", "b")))
@@ -485,11 +539,16 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
     val cand =
       if (effMax == Int.MaxValue) firstBand(pairsRaw)
-      else if (!residualDrop)
+      else if (!residualDrop && !memberExchange)
         // rep-rep pairs (both endpoints reps) and rep-member stars are
         // disjoint by construction — no pair-level dedup needed
         firstBand(pairsRaw).unionAll(groupCand.get)
       else
+        // residual-drop (first-band unsound: a dropped earliest band
+        // suppresses pairs) or measured member-set exchange (no drops —
+        // COMPLETE — but each surviving pair enumerates once per distinct
+        // member set instead of once per band): distinct-set buckets +
+        // pair-level dedup emit the same pair set as first-band would
         pairsRaw
           .select(least(col("a.id"), col("b.id")).as("id_a"), greatest(col("a.id"), col("b.id")).as("id_b"))
           .unionAll(groupCand.get)

@@ -407,6 +407,44 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 1000L), s"got $kept")
   }
 
+  test("minhash LSH capped route: member-set exchange is bit-identical to first-band, auto-engages on measured volume") {
+    // 120 mutually-unrelated near-dup PAIRS: each pair shares its bucket in
+    // several bands with the SAME two-member set, so the distinct-member-set
+    // collapse removes most of the candidate volume — the shape the measured
+    // exchange route exists for (a degenerate corpus re-enumerating the same
+    // candidates once per band)
+    val rnd = new scala.util.Random(71)
+    val vocab = (0 until 400).map(i => s"tok$i")
+    val corpus = (0 until 120).flatMap { p =>
+      val base = rnd.shuffle(vocab).take(24)
+      Seq((2L * p, base.mkString(" ")),
+        (2L * p + 1, (base.drop(1) :+ s"uniq$p").mkString(" ")))
+    }.toDF("id", "text")
+    def run(exch: Option[Boolean], volCap: Long) =
+      Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.7,
+        shingleLen = 1, maxBucket = 1000, memberSetExchange = exch,
+        firstBandVolumeCap = volCap)
+    def pairs(exch: Option[Boolean], volCap: Long) =
+      run(exch, volCap).select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    // forced-route equivalence: both enumeration strategies emit the
+    // identical verified pair set (incl. jaccard values)
+    val fb = pairs(Some(false), Dedup.DefaultFirstBandVolumeCap)
+    assert(fb.nonEmpty)
+    assert(pairs(Some(true), Dedup.DefaultFirstBandVolumeCap) == fb)
+    // AUTO engagement: with the volume cap floored, the measured route
+    // flips to the pair-keyed exchange (collapse ≥ 2 on this corpus) and
+    // still emits the same pairs; at the default cap it keeps the
+    // exchange-free first-band plan
+    assert(pairs(None, 0L) == fb)
+    val engaged = run(None, 0L).queryExecution.executedPlan.toString
+    assert(engaged.contains("keys=[id_a"), engaged)
+    val default = run(None, Dedup.DefaultFirstBandVolumeCap)
+      .queryExecution.executedPlan.toString
+    assert(default.contains("graft_band_prefix_match") &&
+      !default.contains("keys=[id_a"), default)
+  }
+
   test("minhash LSH verification routes on measured size: broadcast small, shuffle large") {
     // neutralize stats-driven broadcast selection so the plan shape proves
     // what the ROUTER decided, not what the tiny test corpus's stats allow
