@@ -55,16 +55,31 @@ object Binning {
     * scalar aggregates over the counts (e.g. [[Outliers
     * .exactPercentilesRouted]]) persist the frame and fuse their actions. */
   private[ops] def cumulativeFromCounts(counts: DataFrame, distinct: Long,
-                                        maxLocalDistinct: Long): DataFrame = {
+                                        maxLocalDistinct: Long): DataFrame =
+    cumulativesFromCounts(counts, "v", Seq(col("c") -> "cum"),
+      distinct, maxLocalDistinct)
+
+  /** The routed bounded-cumulative pattern as a SHARED helper, generalized
+    * to several counters over one ascending key (negate the key for a
+    * descending cumulative): under `maxLocalDistinct` measured distinct
+    * keys the cheap single-task local window; over it the two-phase
+    * distributed prefix scan ([[Packing.prefixSumsInclusive]] — one frozen
+    * range partitioning + driver offsets, nothing single-partition). Keys
+    * must be unique (a rollup's group key). Serves the Binning family,
+    * [[LinearProbe.prCurve]] and [[Events.logRank]].
+    */
+  private[ops] def cumulativesFromCounts(counts: DataFrame, orderCol: String,
+                                         cols: Seq[(Column, String)],
+                                         distinct: Long,
+                                         maxLocalDistinct: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    if (distinct <= maxLocalDistinct)
-      counts.withColumn("cum",
-        sum("c").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-    else
-      // INCLUSIVE cumulative = exclusive prefix sum + own count; value
-      // uniqueness (a groupBy key) satisfies prefixSum's order contract
-      Packing.prefixSum(counts, "v", col("c"), "cum_excl")
-        .withColumn("cum", col("cum_excl") + col("c")).drop("cum_excl")
+    if (distinct <= maxLocalDistinct) {
+      val w = Window.orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cols.foldLeft(counts) { case (d, (c, out)) =>
+        d.withColumn(out, sum(c).over(w))
+      }
+    } else Packing.prefixSumsInclusive(counts, orderCol, cols)
   }
 
   private[ops] def cumulativeCounts(df: DataFrame, valueCol: Column,

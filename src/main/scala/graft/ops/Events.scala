@@ -450,7 +450,8 @@ object Events {
     *         var_fx, chi2) — chi2 null when the variance sum is 0.
     */
   def logRank(ref: DataFrame, cur: DataFrame, durationCol: String,
-              observedCol: Column): DataFrame = {
+              observedCol: Column,
+              maxLocalDistinct: Long = 1L << 20): DataFrame = {
     def side(df: DataFrame, tag: Int) =
       df.select(col(durationCol).cast(LongType).as("t"),
           observedCol.cast("boolean").as("e"))
@@ -462,17 +463,25 @@ object Events {
         sum(when(col("s") === 1 && !col("e"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("s") === 2 && col("e"), 1L).otherwise(0L)).as("d2"),
         sum(when(col("s") === 2 && !col("e"), 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true) // one layout serves totals AND the cumulative
     val totals = cells.agg(
         sum(col("d1") + col("c1")).cast(LongType).as("__n1"),
         sum(col("d2") + col("c2")).cast(LongType).as("__n2"),
         sum(col("d1")).cast(LongType).as("__e1"),
-        sum(col("d2")).cast(LongType).as("__e2"))
+        sum(col("d2")).cast(LongType).as("__e2"),
+        count(lit(1)).as("__k"))
       .collect()(0)
     val (totN1, totN2) = (totals.getLong(0), totals.getLong(1))
     require(totN1 > 0 && totN2 > 0, s"both sides need rows (ref=$totN1, cur=$totN2)")
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    val n1 = lit(totN1) - (sum(col("d1") + col("c1")).over(w) - (col("d1") + col("c1")))
-    val n2 = lit(totN2) - (sum(col("d2") + col("c2")).over(w) - (col("d2") + col("c2")))
+    // at-risk counts from the routed shared cumulative (distinct event
+    // times are calendar-bounded in the common case — single-task window;
+    // the MEASURED route keeps an adversarial duration column off the
+    // single-partition funnel)
+    val cum = graft.ops.Binning.cumulativesFromCounts(cells, "t",
+      Seq((col("d1") + col("c1")) -> "__cum1", (col("d2") + col("c2")) -> "__cum2"),
+      totals.getLong(4), maxLocalDistinct)
+    val n1 = lit(totN1) - (col("__cum1") - (col("d1") + col("c1")))
+    val n2 = lit(totN2) - (col("__cum2") - (col("d2") + col("c2")))
     val d = col("d1") + col("d2")
     val n1D = col("__r1").cast(DoubleType); val n2D = col("__r2").cast(DoubleType)
     val nD = (col("__r1") + col("__r2")).cast(DoubleType)
@@ -483,7 +492,7 @@ object Events {
         graft.metrics.MetricColumns.fixedPointLong(
           n1D * n2D * dD * (nD - dD) / (nD * nD * (nD - lit(1.0))), 12))
       .otherwise(lit(0L))
-    val sums = cells
+    val sums = cum
       .withColumn("__r1", n1).withColumn("__r2", n2)
       .withColumn("__oe", oe).withColumn("__v", vv)
       .agg(sum(col("__oe")).cast(LongType).as("oe_fx"),

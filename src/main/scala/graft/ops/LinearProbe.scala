@@ -139,9 +139,16 @@ object LinearProbe {
     * @return per distinct score: (threshold_fx, tp, fp, fn, precision,
     *         recall, f1) ordered by threshold_fx descending.
     */
-  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dec = DecimalType(38, 0)
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              maxLocalDistinct: Long = 1L << 20): DataFrame =
+    prCurveFull(df, scoreCol, labelCol, maxLocalDistinct).drop("__p")
+
+  /** [[prCurve]] keeping the per-threshold positive count `__p` — what
+    * [[averagePrecision]] needs to fold the curve WITHOUT a lag window
+    * (tp_i − tp_{i−1} = p_i by construction). */
+  private[ops] def prCurveFull(df: DataFrame, scoreCol: String,
+                               labelCol: String,
+                               maxLocalDistinct: Long): DataFrame = {
     val base = df.select(
         graft.metrics.MetricColumns.fixedPointLong(
           col(scoreCol).cast(DoubleType), 6).as("__s"),
@@ -150,16 +157,22 @@ object LinearProbe {
     val cells = base.groupBy(col("__s").as("threshold_fx"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("__n"))
+      // negated key: ascending __k ≡ descending threshold, so the shared
+      // ascending-cumulative route serves the descending curve
+      .withColumn("__k", -col("threshold_fx"))
+      .localCheckpoint(true) // one layout serves the count, totals AND cum
+    val distinct = cells.count()
     val totals = broadcast(cells.agg(
       coalesce(sum(col("__p")), lit(0L)).as("__tp_all")))
-    // thresholds are distinct-bounded (fx-quantized scores) — the cheap
-    // single-task descending cumulative, the documented Binning regime
-    val w = Window.orderBy(col("threshold_fx").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tp = sum(col("__p")).over(w); val fp = sum(col("__n")).over(w)
-    cells.crossJoin(totals)
-      .select(col("threshold_fx"), tp.as("tp"), fp.as("fp"),
-        (col("__tp_all") - tp).as("fn"))
+    // thresholds are distinct-bounded (fx-quantized scores) in the common
+    // case — the cheap single-task cumulative; past the MEASURED bound the
+    // shared two-phase prefix route (Binning.cumulativesFromCounts), so an
+    // adversarial score column can't funnel the curve through one task
+    val cum = Binning.cumulativesFromCounts(cells, "__k",
+      Seq(col("__p") -> "tp", col("__n") -> "fp"), distinct, maxLocalDistinct)
+    cum.crossJoin(totals)
+      .select(col("threshold_fx"), col("tp"), col("fp"),
+        (col("__tp_all") - col("tp")).as("fn"), col("__p"))
       .withColumn("precision", col("tp").cast(DoubleType) /
         (col("tp") + col("fp")).cast(DoubleType))
       .withColumn("recall",
@@ -169,6 +182,8 @@ object LinearProbe {
         when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
           (lit(2L) * col("tp")).cast(DoubleType) /
             (lit(2L) * col("tp") + col("fp") + col("fn")).cast(DoubleType)))
+      .select(col("threshold_fx"), col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"), col("f1"), col("__p"))
       .orderBy(col("threshold_fx").desc)
   }
 
@@ -250,13 +265,15 @@ object LinearProbe {
     * @return one row: (n_pos, n_thresholds, avg_precision).
     */
   def averagePrecision(df: DataFrame, scoreCol: String,
-                       labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val curve = prCurve(df, scoreCol, labelCol)
-    val w = Window.orderBy(col("threshold_fx").desc)
-    val prevTp = coalesce(lag(col("tp"), 1).over(w), lit(0L))
+                       labelCol: String,
+                       maxLocalDistinct: Long = 1L << 20): DataFrame = {
+    val curve = prCurveFull(df, scoreCol, labelCol, maxLocalDistinct)
     val tpAll = col("tp") + col("fn") // constant across rows
-    val term = ((col("tp") - prevTp).cast(DoubleType) / tpAll.cast(DoubleType)) *
+    // tp_i − tp_{i−1} IS the row's own positive count p_i (tp is p's
+    // descending cumulative), so the step term needs NO lag window at all
+    // — the whole fold is one row-local expression + one aggregate,
+    // riding prCurve's routed cumulative
+    val term = (col("__p").cast(DoubleType) / tpAll.cast(DoubleType)) *
       (col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType))
     curve
       .select(col("tp"), col("fp"), col("fn"),

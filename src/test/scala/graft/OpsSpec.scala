@@ -3384,6 +3384,43 @@ class CalibrationSpec extends SparkSpec {
     assert(r.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("prCurve/averagePrecision: routed distributed cumulative = local route bit-for-bit") {
+    // maxLocalDistinct = 1 forces every threshold onto the two-phase
+    // prefix route; the curve and the AP fold must match the local-window
+    // route exactly (same longs, same double trees)
+    val rnd = new scala.util.Random(83)
+    val df = (1 to 400).map(_ => (rnd.nextInt(60) / 59.0, rnd.nextBoolean()))
+      .toDF("score", "label")
+    def curve(mld: Long) = LinearProbe.prCurve(df, "score", "label",
+      maxLocalDistinct = mld).collect().map(_.toSeq).toSeq
+    assert(curve(1L) == curve(1L << 20))
+    def ap(mld: Long) = LinearProbe.averagePrecision(df, "score", "label",
+      maxLocalDistinct = mld).collect()(0).toSeq
+    assert(ap(1L) == ap(1L << 20))
+    // the two-phase route's window is __pid-partitioned — the distributed
+    // marker is in the plan (the shared prefixSumsInclusive machinery)
+    val plan = LinearProbe.prCurve(df, "score", "label", maxLocalDistinct = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), plan)
+  }
+
+  test("prefixSumsInclusive: multi-column two-phase scan, no single-partition exchange") {
+    val counts = (1L to 300L).map(i => (i, i % 7 + 1, i % 3))
+      .toDF("v", "c", "c2")
+    val out = graft.ops.Packing.prefixSumsInclusive(counts, "v",
+        Seq(col("c") -> "cum", col("c2") -> "cum2"))
+      .orderBy("v").collect()
+    var (a, b) = (0L, 0L)
+    (1L to 300L).zip(out).foreach { case (i, r) =>
+      a += i % 7 + 1; b += i % 3
+      assert(r.getAs[Long]("cum") == a && r.getAs[Long]("cum2") == b, s"row $i")
+    }
+    val plan = graft.ops.Packing.prefixSumsInclusive(counts, "v",
+        Seq(col("c") -> "cum", col("c2") -> "cum2"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("confusionAt: hand cells, mcc extremes, degenerate null, threshold inclusive") {
     // t=.5: scores .8(T) .6(F) .4(T) .2(F) -> tp1 fp1 fn1 tn1
     val df = Seq((0.8, true), (0.6, false), (0.4, true), (0.2, false))

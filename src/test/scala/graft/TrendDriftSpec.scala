@@ -1217,6 +1217,21 @@ class TrendDriftSpec extends SparkSpec {
     assert(Drift.runsTest(flat, Seq("g"), "t", "v").count() == 0)
   }
 
+  test("logRank: routed distributed cumulative = local route bit-for-bit") {
+    import graft.ops.Events
+    val rnd = new scala.util.Random(91)
+    val a = (1 to 200).map(_ => (rnd.nextInt(50).toLong + 1, rnd.nextInt(4) > 0))
+      .toDF("dur", "obs")
+    val b = (1 to 180).map(_ => (rnd.nextInt(50).toLong + 5, rnd.nextInt(4) > 0))
+      .toDF("dur", "obs")
+    def run(mld: Long) = Events.logRank(a, b, "dur", col("obs"),
+      maxLocalDistinct = mld).collect()(0).toSeq
+    assert(run(1L) == run(1L << 20))
+    val plan = Events.logRank(a, b, "dur", col("obs"), maxLocalDistinct = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), plan)
+  }
+
   test("andersonDarlingByGroupRouted: forced-decimal branch is bit-identical to the long branch") {
     val rnd = new scala.util.Random(31)
     val ref = Seq.fill(150)(("g1", rnd.nextInt(20).toLong)) ++
