@@ -2060,6 +2060,131 @@ class StreamingSpec extends SparkSpec {
       s"streaming survivors $streamKeep != batch survivors $batchKeep")
   }
 
+  test("state telemetry: ten-member battery behind one scan.yml holds bounded, watermark-evicted state") {
+    import spark.implicits._
+    import graft.scan.{Drift, Scanner}
+    import graft.streaming.StreamingTelemetry
+    implicit val sqlCtx = spark.sqlContext
+
+    val refDir = java.nio.file.Files.createTempDirectory("battery-telemetry").toString
+    (1 to 20).map(_.toDouble).toDF("v").write.parquet(s"$refDir/vals")
+    (Seq.fill(8)("a") ++ Seq.fill(4)("b")).toDF("cat").write.parquet(s"$refDir/cats")
+    Drift.savePsiReference(spark, Drift.buildPsiReference(
+      (1 to 20).map(_.toDouble).toDF("v"), "v", 0.0, 100.0, 4), s"$refDir/psi")
+
+    val yaml =
+      s"""table_name: events
+         |stream:
+         |  time_column: ts
+         |  watermark: 10 minutes
+         |  window: 1 hour
+         |columns:
+         |  v:
+         |    ks_reference: $refDir/vals
+         |    mwu_reference: $refDir/vals
+         |    w1_reference: $refDir/vals
+         |    cvm_reference: $refDir/vals
+         |    energy_reference: $refDir/vals
+         |    ad_reference: $refDir/vals
+         |    mood_scale_reference: $refDir/vals
+         |    welch_reference: $refDir/vals
+         |    psi_reference: $refDir/psi
+         |  cat:
+         |    chi2_reference: $refDir/cats
+         |""".stripMargin
+
+    val stream = MemoryStream[(Timestamp, Double, String)]
+    val df = stream.toDF().toDF("ts", "v", "cat")
+    val scan = Scanner.executeStreamYaml(spark, df, yaml)
+    // the SHARED per-column sample feed: the six sample-members expose the
+    // identical stream INSTANCE (one state store, not six)
+    assert(scan.mwu("v")._2 eq scan.w1("v")._2)
+    assert(scan.mwu("v")._2 eq scan.cvm("v")._2)
+    assert(scan.mwu("v")._2 eq scan.energy("v")._2)
+    assert(scan.mwu("v")._2 eq scan.ad("v")._2)
+    assert(scan.mwu("v")._2 eq scan.moodScale("v")._2)
+
+    val rec = StreamingTelemetry.attach(spark)
+    try {
+      def start(name: String, d: org.apache.spark.sql.DataFrame) =
+        d.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      // four physical state stores serve all ten members: the shared
+      // sample feed (KS/MWU/W1/CvM/energy/AD/Mood-scale), the Welch
+      // moment stream, the chi2 count stream, the PSI bucket stream
+      val qs = Seq(
+        start("bat_sample", scan.mwu("v")._2),
+        start("bat_welch", scan.welch("v")._2),
+        start("bat_chi2", scan.chi2("cat")._2),
+        start("bat_psi", scan.psi("v")._2))
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      def rows(h: Int) = (1 to 12).map(i =>
+        (ts(h, i), i.toDouble + h, if (i % 3 == 0) "b" else "a"))
+      stream.addData(rows(0) ++ rows(1)); qs.foreach(_.processAllAvailable())
+      stream.addData(rows(5)); qs.foreach(_.processAllAvailable())
+      stream.addData(rows(9)); qs.foreach(_.processAllAvailable())
+      qs.foreach(_.stop())
+
+      for (name <- Seq("bat_sample", "bat_welch", "bat_chi2", "bat_psi")) {
+        val ms = rec.snapshot.filter(_.query == name)
+        assert(ms.nonEmpty, s"$name: no state telemetry captured")
+        assert(ms.exists(_.metric == "state_memory_bytes"), s"$name: no memory metric")
+        // the watermark EVICTED closed windows (append mode) — the state
+        // trajectory is a sawtooth, not a ramp
+        val removed = ms.filter(_.metric == "state_rows_removed").map(_.value).sum
+        assert(removed > 0, s"$name: watermark never evicted state rows")
+        // bounded end state: only the still-open windows remain (2 windows
+        // × ≤4 categories/buckets for the widest store)
+        val lastBatch = ms.map(_.batch_id).max
+        val lastRows = ms.filter(m =>
+          m.batch_id == lastBatch && m.metric == "state_rows_total")
+          .map(_.value).max
+        assert(lastRows <= 8, s"$name: unbounded state trajectory ($lastRows rows)")
+      }
+    } finally StreamingTelemetry.detach(spark, rec)
+  }
+
+  test("state telemetry: vwap/ohlc bars twins evict closed windows under the watermark") {
+    import spark.implicits._
+    import graft.ops.Windows
+    import graft.streaming.StreamingTelemetry
+    implicit val sqlCtx = spark.sqlContext
+
+    val rec = StreamingTelemetry.attach(spark)
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      val vwapIn = MemoryStream[(Timestamp, String, Double, Long)]
+      val ohlcIn = MemoryStream[(Timestamp, String, Double)]
+      val qv = Windows.vwapBarsStream(vwapIn.toDF().toDF("ts", "k", "v", "w"),
+          "k", "ts", "v", "w", windowSeconds = 3600, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("tel_vwap")
+        .outputMode("append").start()
+      val qo = Windows.ohlcBarsStream(ohlcIn.toDF().toDF("ts", "k", "v"),
+          "k", "ts", "v", windowSeconds = 3600, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("tel_ohlc")
+        .outputMode("append").start()
+      def feed(h: Int): Unit = {
+        vwapIn.addData((1 to 6).map(m => (ts(h, m), "k1", m.toDouble, 1L)): _*)
+        ohlcIn.addData((1 to 6).map(m => (ts(h, m), "k1", m.toDouble)): _*)
+        Seq(qv, qo).foreach(_.processAllAvailable())
+      }
+      feed(0); feed(1); feed(5); feed(9)
+      Seq(qv, qo).foreach(_.stop())
+
+      for (name <- Seq("tel_vwap", "tel_ohlc")) {
+        val ms = rec.snapshot.filter(_.query == name)
+        assert(ms.nonEmpty, s"$name: no state telemetry captured")
+        val removed = ms.filter(_.metric == "state_rows_removed").map(_.value).sum
+        assert(removed > 0, s"$name: watermark never evicted bar state")
+        val lastBatch = ms.map(_.batch_id).max
+        val lastRows = ms.filter(m =>
+          m.batch_id == lastBatch && m.metric == "state_rows_total")
+          .map(_.value).max
+        assert(lastRows <= 2, s"$name: unbounded bar state ($lastRows rows)")
+      }
+    } finally StreamingTelemetry.detach(spark, rec)
+  }
+
   test("state-size telemetry: per-trigger metrics track forced store growth; state reader gives reps-per-cell") {
     import spark.implicits._
     import graft.ops.Similarity
