@@ -162,6 +162,51 @@ def selftest():
     return 0
 
 
+def lint_survey(path="SURVEY.md"):
+    """SURVEY §2 table-parse lint (round-14 judge item #3): the operator
+    inventory must stay machine-parseable — every row ONE line of the form
+    `| <id> | ... | ... | [x] |` with 4+ cells, no blank line splitting a
+    table (the r12 duplicate-id incident started as exactly this hygiene
+    debt), ids unique. Returns a list of problems (empty = clean)."""
+    import re
+    p = Path(path)
+    if not p.exists():
+        return [f"{path} missing"]
+    lines = p.read_text().split("\n")
+    try:
+        s = next(i for i, l in enumerate(lines) if l.startswith("## §2"))
+        e = next(i for i, l in enumerate(lines) if l.startswith("## §3"))
+    except StopIteration:
+        return ["SURVEY.md §2/§3 headers not found"]
+    sec = lines[s:e]
+    problems = []
+    ids = []
+    for i, l in enumerate(sec):
+        if l.strip() == "":
+            prev = next((x for x in reversed(sec[:i]) if x.strip() != ""), "")
+            nxt = next((x for x in sec[i + 1:] if x.strip() != ""), "")
+            if prev.startswith("|") and nxt.startswith("|"):
+                problems.append(f"§2 line {s + i + 1}: blank line splits a table")
+        elif l.startswith("|"):
+            if re.match(r"^\| (#|---)", l) or l.startswith("|---"):
+                continue
+            m = re.match(r"^\| (\d+[a-z]?) \|", l)
+            if not m:
+                problems.append(f"§2 line {s + i + 1}: table row without an id "
+                                f"(wrapped cell?): {l[:60]}")
+                continue
+            if l.count("|") < 5:
+                problems.append(f"§2 line {s + i + 1}: row {m.group(1)} has "
+                                f"fewer than 4 cells (wrapped?)")
+            ids.append(m.group(1))
+    dupes = sorted({x for x in ids if ids.count(x) > 1})
+    if dupes:
+        problems.append(f"§2 duplicate ids: {dupes}")
+    if not problems:
+        print(f"SURVEY §2 lint: {len(ids)} rows parse clean, ids unique")
+    return problems
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -204,6 +249,8 @@ def main(sf_dir, out_dir):
         if pdir.is_dir() and pdir.name not in oracle:
             n = pq.read_table(pdir).num_rows
             print(f"ROWS {pdir.name}: {n} rows")
+    for msg in lint_survey(Path(__file__).resolve().parent.parent / "SURVEY.md"):
+        failures.append(("SURVEY", f"LINT {msg}"))
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries match")
