@@ -16,6 +16,60 @@ private[queries] object StatsQueries {
   import QueryShared._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wilcoxon" -> { (s, dir) =>
+      // PAIRED two-sample member the rank battery was missing: is the
+      // lag-7 naive forecast median-unbiased, pair by pair (MWU on the
+      // pooled columns would let per-day level differences mask the
+      // tilt); doubled ranks of |d| keep everything exact integers
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val wd = Window.partitionBy("event_type").orderBy("d")
+      val withPred = daily.withColumn("pred", lag(col("cnt"), 7).over(wd))
+        .where(col("pred").isNotNull)
+      graft.scan.Drift.wilcoxonSignedRank(withPred, "cnt", "pred")
+    },
+
+    "q_benford" -> { (s, dir) =>
+      // first-digit conformance of prices — the fabricated/truncated-data
+      // forensic; digit from the integer's decimal string (no float log
+      // in the extraction), nano-fx χ² against log10(1+1/d)
+      graft.scan.Drift.benfordFirstDigit(
+        t(s, dir, "lineitem").select(
+          MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents")),
+        "cents")
+    },
+
+    "q_gini" -> { (s, dir) =>
+      // revenue concentration across customers: exact Gini from the
+      // doubled rank-weighted sum over the distinct-value rollup (the
+      // two-phase prefix machinery — no global-order window)
+      val rev = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(MetricColumns.fixedPointLong(col("o_totalprice"), 2)).as("rev"))
+      Inequality.gini(rev, "rev")
+    },
+
+    "q_theil_ineq" -> { (s, dir) =>
+      // Theil T with the between/within decomposition: is order-value
+      // concentration across priority classes or inside them — the
+      // additive split Gini can't give; pico-fx order-free log terms
+      Inequality.theilIndex(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          MetricColumns.fixedPointLong(col("o_totalprice"), 2).as("cents")),
+        "cents", "o_orderpriority")
+    },
+
+    "q_jarque_bera" -> { (s, dir) =>
+      // normality screen before any ±kσ fence is trusted: JB from exact
+      // integer power sums about the floor-mean, shifted to the true mean
+      // in one fixed double tree
+      graft.scan.Drift.jarqueBera(
+        t(s, dir, "lineitem").select(
+          MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents")),
+        "cents")
+    },
+
     "q_kruskal" -> { (s, dir) =>
       // K-SAMPLE rank drift: are the three returnflag populations even
       // from the same price distribution, in ONE test (the pairwise
@@ -1069,6 +1123,129 @@ private[queries] object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_wilcoxon" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, cnt,
+        |             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred FROM ser),
+        |f AS (SELECT cnt - pred AS dd FROM p WHERE pred IS NOT NULL AND cnt - pred <> 0),
+        |c AS (SELECT abs(dd) AS v,
+        |             sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS cp,
+        |             count(*) AS c FROM f GROUP BY 1),
+        |k AS (SELECT v, cp, c, sum(c) OVER (ORDER BY v) AS kc FROM c),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             sum(CAST(cp AS HUGEINT) * ((kc - c) * 2 + c + 1)) AS w2,
+        |             sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END) AS ties
+        |      FROM k)
+        |SELECT n, CAST(w2 AS BIGINT) AS w_doubled, CAST(ties AS DOUBLE) AS tie_term,
+        |       CASE WHEN n > 0 AND
+        |                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |                   - CAST(ties AS DOUBLE) / 48.0 > 0.0
+        |       THEN (CAST(w2 AS DOUBLE) - CAST(CAST(n AS HUGEINT) * (n + 1) // 2 AS DOUBLE)) / 2.0
+        |            / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |                   - CAST(ties AS DOUBLE) / 48.0)
+        |       END AS z
+        |FROM m""".stripMargin,
+
+    "q_benford" ->
+      """WITH f AS (SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                  ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v
+        |           FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit, count(*) AS n_digit
+        |      FROM f WHERE v > 0 GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+        |cells AS (SELECT spine.digit, CAST(coalesce(d.n_digit, 0) AS BIGINT) AS n_digit
+        |          FROM spine LEFT JOIN d USING (digit)),
+        |tot AS (SELECT CAST(sum(n_digit) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT digit, n_digit,
+        |                 ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS p,
+        |                 CASE WHEN tot.n > 0 THEN CAST(floor(
+        |                   (CAST(n_digit AS DOUBLE) - CAST(tot.n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) *
+        |                   (CAST(n_digit AS DOUBLE) - CAST(tot.n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) /
+        |                   (CAST(tot.n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) * 1000000000.0 + 0.5)
+        |                   AS HUGEINT) ELSE 0 END AS fx
+        |          FROM cells, tot),
+        |chi AS (SELECT CAST(sum(fx) AS DOUBLE) / 1000000000.0 AS chi2 FROM terms)
+        |SELECT digit, n_digit, p AS expected_p, chi.chi2
+        |FROM terms, chi ORDER BY digit""".stripMargin,
+
+    "q_gini" ->
+      """WITH r AS (SELECT o_custkey,
+        |                  CAST(sum(CAST(CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 100.0 + 0.5)
+        |                       ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS rev
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT rev AS v, count(*) AS c FROM r WHERE rev >= 0 GROUP BY 1),
+        |k AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS kc FROM c),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             sum(CAST(v AS HUGEINT) * c) AS x,
+        |             sum(CAST(v AS HUGEINT) * c * (kc * 2 - c + 1)) AS s2 FROM k)
+        |SELECT n, CAST(x AS DOUBLE) AS sum_value,
+        |       CASE WHEN n > 0 AND x > 0
+        |       THEN (CAST(s2 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(x AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(x AS DOUBLE)) END AS gini
+        |FROM m""".stripMargin,
+
+    "q_theil_ineq" ->
+      """WITH f AS (SELECT o_orderpriority AS g,
+        |                  CAST(CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 100.0 + 0.5)
+        |                       ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT) AS v
+        |           FROM orders),
+        |cells AS (SELECT g, v, count(*) AS c FROM f WHERE v > 0 GROUP BY 1, 2),
+        |gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, sum(CAST(v AS HUGEINT) * c) AS xg
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(xg) AS x,
+        |             CAST(count(*) AS BIGINT) AS groups FROM gt),
+        |terms AS (SELECT
+        |            CAST(v AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t.x AS DOUBLE)
+        |              * ln(CAST(v AS DOUBLE) * CAST(gt.ng AS DOUBLE) / CAST(gt.xg AS DOUBLE)) * 1000000000000.0 AS wt,
+        |            CAST(v AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t.x AS DOUBLE)
+        |              * ln(CAST(v AS DOUBLE) * CAST(t.n AS DOUBLE) / CAST(t.x AS DOUBLE)) * 1000000000000.0 AS tt
+        |          FROM cells JOIN gt USING (g), t),
+        |sums AS (SELECT
+        |           sum(CAST(CASE WHEN wt >= 0 THEN floor(wt + 0.5) ELSE -floor(-wt + 0.5) END AS HUGEINT)) AS w_fx,
+        |           sum(CAST(CASE WHEN tt >= 0 THEN floor(tt + 0.5) ELSE -floor(-tt + 0.5) END AS HUGEINT)) AS t_fx
+        |         FROM terms),
+        |bt AS (SELECT CAST(gt.xg AS DOUBLE) / CAST(t.x AS DOUBLE)
+        |                * ln((CAST(gt.xg AS DOUBLE) / CAST(t.x AS DOUBLE))
+        |                     / (CAST(gt.ng AS DOUBLE) / CAST(t.n AS DOUBLE))) * 1000000000000.0 AS b
+        |       FROM gt, t),
+        |bs AS (SELECT sum(CAST(CASE WHEN b >= 0 THEN floor(b + 0.5) ELSE -floor(-b + 0.5) END AS HUGEINT)) AS b_fx FROM bt)
+        |SELECT t.n, t.groups,
+        |       CAST(t_fx AS DOUBLE) / 1000000000000.0 AS theil_total,
+        |       CAST(b_fx AS DOUBLE) / 1000000000000.0 AS theil_between,
+        |       CAST(w_fx AS DOUBLE) / 1000000000000.0 AS theil_within
+        |FROM sums, bs, t""".stripMargin,
+
+    "q_jarque_bera" ->
+      """WITH f AS (SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
+        |                  ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |t AS (SELECT sum(CAST(v AS HUGEINT)) AS s, CAST(count(*) AS BIGINT) AS n FROM f),
+        |mu AS (SELECT n, s // n AS mu FROM t),
+        |m AS (SELECT mu.n AS n,
+        |             sum(CAST(v - mu.mu AS HUGEINT)) AS s1,
+        |             sum(CAST(v - mu.mu AS HUGEINT) * (v - mu.mu)) AS s2,
+        |             sum(CAST(v - mu.mu AS HUGEINT) * (v - mu.mu) * (v - mu.mu)) AS s3,
+        |             sum(CAST(v - mu.mu AS HUGEINT) * (v - mu.mu) * (v - mu.mu) * (v - mu.mu)) AS s4
+        |      FROM f, mu GROUP BY 1),
+        |d AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+        |             CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4 FROM m),
+        |c AS (SELECT n, nd, s1 / nd AS del, s2, s3, s4 FROM d),
+        |mm AS (SELECT n, nd,
+        |              s2 / nd - del * del AS m2,
+        |              s3 / nd - 3.0 * del * (s2 / nd) + 2.0 * del * del * del AS m3,
+        |              s4 / nd - 4.0 * del * (s3 / nd) + 6.0 * del * del * (s2 / nd)
+        |                - 3.0 * del * del * del * del AS m4
+        |       FROM c),
+        |st AS (SELECT n, nd, m2, m3 / sqrt(m2 * m2 * m2) AS skew, m4 / (m2 * m2) AS kurt FROM mm)
+        |SELECT n,
+        |       CASE WHEN n > 1 AND m2 > 0.0 THEN skew END AS skewness,
+        |       CASE WHEN n > 1 AND m2 > 0.0 THEN kurt END AS kurtosis,
+        |       CASE WHEN n > 1 AND m2 > 0.0
+        |       THEN nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) END AS jb
+        |FROM st""".stripMargin,
+
     "q_kruskal" ->
       """WITH u AS (
         |  SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)

@@ -204,6 +204,170 @@ object Drift {
       when(sig2 > 0.0, (uD - mu) / sqrt(sig2)).as("z"))
   }
 
+  /** Benford first-digit conformance — the data-forensics member of the
+    * drift family: naturally-grown positive magnitudes (prices, counts,
+    * populations) follow P(d) = log₁₀(1 + 1/d) for the first significant
+    * digit; fabricated, truncated, or unit-mangled data doesn't. One
+    * grouped aggregate over the first digit (taken from the integer's
+    * decimal STRING — no float log in the digit extraction, so the digit
+    * can't flap on a boundary) + the χ² against the Benford expectation.
+    *
+    * Exactness: digit counts are exact longs; each digit's
+    * (o − n·p)²/(n·p) term is ONE fixed double tree truncated to nano
+    * fixed-point and summed order-free; χ² is one final division.
+    *
+    * @return per digit 1-9: (digit, n_digit, expected_p, chi2) with the
+    *         SAME total χ² repeated per row (the per-digit counts are the
+    *         drill-down, the statistic is global). Non-positive and null
+    *         values are excluded.
+    */
+  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val digits = df.select(col(valueCol).cast(LongType).as("v"))
+      .where(col("v").isNotNull && col("v") > 0L)
+      .select(substring(col("v").cast(StringType), 1, 1).cast(LongType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_digit"))
+    // all 9 digits present even at count 0 (the χ² needs every cell)
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val cells = spine.join(digits, Seq("digit"), "left")
+      .withColumn("n_digit", coalesce(col("n_digit"), lit(0L)))
+    val total = cells.agg(sum(col("n_digit")).as("n"))
+    val p = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+    val exp = col("n").cast(DoubleType) * col("p")
+    val term = (col("n_digit").cast(DoubleType) - exp) *
+      (col("n_digit").cast(DoubleType) - exp) / exp
+    val fx = when(col("n") > 0L, floor(term * lit(1e9) + lit(0.5))).otherwise(lit(0L))
+    val withChi = cells.crossJoin(broadcast(total))
+      .withColumn("p", p)
+      .withColumn("__fx", fx.cast(D))
+    val chi2 = withChi.agg(sum(col("__fx")).as("s"))
+      .select((col("s").cast(DoubleType) / lit(1e9)).as("chi2"))
+    withChi.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_digit"), col("p").as("expected_p"),
+        col("chi2"))
+      .orderBy("digit")
+  }
+
+  /** Jarque–Bera normality test — "are these residuals/values even
+    * approximately normal" before any ±kσ rule is trusted: JB =
+    * n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K. Under
+    * normality JB ~ χ²(2); a huge JB says σ-based fences are lying.
+    *
+    * Exactness: raw power sums center on the exact integer floor-mean μ
+    * (Σd, Σd², Σd³, Σd⁴ as exact DECIMAL(38,0) — the anovaF discipline),
+    * then the shift to the true mean happens in ONE fixed double tree
+    * via the binomial expansion with δ = (Σd)/n (both engines compute
+    * identical doubles from identical exact integers). One μ pass + one
+    * moments pass over a checkpointed projection.
+    *
+    * @return one row: (n, skewness, kurtosis, jb) — null stats when
+    *         n < 2 or the variance is 0.
+    */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(valueCol).cast(LongType).as("v"))
+      .where(col("v").isNotNull)
+      .localCheckpoint(true) // one scan serves the μ pass and the moments
+    val tot = rows.agg(sum(col("v").cast(D)).as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = tot.getLong(1)
+    require(n > 0, "jarqueBera needs at least one non-null row")
+    val sAll = BigInt(tot.getDecimal(0).toBigInteger)
+    val q0 = sAll / n
+    val mu = (if (sAll.sign < 0 && q0 * n != sAll) q0 - 1 else q0).toLong
+    val d = (col("v") - lit(mu)).cast(D)
+    val m = rows.agg(sum(d).as("s1"), sum(d * d).as("s2"),
+      sum(d * d * d).as("s3"), sum(d * d * d * d).as("s4"))
+    val nD = lit(n.toDouble)
+    val s1 = col("s1").cast(DoubleType); val s2 = col("s2").cast(DoubleType)
+    val s3 = col("s3").cast(DoubleType); val s4 = col("s4").cast(DoubleType)
+    val del = s1 / nD
+    // central moments about the true mean from the μ-centered sums
+    val m2 = s2 / nD - del * del
+    val m3 = s3 / nD - lit(3.0) * del * (s2 / nD) + lit(2.0) * del * del * del
+    val m4 = s4 / nD - lit(4.0) * del * (s3 / nD) +
+      lit(6.0) * del * del * (s2 / nD) - lit(3.0) * del * del * del * del
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / lit(6.0) *
+      (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    m.select(lit(n).as("n"),
+      when(lit(n) > 1L && m2 > lit(0.0), skew).as("skewness"),
+      when(lit(n) > 1L && m2 > lit(0.0), kurt).as("kurtosis"),
+      when(lit(n) > 1L && m2 > lit(0.0), jb).as("jb"))
+  }
+
+  /** EXACT Wilcoxon signed-rank test — the PAIRED two-sample member the
+    * rank battery was missing: [[mannWhitneyU]] assumes independent
+    * samples; when each row carries its OWN before/after pair (actual vs
+    * forecast, metric vs last week's metric on the same key), ranking
+    * the |differences| removes the per-row level entirely and asks only
+    * "do the paired differences tilt positive or negative" — far more
+    * power against exactly that alternative than MWU on the pooled
+    * columns. Zero differences drop (the classic Wilcoxon convention);
+    * W⁺ = Σ ranks of positive differences, tie-corrected normal z.
+    *
+    * Exactness: differences are exact longs, tie-averaged ranks of |d|
+    * carry DOUBLED (w_doubled = 2·W⁺ and the Σ(t³−t) tie term are exact
+    * DECIMAL(38,0) integers); z is ONE fixed double tree
+    * (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − ties/48). Distributed shape:
+    * identical to [[mannWhitneyU]] — one |d|-keyed shuffle with map-side
+    * combine + the fused two-phase prefix scan; no global-order funnel.
+    *
+    * @return one row: (n, w_doubled, tie_term, z) — n = non-zero pairs;
+    *         z null when the variance is 0 (all differences tied at one
+    *         magnitude... n < 1) or n = 0.
+    */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val counts = df.select((col(aCol).cast(LongType) -
+        col(bCol).cast(LongType)).as("d"))
+      .where(col("d").isNotNull && col("d") =!= 0L)
+      .groupBy(abs(col("d")).as("v")).agg(
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("c"))
+    val parts = counts.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // ONE collect serves the prefix offsets AND the n/tie totals
+    val totRows = parts.groupBy("__pid").agg(sum(col("c")).as("t"),
+        sum(when(col("c") > 1L, col("c").cast(D) * col("c").cast(D) *
+            col("c").cast(D) - col("c").cast(D))
+          .otherwise(lit(0L).cast(D))).as("tt"))
+      .collect()
+    val totals = totRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ties = totRows.map(r => Option(r.getDecimal(2))
+      .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))).sum
+    val n = totals.valuesIterator.sum
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids.zip(
+      pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val dr = (col("k") - col("c")) * 2L + col("c") + 1L
+    val sums = parts
+      .withColumn("k", sum(col("c")).over(w) + offsetExpr)
+      .agg(coalesce(sum((col("cp") * dr).cast(D)), lit(0L).cast(D)).as("w2"))
+    val nD = n.toDouble
+    // doubled expectation 2·n(n+1)/4 = n(n+1)/2 — exact in BigInt
+    val e2 = BigInt(n) * (n + 1) / 2
+    val varW = nD * (nD + 1.0) * (2.0 * nD + 1.0) / 24.0 -
+      ties.toDouble / 48.0
+    val z = if (n > 0 && varW > 0.0)
+      (col("w2").cast(DoubleType) - lit(e2.toDouble)) / 2.0 /
+        math.sqrt(varW)
+    else lit(null).cast(DoubleType)
+    def narrow(c: Column) = when(
+      c <= lit(Long.MaxValue).cast(D) && c >= lit(Long.MinValue).cast(D),
+      c.cast(LongType))
+    sums.select(lit(n).as("n"), narrow(col("w2")).as("w_doubled"),
+      lit(BigDecimal(ties)).cast(D).cast(DoubleType).as("tie_term"),
+      z.as("z"))
+  }
+
   /** EXACT two-sample Wasserstein-1 (earth mover's) distance over an
     * integer-valued column: W1 = Σᵢ |F_ref(vᵢ) − F_cur(vᵢ)|·(vᵢ₊₁ − vᵢ)
     * over the merged sorted distinct values — the MAGNITUDE member of the

@@ -1217,6 +1217,98 @@ class TrendDriftSpec extends SparkSpec {
     assert(Drift.runsTest(flat, Seq("g"), "t", "v").count() == 0)
   }
 
+  test("wilcoxonSignedRank: hand fixture with ties, symmetry zero, zero-diff drop") {
+    // pairs (a,b): d = +3, +3, -1, +5, 0(drop) → |d| ranks: 1→1, 3→(2,3) avg 2.5, 5→4
+    // W+ = 2.5 + 2.5 + 4 = 9 → doubled 18; n = 4; ties: t=2 at |d|=3 → 2³−2 = 6
+    val df = Seq((13L, 10L), (8L, 5L), (9L, 10L), (15L, 10L), (7L, 7L))
+      .toDF("a", "b")
+    val r = Drift.wilcoxonSignedRank(df, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("w_doubled") == 18L)
+    assert(r.getAs[Double]("tie_term") == 6.0)
+    val varW = 4.0 * 5.0 * 9.0 / 24.0 - 6.0 / 48.0
+    assert(r.getAs[Double]("z") == (18.0 - 10.0) / 2.0 / math.sqrt(varW))
+    // antisymmetry: swapping the columns negates z exactly
+    val s = Drift.wilcoxonSignedRank(df, "b", "a").collect()(0)
+    assert(s.getAs[Double]("z") == -r.getAs[Double]("z"))
+    // symmetric differences: W+ = half the doubled total rank sum → z = 0
+    val sym = Seq((5L, 1L), (1L, 5L), (7L, 2L), (2L, 7L)).toDF("a", "b")
+    assert(Drift.wilcoxonSignedRank(sym, "a", "b").collect()(0)
+      .getAs[Double]("z") == 0.0)
+  }
+
+  test("benfordFirstDigit: hand digits, conforming sample scores near 0") {
+    // values 1..9: one of each digit → n_digit = 1 per digit
+    val flat = (1L to 9L).toDF("v")
+    val f = Drift.benfordFirstDigit(flat, "v").collect()
+    assert(f.length == 9 && f.forall(_.getAs[Long]("n_digit") == 1L))
+    // a Benford-exact synthetic sample (counts ∝ log10(1+1/d) out of 1000)
+    val counts = (1 to 9).map(d => d -> math.round(
+      1000 * math.log10(1.0 + 1.0 / d)).toInt)
+    val sample = counts.flatMap { case (d, c) => Seq.fill(c)(d.toLong * 100) }
+      .toDF("v")
+    val near = Drift.benfordFirstDigit(sample, "v").collect()(0).getAs[Double]("chi2")
+    // uniform digits on the same n score far worse
+    val bad = Drift.benfordFirstDigit(
+      (1 to 9).flatMap(d => Seq.fill(111)(d.toLong * 10)).toDF("v"), "v")
+      .collect()(0).getAs[Double]("chi2")
+    assert(near < 1.0 && bad > 50.0, s"near=$near bad=$bad")
+    // non-positive values excluded
+    assert(Drift.benfordFirstDigit(Seq(-5L, 0L, 10L).toDF("v"), "v")
+      .collect().map(_.getAs[Long]("n_digit")).sum == 1L)
+  }
+
+  test("gini: hand extremes and the textbook fixture") {
+    import graft.ops.Inequality
+    // perfectly equal → 0
+    assert(Inequality.gini(Seq(5L, 5L, 5L, 5L).toDF("v"), "v")
+      .collect()(0).getAs[Double]("gini") == 0.0)
+    // one holder: G = (n−1)/n = 0.75 for n = 4
+    assert(Inequality.gini(Seq(0L, 0L, 0L, 8L).toDF("v"), "v")
+      .collect()(0).getAs[Double]("gini") == 0.75)
+    // textbook: [1,2,3,4] → G = (2·(1+4+9+16) − 5·10)/(4·10) = 0.25
+    assert(Inequality.gini(Seq(1L, 2L, 3L, 4L).toDF("v"), "v")
+      .collect()(0).getAs[Double]("gini") == 0.25)
+    // negatives excluded, nulls excluded
+    val withNeg = Seq(Some(-3L), None, Some(1L), Some(2L), Some(3L), Some(4L))
+      .toDF("v")
+    assert(Inequality.gini(withNeg, "v").collect()(0).getAs[Long]("n") == 4L)
+  }
+
+  test("theilIndex: equal values score 0, decomposition adds up exactly") {
+    import graft.ops.Inequality
+    // all equal: T = 0 on every component
+    val eq = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val re = Inequality.theilIndex(eq, "v", "g").collect()(0)
+    assert(re.getAs[Double]("theil_total") == 0.0 &&
+      re.getAs[Double]("theil_between") == 0.0 &&
+      re.getAs[Double]("theil_within") == 0.0)
+    // decomposition: total = between + Σ share_g·T_g; with equal group
+    // SHARES the within column is Σ share·T_g directly — check additivity
+    // within pico-fx tolerance
+    val mix = Seq(("a", 1L), ("a", 9L), ("b", 4L), ("b", 6L)).toDF("g", "v")
+    val rm = Inequality.theilIndex(mix, "v", "g").collect()(0)
+    val (tt, tb, tw) = (rm.getAs[Double]("theil_total"),
+      rm.getAs[Double]("theil_between"), rm.getAs[Double]("theil_within"))
+    assert(math.abs(tt - (tb + tw)) < 1e-9, s"$tt vs ${tb + tw}")
+    assert(tt > 0.0 && tw > 0.0)
+  }
+
+  test("jarqueBera: symmetric flat sample scores platykurtic, spike scores huge") {
+    // symmetric uniform-ish: skew 0, kurtosis < 3 → small JB driven by kurtosis
+    val flat = (1L to 9L).toDF("v")
+    val rf = Drift.jarqueBera(flat, "v").collect()(0)
+    assert(math.abs(rf.getAs[Double]("skewness")) < 1e-12)
+    assert(rf.getAs[Double]("kurtosis") < 3.0)
+    // heavy right tail: skew and JB blow up
+    val spike = ((1L to 99L).map(_ => 10L) :+ 10000L).toDF("v")
+    val rs = Drift.jarqueBera(spike, "v").collect()(0)
+    assert(rs.getAs[Double]("skewness") > 5.0 && rs.getAs[Double]("jb") > 1000.0)
+    // constant column → null stats
+    val const = Seq(7L, 7L, 7L).toDF("v")
+    val rc = Drift.jarqueBera(const, "v").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("jb")))
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
