@@ -70,6 +70,34 @@ private[queries] object StatsQueries {
         "cents")
     },
 
+    "q_fleiss" -> { (s, dir) =>
+      // multi-rater agreement beyond chance: orders as items, their
+      // (exactly 4) lineitems as raters, returnflag as the label — the
+      // label-quality gate for crowd/ensemble annotation; the whole
+      // statistic is three exact integer sums + one fixed tree
+      graft.scan.Drift.fleissKappa(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag")),
+        "l_orderkey", "l_returnflag", raters = 4)
+    },
+
+    "q_bh_fdr" -> { (s, dir) =>
+      // multiple-comparison control over a battery screen: per-type runs
+      // z mapped through the distribution-free Chebyshev bound
+      // p <= 1/z^2, then the BH step-up q-values (two-phase suffix min —
+      // no global-order window) with reject at FDR 0.1
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val p = graft.scan.Drift.runsTest(daily, Seq("event_type"), "d", "cnt")
+        .where(col("z").isNotNull)
+        .select(col("event_type"),
+          when(col("z") * col("z") > 0.0,
+            least(lit(1.0), lit(1.0) / (col("z") * col("z"))))
+            .otherwise(lit(1.0)).as("p"))
+      graft.scan.Drift.bhAdjust(p, Seq("event_type"), "p", 1, 10)
+        .orderBy("event_type")
+    },
+
     "q_kruskal" -> { (s, dir) =>
       // K-SAMPLE rank drift: are the three returnflag populations even
       // from the same price distribution, in ONE test (the pairwise
@@ -1123,6 +1151,67 @@ private[queries] object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fleiss" ->
+      """WITH cells AS (SELECT CAST(l_orderkey AS VARCHAR) AS i, l_returnflag AS j, count(*) AS c
+        |               FROM lineitem GROUP BY 1, 2),
+        |keep AS (SELECT i FROM cells GROUP BY i HAVING sum(c) = 4),
+        |kept AS (SELECT cells.* FROM cells JOIN keep USING (i)),
+        |s AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS items,
+        |             sum(CAST(c AS HUGEINT) * c) AS ss FROM kept),
+        |mg AS (SELECT j, sum(c) AS cj FROM kept GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS categories,
+        |             sum(CAST(cj AS HUGEINT) * cj) AS mm FROM mg),
+        |x AS (SELECT items, categories,
+        |             (CAST(ss AS DOUBLE) - CAST(items AS DOUBLE) * 4.0)
+        |               / (CAST(items AS DOUBLE) * 4.0 * (4.0 - 1.0)) AS p_bar,
+        |             CAST(mm AS DOUBLE)
+        |               / (CAST(items AS DOUBLE) * 4.0 * (CAST(items AS DOUBLE) * 4.0)) AS p_e
+        |      FROM s, m)
+        |SELECT items, CAST(4 AS BIGINT) AS raters, categories,
+        |       CASE WHEN items > 0 THEN p_bar END AS p_bar,
+        |       CASE WHEN items > 0 THEN p_e END AS p_e,
+        |       CASE WHEN items > 0 AND p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa
+        |FROM x""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |cells0 AS (SELECT event_type, cnt AS v, count(*) AS c FROM ser GROUP BY 1, 2),
+        |kk AS (SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v) AS k,
+        |              sum(c) OVER (PARTITION BY event_type) AS ng FROM cells0),
+        |md AS (SELECT event_type, min(CASE WHEN k >= (ng + 1) // 2 THEN v END)
+        |              + min(CASE WHEN k >= ng // 2 + 1 THEN v END) AS md
+        |       FROM kk GROUP BY 1),
+        |sg AS (SELECT ser.event_type, ser.d, CASE WHEN ser.cnt * 2 > md.md THEN 1 ELSE 0 END AS sgn
+        |       FROM ser JOIN md USING (event_type) WHERE ser.cnt * 2 <> md.md),
+        |fl AS (SELECT event_type, sgn,
+        |              lag(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prev FROM sg),
+        |ag AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS n_pos,
+        |              CAST(sum(1 - sgn) AS BIGINT) AS n_neg,
+        |              CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sgn THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+        |       FROM fl GROUP BY 1),
+        |dd AS (SELECT event_type, n_pos, n_neg, runs,
+        |              CAST(n_pos AS DOUBLE) AS a, CAST(n_neg AS DOUBLE) AS b FROM ag),
+        |e AS (SELECT *, 2.0 * a * b / (a + b) + 1.0 AS mu,
+        |             2.0 * a * b * (2.0 * a * b - (a + b))
+        |             / ((a + b) * (a + b) * ((a + b) - 1.0)) AS sig2 FROM dd),
+        |z AS (SELECT event_type,
+        |             CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
+        |                  THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z FROM e),
+        |pp AS (SELECT event_type,
+        |              CASE WHEN z * z > 0.0 THEN least(1.0, 1.0 / (z * z)) ELSE 1.0 END AS p
+        |       FROM z WHERE z IS NOT NULL),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
+        |pc AS (SELECT p, count(*) AS c FROM pp GROUP BY 1),
+        |k2 AS (SELECT p, sum(c) OVER (ORDER BY p) AS k FROM pc),
+        |cq AS (SELECT p, CAST(k AS BIGINT) AS rank,
+        |              least(1.0, min(p * CAST(cnt.m AS DOUBLE) / CAST(k AS DOUBLE))
+        |                OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q
+        |       FROM k2, cnt)
+        |SELECT pp.event_type, pp.p, cnt.m, cq.rank, cq.q, cq.q <= 0.1 AS reject
+        |FROM pp JOIN cq USING (p), cnt ORDER BY event_type""".stripMargin,
+
     "q_wilcoxon" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
         |                    CAST(count(*) AS BIGINT) AS cnt

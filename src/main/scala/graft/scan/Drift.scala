@@ -204,6 +204,127 @@ object Drift {
       when(sig2 > 0.0, (uD - mu) / sqrt(sig2)).as("z"))
   }
 
+  /** Fleiss' kappa — MULTI-rater categorical agreement (Cohen's kappa
+    * stops at two raters): with n raters per item, how much do the
+    * raters agree beyond chance — the label-quality gate for
+    * crowd/ensemble annotation pipelines (RLHF preference labels, LLM
+    * judge panels). Items without exactly `raters` ratings are dropped
+    * (the complete-design requirement, like [[friedman]]'s blocks).
+    *
+    * Exactness: with n_ij the per-(item, category) counts,
+    * P̄ = (ΣᵢΣⱼn_ij² − N·n)/(N·n(n−1)) and P̄e = Σⱼc_j²/(N·n)² are RATIOS
+    * OF EXACT INTEGERS (no per-item float mean — the whole statistic is
+    * three exact decimal sums), and κ = (P̄−P̄e)/(1−P̄e) is ONE fixed
+    * double tree. One (item, category) rollup + one item-bounded filter.
+    *
+    * @return one row: (items, raters, categories, p_bar, p_e, kappa) —
+    *         kappa null when P̄e = 1 (all mass on one category).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, "need at least 2 raters per item")
+    val D = DecimalType(38, 0)
+    val cells = df.select(col(itemCol).cast(StringType).as("i"),
+        col(categoryCol).cast(StringType).as("j"))
+      .where(col("i").isNotNull && col("j").isNotNull)
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    // complete-design filter: items with exactly `raters` ratings
+    val keep = cells.groupBy("i").agg(sum(col("c")).as("nr"))
+      .where(col("nr") === lit(raters.toLong)).select("i")
+    val kept = cells.join(keep, Seq("i"), "left_semi")
+      .localCheckpoint(true) // serves the item count, Σc² AND the margins
+    val sums = kept.agg(
+      countDistinct(col("i")).as("items"),
+      sum(col("c").cast(D) * col("c").cast(D)).as("ss"))
+    val margins = kept.groupBy("j").agg(sum(col("c")).as("cj"))
+      .agg(count(lit(1)).as("categories"),
+        sum(col("cj").cast(D) * col("cj").cast(D)).as("mm"))
+    val joined = sums.crossJoin(broadcast(margins))
+    val nD = lit(raters.toDouble)
+    val itemsD = col("items").cast(DoubleType)
+    val pBar = (col("ss").cast(DoubleType) - itemsD * nD) /
+      (itemsD * nD * (nD - lit(1.0)))
+    val pE = col("mm").cast(DoubleType) / (itemsD * nD * (itemsD * nD))
+    val kappa = when(pE < lit(1.0), (pBar - pE) / (lit(1.0) - pE))
+    joined.select(col("items"), lit(raters.toLong).as("raters"),
+      col("categories"),
+      when(col("items") > 0L, pBar).as("p_bar"),
+      when(col("items") > 0L, pE).as("p_e"),
+      when(col("items") > 0L, kappa).otherwise(lit(null).cast(DoubleType)).as("kappa"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment — the multiple-comparison
+    * corrector the drift/eval battery needs once it screens THOUSANDS of
+    * keys at once: testing 10k segments at α = 0.05 "finds" 500 drifts
+    * in pure noise; BH controls the FALSE DISCOVERY RATE instead, and
+    * its q-values (min FDR at which each test would be rejected) are the
+    * honest per-test readout.
+    *
+    * Exactness: over the distinct-p rollup with inclusive cumulative
+    * count k (the tie-max rank), each p's step-up candidate is the fixed
+    * tree p·m/k, and q(p) = min over p' ≥ p of cand(p') capped at 1 —
+    * a SUFFIX minimum computed with the two-phase discipline (per-
+    * range-partition running min + driver suffix offsets of per-
+    * partition minima; no global-order window). Rows join the skinny
+    * (p → q) frame back (AQE-broadcastable).
+    *
+    * @param alphaNum/alphaDen the FDR level α = alphaNum/alphaDen
+    * @return per input row: (keyCols*, p, m, rank, q, reject) — rank is
+    *         the tie-max BH rank; reject = q ≤ α.
+    */
+  def bhAdjust(df: DataFrame, keyCols: Seq[String], pCol: String,
+               alphaNum: Int = 1, alphaDen: Int = 20): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val rows = df.select((keyCols.map(col) :+
+        col(pCol).cast(DoubleType).as("p")): _*)
+      .where(col("p").isNotNull && col("p") >= 0.0 && col("p") <= 1.0)
+      .localCheckpoint(true) // serves the rollup AND the join back
+    val counts = rows.groupBy("p").agg(count(lit(1)).as("c"))
+    val parts = counts.repartitionByRange(col("p"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("p")
+    val totals = parts.groupBy("__pid").agg(sum(col("c")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = totals.valuesIterator.sum
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids.zip(
+      pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
+    val cand = (col("p") * lit(m.toDouble)) / col("k").cast(DoubleType)
+    val ranked = parts
+      .withColumn("k", sum(col("c")).over(w) + offsetExpr)
+      .withColumn("__cand", cand)
+      .localCheckpoint(true) // per-pid minima job + the suffix-min window
+    // two-phase SUFFIX min: per-pid minima → driver suffix offsets; the
+    // within-partition running min walks DESCENDING p
+    val pidMins = ranked.groupBy("__pid").agg(min(col("__cand")).as("mn"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val suffix: Map[Int, Double] = {
+      val ps = pidMins.keys.toSeq.sorted
+      ps.zip(ps.scanRight(Double.MaxValue)((p, acc) =>
+        math.min(pidMins(p), acc)).tail).toMap
+    }
+    val suffixExpr =
+      if (suffix.isEmpty) lit(Double.MaxValue)
+      else coalesce(element_at(typedlit(suffix), col("__pid")),
+        lit(Double.MaxValue))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("p").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val q = least(lit(1.0), least(min(col("__cand")).over(wDesc), suffixExpr))
+    val qFrame = ranked
+      .withColumn("q", q)
+      .select(col("p"), col("k").as("rank"), col("q"))
+    val alpha = alphaNum.toDouble / alphaDen
+    rows.join(qFrame, Seq("p"))
+      .select((keyCols.map(col) :+ col("p") :+ lit(m).as("m") :+
+        col("rank") :+ col("q") :+ (col("q") <= lit(alpha)).as("reject")): _*)
+  }
+
   /** Benford first-digit conformance — the data-forensics member of the
     * drift family: naturally-grown positive magnitudes (prices, counts,
     * populations) follow P(d) = log₁₀(1 + 1/d) for the first significant

@@ -1309,6 +1309,61 @@ class TrendDriftSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("jb")))
   }
 
+  test("fleissKappa: hand two-item fixture, incomplete items dropped") {
+    // A: x,x,x (P_A = 1); B: x,y,y (P_B = 1/3) → P̄ = 2/3; margins 4:2 →
+    // P̄e = 5/9; κ = (2/3 − 5/9)/(4/9) = 0.25
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "y"),
+      ("C", "x"), ("C", "x")) // C has 2 raters → dropped
+      .toDF("item", "cat")
+    val r = Drift.fleissKappa(df, "item", "cat", raters = 3).collect()(0)
+    assert(r.getAs[Long]("items") == 2L && r.getAs[Long]("categories") == 2L)
+    assert(r.getAs[Double]("p_bar") == 2.0 / 3.0)
+    assert(r.getAs[Double]("p_e") == 20.0 / 36.0)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.25) < 1e-15)
+    // perfect agreement → κ = 1
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("item", "cat")
+    assert(Drift.fleissKappa(perfect, "item", "cat", raters = 2)
+      .collect()(0).getAs[Double]("kappa") == 1.0)
+  }
+
+  test("bhAdjust: classic step-up, ties share the tie-max rank, scalar-replica parity") {
+    // p = .01 .02 .03 .04 .30, m = 5: candidates .05×4, .30 → q = .05×4, .30
+    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.04),
+      ("t5", 0.30)).toDF("k", "p")
+    val out = Drift.bhAdjust(df, Seq("k"), "p", 1, 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("rank"), r.getAs[Double]("q"), r.getAs[Boolean]("reject")))).toMap
+    val cands = Seq(0.01 * 5 / 1.0, 0.02 * 5 / 2.0, 0.03 * 5 / 3.0,
+      0.04 * 5 / 4.0, 0.30 * 5 / 5.0)
+    val qs = cands.indices.map(i => cands.drop(i).min) // per-row suffix min
+    assert(out("t1") == ((1L, qs(0), true)) && out("t4") == ((4L, qs(3), true)))
+    assert(out("t5") == ((5L, qs(4), false)))
+    // tied p share the tie-max rank and q
+    val tied = Seq(("a", 0.02), ("b", 0.02), ("c", 0.5)).toDF("k", "p")
+    val to = Drift.bhAdjust(tied, Seq("k"), "p", 1, 10)
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("rank"), r.getAs[Double]("q")))).toMap
+    val q02 = math.min(0.02 * 3 / 2.0, 0.5 * 3 / 3.0)
+    assert(to("a") == ((2L, q02)) && to("b") == ((2L, q02)) &&
+      to("c") == ((3L, 0.5 * 3 / 3.0)))
+    // randomized parity against a scalar BH replica (grid p's force ties
+    // and exercise the multi-partition suffix-min path)
+    val rnd = new scala.util.Random(59)
+    val ps = (1 to 200).map(i => (s"k$i", rnd.nextInt(50) / 50.0 * 0.9 + 0.01))
+    val got = Drift.bhAdjust(ps.toDF("k", "p"), Seq("k"), "p", 1, 20)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("q")).toMap
+    val m = ps.size
+    val byP = ps.groupBy(_._2).view.mapValues(_.size).toMap
+    val sorted = byP.keys.toSeq.sorted
+    val ranks = sorted.zip(sorted.scanLeft(0)((a, p) => a + byP(p)).tail).toMap
+    val cand = sorted.map(p => p -> p * m / ranks(p).toDouble).toMap
+    val qMap = sorted.reverse
+      .scanLeft (Double.MaxValue) ((acc, p) => math.min(acc, cand(p)))
+      .tail.zip(sorted.reverse).map { case (q, p) => p -> math.min(1.0, q) }.toMap
+    ps.foreach { case (k, p) => assert(got(k) == qMap(p), s"$k p=$p") }
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
