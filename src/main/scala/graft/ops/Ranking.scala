@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,5 +61,120 @@ object Ranking {
       .select(lit(k.toLong).as("k"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         coalesce(col("__sfx").cast(DoubleType) / lit(1e12), lit(0.0)).as("rbo"))
+  }
+
+  /** NDCG@k and reciprocal rank per query over an already-ranked result
+    * list (rankCol 1-based, relCol a non-negative graded relevance).
+    * DCG@k = Σ_{pos≤k} rel/log₂(pos+1); the ideal ordering re-sorts the
+    * SAME list by (rel desc, rank asc) — deterministic ties.
+    *
+    * Exactness: each term rel/(ln(pos+1)/ln 2) is ONE fixed double tree
+    * over exact integers, quantized to pico fixed-point and summed
+    * ORDER-FREE per query; ndcg is one final ratio of the two fx sums.
+    * Windows are query-bounded (a result LIST, not the corpus).
+    *
+    * @return per query: (queryCol, n_items, dcg, idcg, ndcg, rr) — ndcg
+    *         null when idcg = 0 (no relevant item); rr = 1/rank of the
+    *         first relevant item, null when none.
+    */
+  def ndcgAtK(df: DataFrame, queryCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val D = DecimalType(38, 0)
+    val rows = df.select(col(queryCol).as("q"),
+        col(rankCol).cast(LongType).as("rank"),
+        col(relCol).cast(LongType).as("rel"))
+      .where(col("q").isNotNull && col("rank").isNotNull &&
+        col("rel").isNotNull && col("rel") >= 0L)
+    val wIdeal = Window.partitionBy("q")
+      .orderBy(col("rel").desc, col("rank").asc)
+    def gain(pos: Column) = col("rel").cast(DoubleType) /
+      (log(pos.cast(DoubleType) + lit(1.0)) / log(lit(2.0)))
+    def fx(c: Column) = floor(c * lit(1e12) + lit(0.5)).cast(D)
+    val terms = rows
+      .withColumn("ipos", row_number().over(wIdeal).cast(LongType))
+      .withColumn("__dcg", when(col("rank") <= k && col("rel") > 0L,
+        fx(gain(col("rank")))).otherwise(lit(0L).cast(D)))
+      .withColumn("__idcg", when(col("ipos") <= k && col("rel") > 0L,
+        fx(gain(col("ipos")))).otherwise(lit(0L).cast(D)))
+    val agg = terms.groupBy(col("q").as(queryCol)).agg(
+      count(lit(1)).as("n_items"),
+      sum(col("__dcg")).as("__d"),
+      sum(col("__idcg")).as("__i"),
+      min(when(col("rel") > 0L, col("rank"))).as("__first"))
+    agg.select(col(queryCol), col("n_items"),
+      (col("__d").cast(DoubleType) / lit(1e12)).as("dcg"),
+      (col("__i").cast(DoubleType) / lit(1e12)).as("idcg"),
+      when(col("__i") > lit(0L).cast(D),
+        col("__d").cast(DoubleType) / col("__i").cast(DoubleType)).as("ndcg"),
+      when(col("__first").isNotNull,
+        lit(1.0) / col("__first").cast(DoubleType)).as("rr"))
+  }
+
+  /** Bradley–Terry pairwise-preference strengths via `rounds` fixed MM
+    * iterations (Hunter 2004): π'_i = W_i / Σ_j n_ij/(π_i+π_j) — the
+    * latent-strength model behind preference-label curation: which
+    * items/policies/judges actually win once opponents' strength is
+    * accounted for (raw win RATE flatters whoever met weak opponents).
+    *
+    * Exactness/determinism: the corpus reduces to the directed
+    * (winner, loser) win rollup once; each round's per-pair term
+    * n/(π_i+π_j) quantizes to pico fx and sums ORDER-FREE per item, so
+    * π' = W·10¹²/den_fx is a fixed double tree and the whole iteration
+    * replays cross-engine (the q_probe_weights unrolled-round
+    * discipline). Items are bounded (teams/policies), so the per-round
+    * join broadcasts; corpus size enters only the first rollup.
+    *
+    * @return per item: (item, wins, matches, pi, strength) — strength =
+    *         π normalized to sum 1 (fx order-free total); items with 0
+    *         wins keep π = 0 after round 1 (the MM fixed point).
+    */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+                   rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, "need at least one MM round")
+    val D = DecimalType(38, 0)
+    val wins = df.select(col(winnerCol).cast(StringType).as("i"),
+        col(loserCol).cast(StringType).as("j"))
+      .where(col("i").isNotNull && col("j").isNotNull && col("i") =!= col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true) // the one corpus-sized pass
+    // undirected opponent frame, both directions: (i, j, n_ij)
+    val rev = wins.select(col("j").as("i"), col("i").as("j"), col("w"))
+    val pairs = wins.select(col("i"), col("j"), col("w"))
+      .unionByName(rev)
+      .groupBy("i", "j").agg(sum(col("w")).as("n"))
+      .localCheckpoint(true)
+    val wTot = wins.groupBy("i").agg(sum(col("w")).as("wins"))
+    val items = pairs.select(col("i")).distinct()
+      .join(wTot, Seq("i"), "left")
+      .withColumn("wins", coalesce(col("wins"), lit(0L)))
+      .localCheckpoint(true)
+    def fx(c: Column) = floor(c * lit(1e12) + lit(0.5)).cast(D)
+    var pi = items.select(col("i"), lit(1.0).as("pi"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val den = pairs
+        .join(broadcast(pi.select(col("i"), col("pi").as("pi_i"))), Seq("i"))
+        .join(broadcast(pi.select(col("i").as("j"), col("pi").as("pi_j"))), Seq("j"))
+        .withColumn("__t", fx(col("n").cast(DoubleType) /
+          (col("pi_i") + col("pi_j"))))
+        .groupBy("i").agg(sum(col("__t")).as("den_fx"))
+      pi = items.join(den, Seq("i"), "left")
+        .select(col("i"),
+          when(col("den_fx").isNotNull && col("den_fx") > lit(0L).cast(D),
+            col("wins").cast(DoubleType) * lit(1e12) /
+              col("den_fx").cast(DoubleType))
+            .otherwise(lit(0.0)).as("pi"))
+        .localCheckpoint(true) // truncate the per-round lineage
+    }
+    val tot = pi.agg(sum(fx(col("pi"))).as("t"))
+    val matches = pairs.groupBy("i").agg(sum(col("n")).as("matches"))
+    items.join(pi, "i").join(matches, Seq("i"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("i").as("item"), col("wins"),
+        coalesce(col("matches"), lit(0L)).as("matches"), col("pi"),
+        when(col("t") > lit(0L).cast(D),
+          fx(col("pi")).cast(DoubleType) / col("t").cast(DoubleType))
+          .as("strength"))
   }
 }

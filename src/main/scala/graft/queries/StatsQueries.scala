@@ -98,6 +98,48 @@ private[queries] object StatsQueries {
         .orderBy("event_type")
     },
 
+    "q_ndcg" -> { (s, dir) =>
+      // retrieval-eval pair over a real ranking task: each user's
+      // first-half event-type frequency ranking scored against their
+      // second-half counts as graded relevance — NDCG@3 + reciprocal
+      // rank; pico-fx order-free gain sums, query-bounded windows
+      val ev = t(s, dir, "events")
+        .selectExpr("user_id", "event_type",
+          "unix_micros(ts) div 86400000000L as d")
+      val fh = ev.where(col("d") < 19737L)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("cnt").desc, col("event_type").asc)))
+      val sh = ev.where(col("d") >= 19737L)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("rel"))
+      val joined = fh.join(sh, Seq("user_id", "event_type"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      Ranking.ndcgAtK(joined, "user_id", "rank", "rel", 3)
+        .orderBy("user_id")
+    },
+
+    "q_bradley_terry" -> { (s, dir) =>
+      // latent supplier-team strengths from within-order shipping races:
+      // two lineitems of one order with different (suppkey mod 5) teams —
+      // the earlier shipdate wins; 5 MM rounds with pico-fx order-free
+      // denominators make the whole fit engine-replayable
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        (col("l_suppkey") % 5).cast(StringType).as("team"),
+        col("l_shipdate").as("sd"))
+      val a = li.select(col("ok"), col("ln").as("ln_a"),
+        col("team").as("ta"), col("sd").as("sa"))
+      val b = li.select(col("ok"), col("ln").as("ln_b"),
+        col("team").as("tb"), col("sd").as("sb"))
+      val m = a.join(b, "ok")
+        .where(col("ln_a") < col("ln_b") && col("ta") =!= col("tb") &&
+          col("sa") =!= col("sb"))
+        .select(when(col("sa") < col("sb"), col("ta")).otherwise(col("tb")).as("winner"),
+          when(col("sa") < col("sb"), col("tb")).otherwise(col("ta")).as("loser"))
+      Ranking.bradleyTerry(m, "winner", "loser", rounds = 5).orderBy("item")
+    },
+
     "q_kruskal" -> { (s, dir) =>
       // K-SAMPLE rank drift: are the three returnflag populations even
       // from the same price distribution, in ONE test (the pairwise
@@ -1151,6 +1193,87 @@ private[queries] object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ndcg" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+        |fh AS (SELECT user_id, event_type, count(*) AS cnt FROM ev WHERE d < 19737 GROUP BY 1, 2),
+        |fr AS (SELECT user_id, event_type,
+        |              CAST(row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rank
+        |       FROM fh),
+        |sh AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS rel
+        |       FROM ev WHERE d >= 19737 GROUP BY 1, 2),
+        |j AS (SELECT fr.user_id, fr.rank, coalesce(sh.rel, 0) AS rel
+        |      FROM fr LEFT JOIN sh USING (user_id, event_type)),
+        |ip AS (SELECT user_id, rank, rel,
+        |              CAST(row_number() OVER (PARTITION BY user_id ORDER BY rel DESC, rank ASC) AS BIGINT) AS ipos
+        |       FROM j),
+        |t AS (SELECT user_id, rel, rank,
+        |        CASE WHEN rank <= 3 AND rel > 0 THEN CAST(floor(
+        |          CAST(rel AS DOUBLE) / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+        |          * 1000000000000.0 + 0.5) AS HUGEINT) ELSE 0 END AS dfx,
+        |        CASE WHEN ipos <= 3 AND rel > 0 THEN CAST(floor(
+        |          CAST(rel AS DOUBLE) / (ln(CAST(ipos AS DOUBLE) + 1.0) / ln(2.0))
+        |          * 1000000000000.0 + 0.5) AS HUGEINT) ELSE 0 END AS ifx
+        |      FROM ip),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+        |             sum(dfx) AS dd, sum(ifx) AS ii,
+        |             min(CASE WHEN rel > 0 THEN rank END) AS fst
+        |      FROM t GROUP BY 1)
+        |SELECT user_id, n_items,
+        |       CAST(dd AS DOUBLE) / 1000000000000.0 AS dcg,
+        |       CAST(ii AS DOUBLE) / 1000000000000.0 AS idcg,
+        |       CASE WHEN ii > 0 THEN CAST(dd AS DOUBLE) / CAST(ii AS DOUBLE) END AS ndcg,
+        |       CASE WHEN fst IS NOT NULL THEN 1.0 / CAST(fst AS DOUBLE) END AS rr
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "q_bradley_terry" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |                   CAST(l_suppkey % 5 AS VARCHAR) AS team, l_shipdate AS sd FROM lineitem),
+        |mt AS (SELECT CASE WHEN a.sd < b.sd THEN a.team ELSE b.team END AS wi,
+        |              CASE WHEN a.sd < b.sd THEN b.team ELSE a.team END AS lo
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.ln < b.ln
+        |       WHERE a.team <> b.team AND a.sd <> b.sd),
+        |wins AS (SELECT wi AS i, lo AS j, CAST(count(*) AS BIGINT) AS w FROM mt GROUP BY 1, 2),
+        |pairs AS (SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
+        |            SELECT i, j, w FROM wins
+        |            UNION ALL SELECT j AS i, i AS j, w FROM wins) GROUP BY 1, 2),
+        |wt AS (SELECT i, CAST(sum(w) AS BIGINT) AS wins FROM wins GROUP BY 1),
+        |it AS (SELECT d.i, coalesce(wt.wins, 0) AS wins
+        |       FROM (SELECT DISTINCT i FROM pairs) d LEFT JOIN wt USING (i)),
+        |p0 AS (SELECT i, 1.0 AS pi FROM it),
+        |d1 AS (SELECT pairs.i, sum(CAST(floor(CAST(n AS DOUBLE) / (x.pi + y.pi) * 1000000000000.0 + 0.5) AS HUGEINT)) AS den
+        |       FROM pairs JOIN p0 x ON pairs.i = x.i JOIN p0 y ON pairs.j = y.i GROUP BY 1),
+        |p1 AS (SELECT it.i, CASE WHEN d1.den IS NOT NULL AND d1.den > 0
+        |              THEN CAST(it.wins AS DOUBLE) * 1000000000000.0 / CAST(d1.den AS DOUBLE) ELSE 0.0 END AS pi
+        |       FROM it LEFT JOIN d1 USING (i)),
+        |d2 AS (SELECT pairs.i, sum(CAST(floor(CAST(n AS DOUBLE) / (x.pi + y.pi) * 1000000000000.0 + 0.5) AS HUGEINT)) AS den
+        |       FROM pairs JOIN p1 x ON pairs.i = x.i JOIN p1 y ON pairs.j = y.i GROUP BY 1),
+        |p2 AS (SELECT it.i, CASE WHEN d2.den IS NOT NULL AND d2.den > 0
+        |              THEN CAST(it.wins AS DOUBLE) * 1000000000000.0 / CAST(d2.den AS DOUBLE) ELSE 0.0 END AS pi
+        |       FROM it LEFT JOIN d2 USING (i)),
+        |d3 AS (SELECT pairs.i, sum(CAST(floor(CAST(n AS DOUBLE) / (x.pi + y.pi) * 1000000000000.0 + 0.5) AS HUGEINT)) AS den
+        |       FROM pairs JOIN p2 x ON pairs.i = x.i JOIN p2 y ON pairs.j = y.i GROUP BY 1),
+        |p3 AS (SELECT it.i, CASE WHEN d3.den IS NOT NULL AND d3.den > 0
+        |              THEN CAST(it.wins AS DOUBLE) * 1000000000000.0 / CAST(d3.den AS DOUBLE) ELSE 0.0 END AS pi
+        |       FROM it LEFT JOIN d3 USING (i)),
+        |d4 AS (SELECT pairs.i, sum(CAST(floor(CAST(n AS DOUBLE) / (x.pi + y.pi) * 1000000000000.0 + 0.5) AS HUGEINT)) AS den
+        |       FROM pairs JOIN p3 x ON pairs.i = x.i JOIN p3 y ON pairs.j = y.i GROUP BY 1),
+        |p4 AS (SELECT it.i, CASE WHEN d4.den IS NOT NULL AND d4.den > 0
+        |              THEN CAST(it.wins AS DOUBLE) * 1000000000000.0 / CAST(d4.den AS DOUBLE) ELSE 0.0 END AS pi
+        |       FROM it LEFT JOIN d4 USING (i)),
+        |d5 AS (SELECT pairs.i, sum(CAST(floor(CAST(n AS DOUBLE) / (x.pi + y.pi) * 1000000000000.0 + 0.5) AS HUGEINT)) AS den
+        |       FROM pairs JOIN p4 x ON pairs.i = x.i JOIN p4 y ON pairs.j = y.i GROUP BY 1),
+        |p5 AS (SELECT it.i, CASE WHEN d5.den IS NOT NULL AND d5.den > 0
+        |              THEN CAST(it.wins AS DOUBLE) * 1000000000000.0 / CAST(d5.den AS DOUBLE) ELSE 0.0 END AS pi
+        |       FROM it LEFT JOIN d5 USING (i)),
+        |tot AS (SELECT sum(CAST(floor(pi * 1000000000000.0 + 0.5) AS HUGEINT)) AS t FROM p5),
+        |mtc AS (SELECT i, CAST(sum(n) AS BIGINT) AS matches FROM pairs GROUP BY 1)
+        |SELECT it.i AS item, it.wins, coalesce(mtc.matches, 0) AS matches, p5.pi,
+        |       CASE WHEN tot.t > 0 THEN
+        |         CAST(CAST(floor(p5.pi * 1000000000000.0 + 0.5) AS HUGEINT) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+        |       END AS strength
+        |FROM it JOIN p5 USING (i) LEFT JOIN mtc USING (i), tot ORDER BY item""".stripMargin,
+
     "q_fleiss" ->
       """WITH cells AS (SELECT CAST(l_orderkey AS VARCHAR) AS i, l_returnflag AS j, count(*) AS c
         |               FROM lineitem GROUP BY 1, 2),

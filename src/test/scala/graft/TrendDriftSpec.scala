@@ -1364,6 +1364,59 @@ class TrendDriftSpec extends SparkSpec {
     ps.foreach { case (k, p) => assert(got(k) == qMap(p), s"$k p=$p") }
   }
 
+  test("ndcgAtK: perfect ranking 1.0, hand DCG, reciprocal rank, no-relevant null") {
+    import graft.ops.Ranking
+    // perfect: rels already descending → ndcg = 1
+    val perfect = Seq(("q1", 1L, 3L), ("q1", 2L, 2L), ("q1", 3L, 1L))
+      .toDF("q", "rank", "rel")
+    val p = Ranking.ndcgAtK(perfect, "q", "rank", "rel", 3).collect()(0)
+    assert(p.getAs[Double]("ndcg") == 1.0 && p.getAs[Double]("rr") == 1.0)
+    // reversed: hand DCG = 1/1 + 2/log2(3) + 3/2; IDCG = 3 + 2/log2(3) + 1/2
+    val rev = Seq(("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L))
+      .toDF("q", "rank", "rel")
+    val r = Ranking.ndcgAtK(rev, "q", "rank", "rel", 3).collect()(0)
+    def fx(x: Double) = math.floor(x * 1e12 + 0.5)
+    val dcg = (fx(1.0 / (math.log(2.0) / math.log(2.0))) +
+      fx(2.0 / (math.log(3.0) / math.log(2.0))) +
+      fx(3.0 / (math.log(4.0) / math.log(2.0)))) / 1e12
+    assert(r.getAs[Double]("dcg") == dcg)
+    assert(r.getAs[Double]("ndcg") < 1.0 && r.getAs[Double]("rr") == 1.0)
+    // first relevant at rank 2 → rr = 0.5; k truncation drops rank-4 gain
+    val mid = Seq(("q2", 1L, 0L), ("q2", 2L, 5L), ("q2", 3L, 0L), ("q2", 4L, 9L))
+      .toDF("q", "rank", "rel")
+    val m = Ranking.ndcgAtK(mid, "q", "rank", "rel", 3).collect()(0)
+    assert(m.getAs[Double]("rr") == 0.5)
+    // all-zero relevance → ndcg and rr null
+    val none = Seq(("q3", 1L, 0L), ("q3", 2L, 0L)).toDF("q", "rank", "rel")
+    val n = Ranking.ndcgAtK(none, "q", "rank", "rel", 3).collect()(0)
+    assert(n.isNullAt(n.fieldIndex("ndcg")) && n.isNullAt(n.fieldIndex("rr")))
+  }
+
+  test("bradleyTerry: dominant item wins the strengths, symmetric wins tie, zero-win floor") {
+    import graft.ops.Ranking
+    // a beats b 9:1, b beats c 9:1, a beats c 9:1 → strength a > b > c
+    val m = (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b")) ++
+      Seq.fill(9)(("a", "c")) ++ Seq.fill(1)(("c", "a")))
+      .toDF("w", "l")
+    val out = Ranking.bradleyTerry(m, "w", "l", rounds = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("wins"), r.getAs[Long]("matches"), r.getAs[Double]("strength")))).toMap
+    assert(out("a")._1 == 18L && out("a")._2 == 20L)
+    assert(out("a")._3 > out("b")._3 && out("b")._3 > out("c")._3)
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
+    // perfectly symmetric record → equal strengths
+    val sym = (Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x"))).toDF("w", "l")
+    val so = Ranking.bradleyTerry(sym, "w", "l").collect()
+      .map(r => r.getAs[Double]("strength"))
+    assert(so.toSet.size == 1)
+    // an item that never wins pins to strength 0 (the MM fixed point)
+    val shut = Seq.fill(4)(("u", "v")).toDF("w", "l")
+    val sh = Ranking.bradleyTerry(shut, "w", "l").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(sh("u") == 1.0 && sh("v") == 0.0)
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
