@@ -585,6 +585,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination scores (the GPT-3/PaLM-style n-gram overlap
+    * audit): for each EVAL document, the fraction of its distinct n-gram
+    * shingle hashes that appear ANYWHERE in the train corpus — the
+    * "did the eval set leak into training" number a model report has to
+    * state. Distinct from [[splitLeakage]] (near-dup PAIRS straddling
+    * splits): contamination is per-eval-doc partial overlap at the n-gram
+    * grain, catching quotes and paraphrased fragments pair-level Jaccard
+    * misses.
+    *
+    * Scale shape: the train side reduces ONCE to its distinct shingle-hash
+    * set (skinny 8-byte rows — the only corpus-sized shuffle); eval docs
+    * explode their distinct shingles and left-join it (AQE handles the
+    * asymmetry); one per-doc aggregate after. Bodies never shuffle.
+    *
+    * @return per eval doc: (id, n_shingles, hits, contamination).
+    */
+  def contaminationScores(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, shingleLen: Int = 3,
+                          tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    def hset(df: DataFrame) = df.select(col(idCol).as("id"),
+      array_distinct(transform(
+        Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen),
+        tokenHasher)).as("hs"))
+    val trainH = hset(train).select(explode(col("hs")).as("h")).distinct()
+    val ev = hset(eval).select(col("id"), size(col("hs")).cast(LongType).as("n_shingles"),
+      explode(col("hs")).as("h"))
+    ev.join(trainH.withColumn("__hit", lit(1L)), Seq("h"), "left")
+      .groupBy("id").agg(max(col("n_shingles")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+      .select(col("id"), col("n_shingles"), col("hits"),
+        (col("hits").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("contamination"))
+  }
+
   /** Split-leakage audit — the eval-contamination check a training pipeline
     * runs AFTER splitting: near-duplicate pairs that straddle two different
     * splits (a test doc with a train near-dup inflates eval). Composes

@@ -19,6 +19,23 @@ private[queries] object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "events"), "event_id", "props").orderBy("keep_id")),
 
+    "q_contam_frac" -> { (s, dir) =>
+      // the per-eval-doc contamination FRACTION (GPT-3 appendix-C style):
+      // docs with id ≡ 0 (mod 97) play the eval set; each one's fraction
+      // of distinct 3-gram shingles present anywhere in the remaining
+      // (train) corpus. The complementary route to q_contamination's
+      // eval-broadcast count: TRAIN reduces once to its distinct
+      // shingle-hash set, so it holds when the eval side is too big to
+      // broadcast; bodies never shuffle
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationScores(
+        docs.where(col("doc_id") % 97 =!= 0L),
+        docs.where(col("doc_id") % 97 === 0L),
+        "doc_id", "text", shingleLen = 3,
+        tokenHasher = graft.ops.Shingles.md5Hash60)
+        .orderBy("id")
+    },
+
     "q_dedup_jaccard" -> ((s, dir) =>
       // all-pairs-in-block + native sorted-merge jaccard: blocks are small
       // and vocab overlap is huge, so the inverted-index strategy
@@ -478,6 +495,20 @@ private[queries] object DedupQueries {
       |SELECT id AS doc_id, min(label) AS component FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_contam_frac" ->
+      s"""WITH ev AS (SELECT doc_id, list_distinct(list_transform(${duckShingles(3)},
+         |              t -> $duckTokenHash)) AS hs
+         |            FROM documents WHERE doc_id % 97 = 0),
+         |tr AS (SELECT DISTINCT $duckTokenHash AS h
+         |       FROM (SELECT unnest(${duckShingles(3)}) AS t
+         |             FROM documents WHERE doc_id % 97 <> 0)),
+         |ex AS (SELECT doc_id AS id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h FROM ev),
+         |hit AS (SELECT ex.id, max(ex.n_shingles) AS n_shingles,
+         |               CAST(count(tr.h) AS BIGINT) AS hits
+         |        FROM ex LEFT JOIN tr USING (h) GROUP BY 1)
+         |SELECT id, n_shingles, hits,
+         |       CAST(hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+         |FROM hit ORDER BY id""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),

@@ -16,6 +16,35 @@ private[queries] object TextQueries {
   import QueryShared._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii" -> { (s, dir) =>
+      // PII battery end-to-end on deterministically AUGMENTED text (the
+      // synthetic corpus carries no digits, so both engines inject the
+      // same id-derived emails/IPs/SSN-shapes/card candidates and must
+      // agree on every extraction AND the Luhn verdicts)
+      val id = col("doc_id")
+      val aug = t(s, dir, "documents").select(id,
+        concat_ws(" ", col("text"),
+          concat(lit("u"), id.cast(StringType), lit("@example.com")),
+          when(id % 3 === 0L, concat(lit("192.168."),
+            (id % 250 + 1).cast(StringType), lit("."),
+            (id % 200 + 1).cast(StringType))),
+          when(id % 5 === 0L, concat(lit("355-"),
+            lpad((id % 100).cast(StringType), 2, "0"), lit("-"),
+            lpad((id % 10000).cast(StringType), 4, "0"))),
+          when(id % 4 === 0L,
+            (lit(4000000000000000L) + (id * 7919L) % 1000000000L)
+              .cast(StringType))).as("text"))
+      graft.ops.Pii.piiSignals(aug, "doc_id", "text")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("emails")).cast(LongType).as("emails"),
+          sum(col("ipv4")).cast(LongType).as("ipv4"),
+          sum(col("ssn")).cast(LongType).as("ssn"),
+          sum(col("phones")).cast(LongType).as("phones"),
+          sum(col("cards")).cast(LongType).as("cards"),
+          sum(col("cards_valid")).cast(LongType).as("cards_valid"),
+          sum(col("has_pii").cast(LongType)).cast(LongType).as("pii_docs"))
+    },
+
     "q_vocab_coverage" -> { (s, dir) =>
       // tokenizer-fit audit: src1 docs against src0's top-100 vocabulary —
       // coverage (vocab fraction exercised) + OOV occurrence rate
@@ -527,6 +556,43 @@ private[queries] object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pii" ->
+      """WITH aug AS (SELECT doc_id, concat_ws(' ', text,
+        |    'u' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |    CASE WHEN doc_id % 3 = 0 THEN '192.168.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+        |         || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) END,
+        |    CASE WHEN doc_id % 5 = 0 THEN '355-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN CAST(4000000000000000 + (doc_id * 7919) % 1000000000 AS VARCHAR) END) AS t
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+        |    CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS ipv4,
+        |    CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS ssn,
+        |    CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS phones,
+        |    regexp_extract_all(t, '\b\d{13,19}\b') AS cds
+        |  FROM aug),
+        |lv AS (SELECT doc_id, emails, ipv4, ssn, phones,
+        |    CAST(len(cds) AS BIGINT) AS cards,
+        |    CAST(len(list_filter(cds, c ->
+        |      (list_sum(list_transform(range(1, length(c) + 1), i ->
+        |        CASE WHEN (i - 1) % 2 = 0
+        |             THEN CAST(array_extract(list_reverse(string_split(c, '')), i) AS BIGINT)
+        |             ELSE CASE WHEN CAST(array_extract(list_reverse(string_split(c, '')), i) AS BIGINT) * 2 > 9
+        |                       THEN CAST(array_extract(list_reverse(string_split(c, '')), i) AS BIGINT) * 2 - 9
+        |                       ELSE CAST(array_extract(list_reverse(string_split(c, '')), i) AS BIGINT) * 2 END
+        |        END)) % 10) = 0)) AS BIGINT) AS cards_valid
+        |  FROM sig)
+        |SELECT CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(emails) AS BIGINT) AS emails,
+        |       CAST(sum(ipv4) AS BIGINT) AS ipv4,
+        |       CAST(sum(ssn) AS BIGINT) AS ssn,
+        |       CAST(sum(phones) AS BIGINT) AS phones,
+        |       CAST(sum(cards) AS BIGINT) AS cards,
+        |       CAST(sum(cards_valid) AS BIGINT) AS cards_valid,
+        |       CAST(sum(CASE WHEN emails + ipv4 + ssn + phones + cards_valid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs
+        |FROM lv""".stripMargin,
     "q_dict_hits" -> dictHitsOracle,
 
     "q_vocab_coverage" ->

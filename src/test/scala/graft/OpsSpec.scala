@@ -4826,3 +4826,61 @@ class DictMatchSpec extends SparkSpec {
     assert(withNull == Map(1L -> false, 2L -> true))
   }
 }
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ops.Pii
+
+  test("piiSignals: each detector fires on its shape, Luhn separates live cards") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+tag@mail.co today"),
+      (2L, "server at 10.0.0.1 and 192.168.255.3 responded"),
+      (3L, "ssn 123-45-6789 on file, call 555-867-5309 now"),
+      // 4242424242424242 is the canonical Luhn-VALID test number;
+      // 4242424242424241 fails the checksum by one
+      (4L, "cards 4242424242424242 and 4242424242424241 submitted"),
+      (5L, "no pii here, just words and the number 42")
+    ).toDF("id", "text")
+    val out = Pii.piiSignals(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("emails") == 2L && out(1L).getAs[Boolean]("has_pii"))
+    assert(out(2L).getAs[Long]("ipv4") == 2L)
+    assert(out(3L).getAs[Long]("ssn") == 1L && out(3L).getAs[Long]("phones") == 1L)
+    assert(out(4L).getAs[Long]("cards") == 2L &&
+      out(4L).getAs[Long]("cards_valid") == 1L && out(4L).getAs[Boolean]("has_pii"))
+    assert(out(5L).getAs[Long]("emails") == 0L && !out(5L).getAs[Boolean]("has_pii"))
+  }
+
+  test("luhnValid: known-valid brands pass, off-by-one digits fail") {
+    // canonical test numbers: Visa, Mastercard, Amex (15-digit), Discover
+    val valid = Seq("4242424242424242", "5555555555554444", "378282246310005",
+      "6011111111111117")
+    val invalid = valid.map(s => s.init + (((s.last - '0') + 1) % 10).toString)
+    val got = (valid ++ invalid).toDF("c")
+      .select(col("c"), Pii.luhnValid(col("c")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    valid.foreach(v => assert(got(v), s"$v should pass Luhn"))
+    invalid.foreach(v => assert(!got(v), s"$v should fail Luhn"))
+  }
+
+  test("contaminationScores: hand overlap fractions, clean doc scores 0") {
+    import graft.ops.Dedup
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "alpha beta gamma delta"),      // 2 of its 2 3-shingles in train
+      (2L, "alpha beta gamma nine ten"),   // 1 of 3
+      (3L, "totally novel words here")     // 0 of 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScores(train, eval, "doc_id", "text",
+        shingleLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("hits"),
+          r.getAs[Double]("contamination")))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+}
