@@ -104,6 +104,51 @@ object Outliers {
       .drop("__v", "__pu", "__pd")
   }
 
+  /** Page–Hinkley upward-shift alarm per key — the SEQUENTIAL-mean drift
+    * detector next to [[cusum]]: CUSUM tests against a FIXED target;
+    * Page–Hinkley self-references the series' own running mean, so it
+    * needs no prior target at all — U_t = Σᵢ(xᵢ − m̄ᵢ − δ) with m̄ᵢ the
+    * running mean at step i, alarm when U_t − min_{s≤t}U_s > λ (the
+    * standard concept-drift monitor in streaming-ML literature).
+    *
+    * Exactness: per step, xᵢ·i − Sᵢ is an EXACT long (fx values × a
+    * key-bounded step index), the deviation (xᵢ·i − Sᵢ)/i − δ is one
+    * fixed double tree micro-quantized (·10⁶) before the running sum, so
+    * U and the running min are exact integers in fx·10⁻⁶ units and the
+    * alarm threshold compares integers. Key-partitioned windows over
+    * calendar-bounded series (the [[cusum]] contract).
+    *
+    * @return input rows + (ph — descaled to value units, alarm) ordered
+    *         within each key by orderCol.
+    */
+  def pageHinkley(df: DataFrame, partCols: Seq[String], orderCol: String,
+                  valueCol: String, delta: Double, lambda: Double,
+                  fxScale: Int = 2): DataFrame = {
+    require(lambda > 0 && delta >= 0, "bad parameters")
+    import org.apache.spark.sql.expressions.Window
+    def fx(x: Double): Long =
+      (if (x >= 0) math.floor(x * math.pow(10, fxScale) + 0.5)
+       else -math.floor(-x * math.pow(10, fxScale) + 0.5)).toLong
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRow = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    val v = graft.metrics.MetricColumns.fixedPointLong(
+      col(valueCol).cast("double"), fxScale)
+    val dev = (col("__v") * col("__i") - col("__s")).cast("double") /
+      col("__i").cast("double") - lit(fx(delta).toDouble)
+    val devFx = when(dev >= 0, floor(dev * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-dev * lit(1e6) + lit(0.5))).cast("long")
+    df.withColumn("__v", v)
+      .withColumn("__i", row_number().over(wRow).cast("long"))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__u", sum(devFx).over(w))
+      .withColumn("__ph", col("__u") - least(lit(0L), min(col("__u")).over(w)))
+      .withColumn("ph", col("__ph").cast("double") /
+        lit(1e6 * math.pow(10, fxScale)))
+      .withColumn("alarm", col("__ph") > lit(fx(lambda)) * lit(1000000L))
+      .drop("__v", "__i", "__s", "__u", "__ph")
+  }
+
   /** Per-key EWMA (exponentially-weighted moving average) with a FULLY
     * REPLAYABLE integer recurrence: values go through the portable
     * fixed-point long, alpha is the rational `alphaNum/alphaDen`, and each

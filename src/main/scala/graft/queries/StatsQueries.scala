@@ -1151,6 +1151,19 @@ private[queries] object StatsQueries {
         .select("user_id", "event_id", "s_up", "s_dn", "alarm_up", "alarm_dn")
         .orderBy("user_id", "event_id")),
 
+    "q_page_hinkley" -> { (s, dir) =>
+      // the target-free sequential drift alarm next to q_cusum: daily
+      // counts tested against their OWN running mean (no prior target);
+      // micro-fx deviations keep U and its running min exact integers
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Outliers.pageHinkley(daily, Seq("event_type"), "d", "cnt",
+        delta = 0.0, lambda = 30.0, fxScale = 0)
+        .select("event_type", "d", "cnt", "ph", "alarm")
+        .orderBy("event_type", "d")
+    },
+
     "q_trend" -> ((s, dir) =>
       // per-group OLS: price-vs-quantity slope/intercept per return flag
       // from decimal-exact co-moments, one grouped aggregate
@@ -2576,6 +2589,27 @@ private[queries] object StatsQueries {
         |  CAST(CAST(s[1] AS BIGINT) AS DOUBLE) / 100.0 AS level,
         |  CAST(CAST(s[1] AS BIGINT) + CAST(s[2] AS BIGINT) AS DOUBLE) / 100.0 AS forecast
         |FROM st ORDER BY user_id""".stripMargin,
+
+    "q_page_hinkley" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, d, cnt, cnt AS v,
+        |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS i,
+        |             sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |      FROM ser),
+        |t AS (SELECT *, CASE WHEN CAST(v * i - s AS DOUBLE) / CAST(i AS DOUBLE) - 0.0 >= 0
+        |        THEN CAST(floor((CAST(v * i - s AS DOUBLE) / CAST(i AS DOUBLE) - 0.0) * 1000000.0 + 0.5) AS BIGINT)
+        |        ELSE CAST(-floor(-(CAST(v * i - s AS DOUBLE) / CAST(i AS DOUBLE) - 0.0) * 1000000.0 + 0.5) AS BIGINT)
+        |        END AS devfx FROM i),
+        |u AS (SELECT *, sum(devfx) OVER (PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uu FROM t),
+        |p AS (SELECT *, uu - least(0, min(uu) OVER (PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS phfx FROM u)
+        |SELECT event_type, d, cnt, CAST(phfx AS DOUBLE) / 1000000.0 AS ph,
+        |       phfx > 30000000 AS alarm
+        |FROM p ORDER BY event_type, d""".stripMargin,
 
     "q_cusum" ->
       """WITH f AS (SELECT user_id, event_id,

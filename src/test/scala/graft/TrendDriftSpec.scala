@@ -1417,6 +1417,35 @@ class TrendDriftSpec extends SparkSpec {
     assert(sh("u") == 1.0 && sh("v") == 0.0)
   }
 
+  test("pageHinkley: level shift alarms, stable series stays quiet, scalar-replica parity") {
+    import graft.ops.Outliers
+    // stable at 10 for 20 ticks then jumps to 30: PH must cross λ = 50
+    // after the jump and never before
+    val shift = (1 to 20).map(i => ("g", i.toLong, 10.0)) ++
+      (21 to 40).map(i => ("g", i.toLong, 30.0))
+    val out = Outliers.pageHinkley(shift.toDF("g", "t", "v"), Seq("g"), "t",
+        "v", delta = 0.0, lambda = 50.0, fxScale = 0)
+      .orderBy("t").collect()
+    val alarms = out.filter(_.getAs[Boolean]("alarm")).map(_.getLong(1))
+    assert(alarms.nonEmpty && alarms.min > 20L, s"got ${alarms.toSeq}")
+    // stable noisy series never alarms
+    val stable = (1 to 40).map(i => ("g", i.toLong, 10.0 + (i % 3)))
+    assert(!Outliers.pageHinkley(stable.toDF("g", "t", "v"), Seq("g"), "t",
+        "v", delta = 0.0, lambda = 50.0, fxScale = 0)
+      .collect().exists(_.getAs[Boolean]("alarm")))
+    // scalar replica of the exact fx recurrence on the shift fixture
+    var s = 0L; var u = 0L; var minU = 0L; var i = 0L
+    val expect = shift.map { case (_, _, v) =>
+      i += 1; val vf = v.toLong; s += vf
+      val dev = (vf * i - s).toDouble / i.toDouble - 0.0
+      u += (if (dev >= 0) math.floor(dev * 1e6 + 0.5)
+            else -math.floor(-dev * 1e6 + 0.5)).toLong
+      minU = math.min(minU, u)
+      (u - math.min(0L, minU)).toDouble / 1e6
+    }
+    assert(out.map(_.getAs[Double]("ph")).toSeq == expect)
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
