@@ -277,6 +277,33 @@ object StreamingAnomaly {
     }
   }
 
+  final case class PhFlag(key: String, seq: Long, ph_fx: Long, alarm: Boolean)
+  final case class PhState(i: Long, s: Long, u: Long, minU: Long)
+
+  /** Streaming twin of [[graft.ops.Outliers.pageHinkley]] on the
+    * ordered-fold base: FOUR longs of state (step count, value sum, the
+    * micro-fx deviation sum U and its running min) beyond the pending
+    * buffer; the per-event deviation replays the batch operator's exact
+    * tree ((fx·i − S)/i − δ, micro-quantized), so ph levels and alarms
+    * equal the batch operator under any cross-batch arrival disorder
+    * inside the allowed lateness.
+    */
+  class PageHinkleyProcessor(deltaFx: Long, lambdaFx6: Long)
+      extends OrderedFoldProcessor[PhState, PhFlag](Encoders.product[PhState]) {
+    override protected def zero: PhState = PhState(0L, 0L, 0L, 0L)
+    override protected def step(st: PhState, e: TimedEvent): (PhState, PhFlag) = {
+      val i = st.i + 1
+      val s = st.s + e.fx
+      val dev = (e.fx * i - s).toDouble / i.toDouble - deltaFx.toDouble
+      val devFx = (if (dev >= 0) math.floor(dev * 1e6 + 0.5)
+                   else -math.floor(-dev * 1e6 + 0.5)).toLong
+      val u = st.u + devFx
+      val minU = math.min(st.minU, u)
+      val ph = u - math.min(0L, minU)
+      (PhState(i, s, u, minU), PhFlag(e.key, e.seq, ph, ph > lambdaFx6))
+    }
+  }
+
   final case class EwmaPoint(key: String, seq: Long, ewma_fx: Long)
   final case class EwmaLevel(level: Long, seeded: Boolean)
 
@@ -449,6 +476,33 @@ object StreamingAnomaly {
       .groupByKey(_.key)
       .transformWithState(
         new CusumProcessor(fx(target) + fx(slack), fx(target) - fx(slack), fx(threshold)),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Watermark-buffered streaming Page–Hinkley; caller must already have
+    * applied `withWatermark(tsCol, …)`. Parameters mirror the batch
+    * operator; `ph_fx` is in value-fx·10⁻⁶ units (descale by
+    * 10⁶·10^fxScale).
+    */
+  def pageHinkleyStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                        tsCol: String, seqCol: String, valueCol: String,
+                        delta: Double, lambda: Double,
+                        fxScale: Int = 2): Dataset[PhFlag] = {
+    import spark.implicits._
+    require(lambda > 0 && delta >= 0, "bad parameters")
+    def fx(x: Double): Long =
+      (if (x >= 0) math.floor(x * math.pow(10, fxScale) + 0.5)
+       else -math.floor(-x * math.pow(10, fxScale) + 0.5)).toLong
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        graft.metrics.MetricColumns.fixedPointLong(col(valueCol).cast("double"), fxScale).as("fx"),
+        (col(tsCol).cast("timestamp").cast("double") * 1000.0).cast("long").as("tsMs"))
+      .where(col("fx").isNotNull)
+      .as[TimedEvent]
+      .groupByKey(_.key)
+      .transformWithState(
+        new PageHinkleyProcessor(fx(delta), fx(lambda) * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

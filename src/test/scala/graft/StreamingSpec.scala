@@ -761,6 +761,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Page-Hinkley: batch ph/alarm parity under shuffled cross-batch arrival") {
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000L)
+      // the batch spec's scenario: stable at 10 then a sustained +20 jump
+      val rows = (1 to 12).map(i => (1L, i.toLong, 10.0)) ++
+        (13 to 24).map(i => (1L, i.toLong, 30.0))
+      val batch = graft.ops.Outliers.pageHinkley(
+          rows.toDF("user_id", "seq", "v"), Seq("user_id"), "seq", "v",
+          delta = 0.0, lambda = 40.0, fxScale = 0)
+        .select(col("user_id").cast("string"), col("seq"), col("ph"),
+          col("alarm"))
+        .as[(String, Long, Double, Boolean)].collect().toSet
+
+      val stream = MemoryStream[(Long, Timestamp, Long, Double)]
+      val df = stream.toDF().toDF("user_id", "ts", "seq", "v")
+        .withWatermark("ts", "60 seconds")
+      val q = StreamingAnomaly.pageHinkleyStream(spark, df, "user_id", "ts",
+          "seq", "v", delta = 0.0, lambda = 40.0, fxScale = 0)
+        .writeStream.format("memory").queryName("ph_ord")
+        .outputMode("append").start()
+
+      val timed = rows.map { case (u, s, v) => (u, ts(s), s, v) }
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(11)).shuffle(timed)
+      stream.addData(shuffled.take(8)); q.processAllAvailable()
+      stream.addData(shuffled.slice(8, 16)); q.processAllAvailable()
+      stream.addData(shuffled.drop(16)); q.processAllAvailable()
+      stream.addData((2L, ts(10000), 1L, 10.0)); q.processAllAvailable()
+      stream.addData((2L, ts(20000), 2L, 10.0)); q.processAllAvailable()
+
+      val streamed = spark.table("ph_ord")
+        .where(col("key") === "1")
+        .select(col("key"), col("seq"),
+          (col("ph_fx").cast("double") / lit(1e6 * 1.0)).as("ph"), col("alarm"))
+        .as[(String, Long, Double, Boolean)].collect().toSet
+      q.stop()
+      assert(streamed == batch,
+        s"shuffled streamed PH must equal batch\n$streamed\nvs\n$batch")
+      // alarms exist and only after the jump
+      val alarms = streamed.filter(_._4).map(_._2)
+      assert(alarms.nonEmpty && alarms.min > 12L)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming CUSUM: batch level/alarm parity under shuffled cross-batch arrival") {
     import spark.implicits._
     import graft.streaming.StreamingAnomaly
