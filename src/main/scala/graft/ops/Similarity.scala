@@ -64,6 +64,62 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Matryoshka truncation-recall eval (Kusupati et al. NeurIPS'22): how
+    * much nearest-neighbor quality survives truncating the embedding to
+    * its first d dimensions — THE sizing decision for MRL-trained
+    * embeddings (serve 64 of 768 dims at 12× less memory... at what
+    * recall?). For each truncation d, per-query recall@k of the
+    * truncated-cosine top-k against the FULL-dim top-k, averaged over a
+    * bounded query sample.
+    *
+    * Shape: ONE corpus×queries scored pass (queries broadcast, the
+    * sentinel d = full rides the same exploded frame), per-(query, d)
+    * bounded windows, one skinny hit join; the mean is a pico-fx
+    * ORDER-FREE sum. Ranks tie-break on smaller id; raw cosines never
+    * leave the plan.
+    *
+    * @param dims truncation prefixes to evaluate (each < the full dim)
+    * @return per dim: (dim, n_queries, mean_recall).
+    */
+  def truncationEval(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(k >= 1 && dims.nonEmpty && dims.forall(_ >= 1),
+      "need k >= 1 and positive truncation dims")
+    val D = DecimalType(38, 0)
+    val c = corpus.select(col(idCol).as("nid"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("qv"))
+    // -1 = the full-dim reference ranking, riding the same scored pass
+    val dArr = array((lit(-1) +: dims.map(lit)): _*)
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), explode(dArr).as("d"),
+        col("cv"), col("qv"))
+      .withColumn("cos", when(col("d") === -1, cosine(col("cv"), col("qv")))
+        .otherwise(cosine(slice(col("cv"), lit(1), col("d")),
+          slice(col("qv"), lit(1), col("d")))))
+    val w = Window.partitionBy("qid", "d")
+      .orderBy(col("cos").desc, col("nid").asc)
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k).select("qid", "d", "nid")
+      .localCheckpoint(true) // serves the full slice AND the hit join
+    val full = topk.where(col("d") === -1).select(col("qid"), col("nid"))
+    val fullCnt = full.groupBy("qid").agg(count(lit(1)).as("nf"))
+    val hits = topk.where(col("d") =!= -1)
+      .join(full.withColumn("__hit", lit(1L)), Seq("qid", "nid"), "left")
+      .groupBy("qid", "d")
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+      .join(fullCnt, "qid")
+      .withColumn("__rfx", floor(col("hits").cast(DoubleType) /
+        col("nf").cast(DoubleType) * lit(1e12) + lit(0.5)).cast(D))
+    hits.groupBy(col("d").as("dim"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("__rfx")).as("__s"))
+      .select(col("dim").cast(LongType).as("dim"), col("n_queries"),
+        (col("__s").cast(DoubleType) / lit(1e12) /
+          col("n_queries").cast(DoubleType)).as("mean_recall"))
+      .orderBy("dim")
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (the `ncells`
     * smallest-id corpus vectors act as cell seeds), corpus vectors assigned
     * to their nearest seed, queries probe their `nprobe` nearest cells.

@@ -85,6 +85,15 @@ private[queries] object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    "q_matryoshka" -> { (s, dir) =>
+      // MRL sizing curve: recall@5 of 4/8/16/32-dim truncated cosine
+      // against the full 64-dim top-5, over a 1-in-20 query sample —
+      // one scored pass, bounded windows, pico-fx order-free means
+      val emb = t(s, dir, "embeddings")
+      Similarity.truncationEval(emb, emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5, dims = Seq(4, 8, 16, 32))
+    },
+
     "q_silhouette" -> ((s, dir) =>
       // exact per-point silhouette on int8-quantized vectors: integer
       // distances -> every value incl. the ratio is bit-oracled
@@ -277,6 +286,28 @@ private[queries] object SimilarityQueries {
       s"($acc + CAST(v[$i] AS DOUBLE)*CAST(v[$i] AS DOUBLE))" }
 
   val oracleSql: Map[String, String] = Map(
+    "q_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
+        |dd AS (SELECT unnest([-1, 4, 8, 16, 32]) AS d),
+        |s AS (SELECT q.qid, e.vec_id AS nid, dd.d,
+        |        CASE WHEN dd.d = -1 THEN list_cosine_similarity(e.embedding, q.qv)
+        |             ELSE list_cosine_similarity(e.embedding[1:dd.d], q.qv[1:dd.d]) END AS cos
+        |      FROM embeddings e, q, dd WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, nid, d,
+        |             row_number() OVER (PARTITION BY qid, d ORDER BY cos DESC, nid ASC) AS rank FROM s),
+        |tk AS (SELECT qid, d, nid FROM r WHERE rank <= 5),
+        |fl AS (SELECT qid, nid FROM tk WHERE d = -1),
+        |fc AS (SELECT qid, CAST(count(*) AS BIGINT) AS nf FROM fl GROUP BY 1),
+        |h AS (SELECT tk.qid, tk.d, CAST(count(fl.nid) AS BIGINT) AS hits
+        |      FROM tk LEFT JOIN fl ON tk.qid = fl.qid AND tk.nid = fl.nid
+        |      WHERE tk.d <> -1 GROUP BY 1, 2),
+        |rec AS (SELECT h.qid, h.d,
+        |               CAST(floor(CAST(h.hits AS DOUBLE) / CAST(fc.nf AS DOUBLE)
+        |                 * 1000000000000.0 + 0.5) AS HUGEINT) AS rfx
+        |        FROM h JOIN fc USING (qid))
+        |SELECT CAST(d AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(rfx) AS DOUBLE) / 1000000000000.0 / CAST(count(*) AS DOUBLE) AS mean_recall
+        |FROM rec GROUP BY d ORDER BY dim""".stripMargin,
     "q_embed_audit" ->
       s"""WITH e0 AS (SELECT vec_id, [CAST(x AS FLOAT) for x in embedding] AS v0 FROM embeddings),
          |s AS (SELECT vec_id,

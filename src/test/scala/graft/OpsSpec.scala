@@ -4827,6 +4827,40 @@ class DictMatchSpec extends SparkSpec {
   }
 }
 
+class TruncationEvalSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ops.Similarity
+
+  test("truncationEval: head-loaded vectors keep recall 1, tail-loaded lose it") {
+    // vectors whose identity lives in the FIRST 2 dims with a ZERO tail:
+    // the tail contributes nothing to dot products or norms, so any
+    // prefix >= 2 ranks IDENTICALLY to full — recall exactly 1
+    val rnd = new scala.util.Random(13)
+    val head = (0L until 30L).map { i =>
+      val a = rnd.nextDouble(); val b = rnd.nextDouble()
+      (i, Seq(a.toFloat, b.toFloat, 0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val hr = Similarity.truncationEval(head, head.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, dims = Seq(4))
+      .collect()(0)
+    assert(hr.getAs[Long]("dim") == 4L && hr.getAs[Long]("n_queries") == 5L)
+    assert(hr.getAs[Double]("mean_recall") == 1.0,
+      s"head-loaded recall ${hr.getAs[Double]("mean_recall")}")
+    // identity in the LAST dims: a 2-dim prefix sees only the shared
+    // constant head → near-random recall
+    val tail = (0L until 30L).map { i =>
+      val a = rnd.nextDouble(); val b = rnd.nextDouble()
+      (i, Seq(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, a.toFloat, b.toFloat))
+    }.toDF("vec_id", "embedding")
+    val tr = Similarity.truncationEval(tail, tail.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, dims = Seq(2))
+      .collect()(0)
+    assert(tr.getAs[Double]("mean_recall") < 0.8,
+      s"tail-loaded recall ${tr.getAs[Double]("mean_recall")}")
+  }
+}
+
 class PiiSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
