@@ -486,6 +486,53 @@ object Correlation {
             (nn - col("rc")).cast(DoubleType)).as("kappa"))
   }
 
+  /** WEIGHTED Cohen's kappa for ORDINAL labels — [[cohensKappa]] scores a
+    * 1-vs-2 disagreement the same as 1-vs-5; with integer ordinal levels
+    * the weighted form charges each cell w_ij = |i−j| (linear) or (i−j)²
+    * (quadratic, the psychometrics default that matches an ICC):
+    * κ_w = 1 − n·Σw·o / Σw·r·c. The agreement gate for RATING-scale
+    * labels (quality 1-5, priority tiers).
+    *
+    * Exactness: with integer levels the weights are exact integers, so
+    * BOTH operands are exact DECIMAL(38,0) sums — observed Σw·o over the
+    * cell frame, expected Σw·r·c over the level-bounded marginal cross
+    * join — and κ_w is ONE fixed double tree. Same one-cell-shuffle shape
+    * as the unweighted operator.
+    *
+    * @return one row: (n, w_obs, w_exp, kappa_w) — kappa_w null when the
+    *         expected weighted disagreement is 0 (all mass on one level
+    *         pair).
+    */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+                    quadratic: Boolean = true): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast(LongType).as("__a"),
+        col(bCol).cast(LongType).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
+    def w(i: Column, j: Column): Column = {
+      val d = abs(i - j).cast(dec)
+      if (quadratic) d * d else d
+    }
+    val n = cells.agg(coalesce(sum(col("__o")), lit(0L)).cast(dec).as("n"))
+    val obs = cells.agg(coalesce(sum(w(col("__a"), col("__b")) *
+      col("__o").cast(dec)), lit(0L).cast(dec)).as("w_obs"))
+    val rows = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+    val colsM = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+    val exp = rows.crossJoin(colsM)
+      .agg(coalesce(sum(w(col("__a"), col("__b")) *
+        (col("__r").cast(dec) * col("__c").cast(dec))), lit(0L).cast(dec))
+        .as("w_exp"))
+    n.crossJoin(obs).crossJoin(exp)
+      .select(col("n").cast(LongType).as("n"),
+        col("w_obs").cast(DoubleType).as("w_obs"),
+        col("w_exp").cast(DoubleType).as("w_exp"),
+        when(col("w_exp") > lit(0L).cast(dec),
+          lit(1.0) - (col("n") * col("w_obs")).cast(DoubleType) /
+            col("w_exp").cast(DoubleType)).as("kappa_w"))
+  }
+
   /** Marginal entropies and mutual information for categorical pairs — the
     * information-theoretic sibling of [[cramersV]] ("how many bits does
     * knowing the source tell you about the language?"). Per pair:

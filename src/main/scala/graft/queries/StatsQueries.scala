@@ -763,6 +763,21 @@ private[queries] object StatsQueries {
         "a", "b")
     },
 
+    "q_kappa_weighted" -> { (s, dir) =>
+      // ordinal agreement: priority tier (1-5) vs a sloppy second rater
+      // that bumps every ≡0-mod-9 order one tier up — quadratic weights
+      // charge a 2-tier miss 4× a 1-tier miss; both operands exact
+      // integer sums, κ_w one fixed tree
+      val o = t(s, dir, "orders").select(
+        substring(col("o_orderpriority"), 1, 1).cast(LongType).as("a"),
+        col("o_orderkey").as("k"))
+      Correlation.weightedKappa(
+        o.select(col("a"),
+          when(col("k") % 9 === 0, least(col("a") + 1L, lit(5L)))
+            .otherwise(col("a")).as("b")),
+        "a", "b", quadratic = true)
+    },
+
     "q_ks" -> { (s, dir) =>
       // exact two-sample KS between returnflag populations, over fixed-point
       // cents (decimal→double conversion differs in the low bit between
@@ -2589,6 +2604,25 @@ private[queries] object StatsQueries {
         |  CAST(CAST(s[1] AS BIGINT) AS DOUBLE) / 100.0 AS level,
         |  CAST(CAST(s[1] AS BIGINT) + CAST(s[2] AS BIGINT) AS DOUBLE) / 100.0 AS forecast
         |FROM st ORDER BY user_id""".stripMargin,
+
+    "q_kappa_weighted" ->
+      """WITH f AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS a, o_orderkey AS k
+        |           FROM orders),
+        |p AS (SELECT a, CASE WHEN k % 9 = 0 THEN least(a + 1, 5) ELSE a END AS b FROM f),
+        |cells AS (SELECT a, b, count(*) AS o FROM p GROUP BY 1, 2),
+        |n AS (SELECT CAST(coalesce(sum(o), 0) AS HUGEINT) AS n FROM cells),
+        |obs AS (SELECT CAST(coalesce(sum(CAST(abs(a - b) AS HUGEINT) * abs(a - b) * o), 0) AS HUGEINT) AS w_obs FROM cells),
+        |r AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+        |c AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+        |e AS (SELECT CAST(coalesce(sum(CAST(abs(r.a - c.b) AS HUGEINT) * abs(r.a - c.b)
+        |             * (CAST(r.r AS HUGEINT) * c.c)), 0) AS HUGEINT) AS w_exp
+        |      FROM r, c)
+        |SELECT CAST(n.n AS BIGINT) AS n,
+        |       CAST(obs.w_obs AS DOUBLE) AS w_obs,
+        |       CAST(e.w_exp AS DOUBLE) AS w_exp,
+        |       CASE WHEN e.w_exp > 0
+        |            THEN 1.0 - CAST(n.n * obs.w_obs AS DOUBLE) / CAST(e.w_exp AS DOUBLE) END AS kappa_w
+        |FROM n, obs, e""".stripMargin,
 
     "q_page_hinkley" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

@@ -1446,6 +1446,31 @@ class TrendDriftSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("ph")).toSeq == expect)
   }
 
+  test("weightedKappa: perfect 1, hand quadratic fixture, charges far misses more") {
+    import graft.ops.Correlation
+    // perfect agreement → κ_w = 1 regardless of weights
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("a", "b")
+    assert(Correlation.weightedKappa(perfect, "a", "b")
+      .collect()(0).getAs[Double]("kappa_w") == 1.0)
+    // hand fixture: pairs (1,1),(1,2),(2,2),(3,3) quadratic
+    // w_obs = 1 (the single 1-off miss); marginals r=(2,1,1), c=(1,2,1)
+    // w_exp = Σ(i−j)²·rᵢ·cⱼ = 12 (i=1) + 2 (i=2) + 6 (i=3) = 20
+    val f = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 3L)).toDF("a", "b")
+    val r = Correlation.weightedKappa(f, "a", "b").collect()(0)
+    assert(r.getAs[Double]("w_obs") == 1.0 && r.getAs[Double]("w_exp") == 20.0)
+    assert(r.getAs[Double]("kappa_w") == 1.0 - 4.0 * 1.0 / 20.0)
+    // a 2-tier miss must cost more than a 1-tier miss (quadratic: 4×)
+    val near = Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("a", "b")
+    val far = Seq((1L, 3L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("a", "b")
+    val kn = Correlation.weightedKappa(near, "a", "b").collect()(0).getAs[Double]("kappa_w")
+    val kf = Correlation.weightedKappa(far, "a", "b").collect()(0).getAs[Double]("kappa_w")
+    assert(kf < kn, s"far-miss kappa $kf should be below near-miss $kn")
+    // linear weights agree with quadratic on 1-off misses only
+    val lin = Correlation.weightedKappa(f, "a", "b", quadratic = false)
+      .collect()(0)
+    assert(lin.getAs[Double]("w_obs") == 1.0)
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
