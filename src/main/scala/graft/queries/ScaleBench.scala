@@ -61,7 +61,12 @@ object ScaleBench {
     // offsets) and the ε-similarity structural clustering — the families
     // whose 30× behavior the 10× point alone can't certify
     "q_ad", "q_cvm", "q_energy", "q_ks", "q_mwu", "q_wasserstein",
-    "q_struct_clusters")
+    "q_struct_clusters",
+    // round-14 additions: the data-dominated members of the new batch
+    // (contamination's train-distinct reduction, PII's regex scan,
+    // Bradley-Terry's self-join rollup, wilcoxon/gini's prefix machinery)
+    "q_contam_frac", "q_pii", "q_bradley_terry", "q_wilcoxon", "q_gini",
+    "q_benford", "q_ndcg")
 
   /** Generate the scaled corpus: every table the slope queries read,
     * replicated with workload-preserving transforms and written as
