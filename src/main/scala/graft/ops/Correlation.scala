@@ -486,6 +486,40 @@ object Correlation {
             (nn - col("rc")).cast(DoubleType)).as("kappa"))
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984) — the
+    * periodicity-immune member next to [[mannKendall]]: a weekly cycle
+    * makes plain MK compare Mondays to Sundays and read the cycle as
+    * "trend noise"; the seasonal form runs MK WITHIN each phase
+    * (t mod period) and sums the S statistics and variances, so only
+    * like-vs-like comparisons enter — the standard form for daily/
+    * monthly operational series.
+    *
+    * Exactness: pure composition over [[mannKendall]]'s exact integers
+    * (per-phase S, tie terms and var18 are longs; the z continuity tree
+    * is the same fixed form). Pair work is Σ_phases n_m² instead of n² —
+    * the seasonal split also CUTS the quadratic pair cost by ~period×.
+    *
+    * @return per group: (groupCols*, n, seasons, s_stat, var18, z).
+    */
+  def seasonalMannKendall(df: DataFrame, groupCols: Seq[String], tCol: String,
+                          vCol: String, period: Int): DataFrame = {
+    require(period >= 2, "need period >= 2")
+    val withPhase = df.withColumn("__phase",
+      pmod(col(tCol).cast(LongType), lit(period.toLong)))
+    val per = mannKendall(withPhase, groupCols :+ "__phase", tCol, vCol)
+    val agg = per.groupBy(groupCols.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      count(lit(1)).as("seasons"),
+      sum(coalesce(col("s_stat"), lit(0L))).as("s_stat"),
+      sum(col("var18")).as("var18"))
+    val sd = col("s_stat").cast(DoubleType)
+    val sig = sqrt(col("var18").cast(DoubleType) / lit(18.0))
+    agg.withColumn("z",
+      when(col("var18") > 0L && col("s_stat") > 0L, (sd - 1.0) / sig)
+        .when(col("var18") > 0L && col("s_stat") < 0L, (sd + 1.0) / sig)
+        .when(col("var18") > 0L && col("s_stat") === 0L, lit(0.0)))
+  }
+
   /** WEIGHTED Cohen's kappa for ORDINAL labels — [[cohensKappa]] scores a
     * 1-vs-2 disagreement the same as 1-vs-5; with integer ordinal levels
     * the weighted form charges each cell w_ij = |i−j| (linear) or (i−j)²

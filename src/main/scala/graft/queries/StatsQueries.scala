@@ -763,6 +763,17 @@ private[queries] object StatsQueries {
         "a", "b")
     },
 
+    "q_smk" -> { (s, dir) =>
+      // weekly-cycle-immune trend: MK within each weekday phase, S and
+      // variances summed — a day-of-week cycle can't masquerade as trend;
+      // the phase split also cuts the quadratic pair cost ~7x
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      Correlation.seasonalMannKendall(daily, Seq("event_type"), "d", "cnt",
+        period = 7).orderBy("event_type")
+    },
+
     "q_kappa_weighted" -> { (s, dir) =>
       // ordinal agreement: priority tier (1-5) vs a sloppy second rater
       // that bumps every ≡0-mod-9 order one tier up — quadratic weights
@@ -2604,6 +2615,40 @@ private[queries] object StatsQueries {
         |  CAST(CAST(s[1] AS BIGINT) AS DOUBLE) / 100.0 AS level,
         |  CAST(CAST(s[1] AS BIGINT) + CAST(s[2] AS BIGINT) AS DOUBLE) / 100.0 AS forecast
         |FROM st ORDER BY user_id""".stripMargin,
+
+    "q_smk" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS v
+        |             FROM events GROUP BY 1, 2),
+        |ph AS (SELECT event_type, d % 7 AS phase, d, v FROM ser),
+        |n AS (SELECT event_type, phase, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1, 2),
+        |tt AS (SELECT event_type, phase,
+        |              CAST(sum(CASE WHEN c > 1 THEN c * (c - 1) * (c * 2 + 5) ELSE 0 END) AS BIGINT) AS tie_term
+        |       FROM (SELECT event_type, phase, v, count(*) AS c FROM ph GROUP BY 1, 2, 3)
+        |       GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.phase,
+        |             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+        |      FROM ph a JOIN ph b ON a.event_type = b.event_type
+        |        AND a.phase = b.phase AND a.d < b.d),
+        |sg AS (SELECT event_type, phase, CAST(sum(sgn) AS BIGINT) AS s_stat
+        |       FROM p GROUP BY 1, 2),
+        |per AS (SELECT n.event_type, n.phase, n.n,
+        |               coalesce(sg.s_stat, 0) AS s_stat,
+        |               n.n * (n.n - 1) * (n.n * 2 + 5) - tt.tie_term AS var18
+        |        FROM n JOIN tt USING (event_type, phase)
+        |        LEFT JOIN sg USING (event_type, phase)),
+        |a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS seasons,
+        |             CAST(sum(s_stat) AS BIGINT) AS s_stat,
+        |             CAST(sum(var18) AS BIGINT) AS var18
+        |      FROM per GROUP BY 1)
+        |SELECT event_type, n, seasons, s_stat, var18,
+        |       CASE WHEN var18 > 0 AND s_stat > 0
+        |              THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |            WHEN var18 > 0 AND s_stat < 0
+        |              THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |            WHEN var18 > 0 AND s_stat = 0 THEN 0.0 END AS z
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q_kappa_weighted" ->
       """WITH f AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS a, o_orderkey AS k

@@ -1471,6 +1471,33 @@ class TrendDriftSpec extends SparkSpec {
     assert(lin.getAs[Double]("w_obs") == 1.0)
   }
 
+  test("seasonalMannKendall: cycle-immune where plain MK is fooled; monotone trend detected") {
+    import graft.ops.Correlation
+    // pure weekly sawtooth, NO trend: day-of-week level d%7*10; plain MK
+    // compares across phases and sees structure; seasonal MK (within-phase
+    // comparisons only, each phase constant) reads S = 0 exactly
+    val saw = (0L until 56L).map(d => ("g", d, (d % 7) * 10.0 + 100.0))
+      .toDF("g", "t", "v")
+    val rs = Correlation.seasonalMannKendall(saw, Seq("g"), "t", "v", 7)
+      .collect()(0)
+    assert(rs.getAs[Long]("s_stat") == 0L && rs.getAs[Long]("seasons") == 7L)
+    assert(rs.getAs[Double]("z") == 0.0)
+    // sawtooth + genuine upward drift: every within-phase pair is
+    // increasing → S = Σ_m n_m(n_m−1)/2 = 7·(8·7/2) = 196, z large
+    val trend = (0L until 56L).map(d => ("g", d, (d % 7) * 10.0 + d.toDouble))
+      .toDF("g", "t", "v")
+    val rt = Correlation.seasonalMannKendall(trend, Seq("g"), "t", "v", 7)
+      .collect()(0)
+    assert(rt.getAs[Long]("s_stat") == 196L)
+    assert(rt.getAs[Double]("z") > 4.0)
+    // composition identity: per-phase var18 sums to the reported total
+    val perPhase = Correlation.mannKendall(
+      trend.withColumn("__phase", pmod(col("t"), lit(7L))),
+      Seq("g", "__phase"), "t", "v")
+      .agg(sum("var18")).collect()(0).getLong(0)
+    assert(rt.getAs[Long]("var18") == perPhase)
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
