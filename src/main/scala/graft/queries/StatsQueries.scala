@@ -932,6 +932,18 @@ private[queries] object StatsQueries {
         .orderBy("lang")
     },
 
+    "q_cvm_group" -> { (s, dir) =>
+      // per-language WHOLE-CDF drift of doc length between sources — the
+      // uniform-weight drill-down completing the by-group battery
+      // (q_ks_group: largest gap, q_wasserstein_group: magnitude,
+      // q_ad_group: tails)
+      val docs = t(s, dir, "documents")
+      graft.scan.Drift.cramerVonMisesByGroup(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") === "src1"), "n_chars", "lang")
+        .orderBy("lang")
+    },
+
     "q_mantel_haenszel" -> { (s, dir) =>
       // stratified association: are BIG orders more often fulfilled once
       // PRIORITY is held fixed — the Simpson's-paradox-proof common odds
@@ -2379,6 +2391,36 @@ private[queries] object StatsQueries {
         |SELECT n1 AS n_ref, n2 AS n_cur, sabd AS sum_cross, saad AS sum_ref, sbbd AS sum_cur,
         |       e, n1d * n2d / (n1d + n2d) * e AS t_stat
         |FROM e""".stripMargin,
+
+    "q_cvm_group" ->
+      """WITH r AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1 AS s FROM documents
+        |             WHERE source = 'src0' AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |           UNION ALL
+        |           SELECT lang, CAST(n_chars AS DOUBLE), 2 FROM documents
+        |             WHERE source = 'src1' AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT g, v, CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM r GROUP BY 1, 2),
+        |k AS (SELECT g, c1, c2, c1 + c2 AS c,
+        |             sum(c1 + c2) OVER (PARTITION BY g ORDER BY v) AS k,
+        |             sum(c1) OVER (PARTITION BY g ORDER BY v) AS k1,
+        |             sum(c2) OVER (PARTITION BY g ORDER BY v) AS k2,
+        |             sum(c1) OVER (PARTITION BY g) AS n1,
+        |             sum(c2) OVER (PARTITION BY g) AS n2 FROM c),
+        |d AS (SELECT g, c1, c2, n1, n2,
+        |             ((k - c) * 2 + c + 1) - ((k1 - c1) * 2 + c1 + 1) AS d1,
+        |             ((k - c) * 2 + c + 1) - ((k2 - c2) * 2 + c2 + 1) AS d2
+        |      FROM k WHERE n1 > 0 AND n2 > 0),
+        |a AS (SELECT g, CAST(max(n1) AS BIGINT) AS n_ref, CAST(max(n2) AS BIGINT) AS n_cur,
+        |        sum(CASE WHEN c1 > 0 THEN CAST(c1 AS HUGEINT) * CAST(d1 AS HUGEINT) * CAST(d1 AS HUGEINT) ELSE 0 END) AS a1,
+        |        sum(CASE WHEN c2 > 0 THEN CAST(c2 AS HUGEINT) * CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT) ELSE 0 END) AS a2
+        |      FROM d GROUP BY g),
+        |f AS (SELECT g, n_ref, n_cur,
+        |             CAST(n_ref AS HUGEINT) * a1 + CAST(n_cur AS HUGEINT) * a2 AS u4 FROM a)
+        |SELECT g AS lang, n_ref, n_cur, CAST(u4 AS DOUBLE) AS u4,
+        |       CAST(u4 AS DOUBLE) / 4.0 / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * CAST(n_ref + n_cur AS DOUBLE))
+        |       - (4.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) - 1.0) / (6.0 * CAST(n_ref + n_cur AS DOUBLE)) AS t
+        |FROM f ORDER BY lang""".stripMargin,
 
     "q_cvm" ->
       """WITH u AS (

@@ -864,6 +864,56 @@ object Drift {
       col("__sfx").cast(DoubleType).as("sum_fx"), a2.as("a2"))
   }
 
+  /** Per-GROUP Cramér–von Mises — [[cramerVonMises]] computed
+    * independently per `groupCol` value: WHICH segment's whole CDF moved
+    * (the uniform-weight drill-down completing the by-group battery next
+    * to [[ksStatisticByGroup]]'s largest gap, [[wasserstein1ByGroup]]'s
+    * magnitude and [[andersonDarlingByGroup]]'s tails). Group-bounded
+    * windows replace the two-phase machinery; the same DECIMAL doubled-
+    * rank term tree as the ungrouped operator, so a group's t equals the
+    * ungrouped statistic on that group's slice bit-for-bit. Groups
+    * present on only one side are excluded.
+    */
+  def cramerVonMisesByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+                            groupCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    def side(df: DataFrame, flag: Int) =
+      df.select(col(groupCol).as("g"), col(valueCol).cast(DoubleType).as("v"))
+        .where(col("v").isNotNull && col("g").isNotNull)
+        .withColumn("s", lit(flag))
+    val counts = side(ref, 1).unionByName(side(cur, 2))
+      .groupBy("g", "v").agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("c2"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val c = col("c1") + col("c2")
+    def drOf(k: Column, cc: Column) = (k - cc) * 2L + cc + 1L
+    val d1 = (drOf(col("k"), c) - drOf(col("k1"), col("c1"))).cast(D)
+    val d2 = (drOf(col("k"), c) - drOf(col("k2"), col("c2"))).cast(D)
+    val zero = lit(0L).cast(D)
+    val agg = counts
+      .withColumn("k", sum(c).over(wRun))
+      .withColumn("k1", sum(col("c1")).over(wRun))
+      .withColumn("k2", sum(col("c2")).over(wRun))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .where(col("n1") > 0L && col("n2") > 0L)
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+        sum(when(col("c1") > 0L, col("c1").cast(D) * d1 * d1).otherwise(zero)).as("a1"),
+        sum(when(col("c2") > 0L, col("c2").cast(D) * d2 * d2).otherwise(zero)).as("a2"))
+    val u4 = (col("n_ref").cast(D) * col("a1") + col("n_cur").cast(D) * col("a2"))
+    val n1d = col("n_ref").cast(DoubleType)
+    val n2d = col("n_cur").cast(DoubleType)
+    val nD = (col("n_ref") + col("n_cur")).cast(DoubleType)
+    val t = u4.cast(DoubleType) / lit(4.0) / (n1d * n2d * nD) -
+      (lit(4.0) * n1d * n2d - lit(1.0)) / (lit(6.0) * nD)
+    agg.select(col(groupCol), col("n_ref"), col("n_cur"),
+      u4.cast(DoubleType).as("u4"), t.as("t"))
+  }
+
   /** Mantel–Haenszel stratified 2×2 association — "is the exposure→
     * outcome association REAL once the stratifying confounder is held
     * fixed" (Simpson's-paradox insurance the pooled χ² famously lacks):

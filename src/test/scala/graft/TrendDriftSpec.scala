@@ -1498,6 +1498,29 @@ class TrendDriftSpec extends SparkSpec {
     assert(rt.getAs[Long]("var18") == perPhase)
   }
 
+  test("cramerVonMisesByGroup: single-group slice equals the ungrouped statistic bit-for-bit") {
+    val rnd = new scala.util.Random(37)
+    val ref = Seq.fill(110)(("g1", rnd.nextInt(30).toLong)) ++
+      Seq.fill(90)(("g2", rnd.nextInt(18).toLong))
+    val cur = Seq.fill(95)(("g1", rnd.nextInt(30).toLong + 4)) ++
+      Seq.fill(85)(("g2", rnd.nextInt(18).toLong + 2))
+    val grouped = Drift.cramerVonMisesByGroup(
+      ref.toDF("g", "v"), cur.toDF("g", "v"), "v", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("u4"), r.getAs[Double]("t")))).toMap
+    for (g <- Seq("g1", "g2")) {
+      val u = Drift.cramerVonMises(
+        ref.filter(_._1 == g).map(_._2).toDF("v"),
+        cur.filter(_._1 == g).map(_._2).toDF("v"), "v").collect()(0)
+      assert(grouped(g) == ((u.getAs[Double]("u4"), u.getAs[Double]("t"))),
+        s"group $g mismatch")
+    }
+    // one-sided group excluded
+    val oneSided = Drift.cramerVonMisesByGroup(
+      (ref ++ Seq(("only", 1L))).toDF("g", "v"), cur.toDF("g", "v"), "v", "g")
+    assert(!oneSided.collect().map(_.getString(0)).contains("only"))
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
