@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Round-14 BASELINE maintenance: merge newly-timed DuckDB oracle queries
+(from a baseline.py JSON on a SUBSET of gates) into BASELINE.json, then
+regenerate BASELINE.md's per-query paired table from BENCH_PARSED.json x
+BASELINE.json so every green gate keeps a paired row (the round-14 judge
+item #2 discipline).
+Usage: extend_baseline.py [new_duck.json] [new_bench.json]"""
+import json
+import re
+import sys
+from pathlib import Path
+
+
+def main(new_duck=None, new_bench=None):
+    base = json.loads(Path("BASELINE.json").read_text())
+    if new_duck:
+        nd = json.loads(Path(new_duck).read_text())
+        base["queries"].update(nd["queries"])
+        Path("BASELINE.json").write_text(json.dumps(base, indent=1))
+    bench = json.loads(Path(new_bench or "BENCH_PARSED.json").read_text())
+    spark = bench["queries"]
+    duck = base["queries"]
+    md = Path("BASELINE.md").read_text()
+    notes = {}
+    for line in md.split("\n"):
+        m = re.match(r"\| (q[\w]*) \| [^|]+ \| [^|]+ \| [^|]+ \|([^|]*)\|\s*$", line)
+        if m:
+            notes[m.group(1)] = m.group(2).strip()
+    rows, missing = [], []
+    for name in sorted(spark):
+        s = spark[name]
+        d = duck.get(name)
+        if d is None:
+            missing.append(name)
+            continue
+        if "rows" in d:
+            rows.append((name, s, d["sec"], d["sec"] / s if s > 0 else float("nan"),
+                         notes.get(name, "")))
+        else:
+            rows.append((name, s, None, None,
+                         notes.get(name) or "DuckDB 180 s TIMEOUT"))
+    out = ["| query | spark s (median of 3) | duckdb s | duck/spark | note |",
+           "|---|---|---|---|---|"]
+    for name, s, d, r, n in rows:
+        ds = f"{d:.3f}" if d is not None else "TIMEOUT"
+        rs = f"{r:.2f}" if r is not None else "—"
+        out.append(f"| {name} | {s:.2f} | {ds} | {rs} | {n} |")
+    table = "\n".join(out)
+    # replace everything after the paired-table header
+    marker = "## Per-query paired table"
+    head = md.split(marker)[0]
+    comp = [(s, d) for _, s, d, _, _ in rows if d is not None]
+    ratio = sum(s for s, _ in comp) / sum(d for _, d in comp)
+    Path("BASELINE.md").write_text(
+        head + marker + " (round-14 regeneration — every oracled gate)\n\n" +
+        table + "\n")
+    print(f"paired rows: {len(rows)}; rows-only (no oracle): {missing}")
+    print(f"comparable: {len(comp)} spark {sum(s for s, _ in comp):.1f} "
+          f"duck {sum(d for _, d in comp):.1f} ratio {ratio:.2f}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
