@@ -4,67 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Concentration / inequality diagnostics over non-negative magnitudes —
-  * the corpus-health questions a mixing pipeline asks before trusting a
-  * source blend: "how concentrated is the token mass across sources?",
-  * "do a handful of customers carry the revenue?", "did the long tail
-  * collapse after filtering?".
+/** Inequality DECOMPOSITION diagnostics over positive magnitudes — the
+  * corpus-health question [[Binning.giniCoefficient]] can't answer: Gini
+  * says HOW concentrated; Theil T decomposes EXACTLY into between-group
+  * and within-group components, so a mixing pipeline can tell whether
+  * the concentration lives across sources or inside them.
   *
-  * Scale shape: everything reduces to ONE distinct-value rollup (value
-  * shuffle with map-side combine) + the two-phase prefix scan for the
-  * rank-weighted Gini sum — the [[graft.scan.Drift.mannWhitneyU]]
-  * discipline; Theil needs no order at all (grouped aggregates over the
-  * rollup with fx-quantized log terms). Nothing single-partition, nothing
-  * driver-sized beyond per-partition offsets.
+  * Scale shape: one (group, value) rollup + group-bounded joins — no
+  * order, no window; fx-quantized log terms sum order-free.
   */
 object Inequality {
-
-  /** EXACT Gini coefficient of a non-negative integer column:
-    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the ascending sort —
-    * 0 = perfectly equal, →1 = one row carries everything.
-    *
-    * Exactness: over the distinct-value rollup (v, c) with inclusive
-    * cumulative count k, the tied block's rank sum is c·(2k − c + 1)/2,
-    * carried DOUBLED so S₂ = 2·Σ i·x₍ᵢ₎ = Σ v·c·(2k − c + 1) is an exact
-    * DECIMAL(38,0); G = (S₂ − (n+1)·X... one fixed double tree over the
-    * exact integers (X = Σ v·c). Negative and null values are excluded
-    * (Gini is defined for non-negative magnitudes); zeros participate.
-    *
-    * @return one row: (n, sum_value, gini) — gini null when n = 0 or
-    *         Σx = 0.
-    */
-  def gini(df: DataFrame, valueCol: String): DataFrame = {
-    val D = DecimalType(38, 0)
-    val counts = df.select(col(valueCol).cast(LongType).as("v"))
-      .where(col("v").isNotNull && col("v") >= 0L)
-      .groupBy("v").agg(count(lit(1)).as("c"))
-    val parts = counts.repartitionByRange(col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val totals = parts.groupBy("__pid").agg(sum(col("c")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = totals.valuesIterator.sum
-    val pids = totals.keys.toSeq.sorted
-    val offsets: Map[Int, Long] = pids.zip(
-      pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
-    val offsetExpr =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy("v")
-    val k = sum(col("c")).over(w) + offsetExpr
-    val sums = parts
-      .withColumn("k", k)
-      .agg(
-        coalesce(sum(col("v").cast(D) * col("c").cast(D)), lit(0L).cast(D)).as("x"),
-        coalesce(sum(col("v").cast(D) * col("c").cast(D) *
-          (col("k").cast(D) * 2 - col("c").cast(D) + 1)), lit(0L).cast(D)).as("s2"))
-    val xD = col("x").cast(DoubleType)
-    val g = (col("s2").cast(DoubleType) - lit((n + 1).toDouble) * xD) /
-      (lit(n.toDouble) * xD)
-    sums.select(lit(n).as("n"), xD.as("sum_value"),
-      when(lit(n) > 0L && col("x") > lit(0L).cast(D), g).as("gini"))
-  }
 
   /** Theil T inequality index with the BETWEEN/WITHIN group decomposition
     * — the inequality measure that decomposes exactly: T = T_between +

@@ -65,8 +65,7 @@ object ScaleBench {
     // round-14 additions: the data-dominated members of the new batch
     // (contamination's train-distinct reduction, PII's regex scan,
     // Bradley-Terry's self-join rollup, wilcoxon/gini's prefix machinery)
-    "q_contam_frac", "q_pii", "q_bradley_terry", "q_wilcoxon", "q_gini",
-    "q_benford", "q_ndcg")
+    "q_contam_frac", "q_pii", "q_bradley_terry", "q_wilcoxon", "q_ndcg")
 
   /** Generate the scaled corpus: every table the slope queries read,
     * replicated with workload-preserving transforms and written as

@@ -30,26 +30,6 @@ private[queries] object StatsQueries {
       graft.scan.Drift.wilcoxonSignedRank(withPred, "cnt", "pred")
     },
 
-    "q_benford" -> { (s, dir) =>
-      // first-digit conformance of prices — the fabricated/truncated-data
-      // forensic; digit from the integer's decimal string (no float log
-      // in the extraction), nano-fx χ² against log10(1+1/d)
-      graft.scan.Drift.benfordFirstDigit(
-        t(s, dir, "lineitem").select(
-          MetricColumns.fixedPointLong(col("l_extendedprice"), 2).as("cents")),
-        "cents")
-    },
-
-    "q_gini" -> { (s, dir) =>
-      // revenue concentration across customers: exact Gini from the
-      // doubled rank-weighted sum over the distinct-value rollup (the
-      // two-phase prefix machinery — no global-order window)
-      val rev = t(s, dir, "orders")
-        .groupBy("o_custkey")
-        .agg(sum(MetricColumns.fixedPointLong(col("o_totalprice"), 2)).as("rev"))
-      Inequality.gini(rev, "rev")
-    },
-
     "q_theil_ineq" -> { (s, dir) =>
       // Theil T with the between/within decomposition: is order-value
       // concentration across priority classes or inside them — the
@@ -78,66 +58,6 @@ private[queries] object StatsQueries {
       graft.scan.Drift.fleissKappa(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag")),
         "l_orderkey", "l_returnflag", raters = 4)
-    },
-
-    "q_bh_fdr" -> { (s, dir) =>
-      // multiple-comparison control over a battery screen: per-type runs
-      // z mapped through the distribution-free Chebyshev bound
-      // p <= 1/z^2, then the BH step-up q-values (two-phase suffix min —
-      // no global-order window) with reject at FDR 0.1
-      val daily = t(s, dir, "events")
-        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
-        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
-      val p = graft.scan.Drift.runsTest(daily, Seq("event_type"), "d", "cnt")
-        .where(col("z").isNotNull)
-        .select(col("event_type"),
-          when(col("z") * col("z") > 0.0,
-            least(lit(1.0), lit(1.0) / (col("z") * col("z"))))
-            .otherwise(lit(1.0)).as("p"))
-      graft.scan.Drift.bhAdjust(p, Seq("event_type"), "p", 1, 10)
-        .orderBy("event_type")
-    },
-
-    "q_ndcg" -> { (s, dir) =>
-      // retrieval-eval pair over a real ranking task: each user's
-      // first-half event-type frequency ranking scored against their
-      // second-half counts as graded relevance — NDCG@3 + reciprocal
-      // rank; pico-fx order-free gain sums, query-bounded windows
-      val ev = t(s, dir, "events")
-        .selectExpr("user_id", "event_type",
-          "unix_micros(ts) div 86400000000L as d")
-      val fh = ev.where(col("d") < 19737L)
-        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("user_id")
-            .orderBy(col("cnt").desc, col("event_type").asc)))
-      val sh = ev.where(col("d") >= 19737L)
-        .groupBy("user_id", "event_type").agg(count(lit(1)).as("rel"))
-      val joined = fh.join(sh, Seq("user_id", "event_type"), "left")
-        .withColumn("rel", coalesce(col("rel"), lit(0L)))
-      Ranking.ndcgAtK(joined, "user_id", "rank", "rel", 3)
-        .orderBy("user_id")
-    },
-
-    "q_bradley_terry" -> { (s, dir) =>
-      // latent supplier-team strengths from within-order shipping races:
-      // two lineitems of one order with different (suppkey mod 5) teams —
-      // the earlier shipdate wins; 5 MM rounds with pico-fx order-free
-      // denominators make the whole fit engine-replayable
-      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
-        col("l_linenumber").as("ln"),
-        (col("l_suppkey") % 5).cast(StringType).as("team"),
-        col("l_shipdate").as("sd"))
-      val a = li.select(col("ok"), col("ln").as("ln_a"),
-        col("team").as("ta"), col("sd").as("sa"))
-      val b = li.select(col("ok"), col("ln").as("ln_b"),
-        col("team").as("tb"), col("sd").as("sb"))
-      val m = a.join(b, "ok")
-        .where(col("ln_a") < col("ln_b") && col("ta") =!= col("tb") &&
-          col("sa") =!= col("sb"))
-        .select(when(col("sa") < col("sb"), col("ta")).otherwise(col("tb")).as("winner"),
-          when(col("sa") < col("sb"), col("tb")).otherwise(col("ta")).as("loser"))
-      Ranking.bradleyTerry(m, "winner", "loser", rounds = 5).orderBy("item")
     },
 
     "q_kruskal" -> { (s, dir) =>
@@ -1347,45 +1267,6 @@ private[queries] object StatsQueries {
         |       CASE WHEN items > 0 AND p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa
         |FROM x""".stripMargin,
 
-    "q_bh_fdr" ->
-      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
-        |                    CAST(count(*) AS BIGINT) AS cnt
-        |             FROM events GROUP BY 1, 2),
-        |cells0 AS (SELECT event_type, cnt AS v, count(*) AS c FROM ser GROUP BY 1, 2),
-        |kk AS (SELECT event_type, v, sum(c) OVER (PARTITION BY event_type ORDER BY v) AS k,
-        |              sum(c) OVER (PARTITION BY event_type) AS ng FROM cells0),
-        |md AS (SELECT event_type, min(CASE WHEN k >= (ng + 1) // 2 THEN v END)
-        |              + min(CASE WHEN k >= ng // 2 + 1 THEN v END) AS md
-        |       FROM kk GROUP BY 1),
-        |sg AS (SELECT ser.event_type, ser.d, CASE WHEN ser.cnt * 2 > md.md THEN 1 ELSE 0 END AS sgn
-        |       FROM ser JOIN md USING (event_type) WHERE ser.cnt * 2 <> md.md),
-        |fl AS (SELECT event_type, sgn,
-        |              lag(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prev FROM sg),
-        |ag AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS n_pos,
-        |              CAST(sum(1 - sgn) AS BIGINT) AS n_neg,
-        |              CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sgn THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
-        |       FROM fl GROUP BY 1),
-        |dd AS (SELECT event_type, n_pos, n_neg, runs,
-        |              CAST(n_pos AS DOUBLE) AS a, CAST(n_neg AS DOUBLE) AS b FROM ag),
-        |e AS (SELECT *, 2.0 * a * b / (a + b) + 1.0 AS mu,
-        |             2.0 * a * b * (2.0 * a * b - (a + b))
-        |             / ((a + b) * (a + b) * ((a + b) - 1.0)) AS sig2 FROM dd),
-        |z AS (SELECT event_type,
-        |             CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0.0
-        |                  THEN (CAST(runs AS DOUBLE) - mu) / sqrt(sig2) END AS z FROM e),
-        |pp AS (SELECT event_type,
-        |              CASE WHEN z * z > 0.0 THEN least(1.0, 1.0 / (z * z)) ELSE 1.0 END AS p
-        |       FROM z WHERE z IS NOT NULL),
-        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
-        |pc AS (SELECT p, count(*) AS c FROM pp GROUP BY 1),
-        |k2 AS (SELECT p, sum(c) OVER (ORDER BY p) AS k FROM pc),
-        |cq AS (SELECT p, CAST(k AS BIGINT) AS rank,
-        |              least(1.0, min(p * CAST(cnt.m AS DOUBLE) / CAST(k AS DOUBLE))
-        |                OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q
-        |       FROM k2, cnt)
-        |SELECT pp.event_type, pp.p, cnt.m, cq.rank, cq.q, cq.q <= 0.1 AS reject
-        |FROM pp JOIN cq USING (p), cnt ORDER BY event_type""".stripMargin,
-
     "q_wilcoxon" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
         |                    CAST(count(*) AS BIGINT) AS cnt
@@ -1409,44 +1290,6 @@ private[queries] object StatsQueries {
         |            / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
         |                   - CAST(ties AS DOUBLE) / 48.0)
         |       END AS z
-        |FROM m""".stripMargin,
-
-    "q_benford" ->
-      """WITH f AS (SELECT CAST(CASE WHEN l_extendedprice >= 0 THEN floor(l_extendedprice * 100.0 + 0.5)
-        |                  ELSE -floor(-l_extendedprice * 100.0 + 0.5) END AS BIGINT) AS v
-        |           FROM lineitem),
-        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit, count(*) AS n_digit
-        |      FROM f WHERE v > 0 GROUP BY 1),
-        |spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
-        |cells AS (SELECT spine.digit, CAST(coalesce(d.n_digit, 0) AS BIGINT) AS n_digit
-        |          FROM spine LEFT JOIN d USING (digit)),
-        |tot AS (SELECT CAST(sum(n_digit) AS BIGINT) AS n FROM cells),
-        |terms AS (SELECT digit, n_digit,
-        |                 ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS p,
-        |                 CASE WHEN tot.n > 0 THEN CAST(floor(
-        |                   (CAST(n_digit AS DOUBLE) - CAST(tot.n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) *
-        |                   (CAST(n_digit AS DOUBLE) - CAST(tot.n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) /
-        |                   (CAST(tot.n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))) * 1000000000.0 + 0.5)
-        |                   AS HUGEINT) ELSE 0 END AS fx
-        |          FROM cells, tot),
-        |chi AS (SELECT CAST(sum(fx) AS DOUBLE) / 1000000000.0 AS chi2 FROM terms)
-        |SELECT digit, n_digit, p AS expected_p, chi.chi2
-        |FROM terms, chi ORDER BY digit""".stripMargin,
-
-    "q_gini" ->
-      """WITH r AS (SELECT o_custkey,
-        |                  CAST(sum(CAST(CASE WHEN o_totalprice >= 0 THEN floor(o_totalprice * 100.0 + 0.5)
-        |                       ELSE -floor(-o_totalprice * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS rev
-        |           FROM orders GROUP BY 1),
-        |c AS (SELECT rev AS v, count(*) AS c FROM r WHERE rev >= 0 GROUP BY 1),
-        |k AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS kc FROM c),
-        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-        |             sum(CAST(v AS HUGEINT) * c) AS x,
-        |             sum(CAST(v AS HUGEINT) * c * (kc * 2 - c + 1)) AS s2 FROM k)
-        |SELECT n, CAST(x AS DOUBLE) AS sum_value,
-        |       CASE WHEN n > 0 AND x > 0
-        |       THEN (CAST(s2 AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(x AS DOUBLE))
-        |            / (CAST(n AS DOUBLE) * CAST(x AS DOUBLE)) END AS gini
         |FROM m""".stripMargin,
 
     "q_theil_ineq" ->

@@ -253,122 +253,6 @@ object Drift {
       when(col("items") > 0L, kappa).otherwise(lit(null).cast(DoubleType)).as("kappa"))
   }
 
-  /** Benjamini–Hochberg step-up FDR adjustment — the multiple-comparison
-    * corrector the drift/eval battery needs once it screens THOUSANDS of
-    * keys at once: testing 10k segments at α = 0.05 "finds" 500 drifts
-    * in pure noise; BH controls the FALSE DISCOVERY RATE instead, and
-    * its q-values (min FDR at which each test would be rejected) are the
-    * honest per-test readout.
-    *
-    * Exactness: over the distinct-p rollup with inclusive cumulative
-    * count k (the tie-max rank), each p's step-up candidate is the fixed
-    * tree p·m/k, and q(p) = min over p' ≥ p of cand(p') capped at 1 —
-    * a SUFFIX minimum computed with the two-phase discipline (per-
-    * range-partition running min + driver suffix offsets of per-
-    * partition minima; no global-order window). Rows join the skinny
-    * (p → q) frame back (AQE-broadcastable).
-    *
-    * @param alphaNum/alphaDen the FDR level α = alphaNum/alphaDen
-    * @return per input row: (keyCols*, p, m, rank, q, reject) — rank is
-    *         the tie-max BH rank; reject = q ≤ α.
-    */
-  def bhAdjust(df: DataFrame, keyCols: Seq[String], pCol: String,
-               alphaNum: Int = 1, alphaDen: Int = 20): DataFrame = {
-    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
-    val rows = df.select((keyCols.map(col) :+
-        col(pCol).cast(DoubleType).as("p")): _*)
-      .where(col("p").isNotNull && col("p") >= 0.0 && col("p") <= 1.0)
-      .localCheckpoint(true) // serves the rollup AND the join back
-    val counts = rows.groupBy("p").agg(count(lit(1)).as("c"))
-    val parts = counts.repartitionByRange(col("p"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy("p")
-    val totals = parts.groupBy("__pid").agg(sum(col("c")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val m = totals.valuesIterator.sum
-    val pids = totals.keys.toSeq.sorted
-    val offsets: Map[Int, Long] = pids.zip(
-      pids.scanLeft(0L)((a, p) => a + totals(p)).init).toMap
-    val offsetExpr =
-      if (offsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
-    val cand = (col("p") * lit(m.toDouble)) / col("k").cast(DoubleType)
-    val ranked = parts
-      .withColumn("k", sum(col("c")).over(w) + offsetExpr)
-      .withColumn("__cand", cand)
-      .localCheckpoint(true) // per-pid minima job + the suffix-min window
-    // two-phase SUFFIX min: per-pid minima → driver suffix offsets; the
-    // within-partition running min walks DESCENDING p
-    val pidMins = ranked.groupBy("__pid").agg(min(col("__cand")).as("mn"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val suffix: Map[Int, Double] = {
-      val ps = pidMins.keys.toSeq.sorted
-      ps.zip(ps.scanRight(Double.MaxValue)((p, acc) =>
-        math.min(pidMins(p), acc)).tail).toMap
-    }
-    val suffixExpr =
-      if (suffix.isEmpty) lit(Double.MaxValue)
-      else coalesce(element_at(typedlit(suffix), col("__pid")),
-        lit(Double.MaxValue))
-    val wDesc = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(col("p").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val q = least(lit(1.0), least(min(col("__cand")).over(wDesc), suffixExpr))
-    val qFrame = ranked
-      .withColumn("q", q)
-      .select(col("p"), col("k").as("rank"), col("q"))
-    val alpha = alphaNum.toDouble / alphaDen
-    rows.join(qFrame, Seq("p"))
-      .select((keyCols.map(col) :+ col("p") :+ lit(m).as("m") :+
-        col("rank") :+ col("q") :+ (col("q") <= lit(alpha)).as("reject")): _*)
-  }
-
-  /** Benford first-digit conformance — the data-forensics member of the
-    * drift family: naturally-grown positive magnitudes (prices, counts,
-    * populations) follow P(d) = log₁₀(1 + 1/d) for the first significant
-    * digit; fabricated, truncated, or unit-mangled data doesn't. One
-    * grouped aggregate over the first digit (taken from the integer's
-    * decimal STRING — no float log in the digit extraction, so the digit
-    * can't flap on a boundary) + the χ² against the Benford expectation.
-    *
-    * Exactness: digit counts are exact longs; each digit's
-    * (o − n·p)²/(n·p) term is ONE fixed double tree truncated to nano
-    * fixed-point and summed order-free; χ² is one final division.
-    *
-    * @return per digit 1-9: (digit, n_digit, expected_p, chi2) with the
-    *         SAME total χ² repeated per row (the per-digit counts are the
-    *         drill-down, the statistic is global). Non-positive and null
-    *         values are excluded.
-    */
-  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
-    val D = DecimalType(38, 0)
-    val digits = df.select(col(valueCol).cast(LongType).as("v"))
-      .where(col("v").isNotNull && col("v") > 0L)
-      .select(substring(col("v").cast(StringType), 1, 1).cast(LongType).as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n_digit"))
-    // all 9 digits present even at count 0 (the χ² needs every cell)
-    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
-    val cells = spine.join(digits, Seq("digit"), "left")
-      .withColumn("n_digit", coalesce(col("n_digit"), lit(0L)))
-    val total = cells.agg(sum(col("n_digit")).as("n"))
-    val p = log(10.0, lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
-    val exp = col("n").cast(DoubleType) * col("p")
-    val term = (col("n_digit").cast(DoubleType) - exp) *
-      (col("n_digit").cast(DoubleType) - exp) / exp
-    val fx = when(col("n") > 0L, floor(term * lit(1e9) + lit(0.5))).otherwise(lit(0L))
-    val withChi = cells.crossJoin(broadcast(total))
-      .withColumn("p", p)
-      .withColumn("__fx", fx.cast(D))
-    val chi2 = withChi.agg(sum(col("__fx")).as("s"))
-      .select((col("s").cast(DoubleType) / lit(1e9)).as("chi2"))
-    withChi.crossJoin(broadcast(chi2))
-      .select(col("digit"), col("n_digit"), col("p").as("expected_p"),
-        col("chi2"))
-      .orderBy("digit")
-  }
-
   /** Jarque–Bera normality test — "are these residuals/values even
     * approximately normal" before any ±kσ rule is trusted: JB =
     * n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K. Under

@@ -1236,44 +1236,6 @@ class TrendDriftSpec extends SparkSpec {
       .getAs[Double]("z") == 0.0)
   }
 
-  test("benfordFirstDigit: hand digits, conforming sample scores near 0") {
-    // values 1..9: one of each digit → n_digit = 1 per digit
-    val flat = (1L to 9L).toDF("v")
-    val f = Drift.benfordFirstDigit(flat, "v").collect()
-    assert(f.length == 9 && f.forall(_.getAs[Long]("n_digit") == 1L))
-    // a Benford-exact synthetic sample (counts ∝ log10(1+1/d) out of 1000)
-    val counts = (1 to 9).map(d => d -> math.round(
-      1000 * math.log10(1.0 + 1.0 / d)).toInt)
-    val sample = counts.flatMap { case (d, c) => Seq.fill(c)(d.toLong * 100) }
-      .toDF("v")
-    val near = Drift.benfordFirstDigit(sample, "v").collect()(0).getAs[Double]("chi2")
-    // uniform digits on the same n score far worse
-    val bad = Drift.benfordFirstDigit(
-      (1 to 9).flatMap(d => Seq.fill(111)(d.toLong * 10)).toDF("v"), "v")
-      .collect()(0).getAs[Double]("chi2")
-    assert(near < 1.0 && bad > 50.0, s"near=$near bad=$bad")
-    // non-positive values excluded
-    assert(Drift.benfordFirstDigit(Seq(-5L, 0L, 10L).toDF("v"), "v")
-      .collect().map(_.getAs[Long]("n_digit")).sum == 1L)
-  }
-
-  test("gini: hand extremes and the textbook fixture") {
-    import graft.ops.Inequality
-    // perfectly equal → 0
-    assert(Inequality.gini(Seq(5L, 5L, 5L, 5L).toDF("v"), "v")
-      .collect()(0).getAs[Double]("gini") == 0.0)
-    // one holder: G = (n−1)/n = 0.75 for n = 4
-    assert(Inequality.gini(Seq(0L, 0L, 0L, 8L).toDF("v"), "v")
-      .collect()(0).getAs[Double]("gini") == 0.75)
-    // textbook: [1,2,3,4] → G = (2·(1+4+9+16) − 5·10)/(4·10) = 0.25
-    assert(Inequality.gini(Seq(1L, 2L, 3L, 4L).toDF("v"), "v")
-      .collect()(0).getAs[Double]("gini") == 0.25)
-    // negatives excluded, nulls excluded
-    val withNeg = Seq(Some(-3L), None, Some(1L), Some(2L), Some(3L), Some(4L))
-      .toDF("v")
-    assert(Inequality.gini(withNeg, "v").collect()(0).getAs[Long]("n") == 4L)
-  }
-
   test("theilIndex: equal values score 0, decomposition adds up exactly") {
     import graft.ops.Inequality
     // all equal: T = 0 on every component
@@ -1326,42 +1288,6 @@ class TrendDriftSpec extends SparkSpec {
       .toDF("item", "cat")
     assert(Drift.fleissKappa(perfect, "item", "cat", raters = 2)
       .collect()(0).getAs[Double]("kappa") == 1.0)
-  }
-
-  test("bhAdjust: classic step-up, ties share the tie-max rank, scalar-replica parity") {
-    // p = .01 .02 .03 .04 .30, m = 5: candidates .05×4, .30 → q = .05×4, .30
-    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03), ("t4", 0.04),
-      ("t5", 0.30)).toDF("k", "p")
-    val out = Drift.bhAdjust(df, Seq("k"), "p", 1, 10)
-      .collect().map(r => r.getString(0) ->
-        ((r.getAs[Long]("rank"), r.getAs[Double]("q"), r.getAs[Boolean]("reject")))).toMap
-    val cands = Seq(0.01 * 5 / 1.0, 0.02 * 5 / 2.0, 0.03 * 5 / 3.0,
-      0.04 * 5 / 4.0, 0.30 * 5 / 5.0)
-    val qs = cands.indices.map(i => cands.drop(i).min) // per-row suffix min
-    assert(out("t1") == ((1L, qs(0), true)) && out("t4") == ((4L, qs(3), true)))
-    assert(out("t5") == ((5L, qs(4), false)))
-    // tied p share the tie-max rank and q
-    val tied = Seq(("a", 0.02), ("b", 0.02), ("c", 0.5)).toDF("k", "p")
-    val to = Drift.bhAdjust(tied, Seq("k"), "p", 1, 10)
-      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("rank"), r.getAs[Double]("q")))).toMap
-    val q02 = math.min(0.02 * 3 / 2.0, 0.5 * 3 / 3.0)
-    assert(to("a") == ((2L, q02)) && to("b") == ((2L, q02)) &&
-      to("c") == ((3L, 0.5 * 3 / 3.0)))
-    // randomized parity against a scalar BH replica (grid p's force ties
-    // and exercise the multi-partition suffix-min path)
-    val rnd = new scala.util.Random(59)
-    val ps = (1 to 200).map(i => (s"k$i", rnd.nextInt(50) / 50.0 * 0.9 + 0.01))
-    val got = Drift.bhAdjust(ps.toDF("k", "p"), Seq("k"), "p", 1, 20)
-      .collect().map(r => r.getString(0) -> r.getAs[Double]("q")).toMap
-    val m = ps.size
-    val byP = ps.groupBy(_._2).view.mapValues(_.size).toMap
-    val sorted = byP.keys.toSeq.sorted
-    val ranks = sorted.zip(sorted.scanLeft(0)((a, p) => a + byP(p)).tail).toMap
-    val cand = sorted.map(p => p -> p * m / ranks(p).toDouble).toMap
-    val qMap = sorted.reverse
-      .scanLeft (Double.MaxValue) ((acc, p) => math.min(acc, cand(p)))
-      .tail.zip(sorted.reverse).map { case (q, p) => p -> math.min(1.0, q) }.toMap
-    ps.foreach { case (k, p) => assert(got(k) == qMap(p), s"$k p=$p") }
   }
 
   test("ndcgAtK: perfect ranking 1.0, hand DCG, reciprocal rank, no-relevant null") {
