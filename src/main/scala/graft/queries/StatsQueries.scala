@@ -60,6 +60,48 @@ private[queries] object StatsQueries {
         "l_orderkey", "l_returnflag", raters = 4)
     },
 
+    "q_ndcg" -> { (s, dir) =>
+      // retrieval-eval pair over a real ranking task: each user's
+      // first-half event-type frequency ranking scored against their
+      // second-half counts as graded relevance — NDCG@3 + reciprocal
+      // rank; pico-fx order-free gain sums, query-bounded windows
+      val ev = t(s, dir, "events")
+        .selectExpr("user_id", "event_type",
+          "unix_micros(ts) div 86400000000L as d")
+      val fh = ev.where(col("d") < 19737L)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("cnt").desc, col("event_type").asc)))
+      val sh = ev.where(col("d") >= 19737L)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("rel"))
+      val joined = fh.join(sh, Seq("user_id", "event_type"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      Ranking.ndcgAtK(joined, "user_id", "rank", "rel", 3)
+        .orderBy("user_id")
+    },
+
+    "q_bradley_terry" -> { (s, dir) =>
+      // latent supplier-team strengths from within-order shipping races:
+      // two lineitems of one order with different (suppkey mod 5) teams —
+      // the earlier shipdate wins; 5 MM rounds with pico-fx order-free
+      // denominators make the whole fit engine-replayable
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        (col("l_suppkey") % 5).cast(StringType).as("team"),
+        col("l_shipdate").as("sd"))
+      val a = li.select(col("ok"), col("ln").as("ln_a"),
+        col("team").as("ta"), col("sd").as("sa"))
+      val b = li.select(col("ok"), col("ln").as("ln_b"),
+        col("team").as("tb"), col("sd").as("sb"))
+      val m = a.join(b, "ok")
+        .where(col("ln_a") < col("ln_b") && col("ta") =!= col("tb") &&
+          col("sa") =!= col("sb"))
+        .select(when(col("sa") < col("sb"), col("ta")).otherwise(col("tb")).as("winner"),
+          when(col("sa") < col("sb"), col("tb")).otherwise(col("ta")).as("loser"))
+      Ranking.bradleyTerry(m, "winner", "loser", rounds = 5).orderBy("item")
+    },
+
     "q_kruskal" -> { (s, dir) =>
       // K-SAMPLE rank drift: are the three returnflag populations even
       // from the same price distribution, in ONE test (the pairwise
