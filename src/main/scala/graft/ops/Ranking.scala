@@ -111,6 +111,61 @@ object Ranking {
         lit(1.0) / col("__first").cast(DoubleType)).as("rr"))
   }
 
+  /** Qini uplift curve over score buckets — the causal-eval member next
+    * to the lift table: liftTable asks "does the score find CONVERTERS";
+    * Qini asks "does it find people the TREATMENT actually moves" (the
+    * A/B-targeting question a conversion model can't answer — a model
+    * that targets sure-things scores great on lift and zero on Qini).
+    * Units rank by score into k equal-count buckets; per cumulative
+    * depth, qini = conv_t − conv_c·N_t/N_c (the standard Qini curve
+    * points; the area under it is the Qini coefficient).
+    *
+    * Exactness: bucket = ((cum−1)·k) div n over the DESCENDING distinct-
+    * score rollup (the equi-depth integer formula — tie-stable, engine-
+    * portable); all counts exact longs, cumulatives over the k-bounded
+    * bucket frame, qini one fixed double tree. One score rollup + one
+    * bounded window.
+    *
+    * @return per bucket 0..k-1 (0 = highest scores): (bucket, n_t, n_c,
+    *         conv_t, conv_c, cum_qini) — cum_qini null while the control
+    *         cumulative is empty.
+    */
+  def qiniCurve(df: DataFrame, scoreCol: String, treatedCol: String,
+                convertedCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val rows = df.select(col(scoreCol).cast(LongType).as("s"),
+        col(treatedCol).cast("boolean").as("t"),
+        col(convertedCol).cast("boolean").as("y"))
+      .where(col("s").isNotNull && col("t").isNotNull && col("y").isNotNull)
+    val cellsBase = rows.groupBy("s").agg(
+      count(lit(1)).as("c"),
+      sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("t") && col("y"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("t") && col("y"), 1L).otherwise(0L)).as("cc"))
+      .withColumn("k", -col("s")) // descending score = ascending key
+      .localCheckpoint(true) // one layout serves the count AND the cum
+    val distinct = cellsBase.count()
+    val total = rows.count()
+    val cum = graft.ops.Binning.cumulativesFromCounts(cellsBase, "k",
+      Seq(col("c") -> "cum"), distinct, 1L << 20)
+    val bucketed = cum
+      .withColumn("bucket", expr(s"((cum - 1) * ${buckets}L) div ${total}L"))
+      .groupBy("bucket").agg(sum(col("nt")).as("n_t"),
+        sum(col("c") - col("nt")).as("n_c"),
+        sum(col("ct")).as("conv_t"), sum(col("cc")).as("conv_c"))
+    // k-bounded cumulative over the bucket frame
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qini = (sum(col("conv_t")).over(w).cast(DoubleType) -
+      sum(col("conv_c")).over(w).cast(DoubleType) *
+        sum(col("n_t")).over(w).cast(DoubleType) /
+        sum(col("n_c")).over(w).cast(DoubleType))
+    bucketed
+      .withColumn("cum_qini",
+        when(sum(col("n_c")).over(w) > 0L, qini))
+      .orderBy("bucket")
+  }
+
   /** Bradley–Terry pairwise-preference strengths via `rounds` fixed MM
     * iterations (Hunter 2004): π'_i = W_i / Σ_j n_ij/(π_i+π_j) — the
     * latent-strength model behind preference-label curation: which

@@ -50,6 +50,30 @@ private[queries] object StatsQueries {
         "cents")
     },
 
+    "q_kripp" -> { (s, dir) =>
+      // missing-data-tolerant agreement: the SAME order/returnflag rating
+      // design as q_fleiss but WITHOUT the complete-design filter — every
+      // order with >= 2 lineitems participates (exactly what alpha adds
+      // over Fleiss); exact counts, pico-fx per-item disagreement
+      graft.scan.Drift.krippendorffAlpha(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag")),
+        "l_orderkey", "l_returnflag")
+    },
+
+    "q_qini" -> { (s, dir) =>
+      // uplift eval: does activity-count "targeting" find users the
+      // (id-parity pseudo-)treatment moves — conversion = exact fx spend
+      // threshold, equi-depth integer deciles over the descending score
+      // rollup, qini one fixed tree; a random treatment reads ~0 uplift,
+      // which is the honest null the curve must show
+      val u = t(s, dir, "events").groupBy("user_id").agg(
+        count(lit(1)).as("score"),
+        sum(MetricColumns.fixedPointLong(col("value"), 2)).as("tvfx"))
+      val r = u.select(col("score"),
+        (col("user_id") % 2 === 0).as("t"), (col("tvfx") > 60000L).as("y"))
+      Ranking.qiniCurve(r, "score", "t", "y", 10)
+    },
+
     "q_fleiss" -> { (s, dir) =>
       // multi-rater agreement beyond chance: orders as items, their
       // (exactly 4) lineitems as raters, returnflag as the label — the
@@ -1286,6 +1310,51 @@ private[queries] object StatsQueries {
         |         CAST(CAST(floor(p5.pi * 1000000000000.0 + 0.5) AS HUGEINT) AS DOUBLE) / CAST(tot.t AS DOUBLE)
         |       END AS strength
         |FROM it JOIN p5 USING (i) LEFT JOIN mtc USING (i), tot ORDER BY item""".stripMargin,
+
+    "q_kripp" ->
+      """WITH cells AS (SELECT CAST(l_orderkey AS VARCHAR) AS i, l_returnflag AS j,
+        |                      CAST(count(*) AS BIGINT) AS c
+        |               FROM lineitem GROUP BY 1, 2),
+        |nu AS (SELECT i, CAST(sum(c) AS BIGINT) AS nu FROM cells GROUP BY 1 HAVING sum(c) >= 2),
+        |kept AS (SELECT cells.i, cells.j, cells.c, nu.nu FROM cells JOIN nu USING (i)),
+        |dobs AS (SELECT coalesce(sum(CAST(floor(CAST(c * (nu - c) AS DOUBLE) / CAST(nu - 1 AS DOUBLE)
+        |                 * 1000000000000.0 + 0.5) AS HUGEINT)), 0) AS do_fx,
+        |                CAST(count(DISTINCT i) AS BIGINT) AS items FROM kept),
+        |mg AS (SELECT j, CAST(sum(c) AS BIGINT) AS nc FROM kept GROUP BY 1),
+        |nn AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n FROM mg),
+        |ma AS (SELECT nn.n, CAST(count(*) AS BIGINT) AS categories,
+        |              sum(CAST(nc AS HUGEINT) * (nn.n - nc)) AS de
+        |       FROM mg, nn GROUP BY nn.n)
+        |SELECT dobs.items, ma.n, ma.categories,
+        |       CASE WHEN dobs.items > 0 AND ma.de > 0
+        |            THEN 1.0 - CAST(ma.n - 1 AS DOUBLE) * (CAST(dobs.do_fx AS DOUBLE) / 1000000000000.0)
+        |                 / CAST(ma.de AS DOUBLE) END AS alpha
+        |FROM dobs, ma""".stripMargin,
+
+    "q_qini" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+        |                  sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                       ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS tvfx
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT score AS s, user_id % 2 = 0 AS t, tvfx > 60000 AS y FROM u),
+        |cells AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |                 CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |                 CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |          FROM r GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM r),
+        |k AS (SELECT *, sum(c) OVER (ORDER BY s DESC) AS cum FROM cells),
+        |b AS (SELECT ((cum - 1) * 10) // total AS bucket,
+        |             CAST(sum(nt) AS BIGINT) AS n_t, CAST(sum(c - nt) AS BIGINT) AS n_c,
+        |             CAST(sum(ct) AS BIGINT) AS conv_t, CAST(sum(cc) AS BIGINT) AS conv_c
+        |      FROM k, n GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_t, n_c, conv_t, conv_c,
+        |       CASE WHEN sum(n_c) OVER w > 0
+        |            THEN CAST(sum(conv_t) OVER w AS DOUBLE)
+        |                 - CAST(sum(conv_c) OVER w AS DOUBLE) * CAST(sum(n_t) OVER w AS DOUBLE)
+        |                   / CAST(sum(n_c) OVER w AS DOUBLE) END AS cum_qini
+        |FROM b WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
 
     "q_fleiss" ->
       """WITH cells AS (SELECT CAST(l_orderkey AS VARCHAR) AS i, l_returnflag AS j, count(*) AS c

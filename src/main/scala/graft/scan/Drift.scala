@@ -253,6 +253,56 @@ object Drift {
       when(col("items") > 0L, kappa).otherwise(lit(null).cast(DoubleType)).as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal) — the agreement measure for the
+    * INCOMPLETE designs [[fleissKappa]] must drop: real annotation runs
+    * have items with 2 ratings next to items with 5; alpha weighs every
+    * item with ≥ 2 ratings, α = 1 − D_o/D_e over the coincidence
+    * algebra. The missing-data-tolerant label-quality gate.
+    *
+    * Exactness: per-(item, category) counts n_uc are exact; each item's
+    * disagreement Σ_c n_uc(n_u−n_uc)/(n_u−1) is a ratio of exact
+    * integers (one fixed tree → pico fx → ORDER-FREE sum); the expected
+    * disagreement Σ_c n_c(n−n_c) is an exact DECIMAL over the margins;
+    * α = 1 − (n−1)·D_o/D_e is ONE final tree. One (item, category)
+    * rollup + item- and category-bounded re-aggregates.
+    *
+    * @return one row: (items, n, categories, alpha) — alpha null when
+    *         the expected disagreement is 0 (all mass on one category)
+    *         or no item has ≥ 2 ratings.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val cells = df.select(col(itemCol).cast(StringType).as("i"),
+        col(categoryCol).cast(StringType).as("j"))
+      .where(col("i").isNotNull && col("j").isNotNull)
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    val nu = cells.groupBy("i").agg(sum(col("c")).as("nu"))
+      .where(col("nu") >= 2L)
+    val kept = cells.join(nu, "i")
+      .localCheckpoint(true) // serves the D_o pass AND the margins
+    // observed disagreement, pico-fx per cell: n_uc·(n_u−n_uc)/(n_u−1)
+    val term = (col("c") * (col("nu") - col("c"))).cast(DoubleType) /
+      (col("nu") - 1L).cast(DoubleType)
+    val dObs = kept.agg(
+      coalesce(sum(floor(term * lit(1e12) + lit(0.5)).cast(D)), lit(0L).cast(D))
+        .as("do_fx"),
+      countDistinct(col("i")).as("items"))
+    val margins = kept.groupBy("j").agg(sum(col("c")).as("nc"))
+    val mAgg = margins
+      .crossJoin(broadcast(margins.agg(sum(col("nc")).as("n"))))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("categories"),
+        sum(col("nc").cast(D) * (col("n") - col("nc")).cast(D)).as("de"))
+    val out = dObs.crossJoin(broadcast(mAgg))
+    val alpha = lit(1.0) -
+      (col("n") - 1L).cast(DoubleType) *
+        (col("do_fx").cast(DoubleType) / lit(1e12)) /
+        col("de").cast(DoubleType)
+    out.select(col("items"), col("n"), col("categories"),
+      when(col("items") > 0L && col("de") > lit(0L).cast(D), alpha)
+        .as("alpha"))
+  }
+
   /** Jarque–Bera normality test — "are these residuals/values even
     * approximately normal" before any ±kσ rule is trusted: JB =
     * n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K. Under

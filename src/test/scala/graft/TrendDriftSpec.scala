@@ -1447,6 +1447,54 @@ class TrendDriftSpec extends SparkSpec {
     assert(!oneSided.collect().map(_.getString(0)).contains("only"))
   }
 
+  test("krippendorffAlpha: textbook fixture, incomplete items included, degenerate null") {
+    // Krippendorff's own nominal example shape: items with VARYING rater
+    // counts all participate (what Fleiss drops). Hand fixture:
+    // item A: x,x (agree, n=2) -> disagreement 0
+    // item B: x,y (split, n=2) -> Σ n_uc(n_u−n_uc)/(n_u−1) = (1·1+1·1)/1 = 2
+    // item C: y,y,y (agree, n=3) -> 0; single-rating item D drops
+    // margins: n_x = 3, n_y = 4, n = 7; D_e = 3·4+4·3 = 24
+    // α = 1 − (7−1)·2/24 = 0.5
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y"), ("C", "y"), ("D", "x")).toDF("item", "cat")
+    val r = Drift.krippendorffAlpha(df, "item", "cat").collect()(0)
+    assert(r.getAs[Long]("items") == 3L && r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Double]("alpha") == 1.0 - 6.0 * (2e12.floor / 1e12) / 24.0)
+    // perfect agreement across unequal item sizes → α = 1
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"),
+      ("B", "y")).toDF("item", "cat")
+    assert(Drift.krippendorffAlpha(perfect, "item", "cat")
+      .collect()(0).getAs[Double]("alpha") == 1.0)
+    // one category only → D_e = 0 → null
+    val mono = Seq(("A", "x"), ("A", "x")).toDF("item", "cat")
+    assert(Drift.krippendorffAlpha(mono, "item", "cat")
+      .collect()(0).isNullAt(3))
+  }
+
+  test("qiniCurve: sure-thing targeting reads zero uplift, true uplift reads positive") {
+    import graft.ops.Ranking
+    // 200 units, random-parity treatment. Outcome A: converts iff score
+    // high (score finds sure-things — conversion independent of
+    // treatment) → terminal qini ≈ 0. Outcome B: converts iff treated AND
+    // score high (score finds the PERSUADABLES) → qini climbs.
+    val units = (1L to 200L).map { i =>
+      val t = i % 2 == 0
+      val score = i % 100
+      (score, t, score >= 50, t && score >= 50)
+    }
+    val sure = units.map(u => (u._1, u._2, u._3)).toDF("s", "t", "y")
+    val qa = Ranking.qiniCurve(sure, "s", "t", "y", 10)
+      .orderBy(org.apache.spark.sql.functions.col("bucket").desc)
+      .collect()(0).getAs[Double]("cum_qini")
+    assert(math.abs(qa) < 1e-9, s"sure-thing qini $qa")
+    val pers = units.map(u => (u._1, u._2, u._4)).toDF("s", "t", "y")
+    val rows = Ranking.qiniCurve(pers, "s", "t", "y", 10).collect()
+    val qb = rows.map(_.getAs[Double]("cum_qini")).last
+    assert(qb > 40.0, s"persuadable qini $qb")
+    // bucket sizes are equi-depth: 10 buckets x 20 units
+    assert(rows.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).forall(_ == 20L))
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
