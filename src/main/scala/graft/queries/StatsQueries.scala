@@ -50,6 +50,20 @@ private[queries] object StatsQueries {
         "cents")
     },
 
+    "q_wilcoxon_group" -> { (s, dir) =>
+      // WHICH event type's lag-7 naive is median-biased: the per-key
+      // paired screen whose z's feed q_fdr's BH correction at scale;
+      // group-bounded windows, same doubled-rank decimal tree
+      val daily = t(s, dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 86400000000L as d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val wd = Window.partitionBy("event_type").orderBy("d")
+      val withPred = daily.withColumn("pred", lag(col("cnt"), 7).over(wd))
+        .where(col("pred").isNotNull)
+      graft.scan.Drift.wilcoxonSignedRankByGroup(withPred, "event_type",
+        "cnt", "pred").orderBy("event_type")
+    },
+
     "q_kripp" -> { (s, dir) =>
       // missing-data-tolerant agreement: the SAME order/returnflag rating
       // design as q_fleiss but WITHOUT the complete-design filter — every
@@ -1310,6 +1324,34 @@ private[queries] object StatsQueries {
         |         CAST(CAST(floor(p5.pi * 1000000000000.0 + 0.5) AS HUGEINT) AS DOUBLE) / CAST(tot.t AS DOUBLE)
         |       END AS strength
         |FROM it JOIN p5 USING (i) LEFT JOIN mtc USING (i), tot ORDER BY item""".stripMargin,
+
+    "q_wilcoxon_group" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(count(*) AS BIGINT) AS cnt
+        |             FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, cnt,
+        |             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred FROM ser),
+        |f AS (SELECT event_type AS g, cnt - pred AS dd FROM p
+        |      WHERE pred IS NOT NULL AND cnt - pred <> 0),
+        |c AS (SELECT g, abs(dd) AS v,
+        |             sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS cp,
+        |             count(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT g, cp, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS kc,
+        |             sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |m AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |             sum(CAST(cp AS HUGEINT) * ((kc - c) * 2 + c + 1)) AS w2,
+        |             sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END) AS ties
+        |      FROM k GROUP BY 1)
+        |SELECT g AS event_type, n, CAST(w2 AS BIGINT) AS w_doubled,
+        |       CAST(ties AS DOUBLE) AS tie_term,
+        |       CASE WHEN n > 0 AND
+        |                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |                   - CAST(ties AS DOUBLE) / 48.0 > 0.0
+        |       THEN (CAST(w2 AS DOUBLE) - CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) / 2.0) / 2.0
+        |            / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |                   - CAST(ties AS DOUBLE) / 48.0)
+        |       END AS z
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_kripp" ->
       """WITH cells AS (SELECT CAST(l_orderkey AS VARCHAR) AS i, l_returnflag AS j,

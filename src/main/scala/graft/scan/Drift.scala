@@ -423,6 +423,59 @@ object Drift {
       z.as("z"))
   }
 
+  /** Per-GROUP Wilcoxon signed-rank — [[wilcoxonSignedRank]] computed
+    * independently per `groupCol` value: WHICH segment's paired
+    * differences tilt (the drill-down that screens thousands of keys at
+    * once; feed the resulting z's through [[fdrControl]]'s BH correction
+    * — α = .05 on 10k segments "finds" 500 drifts in noise otherwise).
+    * Group-bounded windows replace the two-phase machinery; the same
+    * doubled-rank DECIMAL term tree as the ungrouped operator, so a
+    * group's statistic equals the ungrouped one on that slice
+    * bit-for-bit. Groups whose differences are all zero are excluded
+    * (no informative pairs).
+    *
+    * @return per group: (groupCol, n, w_doubled, tie_term, z).
+    */
+  def wilcoxonSignedRankByGroup(df: DataFrame, groupCol: String,
+                                aCol: String, bCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val counts = df.select(col(groupCol).as("g"),
+        (col(aCol).cast(LongType) - col(bCol).cast(LongType)).as("d"))
+      .where(col("g").isNotNull && col("d").isNotNull && col("d") =!= 0L)
+      .groupBy(col("g"), abs(col("d")).as("v")).agg(
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("c"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val dr = (col("k") - col("c")) * 2L + col("c") + 1L
+    val agg = counts
+      .withColumn("k", sum(col("c")).over(wRun))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        sum((col("cp") * dr).cast(D)).as("w2"),
+        sum(when(col("c") > 1L, col("c").cast(D) * col("c").cast(D) *
+            col("c").cast(D) - col("c").cast(D))
+          .otherwise(lit(0L).cast(D))).as("ties"))
+    val nD = col("n").cast(DoubleType)
+    // doubled expectation n(n+1)/2: the decimal product casts to double
+    // and halves there — /2 is exact in IEEE, so this equals the
+    // ungrouped operator's BigInt-halved tree bit-for-bit
+    val e2D = (col("n").cast(D) * (col("n") + 1L).cast(D))
+      .cast(DoubleType) / lit(2.0)
+    val varW = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) / lit(24.0) -
+      col("ties").cast(DoubleType) / lit(48.0)
+    val z = when(col("n") > 0L && varW > lit(0.0),
+      (col("w2").cast(DoubleType) - e2D) / lit(2.0) /
+        sqrt(varW))
+    def narrow(c: Column) = when(
+      c <= lit(Long.MaxValue).cast(D) && c >= lit(Long.MinValue).cast(D),
+      c.cast(LongType))
+    agg.select(col(groupCol), col("n"), narrow(col("w2")).as("w_doubled"),
+      col("ties").cast(DoubleType).as("tie_term"), z.as("z"))
+  }
+
   /** EXACT two-sample Wasserstein-1 (earth mover's) distance over an
     * integer-valued column: W1 = Σᵢ |F_ref(vᵢ) − F_cur(vᵢ)|·(vᵢ₊₁ − vᵢ)
     * over the merged sorted distinct values — the MAGNITUDE member of the

@@ -1495,6 +1495,32 @@ class TrendDriftSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).forall(_ == 20L))
   }
 
+  test("wilcoxonSignedRankByGroup: single-group slice equals the ungrouped statistic bit-for-bit") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 160).map { i =>
+      val g = if (i % 2 == 0) "g1" else "g2"
+      (g, rnd.nextInt(40).toLong + 10, rnd.nextInt(40).toLong + 8)
+    }
+    val grouped = Drift.wilcoxonSignedRankByGroup(
+      rows.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("w_doubled"),
+          r.getAs[Double]("tie_term"), r.getAs[Double]("z")))).toMap
+    for (g <- Seq("g1", "g2")) {
+      val u = Drift.wilcoxonSignedRank(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("a", "b"),
+        "a", "b").collect()(0)
+      assert(grouped(g) == ((u.getAs[Long]("n"), u.getAs[Long]("w_doubled"),
+        u.getAs[Double]("tie_term"), u.getAs[Double]("z"))),
+        s"group $g mismatch: ${grouped(g)} vs ungrouped")
+    }
+    // an all-zero-difference group is excluded (no informative pairs)
+    val withFlat = rows ++ Seq(("flat", 5L, 5L), ("flat", 9L, 9L))
+    assert(!Drift.wilcoxonSignedRankByGroup(
+        withFlat.toDF("g", "a", "b"), "g", "a", "b")
+      .collect().map(_.getString(0)).contains("flat"))
+  }
+
   test("logRank: routed distributed cumulative = local route bit-for-bit") {
     import graft.ops.Events
     val rnd = new scala.util.Random(91)
