@@ -732,7 +732,8 @@ object Correlation {
     // 2·rank + t − 1 ≡ the (cum−c)·2 + c + 1 rollup formulation (rank−1
     // = values below), so no rank-map rollups and no attach joins — both
     // columns' windows share ONE exchange on g (two in-partition sorts);
-    // measured 3.0 → 1.5 s at sf0.1 with bit-identical output
+    // measured 3.0 → 1.5 s STANDALONE at sf0.1 with bit-identical output
+    // (under full-bench JVM/cache pressure the committed number is ~2.7 s)
     val base = df.select(col(groupCol).as("g"),
         MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))

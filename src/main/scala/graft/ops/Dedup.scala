@@ -609,14 +609,21 @@ object Dedup {
         Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen),
         tokenHasher)).as("hs"))
     val trainH = hset(train).select(explode(col("hs")).as("h")).distinct()
-    val ev = hset(eval).select(col("id"), size(col("hs")).cast(LongType).as("n_shingles"),
-      explode(col("hs")).as("h"))
-    ev.join(trainH.withColumn("__hit", lit(1L)), Seq("h"), "left")
-      .groupBy("id").agg(max(col("n_shingles")).as("n_shingles"),
-        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
-      .select(col("id"), col("n_shingles"), col("hits"),
-        (col("hits").cast(DoubleType) / col("n_shingles").cast(DoubleType))
-          .as("contamination"))
+    // Keep shingle-less eval docs (text shorter than shingleLen tokens):
+    // explode would drop their rows, and an audit consumer would misread
+    // absence as "clean" rather than "unmeasurable" — they come back via a
+    // left join on the per-doc id set with n_shingles = 0, contamination null.
+    val evH = hset(eval).localCheckpoint(true)
+    val ev = evH.select(col("id"), explode(col("hs")).as("h"))
+    val scored = ev.join(trainH.withColumn("__hit", lit(1L)), Seq("h"), "left")
+      .groupBy("id").agg(coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+    evH.select(col("id"), size(col("hs")).cast(LongType).as("n_shingles"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("n_shingles") > 0L,
+          coalesce(col("hits"), lit(0L)).cast(DoubleType) /
+            col("n_shingles").cast(DoubleType)).as("contamination"))
   }
 
   /** Split-leakage audit — the eval-contamination check a training pipeline

@@ -44,7 +44,15 @@ object Inequality {
     val tots = gTot.agg(sum(col("ng")).as("n"), sum(col("xg")).as("x"),
         count(lit(1)).as("groups")).collect()(0)
     val n = tots.getLong(0)
-    require(n > 0, "theilIndex needs at least one positive row")
+    if (n == 0L) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq((0L, 0L)).toDF("n", "groups").select(
+        col("n"), col("groups"),
+        lit(null).cast(DoubleType).as("theil_total"),
+        lit(null).cast(DoubleType).as("theil_between"),
+        lit(null).cast(DoubleType).as("theil_within"))
+    }
     val x = BigDecimal(tots.getDecimal(1))
     val groups = tots.getLong(2)
     // within: Σ_cells c·(v/X)·ln(v·n_g/X_g) accumulated in pico fx of the

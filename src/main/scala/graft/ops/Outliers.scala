@@ -111,8 +111,9 @@ object Outliers {
     * running mean at step i, alarm when U_t − min_{s≤t}U_s > λ (the
     * standard concept-drift monitor in streaming-ML literature).
     *
-    * Exactness: per step, xᵢ·i − Sᵢ is an EXACT long (fx values × a
-    * key-bounded step index), the deviation (xᵢ·i − Sᵢ)/i − δ is one
+    * Exactness: per step, xᵢ·i − Sᵢ is an EXACT DECIMAL(38,0) integer
+    * (a raw long product of fx value × step index could wrap on long
+    * high-magnitude series), the deviation (xᵢ·i − Sᵢ)/i − δ is one
     * fixed double tree micro-quantized (·10⁶) before the running sum, so
     * U and the running min are exact integers in fx·10⁻⁶ units and the
     * alarm threshold compares integers. Key-partitioned windows over
@@ -134,13 +135,19 @@ object Outliers {
     val wRow = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
     val v = graft.metrics.MetricColumns.fixedPointLong(
       col(valueCol).cast("double"), fxScale)
-    val dev = (col("__v") * col("__i") - col("__s")).cast("double") /
+    // xᵢ·i − Sᵢ in DECIMAL(38,0): a raw long product of fx value × step
+    // index wraps silently once |v_fx|·steps exceeds 2⁶³ (large fxScale ×
+    // long per-key series) — the same decimal-first routing as the other
+    // fixed-point cumulatives. The quotient is a double either way.
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dev = (col("__v").cast(D38) * col("__i").cast(D38) -
+        col("__s").cast(D38)).cast("double") /
       col("__i").cast("double") - lit(fx(delta).toDouble)
     val devFx = when(dev >= 0, floor(dev * lit(1e6) + lit(0.5)))
       .otherwise(-floor(-dev * lit(1e6) + lit(0.5))).cast("long")
     df.withColumn("__v", v)
       .withColumn("__i", row_number().over(wRow).cast("long"))
-      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__s", sum(col("__v").cast(D38)).over(w))
       .withColumn("__u", sum(devFx).over(w))
       .withColumn("__ph", col("__u") - least(lit(0L), min(col("__u")).over(w)))
       .withColumn("ph", col("__ph").cast("double") /

@@ -131,7 +131,8 @@ object Ranking {
     *         cumulative is empty.
     */
   def qiniCurve(df: DataFrame, scoreCol: String, treatedCol: String,
-                convertedCol: String, buckets: Int = 10): DataFrame = {
+                convertedCol: String, buckets: Int = 10,
+                maxLocalDistinct: Long = 1L << 20): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
     val rows = df.select(col(scoreCol).cast(LongType).as("s"),
         col(treatedCol).cast("boolean").as("t"),
@@ -146,8 +147,9 @@ object Ranking {
       .localCheckpoint(true) // one layout serves the count AND the cum
     val distinct = cellsBase.count()
     val total = rows.count()
+    require(total > 0, "qiniCurve needs at least one usable row")
     val cum = graft.ops.Binning.cumulativesFromCounts(cellsBase, "k",
-      Seq(col("c") -> "cum"), distinct, 1L << 20)
+      Seq(col("c") -> "cum"), distinct, maxLocalDistinct)
     val bucketed = cum
       .withColumn("bucket", expr(s"((cum - 1) * ${buckets}L) div ${total}L"))
       .groupBy("bucket").agg(sum(col("nt")).as("n_t"),

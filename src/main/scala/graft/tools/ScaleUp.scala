@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *  - ids shift by `r * IdStride` — replicas never collide, joins and
   *    group-bys stay within-replica for salted keys;
-  *  - text is Caesar-rotated per replica (a per-replica injective token
-  *    remap): token lengths, token counts and WITHIN-replica Jaccard /
+  *  - text goes through a per-replica affine letter cipher (a per-replica
+  *    injective token remap, Caesar rotation for r < 26):
+  *    token lengths, token counts and WITHIN-replica Jaccard /
   *    shingle / MinHash relations are exactly preserved, while replicas
   *    share no tokens — so dedup finds 10× the clusters, not one giant one;
   *  - embeddings are circularly shifted per replica (a coordinate
@@ -31,16 +32,33 @@ object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  /** Per-replica injective token remap: rotate the alphabet by `r` (case
-    * kept separate so case structure survives). Identity for r == 0.
+  /** Multipliers coprime to 26 — each yields an injective affine letter map
+    * i → (a·i + b) mod 26, so 12 × 26 = 312 DISTINCT length-preserving
+    * token remaps are available before the cipher family repeats. */
+  private val CoprimeA = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Per-replica injective token remap: affine letter cipher
+    * i → (a·i + b) mod 26 with a = CoprimeA(r / 26), b = r mod 26 (case
+    * kept separate so case structure survives). For r < 26 this is the
+    * plain Caesar rotation (a = 1), byte-identical to earlier rounds'
+    * corpora; r ≥ 26 switches multiplier instead of wrapping — a plain
+    * rotation has PERIOD 26, so at factor > 26 replica r and r−26 would
+    * share a rotation and their clusters would merge cross-replica,
+    * breaking the documented "replicas share no tokens" contract (the
+    * round-14 factor-30 corpus had 4 such doubled rotation classes —
+    * 38/30 = 1.27× built-in super-linear pair volume). Identity for
+    * r == 0; injective for 0 ≤ r < 312.
     */
   def rotateText(c: Column, r: Int): Column = {
-    val k = ((r % 26) + 26) % 26
-    if (k == 0) c
-    else translate(c,
-      Lower + Upper,
-      Lower.substring(k) + Lower.substring(0, k) +
-        Upper.substring(k) + Upper.substring(0, k))
+    require(r >= 0 && r < 26 * CoprimeA.length,
+      s"rotateText supports 0 <= r < ${26 * CoprimeA.length}")
+    val a = CoprimeA(r / 26)
+    val b = r % 26
+    if (r == 0) c
+    else {
+      val mapped = (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar).mkString
+      translate(c, Lower + Upper, mapped + mapped.toUpperCase)
+    }
   }
 
   /** Per-replica coordinate permutation (circular shift by `shift`):

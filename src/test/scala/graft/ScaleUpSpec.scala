@@ -41,6 +41,27 @@ class ScaleUpSpec extends SparkSpec {
     assert(m(1L).toSet.intersect(m(s + 1L).toSet).isEmpty)
   }
 
+  test("rotateText stays injective past the Caesar period (factor > 26)") {
+    // round-14 incident: at factor 30 a plain rotation gave replicas 26..29
+    // the SAME remap as 0..3, merging their clusters cross-replica and
+    // quadrupling those classes' pair volume. The affine generalization
+    // keeps all 312 remaps distinct; spot-check the wrap boundary and that
+    // within-replica structure still holds for a high-r cipher.
+    val texts = docs.select(col("doc_id"), ScaleUp.rotateText(col("text"), 26).as("t26"),
+      ScaleUp.rotateText(col("text"), 0).as("t0"),
+      ScaleUp.rotateText(col("text"), 27).as("t27"))
+    val rows = texts.as[(Long, String, String, String)].collect()
+      .map { case (k, a, b, c) => k -> (a, b, c) }.toMap
+    val (t26, t0, t27) = rows(1L)
+    def toks(s: String) = s.split(" ").toSet
+    assert(toks(t26).intersect(toks(t0)).isEmpty, "r=26 must not repeat r=0")
+    assert(toks(t26).intersect(toks(t27)).isEmpty, "r=26 vs r=27 disjoint")
+    // length-preserving, exact-dup structure survives any cipher
+    assert(t26.length == t0.length)
+    val (a26, _, _) = rows(1L); val (b26, _, _) = rows(2L)
+    assert(a26 == b26, "exact duplicates stay exact duplicates under r=26")
+  }
+
   test("end-to-end workload preservation: dedup pairs replicate exactly, never merge") {
     // the property the slope measurement rests on: the replicated corpus's
     // exact-Jaccard pair set is the original's pair set once per replica

@@ -49,14 +49,25 @@ def main(new_duck=None, new_bench=None):
     # replace everything after the paired-table header
     marker = "## Per-query paired table"
     head = md.split(marker)[0]
-    comp = [(s, d) for _, s, d, _, _ in rows if d is not None]
-    ratio = sum(s for s, _ in comp) / sum(d for _, d in comp)
+    # s <= 0 means a missing/zero spark median (a bad parse, not a timing);
+    # flag instead of letting NaN propagate into the regenerated table.
+    zero_s = [n for n, s, d, _, _ in rows if d is not None and s <= 0]
+    if zero_s:
+        print(f"WARNING: skipping {len(zero_s)} rows with spark<=0: {zero_s}")
+    comp = [(s, d) for _, s, d, _, _ in rows if d is not None and s > 0]
+    if not comp:
+        print("no comparable rows (every gate TIMEOUT/rows-only) — "
+              "table written, ratio skipped")
+        ratio = None
+    else:
+        ratio = sum(s for s, _ in comp) / sum(d for _, d in comp)
     Path("BASELINE.md").write_text(
         head + marker + " (round-14 regeneration — every oracled gate)\n\n" +
         table + "\n")
     print(f"paired rows: {len(rows)}; rows-only (no oracle): {missing}")
-    print(f"comparable: {len(comp)} spark {sum(s for s, _ in comp):.1f} "
-          f"duck {sum(d for _, d in comp):.1f} ratio {ratio:.2f}")
+    if ratio is not None:
+        print(f"comparable: {len(comp)} spark {sum(s for s, _ in comp):.1f} "
+              f"duck {sum(d for _, d in comp):.1f} ratio {ratio:.2f}")
 
 
 if __name__ == "__main__":
