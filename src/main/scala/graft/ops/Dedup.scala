@@ -52,6 +52,19 @@ object Dedup {
     */
   val DefaultFirstBandVolumeCap: Long = 1L << 27
 
+  /** Residual-drop threshold for the AUTO route AFTER the exact-dup
+    * signature collapse: a rep-level bucket is dropped only past this
+    * (8192 reps ≈ 34M candidate pairs from one bucket — the genuine
+    * boilerplate regime). Decoupled from [[DefaultHotBucketCap]] (which
+    * decides whether the collapse machinery engages at all): a corpus can
+    * legitimately hold a few-thousand-strong near-dup cluster of DISTINCT
+    * signatures (the factor-30 bench corpus has one), and dropping it
+    * loses real pairs when enumerating it costs only seconds — the drop
+    * is the last resort, not the first response. Forced positive
+    * `maxBucket` keeps the user's explicit drop threshold.
+    */
+  val DefaultResidualDropCap: Int = 4 * DefaultHotBucketCap
+
   /** Exact dedup: one row per distinct `textCol` value, keeping the smallest
     * `idCol`, with the number of copies. Shuffles (hash, id) only; the text
     * body never crosses the wire (collision odds at 64-bit are ~n^2/2^65).
@@ -381,10 +394,14 @@ object Dedup {
 
     // per-doc band-key array (hash of each signature slice); each doc then
     // explodes to (band, bkey) rows CARRYING the 16-long array — the array is
-    // what lets pair generation dedup inline (below)
+    // what lets pair generation dedup inline (below). Keys hash the slice
+    // LONGS directly (multi-arg xxhash64) — bucket membership is decided by
+    // slice equality either way, and the string form (concat_ws over a
+    // slice) paid a per-band string build measured at ~1 s per 5k docs.
     val bandedRaw = sigs.select(col("id"),
       array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*).as("bk"))
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)) :+ lit(b): _*)): _*).as("bk"))
 
     // Route resolution. Forced-exact (Int.MaxValue) keeps the single-pass
     // pipeline untouched. Auto/forced-cap materialize the SKINNY banded
@@ -392,11 +409,15 @@ object Dedup {
     // measurement and the bucket build both read it without recomputing the
     // signature scan — the expensive per-doc shingle+hash work runs exactly
     // once either way.
-    val (banded, effMax) =
-      if (maxBucket == Int.MaxValue) (bandedRaw, Int.MaxValue)
+    // effMax: Int.MaxValue = exact single-pass route; else the capped
+    // machinery engages and dropAt is the rep-level bucket size past which
+    // residual buckets are DROPPED (the user's explicit maxBucket, or
+    // DefaultResidualDropCap on the auto route — see its scaladoc).
+    val (banded, effMax, dropAt) =
+      if (maxBucket == Int.MaxValue) (bandedRaw, Int.MaxValue, Int.MaxValue)
       else {
         val ck = bandedRaw.localCheckpoint(true)
-        if (maxBucket > 0) (ck, maxBucket)
+        if (maxBucket > 0) (ck, maxBucket, maxBucket)
         else {
           // MEASURE: one aggregate over the exploded band keys → hottest
           // bucket size. Only the 1-row max comes back to the driver (bucket
@@ -406,14 +427,14 @@ object Dedup {
             .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
             .agg(max(col("n"))).collect()(0)
           val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
-          if (hottest <= DefaultHotBucketCap) (ck, Int.MaxValue)
+          if (hottest <= DefaultHotBucketCap) (ck, Int.MaxValue, Int.MaxValue)
           else {
             val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
             log.info(s"minhashLshPairs: hottest band bucket has $hottest members " +
               s"(> $DefaultHotBucketCap cap, ~${hottest * (hottest - 1) / 2} candidate " +
-              s"pairs) — pre-collapsing exact-dup signatures, dropping residual " +
-              "hot buckets and taking the pair-level-dedup route")
-            (ck, DefaultHotBucketCap)
+              s"pairs) — pre-collapsing exact-dup signatures; residual buckets " +
+              s"past $DefaultResidualDropCap reps drop")
+            (ck, DefaultHotBucketCap, DefaultResidualDropCap)
           }
         }
       }
@@ -430,7 +451,7 @@ object Dedup {
     val (lshSrc, groupCand) =
       if (effMax == Int.MaxValue) (banded, None)
       else {
-        val keyed = banded.withColumn("__sk", xxhash64(concat_ws(",", col("bk"))))
+        val keyed = banded.withColumn("__sk", xxhash64(col("bk")))
         val repOf = keyed.groupBy("__sk").agg(min(col("id")).as("__rep"))
         // materialized once: both the star pairs and the rep frame read it
         // (without the checkpoint the groupBy+join pass runs twice)
@@ -469,7 +490,7 @@ object Dedup {
         val hottest = if (r.isNullAt(0)) 0L else r.getLong(0)
         val cVol = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
         val dVol = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
-        if (hottest > effMax) (true, false)
+        if (hottest > dropAt) (true, false)
         else {
           val exch = memberSetExchange.getOrElse(
             cVol > firstBandVolumeCap.toDouble && dVol * 2.0 <= cVol)
@@ -493,7 +514,7 @@ object Dedup {
         if (!residualDrop) exploded
         else {
           val hot = exploded.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
-            .where(col("n") > effMax).select("band", "bkey")
+            .where(col("n") > dropAt).select("band", "bkey")
           exploded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
         }
       val grouped = src.groupBy("band", "bkey")

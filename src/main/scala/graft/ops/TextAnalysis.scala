@@ -1558,9 +1558,17 @@ object Shingles {
     * oracle-checkable alternative to xxhash64 — used by the gate variants of
     * MinHash-LSH and SimHash so their full outputs hash-match DuckDB.
     * (xxhash64 stays the fast default: one codegen'd primitive op vs a full
-    * md5 digest + hex parse.)
+    * md5 digest.) Computed by the native [[graft.functions.Md5Hash60Expr]]
+    * (digest + bit shift); [[md5Hash60Builtin]] keeps the composed builtin
+    * tree for the bit-parity spec.
     */
   def md5Hash60(c: Column): Column =
+    graft.functions.Md5Hash60.md5h60(c.cast(BinaryType))
+
+  /** The composed-builtins md5-60 tree (digest → hex → substring → conv) —
+    * value-identical to [[md5Hash60]]; kept as the spec cross-check.
+    */
+  def md5Hash60Builtin(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 
 }

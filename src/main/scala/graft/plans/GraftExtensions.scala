@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, HilbertIndex, JaccardSim, LevenshteinK, MinHash, SimHash}
+import graft.functions.{CosineSim, HilbertIndex, JaccardSim, LevenshteinK, Md5Hash60, MinHash, SimHash}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension: registers graft's native functions.
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHash.functionDescriptor)
     ext.injectFunction(HilbertIndex.functionDescriptor)
     ext.injectFunction(LevenshteinK.functionDescriptor)
+    ext.injectFunction(Md5Hash60.functionDescriptor)
     ext.injectOptimizerRule(s => RangeJoinBucketRewrite(s))
   }
 }
@@ -24,7 +25,8 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit =
     Seq(MinHash.functionDescriptor, CosineSim.functionDescriptor,
         JaccardSim.functionDescriptor, SimHash.functionDescriptor,
-        HilbertIndex.functionDescriptor, LevenshteinK.functionDescriptor).foreach {
+        HilbertIndex.functionDescriptor, LevenshteinK.functionDescriptor,
+        Md5Hash60.functionDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

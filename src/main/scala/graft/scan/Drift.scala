@@ -1501,12 +1501,16 @@ object Drift {
     // rides the same per-pid aggregate — no second materialization of the
     // ranked frame and no separate tie job; values identical, Σ per-pid
     // ≡ the global Σ(c³−c))
+    // c³−c evaluates in LONG codegen below c ≈ 2.1M ties on one value
+    // (the common case) and in decimal past it; either way ONE decimal
+    // cast feeds the sum instead of three per-row decimal products —
+    // the sum itself stays decimal (Σc³ can pass BIGINT even when every
+    // term fits). Value-identical to the all-decimal tree.
+    val tieTerm = when(col("c") > 2000000L,
+        col("c").cast(D) * col("c").cast(D) * col("c").cast(D) - col("c").cast(D))
+      .otherwise((col("c") * col("c") * col("c") - col("c")).cast(D))
     val totRows = parts.groupBy("__pid").agg(sum(col("c")).as("t"),
-        // c³ in DECIMAL from the first product — a long wraps past
-        // c ≈ 2.1M rows tied on one value (value-identical in range)
-        sum(when(col("c") > 1L, col("c").cast(D) * col("c").cast(D) *
-            col("c").cast(D) - col("c").cast(D))
-          .otherwise(lit(0L).cast(D))).as("tt"))
+        sum(when(col("c") > 1L, tieTerm).otherwise(lit(0L).cast(D))).as("tt"))
       .collect()
     val totals = totRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ties = totRows.map(r => Option(r.getDecimal(2))
@@ -1526,11 +1530,21 @@ object Drift {
       // doubled tie-averaged 1-based rank of value v: 2·cum_lt + c + 1
       .withColumn("dr", (col("k") - col("c")) * 2L + col("c") + 1L)
     // per-group doubled rank sums (values side is distinct-values-sized;
-    // AQE broadcasts it under the threshold, shuffles otherwise)
-    val byG = cells.join(ranked.select("v", "dr"), Seq("v"))
-      .groupBy("g").agg(
-        sum(col("cg")).as("ng"),
-        sum((col("cg") * col("dr")).cast(D)).as("rd"))
+    // AQE broadcasts it under the threshold, shuffles otherwise). Σ cg·dr
+    // ≤ n(2n+1), so below ~1.5e9 rows the products sum as PLAIN LONGS
+    // (codegen) and cast to decimal once per group — the per-cell
+    // decimal-cast+add tree only runs past that measured bound.
+    val byG =
+      if (n < 1500000000L)
+        cells.join(ranked.select("v", "dr"), Seq("v"))
+          .groupBy("g").agg(
+            sum(col("cg")).as("ng"),
+            sum(col("cg") * col("dr")).cast(D).as("rd"))
+      else
+        cells.join(ranked.select("v", "dr"), Seq("v"))
+          .groupBy("g").agg(
+            sum(col("cg")).as("ng"),
+            sum((col("cg") * col("dr")).cast(D)).as("rd"))
     // centered ppm term: ⌊(Rᵢᵈ − nᵢ(N+1))² · 10⁶ div (4nᵢ)⌋ — decimal `div`
     // truncates exactly like DuckDB's `//` (see chiSquareCategorical)
     val stats = byG
@@ -1576,8 +1590,8 @@ object Drift {
         col(valueCol).cast(LongType).as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
       .localCheckpoint(true) // one scan serves the μ pass and the moments
-    val tot = rows.agg(sum(col("v").cast(D)).as("s"), count(lit(1)).as("n"))
-      .collect()(0)
+    val tot = rows.agg(sum(col("v").cast(D)).as("s"), count(lit(1)).as("n"),
+        max(abs(col("v"))).as("va")).collect()(0)
     val n = tot.getLong(1)
     require(n > 0, "anovaF needs at least one non-null row")
     val s = BigInt(tot.getDecimal(0).toBigInteger)
@@ -1586,11 +1600,34 @@ object Drift {
     val q0 = s / n
     val mu = (if (s.sign < 0 && q0 * n != s) q0 - 1 else q0).toLong
     val sRem = (s - BigInt(mu) * n).toLong // S' = Σ(v−μ), 0 ≤ S' < N
-    val y = (col("v") - lit(mu)).cast(D)
-    val byG = rows.groupBy("g").agg(
-      count(lit(1)).as("ng"),
-      sum(y).as("sg"),
-      sum(y * y).as("qg"))
+    // Moment route, MEASURED off the same 1-row aggregate the μ pass
+    // already pays (max|v| rides along): per-row DECIMAL y·y + decimal
+    // sums cost ~20× the long path on a wide scan (the fixedPointLong
+    // lesson), but Σy² exceeds BIGINT at corpus scale — so when the
+    // measured |y| ≤ 2·max|v| and row count keep every partial in range,
+    // sum y² as a SPLIT pair of longs (hi = q div 10⁹, lo = q mod 10⁹ —
+    // both codegen'd) and recombine exactly; otherwise the decimal trees
+    // run unchanged. Both routes produce the identical exact integers.
+    val maxAbsY = 2.0 * tot.getLong(2).toDouble + 1.0
+    val longSafe = maxAbsY <= 3.0e9 &&
+      n.toDouble * maxAbsY < 8.0e18 && // Σ|y| partials fit a long
+      n.toDouble * (maxAbsY * maxAbsY / 1e9 + 1.0) < 8.0e18 // Σhi, Σlo fit
+    val byG = if (longSafe) {
+      val yl = col("v") - lit(mu)
+      // pre-project y and y² ONCE (no cross-aggregate CSE in Spark)
+      rows.select(col("g"), yl.as("__y"), (yl * yl).as("__q"))
+        .groupBy("g").agg(
+          count(lit(1)).as("ng"),
+          sum(col("__y")).cast(D).as("sg"),
+          (sum(expr("__q div 1000000000")).cast(D) * lit(1000000000L).cast(D) +
+            sum(expr("__q % 1000000000")).cast(D)).as("qg"))
+    } else {
+      val y = (col("v") - lit(mu)).cast(D)
+      rows.groupBy("g").agg(
+        count(lit(1)).as("ng"),
+        sum(y).as("sg"),
+        sum(y * y).as("qg"))
+    }
     // per-group fixed double trees, floored to order-free integers
     val ngD = col("ng").cast(DoubleType)
     val sgD = col("sg").cast(DoubleType)

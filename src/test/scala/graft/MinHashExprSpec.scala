@@ -36,6 +36,45 @@ class MinHashExprSpec extends SparkSpec {
     assert(interp.toSeq == viaDf)
   }
 
+  test("Mersenne shift reduction is exact against plain % over the coef space") {
+    // the inner-loop (m·a + b) mod p replaced % with the 2³¹−1 shift
+    // reduction; sweep boundary m values × every 64-perm coefficient pair
+    val (as, bs) = MinHash.coefs(64)
+    val P = MinHash.P
+    val ms = Seq(0L, 1L, P - 1, P - 2, P / 2, 123456789L, 2100000000L)
+    for (m <- ms; j <- as.indices) {
+      var v = m * as(j) + bs(j)
+      v = (v & P) + (v >>> 31)
+      v = (v & P) + (v >>> 31)
+      if (v >= P) v -= P
+      assert(v == (m * as(j) + bs(j)) % P, s"m=$m j=$j")
+    }
+  }
+
+  test("native md5-60 expression matches the composed builtin tree and DuckDB form") {
+    // md5Hash60 switched from conv(substring(md5(x),1,15),16,10) to the
+    // native digest+shift expression — bit-parity on varied inputs
+    // (empty string, unicode, long text, numeric strings)
+    val rows = Seq("", "a", "the quick brown fox", "héllo wörld ünïcode",
+      "x" * 10000, "12345", "doc|42|split", "\ttabs\nnewlines\t")
+      .toDF("s")
+    val both = rows.select(
+      Shingles.md5Hash60(col("s")).as("native"),
+      Shingles.md5Hash60Builtin(col("s")).as("builtin"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (n, b) => assert(n == b) }
+    assert(both.forall(_._1 >= 0L), "md5-60 must be non-negative (< 2^60)")
+    assert(both.map(_._1).distinct.length == both.length, "distinct inputs hash apart")
+  }
+
+  test("md5-60 SQL registration + interpreted eval parity") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_md5_60(cast('the quick brown fox' AS BINARY))").as[Long].collect()(0)
+    val interp = graft.functions.Md5Hash60.hash("the quick brown fox".getBytes("UTF-8"))
+    assert(viaSql == interp)
+  }
+
   test("SQL function registration via extensions") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("mh_docs")
