@@ -65,7 +65,10 @@ object ScaleBench {
     // round-14 additions: the data-dominated members of the new batch
     // (contamination's train-distinct reduction, PII's regex scan,
     // Bradley-Terry's self-join rollup, wilcoxon/gini's prefix machinery)
-    "q_contam_frac", "q_pii", "q_bradley_terry", "q_wilcoxon", "q_ndcg")
+    "q_contam_frac", "q_pii", "q_bradley_terry", "q_wilcoxon", "q_ndcg",
+    // round-15 additions (judge item #5): the bench-heaviest gates that
+    // still lacked a factor-30 point
+    "q_dsir", "q_dedup_incremental_e2e", "q_er_pipeline")
 
   /** Generate the scaled corpus: every table the slope queries read,
     * replicated with workload-preserving transforms and written as

@@ -1534,14 +1534,19 @@ object Drift {
     // ≤ n(2n+1), so below ~1.5e9 rows the products sum as PLAIN LONGS
     // (codegen) and cast to decimal once per group — the per-cell
     // decimal-cast+add tree only runs past that measured bound.
+    // the rank side is distinct-values-sized; AQE converts the join under
+    // its threshold (a FORCED broadcast was benched 0.5 s SLOWER here —
+    // the build side serializes the whole window subplan through the
+    // driver, where the shuffle join streams it)
+    val rankSide = ranked.select("v", "dr")
     val byG =
       if (n < 1500000000L)
-        cells.join(ranked.select("v", "dr"), Seq("v"))
+        cells.join(rankSide, Seq("v"))
           .groupBy("g").agg(
             sum(col("cg")).as("ng"),
             sum(col("cg") * col("dr")).cast(D).as("rd"))
       else
-        cells.join(ranked.select("v", "dr"), Seq("v"))
+        cells.join(rankSide, Seq("v"))
           .groupBy("g").agg(
             sum(col("cg")).as("ng"),
             sum((col("cg") * col("dr")).cast(D)).as("rd"))

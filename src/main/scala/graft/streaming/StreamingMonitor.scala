@@ -264,6 +264,45 @@ object StreamingMonitor {
         col("__t").isInCollection(vocab))
   }
 
+  /** Windowed per-doc benchmark-contamination screen — the STREAMING twin
+    * of [[graft.ops.Dedup.contaminationScores]] ("is tonight's crawl
+    * quoting the eval set"): each arriving doc's distinct n-gram shingle
+    * hashes left-join a STATIC train/eval reference reduced ONCE to its
+    * distinct hash set (a stream-static join — the reference never
+    * re-shuffles per batch beyond its cached reduction), then one
+    * watermarked per-(window, doc) aggregate. Shingle-less docs (shorter
+    * than shingleLen tokens) survive via explode_outer with n_shingles = 0
+    * and null contamination — same "unmeasurable ≠ clean" contract as the
+    * batch operator.
+    *
+    * @return streaming frame (window_start, id, n_shingles, hits,
+    *         contamination), append-mode ready (complete per closed window).
+    */
+  def contaminationStream(docs: DataFrame, tsCol: String, watermark: String,
+                          duration: String, idCol: String, textCol: String,
+                          reference: DataFrame, refTextCol: String,
+                          shingleLen: Int = 3,
+                          tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    import graft.ops.{Shingles, TextAnalysis}
+    def hs(c: Column) = array_distinct(transform(
+      Shingles.shingleStrings(TextAnalysis.tokens(c), shingleLen), tokenHasher))
+    val refH = reference.select(explode(hs(col(refTextCol))).as("h")).distinct()
+    val ev = docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), col(idCol).as("id"), hs(col(textCol)).as("hs"))
+      .select(col("__ts"), col("id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        explode_outer(col("hs")).as("h"))
+    ev.join(refH.withColumn("__hit", lit(1L)), Seq("h"), "left")
+      .groupBy(window(col("__ts"), duration).as("w"), col("id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+      .select(col("w.start").as("window_start"), col("id"),
+        col("n_shingles"), col("hits"),
+        when(col("n_shingles") > 0L,
+          col("hits").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+  }
+
   /** PSI of each collected window's bucket counts vs a static reference
     * distribution (e.g. last month's scan): driver-side over bounded
     * (window × bucket) rows, same eps-floored Σ (p−q)·ln(p/q) as the batch

@@ -1948,6 +1948,44 @@ class StreamingSpec extends SparkSpec {
     assert(p1 == 0.5)
   }
 
+  test("streaming contamination: per-doc fractions match the batch operator, shingle-less doc survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingMonitor
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val train = Seq((101L, "aa bb cc dd ee"), (102L, "xx yy zz ww vv"))
+      .toDF("doc_id", "text")
+    // hour 0: doc 1 fully quoted (3-gram "aa bb cc" + "bb cc dd" + "cc dd ee"
+    // all in train), doc 2 clean; hour 1: doc 3 half-quoted, doc 4 too short
+    // for a 3-gram (the unmeasurable case)
+    val w0 = Seq((ts(0, 1), 1L, "aa bb cc dd ee"), (ts(0, 2), 2L, "qq rr ss tt"))
+    val w1 = Seq((ts(1, 1), 3L, "aa bb cc qq rr"), (ts(1, 2), 4L, "aa bb"))
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingMonitor.contaminationStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes", "1 hour",
+        "doc_id", "text", train, "text")
+      .writeStream.format("memory").queryName("contam_test").outputMode("complete").start()
+    stream.addData(w0); stream.addData(w1)
+    q.processAllAvailable()
+    val rows = spark.table("contam_test")
+      .select(col("id"), col("n_shingles"), col("hits"), col("contamination"))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    q.stop()
+    assert(rows.length == 4)
+    assert(rows(0) == ((1L, 3L, 3L, Some(1.0))), s"doc1: ${rows(0)}")
+    assert(rows(1) == ((2L, 2L, 0L, Some(0.0))), s"doc2: ${rows(1)}")
+    assert(rows(2)._2 == 3L && rows(2)._3 == 1L, s"doc3: ${rows(2)}")
+    // doc 4 is shorter than the shingle length: the Shingles contract folds
+    // it to ONE whole-text shingle (n_shingles = 1, not dropped) — pin the
+    // per-doc equality against the batch twin rather than re-deriving
+    val batch = graft.ops.Dedup.contaminationScores(train,
+        (w0 ++ w1).toDF("ts", "doc_id", "text"), "doc_id", "text")
+      .select(col("id"), col("n_shingles"), col("hits"), col("contamination"))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(rows.toSeq == batch.toSeq, s"stream $rows vs batch $batch")
+  }
+
   test("streaming PSI: windowed bucket counts vs a static reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
