@@ -716,32 +716,80 @@ object Correlation {
   }
 
   /** Per-GROUP [[spearman]]: monotone association per segment — "does
-    * quality track length in EVERY language, or only in English?" Rank
-    * maps become (group, value) counts with group-bounded running-sum
-    * windows (no routing needed — the cumulative never crosses a group),
-    * doubled tie-averaged ranks attach back by (group, value) join, and
-    * the per-group moments ride the exact pairAggs machinery. Groups
-    * where either side is constant report NULL rho; listwise NULLs.
+    * quality track length in EVERY language, or only in English?" Doubled
+    * tie-averaged ranks feed the exact pairAggs machinery; groups where
+    * either side is constant report NULL rho; listwise NULLs.
+    *
+    * MEASURED route (one cheap aggregate prices both decisions):
+    *  - `groups >= maxWindowGroups` (default 4× shuffle partitions): the
+    *    one-exchange WINDOW route — 2·rank + t − 1 ≡ (cum−c)·2 + c + 1,
+    *    both columns' rank windows share one exchange on g; with that many
+    *    groups the in-partition sorts spread over the full cluster.
+    *  - fewer groups over a LARGE corpus (the "3 segments over 600M rows"
+    *    shape): the window exchange collapses the corpus onto `groups`
+    *    tasks and sorts it FOUR times there — instead roll up to distinct
+    *    (g, col, value) CELLS (one full-parallelism shuffle; both columns
+    *    ride one rollup via a 2-way explode), run the group-bounded
+    *    cumulative on the skinny cell frame (`groups`·2 window partitions
+    *    of distinct values), and attach doubled ranks back by (g, value)
+    *    join — broadcast while the measured cell count fits
+    *    `maxBroadcastCells`, hash join past it. Rows never sit in a
+    *    `groups`-task sort.
+    *  - fewer groups over a SMALL corpus (under `minCellsRouteRows`): the
+    *    window route again — at sf0.1 (3 groups, 600k rows) the two extra
+    *    rollup/attach jobs cost more than the collapsed sorts save
+    *    (measured interleaved min-of-4: windows 3.1 s vs cells 3.6 s);
+    *    the crossover belongs to row volume, not group count.
+    *    Routes are parity-spec'd bit-identical against each other.
     *
     * @return one row per group: (groupCol, n, rho).
     */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
-                      yCol: String, scale: Int = 2): DataFrame = {
+                      yCol: String, scale: Int = 2,
+                      maxWindowGroups: Long = -1L,
+                      maxBroadcastCells: Long = 1L << 20,
+                      minCellsRouteRows: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // doubled tie-averaged rank DIRECTLY as a window pair per column:
-    // 2·rank + t − 1 ≡ the (cum−c)·2 + c + 1 rollup formulation (rank−1
-    // = values below), so no rank-map rollups and no attach joins — both
-    // columns' windows share ONE exchange on g (two in-partition sorts);
-    // measured 3.0 → 1.5 s STANDALONE at sf0.1 with bit-identical output
-    // (under full-bench JVM/cache pressure the committed number is ~2.7 s)
     val base = df.select(col(groupCol).as("g"),
         MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
       .where(col("g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
-    def dr(c: String) =
-      rank().over(Window.partitionBy("g").orderBy(c)).cast(LongType) * 2L +
-        count(lit(1)).over(Window.partitionBy("g", c)) - 1L
-    val ranked = base.withColumn("dr__x", dr("__x")).withColumn("dr__y", dr("__y"))
+      .localCheckpoint(true) // serves the measure pass, the rollup AND the attach joins
+    val windowMin =
+      if (maxWindowGroups >= 0L) maxWindowGroups
+      else 4L * df.sparkSession.sessionState.conf.numShufflePartitions
+    val m = base.agg(count(lit(1)).as("n"),
+      approx_count_distinct(col("g")).as("gs"),
+      greatest(approx_count_distinct(struct(col("g"), col("__x"))),
+        approx_count_distinct(struct(col("g"), col("__y")))).as("cells")).collect()(0)
+    val n = m.getLong(0)
+    val groups = m.getLong(1)
+    val cells = m.getLong(2)
+    val ranked = if (groups >= windowMin || n < minCellsRouteRows) {
+      def dr(c: String) =
+        rank().over(Window.partitionBy("g").orderBy(c)).cast(LongType) * 2L +
+          count(lit(1)).over(Window.partitionBy("g", c)) - 1L
+      base.withColumn("dr__x", dr("__x")).withColumn("dr__y", dr("__y"))
+    } else {
+      val cellCounts = base.select(col("g"), explode(array(
+          struct(lit(0).as("__k"), col("__x").as("__v")),
+          struct(lit(1).as("__k"), col("__y").as("__v")))).as("kv"))
+        .select(col("g"), col("kv.__k").as("__k"), col("kv.__v").as("__v"))
+        .groupBy("g", "__k", "__v").agg(count(lit(1)).as("__c"))
+      // cells are distinct per (g, __k) partition, so the RANGE frame's
+      // tie handling is moot: cum is the inclusive per-group running count
+      val wRun = Window.partitionBy("g", "__k").orderBy("__v")
+      val drCells = cellCounts.select(col("g"), col("__k"), col("__v"),
+          ((sum(col("__c")).over(wRun) - col("__c")) * 2L + col("__c") + 1L).as("__dr"))
+        .localCheckpoint(true) // ONE window pass serves both attach sides
+      def side(k: Int, vAs: String, drAs: String) = {
+        val s = drCells.where(col("__k") === k)
+          .select(col("g"), col("__v").as(vAs), col("__dr").as(drAs))
+        if (cells <= maxBroadcastCells) broadcast(s) else s
+      }
+      base.join(side(0, "__x", "dr__x"), Seq("g", "__x"))
+        .join(side(1, "__y", "dr__y"), Seq("g", "__y"))
+    }
     val aggs = pairAggs(col("dr__x"), col("dr__y"), "sp")
     ranked.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol), col("n_sp").cast(LongType).as("n"),

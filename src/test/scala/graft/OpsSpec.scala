@@ -1354,6 +1354,28 @@ class CorrelationSpec extends SparkSpec {
     }
   }
 
+  test("spearmanByGroup: window / cells-broadcast / cells-join routes bit-identical") {
+    // ties-heavy frame across several groups — doubled ranks exercise the
+    // tie-averaging formula on every route
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 5}", rnd.nextInt(12).toDouble, rnd.nextInt(9).toDouble)
+    }
+    val df = rows.toDF("g", "x", "y")
+    def run(maxWindowGroups: Long, maxBroadcastCells: Long) =
+      Correlation.spearmanByGroup(df, "g", "x", "y", scale = 0,
+        maxWindowGroups = maxWindowGroups, maxBroadcastCells = maxBroadcastCells,
+        minCellsRouteRows = 0L)
+        .orderBy("g").collect().map(r =>
+          (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSeq
+    val windows = run(1L, 1L << 20)              // groups >= 1 -> window route
+    val cellsBc = run(Long.MaxValue, 1L << 20)   // cells route, broadcast attach
+    val cellsJn = run(Long.MaxValue, 0L)         // cells route, hash-join attach
+    assert(windows == cellsBc, "window vs cells-broadcast")
+    assert(windows == cellsJn, "window vs cells-join")
+  }
+
   test("spearman: monotone invariance, ties, anti-correlation, constant null") {
     // y = x^3 is a nonlinear MONOTONE map: spearman must be exactly 1
     val mono = (1 to 50).map(i => (i.toDouble, (i.toDouble * i * i)))
