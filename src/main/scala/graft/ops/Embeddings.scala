@@ -733,6 +733,14 @@ object Embeddings {
     * cluster / source — which segment collapsed to near-duplicates. Same
     * centroid identity per group; the per-dim sums become a (group, dim)
     * aggregate (group×dim-bounded), still no pair join anywhere.
+    *
+    * ONE exploded pass serves everything: per (group, dim) cell, Σu (for
+    * |Σu|²), Σu² (for Σ|u|²) and the vector count (n = the dim-0 count —
+    * every surviving vector has a dim 0) — so the normalize+quantize
+    * transform evaluates once per row and there is no second corpus scan
+    * or group join. All sums are DECIMAL from the first addition (u² ≤
+    * 10^2·scale fits a long per element; the per-cell SUM does not bound n,
+    * so it must not ride a long). Exact integers in, one double tree out.
     */
   def diversityByGroup(df: DataFrame, groupCol: String, vecCol: String,
                        scale: Int = 6): DataFrame = {
@@ -747,14 +755,17 @@ object Embeddings {
       .where(col("__norm") > 0.0)
       .select(col("grp"), expr(s"transform(__v, x -> $fx)").as("__u"))
     val dec = DecimalType(38, 0)
-    val nq = base.select(col("grp"),
-        expr("aggregate(__u, 0L, (a, y) -> a + y * y)").as("__q"))
-      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("__q").cast(dec)).as("qq"))
-    val s2 = base.select(col("grp"), posexplode(col("__u")).as(Seq("dim", "u")))
-      .groupBy("grp", "dim").agg(sum(col("u")).cast(dec).as("sd"))
-      .groupBy("grp").agg(sum(col("sd") * col("sd")).as("s2"))
+    val perDim = base.select(col("grp"), posexplode(col("__u")).as(Seq("dim", "u")))
+      .groupBy("grp", "dim").agg(
+        sum(col("u").cast(dec)).as("sd"),
+        sum((col("u") * col("u")).cast(dec)).as("qd"),
+        count(lit(1)).as("c"))
+    val agg = perDim.groupBy("grp").agg(
+      max(when(col("dim") === 0, col("c"))).as("n"),
+      sum(col("sd") * col("sd")).as("s2"),
+      sum(col("qd")).as("qq"))
     val nn = (col("n").cast(dec) * (col("n") - 1L).cast(dec))
-    nq.join(s2, Seq("grp")).select(
+    agg.select(
       col("grp").as(groupCol), col("n"),
       when(col("n") >= 2L,
         (col("s2") - col("qq")).cast(DoubleType) / nn.cast(DoubleType) /

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.metrics.MetricColumns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -699,6 +700,109 @@ object Similarity {
       .withColumn("neg_rank", row_number().over(w))
       .where(col("neg_rank") <= k)
       .select("query_id", "neg_rank", "neighbor_id")
+  }
+
+  /** MMR diverse re-ranking (maximal marginal relevance, Carbonell &
+    * Goldstein SIGIR'98): per query group, greedily select `k` candidates
+    * maximizing λ·rel − (1−λ)·max_{s∈Selected} cos(c, s) — the standard
+    * relevance-vs-redundancy dial for exemplar selection / RAG context
+    * assembly (top-k by relevance alone returns k paraphrases of the
+    * same passage).
+    *
+    * CONTRACT: the per-query candidate set must be pre-bounded (the
+    * retrieval stage's top-N — enforced against `maxCandidates`); the
+    * greedy recurrence is irreducibly sequential per group, so each group
+    * computes locally over its bounded candidate array (collect_list +
+    * one per-GROUP function — the legitimate imperative tier: state is
+    * candidate-bounded, never corpus-bounded; groups spread across the
+    * cluster by the groupBy exchange).
+    *
+    * Cross-engine exactness: λ = `lambdaNum/lambdaDen` stays rational;
+    * relevance quantizes to scale-`scale` fixed-point (|rel| ≤ 1.3
+    * documented bound), vectors unit-normalize and quantize row-locally
+    * to scale-`scale` ints, cosine of quantized units is an EXACT integer
+    * dot, and the greedy objective compares exact longs:
+    * obj = lambdaNum·relFx·10^scale − (lambdaDen−lambdaNum)·maxSim.
+    * Ties break by id ascending. The returned `obj` is that exact integer
+    * (descale by lambdaDen·10^(2·scale) for the real-valued score).
+    *
+    * @return one row per selection: (queryCol, idCol, slot (1-based
+    *         greedy order), obj).
+    */
+  def mmrRerank(df: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambdaNum: Int = 7, lambdaDen: Int = 10, scale: Int = 6,
+                maxCandidates: Int = 1 << 12): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaNum > 0 && lambdaNum < lambdaDen, "need 0 < lambda < 1")
+    val s = math.pow(10, scale)
+    val sL = math.round(s)
+    val fx = s"CASE WHEN CAST(x AS DOUBLE) / __norm >= 0 " +
+      s"THEN CAST(floor(CAST(x AS DOUBLE) / __norm * $s + 0.5) AS BIGINT) " +
+      s"ELSE -CAST(floor(-(CAST(x AS DOUBLE) / __norm) * $s + 0.5) AS BIGINT) END"
+    val base = df.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+        MetricColumns.fixedPointLong(col(relCol), scale).as("__rel"),
+        col(vecCol).as("__v"))
+      .where(col("__q").isNotNull && col("__id").isNotNull &&
+        col("__rel").isNotNull && col("__v").isNotNull && size(col("__v")) > 0)
+      .withColumn("__norm", sqrt(expr(
+        "aggregate(__v, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")))
+      .where(col("__norm") > 0.0)
+      .select(col("__q"), col("__id"), col("__rel"),
+        expr(s"transform(__v, x -> $fx)").as("__u"))
+    val lNum = lambdaNum.toLong
+    val lRem = (lambdaDen - lambdaNum).toLong
+    val kk = k
+    val maxC = maxCandidates
+    val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      require(cands.size <= maxC,
+        s"candidate set ${cands.size} exceeds maxCandidates $maxC — bound the retrieval stage")
+      val n = cands.size
+      val ids = cands.map(_.getLong(0)).toArray
+      val rels = cands.map(_.getLong(1)).toArray
+      val us = cands.map(_.getSeq[Long](2).toArray).toArray
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        val d = math.min(a.length, b.length)
+        while (i < d) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val taken = new Array[Boolean](n)
+      val maxSim = Array.fill(n)(Long.MinValue) // MinValue = empty selected set -> penalty 0
+      val out = Seq.newBuilder[(Long, Int, Long)]
+      var slot = 1
+      while (slot <= math.min(kk, n)) {
+        var best = -1; var bestObj = Long.MinValue
+        var c = 0
+        while (c < n) {
+          if (!taken(c)) {
+            val pen = if (maxSim(c) == Long.MinValue) 0L else lRem * maxSim(c)
+            val obj = lNum * rels(c) * sL - pen
+            if (obj > bestObj || (obj == bestObj && (best < 0 || ids(c) < ids(best)))) {
+              best = c; bestObj = obj
+            }
+          }
+          c += 1
+        }
+        taken(best) = true
+        out += ((ids(best), slot, bestObj))
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val sim = dot(us(j), us(best))
+            if (maxSim(j) == Long.MinValue || sim > maxSim(j)) maxSim(j) = sim
+          }
+          j += 1
+        }
+        slot += 1
+      }
+      out.result()
+    }
+    base.groupBy(col("__q"))
+      .agg(collect_list(struct(col("__id"), col("__rel"), col("__u"))).as("__c"))
+      .select(col("__q").as(queryCol), explode(greedy(col("__c"))).as("__r"))
+      .select(col(queryCol), col("__r._1").as(idCol),
+        col("__r._2").as("slot"), col("__r._3").as("obj"))
   }
 
   /** In-degree (hubness) over a kNN graph frame (query_id, rank,

@@ -33,6 +33,23 @@ private[queries] object SimilarityQueries {
       Embeddings.diversityByGroup(emb, "label", "embedding").orderBy("label")
     },
 
+    "q_mmr" -> { (s, dir) =>
+      // MMR diverse re-rank: per label, bound candidates to the top-16 by
+      // a deterministic hash relevance, then greedily pick 3 maximizing
+      // 0.7·rel − 0.3·max-cos-to-selected — exact integer objective
+      val emb = t(s, dir, "embeddings")
+      val rel = (Shingles.md5Hash60(concat(col("vec_id").cast(StringType),
+        lit("|mmr"))) % 1000000L).cast(DoubleType) / lit(1000000.0)
+      val w = Window.partitionBy("label")
+        .orderBy(col("rel").desc, col("vec_id").asc)
+      val cands = emb.where(col("label").isNotNull)
+        .withColumn("rel", rel)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 16)
+      Similarity.mmrRerank(cands, "label", "vec_id", "rel", "embedding",
+          k = 3)
+        .orderBy("label", "slot")
+    },
+
     "q_diversity" -> { (s, dir) =>
       // average pairwise cosine of the whole embedding table in ONE pass
       // via |Σu|² − Σ|u|² — the diversity audit with no pair join; exact
@@ -564,6 +581,65 @@ private[queries] object SimilarityQueries {
         |            / CAST(CAST(nq.n AS HUGEINT) * (nq.n - 1) AS DOUBLE)
         |            / 1000000000000.0 END AS avg_pair_cos
         |FROM nq JOIN s2 USING (label) ORDER BY label""".stripMargin,
+
+    // greedy MMR unrolled to k = 3 selections: slot-1 pick is the rel_fx
+    // argmax; each later slot re-scores the remainder with the exact
+    // integer objective 7*rel_fx*1e6 - 3*max(dot to selected) and takes
+    // the (obj DESC, vec_id ASC) argmax — the same greedy the Spark
+    // operator runs per bounded group
+    "q_mmr" ->
+      """WITH r AS (SELECT label, vec_id, embedding,
+        |    (('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|mmr'), 1, 15))::BIGINT
+        |     % 1000000) / 1000000.0 AS rel
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |c AS (SELECT * FROM (SELECT r.*,
+        |    row_number() OVER (PARTITION BY label ORDER BY rel DESC, vec_id) AS rn
+        |  FROM r) WHERE rn <= 16),
+        |n AS (SELECT label, vec_id, rel, embedding AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, x) -> a + x)) AS nrm
+        |  FROM c WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |u AS (SELECT label, vec_id,
+        |    CAST(floor(rel * 1000000.0 + 0.5) AS BIGINT) AS rel_fx,
+        |    list_transform(v, x ->
+        |      CASE WHEN CAST(x AS DOUBLE) / nrm >= 0
+        |           THEN CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT)
+        |           ELSE -CAST(floor(-(CAST(x AS DOUBLE) / nrm) * 1000000.0 + 0.5) AS BIGINT)
+        |      END) AS uu
+        |  FROM n WHERE nrm > 0),
+        |s1 AS (SELECT label, vec_id, rel_fx, uu, 7 * rel_fx * 1000000 AS obj
+        |  FROM (SELECT u.*, row_number() OVER (PARTITION BY label
+        |          ORDER BY rel_fx DESC, vec_id) AS rk FROM u) WHERE rk = 1),
+        |r1 AS (SELECT u.* FROM u LEFT JOIN s1
+        |    ON u.label = s1.label AND u.vec_id = s1.vec_id
+        |  WHERE s1.vec_id IS NULL),
+        |sc1 AS (SELECT r1.label, r1.vec_id, r1.rel_fx, r1.uu,
+        |    7 * r1.rel_fx * 1000000 - 3 * list_reduce(
+        |      list_transform(range(1, len(r1.uu) + 1), i -> r1.uu[i] * s1.uu[i]),
+        |      (a, b) -> a + b) AS obj
+        |  FROM r1 JOIN s1 ON r1.label = s1.label),
+        |s2 AS (SELECT label, vec_id, rel_fx, uu, obj
+        |  FROM (SELECT sc1.*, row_number() OVER (PARTITION BY label
+        |          ORDER BY obj DESC, vec_id) AS rk FROM sc1) WHERE rk = 1),
+        |r2 AS (SELECT r1.* FROM r1 LEFT JOIN s2
+        |    ON r1.label = s2.label AND r1.vec_id = s2.vec_id
+        |  WHERE s2.vec_id IS NULL),
+        |sel AS (SELECT label, uu FROM s1 UNION ALL SELECT label, uu FROM s2),
+        |sc2 AS (SELECT r2.label, r2.vec_id,
+        |    7 * r2.rel_fx * 1000000 - 3 * max(list_reduce(
+        |      list_transform(range(1, len(r2.uu) + 1), i -> r2.uu[i] * sel.uu[i]),
+        |      (a, b) -> a + b)) AS obj
+        |  FROM r2 JOIN sel ON r2.label = sel.label
+        |  GROUP BY r2.label, r2.vec_id, r2.rel_fx),
+        |s3 AS (SELECT label, vec_id, obj
+        |  FROM (SELECT sc2.*, row_number() OVER (PARTITION BY label
+        |          ORDER BY obj DESC, vec_id) AS rk FROM sc2) WHERE rk = 1)
+        |SELECT label, vec_id, slot, CAST(obj AS BIGINT) AS obj FROM (
+        |  SELECT label, vec_id, 1 AS slot, obj FROM s1
+        |  UNION ALL SELECT label, vec_id, 2, obj FROM s2
+        |  UNION ALL SELECT label, vec_id, 3, obj FROM s3)
+        |ORDER BY label, slot""".stripMargin,
 
     "q_diversity" ->
       """WITH b AS (SELECT embedding AS v,

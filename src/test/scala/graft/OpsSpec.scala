@@ -2157,6 +2157,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (q, _, n) => !posSet((q, n)) })
   }
 
+  test("mmrRerank: greedy diverse pick over a hand-computed case, exact objectives") {
+    // one query group, 2-D unit vectors chosen exact under quantization:
+    // a (rel 1.0) and b (rel 0.9) share a direction; c (rel 0.5) is
+    // orthogonal; d (rel 0.4) sits at (3,4)/5. Greedy at lambda 0.7:
+    // slot1 a (obj 7e12); slot2 c jumps OVER b (3.5e12 vs b's
+    // 6.3e12 - 3e12 = 3.3e12 — redundancy penalty at work); slot3 b.
+    val df = Seq(
+      (1L, 10L, 1.0, Seq(1f, 0f)),
+      (1L, 11L, 0.9, Seq(1f, 0f)),
+      (1L, 12L, 0.5, Seq(0f, 1f)),
+      (1L, 13L, 0.4, Seq(3f, 4f))).toDF("q", "id", "rel", "v")
+    val got = Similarity.mmrRerank(df, "q", "id", "rel", "v", k = 3)
+      .orderBy("slot").as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 1, 7000000000000L),
+      (1L, 12L, 2, 3500000000000L),
+      (1L, 11L, 3, 3300000000000L)), got.toString)
+    // ties break by id: two identical candidates -> smaller id first
+    val tie = Seq(
+      (2L, 21L, 0.8, Seq(0f, 1f)), (2L, 20L, 0.8, Seq(0f, 1f)))
+      .toDF("q", "id", "rel", "v")
+    val tg = Similarity.mmrRerank(tie, "q", "id", "rel", "v", k = 2)
+      .orderBy("slot").as[(Long, Long, Int, Long)].collect().toSeq
+    assert(tg.map(_._2) == Seq(20L, 21L))
+    // k past the candidate count stops at n selections
+    assert(Similarity.mmrRerank(tie, "q", "id", "rel", "v", k = 5)
+      .count() == 2L)
+    // the candidate bound is enforced
+    intercept[Exception] {
+      Similarity.mmrRerank(tie, "q", "id", "rel", "v", k = 1,
+        maxCandidates = 1).count()
+    }
+  }
+
   test("diverse sample drops hubs then hash-samples deterministically") {
     val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3, ncells = 4, nprobe = 2)
     val hubs = Similarity.hubScores(g).where(col("in_degree") > 5)
