@@ -62,7 +62,7 @@ def main(new_duck=None, new_bench=None):
     else:
         ratio = sum(s for s, _ in comp) / sum(d for _, d in comp)
     Path("BASELINE.md").write_text(
-        head + marker + " (round-14 regeneration — every oracled gate)\n\n" +
+        head + marker + " (round-15 regeneration — every oracled gate)\n\n" +
         table + "\n")
     print(f"paired rows: {len(rows)}; rows-only (no oracle): {missing}")
     if ratio is not None:
