@@ -802,14 +802,20 @@ object Embeddings {
       .where(col("__norm") > 0.0)
       .select(expr(s"transform(__v, x -> $fx)").as("__u"))
     val dec = DecimalType(38, 0)
-    val nq = base.select(
-        expr("aggregate(__u, 0L, (a, y) -> a + y * y)").as("__q"))
-      .agg(count(lit(1)).as("n"), sum(col("__q").cast(dec)).as("qq"))
-    val s2 = base.select(posexplode(col("__u")).as(Seq("dim", "u")))
-      .groupBy("dim").agg(sum(col("u")).cast(dec).as("sd"))
-      .agg(coalesce(sum(col("sd") * col("sd")), lit(0L).cast(dec)).as("s2"))
+    // ONE exploded pass (the diversityByGroup shape): per dim, Σu, Σu²
+    // and the dim-0 vector count — the normalize+quantize transform
+    // evaluates once per row, no second corpus scan, no join
+    val perDim = base.select(posexplode(col("__u")).as(Seq("dim", "u")))
+      .groupBy("dim").agg(
+        sum(col("u").cast(dec)).as("sd"),
+        sum((col("u") * col("u")).cast(dec)).as("qd"),
+        count(lit(1)).as("c"))
+    val agg = perDim.agg(
+      coalesce(max(when(col("dim") === 0, col("c"))), lit(0L)).as("n"),
+      coalesce(sum(col("sd") * col("sd")), lit(0L).cast(dec)).as("s2"),
+      coalesce(sum(col("qd")), lit(0L).cast(dec)).as("qq"))
     val nn = (col("n").cast(dec) * (col("n") - 1L).cast(dec))
-    nq.crossJoin(s2).select(
+    agg.select(
       col("n"),
       when(col("n") >= 2L,
         (col("s2") - col("qq")).cast(DoubleType) / nn.cast(DoubleType) /
