@@ -482,6 +482,39 @@ object Embeddings {
     base.select(col("id"), array(projections: _*).as("proj"))
   }
 
+  /** PCA whitening (Su et al. 2021, arXiv:2103.15316 "Whitening Sentence
+    * Representations"): y_c = (x−μ)·w_c / √(λ_c + eps) — decorrelate and
+    * unit-variance the projected space, the standard embedding
+    * post-process that repairs ANISOTROPIC encoder output before cosine
+    * retrieval (a couple of dominant directions otherwise swamp every
+    * similarity; whitening makes the retained axes contribute equally).
+    * Entirely ROW-LOCAL against the literal-bound [[PcaModel]] (the
+    * [[pcaProject]] discipline — no join, no shuffle; fit once on a
+    * sample, whiten the whole corpus): the per-component 1/√λ scales fold
+    * into the projection literals. Over the FIT corpus the whitened
+    * population covariance is diag(λ/(λ+eps)) ≈ I_k by construction
+    * (spec-asserted); zero-variance directions stay finite via `eps`
+    * (zero projection × large scale = 0).
+    *
+    * @return (id, white: array<double> of length k).
+    */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, model: PcaModel,
+             eps: Double = 1e-12): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val scales = model.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    val fx = (x: Column) =>
+      graft.metrics.MetricColumns.fixedPointLong(x.cast(DoubleType), model.fxScale)
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => fx(x).cast(DoubleType)).as("qv"))
+      .where(size(col("qv")) === model.dim)
+    val whitened = model.components.zip(scales).map { case (w, sc) =>
+      (0 until model.dim).map { d =>
+        (element_at(col("qv"), d + 1) - lit(model.mean(d))) * lit(w(d) * sc)
+      }.reduce(_ + _)
+    }
+    base.select(col("id"), array(whitened: _*).as("white"))
+  }
+
   /** PCA reconstruction-residual outlier score: ‖(x−μ) − W Wᵀ(x−μ)‖² per
     * row — how much of a vector the top-k principal subspace CANNOT
     * explain. Embeddings of corrupted/off-distribution documents carry

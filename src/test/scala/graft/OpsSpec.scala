@@ -3313,6 +3313,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full < 1e-4 * scale, s"full-rank residual: $full")
   }
 
+  test("whiten: whitened covariance ~ identity, anisotropy repaired, determinism, degenerate eps") {
+    // strongly anisotropic 3-d cloud: x-spread 100x the y-spread, z tiny
+    val pts = for (i <- 0 until 240) yield Seq(
+      ((i % 40 - 20) * 1.0).toFloat,
+      ((i % 7 - 3) * 0.1 + (i % 40 - 20) * 0.05).toFloat, // correlated with x
+      ((i % 3 - 1) * 0.01).toFloat)
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val m = Embeddings.pcaFit(df, "v", dim = 3, k = 3, fxScale = 4)
+    val w = Embeddings.whiten(df, "id", "v", m)
+      .orderBy("id").select("white").as[Seq[Double]].collect()
+    // population covariance of the whitened outputs over the fit corpus
+    val n = w.length
+    val mu = Array.tabulate(3)(c => w.map(_(c)).sum / n)
+    def cov(a: Int, b: Int) =
+      w.map(r => (r(a) - mu(a)) * (r(b) - mu(b))).sum / n
+    for (c <- 0 until 3)
+      assert(math.abs(cov(c, c) - 1.0) < 0.02, s"diag $c: ${cov(c, c)}")
+    for (a <- 0 until 3; b <- a + 1 until 3)
+      assert(math.abs(cov(a, b)) < 0.02, s"off-diag ($a,$b): ${cov(a, b)}")
+    // determinism
+    val w2 = Embeddings.whiten(df.repartition(5), "id", "v", m)
+      .orderBy("id").select("white").as[Seq[Double]].collect()
+    assert(w.toSeq.map(_.toSeq) == w2.toSeq.map(_.toSeq))
+    // degenerate direction: a rank-1 cloud whitens finitely (zero
+    // projection x large 1/sqrt(eps) scale = 0, no NaN/Inf)
+    val flat = (0 until 50).map(i => (i.toLong, Seq((i * 1.0f), (i * 2.0f))))
+      .toDF("id", "v")
+    val mf = Embeddings.pcaFit(flat, "v", dim = 2, k = 2, fxScale = 4)
+    val wf = Embeddings.whiten(flat, "id", "v", mf)
+      .select("white").as[Seq[Double]].collect()
+    assert(wf.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+
   test("skyline: dominance filter, mixed directions, ties/duplicates, layout invariance") {
     val pts = Seq(
       (1L, 1L, 5L), (2L, 5L, 1L), (3L, 3L, 3L), (4L, 2L, 2L),
