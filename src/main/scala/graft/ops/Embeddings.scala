@@ -482,6 +482,49 @@ object Embeddings {
     base.select(col("id"), array(projections: _*).as("proj"))
   }
 
+  /** Persist a fitted [[PcaModel]] as parquet (the persisted-artifact
+    * discipline shared with the IVF quantizer / bigram LM / PSI
+    * reference): fit once on this month's sample, [[loadPcaModel]] next
+    * run and project/whiten/score the new corpus against the SAME axes —
+    * cross-run comparability is the whole point of a fitted basis. One
+    * row per (component, dim) cell plus a one-row meta frame; arrays
+    * rebuild in (component, dim) order on load, so save→load→apply is
+    * bit-identical to using the in-memory model (spec-pinned).
+    */
+  def savePcaModel(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
+                   path: String): Unit = {
+    import spark.implicits._
+    val cells = for (c <- model.components.indices; d <- 0 until model.dim)
+      yield (c, d, model.components(c)(d))
+    cells.toDF("component", "dim", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/components")
+    model.mean.zipWithIndex.map { case (m, d) => (d, m) }.toSeq
+      .toDF("dim", "mean").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/mean")
+    model.eigenvalues.zipWithIndex.map { case (l, c) => (c, l) }.toSeq
+      .toDF("component", "eig").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/eigs")
+    spark.range(1).select(lit(model.dim).as("dim"), lit(model.n).as("n"),
+        lit(model.fxScale).as("fx_scale"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadPcaModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): PcaModel = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val dim = meta.getAs[Int]("dim")
+    val mean = spark.read.parquet(s"$path/mean").collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("mean")).sortBy(_._1)
+    val eigs = spark.read.parquet(s"$path/eigs").collect()
+      .map(r => r.getAs[Int]("component") -> r.getAs[Double]("eig")).sortBy(_._1)
+    val comps = spark.read.parquet(s"$path/components").collect()
+      .map(r => (r.getAs[Int]("component"), r.getAs[Int]("dim"), r.getAs[Double]("w")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    PcaModel(dim, meta.getAs[Long]("n"), meta.getAs[Int]("fx_scale"),
+      mean.map(_._2), comps.map(_.toArray).toArray, eigs.map(_._2))
+  }
+
   /** PCA whitening (Su et al. 2021, arXiv:2103.15316 "Whitening Sentence
     * Representations"): y_c = (x−μ)·w_c / √(λ_c + eps) — decorrelate and
     * unit-variance the projected space, the standard embedding

@@ -3346,6 +3346,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wf.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
   }
 
+  test("PcaModel parquet round-trip: loaded model applies bit-identically") {
+    val pts = for (i <- 0 until 60) yield Seq(
+      ((i % 12 - 6) * 1.0).toFloat, ((i % 5 - 2) * 0.3).toFloat)
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val m = Embeddings.pcaFit(df, "v", dim = 2, k = 2, fxScale = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    Embeddings.savePcaModel(spark, m, tmp)
+    val l = Embeddings.loadPcaModel(spark, tmp)
+    assert(l.dim == m.dim && l.n == m.n && l.fxScale == m.fxScale)
+    assert(l.mean.toSeq == m.mean.toSeq && l.eigenvalues.toSeq == m.eigenvalues.toSeq)
+    assert(l.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+    def run(mm: Embeddings.PcaModel) = Embeddings.whiten(df, "id", "v", mm)
+      .orderBy("id").select("white").as[Seq[Double]].collect().toSeq.map(_.toSeq)
+    assert(run(l) == run(m))
+    val proj = (mm: Embeddings.PcaModel) => Embeddings.pcaProject(df, "id", "v", mm)
+      .orderBy("id").select("proj").as[Seq[Double]].collect().toSeq.map(_.toSeq)
+    assert(proj(l) == proj(m))
+  }
+
   test("skyline: dominance filter, mixed directions, ties/duplicates, layout invariance") {
     val pts = Seq(
       (1L, 1L, 5L), (2L, 5L, 1L), (3L, 3L, 3L), (4L, 2L, 2L),
