@@ -716,6 +716,42 @@ object Embeddings {
     ProcrustesModel(dim, n, fxScale, r, sigma)
   }
 
+  /** Persist / reload a fitted [[ProcrustesModel]] as parquet — the same
+    * persisted-artifact discipline as [[savePcaModel]]: the encoder-bump
+    * alignment is fit ONCE on the paired sample and then applied to every
+    * later batch of the new encoder's output, across sessions; save→load→
+    * [[procrustesApply]] is bit-identical to the in-memory model
+    * (spec-pinned).
+    */
+  def saveProcrustesModel(spark: org.apache.spark.sql.SparkSession,
+                          model: ProcrustesModel, path: String): Unit = {
+    import spark.implicits._
+    val cells = for (d <- 0 until model.dim; e <- 0 until model.dim)
+      yield (d, e, model.rotation(d)(e))
+    cells.toDF("d", "e", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    model.sigma.zipWithIndex.map { case (s, c) => (c, s) }.toSeq
+      .toDF("component", "sigma").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/sigma")
+    spark.range(1).select(lit(model.dim).as("dim"), lit(model.n).as("n"),
+        lit(model.fxScale).as("fx_scale"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadProcrustesModel(spark: org.apache.spark.sql.SparkSession,
+                          path: String): ProcrustesModel = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val dim = meta.getAs[Int]("dim")
+    val rot = Array.ofDim[Double](dim, dim)
+    spark.read.parquet(s"$path/rotation").collect()
+      .foreach(r => rot(r.getAs[Int]("d"))(r.getAs[Int]("e")) = r.getAs[Double]("r"))
+    val sigma = spark.read.parquet(s"$path/sigma").collect()
+      .map(r => r.getAs[Int]("component") -> r.getAs[Double]("sigma"))
+      .sortBy(_._1).map(_._2)
+    ProcrustesModel(dim, meta.getAs[Long]("n"), meta.getAs[Int]("fx_scale"),
+      rot, sigma)
+  }
+
   /** Apply a fitted [[ProcrustesModel]] ROW-LOCALLY: aligned = x · R, the
     * rotation matrix bound once as a literal ([[pcaProject]] discipline —
     * no join, no shuffle; fit once on the paired sample, align the whole

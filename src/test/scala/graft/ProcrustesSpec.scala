@@ -85,4 +85,20 @@ class ProcrustesSpec extends SparkSpec {
     val want = (0 until dim).map(e => (0 until dim).map(d => v0(d) * model.rotation(d)(e)).sum)
     got(id0).zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
   }
+
+  test("ProcrustesModel parquet round-trip applies bit-identically") {
+    val pairs = corpus(60).map { case (id, v) => (id, v, rotate(v)) }.toDF("id", "a", "b")
+    val m = Embeddings.procrustesFit(pairs, "a", "b", dim)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-proc").toString
+    Embeddings.saveProcrustesModel(spark, m, tmp)
+    val l = Embeddings.loadProcrustesModel(spark, tmp)
+    assert(l.dim == m.dim && l.n == m.n && l.fxScale == m.fxScale)
+    assert(l.rotation.map(_.toSeq).toSeq == m.rotation.map(_.toSeq).toSeq)
+    assert(l.sigma.toSeq == m.sigma.toSeq)
+    val df = corpus(60).toDF("id", "v")
+    def run(mm: Embeddings.ProcrustesModel) =
+      Embeddings.procrustesApply(df, "id", "v", mm).orderBy("id")
+        .select("aligned").collect().map(_.getSeq[Double](0)).toSeq
+    assert(run(l) == run(m))
+  }
 }
