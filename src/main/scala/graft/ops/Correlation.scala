@@ -720,7 +720,10 @@ object Correlation {
     * tie-averaged ranks feed the exact pairAggs machinery; groups where
     * either side is constant report NULL rho; listwise NULLs.
     *
-    * MEASURED route (one cheap aggregate prices both decisions):
+    * MEASURED route (staged: the Catalyst size estimate gates for FREE —
+    * small corpora route to windows with zero extra passes and zero
+    * materialization; only a large corpus pays the checkpoint + the
+    * group/cell sketch aggregate that prices the cells decision):
     *  - `groups >= maxWindowGroups` (default 4× shuffle partitions): the
     *    one-exchange WINDOW route — 2·rank + t − 1 ≡ (cum−c)·2 + c + 1,
     *    both columns' rank windows share one exchange on g; with that many
@@ -735,7 +738,7 @@ object Correlation {
     *    join — broadcast while the measured cell count fits
     *    `maxBroadcastCells`, hash join past it. Rows never sit in a
     *    `groups`-task sort.
-    *  - fewer groups over a SMALL corpus (under `minCellsRouteRows`): the
+    *  - fewer groups over a SMALL corpus (under `minCellsRouteBytes`): the
     *    window route again — at sf0.1 (3 groups, 600k rows) the two extra
     *    rollup/attach jobs cost more than the collapsed sorts save
     *    (measured interleaved min-of-4: windows 3.1 s vs cells 3.6 s);
@@ -748,28 +751,41 @@ object Correlation {
                       yCol: String, scale: Int = 2,
                       maxWindowGroups: Long = -1L,
                       maxBroadcastCells: Long = 1L << 20,
-                      minCellsRouteRows: Long = 1L << 22): DataFrame = {
+                      minCellsRouteBytes: Long = 1L << 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(groupCol).as("g"),
+    val rawBase = df.select(col(groupCol).as("g"),
         MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
       .where(col("g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
-      .localCheckpoint(true) // serves the measure pass, the rollup AND the attach joins
     val windowMin =
       if (maxWindowGroups >= 0L) maxWindowGroups
       else 4L * df.sparkSession.sessionState.conf.numShufflePartitions
-    val m = base.agg(count(lit(1)).as("n"),
-      approx_count_distinct(col("g")).as("gs"),
-      greatest(approx_count_distinct(struct(col("g"), col("__x"))),
-        approx_count_distinct(struct(col("g"), col("__y")))).as("cells")).collect()(0)
-    val n = m.getLong(0)
-    val groups = m.getLong(1)
-    val cells = m.getLong(2)
-    val ranked = if (groups >= windowMin || n < minCellsRouteRows) {
+    // STAGED measure: the Catalyst size estimate is FREE (no job) and the
+    // route is a perf crossover, not a correctness decision — order of
+    // magnitude suffices (~6-7 estimated bytes/row on the 3-long
+    // projection; the 32 MB default ≈ 5M rows). A small corpus takes the
+    // window route with no measure job and no checkpoint; only a large
+    // corpus pays ONE checkpoint (shared by the sketch pass, the rollup
+    // and both attach sides) + the sketch aggregate pricing the cells
+    // decision.
+    val sizeEst = rawBase.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = sizeEst < BigInt(minCellsRouteBytes)
+    var cellsMeasured = Long.MaxValue
+    lazy val base = rawBase.localCheckpoint(true)
+    val useWindows = small || {
+      val m = base.agg(approx_count_distinct(col("g")).as("gs"),
+        greatest(approx_count_distinct(struct(col("g"), col("__x"))),
+          approx_count_distinct(struct(col("g"), col("__y")))).as("cells"))
+        .collect()(0)
+      cellsMeasured = m.getLong(1)
+      m.getLong(0) >= windowMin
+    }
+    val ranked = if (useWindows) {
       def dr(c: String) =
         rank().over(Window.partitionBy("g").orderBy(c)).cast(LongType) * 2L +
           count(lit(1)).over(Window.partitionBy("g", c)) - 1L
-      base.withColumn("dr__x", dr("__x")).withColumn("dr__y", dr("__y"))
+      val src = if (small) rawBase else base
+      src.withColumn("dr__x", dr("__x")).withColumn("dr__y", dr("__y"))
     } else {
       val cellCounts = base.select(col("g"), explode(array(
           struct(lit(0).as("__k"), col("__x").as("__v")),
@@ -785,7 +801,7 @@ object Correlation {
       def side(k: Int, vAs: String, drAs: String) = {
         val s = drCells.where(col("__k") === k)
           .select(col("g"), col("__v").as(vAs), col("__dr").as(drAs))
-        if (cells <= maxBroadcastCells) broadcast(s) else s
+        if (cellsMeasured <= maxBroadcastCells) broadcast(s) else s
       }
       base.join(side(0, "__x", "dr__x"), Seq("g", "__x"))
         .join(side(1, "__y", "dr__y"), Seq("g", "__y"))

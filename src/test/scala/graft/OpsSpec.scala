@@ -1365,7 +1365,7 @@ class CorrelationSpec extends SparkSpec {
     def run(maxWindowGroups: Long, maxBroadcastCells: Long) =
       Correlation.spearmanByGroup(df, "g", "x", "y", scale = 0,
         maxWindowGroups = maxWindowGroups, maxBroadcastCells = maxBroadcastCells,
-        minCellsRouteRows = 0L)
+        minCellsRouteBytes = 0L)
         .orderBy("g").collect().map(r =>
           (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
         .toSeq
