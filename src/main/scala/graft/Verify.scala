@@ -16,6 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // codegen-health gate: a janino compile failure is silently degraded to
+    // interpreted eval by Spark — count those events and surface them, so a
+    // de-optimized plan can't ship through a green round again (r15 lesson).
+    graft.util.CodegenHealth.install()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -39,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val health = graft.util.CodegenHealth.summaryJson
+    Files.writeString(Paths.get(s"$outDir/codegen_health.json"), health)
+    // loud, greppable; non-fatal so one degraded plan can't zero the round's
+    // 362 correctness gates — the spec suite is the hard gate per-operator.
+    println(s"CODEGEN_HEALTH $health")
+    if (graft.util.CodegenHealth.failures > 0)
+      System.err.println(s"[verify] CODEGEN FALLBACK DETECTED: $health")
     spark.stop()
   }
 }

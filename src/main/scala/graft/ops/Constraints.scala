@@ -201,11 +201,20 @@ object Constraints {
         (1 to 9).map(d => sum(when(dg === d, 1L).otherwise(0L)).cast(LongType).as(s"c_${i}_$d"))
     }
     val one = pre.agg(aggs.head, aggs.tail: _*)
+    // chi2 (a 9-term fold of already-large terms) is pre-projected ONCE per
+    // column: inlining it into each of the 9 digit structs × columns blew
+    // janino's 64 KB method limit at 2 columns (the one-row Generate then
+    // ran interpreted — harmless here but a silent codegen fallback the
+    // health gate now flags). Referenced 9× by non-cheap consumers, so
+    // CollapseProject leaves the alias alone.
+    val withChi2 = one.select(col("*") +: cols.indices.map { i =>
+      // left-fold of the 9 chi2 terms, d = 1..9 — same association in SQL
+      when(col(s"n_$i") > 0L, benfordChi2(col(s"n_$i"), d => col(s"c_${i}_$d")))
+        .as(s"__chi2_$i")
+    }: _*)
     val rows = cols.zipWithIndex.flatMap { case ((c, _), i) =>
       val n = col(s"n_$i")
       val nd = n.cast(DoubleType)
-      // left-fold of the 9 chi2 terms, d = 1..9 — same association in SQL
-      val chi2 = benfordChi2(n, d => col(s"c_${i}_$d"))
       BenfordP.map { case (d, p) =>
         val o = col(s"c_${i}_$d")
         struct(
@@ -213,10 +222,10 @@ object Constraints {
           when(n > 0L, o.cast(DoubleType) / nd).as("share"),
           lit(p).as("benford_p"),
           when(n > 0L, (o.cast(DoubleType) - nd * lit(p)) * (o.cast(DoubleType) - nd * lit(p)) / (nd * lit(p))).as("chi2_term"),
-          when(n > 0L, chi2).as("chi2"))
+          col(s"__chi2_$i").as("chi2"))
       }
     }
-    one.select(inline(array(rows: _*)))
+    withChi2.select(inline(array(rows: _*)))
   }
 
   /** Co-missingness matrix — do columns go NULL *together*? Per unordered

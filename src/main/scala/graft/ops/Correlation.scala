@@ -724,7 +724,7 @@ object Correlation {
     * small corpora route to windows with zero extra passes and zero
     * materialization; only a large corpus pays the checkpoint + the
     * group/cell sketch aggregate that prices the cells decision):
-    *  - `groups >= maxWindowGroups` (default 4× shuffle partitions): the
+    *  - `groups >= minWindowGroups` (default 4× shuffle partitions): the
     *    one-exchange WINDOW route — 2·rank + t − 1 ≡ (cum−c)·2 + c + 1,
     *    both columns' rank windows share one exchange on g; with that many
     *    groups the in-partition sorts spread over the full cluster.
@@ -749,7 +749,7 @@ object Correlation {
     */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String, scale: Int = 2,
-                      maxWindowGroups: Long = -1L,
+                      minWindowGroups: Long = -1L,
                       maxBroadcastCells: Long = 1L << 20,
                       minCellsRouteBytes: Long = 1L << 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -758,7 +758,7 @@ object Correlation {
         MetricColumns.fixedPointLong(col(yCol), scale).as("__y"))
       .where(col("g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
     val windowMin =
-      if (maxWindowGroups >= 0L) maxWindowGroups
+      if (minWindowGroups >= 0L) minWindowGroups
       else 4L * df.sparkSession.sessionState.conf.numShufflePartitions
     // STAGED measure: the Catalyst size estimate is FREE (no job) and the
     // route is a perf crossover, not a correctness decision — order of
@@ -801,7 +801,11 @@ object Correlation {
       def side(k: Int, vAs: String, drAs: String) = {
         val s = drCells.where(col("__k") === k)
           .select(col("g"), col("__v").as(vAs), col("__dr").as(drAs))
-        if (cellsMeasured <= maxBroadcastCells) broadcast(s) else s
+        // derated ×0.9: cellsMeasured is approx_count_distinct (~5% rsd),
+        // so an underestimate could broadcast a larger-than-intended frame —
+        // absorb the sketch error instead of documenting it away (routes are
+        // parity-tested bit-identical; this only moves the perf crossover)
+        if (cellsMeasured <= maxBroadcastCells - maxBroadcastCells / 10) broadcast(s) else s
       }
       base.join(side(0, "__x", "dr__x"), Seq("g", "__x"))
         .join(side(1, "__y", "dr__y"), Seq("g", "__y"))

@@ -65,6 +65,15 @@ object Dedup {
     */
   val DefaultResidualDropCap: Int = 4 * DefaultHotBucketCap
 
+  /** Max high-DF shingle-hash entries collected for the row-local DF-prune
+    * filter (2^20 longs = 8 MB on the driver and in each task's reference
+    * object). Boilerplate sets are heavy-hitter bounded — at most
+    * total-shingle-instances / maxShingleDf entries can exceed the
+    * threshold — so the broadcast route is the overwhelmingly common one;
+    * past the cap the prune falls back to the anti-join pass.
+    */
+  val DefaultDfPruneBroadcastMax: Int = 1 << 20
+
   /** Exact dedup: one row per distinct `textCol` value, keeping the smallest
     * `idCol`, with the number of copies. Shuffles (hash, id) only; the text
     * body never crosses the wire (collision odds at 64-bit are ~n^2/2^65).
@@ -316,6 +325,38 @@ object Dedup {
   def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
     minhashSignatureFromHashes(Shingles.shingleHashes(TextAnalysis.tokens(text), shingleLen), numHashes)
 
+  /** Shingle doc-frequency prune over a hashed frame `(id, h: array<bigint>)`:
+    * drops every shingle hash appearing in MORE than `maxDf` distinct docs,
+    * and every doc whose pruned set is empty. DF is computed on distinct
+    * (doc, shingle) pairs, so within-doc repetition doesn't inflate it.
+    *
+    * Measure-then-route: the high-DF set is collected when it fits under
+    * `broadcastMax` entries (heavy-hitter bounded, the common case) and
+    * bound into the row-local codegen'd [[graft.functions.LongSetFilterExpr]]
+    * — no extra shuffle; otherwise an explode + anti-join + re-collect pass
+    * runs, checkpointed once because both the signature and verification
+    * branches read the pruned frame.
+    */
+  private[graft] def prunedShingleHashes(hashed: DataFrame, maxDf: Int,
+                                         broadcastMax: Int): DataFrame = {
+    val ex = hashed.select(col("id"), explode(array_distinct(col("h"))).as("sh"))
+    val hot = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sh")
+    val head = hot.limit(broadcastMax + 1).collect().map(_.getLong(0))
+    if (head.length <= broadcastMax)
+      hashed.select(col("id"),
+          graft.functions.LongSetFilter.exceptSet(col("h"), head.toSeq).as("h"))
+        .where(size(col("h")) > 0)
+    else {
+      val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+      log.info(s"prunedShingleHashes: > $broadcastMax shingles over df=$maxDf — " +
+        "taking the anti-join prune route")
+      ex.join(hot, Seq("sh"), "left_anti")
+        .groupBy("id").agg(collect_list(col("sh")).as("h"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** MinHash + LSH banded near-dup candidate pairs, verified with exact
     * token-set Jaccard. `numHashes` = `bands` * rows-per-band.
     */
@@ -369,6 +410,27 @@ object Dedup {
     * `firstBandVolumeCap` AND the collapse at least halves it — a huge
     * but incompressible corpus keeps the exchange-free first-band path.
     */
+  /** `maxShingleDf`: prune shingles whose corpus DOCUMENT FREQUENCY exceeds
+    * this BEFORE signatures (Int.MaxValue = off). High-DF shingles are
+    * boilerplate — headers, license blocks, navigation chrome — and they are
+    * where LSH candidate volume comes from: a shingle shared by B docs seeds
+    * buckets of size ~B across bands, i.e. O(B²) candidate pairs that exact
+    * verification then rejects. Pruning them shrinks both the signature
+    * universe and the pair enumeration; similarity becomes Jaccard over the
+    * RARE-shingle sets (a SEMANTIC change — near-dups still share their
+    * rare shingles, but boilerplate-only overlap no longer counts, which is
+    * usually the intent). Docs whose entire shingle set is boilerplate drop
+    * out (no signature, no pairs).
+    *
+    * Scale shape: the high-DF set is MEASURED (one distinct-(doc,shingle)
+    * aggregate — skinny 16-byte rows); when it fits under
+    * `dfPruneBroadcastMax` entries it binds into a row-local codegen'd
+    * binary-search filter ([[graft.functions.LongSetFilterExpr]] — no
+    * extra shuffle, the common case: boilerplate sets are heavy-hitter
+    * sized by construction), else the prune falls back to an explode +
+    * anti-join + re-collect pass (one extra corpus shuffle, materialized
+    * once for both the signature and verification readers).
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3, broadcastVerify: Option[Boolean] = None,
@@ -376,10 +438,13 @@ object Dedup {
                       tokenHasher: Column => Column = xxhash64(_),
                       verifyBroadcastMaxBytes: Long = DefaultVerifyBroadcastMaxBytes,
                       memberSetExchange: Option[Boolean] = None,
-                      firstBandVolumeCap: Long = DefaultFirstBandVolumeCap): DataFrame = {
+                      firstBandVolumeCap: Long = DefaultFirstBandVolumeCap,
+                      maxShingleDf: Int = Int.MaxValue,
+                      dfPruneBroadcastMax: Int = DefaultDfPruneBroadcastMax): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(maxBucket == AutoMaxBucket || maxBucket > 0,
       s"maxBucket must be positive or AutoMaxBucket ($AutoMaxBucket)")
+    require(maxShingleDf >= 1, "maxShingleDf must be >= 1 (Int.MaxValue = no pruning)")
     val rowsPerBand = numHashes / bands
     // (id, sig) only — the document body never enters the LSH shuffle.
     // The repartition is a deliberate materialization barrier: it (a) keeps
@@ -387,8 +452,12 @@ object Dedup {
     // permutation expressions, (b) keeps the signature from being inlined
     // into all band-key expressions, and (c) is reused (ReuseExchange) by
     // both sides of the self-join below.
-    val sigs = df.select(col(idCol).as("id"),
-        transform(Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen), tokenHasher).as("h"))
+    val hashedRaw = df.select(col(idCol).as("id"),
+      transform(Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen), tokenHasher).as("h"))
+    val hashed =
+      if (maxShingleDf == Int.MaxValue) hashedRaw
+      else prunedShingleHashes(hashedRaw, maxShingleDf, dfPruneBroadcastMax)
+    val sigs = hashed
       .repartition(col("id"))
       .select(col("id"), minhashSignatureFromHashes(col("h"), numHashes).as("sig"))
 
@@ -580,9 +649,8 @@ object Dedup {
     // the token set, >1 the order-sensitive n-gram set): attach each side's
     // precomputed hash set (narrow id-keyed joins), merge-walk row-locally
     // over primitive longs (JaccardSimExpr long form).
-    val toks = df.select(col(idCol).as("id"),
-      array_sort(array_distinct(transform(
-        Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen), tokenHasher))).as("toks"))
+    val toks = hashed.select(col("id"),
+      array_sort(array_distinct(col("h"))).as("toks"))
     // hash sets are small next to the candidate-pair set — broadcasting them
     // keeps the 10^6-10^7 candidate rows from being sort-merge shuffled. But
     // "small" must be MEASURED, not assumed: at corpus scale the token sets

