@@ -64,6 +64,11 @@ object Bench {
     // never clobbers the committed full-sweep artifact.
     val parsedPath = java.nio.file.Paths.get("BENCH_PARSED.json")
     if (only.isEmpty) java.nio.file.Files.write(parsedPath, full.getBytes("UTF-8"))
+    // fresh-JVM mode (tools/freshbench.sh): one gate per process, each
+    // writing its own full JSON to an explicit path for the merger
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), full.getBytes("UTF-8"))
+    }
     val nOk = results.count(_._3)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_ok":$nOk,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir","queries_file":"${parsedPath.toAbsolutePath}"}""")
     spark.stop()
