@@ -95,6 +95,90 @@ object Correlation {
           col("n_t").cast(DoubleType) / deScale).as("intercept")): _*)
   }
 
+  /** Per-group Theil–Sen ROBUST trend (Sen 1968): slope = the exact MEDIAN
+    * of all pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, intercept
+    * = median(y_i − slope·x_i) — the ~29%-breakdown complement of
+    * [[trendByGroup]]'s OLS (one corrupted day can steer a least-squares
+    * slope arbitrarily; it moves a slope MEDIAN not at all). The monitoring
+    * trend you want on real telemetry, where ingestion hiccups ARE the
+    * outliers you're trending through.
+    *
+    * CONTRACT: pairwise enumeration is O(n²) per group — feed GROUP-BOUNDED
+    * frames (the daily/hourly rollups this family trends), enforced against
+    * `maxGroupRows` with one cheap count aggregate (measure, don't guess).
+    * Groups spread across the cluster; within a group the pair join and
+    * both median windows are group-local.
+    *
+    * Cross-engine exactness: x and y quantize to scale-`scale` longs; each
+    * pair slope is ONE double division of exact longs; the median is the
+    * explicit rank rule (avg of ranks ⌈n/2⌉ and ⌊n/2⌋+1 — the same two
+    * IEEE ops in the oracle SQL, never an engine's interpolation choice);
+    * residuals are y − slope·x in doubles, same tree both sides. Groups
+    * with < 2 distinct x yield NULL slope/intercept.
+    *
+    * @return one row per group: (groupCols…, n (points), n_slopes, slope,
+    *         intercept).
+    */
+  def theilSenByGroup(df: DataFrame, groupCols: Seq[String], xCol: String,
+                      yCol: String, scale: Int = 2,
+                      maxGroupRows: Long = 100000L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCols.map(col) ++ Seq(
+        MetricColumns.fixedPointLong(col(xCol), scale).as("__x"),
+        MetricColumns.fixedPointLong(col(yCol), scale).as("__y")): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // read by the guard, the pair join (×2) and the residual pass
+    val hottest = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0)
+    val maxN = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    require(maxN <= maxGroupRows,
+      s"theilSenByGroup: largest group has $maxN rows (> $maxGroupRows) — " +
+        "pairwise slopes are O(n²); roll the series up (daily/hourly) first")
+    val counts = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    def side(tag: String) = base.select(
+      groupCols.map(col) ++ Seq(col("__x").as(s"__x$tag"), col("__y").as(s"__y$tag")): _*)
+    val slopes = side("a").join(side("b"), groupCols)
+      .where(col("__xa") < col("__xb"))
+      .select(groupCols.map(col) :+
+        ((col("__yb") - col("__ya")).cast(DoubleType) /
+          (col("__xb") - col("__xa")).cast(DoubleType)).as("__s"): _*)
+    // explicit rank-rule median: avg of the lower/upper middle ranks — the
+    // association both engines replay verbatim (never median()'s
+    // engine-specific interpolation)
+    def medianOf(in: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      val wc = Window.partitionBy(groupCols.map(col): _*)
+      // NB Spark's `/` on longs is DOUBLE division — the rank rule needs
+      // integer div or the lower middle of an even count never matches
+      in.withColumn("__rn", row_number().over(w).cast(LongType))
+        .withColumn("__cnt", count(lit(1)).over(wc))
+        .where(col("__rn") === floor((col("__cnt") + 1L) / 2L).cast(LongType) ||
+          col("__rn") === floor(col("__cnt") / 2L).cast(LongType) + 1L)
+        .groupBy(groupCols.map(col): _*)
+        .agg(avg(col(valueCol)).as(out), count(lit(1)).as(s"__k_$out"))
+        .drop(s"__k_$out")
+    }
+    val slopeMed = medianOf(slopes, "__s", "slope")
+    val slopeCnt = slopes.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n_slopes"))
+    val deScale = lit(math.pow(10, scale))
+    val resid = base.join(slopeMed, groupCols)
+      .select(groupCols.map(col) :+
+        (col("__y").cast(DoubleType) - col("slope") * col("__x").cast(DoubleType)).as("__r"): _*)
+    val interMed = medianOf(resid, "__r", "__i")
+    counts
+      .join(slopeCnt, groupCols, "left")
+      .join(slopeMed, groupCols, "left")
+      .join(interMed, groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        coalesce(col("n_slopes"), lit(0L)).as("n_slopes"),
+        col("slope"),
+        (col("__i") / deScale).as("intercept")): _*)
+  }
+
   /** Autocorrelation function per group at lags 1..maxLag — the
     * seasonality/persistence detector over monitoring series ("does
     * today's volume predict tomorrow's; is there a weekly cycle"), the

@@ -738,7 +738,8 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
                    salt: String = "|split", buckets: Int = 10000,
                    tokenHasher: Column => Column = xxhash64(_),
-                   splitHasher: Column => Column = xxhash64(_)): DataFrame = {
+                   splitHasher: Column => Column = xxhash64(_),
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val labels = df.select(col(idCol).as("__sid"),
         Sampling.splitExpr(col(idCol), splits, salt, buckets, splitHasher).as("__ssplit"))
       .where(col("__ssplit").isNotNull)
@@ -753,7 +754,7 @@ object Dedup {
       if (doBroadcast) broadcast(s) else s
     }
     minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands, shingleLen,
-      tokenHasher = tokenHasher)
+      tokenHasher = tokenHasher, maxShingleDf = maxShingleDf)
       .join(side("id_a", "split_a"), Seq("id_a"))
       .join(side("id_b", "split_b"), Seq("id_b"))
       .where(col("split_a") =!= col("split_b"))
@@ -952,14 +953,62 @@ object Dedup {
     * [[minhashLshPairs]]'s internal signatures, so estimates are consistent
     * with in-batch LSH.
     */
+  /** `pruneSet`: a PINNED high-DF shingle-hash frame (from
+    * [[trainShingleDfPruneSet]] / [[loadPruneSet]]) dropped from every doc
+    * before the signature. Incremental dedup compares SIGNATURES across
+    * runs, so pruning must use the SAME set on both sides — re-measuring DF
+    * on each month's batch would shift the shingle universe and silently
+    * break [[dedupAgainstStore]]'s estimate. Fit once, persist, load
+    * per run (the quantizer / bigram-LM / PSI-reference artifact
+    * discipline applied to the prune rule).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleLen: Int = 3,
-                        tokenHasher: Column => Column = xxhash64(_)): DataFrame =
-    df.select(col(idCol).as("id"),
-        transform(Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen),
-          tokenHasher).as("h"))
+                        tokenHasher: Column => Column = xxhash64(_),
+                        pruneSet: Option[DataFrame] = None): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      transform(Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen),
+        tokenHasher).as("h"))
+    val pruned = pruneSet match {
+      case None => hashed
+      case Some(set) =>
+        val hot = set.select(col("sh")).limit(DefaultDfPruneBroadcastMax + 1)
+          .collect().map(_.getLong(0))
+        require(hot.length <= DefaultDfPruneBroadcastMax,
+          s"pruneSet exceeds $DefaultDfPruneBroadcastMax entries — " +
+            "train with a higher maxDf (a prune set IS a heavy-hitter set)")
+        hashed.select(col("id"),
+            graft.functions.LongSetFilter.exceptSet(col("h"), hot.toSeq).as("h"))
+          .where(size(col("h")) > 0)
+    }
+    pruned
       .repartition(col("id"))
       .select(col("id"), minhashSignatureFromHashes(col("h"), numHashes).as("sig"))
+  }
+
+  /** Fit the high-DF (boilerplate) shingle prune set ONCE as a persistable
+    * 1-column frame `(sh)` — every shingle hash appearing in more than
+    * `maxDf` distinct docs of the FIT corpus. Pair with
+    * [[minhashSignatures]]`(pruneSet = …)` so incremental runs sign new
+    * batches against the store under one pinned universe.
+    */
+  def trainShingleDfPruneSet(df: DataFrame, idCol: String, textCol: String,
+                             maxDf: Int, shingleLen: Int = 3,
+                             tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          Shingles.shingleStrings(TextAnalysis.tokens(col(textCol)), shingleLen),
+          tokenHasher))).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sh")
+  }
+
+  def savePruneSet(set: DataFrame, path: String): Unit =
+    set.select(col("sh")).coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadPruneSet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("sh"))
 
   /** Cross-run incremental dedup: candidate (new, store) pairs by banded
     * LSH between two signature frames, similarity = the SIGNATURE ESTIMATE

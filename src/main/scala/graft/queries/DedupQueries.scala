@@ -130,6 +130,18 @@ private[queries] object DedupQueries {
         threshold = 0.8, shingleLen = 1)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
 
+    "q_split_leakage_dfp" -> ((s, dir) =>
+      // DF-pruned twin of q_split_leakage (SURVEY row 456's composition):
+      // the leakage audit's 30x cost is the same boilerplate-driven pair
+      // volume the dfp gate prunes — same rule, same full oracle, cross-
+      // split filter on top
+      Dedup.splitLeakage(t(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.8,
+        shingleLen = 3, tokenHasher = Shingles.md5Hash60,
+        splitHasher = Shingles.md5Hash60, maxShingleDf = 5)
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+        .orderBy("id_a", "id_b")),
+
     "q_dedup_simhash" -> ((s, dir) =>
       // md5Hash60/60-bit variant: DuckDB recomputes the per-bit majorities
       // and exact hamming distances — full-output oracle. The chunked
@@ -527,6 +539,7 @@ private[queries] object DedupQueries {
       withJaccard = true, maxDf = Some(5)),
 
     "q_split_leakage" -> splitLeakageOracleSql(64, 16, 0.8),
+    "q_split_leakage_dfp" -> splitLeakageOracleSql(64, 16, 0.8, maxDf = Some(5)),
 
     "q_lsh_tuning" -> lshAuditOracleSql(64, 16, 0.8, 400),
 

@@ -415,12 +415,13 @@ private[queries] object QueryShared {
     * wrapped with the q_split_assign md5-bucket split formula applied to
     * both endpoints, keeping only cross-split pairs.
     */
-  def splitLeakageOracleSql(numHashes: Int, bands: Int, threshold: Double): String = {
+  def splitLeakageOracleSql(numHashes: Int, bands: Int, threshold: Double,
+                            maxDf: Option[Int] = None): String = {
     def bucket(id: String) =
       s"('0x' || substr(md5(CAST($id AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000"
     def splitCase(b: String) =
       s"CASE WHEN $b < 8000 THEN 'train' WHEN $b < 9000 THEN 'val' WHEN $b < 10000 THEN 'test' END"
-    s"""WITH mh AS (${minhashOracleSql(numHashes, bands, threshold, shingleLen = 3, withJaccard = true)}),
+    s"""WITH mh AS (${minhashOracleSql(numHashes, bands, threshold, shingleLen = 3, withJaccard = true, maxDf = maxDf)}),
        |lab AS (SELECT id_a, id_b, jaccard,
        |               ${splitCase(bucket("id_a"))} AS split_a,
        |               ${splitCase(bucket("id_b"))} AS split_b FROM mh)

@@ -77,7 +77,7 @@ object ScaleBench {
     // its unpruned twin — same shingleLen/threshold/hasher) and the
     // kendall/mwu-by-group window families the round-15 verdict queued
     // for a measured look
-    "q_dedup_minhash_dfp", "q_kendall", "q_wilcoxon_group")
+    "q_dedup_minhash_dfp", "q_split_leakage_dfp", "q_kendall", "q_wilcoxon_group")
 
   /** Generate the scaled corpus: every table the slope queries read,
     * replicated with workload-preserving transforms and written as

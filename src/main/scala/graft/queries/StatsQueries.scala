@@ -204,6 +204,21 @@ private[queries] object StatsQueries {
         .orderBy("event_type")
     },
 
+    "q_theilsen" -> { (s, dir) =>
+      // robust trend on the q_kendall daily series: median of pairwise
+      // slopes + median-residual intercept — the outlier-immune complement
+      // of q_trend's OLS; group-bounded pair join (days per event type),
+      // explicit rank-rule medians so both engines replay the same tree
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000L").as("d"),
+          MetricColumns.fixedPointLong(col("value"), 2).as("cents"))
+        .groupBy("event_type", "d")
+        .agg(sum("cents").as("y"))
+      Correlation.theilSenByGroup(daily, Seq("event_type"), "d", "y", scale = 0)
+        .orderBy("event_type")
+    },
+
     "q_mcnemar" -> { (s, dir) =>
       // paired filter comparison on the SAME corpus: does the length rule
       // and the token-count rule disagree more than chance — only the
@@ -1635,6 +1650,37 @@ private[queries] object StatsQueries {
         |        CAST(n_pairs * syy - sy * sy AS DOUBLE) AS dy
         |      FROM m) t
         |ORDER BY event_type, lag""".stripMargin,
+
+    "q_theilsen" ->
+      """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |                    CAST(sum(CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+        |                                       ELSE -floor(-value * 100.0 + 0.5) END AS BIGINT)) AS BIGINT) AS y
+        |             FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY event_type),
+        |sl AS (SELECT a.event_type,
+        |              CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+        |       FROM ser a JOIN ser b ON a.event_type = b.event_type AND a.d < b.d),
+        |slr AS (SELECT event_type, s,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+        |               count(*) OVER (PARTITION BY event_type) AS cnt
+        |        FROM sl),
+        |med AS (SELECT event_type, avg(s) AS slope FROM slr
+        |        WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY event_type),
+        |nsl AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_slopes FROM sl GROUP BY event_type),
+        |res AS (SELECT ser.event_type,
+        |               CAST(ser.y AS DOUBLE) - med.slope * CAST(ser.d AS DOUBLE) AS r
+        |        FROM ser JOIN med USING (event_type)),
+        |rr AS (SELECT event_type, r,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS cnt
+        |       FROM res),
+        |im AS (SELECT event_type, avg(r) AS intercept FROM rr
+        |       WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY event_type)
+        |SELECT n.event_type, n.n,
+        |       coalesce(nsl.n_slopes, 0) AS n_slopes, med.slope, im.intercept
+        |FROM n LEFT JOIN nsl USING (event_type) LEFT JOIN med USING (event_type)
+        |       LEFT JOIN im USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_kendall" ->
       """WITH ser AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,

@@ -231,6 +231,69 @@ object StreamingDedup {
     * results are arrival-deterministic. No TTL: a dedup store persists
     * (re-admission semantics belong to exact-hash TTL dedup, not semantic).
     */
+  /** Stream-vs-STORE near-dup screen — the continuous twin of
+    * [[graft.ops.Dedup.dedupAgainstStore]]: each arriving document is
+    * signed ROW-LOCALLY (fused MinHash expr; optional PINNED DF prune set —
+    * [[graft.ops.Dedup.loadPruneSet]], the row-457 cross-run consistency
+    * contract: the store was signed under the same set), banded, and
+    * equi-joined against the STATIC store signature frame (stream-static
+    * join — no streaming state at all); similarity is the signature
+    * component-agreement estimate, so store bodies are never read. A pair
+    * colliding in several bands emits once via the row-local
+    * first-matching-band filter (BandPrefixMatchExpr) — no streaming
+    * dropDuplicates state. Append mode.
+    *
+    * @param storeSigs batch (id, sig) frame from [[graft.ops.Dedup.minhashSignatures]]
+    *                  with the SAME numHashes/shingleLen/hasher/pruneSet.
+    * @return streaming (new_id, ts, store_id, est) with est >= threshold.
+    */
+  def storeDedupStream(stream: DataFrame, idCol: String, tsCol: String,
+                       textCol: String, storeSigs: DataFrame, threshold: Double,
+                       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+                       tokenHasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
+                       pruneSet: Option[DataFrame] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    def bandKeys(sigCol: org.apache.spark.sql.Column) =
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(sigCol, b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)
+    val hashed0 = stream.select(col(idCol).cast("long").as("new_id"),
+      col(tsCol).as("ts"),
+      transform(graft.ops.Shingles.shingleStrings(
+        graft.ops.TextAnalysis.tokens(col(textCol)), shingleLen), tokenHasher).as("h"))
+    val hashed = pruneSet match {
+      case None => hashed0
+      case Some(set) =>
+        val hot = set.select(col("sh"))
+          .limit(graft.ops.Dedup.DefaultDfPruneBroadcastMax + 1)
+          .collect().map(_.getLong(0))
+        require(hot.length <= graft.ops.Dedup.DefaultDfPruneBroadcastMax,
+          "pruneSet exceeds the broadcast cap — train with a higher maxDf")
+        hashed0.select(col("new_id"), col("ts"),
+            graft.functions.LongSetFilter.exceptSet(col("h"), hot.toSeq).as("h"))
+          .where(size(col("h")) > 0)
+    }
+    val sigd = hashed.select(col("new_id"), col("ts"),
+      graft.functions.MinHash.signature(col("h"), numHashes).as("sig_a"))
+    val banded = sigd.withColumn("bk_a", bandKeys(col("sig_a")))
+      .select(col("new_id"), col("ts"), col("sig_a"), col("bk_a"),
+        posexplode(col("bk_a")).as(Seq("band", "bkey")))
+    val storeB = storeSigs
+      .select(col("id").as("store_id"), col("sig").as("sig_b"))
+      .withColumn("bk_b", bandKeys(col("sig_b")))
+      .select(col("store_id"), col("sig_b"), col("bk_b"),
+        posexplode(col("bk_b")).as(Seq("band_s", "bkey_s")))
+    banded
+      .join(storeB, col("band") === col("band_s") && col("bkey") === col("bkey_s"))
+      .where(!graft.functions.BandPrefixMatch.matchesBefore(
+        col("bk_a"), col("bk_b"), col("band")))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes.toDouble)
+      .where(col("est") >= threshold)
+      .select("new_id", "ts", "store_id", "est")
+  }
+
   def semanticFirstSeenStream(spark: SparkSession, df: DataFrame, tsCol: String,
                               idCol: String, vecCol: String,
                               quantizer: DataFrame, threshold: Double,

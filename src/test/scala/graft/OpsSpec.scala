@@ -148,6 +148,41 @@ class DedupSpec extends SparkSpec {
     assert(loose == unpruned)
   }
 
+  test("persisted DF prune set: round-trip, pinned-signature consistency") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (1 to 150).map(i => s"w$i")
+    val corpus = (1L to 60L).map { i =>
+      (i, "shared header line " + rnd.shuffle(vocab).take(8).mkString(" "))
+    }.toDF("id", "text")
+    val trained = Dedup.trainShingleDfPruneSet(corpus, "id", "text",
+      maxDf = 10, shingleLen = 1)
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    Dedup.savePruneSet(trained, s"$dir/set")
+    val loaded = Dedup.loadPruneSet(spark, s"$dir/set")
+    assert(loaded.as[Long].collect().sorted.toSeq ==
+      trained.as[Long].collect().sorted.toSeq)
+    // the 3 header tokens (df=60) exceed df=10; a stray vocab word may too
+    val headerHashes = Seq("shared", "header", "line").toDF("t")
+      .select(xxhash64(col("t"))).as[Long].collect().toSet
+    assert(headerHashes.subsetOf(trained.as[Long].collect().toSet))
+    // pinned-set signatures ≡ the inline prune route's signatures (same
+    // corpus, same rule) — the cross-run consistency contract
+    def sigs(ps: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minhashSignatures(corpus, "id", "text", shingleLen = 1, pruneSet = ps)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val pinned = sigs(Some(loaded))
+    val hashed = corpus.select(col("id"),
+      transform(graft.ops.Shingles.shingleStrings(
+        graft.ops.TextAnalysis.tokens(col("text")), 1), h => xxhash64(h)).as("h"))
+    val inline = Dedup.prunedShingleHashes(hashed, 10, 1 << 20)
+      .repartition(col("id"))
+      .select(col("id"), Dedup.minhashSignatureFromHashes(col("h"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(pinned == inline)
+    // and pruning actually changed the universe vs unpruned
+    assert(pinned != sigs(None))
+  }
+
   test("splitLeakage flags exactly the cross-split near-dup pairs") {
     val splits = Seq("train" -> 0.5, "test" -> 0.5)
     // composed reference: pairs joined against assignSplit labels
@@ -1343,6 +1378,34 @@ class CorrelationSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
   import graft.ops.Correlation
+
+  test("theilSenByGroup: exact medians, outlier immunity, degenerate groups") {
+    // g1: y = 3x + 1 exactly -> slope 3, intercept 1 (scale 0)
+    val clean = (1 to 9).map(x => ("g1", x.toDouble, 3.0 * x + 1))
+    // g2: same line but one wrecked point (x=9 -> 1000; off-center so OLS
+    // actually moves). The slope MEDIAN must stay exactly 3.0
+    val dirty = (1 to 9).map(x => ("g2", x.toDouble, if (x == 9) 1000.0 else 3.0 * x + 1))
+    // g3: single point -> null slope/intercept, n_slopes 0
+    val deg = Seq(("g3", 1.0, 7.0))
+    val df = (clean ++ dirty ++ deg).toDF("g", "x", "y")
+    val out = Correlation.theilSenByGroup(df, Seq("g"), "x", "y", scale = 0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getLong(1) == 9 && out("g1").getLong(2) == 36)
+    assert(out("g1").getDouble(3) == 3.0)
+    assert(out("g1").getDouble(4) == 1.0)
+    assert(out("g2").getDouble(3) == 3.0, "median slope must shrug off the outlier")
+    // intercept median over residuals: 8 clean residuals = 1, one huge -> 1
+    assert(out("g2").getDouble(4) == 1.0)
+    assert(out("g3").getLong(2) == 0 && out("g3").isNullAt(3) && out("g3").isNullAt(4))
+    // OLS on g2 for contrast: slope pulled off 3 by the outlier
+    val ols = Correlation.trendByGroup(df.where(col("g") === "g2"), Seq("g"), "x", "y", scale = 0)
+      .collect()(0).getDouble(2)
+    assert(math.abs(ols - 3.0) > 1.0)
+    // guard: a group past maxGroupRows must refuse, not run O(n^2)
+    intercept[IllegalArgumentException] {
+      Correlation.theilSenByGroup(df, Seq("g"), "x", "y", scale = 0, maxGroupRows = 5L)
+    }
+  }
 
   test("cohensKappa: textbook 2x2, perfect, constant-null, disjoint-zero, null listwise") {
     // classic table: yy 20, yn 5, ny 10, nn 15 -> p_o=.7, p_e=.5, kappa=.4

@@ -616,6 +616,66 @@ class StreamingSpec extends SparkSpec {
     assert(clean == "x y z w tail")
   }
 
+  test("streaming store dedup: matches batch dedupAgainstStore, honors pinned prune set") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val store = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six"),
+      (102L, "totally different store content here now")
+    ).toDF("id", "text")
+    val newDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // exact dup of 100
+      (2L, "one two three four five seven"),         // near dup of 101
+      (3L, "completely novel words nobody stored")   // no match
+    )
+    // batch reference on identical inputs
+    val storeSigs = Dedup.minhashSignatures(store, "id", "text", shingleLen = 1)
+      .localCheckpoint(true)
+    val newSigs = Dedup.minhashSignatures(newDocs.toDF("id", "text"), "id", "text",
+      shingleLen = 1)
+    val want = Dedup.dedupAgainstStore(newSigs, storeSigs, threshold = 0.5)
+      .select("new_id", "store_id").as[(Long, Long)].collect().toSet
+    assert(want.contains((1L, 100L)))
+
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingDedup.storeDedupStream(df, "doc_id", "ts", "text",
+        storeSigs, threshold = 0.5, shingleLen = 1)
+      .writeStream.format("memory").queryName("store_dedup").outputMode("append").start()
+    newDocs.zipWithIndex.foreach { case ((id, txt), i) => stream.addData((ts(i), id, txt)) }
+    q.processAllAvailable()
+    val got = spark.table("store_dedup").select("new_id", "store_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == want, s"stream $got vs batch $want")
+
+    // pinned prune set consistency: sign store AND stream under one set
+    val pruneSet = Seq("alpha", "beta").toDF("t")
+      .select(xxhash64(col("t")).as("sh"))
+    val storeSigsP = Dedup.minhashSignatures(store, "id", "text", shingleLen = 1,
+      pruneSet = Some(pruneSet)).localCheckpoint(true)
+    val newSigsP = Dedup.minhashSignatures(newDocs.toDF("id", "text"), "id", "text",
+      shingleLen = 1, pruneSet = Some(pruneSet))
+    val wantP = Dedup.dedupAgainstStore(newSigsP, storeSigsP, threshold = 0.5)
+      .select("new_id", "store_id").as[(Long, Long)].collect().toSet
+    val stream2 = MemoryStream[(Timestamp, Long, String)]
+    val df2 = stream2.toDF().toDF("ts", "doc_id", "text")
+    val q2 = StreamingDedup.storeDedupStream(df2, "doc_id", "ts", "text",
+        storeSigsP, threshold = 0.5, shingleLen = 1, pruneSet = Some(pruneSet))
+      .writeStream.format("memory").queryName("store_dedup_p").outputMode("append").start()
+    newDocs.zipWithIndex.foreach { case ((id, txt), i) => stream2.addData((ts(i), id, txt)) }
+    q2.processAllAvailable()
+    val gotP = spark.table("store_dedup_p").select("new_id", "store_id")
+      .as[(Long, Long)].collect().toSet
+    q2.stop()
+    assert(gotP == wantP, s"pruned stream $gotP vs batch $wantP")
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per text hash") {
     import spark.implicits._
     import graft.streaming.StreamingDedup
