@@ -33,4 +33,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measured as multi-second spikes on the wide scan (PLANS.md round-8
   // variance audit); a pinned floor removes the commit churn
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "8g")}",
+  // A 365-query bench × several generated classes each × 3 reps overflows
+  // the default 240 MB code cache, triggering flush/deopt storms late in
+  // the run (measured: the q_scan_* block ran 2-3× slower in the full
+  // sweep than isolated). Standard production JVM sizing for Spark
+  // drivers/executors; scale-independent. (-XX:-DontCompileHugeMethods was
+  // tried and REJECTED: C2 grinds for tens of seconds on the giant
+  // generated methods — the fix for those is Spark-side, see
+  // spark.sql.codegen.hugeMethodLimit in Bench/Verify.)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

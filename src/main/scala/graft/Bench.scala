@@ -18,6 +18,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // HotSpot never JIT-compiles methods past 8000 bytecode bytes, so a
+      // whole-stage-codegen method bigger than that runs INTERPRETED for
+      // the query's whole life (measured here: the 76-expression wide-scan
+      // pass-1 aggregate at 10-28 s vs ~3 s once the stage instead takes
+      // the non-fused path whose per-expression methods all JIT). Align
+      // Spark's fallback threshold with the JVM's real limit — a
+      // scale-independent setting (same JIT behavior on any cluster JVM).
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT + file listing so the first measured query isn't

@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // align Spark's whole-stage-codegen fallback with HotSpot's real
+      // 8000-byte JIT limit (see Bench.scala) so verify exercises the same
+      // physical paths the bench times
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // codegen-health gate: a janino compile failure is silently degraded to
