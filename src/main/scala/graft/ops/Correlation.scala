@@ -785,7 +785,11 @@ object Correlation {
       // frames take the cheap local running sum, anything past
       // maxLocalDistinct the two-phase distributed prefix scan — and the
       // rank map only broadcasts when it measured small
-      val counts = Binning.distinctValueCounts(base, col(c))
+      // lazy checkpoint: the routing count() and the rank-attach read the
+      // same skinny (v, c) frame — materialize it once instead of
+      // re-running the base scan+shuffle per action (disk volume equals
+      // the shuffle files the second run would have written anyway)
+      val counts = Binning.distinctValueCounts(base, col(c)).localCheckpoint(false)
       val distinct = counts.count()
       val m = Binning.cumulativeFromCounts(counts, distinct, 1L << 20)
         .select(col("v"), ((col("cum") - col("c")) * 2L + col("c") + 1L).as(s"dr$c"))

@@ -14,11 +14,24 @@ import org.apache.spark.sql.types._
   * (identical expression trees; see SURVEY.md par.3).
   */
 private[queries] object QueryShared {
+  // Table-READER memo: `s.read.parquet(path)` costs ~77 ms of DRIVER-side
+  // metadata work per call (file listing + footer schema inference +
+  // source resolution) — ~100 s across a 365-query × 3-rep bench sweep.
+  // Memoizing the resolved DataFrame per (session, path) is METADATA
+  // reuse only (the catalog-table pattern — DuckDB's oracle likewise
+  // CREATE VIEWs each table once): the logical plan still scans the
+  // parquet files on every execution, nothing row-level is cached.
+  // Keyed on the session so a fresh session (new bench process, tests)
+  // re-resolves; data dirs are immutable test fixtures by contract.
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events")
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively
-      graft.sources.Tables.parquet(s, s"$dir/$name.parquet", nanosTimestampCols = Seq("ts"))
-    else s.read.parquet(s"$dir/$name.parquet")
+    tableMemo.computeIfAbsent((s, s"$dir/$name.parquet"), { case (_, path) =>
+      if (name == "events")
+        // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively
+        graft.sources.Tables.parquet(s, path, nanosTimestampCols = Seq("ts"))
+      else s.read.parquet(path)
+    })
 
   /** Row-level metrics through the library path (aggColumns + derived). */
   def scanRow(df: DataFrame, cols: Seq[(String, ColumnConfig)], metrics: Seq[String]): DataFrame = {
