@@ -26,12 +26,19 @@ object Verify {
     // de-optimized plan can't ship through a green round again (r15 lesson).
     graft.util.CodegenHealth.install()
     new java.io.File(outDir).mkdirs()
+    // per-query hugeMethodLimit fallback counts: which gates run un-fused
+    // stages under the 8000-byte limit (expected >0 for the widest plans;
+    // the point is that the number is VISIBLE, not assumed zero)
+    val hugeByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
+      val hugeBefore = graft.util.CodegenHealth.hugeFallbacks
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val d = graft.util.CodegenHealth.hugeFallbacks - hugeBefore
+      if (d > 0) hugeByQuery(name) = d
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -53,6 +60,12 @@ object Verify {
     // loud, greppable; non-fatal so one degraded plan can't zero the round's
     // 362 correctness gates — the spec suite is the hard gate per-operator.
     println(s"CODEGEN_HEALTH $health")
+    if (hugeByQuery.nonEmpty) {
+      val perQ = hugeByQuery.map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+      println(s"CODEGEN_HUGE_FALLBACKS_BY_QUERY $perQ")
+      Files.writeString(Paths.get(s"$outDir/codegen_huge_by_query.json"), perQ)
+    }
     if (graft.util.CodegenHealth.failures > 0)
       System.err.println(s"[verify] CODEGEN FALLBACK DETECTED: $health")
     spark.stop()
