@@ -73,6 +73,18 @@ object Bench {
     // never clobbers the committed full-sweep artifact.
     val parsedPath = java.nio.file.Paths.get("BENCH_PARSED.json")
     if (only.isEmpty) java.nio.file.Files.write(parsedPath, full.getBytes("UTF-8"))
+    // Per-query medians in SMALL one-line JSON chunks (~50 queries each,
+    // ~2 KB/line): the driver's round-over-round comparison has been
+    // totals-only since r10 because the single 15 KB line above falls
+    // outside its log tail window (VERDICT r16 "What's wrong" #6). Chunked
+    // lines give any tail-capped reader at least the trailing chunks, and a
+    // full-log reader all of them.
+    results.grouped(50).zipWithIndex.foreach { case (chunk, ci) =>
+      val part = chunk.map { case (k, ts, _) =>
+        s"\"" + k + "\":" + (if (ts.isEmpty) "null" else median(ts))
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","i":${ci + 1},"n_parts":${(results.size + 49) / 50},"queries":$part}""")
+    }
     // fresh-JVM mode (tools/freshbench.sh): one gate per process, each
     // writing its own full JSON to an explicit path for the merger
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
