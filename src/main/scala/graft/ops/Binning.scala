@@ -82,17 +82,47 @@ object Binning {
     } else Packing.prefixSumsInclusive(counts, orderCol, cols)
   }
 
+  /** THE materialize-once policy for skinny measure-then-reuse frames —
+    * every count-then-route site goes through here so the storage decision
+    * is made (and documented) exactly once.
+    *
+    * Why: shuffle outputs are NOT reused across separate actions (each
+    * action builds a fresh physical plan), so a routing `count()` would
+    * re-run the caller's base scan+shuffle a second time inside the main
+    * query (measured ~0.3–0.5 s per spine query at sf0.1; r16 plan dumps:
+    * q_bins 25 → 16 operators). A LAZY `localCheckpoint(false)` makes the
+    * count() materialize the frame once; the main query reads the stored
+    * blocks.
+    *
+    * Why localCheckpoint and not persist(MEMORY_AND_DISK)+count (the
+    * lineage-keeping alternative): these helpers RETURN a lazy frame the
+    * caller executes later, so there is no correct unpersist point — a
+    * persist here would pin an entry in CacheManager for the session's
+    * life (365-query bench = unbounded growth; contrast
+    * [[Outliers.exactPercentilesRouted]], which consumes all actions
+    * internally and unpersists in `finally`). Checkpoint blocks are
+    * GC-cleaned with the frame by the ContextCleaner.
+    *
+    * The priced trade (guide §5, ADVICE r16): checkpoint blocks are
+    * non-replicated executor state AND lineage is truncated, so one lost
+    * executor (spot kill, dynamic-allocation scale-down) fails the query
+    * instead of recomputing — acceptable HERE because the frames are
+    * skinny distinct-bounded rollups (bytes ≈ the shuffle files the second
+    * execution would have written anyway) and the whole query simply
+    * re-runs on failure; it is NOT a pattern for wide/expensive frames on
+    * preemptible clusters.
+    *
+    * @return (materialized frame, its row count) — the count every caller
+    *         routes on, taken from the same single materialization.
+    */
+  private[ops] def materializeOnce(df: DataFrame): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(false)
+    (ck, ck.count())
+  }
+
   private[ops] def cumulativeCounts(df: DataFrame, valueCol: Column,
                                     maxLocalDistinct: Long): DataFrame = {
-    // LAZY checkpoint: shuffle outputs are NOT reused across separate
-    // actions (each action builds a fresh physical plan), so the routing
-    // count() used to re-run the base scan+shuffle a second time inside
-    // the caller's main query. The checkpoint materializes the skinny
-    // (v, c) frame on the count() action and the main query reads the
-    // stored blocks (measured ~0.3-0.5 s per spine query at sf0.1);
-    // blocks are GC-cleaned with the frame.
-    val counts = distinctValueCounts(df, valueCol).localCheckpoint(false)
-    val distinct = counts.count() // materializes the checkpoint
+    val (counts, distinct) = materializeOnce(distinctValueCounts(df, valueCol))
     cumulativeFromCounts(counts, distinct, maxLocalDistinct)
   }
 
@@ -213,12 +243,10 @@ object Binning {
                           ps: Seq[Double],
                           maxLocalDistinct: Long = 1L << 20): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "bad percentiles")
-    val counts = df
+    val (counts, distinct) = materializeOnce(df
       .select(valueCol.cast(LongType).as("v"), weightCol.cast(LongType).as("w"))
       .where(col("v").isNotNull && col("w").isNotNull && col("w") > 0L)
-      .groupBy("v").agg(sum("w").as("c"))
-      .localCheckpoint(false) // see cumulativeCounts: count() + reuse
-    val distinct = counts.count()
+      .groupBy("v").agg(sum("w").as("c")))
     require(distinct > 0, "no rows with positive weight")
     val cum = cumulativeFromCounts(counts, distinct, maxLocalDistinct)
     val total = broadcast(counts.agg(sum("c").cast(LongType).as("w_total")))
@@ -249,10 +277,8 @@ object Binning {
     */
   def giniCoefficient(df: DataFrame, valueCol: Column,
                       maxLocalDistinct: Long = 1L << 20): DataFrame = {
-    val counts = distinctValueCounts(df, valueCol)
-      .where(col("v") >= 0L)
-      .localCheckpoint(false) // see cumulativeCounts: count() + reuse
-    val distinct = counts.count()
+    val (counts, distinct) = materializeOnce(
+      distinctValueCounts(df, valueCol).where(col("v") >= 0L))
     require(distinct > 0, "no non-negative masses")
     val cum = cumulativeFromCounts(counts, distinct, maxLocalDistinct)
     val dec = DecimalType(38, 0)

@@ -107,7 +107,11 @@ object Correlation {
     * frames (the daily/hourly rollups this family trends), enforced against
     * `maxGroupRows` with one cheap count aggregate (measure, don't guess).
     * Groups spread across the cluster; within a group the pair join and
-    * both median windows are group-local.
+    * both median windows are group-local. The default cap of 20 000 rows
+    * admits ≤ 2×10⁸ pair rows in one group's partitions (~3 GB of skinny
+    * slope rows) — already generous; raise it EXPLICITLY only when you've
+    * priced the O(n²) blow-up (100 k rows would mean 5×10⁹ pairs through a
+    * single group — the §3 cartesian cliff this require() exists to stop).
     *
     * Cross-engine exactness: x and y quantize to scale-`scale` longs; each
     * pair slope is ONE double division of exact longs; the median is the
@@ -121,7 +125,7 @@ object Correlation {
     */
   def theilSenByGroup(df: DataFrame, groupCols: Seq[String], xCol: String,
                       yCol: String, scale: Int = 2,
-                      maxGroupRows: Long = 100000L): DataFrame = {
+                      maxGroupRows: Long = 20000L): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(groupCols.map(col) ++ Seq(
@@ -785,12 +789,11 @@ object Correlation {
       // frames take the cheap local running sum, anything past
       // maxLocalDistinct the two-phase distributed prefix scan — and the
       // rank map only broadcasts when it measured small
-      // lazy checkpoint: the routing count() and the rank-attach read the
-      // same skinny (v, c) frame — materialize it once instead of
-      // re-running the base scan+shuffle per action (disk volume equals
-      // the shuffle files the second run would have written anyway)
-      val counts = Binning.distinctValueCounts(base, col(c)).localCheckpoint(false)
-      val distinct = counts.count()
+      // materialize-once: the routing count() and the rank-attach read the
+      // same skinny (v, c) frame — single materialization via the shared
+      // policy helper (storage trade documented on Binning.materializeOnce)
+      val (counts, distinct) =
+        Binning.materializeOnce(Binning.distinctValueCounts(base, col(c)))
       val m = Binning.cumulativeFromCounts(counts, distinct, 1L << 20)
         .select(col("v"), ((col("cum") - col("c")) * 2L + col("c") + 1L).as(s"dr$c"))
       if (distinct <= (1L << 20)) broadcast(m) else m
