@@ -25,13 +25,26 @@ private[queries] object QueryShared {
   // re-resolves; data dirs are immutable test fixtures by contract.
   private val tableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // drop entries of stopped sessions so a long-lived JVM with session
+    // churn (sbt test across suites, service use) can GC them — the map is
+    // small (#tables × live sessions), so the sweep is O(few) per call
+    tableMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     tableMemo.computeIfAbsent((s, s"$dir/$name.parquet"), { case (_, path) =>
       if (name == "events")
         // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively
         graft.sources.Tables.parquet(s, path, nanosTimestampCols = Seq("ts"))
       else s.read.parquet(path)
     })
+  }
+
+  /** Invalidate memo entries under `dir` — REQUIRED before re-writing any
+    * table a live session may later read through [[t]] (ScaleBench.generate
+    * overwrites its outDir in-session; without eviction a re-generation
+    * would serve the stale file listing/schema).
+    */
+  def evict(dir: String): Unit =
+    tableMemo.keySet.removeIf(k => k._2.startsWith(dir + "/"))
 
   /** Row-level metrics through the library path (aggColumns + derived). */
   def scanRow(df: DataFrame, cols: Seq[(String, ColumnConfig)], metrics: Seq[String]): DataFrame = {

@@ -85,6 +85,9 @@ object ScaleBench {
     */
   def generate(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Double = {
     val t0 = System.nanoTime()
+    // the reader memo must not serve a stale listing/schema for tables this
+    // run is about to overwrite (re-generation in one session)
+    QueryShared.evict(outDir)
     def write(name: String, saltIds: Seq[String], rotate: Seq[String] = Nil,
               shiftVec: Seq[String] = Nil): Unit =
       ScaleUp.replicate(QueryShared.t(spark, baseDir, name), factor, saltIds, rotate, shiftVec)

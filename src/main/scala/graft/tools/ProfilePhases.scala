@@ -32,8 +32,12 @@ object ProfilePhases {
         val f = java.nio.file.Paths.get("BENCH_PARSED.json")
         if (java.nio.file.Files.exists(f)) {
           val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-          val q = """"(q[^"]*|q\d[^"]*)":([0-9.]+)""".r
+          // match any "name":seconds pair against the catalog, not a "q"
+          // name-prefix guess (a gate named differently must still profile)
+          val known = graft.SparkEntry.queries.keySet
+          val q = """"([^"]+)":([0-9][0-9.eE+-]*)""".r
           q.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(kv => known(kv._1))
             .toSeq.sortBy(-_._2).take(30).map(_._1)
         } else graft.SparkEntry.queries.keys.toSeq.sorted
       }
