@@ -91,46 +91,71 @@ object Components {
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
 
-    var converged = false
-    var iter = 0
-    var prevChanged = Long.MaxValue
-    while (!converged && iter < maxIterations) {
-      // smallest label among each node's neighbors; the edge set never
-      // re-shuffles (pre-partitioned), only the label side moves
-      val lbl = if (broadcastLabels) broadcast(labels) else labels
+    // one propagation round: smallest label among each node's neighbors;
+    // the edge set never re-shuffles (pre-partitioned), only the label
+    // side moves
+    def propagate(in: DataFrame): DataFrame = {
+      val lbl = if (broadcastLabels) broadcast(in) else in
       val neighborMin = sym.join(lbl, sym("b") === lbl("id"))
         .groupBy(sym("a").as("id2"))
         .agg(min(col("label")).as("nmin"))
-      // LAZY localCheckpoint + a changed-count aggregate: ONE job per round
-      // both materializes the checkpoint (truncating lineage) and reports
-      // convergence — no separate count() job per iteration.
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin").isNotNull && col("nmin") < col("label")).as("changed"))
-        .localCheckpoint(false)
-      val nChanged = updated.agg(sum(when(col("changed"), 1L).otherwise(0L))).collect()(0)
+      in.join(neighborMin, in("id") === col("id2"), "left")
+        .select(in("id"), least(in("label"), coalesce(col("nmin"), in("label"))).as("label"),
+          (col("nmin").isNotNull && col("nmin") < in("label")).as("changed"))
+    }
+
+    // one pointer-jump: label(v) <- label(label(v)) — a self-join of the
+    // (id, label) frame, V-sized, not edge-sized; carries the round's
+    // `changed` flag through untouched (jumps never change what the
+    // propagate round reported)
+    def jump(in: DataFrame): DataFrame = {
+      val l2 = in.select(col("id").as("pid"), col("label").as("plabel"))
+      in.join(l2, in("label") === l2("pid"), "left")
+        .select(in("id"), coalesce(col("plabel"), in("label")).as("label"),
+          in("changed"))
+    }
+
+    var converged = false
+    var iter = 0
+    var prevChanged = Long.MaxValue
+    var stalling = false
+    while (!converged && iter < maxIterations) {
+      // BATCH two propagation rounds (each with its per-round halving
+      // jumps when engaged) into ONE materialization + changed-count job
+      // (guide §2: fewer actions = fewer driver round trips — the
+      // per-round one-row jobs were half this loop's job count, VERDICT
+      // r16 #4). Every stage keeps its own LAZY localCheckpoint, so
+      // within the single job each stage's blocks materialize once and
+      // the next stage reads them — never recomputes; same mechanism the
+      // one-round loop used, just more boundaries per job. Convergence is
+      // checked on the batch's LAST round: min-label propagation is
+      // idempotent at the fixpoint, so batching costs at most one extra
+      // no-op round and the converged labels are bit-identical (the
+      // fixpoint — component-min ids — is unique). The stall detector now
+      // samples the changed-count once per batch instead of once per
+      // round (engagement can lag one batch); that only shifts WHEN the
+      // halving heuristic kicks in, never what the loop converges to.
+      val rounds = math.min(2, maxIterations - iter)
+      var cur = labels
+      for (_ <- 1 to rounds) {
+        cur = propagate(cur).localCheckpoint(false)
+        if (pathHalving && stalling) {
+          cur = jump(cur).localCheckpoint(false)
+          cur = jump(cur).localCheckpoint(false)
+        }
+      }
+      val nChanged = cur.agg(sum(when(col("changed"), 1L).otherwise(0L))).collect()(0)
       val changedCnt = if (nChanged.isNullAt(0)) 0L else nChanged.getLong(0)
       converged = changedCnt == 0L
-      // decay stalls when the changed-count fails to halve round-over-round:
+      // decay stalls when the changed-count fails to halve check-over-check:
       // dense clusters collapse geometrically (no halving needed), chains
       // keep changedCnt ~constant — exactly the case halving accelerates
-      val stalling = iter >= 2 && changedCnt * 2 > prevChanged
+      stalling = iter >= 2 && changedCnt * 2 > prevChanged
       prevChanged = changedCnt
-      var next = updated.select("id", "label")
-      if (pathHalving && !converged && stalling) {
-        // two pointer-jumps per round: label(v) <- label(label(v)); each is a
-        // self-join of the (id, label) frame — V-sized, not edge-sized
-        for (_ <- 1 to 2) {
-          val l2 = next.select(col("id").as("pid"), col("label").as("plabel"))
-          next = next.join(l2, next("label") === l2("pid"), "left")
-            .select(next("id"), coalesce(col("plabel"), next("label")).as("label"))
-        }
-        next = next.localCheckpoint(true)
-      }
-      labels = next
-      iter += 1
+      labels = cur
+      iter += rounds
     }
-    labels.withColumnRenamed("label", "component")
+    labels.select("id", "label").withColumnRenamed("label", "component")
   }
 
   /** Driver-side ordering for the small-graph route's min-id labels; None
