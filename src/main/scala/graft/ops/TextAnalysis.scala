@@ -200,8 +200,36 @@ object TextAnalysis {
     "greek" -> "\\x{0370}-\\x{03FF}",
     "devanagari" -> "\\x{0900}-\\x{097F}")
 
-  /** Per-script letter count columns + dominant script for `text`. */
+  /** Per-script letter count columns + dominant script for `text`.
+    *
+    * ONE native codegen'd pass ([[graft.functions.ScriptCounts]]) instead
+    * of 7 per-script `regexp_replace` traversals (14 once the dominance
+    * tree duplicated them): the counts array is a single subexpression the
+    * whole projection shares (WSCG subexpression elimination), and each
+    * output column is an `element_at`. Count semantics are bit-identical
+    * to the regex formulation — asserted property-wise in ScriptCountsSpec
+    * against [[scriptProfileRegex]] on random/adversarial unicode.
+    */
   def scriptProfile(text: Column): Seq[Column] = {
+    val arr = graft.functions.ScriptCounts.counts(text)
+    val cs = ScriptRanges.indices.map(i => element_at(arr, i + 1))
+    val counts = ScriptRanges.zip(cs).map { case ((name, _), c) => c.as(s"n_$name") }
+    // dominant = max count, ties to the EARLIER script in ScriptRanges
+    // (the first `when` that matches the max), "none" when all counts are 0
+    val mx = greatest(cs: _*)
+    val dominant = ScriptRanges.zip(cs)
+      .foldLeft(when(mx === 0L, lit("none"))) { case (acc, ((name, _), c)) =>
+        acc.when(c === mx, lit(name))
+      }.as("script")
+    counts :+ dominant
+  }
+
+  /** The regexp_replace formulation of [[scriptProfile]] — kept for
+    * cross-checking the native one-pass counter against the regex
+    * semantics that DEFINE the counts (the DuckDB oracles replay these
+    * regexes verbatim).
+    */
+  def scriptProfileRegex(text: Column): Seq[Column] = {
     val counts = ScriptRanges.map { case (name, range) =>
       length(regexp_replace(text, s"[^$range]", "")).cast(LongType).as(s"n_$name")
     }
