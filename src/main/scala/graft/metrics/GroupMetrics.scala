@@ -2,7 +2,7 @@ package graft.metrics
 
 import graft.api.ColumnConfig
 import graft.metrics.MetricColumns._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -103,5 +103,53 @@ object GroupMetrics {
         .select(lit(kind).as("kind"), col("rank"), col("v").as("value"))
     }
     ranked("mins", asc = true).unionAll(ranked("maxs", asc = false)).orderBy("kind", "rank")
+  }
+
+  /** The native grouping type the scan's pass 2 uses for a column — the
+    * typed replacement for the former cast-everything-to-string explode.
+    * Columns sharing a class ride ONE explode+groupBy; the group exchange
+    * then carries an 8-byte primitive instead of the value's decimal/date
+    * text, and the per-value to-string conversion (a Double.toString-class
+    * cost per row) disappears from the corpus-sized explode entirely —
+    * display strings are decoded only on the ≤distinct-sized top-K slices.
+    *
+    * Injectivity vs the former string form (so every count is unchanged):
+    * integral/boolean/date→long and float→double are exact embeddings;
+    * double keeps its own value. The ONLY divergence is IEEE signed zero:
+    * native grouping normalizes -0.0 == 0.0 into one group where the string
+    * form kept "-0.0"/"0.0" apart — the native behavior is what a SQL
+    * engine grouping the raw column computes (the DuckDB oracles included),
+    * so the typed pass matches the oracles MORE closely; NaN was one group
+    * under both forms. Timestamps, decimals and every other type keep the
+    * string path (class = StringType): a timestamp→long cast truncates to
+    * seconds (not injective) and decimal scales differ per column.
+    */
+  def pass2Class(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType | DateType => LongType
+    case FloatType | DoubleType => DoubleType
+    case _ => StringType
+  }
+
+  /** Encode a column into its [[pass2Class]] grouping value. */
+  def pass2Encode(c: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => c.cast(LongType)
+    case DateType => unix_date(c).cast(LongType)
+    case FloatType | DoubleType => c.cast(DoubleType)
+    case _ => c.cast(StringType)
+  }
+
+  /** Decode an encoded grouping value back to EXACTLY the string the former
+    * cast-to-string pass produced (the frequent-values display text and its
+    * count-tie ordering key) — only ever evaluated on ≤distinct-sized
+    * slices. Float round-trips through FloatType so the shortest-float text
+    * ("0.1", not the widened double's "0.10000000149011612") is preserved.
+    */
+  def pass2DecodeString(v: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => v.cast(StringType)
+    case BooleanType => (v === 1L).cast(StringType)
+    case DateType => date_from_unix_date(v.cast(IntegerType)).cast(StringType)
+    case FloatType => v.cast(FloatType).cast(StringType)
+    case DoubleType => v.cast(StringType)
+    case _ => v
   }
 }

@@ -2,7 +2,7 @@ package graft.scan
 
 import graft.api._
 import graft.checks.TestEvaluator
-import graft.metrics.MetricColumns
+import graft.metrics.{GroupMetrics, MetricColumns}
 import graft.metrics.MetricColumns._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -601,35 +601,63 @@ object Scanner {
     val pass2F: Future[(Array[Row], Map[(String, Int), Array[Row]])] =
       if (groupFields.isEmpty) Future.successful((Array.empty[Row], Map.empty))
       else Future {
-        val valueExprs = groupFields.map { f =>
-          val cfg = cfgOf(f.name)
-          when(!missingCond(col(f.name), cfg), col(f.name).cast(StringType))
+        // One explode+groupBy per TYPE CLASS (long / double / string)
+        // instead of one cast-everything-to-string pass: grouping keys stay
+        // NATIVE, so the group exchange carries 8-byte primitives instead of
+        // value text and the corpus-sized Double.toString per value is gone
+        // (injectivity argument at GroupMetrics.pass2Class — counts are
+        // unchanged). Each class projects ONLY its columns before widening,
+        // so the widening exchange narrows in step; the widening decision
+        // keeps the GLOBAL pass weight so the route matches the old
+        // single-pass form. Class frames are subtrees of the SAME fused
+        // actions as before (one distinct-family union, one top-K union) —
+        // the driver action count is unchanged.
+        val pass2Weight = groupFields.length * 2
+        // (field, GLOBAL colIdx) per class, classes in deterministic order
+        val classed: Seq[Seq[(StructField, Int)]] = groupFields.zipWithIndex
+          .groupBy { case (f, _) => GroupMetrics.pass2Class(f.dataType) }
+          .toSeq.sortBy(_._1.typeName).map(_._2.toSeq)
+        // the (colIdx = GLOBAL index, native value, cnt) frame over `cols`
+        def countedOf(cols: Seq[(StructField, Int)]): DataFrame = {
+          val valueExprs = cols.map { case (f, _) =>
+            val cfg = cfgOf(f.name)
+            when(!missingCond(col(f.name), cfg),
+              GroupMetrics.pass2Encode(col(f.name), f.dataType))
+          }
+          val idxs = cols.map(_._2)
+          val proj = df.select(cols.map { case (f, _) => col(f.name) }: _*)
+          widened(proj, pass2Weight)
+            .select(posexplode(array(valueExprs: _*)).as(Seq("ci", "value")))
+            .where(col("value").isNotNull)
+            .groupBy("ci", "value").agg(count(lit(1)).as("cnt"))
+            .select(element_at(typedlit(idxs), col("ci") + 1).as("colIdx"),
+              col("value"), col("cnt"))
         }
-        val exploded = widened(df, groupFields.length * 2)
-          .select(posexplode(array(valueExprs.toSeq: _*)).as(Seq("colIdx", "value")))
-          .where(col("value").isNotNull)
-        val counted = exploded.groupBy("colIdx", "value").agg(count(lit(1)).as("cnt"))
         // Only the frequent-values / mins / maxs top-K jobs re-read counted
-        // rows; cache ONLY those columns' slices (typically a handful of
-        // distinct values) instead of materializing every column's full
-        // distinct-value set.
-        val topKIdxs = groupFields.zipWithIndex.collect {
-          case (f, idx) if metricsOf(f).contains("frequent_values") ||
-            (isNumeric(f.dataType) && (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs"))) => idx
-        }
-        val topKSlice = if (topKIdxs.nonEmpty)
-          Some(counted.where(col("colIdx").isin(topKIdxs.toSeq: _*)).cache())
-        else None
+        // rows; those jobs explode ONLY the requesting columns (the old
+        // single-frame slice paid the full all-column explode before its
+        // colIdx filter) and cache the ≤distinct-sized result.
+        def wantsTopK(f: StructField): Boolean =
+          metricsOf(f).contains("frequent_values") ||
+            (isNumeric(f.dataType) &&
+              (metricsOf(f).contains("mins") || metricsOf(f).contains("maxs")))
+        val sliceFrames: Seq[(Seq[(StructField, Int)], DataFrame)] = classed
+          .map(_.filter { case (f, _) => wantsTopK(f) }).filter(_.nonEmpty)
+          .map(cls => cls -> countedOf(cls).cache())
+        val sliceOf: Map[Int, DataFrame] =
+          sliceFrames.flatMap { case (cls, d) => cls.map(_._2 -> d) }.toMap
         try {
           // the distinct-family aggregate and the fused top-K union are
-          // themselves independent actions over `counted` — overlap them too
+          // independent actions — overlap them too. The per-class aggregates
+          // share one schema, so ONE unioned collect serves every class.
           val distinctF = Future {
-            counted.groupBy("colIdx").agg(
-              count(lit(1)).as("distinct"),
-              sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("unique_count"),
-              sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("duplicate_count"),
-              sum("cnt").as("values_cnt")
-            ).collect()
+            classed.map { cls =>
+              countedOf(cls).groupBy("colIdx").agg(
+                count(lit(1)).as("distinct"),
+                sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("unique_count"),
+                sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("duplicate_count"),
+                sum("cnt").as("values_cnt"))
+            }.reduce(_.unionAll(_)).collect()
           }
           // frequent values / mins / maxs: every requesting column's bounded
           // slice rides ONE fused job — a union whose branches are each a
@@ -642,20 +670,38 @@ object Scanner {
           // (≤ n rows each) by the same keys the branch sorted with.
           // Columns whose every value is missing produce NO measurement (the
           // pre-round-3 windowed pass emitted nothing for an absent colIdx).
-          def freqBranch(idx: Int): DataFrame =
-            topFrequent(topKSlice.get, idx, FrequentValuesN)
+          // The frequent-values text AND its count-tie ordering key are the
+          // decoded string (pass2DecodeString), replicating the former
+          // string pass's output and tie-breaks exactly.
+          def freqBranch(f: StructField, idx: Int): DataFrame =
+            sliceOf(idx).where(col("colIdx") === idx)
+              .select(GroupMetrics.pass2DecodeString(col("value"), f.dataType)
+                .as("value"), col("cnt"))
+              .orderBy(col("cnt").desc, col("value").asc).limit(FrequentValuesN)
               .select(lit("freq").as("kind"), lit(idx).as("idx"),
                 col("value"), col("cnt"), lit(null).cast(DoubleType).as("v"))
-          def edgeBranch(idx: Int, asc: Boolean): DataFrame =
-            edgeValues(topKSlice.get, idx, MinsMaxsN, asc)
+          // mins/maxs decode: long→double and double→double equal the former
+          // string→double parse bit-for-bit (both correctly rounded /
+          // identity); FLOAT must round-trip through its shortest string so
+          // 0.1f stays 0.1, not the widened 0.10000000149011612.
+          def edgeDecode(f: StructField, v: Column): Column = f.dataType match {
+            case FloatType => v.cast(FloatType).cast(StringType).cast(DoubleType)
+            case _         => v.cast(DoubleType)
+          }
+          def edgeBranch(f: StructField, idx: Int, asc: Boolean): DataFrame = {
+            val vals = sliceOf(idx).where(col("colIdx") === idx)
+              .select(edgeDecode(f, col("value")).as("v"))
+            (if (asc) vals.orderBy(col("v").asc) else vals.orderBy(col("v").desc))
+              .limit(MinsMaxsN)
               .select(lit(if (asc) "mins" else "maxs").as("kind"), lit(idx).as("idx"),
                 lit(null).cast(StringType).as("value"), lit(null).cast(LongType).as("cnt"), col("v"))
+          }
           val branches =
-            needFreq.map { case (_, idx) => freqBranch(idx) } ++
+            needFreq.map { case (f, idx) => freqBranch(f, idx) } ++
             needMinsMaxs.flatMap { case (f, idx) =>
               val ms = metricsOf(f).toSet
-              (if (ms("mins")) Seq(edgeBranch(idx, asc = true)) else Nil) ++
-                (if (ms("maxs")) Seq(edgeBranch(idx, asc = false)) else Nil)
+              (if (ms("mins")) Seq(edgeBranch(f, idx, asc = true)) else Nil) ++
+                (if (ms("maxs")) Seq(edgeBranch(f, idx, asc = false)) else Nil)
             }
           val slicedF: Future[Map[(String, Int), Array[Row]]] =
             if (branches.isEmpty) Future.successful(Map.empty)
@@ -664,7 +710,7 @@ object Scanner {
                 .groupBy(r => (r.getAs[String]("kind"), r.getAs[Int]("idx")))
             }
           (Await.result(distinctF, Duration.Inf), Await.result(slicedF, Duration.Inf))
-        } finally topKSlice.foreach(_.unpersist())
+        } finally sliceFrames.foreach(_._2.unpersist())
       }
 
     // ---- pass 3 (launch): histograms, chained on pass 1's bounds --------

@@ -318,6 +318,79 @@ class ScannerSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("typed pass-2 classes replicate the string pass exactly: counts, tie order, decode text") {
+    // mixed types across all three pass-2 classes (long: int/date/boolean,
+    // double: float, string: string/decimal), with count TIES whose
+    // string order differs from native order ("10" < "2" as text) — the
+    // tie-break must still follow the DECODED STRING, as the old
+    // cast-everything-to-string pass did.
+    val rows = Seq(
+      (Some(2),  Some("1995-12-31"), Some(0.1f),  Some(true),  Some(BigDecimal("1.50")), Some("a")),
+      (Some(2),  Some("1995-12-31"), Some(0.1f),  Some(true),  Some(BigDecimal("1.50")), Some("a")),
+      (Some(10), Some("2001-01-02"), Some(2.5f),  Some(false), Some(BigDecimal("2.00")), Some("b")),
+      (Some(10), None,               None,        None,        None,                     Some("b")),
+      (Some(1),  Some("2001-01-02"), Some(7.25f), Some(true),  Some(BigDecimal("2.00")), Some("c")),
+      (None,     Some("2001-01-02"), Some(0.1f),  Some(true),  Some(BigDecimal("1.50")), None)
+    ).toDF("i", "ds", "f", "b", "dec", "s")
+      .withColumn("d", col("ds").cast("date")).drop("ds")
+      .withColumn("dec", col("dec").cast("decimal(3,2)"))
+    val yamlT =
+      """table_name: typed
+        |metric_groups:
+        |- duplicates
+        |columns:
+        |  i:
+        |    metrics:
+        |    - frequent_values
+        |    - mins
+        |    - maxs
+        |  f:
+        |    metrics:
+        |    - frequent_values
+        |    - mins
+        |  d:
+        |    metrics:
+        |    - frequent_values
+        |  b:
+        |    metrics:
+        |    - frequent_values
+        |  dec:
+        |    metrics:
+        |    - frequent_values
+        |  s:
+        |    metrics:
+        |    - frequent_values
+        |""".stripMargin
+    val r = Scanner.executeYaml(spark, rows, yamlT)
+    assert(!r.hasErrors, r.errors.mkString("; "))
+    def mv(metric: String, c: String): Any =
+      r.measurement(metric, Some(c)).getOrElse(fail(s"missing $metric/$c")).value.get
+    def freq(c: String): Seq[(String, String)] =
+      r.measurement("frequent_values", Some(c)).get.groupValues
+        .map(gv => gv.group("value").toString -> gv.value)
+    // distinct family per class (hand counts)
+    assert(mv("distinct", "i") == 3L && mv("unique_count", "i") == 1L &&
+      mv("duplicate_count", "i") == 2L)
+    assert(mv("distinct", "d") == 2L && mv("duplicate_count", "d") == 2L)
+    assert(mv("distinct", "f") == 3L && mv("unique_count", "f") == 2L)
+    assert(mv("distinct", "b") == 2L)
+    assert(mv("distinct", "dec") == 2L && mv("duplicate_count", "dec") == 2L)
+    assert(mv("distinct", "s") == 3L)
+    // count tie on i (2×"2", 2×"10"): STRING order puts "10" before "2"
+    assert(freq("i") == Seq("10" -> "2", "2" -> "2", "1" -> "1"))
+    // date decodes to its ISO text, not the unix_date long
+    assert(freq("d") == Seq("2001-01-02" -> "3", "1995-12-31" -> "2"))
+    // float decodes to the SHORTEST float text (0.1, not 0.10000000149011612)
+    assert(freq("f") == Seq("0.1" -> "3", "2.5" -> "1", "7.25" -> "1"))
+    assert(freq("b") == Seq("true" -> "4", "false" -> "1"))
+    assert(freq("dec") == Seq("1.50" -> "3", "2.00" -> "2"))
+    assert(freq("s") == Seq("a" -> "2", "b" -> "2", "c" -> "1"))
+    // mins/maxs: i via native long→double; f parses the float's string form
+    assert(r.measurement("mins", Some("i")).get.value.contains(Seq(1.0, 2.0, 10.0)))
+    assert(r.measurement("maxs", Some("i")).get.value.contains(Seq(10.0, 2.0, 1.0)))
+    assert(r.measurement("mins", Some("f")).get.value.contains(Seq(0.1, 2.5, 7.25)))
+  }
+
   test("scan result frames have the reference schemas") {
     val mf = ScanResultFrames.measurementsToDF(spark, result.measurements)
     assert(mf.columns.toSeq == Seq("metric", "column_name", "value", "group_values"))
