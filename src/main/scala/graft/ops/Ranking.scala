@@ -187,7 +187,7 @@ object Ranking {
     *         wins keep π = 0 after round 1 (the MM fixed point).
     */
   def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
-                   rounds: Int = 5): DataFrame = {
+                   rounds: Int = 5, maxDriverItems: Int = 10000): DataFrame = {
     require(rounds >= 1, "need at least one MM round")
     val D = DecimalType(38, 0)
     val wins = df.select(col(winnerCol).cast(StringType).as("i"),
@@ -207,31 +207,74 @@ object Ranking {
       .withColumn("wins", coalesce(col("wins"), lit(0L)))
       .localCheckpoint(true)
     def fx(c: Column) = floor(c * lit(1e12) + lit(0.5)).cast(D)
-    var pi = items.select(col("i"), lit(1.0).as("pi"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val den = pairs
-        .join(broadcast(pi.select(col("i"), col("pi").as("pi_i"))), Seq("i"))
-        .join(broadcast(pi.select(col("i").as("j"), col("pi").as("pi_j"))), Seq("j"))
-        .withColumn("__t", fx(col("n").cast(DoubleType) /
-          (col("pi_i") + col("pi_j"))))
-        .groupBy("i").agg(sum(col("__t")).as("den_fx"))
-      pi = items.join(den, Seq("i"), "left")
-        .select(col("i"),
-          when(col("den_fx").isNotNull && col("den_fx") > lit(0L).cast(D),
-            col("wins").cast(DoubleType) * lit(1e12) /
-              col("den_fx").cast(DoubleType))
-            .otherwise(lit(0.0)).as("pi"))
-        .localCheckpoint(true) // truncate the per-round lineage
-    }
-    val tot = pi.agg(sum(fx(col("pi"))).as("t"))
     val matches = pairs.groupBy("i").agg(sum(col("n")).as("matches"))
-    items.join(pi, "i").join(matches, Seq("i"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("i").as("item"), col("wins"),
-        coalesce(col("matches"), lit(0L)).as("matches"), col("pi"),
-        when(col("t") > lit(0L).cast(D),
-          fx(col("pi")).cast(DoubleType) / col("t").cast(DoubleType))
-          .as("strength"))
+    // Items were ALWAYS driver-bounded here: every round broadcast π (one
+    // row per item) twice. When they fit a literal map (the measured bound
+    // below), run the MM loop driver-routed: π rides each round's den
+    // aggregate as a map literal (no per-round broadcast builds, no π
+    // checkpoint job — ONE aggregate job per round instead of three), and
+    // the π update replays the exact per-item double tree driver-side
+    // (wins·10¹²/den_fx with den_fx.toDouble — the identical IEEE ops, so
+    // the route is bit-identical; route-parity spec'd). Past the bound the
+    // broadcast-join route below is unchanged.
+    val itemRows = items.collect()
+    if (itemRows.length <= maxDriverItems) {
+      val winsMap = itemRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      var piMap: Map[String, Double] = winsMap.map { case (i, _) => i -> 1.0 }
+      for (_ <- 1 to rounds) {
+        val piLit = typedlit(piMap)
+        val den = pairs
+          .withColumn("__t", fx(col("n").cast(DoubleType) /
+            (element_at(piLit, col("i")) + element_at(piLit, col("j")))))
+          .groupBy("i").agg(sum(col("__t")).as("den_fx"))
+          .collect()
+        val denMap = den.map(r => r.getString(0) -> Option(r.getDecimal(1))).toMap
+        piMap = piMap.map { case (i, _) =>
+          i -> (denMap.get(i).flatten match {
+            case Some(d) if d.signum > 0 =>
+              winsMap(i).toDouble * 1e12 / d.doubleValue
+            case _ => 0.0
+          })
+        }
+      }
+      // tot replays sum(fx(pi)) exactly: floor yields a LONG per item
+      // (Math.floor then toLong, as Spark's Floor does), summed as BigInt
+      // like the decimal(38,0) sum it replaces
+      val tot = piMap.valuesIterator
+        .map(v => BigInt(math.floor(v * 1e12 + 0.5).toLong)).sum
+      val totDbl = new java.math.BigDecimal(tot.bigInteger).doubleValue
+      val piCol = element_at(typedlit(piMap), col("i"))
+      items.join(matches, Seq("i"), "left")
+        .select(col("i").as("item"), col("wins"),
+          coalesce(col("matches"), lit(0L)).as("matches"), piCol.as("pi"),
+          (if (tot > 0) fx(piCol).cast(DoubleType) / lit(totDbl)
+           else lit(null).cast(DoubleType)).as("strength"))
+    } else {
+      var pi = items.select(col("i"), lit(1.0).as("pi"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val den = pairs
+          .join(broadcast(pi.select(col("i"), col("pi").as("pi_i"))), Seq("i"))
+          .join(broadcast(pi.select(col("i").as("j"), col("pi").as("pi_j"))), Seq("j"))
+          .withColumn("__t", fx(col("n").cast(DoubleType) /
+            (col("pi_i") + col("pi_j"))))
+          .groupBy("i").agg(sum(col("__t")).as("den_fx"))
+        pi = items.join(den, Seq("i"), "left")
+          .select(col("i"),
+            when(col("den_fx").isNotNull && col("den_fx") > lit(0L).cast(D),
+              col("wins").cast(DoubleType) * lit(1e12) /
+                col("den_fx").cast(DoubleType))
+              .otherwise(lit(0.0)).as("pi"))
+          .localCheckpoint(true) // truncate the per-round lineage
+      }
+      val tot = pi.agg(sum(fx(col("pi"))).as("t"))
+      items.join(pi, "i").join(matches, Seq("i"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("i").as("item"), col("wins"),
+          coalesce(col("matches"), lit(0L)).as("matches"), col("pi"),
+          when(col("t") > lit(0L).cast(D),
+            fx(col("pi")).cast(DoubleType) / col("t").cast(DoubleType))
+            .as("strength"))
+    }
   }
 }

@@ -128,15 +128,31 @@ private[queries] object StatsQueries {
         col("l_linenumber").as("ln"),
         (col("l_suppkey") % 5).cast(StringType).as("team"),
         col("l_shipdate").as("sd"))
-      val a = li.select(col("ok"), col("ln").as("ln_a"),
-        col("team").as("ta"), col("sd").as("sa"))
-      val b = li.select(col("ok"), col("ln").as("ln_b"),
-        col("team").as("tb"), col("sd").as("sb"))
-      val m = a.join(b, "ok")
-        .where(col("ln_a") < col("ln_b") && col("ta") =!= col("tb") &&
-          col("sa") =!= col("sb"))
-        .select(when(col("sa") < col("sb"), col("ta")).otherwise(col("tb")).as("winner"),
-          when(col("sa") < col("sb"), col("tb")).otherwise(col("ta")).as("loser"))
+      // within-order pairs WITHOUT the self-join: ONE groupBy(ok) shuffle
+      // collects each order's ≤7 items, then unordered pairs enumerate
+      // row-locally (posexplode position + slice of the tail — each pair
+      // once, and only n(n-1)/2 rows ever exist where the old a⋈b sort-merge
+      // join shuffled+sorted the table twice and built n² rows pre-filter).
+      // The former ln_a < ln_b rule = "each unordered pair of DISTINCT line
+      // numbers once": positional enumeration keeps each pair once, and the
+      // explicit ln filter drops the equal-ln pairs the strict < dropped
+      // (this testdata HAS duplicate line numbers within an order).
+      // Winner/loser are orientation-independent (sa ≠ sb enforced, the
+      // when() is symmetric under swap), so list order cannot change the
+      // (winner, loser) multiset; equivalence is oracle-gated end-to-end.
+      val grouped = li.groupBy("ok")
+        .agg(collect_list(struct(col("ln"), col("team"), col("sd"))).as("xs"))
+      val pairs = grouped
+        .select(col("xs"), posexplode(col("xs")).as(Seq("p", "x")))
+        .select(col("x"),
+          explode(slice(col("xs"), col("p") + lit(2),
+            size(col("xs")) - col("p") - lit(1))).as("y"))
+      val m = pairs
+        .where(col("x.ln") =!= col("y.ln") &&
+          col("x.team") =!= col("y.team") && col("x.sd") =!= col("y.sd"))
+        .select(
+          when(col("x.sd") < col("y.sd"), col("x.team")).otherwise(col("y.team")).as("winner"),
+          when(col("x.sd") < col("y.sd"), col("y.team")).otherwise(col("x.team")).as("loser"))
       Ranking.bradleyTerry(m, "winner", "loser", rounds = 5).orderBy("item")
     },
 

@@ -1343,6 +1343,22 @@ class TrendDriftSpec extends SparkSpec {
     assert(sh("u") == 1.0 && sh("v") == 0.0)
   }
 
+  test("bradleyTerry: driver route and broadcast-join route are bit-identical") {
+    import graft.ops.Ranking
+    // asymmetric record with a zero-win item and an uneven schedule so den
+    // maps, left-join nulls and the tot normalization all carry weight
+    val m = (Seq.fill(7)(("a", "b")) ++ Seq.fill(3)(("b", "a")) ++
+      Seq.fill(5)(("a", "c")) ++ Seq.fill(2)(("c", "d")) ++
+      Seq.fill(4)(("b", "d")) ++ Seq.fill(6)(("d", "c")))
+      .toDF("w", "l")
+    def run(maxDriverItems: Int) =
+      Ranking.bradleyTerry(m, "w", "l", rounds = 5, maxDriverItems = maxDriverItems)
+        .orderBy("item").collect().toSeq
+    val driver = run(maxDriverItems = 10000)
+    val dist = run(maxDriverItems = 0) // force the broadcast-join route
+    assert(driver == dist)
+  }
+
   test("pageHinkley: level shift alarms, stable series stays quiet, scalar-replica parity") {
     import graft.ops.Outliers
     // stable at 10 for 20 ticks then jumps to 30: PH must cross λ = 50
