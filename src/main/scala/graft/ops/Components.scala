@@ -762,10 +762,12 @@ object Components {
     val hot = ki.groupBy("k").agg(count(lit(1)).as("f"))
       .where(col("f") > maxKeyItems).select("k")
     val capped = ki.join(broadcast(hot), Seq("k"), "left_anti")
-    val a = capped.select(col("k"), col("i").as("item_a"))
-    val b = capped.select(col("k"), col("i").as("item_b"))
-    a.join(b, Seq("k"))
-      .where(col("item_a") < col("item_b"))
+    // within-key pairs join-free (Joins.withinKeyPairs): items are DISTINCT
+    // per key, so least/greatest replays the old item_a < item_b
+    // orientation over the identical pair multiset
+    Joins.withinKeyPairs(capped, "k", Seq(col("i")))
+      .select(least(col("x.i"), col("y.i")).as("item_a"),
+        greatest(col("x.i"), col("y.i")).as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
   }
@@ -1364,9 +1366,12 @@ object Components {
     val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
     // common-neighbor counts for ADJACENT pairs only (wedges closed
     // against the canonical edge set — the triangleCounts shape)
-    val cnP = adj.as("l").join(adj.as("r"),
-        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
-      .select(col("l.n").as("a"), col("r.n").as("b"))
+    // wedges join-free (Joins.withinKeyPairs): neighbors are DISTINCT per
+    // center z, so least/greatest replays the old l.n < r.n orientation
+    // over the identical wedge multiset
+    val cnP = Joins.withinKeyPairs(adj, "z", Seq(col("n")))
+      .select(least(col("x.n"), col("y.n")).as("a"),
+        greatest(col("x.n"), col("y.n")).as("b"))
       .join(canon, Seq("a", "b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
     val sims = canon.join(cnP, Seq("a", "b"), "left")

@@ -236,9 +236,12 @@ object Events {
     val n = capped.select("k").distinct().count()
     require(n > 0, "no baskets")
     val items = capped.groupBy("i").agg(count(lit(1)).as("ni"))
-    val pairs = capped.select(col("k"), col("i").as("a"))
-      .join(capped.select(col("k"), col("i").as("b")), Seq("k"))
-      .where(col("a") < col("b"))
+    // within-basket pairs join-free (Joins.withinKeyPairs): items are
+    // DISTINCT per basket, so least/greatest replays the old a < b
+    // orientation over the identical pair multiset
+    val pairs = Joins.withinKeyPairs(capped, "k", Seq(col("i")))
+      .select(least(col("x.i"), col("y.i")).as("a"),
+        greatest(col("x.i"), col("y.i")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("nab"))
       .where(col("nab") >= minPairCount)
     val directed = pairs.select(col("a").as("antecedent"),

@@ -243,4 +243,37 @@ object Joins {
       acc.join(survived, Seq("entity"), "left")
     }
   }
+
+  /** All unordered within-key row pairs WITHOUT a self-join: ONE
+    * groupBy(key) collects each key's payload rows, then pairs enumerate
+    * row-locally (posexplode position + a slice of the list's tail) — each
+    * unordered row pair exactly once, n(n−1)/2 rows total, where the
+    * `l.as("x").join(l.as("y"), key)` self-join shuffles and sorts the
+    * input twice and builds n² rows before its dedup filter.
+    *
+    * Equivalence to the strict-order dedup (`x.c < y.c` on a per-row
+    * attribute): positional enumeration yields the same pair multiset over
+    * rows with DISTINCT attribute values; pairs whose attribute values are
+    * EQUAL (excluded by the strict <, included positionally) must be
+    * re-excluded by the caller (`x.c =!= y.c`). Downstream logic must be
+    * orientation-independent or canonicalize with least/greatest — list
+    * order is not deterministic.
+    *
+    * Skew note: a hot key's pairs expand inside one task — the same
+    * single-partition fate the self-join's hash-by-key gave it — so cap
+    * per-key rows upstream where keys can be unbounded (basketRules'
+    * maxBasketItems pattern).
+    *
+    * @param payload pre-projected columns carried per row (keep skinny)
+    * @return columns `x`, `y`: the pair's two payload structs
+    */
+  def withinKeyPairs(df: DataFrame, keyCol: String, payload: Seq[Column]): DataFrame = {
+    val grouped = df.groupBy(col(keyCol))
+      .agg(collect_list(struct(payload: _*)).as("__xs"))
+    grouped
+      .select(col("__xs"), posexplode(col("__xs")).as(Seq("__p", "x")))
+      .select(col("x"),
+        explode(slice(col("__xs"), col("__p") + lit(2),
+          size(col("__xs")) - col("__p") - lit(1))).as("y"))
+  }
 }

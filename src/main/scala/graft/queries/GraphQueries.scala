@@ -44,10 +44,17 @@ private[queries] object GraphQueries {
       // rounds at sf0.01; the 8-round cap makes Spark ≡ the unrolled
       // 8-round oracle at ANY scale (converged rounds are identity)
       val l = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = l.as("x").join(l.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .where(((col("x.pk") + col("y.pk")) % 11) === 0)
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      // within-order pairs join-free (Joins.withinKeyPairs): the old strict
+      // x.pk < y.pk kept each unordered ROW pair with distinct part keys
+      // once — positional enumeration does the same once equal-pk pairs are
+      // re-excluded, and least/greatest replays the src < dst orientation;
+      // the pair MULTISET is identical, so any downstream dedup sees the
+      // same edges
+      val e = graft.ops.Joins.withinKeyPairs(l, "ok", Seq(col("pk")))
+        .where(col("x.pk") =!= col("y.pk") &&
+          ((col("x.pk") + col("y.pk")) % 11) === 0)
+        .select(least(col("x.pk"), col("y.pk")).as("src"),
+          greatest(col("x.pk"), col("y.pk")).as("dst"))
       Components.kCore(e, "src", "dst", k = 6, maxRounds = 8).orderBy("node")
     },
 
@@ -77,10 +84,17 @@ private[queries] object GraphQueries {
       // CLASSIFIED instead of force-labeled (eps 0.35 / mu 3 → ~14
       // clusters at sf0.01); exact-integer similarity tree, min-id labels
       val l = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = l.as("x").join(l.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .where(((col("x.pk") + col("y.pk")) % 11) === 0)
-        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      // within-order pairs join-free (Joins.withinKeyPairs): the old strict
+      // x.pk < y.pk kept each unordered ROW pair with distinct part keys
+      // once — positional enumeration does the same once equal-pk pairs are
+      // re-excluded, and least/greatest replays the src < dst orientation;
+      // the pair MULTISET is identical, so any downstream dedup sees the
+      // same edges
+      val e = graft.ops.Joins.withinKeyPairs(l, "ok", Seq(col("pk")))
+        .where(col("x.pk") =!= col("y.pk") &&
+          ((col("x.pk") + col("y.pk")) % 11) === 0)
+        .select(least(col("x.pk"), col("y.pk")).as("src"),
+          greatest(col("x.pk"), col("y.pk")).as("dst"))
       Components.scanClusters(e, "src", "dst", eps = 0.35, mu = 3)
         .orderBy("node")
     },

@@ -140,13 +140,8 @@ private[queries] object StatsQueries {
       // Winner/loser are orientation-independent (sa ≠ sb enforced, the
       // when() is symmetric under swap), so list order cannot change the
       // (winner, loser) multiset; equivalence is oracle-gated end-to-end.
-      val grouped = li.groupBy("ok")
-        .agg(collect_list(struct(col("ln"), col("team"), col("sd"))).as("xs"))
-      val pairs = grouped
-        .select(col("xs"), posexplode(col("xs")).as(Seq("p", "x")))
-        .select(col("x"),
-          explode(slice(col("xs"), col("p") + lit(2),
-            size(col("xs")) - col("p") - lit(1))).as("y"))
+      val pairs = graft.ops.Joins.withinKeyPairs(li, "ok",
+        Seq(col("ln"), col("team"), col("sd")))
       val m = pairs
         .where(col("x.ln") =!= col("y.ln") &&
           col("x.team") =!= col("y.team") && col("x.sd") =!= col("y.sd"))
